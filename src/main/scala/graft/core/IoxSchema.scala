@@ -1,0 +1,97 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** Column-category model of the reference's schema system.
+  *
+  * The reference annotates an Arrow schema with `iox::column::type`
+  * metadata (internal_types/src/schema.rs:112-114) classifying each column
+  * as Tag / Field / Timestamp (schema.rs:614-632). Here the same category
+  * lives in `StructField.metadata` under the key `graft.category`, and tags
+  * are plain StringType (Parquet dictionary-encodes them transparently,
+  * playing the role of the reference's Dictionary(Int32, Utf8) layout,
+  * schema.rs:698-708).
+  */
+object IoxSchema {
+  val CategoryKey = "graft.category"
+  val Tag = "tag"
+  val Field = "field"
+  val Time = "time"
+
+  def tagged(name: String, dt: DataType, category: String): StructField =
+    StructField(name, dt, nullable = category != Time,
+      new MetadataBuilder().putString(CategoryKey, category).build())
+
+  def categoryOf(f: StructField): Option[String] =
+    if (f.metadata.contains(CategoryKey)) Some(f.metadata.getString(CategoryKey))
+    else None
+
+  def tagColumns(schema: StructType): Seq[String] =
+    schema.fields.filter(f => categoryOf(f).contains(Tag)).map(_.name).toSeq
+
+  def fieldColumns(schema: StructType): Seq[String] =
+    schema.fields.filter(f => categoryOf(f).contains(Field)).map(_.name).toSeq
+
+  /** Primary key = sorted tags + time (reference dedup key,
+    * query/src/provider/deduplicate.rs:72-105). */
+  def primaryKey(schema: StructType): Seq[String] =
+    tagColumns(schema).sorted :+ NsTime.TimeColumn
+
+  /** Union two frames whose schemas may differ (chunks of one table may
+    * carry different column sets over time — schema merge,
+    * internal_types/src/schema/merge.rs). unionByName with
+    * allowMissingColumns fills absent columns with null, which is exactly
+    * the reference's merge semantics for rows lacking a column.
+    */
+  def mergeUnion(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** Check two schemas are mergeable: same-name columns must agree on type
+    * (the reference rejects tag/field or type conflicts at ingest,
+    * entry/src/entry.rs:948). */
+  def mergeConflicts(a: StructType, b: StructType): Seq[String] = {
+    val byName = a.fields.map(f => f.name -> f).toMap
+    b.fields.toSeq.flatMap { fb =>
+      byName.get(fb.name) match {
+        case Some(fa) if fa.dataType != fb.dataType =>
+          Some(s"${fb.name}: ${fa.dataType.simpleString} vs ${fb.dataType.simpleString}")
+        case _ => None
+      }
+    }
+  }
+}
+
+/** Time range with [start, stop) semantics (reference
+  * query/src/predicate.rs TimestampRange). Values are ns epoch. */
+case class TimeRangeNs(startNs: Long, stopNs: Long) {
+  def toColumn(time: Column): Column = time >= startNs && time < stopNs
+}
+
+/** Conjunctive predicate model of the reference's query/src/predicate.rs:53-124:
+  * optional table set, field-name projection, time range, plus arbitrary
+  * boolean column expressions. Converts to a single Catalyst Column so the
+  * whole thing is eligible for pushdown (Catalyst splits conjunctions and
+  * pushes what the source supports).
+  */
+case class RpcPredicate(
+    tables: Option[Set[String]] = None,
+    fieldColumns: Option[Seq[String]] = None,
+    range: Option[TimeRangeNs] = None,
+    exprs: Seq[Column] = Nil) {
+
+  def withRange(startNs: Long, stopNs: Long): RpcPredicate =
+    copy(range = Some(TimeRangeNs(startNs, stopNs)))
+  def withExpr(e: Column): RpcPredicate = copy(exprs = exprs :+ e)
+  def withFields(fs: String*): RpcPredicate = copy(fieldColumns = Some(fs))
+
+  /** All row-level conditions AND-ed; None when unconstrained. */
+  def filterColumn(timeCol: Column): Option[Column] = {
+    val parts = range.map(_.toColumn(timeCol)).toSeq ++ exprs
+    parts.reduceOption(_ && _)
+  }
+
+  def applyTo(df: DataFrame, timeCol: String = NsTime.TimeColumn): DataFrame =
+    filterColumn(col(timeCol)).map(df.filter).getOrElse(df)
+}

@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for large-scale training-data pipelines.
+  * Everything here composes Spark built-ins (codegen'd, no UDFs) so the
+  * hot path stays inside whole-stage codegen at any scale.
+  */
+object TextFunctions {
+
+  /** Normalized text: lowercase, trimmed, whitespace collapsed. */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Whitespace tokens of normalized text. */
+  def tokens(text: Column): Column = split(normalize(text), " ")
+
+  /** BPE-ish subword segmentation: split on word boundaries AND keep
+    * punctuation/digit runs as their own tokens (a cheap standalone
+    * approximation of byte-pair pre-tokenization). */
+  def bpeishTokens(text: Column): Column =
+    filter(split(lower(trim(text)), "(?=[^a-z0-9])|(?<=[^a-z0-9])"),
+      t => t =!= lit(" ") && length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Word n-gram shingles (distinct), the unit for Jaccard similarity. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(filter(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(-1))),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")),
+      s => length(s) > 0))
+  }
+
+  /** Stable 60-bit token hash shared with the DuckDB oracle: first 15 hex
+    * chars of md5, parsed base-16. (Spark's murmur `hash()` has no DuckDB
+    * twin; md5 is identical everywhere.) */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Deterministic document fingerprint: 60-bit hash of normalized text.
+    * Plays the role of content-defined fingerprinting for exact dedup. */
+  def fingerprint(text: Column): Column = hash60(normalize(text))
+
+  // ------------------------------------------------------- quality scores
+
+  def punctRatio(text: Column): Column =
+    regexp_count(text, lit("[\\p{Punct}]")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  def digitRatio(text: Column): Column =
+    regexp_count(text, lit("[0-9]")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  def alphaRatio(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  def meanWordLen(text: Column): Column =
+    length(regexp_replace(normalize(text), " ", "")).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+
+  /** Fraction of tokens that are English stopwords — a classic quality /
+    * fluency signal. */
+  val enStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "it", "that", "this", "for", "on", "with", "as", "at", "by", "be")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    size(filter(toks, t => t.isInCollection(enStopwords))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Composite quality score in [0,1]: rewards alpha text, mild length,
+    * penalizes punctuation/digit noise. Deterministic arithmetic only. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val q = lenScore * 0.3 + alphaRatio(text) * 0.4 +
+      (lit(1.0) - punctRatio(text)) * 0.2 + (lit(1.0) - digitRatio(text)) * 0.1
+    round(q, 6)
+  }
+
+  // ------------------------------------------------------------- lang id
+
+  /** Tiny per-language stopword lists for n-gram-free heuristic language
+    * ID: the language whose marker words occur most wins; ties break
+    * alphabetically (deterministic). */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "es" -> Seq("el", "la", "los", "las", "es", "en", "que", "por", "con", "una"),
+    "fr" -> Seq("le", "la", "les", "est", "et", "en", "que", "pour", "avec", "une"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isInCollection(words)))
+    }
+  }
+
+  /** Predicted language code, or "und" when no marker matches. */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    // array of (negScore, lang) structs; array_min = best score, then
+    // alphabetical tie-break — all codegen'd, no UDF.
+    val packed = array(scores.map { case (l, s) =>
+      struct((-s).as("neg"), lit(l).as("lang"))
+    }: _*)
+    val best = array_min(packed)
+    when(best.getField("neg") < 0, best.getField("lang")).otherwise(lit("und"))
+  }
+}

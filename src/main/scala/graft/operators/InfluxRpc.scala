@@ -1,0 +1,219 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{IoxSchema, NsTime, RpcPredicate}
+import graft.functions.{Selectors, WindowBounds}
+
+/** The InfluxDB "storage gRPC" operator set, re-expressed as DataFrame
+  * builders (reference: src/influxdb_ioxd/rpc/storage/service.rs:212-782
+  * and query/src/frontend/influxrpc.rs).
+  *
+  * Each operator takes a table DataFrame whose schema carries graft
+  * column-category metadata (tags / fields / ns `time`), applies the
+  * predicate, and declares a logical plan that Catalyst optimizes —
+  * filters and projections reach the Parquet scan; aggregates get
+  * map-side partial aggregation for free.
+  */
+object InfluxRpc {
+
+  sealed trait AggKind
+  object AggKind {
+    case object Sum extends AggKind
+    case object Count extends AggKind
+    case object Min extends AggKind
+    case object Max extends AggKind
+    case object Mean extends AggKind
+    case object First extends AggKind
+    case object Last extends AggKind
+  }
+
+  private def tags(df: DataFrame) = IoxSchema.tagColumns(df.schema)
+  private def fields(df: DataFrame) = IoxSchema.fieldColumns(df.schema)
+  private def time = col(NsTime.TimeColumn)
+
+  /** Validate predicate expressions the way the gRPC boundary does
+    * (reference SupportVisitor, influxrpc.rs:1207-1252): only comparison /
+    * arithmetic / boolean ops; rejects LIKE, IS NULL, modulo. Spark-side we
+    * inspect the Column's expression tree.
+    */
+  def validateRpcExpr(c: Column): Unit = {
+    val banned = Set("%", "mod", "pmod", "like", "ilike", "isnull", "isnotnull")
+    org.apache.spark.sql.graft.ColumnBridge.functionNames(c)
+      .map(_.toLowerCase).find(banned.contains).foreach { f =>
+        throw new IllegalArgumentException(s"'$f' not supported in RPC predicates")
+      }
+  }
+
+  // -------------------------------------------------------- metadata ops
+
+  /** measurement_names: tables with >= 1 row passing the predicate
+    * (influxrpc.rs:183-219). Library form over a map of table DataFrames;
+    * LIMIT 1 per table keeps it O(first match) instead of O(rows). */
+  def tableNames(tables0: Map[String, DataFrame], pred: RpcPredicate): Seq[String] =
+    tables0.toSeq
+      .filter { case (name, _) => pred.tables.forall(_.contains(name)) }
+      .collect { case (name, df) if !pred.applyTo(df).isEmpty => name }
+      .sorted
+
+  /** tag_keys: tag columns with >= 1 non-null value passing the predicate
+    * (influxrpc.rs:225-323). The reference builds a custom SchemaPivot plan
+    * node for this; in Spark ONE aggregation row of per-column counts does
+    * the job (no custom node, single scan, map-side combine). */
+  def tagKeys(df: DataFrame, pred: RpcPredicate): Seq[String] = {
+    val ts = tags(df)
+    if (ts.isEmpty) return Nil
+    val counts = pred.applyTo(df)
+      .select(ts.map(t => count(col(t)).as(t)): _*)
+      .head()
+    ts.zipWithIndex.filter { case (_, i) => counts.getLong(i) > 0 }.map(_._1).sorted
+  }
+
+  /** tag_values: distinct non-null values of one tag under the predicate
+    * (influxrpc.rs:328-471). Validates the column is a tag, like the
+    * reference (:377-394). */
+  def tagValues(df: DataFrame, tag: String, pred: RpcPredicate): DataFrame = {
+    require(tags(df).contains(tag), s"'$tag' is not a tag column")
+    pred.applyTo(df)
+      .select(col(tag).as("value")).where(col(tag).isNotNull)
+      .distinct()
+      .orderBy("value")
+  }
+
+  /** field_columns: (field name, last timestamp at which the field was
+    * non-null) per field passing the predicate (influxrpc.rs:477-504,
+    * fieldlist.rs:44-56). One scan, one agg row. */
+  def fieldColumns(df: DataFrame, pred: RpcPredicate): DataFrame = {
+    val fs = fields(df)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val aggRow = pred.applyTo(df)
+      .select(fs.map(f => max(when(col(f).isNotNull, time)).as(f)): _*)
+      .head()
+    val fieldTypes = df.schema.fields.filter(f => fs.contains(f.name))
+      .map(f => f.name -> f.dataType.simpleString).toMap
+    fs.zipWithIndex
+      .collect { case (f, i) if !aggRow.isNullAt(i) =>
+        (f, fieldTypes(f), aggRow.getLong(i)) }
+      .toDF("field", "field_type", "last_time")
+      .orderBy("field")
+  }
+
+  // ------------------------------------------------------------ data ops
+
+  /** read_filter: raw series rows (tags..., fields..., time) ordered so
+    * each series' points are contiguous (influxrpc.rs:835-856; series-set
+    * contract query/src/exec/seriesset.rs:1-20).
+    *
+    * Scale note: a global orderBy is a range-partitioned sort (Spark
+    * samples ranges, no single-reducer bottleneck); series contiguity only
+    * needs tag-clustering, so for huge outputs use
+    * `repartition(tags) + sortWithinPartitions` via `globalSort = false`.
+    */
+  def readFilter(df: DataFrame, pred: RpcPredicate, globalSort: Boolean = true): DataFrame = {
+    val ts = tags(df).sorted // series key lists tags alphabetically
+    val fs = pred.fieldColumns.getOrElse(fields(df))
+    val projected = pred.applyTo(df)
+      .select((ts ++ fs).map(col) :+ time: _*)
+    val sortCols = ts.map(col) :+ time
+    if (globalSort) projected.orderBy(sortCols: _*)
+    else projected.repartition(ts.map(col): _*).sortWithinPartitions(sortCols: _*)
+  }
+
+  /** read_group: grouped aggregate per series group. Groups by
+    * `groupCols` first then remaining tags (prefix reorder,
+    * influxrpc.rs:1265-1313); aggregates every field; `time` column is
+    * max(time) per group — or min when agg = Min (influxrpc.rs:1406-1423).
+    */
+  def readGroup(df: DataFrame, pred: RpcPredicate, agg: AggKind,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val ts = tags(df)
+    require(groupCols.forall(ts.contains), "group columns must be tags")
+    val grouping = groupCols ++ ts.filterNot(groupCols.contains).sorted
+    val fs = pred.fieldColumns.getOrElse(fields(df))
+
+    def aggExpr(f: String): Column = agg match {
+      case AggKind.Sum => sum(col(f))
+      case AggKind.Count => count(col(f))
+      case AggKind.Min => min(col(f))
+      case AggKind.Max => max(col(f))
+      case AggKind.Mean => avg(col(f))
+      case AggKind.First => Selectors.firstValue(col(f), time)
+      case AggKind.Last => Selectors.lastValue(col(f), time)
+    }
+    val timeExpr = agg match {
+      case AggKind.Min => min(time)
+      case AggKind.First => min(time)
+      case _ => max(time)
+    }
+    pred.applyTo(df)
+      .groupBy(grouping.map(col): _*)
+      .agg(aggExpr(fs.head).as(fs.head),
+        fs.tail.map(f => aggExpr(f).as(f)) :+ timeExpr.as(NsTime.TimeColumn): _*)
+      .orderBy(grouping.map(col): _*)
+  }
+
+  /** read_window_aggregate: per-series time-bucketed aggregates
+    * (influxrpc.rs:611-650). Buckets are labeled with the window STOP bound
+    * per the reference convention (func/window.rs:44-57). Fixed widths are
+    * pure long arithmetic; month widths use the MonthWindowStop expression.
+    */
+  def readWindowAggregate(df: DataFrame, pred: RpcPredicate, agg: AggKind,
+      everyNs: Long, offsetNs: Long = 0L): DataFrame =
+    windowAggregate(df, pred, agg, WindowBounds.windowBoundsNs(time, everyNs, offsetNs))
+
+  def readWindowAggregateMonths(df: DataFrame, pred: RpcPredicate, agg: AggKind,
+      everyMonths: Int, offsetMonths: Int = 0): DataFrame =
+    windowAggregate(df, pred, agg,
+      WindowBounds.windowBoundsMonths(time, everyMonths, offsetMonths))
+
+  private def windowAggregate(df: DataFrame, pred: RpcPredicate, agg: AggKind,
+      bucket: Column): DataFrame = {
+    val ts = tags(df)
+    val fs = pred.fieldColumns.getOrElse(fields(df))
+    def aggExpr(f: String): Column = agg match {
+      case AggKind.Sum => sum(col(f))
+      case AggKind.Count => count(col(f))
+      case AggKind.Min => min(col(f))
+      case AggKind.Max => max(col(f))
+      case AggKind.Mean => avg(col(f))
+      case AggKind.First => Selectors.firstValue(col(f), time)
+      case AggKind.Last => Selectors.lastValue(col(f), time)
+    }
+    val keys = ts.map(col) :+ bucket.as(NsTime.TimeColumn)
+    pred.applyTo(df)
+      .groupBy(keys: _*)
+      .agg(aggExpr(fs.head).as(fs.head), fs.tail.map(f => aggExpr(f).as(f)): _*)
+      .orderBy((ts.map(col) :+ time): _*)
+  }
+
+  // --------------------------------------------------------- series sets
+
+  case class SeriesPoint(time: Long, value: Double)
+  case class Series(tags: Map[String, String], field: String, points: Seq[SeriesPoint])
+
+  /** Sorted rows -> one Series per (tag-combination, field) — the
+    * reference's SeriesSetConverter (query/src/exec/seriesset.rs:76-140)
+    * walks sorted batches finding contiguous tag runs; in Spark the same
+    * contract is a groupByKey over the tag tuple with points sorted inside
+    * each group. Runs distributed; one shuffle on the series key.
+    */
+  def toSeriesSet(df: DataFrame, fieldCols: Seq[String]): Dataset[Series] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tagCols = tags(df)
+    df.select(
+        map(tagCols.flatMap(t => Seq(lit(t), col(t).cast("string"))): _*).as("tags"),
+        time.as("t"),
+        array(fieldCols.map(f => coalesce(col(f).cast("double"), lit(Double.NaN))): _*).as("vals"))
+      .as[(Map[String, String], Long, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (tagsKey, rows) =>
+        val pts = rows.map(r => (r._2, r._3)).toSeq.sortBy(_._1)
+        fieldCols.zipWithIndex.map { case (f, i) =>
+          Series(tagsKey, f,
+            pts.collect { case (t, vs) if !vs(i).isNaN => SeriesPoint(t, vs(i)) })
+        }
+      }
+  }
+}

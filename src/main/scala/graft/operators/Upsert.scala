@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scan-time upsert deduplication.
+  *
+  * Semantics from the reference's DeduplicateExec
+  * (query/src/provider/deduplicate.rs:72-105): rows with equal primary key
+  * (tags, time) collapse to one row taking, per field column independently,
+  * the **last non-null** value in arrival order.
+  *
+  * Spark shuffles do not preserve arrival order, so arrival must be an
+  * explicit column (`seqCol`, e.g. chunk sequence number + row position).
+  * The reference gets the same effect implicitly from its
+  * SortPreservingMergeExec over ordered chunk streams (provider.rs:510).
+  *
+  * Implementation: a single hash aggregation —
+  * `max(struct(seq-if-value-not-null, value))` per field. Struct ordering
+  * compares fields left-to-right with nulls smallest, so the row with the
+  * greatest sequence number among rows where the field is non-null wins;
+  * if every value is null the result is null. One shuffle on the PK, fully
+  * codegen'd, spill-safe — the shape that scales to arbitrary key counts
+  * (vs. a window function, which would sort within partitions needlessly).
+  */
+object Upsert {
+
+  def lastNonNull(field: Column, seq: Column): Column =
+    max(struct(when(field.isNotNull, seq).as("s"), field.as("v"))).getField("v")
+
+  /** Deduplicate `df` on `pkCols`, arrival order given by `seqCol`.
+    * Every non-PK, non-seq column is treated as a field. */
+  def dedup(df: DataFrame, pkCols: Seq[String], seqCol: String): DataFrame = {
+    val fields = df.columns.filterNot(c => pkCols.contains(c) || c == seqCol)
+    df.groupBy(pkCols.map(col): _*)
+      .agg(fields.head match { case f => lastNonNull(col(f), col(seqCol)).as(f) },
+        fields.tail.map(f => lastNonNull(col(f), col(seqCol)).as(f)): _*)
+  }
+
+  /** Interval-overlap grouping over per-chunk [min, max] primary-key
+    * statistics: only chunks whose PK ranges overlap can hold duplicates of
+    * each other, so everything else scans clean with no dedup cost
+    * (reference overlap analysis, query/src/provider/overlap.rs:49-239).
+    *
+    * Chunks here are anything with an interval statistic (files, ranges of
+    * a sort key, time ranges). Returns groups of indices; singleton groups
+    * need no cross-chunk dedup. O(n log n) in chunk count — runs on the
+    * driver over file-footer stats, never touching data.
+    */
+  def overlapGroups(ranges: Seq[(Long, Long)]): Seq[Seq[Int]] = {
+    val sorted = ranges.zipWithIndex.sortBy(_._1._1)
+    val groups = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[Int]]
+    var curEnd = Long.MinValue
+    sorted.foreach { case ((lo, hi), idx) =>
+      if (groups.nonEmpty && lo <= curEnd) {
+        groups.last += idx
+        curEnd = math.max(curEnd, hi)
+      } else {
+        groups += scala.collection.mutable.ArrayBuffer(idx)
+        curEnd = hi
+      }
+    }
+    groups.map(_.toSeq).toSeq
+  }
+}

@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.NsTime
+
+/** Loaders for the driver-supplied corpus (/root/testdata, TESTDATA.md).
+  *
+  * All reads are plain `spark.read.parquet` so Catalyst's vectorized
+  * reader, predicate pushdown and column pruning apply — this is the
+  * engine's "Parquet chunk" scan path (reference
+  * parquet_file/src/storage.rs:301 plays the same role via ParquetExec).
+  */
+object Tables {
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(path(dir, name))
+
+  /** The events table's `ts` is physical INT64 TIMESTAMP(NANOS), which
+    * Spark's µs TimestampType cannot represent; read it as a raw ns long
+    * (exactly the reference's i64-ns convention, schema.rs:36-40) and keep
+    * a derived µs view for SQL ergonomics. The legacy conf is per-session
+    * and dynamic, so set it just-in-time.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", NsTime.nsToTimestamp(col("ts_ns")))
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}

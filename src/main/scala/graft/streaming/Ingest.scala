@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import graft.core.{IoxSchema, NsTime}
+import graft.operators.Upsert
+import graft.sources.LineProtocol
+
+/** Streaming ingest + lifecycle, the Spark twin of the reference's write
+  * path (server/src/db.rs:627 store_entry; lifecycle/src/policy.rs;
+  * persistence_windows/src/persistence_windows.rs):
+  *
+  *  - line-protocol text stream  -> parse in executors -> partitioned
+  *    Parquet micro-batches (the "mutable buffer -> persisted chunk" flow
+  *    collapses into Structured Streaming's micro-batch + exactly-once
+  *    file sink; replay/checkpointing replaces the write-ahead buffer)
+  *  - late-arrival tolerance     -> `withWatermark(ts, lateArrival)`
+  *    (PersistenceWindows.late_arrival_period,
+  *    persistence_windows.rs:24-57)
+  *  - background compaction      -> [[compact]]: read small files,
+  *    upsert-dedup on the primary key, sort by it, rewrite — the
+  *    ReorgPlanner compact plan (query/src/frontend/reorg.rs:64-100)
+  *  - hot ∪ cold unified view    -> [[hotColdView]]: queries see streamed
+  *    (not yet compacted) data unioned with compacted Parquet, the
+  *    Spark analog of one table spanning MUB/RUB/ObjectStore chunks
+  *    (query/src/provider.rs:89-196).
+  */
+object Ingest {
+
+  /** Parse a line-protocol text stream into a typed streaming DataFrame of
+    * one measurement. Fully executor-side (flatMap over strings). */
+  def parseStream(lines: Dataset[String], measurement: String, schema: StructType)
+      : DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val fieldsIdx = schema.fields.zipWithIndex
+    val parsed = lines.flatMap { raw =>
+      LineProtocol.parseLines(Iterator.single(raw))
+        .filter(_.measurement == measurement)
+        .map { l =>
+          val tagMap = l.tags.toMap
+          val fieldMap = l.fields.toMap
+          org.apache.spark.sql.Row.fromSeq(fieldsIdx.toSeq.map { case (f, _) =>
+            IoxSchema.categoryOf(f) match {
+              case Some(IoxSchema.Tag) => tagMap.get(f.name).orNull
+              case Some(IoxSchema.Time) => l.timestampNs.getOrElse(0L)
+              case _ => fieldMap.get(f.name).map {
+                case LineProtocol.F64(v) => v
+                case LineProtocol.I64(v) => v
+                case LineProtocol.U64(v) => new java.math.BigDecimal(v.bigInteger)
+                case LineProtocol.Str(v) => v
+                case LineProtocol.Bool(v) => v
+              }.orNull
+            }
+          })
+        }.toSeq
+    }(enc)
+    parsed.toDF()
+  }
+
+  /** Start persisting a parsed stream to a date-partitioned Parquet layout
+    * (`tablePath/part_date=YYYY-MM-DD/` — the partition-key template
+    * `TimeFormat` of database_rules.rs:233). Watermark bounds state by the
+    * late-arrival window. */
+  def startPersist(df: DataFrame, tablePath: String, checkpoint: String,
+      lateArrival: String = "10 minutes",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    df.withColumn("ts_view", NsTime.nsToTimestamp(col(NsTime.TimeColumn)))
+      .withWatermark("ts_view", lateArrival)
+      .withColumn("part_date", to_date(col("ts_view")))
+      .drop("ts_view")
+      .writeStream
+      .format("parquet")
+      .option("path", tablePath)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("part_date")
+      .trigger(trigger)
+      .start()
+  }
+
+  /** Compaction job (batch): read a table directory, upsert-dedup on the
+    * primary key with file-modification order as arrival order, sort by
+    * the sort key within partitions, and rewrite compacted. Run on a
+    * schedule, exactly like the reference's lifecycle `compact_chunks`. */
+  def compact(spark: SparkSession, tablePath: String, outPath: String,
+      pkCols: Seq[String]): Unit = {
+    val df = spark.read.parquet(tablePath)
+      .withColumn("__seq", monotonically_increasing_id())
+    val deduped = Upsert.dedup(df, pkCols, "__seq")
+    deduped
+      .repartitionByRange(pkCols.map(col): _*)
+      .sortWithinPartitions(pkCols.map(col): _*)
+      .write.mode("overwrite").parquet(outPath)
+  }
+
+  /** One logical table over hot (streaming micro-batch files) and cold
+    * (compacted) storage, with scan-time dedup preferring hot rows —
+    * the reference's multi-chunk stitch + DeduplicateExec
+    * (provider.rs:336-427). Schemas may differ; they merge. */
+  def hotColdView(hot: DataFrame, cold: DataFrame, pkCols: Seq[String]): DataFrame = {
+    val tagged = IoxSchema.mergeUnion(Seq(
+      cold.withColumn("__seq", lit(0L)),
+      hot.withColumn("__seq", lit(1L))))
+    Upsert.dedup(tagged, pkCols, "__seq")
+  }
+}

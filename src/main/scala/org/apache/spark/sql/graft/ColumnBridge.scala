@@ -1,0 +1,35 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column <-> Catalyst Expression bridge for Spark 4's Column API: the
+  * Connect-era `Column` no longer exposes `.expr`, and the classic
+  * converter (`org.apache.spark.sql.classic.ExpressionUtils`) is
+  * private[sql] — so this shim lives under the org.apache.spark.sql
+  * package, the sanctioned extension-point pattern for libraries that
+  * define custom Catalyst expressions. */
+object ColumnBridge {
+  def toExpr(c: Column): Expression = ExpressionUtils.expression(c)
+  def fromExpr(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** All function names appearing in a Column's (unresolved) node tree —
+    * Column operators build internal.UnresolvedFunction nodes whose names
+    * never surface in the converted Expression until analysis, so
+    * validation layers walk the node tree instead. */
+  def functionNames(c: Column): Seq[String] = {
+    import org.apache.spark.sql.internal._
+    def walk(n: ColumnNode): Seq[String] = n match {
+      case f: UnresolvedFunction => f.functionName +: f.arguments.flatMap(walk)
+      case a: Alias => walk(a.child)
+      case w: Cast => walk(w.child)
+      case s: SortOrder => walk(s.child)
+      case u: UpdateFields => u.valueExpression.toSeq.flatMap(walk) ++ walk(u.structExpression)
+      case w: CaseWhenOtherwise =>
+        w.branches.flatMap(b => walk(b._1) ++ walk(b._2)) ++ w.otherwise.toSeq.flatMap(walk)
+      case _ => Nil
+    }
+    walk(c.node)
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.RpcPredicate
+import graft.operators.InfluxRpc
+import graft.operators.InfluxRpc.AggKind
+import graft.sources.LineProtocol
+
+class InfluxRpcSpec extends SparkSpec {
+
+  // TwoMeasurementsManyNulls-style fixture (scenarios.rs:322): tags with
+  // missing values, multiple fields, interleaved timestamps.
+  lazy val tables: Map[String, org.apache.spark.sql.DataFrame] = LineProtocol.ingest(spark, Seq(
+    "h2o,state=CA,city=LA temp=90.0 100",
+    "h2o,state=CA,city=SF temp=79.0,humid=0.5 200",
+    "h2o,state=MA,city=Boston temp=50.4 250",
+    "h2o,state=MA temp=70.4 300", // city tag null
+    "o2,state=WA reading=50.0 100",
+    "o2,state=CA reading=51.0,temp=60.0 200"))
+
+  lazy val h2o = tables("h2o")
+  lazy val o2 = tables("o2")
+
+  test("tableNames honors predicates and limit-1 short-circuit") {
+    val all = InfluxRpc.tableNames(tables, RpcPredicate())
+    assert(all == Seq("h2o", "o2"))
+    val timeFiltered = InfluxRpc.tableNames(tables, RpcPredicate().withRange(260, 1000))
+    assert(timeFiltered == Seq("h2o"))
+    val exprFiltered = InfluxRpc.tableNames(tables, RpcPredicate().withExpr(col("state") === "WA"))
+    assert(exprFiltered == Seq("o2"))
+  }
+
+  test("tagKeys: only tags with non-null values under predicate") {
+    assert(InfluxRpc.tagKeys(h2o, RpcPredicate()) == Seq("city", "state"))
+    // beyond t=300 the only row has city null
+    assert(InfluxRpc.tagKeys(h2o, RpcPredicate().withRange(300, 1000)) == Seq("state"))
+  }
+
+  test("tagValues: distinct non-null, sorted; rejects non-tag columns") {
+    import spark.implicits._
+    val vals = InfluxRpc.tagValues(h2o, "city", RpcPredicate())
+      .as[String].collect().toSeq
+    assert(vals == Seq("Boston", "LA", "SF"))
+    assertThrows[IllegalArgumentException](
+      InfluxRpc.tagValues(h2o, "temp", RpcPredicate()))
+  }
+
+  test("fieldColumns: field, type, last non-null time") {
+    val rows = InfluxRpc.fieldColumns(h2o, RpcPredicate()).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("humid", "temp"))
+    val byName = rows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(byName("temp") == 300L)
+    assert(byName("humid") == 200L)
+  }
+
+  test("readFilter: series-sorted projection under time range") {
+    val out = InfluxRpc.readFilter(h2o, RpcPredicate().withRange(100, 260)).collect()
+    assert(out.length == 3)
+    // sorted by (city, state, time): Boston, LA, SF
+    assert(out.map(_.getAs[String]("city")).toSeq == Seq("Boston", "LA", "SF"))
+    assert(out.head.getAs[Long]("time") == 250L)
+  }
+
+  test("readGroup: grouped agg with prefix reorder and time=max(time)") {
+    val out = InfluxRpc.readGroup(h2o, RpcPredicate(), AggKind.Sum, Seq("state"))
+      .collect()
+    // groups: (CA,LA) (CA,SF) (MA,Boston) (MA,null)
+    assert(out.length == 4)
+    val ca = out.filter(_.getAs[String]("state") == "CA")
+    assert(ca.map(_.getAs[Double]("temp")).toSet == Set(90.0, 79.0))
+    // time column = max(time) per group
+    assert(out.map(_.getAs[Long]("time")).max == 300L)
+  }
+
+  test("readGroup selectors: first/last pick value at min/max time") {
+    val sel = LineProtocol.ingest(spark, Seq(
+      "sel,host=a v=1.0 10", "sel,host=a v=2.0 20", "sel,host=a v=0.5 30",
+      "sel,host=b v=9.0 10"))("sel")
+    val first = InfluxRpc.readGroup(sel, RpcPredicate(), AggKind.First)
+      .collect().map(r => r.getAs[String]("host") -> r.getAs[Double]("v")).toMap
+    assert(first == Map("a" -> 1.0, "b" -> 9.0))
+    val last = InfluxRpc.readGroup(sel, RpcPredicate(), AggKind.Last)
+      .collect().map(r => r.getAs[String]("host") -> r.getAs[Double]("v")).toMap
+    assert(last == Map("a" -> 0.5, "b" -> 9.0))
+    // First also labels the group's time with min(time)
+    val ft = InfluxRpc.readGroup(sel, RpcPredicate(), AggKind.First)
+      .collect().map(r => r.getAs[String]("host") -> r.getAs[Long]("time")).toMap
+    assert(ft == Map("a" -> 10L, "b" -> 10L))
+  }
+
+  test("readWindowAggregate: stop-bound buckets") {
+    val out = InfluxRpc.readWindowAggregate(h2o, RpcPredicate().withFields("temp"),
+        AggKind.Count, everyNs = 100L)
+      .collect()
+    // buckets by stop bound: 100->200? ts=100 -> stop 200; 200->300; 250->300; 300->400
+    val buckets = out.map(r => (r.getAs[String]("state"), r.getAs[Long]("time"), r.getAs[Long]("temp")))
+    assert(buckets.contains(("CA", 200L, 1L)))  // LA @100
+    assert(buckets.contains(("MA", 400L, 1L)))  // null-city @300
+  }
+
+  test("toSeriesSet groups points per series") {
+    val series = InfluxRpc.toSeriesSet(
+      InfluxRpc.readFilter(h2o, RpcPredicate()), Seq("temp")).collect()
+    // 4 distinct tag combinations
+    assert(series.length == 4)
+    val la = series.find(_.tags.get("city").contains("LA")).get
+    assert(la.field == "temp" && la.points.map(_.value) == Seq(90.0))
+  }
+
+  test("validateRpcExpr rejects LIKE / IS NULL / modulo, allows rlike") {
+    InfluxRpc.validateRpcExpr(col("state") === "CA" && col("temp") > 5)
+    InfluxRpc.validateRpcExpr(col("state").rlike("C.*"))
+    assertThrows[IllegalArgumentException](
+      InfluxRpc.validateRpcExpr(col("state").like("C%")))
+    assertThrows[IllegalArgumentException](
+      InfluxRpc.validateRpcExpr(col("state").isNull))
+    assertThrows[IllegalArgumentException](
+      InfluxRpc.validateRpcExpr(col("temp") % 2 === 0))
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.pipeline.{DocDedup, Multimodal, Similarity}
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+  lazy val emb = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
+
+  test("text functions: tokens, shingles, quality, fingerprint") {
+    val df = Seq((1L, "The quick  Brown fox! 42 jumps."), (2L, "")).toDF("id", "text")
+    val row = df.filter($"id" === 1).select(
+      TF.tokenCount($"text").as("n"),
+      TF.shingles($"text", 2).as("sh"),
+      TF.punctRatio($"text").as("pr"),
+      TF.stopwordRatio($"text").as("sr"),
+      TF.fingerprint($"text").as("fp")).head()
+    assert(row.getAs[Int]("n") == 6)
+    assert(row.getSeq[String](row.fieldIndex("sh")).contains("the quick"))
+    assert(row.getAs[Double]("pr") > 0)
+    assert(row.getAs[Double]("sr") > 0)
+    // fingerprint is stable
+    val fp2 = Seq("the quick  brown FOX! 42 jumps.").toDF("text")
+      .select(TF.fingerprint($"text")).head().getLong(0)
+    assert(row.getAs[Long]("fp") == fp2)
+  }
+
+  test("langId picks the language with most marker words") {
+    val df = Seq(
+      "the cat and the dog went to the store",
+      "der hund und die katze ist nicht hier",
+      "el perro y la casa es en la calle",
+      "le chien est pour la maison avec une porte",
+      "xyzzy plugh").toDF("text")
+    val got = df.select(TF.langId($"text")).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "es", "fr", "und"))
+  }
+
+  test("exact dedup keeps one representative per duplicate group") {
+    val df = Seq((1L, "same text"), (2L, "Same  TEXT"), (3L, "other")).toDF("doc_id", "text")
+    val out = DocDedup.exactDedup(df, "doc_id", "text")
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
+  test("minhash LSH finds the planted near-dup pairs (vs exact jaccard)") {
+    val p = DocDedup.MinHashParams(numPerms = 32, bands = 16)
+    val approx = DocDedup.minHashDedupPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.7, p)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val exact = DocDedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.7)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(approx == exact)
+  }
+
+  test("simhash: near-identical docs collide, distinct docs don't") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "totally different words entirely unrelated content here now")).toDF("doc_id", "text")
+    val sigs = df.select($"doc_id", DocDedup.simHash($"text").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    val d12 = java.lang.Long.bitCount(sigs(1L) ^ sigs(2L))
+    val d13 = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    assert(d12 < d13)
+    val pairs = DocDedup.simHashPairs(df, "doc_id", "text", maxHamming = 15)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("vector functions: dot/norm/cosine") {
+    val df = Seq((Array(1.0f, 0f, 0f), Array(0f, 1f, 0f)), (Array(1f, 1f, 0f), Array(1f, 1f, 0f)))
+      .toDF("a", "b")
+    val got = df.select(round(VF.cosine($"a", $"b"), 6)).as[Double].collect().toSeq
+    assert(got == Seq(0.0, 1.0))
+  }
+
+  test("brute-force topk is exact and ivf with all probes matches it") {
+    val queries = emb.filter($"vec_id" < 2)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val bf = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("q_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val centroids = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+    val nlist = centroids.count().toInt
+    val ivfAll = Similarity.ivfTopK(emb, centroids, queries, k = 5, nprobe = nlist)
+      .select("q_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(bf == ivfAll)
+    assert(bf.size == 10)
+  }
+
+  test("multimodal plumbing: features and frames are deterministic") {
+    val assets = Multimodal.syntheticAssets(spark, docs.limit(30))
+    val feats = Multimodal.extractImageFeatures(assets).collect()
+    assert(feats.nonEmpty)
+    assert(feats.forall(_.feature.length == 8))
+    assert(feats.forall(f => math.abs(f.feature.sum - 1.0) < 1e-3))
+    val frames = Multimodal.sampleVideoFrames(assets, 4).collect()
+    assert(frames.nonEmpty)
+    assert(frames.groupBy(_.asset_id).values.forall(_.length <= 4))
+    // determinism
+    val feats2 = Multimodal.extractImageFeatures(assets).collect()
+    assert(feats.map(_.feature.toSeq).toSet == feats2.map(_.feature.toSeq).toSet)
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.LineProtocol
+import graft.streaming.Ingest
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("LP stream -> parse -> partitioned parquet persist -> readable") {
+    val tmp = Files.createTempDirectory("graft-stream").toString
+    val srcDir = s"$tmp/src"; val outDir = s"$tmp/table"; val ck = s"$tmp/ck"
+    new java.io.File(srcDir).mkdirs()
+    val dayNs = 86400L * 1000000000L
+    Files.writeString(java.nio.file.Paths.get(s"$srcDir/batch1.txt"),
+      Seq(
+        s"cpu,host=a user=1.0 ${dayNs + 5}",
+        s"cpu,host=b user=2.0 ${2 * dayNs + 5}",
+        s"cpu,host=a user=3.0 ${2 * dayNs + 6}").mkString("\n"))
+
+    val schema = LineProtocol.inferSchema(
+      LineProtocol.parseLines(Seq("cpu,host=a user=1.0 1")).toSeq)
+    val lines = spark.readStream.text(srcDir).as[String]
+    val parsed = Ingest.parseStream(lines, "cpu", schema)
+    val q = Ingest.startPersist(parsed, outDir, ck)
+    q.awaitTermination(60000)
+
+    val persisted = spark.read.parquet(outDir)
+    assert(persisted.count() == 3)
+    // date-partitioned layout exists (partition pruning applies)
+    assert(persisted.select("part_date").distinct().count() == 2)
+    val hosts = persisted.select("host").as[String].collect().toSet
+    assert(hosts == Set("a", "b"))
+  }
+
+  test("compact: dedup + sort + rewrite; hotColdView prefers hot rows") {
+    val tmp = Files.createTempDirectory("graft-compact").toString
+    // two "chunks" with an overlapping PK (host=a, time=10)
+    val chunk1 = LineProtocol.ingest(spark, Seq(
+      "m,host=a v=1.0 10", "m,host=b v=2.0 20"))("m")
+    val chunk2 = LineProtocol.ingest(spark, Seq(
+      "m,host=a v=9.0 10", "m,host=c v=3.0 30"))("m")
+    chunk1.write.parquet(s"$tmp/raw/c1")
+    chunk2.write.parquet(s"$tmp/raw/c2")
+
+    val view = Ingest.hotColdView(hot = chunk2, cold = chunk1, pkCols = Seq("host", "time"))
+    val got = view.orderBy("host").select("host", "v").as[(String, Double)].collect().toSeq
+    assert(got == Seq(("a", 9.0), ("b", 2.0), ("c", 3.0)))
+
+    Ingest.compact(spark, s"$tmp/raw/c1", s"$tmp/compacted", Seq("host", "time"))
+    val compacted = spark.read.parquet(s"$tmp/compacted")
+    assert(compacted.count() == 2)
+  }
+}

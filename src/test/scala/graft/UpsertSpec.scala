@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.operators.Upsert
+
+class UpsertSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("tag", StringType), StructField("time", LongType),
+    StructField("f1", DoubleType), StructField("f2", DoubleType),
+    StructField("seq", LongType)))
+
+  private def df(rows: Seq[Row]) =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+
+  test("last non-null per field wins (reference deduplicate.rs:72-105 example)") {
+    // Same PK (tag=a, time=1); arrival order by seq. f1: 1.0 then null ->
+    // keeps 1.0; f2: null then 2.0 -> keeps 2.0; later non-null overrides.
+    val d = df(Seq(
+      Row("a", 1L, 1.0, null, 1L),
+      Row("a", 1L, null, 2.0, 2L),
+      Row("a", 1L, 3.0, null, 3L),
+      Row("b", 1L, 9.0, 9.0, 1L)))
+    val out = Upsert.dedup(d, Seq("tag", "time"), "seq")
+      .orderBy("tag").collect()
+    assert(out.length == 2)
+    assert(out(0) == Row("a", 1L, 3.0, 2.0))
+    assert(out(1) == Row("b", 1L, 9.0, 9.0))
+  }
+
+  test("all-null field stays null; distinct PKs untouched") {
+    val d = df(Seq(
+      Row("a", 1L, null, null, 1L),
+      Row("a", 1L, null, 5.0, 2L),
+      Row("a", 2L, 7.0, null, 3L)))
+    val out = Upsert.dedup(d, Seq("tag", "time"), "seq")
+      .orderBy("tag", "time").collect()
+    assert(out(0) == Row("a", 1L, null, 5.0))
+    assert(out(1) == Row("a", 2L, 7.0, null))
+  }
+
+  test("overlap grouping (reference overlap.rs:49-239 semantics)") {
+    // [1,5] [4,8] overlap; [10,12] alone; [13,20] [14,15] overlap
+    val groups = Upsert.overlapGroups(Seq((1L, 5L), (4L, 8L), (10L, 12L), (13L, 20L), (14L, 15L)))
+    assert(groups.map(_.toSet) == Seq(Set(0, 1), Set(2), Set(3, 4)))
+    // touching endpoints count as overlap (inclusive stats ranges)
+    assert(Upsert.overlapGroups(Seq((1L, 5L), (5L, 9L))).size == 1)
+    assert(Upsert.overlapGroups(Nil).isEmpty)
+  }
+}
