@@ -1,0 +1,500 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{IoxSchema, NsTime, RpcPredicate}
+import graft.operators.{InfluxRpc, Upsert}
+import graft.operators.InfluxRpc.AggKind
+import graft.functions.Selectors
+import graft.sources.{LineProtocol, Tables}
+
+/** Core-engine correctness-gate queries: each entry has a Spark builder
+  * and a DuckDB oracle with IDENTICAL output column names, types (modulo
+  * engine-native widths) and a total ORDER BY, so the driver's
+  * sort-columns-then-hash compare is deterministic.
+  *
+  * Conventions shared with the oracle:
+  *  - time values surface as ns-epoch BIGINTs (`epoch_ns` in DuckDB)
+  *  - double aggregates of non-integral values are round(x, 4..6)
+  *  - DuckDB HUGEINT sums cast back to BIGINT
+  *  - every ORDER BY is total (unique key suffix)
+  */
+object QueriesCore {
+  type Builder = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String) =
+    Tables.load(s, dir, name)
+
+  /** events with the graft tag/field/time category metadata: event_type and
+    * user_tag (stringified user_id) are tags; value and user_id fields;
+    * time = ns long. */
+  def eventsTagged(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val tagMeta = new MetadataBuilder().putString(IoxSchema.CategoryKey, IoxSchema.Tag).build()
+    val fieldMeta = new MetadataBuilder().putString(IoxSchema.CategoryKey, IoxSchema.Field).build()
+    val timeMeta = new MetadataBuilder().putString(IoxSchema.CategoryKey, IoxSchema.Time).build()
+    ev.select(
+      col("event_type").as("event_type", tagMeta),
+      col("user_id").cast("string").as("user_tag", tagMeta),
+      col("user_id").as("user_id", fieldMeta),
+      col("value").as("value", fieldMeta),
+      col("ts_ns").as(NsTime.TimeColumn, timeMeta),
+      col("event_id"))
+  }
+
+  // ns bounds for the shared RPC predicate: [2024-01-02, 2024-01-06) UTC
+  private val T0 = 1704153600000000000L
+  private val T1 = 1704499200000000000L
+  private val SIXH = 21600000000000L // 6h in ns
+
+  val entries: Seq[(String, Builder, Option[String])] = Seq(
+
+    // ----------------------------------------------------------- core SQL
+
+    ("q01_pricing_summary",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+        sum(l_quantity) AS sum_qty,
+        round(sum(l_extendedprice), 2) AS sum_base,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        round(avg(l_quantity), 6) AS avg_qty,
+        round(avg(l_discount), 6) AS avg_disc,
+        CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    ("q02_filter_pushdown",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-06-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-07-01").cast("timestamp") &&
+          col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_shipdate").cast("date").as("ship_date"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        CAST(l_shipdate AS DATE) AS ship_date
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-06-01' AND l_shipdate < TIMESTAMP '1995-07-01'
+          AND l_discount > 0.05
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    ("q03_join_agg",
+      (s, d) => t(s, d, "orders").join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(round(sum("o_totalprice"), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue,
+        CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1 ORDER BY 1""")),
+
+    ("q04_multi_join",
+      (s, d) => t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name"),
+      Some("""SELECT r_name, n_name,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    ("q05_topk",
+      (s, d) => t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("total"), col("o_orderpriority")),
+      Some("""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total,
+        o_orderpriority
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""")),
+
+    ("q06_union",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        o.filter(col("o_orderstatus") === "F")
+          .unionAll(o.filter(col("o_totalprice") > 100000))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        round(sum(o_totalprice), 2) AS total
+        FROM (SELECT * FROM orders WHERE o_orderstatus = 'F'
+              UNION ALL SELECT * FROM orders WHERE o_totalprice > 100000)
+        GROUP BY 1 ORDER BY 1""")),
+
+    ("q07_distinct",
+      (s, d) => t(s, d, "customer").select("c_mktsegment").distinct()
+        .orderBy("c_mktsegment"),
+      Some("SELECT DISTINCT c_mktsegment FROM customer ORDER BY 1")),
+
+    ("q08_window_rank",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        t(s, d, "orders").filter(col("o_custkey") < 100)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+            round(col("o_totalprice"), 2).as("total"))
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, rn, o_orderkey, total FROM (
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total,
+          CAST(row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+        FROM orders WHERE o_custkey < 100)
+        WHERE rn <= 3 ORDER BY o_custkey, rn""")),
+
+    ("q09_semi_join",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        ORDER BY c_custkey""")),
+
+    ("q10_anti_join",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_without
+        FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        GROUP BY 1 ORDER BY 1""")),
+
+    ("q11_having",
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .filter(col("n") >= 8)
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+        round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY 1 HAVING count(*) >= 8 ORDER BY 1""")),
+
+    ("q12_case_agg",
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("n_high"),
+          sum(when(col("o_orderpriority") === "5-LOW", 1L).otherwise(0L)).as("n_low"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+        CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    ("q13_rollup",
+      (s, d) => t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        sum(l_quantity) AS sum_qty,
+        CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    ("q14_scalar_funcs",
+      (s, d) => t(s, d, "part")
+        .select(col("p_partkey"),
+          upper(substring(col("p_name"), 1, 8)).as("name_prefix"),
+          length(col("p_name")).as("name_len"),
+          pmod(col("p_partkey"), lit(7)).as("key_mod"),
+          round(col("p_retailprice") * 1.1, 2).as("marked_up"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+        upper(substring(p_name, 1, 8)) AS name_prefix,
+        CAST(length(p_name) AS INT) AS name_len,
+        p_partkey % 7 AS key_mod,
+        round(p_retailprice * 1.1, 2) AS marked_up,
+        concat(p_brand, '-', p_type) AS brand_type
+        FROM part ORDER BY p_partkey""")),
+
+    ("q15_count_distinct",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_suppkey").as("n_supp"),
+          countDistinct("l_partkey").as("n_part"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+        CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part
+        FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    // ------------------------------------------- InfluxRPC operator suite
+
+    ("rpc_read_filter",
+      (s, d) => InfluxRpc.readFilter(
+          eventsTagged(s, d).drop("event_id", "user_tag"),
+          RpcPredicate().withRange(T0, T1)
+            .withExpr(col("event_type").isin("click", "error")))
+        .select("event_type", "user_id", "value", "time"),
+      Some(s"""SELECT event_type, user_id, value, epoch_ns(ts) AS time
+        FROM events
+        WHERE epoch_ns(ts) >= $T0 AND epoch_ns(ts) < $T1
+          AND event_type IN ('click', 'error')
+        ORDER BY event_type, time""")),
+
+    ("rpc_read_group_sum",
+      (s, d) => InfluxRpc.readGroup(
+          eventsTagged(s, d).drop("event_id", "user_tag", "user_id"),
+          RpcPredicate().withRange(T0, T1), AggKind.Sum)
+        .select(col("event_type"), round(col("value"), 4).as("value"), col("time")),
+      Some(s"""SELECT event_type, round(sum(value), 4) AS value,
+        max(epoch_ns(ts)) AS time
+        FROM events WHERE epoch_ns(ts) >= $T0 AND epoch_ns(ts) < $T1
+        GROUP BY 1 ORDER BY 1""")),
+
+    ("rpc_read_group_mean",
+      (s, d) => InfluxRpc.readGroup(
+          eventsTagged(s, d).drop("event_id", "user_tag", "user_id"),
+          RpcPredicate().withRange(T0, T1), AggKind.Mean)
+        .select(col("event_type"), round(col("value"), 6).as("value"), col("time")),
+      Some(s"""SELECT event_type, round(avg(value), 6) AS value,
+        max(epoch_ns(ts)) AS time
+        FROM events WHERE epoch_ns(ts) >= $T0 AND epoch_ns(ts) < $T1
+        GROUP BY 1 ORDER BY 1""")),
+
+    ("rpc_selector_last",
+      (s, d) => InfluxRpc.readGroup(
+          eventsTagged(s, d).drop("event_id", "user_tag", "user_id"),
+          RpcPredicate(), AggKind.Last)
+        .select("event_type", "value", "time"),
+      Some("""SELECT event_type, arg_max(value, epoch_ns(ts)) AS value,
+        max(epoch_ns(ts)) AS time
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
+    ("rpc_selector_first",
+      (s, d) => InfluxRpc.readGroup(
+          eventsTagged(s, d).drop("event_id", "user_tag", "user_id"),
+          RpcPredicate(), AggKind.First)
+        .select("event_type", "value", "time"),
+      Some("""SELECT event_type, arg_min(value, epoch_ns(ts)) AS value,
+        min(epoch_ns(ts)) AS time
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
+    ("rpc_selector_minmax",
+      (s, d) => eventsTagged(s, d)
+        .groupBy("event_type")
+        .agg(
+          Selectors.minValue(col("value"), col("time")).as("min_value"),
+          Selectors.minTime(col("value"), col("time")).as("min_time"),
+          Selectors.maxValue(col("value"), col("time")).as("max_value"),
+          Selectors.maxTime(col("value"), col("time")).as("max_time"))
+        .orderBy("event_type"),
+      Some("""WITH e AS (SELECT event_type, value, epoch_ns(ts) AS t FROM events),
+        mn AS (SELECT event_type, value AS min_value, t AS min_time FROM (
+          SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY value ASC, t ASC) rn
+          FROM e) WHERE rn = 1),
+        mx AS (SELECT event_type, value AS max_value, t AS max_time FROM (
+          SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY value DESC, t ASC) rn
+          FROM e) WHERE rn = 1)
+        SELECT mn.event_type, min_value, min_time, max_value, max_time
+        FROM mn JOIN mx ON mn.event_type = mx.event_type
+        ORDER BY mn.event_type""")),
+
+    ("rpc_window_agg",
+      (s, d) => InfluxRpc.readWindowAggregate(
+          eventsTagged(s, d).drop("event_id", "user_tag", "user_id"),
+          RpcPredicate().withRange(T0, T1), AggKind.Count, everyNs = SIXH)
+        .select(col("event_type"), col("time"), col("value").as("n")),
+      Some(s"""SELECT event_type,
+        (epoch_ns(ts) // $SIXH + 1) * $SIXH AS time,
+        CAST(count(value) AS BIGINT) AS n
+        FROM events WHERE epoch_ns(ts) >= $T0 AND epoch_ns(ts) < $T1
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    ("rpc_window_agg_sum",
+      (s, d) => InfluxRpc.readWindowAggregate(
+          eventsTagged(s, d).drop("event_id", "user_tag", "user_id"),
+          RpcPredicate().withRange(T0, T1), AggKind.Sum, everyNs = SIXH)
+        .select(col("event_type"), col("time"), round(col("value"), 4).as("value")),
+      Some(s"""SELECT event_type,
+        (epoch_ns(ts) // $SIXH + 1) * $SIXH AS time,
+        round(sum(value), 4) AS value
+        FROM events WHERE epoch_ns(ts) >= $T0 AND epoch_ns(ts) < $T1
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    ("rpc_tag_values",
+      (s, d) => InfluxRpc.tagValues(eventsTagged(s, d), "event_type",
+        RpcPredicate().withRange(T0, T1)),
+      Some(s"""SELECT DISTINCT event_type AS value FROM events
+        WHERE epoch_ns(ts) >= $T0 AND epoch_ns(ts) < $T1
+          AND event_type IS NOT NULL
+        ORDER BY 1""")),
+
+    ("rpc_tag_keys",
+      (s, d) => {
+        import s.implicits._
+        InfluxRpc.tagKeys(eventsTagged(s, d), RpcPredicate().withRange(T0, T1))
+          .toDF("tag_key")
+      },
+      Some(s"""SELECT tag_key FROM (
+        SELECT 'event_type' AS tag_key, count(event_type) AS c FROM events
+          WHERE epoch_ns(ts) >= $T0 AND epoch_ns(ts) < $T1
+        UNION ALL
+        SELECT 'user_tag' AS tag_key, count(user_id) AS c FROM events
+          WHERE epoch_ns(ts) >= $T0 AND epoch_ns(ts) < $T1)
+        WHERE c > 0 ORDER BY tag_key""")),
+
+    ("rpc_field_columns",
+      (s, d) => InfluxRpc.fieldColumns(
+        eventsTagged(s, d).drop("event_id", "user_tag", "user_id"),
+        RpcPredicate().withRange(T0, T1)),
+      Some(s"""SELECT 'value' AS field, 'double' AS field_type,
+        max(epoch_ns(ts)) AS last_time
+        FROM events WHERE value IS NOT NULL
+          AND epoch_ns(ts) >= $T0 AND epoch_ns(ts) < $T1
+        ORDER BY field""")),
+
+    ("rpc_table_names",
+      (s, d) => {
+        import s.implicits._
+        InfluxRpc.tableNames(
+          Map("events" -> eventsTagged(s, d)),
+          RpcPredicate().withRange(T0, T1)).toDF("table_name")
+      },
+      Some(s"""SELECT DISTINCT 'events' AS table_name FROM events
+        WHERE epoch_ns(ts) >= $T0 AND epoch_ns(ts) < $T1""")),
+
+    // -------------------------------------------- dedup / ingest / stream
+
+    ("dedup_upsert",
+      (s, d) => {
+        val ev = eventsTagged(s, d).select("user_id", "event_type", "time", "value")
+        // chunk 2 re-writes every 7th event with doubled value (upsert)
+        val chunk1 = ev.withColumn("seq", lit(1L))
+        val chunk2 = ev.filter(pmod(col("user_id") + col("time"), lit(7)) === 0)
+          .withColumn("value", col("value") * 2)
+          .withColumn("seq", lit(2L))
+        Upsert.dedup(chunk1.unionAll(chunk2),
+            pkCols = Seq("user_id", "event_type", "time"), seqCol = "seq")
+          .orderBy("user_id", "event_type", "time")
+      },
+      Some("""WITH chunks AS (
+          SELECT user_id, event_type, epoch_ns(ts) AS time, value, 1 AS seq FROM events
+          UNION ALL
+          SELECT user_id, event_type, epoch_ns(ts) AS time, value * 2 AS value, 2 AS seq
+          FROM events WHERE (user_id + epoch_ns(ts)) % 7 = 0)
+        SELECT user_id, event_type, time, arg_max(value, seq) AS value
+        FROM chunks GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    ("lp_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        // format rows as line protocol (tag + float/int/string fields + ns
+        // timestamp), then parse back with the engine's LP parser in
+        // executors, then aggregate the parsed stream
+        val lines = ev.select(concat(
+          lit("events,event_type="), col("event_type"),
+          lit(" value="), col("value").cast("string"),
+          lit(",user_id="), col("user_id").cast("string"), lit("i"),
+          lit(",props=\""), regexp_replace(col("props"), "\"", "\\\\\""), lit("\""),
+          lit(" "), col("ts_ns").cast("string"))).as[String]
+        val schema = StructType(Seq(
+          IoxSchema.tagged("event_type", StringType, IoxSchema.Tag),
+          IoxSchema.tagged("value", DoubleType, IoxSchema.Field),
+          IoxSchema.tagged("user_id", LongType, IoxSchema.Field),
+          IoxSchema.tagged("props", StringType, IoxSchema.Field),
+          IoxSchema.tagged(NsTime.TimeColumn, LongType, IoxSchema.Time)))
+        LineProtocol.ingestAs(lines, "events", schema)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("value_sum"),
+            sum(length(col("props"))).as("props_chars"),
+            max("time").as("max_time"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        round(sum(value), 4) AS value_sum,
+        CAST(sum(length(props)) AS BIGINT) AS props_chars,
+        max(epoch_ns(ts)) AS max_time
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
+    ("events_sessionize",
+      (s, d) => {
+        val gap = 1800000000000L // 30 min in ns
+        val ev = Tables.events(s, d).select(col("user_id"), col("ts_ns").as("t"))
+        val w = Window.partitionBy("user_id").orderBy("t")
+        ev.withColumn("brk",
+            when(col("t") - lag("t", 1).over(w) > gap || lag("t", 1).over(w).isNull, 1)
+              .otherwise(0))
+          .withColumn("session_id", sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"), min("t").as("start_t"), max("t").as("end_t"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS t FROM events),
+        m AS (SELECT user_id, t,
+          CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800000000000
+               OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+          THEN 1 ELSE 0 END AS brk FROM e),
+        s AS (SELECT user_id, t, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM m)
+        SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+          min(t) AS start_t, max(t) AS end_t
+        FROM s GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    ("events_asof_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val err = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts_ns").as("error_time"))
+        val clk = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts_ns").as("click_time"),
+            col("value").as("click_value"))
+        val w = Window.partitionBy("event_id").orderBy(col("click_time").desc)
+        err.join(clk, col("user_id") === col("c_user") &&
+            col("click_time") < col("error_time"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("event_id", "error_time", "click_time", "click_value")
+          .orderBy("event_id")
+      },
+      Some("""WITH err AS (SELECT event_id, user_id, epoch_ns(ts) AS error_time
+          FROM events WHERE event_type = 'error'),
+        clk AS (SELECT user_id, epoch_ns(ts) AS click_time, value AS click_value
+          FROM events WHERE event_type = 'click')
+        SELECT event_id, error_time, click_time, click_value FROM (
+          SELECT e.event_id, e.error_time, c.click_time, c.click_value,
+            row_number() OVER (PARTITION BY e.event_id ORDER BY c.click_time DESC) AS rn
+          FROM err e JOIN clk c ON c.user_id = e.user_id
+            AND c.click_time < e.error_time) WHERE rn = 1
+        ORDER BY event_id"""))
+  )
+}

@@ -1,0 +1,245 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.pipeline.{DocDedup, Multimodal, Similarity}
+import graft.sources.Tables
+
+/** Training-data-pipeline correctness-gate queries (documents/embeddings):
+  * dedup family, similarity search, text analysis, multimodal plumbing.
+  * Same oracle conventions as QueriesCore. The MinHash/SimHash token
+  * hashing is md5-hex based so the DuckDB oracle can reproduce it exactly.
+  */
+object QueriesPipeline {
+  type Builder = (SparkSession, String) => DataFrame
+
+  // DuckDB twins of TextFunctions.normalize / tokens / hash60
+  private val dNorm = raw"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+  private val dToks = s"regexp_split_to_array($dNorm, ' ')"
+  private def dHash60(x: String) =
+    s"CAST(('0x' || substring(md5($x), 1, 15)) AS BIGINT)"
+
+  // shared oracle CTE: distinct word-3-gram shingles per document
+  private val dShingles = s"""
+    toks AS (SELECT doc_id, $dToks AS w FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      FROM toks WHERE len(w) >= 3)"""
+
+  private val dJaccardPairs = s"""WITH $dShingles,
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT id1, id2,
+      round(inter * 1.0 / (s1.n + s2.n - inter), 6) AS jaccard
+    FROM pairs JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+    WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.7
+    ORDER BY id1, id2"""
+
+  val entries: Seq[(String, Builder, Option[String])] = Seq(
+
+    // ------------------------------------------------------ text analysis
+
+    ("text_stats",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("len_chars"),
+          TF.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, CAST(len($dToks) AS BIGINT) AS n_tokens,
+        CAST(length(text) AS BIGINT) AS len_chars,
+        ${dHash60(dNorm)} AS fingerprint
+        FROM documents ORDER BY doc_id""")),
+
+    ("text_quality",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          round(TF.punctRatio(col("text")), 6).as("punct_ratio"),
+          round(TF.digitRatio(col("text")), 6).as("digit_ratio"),
+          round(TF.alphaRatio(col("text")), 6).as("alpha_ratio"),
+          round(TF.stopwordRatio(col("text")), 6).as("stopword_ratio"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+        round(len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) * 1.0
+          / greatest(length(text), 1), 6) AS punct_ratio,
+        round(len(regexp_extract_all(text, '[0-9]')) * 1.0
+          / greatest(length(text), 1), 6) AS digit_ratio,
+        round(len(regexp_extract_all(text, '[A-Za-z]')) * 1.0
+          / greatest(length(text), 1), 6) AS alpha_ratio,
+        round(len(list_filter($dToks, t -> t IN
+            ('the','a','an','and','or','of','to','in','is','are','was',
+             'it','that','this','for','on','with','as','at','by','be'))) * 1.0
+          / greatest(len($dToks), 1), 6) AS stopword_ratio
+        FROM documents ORDER BY doc_id""")),
+
+    ("text_langid",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TF.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id"),
+      Some(s"""WITH sc AS (SELECT doc_id,
+          len(list_filter($dToks, t -> t IN ('der','die','das','und','ist','nicht','ein','mit','für','auf'))) AS s_de,
+          len(list_filter($dToks, t -> t IN ('the','and','of','to','is','in','that','it','for','with'))) AS s_en,
+          len(list_filter($dToks, t -> t IN ('el','la','los','las','es','en','que','por','con','una'))) AS s_es,
+          len(list_filter($dToks, t -> t IN ('le','la','les','est','et','en','que','pour','avec','une'))) AS s_fr
+        FROM documents)
+        SELECT doc_id, CASE
+          WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+          WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+          WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+          WHEN s_es >= s_fr THEN 'es'
+          ELSE 'fr' END AS lang_pred
+        FROM sc ORDER BY doc_id""")),
+
+    ("text_tokens_top",
+      (s, d) => Tables.documents(s, d)
+        .select(explode(TF.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok").asc)
+        .limit(20),
+      Some(s"""SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest($dToks) AS tok FROM documents)
+        GROUP BY 1 ORDER BY cnt DESC, tok ASC LIMIT 20""")),
+
+    // ------------------------------------------------------- dedup family
+
+    ("dedup_exact",
+      (s, d) => DocDedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("text_hash"),
+      Some(s"""SELECT md5($dNorm) AS text_hash,
+        min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS dup_count
+        FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    ("dedup_minhash_lsh",
+      (s, d) => DocDedup.minHashDedupPairs(Tables.documents(s, d),
+          "doc_id", "text", n = 3, threshold = 0.7,
+          DocDedup.MinHashParams(numPerms = 32, bands = 16))
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id1", "id2"),
+      Some(dJaccardPairs)),
+
+    ("dedup_ngram_jaccard",
+      (s, d) => DocDedup.ngramJaccardPairs(Tables.documents(s, d),
+          "doc_id", "text", n = 3, threshold = 0.7)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id1", "id2"),
+      Some(dJaccardPairs)),
+
+    ("dedup_simhash",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), DocDedup.simHash(col("text")).as("simhash"))
+        .orderBy("doc_id"),
+      Some(s"""WITH toks AS (
+          SELECT doc_id, list_distinct($dToks) AS ws FROM documents),
+        th AS (SELECT doc_id, ${dHash60("t")} AS h
+          FROM (SELECT doc_id, unnest(ws) AS t FROM toks)),
+        bitsums AS (SELECT doc_id, b,
+            sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+          FROM th CROSS JOIN range(60) r(b) GROUP BY 1, 2)
+        SELECT doc_id, CAST(sum(CASE WHEN sgn > 0
+            THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+        FROM bitsums GROUP BY 1 ORDER BY 1""")),
+
+    // -------------------------------------------------- similarity search
+
+    ("emb_cosine_pairs",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        emb.crossJoin(broadcast(q))
+          .select(col("q_id"), col("vec_id"),
+            round(VF.cosine(col("embedding"), col("q_vec")), 6).as("cos"))
+          .orderBy("q_id", "vec_id")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 3)
+        SELECT q_id, vec_id, round(list_dot_product(e, qe)
+          / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 6) AS cos
+        FROM v CROSS JOIN q ORDER BY q_id, vec_id""")),
+
+    ("ann_brute_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.bruteForceTopK(emb, q, k = 10)
+          .select(col("q_id"), col("rank"), col("neighbor_id"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 5),
+        scored AS (SELECT q_id, vec_id AS neighbor_id,
+            list_dot_product(e, qe)
+              / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))) AS cos
+          FROM v CROSS JOIN q WHERE vec_id != q_id),
+        ranked AS (SELECT q_id, neighbor_id, cos, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+          FROM scored)
+        SELECT q_id, rank, neighbor_id, round(cos, 6) AS cos
+        FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""")),
+
+    ("ann_ivf_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val centroids = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.ivfTopK(emb, centroids, q, k = 5, nprobe = 3)
+          .select(col("q_id"), col("rank"), col("neighbor_id"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        c AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id % 50 = 0),
+        cosvc AS (SELECT v.vec_id, c.c_id, list_dot_product(v.e, c.ce)
+            / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce))) AS aff
+          FROM v CROSS JOIN c),
+        assign AS (SELECT vec_id, c_id FROM (SELECT vec_id, c_id,
+            row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, c_id ASC) AS rn
+          FROM cosvc) WHERE rn = 1),
+        q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 5),
+        probes AS (SELECT q_id, c_id FROM (SELECT q.q_id, c.c_id,
+            row_number() OVER (PARTITION BY q.q_id ORDER BY list_dot_product(q.qe, c.ce)
+              / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.ce, c.ce))) DESC,
+              c.c_id ASC) AS rn
+          FROM q CROSS JOIN c) WHERE rn <= 3),
+        cand AS (SELECT p.q_id, a.vec_id FROM probes p JOIN assign a ON a.c_id = p.c_id),
+        scored AS (SELECT cand.q_id, cand.vec_id AS neighbor_id,
+            list_dot_product(v.e, q.qe)
+              / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe))) AS cos
+          FROM cand JOIN v ON v.vec_id = cand.vec_id JOIN q ON q.q_id = cand.q_id
+          WHERE cand.vec_id != cand.q_id),
+        ranked AS (SELECT q_id, neighbor_id, cos, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+          FROM scored)
+        SELECT q_id, rank, neighbor_id, round(cos, 6) AS cos
+        FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""")),
+
+    // ------------------------------------------------ multimodal plumbing
+
+    ("multimodal_features",
+      (s, d) => {
+        import s.implicits._
+        val assets = Multimodal.syntheticAssets(s, Tables.documents(s, d))
+        Multimodal.extractImageFeatures(assets)
+          .select(col("asset_id"), col("width"), col("height"),
+            round(element_at(col("feature"), 1).cast("double"), 4).as("f0"))
+          .orderBy("asset_id")
+      },
+      None), // codec layer is engine-internal; no SQL oracle (rows-only check)
+
+    ("multimodal_frames",
+      (s, d) => {
+        import s.implicits._
+        val assets = Multimodal.syntheticAssets(s, Tables.documents(s, d))
+        Multimodal.sampleVideoFrames(assets, framesPerVideo = 4)
+          .select(col("asset_id"), col("frame_idx"), length(col("content")).as("frame_bytes"))
+          .orderBy("asset_id", "frame_idx")
+      },
+      None)
+  )
+}

@@ -33,17 +33,25 @@ object Similarity {
       .select(col(qIdCol), col(idCol).as("neighbor_id"), col("cos"), col("rank"))
   }
 
-  /** Assign each corpus vector to its nearest centroid (broadcast join +
-    * windowed argmin — corpus never shuffles). */
+  /** Centroid-affinity metric: similarity (descending = best first). The
+    * default is cosine; any deterministic (vec, centroid) -> Column scoring
+    * works (negated L2 for euclidean clustering). */
+  type Metric = (Column, Column) => Column
+  val CosineMetric: Metric = (a, b) => cosine(a, b)
+  val NegL2Metric: Metric = (a, b) => -l2Distance(a, b)
+
+  /** Assign each corpus vector to its best centroid (broadcast join +
+    * windowed argmax — corpus never shuffles). */
   def assignToCentroids(corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String,
-      cIdCol: String = "c_id", cVecCol: String = "c_vec"): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("dist").asc, col(cIdCol).asc)
+      cIdCol: String = "c_id", cVecCol: String = "c_vec",
+      metric: Metric = CosineMetric): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("aff").desc, col(cIdCol).asc)
     corpus.crossJoin(broadcast(centroids))
-      .withColumn("dist", l2Distance(col(vecCol), col(cVecCol)))
+      .withColumn("aff", metric(col(vecCol), col(cVecCol)))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
-      .drop("rnk", cVecCol)
+      .drop("rnk", "aff", cVecCol)
   }
 
   /** IVF top-k: probe the `nprobe` centroid lists nearest to each query.
@@ -52,12 +60,13 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
       k: Int, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
-    val assigned = assignToCentroids(corpus, centroids, idCol, vecCol)
+      qIdCol: String = "q_id", qVecCol: String = "q_vec",
+      metric: Metric = CosineMetric): DataFrame = {
+    val assigned = assignToCentroids(corpus, centroids, idCol, vecCol, metric = metric)
     // centroid lists each query probes
-    val probeW = Window.partitionBy(col(qIdCol)).orderBy(col("dist").asc, col("c_id").asc)
+    val probeW = Window.partitionBy(col(qIdCol)).orderBy(col("aff").desc, col("c_id").asc)
     val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("dist", l2Distance(col(qVecCol), col("c_vec")))
+      .withColumn("aff", metric(col(qVecCol), col("c_vec")))
       .withColumn("rnk", row_number().over(probeW))
       .filter(col("rnk") <= nprobe)
       .select(col(qIdCol), col(qVecCol), col("c_id"))

@@ -26,7 +26,11 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, dir, "events")
-      .withColumnRenamed("ts", "ts_ns")
+      .withColumnRenamed("ts", "ts_ns_raw")
+      // truncate to µs grain: SQL engines with µs timestamps (DuckDB
+      // reading this file, Spark TimestampType) see exactly these values,
+      // so cross-engine results agree; the raw ns column stays available
+      .withColumn("ts_ns", col("ts_ns_raw") - pmod(col("ts_ns_raw"), lit(1000L)))
       .withColumn("ts", NsTime.nsToTimestamp(col("ts_ns")))
   }
 
