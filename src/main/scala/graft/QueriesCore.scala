@@ -307,6 +307,31 @@ object QueriesCore {
         min(epoch_ns(ts)) AS time
         FROM events GROUP BY 1 ORDER BY 1""")),
 
+    // readGroup Min/Max use SELECTOR time semantics: the group's time is
+    // the timestamp OF the selected row (earliest on value ties), matching
+    // the reference's per-field time (influxrpc.rs:1429-1446, selectors.rs)
+    ("rpc_read_group_min",
+      (s, d) => InfluxRpc.readGroup(
+          eventsTagged(s, d).drop("event_id", "user_tag", "user_id"),
+          RpcPredicate().withRange(T0, T1), AggKind.Min)
+        .select("event_type", "value", "time"),
+      Some(s"""SELECT event_type, value, t AS time FROM (
+          SELECT event_type, value, epoch_ns(ts) AS t, row_number() OVER (
+            PARTITION BY event_type ORDER BY value ASC, epoch_ns(ts) ASC) AS rn
+          FROM events WHERE epoch_ns(ts) >= $T0 AND epoch_ns(ts) < $T1)
+        WHERE rn = 1 ORDER BY event_type""")),
+
+    ("rpc_read_group_max",
+      (s, d) => InfluxRpc.readGroup(
+          eventsTagged(s, d).drop("event_id", "user_tag", "user_id"),
+          RpcPredicate().withRange(T0, T1), AggKind.Max)
+        .select("event_type", "value", "time"),
+      Some(s"""SELECT event_type, value, t AS time FROM (
+          SELECT event_type, value, epoch_ns(ts) AS t, row_number() OVER (
+            PARTITION BY event_type ORDER BY value DESC, epoch_ns(ts) ASC) AS rn
+          FROM events WHERE epoch_ns(ts) >= $T0 AND epoch_ns(ts) < $T1)
+        WHERE rn = 1 ORDER BY event_type""")),
+
     ("rpc_selector_minmax",
       (s, d) => eventsTagged(s, d)
         .groupBy("event_type")

@@ -22,13 +22,16 @@ object NsTime {
   def timestampToNs(c: Column): Column = unix_micros(c) * 1000L
 
   /** Floor division on longs (matches Rust's div_euclid for positive divisor).
-    * Column variant of java.lang.Math.floorDiv; needed because Spark's
-    * integer `/` truncates toward zero while window math needs floor.
+    * Column variant of java.lang.Math.floorDiv. `a - pmod(a, b)` is the
+    * greatest multiple of `b` <= `a`, so exact integer division of it by
+    * `b` is floor(a/b) for any sign of `a`. Must NOT use Column `/`: that
+    * is IEEE double division, and at ns-epoch magnitudes (~1.7e18, above
+    * 2^53) the dividend isn't representable, returning floor-1 for many
+    * timestamps (e.g. every=3599999999999 ns mislabels ~9% of 2024-era
+    * timestamps).
     */
-  def floorDiv(a: Column, b: Long): Column = {
-    val q = (a - pmod(a, lit(b))) / lit(b)
-    q.cast("long")
-  }
+  def floorDiv(a: Column, b: Long): Column =
+    org.apache.spark.sql.graft.ColumnBridge.integralDivide(a - pmod(a, lit(b)), lit(b))
 
   /** Window *stop* bound containing `tsNs`, fixed width.
     *

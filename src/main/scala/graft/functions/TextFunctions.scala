@@ -25,13 +25,20 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** Word n-gram shingles (distinct), the unit for Jaccard similarity. */
+  /** Word n-gram shingles (distinct), the unit for Jaccard similarity.
+    * Documents with fewer than n tokens yield an empty array — the guard
+    * matters because sequence(0, negative) in Spark is a DESCENDING array
+    * and slice(toks, 0, n) then throws INVALID_PARAMETER_VALUE.START;
+    * CaseWhen evaluates branches lazily, so the short-doc branch never
+    * builds the sequence. */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    array_distinct(filter(
-      transform(sequence(lit(0), greatest(size(toks) - n, lit(-1))),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")),
-      s => length(s) > 0))
+    when(size(toks) >= n,
+      array_distinct(filter(
+        transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")),
+        s => length(s) > 0)))
+      .otherwise(lit(Array.empty[String]))
   }
 
   /** Stable 60-bit token hash shared with the DuckDB oracle: first 15 hex

@@ -122,8 +122,13 @@ object InfluxRpc {
 
   /** read_group: grouped aggregate per series group. Groups by
     * `groupCols` first then remaining tags (prefix reorder,
-    * influxrpc.rs:1265-1313); aggregates every field; `time` column is
-    * max(time) per group — or min when agg = Min (influxrpc.rs:1406-1423).
+    * influxrpc.rs:1265-1313); aggregates every field. The `time` column:
+    * Sum/Count/Mean emit max(time) (window end, influxrpc.rs:1406-1423);
+    * First/Last/Min/Max are SELECTORS in the reference (influxrpc.rs:1429-
+    * 1446, func/selectors.rs) — their time is the timestamp OF the selected
+    * row. With multiple fields the selected rows differ per field, so the
+    * selector time follows the FIRST field, matching the reference's
+    * per-field `time_<field>` for the primary field.
     */
   def readGroup(df: DataFrame, pred: RpcPredicate, agg: AggKind,
       groupCols: Seq[String] = Nil): DataFrame = {
@@ -142,8 +147,10 @@ object InfluxRpc {
       case AggKind.Last => Selectors.lastValue(col(f), time)
     }
     val timeExpr = agg match {
-      case AggKind.Min => min(time)
-      case AggKind.First => min(time)
+      case AggKind.Min => Selectors.minTime(col(fs.head), time)
+      case AggKind.Max => Selectors.maxTime(col(fs.head), time)
+      case AggKind.First => Selectors.firstTime(col(fs.head), time)
+      case AggKind.Last => Selectors.lastTime(col(fs.head), time)
       case _ => max(time)
     }
     pred.applyTo(df)

@@ -32,8 +32,9 @@ object Upsert {
     * Every non-PK, non-seq column is treated as a field. */
   def dedup(df: DataFrame, pkCols: Seq[String], seqCol: String): DataFrame = {
     val fields = df.columns.filterNot(c => pkCols.contains(c) || c == seqCol)
-    df.groupBy(pkCols.map(col): _*)
-      .agg(fields.head match { case f => lastNonNull(col(f), col(seqCol)).as(f) },
+    if (fields.isEmpty) df.select(pkCols.map(col): _*).distinct()
+    else df.groupBy(pkCols.map(col): _*)
+      .agg(lastNonNull(col(fields.head), col(seqCol)).as(fields.head),
         fields.tail.map(f => lastNonNull(col(f), col(seqCol)).as(f)): _*)
   }
 

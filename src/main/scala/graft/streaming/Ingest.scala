@@ -80,14 +80,24 @@ object Ingest {
   }
 
   /** Compaction job (batch): read a table directory, upsert-dedup on the
-    * primary key with file-modification order as arrival order, sort by
-    * the sort key within partitions, and rewrite compacted. Run on a
-    * schedule, exactly like the reference's lifecycle `compact_chunks`. */
+    * primary key with arrival order taken from the real file-modification
+    * timestamp (`_metadata.file_modification_time`, a per-row hidden
+    * column evaluated at scan — NOT monotonically_increasing_id, whose
+    * partition-index prefix follows Spark's size-ordered split planning,
+    * not write order), sort by the sort key within partitions, and
+    * rewrite compacted. Run on a schedule, exactly like the reference's
+    * lifecycle `compact_chunks`. When the data carries an explicit chunk
+    * sequence column (the robust path for concurrent writers), pass it as
+    * `seqCol` instead. */
   def compact(spark: SparkSession, tablePath: String, outPath: String,
-      pkCols: Seq[String]): Unit = {
-    val df = spark.read.parquet(tablePath)
-      .withColumn("__seq", monotonically_increasing_id())
-    val deduped = Upsert.dedup(df, pkCols, "__seq")
+      pkCols: Seq[String], seqCol: Option[String] = None): Unit = {
+    val raw = spark.read.parquet(tablePath)
+    val df = seqCol match {
+      case Some(c) => raw.withColumn("__seq", col(c))
+      case None => raw.withColumn("__seq",
+        unix_micros(col("_metadata.file_modification_time")))
+    }
+    val deduped = Upsert.dedup(df.drop(seqCol.toSeq: _*), pkCols, "__seq")
     deduped
       .repartitionByRange(pkCols.map(col): _*)
       .sortWithinPartitions(pkCols.map(col): _*)

@@ -14,6 +14,14 @@ object ColumnBridge {
   def toExpr(c: Column): Expression = ExpressionUtils.expression(c)
   def fromExpr(e: Expression): Column = ExpressionUtils.column(e)
 
+  /** Exact integer division (SQL `div`). Spark's Column `/` is IEEE double
+    * division, which is lossy for longs above 2^53 — ns-epoch timestamps
+    * (~1.7e18) silently round. This builds the native IntegralDivide
+    * expression, which divides in long arithmetic with full codegen. */
+  def integralDivide(a: Column, b: Column): Column =
+    fromExpr(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      toExpr(a), toExpr(b)))
+
   /** All function names appearing in a Column's (unresolved) node tree —
     * Column operators build internal.UnresolvedFunction nodes whose names
     * never surface in the converted Expression until analysis, so

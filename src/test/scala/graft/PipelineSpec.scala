@@ -28,6 +28,19 @@ class PipelineSpec extends SparkSpec {
     assert(row.getAs[Long]("fp") == fp2)
   }
 
+  test("shingles: 0/1/2-token documents yield empty arrays, not errors") {
+    val df = Seq((0L, ""), (1L, "solo"), (2L, "two tokens"), (3L, "now three tokens"))
+      .toDF("doc_id", "text")
+    val got = df.select($"doc_id", TF.shingles($"text", 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(0L).isEmpty && got(1L).isEmpty && got(2L).isEmpty)
+    assert(got(3L) == Seq("now three tokens"))
+    // downstream ops survive short docs too
+    val sigs = DocDedup.signatures(df, "doc_id", "text", n = 3,
+      DocDedup.MinHashParams(numPerms = 4, bands = 2))
+    assert(sigs.count() == 4)
+  }
+
   test("langId picks the language with most marker words") {
     val df = Seq(
       "the cat and the dog went to the store",

@@ -52,4 +52,27 @@ class StreamingSpec extends SparkSpec {
     val compacted = spark.read.parquet(s"$tmp/compacted")
     assert(compacted.count() == 2)
   }
+
+  test("compact: later-written file wins a PK conflict (mtime arrival order)") {
+    val tmp = Files.createTempDirectory("graft-compact-lww").toString
+    val c1 = LineProtocol.ingest(spark, Seq("m,host=a v=1.0 10"))("m")
+    c1.coalesce(1).write.mode("append").parquet(s"$tmp/raw")
+    Thread.sleep(1500) // distinct file mtimes (ms granularity)
+    val c2 = LineProtocol.ingest(spark, Seq("m,host=a v=9.0 10"))("m")
+    c2.coalesce(1).write.mode("append").parquet(s"$tmp/raw")
+
+    Ingest.compact(spark, s"$tmp/raw", s"$tmp/compacted", Seq("host", "time"))
+    val out = spark.read.parquet(s"$tmp/compacted")
+    assert(out.count() == 1)
+    assert(out.select("v").as[Double].head() == 9.0)
+
+    // explicit seq column path: seq order beats file order
+    val explicitSeq = c1.withColumn("chunk_seq", lit(5L))
+      .unionByName(c2.withColumn("chunk_seq", lit(2L)))
+    explicitSeq.write.mode("overwrite").parquet(s"$tmp/raw2")
+    Ingest.compact(spark, s"$tmp/raw2", s"$tmp/compacted2", Seq("host", "time"),
+      seqCol = Some("chunk_seq"))
+    assert(spark.read.parquet(s"$tmp/compacted2")
+      .select("v").as[Double].head() == 1.0)
+  }
 }

@@ -40,6 +40,17 @@ class UpsertSpec extends SparkSpec {
     assert(out(1) == Row("a", 2L, 7.0, null))
   }
 
+  test("dedup with no field columns degrades to distinct PKs") {
+    val pkOnly = StructType(Seq(
+      StructField("tag", StringType), StructField("time", LongType),
+      StructField("seq", LongType)))
+    val d = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("a", 1L, 1L), Row("a", 1L, 2L), Row("b", 2L, 1L)), 2), pkOnly)
+    val out = Upsert.dedup(d, Seq("tag", "time"), "seq")
+      .orderBy("tag", "time").collect()
+    assert(out.toSeq == Seq(Row("a", 1L), Row("b", 2L)))
+  }
+
   test("overlap grouping (reference overlap.rs:49-239 semantics)") {
     // [1,5] [4,8] overlap; [10,12] alone; [13,20] [14,15] overlap
     val groups = Upsert.overlapGroups(Seq((1L, 5L), (4L, 8L), (10L, 12L), (13L, 20L), (14L, 15L)))

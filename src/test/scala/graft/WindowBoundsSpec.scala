@@ -26,6 +26,25 @@ class WindowBoundsSpec extends SparkSpec {
     assert(got == Seq(250L, 250L, 450L, 450L, 450L, 50L))
   }
 
+  test("fixed windows: non-round width at ns-epoch magnitude is exact") {
+    import spark.implicits._
+    // every = 3599999999999 ns (1h minus 1ns): IEEE double division would
+    // mislabel ~9% of 2024-era timestamps (dividend > 2^53); integral
+    // division must agree with Math.floorDiv for every one of them.
+    val every = 3599999999999L
+    val base = 1704067200000000000L // 2024-01-01T00:00:00Z in ns
+    val tss = (0 until 2000).map(i => base + i.toLong * 7919L * 1000003L)
+    val got = tss.toDF("time")
+      .select(WindowBounds.windowBoundsNs(col("time"), every, 0L).as("b"))
+      .as[Long].collect().toSeq
+    val want = tss.map(t => NsTime.windowStopNs(t, every, 0L))
+    assert(got == want)
+    // invariant: ts is inside (stop - every, stop]
+    got.zip(tss).foreach { case (b, t) =>
+      assert(b > t && b - every <= t, s"ts=$t got stop=$b")
+    }
+  }
+
   test("month windows: calendar arithmetic") {
     def ns(iso: String): Long =
       java.time.Instant.parse(iso).getEpochSecond * 1000000000L
