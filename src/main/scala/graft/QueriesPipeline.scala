@@ -111,8 +111,10 @@ object QueriesPipeline {
         min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS dup_count
         FROM documents GROUP BY 1 ORDER BY 1""")),
 
+    // near-dup pipelines are CPU-dense per row: rebalance the corpus
+    // across cores first (see Tables.spread — no-op at real scale)
     ("dedup_minhash_lsh",
-      (s, d) => DocDedup.minHashDedupPairs(Tables.documents(s, d),
+      (s, d) => DocDedup.minHashDedupPairs(Tables.spread(s, Tables.documents(s, d)),
           "doc_id", "text", n = 3, threshold = 0.7,
           DocDedup.MinHashParams(numPerms = 32, bands = 16))
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
@@ -120,14 +122,14 @@ object QueriesPipeline {
       Some(dJaccardPairs)),
 
     ("dedup_ngram_jaccard",
-      (s, d) => DocDedup.ngramJaccardPairs(Tables.documents(s, d),
+      (s, d) => DocDedup.ngramJaccardPairs(Tables.spread(s, Tables.documents(s, d)),
           "doc_id", "text", n = 3, threshold = 0.7)
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id1", "id2"),
       Some(dJaccardPairs)),
 
     ("dedup_simhash",
-      (s, d) => Tables.documents(s, d)
+      (s, d) => Tables.spread(s, Tables.documents(s, d))
         .select(col("doc_id"), DocDedup.simHash(col("text")).as("simhash"))
         .orderBy("doc_id"),
       Some(s"""WITH toks AS (

@@ -26,20 +26,29 @@ object TextFunctions {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Word n-gram shingles (distinct), the unit for Jaccard similarity.
+    *
     * Documents with fewer than n tokens yield an empty array — the guard
     * matters because sequence(0, negative) in Spark is a DESCENDING array
     * and slice(toks, 0, n) then throws INVALID_PARAMETER_VALUE.START;
     * CaseWhen evaluates branches lazily, so the short-doc branch never
-    * builds the sequence. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) >= n,
-      array_distinct(filter(
-        transform(sequence(lit(0), size(toks) - n),
-          i => array_join(slice(toks, i + 1, lit(n)), " ")),
-        s => length(s) > 0)))
-      .otherwise(lit(Array.empty[String]))
-  }
+    * builds the sequence.
+    *
+    * The token array is BOUND as a lambda variable (transform over a
+    * 1-element array) rather than referenced from the inner lambda:
+    * higher-order functions are interpreted, and a subexpression inside a
+    * lambda body is re-evaluated on every lambda invocation — an unbound
+    * `slice(tokens(text), i, n)` would re-run the regex tokenization once
+    * PER SHINGLE POSITION (~50x per doc). */
+  def shingles(text: Column, n: Int): Column =
+    element_at(
+      transform(array(tokens(text)), tk =>
+        when(size(tk) >= n,
+          array_distinct(filter(
+            transform(sequence(lit(0), size(tk) - n),
+              i => array_join(slice(tk, i + 1, lit(n)), " ")),
+            s => length(s) > 0)))
+          .otherwise(lit(Array.empty[String]))),
+      1)
 
   /** Stable 60-bit token hash shared with the DuckDB oracle: first 15 hex
     * chars of md5, parsed base-16. (Spark's murmur `hash()` has no DuckDB
@@ -108,15 +117,22 @@ object TextFunctions {
     }
   }
 
-  /** Predicted language code, or "und" when no marker matches. */
+  /** Predicted language code, or "und" when no marker matches.
+    * Single pass over the tokens: one aggregate carries all language
+    * scores in an array accumulator, so the text is tokenized once (a
+    * per-language `filter` would re-run the regex normalization once per
+    * language). Then array_min of (negScore, lang) structs = best score
+    * with alphabetical tie-break — all column ops, no UDF. */
   def langId(text: Column): Column = {
-    val scores = langScores(text)
-    // array of (negScore, lang) structs; array_min = best score, then
-    // alphabetical tie-break — all codegen'd, no UDF.
-    val packed = array(scores.map { case (l, s) =>
-      struct((-s).as("neg"), lit(l).as("lang"))
-    }: _*)
-    val best = array_min(packed)
+    val langs = langMarkers.toSeq.sortBy(_._1)
+    val names = lit(langs.map(_._1).toArray)
+    val scores = aggregate(tokens(text), lit(Array.fill(langs.size)(0)),
+      (acc, t) => zip_with(acc,
+        array(langs.map { case (_, ws) =>
+          when(t.isInCollection(ws), 1).otherwise(0) }: _*),
+        (a, d) => a + d))
+    val best = array_min(zip_with(scores, names,
+      (s, l) => struct((-s).as("neg"), l.as("lang"))))
     when(best.getField("neg") < 0, best.getField("lang")).otherwise(lit("und"))
   }
 }

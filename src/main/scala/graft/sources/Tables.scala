@@ -41,6 +41,18 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  /** Round-robin rebalance for CPU-dense per-row pipelines (shingling,
+    * hashing): a small corpus arrives as ONE parquet split (single row
+    * group) and would serialize all downstream per-row work on one core,
+    * no matter how many the cluster has. Opt-in per pipeline — the shuffle
+    * only pays for itself when per-row compute dominates, so cheap scans
+    * should read the raw splits. At real scale splits >= cores and this is
+    * a no-op. */
+  def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }
