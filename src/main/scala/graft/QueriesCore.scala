@@ -49,6 +49,20 @@ object QueriesCore {
   private val T1 = 1704499200000000000L
   private val SIXH = 21600000000000L // 6h in ns
 
+  /** orders with graft category metadata — a multi-year time axis for
+    * calendar (month-granularity) window aggregates, which the one-month
+    * events table cannot exercise. */
+  def ordersTagged(s: SparkSession, dir: String): DataFrame = {
+    val tagMeta = new MetadataBuilder().putString(IoxSchema.CategoryKey, IoxSchema.Tag).build()
+    val fieldMeta = new MetadataBuilder().putString(IoxSchema.CategoryKey, IoxSchema.Field).build()
+    val timeMeta = new MetadataBuilder().putString(IoxSchema.CategoryKey, IoxSchema.Time).build()
+    t(s, dir, "orders").select(
+      col("o_orderpriority").as("prio", tagMeta),
+      col("o_totalprice").as("price", fieldMeta),
+      (unix_micros(col("o_orderdate").cast("timestamp")) * 1000L)
+        .as(NsTime.TimeColumn, timeMeta))
+  }
+
   val entries: Seq[(String, Builder, Option[String])] = Seq(
 
     // ----------------------------------------------------------- core SQL
@@ -373,6 +387,32 @@ object QueriesCore {
         round(sum(value), 4) AS value
         FROM events WHERE epoch_ns(ts) >= $T0 AND epoch_ns(ts) < $T1
         GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // InfluxRPC `=~` regex predicate (reference query/src/func/regex.rs)
+    ("rpc_read_filter_regex",
+      (s, d) => InfluxRpc.readFilter(
+          eventsTagged(s, d).drop("event_id", "user_tag"),
+          RpcPredicate().withRange(T0, T1)
+            .withRegexMatch("event_type", "^(cl|er)"))
+        .select("event_type", "user_id", "value", "time"),
+      Some(s"""SELECT event_type, user_id, value, epoch_ns(ts) AS time
+        FROM events
+        WHERE epoch_ns(ts) >= $T0 AND epoch_ns(ts) < $T1
+          AND regexp_matches(event_type, '^(cl|er)')
+        ORDER BY event_type, time""")),
+
+    // month-granularity windows (reference WindowDuration::Variable,
+    // group_by.rs:70-76): quarterly buckets over a multi-year time axis,
+    // labeled with the window STOP bound like fixed windows
+    ("rpc_window_agg_quarters",
+      (s, d) => InfluxRpc.readWindowAggregateMonths(ordersTagged(s, d),
+          RpcPredicate(), AggKind.Sum, everyMonths = 3)
+        .select(col("prio"), col("time"), round(col("price"), 2).as("price")),
+      Some("""SELECT o_orderpriority AS prio,
+        epoch_ns(date_trunc('quarter', CAST(o_orderdate AS TIMESTAMP))
+          + INTERVAL 3 MONTH) AS time,
+        round(sum(o_totalprice), 2) AS price
+        FROM orders GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     ("rpc_tag_values",
       (s, d) => InfluxRpc.tagValues(eventsTagged(s, d), "event_type",

@@ -102,6 +102,23 @@ object QueriesPipeline {
         FROM (SELECT unnest($dToks) AS tok FROM documents)
         GROUP BY 1 ORDER BY cnt DESC, tok ASC LIMIT 20""")),
 
+    ("text_bpe_quality",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TF.bpeishTokens(col("text"))).cast("long").as("n_bpe"),
+          TF.qualityScore(col("text")).as("quality"),
+          round(TF.meanWordLen(col("text")), 6).as("mean_word_len"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+        CAST(len(regexp_extract_all(lower(trim(text)), '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe,
+        round(least(length(text) / 500.0, 1.0) * 0.3
+          + (len(regexp_extract_all(text, '[A-Za-z]')) * 1.0 / greatest(length(text), 1)) * 0.4
+          + (1.0 - len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) * 1.0 / greatest(length(text), 1)) * 0.2
+          + (1.0 - len(regexp_extract_all(text, '[0-9]')) * 1.0 / greatest(length(text), 1)) * 0.1, 6) AS quality,
+        round(length(replace($dNorm, ' ', '')) * 1.0
+          / greatest(len($dToks), 1), 6) AS mean_word_len
+        FROM documents ORDER BY doc_id""")),
+
     // ------------------------------------------------------- dedup family
 
     ("dedup_exact",
@@ -220,6 +237,30 @@ object QueriesPipeline {
           FROM scored)
         SELECT q_id, rank, neighbor_id, round(cos, 6) AS cos
         FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""")),
+
+    ("emb_neardup_lsh",
+      (s, d) => {
+        val planes = Similarity.lshPlanes(nPlanes = 4, dim = 64)
+        Similarity.cosineNearDupPairs(Tables.embeddings(s, d),
+            "vec_id", "embedding", planes, threshold = 0.4)
+          .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+          .orderBy("id1", "id2")
+      },
+      Some {
+        val planes = Similarity.lshPlanes(nPlanes = 4, dim = 64)
+        val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+          s"(CASE WHEN list_dot_product(e, ${p.mkString("[", ",", "]")}) >= 0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+          b AS (SELECT vec_id, e, $bucketExpr AS bucket FROM v)
+          SELECT a.vec_id AS id1, c.vec_id AS id2,
+            round(list_dot_product(a.e, c.e) / (sqrt(list_dot_product(a.e, a.e))
+              * sqrt(list_dot_product(c.e, c.e))), 6) AS cos
+          FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+          WHERE list_dot_product(a.e, c.e) / (sqrt(list_dot_product(a.e, a.e))
+            * sqrt(list_dot_product(c.e, c.e))) >= 0.4
+          ORDER BY id1, id2"""
+      }),
 
     // ------------------------------------------------ multimodal plumbing
 

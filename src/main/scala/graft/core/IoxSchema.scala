@@ -86,6 +86,17 @@ case class RpcPredicate(
   def withExpr(e: Column): RpcPredicate = copy(exprs = exprs :+ e)
   def withFields(fs: String*): RpcPredicate = copy(fieldColumns = Some(fs))
 
+  /** InfluxRPC `=~` / `!~` regex operators (reference RegexMatch UDFs,
+    * query/src/func/regex.rs:14-83). Patterns are Java-regex dialect;
+    * the reference's Go-regex dialect overlaps on the common subset
+    * (character classes, anchors, alternation) — callers using Go-only
+    * syntax (e.g. (?i) mid-pattern) must translate. `!~` keeps the
+    * reference's null semantics: a null tag matches neither way. */
+  def withRegexMatch(column: String, pattern: String): RpcPredicate =
+    copy(exprs = exprs :+ col(column).rlike(pattern))
+  def withRegexNotMatch(column: String, pattern: String): RpcPredicate =
+    copy(exprs = exprs :+ (col(column).isNotNull && !col(column).rlike(pattern)))
+
   /** All row-level conditions AND-ed; None when unconstrained. */
   def filterColumn(timeCol: Column): Option[Column] = {
     val parts = range.map(_.toColumn(timeCol)).toSeq ++ exprs

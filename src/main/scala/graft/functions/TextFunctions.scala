@@ -16,12 +16,13 @@ object TextFunctions {
   /** Whitespace tokens of normalized text. */
   def tokens(text: Column): Column = split(normalize(text), " ")
 
-  /** BPE-ish subword segmentation: split on word boundaries AND keep
-    * punctuation/digit runs as their own tokens (a cheap standalone
-    * approximation of byte-pair pre-tokenization). */
+  /** BPE-ish subword pre-tokenization: alphanumeric runs are one token
+    * each, every other non-space character is its own token (a cheap
+    * standalone approximation of byte-pair pre-tokenization). Expressed
+    * with regexp_extract_all on the RE2-compatible subset so any engine
+    * (and the DuckDB oracle) reproduces it exactly. */
   def bpeishTokens(text: Column): Column =
-    filter(split(lower(trim(text)), "(?=[^a-z0-9])|(?<=[^a-z0-9])"),
-      t => t =!= lit(" ") && length(t) > 0)
+    regexp_extract_all(lower(trim(text)), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

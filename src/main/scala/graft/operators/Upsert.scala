@@ -38,6 +38,33 @@ object Upsert {
         fields.tail.map(f => lastNonNull(col(f), col(seqCol)).as(f)): _*)
   }
 
+  /** Overlap-aware dedup scan (reference Deduplicator::build_scan_plan,
+    * query/src/provider.rs:336-427): chunks whose PK-statistics ranges
+    * don't overlap any other chunk scan straight through with ZERO dedup
+    * cost (no shuffle!), only overlapping groups pay the groupBy — at
+    * scale, compacted data is mostly non-overlapping, so the common case
+    * is a clean union of parquet scans. `chunks` are (frame, pk-range,
+    * selfClean) triples; selfClean=false means the chunk may contain
+    * internal duplicates and needs dedup even when it overlaps nothing
+    * (the reference's may_contain_pk_duplicates, query/src/lib.rs:83).
+    * Arrival order across chunks follows the given chunk order. */
+  def scanWithDedup(chunks: Seq[(DataFrame, (Long, Long), Boolean)],
+      pkCols: Seq[String], seqCol: String = "__seq"): DataFrame = {
+    require(chunks.nonEmpty, "no chunks")
+    val groups = overlapGroups(chunks.map(_._2))
+    val parts = groups.map { g =>
+      val members = g.sorted.map(chunks)
+      if (members.size == 1 && members.head._3) members.head._1
+      else {
+        val tagged = members.zipWithIndex.map { case ((df, _, _), i) =>
+          df.withColumn(seqCol, lit(i.toLong))
+        }
+        dedup(graft.core.IoxSchema.mergeUnion(tagged), pkCols, seqCol)
+      }
+    }
+    graft.core.IoxSchema.mergeUnion(parts)
+  }
+
   /** Interval-overlap grouping over per-chunk [min, max] primary-key
     * statistics: only chunks whose PK ranges overlap can hold duplicates of
     * each other, so everything else scans clean with no dedup cost

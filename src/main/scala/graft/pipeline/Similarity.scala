@@ -79,6 +79,15 @@ object Similarity {
       .select(col(qIdCol), col(idCol).as("neighbor_id"), col("cos"), col("rank"))
   }
 
+  /** Deterministic ±1 hyperplanes for sign-bit LSH (seeded LCG, no RNG
+    * state): reproducible across runs and engines, so an external oracle
+    * can re-derive the identical buckets. */
+  def lshPlanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    var x = 0x9E3779B97F4A7C15L
+    def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x >>> 33 }
+    Seq.fill(nPlanes)(Seq.fill(dim)(if ((next() & 1L) == 1L) 1.0 else -1.0))
+  }
+
   /** Random-hyperplane LSH bucketing for cosine: sign bits of projections
     * onto `planes` (a small in-memory matrix, broadcast as literal
     * columns). Vectors sharing a signature land in one bucket; near-dup

@@ -104,6 +104,30 @@ object Ingest {
       .write.mode("overwrite").parquet(outPath)
   }
 
+  /** StreamSplit (reference query/src/exec/split.rs:34-120): split one
+    * frame into (matching, rest) by a boolean expression — used by the
+    * persist lifecycle to write "cold" rows (time <= split point) while
+    * keeping "hot" rows buffered. Rows where the expression is NULL go to
+    * the REST side, exactly like the reference (split.rs negates with
+    * null-safe semantics). No custom plan node needed: two filters over
+    * the same scan, each independently pushdown-eligible. */
+  def streamSplit(df: DataFrame, expr: org.apache.spark.sql.Column)
+      : (DataFrame, DataFrame) =
+    (df.filter(expr), df.filter(!coalesce(expr, lit(false))))
+
+  /** Persist the cold half of a split and return the hot remainder —
+    * the reorg "split plan" (query/src/frontend/reorg.rs:146-177):
+    * everything at or before `splitTimeNs` is compact-sorted and written;
+    * newer rows stay in memory for further writes. */
+  def persistCold(df: DataFrame, splitTimeNs: Long, outPath: String,
+      pkCols: Seq[String]): DataFrame = {
+    val (cold, hot) = streamSplit(df, col(NsTime.TimeColumn) <= splitTimeNs)
+    cold.repartitionByRange(pkCols.map(col): _*)
+      .sortWithinPartitions(pkCols.map(col): _*)
+      .write.mode("append").parquet(outPath)
+    hot
+  }
+
   /** One logical table over hot (streaming micro-batch files) and cold
     * (compacted) storage, with scan-time dedup preferring hot rows —
     * the reference's multi-chunk stitch + DeduplicateExec

@@ -107,6 +107,19 @@ class InfluxRpcSpec extends SparkSpec {
     assert(la.field == "temp" && la.points.map(_.value) == Seq(90.0))
   }
 
+  test("regex predicates: =~ matches, !~ excludes nulls (regex.rs semantics)") {
+    import spark.implicits._
+    val cities = InfluxRpc.readFilter(h2o,
+        RpcPredicate().withRegexMatch("city", "^(LA|SF)$"))
+      .select("city").as[String].collect().toSet
+    assert(cities == Set("LA", "SF"))
+    // !~ : the null-city row matches NEITHER =~ nor !~
+    val notMatch = InfluxRpc.readFilter(h2o,
+        RpcPredicate().withRegexNotMatch("city", "^(LA|SF)$"))
+      .select("city").as[String].collect().toSet
+    assert(notMatch == Set("Boston"))
+  }
+
   test("validateRpcExpr rejects LIKE / IS NULL / modulo, allows rlike") {
     InfluxRpc.validateRpcExpr(col("state") === "CA" && col("temp") > 5)
     InfluxRpc.validateRpcExpr(col("state").rlike("C.*"))

@@ -53,6 +53,28 @@ class StreamingSpec extends SparkSpec {
     assert(compacted.count() == 2)
   }
 
+  test("streamSplit: null predicate rows land on the REST side") {
+    val df = LineProtocol.ingest(spark, Seq(
+      "m,host=a v=1.0 10", "m,host=b v=2.0 20", "m,host=c v=3.0 30"))("m")
+      .withColumn("flag",
+        when($"time" === 10L, lit(true))
+          .when($"time" === 20L, lit(false)))
+    val (matched, rest) = Ingest.streamSplit(df, $"flag")
+    assert(matched.select("time").as[Long].collect().toSet == Set(10L))
+    // false AND null(time=30) both go to rest — reference split.rs semantics
+    assert(rest.select("time").as[Long].collect().toSet == Set(20L, 30L))
+  }
+
+  test("persistCold writes rows <= split time, returns hot remainder") {
+    val tmp = Files.createTempDirectory("graft-split").toString
+    val df = LineProtocol.ingest(spark, Seq(
+      "m,host=a v=1.0 10", "m,host=a v=2.0 20", "m,host=a v=3.0 30"))("m")
+    val hot = Ingest.persistCold(df, splitTimeNs = 20L, s"$tmp/cold", Seq("host", "time"))
+    assert(spark.read.parquet(s"$tmp/cold").select("time").as[Long].collect().toSet
+      == Set(10L, 20L))
+    assert(hot.select("time").as[Long].collect().toSet == Set(30L))
+  }
+
   test("compact: later-written file wins a PK conflict (mtime arrival order)") {
     val tmp = Files.createTempDirectory("graft-compact-lww").toString
     val c1 = LineProtocol.ingest(spark, Seq("m,host=a v=1.0 10"))("m")

@@ -51,6 +51,24 @@ class UpsertSpec extends SparkSpec {
     assert(out.toSeq == Seq(Row("a", 1L), Row("b", 2L)))
   }
 
+  test("scanWithDedup: clean chunks scan straight through, overlapping dedup") {
+    import org.apache.spark.sql.functions.col
+    val c1 = df(Seq(Row("a", 1L, 1.0, null, 0L), Row("a", 5L, 2.0, null, 0L))).drop("seq")
+    val c2 = df(Seq(Row("a", 5L, 9.0, 9.0, 0L), Row("a", 8L, 3.0, null, 0L))).drop("seq")
+    val c3 = df(Seq(Row("b", 100L, 7.0, null, 0L))).drop("seq") // disjoint: no dedup
+    val out = Upsert.scanWithDedup(Seq(
+        (c1, (1L, 5L), true), (c2, (5L, 8L), true), (c3, (100L, 100L), true)),
+      pkCols = Seq("tag", "time"))
+      .orderBy("tag", "time").collect()
+    // (a,5) deduped: later chunk (c2) wins -> f1=9.0, f2=9.0
+    assert(out.toSeq == Seq(
+      Row("a", 1L, 1.0, null), Row("a", 5L, 9.0, 9.0),
+      Row("a", 8L, 3.0, null), Row("b", 100L, 7.0, null)))
+    // the disjoint chunk's subtree must contain no aggregate (no shuffle)
+    val clean = Upsert.scanWithDedup(Seq((c3, (100L, 100L), true)), Seq("tag", "time"))
+    assert(!clean.queryExecution.optimizedPlan.toString.toLowerCase.contains("aggregate"))
+  }
+
   test("overlap grouping (reference overlap.rs:49-239 semantics)") {
     // [1,5] [4,8] overlap; [10,12] alone; [13,20] [14,15] overlap
     val groups = Upsert.overlapGroups(Seq((1L, 5L), (4L, 8L), (10L, 12L), (13L, 20L), (14L, 15L)))
