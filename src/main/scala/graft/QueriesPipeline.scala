@@ -241,7 +241,7 @@ object QueriesPipeline {
     ("emb_neardup_lsh",
       (s, d) => {
         val planes = Similarity.lshPlanes(nPlanes = 4, dim = 64)
-        Similarity.cosineNearDupPairs(Tables.embeddings(s, d),
+        Similarity.cosineNearDupPairs(Tables.spread(s, Tables.embeddings(s, d)),
             "vec_id", "embedding", planes, threshold = 0.4)
           .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
           .orderBy("id1", "id2")

@@ -19,6 +19,20 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Rank the scored candidates: top-k rows per group via the bounded
+    * [[graft.functions.TopK]] aggregate — partial aggregation means each
+    * map task ships at most k rows per group, so a handful of query groups
+    * over a huge corpus is NOT a single-reducer sort (which is what a
+    * row_number window would do). Output matches the window formulation
+    * exactly (score desc, id asc ties). */
+  private def rankTopK(scored: DataFrame, k: Int, groupCol: String,
+      scoreCol: String, idCol: String): DataFrame =
+    scored.groupBy(col(groupCol))
+      .agg(graft.functions.TopK.topK(k)(col(scoreCol), col(idCol)).as("tk"))
+      .select(col(groupCol), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col(groupCol), col("s.id").as("neighbor_id"),
+        col("s.score").as(scoreCol), (col("pos") + 1).cast("int").as("rank"))
+
   /** Brute-force top-k by cosine. `queries` must be small (it is broadcast).
     * Ties break by ascending corpus id for determinism. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
@@ -27,10 +41,8 @@ object Similarity {
     val scored = corpus.crossJoin(broadcast(queries))
       .filter(col(idCol) =!= col(qIdCol))
       .withColumn("cos", cosine(col(vecCol), col(qVecCol)))
-    val w = Window.partitionBy(col(qIdCol)).orderBy(col("cos").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qIdCol), col(idCol).as("neighbor_id"), col("cos"), col("rank"))
+      .select(col(qIdCol), col(idCol), col("cos"))
+    rankTopK(scored, k, qIdCol, "cos", idCol)
   }
 
   /** Centroid-affinity metric: similarity (descending = best first). The
@@ -40,19 +52,21 @@ object Similarity {
   val CosineMetric: Metric = (a, b) => cosine(a, b)
   val NegL2Metric: Metric = (a, b) => -l2Distance(a, b)
 
-  /** Assign each corpus vector to its best centroid (broadcast join +
-    * windowed argmax — corpus never shuffles). */
+  /** Assign each corpus vector to its best centroid: broadcast join +
+    * argmax AGGREGATE `max(struct(aff, -c_id))`. Partial aggregation
+    * collapses the corpus x nlist expansion back to one row per vector
+    * before the shuffle — a windowed row_number would shuffle the full
+    * expansion and sort per-vector groups. Ties take the smallest c_id. */
   def assignToCentroids(corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String,
       cIdCol: String = "c_id", cVecCol: String = "c_vec",
-      metric: Metric = CosineMetric): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("aff").desc, col(cIdCol).asc)
+      metric: Metric = CosineMetric): DataFrame =
     corpus.crossJoin(broadcast(centroids))
       .withColumn("aff", metric(col(vecCol), col(cVecCol)))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-      .drop("rnk", "aff", cVecCol)
-  }
+      .groupBy(col(idCol))
+      .agg(first(col(vecCol)).as(vecCol),
+        max(struct(col("aff").as("a"), (-col(cIdCol)).as("nc"))).as("m"))
+      .select(col(idCol), col(vecCol), (-col("m.nc")).as(cIdCol))
 
   /** IVF top-k: probe the `nprobe` centroid lists nearest to each query.
     * Approximate — recall depends on nprobe/nlist; exactness returns as
@@ -73,10 +87,8 @@ object Similarity {
     val scored = assigned.join(broadcast(probes), "c_id")
       .filter(col(idCol) =!= col(qIdCol))
       .withColumn("cos", cosine(col(vecCol), col(qVecCol)))
-    val w = Window.partitionBy(col(qIdCol)).orderBy(col("cos").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qIdCol), col(idCol).as("neighbor_id"), col("cos"), col("rank"))
+      .select(col(qIdCol), col(idCol), col("cos"))
+    rankTopK(scored, k, qIdCol, "cos", idCol)
   }
 
   /** Deterministic ±1 hyperplanes for sign-bit LSH (seeded LCG, no RNG
@@ -100,14 +112,20 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** All pairs with cosine >= threshold among LSH-bucket collisions. */
+  /** All pairs with cosine >= threshold among LSH-bucket collisions.
+    * Each vector's norm (and f64 cast) is computed ONCE below the join —
+    * the pair stage is a single dot product per collision, not a full
+    * cosine; `dot / (normA * normB)` keeps the exact float expression
+    * order of `cosine`, so values are bit-equal to the naive form. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       planes: Seq[Seq[Double]], threshold: Double): DataFrame = {
-    val b = df.select(col(idCol), col(vecCol),
-      cosineLshBuckets(df, vecCol, planes).as("bucket"))
+    val b = df.select(col(idCol), asDouble(col(vecCol)).as("__e"),
+        cosineLshBuckets(df, vecCol, planes).as("bucket"))
+      .withColumn("__n", sqrt(dot(col("__e"), col("__e"))))
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .withColumn("cos", cosine(col(s"a.$vecCol"), col(s"b.$vecCol")))
+      .withColumn("cos",
+        dot(col("a.__e"), col("b.__e")) / (col("a.__n") * col("b.__n")))
       .filter(col("cos") >= threshold)
       .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"), col("cos"))
   }

@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.core.RpcPredicate
+import graft.operators.{InfluxRpc, Upsert}
+import graft.sources.{LineProtocol, Tables}
+
+/** Physical-plan shape assertions — the scale contract, pinned like the
+  * reference pins optimizer behavior with EXPLAIN golden files
+  * (query_tests/cases/in/pushdown.expected). A query that returns right
+  * answers but scans all columns or skips partial aggregation would
+  * silently stop scaling; these tests fail on that regression.
+  */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val parquetTable: String = {
+    val tmp = Files.createTempDirectory("graft-planshape").toString
+    LineProtocol.ingest(spark, Seq(
+      "cpu,host=a,region=west user=22.5,sys=1.0 100",
+      "cpu,host=b,region=east user=9.9,sys=0.4 150",
+      "cpu,host=a,region=west user=24.0,sys=1.5 200"))("cpu")
+      .write.parquet(s"$tmp/cpu")
+    s"$tmp/cpu"
+  }
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("time-range predicate reaches the parquet scan as a pushed filter") {
+    val df = spark.read.parquet(parquetTable)
+    val plan = executedPlan(
+      RpcPredicate().withRange(100L, 200L).applyTo(df).select("host", "user"))
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("GreaterThanOrEqual(time,100)"), plan)
+    assert(plan.contains("LessThan(time,200)"), plan)
+  }
+
+  test("projection prunes the parquet read schema to referenced columns") {
+    val df = spark.read.parquet(parquetTable)
+    val plan = executedPlan(df.filter($"time" >= 100L).select("host", "user"))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("host") && readSchema.contains("user"), readSchema)
+    assert(!readSchema.contains("sys") && !readSchema.contains("region"), readSchema)
+  }
+
+  test("star-schema join broadcasts the small dimension side") {
+    val d = sf("sf0.001")
+    val plan = executedPlan(Tables.orders(spark, d)
+      .join(broadcast(Tables.customer(spark, d)), $"o_custkey" === $"c_custkey")
+      .groupBy("c_mktsegment").count())
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("upsert dedup aggregates with map-side partial aggregation") {
+    val df = Seq(("a", 1L, 1.0, 1L), ("a", 1L, 2.0, 2L)).toDF("tag", "time", "v", "seq")
+    val plan = executedPlan(Upsert.dedup(df, Seq("tag", "time"), "seq"))
+    // struct-max is sort-aggregated (structs aren't hash-aggregable);
+    // the scale property is the partial (map-side) phase below the exchange
+    assert(plan.contains("partial_max"), plan)
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("bounded top-k aggregates partially before the shuffle") {
+    val scored = (1 to 100).map(i => (i % 2, i.toDouble, i.toLong))
+      .toDF("g", "score", "id")
+    val ranked = scored.groupBy($"g")
+      .agg(graft.functions.TopK.topK(3)($"score", $"id").as("tk"))
+    val plan = executedPlan(ranked)
+    // ObjectHashAggregate partial_topkaggregator below the exchange
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.toLowerCase.contains("partial_topkagg"), plan)
+    // and the values are the window-equivalent answer
+    val top = ranked.filter($"g" === 1).select(explode($"tk")).select("col.id")
+      .as[Long].collect().toSeq
+    assert(top == Seq(99L, 97L, 95L))
+  }
+
+  test("readFilter whole plan stays shuffle-free up to the ordering") {
+    val df = spark.read.parquet(parquetTable)
+    val tagged = spark.createDataFrame(
+      df.select("host", "region", "user", "sys", "time").rdd,
+      org.apache.spark.sql.types.StructType(Seq(
+        graft.core.IoxSchema.tagged("host", org.apache.spark.sql.types.StringType, graft.core.IoxSchema.Tag),
+        graft.core.IoxSchema.tagged("region", org.apache.spark.sql.types.StringType, graft.core.IoxSchema.Tag),
+        graft.core.IoxSchema.tagged("user", org.apache.spark.sql.types.DoubleType, graft.core.IoxSchema.Field),
+        graft.core.IoxSchema.tagged("sys", org.apache.spark.sql.types.DoubleType, graft.core.IoxSchema.Field),
+        graft.core.IoxSchema.tagged("time", org.apache.spark.sql.types.LongType, graft.core.IoxSchema.Time))))
+    val plan = executedPlan(InfluxRpc.readFilter(tagged, RpcPredicate(), globalSort = false))
+    // clustered (non-global) form: exactly the tag repartition, no extra sort shuffle
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.RpcPredicate
+import graft.operators.{InfluxRpc, Upsert}
+import graft.operators.InfluxRpc.AggKind
+import graft.sources.LineProtocol
+import graft.streaming.Ingest
+
+/** Scenario-matrix tests (reference query_tests/src/scenarios.rs): ONE
+  * logical dataset materialized in several chunk placements — in-memory,
+  * single parquet, split parquet chunks, overlapping chunks needing
+  * dedup, hot-over-cold view — and every query must return identical
+  * results across all of them. This is the reference's core testing idea:
+  * storage placement is invisible to query semantics.
+  */
+class ScenarioMatrixSpec extends SparkSpec {
+  import spark.implicits._
+
+  // TwoMeasurementsManyNulls-flavored dataset (scenarios.rs:322)
+  private val lines = Seq(
+    "h2o,state=CA,city=LA temp=90.0 100",
+    "h2o,state=CA,city=SF temp=79.0,humid=0.5 200",
+    "h2o,state=MA,city=Boston temp=50.4 250",
+    "h2o,state=MA temp=70.4 300")
+
+  private lazy val mem = LineProtocol.ingest(spark, lines)("h2o")
+
+  /** All placements of the same logical rows. */
+  private lazy val scenarios: Seq[(String, DataFrame)] = {
+    val tmp = Files.createTempDirectory("graft-scenarios").toString
+
+    // single parquet file
+    mem.coalesce(1).write.parquet(s"$tmp/single")
+    val single = reTag(spark.read.parquet(s"$tmp/single"))
+
+    // two disjoint chunks
+    mem.filter($"time" <= 200).write.parquet(s"$tmp/c1")
+    mem.filter($"time" > 200).write.parquet(s"$tmp/c2")
+    val split = Upsert.scanWithDedup(Seq(
+      (reTag(spark.read.parquet(s"$tmp/c1")), (100L, 200L), true),
+      (reTag(spark.read.parquet(s"$tmp/c2")), (250L, 300L), true)),
+      pkCols = Seq("city", "state", "time"))
+
+    // overlapping chunks: chunk2 re-writes (CA, LA, 100) with a stale
+    // value, then the real rows; dedup must restore the logical dataset
+    val stale = LineProtocol.ingest(spark, Seq(
+      "h2o,state=CA,city=LA temp=-1.0 100"))("h2o")
+    val overlapping = Upsert.scanWithDedup(Seq(
+      (stale.withColumn("humid", lit(null).cast("double")), (100L, 100L), true),
+      (mem, (100L, 300L), true)),
+      pkCols = Seq("city", "state", "time"))
+
+    // hot-over-cold: cold holds the stale row, hot holds everything
+    val hotCold = Ingest.hotColdView(
+      hot = mem,
+      cold = stale.withColumn("humid", lit(null).cast("double")),
+      pkCols = Seq("city", "state", "time"))
+
+    Seq("memory" -> mem, "single_parquet" -> single, "split_chunks" -> split,
+      "overlap_dedup" -> overlapping, "hot_cold" -> hotCold)
+  }
+
+  /** Parquet round-trips drop StructField metadata; restore categories. */
+  private def reTag(df: DataFrame): DataFrame =
+    spark.createDataFrame(df.select("state", "city", "temp", "humid", "time").rdd,
+      org.apache.spark.sql.types.StructType(Seq(
+        graft.core.IoxSchema.tagged("state", org.apache.spark.sql.types.StringType, graft.core.IoxSchema.Tag),
+        graft.core.IoxSchema.tagged("city", org.apache.spark.sql.types.StringType, graft.core.IoxSchema.Tag),
+        graft.core.IoxSchema.tagged("temp", org.apache.spark.sql.types.DoubleType, graft.core.IoxSchema.Field),
+        graft.core.IoxSchema.tagged("humid", org.apache.spark.sql.types.DoubleType, graft.core.IoxSchema.Field),
+        graft.core.IoxSchema.tagged("time", org.apache.spark.sql.types.LongType, graft.core.IoxSchema.Time))))
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("readFilter is placement-invariant") {
+    val expected = canon(InfluxRpc.readFilter(
+      reTag(mem.select("state", "city", "temp", "humid", "time")), RpcPredicate()))
+    for ((name, df) <- scenarios) {
+      val got = canon(InfluxRpc.readFilter(
+        reTag(df.select("state", "city", "temp", "humid", "time")), RpcPredicate()))
+      assert(got == expected, s"scenario $name diverged")
+    }
+  }
+
+  test("readGroup sum is placement-invariant") {
+    val expected = canon(InfluxRpc.readGroup(
+      reTag(mem.select("state", "city", "temp", "humid", "time")), RpcPredicate(), AggKind.Sum))
+    for ((name, df) <- scenarios) {
+      val got = canon(InfluxRpc.readGroup(
+        reTag(df.select("state", "city", "temp", "humid", "time")), RpcPredicate(), AggKind.Sum))
+      assert(got == expected, s"scenario $name diverged")
+    }
+  }
+
+  test("tag_values is placement-invariant") {
+    for ((name, df) <- scenarios) {
+      val got = InfluxRpc.tagValues(
+        reTag(df.select("state", "city", "temp", "humid", "time")),
+        "city", RpcPredicate()).as[String].collect().toSeq
+      assert(got == Seq("Boston", "LA", "SF"), s"scenario $name diverged")
+    }
+  }
+}
