@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.{IoxSchema, NsTime, RpcPredicate}
-import graft.operators.{InfluxRpc, Upsert}
+import graft.operators.{AsOfJoin, InfluxRpc, Upsert}
 import graft.operators.InfluxRpc.AggKind
 import graft.functions.Selectors
 import graft.sources.{LineProtocol, Tables}
@@ -541,13 +541,11 @@ object QueriesCore {
         val err = ev.filter(col("event_type") === "error")
           .select(col("event_id"), col("user_id"), col("ts_ns").as("error_time"))
         val clk = ev.filter(col("event_type") === "click")
-          .select(col("user_id").as("c_user"), col("ts_ns").as("click_time"),
+          .select(col("user_id"), col("ts_ns").as("click_time"),
             col("value").as("click_value"))
-        val w = Window.partitionBy("event_id").orderBy(col("click_time").desc)
-        err.join(clk, col("user_id") === col("c_user") &&
-            col("click_time") < col("error_time"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
+        AsOfJoin.backward(err, clk, Seq("user_id"),
+            "error_time", "click_time", Seq("click_value"))
+          .filter(col("click_time").isNotNull) // inner: drop error w/o prior click
           .select("event_id", "error_time", "click_time", "click_value")
           .orderBy("event_id")
       },

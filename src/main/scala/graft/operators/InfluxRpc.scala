@@ -199,6 +199,26 @@ object InfluxRpc {
   case class SeriesPoint(time: Long, value: Double)
   case class Series(tags: Map[String, String], field: String, points: Seq[SeriesPoint])
 
+  /** Wire-shaped frame stream (reference gRPC response encoding,
+    * src/influxdb_ioxd/rpc/storage/data.rs:58-213): each series becomes a
+    * `series` frame carrying the measurement + tag set (with the synthetic
+    * `_measurement`/`_field` keys the reference emits) followed by a
+    * `points` frame with parallel timestamp/value arrays. A gRPC facade
+    * only needs to serialize these rows in order. */
+  case class Frame(frameType: String, tags: Map[String, String],
+      timestamps: Seq[Long], values: Seq[Double])
+
+  def toFrames(series: Dataset[Series], measurement: String): Dataset[Frame] = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    series.flatMap { s =>
+      val key = Map("_measurement" -> measurement) ++ s.tags ++ Map("_field" -> s.field)
+      Seq(
+        Frame("series", key, Nil, Nil),
+        Frame("points", Map.empty, s.points.map(_.time), s.points.map(_.value)))
+    }
+  }
+
   /** Sorted rows -> one Series per (tag-combination, field) — the
     * reference's SeriesSetConverter (query/src/exec/seriesset.rs:76-140)
     * walks sorted batches finding contiguous tag runs; in Spark the same

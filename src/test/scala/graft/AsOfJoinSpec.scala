@@ -1,0 +1,34 @@
+package graft
+
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val quotes = Seq( // (sym, qt, px)
+    ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0),
+    ("B", 15L, 9.0)).toDF("sym", "qt", "px")
+  private lazy val trades = Seq( // (sym, tt)
+    ("A", 25L), ("A", 20L), ("A", 5L), ("B", 100L), ("C", 50L))
+    .toDF("sym", "tt")
+
+  test("backward as-of: latest right strictly before each left row") {
+    val out = AsOfJoin.backward(trades, quotes, Seq("sym"), "tt", "qt", Seq("px"))
+      .orderBy("sym", "tt")
+      .collect().map(r => (r.getAs[String]("sym"), r.getAs[Long]("tt"),
+        Option(r.getAs[Any]("px"))))
+    assert(out.toSeq == Seq(
+      ("A", 5L, None),          // nothing before t=5
+      ("A", 20L, Some(1.0)),    // STRICT <: the t=20 quote does not match
+      ("A", 25L, Some(2.0)),
+      ("B", 100L, Some(9.0)),
+      ("C", 50L, None)))        // key with no right rows at all
+  }
+
+  test("as-of plan has one shuffle and no join node") {
+    val plan = AsOfJoin.backward(trades, quotes, Seq("sym"), "tt", "qt", Seq("px"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+  }
+}

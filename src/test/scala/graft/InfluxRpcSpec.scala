@@ -120,6 +120,17 @@ class InfluxRpcSpec extends SparkSpec {
     assert(notMatch == Set("Boston"))
   }
 
+  test("toFrames emits series + points frame pairs with synthetic keys") {
+    val frames = InfluxRpc.toFrames(
+      InfluxRpc.toSeriesSet(InfluxRpc.readFilter(h2o, RpcPredicate()), Seq("temp")),
+      "h2o").collect()
+    val seriesFrames = frames.filter(_.frameType == "series")
+    assert(seriesFrames.length == 4)
+    assert(frames.length == 8) // one points frame per series frame
+    val la = seriesFrames.find(_.tags.get("city").contains("LA")).get
+    assert(la.tags("_measurement") == "h2o" && la.tags("_field") == "temp")
+  }
+
   test("validateRpcExpr rejects LIKE / IS NULL / modulo, allows rlike") {
     InfluxRpc.validateRpcExpr(col("state") === "CA" && col("temp") > 5)
     InfluxRpc.validateRpcExpr(col("state").rlike("C.*"))
