@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
 
@@ -16,8 +15,21 @@ import graft.functions.VectorFunctions._
   * scanned fraction to ~nprobe/nlist of the corpus. Centroids here are
   * seeded deterministically from the corpus itself (no RNG), so results
   * are reproducible and oracle-checkable.
+  *
+  * Norm discipline: `cosine(a, b)` per candidate pair is three
+  * interpreted array passes (dot + two norms). Every operator here
+  * computes each vector's norm ONCE (below any join, where the optimizer
+  * cannot pull it up) and scores pairs as `dot / (na * nb)` — the same
+  * float expression order as `cosine`, so results are bit-equal, at a
+  * third of the array passes.
   */
 object Similarity {
+
+  /** (id, __e f64 vector, __n norm) projection — the scoring currency. */
+  private def normed(df: DataFrame, idCol: String, vecCol: String,
+      outVec: String, outNorm: String, extra: Seq[Column] = Nil): DataFrame =
+    df.select(Seq(col(idCol), asDouble(col(vecCol)).as(outVec)) ++ extra: _*)
+      .withColumn(outNorm, sqrt(dot(col(outVec), col(outVec))))
 
   /** Rank the scored candidates: top-k rows per group via the bounded
     * [[graft.functions.TopK]] aggregate — partial aggregation means each
@@ -38,35 +50,35 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
+    val c = normed(corpus, idCol, vecCol, "__e", "__n")
+    val q = normed(queries, qIdCol, qVecCol, "__qe", "__qn")
+    val scored = c.crossJoin(broadcast(q))
       .filter(col(idCol) =!= col(qIdCol))
-      .withColumn("cos", cosine(col(vecCol), col(qVecCol)))
-      .select(col(qIdCol), col(idCol), col("cos"))
+      .select(col(qIdCol), col(idCol),
+        (dot(col("__e"), col("__qe")) / (col("__n") * col("__qn"))).as("cos"))
     rankTopK(scored, k, qIdCol, "cos", idCol)
   }
 
-  /** Centroid-affinity metric: similarity (descending = best first). The
-    * default is cosine; any deterministic (vec, centroid) -> Column scoring
-    * works (negated L2 for euclidean clustering). */
-  type Metric = (Column, Column) => Column
-  val CosineMetric: Metric = (a, b) => cosine(a, b)
-  val NegL2Metric: Metric = (a, b) => -l2Distance(a, b)
-
-  /** Assign each corpus vector to its best centroid: broadcast join +
-    * argmax AGGREGATE `max(struct(aff, -c_id))`. Partial aggregation
-    * collapses the corpus x nlist expansion back to one row per vector
-    * before the shuffle — a windowed row_number would shuffle the full
-    * expansion and sort per-vector groups. Ties take the smallest c_id. */
+  /** Assign each corpus vector to its best (cosine) centroid: broadcast
+    * join + argmax AGGREGATE `max(struct(aff, -c_id))`. Partial
+    * aggregation collapses the corpus x nlist expansion back to one row
+    * per vector before the shuffle — a windowed row_number would shuffle
+    * the full expansion and sort per-vector groups. Ties take the
+    * smallest c_id. Output keeps the f64 vector and its norm for
+    * downstream scoring. */
   def assignToCentroids(corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String,
-      cIdCol: String = "c_id", cVecCol: String = "c_vec",
-      metric: Metric = CosineMetric): DataFrame =
-    corpus.crossJoin(broadcast(centroids))
-      .withColumn("aff", metric(col(vecCol), col(cVecCol)))
+      cIdCol: String = "c_id", cVecCol: String = "c_vec"): DataFrame = {
+    val c = normed(corpus, idCol, vecCol, "__e", "__n")
+    val cent = normed(centroids, cIdCol, cVecCol, "__ce", "__cn")
+    c.crossJoin(broadcast(cent))
+      .withColumn("aff",
+        dot(col("__e"), col("__ce")) / (col("__n") * col("__cn")))
       .groupBy(col(idCol))
-      .agg(first(col(vecCol)).as(vecCol),
+      .agg(first(col("__e")).as("__e"), first(col("__n")).as("__n"),
         max(struct(col("aff").as("a"), (-col(cIdCol)).as("nc"))).as("m"))
-      .select(col(idCol), col(vecCol), (-col("m.nc")).as(cIdCol))
+      .select(col(idCol), col("__e"), col("__n"), (-col("m.nc")).as(cIdCol))
+  }
 
   /** IVF top-k: probe the `nprobe` centroid lists nearest to each query.
     * Approximate — recall depends on nprobe/nlist; exactness returns as
@@ -74,20 +86,23 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
       k: Int, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      qIdCol: String = "q_id", qVecCol: String = "q_vec",
-      metric: Metric = CosineMetric): DataFrame = {
-    val assigned = assignToCentroids(corpus, centroids, idCol, vecCol, metric = metric)
-    // centroid lists each query probes
-    val probeW = Window.partitionBy(col(qIdCol)).orderBy(col("aff").desc, col("c_id").asc)
-    val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("aff", metric(col(qVecCol), col("c_vec")))
-      .withColumn("rnk", row_number().over(probeW))
-      .filter(col("rnk") <= nprobe)
-      .select(col(qIdCol), col(qVecCol), col("c_id"))
+      qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+    val assigned = assignToCentroids(corpus, centroids, idCol, vecCol)
+    val cent = normed(centroids, "c_id", "c_vec", "__ce", "__cn")
+    val q = normed(queries, qIdCol, qVecCol, "__qe", "__qn")
+    // centroid lists each query probes: tiny (queries x nlist), ranked by
+    // the same bounded top-k aggregate
+    val probes = rankTopK(
+      q.crossJoin(broadcast(cent))
+        .select(col(qIdCol), col("c_id").as("__cid"),
+          (dot(col("__qe"), col("__ce")) / (col("__qn") * col("__cn"))).as("aff")),
+      nprobe, qIdCol, "aff", "__cid")
+      .select(col(qIdCol), col("neighbor_id").as("c_id"))
+      .join(q, qIdCol)
     val scored = assigned.join(broadcast(probes), "c_id")
       .filter(col(idCol) =!= col(qIdCol))
-      .withColumn("cos", cosine(col(vecCol), col(qVecCol)))
-      .select(col(qIdCol), col(idCol), col("cos"))
+      .select(col(qIdCol), col(idCol),
+        (dot(col("__e"), col("__qe")) / (col("__n") * col("__qn"))).as("cos"))
     rankTopK(scored, k, qIdCol, "cos", idCol)
   }
 
@@ -114,9 +129,7 @@ object Similarity {
 
   /** All pairs with cosine >= threshold among LSH-bucket collisions.
     * Each vector's norm (and f64 cast) is computed ONCE below the join —
-    * the pair stage is a single dot product per collision, not a full
-    * cosine; `dot / (normA * normB)` keeps the exact float expression
-    * order of `cosine`, so values are bit-equal to the naive form. */
+    * the pair stage is a single dot product per collision. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       planes: Seq[Seq[Double]], threshold: Double): DataFrame = {
     val b = df.select(col(idCol), asDouble(col(vecCol)).as("__e"),

@@ -104,6 +104,26 @@ object Ingest {
       .write.mode("overwrite").parquet(outPath)
   }
 
+  /** Streaming twin of readWindowAggregate: per-tag tumbling-window counts
+    * over a stream, with the watermark playing PersistenceWindows'
+    * late_arrival_period (persistence_windows.rs:24-57) — a window
+    * finalizes (emits, state dropped) once the watermark passes its end,
+    * exactly like a closed window becoming persistable. Buckets are
+    * labeled with the window STOP bound in ns, matching the batch
+    * convention (func/window.rs:44-57): Spark's `window()` end for an
+    * epoch-aligned grid is the same value windowStopNs computes. */
+  def streamWindowCounts(df: DataFrame, tagCols: Seq[String], everyNs: Long,
+      lateArrival: String = "10 minutes"): DataFrame = {
+    require(everyNs % 1000L == 0L, "stream windows have microsecond grain")
+    df.withColumn("__ts", NsTime.nsToTimestamp(col(NsTime.TimeColumn)))
+      .withWatermark("__ts", lateArrival)
+      .groupBy(tagCols.map(col) :+
+        window(col("__ts"), s"${everyNs / 1000L} microseconds"): _*)
+      .agg(count(lit(1)).as("n"))
+      .select(tagCols.map(col) :+
+        (unix_micros(col("window.end")) * 1000L).as(NsTime.TimeColumn) :+ col("n"): _*)
+  }
+
   /** StreamSplit (reference query/src/exec/split.rs:34-120): split one
     * frame into (matching, rest) by a boolean expression — used by the
     * persist lifecycle to write "cold" rows (time <= split point) while

@@ -53,6 +53,26 @@ class StreamingSpec extends SparkSpec {
     assert(compacted.count() == 2)
   }
 
+  test("streaming window counts finalize once the watermark passes") {
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)](
+      spark)
+    val agg = Ingest.streamWindowCounts(
+      input.toDF().toDF("tag", "time"), Seq("tag"), everyNs = 1000000000L,
+      lateArrival = "0 seconds")
+    val q = agg.writeStream.format("memory").queryName("swc")
+      .outputMode("append").start()
+    try {
+      input.addData(("a", 100000000L), ("a", 200000000L), ("b", 1500000000L))
+      q.processAllAvailable()
+      input.addData(("a", 10000000000L)) // watermark sails past both windows
+      q.processAllAvailable()
+      val rows = spark.table("swc")
+        .select("tag", "time", "n").as[(String, Long, Long)].collect().toSet
+      assert(rows.contains(("a", 1000000000L, 2L))) // stop-bound label
+      assert(rows.contains(("b", 2000000000L, 1L)))
+    } finally q.stop()
+  }
+
   test("streamSplit: null predicate rows land on the REST side") {
     val df = LineProtocol.ingest(spark, Seq(
       "m,host=a v=1.0 10", "m,host=b v=2.0 20", "m,host=c v=3.0 30"))("m")
