@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.{IoxSchema, NsTime, RpcPredicate}
-import graft.operators.{AsOfJoin, InfluxRpc, Upsert}
+import graft.operators.{AsOfJoin, InfluxRpc, Sessionize, Upsert}
 import graft.operators.InfluxRpc.AggKind
 import graft.functions.Selectors
 import graft.sources.{LineProtocol, Tables}
@@ -511,19 +511,10 @@ object QueriesCore {
         FROM events GROUP BY 1 ORDER BY 1""")),
 
     ("events_sessionize",
-      (s, d) => {
-        val gap = 1800000000000L // 30 min in ns
-        val ev = Tables.events(s, d).select(col("user_id"), col("ts_ns").as("t"))
-        val w = Window.partitionBy("user_id").orderBy("t")
-        ev.withColumn("brk",
-            when(col("t") - lag("t", 1).over(w) > gap || lag("t", 1).over(w).isNull, 1)
-              .otherwise(0))
-          .withColumn("session_id", sum("brk").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
-          .groupBy("user_id", "session_id")
-          .agg(count(lit(1)).as("n_events"), min("t").as("start_t"), max("t").as("end_t"))
-          .orderBy("user_id", "session_id")
-      },
+      (s, d) => Sessionize.aggregate(
+          Tables.events(s, d).select(col("user_id"), col("ts_ns").as("t")),
+          keyCols = Seq("user_id"), timeCol = "t", gapNs = 1800000000000L)
+        .orderBy("user_id", "session_id"),
       Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS t FROM events),
         m AS (SELECT user_id, t,
           CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800000000000

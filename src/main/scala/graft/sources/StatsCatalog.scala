@@ -1,0 +1,123 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{IoxSchema, NsTime, RpcPredicate}
+
+/** Table-level statistics sidecar — the engine's chunk metadata.
+  *
+  * The reference answers tag_keys / tag_values / table_names from chunk
+  * metadata whenever the predicate allows, only falling back to data scans
+  * (influxrpc.rs:198-214, 269-292, 396-420); its chunks carry per-column
+  * summaries (partition_metadata.rs TableSummary/ColumnSummary). Parquet
+  * footers give min/max but not distinct tag sets, so compaction writes
+  * this sidecar (`_graft_stats/` JSON, one row) next to the data:
+  * row count, time range, and per-tag distinct values (capped — a tag
+  * above the cap is marked and excluded from metadata-only answering).
+  *
+  * At 100 TB this is the difference between O(1) metadata queries and a
+  * full scan per cardinality lookup — the reference treats that as a
+  * first-class design point and so does this engine.
+  */
+object StatsCatalog {
+
+  /** `_`-prefixed so Spark's file index skips it on data scans (same
+    * convention as _SUCCESS / _metadata). */
+  val StatsFile = "_graft_stats.json"
+
+  private lazy val mapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    m
+  }
+
+  case class TableStats(
+      rowCount: Long,
+      timeMin: Long,
+      timeMax: Long,
+      tagValues: Map[String, Seq[String]],
+      cappedTags: Seq[String])
+
+  /** One aggregation pass over the table: count, time bounds, per-tag
+    * distinct sets (sorted, capped at `cap+1` to detect overflow).
+    * `tagCols` defaults to the schema's category metadata; pass explicitly
+    * for frames that lost metadata in a parquet round-trip. */
+  def compute(df: DataFrame, tagCols: Seq[String] = Nil, cap: Int = 10000): TableStats = {
+    val tags = if (tagCols.nonEmpty) tagCols else IoxSchema.tagColumns(df.schema)
+    val time = col(NsTime.TimeColumn)
+    val aggs = Seq(count(lit(1)).as("__n"), min(time).as("__tmin"), max(time).as("__tmax")) ++
+      tags.map(t => slice(sort_array(collect_set(col(t))), 1, cap + 1).as(s"__tag_$t"))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val tagVals = tags.map(t => t -> row.getSeq[String](row.fieldIndex(s"__tag_$t"))).toMap
+    TableStats(
+      rowCount = row.getLong(0),
+      timeMin = if (row.isNullAt(1)) 0L else row.getLong(1),
+      timeMax = if (row.isNullAt(2)) 0L else row.getLong(2),
+      tagValues = tagVals.map { case (t, vs) => t -> vs.take(cap) },
+      cappedTags = tagVals.collect { case (t, vs) if vs.size > cap => t }.toSeq)
+  }
+
+  /** Sidecar IO goes through the Hadoop FileSystem API, so it works on
+    * any object store the table lives on (s3a/gs/abfss/file), exactly
+    * like the reference's metadata in object storage. Stats are tiny
+    * driver-side metadata — no Spark job involved. */
+  def save(spark: SparkSession, tablePath: String, stats: TableStats): Unit = {
+    val path = new org.apache.hadoop.fs.Path(tablePath, StatsFile)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(path, true)
+    try out.write(mapper.writeValueAsString(stats).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def load(spark: SparkSession, tablePath: String): Option[TableStats] = {
+    val path = new org.apache.hadoop.fs.Path(tablePath, StatsFile)
+    try {
+      val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(path)) None
+      else {
+        val in = fs.open(path)
+        try {
+          val bytes = new Array[Byte](fs.getFileStatus(path).getLen.toInt)
+          in.readFully(bytes)
+          Some(mapper.readValue(new String(bytes, "UTF-8"), classOf[TableStats]))
+        } finally in.close()
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Can `pred` be answered from metadata alone? Only when it has no row
+    * expressions and its time range covers the whole table (reference
+    * check: influxrpc.rs:396-420 requires a metadata-answerable
+    * predicate). */
+  def covers(stats: TableStats, pred: RpcPredicate): Boolean =
+    pred.exprs.isEmpty && pred.range.forall(r =>
+      r.startNs <= stats.timeMin && r.stopNs > stats.timeMax)
+
+  /** tag_values from the sidecar when possible; `fallback` (the scan
+    * path) otherwise. */
+  def tagValuesFast(spark: SparkSession, tablePath: String, tag: String,
+      pred: RpcPredicate)(fallback: => DataFrame): DataFrame = {
+    import spark.implicits._
+    load(spark, tablePath) match {
+      case Some(st) if covers(st, pred) && st.tagValues.contains(tag) &&
+          !st.cappedTags.contains(tag) =>
+        st.tagValues(tag).sorted.toDF("value")
+      case _ => fallback
+    }
+  }
+
+  /** table_names from sidecars: a table qualifies if its stats exist, the
+    * predicate is metadata-answerable, the row count is positive and the
+    * time ranges intersect; otherwise it must be probed via `fallback`. */
+  def tableNamesFast(spark: SparkSession, tables: Map[String, String],
+      pred: RpcPredicate)(fallback: String => Boolean): Seq[String] =
+    tables.toSeq.collect { case (name, path)
+        if pred.tables.forall(_.contains(name)) &&
+          (load(spark, path) match {
+            case Some(st) if pred.exprs.isEmpty =>
+              st.rowCount > 0 && pred.range.forall(r =>
+                r.startNs <= st.timeMax && r.stopNs > st.timeMin)
+            case _ => fallback(name)
+          }) => name
+    }.sorted
+}

@@ -102,6 +102,12 @@ object Ingest {
       .repartitionByRange(pkCols.map(col): _*)
       .sortWithinPartitions(pkCols.map(col): _*)
       .write.mode("overwrite").parquet(outPath)
+    // chunk metadata sidecar: lets tag_values/table_names answer from
+    // metadata without scanning (reference TableSummary role)
+    if (pkCols.contains(NsTime.TimeColumn))
+      graft.sources.StatsCatalog.save(spark, outPath,
+        graft.sources.StatsCatalog.compute(spark.read.parquet(outPath),
+          tagCols = pkCols.filterNot(_ == NsTime.TimeColumn)))
   }
 
   /** Streaming twin of readWindowAggregate: per-tag tumbling-window counts

@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.core.RpcPredicate
+import graft.sources.{LineProtocol, StatsCatalog}
+import graft.streaming.Ingest
+
+class StatsCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val table: String = {
+    val tmp = Files.createTempDirectory("graft-stats").toString
+    LineProtocol.ingest(spark, Seq(
+      "cpu,host=a,region=west user=22.5 100",
+      "cpu,host=b,region=east user=9.9 150",
+      "cpu,host=a,region=west user=24.0 200"))("cpu")
+      .write.parquet(s"$tmp/raw")
+    Ingest.compact(spark, s"$tmp/raw", s"$tmp/cpu", Seq("host", "region", "time"))
+    s"$tmp/cpu"
+  }
+
+  test("compact writes a stats sidecar that round-trips") {
+    val st = StatsCatalog.load(spark, table).get
+    assert(st.rowCount == 3)
+    assert(st.timeMin == 100L && st.timeMax == 200L)
+    assert(st.tagValues("host").sorted == Seq("a", "b"))
+    assert(st.tagValues("region").sorted == Seq("east", "west"))
+    assert(st.cappedTags.isEmpty)
+  }
+
+  test("tag_values answers from metadata when the predicate is coverable") {
+    // covering range: no scan — fallback must NOT run
+    val vals = StatsCatalog.tagValuesFast(spark, table, "host",
+      RpcPredicate().withRange(0L, 1000L)) {
+      fail("fallback scan must not run for a covering predicate")
+    }
+    assert(vals.as[String].collect().toSeq == Seq("a", "b"))
+    // non-covering range: must fall back
+    var fell = false
+    StatsCatalog.tagValuesFast(spark, table, "host",
+      RpcPredicate().withRange(0L, 150L)) {
+      fell = true; Seq("a").toDF("value")
+    }
+    assert(fell)
+    // row-expression predicate: must fall back
+    var fell2 = false
+    StatsCatalog.tagValuesFast(spark, table, "host",
+      RpcPredicate().withExpr(col("user") > 10)) {
+      fell2 = true; Seq("a").toDF("value")
+    }
+    assert(fell2)
+  }
+
+  test("table_names from sidecars with range intersection") {
+    val names = StatsCatalog.tableNamesFast(spark, Map("cpu" -> table),
+      RpcPredicate().withRange(150L, 1000L))(_ => fail("no probe needed"))
+    assert(names == Seq("cpu"))
+    val none = StatsCatalog.tableNamesFast(spark, Map("cpu" -> table),
+      RpcPredicate().withRange(1000L, 2000L))(_ => fail("no probe needed"))
+    assert(none.isEmpty)
+  }
+
+  test("capped tags are excluded from metadata-only answering") {
+    val df = (1 to 50).map(i => (s"t$i", i.toLong, 1.0)).toDF("host", "time", "v")
+    val st = StatsCatalog.compute(df, tagCols = Seq("host"), cap = 10)
+    assert(st.cappedTags == Seq("host"))
+    assert(st.tagValues("host").size == 10)
+  }
+}
