@@ -8,7 +8,7 @@ import graft.core.{IoxSchema, NsTime, RpcPredicate}
 import graft.operators.{AsOfJoin, InfluxRpc, Sessionize, Upsert}
 import graft.operators.InfluxRpc.AggKind
 import graft.functions.Selectors
-import graft.sources.{LineProtocol, Tables}
+import graft.sources.{LineProtocol, SqlFrontend, Tables}
 
 /** Core-engine correctness-gate queries: each entry has a Spark builder
   * and a DuckDB oracle with IDENTICAL output column names, types (modulo
@@ -268,6 +268,28 @@ object QueriesCore {
         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
         CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part
         FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    // SQL frontend (M4): the engine registered in the catalog, query
+    // arrives as SQL TEXT and Catalyst plans it — near-identical text runs
+    // on the oracle, demonstrating full SQL-surface parity
+    ("q16_sql_frontend",
+      (s, d) => {
+        SqlFrontend.register(s, Map(
+          "orders" -> t(s, d, "orders"), "customer" -> t(s, d, "customer"),
+          "nation" -> t(s, d, "nation")))
+        s.sql("""SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders,
+          round(sum(o_totalprice), 2) AS revenue
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE o_orderpriority = '1-URGENT'
+          GROUP BY n_name ORDER BY n_name""")
+      },
+      Some("""SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders,
+        round(sum(o_totalprice), 2) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY n_name ORDER BY n_name""")),
 
     // ------------------------------------------- InfluxRPC operator suite
 

@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.IoxSchema
+
+/** SQL frontend (reference M4: SqlQueryPlanner, query/src/frontend/sql.rs
+  * + the `system` schema of docs/sql.md): registers engine tables as
+  * temp views so `spark.sql(...)` is a full query surface, plus the
+  * system-table analogs the reference exposes:
+  *
+  *  - `system_columns`: (table, column, type, category) — the reference's
+  *    system.columns with IOx column categories.
+  *  - `system_chunks`: (table, path, row_count, time_min, time_max) from
+  *    stats sidecars — the reference's system.chunks summary view.
+  *
+  * Catalyst takes over from here (analysis, optimization, codegen) the
+  * way DataFusion does in the reference; no custom planner is needed.
+  */
+object SqlFrontend {
+
+  /** Register each (name -> frame) as a replaceable temp view. */
+  def register(spark: SparkSession, tables: Map[String, DataFrame]): Unit = {
+    tables.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+    systemColumns(spark, tables).createOrReplaceTempView("system_columns")
+  }
+
+  /** system.columns analog: one row per column with its engine category
+    * (tag / field / time — absent for plain SQL tables). */
+  def systemColumns(spark: SparkSession, tables: Map[String, DataFrame]): DataFrame = {
+    import spark.implicits._
+    tables.toSeq.flatMap { case (name, df) =>
+      df.schema.fields.map { f =>
+        (name, f.name, f.dataType.simpleString,
+          IoxSchema.categoryOf(f).getOrElse(""))
+      }
+    }.toDF("table_name", "column_name", "column_type", "category")
+      .orderBy("table_name", "column_name")
+  }
+
+  /** system.chunks analog over compacted table paths: per-chunk summary
+    * from the stats sidecars, no data scan. */
+  def systemChunks(spark: SparkSession, tablePaths: Map[String, String]): DataFrame = {
+    import spark.implicits._
+    tablePaths.toSeq.flatMap { case (name, path) =>
+      StatsCatalog.load(spark, path).map(st =>
+        (name, path, st.rowCount, st.timeMin, st.timeMax))
+    }.toDF("table_name", "path", "row_count", "time_min", "time_max")
+      .orderBy("table_name")
+  }
+}
