@@ -84,6 +84,20 @@ object Multimodal {
     }
   }
 
+  /** Batch resize for image rows: content re-encoded to the target
+    * geometry (stub codec), metadata updated in the same pass. */
+  def resizeImages(assets: Dataset[Asset], targetW: Int, targetH: Int): Dataset[Asset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        if (a.media_type == "image" && a.content != null)
+          a.copy(content = Codecs.resize(a.content, targetW, targetH),
+            width = Some(targetW), height = Some(targetH))
+        else a
+      }
+    }
+  }
+
   /** Frame sampling for video rows: one row per sampled frame. */
   def sampleVideoFrames(assets: Dataset[Asset], framesPerVideo: Int): Dataset[Frame] = {
     import assets.sparkSession.implicits._

