@@ -436,6 +436,19 @@ object QueriesCore {
         round(sum(o_totalprice), 2) AS price
         FROM orders GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // selector aggregate INSIDE time windows (reference supports selector
+    // kinds in read_window_aggregate, influxrpc.rs:1336-1403)
+    ("rpc_window_agg_last",
+      (s, d) => InfluxRpc.readWindowAggregate(
+          eventsTagged(s, d).drop("event_id", "user_tag", "user_id"),
+          RpcPredicate().withRange(T0, T1), AggKind.Last, everyNs = SIXH)
+        .select(col("event_type"), col("time"), col("value")),
+      Some(s"""SELECT event_type,
+        (epoch_ns(ts) // $SIXH + 1) * $SIXH AS time,
+        arg_max(value, epoch_ns(ts)) AS value
+        FROM events WHERE epoch_ns(ts) >= $T0 AND epoch_ns(ts) < $T1
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     ("rpc_tag_values",
       (s, d) => InfluxRpc.tagValues(eventsTagged(s, d), "event_type",
         RpcPredicate().withRange(T0, T1)),

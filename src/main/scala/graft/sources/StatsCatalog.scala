@@ -106,6 +106,18 @@ object StatsCatalog {
     }
   }
 
+  /** tag_keys from the sidecar: tags with at least one distinct value.
+    * Metadata-only when the predicate is coverable; `fallback` otherwise
+    * (reference influxrpc.rs:269-292). */
+  def tagKeysFast(spark: SparkSession, tablePath: String, pred: RpcPredicate)(
+      fallback: => Seq[String]): Seq[String] =
+    load(spark, tablePath) match {
+      case Some(st) if covers(st, pred) =>
+        (st.tagValues.collect { case (t, vs) if vs.nonEmpty => t } ++
+          st.cappedTags).toSeq.distinct.sorted
+      case _ => fallback
+    }
+
   /** table_names from sidecars: a table qualifies if its stats exist, the
     * predicate is metadata-answerable, the row count is positive and the
     * time ranges intersect; otherwise it must be probed via `fallback`. */

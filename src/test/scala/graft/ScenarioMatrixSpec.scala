@@ -96,6 +96,26 @@ class ScenarioMatrixSpec extends SparkSpec {
     }
   }
 
+  test("schema merge: chunks with different column sets union correctly") {
+    // MultiChunkSchemaMerge (scenarios.rs:301): a later chunk adds a
+    // column earlier chunks lack; absent values read as null
+    val chunk1 = LineProtocol.ingest(spark, Seq(
+      "m,host=a cpu=1.0 10"))("m")
+    val chunk2 = LineProtocol.ingest(spark, Seq(
+      "m,host=b,core=c1 cpu=2.0,mem=512.0 20"))("m")
+    assert(graft.core.IoxSchema.mergeConflicts(chunk1.schema, chunk2.schema).isEmpty)
+    val merged = graft.core.IoxSchema.mergeUnion(Seq(chunk1, chunk2))
+      .orderBy("time")
+    assert(merged.columns.toSet == Set("host", "core", "cpu", "mem", "time"))
+    val rows = merged.collect()
+    assert(rows(0).getAs[String]("core") == null)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("mem")))
+    assert(rows(1).getAs[Double]("mem") == 512.0)
+    // a type conflict is detected, not silently coerced
+    val bad = LineProtocol.ingest(spark, Seq("m,host=c cpu=9i 30"))("m")
+    assert(graft.core.IoxSchema.mergeConflicts(chunk1.schema, bad.schema).nonEmpty)
+  }
+
   test("tag_values is placement-invariant") {
     for ((name, df) <- scenarios) {
       val got = InfluxRpc.tagValues(

@@ -39,6 +39,28 @@ class SelectorsSpec extends SparkSpec {
     assert(out.getAs[Long]("min_t") == 40L)
   }
 
+  test("selectors work on string and boolean fields (typed accumulators)") {
+    // reference: 16 typed accumulators incl. utf8/bool (selectors.rs);
+    // struct-ordering min/max covers every orderable Spark type uniformly
+    val s = StructType(Seq(StructField("g", StringType),
+      StructField("v", StringType), StructField("b", BooleanType),
+      StructField("t", LongType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("a", "zebra", false, 10L), Row("a", "apple", true, 20L),
+      Row("a", "mango", false, 30L)), 2), s)
+    val out = df.groupBy("g").agg(
+      Selectors.firstValue(col("v"), col("t")).as("first_s"),
+      Selectors.lastValue(col("v"), col("t")).as("last_s"),
+      Selectors.minValue(col("v"), col("t")).as("min_s"),
+      Selectors.maxValue(col("v"), col("t")).as("max_s"),
+      Selectors.lastValue(col("b"), col("t")).as("last_b")).head()
+    assert(out.getAs[String]("first_s") == "zebra")
+    assert(out.getAs[String]("last_s") == "mango")
+    assert(out.getAs[String]("min_s") == "apple")
+    assert(out.getAs[String]("max_s") == "zebra")
+    assert(out.getAs[Boolean]("last_b") == false)
+  }
+
   test("null values are skipped (reference accumulators only update on non-null)") {
     val df = mk(("a", null, 50L), ("a", 2.0, 10L), ("a", null, 5L))
     val out = df.groupBy("g").agg(

@@ -52,6 +52,17 @@ class StatsCatalogSpec extends SparkSpec {
     assert(fell2)
   }
 
+  test("tag_keys from metadata for coverable predicates") {
+    val keys = StatsCatalog.tagKeysFast(spark, table, RpcPredicate()) {
+      fail("no scan needed")
+    }
+    assert(keys == Seq("host", "region"))
+    var fell = false
+    StatsCatalog.tagKeysFast(spark, table,
+      RpcPredicate().withExpr(col("user") > 10)) { fell = true; Nil }
+    assert(fell)
+  }
+
   test("table_names from sidecars with range intersection") {
     val names = StatsCatalog.tableNamesFast(spark, Map("cpu" -> table),
       RpcPredicate().withRange(150L, 1000L))(_ => fail("no probe needed"))
