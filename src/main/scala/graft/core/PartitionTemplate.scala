@@ -1,0 +1,66 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Partition-key templates (reference `PartitionTemplate`,
+  * data_types/src/database_rules.rs:200-233): the key is the template
+  * parts rendered IN ORDER, joined by `-`. A `Column` part renders
+  * `name_value`, or BLANK (empty string, separators kept) when the row
+  * has no such column or a null value — matching the reference exactly.
+  * `TimeFormat` applies a strftime pattern to the ns `time` column in UTC.
+  *
+  * The computed key becomes a physical partition column
+  * (`df.withColumn("part_key", ...) .write.partitionBy("part_key")`), so
+  * Catalyst's partition pruning plays the role of the reference's
+  * partition-level chunk pruning.
+  */
+sealed trait TemplatePart
+object TemplatePart {
+  case object Table extends TemplatePart
+  final case class ColumnValue(name: String) extends TemplatePart
+  final case class TimeFormat(strftime: String) extends TemplatePart
+}
+
+case class PartitionTemplate(parts: Seq[TemplatePart]) {
+  import TemplatePart._
+
+  def keyColumn(tableName: String, schema: StructType): Column =
+    concat_ws("-", parts.map {
+      case Table => lit(tableName)
+      case ColumnValue(name) =>
+        if (!schema.fieldNames.contains(name)) lit("")
+        else when(col(name).isNotNull,
+          concat(lit(name), lit("_"), col(name).cast("string")))
+          .otherwise(lit(""))
+      case TimeFormat(fmt) =>
+        date_format(NsTime.nsToTimestamp(col(NsTime.TimeColumn)),
+          PartitionTemplate.strftimeToJava(fmt))
+    }: _*)
+}
+
+object PartitionTemplate {
+  /** Minimal strftime -> java.time pattern mapping for the tokens the
+    * reference documents (database_rules.rs:233 examples). Literal text
+    * outside tokens is single-quoted so java.time does not interpret it. */
+  private val tokens = Seq(
+    "%Y" -> "yyyy", "%m" -> "MM", "%d" -> "dd",
+    "%H" -> "HH", "%M" -> "mm", "%S" -> "ss",
+    "%j" -> "DDD", "%b" -> "MMM", "%%" -> "'%'")
+
+  def strftimeToJava(fmt: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      tokens.find { case (t, _) => fmt.startsWith(t, i) } match {
+        case Some((t, j)) => sb ++= j; i += t.length
+        case None =>
+          val c = fmt.charAt(i)
+          if (c.isLetter) sb ++= s"'$c'" else sb += c
+          i += 1
+      }
+    }
+    sb.toString
+  }
+}
