@@ -481,6 +481,15 @@ object QueriesCore {
           AND epoch_ns(ts) >= $T0 AND epoch_ns(ts) < $T1
         ORDER BY field""")),
 
+    ("rpc_series_cardinality",
+      (s, d) => {
+        import s.implicits._
+        Seq(InfluxRpc.seriesCardinality(eventsTagged(s, d),
+          RpcPredicate().withRange(T0, T1))).toDF("n_series")
+      },
+      Some(s"""SELECT count(DISTINCT (event_type, CAST(user_id AS VARCHAR))) AS n_series
+        FROM events WHERE epoch_ns(ts) >= $T0 AND epoch_ns(ts) < $T1""")),
+
     ("rpc_table_names",
       (s, d) => {
         import s.implicits._

@@ -99,6 +99,22 @@ object InfluxRpc {
       .orderBy("field")
   }
 
+  /** read_series_cardinality: number of distinct series (tag-set
+    * combinations) passing the predicate. The reference declares but never
+    * implements this (service.rs:560); completed here. Exact mode is a
+    * distinct count over the tag struct; estimate mode uses HyperLogLog++
+    * (`approx_count_distinct`), the right tool at 100 TB where an exact
+    * distinct of billions of series would shuffle them all. */
+  def seriesCardinality(df: DataFrame, pred: RpcPredicate,
+      exact: Boolean = true, rsd: Double = 0.05): Long = {
+    val ts = tags(df)
+    require(ts.nonEmpty, "table has no tag columns")
+    val series = struct(ts.sorted.map(col): _*)
+    val agg = if (exact) count_distinct(series)
+      else approx_count_distinct(series, rsd)
+    pred.applyTo(df).agg(agg).head().getLong(0)
+  }
+
   // ------------------------------------------------------------ data ops
 
   /** read_filter: raw series rows (tags..., fields..., time) ordered so

@@ -120,6 +120,15 @@ class InfluxRpcSpec extends SparkSpec {
     assert(notMatch == Set("Boston"))
   }
 
+  test("seriesCardinality: exact and HLL estimate agree at small scale") {
+    val exact = InfluxRpc.seriesCardinality(h2o, RpcPredicate())
+    assert(exact == 4) // (CA,LA) (CA,SF) (MA,Boston) (MA,null)
+    val est = InfluxRpc.seriesCardinality(h2o, RpcPredicate(), exact = false)
+    assert(est == 4) // HLL is exact at tiny cardinality
+    assert(InfluxRpc.seriesCardinality(h2o,
+      RpcPredicate().withRange(0, 150)) == 1)
+  }
+
   test("toFrames emits series + points frame pairs with synthetic keys") {
     val frames = InfluxRpc.toFrames(
       InfluxRpc.toSeriesSet(InfluxRpc.readFilter(h2o, RpcPredicate()), Seq("temp")),
