@@ -53,9 +53,13 @@ object TextFunctions {
 
   /** Stable 60-bit token hash shared with the DuckDB oracle: first 15 hex
     * chars of md5, parsed base-16. (Spark's murmur `hash()` has no DuckDB
-    * twin; md5 is identical everywhere.) */
+    * twin; md5 is identical everywhere.) Computed by the native
+    * [[Hash60Expr]] — bit-identical to the composed
+    * conv(substring(md5(..),1,15),16,10) form, minus its three string
+    * allocations per call. */
   def hash60(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.graft.ColumnBridge.fromExpr(
+      Hash60Expr(org.apache.spark.sql.graft.ColumnBridge.toExpr(c.cast("string"))))
 
   /** Deterministic document fingerprint: 60-bit hash of normalized text.
     * Plays the role of content-defined fingerprinting for exact dedup. */

@@ -28,6 +28,17 @@ class PipelineSpec extends SparkSpec {
     assert(row.getAs[Long]("fp") == fp2)
   }
 
+  test("native hash60 is bit-identical to the composed md5/conv form") {
+    val samples = Seq("", "a", "hello world", "ünïcødé ∆", "x" * 500,
+      "the quick brown fox")
+    val df = samples.toDF("s")
+    val got = df.select(TF.hash60($"s")).as[Long].collect().toSeq
+    val ref = df.select(
+      conv(substring(md5($"s".cast("string")), 1, 15), 16, 10).cast("long"))
+      .as[Long].collect().toSeq
+    assert(got == ref)
+  }
+
   test("shingles: 0/1/2-token documents yield empty arrays, not errors") {
     val df = Seq((0L, ""), (1L, "solo"), (2L, "two tokens"), (3L, "now three tokens"))
       .toDF("doc_id", "text")
