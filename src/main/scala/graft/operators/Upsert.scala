@@ -65,6 +65,23 @@ object Upsert {
     graft.core.IoxSchema.mergeUnion(parts)
   }
 
+  /** Overlap-aware scan over compacted chunk DIRECTORIES: each chunk's
+    * time range comes from its stats sidecar (no data read for planning),
+    * compacted chunks are self-clean by construction (dedup+sort on
+    * write), and a chunk with no sidecar pessimistically overlaps
+    * everything. This is the reference's provider flow end-to-end:
+    * chunk metadata -> overlap groups -> clean scans ∪ dedup scans. */
+  def scanChunks(spark: org.apache.spark.sql.SparkSession,
+      chunkPaths: Seq[String], pkCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val chunks = chunkPaths.map { p =>
+      val range = graft.sources.StatsCatalog.load(spark, p)
+        .map(st => (st.timeMin, st.timeMax))
+        .getOrElse((Long.MinValue, Long.MaxValue)) // unknown: overlaps all
+      (spark.read.parquet(p), range, true)
+    }
+    scanWithDedup(chunks, pkCols)
+  }
+
   /** Interval-overlap grouping over per-chunk [min, max] primary-key
     * statistics: only chunks whose PK ranges overlap can hold duplicates of
     * each other, so everything else scans clean with no dedup cost

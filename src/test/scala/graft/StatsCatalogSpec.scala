@@ -72,6 +72,26 @@ class StatsCatalogSpec extends SparkSpec {
     assert(none.isEmpty)
   }
 
+  test("scanChunks plans dedup from sidecar ranges alone") {
+    val tmp = Files.createTempDirectory("graft-chunks").toString
+    // chunk A: t 10..20 ; chunk B: t 15..30 (overlaps A); chunk C: t 100
+    LineProtocol.ingest(spark, Seq("m,host=a v=1.0 10", "m,host=b v=2.0 20"))("m")
+      .write.parquet(s"$tmp/rawA")
+    LineProtocol.ingest(spark, Seq("m,host=b v=9.0 20", "m,host=c v=3.0 30"))("m")
+      .write.parquet(s"$tmp/rawB")
+    LineProtocol.ingest(spark, Seq("m,host=z v=7.0 100"))("m")
+      .write.parquet(s"$tmp/rawC")
+    for (c <- Seq("A", "B", "C"))
+      Ingest.compact(spark, s"$tmp/raw$c", s"$tmp/chunk$c", Seq("host", "time"))
+
+    val out = graft.operators.Upsert.scanChunks(spark,
+      Seq(s"$tmp/chunkA", s"$tmp/chunkB", s"$tmp/chunkC"), Seq("host", "time"))
+    val rows = out.orderBy("host", "time")
+      .select("host", "v").as[(String, Double)].collect().toSeq
+    // (b,20) deduped with later chunk B winning; chunk C scans clean
+    assert(rows == Seq(("a", 1.0), ("b", 9.0), ("c", 3.0), ("z", 7.0)))
+  }
+
   test("capped tags are excluded from metadata-only answering") {
     val df = (1 to 50).map(i => (s"t$i", i.toLong, 1.0)).toDF("host", "time", "v")
     val st = StatsCatalog.compute(df, tagCols = Seq("host"), cap = 10)

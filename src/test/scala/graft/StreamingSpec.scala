@@ -53,6 +53,34 @@ class StreamingSpec extends SparkSpec {
     assert(compacted.count() == 2)
   }
 
+  test("checkpointed ingest replays exactly once across restarts") {
+    // the reference rebuilds MUB state from the write buffer on restart
+    // (perform_replay, db.rs:518); Structured Streaming checkpoints give
+    // the same exactly-once property: re-running the query must not
+    // re-ingest already-committed input
+    val tmp = Files.createTempDirectory("graft-replay").toString
+    val srcDir = s"$tmp/src"; val outDir = s"$tmp/table"; val ck = s"$tmp/ck"
+    new java.io.File(srcDir).mkdirs()
+    val schema = LineProtocol.inferSchema(
+      LineProtocol.parseLines(Seq("cpu,host=a user=1.0 1")).toSeq)
+    def runOnce(): Unit = {
+      val parsed = Ingest.parseStream(
+        spark.readStream.text(srcDir).as[String], "cpu", schema)
+      val q = Ingest.startPersist(parsed, outDir, ck)
+      q.awaitTermination(60000)
+    }
+    Files.writeString(java.nio.file.Paths.get(s"$srcDir/b1.txt"),
+      "cpu,host=a user=1.0 86400000000005\ncpu,host=b user=2.0 86400000000006")
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == 2)
+    Files.writeString(java.nio.file.Paths.get(s"$srcDir/b2.txt"),
+      "cpu,host=c user=3.0 86400000000007")
+    runOnce()
+    val rows = spark.read.parquet(outDir)
+    assert(rows.count() == 3) // b1 NOT re-ingested
+    assert(rows.select("host").as[String].collect().toSet == Set("a", "b", "c"))
+  }
+
   test("streaming window counts finalize once the watermark passes") {
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)](
       spark)
