@@ -449,6 +449,27 @@ object QueriesCore {
         FROM events WHERE epoch_ns(ts) >= $T0 AND epoch_ns(ts) < $T1
         GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // offset month-grid: the oracle re-derives months-since-epoch floor
+    // arithmetic independently, a true differential test of the
+    // MonthWindowStop Catalyst expression (offset shifts the grid)
+    ("rpc_window_agg_quarters_offset",
+      (s, d) => InfluxRpc.readWindowAggregateMonths(ordersTagged(s, d),
+          RpcPredicate(), AggKind.Count, everyMonths = 3, offsetMonths = 1)
+        .select(col("prio"), col("time"), col("price").as("n")),
+      Some("""WITH m AS (SELECT o_orderpriority AS prio, o_totalprice,
+          (date_part('year', o_orderdate) - 1970) * 12
+            + date_part('month', o_orderdate) - 1 AS mi
+          FROM orders),
+        b AS (SELECT prio, o_totalprice,
+          ((mi - 1 - (CASE WHEN (mi - 1) % 3 < 0 THEN (mi - 1) % 3 + 3
+                           ELSE (mi - 1) % 3 END)) // 3 + 1) * 3 + 1 AS stop_mi
+          FROM m)
+        SELECT prio, epoch_ns(make_timestamp(
+            CAST(stop_mi // 12 + 1970 AS BIGINT), CAST(stop_mi % 12 + 1 AS BIGINT),
+            1, 0, 0, 0.0)) AS time,
+          CAST(count(o_totalprice) AS BIGINT) AS n
+        FROM b GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     ("rpc_tag_values",
       (s, d) => InfluxRpc.tagValues(eventsTagged(s, d), "event_type",
         RpcPredicate().withRange(T0, T1)),
