@@ -47,17 +47,27 @@ object Upsert {
     * selfClean) triples; selfClean=false means the chunk may contain
     * internal duplicates and needs dedup even when it overlaps nothing
     * (the reference's may_contain_pk_duplicates, query/src/lib.rs:83).
-    * Arrival order across chunks follows the given chunk order. */
+    * Arrival order across chunks follows the given chunk order; WITHIN a
+    * chunk it matters only when the chunk self-duplicates — such chunks
+    * must carry an `__arrival` row-order column (the reference gets the
+    * same ordering from its order-preserving chunk streams,
+    * provider.rs:510), which composes below the chunk index. */
+  val ArrivalCol = "__arrival"
+
   def scanWithDedup(chunks: Seq[(DataFrame, (Long, Long), Boolean)],
       pkCols: Seq[String], seqCol: String = "__seq"): DataFrame = {
     require(chunks.nonEmpty, "no chunks")
     val groups = overlapGroups(chunks.map(_._2))
     val parts = groups.map { g =>
       val members = g.sorted.map(chunks)
-      if (members.size == 1 && members.head._3) members.head._1
+      if (members.size == 1 && members.head._3)
+        members.head._1.drop(ArrivalCol)
       else {
         val tagged = members.zipWithIndex.map { case ((df, _, _), i) =>
-          df.withColumn(seqCol, lit(i.toLong))
+          val base = i.toLong << 32
+          if (df.columns.contains(ArrivalCol))
+            df.withColumn(seqCol, lit(base) + col(ArrivalCol)).drop(ArrivalCol)
+          else df.withColumn(seqCol, lit(base))
         }
         dedup(graft.core.IoxSchema.mergeUnion(tagged), pkCols, seqCol)
       }
