@@ -90,15 +90,23 @@ object DocDedup {
   /** LSH candidate pairs: equal signature slice in >= 1 band. One row per
     * (doc, band) via a single explode — NOT a `bands`-way union, which
     * would recompute the signature pipeline once per band — then bucket
-    * members are collected and expanded to pairs. */
-  def lshCandidates(sigs: DataFrame, idCol: String, p: MinHashParams): DataFrame = {
+    * members are collected and expanded to pairs.
+    *
+    * `maxBucket` bounds the per-bucket pair expansion (quadratic in
+    * bucket size): a bucket beyond it means the band hash degenerated
+    * (e.g. empty documents sharing an all-identical signature slice) and
+    * its pairs would be noise at quadratic cost, so it is dropped —
+    * standard LSH practice and the difference between bounded memory and
+    * one executor materializing billions of structs at corpus scale. */
+  def lshCandidates(sigs: DataFrame, idCol: String, p: MinHashParams,
+      maxBucket: Int = 10000): DataFrame = {
     val bandKeys = (0 until p.bands).map { b =>
       val cols = (b * p.rowsPerBand until (b + 1) * p.rowsPerBand).map(i => col(s"mh_$i"))
       md5(concat_ws(",", lit(b.toString) +: cols: _*))
     }
     sigs.select(col(idCol), explode(array(bandKeys: _*)).as("bucket"))
       .groupBy("bucket").agg(sort_array(collect_list(col(idCol))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
       .select(explode(pairExpand(col("ids"))((x, y) =>
         struct(x.as("id1"), y.as("id2")))).as("p"))
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
@@ -211,7 +219,7 @@ object DocDedup {
     * 15-bit quarter by pigeonhole), verify hamming inside buckets. The
     * signature is computed once per doc; quarters explode from it. */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, maxBucket: Int = 10000): DataFrame = {
     val sigs = docs.select(col(idCol), simHash(col(textCol)).as("sig"))
     val quarterKeys = (0 until 4).map { q =>
       concat_ws(":", lit(q.toString),
@@ -220,7 +228,7 @@ object DocDedup {
     sigs.select(col(idCol), col("sig"), explode(array(quarterKeys: _*)).as("bucket"))
       .groupBy("bucket")
       .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("sig")))).as("xs"))
-      .filter(size(col("xs")) > 1)
+      .filter(size(col("xs")) > 1 && size(col("xs")) <= maxBucket)
       .select(explode(pairExpand(col("xs"))((x, y) =>
         struct(x.getField("id").as("id1"), y.getField("id").as("id2"),
           hamming(x.getField("sig"), y.getField("sig")).as("dist")))).as("p"))
