@@ -329,7 +329,7 @@ object QueriesCore {
       (s, d) => InfluxRpc.readGroup(
           eventsTagged(s, d).drop("event_id", "user_tag", "user_id"),
           RpcPredicate(), AggKind.Last)
-        .select("event_type", "value", "time"),
+        .select(col("event_type"), col("value"), col("time_value").as("time")),
       Some("""SELECT event_type, arg_max(value, epoch_ns(ts)) AS value,
         max(epoch_ns(ts)) AS time
         FROM events GROUP BY 1 ORDER BY 1""")),
@@ -338,19 +338,20 @@ object QueriesCore {
       (s, d) => InfluxRpc.readGroup(
           eventsTagged(s, d).drop("event_id", "user_tag", "user_id"),
           RpcPredicate(), AggKind.First)
-        .select("event_type", "value", "time"),
+        .select(col("event_type"), col("value"), col("time_value").as("time")),
       Some("""SELECT event_type, arg_min(value, epoch_ns(ts)) AS value,
         min(epoch_ns(ts)) AS time
         FROM events GROUP BY 1 ORDER BY 1""")),
 
-    // readGroup Min/Max use SELECTOR time semantics: the group's time is
-    // the timestamp OF the selected row (earliest on value ties), matching
-    // the reference's per-field time (influxrpc.rs:1429-1446, selectors.rs)
+    // readGroup Min/Max use SELECTOR time semantics: per-field
+    // time_<field> is the timestamp OF the row that field's selector
+    // picked (earliest on value ties), the reference's exact output shape
+    // (influxrpc.rs:1336-1403, selectors.rs)
     ("rpc_read_group_min",
       (s, d) => InfluxRpc.readGroup(
           eventsTagged(s, d).drop("event_id", "user_tag", "user_id"),
           RpcPredicate().withRange(T0, T1), AggKind.Min)
-        .select("event_type", "value", "time"),
+        .select(col("event_type"), col("value"), col("time_value").as("time")),
       Some(s"""SELECT event_type, value, t AS time FROM (
           SELECT event_type, value, epoch_ns(ts) AS t, row_number() OVER (
             PARTITION BY event_type ORDER BY value ASC, epoch_ns(ts) ASC) AS rn
@@ -361,7 +362,7 @@ object QueriesCore {
       (s, d) => InfluxRpc.readGroup(
           eventsTagged(s, d).drop("event_id", "user_tag", "user_id"),
           RpcPredicate().withRange(T0, T1), AggKind.Max)
-        .select("event_type", "value", "time"),
+        .select(col("event_type"), col("value"), col("time_value").as("time")),
       Some(s"""SELECT event_type, value, t AS time FROM (
           SELECT event_type, value, epoch_ns(ts) AS t, row_number() OVER (
             PARTITION BY event_type ORDER BY value DESC, epoch_ns(ts) ASC) AS rn

@@ -35,8 +35,13 @@ case class PartitionTemplate(parts: Seq[TemplatePart]) {
           concat(lit(name), lit("_"), col(name).cast("string")))
           .otherwise(lit(""))
       case TimeFormat(fmt) =>
-        date_format(NsTime.nsToTimestamp(col(NsTime.TimeColumn)),
-          PartitionTemplate.strftimeToJava(fmt))
+        // null time -> BLANK part, separators kept (same contract as a
+        // missing column value); bare date_format would return NULL and
+        // concat_ws would silently drop the part AND its separator.
+        coalesce(
+          date_format(NsTime.nsToTimestamp(col(NsTime.TimeColumn)),
+            PartitionTemplate.strftimeToJava(fmt)),
+          lit(""))
     }: _*)
 }
 

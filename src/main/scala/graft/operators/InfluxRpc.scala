@@ -138,13 +138,13 @@ object InfluxRpc {
 
   /** read_group: grouped aggregate per series group. Groups by
     * `groupCols` first then remaining tags (prefix reorder,
-    * influxrpc.rs:1265-1313); aggregates every field. The `time` column:
-    * Sum/Count/Mean emit max(time) (window end, influxrpc.rs:1406-1423);
-    * First/Last/Min/Max are SELECTORS in the reference (influxrpc.rs:1429-
-    * 1446, func/selectors.rs) — their time is the timestamp OF the selected
-    * row. With multiple fields the selected rows differ per field, so the
-    * selector time follows the FIRST field, matching the reference's
-    * per-field `time_<field>` for the primary field.
+    * influxrpc.rs:1265-1313); aggregates every field. Output shape follows
+    * the reference's AggExprs::try_new (influxrpc.rs:1336-1403) exactly:
+    * Sum/Count/Mean emit `<field>...` plus ONE `time` = max(time) (window
+    * end, influxrpc.rs:1406-1423); First/Last/Min/Max are SELECTORS
+    * (influxrpc.rs:1429-1446, func/selectors.rs) and emit, PER FIELD, the
+    * selected value `<field>` and `time_<field>` — the timestamp OF the
+    * row that field's selector picked, which differs across fields.
     */
   def readGroup(df: DataFrame, pred: RpcPredicate, agg: AggKind,
       groupCols: Seq[String] = Nil): DataFrame = {
@@ -162,17 +162,25 @@ object InfluxRpc {
       case AggKind.First => Selectors.firstValue(col(f), time)
       case AggKind.Last => Selectors.lastValue(col(f), time)
     }
-    val timeExpr = agg match {
-      case AggKind.Min => Selectors.minTime(col(fs.head), time)
-      case AggKind.Max => Selectors.maxTime(col(fs.head), time)
-      case AggKind.First => Selectors.firstTime(col(fs.head), time)
-      case AggKind.Last => Selectors.lastTime(col(fs.head), time)
-      case _ => max(time)
+    def selectorTime(f: String): Column = agg match {
+      case AggKind.Min => Selectors.minTime(col(f), time)
+      case AggKind.Max => Selectors.maxTime(col(f), time)
+      case AggKind.First => Selectors.firstTime(col(f), time)
+      case AggKind.Last => Selectors.lastTime(col(f), time)
+      case _ => throw new IllegalStateException(s"$agg is not a selector")
     }
+    val isSelector = agg match {
+      case AggKind.First | AggKind.Last | AggKind.Min | AggKind.Max => true
+      case _ => false
+    }
+    val aggCols: Seq[Column] =
+      if (isSelector)
+        fs.flatMap(f => Seq(aggExpr(f).as(f),
+          selectorTime(f).as(s"${NsTime.TimeColumn}_$f")))
+      else fs.map(f => aggExpr(f).as(f)) :+ max(time).as(NsTime.TimeColumn)
     pred.applyTo(df)
       .groupBy(grouping.map(col): _*)
-      .agg(aggExpr(fs.head).as(fs.head),
-        fs.tail.map(f => aggExpr(f).as(f)) :+ timeExpr.as(NsTime.TimeColumn): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
       .orderBy(grouping.map(col): _*)
   }
 

@@ -63,11 +63,18 @@ object Upsert {
       if (members.size == 1 && members.head._3)
         members.head._1.drop(ArrivalCol)
       else {
+        // Arrival = struct(chunkIdx, withinChunkArrival): struct ordering is
+        // lexicographic, so chunk order always dominates and NO bound on the
+        // within-chunk arrival value is assumed (monotonically_increasing_id
+        // emits partitionIdx << 33 | rowNumber, far beyond 32 bits — a packed
+        // `(i << 32) + arrival` long would overflow across chunk slots).
         val tagged = members.zipWithIndex.map { case ((df, _, _), i) =>
-          val base = i.toLong << 32
-          if (df.columns.contains(ArrivalCol))
-            df.withColumn(seqCol, lit(base) + col(ArrivalCol)).drop(ArrivalCol)
-          else df.withColumn(seqCol, lit(base))
+          val arrival =
+            if (df.columns.contains(ArrivalCol)) col(ArrivalCol).cast("long")
+            else lit(0L)
+          df.withColumn(seqCol,
+              struct(lit(i).as("chunk"), arrival.as("arrival")))
+            .drop(ArrivalCol)
         }
         dedup(graft.core.IoxSchema.mergeUnion(tagged), pkCols, seqCol)
       }

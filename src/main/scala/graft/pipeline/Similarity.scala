@@ -31,6 +31,15 @@ object Similarity {
     df.select(Seq(col(idCol), asDouble(col(vecCol)).as(outVec)) ++ extra: _*)
       .withColumn(outNorm, sqrt(dot(col(outVec), col(outVec))))
 
+  /** Cosine from a precomputed dot and two norms, null-safe for zero-norm
+    * vectors: under ANSI SQL (Spark 4 default) `x / 0.0` THROWS rather
+    * than returning NULL, so the denominator is guarded — a zero-norm
+    * vector has no direction, scores NULL, and ranks nowhere (rankTopK
+    * and threshold filters both drop nulls). Identical float expression
+    * order to the unguarded `dot / (na * nb)` for every non-zero pair. */
+  private def cosExpr(dotCol: Column, na: Column, nb: Column): Column =
+    when(na * nb =!= 0.0, dotCol / (na * nb))
+
   /** Rank the scored candidates: top-k rows per group via the bounded
     * [[graft.functions.TopK]] aggregate — partial aggregation means each
     * map task ships at most k rows per group, so a handful of query groups
@@ -39,7 +48,12 @@ object Similarity {
     * exactly (score desc, id asc ties). */
   private def rankTopK(scored: DataFrame, k: Int, groupCol: String,
       scoreCol: String, idCol: String): DataFrame =
-    scored.groupBy(col(groupCol))
+    // Null scores (e.g. a zero-norm vector: x/0 is NULL in Spark SQL, even
+    // for doubles) would hit TopK's non-nullable input encoder; the window
+    // formulation this replaced ranked them last, i.e. never in the top-k
+    // for any k < group size — dropping them up front is the same answer.
+    scored.filter(col(scoreCol).isNotNull)
+      .groupBy(col(groupCol))
       .agg(graft.functions.TopK.topK(k)(col(scoreCol), col(idCol)).as("tk"))
       .select(col(groupCol), posexplode(col("tk")).as(Seq("pos", "s")))
       .select(col(groupCol), col("s.id").as("neighbor_id"),
@@ -55,7 +69,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col(idCol) =!= col(qIdCol))
       .select(col(qIdCol), col(idCol),
-        (dot(col("__e"), col("__qe")) / (col("__n") * col("__qn"))).as("cos"))
+        cosExpr(dot(col("__e"), col("__qe")), col("__n"), col("__qn")).as("cos"))
     rankTopK(scored, k, qIdCol, "cos", idCol)
   }
 
@@ -73,7 +87,7 @@ object Similarity {
     val cent = normed(centroids, cIdCol, cVecCol, "__ce", "__cn")
     c.crossJoin(broadcast(cent))
       .withColumn("aff",
-        dot(col("__e"), col("__ce")) / (col("__n") * col("__cn")))
+        cosExpr(dot(col("__e"), col("__ce")), col("__n"), col("__cn")))
       .groupBy(col(idCol))
       .agg(first(col("__e")).as("__e"), first(col("__n")).as("__n"),
         max(struct(col("aff").as("a"), (-col(cIdCol)).as("nc"))).as("m"))
@@ -95,14 +109,14 @@ object Similarity {
     val probes = rankTopK(
       q.crossJoin(broadcast(cent))
         .select(col(qIdCol), col("c_id").as("__cid"),
-          (dot(col("__qe"), col("__ce")) / (col("__qn") * col("__cn"))).as("aff")),
+          cosExpr(dot(col("__qe"), col("__ce")), col("__qn"), col("__cn")).as("aff")),
       nprobe, qIdCol, "aff", "__cid")
       .select(col(qIdCol), col("neighbor_id").as("c_id"))
       .join(q, qIdCol)
     val scored = assigned.join(broadcast(probes), "c_id")
       .filter(col(idCol) =!= col(qIdCol))
       .select(col(qIdCol), col(idCol),
-        (dot(col("__e"), col("__qe")) / (col("__n") * col("__qn"))).as("cos"))
+        cosExpr(dot(col("__e"), col("__qe")), col("__n"), col("__qn")).as("cos"))
     rankTopK(scored, k, qIdCol, "cos", idCol)
   }
 
@@ -138,7 +152,7 @@ object Similarity {
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
       .withColumn("cos",
-        dot(col("a.__e"), col("b.__e")) / (col("a.__n") * col("b.__n")))
+        cosExpr(dot(col("a.__e"), col("b.__e")), col("a.__n"), col("b.__n")))
       .filter(col("cos") >= threshold)
       .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"), col("cos"))
   }

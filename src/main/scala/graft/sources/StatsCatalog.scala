@@ -38,23 +38,43 @@ object StatsCatalog {
       tagValues: Map[String, Seq[String]],
       cappedTags: Seq[String])
 
-  /** One aggregation pass over the table: count, time bounds, per-tag
-    * distinct sets (sorted, capped at `cap+1` to detect overflow).
+  /** Count, time bounds, per-tag distinct sets (sorted, capped at `cap+1`
+    * to detect overflow). Two bounded-memory passes: pass 1 estimates each
+    * tag's cardinality with HyperLogLog++ (constant-size buffers); only
+    * tags plausibly under the cap get a `collect_set` in pass 2 —
+    * `collect_set` materializes the FULL distinct set in its aggregation
+    * buffer before any slice, so a 10⁹-cardinality tag would otherwise OOM
+    * an executor at exactly the scale the cap exists to flag. The 2×
+    * margin covers HLL underestimation (rsd 5%); tags that squeak past the
+    * estimate still get an exact capped/not-capped verdict from the
+    * `cap+1`-sliced set, with buffer memory bounded by ~2×cap values.
+    * Stats run at compaction time, so the extra scan is off the query path.
     * `tagCols` defaults to the schema's category metadata; pass explicitly
     * for frames that lost metadata in a parquet round-trip. */
   def compute(df: DataFrame, tagCols: Seq[String] = Nil, cap: Int = 10000): TableStats = {
     val tags = if (tagCols.nonEmpty) tagCols else IoxSchema.tagColumns(df.schema)
     val time = col(NsTime.TimeColumn)
-    val aggs = Seq(count(lit(1)).as("__n"), min(time).as("__tmin"), max(time).as("__tmax")) ++
-      tags.map(t => slice(sort_array(collect_set(col(t))), 1, cap + 1).as(s"__tag_$t"))
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
-    val tagVals = tags.map(t => t -> row.getSeq[String](row.fieldIndex(s"__tag_$t"))).toMap
+    val preAggs = Seq(count(lit(1)).as("__n"), min(time).as("__tmin"), max(time).as("__tmax")) ++
+      tags.map(t => approx_count_distinct(col(t), 0.05).as(s"__est_$t"))
+    val pre = df.agg(preAggs.head, preAggs.tail: _*).head()
+    val (collectable, overCap) = tags.partition(t =>
+      pre.getLong(pre.fieldIndex(s"__est_$t")) <= 2L * cap)
+    val tagVals: Map[String, Seq[String]] =
+      if (collectable.isEmpty) Map.empty
+      else {
+        val aggs = collectable.map(t =>
+          slice(sort_array(collect_set(col(t))), 1, cap + 1).as(s"__tag_$t"))
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        collectable.map(t => t -> row.getSeq[String](row.fieldIndex(s"__tag_$t"))).toMap
+      }
     TableStats(
-      rowCount = row.getLong(0),
-      timeMin = if (row.isNullAt(1)) 0L else row.getLong(1),
-      timeMax = if (row.isNullAt(2)) 0L else row.getLong(2),
-      tagValues = tagVals.map { case (t, vs) => t -> vs.take(cap) },
-      cappedTags = tagVals.collect { case (t, vs) if vs.size > cap => t }.toSeq)
+      rowCount = pre.getLong(0),
+      timeMin = if (pre.isNullAt(1)) 0L else pre.getLong(1),
+      timeMax = if (pre.isNullAt(2)) 0L else pre.getLong(2),
+      tagValues = tagVals.map { case (t, vs) => t -> vs.take(cap) } ++
+        overCap.map(t => t -> Seq.empty[String]),
+      cappedTags = (tagVals.collect { case (t, vs) if vs.size > cap => t } ++
+        overCap).toSeq.sorted)
   }
 
   /** Sidecar IO goes through the Hadoop FileSystem API, so it works on

@@ -82,10 +82,28 @@ class InfluxRpcSpec extends SparkSpec {
     val last = InfluxRpc.readGroup(sel, RpcPredicate(), AggKind.Last)
       .collect().map(r => r.getAs[String]("host") -> r.getAs[Double]("v")).toMap
     assert(last == Map("a" -> 0.5, "b" -> 9.0))
-    // First also labels the group's time with min(time)
+    // First labels the per-field time_v with min(time)
     val ft = InfluxRpc.readGroup(sel, RpcPredicate(), AggKind.First)
-      .collect().map(r => r.getAs[String]("host") -> r.getAs[Long]("time")).toMap
+      .collect().map(r => r.getAs[String]("host") -> r.getAs[Long]("time_v")).toMap
     assert(ft == Map("a" -> 10L, "b" -> 10L))
+  }
+
+  test("readGroup selectors: per-field time_<field> tracks each field's row") {
+    // two fields whose extremes sit on DIFFERENT rows: the reference emits
+    // time_<field> per field (influxrpc.rs:1336-1403), not one shared time
+    val sel = LineProtocol.ingest(spark, Seq(
+      "m2,host=a x=1.0,y=9.0 10",
+      "m2,host=a x=5.0,y=2.0 20",
+      "m2,host=a x=3.0,y=4.0 30"))("m2")
+    val mx = InfluxRpc.readGroup(sel, RpcPredicate(), AggKind.Max).collect()
+    assert(mx.length == 1)
+    val r = mx.head
+    assert(r.getAs[Double]("x") == 5.0 && r.getAs[Long]("time_x") == 20L)
+    assert(r.getAs[Double]("y") == 9.0 && r.getAs[Long]("time_y") == 10L)
+    assert(!mx.head.schema.fieldNames.contains("time"))
+    // non-selector aggregates keep the single max(time) column
+    val sm = InfluxRpc.readGroup(sel, RpcPredicate(), AggKind.Sum).collect().head
+    assert(sm.getAs[Long]("time") == 30L)
   }
 
   test("readWindowAggregate: stop-bound buckets") {

@@ -27,6 +27,20 @@ class PartitionTemplateSpec extends SparkSpec {
     assert(keys == Seq("-cpu"))
   }
 
+  test("null time renders a blank part with separators kept") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("host", StringType), StructField("time", LongType)))
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("a", null))), schema)
+    val tpl = PartitionTemplate(Seq(Table, TimeFormat("%Y-%m"), ColumnValue("host")))
+    val keys = d.withColumn("k", tpl.keyColumn("cpu", d.schema))
+      .select("k").as[String].collect().toSeq
+    // blank time part, BOTH separators kept — same contract as blank columns
+    assert(keys == Seq("cpu--host_a"))
+  }
+
   test("strftime translation covers documented tokens") {
     assert(PartitionTemplate.strftimeToJava("%Y-%m-%d %H:%M:%S") ==
       "yyyy-MM-dd HH:mm:ss")

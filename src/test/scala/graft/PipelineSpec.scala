@@ -117,6 +117,18 @@ class PipelineSpec extends SparkSpec {
     assert(bf.size == 10)
   }
 
+  test("zero-norm vectors (null cosine) are dropped, not a crash") {
+    // x / 0.0 is NULL in Spark SQL even for doubles; a null score used to
+    // hit TopK's non-nullable input encoder at runtime
+    val corpus = Seq(
+      (1L, Array(1.0f, 0f)), (2L, Array(0f, 1f)), (3L, Array(0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((10L, Array(1.0f, 1f))).toDF("q_id", "q_vec")
+    val got = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L)) // zero-norm id 3 ranked out, same as window form
+  }
+
   test("multimodal plumbing: features and frames are deterministic") {
     val assets = Multimodal.syntheticAssets(spark, docs.limit(30))
     val feats = Multimodal.extractImageFeatures(assets).collect()

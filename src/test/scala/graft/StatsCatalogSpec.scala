@@ -93,9 +93,35 @@ class StatsCatalogSpec extends SparkSpec {
   }
 
   test("capped tags are excluded from metadata-only answering") {
+    // far over cap (50 >> 2*10): the HLL pre-check skips collect_set
+    // entirely — no unbounded aggregation buffer — and marks the tag capped
     val df = (1 to 50).map(i => (s"t$i", i.toLong, 1.0)).toDF("host", "time", "v")
     val st = StatsCatalog.compute(df, tagCols = Seq("host"), cap = 10)
     assert(st.cappedTags == Seq("host"))
+    assert(st.tagValues("host").isEmpty)
+    // capped tags never answer tag_values from metadata
+    val tmp = Files.createTempDirectory("graft-capped").toString
+    StatsCatalog.save(spark, tmp, st)
+    var fell = false
+    StatsCatalog.tagValuesFast(spark, tmp, "host", RpcPredicate()) {
+      fell = true; Seq("x").toDF("value")
+    }
+    assert(fell)
+    // ...but still count as present for tag_keys
+    assert(StatsCatalog.tagKeysFast(spark, tmp, RpcPredicate())(fail("no scan")) ==
+      Seq("host"))
+  }
+
+  test("tags between cap and the HLL margin get an exact capped verdict") {
+    // 15 distinct, cap=10: estimate <= 2*cap so collect_set runs (bounded
+    // by cap+1 slice) and the verdict comes from the exact sliced set
+    val df = (1 to 15).map(i => (f"t$i%02d", i.toLong, 1.0)).toDF("host", "time", "v")
+    val st = StatsCatalog.compute(df, tagCols = Seq("host"), cap = 10)
+    assert(st.cappedTags == Seq("host"))
     assert(st.tagValues("host").size == 10)
+    // and just under the cap: not capped, full value set
+    val st2 = StatsCatalog.compute(df, tagCols = Seq("host"), cap = 20)
+    assert(st2.cappedTags.isEmpty)
+    assert(st2.tagValues("host").size == 15)
   }
 }

@@ -69,6 +69,24 @@ class UpsertSpec extends SparkSpec {
     assert(!clean.queryExecution.optimizedPlan.toString.toLowerCase.contains("aggregate"))
   }
 
+  test("scanWithDedup: chunk order dominates any within-chunk arrival value") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // Earlier chunk carries monotonically_increasing_id-scale arrivals
+    // (partitionIdx << 33 | row), far beyond 32 bits. A packed
+    // (chunkIdx << 32) + arrival long would let chunk 0 outrank chunk 1;
+    // the struct(chunk, arrival) ordering must not.
+    val huge = (5L << 33) | 7L
+    val c1 = df(Seq(Row("a", 1L, 1.0, 1.0, 0L))).drop("seq")
+      .withColumn(Upsert.ArrivalCol, lit(huge))
+    val c2 = df(Seq(Row("a", 1L, 2.0, null, 0L))).drop("seq")
+      .withColumn(Upsert.ArrivalCol, lit(0L))
+    val out = Upsert.scanWithDedup(Seq(
+        (c1, (1L, 1L), false), (c2, (1L, 1L), false)),
+      pkCols = Seq("tag", "time")).collect()
+    // chunk 2 is later: f1 -> 2.0; f2 null in chunk 2 -> keeps 1.0
+    assert(out.toSeq == Seq(Row("a", 1L, 2.0, 1.0)))
+  }
+
   test("overlap grouping (reference overlap.rs:49-239 semantics)") {
     // [1,5] [4,8] overlap; [10,12] alone; [13,20] [14,15] overlap
     val groups = Upsert.overlapGroups(Seq((1L, 5L), (4L, 8L), (10L, 12L), (13L, 20L), (14L, 15L)))
