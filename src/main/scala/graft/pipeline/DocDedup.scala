@@ -40,12 +40,21 @@ object DocDedup {
 
   // ------------------------------------------------------------- helpers
 
-  /** All ordered pairs (i < j) of a sorted array column, one struct per
-    * pair, built with a single pass — used to expand bucket member lists
-    * into candidate pairs without a self-join. */
-  private def pairExpand(xs: Column)(mk: (Column, Column) => Column): Column =
-    flatten(transform(xs, (x, i) =>
-      transform(slice(xs, i + 2, size(xs)), y => mk(x, y))))
+  /** Expand each bucket's sorted member array into all ordered pairs
+    * (i < j) as ROWS, with per-row memory bounded by ONE member list:
+    * posexplode to a row per member, then explode that member's tail
+    * slice. A single flattened pairs-array per bucket would be quadratic
+    * in bucket size inside one row value (a 10⁴-member bucket ≈ 5×10⁷
+    * structs, gigabytes, in one row) — this shape streams the same pairs
+    * through rows the executor can spill. Still one shuffle, no self-join
+    * (the tail slice reuses the collected list). */
+  private def explodePairs(buckets: DataFrame, xs: String)(
+      mk: (Column, Column) => Column): DataFrame =
+    buckets
+      .select(col(xs).as("__xs"), posexplode(col(xs)).as(Seq("__i", "__x")))
+      .select(explode(transform(
+        slice(col("__xs"), col("__i") + lit(2), size(col("__xs"))),
+        y => mk(col("__x"), y))).as("p"))
 
   // ------------------------------------------------------------- minhash
 
@@ -104,11 +113,10 @@ object DocDedup {
       val cols = (b * p.rowsPerBand until (b + 1) * p.rowsPerBand).map(i => col(s"mh_$i"))
       md5(concat_ws(",", lit(b.toString) +: cols: _*))
     }
-    sigs.select(col(idCol), explode(array(bandKeys: _*)).as("bucket"))
+    val buckets = sigs.select(col(idCol), explode(array(bandKeys: _*)).as("bucket"))
       .groupBy("bucket").agg(sort_array(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
-      .select(explode(pairExpand(col("ids"))((x, y) =>
-        struct(x.as("id1"), y.as("id2")))).as("p"))
+    explodePairs(buckets, "ids")((x, y) => struct(x.as("id1"), y.as("id2")))
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .distinct()
   }
@@ -148,51 +156,57 @@ object DocDedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Exact (non-approximate) near-dup pairs. The intersection size per
-    * pair is counted directly from the exploded shingle->ids index (the
-    * pair appears once per shared shingle), so the corpus is shingled once
-    * — no second verification scan, no array_intersect.
+  /** Exact n-gram Jaccard near-dup pairs from a single shingling of the
+    * corpus. |A∩B| is counted as pair multiplicity in the inverted
+    * shingle index (the pair appears once per shared shingle); each doc's
+    * shingle count rides along in the index rows (struct(id, n)) so
+    * |A∪B| = n1 + n2 - inter needs no extra corpus scan.
     *
-    * `maxShingleDf` caps shingle document frequency so stopword-like
-    * shingles don't produce quadratic bucket blowup. When the cap is
-    * active (non-default), capped shingles are excluded from candidate
-    * generation but still counted exactly via verifyJaccard. */
+    * `maxShingleDf` bounds the quadratic bucket expansion: a shingle
+    * shared by d documents contributes d(d-1)/2 index pairs, so one
+    * stopword-like trigram with df 10⁵ would alone emit ~5×10⁹ pair rows.
+    * Buckets over the cap are excluded from pair COUNTING — but exactness
+    * is preserved for every emitted pair: documents containing an
+    * over-cap shingle are marked, and candidate pairs where BOTH ends are
+    * marked (the only pairs whose intersection count could have lost
+    * shared over-cap shingles) are re-verified with a full exact Jaccard
+    * (verifyJaccard) instead of the undercount. The only loss is RECALL
+    * for pairs whose every shared shingle is over-cap — i.e. both docs
+    * built entirely from corpus-hot n-grams, which at a near-dup
+    * threshold means a cluster of >maxShingleDf mutual near-dups
+    * (handle those with exactDedup first). With no over-cap shingles the
+    * marked set is empty and the plan degenerates to pure pair counting. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, maxShingleDf: Int = Int.MaxValue): DataFrame = {
+      n: Int, threshold: Double, maxShingleDf: Int = 5000): DataFrame = {
     val shArr = shingles(col(textCol), n)
-    if (maxShingleDf < Int.MaxValue) {
-      // capped: approximate candidates, exact verify on the survivors
-      val sh = docs.select(col(idCol).as("id"), explode(shArr).as("s"))
-      val cands = sh.groupBy("s").agg(sort_array(collect_list(col("id"))).as("ids"))
-        .filter(size(col("ids")) > 1 && size(col("ids")) <= maxShingleDf)
-        .select(explode(pairExpand(col("ids"))((x, y) =>
-          struct(x.as("id1"), y.as("id2")))).as("p"))
-        .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
-        .distinct()
-      verifyJaccard(docs, cands, idCol, textCol, n)
-        .filter(col("jaccard") >= threshold)
-    } else {
-      // uncapped: |A∩B| = number of shared shingles = pair multiplicity in
-      // the inverted index. Each doc's shingle count rides along in the
-      // index rows (struct(id, n)) so |A∪B| = n1 + n2 - inter needs no
-      // extra corpus scans or joins; the two-step select keeps the shingle
-      // array computed once per doc (explode + size both reference it).
-      val sh = docs.select(col(idCol).as("id"), shArr.as("__sh"))
-        .select(col("id"), explode(col("__sh")).as("s"),
-          size(col("__sh")).as("n"))
-      sh.groupBy("s")
-        .agg(sort_array(collect_list(struct(col("id"), col("n")))).as("xs"))
-        .filter(size(col("xs")) > 1)
-        .select(explode(pairExpand(col("xs"))((x, y) =>
-          struct(x.getField("id").as("id1"), y.getField("id").as("id2"),
-            x.getField("n").as("n1"), y.getField("n").as("n2")))).as("p"))
-        .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"),
-          col("p.n1").as("n1"), col("p.n2").as("n2"))
-        .agg(count(lit(1)).cast("double").as("inter"))
-        .select(col("id1"), col("id2"),
-          (col("inter") / (col("n1") + col("n2") - col("inter"))).as("jaccard"))
-        .filter(col("jaccard") >= threshold)
-    }
+    val sh = docs.select(col(idCol).as("id"), shArr.as("__sh"))
+      .select(col("id"), explode(col("__sh")).as("s"),
+        size(col("__sh")).as("n"))
+    val buckets = sh.groupBy("s")
+      .agg(sort_array(collect_list(struct(col("id"), col("n")))).as("xs"))
+    val counted = explodePairs(
+        buckets.filter(size(col("xs")) > 1 && size(col("xs")) <= maxShingleDf),
+        "xs")((x, y) =>
+        struct(x.getField("id").as("id1"), y.getField("id").as("id2"),
+          x.getField("n").as("n1"), y.getField("n").as("n2")))
+      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"),
+        col("p.n1").as("n1"), col("p.n2").as("n2"))
+      .agg(count(lit(1)).cast("double").as("inter"))
+    // docs whose intersection counts may be missing over-cap shingles
+    val hot = buckets.filter(size(col("xs")) > maxShingleDf)
+      .select(explode(col("xs")).as("x"))
+      .select(col("x.id").as("id")).distinct()
+    val marked = counted
+      .join(hot.select(col("id").as("id1"), lit(true).as("__h1")), Seq("id1"), "left")
+      .join(hot.select(col("id").as("id2"), lit(true).as("__h2")), Seq("id2"), "left")
+    val clean = marked.filter(col("__h1").isNull || col("__h2").isNull)
+      .select(col("id1"), col("id2"),
+        (col("inter") / (col("n1") + col("n2") - col("inter"))).as("jaccard"))
+    val reverified = verifyJaccard(docs,
+      marked.filter(col("__h1").isNotNull && col("__h2").isNotNull)
+        .select(col("id1"), col("id2")),
+      idCol, textCol, n)
+    clean.union(reverified).filter(col("jaccard") >= threshold)
   }
 
   // -------------------------------------------------------------- simhash
@@ -225,13 +239,14 @@ object DocDedup {
       concat_ws(":", lit(q.toString),
         shiftright(col("sig"), q * 15).bitwiseAND(lit(0x7fffL)).cast("string"))
     }
-    sigs.select(col(idCol), col("sig"), explode(array(quarterKeys: _*)).as("bucket"))
+    val buckets = sigs
+      .select(col(idCol), col("sig"), explode(array(quarterKeys: _*)).as("bucket"))
       .groupBy("bucket")
       .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("sig")))).as("xs"))
       .filter(size(col("xs")) > 1 && size(col("xs")) <= maxBucket)
-      .select(explode(pairExpand(col("xs"))((x, y) =>
+    explodePairs(buckets, "xs")((x, y) =>
         struct(x.getField("id").as("id1"), y.getField("id").as("id2"),
-          hamming(x.getField("sig"), y.getField("sig")).as("dist")))).as("p"))
+          hamming(x.getField("sig"), y.getField("sig")).as("dist")))
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"), col("p.dist").as("dist"))
       .distinct()
       .filter(col("dist") <= maxHamming)

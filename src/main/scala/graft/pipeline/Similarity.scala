@@ -143,12 +143,23 @@ object Similarity {
 
   /** All pairs with cosine >= threshold among LSH-bucket collisions.
     * Each vector's norm (and f64 cast) is computed ONCE below the join —
-    * the pair stage is a single dot product per collision. */
+    * the pair stage is a single dot product per collision.
+    *
+    * `maxBucket` bounds the quadratic in-bucket join: with p planes a
+    * bucket holds ~N/2ᵖ of the corpus, so too few planes for the corpus
+    * size degenerates to a near-self-join — buckets beyond the cap are
+    * dropped (their pairs would be mostly sub-threshold noise at
+    * quadratic cost), the same guard DocDedup applies to its LSH/SimHash
+    * buckets. Size the planes so real buckets stay far under the cap. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      planes: Seq[Seq[Double]], threshold: Double): DataFrame = {
-    val b = df.select(col(idCol), asDouble(col(vecCol)).as("__e"),
+      planes: Seq[Seq[Double]], threshold: Double,
+      maxBucket: Int = 10000): DataFrame = {
+    val b0 = df.select(col(idCol), asDouble(col(vecCol)).as("__e"),
         cosineLshBuckets(df, vecCol, planes).as("bucket"))
       .withColumn("__n", sqrt(dot(col("__e"), col("__e"))))
+    val small = b0.groupBy("bucket").count()
+      .filter(col("count") <= maxBucket).drop("count")
+    val b = b0.join(small, Seq("bucket"), "left_semi")
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
       .withColumn("cos",

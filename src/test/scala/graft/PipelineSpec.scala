@@ -80,6 +80,50 @@ class PipelineSpec extends SparkSpec {
     assert(approx == exact)
   }
 
+  test("hot-shingle df cap: bounded expansion, still exact for emitted pairs") {
+    // 60 docs all share one corpus-hot trigram ("the common header"); two
+    // planted near-dup pairs differ in the tail. With maxShingleDf=10 the
+    // hot bucket (df=60 > 10) is excluded from pair counting; both ends of
+    // every candidate are marked hot, so the exact re-verify path computes
+    // the full Jaccard INCLUDING the hot shingle's contribution.
+    val body = (1 to 6).map(i => s"w$i").mkString(" ")
+    val rows = (1L to 56L).map(i =>
+      (i, s"the common header doc$i $body unique$i tail$i")) ++ Seq(
+      (100L, s"the common header $body alpha beta gamma"),
+      (101L, s"the common header $body alpha beta gamma"),    // dup of 100
+      (102L, s"the common header $body delta epsilon zeta"),
+      (103L, s"the common header $body delta epsilon zzz"))   // near 102
+    val df = rows.toDF("doc_id", "text")
+    val got = DocDedup.ngramJaccardPairs(df, "doc_id", "text", n = 3,
+        threshold = 0.5, maxShingleDf = 10)
+      .select($"id1", $"id2", round($"jaccard", 6).as("j"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => ((a, b), j) }.toMap
+    assert(got.contains((100L, 101L)) && got((100L, 101L)) == 1.0)
+    // exact jaccard for (102,103): 10 trigrams each, 9 shared -> 9/11
+    // (hot shingles INCLUDED via re-verify despite the capped index)
+    assert(got((102L, 103L)) == math.round(9.0 / 11.0 * 1e6) / 1e6)
+    // and the result agrees with the uncapped run above threshold
+    val uncapped = DocDedup.ngramJaccardPairs(df, "doc_id", "text", n = 3,
+        threshold = 0.5, maxShingleDf = Int.MaxValue)
+      .select($"id1", $"id2", round($"jaccard", 6).as("j"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => ((a, b), j) }.toMap
+    assert(got == uncapped)
+  }
+
+  test("cosine near-dup LSH drops degenerate buckets beyond maxBucket") {
+    val vecs = (1L to 20L).map(i => (i, Array(1.0f, 0.01f * i))) // one bucket
+    val df = vecs.toDF("vec_id", "embedding")
+    val planes = Similarity.lshPlanes(4, 2)
+    val all = Similarity.cosineNearDupPairs(df, "vec_id", "embedding",
+      planes, threshold = 0.9)
+    assert(all.count() > 0)
+    val guarded = Similarity.cosineNearDupPairs(df, "vec_id", "embedding",
+      planes, threshold = 0.9, maxBucket = 5)
+    assert(guarded.count() == 0) // every bucket over the cap was dropped
+  }
+
   test("simhash: near-identical docs collide, distinct docs don't") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
