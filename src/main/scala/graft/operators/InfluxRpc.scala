@@ -245,26 +245,44 @@ object InfluxRpc {
 
   /** Sorted rows -> one Series per (tag-combination, field) — the
     * reference's SeriesSetConverter (query/src/exec/seriesset.rs:76-140)
-    * walks sorted batches finding contiguous tag runs; in Spark the same
-    * contract is a groupByKey over the tag tuple with points sorted inside
-    * each group. Runs distributed; one shuffle on the series key.
+    * walks sorted batches detecting contiguous tag runs; same shape here:
+    * repartition on the tag tuple, sortWithinPartitions (Spark's
+    * spillable external sort — a hot series never has to fit in an
+    * in-memory sort buffer, unlike a flatMapGroups
+    * `rows.toSeq.sortBy`), then a run-detecting iterator over each
+    * sorted partition. One shuffle on the series key; only the ONE series
+    * currently being assembled is buffered, matching the reference's
+    * streaming converter.
     */
   def toSeriesSet(df: DataFrame, fieldCols: Seq[String]): Dataset[Series] = {
     val spark = df.sparkSession
     import spark.implicits._
     val tagCols = tags(df)
+    // tag values ride as an ARRAY (orderable, unlike MapType) in tagCols
+    // order; the map is rebuilt per series, not per row
     df.select(
-        map(tagCols.flatMap(t => Seq(lit(t), col(t).cast("string"))): _*).as("tags"),
+        array(tagCols.map(t => col(t).cast("string")): _*).as("tv"),
         time.as("t"),
         array(fieldCols.map(f => coalesce(col(f).cast("double"), lit(Double.NaN))): _*).as("vals"))
-      .as[(Map[String, String], Long, Seq[Double])]
-      .groupByKey(_._1)
-      .flatMapGroups { (tagsKey, rows) =>
-        val pts = rows.map(r => (r._2, r._3)).toSeq.sortBy(_._1)
-        fieldCols.zipWithIndex.map { case (f, i) =>
-          Series(tagsKey, f,
-            pts.collect { case (t, vs) if !vs(i).isNaN => SeriesPoint(t, vs(i)) })
-        }
+      .repartition(col("tv"))
+      .sortWithinPartitions(col("tv"), col("t"))
+      .as[(Seq[String], Long, Seq[Double])]
+      .mapPartitions { it =>
+        val rows = it.buffered
+        new Iterator[Seq[Series]] {
+          override def hasNext: Boolean = rows.hasNext
+          override def next(): Seq[Series] = {
+            val key = rows.head._1
+            val pts = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double])]
+            while (rows.hasNext && rows.head._1 == key)
+              { val r = rows.next(); pts += ((r._2, r._3)) }
+            val tagsKey = tagCols.zip(key).toMap
+            fieldCols.zipWithIndex.map { case (f, i) =>
+              Series(tagsKey, f,
+                pts.collect { case (t, vs) if !vs(i).isNaN => SeriesPoint(t, vs(i)) }.toSeq)
+            }
+          }
+        }.flatten
       }
   }
 }

@@ -125,6 +125,30 @@ class InfluxRpcSpec extends SparkSpec {
     assert(la.field == "temp" && la.points.map(_.value) == Seq(90.0))
   }
 
+  test("toSeriesSet: skewed series assemble sorted without group buffering") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit => flit}
+    // one hot series (host=hot, 5k points shuffled across 8 partitions)
+    // next to small ones; points must come back time-sorted and complete
+    val rows = scala.util.Random.shuffle(
+      (1 to 5000).map(i => ("hot", i.toLong, i.toDouble)) ++
+        (1 to 3).map(i => ("cold", i.toLong * 10, -i.toDouble)))
+    val df0 = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 8)).toDF("host", "time", "v")
+    val df = spark.createDataFrame(df0.rdd, // re-tag schema as tag/time/field
+      org.apache.spark.sql.types.StructType(Seq(
+        graft.core.IoxSchema.tagged("host", org.apache.spark.sql.types.StringType, graft.core.IoxSchema.Tag),
+        graft.core.IoxSchema.tagged("time", org.apache.spark.sql.types.LongType, graft.core.IoxSchema.Time),
+        graft.core.IoxSchema.tagged("v", org.apache.spark.sql.types.DoubleType, graft.core.IoxSchema.Field))))
+    val series = InfluxRpc.toSeriesSet(df, Seq("v")).collect()
+    assert(series.length == 2)
+    val hot = series.find(_.tags.get("host").contains("hot")).get
+    assert(hot.points.length == 5000)
+    assert(hot.points.map(_.time) == (1 to 5000).map(_.toLong))
+    val cold = series.find(_.tags.get("host").contains("cold")).get
+    assert(cold.points.map(_.value) == Seq(-1.0, -2.0, -3.0))
+  }
+
   test("regex predicates: =~ matches, !~ excludes nulls (regex.rs semantics)") {
     import spark.implicits._
     val cities = InfluxRpc.readFilter(h2o,
