@@ -615,6 +615,46 @@ object QueriesCore {
             row_number() OVER (PARTITION BY e.event_id ORDER BY c.click_time DESC) AS rn
           FROM err e JOIN clk c ON c.user_id = e.user_id
             AND c.click_time < e.error_time) WHERE rn = 1
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    ("http_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        // the full wire path (http.rs:364,462,595): customer rows formatted
+        // as line protocol, POSTed over HTTP in three batches (first batch
+        // twice -> multi-chunk upsert dedup on the server), aggregated via
+        // the SQL query endpoint, CSV response parsed back into a frame
+        val lines = t(s, d, "customer").select(concat(
+          lit("customer,c_mktsegment="), col("c_mktsegment"),
+          lit(" c_acctbal="), col("c_acctbal").cast("string"),
+          lit(",c_nationkey="), col("c_nationkey").cast("string"), lit("i"),
+          lit(" "), col("c_custkey").cast("string"))).as[String].collect()
+        val facade = new graft.server.HttpFacade(s, port = 0)
+        try {
+          val (b1, b2) = lines.splitAt(lines.length / 2)
+          require(graft.server.HttpFacade.postWrite(
+            facade.boundPort, "acme", "prod", b1.mkString("\n")) == 204)
+          require(graft.server.HttpFacade.postWrite(
+            facade.boundPort, "acme", "prod", b2.mkString("\n")) == 204)
+          require(graft.server.HttpFacade.postWrite( // duplicate chunk
+            facade.boundPort, "acme", "prod", b1.mkString("\n")) == 204)
+          val (status, csv) = graft.server.HttpFacade.getQuery(
+            facade.boundPort, "acme_prod",
+            """SELECT c_mktsegment, count(*) AS n,
+              sum(c_nationkey) AS sum_nk, min(c_acctbal) AS min_bal,
+              max(c_acctbal) AS max_bal
+              FROM customer GROUP BY c_mktsegment""")
+          require(status == 200, s"query endpoint returned $status: $csv")
+          val body = s.createDataset(csv.trim.split("\n").toSeq.drop(1))
+          s.read.schema(
+              "c_mktsegment STRING, n BIGINT, sum_nk BIGINT, min_bal DOUBLE, max_bal DOUBLE")
+            .csv(body)
+            .orderBy("c_mktsegment")
+        } finally facade.stop()
+      },
+      Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(c_nationkey) AS BIGINT) AS sum_nk,
+        min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+        FROM customer GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -1,0 +1,390 @@
+package graft.server
+
+import java.io.{ByteArrayOutputStream, InputStream}
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.Executors
+import java.util.concurrent.atomic.AtomicLong
+import java.util.zip.GZIPInputStream
+
+import scala.collection.concurrent.TrieMap
+import scala.util.control.NonFatal
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.IoxSchema
+import graft.operators.Upsert
+import graft.sources.LineProtocol
+
+/** The reference's HTTP front door, re-expressed over the Spark engine
+  * (src/influxdb_ioxd/http.rs:364 router, :462 write, :595 query):
+  *
+  *  - `POST /api/v2/write?org=O&bucket=B` — line-protocol body (optionally
+  *    gzip per Content-Encoding, 10 MiB cap incl. post-inflate, matching
+  *    MAX_SIZE http.rs:345), parsed + appended as a new chunk of the
+  *    `O_B` database (org_and_bucket_to_database, data_types/src/names.rs:18).
+  *    204 on success, 400 on bad LP / missing params, 413 over size.
+  *  - `GET /iox/api/v1/databases/{name}/query?q=SQL&format=pretty|csv|json`
+  *    — full SQL over the database's measurements with upsert dedup across
+  *    chunks, rendered like influxdb_iox_client/src/format.rs:43-88
+  *    (default pretty; content types text/plain, text/csv,
+  *    application/json).
+  *  - `GET /health` — "OK" (http.rs:662).
+  *  - `GET /metrics` — ingest_lines/fields/points_bytes + http_requests
+  *    counters as text (http.rs:678, the same counter names the reference
+  *    tracks per write at http.rs:498-560).
+  *  - `GET /api/v1/partitions?org=O&bucket=B` — partition keys per
+  *    measurement (http.rs:698; key = the default `%Y-%m-%d` TimeFormat
+  *    template of database_rules.rs:233).
+  *
+  * The server itself is the JDK's `com.sun.net.httpserver` — a facade, not
+  * a data path: bodies are capped micro-batches; all heavy lifting (parse
+  * fan-out, dedup, SQL) stays in Spark. Query views register lazily per
+  * request so the one-JVM Spark catalog never holds stale state.
+  */
+class HttpFacade(spark: SparkSession, port: Int = 0,
+    clockNs: () => Long = () => System.currentTimeMillis() * 1000000L) {
+  import HttpFacade._
+
+  /** measurement -> ordered chunks (one per accepted write batch). */
+  private val databases = TrieMap.empty[String, Vector[(String, DataFrame)]]
+
+  private val ingestLines = new AtomicLong
+  private val ingestFields = new AtomicLong
+  private val ingestBytes = new AtomicLong
+  private val httpRequests = new AtomicLong
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  server.setExecutor(Executors.newFixedThreadPool(4))
+  server.createContext("/", (ex: HttpExchange) => handle(ex))
+  server.start()
+
+  /** Bound port (useful with port=0 for tests). */
+  def boundPort: Int = server.getAddress.getPort
+
+  def stop(): Unit = server.stop(0)
+
+  /** The merged, upsert-deduplicated view of one measurement — the same
+    * scan the engine gives any multi-chunk table (provider.rs chunk stitch
+    * + DeduplicateExec): chunks union by name with schema merge, later
+    * chunks win per-field on equal (tags, time). */
+  def measurementView(db: String, measurement: String): Option[DataFrame] =
+    databases.get(db).flatMap { chunks =>
+      val mine = chunks.collect { case (m, df) if m == measurement => df }
+      if (mine.isEmpty) None
+      else if (mine.size == 1) Some(mine.head)
+      else {
+        val tagged = mine.zipWithIndex.map { case (df, i) =>
+          df.withColumn("__seq", lit(i.toLong))
+        }
+        val merged = IoxSchema.mergeUnion(tagged)
+        val pk = merged.schema.fields.collect {
+          case f if IoxSchema.categoryOf(f).exists(c =>
+            c == IoxSchema.Tag || c == IoxSchema.Time) => f.name
+        }.toSeq
+        Some(Upsert.dedup(merged, pk, "__seq"))
+      }
+    }
+
+  def measurements(db: String): Seq[String] =
+    databases.get(db).map(_.map(_._1).distinct).getOrElse(Nil)
+
+  // ---------------------------------------------------------------- routing
+
+  private def handle(ex: HttpExchange): Unit = {
+    httpRequests.incrementAndGet()
+    try {
+      val path = ex.getRequestURI.getPath
+      (ex.getRequestMethod, path) match {
+        case ("POST", "/api/v2/write") => handleWrite(ex)
+        case ("GET", "/health") => respond(ex, 200, "text/plain", "OK")
+        case ("GET", "/metrics") => handleMetrics(ex)
+        case ("GET", "/api/v1/partitions") => handlePartitions(ex)
+        case ("GET", QueryPath(db)) => handleQuery(ex, db)
+        case _ => respondJsonError(ex, 404, s"no route for $path")
+      }
+    } catch {
+      case NonFatal(e) =>
+        try respondJsonError(ex, 500, Option(e.getMessage).getOrElse(e.getClass.getName))
+        catch { case NonFatal(_) => () }
+    } finally ex.close()
+  }
+
+  private def handleWrite(ex: HttpExchange): Unit = {
+    val params = queryParams(ex)
+    (params.get("org"), params.get("bucket")) match {
+      case (Some(org), Some(bucket)) =>
+        val gzipped = Option(ex.getRequestHeaders.getFirst("Content-Encoding")) match {
+          case None => false
+          case Some("gzip") => true
+          case Some(other) =>
+            respondJsonError(ex, 400, s"invalid content encoding: $other"); return
+        }
+        readBody(ex.getRequestBody, gzipped) match {
+          case None => respondJsonError(ex, 413,
+            s"request size exceeds $MaxBodySize bytes")
+          case Some(bytes) =>
+            val body = new String(bytes, UTF_8)
+            val lines = body.split("\n").toSeq
+            try {
+              // one driver-side parse for the counters the reference tracks
+              // per write (num_lines / num_fields, http.rs:494-506); the
+              // frames below re-parse the same <=10MiB body — still one
+              // facade-sized pass, the data path proper stays in Spark
+              val parsed = LineProtocol.parseLines(lines.iterator).toSeq
+              val frames = LineProtocol.ingest(spark, lines, clockNs())
+              val db = dbName(org, bucket)
+              databases.updateWith(db) { prev =>
+                Some(prev.getOrElse(Vector.empty) ++ frames.toVector)
+              }
+              ingestLines.addAndGet(parsed.size.toLong)
+              ingestFields.addAndGet(parsed.iterator.map(_.fields.size.toLong).sum)
+              ingestBytes.addAndGet(bytes.length.toLong)
+              ex.sendResponseHeaders(204, -1)
+            } catch {
+              case e: LineProtocol.LpException =>
+                respondJsonError(ex, 400, s"error parsing line protocol: ${e.getMessage}")
+            }
+        }
+      case _ => respondJsonError(ex, 400, "missing org/bucket query parameters")
+    }
+  }
+
+  private def handleQuery(ex: HttpExchange, db: String): Unit = {
+    val params = queryParams(ex)
+    params.get("q") match {
+      case None => respondJsonError(ex, 400, "missing q parameter")
+      case Some(q) =>
+        val format = params.getOrElse("format", "pretty")
+        if (!Set("pretty", "csv", "json").contains(format)) {
+          respondJsonError(ex, 400, s"unknown format type: $format. " +
+            "Expected one of 'pretty', 'csv' or 'json'"); return
+        }
+        if (!databases.contains(db)) {
+          respondJsonError(ex, 404, s"database not found: $db"); return
+        }
+        // one query at a time against the shared temp-view catalog
+        val rendered = HttpFacade.synchronized {
+          try {
+            measurements(db).foreach { m =>
+              measurementView(db, m).foreach(_.createOrReplaceTempView(m))
+            }
+            val df = spark.sql(q)
+            Right(renderResult(df, format))
+          } catch {
+            case NonFatal(e) =>
+              Left(Option(e.getMessage).getOrElse(e.getClass.getName))
+          }
+        }
+        rendered match {
+          case Right(body) => respond(ex, 200, contentType(format), body)
+          case Left(err) => respondJsonError(ex, 400, s"query error: $err")
+        }
+    }
+  }
+
+  private def handlePartitions(ex: HttpExchange): Unit = {
+    val params = queryParams(ex)
+    (params.get("org"), params.get("bucket")) match {
+      case (Some(org), Some(bucket)) =>
+        val db = dbName(org, bucket)
+        if (!databases.contains(db)) {
+          respondJsonError(ex, 404, s"database not found: $db"); return
+        }
+        val template = graft.core.PartitionTemplate(
+          Seq(graft.core.TemplatePart.TimeFormat("%Y-%m-%d")))
+        val keys = measurements(db).flatMap { m =>
+          measurementView(db, m).toSeq.flatMap { df =>
+            df.select(template.keyColumn(m, df.schema).as("k"))
+              .distinct().collect().map(r => (m, r.getString(0)))
+          }
+        }.sorted
+        val body = keys.map { case (m, k) =>
+          s"""{"table":${jsonStr(m)},"partition_key":${jsonStr(k)}}"""
+        }.mkString("[", ",", "]")
+        respond(ex, 200, "application/json", body)
+      case _ => respondJsonError(ex, 400, "missing org/bucket query parameters")
+    }
+  }
+
+  private def handleMetrics(ex: HttpExchange): Unit = {
+    val body =
+      s"""ingest_lines_total ${ingestLines.get}
+         |ingest_fields_total ${ingestFields.get}
+         |ingest_points_bytes_total ${ingestBytes.get}
+         |http_requests_total ${httpRequests.get}
+         |""".stripMargin
+    respond(ex, 200, "text/plain", body)
+  }
+
+  // ---------------------------------------------------------------- helpers
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).map(parseQuery).getOrElse(Map.empty)
+
+  private def respond(ex: HttpExchange, status: Int, ctype: String, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", ctype)
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    val os = ex.getResponseBody
+    os.write(bytes); os.close()
+  }
+
+  private def respondJsonError(ex: HttpExchange, status: Int, msg: String): Unit =
+    respond(ex, status, "application/json", s"""{"error":${jsonStr(msg)}}""")
+}
+
+object HttpFacade {
+
+  /** Max accepted body, pre- and post-inflate (http.rs:345 MAX_SIZE). */
+  val MaxBodySize: Int = 10 * 1024 * 1024
+
+  // ------------------------------------------- minimal client (tests/demos)
+
+  /** POST line protocol to a facade; returns the HTTP status. */
+  def postWrite(port: Int, org: String, bucket: String, lpBody: String): Int = {
+    val conn = new java.net.URI(
+      s"http://127.0.0.1:$port/api/v2/write?org=${urlEnc(org)}&bucket=${urlEnc(bucket)}")
+      .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.getOutputStream.write(lpBody.getBytes(UTF_8))
+    conn.getOutputStream.close()
+    val status = conn.getResponseCode
+    conn.disconnect()
+    status
+  }
+
+  /** GET the SQL query endpoint; returns (status, body). */
+  def getQuery(port: Int, db: String, sql: String, format: String = "csv")
+      : (Int, String) = {
+    val conn = new java.net.URI(
+      s"http://127.0.0.1:$port/iox/api/v1/databases/${urlEnc(db)}/query" +
+        s"?q=${urlEnc(sql)}&format=$format")
+      .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    val status = conn.getResponseCode
+    val is = if (status >= 400) conn.getErrorStream else conn.getInputStream
+    val body = if (is == null) "" else new String(is.readAllBytes(), UTF_8)
+    (status, body)
+  }
+
+  private def urlEnc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+
+  private val QueryPath = "/iox/api/v1/databases/([^/]+)/query".r
+
+  /** org + bucket -> database name (data_types/src/names.rs:18): both
+    * halves percent-encode every non-alphanumeric byte, joined by `_`. */
+  def dbName(org: String, bucket: String): String =
+    s"${percentEncode(org)}_${percentEncode(bucket)}"
+
+  private def percentEncode(s: String): String =
+    s.getBytes(UTF_8).flatMap { b =>
+      val c = b.toChar
+      if (c.isLetterOrDigit && b >= 0) c.toString
+      else f"%%${b & 0xff}%02X"
+    }.mkString
+
+  private[server] def parseQuery(raw: String): Map[String, String] =
+    raw.split("&").iterator.filter(_.nonEmpty).map { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => URLDecoder.decode(k, "UTF-8") -> URLDecoder.decode(v, "UTF-8")
+        case Array(k) => URLDecoder.decode(k, "UTF-8") -> ""
+      }
+    }.toMap
+
+  /** Read at most MaxBodySize bytes; None if the (possibly inflated)
+    * payload exceeds it — the reference's decompression-bomb guard
+    * (http.rs:448-452 `decoder.take(MAX_SIZE)`). */
+  private[server] def readBody(in: InputStream, gzipped: Boolean): Option[Array[Byte]] = {
+    val src = if (gzipped) new GZIPInputStream(in) else in
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](64 * 1024)
+    var n = src.read(buf)
+    while (n >= 0) {
+      if (out.size + n > MaxBodySize) return None
+      out.write(buf, 0, n)
+      n = src.read(buf)
+    }
+    Some(out.toByteArray)
+  }
+
+  def contentType(format: String): String = format match {
+    case "csv" => "text/csv"
+    case "json" => "application/json"
+    case _ => "text/plain"
+  }
+
+  /** Render a result the way influxdb_iox_client/src/format.rs does:
+    * pretty = arrow-style box table, csv = header + escaped rows,
+    * json = array of row objects. Results here are facade-sized (the
+    * reference also collects fully before rendering, http.rs:636). */
+  def renderResult(df: DataFrame, format: String): String = {
+    val cols = df.columns.toSeq
+    val rows = df.collect().toSeq
+    format match {
+      case "csv" =>
+        val sb = new StringBuilder(cols.map(csvCell).mkString(","))
+        sb += '\n'
+        rows.foreach { r =>
+          sb ++= cols.indices.map(i => csvCell(cellString(r.get(i)))).mkString(",")
+          sb += '\n'
+        }
+        sb.toString
+      case "json" =>
+        rows.map { r =>
+          cols.indices.map { i =>
+            s"${jsonStr(cols(i))}:${jsonVal(r.get(i))}"
+          }.mkString("{", ",", "}")
+        }.mkString("[", ",", "]")
+      case _ => // pretty
+        val cells = rows.map(r => cols.indices.map(i => cellString(r.get(i))))
+        val widths = cols.indices.map { i =>
+          (cols(i).length +: cells.map(_(i).length)).max
+        }
+        val sep = widths.map("-" * _).mkString("+-", "-+-", "-+")
+        val header = cols.indices.map(i => cols(i).padTo(widths(i), ' '))
+          .mkString("| ", " | ", " |")
+        val body = cells.map(row =>
+          cols.indices.map(i => row(i).padTo(widths(i), ' '))
+            .mkString("| ", " | ", " |"))
+        (Seq(sep, header, sep) ++ body :+ sep).mkString("\n")
+    }
+  }
+
+  private def cellString(v: Any): String = v match {
+    case null => ""
+    case other => other.toString
+  }
+
+  private def csvCell(s: String): String =
+    if (s.exists(c => c == ',' || c == '"' || c == '\n'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def jsonVal(v: Any): String = v match {
+    case null => "null"
+    case b: Boolean => b.toString
+    case n: Byte => n.toString
+    case n: Short => n.toString
+    case n: Int => n.toString
+    case n: Long => n.toString
+    case n: Float => n.toString
+    case n: Double => n.toString
+    case n: java.math.BigDecimal => n.toPlainString
+    case s => jsonStr(s.toString)
+  }
+}

@@ -1,0 +1,159 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.net.{HttpURLConnection, URI, URLEncoder}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.GZIPOutputStream
+
+import graft.server.HttpFacade
+
+/** End-to-end drive of the HTTP wire facade (http.rs:364,462,595): the
+  * SURVEY §7.2 minimum slice — ingest the reference's air_and_water.lp
+  * fixture over POST /api/v2/write, query it back over the SQL endpoint —
+  * plus the protocol edges (gzip, size cap, errors, formats, dedup). */
+class HttpFacadeSpec extends SparkSpec {
+
+  private val fixture = "/root/reference/tests/fixtures/lineproto/air_and_water.lp"
+
+  private def withFacade[A](f: HttpFacade => A): A = {
+    val facade = new HttpFacade(spark, port = 0, clockNs = () => 42L)
+    try f(facade) finally facade.stop()
+  }
+
+  private def post(port: Int, path: String, body: Array[Byte],
+      gzip: Boolean = false): (Int, String) = {
+    val conn = new URI(s"http://127.0.0.1:$port$path").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    if (gzip) conn.setRequestProperty("Content-Encoding", "gzip")
+    val payload = if (gzip) {
+      val bos = new ByteArrayOutputStream()
+      val gz = new GZIPOutputStream(bos)
+      gz.write(body); gz.close()
+      bos.toByteArray
+    } else body
+    conn.getOutputStream.write(payload)
+    conn.getOutputStream.close()
+    readResponse(conn)
+  }
+
+  private def get(port: Int, path: String): (Int, String) = {
+    val conn = new URI(s"http://127.0.0.1:$port$path").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    readResponse(conn)
+  }
+
+  private def readResponse(conn: HttpURLConnection): (Int, String) = {
+    val status = conn.getResponseCode
+    val is = if (status >= 400) conn.getErrorStream else conn.getInputStream
+    val body = if (is == null) "" else new String(is.readAllBytes(), UTF_8)
+    (status, body)
+  }
+
+  private def enc(s: String): String = URLEncoder.encode(s, "UTF-8")
+
+  test("minimum slice: LP fixture over HTTP write, SQL back over query endpoint") {
+    withFacade { facade =>
+      val p = facade.boundPort
+      val lp = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(fixture))
+      val (ws, _) = post(p, "/api/v2/write?org=myorg&bucket=mybucket", lp)
+      assert(ws == 204)
+
+      val q = "SELECT state, city, location, surface_degrees, bottom_degrees, time " +
+        "FROM h2o_temperature ORDER BY time, location"
+      val (qs, body) = get(p,
+        s"/iox/api/v1/databases/myorg_mybucket/query?q=${enc(q)}&format=csv")
+      assert(qs == 400) // h2o has no city column -> analysis error surfaces
+      assert(body.contains("query error"))
+
+      val q2 = "SELECT state, location, surface_degrees, bottom_degrees, time " +
+        "FROM h2o_temperature ORDER BY time, location"
+      val (qs2, csv) = get(p,
+        s"/iox/api/v1/databases/myorg_mybucket/query?q=${enc(q2)}&format=csv")
+      assert(qs2 == 200)
+      val lines = csv.trim.split("\n").toSeq
+      assert(lines.head == "state,location,surface_degrees,bottom_degrees,time")
+      assert(lines.size == 7) // 6 h2o_temperature lines in the fixture
+      assert(lines(1) == "CA,coyote_creek,55.1,51.3,1568756160")
+      assert(lines.last == "CA,santa_monica,63.6,49.2,1600756160")
+    }
+  }
+
+  test("write: missing params, bad LP, oversized and gzip bodies") {
+    withFacade { facade =>
+      val p = facade.boundPort
+      assert(post(p, "/api/v2/write", "m f=1 1".getBytes(UTF_8))._1 == 400)
+      val (bs, berr) = post(p, "/api/v2/write?org=o&bucket=b",
+        "not a valid line!!!".getBytes(UTF_8))
+      assert(bs == 400 && berr.contains("error parsing line protocol"))
+
+      // gzip body parses after inflate
+      val (gs, _) = post(p, "/api/v2/write?org=o&bucket=b",
+        "m,t=a f=1i 5".getBytes(UTF_8), gzip = true)
+      assert(gs == 204)
+      val (qs, json) = get(p,
+        s"/iox/api/v1/databases/o_b/query?q=${enc("SELECT t, f, time FROM m")}&format=json")
+      assert(qs == 200 && json == """[{"t":"a","f":1,"time":5}]""")
+
+      // >10MiB post-inflate -> 413 (decompression-bomb guard)
+      val big = ("m f=1 1\n" * 1500000).getBytes(UTF_8) // ~12MiB
+      assert(post(p, "/api/v2/write?org=o&bucket=b", big, gzip = true)._1 == 413)
+    }
+  }
+
+  test("multi-chunk upsert: later write wins per-field on equal (tags,time)") {
+    withFacade { facade =>
+      val p = facade.boundPort
+      post(p, "/api/v2/write?org=o&bucket=b",
+        "cpu,host=a usage=1.0,temp=30.0 100\ncpu,host=b usage=5.0 100".getBytes(UTF_8))
+      post(p, "/api/v2/write?org=o&bucket=b",
+        "cpu,host=a usage=2.0 100".getBytes(UTF_8))
+      val q = "SELECT host, usage, temp, time FROM cpu ORDER BY host"
+      val (_, csv) = get(p,
+        s"/iox/api/v1/databases/o_b/query?q=${enc(q)}&format=csv")
+      val lines = csv.trim.split("\n").toSeq
+      // host=a: usage from chunk 2, temp carried from chunk 1 (last NON-NULL)
+      assert(lines == Seq("host,usage,temp,time", "a,2.0,30.0,100", "b,5.0,,100"))
+    }
+  }
+
+  test("query endpoint: formats, unknown db, unknown format") {
+    withFacade { facade =>
+      val p = facade.boundPort
+      post(p, "/api/v2/write?org=o&bucket=b", "m,t=x f=2.5 7".getBytes(UTF_8))
+      assert(get(p, s"/iox/api/v1/databases/nope_db/query?q=${enc("SELECT 1")}")._1 == 404)
+      assert(get(p,
+        s"/iox/api/v1/databases/o_b/query?q=${enc("SELECT 1")}&format=xml")._1 == 400)
+
+      val (_, pretty) = get(p,
+        s"/iox/api/v1/databases/o_b/query?q=${enc("SELECT t, f FROM m")}")
+      assert(pretty ==
+        """+---+-----+
+          || t | f   |
+          |+---+-----+
+          || x | 2.5 |
+          |+---+-----+""".stripMargin)
+    }
+  }
+
+  test("health, metrics, partitions") {
+    withFacade { facade =>
+      val p = facade.boundPort
+      assert(get(p, "/health") == (200, "OK"))
+      post(p, "/api/v2/write?org=o&bucket=b",
+        "m,t=x f=1.5,g=2i 1568756160000000000".getBytes(UTF_8))
+      val (_, metrics) = get(p, "/metrics")
+      assert(metrics.contains("ingest_lines_total 1"))
+      assert(metrics.contains("ingest_fields_total 2"))
+      val (ps, parts) = get(p, "/api/v1/partitions?org=o&bucket=b")
+      assert(ps == 200)
+      assert(parts == """[{"table":"m","partition_key":"2019-09-17"}]""")
+    }
+  }
+
+  test("db name mapping percent-encodes non-alphanumerics (names.rs:18)") {
+    assert(HttpFacade.dbName("my org", "bucket/1") == "my%20org_bucket%2F1")
+    assert(HttpFacade.dbName("org", "bucket") == "org_bucket")
+  }
+}
