@@ -617,6 +617,51 @@ object QueriesCore {
             AND c.click_time < e.error_time) WHERE rn = 1
         ORDER BY event_id""")),
 
+    ("lifecycle_scan",
+      (s, d) => {
+        // the lifecycle loop end-to-end (policy.rs): two overlapping write
+        // batches land as open chunks, a policy round compacts them (idle
+        // past the late-arrive window), another persists with a mid-data
+        // split; the scan over the resulting cold+hot chunk directory must
+        // equal plain last-write-wins upsert semantics
+        val ev = Tables.events(s, d).select(
+          col("user_id").cast("string").as("user_tag"), col("event_type"),
+          col("ts_ns").as("time"), col("value"))
+        val dir = java.nio.file.Files.createTempDirectory("graft-lifecycle-q").toString
+        val table = new graft.streaming.Lifecycle.ChunkedTable(
+          s, dir, pkCols = Seq("user_tag", "event_type", "time"))
+        val rules = graft.streaming.Lifecycle.Rules(
+          lateArriveWindowMs = 10000L, persistRowThreshold = Long.MaxValue,
+          persistAgeThresholdMs = 60000L)
+        table.writeChunk(ev, nowMs = 0L)
+        table.writeChunk( // re-write every 7th event with doubled value
+          ev.filter(pmod(col("user_tag").cast("long") + col("time"), lit(7)) === 0)
+            .withColumn("value", col("value") * 2), nowMs = 5000L)
+        require(table.runOnce(rules, nowMs = 16000L)
+          .exists(_.isInstanceOf[graft.streaming.Lifecycle.Compact]), "no compact")
+        val midNs = ev.agg(percentile_approx(col("time"), lit(0.5), lit(100)))
+          .head().getLong(0)
+        require(table.runOnce(rules, nowMs = 80000L, splitNsOf = _ => midNs)
+          .exists(_.isInstanceOf[graft.streaming.Lifecycle.Persist]), "no persist")
+        table.scan()
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("value_sum"),
+            max("time").as("max_time"))
+          .orderBy("event_type")
+      },
+      Some("""WITH chunks AS (
+          SELECT CAST(user_id AS VARCHAR) AS user_tag, event_type,
+            epoch_ns(ts) AS time, value, 1 AS seq FROM events
+          UNION ALL
+          SELECT CAST(user_id AS VARCHAR) AS user_tag, event_type,
+            epoch_ns(ts) AS time, value * 2 AS value, 2 AS seq
+          FROM events WHERE (user_id + epoch_ns(ts)) % 7 = 0),
+        up AS (SELECT user_tag, event_type, time, arg_max(value, seq) AS value
+          FROM chunks GROUP BY 1, 2, 3)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          round(sum(value), 4) AS value_sum, max(time) AS max_time
+        FROM up GROUP BY 1 ORDER BY 1""")),
+
     ("http_roundtrip",
       (s, d) => {
         import s.implicits._

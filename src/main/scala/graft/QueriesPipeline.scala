@@ -266,14 +266,30 @@ object QueriesPipeline {
 
     ("multimodal_features",
       (s, d) => {
+        // the stub codec's byte-histogram feature is deterministic in the
+        // content bytes, so DuckDB can recompute it: f0 is the count of
+        // bytes with (b & 7) == 0, recovered exactly from the float ratio
+        // by multiplying back the byte length (counts are exact in f32)
         import s.implicits._
-        val assets = Multimodal.syntheticAssets(s, Tables.documents(s, d))
+        val docs = Tables.documents(s, d)
+        val assets = Multimodal.syntheticAssets(s, docs)
+        val blen = docs.select(col("doc_id"),
+          length(encode(col("text"), "UTF-8")).as("blen"))
         Multimodal.extractImageFeatures(assets)
+          .join(blen, col("asset_id") === col("doc_id"))
           .select(col("asset_id"), col("width"), col("height"),
-            round(element_at(col("feature"), 1).cast("double"), 4).as("f0"))
+            round(element_at(col("feature"), 1).cast("double") * col("blen"))
+              .cast("long").as("f0_count"))
           .orderBy("asset_id")
       },
-      None), // codec layer is engine-internal; no SQL oracle (rows-only check)
+      Some("""WITH img AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        ch AS (SELECT doc_id, ascii(unnest(string_split(text, ''))) AS b FROM img),
+        cnt AS (SELECT doc_id, CAST(count(*) FILTER (WHERE b % 8 = 0) AS BIGINT)
+          AS f0_count FROM ch GROUP BY 1)
+        SELECT i.doc_id AS asset_id, CAST(i.doc_id % 64 + 16 AS INT) AS width,
+          CAST(i.doc_id % 48 + 16 AS INT) AS height,
+          coalesce(c.f0_count, 0) AS f0_count
+        FROM img i LEFT JOIN cnt c USING (doc_id) ORDER BY 1""")),
 
     ("multimodal_frames",
       (s, d) => {
@@ -283,6 +299,16 @@ object QueriesPipeline {
           .select(col("asset_id"), col("frame_idx"), length(col("content")).as("frame_bytes"))
           .orderBy("asset_id", "frame_idx")
       },
-      None)
+      // the stub samples n byte-slices of stride max(1, len/4): frame i
+      // covers [i*stride, min(len, (i+1)*stride)) — pure arithmetic on
+      // octet_length, reproduced below
+      Some("""WITH vid AS (SELECT doc_id, octet_length(encode(text)) AS len
+          FROM documents WHERE doc_id % 3 = 2),
+        fr AS (SELECT doc_id, len, greatest(len // 4, 1) AS stride,
+          unnest(range(least(4, len))) AS frame_idx FROM vid)
+        SELECT doc_id AS asset_id, CAST(frame_idx AS INT) AS frame_idx,
+          CAST(least(len, frame_idx * stride + stride) - frame_idx * stride AS INT)
+            AS frame_bytes
+        FROM fr ORDER BY 1, 2"""))
   )
 }

@@ -79,12 +79,17 @@ case class RpcPredicate(
     tables: Option[Set[String]] = None,
     fieldColumns: Option[Seq[String]] = None,
     range: Option[TimeRangeNs] = None,
-    exprs: Seq[Column] = Nil) {
+    exprs: Seq[Column] = Nil,
+    /** Optional exact partition-key filter (predicate.rs:63-64): chunks
+      * whose template-computed key differs are pruned before any file
+      * listing or footer read. */
+    partitionKey: Option[String] = None) {
 
   def withRange(startNs: Long, stopNs: Long): RpcPredicate =
     copy(range = Some(TimeRangeNs(startNs, stopNs)))
   def withExpr(e: Column): RpcPredicate = copy(exprs = exprs :+ e)
   def withFields(fs: String*): RpcPredicate = copy(fieldColumns = Some(fs))
+  def withPartitionKey(key: String): RpcPredicate = copy(partitionKey = Some(key))
 
   /** InfluxRPC `=~` / `!~` regex operators (reference RegexMatch UDFs,
     * query/src/func/regex.rs:14-83). Patterns are Java-regex dialect;

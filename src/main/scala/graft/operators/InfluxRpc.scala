@@ -227,20 +227,66 @@ object InfluxRpc {
     * src/influxdb_ioxd/rpc/storage/data.rs:58-213): each series becomes a
     * `series` frame carrying the measurement + tag set (with the synthetic
     * `_measurement`/`_field` keys the reference emits) followed by a
-    * `points` frame with parallel timestamp/value arrays. A gRPC facade
-    * only needs to serialize these rows in order. */
+    * `points` frame with parallel timestamp/value arrays. `group` frames
+    * (GroupFrame, storage_common.proto / data.rs:104-121) carry the
+    * group's tag-key union and the partition key values instead. A gRPC
+    * facade only needs to serialize these rows in order. */
   case class Frame(frameType: String, tags: Map[String, String],
-      timestamps: Seq[Long], values: Seq[Double])
+      timestamps: Seq[Long], values: Seq[Double],
+      tagKeys: Seq[String] = Nil, partitionKeyVals: Seq[String] = Nil)
+
+  private def seriesFramePair(s: Series, measurement: String): Seq[Frame] = {
+    val key = Map("_measurement" -> measurement) ++ s.tags ++ Map("_field" -> s.field)
+    Seq(
+      Frame("series", key, Nil, Nil),
+      Frame("points", Map.empty, s.points.map(_.time), s.points.map(_.value)))
+  }
 
   def toFrames(series: Dataset[Series], measurement: String): Dataset[Frame] = {
     val spark = series.sparkSession
     import spark.implicits._
-    series.flatMap { s =>
-      val key = Map("_measurement" -> measurement) ++ s.tags ++ Map("_field" -> s.field)
-      Seq(
-        Frame("series", key, Nil, Nil),
-        Frame("points", Map.empty, s.points.map(_.time), s.points.map(_.value)))
-    }
+    series.flatMap(seriesFramePair(_, measurement))
+  }
+
+  /** read_group response stream (data.rs:75-121): per distinct value of
+    * the group keys, ONE `group` frame — tag_keys = union of the group's
+    * series tag keys, partition_key_vals = the group's values of
+    * `groupKeys` in request order — followed by each member series'
+    * series/points frame pair. Same streaming shape as [[toSeriesSet]]:
+    * repartition on the group key, spillable sort, run-detecting iterator.
+    * One GROUP's frames buffer at a time (the group frame must lead but
+    * its tag-key union is only known after its members stream past) —
+    * fine for aggregated read_group output, where a group holds one small
+    * frame pair per member series, not raw points. */
+  def toGroupedFrames(series: Dataset[Series], measurement: String,
+      groupKeys: Seq[String]): Dataset[Frame] = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    series
+      .map(s => (groupKeys.map(k => s.tags.getOrElse(k, "")),
+        s.tags.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }, s.field, s))
+      .repartition(col("_1"))
+      .sortWithinPartitions(col("_1"), col("_2"), col("_3"))
+      .mapPartitions { it =>
+        val rows = it.buffered
+        new Iterator[Seq[Frame]] {
+          override def hasNext: Boolean = rows.hasNext
+          override def next(): Seq[Frame] = {
+            val gv = rows.head._1
+            // two passes are impossible on an iterator: collect the group's
+            // series frames while accumulating the tag-key union, then
+            // prepend the group frame
+            val tagKeys = scala.collection.mutable.SortedSet.empty[String]
+            val frames = scala.collection.mutable.ArrayBuffer.empty[Frame]
+            while (rows.hasNext && rows.head._1 == gv) {
+              val s = rows.next()._4
+              tagKeys ++= s.tags.keys
+              frames ++= seriesFramePair(s, measurement)
+            }
+            Frame("group", Map.empty, Nil, Nil, tagKeys.toSeq, gv) +: frames.toSeq
+          }
+        }.flatten
+      }
   }
 
   /** Sorted rows -> one Series per (tag-combination, field) — the

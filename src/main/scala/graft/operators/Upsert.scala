@@ -87,17 +87,45 @@ object Upsert {
     * compacted chunks are self-clean by construction (dedup+sort on
     * write), and a chunk with no sidecar pessimistically overlaps
     * everything. This is the reference's provider flow end-to-end:
-    * chunk metadata -> overlap groups -> clean scans ∪ dedup scans. */
+    * chunk metadata -> overlap groups -> clean scans ∪ dedup scans.
+    *
+    * `pred.partitionKey` prunes chunk dirs BEFORE any sidecar load or
+    * footer read (the reference's partition-level pruning,
+    * predicate.rs:63 + catalog partition filtering) — a dir with a
+    * Hive-style `col=value` segment is pruned when no segment value
+    * equals the requested key; dirs without one can't be judged and stay.
+    * The row-level parts of `pred` then filter the scan (and push down). */
   def scanChunks(spark: org.apache.spark.sql.SparkSession,
-      chunkPaths: Seq[String], pkCols: Seq[String]): org.apache.spark.sql.DataFrame = {
-    val chunks = chunkPaths.map { p =>
+      chunkPaths: Seq[String], pkCols: Seq[String],
+      pred: graft.core.RpcPredicate = graft.core.RpcPredicate())
+      : org.apache.spark.sql.DataFrame = {
+    val kept = chunkPaths.filter(p => pred.partitionKey.forall(pk =>
+      chunkPartitionKeys(p) match {
+        case Nil => true // unprunable: no template key in the path
+        case keys => keys.contains(pk)
+      }))
+    if (kept.isEmpty) {
+      // all chunks pruned: empty frame with the union schema (footer-only
+      // reads, no data scan)
+      val empty = spark.read.parquet(chunkPaths.head).limit(0)
+      return pred.applyTo(empty)
+    }
+    val chunks = kept.map { p =>
       val range = graft.sources.StatsCatalog.load(spark, p)
         .map(st => (st.timeMin, st.timeMax))
         .getOrElse((Long.MinValue, Long.MaxValue)) // unknown: overlaps all
       (spark.read.parquet(p), range, true)
     }
-    scanWithDedup(chunks, pkCols)
+    pred.applyTo(scanWithDedup(chunks, pkCols))
   }
+
+  /** Hive-style `col=value` segment values of a chunk path — the
+    * template-computed partition key(s) the dir layout encodes. */
+  def chunkPartitionKeys(path: String): Seq[String] =
+    path.split('/').toSeq.collect {
+      case seg if seg.contains('=') && !seg.startsWith("=") =>
+        seg.substring(seg.indexOf('=') + 1)
+    }
 
   /** Interval-overlap grouping over per-chunk [min, max] primary-key
     * statistics: only chunks whose PK ranges overlap can hold duplicates of

@@ -57,14 +57,24 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
   private val httpRequests = new AtomicLong
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-  server.setExecutor(Executors.newFixedThreadPool(4))
+  // daemon threads + explicit shutdown: the facade must never pin the JVM
+  // (a lingering non-daemon pool would hang any main() that started one)
+  private val pool = Executors.newFixedThreadPool(4, (r: Runnable) => {
+    val t = new Thread(r, "http-facade")
+    t.setDaemon(true)
+    t
+  })
+  server.setExecutor(pool)
   server.createContext("/", (ex: HttpExchange) => handle(ex))
   server.start()
 
   /** Bound port (useful with port=0 for tests). */
   def boundPort: Int = server.getAddress.getPort
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    pool.shutdownNow()
+  }
 
   /** The merged, upsert-deduplicated view of one measurement — the same
     * scan the engine gives any multi-chunk table (provider.rs chunk stitch

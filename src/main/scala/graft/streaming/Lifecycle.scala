@@ -1,0 +1,247 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.NsTime
+import graft.operators.Upsert
+import graft.sources.StatsCatalog
+
+/** Data-lifecycle policy — the reference's background loop
+  * (lifecycle/src/policy.rs) re-expressed as a pure planner plus a
+  * chunk-directory executor over the engine's compaction/persist
+  * primitives.
+  *
+  * Rules (data_types/src/database_rules.rs:124-186 LifecycleRules):
+  *  - `lateArriveWindowMs` — a chunk that hasn't been written for this
+  *    long "can move": it closes and becomes compactable / persistable
+  *    (can_move, policy.rs:556-568); it is also the persist split point
+  *    (writers get this long to send late data).
+  *  - `persistRowThreshold` / `persistAgeThresholdMs` — persistence
+  *    triggers on EITHER bound (maybe_persist_chunks, policy.rs:291-330);
+  *    a triggered persist stalls compaction that round so it can claim
+  *    its chunks (policy.rs:276-289).
+  *  - `bufferSizeSoft` / `bufferSizeHard` — over the soft limit the
+  *    planner persists early to shrink the buffer (the reference instead
+  *    drops already-persisted in-memory copies, maybe_free_memory
+  *    policy.rs:55 — a distinction without a difference here, where hot
+  *    chunks ARE the only copies); over the hard limit writes are
+  *    rejected (database_rules.rs:130-132).
+  *
+  * The planner is pure ((chunk metadata, rules, now) -> actions), like
+  * the reference policy over its LockablePartition trait — unit-testable
+  * on synthetic timelines with no cluster. The executor mutates a chunk
+  * directory layout (`hot/open-N`, `hot/compacted-N`, `cold/chunk-N`,
+  * each with a stats sidecar) using the same dedup-sort-write machinery
+  * as [[Ingest.compact]], and every listing/planning decision reads only
+  * sidecar metadata — no data scan, which is what keeps the loop
+  * O(chunks) at 100 TB.
+  */
+object Lifecycle {
+
+  final case class Rules(
+      lateArriveWindowMs: Long = 5 * 60 * 1000L,
+      persistRowThreshold: Long = 1000000L,
+      persistAgeThresholdMs: Long = 30 * 60 * 1000L,
+      bufferSizeSoft: Option[Long] = None,
+      bufferSizeHard: Option[Long] = None,
+      persist: Boolean = true)
+
+  sealed trait Stage
+  case object Open extends Stage // receiving writes (OpenMutableBuffer)
+  case object Compacted extends Stage // closed + merged (ReadBuffer analog)
+  case object Persisted extends Stage // cold / object store
+
+  final case class ChunkMeta(id: Long, path: String, stage: Stage,
+      rows: Long, bytes: Long, lastWriteMs: Long)
+
+  sealed trait Action
+  /** Merge hot chunks (idle opens roll over + existing compacted ones
+    * under the row budget) into one compacted chunk. */
+  final case class Compact(chunkIds: Seq[Long]) extends Action
+  /** Combine persistable hot chunks, split at `splitNs`: rows at or
+    * before it go cold, the remainder reopens hot (prepare_persist /
+    * StreamSplit flow). */
+  final case class Persist(chunkIds: Seq[Long], splitNs: Long) extends Action
+  /** Hot bytes exceed the hard limit: reject writes. */
+  case object RejectWrites extends Action
+
+  /** One policy round (check_for_work, policy.rs:448): returns the
+    * actions to run now. `nowMs` and all chunk times share one clock;
+    * the persist split point is ns on the DATA time axis, so callers
+    * whose data time differs from the wall clock pass `splitNsOf`. */
+  def plan(chunks: Seq[ChunkMeta], rules: Rules, nowMs: Long,
+      splitNsOf: Long => Long = _ * 1000000L): Seq[Action] = {
+    val hot = chunks.filter(_.stage != Persisted).sortBy(_.id)
+    val hotBytes = hot.map(_.bytes).sum
+
+    if (rules.bufferSizeHard.exists(hotBytes >= _)) return Seq(RejectWrites)
+
+    val overSoft = rules.bufferSizeSoft.exists(hotBytes >= _)
+    val closed = hot.filter(c => nowMs - c.lastWriteMs >= rules.lateArriveWindowMs)
+
+    // persistence first — it stalls compaction when triggered
+    if (rules.persist && closed.nonEmpty) {
+      val persistableRows = closed.map(_.rows).sum
+      val oldestAgeMs = nowMs - hot.map(_.lastWriteMs).min
+      if (persistableRows >= rules.persistRowThreshold ||
+          oldestAgeMs >= rules.persistAgeThresholdMs || overSoft)
+        return Seq(Persist(closed.map(_.id),
+          splitNsOf(nowMs - rules.lateArriveWindowMs)))
+    }
+
+    // compaction: rolled-over opens + small compacted chunks, row budget =
+    // persist threshold (maybe_compact_chunks, policy.rs:187-257)
+    var rowsLeft = rules.persistRowThreshold
+    val rolledOver = closed.filter(_.stage == Open)
+    val smallCompacted = closed.filter(c => c.stage == Compacted && {
+      val fits = c.rows < rowsLeft
+      if (fits) rowsLeft -= c.rows
+      fits
+    })
+    val toCompact = (rolledOver ++ smallCompacted).sortBy(_.id)
+    if (toCompact.size >= 2 || rolledOver.nonEmpty)
+      Seq(Compact(toCompact.map(_.id)))
+    else Nil
+  }
+
+  // ------------------------------------------------------------- executor
+
+  /** A table as a directory of lifecycle-managed chunks. `pkCols` is the
+    * dedup/sort key (tags + time). All metadata comes from sidecars +
+    * file status; chunk data is only read by compact/persist jobs. */
+  final class ChunkedTable(spark: SparkSession, tablePath: String,
+      pkCols: Seq[String]) {
+    private val root = new Path(tablePath)
+    private def fs: FileSystem = root.getFileSystem(spark.sessionState.newHadoopConf())
+
+    /** Append a write batch as a new open chunk stamped at `nowMs`. */
+    def writeChunk(df: DataFrame, nowMs: Long): ChunkMeta = {
+      val id = nextId()
+      val path = new Path(root, s"hot/open-$id")
+      df.write.mode("error").parquet(path.toString)
+      saveStats(path, df)
+      stamp(path, nowMs)
+      meta(path, Open, id)
+    }
+
+    def chunks(): Seq[ChunkMeta] = {
+      def ls(sub: String, stage: Stage, prefix: String): Seq[ChunkMeta] = {
+        val dir = new Path(root, sub)
+        if (!fs.exists(dir)) Nil
+        else fs.listStatus(dir).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+          .map(st => meta(st.getPath, stage,
+            st.getPath.getName.stripPrefix(prefix).toLong))
+      }
+      (ls("hot", Open, "open-") ++ ls("hot", Compacted, "compacted-") ++
+        ls("cold", Persisted, "chunk-")).sortBy(_.id)
+    }
+
+    /** The queryable view: overlap-aware dedup scan over every chunk,
+      * later chunk ids winning (provider.rs chunk stitch). */
+    def scan(): DataFrame = {
+      val cs = chunks()
+      require(cs.nonEmpty, s"no chunks under $tablePath")
+      Upsert.scanWithDedup(cs.map { c =>
+        val range = StatsCatalog.load(spark, c.path)
+          .map(st => (st.timeMin, st.timeMax))
+          .getOrElse((Long.MinValue, Long.MaxValue))
+        (spark.read.parquet(c.path), range, c.stage != Open)
+      }, pkCols)
+    }
+
+    /** Run one policy round, returning the actions applied. */
+    def runOnce(rules: Rules, nowMs: Long,
+        splitNsOf: Long => Long = _ * 1000000L): Seq[Action] = {
+      val actions = plan(chunks(), rules, nowMs, splitNsOf)
+      actions.foreach {
+        case Compact(ids) => compact(ids, nowMs)
+        case Persist(ids, splitNs) => persistSplit(ids, splitNs, nowMs)
+        case RejectWrites => ()
+      }
+      actions
+    }
+
+    private def compact(ids: Seq[Long], nowMs: Long): Unit = {
+      val byId = chunks().map(c => c.id -> c).toMap
+      val members = ids.map(byId)
+      val merged = dedupSorted(members)
+      val id = nextId()
+      val out = new Path(root, s"hot/compacted-$id")
+      merged.write.mode("error").parquet(out.toString)
+      saveStats(out, spark.read.parquet(out.toString))
+      // compaction PRESERVES write recency: the merged chunk is as recent
+      // as its newest member, else a just-compacted chunk of fresh data
+      // would instantly look persist-aged
+      stamp(out, members.map(_.lastWriteMs).max)
+      members.foreach(c => fs.delete(new Path(c.path), true))
+    }
+
+    private def persistSplit(ids: Seq[Long], splitNs: Long, nowMs: Long): Unit = {
+      val byId = chunks().map(c => c.id -> c).toMap
+      val members = ids.map(byId)
+      val merged = dedupSorted(members)
+      val (cold, hotRest) = Ingest.streamSplit(merged,
+        col(NsTime.TimeColumn) <= splitNs)
+      val coldId = nextId()
+      val coldPath = new Path(root, s"cold/chunk-$coldId")
+      cold.repartitionByRange(pkCols.map(col): _*)
+        .sortWithinPartitions(pkCols.map(col): _*)
+        .write.mode("error").parquet(coldPath.toString)
+      saveStats(coldPath, spark.read.parquet(coldPath.toString))
+      stamp(coldPath, nowMs)
+      val rest = hotRest.cache()
+      if (rest.limit(1).count() > 0) {
+        val hotId = nextId()
+        val hotPath = new Path(root, s"hot/open-$hotId")
+        rest.write.mode("error").parquet(hotPath.toString)
+        saveStats(hotPath, spark.read.parquet(hotPath.toString))
+        stamp(hotPath, members.map(_.lastWriteMs).max)
+      }
+      rest.unpersist()
+      members.foreach(c => fs.delete(new Path(c.path), true))
+    }
+
+    /** Union members in chunk-id order with dedup (last chunk wins) and
+      * a PK sort — the ReorgPlanner compact plan (reorg.rs:64-100). */
+    private def dedupSorted(members: Seq[ChunkMeta]): DataFrame = {
+      val tagged = members.sortBy(_.id).zipWithIndex.map { case (c, i) =>
+        spark.read.parquet(c.path).withColumn("__seq", lit(i.toLong))
+      }
+      Upsert.dedup(graft.core.IoxSchema.mergeUnion(tagged), pkCols, "__seq")
+        .repartitionByRange(pkCols.map(col): _*)
+        .sortWithinPartitions(pkCols.map(col): _*)
+    }
+
+    private def saveStats(path: Path, df: DataFrame): Unit =
+      StatsCatalog.save(spark, path.toString,
+        StatsCatalog.compute(df, tagCols = pkCols.filterNot(_ == NsTime.TimeColumn)))
+
+    /** The sidecar's mtime is the chunk's last-write clock (the reference
+      * tracks time_of_last_write in its in-memory catalog). */
+    private def stamp(path: Path, ms: Long): Unit =
+      fs.setTimes(new Path(path, StatsCatalog.StatsFile), ms, -1)
+
+    private def meta(path: Path, stage: Stage, id: Long): ChunkMeta = {
+      val stats = StatsCatalog.load(spark, path.toString)
+      val sidecar = new Path(path, StatsCatalog.StatsFile)
+      val mtime = if (fs.exists(sidecar)) fs.getFileStatus(sidecar).getModificationTime
+        else fs.getFileStatus(path).getModificationTime
+      ChunkMeta(id, path.toString, stage,
+        rows = stats.map(_.rowCount).getOrElse(0L),
+        bytes = fs.getContentSummary(path).getLength,
+        lastWriteMs = mtime)
+    }
+
+    private def nextId(): Long = {
+      val existing = Seq("hot", "cold").flatMap { sub =>
+        val dir = new Path(root, sub)
+        if (!fs.exists(dir)) Nil
+        else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+          .collect { case n if n.contains("-") => n.substring(n.lastIndexOf('-') + 1).toLong }
+      }
+      if (existing.isEmpty) 0L else existing.max + 1L
+    }
+  }
+}

@@ -182,6 +182,30 @@ class InfluxRpcSpec extends SparkSpec {
     assert(la.tags("_measurement") == "h2o" && la.tags("_field") == "temp")
   }
 
+  test("toGroupedFrames: group -> series -> points order per group (data.rs:75-121)") {
+    val series = InfluxRpc.toSeriesSet(
+      InfluxRpc.readFilter(h2o, RpcPredicate()), Seq("temp"))
+    val frames = InfluxRpc.toGroupedFrames(series, "h2o", Seq("state")).collect()
+    // two groups (CA, MA): each leads with ONE group frame, then its
+    // member series' series/points pairs
+    val byGroup = frames.foldLeft(Vector.empty[Vector[InfluxRpc.Frame]]) {
+      case (acc, f) if f.frameType == "group" => acc :+ Vector(f)
+      case (acc, f) => acc.init :+ (acc.last :+ f)
+    }
+    assert(byGroup.size == 2)
+    // cross-partition group order is hash-placement-dependent; the wire
+    // contract is per-group frame order, which is what we pin below
+    assert(byGroup.map(_.head.partitionKeyVals).toSet == Set(Seq("CA"), Seq("MA")))
+    val ca = byGroup.find(_.head.partitionKeyVals == Seq("CA")).get
+    assert(ca.head.tagKeys == Seq("city", "state")) // union of group tag keys
+    assert(ca.tail.map(_.frameType) == Vector("series", "points", "series", "points"))
+    assert(ca.tail.collect { case f if f.frameType == "series" => f.tags("city") }
+      == Vector("LA", "SF"))
+    val ma = byGroup.find(_.head.partitionKeyVals == Seq("MA")).get
+    // null city tag: series key omits it; Boston + the city-less series
+    assert(ma.tail.count(_.frameType == "series") == 2)
+  }
+
   test("validateRpcExpr rejects LIKE / IS NULL / modulo, allows rlike") {
     InfluxRpc.validateRpcExpr(col("state") === "CA" && col("temp") > 5)
     InfluxRpc.validateRpcExpr(col("state").rlike("C.*"))

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.Lifecycle
+import graft.streaming.Lifecycle._
+
+/** Policy planner + chunk-directory executor against the reference's
+  * lifecycle semantics (lifecycle/src/policy.rs, database_rules.rs:124-186):
+  * rollover on late-arrive idle, persist on row/age thresholds (stalling
+  * compaction), buffer limits, and the full rollover -> compact -> persist
+  * timeline over a real chunk directory. */
+class LifecycleSpec extends SparkSpec {
+
+  private val MB = 1024L * 1024L
+  private def chunk(id: Long, stage: Stage, rows: Long, lastWriteMs: Long,
+      bytes: Long = MB) =
+    ChunkMeta(id, s"/c/$id", stage, rows, bytes, lastWriteMs)
+
+  private val rules = Rules(
+    lateArriveWindowMs = 10000L,
+    persistRowThreshold = 1000L,
+    persistAgeThresholdMs = 60000L)
+
+  test("plan: young open chunk - nothing to do") {
+    assert(plan(Seq(chunk(0, Open, 10, lastWriteMs = 95000L)), rules, 100000L).isEmpty)
+  }
+
+  test("plan: idle open chunk rolls over into a compaction (can_move)") {
+    val actions = plan(Seq(chunk(0, Open, 10, 80000L)), rules, 100000L)
+    assert(actions == Seq(Compact(Seq(0L))))
+  }
+
+  test("plan: two small compacted chunks merge; a huge one is skipped (row budget)") {
+    val actions = plan(Seq(
+      chunk(0, Compacted, 100, 80000L),
+      chunk(1, Compacted, 5000, 80000L), // >= persistRowThreshold: skipped
+      chunk(2, Compacted, 200, 80000L)), rules.copy(persist = false), 100000L)
+    assert(actions == Seq(Compact(Seq(0L, 2L))))
+  }
+
+  test("plan: persist triggers on row threshold and stalls compaction") {
+    val actions = plan(Seq(
+      chunk(0, Open, 900, 80000L),
+      chunk(1, Compacted, 400, 80000L)), rules, 100000L)
+    // both closed, 1300 rows >= 1000 -> persist both, NO compact this round
+    assert(actions == Seq(Persist(Seq(0L, 1L), splitNs = 90000L * 1000000L)))
+  }
+
+  test("plan: persist triggers on age threshold alone") {
+    val actions = plan(Seq(chunk(0, Open, 5, 30000L)), rules, 100000L)
+    // age 70s >= 60s threshold, rows far under threshold
+    assert(actions == Seq(Persist(Seq(0L), splitNs = 90000L * 1000000L)))
+  }
+
+  test("plan: a chunk still inside the late-arrive window never persists") {
+    // oldest hot age is over the persist age threshold, but the only chunk
+    // was written 5s ago (< 10s window): nothing is persistABLE yet
+    assert(plan(Seq(chunk(0, Open, 5000, 95000L)), rules, 100000L).isEmpty)
+  }
+
+  test("plan: buffer limits - soft persists early, hard rejects writes") {
+    val big = Seq(chunk(0, Open, 10, 80000L, bytes = 600 * MB))
+    val soft = plan(big, rules.copy(bufferSizeSoft = Some(500 * MB)), 100000L)
+    assert(soft == Seq(Persist(Seq(0L), splitNs = 90000L * 1000000L)))
+    val hard = plan(big, rules.copy(bufferSizeHard = Some(512 * MB)), 100000L)
+    assert(hard == Seq(RejectWrites))
+  }
+
+  test("plan: persist=false never persists, still compacts") {
+    val actions = plan(Seq(chunk(0, Open, 99999, 10000L)),
+      rules.copy(persist = false), 100000L)
+    assert(actions == Seq(Compact(Seq(0L))))
+  }
+
+  test("chunked table timeline: rollover -> compact -> persist with split") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-lifecycle").toString
+    val table = new ChunkedTable(spark, dir, pkCols = Seq("host", "time"))
+    def mkChunk(hosts: Seq[String], times: Seq[Long]) =
+      hosts.flatMap(h => times.map(t => (h, t, s"$h-$t")))
+        .toDF("host", "time", "v")
+
+    // t=0s and t=5s: two write batches (data times in ns on the same clock)
+    table.writeChunk(mkChunk(Seq("a", "b"), Seq(1000L, 2000L).map(_ * 1000000L)), nowMs = 0L)
+    table.writeChunk(mkChunk(Seq("a", "c"), Seq(3000L, 4000L).map(_ * 1000000L)), nowMs = 5000L)
+    assert(table.chunks().map(_.stage) == Seq(Open, Open))
+
+    // t=7s: inside the late-arrive window - no work
+    assert(table.runOnce(rules, nowMs = 7000L).isEmpty)
+
+    // t=16s: both chunks idle >= 10s window -> rollover + compact
+    val r1 = table.runOnce(rules, nowMs = 16000L)
+    assert(r1 == Seq(Compact(Seq(0L, 1L))))
+    val afterCompact = table.chunks()
+    assert(afterCompact.map(_.stage) == Seq(Compacted))
+    assert(afterCompact.head.rows == 8L)
+    assert(afterCompact.head.lastWriteMs == 5000L) // newest member's clock
+
+    // t=70s: age 70s - 5s = 65s >= 60s threshold -> persist, split at
+    // (70s - 10s) = 60s wall -> 60e9 ns; every data time is below it, so
+    // everything goes cold and no hot remainder reopens
+    val r2 = table.runOnce(rules, nowMs = 70000L)
+    assert(r2 == Seq(Persist(Seq(2L), splitNs = 60000L * 1000000L)))
+    val afterPersist = table.chunks()
+    assert(afterPersist.map(_.stage) == Seq(Persisted))
+    assert(afterPersist.head.rows == 8L)
+
+    // full scan still returns every row exactly once
+    assert(table.scan().count() == 8L)
+
+    // t=75s: fresh write, then a persist with a mid-data split point:
+    // rows at/below the split go cold, the rest reopens as a hot chunk
+    table.writeChunk(mkChunk(Seq("d"), Seq(100000L, 99999999999L).map(_ * 1000000L)),
+      nowMs = 75000L)
+    val r3 = table.runOnce(rules, nowMs = 140000L,
+      splitNsOf = _ => 500000L * 1000000L) // custom data-axis split
+    assert(r3.head.isInstanceOf[Persist])
+    val stages = table.chunks().map(_.stage)
+    assert(stages.count(_ == Persisted) == 2 && stages.count(_ == Open) == 1)
+    assert(table.scan().count() == 10L)
+    // the reopened hot chunk holds exactly the row past the split point
+    val hotRows = table.chunks().filter(_.stage == Open)
+    assert(hotRows.head.rows == 1L)
+  }
+
+  test("chunked table: upsert across chunks - later write wins on scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-lifecycle2").toString
+    val table = new ChunkedTable(spark, dir, pkCols = Seq("host", "time"))
+    table.writeChunk(Seq(("a", 1000L, 1.0), ("b", 1000L, 2.0)).toDF("host", "time", "v"), 0L)
+    table.writeChunk(Seq(("a", 1000L, 9.0)).toDF("host", "time", "v"), 5000L)
+    val rows = table.scan().orderBy("host").collect().map(r =>
+      (r.getString(0), r.getDouble(r.fieldIndex("v"))))
+    assert(rows.toSeq == Seq(("a", 9.0), ("b", 2.0)))
+    // and the property survives compaction
+    table.runOnce(rules, nowMs = 20000L)
+    val rows2 = table.scan().orderBy("host").collect().map(r =>
+      (r.getString(0), r.getDouble(r.fieldIndex("v"))))
+    assert(rows2.toSeq == Seq(("a", 9.0), ("b", 2.0)))
+  }
+}

@@ -47,6 +47,37 @@ class PartitionTemplateSpec extends SparkSpec {
     assert(PartitionTemplate.strftimeToJava("%Y/day%j") == "yyyy/'d''a''y'DDD")
   }
 
+  test("scanChunks prunes chunk dirs by RpcPredicate partition key pre-listing") {
+    import graft.core.RpcPredicate
+    import graft.operators.Upsert
+    val tmp = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    val tpl = PartitionTemplate(Seq(TimeFormat("%Y-%m")))
+    cpu.withColumn("part_key", tpl.keyColumn("cpu", cpu.schema))
+      .write.partitionBy("part_key").parquet(s"$tmp/cpu")
+    val chunkDirs = Seq(s"$tmp/cpu/part_key=2021-03", s"$tmp/cpu/part_key=2021-04")
+
+    // no key: both chunks scanned
+    val all = Upsert.scanChunks(spark, chunkDirs, Seq("host", "time"))
+    assert(all.count() == 2 && all.inputFiles.length == 2)
+
+    // key match: the other chunk dir never reaches the scan's file list
+    val pruned = Upsert.scanChunks(spark, chunkDirs, Seq("host", "time"),
+      RpcPredicate().withPartitionKey("2021-03"))
+    assert(pruned.inputFiles.forall(_.contains("part_key=2021-03")))
+    assert(pruned.inputFiles.length == 1)
+    assert(pruned.count() == 1)
+
+    // key matching nothing: zero files read, schema preserved
+    val none = Upsert.scanChunks(spark, chunkDirs, Seq("host", "time"),
+      RpcPredicate().withPartitionKey("1999-01"))
+    assert(none.count() == 0)
+    assert(none.columns.contains("user"))
+
+    // partition-key segment parsing
+    assert(Upsert.chunkPartitionKeys("/t/part_key=2021-03") == Seq("2021-03"))
+    assert(Upsert.chunkPartitionKeys("/t/chunk-0") == Nil)
+  }
+
   test("partitioned write prunes by the computed key") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ptpl").toString
     val tpl = PartitionTemplate(Seq(TimeFormat("%Y-%m")))
