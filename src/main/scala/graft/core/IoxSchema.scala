@@ -44,9 +44,25 @@ object IoxSchema {
     * internal_types/src/schema/merge.rs). unionByName with
     * allowMissingColumns fills absent columns with null, which is exactly
     * the reference's merge semantics for rows lacking a column.
+    *
+    * unionByName DROPS StructField metadata for a column that is missing
+    * on one side, which would silently declassify tags/fields in the
+    * merged schema (breaking downstream primary-key and field
+    * enumeration); restore each column's category from the first member
+    * schema that carries one.
     */
-  def mergeUnion(dfs: Seq[DataFrame]): DataFrame =
-    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+  def mergeUnion(dfs: Seq[DataFrame]): DataFrame = {
+    val merged = dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+    val metaByName = dfs.iterator.flatMap(_.schema.fields)
+      .filter(_.metadata.contains(CategoryKey))
+      .toSeq.groupBy(_.name).map { case (n, fs) => n -> fs.head.metadata }
+    merged.select(merged.schema.fields.map { f =>
+      metaByName.get(f.name) match {
+        case Some(m) if !f.metadata.contains(CategoryKey) => col(f.name).as(f.name, m)
+        case _ => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+  }
 
   /** Check two schemas are mergeable: same-name columns must agree on type
     * (the reference rejects tag/field or type conflicts at ingest,

@@ -26,6 +26,8 @@ object InfluxRpc {
     case object Mean extends AggKind
     case object First extends AggKind
     case object Last extends AggKind
+    /** Aggregate::None (group_by.rs): raw rows, group-key column reorder. */
+    case object None extends AggKind
   }
 
   private def tags(df: DataFrame) = IoxSchema.tagColumns(df.schema)
@@ -70,15 +72,35 @@ object InfluxRpc {
   }
 
   /** tag_values: distinct non-null values of one tag under the predicate
-    * (influxrpc.rs:328-471). Validates the column is a tag, like the
-    * reference (:377-394). */
+    * (influxrpc.rs:328-471). A column that exists but is NOT a tag is an
+    * error (:377-394, "not a tag, it is Field"); a column absent from the
+    * table entirely yields an EMPTY result, not an error (the reference's
+    * known-columns check treats unknown as no-values,
+    * tag_values.rs list_tag_values_no_tag). */
   def tagValues(df: DataFrame, tag: String, pred: RpcPredicate): DataFrame = {
-    require(tags(df).contains(tag), s"'$tag' is not a tag column")
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (!df.columns.contains(tag))
+      return Seq.empty[String].toDF("value")
+    require(tags(df).contains(tag),
+      s"column '$tag' is not a tag, it is " +
+        df.schema.fields.find(_.name == tag).flatMap(IoxSchema.categoryOf)
+          .getOrElse("untyped"))
     pred.applyTo(df)
       .select(col(tag).as("value")).where(col(tag).isNotNull)
       .distinct()
       .orderBy("value")
   }
+
+  /** Database-level tag_values: union of per-table values over the tables
+    * the predicate admits (service.rs tag_values fans out per table). */
+  def tagValuesAcrossTables(tables0: Map[String, DataFrame], tag: String,
+      pred: RpcPredicate): Seq[String] =
+    tables0.toSeq
+      .filter { case (name, _) => pred.tables.forall(_.contains(name)) }
+      .flatMap { case (_, df) =>
+        tagValues(df, tag, pred).collect().map(_.getString(0)) }
+      .distinct.sorted
 
   /** field_columns: (field name, last timestamp at which the field was
     * non-null) per field passing the predicate (influxrpc.rs:477-504,
@@ -151,7 +173,17 @@ object InfluxRpc {
     val ts = tags(df)
     require(groupCols.forall(ts.contains), "group columns must be tags")
     val grouping = groupCols ++ ts.filterNot(groupCols.contains).sorted
-    val fs = pred.fieldColumns.getOrElse(fields(df))
+    // field columns in name order, like the reference's schema-sorted
+    // AggExprs (unless the predicate restricts and orders them itself)
+    val fs = pred.fieldColumns.getOrElse(fields(df).sorted)
+
+    // Aggregate::None: raw rows with the group-key prefix reorder, no
+    // aggregation (influxrpc.rs read_group planner's None arm delegates
+    // to the read_filter plan with regrouped columns)
+    if (agg == AggKind.None)
+      return pred.applyTo(df)
+        .select((grouping ++ fs).map(col) :+ time: _*)
+        .orderBy(grouping.map(col) :+ time: _*)
 
     def aggExpr(f: String): Column = agg match {
       case AggKind.Sum => sum(col(f))
@@ -161,6 +193,7 @@ object InfluxRpc {
       case AggKind.Mean => avg(col(f))
       case AggKind.First => Selectors.firstValue(col(f), time)
       case AggKind.Last => Selectors.lastValue(col(f), time)
+      case AggKind.None => throw new IllegalStateException("handled above")
     }
     def selectorTime(f: String): Column = agg match {
       case AggKind.Min => Selectors.minTime(col(f), time)
@@ -210,6 +243,8 @@ object InfluxRpc {
       case AggKind.Mean => avg(col(f))
       case AggKind.First => Selectors.firstValue(col(f), time)
       case AggKind.Last => Selectors.lastValue(col(f), time)
+      case AggKind.None =>
+        throw new IllegalArgumentException("window aggregate requires an aggregate")
     }
     val keys = ts.map(col) :+ bucket.as(NsTime.TimeColumn)
     pred.applyTo(df)
