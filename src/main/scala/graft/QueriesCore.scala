@@ -700,6 +700,35 @@ object QueriesCore {
       Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
         CAST(sum(c_nationkey) AS BIGINT) AS sum_nk,
         min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
-        FROM customer GROUP BY 1 ORDER BY 1"""))
+        FROM customer GROUP BY 1 ORDER BY 1""")),
+
+    ("flight_do_get",
+      (s, d) => {
+        import s.implicits._
+        // Arrow Flight do_get data plane (flight.rs:158): nation rows as
+        // line protocol over HTTP write, then a Flight ticket whose SQL
+        // aggregates them; the Arrow IPC stream decodes back into a frame
+        val lines = t(s, d, "nation").select(concat(
+          lit("nation,n_name="), col("n_name"),
+          lit(" n_regionkey="), col("n_regionkey").cast("string"), lit("i"),
+          lit(" "), col("n_nationkey").cast("string"))).as[String].collect()
+        val facade = new graft.server.HttpFacade(s, port = 0)
+        try {
+          require(graft.server.HttpFacade.postWrite(
+            facade.boundPort, "acme", "prod", lines.mkString("\n")) == 204)
+          val (cols, rows) = graft.server.HttpFacade.doGet(
+            facade.boundPort, "acme_prod",
+            """SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+              FROM nation GROUP BY n_regionkey""")
+          require(cols == Seq("n_regionkey", "n", "first_name"))
+          rows.map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long],
+              r(2).asInstanceOf[String]))
+            .toDF("n_regionkey", "n", "first_name")
+            .orderBy("n_regionkey")
+        } finally facade.stop()
+      },
+      Some("""SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        CAST(count(*) AS BIGINT) AS n, min(n_name) AS first_name
+        FROM nation GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -1,0 +1,117 @@
+package graft.server
+
+import java.io.{InputStream, OutputStream}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector.{BigIntVector, BitVector, Float4Vector, Float8Vector, IntVector, VarCharVector, VectorSchemaRoot}
+import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
+import org.apache.arrow.vector.types.FloatingPointPrecision
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+/** Arrow IPC (de)serialization of query results — the data plane of the
+  * reference's Arrow Flight `do_get` (src/influxdb_ioxd/rpc/flight.rs:158:
+  * schema message, then one record batch per result batch, over the wire).
+  * Spark ships the arrow-vector/arrow-memory jars, so the stream bytes
+  * here are the same IPC format any Flight/pyarrow client decodes; only
+  * the gRPC transport is stood in by HTTP (see [[HttpFacade]]).
+  *
+  * Types cover the engine's column universe (tags = utf8, fields =
+  * f64/i64/u64-as-i64/bool/utf8, time = i64 ns) — the same set the
+  * reference's optimize_schema emits after dictionary unwrapping
+  * (flight.rs:320-360).
+  */
+object ArrowIpc {
+
+  private def arrowField(f: StructField): Field = {
+    val at = f.dataType match {
+      case LongType => new ArrowType.Int(64, true)
+      case IntegerType => new ArrowType.Int(32, true)
+      case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+      case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+      case BooleanType => ArrowType.Bool.INSTANCE
+      case StringType => ArrowType.Utf8.INSTANCE
+      case other =>
+        throw new IllegalArgumentException(
+          s"column '${f.name}': type ${other.simpleString} not supported over flight")
+    }
+    new Field(f.name, FieldType.nullable(at), java.util.Collections.emptyList())
+  }
+
+  /** Serialize a DataFrame as an Arrow IPC stream in `batchRows` batches.
+    * Rows arrive via toLocalIterator — one partition in memory at a time,
+    * streamed as they are written (the reference TODO-notes exactly this
+    * streaming upgrade over its collect(), flight.rs:156). */
+  def writeStream(df: DataFrame, out: OutputStream, batchRows: Int = 4096): Unit = {
+    val sparkSchema = df.schema
+    val schema = new ArrowSchema(sparkSchema.fields.map(arrowField).toSeq.asJava)
+    val alloc = new RootAllocator()
+    val root = VectorSchemaRoot.create(schema, alloc)
+    val writer = new ArrowStreamWriter(root, null, out)
+    try {
+      writer.start()
+      df.toLocalIterator().asScala.grouped(batchRows).foreach { rows =>
+        root.allocateNew()
+        var i = 0
+        rows.foreach { row =>
+          var c = 0
+          while (c < sparkSchema.length) {
+            val vec = root.getVector(c)
+            if (row.isNullAt(c)) vec.setNull(i)
+            else vec match {
+              case v: BigIntVector => v.setSafe(i, row.getLong(c))
+              case v: IntVector => v.setSafe(i, row.getInt(c))
+              case v: Float8Vector => v.setSafe(i, row.getDouble(c))
+              case v: Float4Vector => v.setSafe(i, row.getFloat(c))
+              case v: BitVector => v.setSafe(i, if (row.getBoolean(c)) 1 else 0)
+              case v: VarCharVector =>
+                v.setSafe(i, row.getString(c).getBytes("UTF-8"))
+              case other =>
+                throw new IllegalStateException(s"unreachable: ${other.getClass}")
+            }
+            c += 1
+          }
+          i += 1
+        }
+        root.setRowCount(i)
+        writer.writeBatch()
+      }
+      writer.end()
+    } finally {
+      writer.close(); root.close(); alloc.close()
+    }
+  }
+
+  /** Decode an Arrow IPC stream into (column names, rows) — the client
+    * half, for tests and the demo client. Strings come back as String,
+    * everything else as the vector's boxed JVM value. */
+  def readStream(in: InputStream): (Seq[String], Seq[Seq[Any]]) = {
+    val alloc = new RootAllocator()
+    val reader = new ArrowStreamReader(in, alloc)
+    try {
+      val root = reader.getVectorSchemaRoot
+      val cols = root.getSchema.getFields.asScala.map(_.getName).toSeq
+      val rows = Seq.newBuilder[Seq[Any]]
+      while (reader.loadNextBatch()) {
+        val vectors = (0 until root.getFieldVectors.size).map(root.getVector)
+        var r = 0
+        while (r < root.getRowCount) {
+          rows += vectors.map { v =>
+            if (v.isNull(r)) null
+            else v.getObject(r) match {
+              case t: org.apache.arrow.vector.util.Text => t.toString
+              case other => other
+            }
+          }
+          r += 1
+        }
+      }
+      (cols, rows.result())
+    } finally {
+      reader.close(); alloc.close()
+    }
+  }
+}

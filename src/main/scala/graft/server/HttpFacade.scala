@@ -109,6 +109,7 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
       val path = ex.getRequestURI.getPath
       (ex.getRequestMethod, path) match {
         case ("POST", "/api/v2/write") => handleWrite(ex)
+        case ("POST", "/api/v2/flight/do_get") => handleDoGet(ex)
         case ("GET", "/health") => respond(ex, 200, "text/plain", "OK")
         case ("GET", "/metrics") => handleMetrics(ex)
         case ("GET", "/api/v1/partitions") => handlePartitions(ex)
@@ -191,6 +192,50 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
         rendered match {
           case Right(body) => respond(ex, 200, contentType(format), body)
           case Left(err) => respondJsonError(ex, 400, s"query error: $err")
+        }
+    }
+  }
+
+  /** Arrow Flight do_get with HTTP as the transport stand-in
+    * (flight.rs:158): the request body IS the Flight ticket — JSON
+    * `{"database_name": ..., "sql_query": ...}` (flight.rs ReadInfo) —
+    * and the response body is the Arrow IPC stream a Flight client would
+    * receive as FlightData frames: schema message first, then record
+    * batches. Batches stream out as Spark produces partitions (chunked
+    * transfer), so a large result never sits fully in facade memory. */
+  private def handleDoGet(ex: HttpExchange): Unit = {
+    val body = readBody(ex.getRequestBody, gzipped = false) match {
+      case Some(b) => new String(b, UTF_8)
+      case None => respondJsonError(ex, 413, s"ticket exceeds $MaxBodySize bytes"); return
+    }
+    parseTicket(body) match {
+      case None =>
+        respondJsonError(ex, 400, s"invalid ticket: expected " +
+          """{"database_name": ..., "sql_query": ...}""")
+      case Some((db, sql)) =>
+        if (!databases.contains(db)) {
+          respondJsonError(ex, 404, s"database not found: $db"); return
+        }
+        // plan under the shared temp-view catalog lock, stream after
+        val planned = HttpFacade.synchronized {
+          try {
+            measurements(db).foreach { m =>
+              measurementView(db, m).foreach(_.createOrReplaceTempView(m))
+            }
+            Right(spark.sql(sql))
+          } catch {
+            case NonFatal(e) =>
+              Left(Option(e.getMessage).getOrElse(e.getClass.getName))
+          }
+        }
+        planned match {
+          case Left(err) => respondJsonError(ex, 400, s"query error: $err")
+          case Right(df) =>
+            ex.getResponseHeaders.set("Content-Type",
+              "application/vnd.apache.arrow.stream")
+            ex.sendResponseHeaders(200, 0) // chunked: length unknown up front
+            val os = ex.getResponseBody
+            try ArrowIpc.writeStream(df, os) finally os.close()
         }
     }
   }
@@ -278,6 +323,61 @@ object HttpFacade {
     val is = if (status >= 400) conn.getErrorStream else conn.getInputStream
     val body = if (is == null) "" else new String(is.readAllBytes(), UTF_8)
     (status, body)
+  }
+
+  /** POST a Flight ticket to do_get; returns (column names, rows) decoded
+    * from the Arrow IPC response, or throws on a non-200 with the error
+    * body in the message. */
+  def doGet(port: Int, db: String, sql: String): (Seq[String], Seq[Seq[Any]]) = {
+    val conn = new java.net.URI(s"http://127.0.0.1:$port/api/v2/flight/do_get")
+      .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.getOutputStream.write(
+      s"""{"database_name":${jsonStr(db)},"sql_query":${jsonStr(sql)}}""".getBytes(UTF_8))
+    conn.getOutputStream.close()
+    val status = conn.getResponseCode
+    if (status >= 400) {
+      val err = Option(conn.getErrorStream)
+        .map(is => new String(is.readAllBytes(), UTF_8)).getOrElse("")
+      conn.disconnect()
+      throw new RuntimeException(s"do_get failed ($status): $err")
+    }
+    val result = ArrowIpc.readStream(conn.getInputStream)
+    conn.disconnect()
+    result
+  }
+
+  /** Parse the Flight ticket JSON (flight.rs ReadInfo: database_name +
+    * sql_query, both strings). Deliberately minimal: exactly the two
+    * string members, any order, standard JSON escapes. */
+  private[server] def parseTicket(json: String): Option[(String, String)] = {
+    def strVal(key: String): Option[String] = {
+      val re = ("\"" + key + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
+      re.findFirstMatchIn(json).map(m => unescapeJson(m.group(1)))
+    }
+    for (db <- strVal("database_name"); q <- strVal("sql_query")) yield (db, q)
+  }
+
+  private def unescapeJson(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb += '\n'; i += 2
+          case 'r' => sb += '\r'; i += 2
+          case 't' => sb += '\t'; i += 2
+          case 'b' => sb += '\b'; i += 2
+          case 'f' => sb += '\f'; i += 2
+          case 'u' if i + 5 < s.length =>
+            sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case other => sb += other; i += 2
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
   }
 
   private def urlEnc(s: String): String =

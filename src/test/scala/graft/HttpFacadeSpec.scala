@@ -152,6 +152,59 @@ class HttpFacadeSpec extends SparkSpec {
     }
   }
 
+  test("flight do_get: ticket -> Arrow IPC stream round-trips all types (flight.rs:158)") {
+    withFacade { facade =>
+      val p = facade.boundPort
+      val lp = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(fixture))
+      assert(post(p, "/api/v2/write?org=myorg&bucket=mybucket", lp)._1 == 204)
+      // mixed types in one measurement: double, i64, bool, string + null
+      val extra = ("m,tag=a f_d=1.5,f_i=7i,f_b=true,f_s=\"x\" 100\n" +
+        "m,tag=b f_d=2.5,f_i=9i 200").getBytes(UTF_8)
+      assert(post(p, "/api/v2/write?org=myorg&bucket=mybucket", extra)._1 == 204)
+
+      val (cols, rows) = HttpFacade.doGet(p, "myorg_mybucket",
+        "SELECT location, state, surface_degrees, time FROM h2o_temperature ORDER BY location, time")
+      assert(cols == Seq("location", "state", "surface_degrees", "time"))
+      assert(rows.size == 6)
+      assert(rows.head == Seq("coyote_creek", "CA", 55.1, 1568756160L))
+      assert(rows.last == Seq("santa_monica", "CA", 63.6, 1600756160L))
+
+      val (mcols, mrows) = HttpFacade.doGet(p, "myorg_mybucket",
+        "SELECT tag, f_d, f_i, f_b, f_s, time FROM m ORDER BY time")
+      assert(mcols == Seq("tag", "f_d", "f_i", "f_b", "f_s", "time"))
+      assert(mrows == Seq(
+        Seq("a", 1.5, 7L, true, "x", 100L),
+        Seq("b", 2.5, 9L, null, null, 200L))) // absent fields decode as null
+
+      // a result spanning multiple IPC batches arrives whole
+      val (_, many) = HttpFacade.doGet(p, "myorg_mybucket",
+        "SELECT t1.location || t2.location AS l2 FROM h2o_temperature t1 CROSS JOIN h2o_temperature t2")
+      assert(many.size == 36)
+
+      // error surfaces: bad ticket, unknown database, bad SQL
+      val bad = intercept[RuntimeException](HttpFacade.doGet(p, "nope_db", "SELECT 1"))
+      assert(bad.getMessage.contains("404"))
+      val badSql = intercept[RuntimeException](
+        HttpFacade.doGet(p, "myorg_mybucket", "SELEKT 1"))
+      assert(badSql.getMessage.contains("400"))
+    }
+  }
+
+  test("ArrowIpc: multi-batch stream round-trips with nulls") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(10).select(col("id"),
+      (col("id") * 2.5).as("d"),
+      when(col("id") % 2 === 0, concat(lit("s"), col("id"))).as("s"))
+    val bos = new ByteArrayOutputStream()
+    graft.server.ArrowIpc.writeStream(df, bos, batchRows = 3) // 4 batches
+    val (cols, rows) = graft.server.ArrowIpc.readStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    assert(cols == Seq("id", "d", "s"))
+    assert(rows.size == 10)
+    assert(rows(0) == Seq(0L, 0.0, "s0"))
+    assert(rows(1) == Seq(1L, 2.5, null))
+  }
+
   test("db name mapping percent-encodes non-alphanumerics (names.rs:18)") {
     assert(HttpFacade.dbName("my org", "bucket/1") == "my%20org_bucket%2F1")
     assert(HttpFacade.dbName("org", "bucket") == "org_bucket")
