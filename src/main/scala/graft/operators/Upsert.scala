@@ -111,10 +111,15 @@ object Upsert {
       return pred.applyTo(empty)
     }
     val chunks = kept.map { p =>
-      val range = graft.sources.StatsCatalog.load(spark, p)
-        .map(st => (st.timeMin, st.timeMax))
+      val stats = graft.sources.StatsCatalog.load(spark, p)
+      val range = stats.map(st => (st.timeMin, st.timeMax))
         .getOrElse((Long.MinValue, Long.MaxValue)) // unknown: overlaps all
-      (spark.read.parquet(p), range, true)
+      // SortKey metadata (sort.rs:89-146): a recorded sort order that
+      // differs from this scan's dedup key means the chunk may
+      // self-duplicate under THIS key; absent metadata keeps the
+      // compacted-chunk convention (self-clean by construction)
+      val selfClean = stats.flatMap(_.sortKey).forall(_ == pkCols)
+      (spark.read.parquet(p), range, selfClean)
     }
     pred.applyTo(scanWithDedup(chunks, pkCols))
   }

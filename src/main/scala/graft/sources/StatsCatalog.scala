@@ -36,7 +36,14 @@ object StatsCatalog {
       timeMin: Long,
       timeMax: Long,
       tagValues: Map[String, Seq[String]],
-      cappedTags: Seq[String])
+      cappedTags: Seq[String],
+      /** The chunk's recorded sort order (reference SortKey,
+        * internal_types/src/schema/sort.rs:89-146): Some(cols) means the
+        * data was written dedup-sorted on exactly these columns, so a
+        * scan whose dedup key equals it can treat the chunk as self-clean
+        * from metadata alone. None = unknown (pre-SortKey sidecars /
+        * unsorted open chunks). */
+      sortKey: Option[Seq[String]] = None)
 
   /** Count, time bounds, per-tag distinct sets (sorted, capped at `cap+1`
     * to detect overflow). Two bounded-memory passes: pass 1 estimates each
@@ -51,7 +58,8 @@ object StatsCatalog {
     * Stats run at compaction time, so the extra scan is off the query path.
     * `tagCols` defaults to the schema's category metadata; pass explicitly
     * for frames that lost metadata in a parquet round-trip. */
-  def compute(df: DataFrame, tagCols: Seq[String] = Nil, cap: Int = 10000): TableStats = {
+  def compute(df: DataFrame, tagCols: Seq[String] = Nil, cap: Int = 10000,
+      sortKey: Option[Seq[String]] = None): TableStats = {
     val tags = if (tagCols.nonEmpty) tagCols else IoxSchema.tagColumns(df.schema)
     val time = col(NsTime.TimeColumn)
     val preAggs = Seq(count(lit(1)).as("__n"), min(time).as("__tmin"), max(time).as("__tmax")) ++
@@ -74,7 +82,8 @@ object StatsCatalog {
       tagValues = tagVals.map { case (t, vs) => t -> vs.take(cap) } ++
         overCap.map(t => t -> Seq.empty[String]),
       cappedTags = (tagVals.collect { case (t, vs) if vs.size > cap => t } ++
-        overCap).toSeq.sorted)
+        overCap).toSeq.sorted,
+      sortKey = sortKey)
   }
 
   /** Sidecar IO goes through the Hadoop FileSystem API, so it works on

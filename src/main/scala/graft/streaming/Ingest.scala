@@ -107,7 +107,8 @@ object Ingest {
     if (pkCols.contains(NsTime.TimeColumn))
       graft.sources.StatsCatalog.save(spark, outPath,
         graft.sources.StatsCatalog.compute(spark.read.parquet(outPath),
-          tagCols = pkCols.filterNot(_ == NsTime.TimeColumn)))
+          tagCols = pkCols.filterNot(_ == NsTime.TimeColumn),
+          sortKey = Some(pkCols))) // dedup-sorted on PK just above
   }
 
   /** Streaming twin of readWindowAggregate: per-tag tumbling-window counts

@@ -139,15 +139,18 @@ object Lifecycle {
     }
 
     /** The queryable view: overlap-aware dedup scan over every chunk,
-      * later chunk ids winning (provider.rs chunk stitch). */
+      * later chunk ids winning (provider.rs chunk stitch). A chunk is
+      * self-clean iff its sidecar RECORDS a SortKey equal to the scan's
+      * dedup key — metadata-driven like the reference's
+      * may_contain_pk_duplicates, not a naming convention. */
     def scan(): DataFrame = {
       val cs = chunks()
       require(cs.nonEmpty, s"no chunks under $tablePath")
       Upsert.scanWithDedup(cs.map { c =>
-        val range = StatsCatalog.load(spark, c.path)
-          .map(st => (st.timeMin, st.timeMax))
+        val stats = StatsCatalog.load(spark, c.path)
+        val range = stats.map(st => (st.timeMin, st.timeMax))
           .getOrElse((Long.MinValue, Long.MaxValue))
-        (spark.read.parquet(c.path), range, c.stage != Open)
+        (spark.read.parquet(c.path), range, stats.flatMap(_.sortKey).contains(pkCols))
       }, pkCols)
     }
 
@@ -170,7 +173,7 @@ object Lifecycle {
       val id = nextId()
       val out = new Path(root, s"hot/compacted-$id")
       merged.write.mode("error").parquet(out.toString)
-      saveStats(out, spark.read.parquet(out.toString))
+      saveStats(out, spark.read.parquet(out.toString), sorted = true)
       // compaction PRESERVES write recency: the merged chunk is as recent
       // as its newest member, else a just-compacted chunk of fresh data
       // would instantly look persist-aged
@@ -189,14 +192,15 @@ object Lifecycle {
       cold.repartitionByRange(pkCols.map(col): _*)
         .sortWithinPartitions(pkCols.map(col): _*)
         .write.mode("error").parquet(coldPath.toString)
-      saveStats(coldPath, spark.read.parquet(coldPath.toString))
+      saveStats(coldPath, spark.read.parquet(coldPath.toString), sorted = true)
       stamp(coldPath, nowMs)
       val rest = hotRest.cache()
       if (rest.limit(1).count() > 0) {
         val hotId = nextId()
         val hotPath = new Path(root, s"hot/open-$hotId")
         rest.write.mode("error").parquet(hotPath.toString)
-        saveStats(hotPath, spark.read.parquet(hotPath.toString))
+        // the remainder is a filter of the dedup-sorted merge: still sorted
+        saveStats(hotPath, spark.read.parquet(hotPath.toString), sorted = true)
         stamp(hotPath, members.map(_.lastWriteMs).max)
       }
       rest.unpersist()
@@ -214,9 +218,12 @@ object Lifecycle {
         .sortWithinPartitions(pkCols.map(col): _*)
     }
 
-    private def saveStats(path: Path, df: DataFrame): Unit =
+    /** `sorted` records the SortKey (sort.rs:89-146) for chunks written
+      * dedup-sorted on the PK; open/unsorted chunks carry none. */
+    private def saveStats(path: Path, df: DataFrame, sorted: Boolean = false): Unit =
       StatsCatalog.save(spark, path.toString,
-        StatsCatalog.compute(df, tagCols = pkCols.filterNot(_ == NsTime.TimeColumn)))
+        StatsCatalog.compute(df, tagCols = pkCols.filterNot(_ == NsTime.TimeColumn),
+          sortKey = if (sorted) Some(pkCols) else None))
 
     /** The sidecar's mtime is the chunk's last-write clock (the reference
       * tracks time_of_last_write in its in-memory catalog). */

@@ -123,6 +123,35 @@ class LifecycleSpec extends SparkSpec {
     assert(hotRows.head.rows == 1L)
   }
 
+  test("SortKey metadata: compact records it; scan trusts it over naming") {
+    import spark.implicits._
+    import graft.sources.StatsCatalog
+    val dir = java.nio.file.Files.createTempDirectory("graft-lifecycle3").toString
+    val table = new ChunkedTable(spark, dir, pkCols = Seq("host", "time"))
+    table.writeChunk(Seq(("a", 1000L, 1.0)).toDF("host", "time", "v"), 0L)
+    // open chunk: no SortKey recorded
+    assert(StatsCatalog.load(spark, table.chunks().head.path)
+      .flatMap(_.sortKey).isEmpty)
+    table.runOnce(rules, nowMs = 20000L) // compact
+    val compacted = table.chunks().head
+    // compacted chunk: SortKey == the table PK (sort.rs:89-146)
+    assert(StatsCatalog.load(spark, compacted.path)
+      .flatMap(_.sortKey).contains(Seq("host", "time")))
+    assert(table.scan().count() == 1L)
+
+    // scanChunks: a chunk whose RECORDED sort key differs from the scan's
+    // dedup key is not self-clean; one that matches is
+    val mismatchDir = java.nio.file.Files.createTempDirectory("graft-sk").toString
+    Seq(("a", 1000L, 1.0), ("a", 1000L, 2.0)).toDF("host", "time", "v")
+      .write.parquet(s"$mismatchDir/c0")
+    StatsCatalog.save(spark, s"$mismatchDir/c0",
+      StatsCatalog.compute(spark.read.parquet(s"$mismatchDir/c0"),
+        tagCols = Seq("host"), sortKey = Some(Seq("other_col"))))
+    val scanned = graft.operators.Upsert.scanChunks(
+      spark, Seq(s"$mismatchDir/c0"), Seq("host", "time"))
+    assert(scanned.count() == 1L) // mismatching SortKey forced the dedup
+  }
+
   test("chunked table: upsert across chunks - later write wins on scan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-lifecycle2").toString
