@@ -1,7 +1,8 @@
 package graft
 
-// Temporary end-to-end drive for /verify — exercises the public library
-// surface the way a user of the engine would. Removed after verification.
+// End-to-end drive of the public library surface, the way a user of the
+// engine would call it (LP ingest -> InfluxRPC ops -> dedup pipeline).
+// Run with `sbt "runMain graft.DemoVerify"`; doubles as API documentation.
 object DemoVerify {
   def main(args: Array[String]): Unit = {
     import org.apache.spark.sql.SparkSession

@@ -124,6 +124,16 @@ case class RpcPredicate(
     parts.reduceOption(_ && _)
   }
 
+  /** A predicate column the table does not have makes the table yield
+    * NOTHING — not an error, and not null-semantics evaluation (the
+    * reference planner checks predicate columns against the table schema
+    * and skips the table, read_filter.rs
+    * test_read_filter_data_pred_refers_to_non_existent_column). */
+  def referencesOnly(columns: Seq[String]): Boolean =
+    exprs.forall(e => org.apache.spark.sql.graft.ColumnBridge
+      .attributeNames(e).forall(columns.contains))
+
   def applyTo(df: DataFrame, timeCol: String = NsTime.TimeColumn): DataFrame =
-    filterColumn(col(timeCol)).map(df.filter).getOrElse(df)
+    if (!referencesOnly(df.columns.toSeq)) df.limit(0)
+    else filterColumn(col(timeCol)).map(df.filter).getOrElse(df)
 }

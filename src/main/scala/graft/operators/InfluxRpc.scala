@@ -92,6 +92,15 @@ object InfluxRpc {
       .orderBy("value")
   }
 
+  /** Database-level tag_keys: union of per-table keys over the tables the
+    * predicate admits (tag_keys.rs cases run against the whole db). */
+  def tagKeysAcrossTables(tables0: Map[String, DataFrame],
+      pred: RpcPredicate): Seq[String] =
+    tables0.toSeq
+      .filter { case (name, _) => pred.tables.forall(_.contains(name)) }
+      .flatMap { case (_, df) => tagKeys(df, pred) }
+      .distinct.sorted
+
   /** Database-level tag_values: union of per-table values over the tables
     * the predicate admits (service.rs tag_values fans out per table). */
   def tagValuesAcrossTables(tables0: Map[String, DataFrame], tag: String,
@@ -150,7 +159,12 @@ object InfluxRpc {
     */
   def readFilter(df: DataFrame, pred: RpcPredicate, globalSort: Boolean = true): DataFrame = {
     val ts = tags(df).sorted // series key lists tags alphabetically
-    val fs = pred.fieldColumns.getOrElse(fields(df))
+    // a requested field the table lacks is skipped, not an error; a table
+    // with NO matching fields still projects tags+time (the reference
+    // emits its series sets with empty field_indexes,
+    // read_filter.rs test_read_filter_data_filter_fields)
+    val fs = pred.fieldColumns.map(_.filter(df.columns.contains))
+      .getOrElse(fields(df))
     val projected = pred.applyTo(df)
       .select((ts ++ fs).map(col) :+ time: _*)
     val sortCols = ts.map(col) :+ time
@@ -174,8 +188,10 @@ object InfluxRpc {
     require(groupCols.forall(ts.contains), "group columns must be tags")
     val grouping = groupCols ++ ts.filterNot(groupCols.contains).sorted
     // field columns in name order, like the reference's schema-sorted
-    // AggExprs (unless the predicate restricts and orders them itself)
-    val fs = pred.fieldColumns.getOrElse(fields(df).sorted)
+    // AggExprs (unless the predicate restricts and orders them itself;
+    // requested fields the table lacks are skipped, not errors)
+    val fs = pred.fieldColumns.map(_.filter(df.columns.contains))
+      .getOrElse(fields(df).sorted)
 
     // Aggregate::None: raw rows with the group-key prefix reorder, no
     // aggregation (influxrpc.rs read_group planner's None arm delegates
@@ -233,8 +249,9 @@ object InfluxRpc {
 
   private def windowAggregate(df: DataFrame, pred: RpcPredicate, agg: AggKind,
       bucket: Column): DataFrame = {
-    val ts = tags(df)
-    val fs = pred.fieldColumns.getOrElse(fields(df))
+    val ts = tags(df).sorted // series ordering lists tags by name
+    val fs = pred.fieldColumns.map(_.filter(df.columns.contains))
+      .getOrElse(fields(df))
     def aggExpr(f: String): Column = agg match {
       case AggKind.Sum => sum(col(f))
       case AggKind.Count => count(col(f))
@@ -357,10 +374,15 @@ object InfluxRpc {
             val pts = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double])]
             while (rows.hasNext && rows.head._1 == key)
               { val r = rows.next(); pts += ((r._2, r._3)) }
-            val tagsKey = tagCols.zip(key).toMap
-            fieldCols.zipWithIndex.map { case (f, i) =>
-              Series(tagsKey, f,
-                pts.collect { case (t, vs) if !vs(i).isNaN => SeriesPoint(t, vs(i)) }.toSeq)
+            // null tags are OMITTED from the series key (seriesset.rs
+            // tag conversion), and a field that is null across the whole
+            // series produces NO series at all (influxrpc.rs: "the null
+            // field ... are not sent as series")
+            val tagsKey = tagCols.zip(key).filter(_._2 != null).toMap
+            fieldCols.zipWithIndex.flatMap { case (f, i) =>
+              val series = pts.collect {
+                case (t, vs) if !vs(i).isNaN => SeriesPoint(t, vs(i)) }
+              if (series.isEmpty) None else Some(Series(tagsKey, f, series.toSeq))
             }
           }
         }.flatten

@@ -22,6 +22,26 @@ object ColumnBridge {
     fromExpr(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
       toExpr(a), toExpr(b)))
 
+  /** All column names a Column expression references (its unresolved
+    * attributes) — used to check a predicate against a table schema
+    * before application (the reference's influxrpc planner skips tables
+    * lacking a predicate column rather than erroring). */
+  def attributeNames(c: Column): Seq[String] = {
+    import org.apache.spark.sql.internal._
+    def walk(n: ColumnNode): Seq[String] = n match {
+      case a: UnresolvedAttribute => Seq(a.nameParts.mkString("."))
+      case f: UnresolvedFunction => f.arguments.flatMap(walk)
+      case a: Alias => walk(a.child)
+      case w: Cast => walk(w.child)
+      case s: SortOrder => walk(s.child)
+      case u: UpdateFields => u.valueExpression.toSeq.flatMap(walk) ++ walk(u.structExpression)
+      case w: CaseWhenOtherwise =>
+        w.branches.flatMap(b => walk(b._1) ++ walk(b._2)) ++ w.otherwise.toSeq.flatMap(walk)
+      case _ => Nil
+    }
+    walk(c.node).distinct
+  }
+
   /** All function names appearing in a Column's (unresolved) node tree —
     * Column operators build internal.UnresolvedFunction nodes whose names
     * never surface in the converted Expression until analysis, so

@@ -234,4 +234,235 @@ class InfluxRpcMatrixSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("not a tag"))
   }
+
+  // ----------------------------------------------------------- read_filter
+
+  // TwoMeasurementsMultiSeries (read_filter.rs:14); insertion order is
+  // shuffled in the reference to prove output order is imposed, not kept
+  private lazy val multiSeries = LineProtocol.ingest(spark, Seq(
+    "h2o,state=CA,city=LA temp=90.0 200",
+    "h2o,state=MA,city=Boston temp=72.4 250",
+    "h2o,state=MA,city=Boston temp=70.4 100",
+    "h2o,state=CA,city=LA temp=90.0 350",
+    "o2,state=MA,city=Boston temp=53.4,reading=51 250",
+    "o2,state=MA,city=Boston temp=50.4,reading=50 100"))
+
+  /** Collected series, sorted by (tags, field) — the global series-set
+    * order the reference's plan imposes. */
+  private def seriesOf(df: org.apache.spark.sql.DataFrame, fields: Seq[String],
+      pred: RpcPredicate = RpcPredicate()): Seq[InfluxRpc.Series] =
+    InfluxRpc.toSeriesSet(InfluxRpc.readFilter(df, pred), fields)
+      .collect().toSeq
+      .sortBy(s => (s.tags.toSeq.sorted.mkString(","), s.field))
+
+  private def pts(s: InfluxRpc.Series): Seq[(Long, Double)] =
+    s.points.map(p => (p.time, p.value))
+
+  test("read_filter: multi-series, points per series in time order") {
+    val h = seriesOf(multiSeries("h2o"), Seq("temp"))
+    assert(h.map(s => (s.tags("city"), s.tags("state"), s.field)) ==
+      Seq(("Boston", "MA", "temp"), ("LA", "CA", "temp")))
+    assert(pts(h(0)) == Seq((100L, 70.4), (250L, 72.4)))
+    assert(pts(h(1)) == Seq((200L, 90.0), (350L, 90.0)))
+    val o = seriesOf(multiSeries("o2"), Seq("reading", "temp"))
+    assert(o.map(_.field) == Seq("reading", "temp"))
+    assert(pts(o(0)) == Seq((100L, 50.0), (250L, 51.0)))
+    assert(pts(o(1)) == Seq((100L, 50.4), (250L, 53.4)))
+  }
+
+  test("read_filter: range + equality, and the not-equal variant") {
+    for (pred <- Seq(
+        RpcPredicate().withRange(200, 300).withExpr(col("state") === "CA"),
+        RpcPredicate().withRange(200, 300).withExpr(col("state") =!= "MA"))) {
+      val h = seriesOf(multiSeries("h2o"), Seq("temp"), pred)
+      assert(h.size == 1 && pts(h.head) == Seq((200L, 90.0)))
+      assert(seriesOf(multiSeries("o2"), Seq("reading", "temp"), pred).isEmpty)
+    }
+  }
+
+  test("read_filter: regex match and not-match rows (regex.rs)") {
+    val m = seriesOf(multiSeries("h2o"), Seq("temp"),
+      RpcPredicate().withRange(200, 300).withRegexMatch("state", "C.*"))
+    assert(m.size == 1 && pts(m.head) == Seq((200L, 90.0)))
+    val nm = seriesOf(multiSeries("o2"), Seq("reading", "temp"),
+      RpcPredicate().withRange(200, 300).withRegexNotMatch("state", "C.*"))
+    assert(nm.map(_.field) == Seq("reading", "temp"))
+    assert(pts(nm(0)) == Seq((250L, 51.0)))
+    assert(pts(nm(1)) == Seq((250L, 53.4)))
+  }
+
+  test("read_filter: predicate on a non-existent column yields nothing, not an error") {
+    // TwoMeasurements (scenarios.rs:223)
+    val two = LineProtocol.ingest(spark, Seq(
+      "cpu,region=west user=23.2 100",
+      "cpu,region=west user=21.0 150",
+      "disk,region=east bytes=99i 200"))
+    val missing = RpcPredicate().withExpr(col("tag_not_in_h20") === "foo")
+    assert(seriesOf(two("cpu"), Seq("user"), missing).isEmpty)
+    assert(seriesOf(two("disk"), Seq("bytes"), missing).isEmpty)
+    // even when AND-ed with a column that does exist
+    val mixed = RpcPredicate().withExpr(col("region") === "west")
+      .withExpr(col("tag_not_in_h20") === "foo")
+    assert(seriesOf(two("cpu"), Seq("user"), mixed).isEmpty)
+    // a predicate with no column references applies everywhere
+    val noCols = RpcPredicate().withExpr(lit("foo") === lit("foo"))
+    assert(pts(seriesOf(two("cpu"), Seq("user"), noCols).head) ==
+      Seq((100L, 23.2), (150L, 21.0)))
+    assert(pts(seriesOf(two("disk"), Seq("bytes"), noCols).head) == Seq((200L, 99.0)))
+  }
+
+  test("read_filter: field restriction skips tables lacking the field") {
+    // TwoMeasurementsManyFields (scenarios.rs:343)
+    val many = twoChunk(
+      Seq("h2o,state=MA,city=Boston temp=70.4 50",
+        "h2o,state=MA,city=Boston other_temp=70.4 250",
+        "h2o,state=CA,city=Boston other_temp=72.4 350",
+        "o2,state=MA,city=Boston temp=53.4,reading=51 50",
+        "o2,state=CA temp=79.0 300"),
+      Seq("h2o,state=MA,city=Boston temp=70.4,moisture=43.0 100000"))
+    val pred = RpcPredicate(fieldColumns = Some(Seq("other_temp")))
+      .withExpr(col("state") === "CA")
+    val h = seriesOf(many("h2o"), Seq("other_temp"), pred)
+    assert(h.size == 1 && h.head.tags == Map("city" -> "Boston", "state" -> "CA"))
+    assert(pts(h.head) == Seq((350L, 72.4)))
+    // o2 has no other_temp: readFilter projects tags+time only, no series
+    val o2Filtered = InfluxRpc.readFilter(many("o2"), pred)
+    assert(o2Filtered.columns.toSeq == Seq("city", "state", "time"))
+    assert(o2Filtered.collect().map(_.toSeq).toSeq == Seq(Seq(null, "CA", 300L)))
+  }
+
+  test("read_filter: OR across a column one table lacks (unsupported-in-scan)") {
+    val pred = RpcPredicate().withExpr(
+      col("state") === "CA" || col("reading") > 0)
+    // h2o has no reading column -> contributes nothing
+    assert(seriesOf(multiSeries("h2o"), Seq("temp"), pred).isEmpty)
+    val o = seriesOf(multiSeries("o2"), Seq("reading", "temp"), pred)
+    assert(pts(o(0)) == Seq((100L, 50.0), (250L, 51.0)))
+    assert(pts(o(1)) == Seq((100L, 50.4), (250L, 53.4)))
+  }
+
+  // -------------------------------- tag_keys / field_columns / table_names
+
+  test("tag_keys matrix (tag_keys.rs): 8 predicate combinations") {
+    def tk(pred: RpcPredicate): Seq[String] =
+      InfluxRpc.tagKeysAcrossTables(manyNulls, pred)
+    assert(tk(RpcPredicate()) == Seq("borough", "city", "county", "state"))
+    assert(tk(RpcPredicate().withRange(150, 201)) == Seq("city", "state"))
+    assert(tk(RpcPredicate().withExpr(col("state") === "MA"))
+      == Seq("city", "county", "state"))
+    assert(tk(RpcPredicate().withRange(150, 201).withExpr(col("state") === "MA"))
+      == Seq("city", "state"))
+    assert(tk(RpcPredicate(tables = Some(Set("o2"))))
+      == Seq("borough", "city", "state"))
+    assert(tk(RpcPredicate(tables = Some(Set("o2"))).withRange(150, 201))
+      == Seq("city", "state"))
+    assert(tk(RpcPredicate(tables = Some(Set("o2"))).withExpr(col("state") === "NY"))
+      == Seq("borough", "city", "state"))
+    assert(tk(RpcPredicate(tables = Some(Set("o2"))).withRange(1, 550)
+      .withExpr(col("state") === "NY")) == Seq("city", "state"))
+  }
+
+  test("field_columns matrix (field_columns.rs): pred and ts-pred cases") {
+    val many = twoChunk(
+      Seq("h2o,state=MA,city=Boston temp=70.4 50",
+        "h2o,state=MA,city=Boston other_temp=70.4 250",
+        "h2o,state=CA,city=Boston other_temp=72.4 350",
+        "o2,state=MA,city=Boston temp=53.4,reading=51 50",
+        "o2,state=CA temp=79.0 300"),
+      Seq("h2o,state=MA,city=Boston temp=70.4,moisture=43.0 100000"))
+    def fc(df: org.apache.spark.sql.DataFrame, pred: RpcPredicate) =
+      InfluxRpc.fieldColumns(df, pred).collect().toSeq
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // (field, type, last non-null timestamp), sorted by field
+    assert(fc(many("h2o"), RpcPredicate().withExpr(col("state") === "MA")) == Seq(
+      ("moisture", "double", 100000L),
+      ("other_temp", "double", 250L),
+      ("temp", "double", 100000L)))
+    assert(fc(many("h2o"), RpcPredicate().withRange(200, 300)
+      .withExpr(col("state") === "MA")) == Seq(("other_temp", "double", 250L)))
+    // no rows under the predicate: empty list
+    assert(fc(many("h2o"), RpcPredicate().withExpr(col("state") === "XX")).isEmpty)
+  }
+
+  test("table_names matrix (table_names.rs): range boundary cases") {
+    val two = LineProtocol.ingest(spark, Seq(
+      "cpu,region=west user=23.2 100",
+      "cpu,region=west user=21.0 150",
+      "disk,region=east bytes=99i 200"))
+    assert(InfluxRpc.tableNames(two, RpcPredicate()) == Seq("cpu", "disk"))
+    assert(InfluxRpc.tableNames(two, RpcPredicate().withRange(0, 201)) == Seq("cpu", "disk"))
+    assert(InfluxRpc.tableNames(two, RpcPredicate().withRange(0, 200)) == Seq("cpu"))
+    assert(InfluxRpc.tableNames(two, RpcPredicate().withRange(50, 101)) == Seq("cpu"))
+    assert(InfluxRpc.tableNames(two, RpcPredicate().withRange(250, 300)) == Nil)
+  }
+
+  // -------------------------------------------------- read_window_aggregate
+
+  test("read_window_aggregate: 200ns windows, stop-bound labels (mean)") {
+    // MeasurementForWindowAggregate (read_window_aggregate.rs:94)
+    val h2o = twoChunk(
+      Seq("h2o,state=MA,city=Boston temp=70.0 100",
+        "h2o,state=MA,city=Boston temp=71.0 200",
+        "h2o,state=MA,city=Boston temp=72.0 300",
+        "h2o,state=MA,city=Boston temp=73.0 400",
+        "h2o,state=MA,city=Boston temp=74.0 500",
+        "h2o,state=MA,city=Cambridge temp=80.0 100",
+        "h2o,state=MA,city=Cambridge temp=81.0 200"),
+      Seq("h2o,state=MA,city=Cambridge temp=82.0 300",
+        "h2o,state=MA,city=Cambridge temp=83.0 400",
+        "h2o,state=MA,city=Cambridge temp=84.0 500",
+        "h2o,state=CA,city=LA temp=90.0 100",
+        "h2o,state=CA,city=LA temp=91.0 200",
+        "h2o,state=CA,city=LA temp=92.0 300",
+        "h2o,state=CA,city=LA temp=93.0 400",
+        "h2o,state=CA,city=LA temp=94.0 500"))("h2o")
+    val pred = RpcPredicate().withRange(100, 450)
+      .withExpr(col("city") === "Boston" || col("city") === "LA")
+    val got = InfluxRpc.readWindowAggregate(h2o, pred, AggKind.Mean, everyNs = 200L)
+      .select("city", "state", "time", "temp")
+    assert(rows(got) == Seq(
+      Seq("Boston", "MA", 200L, 70.0),
+      Seq("Boston", "MA", 400L, 71.5),
+      Seq("Boston", "MA", 600L, 73.0),
+      Seq("LA", "CA", 200L, 90.0),
+      Seq("LA", "CA", 400L, 91.5),
+      Seq("LA", "CA", 600L, 93.0)))
+  }
+
+  test("read_window_aggregate: month windows label with next month start") {
+    // MeasurementForWindowAggregateMonths (read_window_aggregate.rs:156)
+    val h2o = LineProtocol.ingest(spark, Seq(
+      "h2o,state=MA,city=Boston temp=70.0 1583020800000000000",
+      "h2o,state=MA,city=Boston temp=71.0 1583107920000000000",
+      "h2o,state=MA,city=Boston temp=72.0 1585699200000000000",
+      "h2o,state=MA,city=Boston temp=73.0 1585785600000000000"))("h2o")
+    val got = InfluxRpc.readWindowAggregateMonths(h2o, RpcPredicate(),
+      AggKind.Mean, everyMonths = 1).select("city", "state", "time", "temp")
+    assert(rows(got) == Seq(
+      Seq("Boston", "MA", 1585699200000000000L, 70.5), // 2020-04-01
+      Seq("Boston", "MA", 1588291200000000000L, 72.5))) // 2020-05-01
+  }
+
+  test("read_filter plan order: null tags sort first and are omitted from keys") {
+    // MeasurementsSortableTags (read_filter.rs:359)
+    val h2o = LineProtocol.ingest(spark, Seq(
+      "h2o,zz_tag=A,state=MA,city=Kingston temp=70.1 800",
+      "h2o,state=MA,city=Kingston,zz_tag=B temp=70.2 100",
+      "h2o,state=CA,city=Boston temp=70.3 250",
+      "h2o,state=MA,city=Boston,zz_tag=A temp=70.4 1000",
+      "h2o,state=MA,city=Boston temp=70.5,other=5.0 250"))("h2o")
+    val ss = seriesOf(h2o, Seq("other", "temp"))
+    // null zz_tag is ABSENT from the key (not an empty string)
+    assert(ss.map(s => (s.tags.get("city"), s.tags.get("state"),
+        s.tags.get("zz_tag"), s.field)) == Seq(
+      (Some("Boston"), Some("CA"), None, "temp"),
+      (Some("Boston"), Some("MA"), None, "other"),
+      (Some("Boston"), Some("MA"), None, "temp"),
+      (Some("Boston"), Some("MA"), Some("A"), "temp"),
+      (Some("Kingston"), Some("MA"), Some("A"), "temp"),
+      (Some("Kingston"), Some("MA"), Some("B"), "temp")))
+    // the all-null `other` field produced no series for the other keys
+    assert(ss.count(_.field == "other") == 1)
+    assert(pts(ss(1)) == Seq((250L, 5.0)))
+  }
 }
