@@ -78,6 +78,64 @@ class PlanShapeSpec extends SparkSpec {
     assert(top == Seq(99L, 97L, 95L))
   }
 
+  // TwoMeasurementsPredicatePushDown (scenarios.rs:281) — the reference
+  // pins these 11 WHERE clauses' pushdown behavior in
+  // query_tests/cases/in/pushdown.{sql,expected}; row counts transcribed
+  // from the fixture, pushdown asserted in Spark's PushedFilters terms
+  test("pushdown golden matrix: 11 predicate shapes reach the scan (pushdown.sql)") {
+    // the default 100-char metadata cap truncates PushedFilters mid-list
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val tmp = Files.createTempDirectory("graft-pushdown").toString
+    LineProtocol.ingest(spark, Seq(
+      "restaurant,town=andover count=40000u,system=5.0 100",
+      "restaurant,town=reading count=632u,system=5.0 120",
+      "restaurant,town=bedford count=189u,system=7.0 110",
+      "restaurant,town=tewsbury count=471u,system=6.0 110",
+      "restaurant,town=lexington count=372u,system=5.0 100",
+      "restaurant,town=lawrence count=872u,system=6.0 110",
+      "restaurant,town=reading count=632u,system=6.0 130"))("restaurant")
+      .write.parquet(s"$tmp/restaurant")
+    val r = spark.read.parquet(s"$tmp/restaurant")
+
+    // (where clause, expected rows, filters that must appear in the scan)
+    val cases: Seq[(org.apache.spark.sql.Column, Int, Seq[String])] = Seq(
+      (lit(true), 7, Nil),
+      ($"count" > 200, 6, Seq("GreaterThan(count,200)")),
+      // float literal vs integer column: the cast blocks pushdown in the
+      // reference too (its 2.2 expected keeps CAST..Float64 in FilterExec)
+      ($"count" > 200.0, 6, Nil),
+      ($"system" > 4.0, 7, Seq("GreaterThan(system,4.0)")),
+      ($"count" > 200 && $"town" =!= "tewsbury", 5,
+        Seq("GreaterThan(count,200)", "Not(EqualTo(town,tewsbury))")),
+      ($"count" > 200 && $"town" =!= "tewsbury" &&
+        ($"system" === 5.0 || $"town" === "lawrence"), 4,
+        Seq("GreaterThan(count,200)", "Not(EqualTo(town,tewsbury))",
+          "Or(EqualTo(system,5.0),EqualTo(town,lawrence))")),
+      ($"count" > 200 && $"town" =!= "tewsbury" &&
+        ($"system" === 5.0 || $"town" === "lawrence") && $"count" < 40000, 3,
+        Seq("GreaterThan(count,200)", "LessThan(count,40000)")),
+      ($"count" > 200 && $"count" < 40000, 5,
+        Seq("GreaterThan(count,200)", "LessThan(count,40000)")),
+      ($"system" > 4.0 && $"system" < 7.0, 6,
+        Seq("GreaterThan(system,4.0)", "LessThan(system,7.0)")),
+      ($"system" > 5.0 && $"system" < 7.0, 3,
+        Seq("GreaterThan(system,5.0)", "LessThan(system,7.0)")),
+      ($"system" > 5.0 && $"town" =!= "tewsbury" && lit(7.0) > $"system", 2,
+        Seq("GreaterThan(system,5.0)", "LessThan(system,7.0)")),
+      ($"system" > 5.0 && lit("tewsbury") =!= $"town" && $"system" < 7.0 &&
+        ($"count" === 632 || $"town" === "reading"), 1,
+        Seq("Or(EqualTo(count,632),EqualTo(town,reading))")),
+      (lit(5.0) < $"system" && $"town" =!= "tewsbury" && $"system" < 7.0 &&
+        ($"count" === 632 || $"town" === "reading") && $"time" > 130L, 0,
+        Seq("GreaterThan(time,130)")))
+    for (((cond, n, pushed), i) <- cases.zipWithIndex) {
+      val q = r.filter(cond)
+      assert(q.count() == n, s"case $i: wrong row count")
+      val plan = executedPlan(q)
+      pushed.foreach(p => assert(plan.contains(p), s"case $i: $p not pushed\n$plan"))
+    }
+  }
+
   test("readFilter whole plan stays shuffle-free up to the ordering") {
     val df = spark.read.parquet(parquetTable)
     val tagged = spark.createDataFrame(
