@@ -42,12 +42,18 @@ object Bench {
       }.sorted
       (name, times(times.size / 2), times.last - times.head)
     }
-    val qs = results.map { case (k, med, _) => "\"" + k + "\":" + med }
+    // The driver captures only a bounded tail of stdout and parses the last
+    // JSON line from it; full-precision doubles plus a per-query spread map
+    // overflow that window and the whole bench reads as unparseable. Keep
+    // stdout to ONE compact line (3-decimal medians) and put the verbose
+    // per-query spread on stderr for the record.
+    val qs = results.map { case (k, med, _) => "\"" + k + "\":" + f"$med%.3f" }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, _, s) => "\"" + k + "\":" + f"$s%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iters,"spread":$spread,"sf":"$sfDir"}""")
+    System.err.println(s"""[bench-detail] {"iters":$iters,"spread":$spread}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"iters":$iters,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
