@@ -119,6 +119,42 @@ object QueriesPipeline {
           / greatest(len($dToks), 1), 6) AS mean_word_len
         FROM documents ORDER BY doc_id""")),
 
+    // repetition scoring: per-row bigram dup ratio (linear array math)
+    // plus top-token frequency via explode+groupBy — two shuffles of
+    // (doc_id, token) pairs, never a per-row quadratic scan
+    ("text_repetition",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val perRow = docs.select(col("doc_id"),
+          round(TF.dupNgramRatio(col("text"), 2), 6).as("dup_bigram_ratio"),
+          TF.tokenCount(col("text")).as("ntok"))
+        val top = docs
+          .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(max(col("c")).as("topc"))
+        perRow.join(top, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("dup_bigram_ratio"),
+            round(coalesce(col("topc"), lit(0L)).cast("double") /
+              greatest(col("ntok"), lit(1)).cast("double"), 6).as("top_token_ratio"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $dToks AS w FROM documents),
+        bg AS (SELECT doc_id, CASE WHEN len(w) >= 2 THEN list_filter(
+            list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]),
+            x -> length(x) > 0) ELSE [] END AS b FROM toks),
+        dupr AS (SELECT doc_id, CASE WHEN len(b) > 0
+            THEN round(1.0 - len(list_distinct(b)) * 1.0 / len(b), 6)
+            ELSE 0.0 END AS dup_bigram_ratio FROM bg),
+        tf AS (SELECT doc_id, tok, count(*) AS c
+          FROM (SELECT doc_id, unnest(w) AS tok FROM toks) GROUP BY 1, 2),
+        top AS (SELECT doc_id, max(c) AS topc FROM tf GROUP BY 1)
+        SELECT t.doc_id, dupr.dup_bigram_ratio,
+          round(coalesce(top.topc, 0) * 1.0 / greatest(len(t.w), 1), 6)
+            AS top_token_ratio
+        FROM toks t JOIN dupr ON dupr.doc_id = t.doc_id
+        LEFT JOIN top ON top.doc_id = t.doc_id
+        ORDER BY t.doc_id""")),
+
     // ------------------------------------------------------- dedup family
 
     ("dedup_exact",
@@ -144,6 +180,35 @@ object QueriesPipeline {
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id1", "id2"),
       Some(dJaccardPairs)),
+
+    // near-dup pairs -> canonical clusters: the DuckDB twin walks the
+    // same pair set to a fixpoint with a recursive CTE (transitive
+    // closure), so both engines agree on every component assignment
+    ("dedup_components",
+      (s, d) => DocDedup.connectedComponents(
+          DocDedup.minHashDedupPairs(Tables.spread(s, Tables.documents(s, d)),
+            "doc_id", "text", n = 3, threshold = 0.7,
+            DocDedup.MinHashParams(numPerms = 32, bands = 16)))
+        .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE $dShingles,
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        rawpairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        dup AS (SELECT id1, id2 FROM rawpairs
+          JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+          WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.7),
+        edges AS (SELECT id1 AS u, id2 AS v FROM dup
+          UNION SELECT id2, id1 FROM dup),
+        reach(id, root) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.id),
+        comp AS (SELECT id, min(root) AS cluster_id FROM reach GROUP BY 1),
+        cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM comp GROUP BY 1)
+        SELECT id AS doc_id, cluster_id, cluster_size
+        FROM comp JOIN cs USING (cluster_id) ORDER BY doc_id""")),
 
     ("dedup_simhash",
       (s, d) => Tables.spread(s, Tables.documents(s, d))

@@ -51,6 +51,32 @@ object TextFunctions {
           .otherwise(lit(Array.empty[String]))),
       1)
 
+  /** Word n-grams WITH multiplicity (unlike [[shingles]], which is
+    * distinct) — the unit for repetition scoring, where duplicates are
+    * exactly the signal. Same short-doc guard and lambda-binding shape as
+    * [[shingles]] (the token array is bound once; an unbound reference
+    * would re-tokenize per n-gram position). */
+  def ngrams(text: Column, n: Int): Column =
+    element_at(
+      transform(array(tokens(text)), tk =>
+        when(size(tk) >= n,
+          filter(
+            transform(sequence(lit(0), size(tk) - n),
+              i => array_join(slice(tk, i + 1, lit(n)), " ")),
+            s => length(s) > 0))
+          .otherwise(lit(Array.empty[String]))),
+      1)
+
+  /** Fraction of word bigrams that are repeats of an earlier bigram in
+    * the same document — the Gopher-style repetition signal for machine-
+    * generated / boilerplate text. 0 for docs with no bigrams. */
+  def dupNgramRatio(text: Column, n: Int): Column = {
+    val gs = ngrams(text, n)
+    when(size(gs) > 0,
+      lit(1.0) - size(array_distinct(gs)).cast("double") / size(gs).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   /** Stable 60-bit token hash shared with the DuckDB oracle: first 15 hex
     * chars of md5, parsed base-16. (Spark's murmur `hash()` has no DuckDB
     * twin; md5 is identical everywhere.) Computed by the native

@@ -130,6 +130,21 @@ object InfluxRpc {
       .orderBy("field")
   }
 
+  /** Database-level field_columns: per-table field lists merged by name,
+    * keeping the max last-timestamp (fieldlist.rs:147-170 into_fieldlist
+    * merge); tables outside the predicate's table set contribute nothing
+    * (field_columns.rs test_field_columns_no_predicate). */
+  def fieldColumnsAcrossTables(tables0: Map[String, DataFrame],
+      pred: RpcPredicate): Seq[(String, String, Long)] =
+    tables0.toSeq
+      .filter { case (name, _) => pred.tables.forall(_.contains(name)) }
+      .flatMap { case (_, df) =>
+        fieldColumns(df, pred).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2))) }
+      .groupBy(f => (f._1, f._2)).view
+      .map { case ((n, t), fs) => (n, t, fs.map(_._3).max) }
+      .toSeq.sortBy(_._1)
+
   /** read_series_cardinality: number of distinct series (tag-set
     * combinations) passing the predicate. The reference declares but never
     * implements this (service.rs:560); completed here. Exact mode is a

@@ -254,4 +254,59 @@ object DocDedup {
 
   /** Hamming distance between two long signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ----------------------------------------------- duplicate clustering
+
+  /** Connected components over near-dup pairs (id1, id2): the final step
+    * of corpus dedup, turning pairwise matches into canonical clusters so
+    * "keep one per cluster" is well-defined even when A~B and B~C but A
+    * and C never paired. Returns (id, cluster_id, cluster_size) for every
+    * id appearing in a pair, cluster_id = min id of the component
+    * (singleton docs never enter a pair and keep themselves implicitly).
+    *
+    * Algorithm: distributed min-label propagation with pointer jumping —
+    * each round a node takes the min of its own label, its neighbors'
+    * labels, AND its current label's own label (label(label(u)), the
+    * parallel pointer-doubling step), so chains halve every round and
+    * convergence is O(log diameter) instead of O(diameter); a path of
+    * 10⁶ docs settles in ~20 rounds, and near-dup quasi-cliques in 2-3.
+    * Per round: two shuffle joins + one partial-agg groupBy — no
+    * driver-side graph state, edges cached once, and `localCheckpoint`
+    * truncates the plan each round so lineage (and Catalyst analysis
+    * time) stays O(1) in the round count. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val edges = pairs.select(col("id1").as("u"), col("id2").as("v"))
+      .union(pairs.select(col("id2").as("u"), col("id1").as("v")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("v"), col("label").as("vlabel")), Seq("v"))
+        .groupBy(col("u").as("id")).agg(min(col("vlabel")).as("nbr_min"))
+      val cand = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("cand"))
+      // pointer jump: a label is itself a node id, so follow it one level
+      val next = cand
+        .join(labels.select(col("id").as("cand"), col("label").as("cand_label")),
+          Seq("cand"), "left")
+        .select(col("id"),
+          least(col("cand"), coalesce(col("cand_label"), col("cand"))).as("label"))
+        .localCheckpoint()
+      // labels only ever decrease: any strict decrease means another round
+      converged = next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
+        .filter(col("label") < col("prev")).limit(1).count() == 0
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("id"), col("label").as("cluster_id"), col("cluster_size"))
+  }
 }

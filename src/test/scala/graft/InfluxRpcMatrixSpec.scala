@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core.{IoxSchema, RpcPredicate}
-import graft.operators.InfluxRpc
+import graft.operators.{InfluxRpc, Upsert}
 import graft.operators.InfluxRpc.AggKind
 import graft.sources.LineProtocol
 
@@ -382,6 +382,79 @@ class InfluxRpcMatrixSpec extends SparkSpec {
       .withExpr(col("state") === "MA")) == Seq(("other_temp", "double", 250L)))
     // no rows under the predicate: empty list
     assert(fc(many("h2o"), RpcPredicate().withExpr(col("state") === "XX")).isEmpty)
+  }
+
+  test("field_columns: empty db and missing-table restriction yield empty lists") {
+    // test_field_columns_empty_database: no tables at all
+    assert(InfluxRpc.fieldColumnsAcrossTables(Map.empty, RpcPredicate()).isEmpty)
+    // test_field_columns_no_predicate: table restriction names a table
+    // that doesn't exist -> nothing admitted, even with an expr attached
+    val many = LineProtocol.ingest(spark, Seq(
+      "h2o,state=MA,city=Boston temp=70.4 50",
+      "o2,state=MA,city=Boston temp=53.4,reading=51 50"))
+    val pred = RpcPredicate(tables = Some(Set("NoSuchTable")))
+      .withExpr(col("state") === "MA")
+    assert(InfluxRpc.fieldColumnsAcrossTables(many, pred).isEmpty)
+    // and the merge keeps the max last-timestamp per field name
+    val merged = InfluxRpc.fieldColumnsAcrossTables(many, RpcPredicate())
+    assert(merged == Seq(("reading", "double", 50L), ("temp", "double", 50L)))
+  }
+
+  test("field_name_plan: dedup applies before field_columns (field_columns.rs:119)") {
+    // OneMeasurementManyFields (scenarios.rs:591): three writes to the SAME
+    // primary key at time=100; last-non-null per field must win before the
+    // field list is computed, and field4 (t=1000) is outside [0,200)
+    val df = LineProtocol.ingest(spark, Seq(
+      "h2o,tag1=foo,tag2=bar field1=70.6,field3=2 100",
+      "h2o,tag1=foo,tag2=bar field1=70.4,field2=\"ss\" 100",
+      "h2o,tag1=foo,tag2=bar field1=70.5,field2=\"ss\" 100",
+      "h2o,tag1=foo,tag2=bar field1=70.6,field4=true 1000"))("h2o")
+      .withColumn(Upsert.ArrivalCol, monotonically_increasing_id())
+    val deduped = Upsert.dedup(df,
+      pkCols = Seq("tag1", "tag2", "time"), seqCol = Upsert.ArrivalCol)
+    val got = InfluxRpc.fieldColumns(deduped, RpcPredicate().withRange(0, 200))
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got == Seq(
+      ("field1", "double", 100L), ("field2", "string", 100L),
+      ("field3", "double", 100L)))
+    // the deduped row carries the LAST field1 write (70.5, not 70.6/70.4)
+    val row = deduped.filter(col("time") === 100L).head()
+    assert(row.getAs[Double]("field1") == 70.5)
+  }
+
+  test("tag_keys end-to-end fixture (tag_keys.rs:122)") {
+    // EndToEndTest (scenarios.rs:612): five measurements, mixed tag sets
+    val db = LineProtocol.ingest(spark, Seq(
+      "cpu_load_short,host=server01,region=us-west value=0.64 0",
+      "cpu_load_short,host=server01 value=27.99 1000",
+      "cpu_load_short,host=server02,region=us-west value=3.89 2000",
+      "cpu_load_short,host=server01,region=us-east value=1234567.891011 3000",
+      "cpu_load_short,host=server01,region=us-west value=0.000003 4000",
+      "system,host=server03 uptime=1303385 5000",
+      "swap,host=server01,name=disk0 in=3,out=4 6000",
+      "status active=t 7000",
+      "attributes color=\"blue\" 8000"))
+    val pred = RpcPredicate().withRange(0, 10000)
+      .withExpr(col("host") === "server01")
+    assert(InfluxRpc.tagKeysAcrossTables(db, pred)
+      == Seq("host", "name", "region"))
+  }
+
+  test("no-data scenarios: every operator returns empty, never errors") {
+    // the reference's *_no_data_no_pred cases (NoData setup) run each
+    // operator against an empty db
+    val empty = Map.empty[String, DataFrame]
+    assert(InfluxRpc.tableNames(empty, RpcPredicate()) == Nil)
+    assert(InfluxRpc.tagKeysAcrossTables(empty, RpcPredicate()) == Nil)
+    assert(InfluxRpc.tagValuesAcrossTables(empty, "state", RpcPredicate()) == Nil)
+    assert(InfluxRpc.fieldColumnsAcrossTables(empty, RpcPredicate()).isEmpty)
+    // an ingested-but-empty table: no rows, full schema
+    val h2o = LineProtocol.ingest(spark,
+      Seq("h2o,state=MA temp=70.4 100"))("h2o").filter(lit(false))
+    assert(InfluxRpc.readFilter(h2o, RpcPredicate()).count() == 0)
+    assert(InfluxRpc.readGroup(h2o, RpcPredicate(), AggKind.Sum).count() == 0)
+    assert(InfluxRpc.readWindowAggregate(h2o, RpcPredicate(), AggKind.Mean,
+      everyNs = 100L).count() == 0)
   }
 
   test("table_names matrix (table_names.rs): range boundary cases") {

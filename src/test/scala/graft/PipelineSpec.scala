@@ -173,6 +173,43 @@ class PipelineSpec extends SparkSpec {
     assert(got == Set(1L, 2L)) // zero-norm id 3 ranked out, same as window form
   }
 
+  test("connected components: chains merge transitively, cliques keep min id") {
+    // A~B, B~C (A and C never paired) must land in ONE cluster; D~E apart
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 10L))
+      .toDF("id1", "id2")
+    val got = DocDedup.connectedComponents(pairs)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L)))
+  }
+
+  test("connected components: long chain needs multiple propagation rounds") {
+    // a 40-node path: min-label must travel the whole diameter
+    val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val got = DocDedup.connectedComponents(pairs)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == 40)
+    assert(got.forall { case (_, c, n) => c == 1L && n == 40L })
+    // under-capped iterations leave the far end unconverged (bounded, no hang)
+    val capped = DocDedup.connectedComponents(pairs, maxIter = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(capped.exists(_._2 != 1L))
+  }
+
+  test("repetition: dup bigram ratio and ngrams multiplicity") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),      // bigrams: 3x "spam spam" -> 2/3 dup
+      (2L, "all words are different here"),
+      (3L, "x")).toDF("doc_id", "text") // no bigrams -> 0
+    val got = df.select($"doc_id",
+      TF.ngrams($"text", 2).as("bg"),
+      round(TF.dupNgramRatio($"text", 2), 6).as("r"))
+      .as[(Long, Seq[String], Double)].collect().sortBy(_._1)
+    assert(got(0)._2 == Seq("spam spam", "spam spam", "spam spam"))
+    assert(got(0)._3 == math.rint((1.0 - 1.0 / 3.0) * 1e6) / 1e6)
+    assert(got(1)._3 == 0.0 && got(2)._3 == 0.0)
+  }
+
   test("multimodal plumbing: features and frames are deterministic") {
     val assets = Multimodal.syntheticAssets(spark, docs.limit(30))
     val feats = Multimodal.extractImageFeatures(assets).collect()
