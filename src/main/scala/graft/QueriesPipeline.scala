@@ -119,25 +119,15 @@ object QueriesPipeline {
           / greatest(len($dToks), 1), 6) AS mean_word_len
         FROM documents ORDER BY doc_id""")),
 
-    // repetition scoring: per-row bigram dup ratio (linear array math)
-    // plus top-token frequency via explode+groupBy — two shuffles of
-    // (doc_id, token) pairs, never a per-row quadratic scan
+    // repetition scoring: both signals are per-row array math — one scan,
+    // zero shuffles (vs. the explode->groupBy(doc,token)->join shape,
+    // which pays two shuffles of every token occurrence in the corpus)
     ("text_repetition",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val perRow = docs.select(col("doc_id"),
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
           round(TF.dupNgramRatio(col("text"), 2), 6).as("dup_bigram_ratio"),
-          TF.tokenCount(col("text")).as("ntok"))
-        val top = docs
-          .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
-          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id").agg(max(col("c")).as("topc"))
-        perRow.join(top, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("dup_bigram_ratio"),
-            round(coalesce(col("topc"), lit(0L)).cast("double") /
-              greatest(col("ntok"), lit(1)).cast("double"), 6).as("top_token_ratio"))
-          .orderBy("doc_id")
-      },
+          round(TF.topTokenRatio(col("text")), 6).as("top_token_ratio"))
+        .orderBy("doc_id"),
       Some(s"""WITH toks AS (SELECT doc_id, $dToks AS w FROM documents),
         bg AS (SELECT doc_id, CASE WHEN len(w) >= 2 THEN list_filter(
             list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]),

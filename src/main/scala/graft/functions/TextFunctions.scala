@@ -77,6 +77,29 @@ object TextFunctions {
       .otherwise(lit(0.0))
   }
 
+  /** Most-frequent-token frequency as a fraction of all tokens — the
+    * other Gopher-style repetition signal. Computed per row: sort the
+    * token array, then one linear pass tracks the longest equal-token
+    * run. No explode, no shuffle, no join back — at corpus scale this
+    * beats the explode->groupBy(doc,token)->max->join formulation by two
+    * full shuffles of every token occurrence. Token array bound once
+    * (same re-tokenization guard as [[shingles]]). */
+  def topTokenRatio(text: Column): Column =
+    element_at(
+      transform(array(tokens(text)), tk => {
+        val best = aggregate(sort_array(tk),
+          struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+          (acc, t) => {
+            val run = when(t === acc.getField("prev"),
+              acc.getField("run") + 1L).otherwise(lit(1L))
+            struct(t.as("prev"), run.as("run"),
+              greatest(acc.getField("best"), run).as("best"))
+          },
+          acc => acc.getField("best"))
+        best.cast("double") / greatest(size(tk), lit(1)).cast("double")
+      }),
+      1)
+
   /** Stable 60-bit token hash shared with the DuckDB oracle: first 15 hex
     * chars of md5, parsed base-16. (Spark's murmur `hash()` has no DuckDB
     * twin; md5 is identical everywhere.) Computed by the native

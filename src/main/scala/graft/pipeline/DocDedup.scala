@@ -275,8 +275,13 @@ object DocDedup {
     * truncates the plan each round so lineage (and Catalyst analysis
     * time) stays O(1) in the round count. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
-    val edges = pairs.select(col("id1").as("u"), col("id2").as("v"))
-      .union(pairs.select(col("id2").as("u"), col("id1").as("v")))
+    // pairs is typically the output of an expensive candidate pipeline
+    // (minhash/LSH); it feeds BOTH directions of the edge list, so pin it
+    // — otherwise the whole upstream pipeline executes once per reference
+    // (ReuseExchange only collapses the deepest shared exchange)
+    val p = pairs.persist()
+    val edges = p.select(col("id1").as("u"), col("id2").as("v"))
+      .union(p.select(col("id2").as("u"), col("id1").as("v")))
       .distinct()
       .persist()
     var labels = edges.select(col("u").as("id")).distinct()
@@ -305,6 +310,7 @@ object DocDedup {
       iter += 1
     }
     edges.unpersist()
+    p.unpersist()
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("label"))
       .select(col("id"), col("label").as("cluster_id"), col("cluster_size"))
