@@ -176,22 +176,38 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
         if (!databases.contains(db)) {
           respondJsonError(ex, 404, s"database not found: $db"); return
         }
-        // one query at a time against the shared temp-view catalog
-        val rendered = HttpFacade.synchronized {
+        // plan under the shared temp-view catalog lock, stream after (same
+        // pattern as do_get): spark.sql analyzes eagerly, so the plan is
+        // bound to this request's views before the lock releases
+        val planned = HttpFacade.synchronized {
           try {
             measurements(db).foreach { m =>
               measurementView(db, m).foreach(_.createOrReplaceTempView(m))
             }
-            val df = spark.sql(q)
-            Right(renderResult(df, format))
+            Right(spark.sql(q))
           } catch {
             case NonFatal(e) =>
               Left(Option(e.getMessage).getOrElse(e.getClass.getName))
           }
         }
-        rendered match {
-          case Right(body) => respond(ex, 200, contentType(format), body)
+        planned match {
           case Left(err) => respondJsonError(ex, 400, s"query error: $err")
+          case Right(df) if format == "pretty" =>
+            // pretty needs global column widths, so it stays eager — it is
+            // the interactive debug format, matching the reference's own
+            // collected pretty-print (format.rs:43)
+            try respond(ex, 200, contentType(format), renderResult(df, format))
+            catch { case NonFatal(e) => respondJsonError(ex, 400,
+              s"query error: ${Option(e.getMessage).getOrElse(e.getClass.getName)}") }
+          case Right(df) =>
+            // csv/json stream incrementally (chunked transfer): at most one
+            // partition of rows is ever held on the driver, so SELECT *
+            // over a huge table cannot OOM it — the upgrade the reference
+            // TODO-notes for its own collected path (flight.rs:156)
+            ex.getResponseHeaders.set("Content-Type", contentType(format))
+            ex.sendResponseHeaders(200, 0) // chunked: length unknown up front
+            val os = ex.getResponseBody
+            try writeResult(df, format, os) finally os.close()
         }
     }
   }
@@ -427,41 +443,62 @@ object HttpFacade {
     case _ => "text/plain"
   }
 
-  /** Render a result the way influxdb_iox_client/src/format.rs does:
-    * pretty = arrow-style box table, csv = header + escaped rows,
-    * json = array of row objects. Results here are facade-sized (the
-    * reference also collects fully before rendering, http.rs:636). */
-  def renderResult(df: DataFrame, format: String): String = {
+  /** Stream a result to `os` the way influxdb_iox_client/src/format.rs
+    * shapes it (csv = header + escaped rows, json = array of row objects)
+    * WITHOUT collecting: `toLocalIterator` pulls one partition at a time
+    * to the driver, rows flow straight through a buffered writer, so
+    * memory is bounded by one partition regardless of result size. Pretty
+    * falls back to the eager render (global column widths need all rows —
+    * it is the human/debug format). */
+  def writeResult(df: DataFrame, format: String, os: java.io.OutputStream): Unit = {
+    import scala.jdk.CollectionConverters._
     val cols = df.columns.toSeq
-    val rows = df.collect().toSeq
+    val w = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(os, UTF_8), 64 * 1024)
     format match {
       case "csv" =>
-        val sb = new StringBuilder(cols.map(csvCell).mkString(","))
-        sb += '\n'
-        rows.foreach { r =>
-          sb ++= cols.indices.map(i => csvCell(cellString(r.get(i)))).mkString(",")
-          sb += '\n'
+        w.write(cols.map(csvCell).mkString(","))
+        w.write("\n")
+        df.toLocalIterator().asScala.foreach { r =>
+          w.write(cols.indices.map(i => csvCell(cellString(r.get(i)))).mkString(","))
+          w.write("\n")
         }
-        sb.toString
       case "json" =>
-        rows.map { r =>
-          cols.indices.map { i =>
+        w.write("[")
+        var first = true
+        df.toLocalIterator().asScala.foreach { r =>
+          if (first) first = false else w.write(",")
+          w.write(cols.indices.map { i =>
             s"${jsonStr(cols(i))}:${jsonVal(r.get(i))}"
-          }.mkString("{", ",", "}")
-        }.mkString("[", ",", "]")
-      case _ => // pretty
-        val cells = rows.map(r => cols.indices.map(i => cellString(r.get(i))))
-        val widths = cols.indices.map { i =>
-          (cols(i).length +: cells.map(_(i).length)).max
+          }.mkString("{", ",", "}"))
         }
-        val sep = widths.map("-" * _).mkString("+-", "-+-", "-+")
-        val header = cols.indices.map(i => cols(i).padTo(widths(i), ' '))
-          .mkString("| ", " | ", " |")
-        val body = cells.map(row =>
-          cols.indices.map(i => row(i).padTo(widths(i), ' '))
-            .mkString("| ", " | ", " |"))
-        (Seq(sep, header, sep) ++ body :+ sep).mkString("\n")
+        w.write("]")
+      case _ => w.write(renderResult(df, format))
     }
+    w.flush()
+  }
+
+  /** Fully-rendered result string. csv/json delegate to the streaming
+    * writer (one code path); pretty is the only eager format. */
+  def renderResult(df: DataFrame, format: String): String = format match {
+    case "pretty" =>
+      val cols = df.columns.toSeq
+      val rows = df.collect().toSeq
+      val cells = rows.map(r => cols.indices.map(i => cellString(r.get(i))))
+      val widths = cols.indices.map { i =>
+        (cols(i).length +: cells.map(_(i).length)).max
+      }
+      val sep = widths.map("-" * _).mkString("+-", "-+-", "-+")
+      val header = cols.indices.map(i => cols(i).padTo(widths(i), ' '))
+        .mkString("| ", " | ", " |")
+      val body = cells.map(row =>
+        cols.indices.map(i => row(i).padTo(widths(i), ' '))
+          .mkString("| ", " | ", " |"))
+      (Seq(sep, header, sep) ++ body :+ sep).mkString("\n")
+    case _ =>
+      val bos = new ByteArrayOutputStream()
+      writeResult(df, format, bos)
+      new String(bos.toByteArray, UTF_8)
   }
 
   private def cellString(v: Any): String = v match {
