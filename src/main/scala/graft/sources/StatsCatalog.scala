@@ -61,24 +61,67 @@ object StatsCatalog {
   def compute(df: DataFrame, tagCols: Seq[String] = Nil, cap: Int = 10000,
       sortKey: Option[Seq[String]] = None): TableStats = {
     val tags = if (tagCols.nonEmpty) tagCols else IoxSchema.tagColumns(df.schema)
+    val aggs = scalarAggs(tags)
+    val pre = df.agg(aggs.head, aggs.tail: _*).head()
+    finish(df, tags, cap, sortKey,
+      rowCount = pre.getLong(0),
+      timeMin = if (pre.isNullAt(1)) 0L else pre.getLong(1),
+      timeMax = if (pre.isNullAt(2)) 0L else pre.getLong(2),
+      est = t => pre.getLong(pre.fieldIndex(s"__est_$t")))
+  }
+
+  /** Stats computed in the SAME job as a write: the scalar pass (row
+    * count, time bounds, per-tag HLL cardinality estimates) rides the
+    * write action itself via `Dataset.observe` (CollectMetrics is a
+    * pass-through node — the written data is unchanged and the metrics
+    * cost one aggregation buffer per partition, no extra scan). Only the
+    * capped distinct-set pass touches storage again, and `written` is
+    * aggregated directly so Catalyst prunes it to the under-cap tag
+    * columns. Compaction read amplification drops from 2 full re-reads of
+    * what was just written to at most one tag-columns-only read.
+    *
+    * `write` receives the observed frame and MUST run exactly one action
+    * on it (the parquet write); `written` re-reads the written output. */
+  def computeDuringWrite(df: DataFrame, tagCols: Seq[String] = Nil, cap: Int = 10000,
+      sortKey: Option[Seq[String]] = None)(
+      write: DataFrame => Unit, written: => DataFrame): TableStats = {
+    val tags = if (tagCols.nonEmpty) tagCols else IoxSchema.tagColumns(df.schema)
+    val obs = org.apache.spark.sql.Observation()
+    val aggs = scalarAggs(tags)
+    write(df.observe(obs, aggs.head, aggs.tail: _*))
+    val m = obs.get
+    finish(written, tags, cap, sortKey,
+      rowCount = m("__n").asInstanceOf[Long],
+      timeMin = Option(m("__tmin")).fold(0L)(_.asInstanceOf[Long]),
+      timeMax = Option(m("__tmax")).fold(0L)(_.asInstanceOf[Long]),
+      est = t => m(s"__est_$t").asInstanceOf[Long])
+  }
+
+  private def scalarAggs(tags: Seq[String]): Seq[org.apache.spark.sql.Column] = {
     val time = col(NsTime.TimeColumn)
-    val preAggs = Seq(count(lit(1)).as("__n"), min(time).as("__tmin"), max(time).as("__tmax")) ++
+    Seq(count(lit(1)).as("__n"), min(time).as("__tmin"), max(time).as("__tmax")) ++
       tags.map(t => approx_count_distinct(col(t), 0.05).as(s"__est_$t"))
-    val pre = df.agg(preAggs.head, preAggs.tail: _*).head()
-    val (collectable, overCap) = tags.partition(t =>
-      pre.getLong(pre.fieldIndex(s"__est_$t")) <= 2L * cap)
+  }
+
+  /** Shared tail of both compute paths: run the capped `collect_set` pass
+    * over `src` for tags whose HLL estimate is plausibly under the cap,
+    * then assemble the TableStats. */
+  private def finish(src: => DataFrame, tags: Seq[String], cap: Int,
+      sortKey: Option[Seq[String]], rowCount: Long, timeMin: Long,
+      timeMax: Long, est: String => Long): TableStats = {
+    val (collectable, overCap) = tags.partition(t => est(t) <= 2L * cap)
     val tagVals: Map[String, Seq[String]] =
       if (collectable.isEmpty) Map.empty
       else {
         val aggs = collectable.map(t =>
           slice(sort_array(collect_set(col(t))), 1, cap + 1).as(s"__tag_$t"))
-        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        val row = src.agg(aggs.head, aggs.tail: _*).head()
         collectable.map(t => t -> row.getSeq[String](row.fieldIndex(s"__tag_$t"))).toMap
       }
     TableStats(
-      rowCount = pre.getLong(0),
-      timeMin = if (pre.isNullAt(1)) 0L else pre.getLong(1),
-      timeMax = if (pre.isNullAt(2)) 0L else pre.getLong(2),
+      rowCount = rowCount,
+      timeMin = timeMin,
+      timeMax = timeMax,
       tagValues = tagVals.map { case (t, vs) => t -> vs.take(cap) } ++
         overCap.map(t => t -> Seq.empty[String]),
       cappedTags = (tagVals.collect { case (t, vs) if vs.size > cap => t } ++

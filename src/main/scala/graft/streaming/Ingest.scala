@@ -98,17 +98,21 @@ object Ingest {
         unix_micros(col("_metadata.file_modification_time")))
     }
     val deduped = Upsert.dedup(df.drop(seqCol.toSeq: _*), pkCols, "__seq")
-    deduped
+    val sorted = deduped
       .repartitionByRange(pkCols.map(col): _*)
       .sortWithinPartitions(pkCols.map(col): _*)
-      .write.mode("overwrite").parquet(outPath)
     // chunk metadata sidecar: lets tag_values/table_names answer from
-    // metadata without scanning (reference TableSummary role)
-    if (pkCols.contains(NsTime.TimeColumn))
-      graft.sources.StatsCatalog.save(spark, outPath,
-        graft.sources.StatsCatalog.compute(spark.read.parquet(outPath),
-          tagCols = pkCols.filterNot(_ == NsTime.TimeColumn),
-          sortKey = Some(pkCols))) // dedup-sorted on PK just above
+    // metadata without scanning (reference TableSummary role). Scalar
+    // stats ride the write job via Dataset.observe instead of a full
+    // re-read of what was just written.
+    if (pkCols.contains(NsTime.TimeColumn)) {
+      val stats = graft.sources.StatsCatalog.computeDuringWrite(sorted,
+        tagCols = pkCols.filterNot(_ == NsTime.TimeColumn),
+        sortKey = Some(pkCols))( // dedup-sorted on PK just above
+        observed => observed.write.mode("overwrite").parquet(outPath),
+        spark.read.parquet(outPath))
+      graft.sources.StatsCatalog.save(spark, outPath, stats)
+    } else sorted.write.mode("overwrite").parquet(outPath)
   }
 
   /** Streaming twin of readWindowAggregate: per-tag tumbling-window counts

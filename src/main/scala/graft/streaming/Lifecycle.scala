@@ -119,8 +119,7 @@ object Lifecycle {
     def writeChunk(df: DataFrame, nowMs: Long): ChunkMeta = {
       val id = nextId()
       val path = new Path(root, s"hot/open-$id")
-      df.write.mode("error").parquet(path.toString)
-      saveStats(path, df)
+      writeWithStats(df, path, sorted = false)
       stamp(path, nowMs)
       meta(path, Open, id)
     }
@@ -172,8 +171,7 @@ object Lifecycle {
       val merged = dedupSorted(members)
       val id = nextId()
       val out = new Path(root, s"hot/compacted-$id")
-      merged.write.mode("error").parquet(out.toString)
-      saveStats(out, spark.read.parquet(out.toString), sorted = true)
+      writeWithStats(merged, out, sorted = true)
       // compaction PRESERVES write recency: the merged chunk is as recent
       // as its newest member, else a just-compacted chunk of fresh data
       // would instantly look persist-aged
@@ -189,21 +187,18 @@ object Lifecycle {
         col(NsTime.TimeColumn) <= splitNs)
       val coldId = nextId()
       val coldPath = new Path(root, s"cold/chunk-$coldId")
-      cold.repartitionByRange(pkCols.map(col): _*)
-        .sortWithinPartitions(pkCols.map(col): _*)
-        .write.mode("error").parquet(coldPath.toString)
-      saveStats(coldPath, spark.read.parquet(coldPath.toString), sorted = true)
+      writeWithStats(cold.repartitionByRange(pkCols.map(col): _*)
+        .sortWithinPartitions(pkCols.map(col): _*), coldPath, sorted = true)
       stamp(coldPath, nowMs)
-      val rest = hotRest.cache()
-      if (rest.limit(1).count() > 0) {
-        val hotId = nextId()
-        val hotPath = new Path(root, s"hot/open-$hotId")
-        rest.write.mode("error").parquet(hotPath.toString)
-        // the remainder is a filter of the dedup-sorted merge: still sorted
-        saveStats(hotPath, spark.read.parquet(hotPath.toString), sorted = true)
-        stamp(hotPath, members.map(_.lastWriteMs).max)
-      }
-      rest.unpersist()
+      // the remainder is a filter of the dedup-sorted merge: still sorted.
+      // Write unconditionally — the observed row count replaces the old
+      // cache + limit(1).count() emptiness probe (one job instead of two,
+      // and no cached copy of the remainder); an empty write is removed.
+      val hotId = nextId()
+      val hotPath = new Path(root, s"hot/open-$hotId")
+      val restStats = writeWithStats(hotRest, hotPath, sorted = true)
+      if (restStats.rowCount == 0L) fs.delete(hotPath, true)
+      else stamp(hotPath, members.map(_.lastWriteMs).max)
       members.foreach(c => fs.delete(new Path(c.path), true))
     }
 
@@ -218,12 +213,23 @@ object Lifecycle {
         .sortWithinPartitions(pkCols.map(col): _*)
     }
 
-    /** `sorted` records the SortKey (sort.rs:89-146) for chunks written
+    /** Write a chunk with its stats sidecar computed in the SAME job
+      * (scalar stats ride the write via Dataset.observe; only the tag
+      * distinct-set pass re-reads, pruned to tag columns) — compaction
+      * used to re-read every chunk it had just written, a 2× read
+      * amplification on the dominant background cost at scale. `sorted`
+      * records the SortKey (sort.rs:89-146) for chunks written
       * dedup-sorted on the PK; open/unsorted chunks carry none. */
-    private def saveStats(path: Path, df: DataFrame, sorted: Boolean = false): Unit =
-      StatsCatalog.save(spark, path.toString,
-        StatsCatalog.compute(df, tagCols = pkCols.filterNot(_ == NsTime.TimeColumn),
-          sortKey = if (sorted) Some(pkCols) else None))
+    private def writeWithStats(df: DataFrame, path: Path,
+        sorted: Boolean): StatsCatalog.TableStats = {
+      val stats = StatsCatalog.computeDuringWrite(df,
+        tagCols = pkCols.filterNot(_ == NsTime.TimeColumn),
+        sortKey = if (sorted) Some(pkCols) else None)(
+        observed => observed.write.mode("error").parquet(path.toString),
+        spark.read.parquet(path.toString))
+      StatsCatalog.save(spark, path.toString, stats)
+      stats
+    }
 
     /** The sidecar's mtime is the chunk's last-write clock (the reference
       * tracks time_of_last_write in its in-memory catalog). */
