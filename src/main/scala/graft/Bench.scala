@@ -47,13 +47,17 @@ object Bench {
     // overflow that window and the whole bench reads as unparseable. Keep
     // stdout to ONE compact line (3-decimal medians) and put the verbose
     // per-query spread on stderr for the record.
-    val qs = results.map { case (k, med, _) => "\"" + k + "\":" + f"$med%.3f" }
+    // Locale.ROOT pins the decimal separator: the f"" interpolator uses
+    // the JVM default locale, which under e.g. de_DE would print commas
+    // and make the JSON line unparseable
+    def d3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    val qs = results.map { case (k, med, _) => "\"" + k + "\":" + d3(med) }
       .mkString("{", ",", "}")
-    val spread = results.map { case (k, _, s) => "\"" + k + "\":" + f"$s%.3f" }
+    val spread = results.map { case (k, _, s) => "\"" + k + "\":" + d3(s) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     System.err.println(s"""[bench-detail] {"iters":$iters,"spread":$spread}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"iters":$iters,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"iters":$iters,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -173,7 +173,19 @@ object QueriesPipeline {
 
     // near-dup pairs -> canonical clusters: the DuckDB twin walks the
     // same pair set to a fixpoint with a recursive CTE (transitive
-    // closure), so both engines agree on every component assignment
+    // closure), so both engines agree on every component assignment.
+    //
+    // KNOWN RECALL-GAP TOLERANCE (correctness-gate note): the Spark side
+    // feeds the clustering from MinHash-LSH candidates (32 perms / 16
+    // bands, every candidate exact-Jaccard verified — precision is exact),
+    // while the oracle computes the FULL exact-Jaccard pair closure. At
+    // J>=0.7 a true pair escapes all 16 bands with probability
+    // (1 - J^2)^16 <= ~2e-5, so the two pair sets are expected to be
+    // identical on any realistic regeneration of the test corpus; if a
+    // regenerated dataset ever hash-mismatches here with exactly one
+    // missing pair / split cluster, that is this documented LSH recall
+    // gap, not an engine bug (same tolerance applies to dedup_minhash_lsh
+    // vs its exact-pairs oracle above).
     ("dedup_components",
       (s, d) => DocDedup.connectedComponents(
           DocDedup.minHashDedupPairs(Tables.spread(s, Tables.documents(s, d)),

@@ -130,9 +130,12 @@ object InfluxRpc {
       .orderBy("field")
   }
 
-  /** Database-level field_columns: per-table field lists merged by name,
+  /** Database-level field_columns: per-table field lists merged by NAME,
     * keeping the max last-timestamp (fieldlist.rs:147-170 into_fieldlist
-    * merge); tables outside the predicate's table set contribute nothing
+    * merge); a field whose data type differs across tables is an
+    * InconsistentFieldType error exactly like the reference's merge
+    * (fieldlist.rs:160) — not two silently coexisting same-name entries.
+    * Tables outside the predicate's table set contribute nothing
     * (field_columns.rs test_field_columns_no_predicate). */
   def fieldColumnsAcrossTables(tables0: Map[String, DataFrame],
       pred: RpcPredicate): Seq[(String, String, Long)] =
@@ -141,8 +144,13 @@ object InfluxRpc {
       .flatMap { case (_, df) =>
         fieldColumns(df, pred).collect()
           .map(r => (r.getString(0), r.getString(1), r.getLong(2))) }
-      .groupBy(f => (f._1, f._2)).view
-      .map { case ((n, t), fs) => (n, t, fs.map(_._3).max) }
+      .groupBy(_._1).view
+      .map { case (n, fs) =>
+        val types = fs.map(_._2).distinct
+        if (types.size > 1) throw new IllegalStateException(
+          s"inconsistent field types for '$n': ${types.sorted.mkString(", ")}")
+        (n, types.head, fs.map(_._3).max)
+      }
       .toSeq.sortBy(_._1)
 
   /** read_series_cardinality: number of distinct series (tag-set

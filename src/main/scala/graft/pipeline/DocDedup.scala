@@ -294,19 +294,28 @@ object DocDedup {
         .join(labels.select(col("id").as("v"), col("label").as("vlabel")), Seq("v"))
         .groupBy(col("u").as("id")).agg(min(col("vlabel")).as("nbr_min"))
       val cand = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("cand"))
-      // pointer jump: a label is itself a node id, so follow it one level
+      // pointer jump: a label is itself a node id, so follow it one level.
+      // The PREVIOUS label rides along into the checkpoint so the
+      // convergence check below is a scan of the just-materialized blocks
+      // — not the old per-round join against the previous labels frame,
+      // which re-shuffled both sides on every check
       val next = cand
         .join(labels.select(col("id").as("cand"), col("label").as("cand_label")),
           Seq("cand"), "left")
-        .select(col("id"),
+        .select(col("id"), col("prev"),
           least(col("cand"), coalesce(col("cand_label"), col("cand"))).as("label"))
         .localCheckpoint()
       // labels only ever decrease: any strict decrease means another round
-      converged = next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
-        .filter(col("label") < col("prev")).limit(1).count() == 0
-      labels = next
+      converged = next.filter(col("label") < col("prev")).limit(1).count() == 0
+      val stale = labels
+      labels = next.select(col("id"), col("label"))
+      // checkpointed blocks are not tracked by the SQL cache manager:
+      // free the stale round's RDD directly or blocks pile up for the
+      // whole O(log d) loop (the final round's checkpoint stays alive —
+      // the returned plan reads it)
+      unpersistCheckpoint(stale)
       iter += 1
     }
     edges.unpersist()
@@ -315,4 +324,14 @@ object DocDedup {
     labels.join(sizes, Seq("label"))
       .select(col("id"), col("label").as("cluster_id"), col("cluster_size"))
   }
+
+  /** Drop the cached blocks behind a localCheckpoint-ed frame.
+    * `Dataset.unpersist` only covers cache-manager entries; a checkpoint
+    * lives as a persisted RDD under a LogicalRDD leaf. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

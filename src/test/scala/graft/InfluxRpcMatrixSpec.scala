@@ -398,6 +398,14 @@ class InfluxRpcMatrixSpec extends SparkSpec {
     // and the merge keeps the max last-timestamp per field name
     val merged = InfluxRpc.fieldColumnsAcrossTables(many, RpcPredicate())
     assert(merged == Seq(("reading", "double", 50L), ("temp", "double", 50L)))
+    // a field whose TYPE differs across tables is an error, not two
+    // silently coexisting entries (into_fieldlist merge, fieldlist.rs:160)
+    val clash = LineProtocol.ingest(spark, Seq(
+      "h2o,state=MA temp=70.4 50",
+      "o2,state=MA temp=53i 50"))
+    val e = intercept[IllegalStateException](
+      InfluxRpc.fieldColumnsAcrossTables(clash, RpcPredicate()))
+    assert(e.getMessage.contains("inconsistent field types for 'temp'"))
   }
 
   test("field_name_plan: dedup applies before field_columns (field_columns.rs:119)") {
