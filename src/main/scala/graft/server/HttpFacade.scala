@@ -110,6 +110,13 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
       (ex.getRequestMethod, path) match {
         case ("POST", "/api/v2/write") => handleWrite(ex)
         case ("POST", "/api/v2/flight/do_get") => handleDoGet(ex)
+        case ("POST", "/api/v1/storage/read_filter") => handleReadFilter(ex)
+        case ("GET", "/api/v1/storage/capabilities") =>
+          val caps = StorageProto.capabilitiesResponse()
+          ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
+          ex.sendResponseHeaders(200, caps.length.toLong)
+          val os = ex.getResponseBody
+          os.write(caps); os.close()
         case ("GET", "/health") => respond(ex, 200, "text/plain", "OK")
         case ("GET", "/metrics") => handleMetrics(ex)
         case ("GET", "/api/v1/partitions") => handlePartitions(ex)
@@ -256,6 +263,50 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
     }
   }
 
+  /** Storage read_filter with HTTP carrying what the tonic service puts
+    * on the wire (service.rs:212-318): the request JSON names the
+    * database + table plus an optional `[start, stop)` ns range, and the
+    * response body is ReadResponse protobuf bytes (storage_common.proto:
+    * 78-142) a storage client would decode. Frames stream out one
+    * encoded single-frame ReadResponse at a time — proto repeated-field
+    * concatenation makes the chunks one valid message, so a large series
+    * set never buffers in the facade. */
+  private def handleReadFilter(ex: HttpExchange): Unit = {
+    import scala.jdk.CollectionConverters._
+    val body = readBody(ex.getRequestBody, gzipped = false) match {
+      case Some(b) => new String(b, UTF_8)
+      case None => respondJsonError(ex, 413, s"request exceeds $MaxBodySize bytes"); return
+    }
+    (jsonStrField(body, "database_name"), jsonStrField(body, "table")) match {
+      case (Some(db), Some(table)) =>
+        val planned = HttpFacade.synchronized {
+          measurementView(db, table).map { df =>
+            val pred = (jsonLongField(body, "start"), jsonLongField(body, "stop")) match {
+              case (Some(s), Some(e)) => graft.core.RpcPredicate().withRange(s, e)
+              case _ => graft.core.RpcPredicate()
+            }
+            graft.operators.InfluxRpc.toFrames(
+              graft.operators.InfluxRpc.toSeriesSet(
+                graft.operators.InfluxRpc.readFilter(df, pred),
+                IoxSchema.fieldColumns(df.schema)),
+              table)
+          }
+        }
+        planned match {
+          case None => respondJsonError(ex, 404, s"no table $table in database $db")
+          case Some(frames) =>
+            ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
+            ex.sendResponseHeaders(200, 0) // chunked
+            val os = ex.getResponseBody
+            try frames.toLocalIterator().asScala.foreach { f =>
+              os.write(StorageProto.readResponse(Seq(StorageProto.encodeFrame(f))))
+            } finally os.close()
+        }
+      case _ => respondJsonError(ex, 400,
+        """expected {"database_name": ..., "table": ...}""")
+    }
+  }
+
   private def handlePartitions(ex: HttpExchange): Unit = {
     val params = queryParams(ex)
     (params.get("org"), params.get("bucket")) match {
@@ -367,12 +418,18 @@ object HttpFacade {
   /** Parse the Flight ticket JSON (flight.rs ReadInfo: database_name +
     * sql_query, both strings). Deliberately minimal: exactly the two
     * string members, any order, standard JSON escapes. */
-  private[server] def parseTicket(json: String): Option[(String, String)] = {
-    def strVal(key: String): Option[String] = {
-      val re = ("\"" + key + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
-      re.findFirstMatchIn(json).map(m => unescapeJson(m.group(1)))
-    }
-    for (db <- strVal("database_name"); q <- strVal("sql_query")) yield (db, q)
+  private[server] def parseTicket(json: String): Option[(String, String)] =
+    for (db <- jsonStrField(json, "database_name");
+         q <- jsonStrField(json, "sql_query")) yield (db, q)
+
+  private[server] def jsonStrField(json: String, key: String): Option[String] = {
+    val re = ("\"" + key + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
+    re.findFirstMatchIn(json).map(m => unescapeJson(m.group(1)))
+  }
+
+  private[server] def jsonLongField(json: String, key: String): Option[Long] = {
+    val re = ("\"" + key + "\"\\s*:\\s*(-?\\d+)").r
+    re.findFirstMatchIn(json).map(_.group(1).toLong)
   }
 
   private def unescapeJson(s: String): String = {

@@ -247,6 +247,95 @@ class HttpFacadeSpec extends SparkSpec {
       """[{"id":0},{"id":1},{"id":2}]""")
   }
 
+  // ---- minimal proto3 reader (wire spec only) for the storage endpoints
+
+  private def pbVarint(b: Array[Byte], pos: Int): (Long, Int) = {
+    var v = 0L; var shift = 0; var i = pos; var more = true
+    while (more) {
+      val x = b(i); v |= (x & 0x7fL) << shift; shift += 7; i += 1
+      more = (x & 0x80) != 0
+    }
+    (v, i)
+  }
+
+  private def pbFields(b: Array[Byte]): Seq[(Int, Either[Long, Array[Byte]])] = {
+    var i = 0; val out = Seq.newBuilder[(Int, Either[Long, Array[Byte]])]
+    while (i < b.length) {
+      val (key, p1) = pbVarint(b, i)
+      ((key & 7).toInt: @unchecked) match {
+        case 0 => val (v, p2) = pbVarint(b, p1); out += (key >> 3).toInt -> Left(v); i = p2
+        case 2 =>
+          val (len, p2) = pbVarint(b, p1)
+          out += (key >> 3).toInt -> Right(b.slice(p2, p2 + len.toInt))
+          i = p2 + len.toInt
+      }
+    }
+    out.result()
+  }
+
+  private def pbSfixed64s(b: Array[Byte]): Seq[Long] =
+    b.grouped(8).map(_.zipWithIndex.map { case (x, i) => (x & 0xffL) << (8 * i) }.sum).toSeq
+
+  test("storage read_filter + capabilities speak the reference protobuf (service.rs:212,567)") {
+    withFacade { facade =>
+      val p = facade.boundPort
+      post(p, "/api/v2/write?org=o&bucket=b",
+        ("cpu,host=a usage=1.5 100\ncpu,host=a usage=2.5 200\n" +
+          "cpu,host=b usage=5.0 100").getBytes(UTF_8))
+
+      def readFilterBytes(body: String): Array[Byte] = {
+        val conn = new URI(s"http://127.0.0.1:$p/api/v1/storage/read_filter").toURL
+          .openConnection().asInstanceOf[HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        conn.getOutputStream.write(body.getBytes(UTF_8)); conn.getOutputStream.close()
+        assert(conn.getResponseCode == 200)
+        assert(conn.getHeaderField("Content-Type") == "application/x-protobuf")
+        conn.getInputStream.readAllBytes()
+      }
+
+      val frames = pbFields(readFilterBytes(
+        """{"database_name":"o_b","table":"cpu"}""")).map {
+        case (1, Right(frame)) => pbFields(frame).head
+        case other => fail(s"unexpected top-level field $other")
+      }
+      // series(host=a), points, series(host=b), points — oneof members 1/2
+      assert(frames.map(_._1) == Seq(1, 2, 1, 2))
+      val Right(seriesA) = frames(0)._2
+      val tagsA = pbFields(seriesA).collect { case (1, Right(t)) =>
+        val kv = pbFields(t).toMap
+        new String(kv(1).toOption.get, UTF_8) -> new String(kv(2).toOption.get, UTF_8)
+      }
+      // reference tag order: _field, _measurement, then series tags
+      assert(tagsA == Seq("_field" -> "usage", "_measurement" -> "cpu", "host" -> "a"))
+      val Right(pointsA) = frames(1)._2
+      val pa = pbFields(pointsA).toMap
+      assert(pbSfixed64s(pa(1).toOption.get) == Seq(100L, 200L))
+      assert(pbSfixed64s(pa(2).toOption.get)
+        .map(java.lang.Double.longBitsToDouble) == Seq(1.5, 2.5))
+
+      // time-range restriction reaches the predicate: [150, 300) keeps
+      // only host=a's t=200 point
+      val ranged = pbFields(readFilterBytes(
+        """{"database_name":"o_b","table":"cpu","start":150,"stop":300}"""))
+      assert(ranged.size == 2)
+
+      // capabilities: byte-identical to the pinned encoding
+      val conn = new URI(s"http://127.0.0.1:$p/api/v1/storage/capabilities").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      assert(conn.getResponseCode == 200)
+      assert(conn.getInputStream.readAllBytes().sameElements(
+        graft.server.StorageProto.capabilitiesResponse()))
+
+      // unknown table -> 404
+      val bad = new URI(s"http://127.0.0.1:$p/api/v1/storage/read_filter").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      bad.setRequestMethod("POST"); bad.setDoOutput(true)
+      bad.getOutputStream.write("""{"database_name":"o_b","table":"nope"}""".getBytes(UTF_8))
+      bad.getOutputStream.close()
+      assert(bad.getResponseCode == 404)
+    }
+  }
+
   test("db name mapping percent-encodes non-alphanumerics (names.rs:18)") {
     assert(HttpFacade.dbName("my org", "bucket/1") == "my%20org_bucket%2F1")
     assert(HttpFacade.dbName("org", "bucket") == "org_bucket")
