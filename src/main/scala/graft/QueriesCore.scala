@@ -662,6 +662,70 @@ object QueriesCore {
           round(sum(value), 4) AS value_sum, max(time) AS max_time
         FROM up GROUP BY 1 ORDER BY 1""")),
 
+    ("system_chunk_columns",
+      (s, d) => {
+        // the same lifecycle timeline as lifecycle_scan but with a
+        // DETERMINISTIC persist split at (tmin+tmax)/2 so the oracle can
+        // reproduce each resulting chunk's per-column stats; the query
+        // itself is served purely from sidecar metadata via the SQL
+        // frontend's system_chunk_columns view (docs/sql.md:234,
+        // system_tables.rs:373-461). `value` (double) is excluded from
+        // the comparison: min/max render via each engine's float
+        // formatter, whose shortest-roundtrip spellings can differ.
+        val ev = Tables.events(s, d).select(
+          col("user_id").cast("string").as("user_tag"), col("event_type"),
+          col("ts_ns").as("time"), col("value"))
+        val dir = java.nio.file.Files.createTempDirectory("graft-syscc-q").toString
+        val table = new graft.streaming.Lifecycle.ChunkedTable(
+          s, dir, pkCols = Seq("user_tag", "event_type", "time"))
+        val rules = graft.streaming.Lifecycle.Rules(
+          lateArriveWindowMs = 10000L, persistRowThreshold = Long.MaxValue,
+          persistAgeThresholdMs = 60000L)
+        table.writeChunk(ev, nowMs = 0L)
+        table.writeChunk(
+          ev.filter(pmod(col("user_tag").cast("long") + col("time"), lit(7)) === 0)
+            .withColumn("value", col("value") * 2), nowMs = 5000L)
+        require(table.runOnce(rules, nowMs = 16000L)
+          .exists(_.isInstanceOf[graft.streaming.Lifecycle.Compact]), "no compact")
+        val bounds = ev.agg(min("time"), max("time")).head()
+        val midNs = (bounds.getLong(0) + bounds.getLong(1)) / 2L
+        require(table.runOnce(rules, nowMs = 80000L, splitNsOf = _ => midNs)
+          .exists(_.isInstanceOf[graft.streaming.Lifecycle.Persist]), "no persist")
+        graft.sources.SqlFrontend.registerChunked(s, Map("events_lc" -> table))
+        s.sql("""SELECT storage, column_name, row_count, min_value, max_value
+          FROM system_chunk_columns
+          WHERE column_name IN ('user_tag', 'event_type', 'time')
+          ORDER BY storage, column_name""")
+      },
+      Some("""WITH chunks AS (
+          SELECT CAST(user_id AS VARCHAR) AS user_tag, event_type,
+            epoch_ns(ts) AS time, value, 1 AS seq FROM events
+          UNION ALL
+          SELECT CAST(user_id AS VARCHAR) AS user_tag, event_type,
+            epoch_ns(ts) AS time, value * 2 AS value, 2 AS seq
+          FROM events WHERE (user_id + epoch_ns(ts)) % 7 = 0),
+        up AS (SELECT user_tag, event_type, time, arg_max(value, seq) AS value
+          FROM chunks GROUP BY 1, 2, 3),
+        mid AS (SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2 AS midns
+          FROM events),
+        parts AS (SELECT up.*, CASE WHEN time <= (SELECT midns FROM mid)
+            THEN 'ObjectStoreOnly' ELSE 'OpenMutableBuffer' END AS storage
+          FROM up),
+        stats AS (
+          SELECT storage, 'user_tag' AS column_name,
+            CAST(count(user_tag) AS BIGINT) AS row_count,
+            min(user_tag) AS min_value, max(user_tag) AS max_value
+          FROM parts GROUP BY 1
+          UNION ALL
+          SELECT storage, 'event_type', CAST(count(event_type) AS BIGINT),
+            min(event_type), max(event_type) FROM parts GROUP BY 1
+          UNION ALL
+          SELECT storage, 'time', CAST(count(time) AS BIGINT),
+            CAST(min(time) AS VARCHAR), CAST(max(time) AS VARCHAR)
+          FROM parts GROUP BY 1)
+        SELECT storage, column_name, row_count, min_value, max_value
+        FROM stats ORDER BY storage, column_name""")),
+
     ("http_roundtrip",
       (s, d) => {
         import s.implicits._

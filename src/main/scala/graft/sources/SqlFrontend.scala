@@ -12,7 +12,11 @@ import graft.core.IoxSchema
   *  - `system_columns`: (table, column, type, category) — the reference's
   *    system.columns with IOx column categories.
   *  - `system_chunks`: (table, path, row_count, time_min, time_max) from
-  *    stats sidecars — the reference's system.chunks summary view.
+  *    stats sidecars — the reference's system.chunks summary view. For
+  *    lifecycle-managed chunk directories, [[registerChunked]] instead
+  *    registers the reference-shaped per-chunk views with the storage
+  *    stage column (system_tables.rs:192) and `system_chunk_columns`
+  *    (docs/sql.md:234, system_tables.rs:373).
   *
   * Catalyst takes over from here (analysis, optimization, codegen) the
   * way DataFusion does in the reference; no custom planner is needed.
@@ -23,6 +27,19 @@ object SqlFrontend {
   def register(spark: SparkSession, tables: Map[String, DataFrame]): Unit = {
     tables.foreach { case (name, df) => df.createOrReplaceTempView(name) }
     systemColumns(spark, tables).createOrReplaceTempView("system_columns")
+  }
+
+  /** Register lifecycle-managed chunk tables: each table's dedup scan as
+    * a view plus the per-chunk system tables (`system_chunks` with the
+    * ChunkStorage stage column; `system_chunk_columns` with per-column
+    * count/min/max) — all answered from sidecar metadata, no data scan. */
+  def registerChunked(spark: SparkSession,
+      tables: Map[String, graft.streaming.Lifecycle.ChunkedTable]): Unit = {
+    tables.foreach { case (name, t) => t.scan().createOrReplaceTempView(name) }
+    tables.toSeq.sortBy(_._1).map { case (n, t) => t.systemChunks(n) }
+      .reduce(_ union _).createOrReplaceTempView("system_chunks")
+    tables.toSeq.sortBy(_._1).map { case (n, t) => t.systemChunkColumns(n) }
+      .reduce(_ union _).createOrReplaceTempView("system_chunk_columns")
   }
 
   /** system.columns analog: one row per column with its engine category

@@ -31,6 +31,13 @@ object StatsCatalog {
     m
   }
 
+  /** Per-column summary (reference ColumnSummary,
+    * data_types/src/partition_metadata.rs): non-null count plus min/max
+    * rendered as strings (min_as_str/max_as_str — what system.chunk_columns
+    * serves). None min/max = all-null or a non-orderable type. */
+  case class ColumnStat(count: Long,
+      min: Option[String] = None, max: Option[String] = None)
+
   case class TableStats(
       rowCount: Long,
       timeMin: Long,
@@ -43,7 +50,10 @@ object StatsCatalog {
         * scan whose dedup key equals it can treat the chunk as self-clean
         * from metadata alone. None = unknown (pre-SortKey sidecars /
         * unsorted open chunks). */
-      sortKey: Option[Seq[String]] = None)
+      sortKey: Option[Seq[String]] = None,
+      /** Per-column stats for every chunk column (system.chunk_columns
+        * source); empty for pre-upgrade sidecars. */
+      columnStats: Map[String, ColumnStat] = Map.empty)
 
   /** Count, time bounds, per-tag distinct sets (sorted, capped at `cap+1`
     * to detect overflow). Two bounded-memory passes: pass 1 estimates each
@@ -61,13 +71,10 @@ object StatsCatalog {
   def compute(df: DataFrame, tagCols: Seq[String] = Nil, cap: Int = 10000,
       sortKey: Option[Seq[String]] = None): TableStats = {
     val tags = if (tagCols.nonEmpty) tagCols else IoxSchema.tagColumns(df.schema)
-    val aggs = scalarAggs(tags)
+    val aggs = scalarAggs(df.schema, tags)
     val pre = df.agg(aggs.head, aggs.tail: _*).head()
-    finish(df, tags, cap, sortKey,
-      rowCount = pre.getLong(0),
-      timeMin = if (pre.isNullAt(1)) 0L else pre.getLong(1),
-      timeMax = if (pre.isNullAt(2)) 0L else pre.getLong(2),
-      est = t => pre.getLong(pre.fieldIndex(s"__est_$t")))
+    val m = pre.schema.fieldNames.iterator.zip(pre.toSeq.iterator).toMap
+    finish(df, df.schema, tags, cap, sortKey, m)
   }
 
   /** Stats computed in the SAME job as a write: the scalar pass (row
@@ -87,28 +94,47 @@ object StatsCatalog {
       write: DataFrame => Unit, written: => DataFrame): TableStats = {
     val tags = if (tagCols.nonEmpty) tagCols else IoxSchema.tagColumns(df.schema)
     val obs = org.apache.spark.sql.Observation()
-    val aggs = scalarAggs(tags)
+    val aggs = scalarAggs(df.schema, tags)
     write(df.observe(obs, aggs.head, aggs.tail: _*))
-    val m = obs.get
-    finish(written, tags, cap, sortKey,
-      rowCount = m("__n").asInstanceOf[Long],
-      timeMin = Option(m("__tmin")).fold(0L)(_.asInstanceOf[Long]),
-      timeMax = Option(m("__tmax")).fold(0L)(_.asInstanceOf[Long]),
-      est = t => m(s"__est_$t").asInstanceOf[Long])
+    finish(written, df.schema, tags, cap, sortKey, obs.get)
   }
 
-  private def scalarAggs(tags: Seq[String]): Seq[org.apache.spark.sql.Column] = {
+  /** Min/max only make sense (and only aggregate) for orderable atomic
+    * types; binary renders uselessly and arrays/maps/structs don't
+    * order for stats purposes. */
+  private def orderableForStats(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: ArrayType | _: MapType | _: StructType | BinaryType | NullType => false
+      case _ => true
+    }
+  }
+
+  /** One flat row of metrics: global count/time bounds, per-tag HLL
+    * estimates, and per-column count/min/max (min/max rendered to string
+    * AFTER aggregating natively — casting first would order numerics
+    * lexicographically). Rides either a plain agg or a write via observe. */
+  private def scalarAggs(schema: org.apache.spark.sql.types.StructType,
+      tags: Seq[String]): Seq[org.apache.spark.sql.Column] = {
     val time = col(NsTime.TimeColumn)
     Seq(count(lit(1)).as("__n"), min(time).as("__tmin"), max(time).as("__tmax")) ++
-      tags.map(t => approx_count_distinct(col(t), 0.05).as(s"__est_$t"))
+      tags.map(t => approx_count_distinct(col(t), 0.05).as(s"__est_$t")) ++
+      schema.fields.flatMap { f =>
+        val base = Seq(count(col(f.name)).as(s"__cnt_${f.name}"))
+        if (orderableForStats(f.dataType))
+          base ++ Seq(min(col(f.name)).cast("string").as(s"__cmin_${f.name}"),
+            max(col(f.name)).cast("string").as(s"__cmax_${f.name}"))
+        else base
+      }
   }
 
   /** Shared tail of both compute paths: run the capped `collect_set` pass
     * over `src` for tags whose HLL estimate is plausibly under the cap,
-    * then assemble the TableStats. */
-  private def finish(src: => DataFrame, tags: Seq[String], cap: Int,
-      sortKey: Option[Seq[String]], rowCount: Long, timeMin: Long,
-      timeMax: Long, est: String => Long): TableStats = {
+    * then assemble the TableStats from the metric row `m`. */
+  private def finish(src: => DataFrame, schema: org.apache.spark.sql.types.StructType,
+      tags: Seq[String], cap: Int, sortKey: Option[Seq[String]],
+      m: Map[String, Any]): TableStats = {
+    val est = (t: String) => m(s"__est_$t").asInstanceOf[Long]
     val (collectable, overCap) = tags.partition(t => est(t) <= 2L * cap)
     val tagVals: Map[String, Seq[String]] =
       if (collectable.isEmpty) Map.empty
@@ -119,14 +145,20 @@ object StatsCatalog {
         collectable.map(t => t -> row.getSeq[String](row.fieldIndex(s"__tag_$t"))).toMap
       }
     TableStats(
-      rowCount = rowCount,
-      timeMin = timeMin,
-      timeMax = timeMax,
+      rowCount = m("__n").asInstanceOf[Long],
+      timeMin = Option(m("__tmin")).fold(0L)(_.asInstanceOf[Long]),
+      timeMax = Option(m("__tmax")).fold(0L)(_.asInstanceOf[Long]),
       tagValues = tagVals.map { case (t, vs) => t -> vs.take(cap) } ++
         overCap.map(t => t -> Seq.empty[String]),
       cappedTags = (tagVals.collect { case (t, vs) if vs.size > cap => t } ++
         overCap).toSeq.sorted,
-      sortKey = sortKey)
+      sortKey = sortKey,
+      columnStats = schema.fields.map { f =>
+        f.name -> ColumnStat(
+          count = m(s"__cnt_${f.name}").asInstanceOf[Long],
+          min = m.get(s"__cmin_${f.name}").flatMap(Option(_)).map(_.toString),
+          max = m.get(s"__cmax_${f.name}").flatMap(Option(_)).map(_.toString))
+      }.toMap)
   }
 
   /** Sidecar IO goes through the Hadoop FileSystem API, so it works on

@@ -52,6 +52,15 @@ object Lifecycle {
   case object Compacted extends Stage // closed + merged (ReadBuffer analog)
   case object Persisted extends Stage // cold / object store
 
+  /** The reference's ChunkStorage stage string for a chunk's lifecycle
+    * stage (data_types/src/chunk_metadata.rs:35-62 as_str) — what the
+    * system.chunks `storage` column carries. */
+  def storageOf(stage: Stage): String = stage match {
+    case Open => "OpenMutableBuffer"
+    case Compacted => "ReadBuffer"
+    case Persisted => "ObjectStoreOnly"
+  }
+
   final case class ChunkMeta(id: Long, path: String, stage: Stage,
       rows: Long, bytes: Long, lastWriteMs: Long)
 
@@ -151,6 +160,38 @@ object Lifecycle {
           .getOrElse((Long.MinValue, Long.MaxValue))
         (spark.read.parquet(c.path), range, stats.flatMap(_.sortKey).contains(pkCols))
       }, pkCols)
+    }
+
+    /** system.chunks rows (server/src/db/system_tables.rs:192-206): one
+      * row per chunk with its storage stage. All from sidecar/file
+      * metadata — no data scan. `partition_key` is empty here: a
+      * ChunkedTable is one partition's chunk directory (the partition
+      * template layer sits above it); lifecycle_action, first-write and
+      * closed times aren't tracked (no in-flight async actions). */
+    def systemChunks(tableName: String): DataFrame = {
+      import spark.implicits._
+      chunks().map(c => (c.id, "", tableName, Lifecycle.storageOf(c.stage),
+          c.bytes, c.rows, c.lastWriteMs))
+        .toDF("id", "partition_key", "table_name", "storage",
+          "estimated_bytes", "row_count", "time_of_last_write")
+        .orderBy("id")
+    }
+
+    /** system.chunk_columns rows (system_tables.rs:373-461): per chunk,
+      * per column, the storage stage plus non-null count and min/max
+      * rendered as strings — served straight from the stats sidecars'
+      * columnStats, the reference's TableSummary/ColumnSummary role. */
+    def systemChunkColumns(tableName: String): DataFrame = {
+      import spark.implicits._
+      chunks().flatMap { c =>
+        val storage = Lifecycle.storageOf(c.stage)
+        StatsCatalog.load(spark, c.path).toSeq.flatMap(_.columnStats.toSeq.map {
+          case (colName, st) => (c.id, "", tableName, colName, storage,
+            st.count, st.min.orNull, st.max.orNull)
+        })
+      }.toDF("chunk_id", "partition_key", "table_name", "column_name",
+          "storage", "row_count", "min_value", "max_value")
+        .orderBy("chunk_id", "column_name")
     }
 
     /** Run one policy round, returning the actions applied. */

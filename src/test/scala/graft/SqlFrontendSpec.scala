@@ -34,4 +34,48 @@ class SqlFrontendSpec extends SparkSpec {
     val (name, _, n, tmin, tmax) = rows.head
     assert(name == "cpu" && n == 2 && tmin == 100L && tmax == 150L)
   }
+
+  test("registerChunked: storage stage in system_chunks + per-column chunk stats " +
+      "(system_tables.rs:192,373; docs/sql.md:234)") {
+    import graft.streaming.Lifecycle
+    val tmp = Files.createTempDirectory("graft-syscc").toString
+    val table = new Lifecycle.ChunkedTable(spark, tmp, pkCols = Seq("host", "time"))
+    val rules = Lifecycle.Rules(lateArriveWindowMs = 1000L,
+      persistRowThreshold = Long.MaxValue, persistAgeThresholdMs = 5000L)
+    table.writeChunk(cpu, nowMs = 0L)
+    assert(table.runOnce(rules, nowMs = 2000L)
+      .exists(_.isInstanceOf[Lifecycle.Compact]))
+    table.writeChunk(
+      LineProtocol.ingest(spark, Seq("cpu,host=c user=1.5 200"))("cpu"),
+      nowMs = 2500L)
+
+    // mid-timeline: one ReadBuffer (compacted) + one open chunk, each with
+    // per-column sidecar stats queryable as SQL
+    SqlFrontend.registerChunked(spark, Map("cpu_lc" -> table))
+    val stages = spark.sql(
+      """SELECT id, storage, row_count FROM system_chunks ORDER BY id""")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(stages == Seq((1L, "ReadBuffer", 2L), (2L, "OpenMutableBuffer", 1L)))
+    val compactedCols = spark.sql(
+      """SELECT column_name, row_count, min_value, max_value
+         FROM system_chunk_columns WHERE chunk_id = 1 ORDER BY column_name""")
+      .as[(String, Long, String, String)].collect().toSeq
+    assert(compactedCols == Seq(
+      ("host", 2L, "a", "b"), ("time", 2L, "100", "150"),
+      ("user", 2L, "9.9", "22.5"))) // min/max order natively, THEN render
+
+    // after a persist round split at t=150: cold chunk holds hosts a,b;
+    // the open remainder holds host c — stats follow the chunks
+    assert(table.runOnce(rules, nowMs = 9000L, splitNsOf = _ => 150L)
+      .exists(_.isInstanceOf[Lifecycle.Persist]))
+    SqlFrontend.registerChunked(spark, Map("cpu_lc" -> table))
+    val after = spark.sql(
+      """SELECT storage, column_name, row_count, min_value, max_value
+         FROM system_chunk_columns WHERE column_name = 'host'
+         ORDER BY storage""")
+      .as[(String, String, Long, String, String)].collect().toSeq
+    assert(after == Seq(
+      ("ObjectStoreOnly", "host", 2L, "a", "b"),
+      ("OpenMutableBuffer", "host", 1L, "c", "c")))
+  }
 }
