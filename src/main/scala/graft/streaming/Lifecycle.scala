@@ -25,8 +25,13 @@ import graft.sources.StatsCatalog
   *    planner persists early to shrink the buffer (the reference instead
   *    drops already-persisted in-memory copies, maybe_free_memory
   *    policy.rs:55 — a distinction without a difference here, where hot
-  *    chunks ARE the only copies); over the hard limit writes are
-  *    rejected (database_rules.rs:130-132).
+  *    chunks ARE the only copies); when persistence is off, the
+  *    flag-gated `dropNonPersisted` response drops closed hot chunks
+  *    oldest-first (FreeAction::Drop, policy.rs:78-84); over the hard
+  *    limit writes are rejected (database_rules.rs:130-132).
+  *  - `retentionNs` — whole chunks whose data time range has aged out
+  *    expire and are dropped, any stage, before the rest of the round
+  *    plans.
   *
   * The planner is pure ((chunk metadata, rules, now) -> actions), like
   * the reference policy over its LockablePartition trait — unit-testable
@@ -45,7 +50,16 @@ object Lifecycle {
       persistAgeThresholdMs: Long = 30 * 60 * 1000L,
       bufferSizeSoft: Option[Long] = None,
       bufferSizeHard: Option[Long] = None,
-      persist: Boolean = true)
+      persist: Boolean = true,
+      /** Under memory pressure, allow dropping closed chunks that were
+        * never persisted — accepted data loss, off by default
+        * (database_rules.rs:133-135 drop_non_persisted). */
+      dropNonPersisted: Boolean = false,
+      /** Age-based retention on the DATA time axis: a chunk whose entire
+        * time range is older than `dataNow - retentionNs` expires and is
+        * dropped, any stage. Whole-chunk granularity, like the
+        * reference's chunk-level lifecycle ops. */
+      retentionNs: Option[Long] = None)
 
   sealed trait Stage
   case object Open extends Stage // receiving writes (OpenMutableBuffer)
@@ -62,7 +76,10 @@ object Lifecycle {
   }
 
   final case class ChunkMeta(id: Long, path: String, stage: Stage,
-      rows: Long, bytes: Long, lastWriteMs: Long)
+      rows: Long, bytes: Long, lastWriteMs: Long,
+      /** Max data timestamp from the sidecar — what retention expires on.
+        * MaxValue when unknown (no sidecar): never expires. */
+      timeMaxNs: Long = Long.MaxValue)
 
   sealed trait Action
   /** Merge hot chunks (idle opens roll over + existing compacted ones
@@ -74,6 +91,9 @@ object Lifecycle {
   final case class Persist(chunkIds: Seq[Long], splitNs: Long) extends Action
   /** Hot bytes exceed the hard limit: reject writes. */
   case object RejectWrites extends Action
+  /** Delete these chunks outright: retention expiry, or memory-pressure
+    * freeing (policy.rs:55-118 maybe_free_memory / FreeAction::Drop). */
+  final case class Drop(chunkIds: Seq[Long]) extends Action
 
   /** One policy round (check_for_work, policy.rs:448): returns the
     * actions to run now. `nowMs` and all chunk times share one clock;
@@ -81,10 +101,19 @@ object Lifecycle {
     * whose data time differs from the wall clock pass `splitNsOf`. */
   def plan(chunks: Seq[ChunkMeta], rules: Rules, nowMs: Long,
       splitNsOf: Long => Long = _ * 1000000L): Seq[Action] = {
-    val hot = chunks.filter(_.stage != Persisted).sortBy(_.id)
+    // retention first: chunks whose whole time range aged out expire
+    // regardless of stage, and the rest of the round plans over what
+    // remains (the drop also relieves any buffer pressure)
+    val expired = rules.retentionNs.toSeq.flatMap { r =>
+      chunks.filter(_.timeMaxNs < splitNsOf(nowMs) - r)
+    }
+    val drops = if (expired.isEmpty) Nil else Seq(Drop(expired.map(_.id).sorted))
+    val live = chunks.filterNot(c => expired.exists(_.id == c.id))
+
+    val hot = live.filter(_.stage != Persisted).sortBy(_.id)
     val hotBytes = hot.map(_.bytes).sum
 
-    if (rules.bufferSizeHard.exists(hotBytes >= _)) return Seq(RejectWrites)
+    if (rules.bufferSizeHard.exists(hotBytes >= _)) return drops :+ RejectWrites
 
     val overSoft = rules.bufferSizeSoft.exists(hotBytes >= _)
     val closed = hot.filter(c => nowMs - c.lastWriteMs >= rules.lateArriveWindowMs)
@@ -95,8 +124,24 @@ object Lifecycle {
       val oldestAgeMs = nowMs - hot.map(_.lastWriteMs).min
       if (persistableRows >= rules.persistRowThreshold ||
           oldestAgeMs >= rules.persistAgeThresholdMs || overSoft)
-        return Seq(Persist(closed.map(_.id),
-          splitNsOf(nowMs - rules.lateArriveWindowMs)))
+        return drops :+ Persist(closed.map(_.id),
+          splitNsOf(nowMs - rules.lateArriveWindowMs))
+    }
+
+    // memory pressure with persistence unavailable: the reference frees
+    // persisted in-memory copies first, then (flag-gated) drops
+    // unpersisted chunks oldest-first (maybe_free_memory, policy.rs:55).
+    // Here hot chunks are the ONLY copies (no unload analog, documented
+    // above), so the entire response is the flag-gated one: drop closed
+    // hot chunks, oldest write first, until projected under the limit.
+    if (overSoft && !rules.persist && rules.dropNonPersisted && closed.nonEmpty) {
+      var bytes = hotBytes
+      val toDrop = closed.sortBy(c => (c.lastWriteMs, c.id)).takeWhile { c =>
+        val stillOver = rules.bufferSizeSoft.exists(bytes >= _)
+        if (stillOver) bytes -= c.bytes
+        stillOver
+      }
+      if (toDrop.nonEmpty) return drops :+ Drop(toDrop.map(_.id).sorted)
     }
 
     // compaction: rolled-over opens + small compacted chunks, row budget =
@@ -110,8 +155,8 @@ object Lifecycle {
     })
     val toCompact = (rolledOver ++ smallCompacted).sortBy(_.id)
     if (toCompact.size >= 2 || rolledOver.nonEmpty)
-      Seq(Compact(toCompact.map(_.id)))
-    else Nil
+      drops :+ Compact(toCompact.map(_.id))
+    else drops
   }
 
   // ------------------------------------------------------------- executor
@@ -201,6 +246,9 @@ object Lifecycle {
       actions.foreach {
         case Compact(ids) => compact(ids, nowMs)
         case Persist(ids, splitNs) => persistSplit(ids, splitNs, nowMs)
+        case Drop(ids) =>
+          val byId = chunks().map(c => c.id -> c).toMap
+          ids.flatMap(byId.get).foreach(c => fs.delete(new Path(c.path), true))
         case RejectWrites => ()
       }
       actions
@@ -285,7 +333,8 @@ object Lifecycle {
       ChunkMeta(id, path.toString, stage,
         rows = stats.map(_.rowCount).getOrElse(0L),
         bytes = fs.getContentSummary(path).getLength,
-        lastWriteMs = mtime)
+        lastWriteMs = mtime,
+        timeMaxNs = stats.map(_.timeMax).getOrElse(Long.MaxValue))
     }
 
     private def nextId(): Long = {

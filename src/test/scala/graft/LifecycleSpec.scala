@@ -72,6 +72,65 @@ class LifecycleSpec extends SparkSpec {
     assert(actions == Seq(Compact(Seq(0L))))
   }
 
+  test("plan: retention expires whole chunks on the data time axis, any stage") {
+    // data-now = nowMs * 1e6 (default splitNsOf); retention 50s of data time
+    val withTimes = Seq(
+      chunk(0, Persisted, 100, 1000L).copy(timeMaxNs = 10000L * 1000000L),
+      chunk(1, Compacted, 100, 95000L).copy(timeMaxNs = 40000L * 1000000L),
+      chunk(2, Open, 100, 95000L).copy(timeMaxNs = 90000L * 1000000L))
+    val actions = plan(withTimes, rules.copy(retentionNs = Some(50000L * 1000000L)),
+      nowMs = 100000L)
+    // cutoff = 100s - 50s = 50s data time: chunks 0 and 1 aged out entirely
+    assert(actions == Seq(Drop(Seq(0L, 1L))))
+    // a chunk with unknown time bounds (no sidecar) never expires
+    val unknown = chunk(3, Persisted, 1, 1000L) // timeMaxNs = MaxValue
+    assert(plan(Seq(unknown), rules.copy(retentionNs = Some(1L)), 100000L).isEmpty)
+  }
+
+  test("plan: memory-pressure drop is flag-gated and oldest-first (policy.rs:55)") {
+    val over = Seq(
+      chunk(0, Compacted, 10, 20000L, bytes = 300 * MB),
+      chunk(1, Compacted, 10, 40000L, bytes = 300 * MB),
+      chunk(2, Open, 10, 99000L, bytes = 300 * MB)) // still open: not droppable
+    val noPersist = rules.copy(persist = false, bufferSizeSoft = Some(500 * MB))
+    // without the flag: no Drop — pressure without persistence only compacts
+    assert(!plan(over, noPersist, 100000L).exists(_.isInstanceOf[Drop]))
+    // with the flag: drop the OLDEST closed chunks until projected under
+    // the soft limit (900MB -> dropping chunk 0 projects 600MB, still
+    // over -> also chunk 1 -> 300MB under)
+    val actions = plan(over, noPersist.copy(dropNonPersisted = true), 100000L)
+    assert(actions == Seq(Drop(Seq(0L, 1L))))
+    // with persistence available, early persist still wins over dropping
+    val persisting = plan(over,
+      noPersist.copy(persist = true, dropNonPersisted = true), 100000L)
+    assert(persisting.exists(_.isInstanceOf[Persist]) &&
+      !persisting.exists(_.isInstanceOf[Drop]))
+  }
+
+  test("chunked table: retention expires a cold chunk and the scan reflects it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-retention").toString
+    val table = new ChunkedTable(spark, dir, pkCols = Seq("host", "time"))
+    // old data (times ~1-2s ns) and fresh data (~95s ns) in separate chunks
+    table.writeChunk(Seq(("a", 1000L * 1000000L, 1.0), ("b", 2000L * 1000000L, 2.0))
+      .toDF("host", "time", "v"), nowMs = 0L)
+    table.runOnce(rules, nowMs = 70000L) // -> persisted cold chunk
+    table.writeChunk(Seq(("c", 95000L * 1000000L, 3.0)).toDF("host", "time", "v"),
+      nowMs = 95000L)
+    assert(table.chunks().map(_.stage).sortBy(_.toString) == Seq(Open, Persisted))
+    assert(table.scan().count() == 3L)
+
+    // retention 50s of data time at t=100s: the cold chunk (max 2s) expires,
+    // the open chunk (95s) survives
+    val actions = table.runOnce(rules.copy(retentionNs = Some(50000L * 1000000L)),
+      nowMs = 100000L)
+    assert(actions.exists { case Drop(ids) => ids.nonEmpty; case _ => false })
+    val remaining = table.chunks()
+    assert(remaining.map(_.stage) == Seq(Open))
+    assert(table.scan().as[(String, Long, Double)].collect().toSeq ==
+      Seq(("c", 95000L * 1000000L, 3.0)))
+  }
+
   test("chunked table timeline: rollover -> compact -> persist with split") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-lifecycle").toString
