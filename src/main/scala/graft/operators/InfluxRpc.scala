@@ -332,7 +332,9 @@ object InfluxRpc {
     * One GROUP's frames buffer at a time (the group frame must lead but
     * its tag-key union is only known after its members stream past) —
     * fine for aggregated read_group output, where a group holds one small
-    * frame pair per member series, not raw points. */
+    * frame pair per member series, not raw points. For `AggKind.None`
+    * regrouped reads (raw series in a group), use
+    * [[toGroupedFramesStreaming]], which never buffers a group. */
   def toGroupedFrames(series: Dataset[Series], measurement: String,
       groupKeys: Seq[String]): Dataset[Frame] = {
     val spark = series.sparkSession
@@ -361,6 +363,47 @@ object InfluxRpc {
             Frame("group", Map.empty, Nil, Nil, tagKeys.toSeq, gv) +: frames.toSeq
           }
         }.flatten
+      }
+  }
+
+  /** Streaming variant of [[toGroupedFrames]] for groups that may hold
+    * RAW series (an `AggKind.None` regrouped read): no whole-group
+    * buffering. The group frame must LEAD its members but its tag-key
+    * union is only known after they pass, so this runs two passes:
+    * pass 1 scans only (group value, tag keys) pairs and collects each
+    * group's key union to a driver map (one small row per group — group
+    * cardinality is bounded by the grouping tags' cardinality, not by
+    * points); pass 2 streams series in group order, emitting the group
+    * frame on group change from the broadcast union. Costs one extra
+    * execution of the series pipeline; aggregated read_group outputs
+    * should keep the single-pass buffered form, where a "group" is a
+    * handful of one-point frame pairs. */
+  def toGroupedFramesStreaming(series: Dataset[Series], measurement: String,
+      groupKeys: Seq[String]): Dataset[Frame] = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    val unions: Map[Seq[String], Seq[String]] = series
+      .flatMap(s => s.tags.keys.map(k => (groupKeys.map(g => s.tags.getOrElse(g, "")), k)))
+      .distinct().collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    val unionsB = spark.sparkContext.broadcast(unions)
+    series
+      .map(s => (groupKeys.map(k => s.tags.getOrElse(k, "")),
+        s.tags.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }, s.field, s))
+      .repartition(col("_1"))
+      .sortWithinPartitions(col("_1"), col("_2"), col("_3"))
+      .mapPartitions { it =>
+        var current: Seq[String] = null
+        it.flatMap { case (gv, _, _, s) =>
+          val lead =
+            if (gv == current) Nil
+            else {
+              current = gv
+              Seq(Frame("group", Map.empty, Nil, Nil,
+                unionsB.value.getOrElse(gv, Nil), gv))
+            }
+          lead ++ seriesFramePair(s, measurement)
+        }
       }
   }
 

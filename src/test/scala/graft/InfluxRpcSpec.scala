@@ -206,6 +206,47 @@ class InfluxRpcSpec extends SparkSpec {
     assert(ma.tail.count(_.frameType == "series") == 2)
   }
 
+  test("toGroupedFramesStreaming: None-agg raw groups, skewed, identical frames") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit => flit}
+    // a None-agg grouped read = raw series regrouped: make one group
+    // (region=hot) hold a heavily skewed raw series (4k points across two
+    // hosts) next to a tiny group — the shape that must NOT buffer per
+    // group on the streaming path
+    val rows = (1 to 4000).map(i => ("hot", s"h${i % 2}", i.toLong, i.toDouble)) ++
+      Seq(("cold", "h9", 1L, 9.0))
+    val df = spark.createDataFrame(
+      rows.toDF("region", "host", "time", "v").rdd,
+      org.apache.spark.sql.types.StructType(Seq(
+        graft.core.IoxSchema.tagged("region", org.apache.spark.sql.types.StringType, graft.core.IoxSchema.Tag),
+        graft.core.IoxSchema.tagged("host", org.apache.spark.sql.types.StringType, graft.core.IoxSchema.Tag),
+        graft.core.IoxSchema.tagged("time", org.apache.spark.sql.types.LongType, graft.core.IoxSchema.Time),
+        graft.core.IoxSchema.tagged("v", org.apache.spark.sql.types.DoubleType, graft.core.IoxSchema.Field))))
+    // AggKind.None regroup: raw rows, group-key column prefix
+    val raw = InfluxRpc.readGroup(df, RpcPredicate(), InfluxRpc.AggKind.None,
+      groupCols = Seq("region"))
+    val series = InfluxRpc.toSeriesSet(raw, Seq("v"))
+
+    def perGroup(frames: Seq[InfluxRpc.Frame]) =
+      frames.foldLeft(Vector.empty[Vector[InfluxRpc.Frame]]) {
+        case (acc, f) if f.frameType == "group" => acc :+ Vector(f)
+        case (acc, f) => acc.init :+ (acc.last :+ f)
+      }.map(g => g.head.partitionKeyVals -> g).toMap
+
+    val streamed = perGroup(
+      InfluxRpc.toGroupedFramesStreaming(series, "m", Seq("region")).collect().toSeq)
+    val buffered = perGroup(
+      InfluxRpc.toGroupedFrames(series, "m", Seq("region")).collect().toSeq)
+    // identical groups, identical per-group frame sequences
+    assert(streamed.keySet == Set(Seq("hot"), Seq("cold")))
+    assert(streamed == buffered)
+    // the skewed group carries its full raw points through the stream
+    val hot = streamed(Seq("hot"))
+    assert(hot.head.tagKeys == Seq("host", "region"))
+    assert(hot.count(_.frameType == "series") == 2)
+    assert(hot.filter(_.frameType == "points").map(_.timestamps.size).sum == 4000)
+  }
+
   test("validateRpcExpr rejects LIKE / IS NULL / modulo, allows rlike") {
     InfluxRpc.validateRpcExpr(col("state") === "CA" && col("temp") > 5)
     InfluxRpc.validateRpcExpr(col("state").rlike("C.*"))
