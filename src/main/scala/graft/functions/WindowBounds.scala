@@ -30,14 +30,15 @@ object WindowBounds {
       MonthWindowStop(org.apache.spark.sql.graft.ColumnBridge.toExpr(time), everyMonths, offsetMonths))
 
   /** Months since epoch of the UTC month containing tsNs. */
-  private[functions] def monthIndex(tsNs: Long): Long = {
+  def monthIndex(tsNs: Long): Long = {
     val sec = Math.floorDiv(tsNs, 1000000000L)
     val nanoInSec = Math.floorMod(tsNs, 1000000000L)
     val dt = LocalDateTime.ofEpochSecond(sec, nanoInSec.toInt, ZoneOffset.UTC)
     (dt.getYear - 1970L) * 12L + (dt.getMonthValue - 1L)
   }
 
-  private[functions] def monthStartNs(monthIdx: Long): Long = {
+  /** Start-of-month instant (ns) for a months-since-epoch index. */
+  def monthStartNs(monthIdx: Long): Long = {
     val y = Math.floorDiv(monthIdx, 12L) + 1970L
     val m = Math.floorMod(monthIdx, 12L) + 1L
     LocalDateTime.of(y.toInt, m.toInt, 1, 0, 0).toEpochSecond(ZoneOffset.UTC) * 1000000000L

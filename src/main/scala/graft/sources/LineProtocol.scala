@@ -151,8 +151,17 @@ object LineProtocol {
 
   // ------------------------------------------------------------- formatter
 
+  /** Identifier escaping writes exactly what InfluxDB's encoders write: only
+    * the delimiters `, = ` (and for measurements just `, `) gain a
+    * backslash — a literal backslash is left as-is, because `\\` is NOT an
+    * escape sequence in identifiers (the parser keeps unknown escapes
+    * intact, lib.rs:529-727). Consequence, inherent to the format: an
+    * identifier whose backslash immediately precedes a delimiter (or ends
+    * the identifier) is not round-trippable — the written `\` merges with
+    * the delimiter's escape. Same wart as upstream; see
+    * LineProtocolPropSpec for the precise property. */
   private def escIdent(v: String): String =
-    v.replace("\\", "\\\\").replace(",", "\\,").replace("=", "\\=").replace(" ", "\\ ")
+    v.replace(",", "\\,").replace("=", "\\=").replace(" ", "\\ ")
   private def escMeasurement(v: String): String =
     v.replace(",", "\\,").replace(" ", "\\ ")
 
