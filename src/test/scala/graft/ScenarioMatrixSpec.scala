@@ -124,4 +124,90 @@ class ScenarioMatrixSpec extends SparkSpec {
       assert(got == Seq("Boston", "LA", "SF"), s"scenario $name diverged")
     }
   }
+
+  // ------------------------------------------------- full operator matrix
+
+  /** Run `q` over every placement and require identical canonical output.
+    * This is the runner pattern of the reference's query_tests/src/runner:
+    * each influxrpc operator variant × each chunk placement, one expected
+    * answer. */
+  private def assertInvariant(opName: String)(q: DataFrame => DataFrame): Unit = {
+    val expected = canon(q(reTag(mem.select("state", "city", "temp", "humid", "time"))))
+    assert(expected.nonEmpty, s"$opName: empty baseline result")
+    for ((name, df) <- scenarios) {
+      val got = canon(q(reTag(df.select("state", "city", "temp", "humid", "time"))))
+      assert(got == expected, s"$opName diverged on placement $name")
+    }
+  }
+
+  private val rangePred = RpcPredicate().withRange(150L, 300L)
+
+  test("read_filter with range+tag predicate is placement-invariant") {
+    assertInvariant("read_filter/range")(InfluxRpc.readFilter(_, rangePred))
+    assertInvariant("read_filter/tag-eq")(df =>
+      InfluxRpc.readFilter(df, RpcPredicate(exprs = Seq($"state" === "CA"))))
+    assertInvariant("read_filter/fields")(df =>
+      InfluxRpc.readFilter(df, RpcPredicate(fieldColumns = Some(Seq("temp")))))
+  }
+
+  test("read_group is placement-invariant for every aggregate kind") {
+    val kinds: Seq[(String, AggKind)] = Seq(
+      "sum" -> AggKind.Sum, "count" -> AggKind.Count, "mean" -> AggKind.Mean,
+      "min" -> AggKind.Min, "max" -> AggKind.Max,
+      "first" -> AggKind.First, "last" -> AggKind.Last,
+      "none" -> AggKind.None)
+    for ((kn, kind) <- kinds)
+      assertInvariant(s"read_group/$kn")(
+        InfluxRpc.readGroup(_, RpcPredicate(), kind, groupCols = Seq("state")))
+  }
+
+  test("read_window_aggregate fixed and month windows are placement-invariant") {
+    for ((kn, kind) <- Seq("sum" -> AggKind.Sum, "mean" -> AggKind.Mean,
+        "last" -> AggKind.Last)) {
+      assertInvariant(s"window_agg/$kn")(
+        InfluxRpc.readWindowAggregate(_, RpcPredicate(), kind, everyNs = 100L))
+      assertInvariant(s"window_agg_offset/$kn")(
+        InfluxRpc.readWindowAggregate(_, RpcPredicate(), kind,
+          everyNs = 100L, offsetNs = 50L))
+    }
+    assertInvariant("window_agg_months/sum")(
+      InfluxRpc.readWindowAggregateMonths(_, RpcPredicate(), AggKind.Sum,
+        everyMonths = 1))
+  }
+
+  test("metadata operators are placement-invariant") {
+    for ((name, df0) <- scenarios) {
+      val df = reTag(df0.select("state", "city", "temp", "humid", "time"))
+      assert(InfluxRpc.tagKeys(df, RpcPredicate()) == Seq("city", "state"),
+        s"tag_keys diverged on $name")
+      // a time-range predicate restricts which series contribute keys
+      assert(InfluxRpc.tagKeys(df, RpcPredicate().withRange(300L, 301L))
+        == Seq("state"), s"tag_keys/range diverged on $name")
+      val fc = InfluxRpc.fieldColumns(df, RpcPredicate()).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      assert(fc == Seq(("humid", "double", 200L), ("temp", "double", 300L)),
+        s"field_columns diverged on $name")
+      assert(InfluxRpc.seriesCardinality(df, RpcPredicate()) == 4L,
+        s"series_cardinality diverged on $name")
+      assert(InfluxRpc.seriesCardinality(df, RpcPredicate(), exact = false) == 4L,
+        s"series_cardinality/hll diverged on $name")
+      assert(InfluxRpc.tableNames(Map("h2o" -> df), RpcPredicate()) == Seq("h2o"),
+        s"table_names diverged on $name")
+      assert(InfluxRpc.tableNames(Map("h2o" -> df),
+        RpcPredicate().withRange(900L, 999L)).isEmpty,
+        s"table_names/empty-range diverged on $name")
+    }
+  }
+
+  test("series-set wire shape is placement-invariant") {
+    def seriesOf(df: DataFrame) = InfluxRpc.toSeriesSet(
+      InfluxRpc.readFilter(df, RpcPredicate()), Seq("temp", "humid"))
+      .collect().toSeq
+    val expected = seriesOf(reTag(mem.select("state", "city", "temp", "humid", "time")))
+    assert(expected.nonEmpty)
+    for ((name, df) <- scenarios) {
+      val got = seriesOf(reTag(df.select("state", "city", "temp", "humid", "time")))
+      assert(got == expected, s"series set diverged on placement $name")
+    }
+  }
 }
