@@ -111,6 +111,17 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
         case ("POST", "/api/v2/write") => handleWrite(ex)
         case ("POST", "/api/v2/flight/do_get") => handleDoGet(ex)
         case ("POST", "/api/v1/storage/read_filter") => handleReadFilter(ex)
+        case ("POST", "/api/v1/storage/read_group") => handleReadGroup(ex)
+        case ("POST", "/api/v1/storage/read_window_aggregate") =>
+          handleReadWindowAggregate(ex)
+        case ("POST", "/api/v1/storage/tag_keys") |
+             ("POST", "/api/v1/storage/measurement_tag_keys") => handleTagKeys(ex)
+        case ("POST", "/api/v1/storage/tag_values") |
+             ("POST", "/api/v1/storage/measurement_tag_values") => handleTagValues(ex)
+        case ("POST", "/api/v1/storage/measurement_names") => handleMeasurementNames(ex)
+        case ("POST", "/api/v1/storage/measurement_fields") => handleMeasurementFields(ex)
+        case ("POST", "/api/v1/storage/read_series_cardinality") =>
+          handleSeriesCardinality(ex)
         case ("GET", "/api/v1/storage/capabilities") =>
           val caps = StorageProto.capabilitiesResponse()
           ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
@@ -307,6 +318,289 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
     }
   }
 
+  // -------------------------------------- remaining storage RPC surface
+  // (service.rs:218-782) with HTTP carrying the tonic payloads: request
+  // JSON in, the service's protobuf response messages out. `table` and
+  // `measurement` are accepted interchangeably (the measurement_* RPC
+  // family is the measurement-scoped spelling of the same operators);
+  // omitting both on the metadata RPCs gives the reference's
+  // database-level answer (the *AcrossTables merges).
+
+  private def storageBody(ex: HttpExchange): Option[String] =
+    readBody(ex.getRequestBody, gzipped = false) match {
+      case Some(b) => Some(new String(b, UTF_8))
+      case None =>
+        respondJsonError(ex, 413, s"request exceeds $MaxBodySize bytes"); None
+    }
+
+  private def predOf(body: String): graft.core.RpcPredicate =
+    (jsonLongField(body, "start"), jsonLongField(body, "stop")) match {
+      case (Some(s), Some(e)) => graft.core.RpcPredicate().withRange(s, e)
+      case _ => graft.core.RpcPredicate()
+    }
+
+  private def tableOf(body: String): Option[String] =
+    jsonStrField(body, "table").orElse(jsonStrField(body, "measurement"))
+
+  /** All measurements of `db` as a name->view map (the database-level
+    * operand of the *AcrossTables metadata ops). */
+  private def dbTables(db: String): Map[String, DataFrame] =
+    measurements(db).flatMap(m => measurementView(db, m).map(m -> _)).toMap
+
+  private def respondProto(ex: HttpExchange, bytes: Array[Byte]): Unit = {
+    ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
+    ex.sendResponseHeaders(200, bytes.length.toLong)
+    val os = ex.getResponseBody
+    os.write(bytes); os.close()
+  }
+
+  /** Stream encoded frames as concatenated single-frame ReadResponse
+    * messages (valid as one message by proto repeated-field concat). */
+  private def streamFrames(ex: HttpExchange,
+      frames: org.apache.spark.sql.Dataset[graft.operators.InfluxRpc.Frame]): Unit = {
+    import scala.jdk.CollectionConverters._
+    ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
+    ex.sendResponseHeaders(200, 0) // chunked
+    val os = ex.getResponseBody
+    try frames.toLocalIterator().asScala.foreach { f =>
+      os.write(StorageProto.readResponse(Seq(StorageProto.encodeFrame(f))))
+    } finally os.close()
+  }
+
+  private val aggKinds: Map[String, graft.operators.InfluxRpc.AggKind] = {
+    import graft.operators.InfluxRpc.AggKind._
+    Map("none" -> None, "sum" -> Sum, "count" -> Count, "min" -> Min,
+      "max" -> Max, "mean" -> Mean, "first" -> First, "last" -> Last)
+  }
+
+  /** read_group (service.rs:260): group frames + member series. The
+    * response stream interleaves one GroupFrame per distinct group-key
+    * value with its member series/points pairs (data.rs:75-121). */
+  private def handleReadGroup(ex: HttpExchange): Unit = {
+    import graft.operators.InfluxRpc
+    import graft.operators.InfluxRpc.AggKind
+    val body = storageBody(ex).getOrElse(return)
+    (jsonStrField(body, "database_name"), tableOf(body)) match {
+      case (Some(db), Some(table)) =>
+        val aggName = jsonStrField(body, "aggregate").getOrElse("none")
+        val agg = aggKinds.get(aggName) match {
+          case Some(a) => a
+          case scala.None =>
+            respondJsonError(ex, 400, s"unknown aggregate: $aggName"); return
+        }
+        val groupKeys = jsonStrArrayField(body, "group_keys")
+        val planned = HttpFacade.synchronized {
+          measurementView(db, table).map { df =>
+            val pred = predOf(body)
+            val out = InfluxRpc.readGroup(df, pred, agg, groupKeys)
+            val fieldCols = IoxSchema.fieldColumns(df.schema)
+            val series = agg match {
+              case AggKind.None | AggKind.Sum | AggKind.Count | AggKind.Mean =>
+                // output shape is (tags..., fields..., time): direct
+                InfluxRpc.toSeriesSet(out, fieldCols)
+              case _ =>
+                // selectors emit per-field (value, time_<field>): one
+                // series per field from its own selected timestamps
+                fieldCols.map { f =>
+                  InfluxRpc.toSeriesSet(
+                    out.select((IoxSchema.tagColumns(out.schema).map(col) :+
+                      col(f)) :+
+                      col(s"${graft.core.NsTime.TimeColumn}_$f")
+                        .as(graft.core.NsTime.TimeColumn): _*),
+                    Seq(f))
+                }.reduce(_ union _)
+            }
+            if (agg == AggKind.None)
+              InfluxRpc.toGroupedFramesStreaming(series, table, groupKeys)
+            else InfluxRpc.toGroupedFrames(series, table, groupKeys)
+          }
+        }
+        planned match {
+          case scala.None => respondJsonError(ex, 404, s"no table $table in database $db")
+          case Some(frames) => streamFrames(ex, frames)
+        }
+      case _ => respondJsonError(ex, 400,
+        """expected {"database_name": ..., "table": ...}""")
+    }
+  }
+
+  /** read_window_aggregate (service.rs:339): per-series time-bucketed
+    * series frames; fixed ns or calendar-month widths. */
+  private def handleReadWindowAggregate(ex: HttpExchange): Unit = {
+    import graft.operators.InfluxRpc
+    val body = storageBody(ex).getOrElse(return)
+    (jsonStrField(body, "database_name"), tableOf(body)) match {
+      case (Some(db), Some(table)) =>
+        val aggName = jsonStrField(body, "aggregate").getOrElse("")
+        val agg = aggKinds.get(aggName) match {
+          case Some(InfluxRpc.AggKind.None) | scala.None =>
+            respondJsonError(ex, 400,
+              s"window aggregate requires an aggregate, got '$aggName'"); return
+          case Some(a) => a
+        }
+        val planned = HttpFacade.synchronized {
+          measurementView(db, table).map { df =>
+            val pred = predOf(body)
+            val out = (jsonLongField(body, "window_every"),
+                jsonLongField(body, "window_every_months")) match {
+              case (Some(every), _) =>
+                InfluxRpc.readWindowAggregate(df, pred, agg, every,
+                  jsonLongField(body, "offset").getOrElse(0L))
+              case (_, Some(months)) =>
+                InfluxRpc.readWindowAggregateMonths(df, pred, agg, months.toInt,
+                  jsonLongField(body, "offset_months").getOrElse(0L).toInt)
+              case _ => throw new IllegalArgumentException(
+                "window_every (ns) or window_every_months required")
+            }
+            InfluxRpc.toFrames(
+              InfluxRpc.toSeriesSet(out, IoxSchema.fieldColumns(df.schema)), table)
+          }
+        }
+        planned match {
+          case scala.None => respondJsonError(ex, 404, s"no table $table in database $db")
+          case Some(frames) => streamFrames(ex, frames)
+        }
+      case _ => respondJsonError(ex, 400,
+        """expected {"database_name": ..., "table": ...}""")
+    }
+  }
+
+  /** tag_keys / measurement_tag_keys (service.rs:403,661):
+    * StringValuesResponse with the 0x00/0xff measurement/field sentinels
+    * (tag_keys_to_byte_vecs, data.rs:45-56). Without a table, keys merge
+    * across the database's measurements. */
+  private def handleTagKeys(ex: HttpExchange): Unit = {
+    import graft.operators.InfluxRpc
+    val body = storageBody(ex).getOrElse(return)
+    jsonStrField(body, "database_name") match {
+      case Some(db) =>
+        val pred = predOf(body)
+        val keys = HttpFacade.synchronized {
+          tableOf(body) match {
+            case Some(table) => measurementView(db, table).map(InfluxRpc.tagKeys(_, pred))
+            case scala.None => Some(InfluxRpc.tagKeysAcrossTables(dbTables(db), pred))
+          }
+        }
+        keys match {
+          case scala.None => respondJsonError(ex, 404, s"no such table in $db")
+          case Some(ks) => respondProto(ex,
+            StorageProto.stringValuesResponse(StorageProto.tagKeysByteVecs(ks)))
+        }
+      case _ => respondJsonError(ex, 400, """expected {"database_name": ...}""")
+    }
+  }
+
+  /** tag_values / measurement_tag_values (service.rs:456,715). The
+    * reference's meta keys are honored: `\u0000`/`_measurement` lists
+    * measurement names, `ÿ`/`_field` lists field names
+    * (service.rs:483-526). */
+  private def handleTagValues(ex: HttpExchange): Unit = {
+    import graft.operators.InfluxRpc
+    val body = storageBody(ex).getOrElse(return)
+    (jsonStrField(body, "database_name"), jsonStrField(body, "tag_key")) match {
+      case (Some(db), Some(tagKey)) =>
+        val pred = predOf(body)
+        val values: Option[Seq[String]] = HttpFacade.synchronized {
+          val tables = dbTables(db)
+          tagKey match {
+            case "\u0000" | "_measurement" =>
+              Some(InfluxRpc.tableNames(tables, pred))
+            case "ÿ" | "_field" =>
+              tableOf(body) match {
+                case Some(t) => tables.get(t).map(df =>
+                  InfluxRpc.fieldColumns(df, pred).collect().map(_.getString(0)).toSeq)
+                case scala.None =>
+                  Some(InfluxRpc.fieldColumnsAcrossTables(tables, pred).map(_._1))
+              }
+            case k =>
+              tableOf(body) match {
+                case Some(t) => tables.get(t).map(df =>
+                  InfluxRpc.tagValues(df, k, pred)
+                    .collect().map(_.getString(0)).toSeq)
+                case scala.None =>
+                  Some(InfluxRpc.tagValuesAcrossTables(tables, k, pred))
+              }
+          }
+        }
+        values match {
+          case scala.None => respondJsonError(ex, 404, s"no such table in $db")
+          case Some(vs) => respondProto(ex,
+            StorageProto.stringValuesResponse(vs.map(_.getBytes(UTF_8))))
+        }
+      case _ => respondJsonError(ex, 400,
+        """expected {"database_name": ..., "tag_key": ...}""")
+    }
+  }
+
+  /** measurement_names (service.rs:605): StringValuesResponse of table
+    * names passing the predicate. */
+  private def handleMeasurementNames(ex: HttpExchange): Unit = {
+    val body = storageBody(ex).getOrElse(return)
+    jsonStrField(body, "database_name") match {
+      case Some(db) =>
+        val names = HttpFacade.synchronized {
+          graft.operators.InfluxRpc.tableNames(dbTables(db), predOf(body))
+        }
+        respondProto(ex,
+          StorageProto.stringValuesResponse(names.map(_.getBytes(UTF_8))))
+      case _ => respondJsonError(ex, 400, """expected {"database_name": ...}""")
+    }
+  }
+
+  /** measurement_fields (service.rs:771): MeasurementFieldsResponse with
+    * (key, FieldType, last-timestamp) per field. Without a measurement,
+    * the database-level merge (fieldlist.rs into_fieldlist). */
+  private def handleMeasurementFields(ex: HttpExchange): Unit = {
+    import graft.operators.InfluxRpc
+    val body = storageBody(ex).getOrElse(return)
+    jsonStrField(body, "database_name") match {
+      case Some(db) =>
+        val pred = predOf(body)
+        val fields: Option[Seq[(String, String, Long)]] = HttpFacade.synchronized {
+          tableOf(body) match {
+            case Some(t) => measurementView(db, t).map(df =>
+              InfluxRpc.fieldColumns(df, pred).collect()
+                .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq)
+            case scala.None =>
+              Some(InfluxRpc.fieldColumnsAcrossTables(dbTables(db), pred))
+          }
+        }
+        fields match {
+          case scala.None => respondJsonError(ex, 404, s"no such table in $db")
+          case Some(fs) => respondProto(ex, StorageProto.measurementFieldsResponse(
+            fs.map { case (n, t, ts) => (n, StorageProto.fieldTypeOf(t), ts) }))
+        }
+      case _ => respondJsonError(ex, 400, """expected {"database_name": ...}""")
+    }
+  }
+
+  /** read_series_cardinality (service.rs:560 — declared but
+    * unimplemented there; completed here): Int64ValuesResponse with the
+    * distinct-series count. Without a table, series sum across the
+    * database's measurements (series are per-table tag sets). */
+  private def handleSeriesCardinality(ex: HttpExchange): Unit = {
+    import graft.operators.InfluxRpc
+    val body = storageBody(ex).getOrElse(return)
+    jsonStrField(body, "database_name") match {
+      case Some(db) =>
+        val pred = predOf(body)
+        val exact = !jsonStrField(body, "mode").contains("estimate")
+        val n: Option[Long] = HttpFacade.synchronized {
+          tableOf(body) match {
+            case Some(t) => measurementView(db, t)
+              .map(InfluxRpc.seriesCardinality(_, pred, exact))
+            case scala.None => Some(dbTables(db).values
+              .map(InfluxRpc.seriesCardinality(_, pred, exact)).sum)
+          }
+        }
+        n match {
+          case scala.None => respondJsonError(ex, 404, s"no such table in $db")
+          case Some(v) => respondProto(ex, StorageProto.int64ValuesResponse(Seq(v)))
+        }
+      case _ => respondJsonError(ex, 400, """expected {"database_name": ...}""")
+    }
+  }
+
   private def handlePartitions(ex: HttpExchange): Unit = {
     val params = queryParams(ex)
     (params.get("org"), params.get("bucket")) match {
@@ -430,6 +724,17 @@ object HttpFacade {
   private[server] def jsonLongField(json: String, key: String): Option[Long] = {
     val re = ("\"" + key + "\"\\s*:\\s*(-?\\d+)").r
     re.findFirstMatchIn(json).map(_.group(1).toLong)
+  }
+
+  /** `"key": ["a", "b"]` -> Seq(a, b); absent or empty -> Nil. */
+  private[server] def jsonStrArrayField(json: String, key: String): Seq[String] = {
+    val arrRe = ("\"" + key + "\"\\s*:\\s*\\[([^\\]]*)\\]").r
+    arrRe.findFirstMatchIn(json).map(_.group(1)) match {
+      case None => Nil
+      case Some(inner) =>
+        val strRe = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
+        strRe.findAllMatchIn(inner).map(m => unescapeJson(m.group(1))).toSeq
+    }
   }
 
   private def unescapeJson(s: String): String = {

@@ -84,6 +84,11 @@ object StorageProto {
       while (i < 8) { out.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
     }
 
+    /** Single sfixed64 scalar field (wire type 1), omitted at proto3
+      * default (0) per prost discipline. */
+    def sfixed64Field(field: Int, v: Long): Writer =
+      if (v == 0L) this else { key(field, 1); fixed64(v); this }
+
     def result(): Array[Byte] = out.toByteArray
   }
 
@@ -162,6 +167,43 @@ object StorageProto {
   def stringValuesResponse(values: Seq[Array[Byte]]): Array[Byte] = {
     val w = new Writer
     values.foreach(v => w.bytes(1, v))
+    w.result()
+  }
+
+  /** Int64ValuesResponse { repeated int64 values = 1; } — the
+    * read_series_cardinality response (storage_common_idpe.proto:23;
+    * repeated scalar = packed in proto3). */
+  def int64ValuesResponse(values: Seq[Long]): Array[Byte] =
+    new Writer().packedVarint(1, values).result()
+
+  /** MeasurementFieldsResponse.FieldType (storage_common.proto:224-231). */
+  val FieldFloat = 0; val FieldInteger = 1; val FieldUnsigned = 2
+  val FieldString = 3; val FieldBoolean = 4; val FieldUndefined = 5
+
+  /** Engine column type (Spark `DataType.simpleString`) -> wire FieldType.
+    * u64 fields ride as decimal(20,0) per the LP ingest mapping. */
+  def fieldTypeOf(simpleType: String): Int = simpleType match {
+    case "double" | "float" => FieldFloat
+    case "bigint" | "int" | "smallint" | "tinyint" => FieldInteger
+    case s if s.startsWith("decimal") => FieldUnsigned
+    case "string" => FieldString
+    case "boolean" => FieldBoolean
+    case _ => FieldUndefined
+  }
+
+  /** MeasurementFieldsResponse { repeated MessageField fields = 1; } with
+    * MessageField { string key = 1; FieldType type = 2; sfixed64
+    * timestamp = 3; } (storage_common.proto:222-240; conversion
+    * data.rs' fieldlist path). `fields` carries (name, FieldType,
+    * last-timestamp ns). */
+  def measurementFieldsResponse(fields: Seq[(String, Int, Long)]): Array[Byte] = {
+    val w = new Writer
+    fields.foreach { case (name, ftype, ts) =>
+      val mf = new Writer().string(1, name)
+      mf.varintField(2, ftype.toLong)
+      mf.sfixed64Field(3, ts)
+      w.bytes(1, mf.result())
+    }
     w.result()
   }
 

@@ -264,6 +264,10 @@ class HttpFacadeSpec extends SparkSpec {
       val (key, p1) = pbVarint(b, i)
       ((key & 7).toInt: @unchecked) match {
         case 0 => val (v, p2) = pbVarint(b, p1); out += (key >> 3).toInt -> Left(v); i = p2
+        case 1 => // sfixed64/fixed64/double: 8 bytes little-endian
+          val v = b.slice(p1, p1 + 8).zipWithIndex
+            .map { case (x, j) => (x & 0xffL) << (8 * j) }.sum
+          out += (key >> 3).toInt -> Left(v); i = p1 + 8
         case 2 =>
           val (len, p2) = pbVarint(b, p1)
           out += (key >> 3).toInt -> Right(b.slice(p2, p2 + len.toInt))
@@ -333,6 +337,128 @@ class HttpFacadeSpec extends SparkSpec {
       bad.getOutputStream.write("""{"database_name":"o_b","table":"nope"}""".getBytes(UTF_8))
       bad.getOutputStream.close()
       assert(bad.getResponseCode == 404)
+    }
+  }
+
+  test("remaining storage RPC surface: groups, windows, metadata, cardinality (service.rs:218-782)") {
+    withFacade { facade =>
+      val p = facade.boundPort
+      post(p, "/api/v2/write?org=o&bucket=b",
+        ("cpu,host=a usage=1.5 100\ncpu,host=a usage=2.5 200\n" +
+          "cpu,host=b usage=5.0 100\n" +
+          "mem,host=a,region=r free=10.0,load=3i 150").getBytes(UTF_8))
+
+      def postBytes(path: String, body: String): Array[Byte] = {
+        val conn = new URI(s"http://127.0.0.1:$p$path").toURL
+          .openConnection().asInstanceOf[HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        conn.getOutputStream.write(body.getBytes(UTF_8)); conn.getOutputStream.close()
+        assert(conn.getResponseCode == 200, s"$path failed")
+        conn.getInputStream.readAllBytes()
+      }
+      def stringValues(b: Array[Byte]): Seq[Seq[Byte]] =
+        pbFields(b).collect { case (1, Right(v)) => v.toSeq }
+      def asStrings(vs: Seq[Seq[Byte]]): Seq[String] =
+        vs.map(v => new String(v.toArray, UTF_8))
+
+      // tag_keys with table: sentinel 0x00, host, sentinel 0xff
+      val tk = stringValues(postBytes("/api/v1/storage/tag_keys",
+        """{"database_name":"o_b","table":"cpu"}"""))
+      assert(tk == Seq(Seq[Byte](0), "host".getBytes(UTF_8).toSeq, Seq[Byte](-1)))
+      // db-level (no table): keys merge across measurements
+      val tkDb = stringValues(postBytes("/api/v1/storage/tag_keys",
+        """{"database_name":"o_b"}"""))
+      assert(asStrings(tkDb.slice(1, tkDb.size - 1)) == Seq("host", "region"))
+
+      // tag_values: plain key, then the reference's meta keys
+      assert(asStrings(stringValues(postBytes("/api/v1/storage/tag_values",
+        """{"database_name":"o_b","table":"cpu","tag_key":"host"}"""))) ==
+        Seq("a", "b"))
+      assert(asStrings(stringValues(postBytes("/api/v1/storage/tag_values",
+        """{"database_name":"o_b","tag_key":"_measurement"}"""))) ==
+        Seq("cpu", "mem"))
+      assert(asStrings(stringValues(postBytes("/api/v1/storage/measurement_tag_values",
+        """{"database_name":"o_b","measurement":"cpu","tag_key":"_field"}"""))) ==
+        Seq("usage"))
+      assert(asStrings(stringValues(postBytes("/api/v1/storage/tag_values",
+        """{"database_name":"o_b","tag_key":"_field"}"""))) ==
+        Seq("free", "load", "usage"))
+
+      // measurement_names with and without a time range
+      assert(asStrings(stringValues(postBytes("/api/v1/storage/measurement_names",
+        """{"database_name":"o_b"}"""))) == Seq("cpu", "mem"))
+      assert(asStrings(stringValues(postBytes("/api/v1/storage/measurement_names",
+        """{"database_name":"o_b","start":200,"stop":300}"""))) == Seq("cpu"))
+
+      // measurement_fields: (key, FieldType, last ns timestamp) per field
+      val mf = pbFields(postBytes("/api/v1/storage/measurement_fields",
+        """{"database_name":"o_b","measurement":"mem"}""")).collect {
+        case (1, Right(f)) =>
+          val kv = pbFields(f)
+          (new String(kv.collectFirst { case (1, Right(v)) => v }.get, UTF_8),
+            kv.collectFirst { case (2, Left(v)) => v }.getOrElse(0L),
+            kv.collectFirst { case (3, Left(v)) => v }.get)
+      }
+      assert(mf == Seq(("free", 0L, 150L), ("load", 1L, 150L)))
+
+      // read_series_cardinality: per-table and database-level
+      def int64s(b: Array[Byte]): Seq[Long] =
+        pbFields(b).collect { case (1, Right(packed)) =>
+          var i = 0; val out = Seq.newBuilder[Long]
+          while (i < packed.length) {
+            val (v, ni) = pbVarint(packed, i); out += v; i = ni
+          }
+          out.result()
+        }.flatten
+      assert(int64s(postBytes("/api/v1/storage/read_series_cardinality",
+        """{"database_name":"o_b","table":"cpu"}""")) == Seq(2L))
+      assert(int64s(postBytes("/api/v1/storage/read_series_cardinality",
+        """{"database_name":"o_b"}""")) == Seq(3L))
+
+      // read_group sum by host: group frame (oneof member 7) then the
+      // group's series/points pairs, per group (data.rs:75-121)
+      val rg = pbFields(postBytes("/api/v1/storage/read_group",
+        """{"database_name":"o_b","table":"cpu","aggregate":"sum","group_keys":["host"]}"""))
+        .map { case (1, Right(frame)) => pbFields(frame).head
+               case other => fail(s"unexpected field $other") }
+      assert(rg.map(_._1) == Seq(7, 1, 2, 7, 1, 2))
+      val Right(ptsA) = rg(2)._2
+      val pa = pbFields(ptsA).toMap
+      assert(pbSfixed64s(pa(1).toOption.get) == Seq(200L)) // time = max(time)
+      assert(pbSfixed64s(pa(2).toOption.get)
+        .map(java.lang.Double.longBitsToDouble) == Seq(4.0)) // 1.5 + 2.5
+
+      // selector aggregate rides the per-field selected timestamp
+      val rgFirst = pbFields(postBytes("/api/v1/storage/read_group",
+        """{"database_name":"o_b","table":"cpu","aggregate":"first","group_keys":["host"]}"""))
+        .map { case (1, Right(frame)) => pbFields(frame).head
+               case other => fail(s"unexpected field $other") }
+      val Right(ptsFirstA) = rgFirst(2)._2
+      val pfa = pbFields(ptsFirstA).toMap
+      assert(pbSfixed64s(pfa(1).toOption.get) == Seq(100L)) // first's OWN time
+      assert(pbSfixed64s(pfa(2).toOption.get)
+        .map(java.lang.Double.longBitsToDouble) == Seq(1.5))
+
+      // read_window_aggregate: stop-labeled buckets per series
+      val rw = pbFields(postBytes("/api/v1/storage/read_window_aggregate",
+        """{"database_name":"o_b","table":"cpu","aggregate":"sum","window_every":100}"""))
+        .map { case (1, Right(frame)) => pbFields(frame).head
+               case other => fail(s"unexpected field $other") }
+      assert(rw.map(_._1) == Seq(1, 2, 1, 2))
+      val Right(wptsA) = rw(1)._2
+      val wa = pbFields(wptsA).toMap
+      assert(pbSfixed64s(wa(1).toOption.get) == Seq(200L, 300L))
+      assert(pbSfixed64s(wa(2).toOption.get)
+        .map(java.lang.Double.longBitsToDouble) == Seq(1.5, 2.5))
+
+      // windowed aggregate without an aggregate kind is a client error
+      val badConn = new URI(s"http://127.0.0.1:$p/api/v1/storage/read_window_aggregate")
+        .toURL.openConnection().asInstanceOf[HttpURLConnection]
+      badConn.setRequestMethod("POST"); badConn.setDoOutput(true)
+      badConn.getOutputStream.write(
+        """{"database_name":"o_b","table":"cpu","aggregate":"none"}""".getBytes(UTF_8))
+      badConn.getOutputStream.close()
+      assert(badConn.getResponseCode == 400)
     }
   }
 

@@ -117,4 +117,29 @@ class StorageProtoSpec extends AnyFunSuite {
     assert(hex(rr).startsWith("0a" + "%02x".format(encodeFrame(group).length) +
       hex(encodeFrame(group))))
   }
+
+  test("Int64ValuesResponse: packed int64 values (storage_common_idpe.proto:23)") {
+    // values=[2]: field 1 packed -> 0a 01 02
+    assert(hex(int64ValuesResponse(Seq(2L))) == "0a0102")
+    // values=[300, 1]: 300 = 0xac 0x02
+    assert(hex(int64ValuesResponse(Seq(300L, 1L))) == "0a03ac0201")
+    assert(int64ValuesResponse(Nil).isEmpty)
+  }
+
+  test("MeasurementFieldsResponse: MessageField key/type/sfixed64 ts (storage_common.proto:222-240)") {
+    // ("f", FLOAT=0, ts=1): key "f" -> 0a 01 66; type 0 omitted;
+    // timestamp sfixed64 field 3 wiretype 1 -> 19 + 8 LE bytes
+    assert(hex(measurementFieldsResponse(Seq(("f", FieldFloat, 1L)))) ==
+      "0a0c" + "0a0166" + "19" + "0100000000000000")
+    // ("load", INTEGER=1, ts=150): type now written as 10 01
+    assert(hex(measurementFieldsResponse(Seq(("load", FieldInteger, 150L)))) ==
+      "0a11" + "0a046c6f6164" + "1001" + "19" + "9600000000000000")
+    // field type mapping from engine column types
+    assert(fieldTypeOf("double") == FieldFloat)
+    assert(fieldTypeOf("bigint") == FieldInteger)
+    assert(fieldTypeOf("decimal(20,0)") == FieldUnsigned)
+    assert(fieldTypeOf("string") == FieldString)
+    assert(fieldTypeOf("boolean") == FieldBoolean)
+    assert(fieldTypeOf("array<double>") == FieldUndefined)
+  }
 }
