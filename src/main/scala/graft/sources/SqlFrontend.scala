@@ -40,6 +40,8 @@ object SqlFrontend {
       .reduce(_ union _).createOrReplaceTempView("system_chunks")
     tables.toSeq.sortBy(_._1).map { case (n, t) => t.systemChunkColumns(n) }
       .reduce(_ union _).createOrReplaceTempView("system_chunk_columns")
+    tables.toSeq.sortBy(_._1).map { case (n, t) => t.systemOperations(n) }
+      .reduce(_ union _).createOrReplaceTempView("system_operations")
   }
 
   /** system.columns analog: one row per column with its engine category

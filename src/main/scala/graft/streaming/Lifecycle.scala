@@ -239,19 +239,54 @@ object Lifecycle {
         .orderBy("chunk_id", "column_name")
     }
 
-    /** Run one policy round, returning the actions applied. */
+    /** Completed lifecycle jobs, newest last — what system.operations
+      * serves (the reference's JobRegistry tracked task list). */
+    private val jobLog = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long, Seq[Long])] // id, status, descr, wallNs, chunks
+
+    /** Run one policy round, returning the actions applied. Each executed
+      * action lands in the job log with its wall time and the reference
+      * Job description strings (data_types/src/job.rs:89-98). */
     def runOnce(rules: Rules, nowMs: Long,
         splitNsOf: Long => Long = _ * 1000000L): Seq[Action] = {
       val actions = plan(chunks(), rules, nowMs, splitNsOf)
-      actions.foreach {
-        case Compact(ids) => compact(ids, nowMs)
-        case Persist(ids, splitNs) => persistSplit(ids, splitNs, nowMs)
-        case Drop(ids) =>
-          val byId = chunks().map(c => c.id -> c).toMap
-          ids.flatMap(byId.get).foreach(c => fs.delete(new Path(c.path), true))
-        case RejectWrites => ()
+      actions.foreach { a =>
+        val (descr, ids) = a match {
+          case Compact(ids) => ("Compacting chunks to ReadBuffer", ids)
+          case Persist(ids, _) => ("Persisting chunks to object storage", ids)
+          case Drop(ids) => ("Dropping chunks", ids)
+          case RejectWrites => ("Rejecting writes over hard buffer limit", Nil)
+        }
+        val t0 = System.nanoTime()
+        val status = try {
+          a match {
+            case Compact(ids) => compact(ids, nowMs)
+            case Persist(ids, splitNs) => persistSplit(ids, splitNs, nowMs)
+            case Drop(ids) =>
+              val byId = chunks().map(c => c.id -> c).toMap
+              ids.flatMap(byId.get).foreach(c => fs.delete(new Path(c.path), true))
+            case RejectWrites => ()
+          }
+          "Complete"
+        } catch { case scala.util.control.NonFatal(e) => s"Error: ${e.getMessage}" }
+        jobLog += ((jobLog.size.toLong, status, descr, System.nanoTime() - t0, ids))
       }
       actions
+    }
+
+    /** system.operations rows (system_tables.rs:483-560): one row per
+      * tracked lifecycle job. cpu_time is not split from wall time (one
+      * in-process executor, no per-task cpu accounting); partition_key is
+      * empty as in [[systemChunks]]; multi-chunk jobs list every chunk id
+      * (the reference emits its first chunk_id column per job). */
+    def systemOperations(tableName: String): DataFrame = {
+      import spark.implicits._
+      jobLog.toSeq.map { case (id, status, descr, wallNs, ids) =>
+        (id.toString, status, wallNs, "", tableName,
+          ids.headOption.getOrElse(-1L), ids.mkString(","), descr)
+      }.toDF("id", "status", "wall_time_used", "partition_key", "table_name",
+          "chunk_id", "chunk_ids", "description")
+        .orderBy("id")
     }
 
     private def compact(ids: Seq[Long], nowMs: Long): Unit = {

@@ -77,5 +77,18 @@ class SqlFrontendSpec extends SparkSpec {
     assert(after == Seq(
       ("ObjectStoreOnly", "host", 2L, "a", "b"),
       ("OpenMutableBuffer", "host", 1L, "c", "c")))
+
+    // system.operations (system_tables.rs:483): both executed jobs are
+    // tracked with the reference Job description strings and wall time
+    val ops = spark.sql(
+      """SELECT id, status, table_name, description FROM system_operations
+         ORDER BY CAST(id AS INT)""")
+      .as[(String, String, String, String)].collect().toSeq
+    assert(ops == Seq(
+      ("0", "Complete", "cpu_lc", "Compacting chunks to ReadBuffer"),
+      ("1", "Complete", "cpu_lc", "Persisting chunks to object storage")))
+    val walls = spark.sql("SELECT wall_time_used FROM system_operations")
+      .as[Long].collect()
+    assert(walls.forall(_ > 0L))
   }
 }

@@ -76,7 +76,9 @@ class WindowBoundsPropSpec extends SparkSpec {
   } yield (ts, every, offset)
 
   test("fixed windows: stop is the least grid point > ts; window contains ts") {
-    check("fixed-invariants", Prop.forAll(fixedCase) { case (ts, every, off) =>
+    // noShrink: scalacheck shrinking walks outside the generator's domain
+    // (every -> 0, ts -> out-of-range), producing false counterexamples
+    check("fixed-invariants", Prop.forAllNoShrink(fixedCase) { case (ts, every, off) =>
       val stop = NsTime.windowStopNs(ts, every, off)
       // half-open [start, stop) with start = stop - every contains ts
       val contains = stop > ts && stop - every <= ts
@@ -90,17 +92,19 @@ class WindowBoundsPropSpec extends SparkSpec {
     }, min = 500)
   }
 
-  // month indices ±12000 from epoch = years 970..2970; offsets well past
-  // ±every to exercise floor behavior on both signs
+  // month indices ±3400 from epoch = years ~1686..2253, inside the i64
+  // nanosecond domain (±292 years — the engine's time axis, like the
+  // reference's TimestampNanosecond); offsets well past ±every to
+  // exercise floor behavior on both signs
   private val monthCase: Gen[(Long, Int, Int)] = for {
-    mi <- Gen.choose(-12000L, 12000L)
+    mi <- Gen.choose(-3400L, 3400L)
     jitter <- Gen.choose(0L, 27L * 86400L * SEC) // anywhere inside the month
     every <- Gen.choose(1, 25)
     offset <- Gen.choose(-60, 60)
   } yield (WindowBounds.monthStartNs(mi) + jitter, every, offset)
 
   test("month windows: stop month is on the (every, offset) month grid and contains ts") {
-    check("month-invariants", Prop.forAll(monthCase) { case (ts, every, off) =>
+    check("month-invariants", Prop.forAllNoShrink(monthCase) { case (ts, every, off) =>
       val stop = WindowBounds.monthWindowStop(ts, every, off)
       val stopIdx = WindowBounds.monthIndex(stop)
       // stop is exactly a month start on the offset grid
