@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
+
+import graft.core.{IoxSchema, NsTime}
+import graft.streaming.{Ingest, WriteBuffer}
+
+/** The write-buffer abstraction (reference server/src/write_buffer.rs):
+  * the SAME ingestion pipeline runs over every buffer implementation —
+  * that is the config-level-swap claim, proven by construction — and the
+  * durable implementation carries the reference's exactly-once replay
+  * semantics across restarts via sequence numbers + checkpoints. */
+class WriteBufferSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cpuSchema = StructType(Seq(
+    IoxSchema.tagged("host", StringType, IoxSchema.Tag),
+    IoxSchema.tagged("usage", DoubleType, IoxSchema.Field),
+    IoxSchema.tagged(NsTime.TimeColumn, LongType, IoxSchema.Time)))
+
+  /** The buffer-agnostic pipeline: reading end -> parse -> persist. This
+    * function never knows which implementation it runs over. */
+  private def ingestOnce(buf: WriteBuffer.Reading, table: String,
+      ckpt: String): Unit = {
+    // an entry is a batch of LP lines (reference Entry); split to lines
+    val lines = buf.stream(spark).select("line").as[String]
+      .flatMap(_.split("\n").toSeq)
+    val q = Ingest.startPersist(
+      Ingest.parseStream(lines, "cpu", cpuSchema), table, ckpt)
+    q.processAllAvailable(); q.stop()
+  }
+
+  private def persisted(table: String): DataFrame =
+    spark.read.schema(spark.read.parquet(table).schema).parquet(table)
+
+  test("factory dispatches on the connection string (WriteBufferConfig::new)") {
+    val dir = Files.createTempDirectory("graft-wb-f").toString
+    assert(WriteBuffer.writing(s"file:$dir").isInstanceOf[WriteBuffer.FileBuffer])
+    assert(WriteBuffer.reading("mem:t0").isInstanceOf[WriteBuffer.MemBuffer])
+    // both ends of one mem: name meet at the same instance
+    assert(WriteBuffer.writing("mem:t0") eq WriteBuffer.reading("mem:t0"))
+    val kafka = intercept[UnsupportedOperationException](
+      WriteBuffer.writing("kafka:broker:9092"))
+    assert(kafka.getMessage.contains("no spark-sql-kafka connector"))
+    assertThrows[IllegalArgumentException](WriteBuffer.writing("s3:nope"))
+  }
+
+  test("file buffer: sequences are monotone, durable, and resume after reopen") {
+    val dir = Files.createTempDirectory("graft-wb-seq").toString
+    val w = WriteBuffer.writing(s"file:$dir")
+    assert(w.storeEntry("cpu,host=a usage=1.0 100") == WriteBuffer.Sequence(0, 0))
+    assert(w.storeEntry("cpu,host=b usage=2.0 200") == WriteBuffer.Sequence(0, 1))
+    // a new writer over the same directory continues the sequence
+    val w2 = WriteBuffer.writing(s"file:$dir")
+    assert(w2.storeEntry("cpu,host=c usage=3.0 300") == WriteBuffer.Sequence(0, 2))
+    // the reading end sees every entry with its sequence number
+    val read = WriteBuffer.reading(s"file:$dir").stream(spark)
+    val q = read.writeStream.format("memory").queryName("wbseq").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("wbseq")
+      .select("sequence_number", "line").as[(Long, String)].collect().sorted
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(rows.head._2 == "cpu,host=a usage=1.0 100")
+  }
+
+  test("exactly-once replay across restart through the Reading interface") {
+    val dir = Files.createTempDirectory("graft-wb-replay").toString
+    val table = Files.createTempDirectory("graft-wb-table").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft-wb-ckpt").toString
+    val w = WriteBuffer.writing(s"file:$dir")
+    w.storeEntry("cpu,host=a usage=1.0 100")
+    w.storeEntry("cpu,host=b usage=2.0 2000000000")
+
+    ingestOnce(WriteBuffer.reading(s"file:$dir"), table, ckpt)
+    assert(persisted(table).count() == 2)
+
+    // new entries arrive; a RESTARTED reader over the same checkpoint
+    // ingests only them — replayed entries are not duplicated
+    w.storeEntry("cpu,host=c usage=3.0 3000000000")
+    ingestOnce(WriteBuffer.reading(s"file:$dir"), table, ckpt)
+    val rows = persisted(table)
+    assert(rows.count() == 3)
+    assert(rows.select("host").as[String].collect().toSet == Set("a", "b", "c"))
+  }
+
+  test("the same pipeline ingests from the in-memory buffer unchanged") {
+    val table = Files.createTempDirectory("graft-wb-mem-t").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft-wb-mem-c").toString
+    val w = WriteBuffer.writing("mem:pipe")
+    w.storeEntry("cpu,host=a usage=1.0 100")
+    w.storeEntry("cpu,host=b usage=2.0 200\ncpu,host=c usage=3.0 300")
+    ingestOnce(WriteBuffer.reading("mem:pipe"), table, ckpt)
+    val rows = persisted(table)
+    assert(rows.count() == 3)
+    assert(rows.select("host").as[String].collect().toSet == Set("a", "b", "c"))
+  }
+}
