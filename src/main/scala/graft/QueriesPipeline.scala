@@ -376,6 +376,54 @@ object QueriesPipeline {
         SELECT doc_id AS asset_id, CAST(frame_idx AS INT) AS frame_idx,
           CAST(least(len, frame_idx * stride + stride) - frame_idx * stride AS INT)
             AS frame_bytes
-        FROM fr ORDER BY 1, 2"""))
+        FROM fr ORDER BY 1, 2""")),
+
+    // ------------------------------------------- sampling / decontamination
+
+    // deterministic hash sampling: membership is a property of the row
+    // (md5-derived hash60 of the key), so the oracle reproduces the exact
+    // member set — impossible with rand()-based sampling
+    ("sample_deterministic",
+      (s, d) => graft.pipeline.Sampling.deterministicSample(
+          Tables.documents(s, d), "doc_id", keep = 37)
+        .select(col("doc_id"), col("lang")).orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang FROM documents
+        WHERE ${dHash60("CAST(doc_id AS VARCHAR)")} % 100 < 37
+        ORDER BY doc_id""")),
+
+    ("sample_stratified",
+      (s, d) => graft.pipeline.Sampling.stratifiedSample(
+          Tables.documents(s, d), strataCol = "lang", keyCol = "doc_id",
+          rates = Map("en" -> 10, "de" -> 50), defaultKeep = 100)
+        .select(col("doc_id"), col("lang")).orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang FROM documents
+        WHERE ${dHash60("CAST(doc_id AS VARCHAR)")} % 100 <
+          CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 50 ELSE 100 END
+        ORDER BY doc_id""")),
+
+    // benchmark decontamination: distinct 3-gram-shingle overlap of every
+    // document against a synthetic benchmark subset (doc_id % 13 = 0);
+    // shingle-less docs stay in the output with zero overlap
+    ("decontaminate",
+      (s, d) => {
+        val docs = Tables.spread(s, Tables.documents(s, d))
+        graft.pipeline.Sampling.decontaminate(
+            docs, docs.filter(col("doc_id") % 13 === 0), "doc_id", "text",
+            n = 3, threshold = 0.2)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $dShingles,
+        h AS (SELECT doc_id, ${dHash60("s")} AS h FROM sh),
+        bh AS (SELECT DISTINCT h FROM h WHERE doc_id % 13 = 0),
+        agg AS (SELECT d.doc_id,
+            CAST(count(DISTINCT h.h) AS BIGINT) AS n_shingles,
+            CAST(count(DISTINCT CASE WHEN bh.h IS NOT NULL THEN h.h END)
+              AS BIGINT) AS n_overlap
+          FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id
+          LEFT JOIN bh ON h.h = bh.h GROUP BY 1)
+        SELECT doc_id, n_shingles, n_overlap,
+          round(n_overlap * 1.0 / greatest(n_shingles, 1), 6) AS overlap,
+          n_overlap * 1.0 / greatest(n_shingles, 1) >= 0.2 AS contaminated
+        FROM agg ORDER BY doc_id"""))
   )
 }

@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Deterministic sampling and benchmark decontamination — training-data
+  * curation operators a 100 TB pipeline runs between dedup and export.
+  *
+  * Both samplers are PURE FILTERS on a content-derived hash: zero
+  * shuffles, pushdown-friendly, and — unlike `DataFrame.sample` — stable
+  * across runs, partitionings, and engines (the md5-based `hash60` is
+  * reproducible in any SQL engine, which is also what makes the DuckDB
+  * oracle exact). Hash-based selection is how production corpus work
+  * keeps samples consistent between pipeline re-runs: membership is a
+  * property of the ROW, not of the scan order.
+  */
+object Sampling {
+
+  private def bucketOf(keyCol: Column, outOf: Int): Column =
+    pmod(TextFunctions.hash60(keyCol.cast("string")), lit(outOf.toLong))
+
+  /** Keep rows whose key hashes into `keep` of `outOf` buckets
+    * (keep/outOf ≈ sampling rate). */
+  def deterministicSample(df: DataFrame, keyCol: String,
+      keep: Int, outOf: Int = 100): DataFrame = {
+    require(keep >= 0 && keep <= outOf, s"keep=$keep outside [0, $outOf]")
+    df.filter(bucketOf(col(keyCol), outOf) < keep.toLong)
+  }
+
+  /** Per-stratum rates: keep a `strata -> keep` fraction of each stratum
+    * (e.g. downsample dominant languages, keep all of rare ones); strata
+    * not listed fall back to `defaultKeep`. Still one pass, no shuffle —
+    * the rate lookup is a chained CASE on the stratum column. */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+      rates: Map[String, Int], defaultKeep: Int, outOf: Int = 100): DataFrame = {
+    (rates.values.toSeq :+ defaultKeep).foreach(k =>
+      require(k >= 0 && k <= outOf, s"keep=$k outside [0, $outOf]"))
+    val keepCol = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultKeep.toLong)) {
+      case (acc, (stratum, keep)) =>
+        when(col(strataCol) === stratum, lit(keep.toLong)).otherwise(acc)
+    }
+    df.filter(bucketOf(col(keyCol), outOf) < keepCol)
+  }
+
+  /** Benchmark decontamination: per document, the fraction of its
+    * distinct word n-gram shingles that also occur anywhere in the
+    * benchmark corpus, plus the contamination verdict at `threshold`.
+    * The standard eval-leakage guard (n-gram overlap flavor) run before
+    * training exports.
+    *
+    * Scale shape: the benchmark side (eval sets — small by construction)
+    * reduces to a distinct hash set and BROADCASTS under the join; the
+    * corpus side is one explode + one `groupBy(id)` with codegen'd
+    * distinct aggregates — a single shuffle of (id, hash) pairs, no
+    * corpus self-join, no driver-side state. `hash60` keeps the shingle
+    * join on fixed-width longs instead of strings. */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, threshold: Double = 0.2): DataFrame = {
+    val benchHashes = benchmark
+      .select(explode(TextFunctions.shingles(col(textCol), n)).as("s"))
+      .select(TextFunctions.hash60(col("s")).as("h"))
+      .distinct()
+      .withColumn("bench_hit", lit(1))
+    val docHashes = docs
+      .select(col(idCol), explode_outer(TextFunctions.shingles(col(textCol), n)).as("s"))
+      .select(col(idCol), TextFunctions.hash60(col("s")).as("h"))
+    docHashes
+      .join(broadcast(benchHashes), Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count_distinct(col("h")).as("n_shingles"),
+        count_distinct(when(col("bench_hit") === 1, col("h"))).as("n_overlap"))
+      .withColumn("overlap",
+        round(col("n_overlap") / greatest(col("n_shingles"), lit(1L)), 6))
+      .withColumn("contaminated", col("overlap") >= threshold)
+  }
+}

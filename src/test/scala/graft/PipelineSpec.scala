@@ -210,6 +210,51 @@ class PipelineSpec extends SparkSpec {
     assert(got(1)._3 == 0.0 && got(2)._3 == 0.0)
   }
 
+  test("sampling: deterministic membership nests across rates; strata rates apply") {
+    import graft.pipeline.Sampling
+    val docs = (1L to 500L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr", s"doc $i"))
+      .toDF("doc_id", "lang", "text")
+    val s10 = Sampling.deterministicSample(docs, "doc_id", 10)
+      .select("doc_id").as[Long].collect().toSet
+    val s50 = Sampling.deterministicSample(docs, "doc_id", 50)
+      .select("doc_id").as[Long].collect().toSet
+    // hash-bucket membership NESTS: raising the rate only adds rows —
+    // the property rand()-sampling lacks and re-runs rely on
+    assert(s10.subsetOf(s50))
+    assert(s10.nonEmpty && s50.size > s10.size && s50.size < 500)
+    // same call twice = same rows (stable across runs)
+    assert(Sampling.deterministicSample(docs, "doc_id", 10)
+      .select("doc_id").as[Long].collect().toSet == s10)
+    // stratified: en downsampled hard, fr kept fully
+    val strat = Sampling.stratifiedSample(docs, "lang", "doc_id",
+      rates = Map("en" -> 5, "de" -> 50), defaultKeep = 100)
+    val byLang = strat.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("fr") == docs.filter($"lang" === "fr").count())
+    assert(byLang.getOrElse("en", 0L) < byLang("de"))
+  }
+
+  test("decontamination: benchmark members are fully contaminated, disjoint docs are clean") {
+    import graft.pipeline.Sampling
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over a sleeping cat"), // shares a prefix
+      (3L, "entirely different words with no overlap at all"),
+      (4L, "tiny")). // no 3-gram shingles
+      toDF("doc_id", "text")
+    val bench = docs.filter($"doc_id" === 1L)
+    val out = Sampling.decontaminate(docs, bench, "doc_id", "text",
+        n = 3, threshold = 0.2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_shingles", "n_overlap", "overlap", "contaminated")
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(out(0) == ((1L, 7L, 7L, 1.0, true))) // the benchmark doc itself
+    assert(out(1)._5) // shares "the quick brown"... prefix: contaminated
+    assert(out(1)._3 > 0 && out(1)._3 < out(1)._2)
+    assert(out(2) == ((3L, 6L, 0L, 0.0, false))) // disjoint: clean
+    assert(out(3) == ((4L, 0L, 0L, 0.0, false))) // shingle-less: present, clean
+  }
+
   test("multimodal plumbing: features and frames are deterministic") {
     val assets = Multimodal.syntheticAssets(spark, docs.limit(30))
     val feats = Multimodal.extractImageFeatures(assets).collect()
