@@ -416,8 +416,8 @@ object QueriesPipeline {
         h AS (SELECT doc_id, ${dHash60("s")} AS h FROM sh),
         bh AS (SELECT DISTINCT h FROM h WHERE doc_id % 13 = 0),
         agg AS (SELECT d.doc_id,
-            CAST(count(DISTINCT h.h) AS BIGINT) AS n_shingles,
-            CAST(count(DISTINCT CASE WHEN bh.h IS NOT NULL THEN h.h END)
+            CAST(count(h.h) AS BIGINT) AS n_shingles,
+            CAST(count(CASE WHEN bh.h IS NOT NULL THEN 1 END)
               AS BIGINT) AS n_overlap
           FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id
           LEFT JOIN bh ON h.h = bh.h GROUP BY 1)

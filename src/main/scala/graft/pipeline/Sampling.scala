@@ -51,9 +51,12 @@ object Sampling {
     *
     * Scale shape: the benchmark side (eval sets — small by construction)
     * reduces to a distinct hash set and BROADCASTS under the join; the
-    * corpus side is one explode + one `groupBy(id)` with codegen'd
-    * distinct aggregates — a single shuffle of (id, hash) pairs, no
-    * corpus self-join, no driver-side state. `hash60` keeps the shingle
+    * corpus side is one explode + one `groupBy(id)` — a single shuffle of
+    * partial counts, no corpus self-join, no driver-side state. Plain
+    * `count` (NOT count_distinct) is correct because [[TextFunctions
+    * .shingles]] is distinct per document already — count_distinct here
+    * would trigger Catalyst's expand/gid rewrite and a second
+    * (id, hash)-grain shuffle for nothing. `hash60` keeps the shingle
     * join on fixed-width longs instead of strings. */
   def decontaminate(docs: DataFrame, benchmark: DataFrame, idCol: String,
       textCol: String, n: Int = 3, threshold: Double = 0.2): DataFrame = {
@@ -69,8 +72,8 @@ object Sampling {
       .join(broadcast(benchHashes), Seq("h"), "left")
       .groupBy(col(idCol))
       .agg(
-        count_distinct(col("h")).as("n_shingles"),
-        count_distinct(when(col("bench_hit") === 1, col("h"))).as("n_overlap"))
+        count(col("h")).as("n_shingles"),
+        count(when(col("bench_hit") === 1, true)).as("n_overlap"))
       .withColumn("overlap",
         round(col("n_overlap") / greatest(col("n_shingles"), lit(1L)), 6))
       .withColumn("contaminated", col("overlap") >= threshold)

@@ -136,6 +136,28 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("deterministic sampling is a scan-level filter with no shuffle") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val plan = executedPlan(
+      graft.pipeline.Sampling.deterministicSample(docs, "doc_id", 37))
+    assert(!plan.contains("Exchange"), plan) // pure filter: zero shuffles
+    assert(plan.contains("Filter"), plan)
+  }
+
+  test("decontamination broadcasts the benchmark hash set; one shuffle for the doc aggregate") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val plan = executedPlan(graft.pipeline.Sampling.decontaminate(
+      docs, docs.filter($"doc_id" % 13 === 0), "doc_id", "text"))
+    // corpus side never sort-merge-joins against the benchmark
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // plain counts partial-aggregate before the single doc-grain shuffle;
+    // a count_distinct formulation would add an (id, hash)-grain exchange
+    assert(plan.contains("partial_count"), plan)
+    val shuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 2, s"$shuffles shuffles (bench distinct + doc agg expected):\n$plan")
+  }
+
   test("readFilter whole plan stays shuffle-free up to the ordering") {
     val df = spark.read.parquet(parquetTable)
     val tagged = spark.createDataFrame(
