@@ -44,6 +44,10 @@ object LineProtocol {
 
   case class LpException(msg: String) extends Exception(msg)
 
+  /** Reference float shape (see fieldValue): `-?D+(.D+)?([eE][+-]D+)?`. */
+  private val FloatShape =
+    java.util.regex.Pattern.compile("-?\\d+(\\.\\d+)?([eE][+-]\\d+)?")
+
   // ---------------------------------------------------------------- parser
 
   /** Parse one line; throws LpException on malformed input. */
@@ -55,8 +59,12 @@ object LineProtocol {
     def err(m: String) = throw LpException(s"$m at pos $i in: $line")
 
     // Scan an escaped identifier terminated by any char in `stops`.
-    // `escapable` chars lose their backslash; any other `\x` stays as-is
-    // (matches InfluxDB behavior of leaving unknown escapes intact).
+    // `escapable` chars (which always include `\` itself, lib.rs
+    // measurement/tag_key/tag_value/field_key escape tests) lose their
+    // backslash; any other `\x` stays as-is (unknown escapes are kept
+    // intact, lib.rs:1775). An identifier may not end in a bare
+    // backslash (lib.rs EndsWithBackslash, :1802,1858,1914,1970); a raw
+    // newline terminates it like a delimiter (lib.rs:1791).
     def ident(stops: String, escapable: String): String = {
       val sb = new java.lang.StringBuilder
       var done = false
@@ -66,22 +74,23 @@ object LineProtocol {
           val nx = s.charAt(i + 1)
           if (escapable.indexOf(nx) >= 0) { sb.append(nx); i += 2 }
           else { sb.append(c); sb.append(nx); i += 2 }
-        } else if (stops.indexOf(c) >= 0) done = true
+        } else if (c == '\\') err("identifier ends with backslash")
+        else if (stops.indexOf(c) >= 0) done = true
         else { sb.append(c); i += 1 }
       }
       sb.toString
     }
 
-    val measurement = ident(", ", ", ")
+    val measurement = ident(", \n\r", ", \\")
     if (measurement.isEmpty) err("empty measurement")
 
     val tags = mutable.ArrayBuffer.empty[(String, String)]
     while (i < n && s.charAt(i) == ',') {
       i += 1
-      val k = ident("=, ", "=, ")
+      val k = ident("=, \n\r", "=, \\")
       if (i >= n || s.charAt(i) != '=') err(s"tag '$k' missing '='")
       i += 1
-      val v = ident("=, ", "=, ")
+      val v = ident("=, \n\r", "=, \\")
       if (k.isEmpty || v.isEmpty) err("empty tag key or value")
       tags += (k -> v)
     }
@@ -108,15 +117,36 @@ object LineProtocol {
         val raw = s.substring(start, i)
         if (raw.isEmpty) err("empty field value")
         val last = raw.charAt(raw.length - 1)
+        // numeric failures (malformed AND out-of-range) are parse errors,
+        // matching the reference's IntegerValueInvalid /
+        // UIntegerValueInvalid / FloatValueInvalid (lib.rs:1572-1606);
+        // a float that overflows f64 range errors rather than reading
+        // as infinity (Rust's f64 parse rejects it; Java's returns Inf)
         raw match {
           case "t" | "T" | "true" | "True" | "TRUE" => Bool(true)
           case "f" | "F" | "false" | "False" | "FALSE" => Bool(false)
-          case _ if last == 'i' => I64(java.lang.Long.parseLong(raw.dropRight(1)))
+          case _ if last == 'i' =>
+            try I64(java.lang.Long.parseLong(raw.dropRight(1)))
+            catch { case _: NumberFormatException => err(s"invalid i64: $raw") }
           case _ if last == 'u' =>
-            val b = BigInt(raw.dropRight(1))
+            val b = try BigInt(raw.dropRight(1))
+              catch { case _: NumberFormatException => err(s"invalid u64: $raw") }
             if (b < 0 || b > BigInt("18446744073709551615")) err(s"u64 out of range: $raw")
             U64(b)
-          case _ => F64(java.lang.Double.parseDouble(raw))
+          case _ =>
+            // the reference float grammar (lib.rs:1451-1556): optional
+            // minus, digits, optional fraction, optional exponent that
+            // MUST carry an explicit sign and digits (`1e+06` parses,
+            // `1e06` / `1e` / `1e+` are errors) — stricter than
+            // Double.parseDouble, so validate the shape first
+            if (!FloatShape.matcher(raw).matches()) err(s"invalid f64: $raw")
+            // the reference era's f64 parse rejects absurdly long numerals
+            // (lib.rs parse_out_of_range_float: 200-digit literal errors);
+            // cap the literal length rather than round silently
+            if (raw.length > 64) err(s"f64 literal too long: ${raw.take(16)}…")
+            val d = java.lang.Double.parseDouble(raw)
+            if (d.isInfinite) err(s"f64 out of range: $raw")
+            F64(d)
         }
       }
     }
@@ -124,7 +154,7 @@ object LineProtocol {
     val fields = mutable.ArrayBuffer.empty[(String, FieldValue)]
     var more = true
     while (more) {
-      val k = ident("=, ", "=, ")
+      val k = ident("=, \n\r", "=, \\")
       if (i >= n || s.charAt(i) != '=') err(s"field '$k' missing '='")
       i += 1
       fields += (k -> fieldValue())
@@ -137,17 +167,37 @@ object LineProtocol {
     if (i < n) {
       val start = i
       while (i < n && s.charAt(i) != ' ') i += 1
-      ts = Some(java.lang.Long.parseLong(s.substring(start, i)))
+      val raw = s.substring(start, i)
+      ts = Some(try java.lang.Long.parseLong(raw) catch {
+        // out-of-i64-range timestamps are parse errors
+        // (lib.rs TimestampValueInvalid, :1708)
+        case _: NumberFormatException => err(s"invalid timestamp: $raw")
+      })
       while (i < n && s.charAt(i) == ' ') i += 1
       if (i < n) err("trailing garbage after timestamp")
     }
     ParsedLine(measurement, tags.toSeq, fields.toSeq, ts)
   }
 
-  /** Parse many lines, skipping blanks and `#` comments. */
+  /** Parse many lines, skipping blanks and `#` comments. Strict: the
+    * first malformed line throws. */
   def parseLines(text: IterableOnce[String]): Iterator[ParsedLine] =
     text.iterator.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
       .map(parseLine)
+
+  /** Lenient variant: one Result per content line, like the reference's
+    * `parse_lines` iterator of `Result<ParsedLine>` (lib.rs:474,
+    * parse_advance_after_error:2000) — a malformed line yields its error
+    * and parsing ADVANCES to the next line instead of aborting the
+    * batch. The right shape for bulk ingest at scale, where one bad line
+    * in a terabyte must not poison its whole input split. */
+  def parseLinesLenient(text: IterableOnce[String])
+      : Iterator[Either[(String, String), ParsedLine]] =
+    text.iterator.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        try Right(parseLine(l))
+        catch { case e: LpException => Left((l, e.msg)) }
+      }
 
   // ------------------------------------------------------------- formatter
 
@@ -172,10 +222,17 @@ object LineProtocol {
     sb += ' '
     sb ++= l.fields.map { case (k, v) =>
       val vs = v match {
-        case F64(d) => d.toString
+        case F64(d) =>
+          // exponents must carry an explicit sign to re-parse (the
+          // reference grammar rejects `1.5E300`; write `1.5E+300`)
+          val s0 = d.toString
+          val ei = s0.indexOf('E')
+          if (ei >= 0 && s0.charAt(ei + 1) != '-')
+            s0.substring(0, ei + 1) + "+" + s0.substring(ei + 1)
+          else s0
         case I64(x) => s"${x}i"
         case U64(x) => s"${x}u"
-        case Bool(b) => if (b) "t" else "f"
+        case Bool(b) => if (b) "true" else "false" // reference Display (lib.rs:355)
         case Str(x) => "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
       }
       s"${escIdent(k)}=$vs"

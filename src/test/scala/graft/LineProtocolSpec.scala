@@ -28,10 +28,13 @@ class LineProtocolSpec extends SparkSpec {
   }
 
   test("field value types: i, u, bool variants, float") {
-    val l = parseLine("""m a=1i,b=2u,c=3.5,d=true,e=F,f=-7i,g=1e3""")
+    val l = parseLine("""m a=1i,b=2u,c=3.5,d=true,e=F,f=-7i,g=1e+3""")
     assert(l.fields.toMap == Map(
       "a" -> I64(1), "b" -> U64(2), "c" -> F64(3.5), "d" -> Bool(true),
       "e" -> Bool(false), "f" -> I64(-7), "g" -> F64(1000.0)))
+    // exponents without an explicit sign are rejected, per the reference
+    // grammar (lib.rs parse_scientific_float negative vectors)
+    assertThrows[LpException](parseLine("m g=1e3"))
   }
 
   test("u64 beyond i64 range") {
