@@ -308,11 +308,26 @@ object LineProtocol {
   /** Distributed ingest of ONE known measurement with a fixed schema: the
     * scalable path (schema from a prior inference pass or a catalog), used
     * by streaming ingest. Runs entirely in executors.
+    *
+    * `lenient = false` (default) keeps the reference's API-edge contract:
+    * a malformed line fails the batch (http.rs write returns 400). Bulk
+    * backfill over existing files wants `lenient = true`: malformed lines
+    * are counted into `badLines` (a Spark long accumulator, readable
+    * after the job) and skipped, so one bad line in a terabyte split
+    * cannot poison the job — the reference's per-line `Result` iterator
+    * gives its callers the same choice (lib.rs:474).
     */
   def ingestAs(ds: Dataset[String], measurement: String, schema: StructType,
-      defaultTimeNs: Long = 0L): DataFrame = {
+      defaultTimeNs: Long = 0L, lenient: Boolean = false,
+      badLines: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val rows = ds.rdd.mapPartitions { it =>
-      parseLines(it).filter(_.measurement == measurement)
+      val parsed =
+        if (!lenient) parseLines(it)
+        else parseLinesLenient(it).flatMap {
+          case Right(l) => Some(l)
+          case Left(_) => badLines.foreach(_.add(1L)); None
+        }
+      parsed.filter(_.measurement == measurement)
         .map(toRow(_, schema, defaultTimeNs))
     }
     ds.sparkSession.createDataFrame(rows, schema)

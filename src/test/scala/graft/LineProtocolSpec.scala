@@ -54,6 +54,22 @@ class LineProtocolSpec extends SparkSpec {
     assertThrows[LpException](parseLine("""m f="unterminated"""))
   }
 
+  test("lenient distributed ingest skips malformed lines and counts them") {
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("badLines")
+    val lines = Seq(
+      "cpu,host=a usage=1.5 100",
+      "cpu,host=b usage=not_a_number 150", // malformed: skipped, counted
+      "cpu,host=c usage=3.0 200").toDS()
+    val schema = inferSchema(Seq(parseLine("cpu,host=a usage=1.5 100")))
+    val out = ingestAs(lines, "cpu", schema, lenient = true, badLines = Some(acc))
+    assert(out.count() == 2)
+    assert(acc.value == 1L)
+    // strict mode keeps the API-edge contract: the batch fails
+    assertThrows[org.apache.spark.SparkException](
+      ingestAs(lines, "cpu", schema).count())
+  }
+
   test("format -> parse round-trip") {
     val orig = ParsedLine("me as,ure", Seq("t 1" -> "v,1", "t2" -> "x=y"),
       Seq("f" -> F64(1.5), "s" -> Str("""q"uo\te"""), "i" -> I64(-3), "b" -> Bool(false)),
