@@ -726,6 +726,29 @@ object QueriesCore {
         SELECT storage, column_name, row_count, min_value, max_value
         FROM stats ORDER BY storage, column_name""")),
 
+    ("partition_keys",
+      (s, d) => {
+        // partition-key template assignment (database_rules.rs:205-233
+        // PartitionTemplate: Table + Column + TimeFormat parts, joined by
+        // `-`) computed as a Catalyst expression over the events stream —
+        // the key every write is bucketed by before it lands in a chunk
+        // directory. The DuckDB twin recomputes the same keys with
+        // strftime, proving the strftime->java.time mapping exact.
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), col("ts_ns").as(NsTime.TimeColumn))
+        val tpl = graft.core.PartitionTemplate(Seq(
+          graft.core.TemplatePart.Table,
+          graft.core.TemplatePart.ColumnValue("event_type"),
+          graft.core.TemplatePart.TimeFormat("%Y-%m-%d")))
+        ev.select(tpl.keyColumn("events", ev.schema).as("partition_key"))
+          .groupBy("partition_key").agg(count(lit(1)).as("n"))
+          .orderBy("partition_key")
+      },
+      Some("""SELECT 'events-event_type_' || event_type || '-' ||
+          strftime(ts, '%Y-%m-%d') AS partition_key,
+          CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
     ("http_roundtrip",
       (s, d) => {
         import s.implicits._
