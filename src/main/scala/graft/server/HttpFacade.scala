@@ -123,11 +123,7 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
         case ("POST", "/api/v1/storage/read_series_cardinality") =>
           handleSeriesCardinality(ex)
         case ("GET", "/api/v1/storage/capabilities") =>
-          val caps = StorageProto.capabilitiesResponse()
-          ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
-          ex.sendResponseHeaders(200, caps.length.toLong)
-          val os = ex.getResponseBody
-          os.write(caps); os.close()
+          respondProto(ex, StorageProto.capabilitiesResponse())
         case ("GET", "/health") => respond(ex, 200, "text/plain", "OK")
         case ("GET", "/metrics") => handleMetrics(ex)
         case ("GET", "/api/v1/partitions") => handlePartitions(ex)
@@ -225,7 +221,22 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
             ex.getResponseHeaders.set("Content-Type", contentType(format))
             ex.sendResponseHeaders(200, 0) // chunked: length unknown up front
             val os = ex.getResponseBody
-            try writeResult(df, format, os) finally os.close()
+            // headers are sent: a mid-stream execution failure cannot
+            // change the status anymore, so make the truncation DETECTABLE
+            // instead of silent — write an error sentinel that breaks the
+            // payload's well-formedness (a bare error object after the
+            // closing bracket for json, a comment line for csv) before
+            // closing the chunked stream
+            try writeResult(df, format, os)
+            catch { case NonFatal(e) =>
+              val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+              try {
+                val sentinel =
+                  if (format == "json") s"""{"error":${jsonStr(msg)}}"""
+                  else s"\n# ERROR: query failed mid-stream: $msg\n"
+                os.write(sentinel.getBytes(UTF_8))
+              } catch { case NonFatal(_) => () }
+            } finally os.close()
         }
     }
   }
@@ -283,35 +294,22 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
     * concatenation makes the chunks one valid message, so a large series
     * set never buffers in the facade. */
   private def handleReadFilter(ex: HttpExchange): Unit = {
-    import scala.jdk.CollectionConverters._
-    val body = readBody(ex.getRequestBody, gzipped = false) match {
-      case Some(b) => new String(b, UTF_8)
-      case None => respondJsonError(ex, 413, s"request exceeds $MaxBodySize bytes"); return
-    }
+    val body = storageBody(ex).getOrElse(return)
     (jsonStrField(body, "database_name"), jsonStrField(body, "table")) match {
       case (Some(db), Some(table)) =>
-        val planned = HttpFacade.synchronized {
-          measurementView(db, table).map { df =>
-            val pred = (jsonLongField(body, "start"), jsonLongField(body, "stop")) match {
-              case (Some(s), Some(e)) => graft.core.RpcPredicate().withRange(s, e)
-              case _ => graft.core.RpcPredicate()
-            }
-            graft.operators.InfluxRpc.toFrames(
-              graft.operators.InfluxRpc.toSeriesSet(
-                graft.operators.InfluxRpc.readFilter(df, pred),
-                IoxSchema.fieldColumns(df.schema)),
-              table)
-          }
-        }
-        planned match {
+        // no catalog lock here (or in the handlers below): these plans
+        // build from measurementView over the concurrent chunk map and
+        // never touch the shared temp-view catalog the SQL endpoint
+        // synchronizes on — a slow metadata scan must not stall queries
+        measurementView(db, table).map { df =>
+          graft.operators.InfluxRpc.toFrames(
+            graft.operators.InfluxRpc.toSeriesSet(
+              graft.operators.InfluxRpc.readFilter(df, predOf(body)),
+              IoxSchema.fieldColumns(df.schema)),
+            table)
+        } match {
           case None => respondJsonError(ex, 404, s"no table $table in database $db")
-          case Some(frames) =>
-            ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
-            ex.sendResponseHeaders(200, 0) // chunked
-            val os = ex.getResponseBody
-            try frames.toLocalIterator().asScala.foreach { f =>
-              os.write(StorageProto.readResponse(Seq(StorageProto.encodeFrame(f))))
-            } finally os.close()
+          case Some(frames) => streamFrames(ex, frames)
         }
       case _ => respondJsonError(ex, 400,
         """expected {"database_name": ..., "table": ...}""")
@@ -346,6 +344,14 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
     * operand of the *AcrossTables metadata ops). */
   private def dbTables(db: String): Map[String, DataFrame] =
     measurements(db).flatMap(m => measurementView(db, m).map(m -> _)).toMap
+
+  /** 404 for an unknown database, like the query endpoints — without
+    * this, database-level metadata RPCs would answer "exists and is
+    * empty" for a typo'd name. Returns false after responding. */
+  private def requireDb(ex: HttpExchange, db: String): Boolean =
+    databases.contains(db) || {
+      respondJsonError(ex, 404, s"database not found: $db"); false
+    }
 
   private def respondProto(ex: HttpExchange, bytes: Array[Byte]): Unit = {
     ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
@@ -389,7 +395,7 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
             respondJsonError(ex, 400, s"unknown aggregate: $aggName"); return
         }
         val groupKeys = jsonStrArrayField(body, "group_keys")
-        val planned = HttpFacade.synchronized {
+        val planned =
           measurementView(db, table).map { df =>
             val pred = predOf(body)
             val out = InfluxRpc.readGroup(df, pred, agg, groupKeys)
@@ -400,7 +406,8 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
                 InfluxRpc.toSeriesSet(out, fieldCols)
               case _ =>
                 // selectors emit per-field (value, time_<field>): one
-                // series per field from its own selected timestamps
+                // series per field from its own selected timestamps; a
+                // field-less table has no series at all
                 fieldCols.map { f =>
                   InfluxRpc.toSeriesSet(
                     out.select((IoxSchema.tagColumns(out.schema).map(col) :+
@@ -408,13 +415,15 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
                       col(s"${graft.core.NsTime.TimeColumn}_$f")
                         .as(graft.core.NsTime.TimeColumn): _*),
                     Seq(f))
-                }.reduce(_ union _)
+                }.reduceOption(_ union _).getOrElse {
+                  import df.sparkSession.implicits._
+                  df.sparkSession.emptyDataset[InfluxRpc.Series]
+                }
             }
             if (agg == AggKind.None)
               InfluxRpc.toGroupedFramesStreaming(series, table, groupKeys)
             else InfluxRpc.toGroupedFrames(series, table, groupKeys)
           }
-        }
         planned match {
           case scala.None => respondJsonError(ex, 404, s"no table $table in database $db")
           case Some(frames) => streamFrames(ex, frames)
@@ -438,24 +447,26 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
               s"window aggregate requires an aggregate, got '$aggName'"); return
           case Some(a) => a
         }
-        val planned = HttpFacade.synchronized {
+        val everyNs = jsonLongField(body, "window_every")
+        val everyMonths = jsonLongField(body, "window_every_months")
+        if (everyNs.isEmpty && everyMonths.isEmpty) {
+          respondJsonError(ex, 400,
+            "window_every (ns) or window_every_months required"); return
+        }
+        val planned =
           measurementView(db, table).map { df =>
             val pred = predOf(body)
-            val out = (jsonLongField(body, "window_every"),
-                jsonLongField(body, "window_every_months")) match {
+            val out = (everyNs, everyMonths) match {
               case (Some(every), _) =>
                 InfluxRpc.readWindowAggregate(df, pred, agg, every,
                   jsonLongField(body, "offset").getOrElse(0L))
-              case (_, Some(months)) =>
-                InfluxRpc.readWindowAggregateMonths(df, pred, agg, months.toInt,
+              case (_, months) =>
+                InfluxRpc.readWindowAggregateMonths(df, pred, agg, months.get.toInt,
                   jsonLongField(body, "offset_months").getOrElse(0L).toInt)
-              case _ => throw new IllegalArgumentException(
-                "window_every (ns) or window_every_months required")
             }
             InfluxRpc.toFrames(
               InfluxRpc.toSeriesSet(out, IoxSchema.fieldColumns(df.schema)), table)
           }
-        }
         planned match {
           case scala.None => respondJsonError(ex, 404, s"no table $table in database $db")
           case Some(frames) => streamFrames(ex, frames)
@@ -475,12 +486,12 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
     jsonStrField(body, "database_name") match {
       case Some(db) =>
         val pred = predOf(body)
-        val keys = HttpFacade.synchronized {
+        if (!requireDb(ex, db)) return
+        val keys =
           tableOf(body) match {
             case Some(table) => measurementView(db, table).map(InfluxRpc.tagKeys(_, pred))
             case scala.None => Some(InfluxRpc.tagKeysAcrossTables(dbTables(db), pred))
           }
-        }
         keys match {
           case scala.None => respondJsonError(ex, 404, s"no such table in $db")
           case Some(ks) => respondProto(ex,
@@ -499,8 +510,9 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
     val body = storageBody(ex).getOrElse(return)
     (jsonStrField(body, "database_name"), jsonStrField(body, "tag_key")) match {
       case (Some(db), Some(tagKey)) =>
+        if (!requireDb(ex, db)) return
         val pred = predOf(body)
-        val values: Option[Seq[String]] = HttpFacade.synchronized {
+        val values: Option[Seq[String]] = {
           val tables = dbTables(db)
           tagKey match {
             case "\u0000" | "_measurement" =>
@@ -538,9 +550,9 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
     val body = storageBody(ex).getOrElse(return)
     jsonStrField(body, "database_name") match {
       case Some(db) =>
-        val names = HttpFacade.synchronized {
+        if (!requireDb(ex, db)) return
+        val names =
           graft.operators.InfluxRpc.tableNames(dbTables(db), predOf(body))
-        }
         respondProto(ex,
           StorageProto.stringValuesResponse(names.map(_.getBytes(UTF_8))))
       case _ => respondJsonError(ex, 400, """expected {"database_name": ...}""")
@@ -555,8 +567,9 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
     val body = storageBody(ex).getOrElse(return)
     jsonStrField(body, "database_name") match {
       case Some(db) =>
+        if (!requireDb(ex, db)) return
         val pred = predOf(body)
-        val fields: Option[Seq[(String, String, Long)]] = HttpFacade.synchronized {
+        val fields: Option[Seq[(String, String, Long)]] =
           tableOf(body) match {
             case Some(t) => measurementView(db, t).map(df =>
               InfluxRpc.fieldColumns(df, pred).collect()
@@ -564,7 +577,6 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
             case scala.None =>
               Some(InfluxRpc.fieldColumnsAcrossTables(dbTables(db), pred))
           }
-        }
         fields match {
           case scala.None => respondJsonError(ex, 404, s"no such table in $db")
           case Some(fs) => respondProto(ex, StorageProto.measurementFieldsResponse(
@@ -583,16 +595,16 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
     val body = storageBody(ex).getOrElse(return)
     jsonStrField(body, "database_name") match {
       case Some(db) =>
+        if (!requireDb(ex, db)) return
         val pred = predOf(body)
         val exact = !jsonStrField(body, "mode").contains("estimate")
-        val n: Option[Long] = HttpFacade.synchronized {
+        val n: Option[Long] =
           tableOf(body) match {
             case Some(t) => measurementView(db, t)
               .map(InfluxRpc.seriesCardinality(_, pred, exact))
             case scala.None => Some(dbTables(db).values
               .map(InfluxRpc.seriesCardinality(_, pred, exact)).sum)
           }
-        }
         n match {
           case scala.None => respondJsonError(ex, 404, s"no such table in $db")
           case Some(v) => respondProto(ex, StorageProto.int64ValuesResponse(Seq(v)))
@@ -726,14 +738,30 @@ object HttpFacade {
     re.findFirstMatchIn(json).map(_.group(1).toLong)
   }
 
-  /** `"key": ["a", "b"]` -> Seq(a, b); absent or empty -> Nil. */
-  private[server] def jsonStrArrayField(json: String, key: String): Seq[String] = {
-    val arrRe = ("\"" + key + "\"\\s*:\\s*\\[([^\\]]*)\\]").r
-    arrRe.findFirstMatchIn(json).map(_.group(1)) match {
+  /** `"key": ["a", "b"]` -> Seq(a, b); absent or empty -> Nil. Scans to
+    * the MATCHING close bracket respecting string quoting, so elements
+    * containing `]` (legal in tag names) survive intact. */
+  private[graft] def jsonStrArrayField(json: String, key: String): Seq[String] = {
+    val open = ("\"" + key + "\"\\s*:\\s*\\[").r
+    open.findFirstMatchIn(json) match {
       case None => Nil
-      case Some(inner) =>
+      case Some(m) =>
+        var i = m.end
+        var inStr = false
+        var escaped = false
+        val sb = new StringBuilder
+        var done = false
+        while (!done && i < json.length) {
+          val c = json.charAt(i)
+          if (escaped) { sb.append(c); escaped = false }
+          else if (inStr && c == '\\') { sb.append(c); escaped = true }
+          else if (c == '"') { sb.append(c); inStr = !inStr }
+          else if (c == ']' && !inStr) done = true
+          else sb.append(c)
+          i += 1
+        }
         val strRe = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
-        strRe.findAllMatchIn(inner).map(m => unescapeJson(m.group(1))).toSeq
+        strRe.findAllMatchIn(sb.toString).map(g => unescapeJson(g.group(1))).toSeq
     }
   }
 
@@ -835,7 +863,7 @@ object HttpFacade {
           }.mkString("{", ",", "}"))
         }
         w.write("]")
-      case _ => w.write(renderResult(df, format))
+      case other => throw new IllegalArgumentException(s"unknown format: $other")
     }
     w.flush()
   }
@@ -857,10 +885,11 @@ object HttpFacade {
         cols.indices.map(i => row(i).padTo(widths(i), ' '))
           .mkString("| ", " | ", " |"))
       (Seq(sep, header, sep) ++ body :+ sep).mkString("\n")
-    case _ =>
+    case "csv" | "json" =>
       val bos = new ByteArrayOutputStream()
       writeResult(df, format, bos)
       new String(bos.toByteArray, UTF_8)
+    case other => throw new IllegalArgumentException(s"unknown format: $other")
   }
 
   private def cellString(v: Any): String = v match {

@@ -44,9 +44,14 @@ object LineProtocol {
 
   case class LpException(msg: String) extends Exception(msg)
 
-  /** Reference float shape (see fieldValue): `-?D+(.D+)?([eE][+-]D+)?`. */
+  /** Reference numeral shapes (lib.rs:656-711: `opt('-')` then digits for
+    * i64/timestamps, bare digits for u64, and the float grammar in
+    * fieldValue) — notably NO leading `+` anywhere, which Java's numeric
+    * parsers would otherwise accept. */
   private val FloatShape =
     java.util.regex.Pattern.compile("-?\\d+(\\.\\d+)?([eE][+-]\\d+)?")
+  private val IntShape = java.util.regex.Pattern.compile("-?\\d+")
+  private val UIntShape = java.util.regex.Pattern.compile("\\d+")
 
   // ---------------------------------------------------------------- parser
 
@@ -126,12 +131,15 @@ object LineProtocol {
           case "t" | "T" | "true" | "True" | "TRUE" => Bool(true)
           case "f" | "F" | "false" | "False" | "FALSE" => Bool(false)
           case _ if last == 'i' =>
-            try I64(java.lang.Long.parseLong(raw.dropRight(1)))
+            val lit = raw.dropRight(1)
+            if (!IntShape.matcher(lit).matches()) err(s"invalid i64: $raw")
+            try I64(java.lang.Long.parseLong(lit))
             catch { case _: NumberFormatException => err(s"invalid i64: $raw") }
           case _ if last == 'u' =>
-            val b = try BigInt(raw.dropRight(1))
-              catch { case _: NumberFormatException => err(s"invalid u64: $raw") }
-            if (b < 0 || b > BigInt("18446744073709551615")) err(s"u64 out of range: $raw")
+            val lit = raw.dropRight(1)
+            if (!UIntShape.matcher(lit).matches()) err(s"invalid u64: $raw")
+            val b = BigInt(lit)
+            if (b > BigInt("18446744073709551615")) err(s"u64 out of range: $raw")
             U64(b)
           case _ =>
             // the reference float grammar (lib.rs:1451-1556): optional
@@ -168,6 +176,7 @@ object LineProtocol {
       val start = i
       while (i < n && s.charAt(i) != ' ') i += 1
       val raw = s.substring(start, i)
+      if (!IntShape.matcher(raw).matches()) err(s"invalid timestamp: $raw")
       ts = Some(try java.lang.Long.parseLong(raw) catch {
         // out-of-i64-range timestamps are parse errors
         // (lib.rs TimestampValueInvalid, :1708)
@@ -312,10 +321,14 @@ object LineProtocol {
     * `lenient = false` (default) keeps the reference's API-edge contract:
     * a malformed line fails the batch (http.rs write returns 400). Bulk
     * backfill over existing files wants `lenient = true`: malformed lines
-    * are counted into `badLines` (a Spark long accumulator, readable
-    * after the job) and skipped, so one bad line in a terabyte split
-    * cannot poison the job — the reference's per-line `Result` iterator
-    * gives its callers the same choice (lib.rs:474).
+    * are skipped and tallied in `badLines`, so one bad line in a
+    * terabyte split cannot poison the job — the reference's per-line
+    * `Result` iterator gives its callers the same choice (lib.rs:474).
+    * `badLines` is a MONITORING counter with transformation-accumulator
+    * semantics: task retries or a recompute of the un-cached result (a
+    * second action on the returned frame) can overcount it. Read it
+    * after exactly one action, or treat it as an at-least-once signal —
+    * never as an exact ledger.
     */
   def ingestAs(ds: Dataset[String], measurement: String, schema: StructType,
       defaultTimeNs: Long = 0L, lenient: Boolean = false,

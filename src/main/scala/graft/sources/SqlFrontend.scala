@@ -35,13 +35,27 @@ object SqlFrontend {
     * count/min/max) — all answered from sidecar metadata, no data scan. */
   def registerChunked(spark: SparkSession,
       tables: Map[String, graft.streaming.Lifecycle.ChunkedTable]): Unit = {
+    // a server may register before its first lifecycle table exists; the
+    // system views must still answer (empty), not crash on reduce
     tables.foreach { case (name, t) => t.scan().createOrReplaceTempView(name) }
-    tables.toSeq.sortBy(_._1).map { case (n, t) => t.systemChunks(n) }
-      .reduce(_ union _).createOrReplaceTempView("system_chunks")
-    tables.toSeq.sortBy(_._1).map { case (n, t) => t.systemChunkColumns(n) }
-      .reduce(_ union _).createOrReplaceTempView("system_chunk_columns")
-    tables.toSeq.sortBy(_._1).map { case (n, t) => t.systemOperations(n) }
-      .reduce(_ union _).createOrReplaceTempView("system_operations")
+    def view(name: String, frames: Seq[DataFrame], emptySql: String): Unit =
+      frames.reduceOption(_ union _)
+        .getOrElse(spark.sql(emptySql).limit(0))
+        .createOrReplaceTempView(name)
+    val sorted = tables.toSeq.sortBy(_._1)
+    view("system_chunks", sorted.map { case (n, t) => t.systemChunks(n) },
+      """SELECT CAST(0 AS BIGINT) id, '' partition_key, '' table_name,
+         '' storage, CAST(0 AS BIGINT) estimated_bytes,
+         CAST(0 AS BIGINT) row_count, CAST(0 AS BIGINT) time_of_last_write""")
+    view("system_chunk_columns",
+      sorted.map { case (n, t) => t.systemChunkColumns(n) },
+      """SELECT CAST(0 AS BIGINT) chunk_id, '' partition_key, '' table_name,
+         '' column_name, '' storage, CAST(0 AS BIGINT) row_count,
+         '' min_value, '' max_value""")
+    view("system_operations", sorted.map { case (n, t) => t.systemOperations(n) },
+      """SELECT '' id, '' status, CAST(0 AS BIGINT) wall_time_used,
+         '' partition_key, '' table_name, CAST(0 AS BIGINT) chunk_id,
+         '' chunk_ids, '' description""")
   }
 
   /** system.columns analog: one row per column with its engine category

@@ -452,13 +452,27 @@ class HttpFacadeSpec extends SparkSpec {
         .map(java.lang.Double.longBitsToDouble) == Seq(1.5, 2.5))
 
       // windowed aggregate without an aggregate kind is a client error
-      val badConn = new URI(s"http://127.0.0.1:$p/api/v1/storage/read_window_aggregate")
-        .toURL.openConnection().asInstanceOf[HttpURLConnection]
-      badConn.setRequestMethod("POST"); badConn.setDoOutput(true)
-      badConn.getOutputStream.write(
-        """{"database_name":"o_b","table":"cpu","aggregate":"none"}""".getBytes(UTF_8))
-      badConn.getOutputStream.close()
-      assert(badConn.getResponseCode == 400)
+      def postStatus(path: String, body: String): Int = {
+        val c = new URI(s"http://127.0.0.1:$p$path").toURL
+          .openConnection().asInstanceOf[HttpURLConnection]
+        c.setRequestMethod("POST"); c.setDoOutput(true)
+        c.getOutputStream.write(body.getBytes(UTF_8)); c.getOutputStream.close()
+        c.getResponseCode
+      }
+      assert(postStatus("/api/v1/storage/read_window_aggregate",
+        """{"database_name":"o_b","table":"cpu","aggregate":"none"}""") == 400)
+      // ...as is a windowed aggregate without any window width
+      assert(postStatus("/api/v1/storage/read_window_aggregate",
+        """{"database_name":"o_b","table":"cpu","aggregate":"sum"}""") == 400)
+      // an unknown database is 404 on metadata RPCs, not "empty"
+      assert(postStatus("/api/v1/storage/measurement_names",
+        """{"database_name":"nope"}""") == 404)
+      assert(postStatus("/api/v1/storage/tag_keys",
+        """{"database_name":"nope"}""") == 404)
+      // group_keys elements containing ']' survive the body parse
+      assert(HttpFacade.jsonStrArrayField(
+        """{"group_keys": ["rack]1", "host"]}""", "group_keys") ==
+        Seq("rack]1", "host"))
     }
   }
 

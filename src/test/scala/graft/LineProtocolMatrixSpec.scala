@@ -437,4 +437,15 @@ class LineProtocolMatrixSpec extends AnyFunSuite {
     val l = parse("foo,test=stuff asdf=true 1234").head
     assert(l.tags.toMap.get("nonexistent").isEmpty)
   }
+
+  test("leading plus is rejected everywhere, like the upstream grammar") {
+    // upstream numerals are opt('-') then digits (lib.rs:656-711): Java's
+    // parsers would accept '+', so the shapes are pinned explicitly
+    assertThrows[LpException](parseLine("m f=+5i"))
+    assertThrows[LpException](parseLine("m f=+5u"))
+    assertThrows[LpException](parseLine("m f=+5.0"))
+    assertThrows[LpException](parseLine("m f=1i +123"))
+    // and u64 has no sign AT ALL
+    assertThrows[LpException](parseLine("m f=-1u"))
+  }
 }

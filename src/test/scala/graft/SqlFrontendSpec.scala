@@ -35,6 +35,12 @@ class SqlFrontendSpec extends SparkSpec {
     assert(name == "cpu" && n == 2 && tmin == 100L && tmax == 150L)
   }
 
+  test("registerChunked with no tables registers empty system views, not a crash") {
+    SqlFrontend.registerChunked(spark, Map.empty)
+    for (v <- Seq("system_chunks", "system_chunk_columns", "system_operations"))
+      assert(spark.sql(s"SELECT * FROM $v").count() == 0L, v)
+  }
+
   test("registerChunked: storage stage in system_chunks + per-column chunk stats " +
       "(system_tables.rs:192,373; docs/sql.md:234)") {
     import graft.streaming.Lifecycle
