@@ -89,10 +89,17 @@ object StatsCatalog {
     *
     * `write` receives the observed frame and MUST run exactly one action
     * on it (the parquet write); `written` re-reads the written output. */
+  /** `tagSets = false` skips the tag distinct-value sets entirely (no HLL
+    * estimates, no collect_set re-read) — right for TRANSIENT chunks
+    * (open hot chunks) whose sidecars no metadata fast path ever reads;
+    * the scalar stats (row count, time bounds, per-column count/min/max)
+    * still ride the write for free. */
   def computeDuringWrite(df: DataFrame, tagCols: Seq[String] = Nil, cap: Int = 10000,
-      sortKey: Option[Seq[String]] = None)(
+      sortKey: Option[Seq[String]] = None, tagSets: Boolean = true)(
       write: DataFrame => Unit, written: => DataFrame): TableStats = {
-    val tags = if (tagCols.nonEmpty) tagCols else IoxSchema.tagColumns(df.schema)
+    val tags =
+      if (!tagSets) Nil
+      else if (tagCols.nonEmpty) tagCols else IoxSchema.tagColumns(df.schema)
     val obs = org.apache.spark.sql.Observation()
     val aggs = scalarAggs(df.schema, tags)
     write(df.observe(obs, aggs.head, aggs.tail: _*))

@@ -173,7 +173,7 @@ object Lifecycle {
     def writeChunk(df: DataFrame, nowMs: Long): ChunkMeta = {
       val id = nextId()
       val path = new Path(root, s"hot/open-$id")
-      writeWithStats(df, path, sorted = false)
+      writeWithStats(df, path, sorted = false, durable = false)
       stamp(path, nowMs)
       meta(path, Open, id)
     }
@@ -320,7 +320,8 @@ object Lifecycle {
       // and no cached copy of the remainder); an empty write is removed.
       val hotId = nextId()
       val hotPath = new Path(root, s"hot/open-$hotId")
-      val restStats = writeWithStats(hotRest, hotPath, sorted = true)
+      val restStats = writeWithStats(hotRest, hotPath, sorted = true,
+        durable = false)
       if (restStats.rowCount == 0L) fs.delete(hotPath, true)
       else stamp(hotPath, members.map(_.lastWriteMs).max)
       members.foreach(c => fs.delete(new Path(c.path), true))
@@ -343,12 +344,18 @@ object Lifecycle {
       * used to re-read every chunk it had just written, a 2× read
       * amplification on the dominant background cost at scale. `sorted`
       * records the SortKey (sort.rs:89-146) for chunks written
-      * dedup-sorted on the PK; open/unsorted chunks carry none. */
+      * dedup-sorted on the PK; open chunks carry none. `durable = false`
+      * (hot-stage chunks: fresh opens AND the sorted persist remainder)
+      * additionally skips the tag distinct-set pass — hot chunks are
+      * transient, compaction replaces them before any metadata fast path
+      * would read their sidecars — so a hot write is exactly ONE pass
+      * over the data. */
     private def writeWithStats(df: DataFrame, path: Path,
-        sorted: Boolean): StatsCatalog.TableStats = {
+        sorted: Boolean, durable: Boolean = true): StatsCatalog.TableStats = {
       val stats = StatsCatalog.computeDuringWrite(df,
         tagCols = pkCols.filterNot(_ == NsTime.TimeColumn),
-        sortKey = if (sorted) Some(pkCols) else None)(
+        sortKey = if (sorted) Some(pkCols) else None,
+        tagSets = durable)(
         observed => observed.write.mode("error").parquet(path.toString),
         spark.read.parquet(path.toString))
       StatsCatalog.save(spark, path.toString, stats)
