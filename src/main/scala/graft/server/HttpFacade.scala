@@ -51,6 +51,15 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
   /** measurement -> ordered chunks (one per accepted write batch). */
   private val databases = TrieMap.empty[String, Vector[(String, DataFrame)]]
 
+  /** Per-database rules set via the management surface; a database
+    * without an entry runs on `DatabaseRules` defaults (the reference
+    * keeps the same registry keyed by DatabaseName, server/src/config.rs). */
+  private val rulesStore = TrieMap.empty[String, graft.streaming.DatabaseRules]
+
+  /** The effective rules for `db` (stored or defaults). */
+  def rulesOf(db: String): graft.streaming.DatabaseRules =
+    rulesStore.getOrElse(db, graft.streaming.DatabaseRules(db))
+
   private val ingestLines = new AtomicLong
   private val ingestFields = new AtomicLong
   private val ingestBytes = new AtomicLong
@@ -127,6 +136,9 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
         case ("GET", "/health") => respond(ex, 200, "text/plain", "OK")
         case ("GET", "/metrics") => handleMetrics(ex)
         case ("GET", "/api/v1/partitions") => handlePartitions(ex)
+        case ("GET", "/iox/api/v1/databases") => handleListDatabases(ex)
+        case ("GET", RulesPath(db)) => handleGetRules(ex, db)
+        case ("PUT", RulesPath(db)) => handlePutRules(ex, db)
         case ("GET", QueryPath(db)) => handleQuery(ex, db)
         case _ => respondJsonError(ex, 404, s"no route for $path")
       }
@@ -613,6 +625,42 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
     }
   }
 
+  // ------------------------------------------------- management surface
+  // (the reference's management API: CreateDatabase / GetDatabase /
+  // ListDatabases with DatabaseRules payloads — gRPC there,
+  // management.proto; HTTP-carried JSON here like the other stand-ins)
+
+  private def handleListDatabases(ex: HttpExchange): Unit = {
+    val names = (databases.keySet ++ rulesStore.keySet).toSeq.sorted
+    respond(ex, 200, "application/json",
+      names.map(jsonStr).mkString("""{"names":[""", ",", "]}"))
+  }
+
+  private def handleGetRules(ex: HttpExchange, db: String): Unit =
+    rulesStore.get(db) match {
+      case Some(r) => respond(ex, 200, "application/json",
+        graft.streaming.DatabaseRules.toJson(r))
+      case None if databases.contains(db) =>
+        // written-to but never configured: serve the defaults in effect
+        respond(ex, 200, "application/json",
+          graft.streaming.DatabaseRules.toJson(rulesOf(db)))
+      case None => respondJsonError(ex, 404, s"database not found: $db")
+    }
+
+  private def handlePutRules(ex: HttpExchange, db: String): Unit = {
+    val body = storageBody(ex).getOrElse(return)
+    graft.streaming.DatabaseRules.fromJson(body) match {
+      case Left(err) => respondJsonError(ex, 400, err)
+      case Right(r) if r.name != db =>
+        respondJsonError(ex, 400,
+          s"rules name '${r.name}' does not match path database '$db'")
+      case Right(r) =>
+        rulesStore.put(db, r)
+        respond(ex, 200, "application/json",
+          graft.streaming.DatabaseRules.toJson(r))
+    }
+  }
+
   private def handlePartitions(ex: HttpExchange): Unit = {
     val params = queryParams(ex)
     (params.get("org"), params.get("bucket")) match {
@@ -621,8 +669,9 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
         if (!databases.contains(db)) {
           respondJsonError(ex, 404, s"database not found: $db"); return
         }
-        val template = graft.core.PartitionTemplate(
-          Seq(graft.core.TemplatePart.TimeFormat("%Y-%m-%d")))
+        // the database's CONFIGURED template (management surface), with
+        // the reference default when none was set
+        val template = rulesOf(db).partitionTemplate
         val keys = measurements(db).flatMap { m =>
           measurementView(db, m).toSeq.flatMap { df =>
             df.select(template.keyColumn(m, df.schema).as("k"))
@@ -790,6 +839,7 @@ object HttpFacade {
     java.net.URLEncoder.encode(s, "UTF-8")
 
   private val QueryPath = "/iox/api/v1/databases/([^/]+)/query".r
+  private val RulesPath = "/iox/api/v1/databases/([^/]+)/rules".r
 
   /** org + bucket -> database name (data_types/src/names.rs:18): both
     * halves percent-encode every non-alphanumeric byte, joined by `_`. */

@@ -1,0 +1,168 @@
+package graft.streaming
+
+import graft.core.{PartitionTemplate, TemplatePart}
+
+/** Per-database configuration — the reference's `DatabaseRules`
+  * (data_types/src/database_rules.rs:38-59: name, partition template,
+  * lifecycle rules, optional write-buffer connection; routing rules and
+  * the cleanup-sleep knob have no analog here). The management surface
+  * stores one of these per database and the write/lifecycle paths read
+  * their knobs from it.
+  *
+  * Names follow the reference's `DatabaseName` invariant
+  * (database_name.rs:7,55-75): 1..=64 characters, no control characters.
+  *
+  * The JSON codec is hand-rolled (this build links no JSON library):
+  * flat, order-insensitive fields with defaults for everything but
+  * `name`, e.g.
+  * {{{
+  * {"name":"mydb",
+  *  "partition_template":[{"part":"table"},{"part":"column","name":"region"},
+  *                        {"part":"time","format":"%Y-%m-%d"}],
+  *  "lifecycle":{"late_arrive_window_ms":300000,"persist_row_threshold":1000000,
+  *               "persist_age_threshold_ms":1800000,"persist":true,
+  *               "buffer_size_soft":10000000,"buffer_size_hard":20000000,
+  *               "drop_non_persisted":false,"retention_ns":86400000000000},
+  *  "write_buffer":"file:/buffers/mydb"}
+  * }}}
+  */
+final case class DatabaseRules(
+    name: String,
+    partitionTemplate: PartitionTemplate = DatabaseRules.DefaultTemplate,
+    lifecycle: Lifecycle.Rules = Lifecycle.Rules(),
+    writeBufferConnection: Option[String] = None)
+
+object DatabaseRules {
+
+  /** The reference's default template (database_rules.rs:233 example). */
+  val DefaultTemplate: PartitionTemplate =
+    PartitionTemplate(Seq(TemplatePart.TimeFormat("%Y-%m-%d")))
+
+  /** DatabaseName::new validation (database_name.rs:55-75). */
+  def validateName(name: String): Either[String, String] =
+    if (name.isEmpty || name.length > 64)
+      Left(s"database name '$name' length must be between 1 and 64 characters")
+    else name.zipWithIndex.collectFirst { case (c, i) if c.isControl => i } match {
+      case Some(i) => Left(s"database name '$name' contains invalid character. " +
+        s"Character number $i is a control which is not allowed.")
+      case None => Right(name)
+    }
+
+  // ---------------------------------------------------------------- json
+
+  private def jStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c.isControl => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  def toJson(r: DatabaseRules): String = {
+    val parts = r.partitionTemplate.parts.map {
+      case TemplatePart.Table => """{"part":"table"}"""
+      case TemplatePart.ColumnValue(n) => s"""{"part":"column","name":${jStr(n)}}"""
+      case TemplatePart.TimeFormat(f) => s"""{"part":"time","format":${jStr(f)}}"""
+    }.mkString("[", ",", "]")
+    val lc = r.lifecycle
+    val lcJson = Seq(
+      s""""late_arrive_window_ms":${lc.lateArriveWindowMs}""",
+      s""""persist_row_threshold":${lc.persistRowThreshold}""",
+      s""""persist_age_threshold_ms":${lc.persistAgeThresholdMs}""",
+      s""""persist":${lc.persist}""",
+      s""""drop_non_persisted":${lc.dropNonPersisted}""") ++
+      lc.bufferSizeSoft.map(v => s""""buffer_size_soft":$v""") ++
+      lc.bufferSizeHard.map(v => s""""buffer_size_hard":$v""") ++
+      lc.retentionNs.map(v => s""""retention_ns":$v""")
+    (Seq(s""""name":${jStr(r.name)}""",
+      s""""partition_template":$parts""",
+      s""""lifecycle":${lcJson.mkString("{", ",", "}")}""") ++
+      r.writeBufferConnection.map(c => s""""write_buffer":${jStr(c)}"""))
+      .mkString("{", ",", "}")
+  }
+
+  private val strField = (json: String, key: String) =>
+    ("\"" + key + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
+      .findFirstMatchIn(json).map(m => unescape(m.group(1)))
+  private val longField = (json: String, key: String) =>
+    ("\"" + key + "\"\\s*:\\s*(-?\\d+)").r.findFirstMatchIn(json).map(_.group(1).toLong)
+  private val boolField = (json: String, key: String) =>
+    ("\"" + key + "\"\\s*:\\s*(true|false)").r
+      .findFirstMatchIn(json).map(_.group(1) == "true")
+
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb += '\n'; i += 2
+          case 'r' => sb += '\r'; i += 2
+          case 't' => sb += '\t'; i += 2
+          case 'u' if i + 5 < s.length + 1 =>
+            sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case other => sb += other; i += 2
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Parse rules JSON; absent fields fall back to defaults (the
+    * reference's serde defaults). Unknown template part kinds and name
+    * violations are errors, not silent drops. */
+  def fromJson(json: String): Either[String, DatabaseRules] = {
+    val name = strField(json, "name") match {
+      case None => return Left("""missing "name"""")
+      case Some(n) => validateName(n) match {
+        case Left(e) => return Left(e)
+        case Right(v) => v
+      }
+    }
+    val template: Either[String, PartitionTemplate] =
+      ("\"partition_template\"\\s*:\\s*\\[([^\\]]*)\\]").r
+        .findFirstMatchIn(json).map(_.group(1)) match {
+        case None => Right(DefaultTemplate)
+        case Some(inner) if inner.trim.isEmpty => Right(DefaultTemplate)
+        case Some(inner) =>
+          val objs = "\\{[^}]*\\}".r.findAllIn(inner).toSeq
+          val parts = objs.map { o =>
+            strField(o, "part") match {
+              case Some("table") => Right(TemplatePart.Table)
+              case Some("column") => strField(o, "name")
+                .toRight("column part missing \"name\"").map(TemplatePart.ColumnValue)
+              case Some("time") => strField(o, "format")
+                .toRight("time part missing \"format\"").map(TemplatePart.TimeFormat)
+              case other => Left(s"unknown template part: $other")
+            }
+          }
+          parts.collectFirst { case Left(e) => e } match {
+            case Some(e) => Left(e)
+            case None => Right(PartitionTemplate(parts.collect { case Right(p) => p }))
+          }
+      }
+    template.map { tpl =>
+      val lcJson = ("\"lifecycle\"\\s*:\\s*\\{([^}]*)\\}").r
+        .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+      val d = Lifecycle.Rules()
+      val lc = Lifecycle.Rules(
+        lateArriveWindowMs = longField(lcJson, "late_arrive_window_ms")
+          .getOrElse(d.lateArriveWindowMs),
+        persistRowThreshold = longField(lcJson, "persist_row_threshold")
+          .getOrElse(d.persistRowThreshold),
+        persistAgeThresholdMs = longField(lcJson, "persist_age_threshold_ms")
+          .getOrElse(d.persistAgeThresholdMs),
+        bufferSizeSoft = longField(lcJson, "buffer_size_soft"),
+        bufferSizeHard = longField(lcJson, "buffer_size_hard"),
+        persist = boolField(lcJson, "persist").getOrElse(d.persist),
+        dropNonPersisted = boolField(lcJson, "drop_non_persisted")
+          .getOrElse(d.dropNonPersisted),
+        retentionNs = longField(lcJson, "retention_ns"))
+      DatabaseRules(name, tpl, lc, strField(json, "write_buffer"))
+    }
+  }
+}
