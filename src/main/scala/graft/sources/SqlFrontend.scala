@@ -37,7 +37,9 @@ object SqlFrontend {
       tables: Map[String, graft.streaming.Lifecycle.ChunkedTable]): Unit = {
     // a server may register before its first lifecycle table exists; the
     // system views must still answer (empty), not crash on reduce
-    tables.foreach { case (name, t) => t.scan().createOrReplaceTempView(name) }
+    val scans = tables.map { case (name, t) => name -> t.scan() }
+    scans.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+    systemColumns(spark, scans).createOrReplaceTempView("system_columns")
     def view(name: String, frames: Seq[DataFrame], emptySql: String): Unit =
       frames.reduceOption(_ union _)
         .getOrElse(spark.sql(emptySql).limit(0))

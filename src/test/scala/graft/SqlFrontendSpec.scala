@@ -37,7 +37,8 @@ class SqlFrontendSpec extends SparkSpec {
 
   test("registerChunked with no tables registers empty system views, not a crash") {
     SqlFrontend.registerChunked(spark, Map.empty)
-    for (v <- Seq("system_chunks", "system_chunk_columns", "system_operations"))
+    for (v <- Seq("system_chunks", "system_chunk_columns", "system_operations",
+        "system_columns"))
       assert(spark.sql(s"SELECT * FROM $v").count() == 0L, v)
   }
 
