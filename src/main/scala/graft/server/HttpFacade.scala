@@ -343,11 +343,25 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
         respondJsonError(ex, 413, s"request exceeds $MaxBodySize bytes"); None
     }
 
-  private def predOf(body: String): graft.core.RpcPredicate =
-    (jsonLongField(body, "start"), jsonLongField(body, "stop")) match {
+  /** Request predicate (predicate.proto / PredicateBuilder): optional
+    * `[start, stop)` range plus the request-level restrictions the
+    * reference's storage requests carry —
+    * `"tag_eq": {"host": "a", ...}` (tag = value conjuncts),
+    * `"tag_regex": {"host": "^a.*"}` (`=~`, Java-dialect),
+    * `"fields": ["usage", ...]` (field-column restriction). */
+  private def predOf(body: String): graft.core.RpcPredicate = {
+    var p = (jsonLongField(body, "start"), jsonLongField(body, "stop")) match {
       case (Some(s), Some(e)) => graft.core.RpcPredicate().withRange(s, e)
       case _ => graft.core.RpcPredicate()
     }
+    for ((k, v) <- jsonStrMapField(body, "tag_eq"))
+      p = p.withExpr(col(k) === v)
+    for ((k, re) <- jsonStrMapField(body, "tag_regex"))
+      p = p.withRegexMatch(k, re)
+    val fields = jsonStrArrayField(body, "fields")
+    if (fields.nonEmpty) p = p.withFields(fields: _*)
+    p
+  }
 
   private def tableOf(body: String): Option[String] =
     jsonStrField(body, "table").orElse(jsonStrField(body, "measurement"))
@@ -785,6 +799,19 @@ object HttpFacade {
   private[server] def jsonLongField(json: String, key: String): Option[Long] = {
     val re = ("\"" + key + "\"\\s*:\\s*(-?\\d+)").r
     re.findFirstMatchIn(json).map(_.group(1).toLong)
+  }
+
+  /** `"key": {"a": "x", "b": "y"}` -> Map(a->x, b->y); absent -> empty.
+    * Flat string-to-string objects only (the predicate sub-documents). */
+  private[graft] def jsonStrMapField(json: String, key: String): Map[String, String] = {
+    ("\"" + key + "\"\\s*:\\s*\\{([^}]*)\\}").r
+      .findFirstMatchIn(json).map(_.group(1)) match {
+      case None => Map.empty
+      case Some(inner) =>
+        val pairRe = ("\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
+        pairRe.findAllMatchIn(inner)
+          .map(m => unescapeJson(m.group(1)) -> unescapeJson(m.group(2))).toMap
+    }
   }
 
   /** `"key": ["a", "b"]` -> Seq(a, b); absent or empty -> Nil. Scans to

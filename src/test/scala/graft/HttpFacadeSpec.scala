@@ -473,6 +473,22 @@ class HttpFacadeSpec extends SparkSpec {
       assert(HttpFacade.jsonStrArrayField(
         """{"group_keys": ["rack]1", "host"]}""", "group_keys") ==
         Seq("rack]1", "host"))
+
+      // request predicates: tag equality and regex restrict the series
+      // set; a field restriction reaches the projection
+      val predFrames = pbFields(postBytes("/api/v1/storage/read_filter",
+        """{"database_name":"o_b","table":"cpu","predicate_note":"",
+           "tag_eq":{"host":"a"}}"""))
+        .map { case (1, Right(frame)) => pbFields(frame).head
+               case other => fail(s"unexpected field $other") }
+      assert(predFrames.map(_._1) == Seq(1, 2)) // ONE series (host=a) + points
+      val regexFrames = pbFields(postBytes("/api/v1/storage/read_filter",
+        """{"database_name":"o_b","table":"cpu","tag_regex":{"host":"^[ab]$"}}"""))
+      assert(regexFrames.size == 4) // hosts a and b both match
+      // tag_values under a tag_eq predicate
+      assert(asStrings(stringValues(postBytes("/api/v1/storage/tag_values",
+        """{"database_name":"o_b","table":"cpu","tag_key":"host",
+           "tag_eq":{"host":"b"}}"""))) == Seq("b"))
     }
   }
 
