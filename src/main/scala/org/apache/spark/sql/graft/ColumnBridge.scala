@@ -14,6 +14,16 @@ object ColumnBridge {
   def toExpr(c: Column): Expression = ExpressionUtils.expression(c)
   def fromExpr(e: Expression): Column = ExpressionUtils.column(e)
 
+  /** Register a SQL function on a LIVE session's function registry
+    * (sessionState is private[sql]); the builder-time path for sessions
+    * the library constructs itself is `GraftExtensions`. */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession,
+      ident: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(ident, info, builder)
+
   /** Exact integer division (SQL `div`). Spark's Column `/` is IEEE double
     * division, which is lossy for longs above 2^53 — ns-epoch timestamps
     * (~1.7e18) silently round. This builds the native IntegralDivide
