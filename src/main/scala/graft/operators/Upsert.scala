@@ -99,11 +99,21 @@ object Upsert {
       chunkPaths: Seq[String], pkCols: Seq[String],
       pred: graft.core.RpcPredicate = graft.core.RpcPredicate())
       : org.apache.spark.sql.DataFrame = {
-    val kept = chunkPaths.filter(p => pred.partitionKey.forall(pk =>
+    val keptByKey = chunkPaths.filter(p => pred.partitionKey.forall(pk =>
       chunkPartitionKeys(p) match {
         case Nil => true // unprunable: no template key in the path
         case keys => keys.contains(pk)
       }))
+    // statistics pruning (query_tests/src/pruning.rs; the reference's
+    // PruningPredicate over chunk min/max): a chunk whose sidecar proves
+    // the predicate unsatisfiable — time range disjoint, or a
+    // column-comparison conjunct outside the column's [min, max] — is
+    // dropped before ANY footer or data read. At scale this is what
+    // keeps selective queries O(matching chunks), not O(all chunks).
+    val kept = keptByKey.filter { p =>
+      graft.sources.StatsCatalog.load(spark, p)
+        .forall(graft.sources.StatsCatalog.mayMatch(_, pred))
+    }
     if (kept.isEmpty) {
       // all chunks pruned: empty frame with the union schema (footer-only
       // reads, no data scan)

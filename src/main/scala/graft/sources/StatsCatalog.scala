@@ -204,6 +204,71 @@ object StatsCatalog {
     pred.exprs.isEmpty && pred.range.forall(r =>
       r.startNs <= stats.timeMin && r.stopNs > stats.timeMax)
 
+  /** Statistics-based chunk pruning (the reference's PruningPredicate
+    * role over chunk min/max, query_tests/src/pruning.rs): false when
+    * the sidecar PROVES no row of the chunk can pass the predicate —
+    * its time range misses `pred.range`, or a `col OP literal` conjunct
+    * excludes the column's [min, max]. Conservative everywhere else:
+    * un-analyzable expressions, missing column stats, all-null columns
+    * with no bounds, and non-numeric/non-string literals all keep the
+    * chunk. A column the chunk LACKS reads as null there, so a
+    * comparison conjunct on it can never be satisfied — pruned. */
+  def mayMatch(stats: TableStats, pred: RpcPredicate): Boolean = {
+    val timeOk = pred.range.forall(r =>
+      stats.timeMax >= r.startNs && stats.timeMin < r.stopNs)
+    timeOk && pred.exprs.forall { e =>
+      org.apache.spark.sql.graft.ColumnBridge.extractComparison(e) match {
+        case None => true
+        case Some((colName, op, lit)) =>
+          stats.columnStats.get(colName) match {
+            case None =>
+              // stats exist but this column is absent from the chunk:
+              // its values are all null, which no comparison satisfies
+              stats.columnStats.isEmpty
+            case Some(cs) =>
+              (cs.min, cs.max) match {
+                case (Some(mn), Some(mx)) => intervalMaySatisfy(mn, mx, op, lit)
+                case _ => cs.count > 0 || stats.columnStats.isEmpty
+              }
+          }
+      }
+    }
+  }
+
+  /** Can any value in [min, max] satisfy `value OP lit`? Numeric
+    * literals compare numerically against the rendered stats; strings
+    * compare lexicographically (matching the native-order-then-render
+    * discipline of the stats themselves). */
+  private def intervalMaySatisfy(min: String, max: String, op: String,
+      lit: Any): Boolean = {
+    def num(s: String): Option[Double] =
+      try Some(s.toDouble) catch { case _: NumberFormatException => None }
+    lit match {
+      case n: Number =>
+        val v = n.doubleValue()
+        (num(min), num(max)) match {
+          case (Some(mn), Some(mx)) => op match {
+            case "<" => mn < v
+            case "<=" => mn <= v
+            case ">" => mx > v
+            case ">=" => mx >= v
+            case "=" | "==" => mn <= v && v <= mx
+            case _ => true
+          }
+          case _ => true // stats not numeric: cannot analyze
+        }
+      case s: String => op match {
+        case "<" => min < s
+        case "<=" => min <= s
+        case ">" => max > s
+        case ">=" => max >= s
+        case "=" | "==" => min <= s && s <= max
+        case _ => true
+      }
+      case _ => true
+    }
+  }
+
   /** tag_values from the sidecar when possible; `fallback` (the scan
     * path) otherwise. */
   def tagValuesFast(spark: SparkSession, tablePath: String, tag: String,

@@ -196,15 +196,26 @@ object Lifecycle {
       * self-clean iff its sidecar RECORDS a SortKey equal to the scan's
       * dedup key — metadata-driven like the reference's
       * may_contain_pk_duplicates, not a naming convention. */
-    def scan(): DataFrame = {
+    def scan(): DataFrame = scan(graft.core.RpcPredicate())
+
+    /** Predicate-aware scan: chunks whose sidecar stats prove the
+      * predicate unsatisfiable (time range or column min/max —
+      * [[StatsCatalog.mayMatch]], reference pruning.rs) never reach the
+      * plan; the predicate then applies to the surviving union. */
+    def scan(pred: graft.core.RpcPredicate): DataFrame = {
       val cs = chunks()
       require(cs.nonEmpty, s"no chunks under $tablePath")
-      Upsert.scanWithDedup(cs.map { c =>
-        val stats = StatsCatalog.load(spark, c.path)
+      val loaded = cs.map(c => c -> StatsCatalog.load(spark, c.path))
+      val kept = loaded.filter { case (_, st) =>
+        st.forall(StatsCatalog.mayMatch(_, pred))
+      }
+      if (kept.isEmpty)
+        return pred.applyTo(spark.read.parquet(cs.head.path).limit(0))
+      pred.applyTo(Upsert.scanWithDedup(kept.map { case (c, stats) =>
         val range = stats.map(st => (st.timeMin, st.timeMax))
           .getOrElse((Long.MinValue, Long.MaxValue))
         (spark.read.parquet(c.path), range, stats.flatMap(_.sortKey).contains(pkCols))
-      }, pkCols)
+      }, pkCols))
     }
 
     /** system.chunks rows (server/src/db/system_tables.rs:192-206): one

@@ -32,6 +32,37 @@ object ColumnBridge {
     fromExpr(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
       toExpr(a), toExpr(b)))
 
+  /** A single comparison conjunct `col OP literal` (or the literal-first
+    * mirror) extracted from a Column, as (column, op, literal) with op in
+    * `< <= > >= = ==`. None when the expression is anything richer —
+    * callers treat that as "cannot analyze" and keep the chunk. Feeds
+    * statistics-based chunk pruning (the reference's PruningPredicate
+    * role over chunk-level min/max). */
+  def extractComparison(c: Column): Option[(String, String, Any)] = {
+    import org.apache.spark.sql.internal._
+    def attrOf(n: ColumnNode): Option[String] = n match {
+      case a: UnresolvedAttribute => Some(a.nameParts.mkString("."))
+      case _ => None
+    }
+    def litOf(n: ColumnNode): Option[Any] = n match {
+      case l: Literal => Some(l.value)
+      case _ => None
+    }
+    val flip = Map("<" -> ">", "<=" -> ">=", ">" -> "<", ">=" -> "<=",
+      "=" -> "=", "==" -> "==")
+    c.node match {
+      case f: UnresolvedFunction if flip.contains(f.functionName) &&
+          f.arguments.size == 2 =>
+        (attrOf(f.arguments.head), litOf(f.arguments(1)),
+          attrOf(f.arguments(1)), litOf(f.arguments.head)) match {
+          case (Some(a), Some(v), _, _) => Some((a, f.functionName, v))
+          case (_, _, Some(a), Some(v)) => Some((a, flip(f.functionName), v))
+          case _ => scala.None
+        }
+      case _ => scala.None
+    }
+  }
+
   /** All column names a Column expression references (its unresolved
     * attributes) — used to check a predicate against a table schema
     * before application (the reference's influxrpc planner skips tables
