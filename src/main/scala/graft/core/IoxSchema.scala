@@ -39,6 +39,40 @@ object IoxSchema {
   def primaryKey(schema: StructType): Seq[String] =
     tagColumns(schema).sorted :+ NsTime.TimeColumn
 
+  // ------------------------------------------------------------ sort key
+
+  val SortKeyMeta = "graft.sortKey"
+
+  /** Record a sort key on the schema (the reference's
+    * `Schema::set_sort_key`, internal_types/src/schema.rs via
+    * sort.rs:89-146): any ORDER and any SUBSET of the schema's columns is
+    * valid — a later set REPLACES an earlier one entirely
+    * (table_schema.rs test_set_sort_key_valid_{same_order,
+    * different_order,subset,subset_of_fully_set}); a column the schema
+    * lacks is an error (test_set_sort_key_invalid_not_exist). Stored as
+    * schema-level metadata on each member field's position in the key,
+    * the same information the chunk sidecars persist
+    * ([[graft.sources.StatsCatalog.TableStats.sortKey]]). */
+  def setSortKey(schema: StructType, sortKey: Seq[String]): StructType = {
+    val missing = sortKey.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"sort key column(s) not in schema: ${missing.mkString(", ")}")
+    StructType(schema.fields.map { f =>
+      val mb = new MetadataBuilder().withMetadata(f.metadata)
+      val idx = sortKey.indexOf(f.name)
+      if (idx >= 0) mb.putLong(SortKeyMeta, idx.toLong)
+      else mb.remove(SortKeyMeta) // a new key REPLACES any previous one
+      f.copy(metadata = mb.build())
+    })
+  }
+
+  /** The recorded sort key in order, empty when none is set. */
+  def sortKeyOf(schema: StructType): Seq[String] =
+    schema.fields.toSeq
+      .filter(_.metadata.contains(SortKeyMeta))
+      .sortBy(_.metadata.getLong(SortKeyMeta))
+      .map(_.name)
+
   /** Union two frames whose schemas may differ (chunks of one table may
     * carry different column sets over time — schema merge,
     * internal_types/src/schema/merge.rs). unionByName with
