@@ -106,22 +106,34 @@ object Upsert {
       }))
     // statistics pruning (query_tests/src/pruning.rs; the reference's
     // PruningPredicate over chunk min/max): a chunk whose sidecar proves
-    // the predicate unsatisfiable — time range disjoint, or a
-    // column-comparison conjunct outside the column's [min, max] — is
-    // dropped before ANY footer or data read. At scale this is what
-    // keeps selective queries O(matching chunks), not O(all chunks).
-    val kept = keptByKey.filter { p =>
-      graft.sources.StatsCatalog.load(spark, p)
-        .forall(graft.sources.StatsCatalog.mayMatch(_, pred))
+    // the predicate unsatisfiable is dropped before ANY footer or data
+    // read. Time-range pruning is dedup-safe everywhere (the dedup key
+    // includes time, so a time-disjoint chunk can't hold another chunk's
+    // PK); FIELD min/max pruning applies only to chunks overlapping no
+    // other chunk — pruning an overlapped chunk could drop the LATEST
+    // value of a shared PK and resurrect a stale one through dedup.
+    val loaded = keptByKey.map(p => p -> graft.sources.StatsCatalog.load(spark, p))
+    val timeKept = loaded.filter { case (_, st) =>
+      st.forall(graft.sources.StatsCatalog.timeMayMatch(_, pred))
     }
+    val ranges = timeKept.map { case (_, st) =>
+      st.map(s => (s.timeMin, s.timeMax)).getOrElse((Long.MinValue, Long.MaxValue))
+    }
+    val overlapped: Set[Int] = overlapGroups(ranges)
+      .filter(_.size > 1).flatten.toSet
+    val kept = timeKept.zipWithIndex.filter { case ((_, st), i) =>
+      overlapped.contains(i) ||
+        st.forall(graft.sources.StatsCatalog.fieldsMayMatch(_, pred))
+    }.map(_._1)
     if (kept.isEmpty) {
-      // all chunks pruned: empty frame with the union schema (footer-only
-      // reads, no data scan)
-      val empty = spark.read.parquet(chunkPaths.head).limit(0)
+      // all chunks pruned: empty frame with the UNION schema (footer-only
+      // reads, no data scan — and the schema must not depend on which
+      // chunks were pruned)
+      val empty = graft.core.IoxSchema.mergeUnion(
+        chunkPaths.map(p => spark.read.parquet(p).limit(0)))
       return pred.applyTo(empty)
     }
-    val chunks = kept.map { p =>
-      val stats = graft.sources.StatsCatalog.load(spark, p)
+    val chunks = kept.map { case (p, stats) =>
       val range = stats.map(st => (st.timeMin, st.timeMax))
         .getOrElse((Long.MinValue, Long.MaxValue)) // unknown: overlaps all
       // SortKey metadata (sort.rs:89-146): a recorded sort order that

@@ -791,76 +791,22 @@ object HttpFacade {
     for (db <- jsonStrField(json, "database_name");
          q <- jsonStrField(json, "sql_query")) yield (db, q)
 
-  private[server] def jsonStrField(json: String, key: String): Option[String] = {
-    val re = ("\"" + key + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
-    re.findFirstMatchIn(json).map(m => unescapeJson(m.group(1)))
-  }
+  // JSON field extraction delegates to the shared quote-aware
+  // implementation (graft.core.Json) — one parser for the facade and
+  // the rules codec.
+  private[server] def jsonStrField(json: String, key: String): Option[String] =
+    graft.core.Json.strField(json, key)
 
-  private[server] def jsonLongField(json: String, key: String): Option[Long] = {
-    val re = ("\"" + key + "\"\\s*:\\s*(-?\\d+)").r
-    re.findFirstMatchIn(json).map(_.group(1).toLong)
-  }
+  private[server] def jsonLongField(json: String, key: String): Option[Long] =
+    graft.core.Json.longField(json, key)
 
-  /** `"key": {"a": "x", "b": "y"}` -> Map(a->x, b->y); absent -> empty.
-    * Flat string-to-string objects only (the predicate sub-documents). */
-  private[graft] def jsonStrMapField(json: String, key: String): Map[String, String] = {
-    ("\"" + key + "\"\\s*:\\s*\\{([^}]*)\\}").r
-      .findFirstMatchIn(json).map(_.group(1)) match {
-      case None => Map.empty
-      case Some(inner) =>
-        val pairRe = ("\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
-        pairRe.findAllMatchIn(inner)
-          .map(m => unescapeJson(m.group(1)) -> unescapeJson(m.group(2))).toMap
-    }
-  }
+  /** `"key": {"a": "x"}` -> Map; quote-aware (values may contain '}'). */
+  private[graft] def jsonStrMapField(json: String, key: String): Map[String, String] =
+    graft.core.Json.strMapField(json, key)
 
-  /** `"key": ["a", "b"]` -> Seq(a, b); absent or empty -> Nil. Scans to
-    * the MATCHING close bracket respecting string quoting, so elements
-    * containing `]` (legal in tag names) survive intact. */
-  private[graft] def jsonStrArrayField(json: String, key: String): Seq[String] = {
-    val open = ("\"" + key + "\"\\s*:\\s*\\[").r
-    open.findFirstMatchIn(json) match {
-      case None => Nil
-      case Some(m) =>
-        var i = m.end
-        var inStr = false
-        var escaped = false
-        val sb = new StringBuilder
-        var done = false
-        while (!done && i < json.length) {
-          val c = json.charAt(i)
-          if (escaped) { sb.append(c); escaped = false }
-          else if (inStr && c == '\\') { sb.append(c); escaped = true }
-          else if (c == '"') { sb.append(c); inStr = !inStr }
-          else if (c == ']' && !inStr) done = true
-          else sb.append(c)
-          i += 1
-        }
-        val strRe = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
-        strRe.findAllMatchIn(sb.toString).map(g => unescapeJson(g.group(1))).toSeq
-    }
-  }
-
-  private def unescapeJson(s: String): String = {
-    val sb = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '\\' && i + 1 < s.length) {
-        s.charAt(i + 1) match {
-          case 'n' => sb += '\n'; i += 2
-          case 'r' => sb += '\r'; i += 2
-          case 't' => sb += '\t'; i += 2
-          case 'b' => sb += '\b'; i += 2
-          case 'f' => sb += '\f'; i += 2
-          case 'u' if i + 5 < s.length =>
-            sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
-          case other => sb += other; i += 2
-        }
-      } else { sb += c; i += 1 }
-    }
-    sb.toString
-  }
+  /** `"key": ["a", "b"]` -> Seq; quote-aware (elements may contain ']'). */
+  private[graft] def jsonStrArrayField(json: String, key: String): Seq[String] =
+    graft.core.Json.strArrayField(json, key)
 
   private def urlEnc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
@@ -979,16 +925,7 @@ object HttpFacade {
       "\"" + s.replace("\"", "\"\"") + "\""
     else s
 
-  private def jsonStr(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+  private def jsonStr(s: String): String = graft.core.Json.str(s)
 
   private def jsonVal(v: Any): String = v match {
     case null => "null"

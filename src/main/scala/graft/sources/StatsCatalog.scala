@@ -204,27 +204,48 @@ object StatsCatalog {
     pred.exprs.isEmpty && pred.range.forall(r =>
       r.startNs <= stats.timeMin && r.stopNs > stats.timeMax)
 
-  /** Statistics-based chunk pruning (the reference's PruningPredicate
-    * role over chunk min/max, query_tests/src/pruning.rs): false when
-    * the sidecar PROVES no row of the chunk can pass the predicate —
-    * its time range misses `pred.range`, or a `col OP literal` conjunct
-    * excludes the column's [min, max]. Conservative everywhere else:
-    * un-analyzable expressions, missing column stats, all-null columns
-    * with no bounds, and non-numeric/non-string literals all keep the
-    * chunk. A column the chunk LACKS reads as null there, so a
-    * comparison conjunct on it can never be satisfied — pruned. */
-  def mayMatch(stats: TableStats, pred: RpcPredicate): Boolean = {
-    val timeOk = pred.range.forall(r =>
+  /** Time-range pruning check: false when the chunk's data time range
+    * provably misses `pred.range`. DEDUP-SAFE for any chunk: the dedup
+    * key includes time, so a time-disjoint chunk cannot hold another
+    * chunk's PK and pruning it can never change upsert results. */
+  def timeMayMatch(stats: TableStats, pred: RpcPredicate): Boolean =
+    pred.range.forall(r =>
       stats.timeMax >= r.startNs && stats.timeMin < r.stopNs)
-    timeOk && pred.exprs.forall { e =>
+
+  /** Field/column statistics pruning (the reference's PruningPredicate
+    * role over chunk min/max, query_tests/src/pruning.rs): false when a
+    * `col OP literal` conjunct excludes the column's [min, max].
+    * Conservative everywhere else: un-analyzable expressions, missing
+    * column stats, all-null columns with no bounds, and ambiguous
+    * literal/stat type pairings all keep the chunk. A column the chunk
+    * LACKS reads as null there, so a comparison conjunct on it can never
+    * be satisfied — pruned.
+    *
+    * NOT dedup-safe on its own: a pruned chunk could hold the LATEST
+    * value for a PK that also lives in a kept chunk, and upsert dedup
+    * would then resurrect the stale value. Callers must apply this only
+    * to chunks whose PK range overlaps no other chunk ([[mayMatch]]'s
+    * contract is the conjunction; the scan layers enforce the overlap
+    * restriction). */
+  def fieldsMayMatch(stats: TableStats, pred: RpcPredicate): Boolean =
+    pred.exprs.forall { e =>
       org.apache.spark.sql.graft.ColumnBridge.extractComparison(e) match {
         case None => true
         case Some((colName, op, lit)) =>
-          stats.columnStats.get(colName) match {
+          // Spark resolves columns case-insensitively by default; honor
+          // exact match first, then a unique case-insensitive one
+          val cs0 = stats.columnStats.get(colName).orElse {
+            stats.columnStats.filter(_._1.equalsIgnoreCase(colName)) match {
+              case one if one.size == 1 => Some(one.head._2)
+              case _ => None
+            }
+          }
+          cs0 match {
             case None =>
               // stats exist but this column is absent from the chunk:
               // its values are all null, which no comparison satisfies
-              stats.columnStats.isEmpty
+              stats.columnStats.isEmpty ||
+                stats.columnStats.keys.exists(_.equalsIgnoreCase(colName))
             case Some(cs) =>
               (cs.min, cs.max) match {
                 case (Some(mn), Some(mx)) => intervalMaySatisfy(mn, mx, op, lit)
@@ -233,39 +254,44 @@ object StatsCatalog {
           }
       }
     }
-  }
 
-  /** Can any value in [min, max] satisfy `value OP lit`? Numeric
-    * literals compare numerically against the rendered stats; strings
-    * compare lexicographically (matching the native-order-then-render
-    * discipline of the stats themselves). */
+  /** Combined check for chunks where both prunes are safe (no PK
+    * overlap with any other chunk). */
+  def mayMatch(stats: TableStats, pred: RpcPredicate): Boolean =
+    timeMayMatch(stats, pred) && fieldsMayMatch(stats, pred)
+
+  /** Can any value in [min, max] satisfy `value OP lit`? Values compare
+    * as exact BigDecimals whenever both the rendered stats and the
+    * literal parse numerically (exact at any long magnitude — a Double
+    * detour would mislabel ns-epoch values above 2^53); strings compare
+    * lexicographically only when the STATS are non-numeric too (a
+    * numeric column probed with a string literal goes through Spark's
+    * cast, which this check cannot reproduce — keep the chunk). */
   private def intervalMaySatisfy(min: String, max: String, op: String,
       lit: Any): Boolean = {
-    def num(s: String): Option[Double] =
-      try Some(s.toDouble) catch { case _: NumberFormatException => None }
-    lit match {
-      case n: Number =>
-        val v = n.doubleValue()
-        (num(min), num(max)) match {
-          case (Some(mn), Some(mx)) => op match {
-            case "<" => mn < v
-            case "<=" => mn <= v
-            case ">" => mx > v
-            case ">=" => mx >= v
-            case "=" | "==" => mn <= v && v <= mx
-            case _ => true
-          }
-          case _ => true // stats not numeric: cannot analyze
-        }
-      case s: String => op match {
-        case "<" => min < s
-        case "<=" => min <= s
-        case ">" => max > s
-        case ">=" => max >= s
-        case "=" | "==" => min <= s && s <= max
+    def num(s: String): Option[BigDecimal] =
+      try Some(BigDecimal(s)) catch { case _: NumberFormatException => None }
+    val statBounds = (num(min), num(max))
+    val litNum: Option[BigDecimal] = lit match {
+      case n: Number => num(n.toString)
+      case s: String => num(s)
+      case _ => None
+    }
+    def interval[A](mn: A, mx: A, v: A)(implicit ord: Ordering[A]): Boolean = {
+      import ord._
+      op match {
+        case "<" => mn < v
+        case "<=" => mn <= v
+        case ">" => mx > v
+        case ">=" => mx >= v
+        case "=" | "==" => mn <= v && v <= mx
         case _ => true
       }
-      case _ => true
+    }
+    (statBounds, litNum, lit) match {
+      case ((Some(mn), Some(mx)), Some(v), _) => interval(mn, mx, v)
+      case ((None, None), _, s: String) => interval(min, max, s)
+      case _ => true // mixed numeric/string pairing: cannot analyze
     }
   }
 

@@ -50,16 +50,7 @@ object DatabaseRules {
 
   // ---------------------------------------------------------------- json
 
-  private def jStr(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c.isControl => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+  private def jStr(s: String): String = graft.core.Json.str(s)
 
   def toJson(r: DatabaseRules): String = {
     val parts = r.partitionTemplate.parts.map {
@@ -84,39 +75,25 @@ object DatabaseRules {
       .mkString("{", ",", "}")
   }
 
-  private val strField = (json: String, key: String) =>
-    ("\"" + key + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
-      .findFirstMatchIn(json).map(m => unescape(m.group(1)))
-  private val longField = (json: String, key: String) =>
-    ("\"" + key + "\"\\s*:\\s*(-?\\d+)").r.findFirstMatchIn(json).map(_.group(1).toLong)
-  private val boolField = (json: String, key: String) =>
-    ("\"" + key + "\"\\s*:\\s*(true|false)").r
-      .findFirstMatchIn(json).map(_.group(1) == "true")
-
-  private def unescape(s: String): String = {
-    val sb = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '\\' && i + 1 < s.length) {
-        s.charAt(i + 1) match {
-          case 'n' => sb += '\n'; i += 2
-          case 'r' => sb += '\r'; i += 2
-          case 't' => sb += '\t'; i += 2
-          case 'u' if i + 5 < s.length + 1 =>
-            sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
-          case other => sb += other; i += 2
-        }
-      } else { sb += c; i += 1 }
-    }
-    sb.toString
-  }
+  private val strField = graft.core.Json.strField _
+  private val longField = graft.core.Json.longField _
+  private val boolField = graft.core.Json.boolField _
 
   /** Parse rules JSON; absent fields fall back to defaults (the
     * reference's serde defaults). Unknown template part kinds and name
-    * violations are errors, not silent drops. */
+    * violations are errors, not silent drops. Field order is free: the
+    * partition_template block is excised before the top-level scalar
+    * fields are read, so a template column part named "name" or
+    * "write_buffer" cannot shadow them. */
   def fromJson(json: String): Either[String, DatabaseRules] = {
-    val name = strField(json, "name") match {
+    val templateSpan = graft.core.Json.blockField(json, "partition_template", '[', ']')
+    // top-level scalars are read from the document WITHOUT the template
+    // array (whose parts have their own "name"/"format" keys)
+    val top = templateSpan match {
+      case Some((_, s, e)) => json.substring(0, s) + json.substring(e)
+      case None => json
+    }
+    val name = strField(top, "name") match {
       case None => return Left("""missing "name"""")
       case Some(n) => validateName(n) match {
         case Left(e) => return Left(e)
@@ -124,8 +101,7 @@ object DatabaseRules {
       }
     }
     val template: Either[String, PartitionTemplate] =
-      ("\"partition_template\"\\s*:\\s*\\[([^\\]]*)\\]").r
-        .findFirstMatchIn(json).map(_.group(1)) match {
+      templateSpan.map(_._1) match {
         case None => Right(DefaultTemplate)
         case Some(inner) if inner.trim.isEmpty => Right(DefaultTemplate)
         case Some(inner) =>
@@ -146,8 +122,8 @@ object DatabaseRules {
           }
       }
     template.map { tpl =>
-      val lcJson = ("\"lifecycle\"\\s*:\\s*\\{([^}]*)\\}").r
-        .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+      val lcJson = graft.core.Json.blockField(top, "lifecycle", '{', '}')
+        .map(_._1).getOrElse("")
       val d = Lifecycle.Rules()
       val lc = Lifecycle.Rules(
         lateArriveWindowMs = longField(lcJson, "late_arrive_window_ms")
@@ -162,7 +138,7 @@ object DatabaseRules {
         dropNonPersisted = boolField(lcJson, "drop_non_persisted")
           .getOrElse(d.dropNonPersisted),
         retentionNs = longField(lcJson, "retention_ns"))
-      DatabaseRules(name, tpl, lc, strField(json, "write_buffer"))
+      DatabaseRules(name, tpl, lc, strField(top, "write_buffer"))
     }
   }
 }

@@ -199,18 +199,30 @@ object Lifecycle {
     def scan(): DataFrame = scan(graft.core.RpcPredicate())
 
     /** Predicate-aware scan: chunks whose sidecar stats prove the
-      * predicate unsatisfiable (time range or column min/max —
-      * [[StatsCatalog.mayMatch]], reference pruning.rs) never reach the
-      * plan; the predicate then applies to the surviving union. */
+      * predicate unsatisfiable (time range everywhere; column min/max
+      * only for chunks overlapping no other chunk — field pruning of an
+      * overlapped chunk could resurrect a stale PK value through dedup)
+      * never reach the plan; the predicate then applies to the
+      * surviving union. */
     def scan(pred: graft.core.RpcPredicate): DataFrame = {
       val cs = chunks()
       require(cs.nonEmpty, s"no chunks under $tablePath")
       val loaded = cs.map(c => c -> StatsCatalog.load(spark, c.path))
-      val kept = loaded.filter { case (_, st) =>
-        st.forall(StatsCatalog.mayMatch(_, pred))
+      val timeKept = loaded.filter { case (_, st) =>
+        st.forall(StatsCatalog.timeMayMatch(_, pred))
       }
+      val ranges = timeKept.map { case (_, st) =>
+        st.map(s => (s.timeMin, s.timeMax)).getOrElse((Long.MinValue, Long.MaxValue))
+      }
+      val overlapped: Set[Int] = Upsert.overlapGroups(ranges)
+        .filter(_.size > 1).flatten.toSet
+      val kept = timeKept.zipWithIndex.filter { case ((_, st), i) =>
+        overlapped.contains(i) ||
+          st.forall(StatsCatalog.fieldsMayMatch(_, pred))
+      }.map(_._1)
       if (kept.isEmpty)
-        return pred.applyTo(spark.read.parquet(cs.head.path).limit(0))
+        return pred.applyTo(graft.core.IoxSchema.mergeUnion(
+          cs.map(c => spark.read.parquet(c.path).limit(0))))
       pred.applyTo(Upsert.scanWithDedup(kept.map { case (c, stats) =>
         val range = stats.map(st => (st.timeMin, st.timeMax))
           .getOrElse((Long.MinValue, Long.MaxValue))

@@ -47,6 +47,18 @@ class DatabaseRulesSpec extends AnyFunSuite {
       """{"name":"x","partition_template":[{"part":"nope"}]}""").isLeft)
     assert(DatabaseRules.fromJson(
       """{"name":"x","partition_template":[{"part":"column"}]}""").isLeft)
+    // a malformed unicode escape parses leniently (literal text), not a
+    // crash (built by concat: scalac itself pre-processes backslash-u)
+    assert(DatabaseRules.fromJson(
+      """{"name":"x","write_buffer":"a\""" + """u12"}""").isRight)
+  }
+
+  test("field order is free: a column part's name key cannot shadow the database name") {
+    val reordered = DatabaseRules.fromJson(
+      """{"partition_template":[{"part":"column","name":"region"}],"name":"mydb"}""")
+    assert(reordered.map(_.name) == Right("mydb"))
+    assert(reordered.map(_.partitionTemplate) == Right(
+      PartitionTemplate(Seq(TemplatePart.ColumnValue("region")))))
   }
 
   test("management routes: put/get/list rules; configured template drives partitions") {

@@ -19,6 +19,11 @@ import graft.streaming.Lifecycle
 class PruningSpec extends SparkSpec {
   import spark.implicits._
 
+  /** The pruning.rs fixture with one deliberate change: the chunks are
+    * TIME-DISJOINT (the reference's overlap in time means its pruning
+    * can change which duplicate survives dedup — an interaction this
+    * engine refuses: field pruning only applies to chunks overlapping
+    * no other chunk; see the dedup-safety test below). */
   private def table(): Lifecycle.ChunkedTable = {
     val dir = Files.createTempDirectory("graft-prune").toString
     val t = new Lifecycle.ChunkedTable(spark, dir, pkCols = Seq("host", "time"))
@@ -27,7 +32,7 @@ class PruningSpec extends SparkSpec {
       "cpu,host=a bar=1.0 10", "cpu,host=b bar=2.0 20"))("cpu"), nowMs = 0L)
     // chunk 1: bar = 3 everywhere (pruning.rs:37-40) — the pruned one
     t.writeChunk(LineProtocol.ingest(spark, Seq(
-      "cpu,host=c bar=3.0 10", "cpu,host=c bar=3.0 100",
+      "cpu,host=c bar=3.0 30", "cpu,host=c bar=3.0 100",
       "cpu,host=c bar=3.0 1000"))("cpu"), nowMs = 0L)
     t
   }
@@ -74,6 +79,47 @@ class PruningSpec extends SparkSpec {
     assert(t.scan(RpcPredicate().withExpr(col("bar") === 2.0))
       .inputFiles.forall(_.contains("open-0")))
     assert(t.scan(RpcPredicate().withExpr(col("bar") === 9.0)).count() == 0L)
+  }
+
+  test("field pruning never resurrects a stale PK value through dedup") {
+    // chunk 0 and chunk 1 OVERLAP in time and share PK (host=a, 10);
+    // the later chunk's bar=5.0 is the live value. A naive bar<3 field
+    // prune would drop chunk 1 and resurrect bar=1.0 — the correct
+    // upsert-deduped answer is: time=10 carries bar=5.0, which fails
+    // bar<3, so only (b, 2.0, 20) survives.
+    val dir = Files.createTempDirectory("graft-prune3").toString
+    val t = new Lifecycle.ChunkedTable(spark, dir, pkCols = Seq("host", "time"))
+    t.writeChunk(LineProtocol.ingest(spark, Seq(
+      "cpu,host=a bar=1.0 10", "cpu,host=b bar=2.0 20"))("cpu"), nowMs = 0L)
+    t.writeChunk(LineProtocol.ingest(spark, Seq(
+      "cpu,host=a bar=5.0 10"))("cpu"), nowMs = 0L)
+    val out = t.scan(RpcPredicate().withExpr(col("bar") < 3.0))
+    assert(out.select("host", "bar", "time")
+      .as[(String, Double, Long)].collect().toSeq == Seq(("b", 2.0, 20L)))
+  }
+
+  test("interval checks are exact for long magnitudes and case-insensitive on columns") {
+    import graft.sources.StatsCatalog
+    import StatsCatalog.{ColumnStat, TableStats}
+    val big = 9007199254740993L // 2^53 + 1: a Double detour would round
+    val st = TableStats(rowCount = 1, timeMin = 0, timeMax = 0,
+      tagValues = Map.empty, cappedTags = Nil,
+      columnStats = Map("seq" -> ColumnStat(1,
+        Some(big.toString), Some(big.toString))))
+    // max = 2^53+1 satisfies > 2^53; double rounding would prune it
+    assert(StatsCatalog.fieldsMayMatch(st,
+      RpcPredicate().withExpr(col("seq") > 9007199254740992L)))
+    assert(!StatsCatalog.fieldsMayMatch(st,
+      RpcPredicate().withExpr(col("seq") > big)))
+    // Spark resolves columns case-insensitively; so does the prune check
+    assert(StatsCatalog.fieldsMayMatch(st,
+      RpcPredicate().withExpr(col("SEQ") === big)))
+    // a numeric-looking STRING literal compares numerically ("10" vs 5.0
+    // lexicographic would wrongly prune)
+    val st2 = st.copy(columnStats = Map("bar" -> ColumnStat(1,
+      Some("5.0"), Some("20.0"))))
+    assert(StatsCatalog.fieldsMayMatch(st2,
+      RpcPredicate().withExpr(col("bar") === "10")))
   }
 
   test("a comparison on a column the chunk lacks prunes it (all-null there)") {
