@@ -62,6 +62,14 @@ object Json {
         strRe.findAllMatchIn(inner).map(m => unescape(m.group(1))).toSeq
     }
 
+  /** `"key": [1, 2]` -> Seq(1, 2); absent -> Nil. */
+  def longArrayField(json: String, key: String): Seq[Long] =
+    blockField(json, key, '[', ']') match {
+      case None => Nil
+      case Some((inner, _, _)) =>
+        "-?\\d+".r.findAllIn(inner).map(_.toLong).toSeq
+    }
+
   /** `"key": {"a": "x"}` -> Map(a -> x); absent -> empty. Flat
     * string-to-string objects only. */
   def strMapField(json: String, key: String): Map[String, String] =

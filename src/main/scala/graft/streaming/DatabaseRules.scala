@@ -30,7 +30,10 @@ final case class DatabaseRules(
     name: String,
     partitionTemplate: PartitionTemplate = DatabaseRules.DefaultTemplate,
     lifecycle: Lifecycle.Rules = Lifecycle.Rules(),
-    writeBufferConnection: Option[String] = None)
+    writeBufferConnection: Option[String] = None,
+    /** Routing (database_rules.rs:49-51 RoutingRules / ShardConfig):
+      * specific table-regex targets win over the hash ring. */
+    shardConfig: Option[graft.core.Sharding.ShardConfig] = None)
 
 object DatabaseRules {
 
@@ -68,10 +71,22 @@ object DatabaseRules {
       lc.bufferSizeSoft.map(v => s""""buffer_size_soft":$v""") ++
       lc.bufferSizeHard.map(v => s""""buffer_size_hard":$v""") ++
       lc.retentionNs.map(v => s""""retention_ns":$v""")
+    val shardJson = r.shardConfig.map { sc =>
+      val targets = sc.specificTargets.map { case (m, shard) =>
+        s"""{"regex":${jStr(m.tableRegex)},"shard":$shard}"""
+      }.mkString("[", ",", "]")
+      val ring = sc.hashRing.map { h =>
+        s""""hash_ring":{"include_table":${h.includeTable},""" +
+          s""""columns":${h.columns.map(jStr).mkString("[", ",", "]")},""" +
+          s""""shards":${h.shards.mkString("[", ",", "]")}}"""
+      }
+      (Seq(s""""specific_targets":$targets""") ++ ring).mkString("{", ",", "}")
+    }
     (Seq(s""""name":${jStr(r.name)}""",
       s""""partition_template":$parts""",
       s""""lifecycle":${lcJson.mkString("{", ",", "}")}""") ++
-      r.writeBufferConnection.map(c => s""""write_buffer":${jStr(c)}"""))
+      r.writeBufferConnection.map(c => s""""write_buffer":${jStr(c)}""") ++
+      shardJson.map(s => s""""shard_config":$s"""))
       .mkString("{", ",", "}")
   }
 
@@ -138,7 +153,27 @@ object DatabaseRules {
         dropNonPersisted = boolField(lcJson, "drop_non_persisted")
           .getOrElse(d.dropNonPersisted),
         retentionNs = longField(lcJson, "retention_ns"))
-      DatabaseRules(name, tpl, lc, strField(top, "write_buffer"))
+      val shardCfg = graft.core.Json.blockField(top, "shard_config", '{', '}')
+        .map { case (sc, _, _) =>
+          val targets = graft.core.Json.blockField(sc, "specific_targets", '[', ']')
+            .map(_._1).toSeq.flatMap { inner =>
+              "\\{[^}]*\\}".r.findAllIn(inner).toSeq.flatMap { o =>
+                for (re <- strField(o, "regex"); sh <- longField(o, "shard"))
+                  yield (graft.core.Sharding.Matcher(re), sh.toInt)
+              }
+            }
+          val ring = graft.core.Json.blockField(sc, "hash_ring", '{', '}')
+            .map(_._1).flatMap { h =>
+              val shards = graft.core.Json.longArrayField(h, "shards").map(_.toInt)
+              if (shards.isEmpty) scala.None
+              else Some(graft.core.Sharding.HashRing(
+                boolField(h, "include_table").getOrElse(false),
+                graft.core.Json.strArrayField(h, "columns"),
+                shards.toIndexedSeq))
+            }
+          graft.core.Sharding.ShardConfig(targets, ring)
+        }
+      DatabaseRules(name, tpl, lc, strField(top, "write_buffer"), shardCfg)
     }
   }
 }

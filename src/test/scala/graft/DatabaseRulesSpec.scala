@@ -23,7 +23,12 @@ class DatabaseRulesSpec extends AnyFunSuite {
       persistAgeThresholdMs = 120000L, bufferSizeSoft = Some(1000000L),
       bufferSizeHard = Some(2000000L), persist = true,
       dropNonPersisted = true, retentionNs = Some(86400000000000L)),
-    writeBufferConnection = Some("file:/buffers/o_b"))
+    writeBufferConnection = Some("file:/buffers/o_b"),
+    shardConfig = Some(graft.core.Sharding.ShardConfig(
+      specificTargets = Seq((graft.core.Sharding.Matcher("^system\\."), 0)),
+      hashRing = Some(graft.core.Sharding.HashRing(
+        includeTable = true, columns = Seq("host"),
+        shards = IndexedSeq(1, 2, 3))))))
 
   test("json codec round-trips every field") {
     assert(DatabaseRules.fromJson(DatabaseRules.toJson(full)) == Right(full))
