@@ -62,6 +62,38 @@ object Json {
         strRe.findAllMatchIn(inner).map(m => unescape(m.group(1))).toSeq
     }
 
+  /** `"key": [{...}, {...}]` -> the objects' texts; absent -> Nil.
+    * Quote-aware at both levels, so '}' inside quoted values (regex
+    * quantifiers, formats) cannot truncate an element. */
+  def objArrayField(json: String, key: String): Seq[String] =
+    blockField(json, key, '[', ']') match {
+      case None => Nil
+      case Some((inner, _, _)) =>
+        val out = Seq.newBuilder[String]
+        var i = 0
+        while (i < inner.length) {
+          if (inner.charAt(i) == '{') {
+            var depth = 1
+            var inStr = false
+            var escaped = false
+            val sb = new StringBuilder("{")
+            i += 1
+            while (depth > 0 && i < inner.length) {
+              val c = inner.charAt(i)
+              if (escaped) { sb.append(c); escaped = false }
+              else if (inStr && c == '\\') { sb.append(c); escaped = true }
+              else if (c == '"') { sb.append(c); inStr = !inStr }
+              else if (!inStr && c == '{') { depth += 1; sb.append(c) }
+              else if (!inStr && c == '}') { depth -= 1; sb.append(c) }
+              else sb.append(c)
+              i += 1
+            }
+            out += sb.toString
+          } else i += 1
+        }
+        out.result()
+    }
+
   /** `"key": [1, 2]` -> Seq(1, 2); absent -> Nil. */
   def longArrayField(json: String, key: String): Seq[Long] =
     blockField(json, key, '[', ']') match {

@@ -4,10 +4,10 @@ import graft.core.{PartitionTemplate, TemplatePart}
 
 /** Per-database configuration — the reference's `DatabaseRules`
   * (data_types/src/database_rules.rs:38-59: name, partition template,
-  * lifecycle rules, optional write-buffer connection; routing rules and
-  * the cleanup-sleep knob have no analog here). The management surface
-  * stores one of these per database and the write/lifecycle paths read
-  * their knobs from it.
+  * lifecycle rules, optional write-buffer connection, shard routing
+  * config; only the cleanup-sleep knob has no analog here). The
+  * management surface stores one of these per database and the
+  * write/lifecycle paths read their knobs from it.
   *
   * Names follow the reference's `DatabaseName` invariant
   * (database_name.rs:7,55-75): 1..=64 characters, no control characters.
@@ -23,7 +23,10 @@ import graft.core.{PartitionTemplate, TemplatePart}
   *               "persist_age_threshold_ms":1800000,"persist":true,
   *               "buffer_size_soft":10000000,"buffer_size_hard":20000000,
   *               "drop_non_persisted":false,"retention_ns":86400000000000},
-  *  "write_buffer":"file:/buffers/mydb"}
+  *  "write_buffer":"file:/buffers/mydb",
+  *  "shard_config":{"specific_targets":[{"regex":"^system\\.","shard":0}],
+  *                  "hash_ring":{"include_table":true,"columns":["host"],
+  *                               "shards":[1,2,3]}}}
   * }}}
   */
 final case class DatabaseRules(
@@ -115,12 +118,12 @@ object DatabaseRules {
         case Right(v) => v
       }
     }
+    // quote-aware object iteration throughout: '}' or ']' inside quoted
+    // values (regex quantifiers, time formats) cannot truncate elements
     val template: Either[String, PartitionTemplate] =
-      templateSpan.map(_._1) match {
-        case None => Right(DefaultTemplate)
-        case Some(inner) if inner.trim.isEmpty => Right(DefaultTemplate)
-        case Some(inner) =>
-          val objs = "\\{[^}]*\\}".r.findAllIn(inner).toSeq
+      graft.core.Json.objArrayField(json, "partition_template") match {
+        case Nil => Right(DefaultTemplate)
+        case objs =>
           val parts = objs.map { o =>
             strField(o, "part") match {
               case Some("table") => Right(TemplatePart.Table)
@@ -136,7 +139,7 @@ object DatabaseRules {
             case None => Right(PartitionTemplate(parts.collect { case Right(p) => p }))
           }
       }
-    template.map { tpl =>
+    template.flatMap { tpl =>
       val lcJson = graft.core.Json.blockField(top, "lifecycle", '{', '}')
         .map(_._1).getOrElse("")
       val d = Lifecycle.Rules()
@@ -153,27 +156,50 @@ object DatabaseRules {
         dropNonPersisted = boolField(lcJson, "drop_non_persisted")
           .getOrElse(d.dropNonPersisted),
         retentionNs = longField(lcJson, "retention_ns"))
-      val shardCfg = graft.core.Json.blockField(top, "shard_config", '{', '}')
-        .map { case (sc, _, _) =>
-          val targets = graft.core.Json.blockField(sc, "specific_targets", '[', ']')
-            .map(_._1).toSeq.flatMap { inner =>
-              "\\{[^}]*\\}".r.findAllIn(inner).toSeq.flatMap { o =>
-                for (re <- strField(o, "regex"); sh <- longField(o, "shard"))
-                  yield (graft.core.Sharding.Matcher(re), sh.toInt)
+      val shardCfg: Either[String, Option[graft.core.Sharding.ShardConfig]] =
+        graft.core.Json.blockField(top, "shard_config", '{', '}') match {
+          case None => Right(scala.None)
+          case Some((sc, _, _)) =>
+            // malformed routing elements are ERRORS — a silently dropped
+            // target would misroute writes with no diagnostic
+            def shardId(v: Long): Either[String, Int] =
+              if (v < 0 || v > Int.MaxValue) Left(s"shard id out of range: $v")
+              else Right(v.toInt)
+            val targets = graft.core.Json.objArrayField(sc, "specific_targets")
+              .map { o =>
+                (strField(o, "regex"), longField(o, "shard")) match {
+                  case (Some(re), Some(sh)) =>
+                    shardId(sh).map(s => (graft.core.Sharding.Matcher(re), s))
+                  case _ => Left(s"specific_target needs \"regex\" and \"shard\": $o")
+                }
               }
+            targets.collectFirst { case Left(e) => e } match {
+              case Some(e) => Left(e)
+              case None =>
+                val ringE: Either[String, Option[graft.core.Sharding.HashRing]] =
+                  graft.core.Json.blockField(sc, "hash_ring", '{', '}')
+                    .map(_._1) match {
+                    case scala.None => Right(scala.None)
+                    case Some(h) =>
+                      val shardsE = graft.core.Json.longArrayField(h, "shards")
+                        .map(shardId)
+                      shardsE.collectFirst { case Left(e) => e } match {
+                        case Some(e) => Left(e)
+                        case None =>
+                          val shards = shardsE.collect { case Right(s) => s }
+                          if (shards.isEmpty) Left("hash_ring needs a non-empty \"shards\" array")
+                          else Right(Some(graft.core.Sharding.HashRing(
+                            boolField(h, "include_table").getOrElse(false),
+                            graft.core.Json.strArrayField(h, "columns"),
+                            shards.toIndexedSeq)))
+                      }
+                  }
+                ringE.map(ring => Some(graft.core.Sharding.ShardConfig(
+                  targets.collect { case Right(t) => t }, ring)))
             }
-          val ring = graft.core.Json.blockField(sc, "hash_ring", '{', '}')
-            .map(_._1).flatMap { h =>
-              val shards = graft.core.Json.longArrayField(h, "shards").map(_.toInt)
-              if (shards.isEmpty) scala.None
-              else Some(graft.core.Sharding.HashRing(
-                boolField(h, "include_table").getOrElse(false),
-                graft.core.Json.strArrayField(h, "columns"),
-                shards.toIndexedSeq))
-            }
-          graft.core.Sharding.ShardConfig(targets, ring)
         }
-      DatabaseRules(name, tpl, lc, strField(top, "write_buffer"), shardCfg)
+      shardCfg.map(sc =>
+        DatabaseRules(name, tpl, lc, strField(top, "write_buffer"), sc))
     }
   }
 }

@@ -58,6 +58,27 @@ class DatabaseRulesSpec extends AnyFunSuite {
       """{"name":"x","write_buffer":"a\""" + """u12"}""").isRight)
   }
 
+  test("shard routing: brace quantifiers survive, malformed elements error") {
+    // a regex with a {n,m} quantifier round-trips (quote-aware split)
+    val quant = DatabaseRules("x", shardConfig = Some(
+      graft.core.Sharding.ShardConfig(Seq(
+        (graft.core.Sharding.Matcher("^(cpu){1,3}$"), 5),
+        (graft.core.Sharding.Matcher("^mem$"), 7)))))
+    assert(DatabaseRules.fromJson(DatabaseRules.toJson(quant)) == Right(quant))
+    // a typo'd target key is an error, not a silently dropped route
+    assert(DatabaseRules.fromJson(
+      """{"name":"x","shard_config":{"specific_targets":[{"regexp":"a","shard":1}]}}""")
+      .isLeft)
+    // shard ids past u32/Int range error instead of wrapping
+    assert(DatabaseRules.fromJson(
+      """{"name":"x","shard_config":{"specific_targets":[{"regex":"a","shard":4294967296}]}}""")
+      .isLeft)
+    // an empty ring is an error
+    assert(DatabaseRules.fromJson(
+      """{"name":"x","shard_config":{"hash_ring":{"columns":["c"],"shards":[]}}}""")
+      .isLeft)
+  }
+
   test("field order is free: a column part's name key cannot shadow the database name") {
     val reordered = DatabaseRules.fromJson(
       """{"partition_template":[{"part":"column","name":"region"}],"name":"mydb"}""")
