@@ -421,6 +421,15 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
             respondJsonError(ex, 400, s"unknown aggregate: $aggName"); return
         }
         val groupKeys = jsonStrArrayField(body, "group_keys")
+        measurementView(db, table).foreach { df =>
+          val tags = IoxSchema.tagColumns(df.schema)
+          val bad = groupKeys.filterNot(tags.contains)
+          if (bad.nonEmpty) {
+            respondJsonError(ex, 400,
+              s"group keys must be tag columns; not tags: ${bad.mkString(", ")}")
+            return
+          }
+        }
         val planned =
           measurementView(db, table).map { df =>
             val pred = predOf(body)
@@ -478,6 +487,11 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
         if (everyNs.isEmpty && everyMonths.isEmpty) {
           respondJsonError(ex, 400,
             "window_every (ns) or window_every_months required"); return
+        }
+        if (everyNs.exists(_ <= 0L) ||
+            everyMonths.exists(m => m <= 0L || m > Int.MaxValue)) {
+          respondJsonError(ex, 400, "window width must be a positive " +
+            "duration (months fit in 32 bits)"); return
         }
         val planned =
           measurementView(db, table).map { df =>

@@ -464,6 +464,16 @@ class HttpFacadeSpec extends SparkSpec {
       // ...as is a windowed aggregate without any window width
       assert(postStatus("/api/v1/storage/read_window_aggregate",
         """{"database_name":"o_b","table":"cpu","aggregate":"sum"}""") == 400)
+      // non-positive or overflowing widths are client errors too
+      assert(postStatus("/api/v1/storage/read_window_aggregate",
+        """{"database_name":"o_b","table":"cpu","aggregate":"sum","window_every":0}""") == 400)
+      assert(postStatus("/api/v1/storage/read_window_aggregate",
+        """{"database_name":"o_b","table":"cpu","aggregate":"sum",
+           "window_every_months":4294967296}""") == 400)
+      // a group key that is not a tag is a 400, not a server error
+      assert(postStatus("/api/v1/storage/read_group",
+        """{"database_name":"o_b","table":"cpu","aggregate":"sum",
+           "group_keys":["usage"]}""") == 400)
       // an unknown database is 404 on metadata RPCs, not "empty"
       assert(postStatus("/api/v1/storage/measurement_names",
         """{"database_name":"nope"}""") == 404)
