@@ -25,7 +25,7 @@ object Skew {
     * rows sharing a key still spread (identical full rows co-locate,
     * which is harmless — they aggregate together anyway). */
   def saltColumn(df: DataFrame, factor: Int): Column =
-    pmod(xxhash64(df.columns.map(col): _*), lit(factor.toLong)).cast("int")
+    pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(factor.toLong)).cast("int")
 
   /** Two-phase salted aggregation: `aggs` are (partialExpr, mergeExpr,
     * name) triples, e.g. (sum(v), sum(partial), "total"). */

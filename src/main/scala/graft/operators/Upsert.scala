@@ -35,7 +35,7 @@ object Upsert {
     if (fields.isEmpty) df.select(pkCols.map(col): _*).distinct()
     else df.groupBy(pkCols.map(col): _*)
       .agg(lastNonNull(col(fields.head), col(seqCol)).as(fields.head),
-        fields.tail.map(f => lastNonNull(col(f), col(seqCol)).as(f)): _*)
+        fields.toIndexedSeq.tail.map(f => lastNonNull(col(f), col(seqCol)).as(f)): _*)
   }
 
   /** Overlap-aware dedup scan (reference Deduplicator::build_scan_plan,
