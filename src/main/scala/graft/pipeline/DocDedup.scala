@@ -297,18 +297,19 @@ object DocDedup {
         .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("cand"))
       // pointer jump: a label is itself a node id, so follow it one level.
-      // The PREVIOUS label rides along into the checkpoint so the
-      // convergence check below is a scan of the just-materialized blocks
-      // — not the old per-round join against the previous labels frame,
-      // which re-shuffled both sides on every check
+      // The convergence check RIDES the checkpoint's materialization job
+      // via `Dataset.observe` (labels only ever decrease, so any strict
+      // decrease means another round): one Spark job per round, not a
+      // materialize-then-rescan pair
+      val obs = org.apache.spark.sql.Observation()
       val next = cand
         .join(labels.select(col("id").as("cand"), col("label").as("cand_label")),
           Seq("cand"), "left")
         .select(col("id"), col("prev"),
           least(col("cand"), coalesce(col("cand_label"), col("cand"))).as("label"))
+        .observe(obs, count_if(col("label") < col("prev")).as("changed"))
         .localCheckpoint()
-      // labels only ever decrease: any strict decrease means another round
-      converged = next.filter(col("label") < col("prev")).limit(1).count() == 0
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       val stale = labels
       labels = next.select(col("id"), col("label"))
       // checkpointed blocks are not tracked by the SQL cache manager:
