@@ -18,7 +18,7 @@ class GoldenDedupSpec extends SparkSpec {
     LineProtocol.ingest(spark, lines)("h2o")
       .withColumn(Upsert.ArrivalCol, monotonically_increasing_id())
 
-  test("sql_deduplicate_1 golden rows match the reference") {
+  private lazy val h2o: org.apache.spark.sql.DataFrame = {
     val c1 = chunk( // time 50-250, clean
       "h2o,state=MA,city=Boston min_temp=70.4 50",
       "h2o,state=MA,city=Bedford min_temp=71.59 150",
@@ -46,10 +46,35 @@ class GoldenDedupSpec extends SparkSpec {
       "h2o,state=CA,city=SJ min_temp=69.5,max_temp=89.2 650",
       "h2o,state=CA,city=SJ min_temp=75.5,max_temp=84.08 700")
 
-    val h2o = Upsert.scanWithDedup(Seq(
+    Upsert.scanWithDedup(Seq(
         (c1, (50L, 250L), true), (c2, (150L, 350L), true),
         (c3, (400L, 500L), false), (c4, (600L, 700L), true)),
       pkCols = Seq("city", "state", "time"))
+  }
+
+  private def d(x: Double) = Some(x)
+
+  private val expected = Seq( // sql.rs:670-692, times as raw ns
+    (50L, "MA", "Boston", d(70.4), None, None),
+    (150L, "MA", "Bedford", d(71.59), d(78.75), d(742.0)),
+    (250L, "MA", "Andover", None, d(69.2), None),
+    (250L, "MA", "Boston", d(65.4), d(75.4), None),
+    (250L, "MA", "Reading", d(53.4), None, None),
+    (300L, "CA", "SF", d(79.0), d(87.2), d(500.0)),
+    (300L, "CA", "SJ", d(78.5), d(88.0), None),
+    (350L, "CA", "SJ", d(75.5), d(84.08), None),
+    (400L, "MA", "Bedford", d(65.22), d(80.75), d(750.0)),
+    (400L, "MA", "Boston", d(65.4), d(82.67), None),
+    (450L, "CA", "SJ", d(77.0), d(90.7), None),
+    (500L, "CA", "SJ", d(69.5), d(88.2), None),
+    (600L, "MA", "Bedford", None, d(88.75), d(742.0)),
+    (600L, "MA", "Boston", d(67.4), None, None),
+    (600L, "MA", "Reading", d(60.4), None, None),
+    (650L, "CA", "SF", d(68.4), d(85.7), d(500.0)),
+    (650L, "CA", "SJ", d(69.5), d(89.2), None),
+    (700L, "CA", "SJ", d(75.5), d(84.08), None))
+
+  test("sql_deduplicate_1 golden rows match the reference") {
     SqlFrontend.register(spark, Map("h2o" -> h2o))
 
     val got = spark.sql(
@@ -58,26 +83,27 @@ class GoldenDedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
         Option(r.get(3)), Option(r.get(4)), Option(r.get(5))))
 
-    def d(x: Double) = Some(x)
-    val expected = Seq( // sql.rs:670-692, times as raw ns
-      (50L, "MA", "Boston", d(70.4), None, None),
-      (150L, "MA", "Bedford", d(71.59), d(78.75), d(742.0)),
-      (250L, "MA", "Andover", None, d(69.2), None),
-      (250L, "MA", "Boston", d(65.4), d(75.4), None),
-      (250L, "MA", "Reading", d(53.4), None, None),
-      (300L, "CA", "SF", d(79.0), d(87.2), d(500.0)),
-      (300L, "CA", "SJ", d(78.5), d(88.0), None),
-      (350L, "CA", "SJ", d(75.5), d(84.08), None),
-      (400L, "MA", "Bedford", d(65.22), d(80.75), d(750.0)),
-      (400L, "MA", "Boston", d(65.4), d(82.67), None),
-      (450L, "CA", "SJ", d(77.0), d(90.7), None),
-      (500L, "CA", "SJ", d(69.5), d(88.2), None),
-      (600L, "MA", "Bedford", None, d(88.75), d(742.0)),
-      (600L, "MA", "Boston", d(67.4), None, None),
-      (600L, "MA", "Reading", d(60.4), None, None),
-      (650L, "CA", "SF", d(68.4), d(85.7), d(500.0)),
-      (650L, "CA", "SJ", d(69.5), d(89.2), None),
-      (700L, "CA", "SJ", d(75.5), d(84.08), None))
     assert(got.toSeq == expected)
+  }
+
+  test("duplicates.sql: no-order-by and UNION ALL plans over the dedup scan") {
+    // query_tests/cases/in/duplicates.sql pins two more queries over the
+    // same fixture: the bare (unordered) select and the UNION ALL of two
+    // dedup'd branches. Row content must be the 18 golden rows regardless
+    // of ordering, and each union branch must dedup independently.
+    SqlFrontend.register(spark, Map("h2o" -> h2o))
+
+    val unordered = spark.sql(
+      "SELECT time, state, city, min_temp, max_temp, area FROM h2o")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        Option(r.get(3)), Option(r.get(4)), Option(r.get(5))))
+      .sortBy(t => (t._1, t._2, t._3))
+    assert(unordered.toSeq == expected)
+
+    val names = spark.sql(
+      "SELECT state AS name FROM h2o UNION ALL SELECT city AS name FROM h2o")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(names ==
+      (expected.map(_._2) ++ expected.map(_._3)).sorted)
   }
 }

@@ -20,8 +20,14 @@ class GoldenSqlSpec extends SparkSpec {
     }.toMap
   }
 
+  // u64 fields ride Decimal(20,0) (LineProtocol.scala's widest safe
+  // container); fold them back to Long so transcribed expectations read
+  // like the reference's printed tables
   private def sql(q: String): Seq[Seq[Any]] =
-    spark.sql(q).collect().toSeq.map(_.toSeq)
+    spark.sql(q).collect().toSeq.map(_.toSeq.map {
+      case d: java.math.BigDecimal => d.longValueExact
+      case x => x
+    })
 
   private def sqlSorted(q: String): Seq[Seq[Any]] =
     sql(q).sortBy(_.mkString("|"))
@@ -100,4 +106,130 @@ class GoldenSqlSpec extends SparkSpec {
     val names = sql("SHOW TABLES").map(_(1).asInstanceOf[String]).toSet
     assert(names.contains("cpu") && names.contains("system_columns"))
   }
+
+  test("sql.rs: select from restaurant / school (unsigned counts)") {
+    // TwoMeasurementsUnsignedType (scenarios.rs:256)
+    SqlFrontend.register(spark, mergedIngest(Seq(
+      "restaurant,town=andover count=40000u 100",
+      "restaurant,town=reading count=632u 120",
+      "school,town=reading count=17u 150",
+      "school,town=andover count=25u 160")))
+    assert(sqlSorted("SELECT town, count FROM restaurant") ==
+      Seq(Seq("andover", 40000L), Seq("reading", 632L)))
+    assert(sqlSorted("SELECT town, count FROM school") ==
+      Seq(Seq("andover", 25L), Seq("reading", 17L)))
+  }
+
+  test("sql.rs: predicate pushdown correctness 1-13 over restaurant") {
+    // TwoMeasurementsPredicatePushDown (scenarios.rs:274); the reference
+    // runs 13 WHERE variants (sql.rs:410-664) checking that pushdown
+    // never changes answers. Rows transcribed as (count, system, time,
+    // town) — the reference's alphabetized `SELECT *` order.
+    SqlFrontend.register(spark, mergedIngest(GoldenSqlSpec.RestaurantLp))
+    val bedford = Seq(189L, 7.0, 110L, "bedford")
+    val lexington = Seq(372L, 5.0, 100L, "lexington")
+    val andover = Seq(40000L, 5.0, 100L, "andover")
+    val tewsbury = Seq(471L, 6.0, 110L, "tewsbury")
+    val reading120 = Seq(632L, 5.0, 120L, "reading")
+    val reading130 = Seq(632L, 6.0, 130L, "reading")
+    val lawrence = Seq(872L, 6.0, 110L, "lawrence")
+    def q(where: String): Seq[Seq[Any]] =
+      sqlSorted("SELECT count, system, time, town FROM restaurant" + where)
+    def rows(rs: Seq[Any]*): Seq[Seq[Any]] = rs.toSeq.sortBy(_.mkString("|"))
+    // 1: select everything
+    assert(q("") == rows(bedford, lexington, andover, tewsbury,
+      reading120, reading130, lawrence))
+    // 2: count > 200
+    assert(q(" WHERE count > 200") == rows(lexington, andover, tewsbury,
+      reading120, reading130, lawrence))
+    // 3: count > 200 and town != 'tewsbury'
+    assert(q(" WHERE count > 200 AND town != 'tewsbury'") ==
+      rows(lexington, andover, reading120, reading130, lawrence))
+    // 4: ... and (system = 5 or town = 'lawrence')
+    assert(q(" WHERE count > 200 AND town != 'tewsbury'" +
+      " AND (system = 5 OR town = 'lawrence')") ==
+      rows(lexington, andover, reading120, lawrence))
+    // 5: ... and count < 40000
+    assert(q(" WHERE count > 200 AND town != 'tewsbury'" +
+      " AND (system = 5 OR town = 'lawrence') AND count < 40000") ==
+      rows(lexington, reading120, lawrence))
+    // 6: count > 200 and count < 40000
+    assert(q(" WHERE count > 200 AND count < 40000") ==
+      rows(lexington, tewsbury, reading120, reading130, lawrence))
+    // 7: system > 4.0 and system < 7.0
+    assert(q(" WHERE system > 4.0 AND system < 7.0") ==
+      rows(lexington, andover, tewsbury, reading120, reading130, lawrence))
+    // 8: system > 5.0 and system < 7.0
+    assert(q(" WHERE system > 5.0 AND system < 7.0") ==
+      rows(tewsbury, reading130, lawrence))
+    // 9: system > 5.0 and town != 'tewsbury' and 7.0 > system
+    assert(q(" WHERE system > 5.0 AND town != 'tewsbury' AND 7.0 > system") ==
+      rows(reading130, lawrence))
+    // 10: ... and (count = 632 or town = 'reading')
+    assert(q(" WHERE system > 5.0 AND 'tewsbury' != town AND system < 7.0" +
+      " AND (count = 632 OR town = 'reading')") == rows(reading130))
+    // 11: ... and time > 130 (the reference writes
+    // to_timestamp('1970-01-01T00:00:00.000000130+00:00') and notes it is
+    // rewritten to `time GT int(130)`; our time axis IS the ns long)
+    assert(q(" WHERE 5.0 < system AND town != 'tewsbury' AND system < 7.0" +
+      " AND (count = 632 OR town = 'reading') AND time > 130") == Nil)
+    // 12: the reference SKIPS this one (DataFusion stack overflow,
+    // arrow-datafusion#419); Catalyst plans it fine
+    assert(q(" WHERE system > 5.0 AND 'tewsbury' != town AND system < 7.0" +
+      " AND town = 'reading'") == rows(reading130))
+    // 13: system > 5.0 and system < 7.0 and town = 'reading'
+    assert(q(" WHERE system > 5.0 AND system < 7.0 AND town = 'reading'") ==
+      rows(reading130))
+  }
+
+  test("sql.rs: SHOW COLUMNS and the information_schema column listing") {
+    // TwoMeasurementsManyFields; the reference reads
+    // information_schema.columns / SHOW COLUMNS (sql.rs:183-259). Spark's
+    // SHOW COLUMNS + the engine's system_columns view carry the same
+    // facts: names, types (tags are strings here vs the ref's
+    // Dictionary(Int32, Utf8); fields Float64; time the ns long), and the
+    // IOx column category.
+    SqlFrontend.register(spark, mergedIngest(
+      Seq("h2o,state=MA,city=Boston temp=70.4 50",
+        "h2o,state=MA,city=Boston other_temp=70.4 250",
+        "h2o,state=CA,city=Boston other_temp=72.4 350",
+        "o2,state=MA,city=Boston temp=53.4,reading=51 50",
+        "o2,state=CA temp=79.0 300"),
+      Seq("h2o,state=MA,city=Boston temp=70.4,moisture=43.0 100000")))
+    assert(sql("SHOW COLUMNS IN h2o").map(_.head.asInstanceOf[String]).sorted ==
+      Seq("city", "moisture", "other_temp", "state", "temp", "time"))
+    assert(sql("""SELECT column_name, column_type, category FROM system_columns
+                  WHERE table_name = 'h2o' ORDER BY column_name""") == Seq(
+      Seq("city", "string", "tag"),
+      Seq("moisture", "double", "field"),
+      Seq("other_temp", "double", "field"),
+      Seq("state", "string", "tag"),
+      Seq("temp", "double", "field"),
+      Seq("time", "bigint", "time")))
+    assert(sql("""SELECT column_name, column_type, category FROM system_columns
+                  WHERE table_name = 'o2' ORDER BY column_name""") == Seq(
+      Seq("city", "string", "tag"),
+      Seq("reading", "double", "field"),
+      Seq("state", "string", "tag"),
+      Seq("temp", "double", "field"),
+      Seq("time", "bigint", "time")))
+    // information_schema.tables analog: both measurements are listed
+    val names = sql("SHOW TABLES").map(_(1).asInstanceOf[String]).toSet
+    assert(Set("h2o", "o2", "system_columns").subsetOf(names))
+  }
+}
+
+object GoldenSqlSpec {
+  /** TwoMeasurementsPredicatePushDown fixture (scenarios.rs:274-294) —
+    * shared with the pushdown.sql plan golden in [[PlanShapeSpec]]. */
+  val RestaurantLp: Seq[String] = Seq(
+    "restaurant,town=andover count=40000u,system=5.0 100",
+    "restaurant,town=reading count=632u,system=5.0 120",
+    "restaurant,town=bedford count=189u,system=7.0 110",
+    "restaurant,town=tewsbury count=471u,system=6.0 110",
+    "restaurant,town=lexington count=372u,system=5.0 100",
+    "restaurant,town=lawrence count=872u,system=6.0 110",
+    "restaurant,town=reading count=632u,system=6.0 130",
+    "school,town=reading count=17u,system=6.0 150",
+    "school,town=andover count=25u,system=6.0 160")
 }
