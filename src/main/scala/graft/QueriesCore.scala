@@ -816,6 +816,180 @@ object QueriesCore {
       },
       Some("""SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
         CAST(count(*) AS BIGINT) AS n, min(n_name) AS first_name
-        FROM nation GROUP BY 1 ORDER BY 1"""))
+        FROM nation GROUP BY 1 ORDER BY 1""")),
+
+    ("events_series_funcs",
+      (s, d) => {
+        // the InfluxQL-layer per-series transforms (difference, derivative,
+        // moving_average, cumulative_sum) over raw event series — one
+        // exchange by series key, one sort, all four functions in a single
+        // Window operator (equal specs collapse)
+        import graft.functions.{SeriesFunctions => SF}
+        val ev = Tables.events(s, d).filter(col("user_id") < 5)
+          .select(col("user_id"), col("ts_ns").as("t"), col("value"))
+        val out = Seq[DataFrame => DataFrame](
+          SF.difference(_, Seq("user_id"), "t", "value", "diff"),
+          SF.derivative(_, Seq("user_id"), "t", "value", 1000000000L, "deriv_s"),
+          SF.movingAverage(_, Seq("user_id"), "t", "value", 3, "mavg3"),
+          SF.cumulativeSum(_, Seq("user_id"), "t", "value", "csum"))
+          .foldLeft(ev)((df, f) => f(df))
+        out.select(col("user_id"), col("t"), round(col("value"), 6).as("value"),
+            round(col("diff"), 6).as("diff"), round(col("deriv_s"), 6).as("deriv_s"),
+            round(col("mavg3"), 6).as("mavg3"), round(col("csum"), 6).as("csum"))
+          .orderBy("user_id", "t")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS t, value
+          FROM events WHERE user_id < 5)
+        SELECT user_id, t, round(value, 6) AS value,
+          round(value - lag(value) OVER win, 6) AS diff,
+          round(CASE WHEN CAST(t - lag(t) OVER win AS DOUBLE) > 0
+            THEN (value - lag(value) OVER win)
+              / (CAST(t - lag(t) OVER win AS DOUBLE) / 1000000000.0) END, 6)
+            AS deriv_s,
+          round(CASE WHEN count(value) OVER (PARTITION BY user_id ORDER BY t
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 3
+            THEN avg(value) OVER (PARTITION BY user_id ORDER BY t
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) END, 6) AS mavg3,
+          round(sum(value) OVER (PARTITION BY user_id ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS csum
+        FROM e WINDOW win AS (PARTITION BY user_id ORDER BY t)
+        ORDER BY user_id, t""")),
+
+    ("events_gapfill_prev",
+      (s, d) => {
+        // fill(previous) over an hourly per-type count grid: every bucket
+        // of January 2024 appears, holes carry the last observed count
+        val ev = Tables.events(s, d)
+        graft.operators.GapFill.bucketAndFill(ev, Seq("event_type"), "ts_ns",
+            startNs = 1704067200000000000L, stopNs = 1706659200000000000L,
+            everyNs = 3600000000000L,
+            aggs = Seq(count(lit(1)).as("cnt")),
+            fills = Map("cnt" -> graft.operators.GapFill.Previous))
+          .orderBy("event_type", "ts_ns")
+      },
+      Some("""WITH e AS (SELECT event_type, epoch_ns(ts) AS tn FROM events
+          WHERE epoch_ns(ts) >= 1704067200000000000
+            AND epoch_ns(ts) < 1706659200000000000),
+        agg AS (SELECT event_type,
+            tn - ((tn - 1704067200000000000) % 3600000000000) AS ts_ns,
+            CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+        grid AS (SELECT event_type, unnest(range(1704067200000000000,
+            1706659200000000000, 3600000000000)) AS ts_ns
+          FROM (SELECT DISTINCT event_type FROM agg)),
+        j AS (SELECT g.event_type, g.ts_ns, a.c
+          FROM grid g LEFT JOIN agg a USING (event_type, ts_ns))
+        SELECT event_type, ts_ns, last_value(c IGNORE NULLS) OVER (
+            PARTITION BY event_type ORDER BY ts_ns
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt
+        FROM j ORDER BY 1, 2""")),
+
+    ("events_gapfill_linear",
+      (s, d) => {
+        // fill(linear) over an hourly per-type mean grid: holes interpolate
+        // between the neighboring observed buckets, edges stay NULL
+        val ev = Tables.events(s, d)
+        graft.operators.GapFill.bucketAndFill(ev, Seq("event_type"), "ts_ns",
+            startNs = 1704067200000000000L, stopNs = 1706659200000000000L,
+            everyNs = 3600000000000L,
+            aggs = Seq(round(avg(col("value")), 6).as("v")),
+            fills = Map("v" -> graft.operators.GapFill.Linear))
+          .withColumn("v", round(col("v"), 6))
+          .orderBy("event_type", "ts_ns")
+      },
+      Some("""WITH e AS (SELECT event_type, epoch_ns(ts) AS tn, value
+          FROM events WHERE epoch_ns(ts) >= 1704067200000000000
+            AND epoch_ns(ts) < 1706659200000000000),
+        agg AS (SELECT event_type,
+            tn - ((tn - 1704067200000000000) % 3600000000000) AS ts_ns,
+            round(avg(value), 6) AS v FROM e GROUP BY 1, 2),
+        grid AS (SELECT event_type, unnest(range(1704067200000000000,
+            1706659200000000000, 3600000000000)) AS ts_ns
+          FROM (SELECT DISTINCT event_type FROM agg)),
+        j AS (SELECT g.event_type, g.ts_ns, a.v
+          FROM grid g LEFT JOIN agg a USING (event_type, ts_ns)),
+        f AS (SELECT event_type, ts_ns, v,
+          last_value(CASE WHEN v IS NOT NULL
+              THEN struct_pack(t := ts_ns, v := v) END IGNORE NULLS) OVER (
+            PARTITION BY event_type ORDER BY ts_ns
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+          first_value(CASE WHEN v IS NOT NULL
+              THEN struct_pack(t := ts_ns, v := v) END IGNORE NULLS) OVER (
+            PARTITION BY event_type ORDER BY ts_ns
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+          FROM j)
+        SELECT event_type, ts_ns, round(CASE WHEN v IS NOT NULL THEN v
+          WHEN p IS NOT NULL AND n IS NOT NULL THEN
+            p.v + (n.v - p.v) * CAST(ts_ns - p.t AS DOUBLE)
+              / CAST(n.t - p.t AS DOUBLE) END, 6) AS v
+        FROM f ORDER BY 1, 2""")),
+
+    ("events_influx_aggs",
+      (s, d) => {
+        // the InfluxQL aggregate surface over per-user event series:
+        // spread/stddev (plain hash aggs), mode with the smallest-value
+        // tie-break, nearest-rank percentile(90), trapezoid integral per
+        // second. Four small aggregated frames joined on the key — AQE
+        // broadcasts every join side
+        import graft.functions.{InfluxAggregates => IA}
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("ts_ns").as("t"), col("value"),
+            col("event_type"))
+        val base = ev.groupBy("user_id").agg(
+          round(IA.spread(col("value")), 6).as("spread"),
+          round(IA.stddev(col("value")), 6).as("sdev"))
+        val md = IA.mode(ev, Seq("user_id"), "event_type", "mode_type")
+        val p90 = IA.percentile(ev, Seq("user_id"), "value", 90, "p90")
+          .withColumn("p90", round(col("p90"), 6))
+        // per-HOUR integral, rounded to 4 decimals: the trapezoid sum's
+        // accumulation order differs between engines, so the float error
+        // (~1e-10 relative) must sit far below the rounding step
+        val ig = IA.integral(ev, Seq("user_id"), "t", "value",
+            3600000000000L, "integ")
+          .withColumn("integ", round(col("integ"), 4))
+        base.join(md, "user_id").join(p90, "user_id").join(ig, "user_id")
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS t, value, event_type
+          FROM events),
+        base AS (SELECT user_id, round(max(value) - min(value), 6) AS spread,
+            round(stddev_samp(value), 6) AS sdev FROM e GROUP BY 1),
+        mc AS (SELECT user_id, event_type, count(*) AS n FROM e GROUP BY 1, 2),
+        md AS (SELECT user_id, event_type AS mode_type FROM (
+          SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id
+            ORDER BY n DESC, event_type ASC) AS rk FROM mc) WHERE rk = 1),
+        pr AS (SELECT user_id, value,
+            row_number() OVER (PARTITION BY user_id ORDER BY value) AS rk,
+            count(*) OVER (PARTITION BY user_id) AS n
+          FROM e WHERE value IS NOT NULL),
+        p90 AS (SELECT user_id, round(value, 6) AS p90 FROM pr
+          WHERE rk = greatest(least(CAST(floor(0.9 * n + 0.5) AS BIGINT), n), 1)),
+        ig AS (SELECT user_id, round(coalesce(
+            sum((value + pv) / 2 * (t - pt) / 3600000000000.0), 0), 4) AS integ
+          FROM (SELECT user_id, t, value, lag(value) OVER w AS pv,
+              lag(t) OVER w AS pt FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY t)) GROUP BY user_id)
+        SELECT user_id, spread, sdev, mode_type, p90, integ
+        FROM base JOIN md USING (user_id) JOIN p90 USING (user_id)
+          JOIN ig USING (user_id)
+        ORDER BY user_id""")),
+
+    ("events_top_points",
+      (s, d) => {
+        // InfluxQL top(value, 3) per series: the 3 largest points per
+        // user WITH timestamps, ties to the earlier point — one window
+        // rank over the series partitioning (no global sort of raw data)
+        import graft.functions.{InfluxAggregates => IA}
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("ts_ns").as("t"),
+            round(col("value"), 6).as("value"))
+        IA.topN(ev, Seq("user_id"), "t", "value", 3)
+          .orderBy(col("user_id"), col("value").desc, col("t"))
+      },
+      Some("""SELECT user_id, t, value FROM (
+          SELECT user_id, epoch_ns(ts) AS t, round(value, 6) AS value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY round(value, 6) DESC, epoch_ns(ts) ASC) AS rk
+          FROM events WHERE value IS NOT NULL) x
+        WHERE rk <= 3 ORDER BY user_id, value DESC, t"""))
   )
 }

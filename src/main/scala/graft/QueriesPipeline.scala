@@ -145,6 +145,116 @@ object QueriesPipeline {
         LEFT JOIN top ON top.doc_id = t.doc_id
         ORDER BY t.doc_id""")),
 
+    // character-distribution entropy: per-row sorted-array run math on the
+    // Spark side (zero shuffles); the oracle recomputes it with DuckDB's
+    // entropy() aggregate over exploded chars — mathematically identical,
+    // different float accumulation order, hence the rounding
+    ("text_entropy",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), round(TF.charEntropy(col("text")), 6).as("h_chars"))
+        .orderBy("doc_id"),
+      Some("""SELECT d.doc_id, round(coalesce(e.h, 0.0), 6) AS h_chars
+        FROM documents d LEFT JOIN (
+          SELECT doc_id, entropy(c) AS h
+          FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+                FROM documents) GROUP BY doc_id) e
+          ON e.doc_id = d.doc_id
+        ORDER BY d.doc_id""")),
+
+    // PII detection/redaction: four RE2-compatible patterns shared
+    // verbatim with the oracle; the corpus is constructed deterministically
+    // from the customer table so every pattern actually fires (documents
+    // contain no natural PII); counts + a fingerprint of the redacted text
+    // pin both detection and replacement semantics
+    ("text_pii",
+      (s, d) => {
+        val text = concat(
+          lit("reach "), col("c_name"), lit(" at"),
+          when(pmod(col("c_custkey"), lit(3)) === 0, lit(" the office"))
+            .otherwise(concat(lit(" user"), col("c_custkey").cast("string"),
+              lit("@mail"), pmod(col("c_custkey"), lit(5)).cast("string"),
+              lit(".example.com"))),
+          lit(" or host 10."), pmod(col("c_custkey"), lit(200)).cast("string"),
+          lit("."), pmod(col("c_custkey"), lit(250)).cast("string"),
+          lit(".7, tel 555-"),
+          lpad(pmod(col("c_custkey"), lit(1000)).cast("string"), 3, "0"),
+          lit("-"),
+          lpad(pmod(col("c_custkey"), lit(10000)).cast("string"), 4, "0"),
+          when(pmod(col("c_custkey"), lit(4)) === 0,
+            concat(lit(" ssn "),
+              lpad(pmod(col("c_custkey"), lit(900)).cast("string"), 3, "0"),
+              lit("-"),
+              lpad(pmod(col("c_custkey"), lit(90)).cast("string"), 2, "0"),
+              lit("-"),
+              lpad(pmod(col("c_custkey"), lit(9000)).cast("string"), 4, "0")))
+            .otherwise(lit("")))
+        Tables.load(s, d, "customer")
+          .select(col("c_custkey").as("id"), text.as("t"))
+          .select(col("id"),
+            TF.emailCount(col("t")).cast("long").as("n_email"),
+            TF.ipv4Count(col("t")).cast("long").as("n_ip"),
+            TF.ssnCount(col("t")).cast("long").as("n_ssn"),
+            TF.phoneCount(col("t")).cast("long").as("n_phone"),
+            TF.hash60(TF.redactPii(col("t"))).as("redacted_fp"))
+          .orderBy("id")
+      },
+      Some(s"""WITH built AS (SELECT c_custkey AS id,
+          'reach ' || c_name || ' at' ||
+          CASE WHEN c_custkey % 3 = 0 THEN ' the office'
+               ELSE ' user' || c_custkey || '@mail' || (c_custkey % 5)
+                 || '.example.com' END ||
+          ' or host 10.' || (c_custkey % 200) || '.' || (c_custkey % 250) ||
+          '.7, tel 555-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+          || '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+          CASE WHEN c_custkey % 4 = 0 THEN ' ssn '
+              || lpad(CAST(c_custkey % 900 AS VARCHAR), 3, '0') || '-'
+              || lpad(CAST(c_custkey % 90 AS VARCHAR), 2, '0') || '-'
+              || lpad(CAST(c_custkey % 9000 AS VARCHAR), 4, '0')
+            ELSE '' END AS t
+        FROM customer)
+        SELECT id,
+          CAST(len(regexp_extract_all(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+          CAST(len(regexp_extract_all(t,
+            '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS BIGINT) AS n_ip,
+          CAST(len(regexp_extract_all(t,
+            '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS BIGINT) AS n_ssn,
+          CAST(len(regexp_extract_all(t,
+            '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b')) AS BIGINT) AS n_phone,
+          ${dHash60("""regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+            '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+            '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g')""")} AS redacted_fp
+        FROM built ORDER BY id""")),
+
+    // corpus-level boilerplate stripping (CCNet-style): 3-token segments
+    // appearing in >= 4 distinct documents are template noise; remove them
+    // and reassemble each document in segment order. Spark side is one
+    // explode + broadcast anti-join + one groupBy; the oracle recomputes
+    // the same segmentation with DuckDB list lambdas
+    ("text_boilerplate",
+      (s, d) => DocDedup.stripCommonSegments(
+          Tables.documents(s, d), "doc_id", "text", n = 3, minDocs = 4)
+        .orderBy("doc_id"),
+      Some(s"""WITH toks AS (SELECT doc_id, $dToks AS w FROM documents),
+        d AS (SELECT doc_id, list_filter(list_transform(
+            range(0, greatest((len(w)-1)//3, 0)+1),
+            i -> array_to_string(w[i*3+1:i*3+3], ' ')), s -> len(s) > 0) AS segs
+          FROM toks),
+        common AS (SELECT seg FROM
+            (SELECT doc_id, unnest(list_distinct(segs)) AS seg FROM d)
+          GROUP BY seg HAVING count(*) >= 4),
+        es AS (SELECT doc_id, unnest(segs) AS seg,
+            unnest(range(1, len(segs)+1)) AS pos FROM d),
+        kept AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+            string_agg(seg, ' ' ORDER BY pos) AS cleaned
+          FROM es WHERE seg NOT IN (SELECT seg FROM common) GROUP BY doc_id)
+        SELECT d.doc_id, CAST(len(segs) AS BIGINT) AS n_segs,
+          CAST(len(segs) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+          coalesce(cleaned, '') AS cleaned
+        FROM d LEFT JOIN kept USING (doc_id) ORDER BY doc_id""")),
+
     // ------------------------------------------------------- dedup family
 
     ("dedup_exact",
@@ -163,6 +273,39 @@ object QueriesPipeline {
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id1", "id2"),
       Some(dJaccardPairs)),
+
+    // bounded-Levenshtein verification over the LSH near-dup pairs: the
+    // cap (6) is chosen so this corpus exercises BOTH paths — most pairs
+    // verify within the bound, the farthest exceed it and surface NULL.
+    // DuckDB has no bounded variant, so the oracle post-filters the exact
+    // distance with the same cap
+    ("dedup_edit_distance",
+      (s, d) => {
+        val docs = Tables.spread(s, Tables.documents(s, d))
+        val pairs = DocDedup.minHashDedupPairs(docs, "doc_id", "text",
+          n = 3, threshold = 0.7,
+          DocDedup.MinHashParams(numPerms = 32, bands = 16)).select("id1", "id2")
+        DocDedup.editDistanceVerify(docs, "doc_id", "text", pairs, cap = 6)
+          .orderBy("id1", "id2")
+      },
+      Some(s"""WITH $dShingles,
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        good AS (SELECT id1, id2 FROM pairs
+          JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+          WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.7),
+        dd AS (SELECT id1, id2, levenshtein(
+            regexp_replace(lower(trim(d1.text)), '\\s+', ' ', 'g'),
+            regexp_replace(lower(trim(d2.text)), '\\s+', ' ', 'g')) AS rawd,
+            greatest(len(regexp_replace(lower(trim(d1.text)), '\\s+', ' ', 'g')),
+              len(regexp_replace(lower(trim(d2.text)), '\\s+', ' ', 'g'))) AS mx
+          FROM good JOIN documents d1 ON d1.doc_id = id1
+            JOIN documents d2 ON d2.doc_id = id2)
+        SELECT id1, id2,
+          CAST(CASE WHEN rawd <= 6 THEN rawd END AS BIGINT) AS dist,
+          CASE WHEN rawd <= 6 THEN round(1.0 - rawd * 1.0 / mx, 6) END AS sim
+        FROM dd ORDER BY id1, id2""")),
 
     ("dedup_ngram_jaccard",
       (s, d) => DocDedup.ngramJaccardPairs(Tables.spread(s, Tables.documents(s, d)),

@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-series aggregates from the reference family's query language that
+  * sit a layer above the storage engine (the InfluxQL function surface,
+  * like [[SeriesFunctions]] and [[graft.operators.GapFill]]): spread,
+  * stddev, mode, percentile, integral, top/bottom.
+  *
+  * All of them are ONE hash-partitioned groupBy per call site — plain
+  * codegen'd aggregates with map-side partial aggregation — except the
+  * ones whose semantics are inherently order-dependent (integral needs
+  * consecutive-point deltas, top/bottom keep the point's timestamp):
+  * those use one window over the series partitioning, the same single
+  * exchange + in-partition sort every other per-series operator here
+  * rides.
+  */
+object InfluxAggregates {
+
+  /** max - min (InfluxQL `spread`). A plain two-agg projection. */
+  def spread(value: Column): Column = max(value) - min(value)
+
+  /** Sample standard deviation (InfluxQL `stddev` divides by n-1). */
+  def stddev(value: Column): Column = stddev_samp(value)
+
+  /** Most frequent value; ties break to the SMALLEST value (InfluxQL
+    * `mode`). Needs a count per distinct value first, so the caller runs
+    * [[modeOf]] over a pre-counted frame — expressed as min_by over
+    * (-count, value): the minimum of that pair is the highest count,
+    * then the smallest value. */
+  def modeOf(countCol: Column, valueCol: Column): Column =
+    min_by(valueCol, struct((-countCol).as("nc"), valueCol.as("v")))
+
+  /** Per-key mode in one shot: two cascaded hash aggregations (value
+    * counting, then the min_by tie-break) — both shuffles are on keys
+    * that only shrink the data, never a windowed sort. */
+  def mode(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      out: String): DataFrame = {
+    val keys = keyCols.map(col)
+    df.groupBy((keys :+ col(valueCol)): _*)
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(keys: _*)
+      .agg(modeOf(col("__n"), col(valueCol)).as(out))
+  }
+
+  /** InfluxQL `percentile(field, p)`: the nearest-rank element — the
+    * k-th smallest non-null value with k = floor(p/100 * n + 0.5),
+    * clamped to [1, n] (influxdb/query/call_iterator.go percentile rank
+    * rule). An EXACT per-series percentile: one window ranking pass.
+    * Null values are excluded from both the ranking and the count. */
+  def percentile(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      p: Double, out: String): DataFrame = {
+    require(p > 0 && p <= 100, s"percentile out of (0, 100]: $p")
+    val keys = keyCols.map(col)
+    val nn = df.filter(col(valueCol).isNotNull)
+    val w = Window.partitionBy(keys: _*).orderBy(col(valueCol))
+    val k = greatest(least(
+      floor(lit(p / 100.0) * count(lit(1)).over(Window.partitionBy(keys: _*))
+        + lit(0.5)), count(lit(1)).over(Window.partitionBy(keys: _*))), lit(1L))
+    nn.withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__k", k)
+      .filter(col("__rk") === col("__k"))
+      .select((keys :+ col(valueCol).as(out)): _*)
+  }
+
+  /** InfluxQL `integral(field, unit)`: trapezoidal area under the series
+    * on the time axis, in units of `unitNs` (default 1s). Consecutive
+    * points i-1, i contribute (v[i-1] + v[i]) / 2 * (t[i] - t[i-1]) /
+    * unit; a single-point series integrates to 0. One window (lag) +
+    * one groupBy — the per-point term is computed in the same sorted
+    * pass the series partitioning already provides. */
+  def integral(df: DataFrame, keyCols: Seq[String], timeCol: String,
+      valueCol: String, unitNs: Long, out: String): DataFrame = {
+    require(unitNs > 0, "integral unit must be positive ns")
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col(timeCol))
+    val pv = lag(col(valueCol), 1).over(w)
+    val pt = lag(col(timeCol), 1).over(w)
+    val term = (col(valueCol) + pv) / 2.0 *
+      ((col(timeCol) - pt).cast("double") / lit(unitNs.toDouble))
+    df.withColumn("__term", term)
+      .groupBy(keys: _*)
+      .agg(coalesce(sum(col("__term")), lit(0.0)).as(out))
+  }
+
+  /** InfluxQL `top(field, N)` / `bottom(field, N)`: the N largest
+    * (smallest) points per series WITH their timestamps; ties break to
+    * the earlier timestamp (call_iterator.go top/bottom keep the first
+    * point encountered in time order). One window rank per call. */
+  def topN(df: DataFrame, keyCols: Seq[String], timeCol: String,
+      valueCol: String, n: Int, bottom: Boolean = false): DataFrame = {
+    require(n >= 1, "top/bottom needs n >= 1")
+    val keys = keyCols.map(col)
+    val ord =
+      if (bottom) Seq(col(valueCol).asc, col(timeCol).asc)
+      else Seq(col(valueCol).desc, col(timeCol).asc)
+    val w = Window.partitionBy(keys: _*).orderBy(ord: _*)
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+}

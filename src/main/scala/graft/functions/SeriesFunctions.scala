@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Per-series transform functions from the reference family's query
+  * language: difference, derivative, moving_average, cumulative_sum.
+  * The storage engine under the reference emits raw or aggregated series;
+  * these InfluxQL-layer transforms map 1:1 onto Spark window functions
+  * over a per-series partitioning — ONE exchange by series key and one
+  * in-partition sort covers any number of them (Catalyst collapses equal
+  * window specs into a single Window operator).
+  *
+  * At 100 TB the per-key linear scan is the algorithm (each output point
+  * depends on its predecessors), so a window over `partitionBy(series)`
+  * is the right physical plan — the thing to avoid is a window with NO
+  * partition key, which would single-task the corpus; these helpers all
+  * require at least one key column.
+  */
+object SeriesFunctions {
+
+  private def series(keyCols: Seq[String], timeCol: String): WindowSpec = {
+    require(keyCols.nonEmpty,
+      "series functions need a partition key (a keyless window is a single task)")
+    Window.partitionBy(keyCols.map(col): _*).orderBy(col(timeCol))
+  }
+
+  /** value - previous value within the series; NULL for the first point
+    * (InfluxQL `difference`). */
+  def difference(df: DataFrame, keyCols: Seq[String], timeCol: String,
+      valueCol: String, out: String): DataFrame = {
+    val w = series(keyCols, timeCol)
+    df.withColumn(out, col(valueCol) - lag(col(valueCol), 1).over(w))
+  }
+
+  /** Rate of change per `unitNs` of elapsed time (InfluxQL `derivative`):
+    * (v - v_prev) / ((t - t_prev) / unit). NULL for the first point;
+    * equal-timestamp neighbors yield NULL (division guard) rather than an
+    * ANSI divide-by-zero error. */
+  def derivative(df: DataFrame, keyCols: Seq[String], timeCol: String,
+      valueCol: String, unitNs: Long, out: String): DataFrame = {
+    val w = series(keyCols, timeCol)
+    val dv = col(valueCol) - lag(col(valueCol), 1).over(w)
+    val dt = (col(timeCol) - lag(col(timeCol), 1).over(w)).cast("double")
+    df.withColumn(out, when(dt > 0.0, dv / (dt / lit(unitNs.toDouble))))
+  }
+
+  /** Trailing moving average over the last `n` points (InfluxQL
+    * `moving_average`): NULL until a full window of `n` points exists,
+    * matching InfluxQL's emit-from-the-nth-point rule. */
+  def movingAverage(df: DataFrame, keyCols: Seq[String], timeCol: String,
+      valueCol: String, n: Int, out: String): DataFrame = {
+    require(n >= 1, "moving average window must be >= 1 point")
+    val w = series(keyCols, timeCol)
+    val frame = w.rowsBetween(-(n - 1), 0)
+    df.withColumn(out,
+      when(count(col(valueCol)).over(frame) === n,
+        avg(col(valueCol)).over(frame)))
+  }
+
+  /** Running total within the series (InfluxQL `cumulative_sum`). */
+  def cumulativeSum(df: DataFrame, keyCols: Seq[String], timeCol: String,
+      valueCol: String, out: String): DataFrame =
+    df.withColumn(out, sum(col(valueCol))
+      .over(series(keyCols, timeCol).rowsBetween(Window.unboundedPreceding, 0)))
+
+  /** Nanoseconds since the previous point (InfluxQL `elapsed`). */
+  def elapsed(df: DataFrame, keyCols: Seq[String], timeCol: String,
+      out: String): DataFrame = {
+    val w = series(keyCols, timeCol)
+    df.withColumn(out, col(timeCol) - lag(col(timeCol), 1).over(w))
+  }
+}

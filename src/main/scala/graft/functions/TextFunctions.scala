@@ -153,6 +153,66 @@ object TextFunctions {
     round(q, 6)
   }
 
+  /** Shannon entropy (bits) of the document's character distribution — a
+    * cheap "is this natural text or noise/padding" quality signal (low
+    * entropy = repeated filler, high = random bytes). Per-row array math
+    * on the same sorted-array run-detection shape as [[topTokenRatio]]:
+    * sort the chars, one linear pass sums `run * log2(run)` per equal-char
+    * run, then H = log2(n) - S/n. No explode, no shuffle — corpus-scale
+    * entropy is one codegen'd projection. (DuckDB's `entropy()` aggregate
+    * over exploded chars is the oracle twin; the two accumulate in
+    * different float orders, so compare rounded.) */
+  def charEntropy(text: Column): Column = {
+    def runTerm(r: Column): Column =
+      when(r > 0L, r.cast("double") * log2(r.cast("double"))).otherwise(lit(0.0))
+    val h = element_at(
+      transform(array(sort_array(split(text, ""))), cs => {
+        val s = aggregate(cs,
+          struct(lit("").as("prev"), lit(0L).as("run"), lit(0.0).as("acc")),
+          (st, c) => {
+            val same = c === st.getField("prev")
+            struct(c.as("prev"),
+              when(same, st.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+              when(same, st.getField("acc"))
+                .otherwise(st.getField("acc") + runTerm(st.getField("run")))
+                .as("acc"))
+          },
+          st => st.getField("acc") + runTerm(st.getField("run")))
+        log2(size(cs).cast("double")) - s / size(cs).cast("double")
+      }),
+      1)
+    when(length(text) > 0, h).otherwise(lit(0.0))
+  }
+
+  // ------------------------------------------------- PII detection/redaction
+
+  /** RE2-compatible PII patterns (shared verbatim with the DuckDB oracle —
+    * no lookarounds, no backreferences). The four classes redact in a
+    * fixed order; the patterns are mutually non-overlapping (an SSN's
+    * 3-2-4 digit shape can't match the phone 3-3-4 and vice versa). */
+  val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiIpv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val piiSsnRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+  val piiPhoneRe = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+
+  def emailCount(text: Column): Column = regexp_count(text, lit(piiEmailRe))
+  def ipv4Count(text: Column): Column = regexp_count(text, lit(piiIpv4Re))
+  def ssnCount(text: Column): Column = regexp_count(text, lit(piiSsnRe))
+  def phoneCount(text: Column): Column = regexp_count(text, lit(piiPhoneRe))
+
+  /** Replace every PII occurrence with a typed placeholder. Email first
+    * (its local part may contain digits and dots that the later numeric
+    * patterns would mangle), then IP / SSN / phone. Four codegen'd
+    * regexp_replace passes — still a per-row projection, no UDF. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, piiEmailRe, "<EMAIL>"),
+          piiIpv4Re, "<IP>"),
+        piiSsnRe, "<SSN>"),
+      piiPhoneRe, "<PHONE>")
+
   // ------------------------------------------------------------- lang id
 
   /** Tiny per-language stopword lists for n-gram-free heuristic language

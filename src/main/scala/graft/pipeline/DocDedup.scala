@@ -326,6 +326,100 @@ object DocDedup {
       .select(col("id"), col("label").as("cluster_id"), col("cluster_size"))
   }
 
+  // ---------------------------------------- edit-distance pair verification
+
+  /** Edit-distance verification of near-dup candidate pairs — the classic
+    * last filter after LSH candidate generation. `pairs` carries
+    * (id1, id2); the texts join in on each side (two hash joins on the
+    * doc id — candidate sets are small relative to the corpus, AQE
+    * broadcasts them when they fit). The distance uses Spark's BOUNDED
+    * `levenshtein(l, r, cap)`: it early-exits once the running minimum
+    * exceeds `cap` (O(cap·min(n,m)) instead of O(n·m)) and returns -1,
+    * surfaced here as NULL dist/sim — the bound is what keeps
+    * edit-distance verification affordable on book-length documents at
+    * corpus scale. Returns (id1, id2, dist, sim) with
+    * sim = 1 - dist / max(|a|, |b|) over normalized text. */
+  def editDistanceVerify(docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, cap: Int): DataFrame = {
+    require(cap >= 0, "edit-distance cap must be >= 0")
+    val needed = pairs.select(col("id1").as(idCol))
+      .union(pairs.select(col("id2").as(idCol))).distinct()
+    val txt = docs.join(needed, Seq(idCol), "left_semi")
+      .select(col(idCol), normalize(col(textCol)).as("__t"))
+    val joined = pairs
+      .join(txt.withColumnRenamed(idCol, "id1").withColumnRenamed("__t", "__t1"), "id1")
+      .join(txt.withColumnRenamed(idCol, "id2").withColumnRenamed("__t", "__t2"), "id2")
+    val raw = levenshtein(col("__t1"), col("__t2"), cap)
+    joined
+      .withColumn("dist", when(raw >= 0, raw.cast("long")))
+      .withColumn("sim", when(col("dist").isNotNull, round(
+        lit(1.0) - col("dist").cast("double") /
+          greatest(length(col("__t1")), length(col("__t2"))).cast("double"), 6)))
+      .select("id1", "id2", "dist", "sim")
+  }
+
+  // ------------------------------------- segment-level boilerplate removal
+
+  /** Non-overlapping n-token segments of the normalized text, in order —
+    * the unit for corpus-level boilerplate removal (the role LINES play in
+    * CCNet-style pipelines; fixed-width token windows stand in for
+    * newline splitting on corpora without line structure). The trailing
+    * partial segment is kept. Token array bound once (same
+    * re-tokenization guard as [[graft.functions.TextFunctions.shingles]]). */
+  def segments(text: Column, n: Int): Column = {
+    require(n >= 1, "segment width must be >= 1 token")
+    element_at(
+      transform(array(tokens(text)), tk =>
+        filter(
+          // `/` on Columns is DOUBLE division — floor+cast keeps the
+          // sequence bounds integral
+          transform(sequence(lit(0),
+              greatest(floor((size(tk) - 1) / n).cast("int"), lit(0))),
+            i => array_join(slice(tk, i * n + 1, lit(n)), " ")),
+          s => length(s) > 0)),
+      1)
+  }
+
+  /** Segments appearing in at least `minDocs` DISTINCT documents — the
+    * corpus boilerplate set. Per-document multiplicity is collapsed with
+    * a per-ROW array_distinct (no shuffle), so the groupBy is a plain
+    * count with map-side partial aggregation — never a countDistinct. */
+  def commonSegments(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int): DataFrame =
+    docs.select(explode(array_distinct(segments(col(textCol), n))).as("seg"))
+      .groupBy("seg").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Remove corpus-common segments from every document (CCNet-style
+    * boilerplate stripping: a "line" shared by many documents is template
+    * noise, not content). Returns one row per input document:
+    * (id, n_segs, n_removed, cleaned text).
+    *
+    * Plan shape at 100 TB: one explode of the corpus into segments, a
+    * broadcast LEFT ANTI join against the (small by construction —
+    * segments crossing the minDocs bar) boilerplate set, then one
+    * groupBy(doc) to reassemble in segment order. The anti join is a
+    * hash-table probe per segment — NOT a per-row linear scan of a
+    * collected boilerplate array, which would be O(|common|) per segment
+    * and fall over once the template set grows. */
+  def stripCommonSegments(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int): DataFrame = {
+    val common = commonSegments(docs, idCol, textCol, n, minDocs).select("seg")
+    val segs = docs.select(col(idCol),
+      posexplode(segments(col(textCol), n)).as(Seq("__pos", "seg")))
+    val kept = segs.join(broadcast(common), Seq("seg"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("seg")))),
+          x => x.getField("seg")), " ").as("cleaned"))
+    docs.select(col(idCol), size(segments(col(textCol), n)).cast("long").as("n_segs"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_segs"),
+        (col("n_segs") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   /** Drop the cached blocks behind a localCheckpoint-ed frame.
     * `Dataset.unpersist` only covers cache-manager entries; a checkpoint
     * lives as a persisted RDD under a LogicalRDD leaf. */

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.DocDedup
+
+class DocDedupExtrasSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("editDistanceVerify: bounded distance, NULL above the cap") {
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown fax"), // dist 1
+      (3L, "the quick browner foxes"), // dist 4 from doc 1 (+er, +es)
+      (4L, "completely different text entirely")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id1", "id2")
+    val out = DocDedup.editDistanceVerify(docs, "doc_id", "text", pairs, cap = 6)
+      .orderBy("id2")
+      .select($"id2", $"dist", $"sim").as[(Long, Option[Long], Option[Double])]
+      .collect()
+    assert(out(0) == ((2L, Some(1L), Some(math.rint((1.0 - 1.0 / 19) * 1e6) / 1e6))))
+    assert(out(1)._2.contains(4L), "within the cap")
+    assert(out(2)._2.isEmpty && out(2)._3.isEmpty, "over-cap pair surfaces NULL")
+  }
+
+  test("editDistanceVerify normalizes whitespace/case before comparing") {
+    val docs = Seq((1L, "  Hello   World "), (2L, "hello world")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id1", "id2")
+    val d = DocDedup.editDistanceVerify(docs, "doc_id", "text", pairs, cap = 3)
+      .select("dist").as[Option[Long]].head()
+    assert(d.contains(0L))
+  }
+
+  test("segments: non-overlapping n-token windows, trailing partial kept") {
+    val df = Seq(("a b c d e f g h"), ("x y"), ("")).toDF("text")
+      .select(DocDedup.segments(col("text"), 3).as("s"))
+    val rows = df.as[Seq[String]].collect()
+    assert(rows(0) == Seq("a b c", "d e f", "g h"))
+    assert(rows(1) == Seq("x y"))
+    assert(rows(2) == Nil, "empty text yields no segments")
+  }
+
+  test("stripCommonSegments removes corpus-common segments in order") {
+    // segment width 2; "aa bb" appears in 3 docs -> boilerplate at minDocs=3
+    val docs = Seq(
+      (1L, "aa bb cc dd"),
+      (2L, "aa bb ee ff"),
+      (3L, "zz yy aa bb"), // segments ("zz yy", "aa bb") — aligned here too
+      (4L, "qq rr ss")).toDF("doc_id", "text")
+    val out = DocDedup.stripCommonSegments(docs, "doc_id", "text", n = 2, minDocs = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_segs", "n_removed", "cleaned")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out(0) == ((1L, 2L, 1L, "cc dd")))
+    assert(out(1) == ((2L, 2L, 1L, "ee ff")))
+    assert(out(2) == ((3L, 2L, 1L, "zz yy")))
+    assert(out(3) == ((4L, 2L, 0L, "qq rr ss")), "uncommon segments all kept")
+  }
+
+  test("stripCommonSegments: a fully-boilerplate doc comes back empty") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a b")).toDF("doc_id", "text")
+    val out = DocDedup.stripCommonSegments(docs, "doc_id", "text", n = 2, minDocs = 3)
+      .select("n_removed", "cleaned").as[(Long, String)].collect()
+    assert(out.forall(_ == ((1L, ""))))
+  }
+}

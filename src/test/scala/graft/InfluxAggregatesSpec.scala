@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{InfluxAggregates => IA}
+
+class InfluxAggregatesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val pts = Seq(
+    ("a", 0L, 10.0), ("a", 1000000000L, 14.0), ("a", 3000000000L, 14.0),
+    ("a", 4000000000L, 2.0),
+    ("b", 0L, 5.0), ("b", 2000000000L, 7.0)).toDF("k", "t", "v")
+
+  test("spread and stddev aggregate per key") {
+    val m = pts.groupBy("k")
+      .agg(IA.spread($"v").as("sp"), IA.stddev($"v").as("sd"))
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m("a")._1 == 12.0 && m("b")._1 == 2.0)
+    // sample stddev of (10,14,14,2): mean 10, var = (0+16+16+64)/3 = 32
+    assert(math.abs(m("a")._2 - math.sqrt(32.0)) < 1e-9)
+  }
+
+  test("mode: highest count wins, ties break to the smallest value") {
+    val df = Seq(("a", "y"), ("a", "x"), ("a", "y"), ("a", "x"), ("a", "z"),
+      ("b", "q")).toDF("k", "s")
+    val m = IA.mode(df, Seq("k"), "s", "m")
+      .as[(String, String)].collect().toMap
+    assert(m("a") == "x", "x and y both have count 2; smallest value wins")
+    assert(m("b") == "q")
+  }
+
+  test("percentile: nearest-rank floor(p/100*n + 0.5), clamped") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0)).toDF("k", "v")
+    def p(q: Double): Double = IA.percentile(df, Seq("k"), "v", q, "p")
+      .select("p").as[Double].head()
+    assert(p(50) == 2.0) // k = floor(2.5) = 2
+    assert(p(90) == 4.0) // k = floor(4.1) = 4
+    assert(p(100) == 4.0) // k = floor(4.5) = 4 (clamped to n anyway)
+    assert(p(1) == 1.0) // k = floor(0.54) = 0 -> clamped up to 1
+  }
+
+  test("integral: trapezoid area per second, 0 for a single point") {
+    val m = IA.integral(pts, Seq("k"), "t", "v", 1000000000L, "i")
+      .as[(String, Double)].collect().toMap
+    // a: (10+14)/2*1 + (14+14)/2*2 + (14+2)/2*1 = 12 + 28 + 8 = 48
+    assert(math.abs(m("a") - 48.0) < 1e-9)
+    assert(math.abs(m("b") - 12.0) < 1e-9)
+    val single = IA.integral(Seq(("c", 5L, 9.9)).toDF("k", "t", "v"),
+      Seq("k"), "t", "v", 1000000000L, "i").as[(String, Double)].head()
+    assert(single._2 == 0.0)
+  }
+
+  test("topN keeps timestamps and breaks value ties to the earlier point") {
+    val df = Seq(("a", 1L, 9.0), ("a", 2L, 9.0), ("a", 3L, 8.0),
+      ("a", 4L, 7.0), ("b", 1L, 1.0)).toDF("k", "t", "v")
+    val top = IA.topN(df, Seq("k"), "t", "v", 2)
+      .select("k", "t", "v").as[(String, Long, Double)].collect().toSet
+    assert(top == Set(("a", 1L, 9.0), ("a", 2L, 9.0), ("b", 1L, 1.0)))
+    val bot = IA.topN(df, Seq("k"), "t", "v", 1, bottom = true)
+      .select("k", "t", "v").as[(String, Long, Double)].collect().toSet
+    assert(bot == Set(("a", 4L, 7.0), ("b", 1L, 1.0)))
+  }
+}

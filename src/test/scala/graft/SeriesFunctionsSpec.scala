@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.functions.{SeriesFunctions => SF}
+
+class SeriesFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // one series with irregular spacing + a second series to prove keying
+  private lazy val pts = Seq(
+    ("a", 0L, 10.0), ("a", 1000000000L, 13.0), ("a", 3000000000L, 13.0),
+    ("a", 4000000000L, 9.0),
+    ("b", 0L, 100.0), ("b", 2000000000L, 110.0)).toDF("k", "t", "v")
+
+  private def vals(df: DataFrame, out: String): Map[(String, Long), Option[Double]] =
+    df.select($"k", $"t", org.apache.spark.sql.functions.col(out))
+      .as[(String, Long, Option[Double])].collect()
+      .map { case (k, t, v) => (k, t) -> v }.toMap
+
+  test("difference: v - previous v, null first point, per series") {
+    val m = vals(SF.difference(pts, Seq("k"), "t", "v", "d"), "d")
+    assert(m(("a", 0L)).isEmpty && m(("a", 1000000000L)).contains(3.0))
+    assert(m(("a", 4000000000L)).contains(-4.0))
+    assert(m(("b", 2000000000L)).contains(10.0), "series must not leak into each other")
+  }
+
+  test("derivative: rate per unit of elapsed time") {
+    val m = vals(SF.derivative(pts, Seq("k"), "t", "v", 1000000000L, "r"), "r")
+    assert(m(("a", 1000000000L)).contains(3.0)) // +3 over 1s
+    assert(m(("a", 3000000000L)).contains(0.0)) // flat over 2s
+    assert(m(("a", 4000000000L)).contains(-4.0))
+    assert(m(("b", 2000000000L)).contains(5.0)) // +10 over 2s
+  }
+
+  test("derivative: equal timestamps yield null, not a divide error") {
+    val dup = Seq(("a", 5L, 1.0), ("a", 5L, 2.0)).toDF("k", "t", "v")
+    val out = SF.derivative(dup, Seq("k"), "t", "v", 1L, "r")
+      .select($"r").as[Option[Double]].collect()
+    assert(out.count(_.isEmpty) == 2) // first point + zero-dt point
+  }
+
+  test("movingAverage emits only full windows (InfluxQL nth-point rule)") {
+    val m = vals(SF.movingAverage(pts, Seq("k"), "t", "v", 3, "m"), "m")
+    assert(m(("a", 0L)).isEmpty && m(("a", 1000000000L)).isEmpty)
+    assert(m(("a", 3000000000L)).contains(12.0)) // (10+13+13)/3
+    assert(m(("b", 2000000000L)).isEmpty, "b never has 3 points")
+  }
+
+  test("cumulativeSum runs within the series") {
+    val m = vals(SF.cumulativeSum(pts, Seq("k"), "t", "v", "c"), "c")
+    assert(m(("a", 4000000000L)).contains(45.0))
+    assert(m(("b", 2000000000L)).contains(210.0))
+  }
+
+  test("elapsed: ns since previous point") {
+    val m = vals(SF.elapsed(pts, Seq("k"), "t", "e"), "e")
+      .map { case (k, v) => k -> v.map(_.toLong) }
+    assert(m(("a", 3000000000L)).contains(2000000000L))
+    assert(m(("b", 0L)).isEmpty)
+  }
+
+  test("all four functions collapse into one Window operator (plan shape)") {
+    val out = Seq[DataFrame => DataFrame](
+      SF.difference(_, Seq("k"), "t", "v", "d"),
+      SF.derivative(_, Seq("k"), "t", "v", 1L, "r"),
+      SF.cumulativeSum(_, Seq("k"), "t", "v", "c"),
+      SF.elapsed(_, Seq("k"), "t", "e")).foldLeft(pts)((df, f) => f(df))
+    val plan = out.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(k".r.findAllIn(plan).size == 1,
+      s"expected ONE exchange for all series functions:\n$plan")
+  }
+
+  test("keyless windows are rejected (single-task trap)") {
+    intercept[IllegalArgumentException] {
+      SF.difference(pts, Nil, "t", "v", "d")
+    }
+  }
+}
