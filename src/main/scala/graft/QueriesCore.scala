@@ -831,11 +831,13 @@ object QueriesCore {
           SF.difference(_, Seq("user_id"), "t", "value", "diff"),
           SF.derivative(_, Seq("user_id"), "t", "value", 1000000000L, "deriv_s"),
           SF.movingAverage(_, Seq("user_id"), "t", "value", 3, "mavg3"),
-          SF.cumulativeSum(_, Seq("user_id"), "t", "value", "csum"))
+          SF.cumulativeSum(_, Seq("user_id"), "t", "value", "csum"),
+          SF.elapsed(_, Seq("user_id"), "t", "elapsed_ns"))
           .foldLeft(ev)((df, f) => f(df))
         out.select(col("user_id"), col("t"), round(col("value"), 6).as("value"),
             round(col("diff"), 6).as("diff"), round(col("deriv_s"), 6).as("deriv_s"),
-            round(col("mavg3"), 6).as("mavg3"), round(col("csum"), 6).as("csum"))
+            round(col("mavg3"), 6).as("mavg3"), round(col("csum"), 6).as("csum"),
+            col("elapsed_ns"))
           .orderBy("user_id", "t")
       },
       Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS t, value
@@ -851,7 +853,8 @@ object QueriesCore {
             THEN avg(value) OVER (PARTITION BY user_id ORDER BY t
               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) END, 6) AS mavg3,
           round(sum(value) OVER (PARTITION BY user_id ORDER BY t
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS csum
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS csum,
+          t - lag(t) OVER win AS elapsed_ns
         FROM e WINDOW win AS (PARTITION BY user_id ORDER BY t)
         ORDER BY user_id, t""")),
 
@@ -888,10 +891,16 @@ object QueriesCore {
         // fill(linear) over an hourly per-type mean grid: holes interpolate
         // between the neighboring observed buckets, edges stay NULL
         val ev = Tables.events(s, d)
+        // bucket mean via an EXACT decimal sum, then one double division:
+        // a plain avg() accumulates in engine-specific order, and at 10x
+        // data a bucket's mean can land within float error of the
+        // 6-decimal rounding boundary (observed at sf0.1)
         graft.operators.GapFill.bucketAndFill(ev, Seq("event_type"), "ts_ns",
             startNs = 1704067200000000000L, stopNs = 1706659200000000000L,
             everyNs = 3600000000000L,
-            aggs = Seq(round(avg(col("value")), 6).as("v")),
+            aggs = Seq(round(
+              sum(col("value").cast("decimal(28,10)")).cast("double")
+                / count(lit(1)), 6).as("v")),
             fills = Map("v" -> graft.operators.GapFill.Linear))
           .withColumn("v", round(col("v"), 6))
           .orderBy("event_type", "ts_ns")
@@ -901,7 +910,8 @@ object QueriesCore {
             AND epoch_ns(ts) < 1706659200000000000),
         agg AS (SELECT event_type,
             tn - ((tn - 1704067200000000000) % 3600000000000) AS ts_ns,
-            round(avg(value), 6) AS v FROM e GROUP BY 1, 2),
+            round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+              / count(*), 6) AS v FROM e GROUP BY 1, 2),
         grid AS (SELECT event_type, unnest(range(1704067200000000000,
             1706659200000000000, 3600000000000)) AS ts_ns
           FROM (SELECT DISTINCT event_type FROM agg)),
@@ -990,6 +1000,20 @@ object QueriesCore {
             row_number() OVER (PARTITION BY user_id
               ORDER BY round(value, 6) DESC, epoch_ns(ts) ASC) AS rk
           FROM events WHERE value IS NOT NULL) x
-        WHERE rk <= 3 ORDER BY user_id, value DESC, t"""))
+        WHERE rk <= 3 ORDER BY user_id, value DESC, t""")),
+
+    ("events_histogram",
+      (s, d) => {
+        // Flux histogram(): cumulative counts per upper bound, one wide
+        // aggregate then an in-row unpivot — raw rows are never exploded
+        import graft.functions.{InfluxAggregates => IA}
+        IA.histogram(Tables.events(s, d), Seq("event_type"), "value",
+            Seq(50.0, 100.0, 200.0, 400.0, 800.0))
+          .orderBy("event_type", "le")
+      },
+      Some("""WITH b AS (SELECT unnest([50.0, 100.0, 200.0, 400.0, 800.0]) AS le)
+        SELECT event_type, le,
+          CAST(count(*) FILTER (value <= le) AS BIGINT) AS n
+        FROM events CROSS JOIN b GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

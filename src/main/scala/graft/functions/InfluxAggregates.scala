@@ -85,6 +85,27 @@ object InfluxAggregates {
       .agg(coalesce(sum(col("__term")), lit(0.0)).as(out))
   }
 
+  /** Flux-style cumulative histogram (`histogram()` with explicit
+    * upperBounds): one row per (keys..., le) with the count of values
+    * `<= le`. Computed as ONE wide aggregate — a `sum(value <= b)`
+    * column per bound, map-side partial aggregation, then an in-row
+    * unpivot back to (le, n) rows. No explode of raw rows: the
+    * rows×bounds blowup happens only on the already-aggregated frame. */
+  def histogram(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      bounds: Seq[Double]): DataFrame = {
+    require(bounds.nonEmpty && bounds == bounds.sorted,
+      "histogram bounds must be non-empty and ascending")
+    val keys = keyCols.map(col)
+    val aggs = bounds.zipWithIndex.map { case (b, i) =>
+      sum(when(col(valueCol) <= b, 1L).otherwise(0L)).as(s"__b$i")
+    }
+    df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+      .select(keys :+ explode(array(bounds.zipWithIndex.map { case (b, i) =>
+        struct(lit(b).as("le"), col(s"__b$i").as("n"))
+      }: _*)).as("__h"): _*)
+      .select(keys :+ col("__h.le").as("le") :+ col("__h.n").as("n"): _*)
+  }
+
   /** InfluxQL `top(field, N)` / `bottom(field, N)`: the N largest
     * (smallest) points per series WITH their timestamps; ties break to
     * the earlier timestamp (call_iterator.go top/bottom keep the first

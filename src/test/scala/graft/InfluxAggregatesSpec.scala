@@ -50,6 +50,15 @@ class InfluxAggregatesSpec extends SparkSpec {
     assert(single._2 == 0.0)
   }
 
+  test("histogram: cumulative counts per upper bound") {
+    val df = Seq(("a", 1.0), ("a", 5.0), ("a", 5.0), ("a", 50.0), ("b", 2.0))
+      .toDF("k", "v")
+    val h = IA.histogram(df, Seq("k"), "v", Seq(1.0, 5.0, 100.0))
+      .as[(String, Double, Long)].collect().toSet
+    assert(h == Set(("a", 1.0, 1L), ("a", 5.0, 3L), ("a", 100.0, 4L),
+      ("b", 1.0, 0L), ("b", 5.0, 1L), ("b", 100.0, 1L)))
+  }
+
   test("topN keeps timestamps and breaks value ties to the earlier point") {
     val df = Seq(("a", 1L, 9.0), ("a", 2L, 9.0), ("a", 3L, 8.0),
       ("a", 4L, 7.0), ("b", 1L, 1.0)).toDF("k", "t", "v")
