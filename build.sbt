@@ -28,5 +28,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dio.netty.tryReflectionSetAccessible=true",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the bench/verify mains run 70+ queries in one local[32] JVM; at 8g a
+  // single GC stall mid-query shows up as a phantom 30s bench outlier
+  // (the container has 128 GiB)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -306,9 +306,33 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
     * concatenation makes the chunks one valid message, so a large series
     * set never buffers in the facade. */
   private def handleReadFilter(ex: HttpExchange): Unit = {
-    val body = storageBody(ex).getOrElse(return)
-    (jsonStrField(body, "database_name"), jsonStrField(body, "table")) match {
-      case (Some(db), Some(table)) =>
+    val raw = storageBodyBytes(ex).getOrElse(return)
+    val parsed: Either[String, (String, String, graft.core.RpcPredicate)] =
+      if (isProtoRequest(ex)) {
+        // the wire request: ReadFilterRequest protobuf — table selection
+        // arrives as the predicate's \x00 _measurement sentinel conjunct,
+        // exactly like the reference's storage clients send it
+        try {
+          val req = StorageProtoReader.decodeReadFilter(raw)
+          StorageProtoReader.toRpcPredicate(req).flatMap { case (pred, meas) =>
+            (protoDb(ex, req), meas.orElse(queryParams(ex).get("table"))) match {
+              case (Some(db), Some(t)) => Right((db, t, pred))
+              case _ => Left("request needs read_source (or ?db=) and a " +
+                "_measurement predicate (or ?table=)")
+            }
+          }
+        } catch { case NonFatal(e) =>
+          Left(s"bad protobuf request: ${e.getMessage}") }
+      } else {
+        val body = new String(raw, UTF_8)
+        (jsonStrField(body, "database_name"), jsonStrField(body, "table")) match {
+          case (Some(db), Some(t)) => Right((db, t, predOf(body)))
+          case _ => Left("""expected {"database_name": ..., "table": ...}""")
+        }
+      }
+    parsed match {
+      case Left(err) => respondJsonError(ex, 400, err)
+      case Right((db, table, pred)) =>
         // no catalog lock here (or in the handlers below): these plans
         // build from measurementView over the concurrent chunk map and
         // never touch the shared temp-view catalog the SQL endpoint
@@ -316,15 +340,13 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
         measurementView(db, table).map { df =>
           graft.operators.InfluxRpc.toFrames(
             graft.operators.InfluxRpc.toSeriesSet(
-              graft.operators.InfluxRpc.readFilter(df, predOf(body)),
+              graft.operators.InfluxRpc.readFilter(df, pred),
               IoxSchema.fieldColumns(df.schema)),
             table)
         } match {
           case None => respondJsonError(ex, 404, s"no table $table in database $db")
           case Some(frames) => streamFrames(ex, frames)
         }
-      case _ => respondJsonError(ex, 400,
-        """expected {"database_name": ..., "table": ...}""")
     }
   }
 
@@ -337,11 +359,33 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
   // database-level answer (the *AcrossTables merges).
 
   private def storageBody(ex: HttpExchange): Option[String] =
+    storageBodyBytes(ex).map(new String(_, UTF_8))
+
+  /** Raw request bytes — protobuf-carried requests are binary and must
+    * not round-trip through a UTF-8 decode. */
+  private def storageBodyBytes(ex: HttpExchange): Option[Array[Byte]] =
     readBody(ex.getRequestBody, gzipped = false) match {
-      case Some(b) => Some(new String(b, UTF_8))
+      case Some(b) => Some(b)
       case None =>
         respondJsonError(ex, 413, s"request exceeds $MaxBodySize bytes"); None
     }
+
+  /** The storage routes accept BOTH encodings: the tonic request protobuf
+    * (Content-Type: application/x-protobuf — storage_common.proto
+    * messages, predicate Node trees and all) and the JSON spelling the
+    * facade always carried. */
+  private def isProtoRequest(ex: HttpExchange): Boolean =
+    Option(ex.getRequestHeaders.getFirst("Content-Type"))
+      .exists(_.toLowerCase.contains("protobuf"))
+
+  /** Database for a protobuf-carried request: the reference resolves it
+    * from read_source org/bucket ids (service.rs get_database_name →
+    * `{org:016x}_{bucket:016x}`); a `?db=` query param overrides for
+    * string-named databases — the HTTP-transport bridge, same disclosure
+    * as the transport itself. */
+  private def protoDb(ex: HttpExchange,
+      req: StorageProtoReader.StorageRequest): Option[String] =
+    queryParams(ex).get("db").orElse(req.databaseName)
 
   /** Request predicate (predicate.proto / PredicateBuilder): optional
     * `[start, stop)` range plus the request-level restrictions the
@@ -405,22 +449,56 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
       "max" -> Max, "mean" -> Mean, "first" -> First, "last" -> Last)
   }
 
+  /** Aggregate.AggregateType enum (storage_common.proto:56-66) → the
+    * facade's aggregate names. */
+  private val protoAggNames: Map[Int, String] = Map(0 -> "none", 1 -> "sum",
+    2 -> "count", 3 -> "min", 4 -> "max", 5 -> "first", 6 -> "last",
+    7 -> "mean")
+
   /** read_group (service.rs:260): group frames + member series. The
     * response stream interleaves one GroupFrame per distinct group-key
     * value with its member series/points pairs (data.rs:75-121). */
   private def handleReadGroup(ex: HttpExchange): Unit = {
     import graft.operators.InfluxRpc
     import graft.operators.InfluxRpc.AggKind
-    val body = storageBody(ex).getOrElse(return)
-    (jsonStrField(body, "database_name"), tableOf(body)) match {
-      case (Some(db), Some(table)) =>
-        val aggName = jsonStrField(body, "aggregate").getOrElse("none")
+    val raw = storageBodyBytes(ex).getOrElse(return)
+    val parsed: Either[String,
+        (String, String, graft.core.RpcPredicate, String, Seq[String])] =
+      if (isProtoRequest(ex)) {
+        try {
+          val req = StorageProtoReader.decodeReadGroup(raw)
+          StorageProtoReader.toRpcPredicate(req).flatMap { case (pred, meas) =>
+            (protoDb(ex, req), meas.orElse(queryParams(ex).get("table"))) match {
+              case (Some(db), Some(t)) =>
+                val aggName = protoAggNames.getOrElse(
+                  req.aggregates.headOption.getOrElse(0), "none")
+                Right((db, t, pred, aggName, req.groupKeys))
+              case _ => Left("request needs read_source (or ?db=) and a " +
+                "_measurement predicate (or ?table=)")
+            }
+          }
+        } catch { case NonFatal(e) =>
+          Left(s"bad protobuf request: ${e.getMessage}") }
+      } else {
+        val body = new String(raw, UTF_8)
+        (jsonStrField(body, "database_name"), tableOf(body)) match {
+          case (Some(db), Some(t)) =>
+            Right((db, t, predOf(body),
+              jsonStrField(body, "aggregate").getOrElse("none"),
+              jsonStrArrayField(body, "group_keys")))
+          case _ => Left("""expected {"database_name": ..., "table": ...}""")
+        }
+      }
+    val (db, table, pred, aggName, groupKeys) = parsed match {
+      case Left(err) => respondJsonError(ex, 400, err); return
+      case Right(p) => p
+    }
+    {
         val agg = aggKinds.get(aggName) match {
           case Some(a) => a
           case scala.None =>
             respondJsonError(ex, 400, s"unknown aggregate: $aggName"); return
         }
-        val groupKeys = jsonStrArrayField(body, "group_keys")
         measurementView(db, table).foreach { df =>
           val tags = IoxSchema.tagColumns(df.schema)
           val bad = groupKeys.filterNot(tags.contains)
@@ -432,7 +510,6 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
         }
         val planned =
           measurementView(db, table).map { df =>
-            val pred = predOf(body)
             val out = InfluxRpc.readGroup(df, pred, agg, groupKeys)
             val fieldCols = IoxSchema.fieldColumns(df.schema)
             val series = agg match {
@@ -463,8 +540,6 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
           case scala.None => respondJsonError(ex, 404, s"no table $table in database $db")
           case Some(frames) => streamFrames(ex, frames)
         }
-      case _ => respondJsonError(ex, 400,
-        """expected {"database_name": ..., "table": ...}""")
     }
   }
 
@@ -472,47 +547,88 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
     * series frames; fixed ns or calendar-month widths. */
   private def handleReadWindowAggregate(ex: HttpExchange): Unit = {
     import graft.operators.InfluxRpc
-    val body = storageBody(ex).getOrElse(return)
-    (jsonStrField(body, "database_name"), tableOf(body)) match {
-      case (Some(db), Some(table)) =>
-        val aggName = jsonStrField(body, "aggregate").getOrElse("")
-        val agg = aggKinds.get(aggName) match {
-          case Some(InfluxRpc.AggKind.None) | scala.None =>
-            respondJsonError(ex, 400,
-              s"window aggregate requires an aggregate, got '$aggName'"); return
-          case Some(a) => a
-        }
-        val everyNs = jsonLongField(body, "window_every")
-        val everyMonths = jsonLongField(body, "window_every_months")
-        if (everyNs.isEmpty && everyMonths.isEmpty) {
-          respondJsonError(ex, 400,
-            "window_every (ns) or window_every_months required"); return
-        }
-        if (everyNs.exists(_ <= 0L) ||
-            everyMonths.exists(m => m <= 0L || m > Int.MaxValue)) {
-          respondJsonError(ex, 400, "window width must be a positive " +
-            "duration (months fit in 32 bits)"); return
-        }
-        val planned =
-          measurementView(db, table).map { df =>
-            val pred = predOf(body)
-            val out = (everyNs, everyMonths) match {
-              case (Some(every), _) =>
-                InfluxRpc.readWindowAggregate(df, pred, agg, every,
-                  jsonLongField(body, "offset").getOrElse(0L))
-              case (_, months) =>
-                InfluxRpc.readWindowAggregateMonths(df, pred, agg, months.get.toInt,
-                  jsonLongField(body, "offset_months").getOrElse(0L).toInt)
+    val raw = storageBodyBytes(ex).getOrElse(return)
+    // (db, table, pred, aggName, everyNs, everyMonths, offsetNs, offsetMonths)
+    val parsed: Either[String, (String, String, graft.core.RpcPredicate,
+        String, Option[Long], Option[Long], Long, Int)] =
+      if (isProtoRequest(ex)) {
+        try {
+          val req = StorageProtoReader.decodeReadWindowAggregate(raw)
+          StorageProtoReader.toRpcPredicate(req).flatMap { case (pred, meas) =>
+            (protoDb(ex, req), meas.orElse(queryParams(ex).get("table"))) match {
+              case (Some(db), Some(t)) =>
+                val aggName = protoAggNames.getOrElse(
+                  req.aggregates.headOption.getOrElse(0), "none")
+                // the reference prefers the `window` message when present,
+                // else the flat WindowEvery/Offset int64s (service.rs:345)
+                val (evNs, evMonths, offNs, offMonths) = req.window match {
+                  case Some(w) =>
+                    val every = w.every.getOrElse(StorageProtoReader.Dur(0, 0, negative = false))
+                    val off = w.offset.getOrElse(StorageProtoReader.Dur(0, 0, negative = false))
+                    val offSign = if (off.negative) -1L else 1L
+                    if (every.months > 0)
+                      (scala.None, Some(every.months),
+                        0L, (offSign * off.months).toInt)
+                    else (Some(every.nsecs), scala.None, offSign * off.nsecs, 0)
+                  case scala.None =>
+                    (Some(req.windowEveryNs), scala.None, req.offsetNs, 0)
+                }
+                Right((db, t, pred, aggName, evNs, evMonths, offNs, offMonths))
+              case _ => Left("request needs read_source (or ?db=) and a " +
+                "_measurement predicate (or ?table=)")
             }
-            InfluxRpc.toFrames(
-              InfluxRpc.toSeriesSet(out, IoxSchema.fieldColumns(df.schema)), table)
           }
-        planned match {
-          case scala.None => respondJsonError(ex, 404, s"no table $table in database $db")
-          case Some(frames) => streamFrames(ex, frames)
+        } catch { case NonFatal(e) =>
+          Left(s"bad protobuf request: ${e.getMessage}") }
+      } else {
+        val body = new String(raw, UTF_8)
+        (jsonStrField(body, "database_name"), tableOf(body)) match {
+          case (Some(db), Some(t)) =>
+            Right((db, t, predOf(body),
+              jsonStrField(body, "aggregate").getOrElse(""),
+              jsonLongField(body, "window_every"),
+              jsonLongField(body, "window_every_months"),
+              jsonLongField(body, "offset").getOrElse(0L),
+              jsonLongField(body, "offset_months").getOrElse(0L).toInt))
+          case _ => Left("""expected {"database_name": ..., "table": ...}""")
         }
-      case _ => respondJsonError(ex, 400,
-        """expected {"database_name": ..., "table": ...}""")
+      }
+    val (db, table, pred, aggName, everyNs, everyMonths, offsetNs, offsetMonths) =
+      parsed match {
+        case Left(err) => respondJsonError(ex, 400, err); return
+        case Right(p) => p
+      }
+    val agg = aggKinds.get(aggName) match {
+      case Some(InfluxRpc.AggKind.None) | scala.None =>
+        respondJsonError(ex, 400,
+          s"window aggregate requires an aggregate, got '$aggName'"); return
+      case Some(a) => a
+    }
+    val everyDefined = everyNs.exists(_ != 0L) || everyMonths.isDefined
+    if (!everyDefined) {
+      respondJsonError(ex, 400,
+        "window_every (ns) or window_every_months required"); return
+    }
+    if (everyNs.exists(_ < 0L) ||
+        everyMonths.exists(m => m <= 0L || m > Int.MaxValue)) {
+      respondJsonError(ex, 400, "window width must be a positive " +
+        "duration (months fit in 32 bits)"); return
+    }
+    val planned =
+      measurementView(db, table).map { df =>
+        val out = (everyNs.filter(_ > 0L), everyMonths) match {
+          case (Some(every), _) =>
+            InfluxRpc.readWindowAggregate(df, pred, agg, every, offsetNs)
+          case (_, months) =>
+            InfluxRpc.readWindowAggregateMonths(df, pred, agg,
+              months.get.toInt, offsetMonths)
+        }
+        InfluxRpc.toFrames(
+          InfluxRpc.toSeriesSet(out, IoxSchema.fieldColumns(df.schema)), table)
+      }
+    planned match {
+      case scala.None => respondJsonError(ex, 404, s"no table $table in database $db")
+      case Some(frames) => streamFrames(ex, frames)
     }
   }
 
@@ -522,14 +638,36 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
     * across the database's measurements. */
   private def handleTagKeys(ex: HttpExchange): Unit = {
     import graft.operators.InfluxRpc
-    val body = storageBody(ex).getOrElse(return)
-    jsonStrField(body, "database_name") match {
-      case Some(db) =>
-        val pred = predOf(body)
+    val raw = storageBodyBytes(ex).getOrElse(return)
+    // (db, optional table restriction, predicate)
+    val parsed: Either[String,
+        (String, Option[String], graft.core.RpcPredicate)] =
+      if (isProtoRequest(ex)) {
+        try {
+          val req = StorageProtoReader.decodeReadFilter(raw) // same field set
+          StorageProtoReader.toRpcPredicate(req).flatMap { case (pred, meas) =>
+            protoDb(ex, req) match {
+              case Some(db) =>
+                Right((db, meas.orElse(queryParams(ex).get("table")), pred))
+              case scala.None => Left("request needs read_source (or ?db=)")
+            }
+          }
+        } catch { case NonFatal(e) =>
+          Left(s"bad protobuf request: ${e.getMessage}") }
+      } else {
+        val body = new String(raw, UTF_8)
+        jsonStrField(body, "database_name") match {
+          case Some(db) => Right((db, tableOf(body), predOf(body)))
+          case _ => Left("""expected {"database_name": ...}""")
+        }
+      }
+    parsed match {
+      case Left(err) => respondJsonError(ex, 400, err)
+      case Right((db, table, pred)) =>
         if (!requireDb(ex, db)) return
         val keys =
-          tableOf(body) match {
-            case Some(table) => measurementView(db, table).map(InfluxRpc.tagKeys(_, pred))
+          table match {
+            case Some(t) => measurementView(db, t).map(InfluxRpc.tagKeys(_, pred))
             case scala.None => Some(InfluxRpc.tagKeysAcrossTables(dbTables(db), pred))
           }
         keys match {
@@ -537,7 +675,6 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
           case Some(ks) => respondProto(ex,
             StorageProto.stringValuesResponse(StorageProto.tagKeysByteVecs(ks)))
         }
-      case _ => respondJsonError(ex, 400, """expected {"database_name": ...}""")
     }
   }
 
@@ -547,25 +684,52 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
     * (service.rs:483-526). */
   private def handleTagValues(ex: HttpExchange): Unit = {
     import graft.operators.InfluxRpc
-    val body = storageBody(ex).getOrElse(return)
-    (jsonStrField(body, "database_name"), jsonStrField(body, "tag_key")) match {
-      case (Some(db), Some(tagKey)) =>
+    val raw = storageBodyBytes(ex).getOrElse(return)
+    // (db, optional table, tag key, predicate) — the proto tag_key bytes
+    // carry the same \x00/\xff sentinels the JSON spelling writes as
+    // " "/"ÿ"; the reader renders them "_measurement"/"_field"
+    val parsed: Either[String,
+        (String, Option[String], String, graft.core.RpcPredicate)] =
+      if (isProtoRequest(ex)) {
+        try {
+          val req = StorageProtoReader.decodeTagValues(raw)
+          StorageProtoReader.toRpcPredicate(req).flatMap { case (pred, meas) =>
+            (protoDb(ex, req), req.tagKey) match {
+              case (Some(db), Some(tk)) =>
+                Right((db, meas.orElse(queryParams(ex).get("table")),
+                  StorageProtoReader.renderTagKey(tk), pred))
+              case (scala.None, _) => Left("request needs read_source (or ?db=)")
+              case (_, scala.None) => Left("request needs tag_key")
+            }
+          }
+        } catch { case NonFatal(e) =>
+          Left(s"bad protobuf request: ${e.getMessage}") }
+      } else {
+        val body = new String(raw, UTF_8)
+        (jsonStrField(body, "database_name"), jsonStrField(body, "tag_key")) match {
+          case (Some(db), Some(tk)) =>
+            Right((db, tableOf(body), tk, predOf(body)))
+          case _ => Left("""expected {"database_name": ..., "tag_key": ...}""")
+        }
+      }
+    parsed match {
+      case Left(err) => respondJsonError(ex, 400, err)
+      case Right((db, table, tagKey, pred)) =>
         if (!requireDb(ex, db)) return
-        val pred = predOf(body)
         val values: Option[Seq[String]] = {
           val tables = dbTables(db)
           tagKey match {
             case "\u0000" | "_measurement" =>
               Some(InfluxRpc.tableNames(tables, pred))
             case "ÿ" | "_field" =>
-              tableOf(body) match {
+              table match {
                 case Some(t) => tables.get(t).map(df =>
                   InfluxRpc.fieldColumns(df, pred).collect().map(_.getString(0)).toSeq)
                 case scala.None =>
                   Some(InfluxRpc.fieldColumnsAcrossTables(tables, pred).map(_._1))
               }
             case k =>
-              tableOf(body) match {
+              table match {
                 case Some(t) => tables.get(t).map(df =>
                   InfluxRpc.tagValues(df, k, pred)
                     .collect().map(_.getString(0)).toSeq)
@@ -579,8 +743,6 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
           case Some(vs) => respondProto(ex,
             StorageProto.stringValuesResponse(vs.map(_.getBytes(UTF_8))))
         }
-      case _ => respondJsonError(ex, 400,
-        """expected {"database_name": ..., "tag_key": ...}""")
     }
   }
 
