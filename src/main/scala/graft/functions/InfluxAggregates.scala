@@ -65,6 +65,20 @@ object InfluxAggregates {
       .select((keys :+ col(valueCol).as(out)): _*)
   }
 
+  /** The percentile SCALE path: `percentile_approx` (Spark's
+    * QuantileSummaries sketch — one hash aggregate with map-side partial
+    * merge, no per-key window sort). [[percentile]] is exact nearest-rank
+    * and needs one sorted window pass per series; at corpus scale prefer
+    * this sketch and bound the error with `accuracy` (error <=
+    * 1/accuracy relative rank). */
+  def percentileApprox(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      p: Double, out: String, accuracy: Int = 10000): DataFrame = {
+    require(p > 0 && p <= 100, s"percentile out of (0, 100]: $p")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(percentile_approx(col(valueCol), lit(p / 100.0), lit(accuracy))
+        .as(out))
+  }
+
   /** InfluxQL `integral(field, unit)`: trapezoidal area under the series
     * on the time axis, in units of `unitNs` (default 1s). Consecutive
     * points i-1, i contribute (v[i-1] + v[i]) / 2 * (t[i] - t[i-1]) /

@@ -39,6 +39,17 @@ class InfluxAggregatesSpec extends SparkSpec {
     assert(p(1) == 1.0) // k = floor(0.54) = 0 -> clamped up to 1
   }
 
+  test("percentileApprox tracks the exact nearest-rank within sketch error") {
+    val rows = (1 to 1000).map(i => ("a", i.toDouble))
+    val df = rows.toDF("k", "v")
+    val exact = IA.percentile(df, Seq("k"), "v", 90, "p")
+      .select("p").as[Double].head()
+    val approx = IA.percentileApprox(df, Seq("k"), "v", 90, "p")
+      .select("p").as[Double].head()
+    // accuracy 10000 over 1000 rows -> exact rank
+    assert(math.abs(approx - exact) <= 1.0, s"approx $approx vs exact $exact")
+  }
+
   test("integral: trapezoid area per second, 0 for a single point") {
     val m = IA.integral(pts, Seq("k"), "t", "v", 1000000000L, "i")
       .as[(String, Double)].collect().toMap
