@@ -1002,6 +1002,32 @@ object QueriesCore {
           FROM events WHERE value IS NOT NULL) x
         WHERE rk <= 3 ORDER BY user_id, value DESC, t""")),
 
+    ("events_ema",
+      (s, d) => {
+        // the sequential-recursion series transform: mapPartitions linear
+        // scan per series; the oracle replays the same recursion with a
+        // recursive CTE stepping one row-number rank at a time. Identical
+        // per-step IEEE arithmetic on both engines -> bit-equal results
+        import graft.functions.{SeriesFunctions => SF}
+        val ev = Tables.events(s, d).filter(col("user_id") < 5)
+          .select(col("user_id"), col("ts_ns").as("t"), col("value"))
+        SF.exponentialMovingAverage(ev, Seq("user_id"), "t", "value",
+            alpha = 0.25, "ema")
+          .select(col("user_id").cast("long").as("user_id"), col("t"),
+            round(col("ema"), 6).as("ema"))
+          .orderBy("user_id", "t")
+      },
+      Some("""WITH RECURSIVE e AS (SELECT user_id, epoch_ns(ts) AS t, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY epoch_ns(ts)) AS rn
+          FROM events WHERE user_id < 5),
+        r AS (SELECT user_id, t, rn, value AS ema FROM e WHERE rn = 1
+          UNION ALL
+          SELECT e.user_id, e.t, e.rn, 0.25 * e.value + 0.75 * r.ema
+          FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        SELECT user_id, t, round(ema, 6) AS ema FROM r
+        ORDER BY user_id, t""")),
+
     ("events_histogram",
       (s, d) => {
         // Flux histogram(): cumulative counts per upper bound, one wide

@@ -71,4 +71,45 @@ object SeriesFunctions {
     val w = series(keyCols, timeCol)
     df.withColumn(out, col(timeCol) - lag(col(timeCol), 1).over(w))
   }
+
+  /** Exponential moving average (Flux `exponentialMovingAverage` rule:
+    * the first EMA value IS the first point; after that
+    * `ema = α·v + (1-α)·ema_prev`). The recursion makes every output
+    * depend on ALL predecessors, so no window frame expresses it — this
+    * is the one place the per-series scan drops to `mapPartitions`
+    * (the documented last resort): one shuffle on the key, one
+    * in-partition spillable sort, then a linear run-detecting pass with
+    * O(1) state — the same physical shape as the series-set converter.
+    * Returns (keys..., timeCol, out); key columns come back as strings
+    * (they ride the scan as the run-detection key). */
+  def exponentialMovingAverage(df: DataFrame, keyCols: Seq[String],
+      timeCol: String, valueCol: String, alpha: Double,
+      out: String): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha out of (0, 1]: $alpha")
+    require(keyCols.nonEmpty,
+      "series functions need a partition key (a keyless scan is a single task)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val packed = df.select(
+        array(keyCols.map(col(_).cast("string")): _*).as("__k"),
+        col(timeCol).cast("long").as("__t"),
+        col(valueCol).cast("double").as("__v"))
+      .as[(Seq[String], Long, Double)]
+    val scanned = packed
+      .repartition(col("__k"))
+      .sortWithinPartitions(col("__k"), col("__t"))
+      .mapPartitions { it =>
+        var curKey: Seq[String] = null
+        var ema = 0.0
+        it.map { case (k, t, v) =>
+          if (k != curKey) { curKey = k; ema = v }
+          else ema = alpha * v + (1.0 - alpha) * ema
+          (k, t, ema)
+        }
+      }
+      .toDF("__k", "__t", out)
+    scanned.select(keyCols.zipWithIndex.map { case (k, i) =>
+      col("__k")(i).as(k)
+    } ++ Seq(col("__t").as(timeCol), col(out)): _*)
+  }
 }

@@ -17,6 +17,18 @@ class SeriesFunctionsSpec extends SparkSpec {
       .as[(String, Long, Option[Double])].collect()
       .map { case (k, t, v) => (k, t) -> v }.toMap
 
+  test("exponentialMovingAverage: first point seeds, recursion follows") {
+    val out = SF.exponentialMovingAverage(pts, Seq("k"), "t", "v",
+        alpha = 0.5, "ema")
+      .orderBy("k", "t")
+      .as[(String, Long, Double)].collect()
+    val a = out.filter(_._1 == "a").map(_._3)
+    // 10; .5*13+.5*10=11.5; .5*13+.5*11.5=12.25; .5*9+.5*12.25=10.625
+    assert(a.toSeq == Seq(10.0, 11.5, 12.25, 10.625))
+    val b = out.filter(_._1 == "b").map(_._3)
+    assert(b.toSeq == Seq(100.0, 105.0), "series do not leak")
+  }
+
   test("difference: v - previous v, null first point, per series") {
     val m = vals(SF.difference(pts, Seq("k"), "t", "v", "d"), "d")
     assert(m(("a", 0L)).isEmpty && m(("a", 1000000000L)).contains(3.0))
