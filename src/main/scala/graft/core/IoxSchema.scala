@@ -142,15 +142,16 @@ case class RpcPredicate(
   def withPartitionKey(key: String): RpcPredicate = copy(partitionKey = Some(key))
 
   /** InfluxRPC `=~` / `!~` regex operators (reference RegexMatch UDFs,
-    * query/src/func/regex.rs:14-83). Patterns are Java-regex dialect;
-    * the reference's Go-regex dialect overlaps on the common subset
-    * (character classes, anchors, alternation) — callers using Go-only
-    * syntax (e.g. (?i) mid-pattern) must translate. `!~` keeps the
+    * query/src/func/regex.rs:14-83). Patterns arrive in the reference's
+    * Go/RE2 dialect; [[GoRegex.toJava]] repairs the two spellings Java
+    * rejects (`(?P<name>`, POSIX `[:class:]`) and passes everything else
+    * through, so Java-dialect patterns keep working. `!~` keeps the
     * reference's null semantics: a null tag matches neither way. */
   def withRegexMatch(column: String, pattern: String): RpcPredicate =
-    copy(exprs = exprs :+ col(column).rlike(pattern))
+    copy(exprs = exprs :+ col(column).rlike(GoRegex.toJava(pattern)))
   def withRegexNotMatch(column: String, pattern: String): RpcPredicate =
-    copy(exprs = exprs :+ (col(column).isNotNull && !col(column).rlike(pattern)))
+    copy(exprs = exprs :+
+      (col(column).isNotNull && !col(column).rlike(GoRegex.toJava(pattern))))
 
   /** All row-level conditions AND-ed; None when unconstrained. */
   def filterColumn(timeCol: Column): Option[Column] = {

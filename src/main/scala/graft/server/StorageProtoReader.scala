@@ -355,11 +355,13 @@ object StorageProtoReader {
           n.children(1).stringValue.map(s => l.startsWith(s))
             .toRight("STARTS_WITH needs a string literal")
         case Cmp.Regex =>
-          regexOf(n.children(1)).map(re => l.rlike(re))
+          regexOf(n.children(1)).map(re =>
+            l.rlike(graft.core.GoRegex.toJava(re)))
         case Cmp.NotRegex =>
           // null matches neither side — same semantics as
           // RpcPredicate.withRegexNotMatch
-          regexOf(n.children(1)).map(re => l.isNotNull && !l.rlike(re))
+          regexOf(n.children(1)).map(re =>
+            l.isNotNull && !l.rlike(graft.core.GoRegex.toJava(re)))
         case other => Left(s"unsupported comparison $other")
       }
     } yield out
