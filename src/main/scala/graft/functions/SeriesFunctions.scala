@@ -65,6 +65,21 @@ object SeriesFunctions {
     df.withColumn(out, sum(col(valueCol))
       .over(series(keyCols, timeCol).rowsBetween(Window.unboundedPreceding, 0)))
 
+  /** InfluxQL `non_negative_difference` / `non_negative_derivative`:
+    * the same transforms with negative results suppressed to NULL
+    * (influxdb query/call_iterator.go non-negative wrappers). */
+  def nonNegativeDifference(df: DataFrame, keyCols: Seq[String],
+      timeCol: String, valueCol: String, out: String): DataFrame =
+    suppressNegative(difference(df, keyCols, timeCol, valueCol, out), out)
+
+  def nonNegativeDerivative(df: DataFrame, keyCols: Seq[String],
+      timeCol: String, valueCol: String, unitNs: Long, out: String): DataFrame =
+    suppressNegative(
+      derivative(df, keyCols, timeCol, valueCol, unitNs, out), out)
+
+  private def suppressNegative(df: DataFrame, out: String): DataFrame =
+    df.withColumn(out, when(col(out) >= 0.0, col(out)))
+
   /** Nanoseconds since the previous point (InfluxQL `elapsed`). */
   def elapsed(df: DataFrame, keyCols: Seq[String], timeCol: String,
       out: String): DataFrame = {

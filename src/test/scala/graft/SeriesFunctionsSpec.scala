@@ -17,6 +17,16 @@ class SeriesFunctionsSpec extends SparkSpec {
       .as[(String, Long, Option[Double])].collect()
       .map { case (k, t, v) => (k, t) -> v }.toMap
 
+  test("non-negative variants suppress negative results to NULL") {
+    val d = vals(SF.nonNegativeDifference(pts, Seq("k"), "t", "v", "d"), "d")
+    assert(d(("a", 1000000000L)).contains(3.0))
+    assert(d(("a", 4000000000L)).isEmpty, "negative diff suppressed")
+    val r = vals(SF.nonNegativeDerivative(pts, Seq("k"), "t", "v",
+      1000000000L, "r"), "r")
+    assert(r(("a", 3000000000L)).contains(0.0), "zero stays")
+    assert(r(("a", 4000000000L)).isEmpty)
+  }
+
   test("exponentialMovingAverage: first point seeds, recursion follows") {
     val out = SF.exponentialMovingAverage(pts, Seq("k"), "t", "v",
         alpha = 0.5, "ema")
