@@ -65,9 +65,10 @@ object SeriesFunctions {
     df.withColumn(out, sum(col(valueCol))
       .over(series(keyCols, timeCol).rowsBetween(Window.unboundedPreceding, 0)))
 
-  /** InfluxQL `non_negative_difference` / `non_negative_derivative`:
-    * the same transforms with negative results suppressed to NULL
-    * (influxdb query/call_iterator.go non-negative wrappers). */
+  /** `non_negative_difference` / `non_negative_derivative`: the same
+    * transforms with negative results suppressed to NULL — the Flux
+    * `derivative(nonNegative: true)` rule (InfluxQL's spelling omits the
+    * row instead; a `.filter(col(out).isNotNull)` on top recovers it). */
   def nonNegativeDifference(df: DataFrame, keyCols: Seq[String],
       timeCol: String, valueCol: String, out: String): DataFrame =
     suppressNegative(difference(df, keyCols, timeCol, valueCol, out), out)
