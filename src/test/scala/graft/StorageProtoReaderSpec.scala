@@ -107,6 +107,77 @@ class StorageProtoReaderSpec extends SparkSpec {
     assert(R.toDecodedPredicate(Some(R.decodeNode(new R.Reader(bad)))).isLeft)
   }
 
+  test("facade serves protobuf read_group and tag_values end to end") {
+    val facade = new HttpFacade(spark, port = 0, clockNs = () => 42L)
+    try {
+      val p = facade.boundPort
+      val w = new URI(s"http://127.0.0.1:$p/api/v2/write?org=o&bucket=b").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      w.setRequestMethod("POST"); w.setDoOutput(true)
+      w.getOutputStream.write(
+        ("cpu,host=a usage=1.5 100\ncpu,host=a usage=2.5 200\n" +
+          "cpu,host=b usage=5.0 100").getBytes(UTF_8))
+      w.getOutputStream.close()
+      assert(w.getResponseCode == 204)
+
+      def postProto(path: String, body: Array[Byte]): Array[Byte] = {
+        val c = new URI(s"http://127.0.0.1:$p$path?db=o_b").toURL
+          .openConnection().asInstanceOf[HttpURLConnection]
+        c.setRequestMethod("POST"); c.setDoOutput(true)
+        c.setRequestProperty("Content-Type", "application/x-protobuf")
+        c.getOutputStream.write(body); c.getOutputStream.close()
+        assert(c.getResponseCode == 200, s"$path -> ${c.getResponseCode}")
+        c.getInputStream.readAllBytes()
+      }
+
+      // read_group: group by host, SUM, table via sentinel
+      val groupReq = msg { b =>
+        b.bytes(3, predicate(cmp(R.Cmp.Equal, tagRef(measurementSentinel),
+          litStr("cpu"))))
+        b.bytes(4, "host".getBytes(UTF_8))
+        b.varintField(5, 2) // GROUP_BY
+        b.bytes(6, msg(a => a.varintField(1, 1))) // SUM
+      }
+      val resp = postProto("/api/v1/storage/read_group", groupReq)
+      // frame member sequence: group(7), series(1), points(2), per host
+      val members = {
+        val r = new R.Reader(resp)
+        val out = Seq.newBuilder[Int]
+        while (r.hasMore) r.key() match {
+          case (1, 2) => val f = r.sub(); out += f.key()._1; f.bytesField()
+          case (_, wt) => r.skip(wt)
+        }
+        out.result()
+      }
+      assert(members == Seq(7, 1, 2, 7, 1, 2), s"got $members")
+
+      // tag_values for host via protobuf tag_key bytes
+      val tvReq = msg(b => b.bytes(4, "host".getBytes(UTF_8)))
+      val tv = postProto("/api/v1/storage/tag_values", tvReq)
+      val vals = {
+        val r = new R.Reader(tv)
+        val out = Seq.newBuilder[String]
+        while (r.hasMore) r.key() match {
+          case (1, 2) => out += new String(r.bytesField(), UTF_8)
+          case (_, wt) => r.skip(wt)
+        }
+        out.result()
+      }
+      assert(vals == Seq("a", "b"))
+
+      // tag_values with the \xff sentinel lists field names
+      val tf = postProto("/api/v1/storage/tag_values",
+        msg(b => b.bytes(4, fieldSentinel)))
+      val fr = new R.Reader(tf)
+      val fields = Seq.newBuilder[String]
+      while (fr.hasMore) fr.key() match {
+        case (1, 2) => fields += new String(fr.bytesField(), UTF_8)
+        case (_, wt) => fr.skip(wt)
+      }
+      assert(fields.result() == Seq("usage"))
+    } finally facade.stop()
+  }
+
   test("facade serves a protobuf-carried read_filter end to end") {
     val facade = new HttpFacade(spark, port = 0, clockNs = () => 42L)
     try {
