@@ -97,4 +97,20 @@ class SeriesFunctionsSpec extends SparkSpec {
       SF.difference(pts, Nil, "t", "v", "d")
     }
   }
+
+  test("all window transforms collapse into ONE Window operator (plan shape)") {
+    val all = Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+      SF.difference(_, Seq("k"), "t", "v", "diff"),
+      SF.derivative(_, Seq("k"), "t", "v", 1000000000L, "dv"),
+      SF.movingAverage(_, Seq("k"), "t", "v", 3, "ma"),
+      SF.cumulativeSum(_, Seq("k"), "t", "v", "cs"),
+      SF.elapsed(_, Seq("k"), "t", "el"))
+      .foldLeft(pts)((df, f) => f(df))
+    val plan = all.queryExecution.executedPlan.treeString
+    assert(plan.linesIterator.count(_.trim.startsWith("+- Window")) +
+      plan.linesIterator.count(_.trim.startsWith("Window")) == 1,
+      s"equal window specs must collapse to one operator:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"one exchange on the series key:\n$plan")
+  }
 }
