@@ -556,23 +556,29 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
           val req = StorageProtoReader.decodeReadWindowAggregate(raw)
           StorageProtoReader.toRpcPredicate(req).flatMap { case (pred, meas) =>
             (protoDb(ex, req), meas.orElse(queryParams(ex).get("table"))) match {
+              case (Some(db), Some(t)) if req.aggregates.size != 1 =>
+                // expr.rs:553 AggregateNotSingleton: exactly one aggregate
+                Left(s"aggregate must be a singleton, got ${req.aggregates.size}")
               case (Some(db), Some(t)) =>
-                val aggName = protoAggNames.getOrElse(
-                  req.aggregates.headOption.getOrElse(0), "none")
-                // the reference prefers the `window` message when present,
-                // else the flat WindowEvery/Offset int64s (service.rs:345)
-                val (evNs, evMonths, offNs, offMonths) = req.window match {
-                  case Some(w) =>
-                    val every = w.every.getOrElse(StorageProtoReader.Dur(0, 0, negative = false))
-                    val off = w.offset.getOrElse(StorageProtoReader.Dur(0, 0, negative = false))
-                    val offSign = if (off.negative) -1L else 1L
-                    if (every.months > 0)
-                      (scala.None, Some(every.months),
-                        0L, (offSign * off.months).toInt)
-                    else (Some(every.nsecs), scala.None, offSign * off.nsecs, 0)
-                  case scala.None =>
-                    (Some(req.windowEveryNs), scala.None, req.offsetNs, 0)
-                }
+                val aggName = protoAggNames.getOrElse(req.aggregates.head, "none")
+                // expr.rs:568-570: nonzero flat WindowEvery/Offset WIN and
+                // the `window` message is ignored; the message applies only
+                // when both flat fields are zero
+                val (evNs, evMonths, offNs, offMonths) =
+                  (req.window, req.windowEveryNs, req.offsetNs) match {
+                    case (Some(w), 0L, 0L) =>
+                      val every = w.every.getOrElse(
+                        StorageProtoReader.Dur(0, 0, negative = false))
+                      val off = w.offset.getOrElse(
+                        StorageProtoReader.Dur(0, 0, negative = false))
+                      val offSign = if (off.negative) -1L else 1L
+                      if (every.months > 0)
+                        (scala.None, Some(every.months),
+                          0L, (offSign * off.months).toInt)
+                      else (Some(every.nsecs), scala.None, offSign * off.nsecs, 0)
+                    case _ =>
+                      (Some(req.windowEveryNs), scala.None, req.offsetNs, 0)
+                  }
                 Right((db, t, pred, aggName, evNs, evMonths, offNs, offMonths))
               case _ => Left("request needs read_source (or ?db=) and a " +
                 "_measurement predicate (or ?table=)")

@@ -178,6 +178,72 @@ class StorageProtoReaderSpec extends SparkSpec {
     } finally facade.stop()
   }
 
+  test("window aggregate request: singleton rule; flat fields beat the window message") {
+    val facade = new HttpFacade(spark, port = 0, clockNs = () => 42L)
+    try {
+      val p = facade.boundPort
+      val w = new URI(s"http://127.0.0.1:$p/api/v2/write?org=o&bucket=b").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      w.setRequestMethod("POST"); w.setDoOutput(true)
+      w.getOutputStream.write(
+        "cpu,host=a usage=1.0 100\ncpu,host=a usage=3.0 2000000100".getBytes(UTF_8))
+      w.getOutputStream.close()
+      assert(w.getResponseCode == 204)
+
+      def post(body: Array[Byte]): HttpURLConnection = {
+        val c = new URI(
+          s"http://127.0.0.1:$p/api/v1/storage/read_window_aggregate?db=o_b").toURL
+          .openConnection().asInstanceOf[HttpURLConnection]
+        c.setRequestMethod("POST"); c.setDoOutput(true)
+        c.setRequestProperty("Content-Type", "application/x-protobuf")
+        c.getOutputStream.write(body); c.getOutputStream.close()
+        c
+      }
+      val measurementPred =
+        predicate(cmp(R.Cmp.Equal, tagRef(measurementSentinel), litStr("cpu")))
+
+      // two aggregates -> the reference's AggregateNotSingleton (expr.rs:553)
+      val two = post(msg { b =>
+        b.bytes(3, measurementPred)
+        b.varintField(4, 1000000000L)
+        b.bytes(5, msg(a => a.varintField(1, 1)))
+        b.bytes(5, msg(a => a.varintField(1, 4)))
+      })
+      assert(two.getResponseCode == 400)
+
+      // nonzero flat WindowEvery wins over a conflicting window message
+      // (expr.rs:568-570): 1s buckets -> the two points land in two
+      // windows; if the (bogus 1000s) window message won there'd be one
+      val resp = post(msg { b =>
+        b.bytes(3, measurementPred)
+        b.varintField(4, 1000000000L) // flat: 1s
+        b.bytes(5, msg(a => a.varintField(1, 1))) // SUM
+        b.bytes(7, msg(x => x.bytes(1, msg(d => d.varintField(1, 1000000000000L)))))
+      })
+      assert(resp.getResponseCode == 200)
+      val r = new R.Reader(resp.getInputStream.readAllBytes())
+      var bucketStamps = 0
+      while (r.hasMore) r.key() match {
+        case (1, 2) =>
+          val f = r.sub()
+          val (member, _) = f.key()
+          val body = f.bytesField()
+          if (member == 2) { // float points frame: count its timestamps
+            val pf = new R.Reader(body)
+            while (pf.hasMore) pf.key() match {
+              case (1, 2) =>
+                val packed = new R.Reader(pf.bytesField())
+                while (packed.hasMore) { packed.fixed64(); bucketStamps += 1 }
+              case (_, wt) => pf.skip(wt)
+            }
+          }
+        case (_, wt) => r.skip(wt)
+      }
+      assert(bucketStamps == 2,
+        s"1s flat windows -> 2 buckets; the bogus window message lost ($bucketStamps)")
+    } finally facade.stop()
+  }
+
   test("facade serves a protobuf-carried read_filter end to end") {
     val facade = new HttpFacade(spark, port = 0, clockNs = () => 42L)
     try {
