@@ -136,6 +136,7 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
         case ("GET", "/health") => respond(ex, 200, "text/plain", "OK")
         case ("GET", "/metrics") => handleMetrics(ex)
         case ("GET", "/api/v1/partitions") => handlePartitions(ex)
+        case ("GET", "/iox/api/v1/chunks") => handleListChunks(ex)
         case ("GET", "/iox/api/v1/databases") => handleListDatabases(ex)
         case ("GET", RulesPath(db)) => handleGetRules(ex, db)
         case ("PUT", RulesPath(db)) => handlePutRules(ex, db)
@@ -854,6 +855,36 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
         rulesStore.put(db, r)
         respond(ex, 200, "application/json",
           graft.streaming.DatabaseRules.toJson(r))
+    }
+  }
+
+  /** Management ListChunks (management/v1/service.proto:30,
+    * chunk.proto:44-76): one entry per (partition_key, table, write
+    * chunk) — the facade's hot write batches split by the configured
+    * partition template, exactly the reference's per-partition open
+    * chunks. Storage is always OpenMutableBuffer here (the hot tier);
+    * compacted/persisted stages live on the ChunkedTable path and
+    * surface through `system_chunks`. */
+  private def handleListChunks(ex: HttpExchange): Unit = {
+    val params = queryParams(ex)
+    (params.get("org"), params.get("bucket")) match {
+      case (Some(org), Some(bucket)) =>
+        val db = dbName(org, bucket)
+        if (!databases.contains(db)) {
+          respondJsonError(ex, 404, s"database not found: $db"); return
+        }
+        val template = rulesOf(db).partitionTemplate
+        val rows = databases(db).zipWithIndex.flatMap { case ((m, df), i) =>
+          df.groupBy(template.keyColumn(m, df.schema).as("k"))
+            .agg(count(lit(1)).as("n")).collect()
+            .map(r => (r.getString(0), m, i, r.getLong(1)))
+        }.sortBy { case (k, m, id, _) => (k, m, id) }
+        val body = rows.map { case (k, m, id, n) =>
+          s"""{"partition_key":${jsonStr(k)},"table_name":${jsonStr(m)},""" +
+            s""""id":$id,"storage":"OpenMutableBuffer","row_count":$n}"""
+        }.mkString("[", ",", "]")
+        respond(ex, 200, "application/json", body)
+      case _ => respondJsonError(ex, 400, "org and bucket params required")
     }
   }
 

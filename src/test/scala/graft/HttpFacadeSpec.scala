@@ -152,6 +152,28 @@ class HttpFacadeSpec extends SparkSpec {
     }
   }
 
+  test("management ListChunks: per-partition open chunks with row counts") {
+    withFacade { facade =>
+      val p = facade.boundPort
+      // two write batches; the second spans two partition days
+      post(p, "/api/v2/write?org=o&bucket=b",
+        "m,t=x f=1.0 1568756160000000000".getBytes(UTF_8))
+      post(p, "/api/v2/write?org=o&bucket=b",
+        ("m,t=y f=2.0 1568756160000000000\n" +
+          "m,t=y f=3.0 1568842560000000000").getBytes(UTF_8))
+      val (cs, chunks) = get(p, "/iox/api/v1/chunks?org=o&bucket=b")
+      assert(cs == 200)
+      assert(chunks ==
+        """[{"partition_key":"2019-09-17","table_name":"m","id":0,""" +
+          """"storage":"OpenMutableBuffer","row_count":1},""" +
+          """{"partition_key":"2019-09-17","table_name":"m","id":1,""" +
+          """"storage":"OpenMutableBuffer","row_count":1},""" +
+          """{"partition_key":"2019-09-18","table_name":"m","id":1,""" +
+          """"storage":"OpenMutableBuffer","row_count":1}]""")
+      assert(get(p, "/iox/api/v1/chunks?org=o&bucket=nope")._1 == 404)
+    }
+  }
+
   test("flight do_get: ticket -> Arrow IPC stream round-trips all types (flight.rs:158)") {
     withFacade { facade =>
       val p = facade.boundPort
