@@ -950,13 +950,16 @@ object QueriesCore {
         val md = IA.mode(ev, Seq("user_id"), "event_type", "mode_type")
         val p90 = IA.percentile(ev, Seq("user_id"), "value", 90, "p90")
           .withColumn("p90", round(col("p90"), 6))
+        val med = IA.median(ev, Seq("user_id"), "value", "med")
+          .withColumn("med", round(col("med"), 6))
         // per-HOUR integral, rounded to 4 decimals: the trapezoid sum's
         // accumulation order differs between engines, so the float error
         // (~1e-10 relative) must sit far below the rounding step
         val ig = IA.integral(ev, Seq("user_id"), "t", "value",
             3600000000000L, "integ")
           .withColumn("integ", round(col("integ"), 4))
-        base.join(md, "user_id").join(p90, "user_id").join(ig, "user_id")
+        base.join(md, "user_id").join(p90, "user_id").join(med, "user_id")
+          .join(ig, "user_id")
           .orderBy("user_id")
       },
       Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS t, value, event_type
@@ -973,14 +976,16 @@ object QueriesCore {
           FROM e WHERE value IS NOT NULL),
         p90 AS (SELECT user_id, round(value, 6) AS p90 FROM pr
           WHERE rk = greatest(least(CAST(floor(0.9 * n + 0.5) AS BIGINT), n), 1)),
+        med AS (SELECT user_id, round(avg(value), 6) AS med FROM pr
+          WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2 GROUP BY user_id),
         ig AS (SELECT user_id, round(coalesce(
             sum((value + pv) / 2 * (t - pt) / 3600000000000.0), 0), 4) AS integ
           FROM (SELECT user_id, t, value, lag(value) OVER w AS pv,
               lag(t) OVER w AS pt FROM e
             WINDOW w AS (PARTITION BY user_id ORDER BY t)) GROUP BY user_id)
-        SELECT user_id, spread, sdev, mode_type, p90, integ
+        SELECT user_id, spread, sdev, mode_type, p90, med, integ
         FROM base JOIN md USING (user_id) JOIN p90 USING (user_id)
-          JOIN ig USING (user_id)
+          JOIN med USING (user_id) JOIN ig USING (user_id)
         ORDER BY user_id""")),
 
     ("events_top_points",

@@ -65,6 +65,25 @@ object InfluxAggregates {
       .select((keys :+ col(valueCol).as(out)): _*)
   }
 
+  /** InfluxQL `median`: the middle value of the sorted non-null values;
+    * an EVEN count averages the two middle values — which is exactly why
+    * this is NOT `percentile(50)` (nearest-rank picks one element). One
+    * ranking window pass, then the two (or one, coinciding) middle ranks
+    * average per key. */
+  def median(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      out: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val nn = df.filter(col(valueCol).isNotNull)
+    val w = Window.partitionBy(keys: _*).orderBy(col(valueCol))
+    val n = count(lit(1)).over(Window.partitionBy(keys: _*))
+    nn.withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__lo", ((n + 1L) / 2L).cast("long"))
+      .withColumn("__hi", ((n + 2L) / 2L).cast("long"))
+      .filter(col("__rk") === col("__lo") || col("__rk") === col("__hi"))
+      .groupBy(keys: _*)
+      .agg(avg(col(valueCol)).as(out))
+  }
+
   /** The percentile SCALE path: `percentile_approx` (Spark's
     * QuantileSummaries sketch — one hash aggregate with map-side partial
     * merge, no per-key window sort). [[percentile]] is exact nearest-rank

@@ -39,6 +39,15 @@ class InfluxAggregatesSpec extends SparkSpec {
     assert(p(1) == 1.0) // k = floor(0.54) = 0 -> clamped up to 1
   }
 
+  test("median averages the two middle values on even counts") {
+    val even = Seq(("a", 1.0), ("a", 2.0), ("a", 10.0), ("a", 20.0)).toDF("k", "v")
+    assert(IA.median(even, Seq("k"), "v", "m").select("m").as[Double].head() == 6.0)
+    val odd = Seq(("a", 5.0), ("a", 1.0), ("a", 9.0)).toDF("k", "v")
+    assert(IA.median(odd, Seq("k"), "v", "m").select("m").as[Double].head() == 5.0)
+    val single = Seq(("a", 7.0)).toDF("k", "v")
+    assert(IA.median(single, Seq("k"), "v", "m").select("m").as[Double].head() == 7.0)
+  }
+
   test("percentileApprox tracks the exact nearest-rank within sketch error") {
     val rows = (1 to 1000).map(i => ("a", i.toDouble))
     val df = rows.toDF("k", "v")
