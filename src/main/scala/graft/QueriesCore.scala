@@ -975,7 +975,7 @@ object QueriesCore {
             count(*) OVER (PARTITION BY user_id) AS n
           FROM e WHERE value IS NOT NULL),
         p90 AS (SELECT user_id, round(value, 6) AS p90 FROM pr
-          WHERE rk = greatest(least(CAST(floor(0.9 * n + 0.5) AS BIGINT), n), 1)),
+          WHERE rk = CAST(floor(0.9 * n + 0.5) AS BIGINT)),
         med AS (SELECT user_id, round(avg(value), 6) AS med FROM pr
           WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2 GROUP BY user_id),
         ig AS (SELECT user_id, round(coalesce(

@@ -1,7 +1,5 @@
 package graft.core
 
-import java.util.regex.Matcher
-
 /** Go/RE2-dialect → Java-regex translation for the `=~` / `!~` storage
   * operators (the reference compiles patterns with the Rust `regex`
   * crate — RE2 family — query/src/func/regex.rs:39; clients send
@@ -30,17 +28,48 @@ object GoRegex {
   private val posixRe =
     raw"\[:(\^?)(${(posix.keys.toSeq :+ "word").mkString("|")}):\]".r
 
-  def toJava(pattern: String): String = {
-    val classes = posixRe.replaceAllIn(pattern, m => {
+  /** Rewrites `[:name:]` only when it starts at `idx` AND we are lexically
+    * inside a bracket expression — outside one, RE2 parses `[:alpha:]` as
+    * the literal class over `{:,a,l,p,h}` and Java agrees, so rewriting
+    * there would change the meaning. Returns (replacement, end index). */
+  private def posixAt(pattern: String, idx: Int): Option[(String, Int)] =
+    posixRe.findPrefixMatchOf(pattern.substring(idx)).map { m =>
       val neg = m.group(1) == "^"
       val rep = m.group(2) match {
-        // [[:word:]] is [0-9A-Za-z_]; the negated spelling assumes the
-        // standalone [[:^word:]] form (the class-leading ^ position)
-        case "word" => if (neg) "^\\p{Alnum}_" else "\\p{Alnum}_"
+        // [[:word:]] is [0-9A-Za-z_] — exactly Java's \w, and \w/\W embed
+        // correctly at ANY position inside a bracket class
+        case "word" => if (neg) "\\W" else "\\w"
         case name => (if (neg) "\\P{" else "\\p{") + posix(name) + "}"
       }
-      Matcher.quoteReplacement(rep)
-    })
-    classes.replace("(?P<", "(?<")
+      (rep, idx + m.end)
+    }
+
+  def toJava(pattern: String): String = {
+    val sb = new StringBuilder(pattern.length)
+    var i = 0
+    var depth = 0 // bracket-class nesting (RE2 never nests; Java may)
+    while (i < pattern.length) {
+      val c = pattern.charAt(i)
+      if (c == '\\' && i + 1 < pattern.length) {
+        sb.append(c).append(pattern.charAt(i + 1)); i += 2
+      } else if (c == '[' && depth > 0 && posixAt(pattern, i).isDefined) {
+        val (rep, end) = posixAt(pattern, i).get
+        sb.append(rep); i = end
+      } else if (c == '[') {
+        depth += 1; sb.append(c); i += 1
+        // a ] immediately after [ or [^ is a literal member, not a close
+        if (i < pattern.length && pattern.charAt(i) == '^') {
+          sb.append('^'); i += 1
+        }
+        if (i < pattern.length && pattern.charAt(i) == ']') {
+          sb.append(']'); i += 1
+        }
+      } else if (c == ']' && depth > 0) {
+        depth -= 1; sb.append(c); i += 1
+      } else {
+        sb.append(c); i += 1
+      }
+    }
+    sb.toString.replace("(?P<", "(?<")
   }
 }

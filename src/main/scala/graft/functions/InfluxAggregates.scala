@@ -46,19 +46,22 @@ object InfluxAggregates {
   }
 
   /** InfluxQL `percentile(field, p)`: the nearest-rank element — the
-    * k-th smallest non-null value with k = floor(p/100 * n + 0.5),
-    * clamped to [1, n] (influxdb/query/call_iterator.go percentile rank
-    * rule). An EXACT per-series percentile: one window ranking pass.
-    * Null values are excluded from both the ranking and the count. */
+    * k-th smallest non-null value with k = floor(p/100 * n + 0.5)
+    * (influxdb/query/call_iterator.go percentile rank rule). When k falls
+    * outside [1, n] (e.g. percentile(field, 1) over 5 points gives k=0),
+    * upstream emits NO point for that series — matched here: the rank
+    * filter simply selects nothing, so the key is absent from the output.
+    * (k > n cannot happen for p <= 100: floor(p/100*n + 0.5) <=
+    * floor(n + 0.5) = n.) An EXACT per-series percentile: one window
+    * ranking pass. Null values are excluded from ranking and count. */
   def percentile(df: DataFrame, keyCols: Seq[String], valueCol: String,
       p: Double, out: String): DataFrame = {
     require(p > 0 && p <= 100, s"percentile out of (0, 100]: $p")
     val keys = keyCols.map(col)
     val nn = df.filter(col(valueCol).isNotNull)
     val w = Window.partitionBy(keys: _*).orderBy(col(valueCol))
-    val k = greatest(least(
-      floor(lit(p / 100.0) * count(lit(1)).over(Window.partitionBy(keys: _*))
-        + lit(0.5)), count(lit(1)).over(Window.partitionBy(keys: _*))), lit(1L))
+    val k = floor(lit(p / 100.0) *
+      count(lit(1)).over(Window.partitionBy(keys: _*)) + lit(0.5))
     nn.withColumn("__rk", row_number().over(w).cast("long"))
       .withColumn("__k", k)
       .filter(col("__rk") === col("__k"))

@@ -106,7 +106,11 @@ object SeriesFunctions {
       "series functions need a partition key (a keyless scan is a single task)")
     val spark = df.sparkSession
     import spark.implicits._
-    val packed = df.select(
+    // null points carry no EMA contribution and the tuple decode below is
+    // primitive (a null time/value would throw "Null value appeared in
+    // non-nullable field") — drop them up front, like the sibling
+    // window-based transforms whose window functions skip nulls
+    val packed = df.na.drop(Seq(timeCol, valueCol)).select(
         array(keyCols.map(col(_).cast("string")): _*).as("__k"),
         col(timeCol).cast("long").as("__t"),
         col(valueCol).cast("double").as("__v"))

@@ -471,9 +471,16 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
           StorageProtoReader.toRpcPredicate(req).flatMap { case (pred, meas) =>
             (protoDb(ex, req), meas.orElse(queryParams(ex).get("table"))) match {
               case (Some(db), Some(t)) =>
-                val aggName = protoAggNames.getOrElse(
-                  req.aggregates.headOption.getOrElse(0), "none")
-                Right((db, t, pred, aggName, req.groupKeys))
+                // reject enum values outside the proto's 0-7 range like
+                // the reference's AggregateType conversion (expr.rs
+                // convert_aggregate) instead of silently degrading to raw
+                val code = req.aggregates.headOption.getOrElse(0)
+                protoAggNames.get(code) match {
+                  case Some(aggName) =>
+                    Right((db, t, pred, aggName, req.groupKeys))
+                  case scala.None =>
+                    Left(s"unconvertible aggregate type enum: $code")
+                }
               case _ => Left("request needs read_source (or ?db=) and a " +
                 "_measurement predicate (or ?table=)")
             }
@@ -561,26 +568,46 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
                 // expr.rs:553 AggregateNotSingleton: exactly one aggregate
                 Left(s"aggregate must be a singleton, got ${req.aggregates.size}")
               case (Some(db), Some(t)) =>
-                val aggName = protoAggNames.getOrElse(req.aggregates.head, "none")
-                // expr.rs:568-570: nonzero flat WindowEvery/Offset WIN and
-                // the `window` message is ignored; the message applies only
-                // when both flat fields are zero
-                val (evNs, evMonths, offNs, offMonths) =
-                  (req.window, req.windowEveryNs, req.offsetNs) match {
-                    case (Some(w), 0L, 0L) =>
-                      val every = w.every.getOrElse(
-                        StorageProtoReader.Dur(0, 0, negative = false))
-                      val off = w.offset.getOrElse(
-                        StorageProtoReader.Dur(0, 0, negative = false))
-                      val offSign = if (off.negative) -1L else 1L
-                      if (every.months > 0)
-                        (scala.None, Some(every.months),
-                          0L, (offSign * off.months).toInt)
-                      else (Some(every.nsecs), scala.None, offSign * off.nsecs, 0)
-                    case _ =>
-                      (Some(req.windowEveryNs), scala.None, req.offsetNs, 0)
-                  }
-                Right((db, t, pred, aggName, evNs, evMonths, offNs, offMonths))
+                protoAggNames.get(req.aggregates.head) match {
+                  case scala.None =>
+                    // enum outside 0-7: reject like the reference's
+                    // AggregateType conversion, not degrade to raw
+                    Left("unconvertible aggregate type enum: " +
+                      req.aggregates.head)
+                  case Some(aggName) =>
+                    // expr.rs:568-570: nonzero flat WindowEvery/Offset WIN
+                    // and the `window` message is ignored; the message
+                    // applies only when both flat fields are zero
+                    val win: Either[String,
+                        (Option[Long], Option[Long], Long, Int)] =
+                      (req.window, req.windowEveryNs, req.offsetNs) match {
+                        case (Some(w), 0L, 0L) =>
+                          val every = w.every.getOrElse(
+                            StorageProtoReader.Dur(0, 0, negative = false))
+                          val off = w.offset.getOrElse(
+                            StorageProtoReader.Dur(0, 0, negative = false))
+                          // the reference's convert_duration rejects a
+                          // Duration carrying BOTH nonzero months and
+                          // nsecs — mixed units have no single window unit
+                          if ((every.months != 0L && every.nsecs != 0L) ||
+                              (off.months != 0L && off.nsecs != 0L))
+                            Left("window Duration cannot mix months and nsecs")
+                          else {
+                            val offSign = if (off.negative) -1L else 1L
+                            if (every.months > 0)
+                              Right((scala.None, Some(every.months),
+                                0L, (offSign * off.months).toInt))
+                            else Right((Some(every.nsecs), scala.None,
+                              offSign * off.nsecs, 0))
+                          }
+                        case _ =>
+                          Right((Some(req.windowEveryNs), scala.None,
+                            req.offsetNs, 0))
+                      }
+                    win.map { case (evNs, evMonths, offNs, offMonths) =>
+                      (db, t, pred, aggName, evNs, evMonths, offNs, offMonths)
+                    }
+                }
               case _ => Left("request needs read_source (or ?db=) and a " +
                 "_measurement predicate (or ?table=)")
             }

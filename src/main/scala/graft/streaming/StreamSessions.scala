@@ -85,21 +85,30 @@ object StreamSessions {
             state.remove()
             Iterator.single(ClosedSession(key, s.startNs, s.lastNs, s.n))
           } else {
+            // Interval-merge the open session with the batch's events so a
+            // cross-batch out-of-order event EARLIER than the open session
+            // extends its start (min), and one more than a gap before it
+            // forms a separate earlier session — matching session_window
+            // merge semantics instead of absorbing any older event.
             val ts = rows.map(_._2).toArray.sorted
-            var open = state.getOption
-            val closed = Seq.newBuilder[ClosedSession]
-            ts.foreach { t =>
-              open match {
-                case Some(s) if t - s.lastNs <= gapNs =>
-                  open = Some(OpenSession(s.startNs, math.max(s.lastNs, t), s.n + 1))
-                case Some(s) =>
-                  closed += ClosedSession(key, s.startNs, s.lastNs, s.n)
-                  open = Some(OpenSession(t, t, 1L))
-                case None =>
-                  open = Some(OpenSession(t, t, 1L))
+            val items = (state.getOption.toSeq ++
+              ts.iterator.map(t => OpenSession(t, t, 1L)))
+              .sortBy(s => (s.startNs, s.lastNs))
+            val merged = scala.collection.mutable.ArrayBuffer.empty[OpenSession]
+            items.foreach { s =>
+              merged.lastOption match {
+                case Some(p) if s.startNs - p.lastNs <= gapNs =>
+                  merged(merged.length - 1) = OpenSession(p.startNs,
+                    math.max(p.lastNs, s.lastNs), p.n + s.n)
+                case _ => merged += s
               }
             }
-            open.foreach { s =>
+            val closed = Seq.newBuilder[ClosedSession]
+            // all but the latest are definitely gap-separated: close them
+            merged.dropRight(1).foreach { s =>
+              closed += ClosedSession(key, s.startNs, s.lastNs, s.n)
+            }
+            merged.lastOption.foreach { s =>
               // close when the watermark passes the gap after the last
               // event; if it already has (a batch of old-but-not-late
               // events), close NOW — an event-time timeout may not be set

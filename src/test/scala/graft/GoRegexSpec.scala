@@ -28,6 +28,22 @@ class GoRegexSpec extends AnyFunSuite {
     assert(!matches("^[[:word:]]+$", "ab-3"))
   }
 
+  test("POSIX spellings rewrite only inside bracket expressions") {
+    // a bare [:alpha:] outside a class IS a class over {:,a,l,p,h} in
+    // both RE2 and Java — rewriting it would change the meaning
+    assert(GoRegex.toJava("[:alpha:]") == "[:alpha:]")
+    assert(matches("[:alpha:]", "p") && !matches("[:alpha:]", "z"))
+    // negated word embeds correctly in NON-leading positions too
+    assert(GoRegex.toJava("[a[:^word:]]") == "[a\\W]")
+    assert(matches("^[a[:^word:]]$", "a"))
+    assert(matches("^[a[:^word:]]$", "-"))
+    assert(!matches("^[a[:^word:]]$", "b"))
+    // an escaped bracket does not open a class
+    assert(GoRegex.toJava("\\[[:digit:]") == "\\[[:digit:]")
+    // literal ] as the first member keeps the class open
+    assert(GoRegex.toJava("[][:digit:]]") == "[]\\p{Digit}]")
+  }
+
   test("Java-dialect patterns pass through untouched") {
     for (p <- Seq("^cpu[0-9]+$", "a(?i)BC", "x(?=y)", "\\p{Lu}+", "(a|b)\\1?"))
       assert(GoRegex.toJava(p) == p)

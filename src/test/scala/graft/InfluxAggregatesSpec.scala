@@ -29,14 +29,15 @@ class InfluxAggregatesSpec extends SparkSpec {
     assert(m("b") == "q")
   }
 
-  test("percentile: nearest-rank floor(p/100*n + 0.5), clamped") {
+  test("percentile: nearest-rank floor(p/100*n + 0.5); out-of-range emits nothing") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0)).toDF("k", "v")
-    def p(q: Double): Double = IA.percentile(df, Seq("k"), "v", q, "p")
-      .select("p").as[Double].head()
-    assert(p(50) == 2.0) // k = floor(2.5) = 2
-    assert(p(90) == 4.0) // k = floor(4.1) = 4
-    assert(p(100) == 4.0) // k = floor(4.5) = 4 (clamped to n anyway)
-    assert(p(1) == 1.0) // k = floor(0.54) = 0 -> clamped up to 1
+    def p(q: Double): Option[Double] = IA.percentile(df, Seq("k"), "v", q, "p")
+      .select("p").as[Double].collect().headOption
+    assert(p(50).contains(2.0)) // k = floor(2.5) = 2
+    assert(p(90).contains(4.0)) // k = floor(4.1) = 4
+    assert(p(100).contains(4.0)) // k = floor(4.5) = 4
+    // k = floor(0.54) = 0: upstream InfluxQL emits NO point for the series
+    assert(p(1).isEmpty)
   }
 
   test("median averages the two middle values on even counts") {

@@ -211,6 +211,24 @@ class StorageProtoReaderSpec extends SparkSpec {
       })
       assert(two.getResponseCode == 400)
 
+      // aggregate enum outside 0-7 -> unconvertible, not degraded to raw
+      val badEnum = post(msg { b =>
+        b.bytes(3, measurementPred)
+        b.varintField(4, 1000000000L)
+        b.bytes(5, msg(a => a.varintField(1, 9)))
+      })
+      assert(badEnum.getResponseCode == 400)
+
+      // a Duration with BOTH months and nsecs nonzero -> the reference's
+      // convert_duration rejects mixed units
+      val mixed = post(msg { b =>
+        b.bytes(3, measurementPred)
+        b.bytes(5, msg(a => a.varintField(1, 1)))
+        b.bytes(7, msg(x => x.bytes(1,
+          msg(d => d.varintField(1, 1000000000L).varintField(2, 3)))))
+      })
+      assert(mixed.getResponseCode == 400)
+
       // nonzero flat WindowEvery wins over a conflicting window message
       // (expr.rs:568-570): 1s buckets -> the two points land in two
       // windows; if the (bogus 1000s) window message won there'd be one

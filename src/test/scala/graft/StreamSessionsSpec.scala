@@ -60,6 +60,32 @@ class StreamSessionsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeWithState: cross-batch earlier events lower the start or split") {
+    val input = MemoryStream[(String, Long)](spark)
+    val out = StreamSessions.sessionizeWithState(input.toDS(), gapNs = 5 * S,
+      lateArrival = "100 seconds")
+    val q = out.writeStream.format("memory").queryName("ssb")
+      .outputMode("append").start()
+    try {
+      input.addData(("a", 10 * S))
+      q.processAllAvailable()
+      // 8s is EARLIER than the open session's start but within the gap:
+      // it must lower the start (session_window merge), not be absorbed
+      // with a stale bound; 1s is more than a gap before 8s: a separate,
+      // earlier session closed on its own
+      input.addData(("a", 8 * S), ("a", 1 * S))
+      q.processAllAvailable()
+      input.addData(("z", 300 * S)) // watermark past a's open session
+      q.processAllAvailable()
+      input.addData(("z", 600 * S)) // fire a's event-time timeout
+      q.processAllAvailable()
+      val a = spark.table("ssb").as[StreamSessions.ClosedSession]
+        .collect().filter(_.key == "a")
+      assert(a.map(s => (s.start_t, s.end_t, s.n_events)).toSet ==
+        Set((1 * S, 1 * S, 1L), (8 * S, 10 * S, 2L)))
+    } finally q.stop()
+  }
+
   test("sessionizeWithState merges out-of-order events within the gap") {
     val input = MemoryStream[(String, Long)](spark)
     val out = StreamSessions.sessionizeWithState(input.toDS(), gapNs = 5 * S,
