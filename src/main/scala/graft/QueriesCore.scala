@@ -789,6 +789,68 @@ object QueriesCore {
         min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
         FROM customer GROUP BY 1 ORDER BY 1""")),
 
+    ("write_pb_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        // the protobuf write path (write_pb.rs; entry.rs:306 pb_to_entry):
+        // the same customer rows http_roundtrip ships as line protocol go
+        // in as ONE columnar DatabaseBatch (packed values, tag/field/time
+        // semantics), then aggregate back over the SQL query endpoint —
+        // the oracle is IDENTICAL to http_roundtrip's, which is the
+        // indistinguishability contract of the write_pb service
+        import graft.server.StorageProto
+        def msg(f: StorageProto.Writer => Unit): Array[Byte] = {
+          val w = new StorageProto.Writer; f(w); w.result()
+        }
+        val rows = t(s, d, "customer")
+          .select(col("c_mktsegment"), col("c_acctbal"),
+            col("c_nationkey").cast("long"), col("c_custkey").cast("long"))
+          .collect()
+        val table = msg { tb =>
+          tb.string(1, "customer")
+          tb.bytes(2, msg { c =>
+            c.string(1, "c_mktsegment").varintField(2, 2) // TAG
+            c.bytes(3, msg(v => rows.foreach(r => v.string(4, r.getString(0)))))
+          })
+          tb.bytes(2, msg { c =>
+            c.string(1, "c_acctbal").varintField(2, 3) // FIELD f64
+            c.bytes(3, msg(_.packedDouble(2, rows.map(_.getDouble(1)).toSeq)))
+          })
+          tb.bytes(2, msg { c =>
+            c.string(1, "c_nationkey").varintField(2, 3) // FIELD i64
+            c.bytes(3, msg(_.packedVarint(1, rows.map(_.getLong(2)).toSeq)))
+          })
+          tb.bytes(2, msg { c =>
+            c.string(1, "time").varintField(2, 4) // TIME (custkey ns, unique)
+            c.bytes(3, msg(_.packedVarint(1, rows.map(_.getLong(3)).toSeq)))
+          })
+          tb.varintField(3, rows.length.toLong)
+        }
+        val req = msg(w => w.bytes(1,
+          msg(b => { b.string(1, "acme_pb"); b.bytes(2, table); () })))
+        val facade = new graft.server.HttpFacade(s, port = 0)
+        try {
+          require(graft.server.HttpFacade.postWritePb(
+            facade.boundPort, req) == 200)
+          val (status, csv) = graft.server.HttpFacade.getQuery(
+            facade.boundPort, "acme_pb",
+            """SELECT c_mktsegment, count(*) AS n,
+              sum(c_nationkey) AS sum_nk, min(c_acctbal) AS min_bal,
+              max(c_acctbal) AS max_bal
+              FROM customer GROUP BY c_mktsegment""")
+          require(status == 200, s"query endpoint returned $status: $csv")
+          val body = s.createDataset(csv.trim.split("\n").toSeq.drop(1))
+          s.read.schema(
+              "c_mktsegment STRING, n BIGINT, sum_nk BIGINT, min_bal DOUBLE, max_bal DOUBLE")
+            .csv(body)
+            .orderBy("c_mktsegment")
+        } finally facade.stop()
+      },
+      Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(c_nationkey) AS BIGINT) AS sum_nk,
+        min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+        FROM customer GROUP BY 1 ORDER BY 1""")),
+
     ("flight_do_get",
       (s, d) => {
         import s.implicits._

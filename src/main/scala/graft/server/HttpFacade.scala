@@ -118,6 +118,7 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
       val path = ex.getRequestURI.getPath
       (ex.getRequestMethod, path) match {
         case ("POST", "/api/v2/write") => handleWrite(ex)
+        case ("POST", "/api/v1/write_pb") => handleWritePb(ex)
         case ("POST", "/api/v2/flight/do_get") => handleDoGet(ex)
         case ("POST", "/api/v1/storage/read_filter") => handleReadFilter(ex)
         case ("POST", "/api/v1/storage/read_group") => handleReadGroup(ex)
@@ -187,6 +188,43 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
             }
         }
       case _ => respondJsonError(ex, 400, "missing org/bucket query parameters")
+    }
+  }
+
+  /** The `write_pb` service (src/influxdb_ioxd/rpc/write_pb.rs, served
+    * here over the same HTTP transport bridge as the storage routes): a
+    * protobuf WriteRequest carrying a columnar DatabaseBatch. Decoded
+    * frames land in the SAME per-measurement store as line-protocol
+    * writes — the engine's counterpart of both paths funneling into one
+    * Entry (entry.rs:306 pb_to_entry). The database comes from
+    * database_name (a `?db=` param overrides, as on the storage routes).
+    */
+  private def handleWritePb(ex: HttpExchange): Unit = {
+    val raw = storageBodyBytes(ex).getOrElse(return)
+    try {
+      val batch = WriteProto.decodeWriteRequest(raw)
+      val db = queryParams(ex).get("db").getOrElse(batch.databaseName)
+      if (db.isEmpty) {
+        respondJsonError(ex, 400, "database_name is required"); return
+      }
+      val frames = WriteProto.toFrames(spark, batch)
+      databases.updateWith(db) { prev =>
+        Some(prev.getOrElse(Vector.empty) ++ frames.toVector)
+      }
+      // the same per-write counters the LP path tracks: rows in, non-null
+      // field cells in, body bytes in
+      ingestLines.addAndGet(batch.tables.iterator.map(_.rowCount.toLong).sum)
+      ingestFields.addAndGet(batch.tables.iterator.flatMap { t =>
+        t.columns.iterator.filter(_.semanticType == WriteProto.Semantic.Field)
+          .map(c => t.rowCount.toLong - c.nullCount(t.rowCount))
+      }.sum)
+      ingestBytes.addAndGet(raw.length.toLong)
+      respondProto(ex, Array.emptyByteArray) // WriteResponse {}
+    } catch {
+      case WriteProto.WritePbException(msg) =>
+        respondJsonError(ex, 400, s"invalid write request: $msg")
+      case NonFatal(e) =>
+        respondJsonError(ex, 400, s"bad protobuf request: ${e.getMessage}")
     }
   }
 
@@ -982,6 +1020,21 @@ object HttpFacade {
     conn.setRequestMethod("POST")
     conn.setDoOutput(true)
     conn.getOutputStream.write(lpBody.getBytes(UTF_8))
+    conn.getOutputStream.close()
+    val status = conn.getResponseCode
+    conn.disconnect()
+    status
+  }
+
+  /** POST a protobuf WriteRequest to the write_pb route; returns the
+    * HTTP status. */
+  def postWritePb(port: Int, body: Array[Byte]): Int = {
+    val conn = new java.net.URI(s"http://127.0.0.1:$port/api/v1/write_pb")
+      .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setRequestProperty("Content-Type", "application/x-protobuf")
+    conn.getOutputStream.write(body)
     conn.getOutputStream.close()
     val status = conn.getResponseCode
     conn.disconnect()
