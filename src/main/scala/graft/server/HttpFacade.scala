@@ -51,6 +51,20 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
   /** measurement -> ordered chunks (one per accepted write batch). */
   private val databases = TrieMap.empty[String, Vector[(String, DataFrame)]]
 
+  /** Chunk lifecycle stages set by the management actions, keyed by
+    * (db, chunk index); a chunk with no entry is OpenMutableBuffer. The
+    * chunk STAYS queryable through every stage — only its storage label
+    * moves, mirroring the reference's open → closed → moved state machine
+    * (chunk_metadata.rs ChunkStorage). */
+  private val chunkStages = TrieMap.empty[(String, Int), String]
+  private def chunkStage(db: String, idx: Int): String =
+    chunkStages.getOrElse((db, idx), "OpenMutableBuffer")
+
+  /** Long-running-operations registry (rpc/operations.rs): one JSON
+    * operation per tracked management job, listed and fetched by id. */
+  private val operations = TrieMap.empty[Long, String]
+  private val nextOpId = new AtomicLong
+
   /** Per-database rules set via the management surface; a database
     * without an entry runs on `DatabaseRules` defaults (the reference
     * keeps the same registry keyed by DatabaseName, server/src/config.rs). */
@@ -141,6 +155,16 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
         case ("GET", "/iox/api/v1/databases") => handleListDatabases(ex)
         case ("GET", RulesPath(db)) => handleGetRules(ex, db)
         case ("PUT", RulesPath(db)) => handlePutRules(ex, db)
+        case ("GET", "/iox/api/v1/operations") => handleListOperations(ex)
+        case ("GET", OperationPath(id)) => handleGetOperation(ex, id.toLong)
+        case ("GET", DbPartitionsPath(db)) => handleDbPartitions(ex, db)
+        case ("GET", PartitionChunksPath(db, key)) =>
+          handlePartitionChunks(ex, db, key)
+        case ("GET", PartitionPath(db, key)) => handleGetPartition(ex, db, key)
+        case ("POST", NewChunkPath(db, key, table)) =>
+          handleNewPartitionChunk(ex, db, key, table)
+        case ("POST", CloseChunkPath(db, key, table, id)) =>
+          handleClosePartitionChunk(ex, db, key, table, id.toInt)
         case ("GET", QueryPath(db)) => handleQuery(ex, db)
         case _ => respondJsonError(ex, 404, s"no route for $path")
       }
@@ -927,9 +951,11 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
     * chunk.proto:44-76): one entry per (partition_key, table, write
     * chunk) — the facade's hot write batches split by the configured
     * partition template, exactly the reference's per-partition open
-    * chunks. Storage is always OpenMutableBuffer here (the hot tier);
-    * compacted/persisted stages live on the ChunkedTable path and
-    * surface through `system_chunks`. */
+    * chunks. Storage starts at OpenMutableBuffer and moves through the
+    * management actions (new_partition_chunk → ClosedMutableBuffer,
+    * close_partition_chunk → ReadBuffer); the compacted/persisted disk
+    * stages live on the ChunkedTable path and surface through
+    * `system_chunks`. */
   private def handleListChunks(ex: HttpExchange): Unit = {
     val params = queryParams(ex)
     (params.get("org"), params.get("bucket")) match {
@@ -946,12 +972,133 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
         }.sortBy { case (k, m, id, _) => (k, m, id) }
         val body = rows.map { case (k, m, id, n) =>
           s"""{"partition_key":${jsonStr(k)},"table_name":${jsonStr(m)},""" +
-            s""""id":$id,"storage":"OpenMutableBuffer","row_count":$n}"""
+            s""""id":$id,"storage":"${chunkStage(db, id)}","row_count":$n}"""
         }.mkString("[", ",", "]")
         respond(ex, 200, "application/json", body)
       case _ => respondJsonError(ex, 400, "org and bucket params required")
     }
   }
+
+  // -------------------------------- management partitions / chunk actions
+
+  /** True when chunk frame `df` of `table` holds any row of partition
+    * `key` under the db's configured template — the membership test every
+    * partition-scoped action uses. The filter is a scan-level predicate
+    * over the (bounded, facade-sized) chunk frame. */
+  private def inPartition(db: String, table: String, df: DataFrame,
+      key: String): Boolean = {
+    val template = rulesOf(db).partitionTemplate
+    df.filter(template.keyColumn(table, df.schema) === key)
+      .limit(1).count() > 0L
+  }
+
+  /** list_partitions (management.rs:243): the database's distinct
+    * partition keys, one `{"key": ...}` per partition. */
+  private def handleDbPartitions(ex: HttpExchange, db: String): Unit = {
+    if (!requireDb(ex, db)) return
+    val template = rulesOf(db).partitionTemplate
+    val keys = databases(db).flatMap { case (m, df) =>
+      df.select(template.keyColumn(m, df.schema).as("k"))
+        .distinct().collect().map(_.getString(0))
+    }.distinct.sorted
+    respond(ex, 200, "application/json",
+      keys.map(k => s"""{"key":${jsonStr(k)}}""").mkString("[", ",", "]"))
+  }
+
+  /** get_partition (management.rs:265): the partition by key, 404 when
+    * the database holds no row under it. */
+  private def handleGetPartition(ex: HttpExchange, db: String,
+      key: String): Unit = {
+    if (!requireDb(ex, db)) return
+    val exists = databases(db).exists { case (m, df) =>
+      inPartition(db, m, df, key)
+    }
+    if (exists)
+      respond(ex, 200, "application/json", s"""{"key":${jsonStr(key)}}""")
+    else respondJsonError(ex, 404, s"partition not found: $key")
+  }
+
+  /** list_partition_chunks (management.rs:293): the chunks holding rows
+    * of one partition, with their current lifecycle storage stage. */
+  private def handlePartitionChunks(ex: HttpExchange, db: String,
+      key: String): Unit = {
+    if (!requireDb(ex, db)) return
+    val template = rulesOf(db).partitionTemplate
+    val rows = databases(db).zipWithIndex.flatMap { case ((m, df), i) =>
+      val n = df.filter(template.keyColumn(m, df.schema) === key).count()
+      if (n == 0L) None else Some((m, i, n))
+    }.sortBy { case (m, id, _) => (m, id) }
+    val body = rows.map { case (m, id, n) =>
+      s"""{"partition_key":${jsonStr(key)},"table_name":${jsonStr(m)},""" +
+        s""""id":$id,"storage":"${chunkStage(db, id)}","row_count":$n}"""
+    }.mkString("[", ",", "]")
+    respond(ex, 200, "application/json", body)
+  }
+
+  /** new_partition_chunk (management.rs:318 → rollover_partition): close
+    * the partition's open chunks so the next write starts a fresh one —
+    * OpenMutableBuffer → ClosedMutableBuffer, the first edge of the
+    * reference's chunk state machine. Rolling over a partition whose
+    * open chunk is already closed is a no-op, like the reference's
+    * rollover of an empty open chunk. */
+  private def handleNewPartitionChunk(ex: HttpExchange, db: String,
+      key: String, table: String): Unit = {
+    if (!requireDb(ex, db)) return
+    val members = databases(db).zipWithIndex.filter { case ((m, df), _) =>
+      m == table && inPartition(db, m, df, key)
+    }.map(_._2)
+    if (members.isEmpty) {
+      respondJsonError(ex, 404,
+        s"partition not found: $key (table $table)"); return
+    }
+    members.filter(chunkStage(db, _) == "OpenMutableBuffer")
+      .foreach(i => chunkStages((db, i)) = "ClosedMutableBuffer")
+    respond(ex, 200, "application/json", "{}")
+  }
+
+  /** close_partition_chunk (management.rs:342 → Server::close_chunk):
+    * move one chunk to the read buffer and return the tracked operation,
+    * with the reference's CloseChunk job shape (job.rs:91 description
+    * "Loading chunk to ReadBuffer"). Closing an already-moved chunk is
+    * the reference's lifecycle error. */
+  private def handleClosePartitionChunk(ex: HttpExchange, db: String,
+      key: String, table: String, chunkId: Int): Unit = {
+    if (!requireDb(ex, db)) return
+    val chunks = databases(db)
+    if (chunkId < 0 || chunkId >= chunks.size || chunks(chunkId)._1 != table) {
+      respondJsonError(ex, 404,
+        s"chunk $chunkId not found for table $table"); return
+    }
+    if (!inPartition(db, table, chunks(chunkId)._2, key)) {
+      respondJsonError(ex, 404,
+        s"chunk $chunkId holds no rows of partition $key"); return
+    }
+    if (chunkStage(db, chunkId) == "ReadBuffer") {
+      respondJsonError(ex, 400,
+        s"chunk $chunkId already moved to ReadBuffer"); return
+    }
+    chunkStages((db, chunkId)) = "ReadBuffer"
+    val id = nextOpId.getAndIncrement()
+    val op = s"""{"id":$id,"status":"Complete",""" +
+      s""""description":"Loading chunk to ReadBuffer",""" +
+      s""""job":{"kind":"CloseChunk","db_name":${jsonStr(db)},""" +
+      s""""partition_key":${jsonStr(key)},"table_name":${jsonStr(table)},""" +
+      s""""chunk_id":$chunkId}}"""
+    operations(id) = op
+    respond(ex, 200, "application/json", s"""{"operation":$op}""")
+  }
+
+  /** Operations listing (rpc/operations.rs): every tracked management
+    * job, oldest first; per-id fetch below. */
+  private def handleListOperations(ex: HttpExchange): Unit =
+    respond(ex, 200, "application/json",
+      operations.toSeq.sortBy(_._1).map(_._2).mkString("[", ",", "]"))
+
+  private def handleGetOperation(ex: HttpExchange, id: Long): Unit =
+    operations.get(id) match {
+      case Some(op) => respond(ex, 200, "application/json", op)
+      case None => respondJsonError(ex, 404, s"operation $id not found")
+    }
 
   private def handlePartitions(ex: HttpExchange): Unit = {
     val params = queryParams(ex)
@@ -1106,6 +1253,17 @@ object HttpFacade {
 
   private val QueryPath = "/iox/api/v1/databases/([^/]+)/query".r
   private val RulesPath = "/iox/api/v1/databases/([^/]+)/rules".r
+  private val DbPartitionsPath =
+    "/iox/api/v1/databases/([^/]+)/partitions".r
+  private val PartitionPath =
+    "/iox/api/v1/databases/([^/]+)/partitions/([^/]+)".r
+  private val PartitionChunksPath =
+    "/iox/api/v1/databases/([^/]+)/partitions/([^/]+)/chunks".r
+  private val NewChunkPath =
+    "/iox/api/v1/databases/([^/]+)/partitions/([^/]+)/tables/([^/]+)/chunks/new".r
+  private val CloseChunkPath =
+    "/iox/api/v1/databases/([^/]+)/partitions/([^/]+)/tables/([^/]+)/chunks/([0-9]+)/close".r
+  private val OperationPath = "/iox/api/v1/operations/([0-9]+)".r
 
   /** org + bucket -> database name (data_types/src/names.rs:18): both
     * halves percent-encode every non-alphanumeric byte, joined by `_`. */

@@ -174,6 +174,77 @@ class HttpFacadeSpec extends SparkSpec {
     }
   }
 
+  test("management partition/chunk actions walk the chunk state machine; operations track") {
+    withFacade { facade =>
+      val p = facade.boundPort
+      post(p, "/api/v2/write?org=o&bucket=b",
+        ("m,t=x f=1.0 1568756160000000000\n" +
+          "m,t=y f=2.0 1568842560000000000").getBytes(UTF_8))
+
+      // list_partitions / get_partition (management.rs:243,265)
+      assert(get(p, "/iox/api/v1/databases/o_b/partitions") ==
+        (200, """[{"key":"2019-09-17"},{"key":"2019-09-18"}]"""))
+      assert(get(p, "/iox/api/v1/databases/o_b/partitions/2019-09-17") ==
+        (200, """{"key":"2019-09-17"}"""))
+      assert(get(p, "/iox/api/v1/databases/o_b/partitions/2030-01-01")._1 == 404)
+      assert(get(p, "/iox/api/v1/databases/nope/partitions")._1 == 404)
+
+      // list_partition_chunks: the write batch is open
+      assert(get(p, "/iox/api/v1/databases/o_b/partitions/2019-09-17/chunks") ==
+        (200, """[{"partition_key":"2019-09-17","table_name":"m","id":0,""" +
+          """"storage":"OpenMutableBuffer","row_count":1}]"""))
+
+      // new_partition_chunk: rollover closes the open chunk
+      val (rs, _) = post(p,
+        "/iox/api/v1/databases/o_b/partitions/2019-09-17/tables/m/chunks/new",
+        Array.emptyByteArray)
+      assert(rs == 200)
+      assert(get(p, "/iox/api/v1/databases/o_b/partitions/2019-09-17/chunks")
+        ._2.contains("\"storage\":\"ClosedMutableBuffer\""))
+      assert(post(p,
+        "/iox/api/v1/databases/o_b/partitions/2019-09-17/tables/nope/chunks/new",
+        Array.emptyByteArray)._1 == 404)
+
+      // a second write starts a FRESH open chunk alongside the closed one
+      post(p, "/api/v2/write?org=o&bucket=b",
+        "m,t=z f=3.0 1568756160000000001".getBytes(UTF_8))
+      val (_, listed) = get(p,
+        "/iox/api/v1/databases/o_b/partitions/2019-09-17/chunks")
+      assert(listed.contains("\"id\":0,\"storage\":\"ClosedMutableBuffer\""))
+      assert(listed.contains("\"id\":1,\"storage\":\"OpenMutableBuffer\""))
+
+      // close_partition_chunk: chunk 0 moves to ReadBuffer, the tracked
+      // operation comes back with the reference's CloseChunk job shape
+      val (cs, closeBody) = post(p,
+        "/iox/api/v1/databases/o_b/partitions/2019-09-17/tables/m/chunks/0/close",
+        Array.emptyByteArray)
+      assert(cs == 200)
+      assert(closeBody.contains("\"description\":\"Loading chunk to ReadBuffer\""))
+      assert(closeBody.contains("\"kind\":\"CloseChunk\""))
+      assert(get(p, "/iox/api/v1/databases/o_b/partitions/2019-09-17/chunks")
+        ._2.contains("\"id\":0,\"storage\":\"ReadBuffer\""))
+      // ...and the moved chunk STAYS queryable (reference semantics: the
+      // read buffer serves queries)
+      val (qs, csv) = get(p, s"/iox/api/v1/databases/o_b/query" +
+        s"?q=${enc("SELECT count(*) AS n FROM m")}&format=csv")
+      assert(qs == 200 && csv.trim.linesIterator.toSeq.last == "3")
+      // closing again is the reference's lifecycle error
+      assert(post(p,
+        "/iox/api/v1/databases/o_b/partitions/2019-09-17/tables/m/chunks/0/close",
+        Array.emptyByteArray)._1 == 400)
+      assert(post(p,
+        "/iox/api/v1/databases/o_b/partitions/2019-09-17/tables/m/chunks/7/close",
+        Array.emptyByteArray)._1 == 404)
+
+      // operations listing + per-id fetch (rpc/operations.rs)
+      val (os, ops) = get(p, "/iox/api/v1/operations")
+      assert(os == 200)
+      assert(ops.startsWith("""[{"id":0,"status":"Complete""""))
+      assert(get(p, "/iox/api/v1/operations/0")._2.contains("\"chunk_id\":0"))
+      assert(get(p, "/iox/api/v1/operations/99")._1 == 404)
+    }
+  }
+
   test("flight do_get: ticket -> Arrow IPC stream round-trips all types (flight.rs:158)") {
     withFacade { facade =>
       val p = facade.boundPort
