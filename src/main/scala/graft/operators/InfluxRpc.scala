@@ -369,28 +369,44 @@ object InfluxRpc {
   /** Streaming variant of [[toGroupedFrames]] for groups that may hold
     * RAW series (an `AggKind.None` regrouped read): no whole-group
     * buffering. The group frame must LEAD its members but its tag-key
-    * union is only known after they pass, so this runs two passes:
-    * pass 1 scans only (group value, tag keys) pairs and collects each
-    * group's key union to a driver map (one small row per group — group
-    * cardinality is bounded by the grouping tags' cardinality, not by
-    * points); pass 2 streams series in group order, emitting the group
-    * frame on group change from the broadcast union. Costs one extra
-    * execution of the series pipeline; aggregated read_group outputs
-    * should keep the single-pass buffered form, where a "group" is a
-    * handful of one-point frame pairs. */
+    * union is only known after they pass, so this runs two passes — over
+    * ONE execution of the series pipeline: the packed series shuffle on
+    * the group key drops to its RDD, and both passes descend from that
+    * single shuffle dependency, so pass 2's job SKIPS the shuffle map
+    * stage (Spark reuses shuffle files across jobs on a shared RDD
+    * lineage) and the upstream scan/conversion never runs twice (pinned
+    * by a one-scan accumulator assertion in InfluxRpcSpec).
+    * Pass 1 hash-accumulates each group's tag-key union per partition (a
+    * group's rows are co-partitioned by the shuffle) and collects one
+    * small row per group — group cardinality is bounded by the grouping
+    * tags' cardinality, not by points. Pass 2 shuffle-reads, sorts within
+    * partitions, and streams series in group order, emitting the group
+    * frame on group change from the broadcast union. Aggregated
+    * read_group outputs should keep the single-pass buffered form, where
+    * a "group" is a handful of one-point frame pairs. */
   def toGroupedFramesStreaming(series: Dataset[Series], measurement: String,
       groupKeys: Seq[String]): Dataset[Frame] = {
     val spark = series.sparkSession
     import spark.implicits._
-    val unions: Map[Seq[String], Seq[String]] = series
-      .flatMap(s => s.tags.keys.map(k => (groupKeys.map(g => s.tags.getOrElse(g, "")), k)))
-      .distinct().collect()
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
-    val unionsB = spark.sparkContext.broadcast(unions)
-    series
+    val shuffled = series
       .map(s => (groupKeys.map(k => s.tags.getOrElse(k, "")),
         s.tags.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }, s.field, s))
       .repartition(col("_1"))
+      .as[(Seq[String], Seq[String], String, Series)]
+      .rdd
+    val unions: Map[Seq[String], Seq[String]] = shuffled
+      .mapPartitions { it =>
+        val acc = scala.collection.mutable.HashMap
+          .empty[Seq[String], scala.collection.mutable.SortedSet[String]]
+        it.foreach { case (gv, _, _, s) =>
+          acc.getOrElseUpdate(gv,
+            scala.collection.mutable.SortedSet.empty[String]) ++= s.tags.keys
+        }
+        acc.iterator.map { case (gv, ks) => (gv, ks.toSeq) }
+      }
+      .collect().toMap
+    val unionsB = spark.sparkContext.broadcast(unions)
+    spark.createDataset(shuffled)
       .sortWithinPartitions(col("_1"), col("_2"), col("_3"))
       .mapPartitions { it =>
         var current: Seq[String] = null

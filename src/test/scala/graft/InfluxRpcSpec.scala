@@ -247,6 +247,29 @@ class InfluxRpcSpec extends SparkSpec {
     assert(hot.filter(_.frameType == "points").map(_.timestamps.size).sum == 4000)
   }
 
+  test("toGroupedFramesStreaming executes the series pipeline ONCE (shared shuffle)") {
+    import spark.implicits._
+    // both passes must descend from one shuffle dependency: if pass 1
+    // (tag-key unions) and pass 2 (frame emission) each re-ran the
+    // upstream pipeline, this accumulator would double-count
+    val df = spark.createDataFrame(
+      Seq(("e", "h1", 1L, 1.0), ("e", "h2", 2L, 2.0), ("w", "h3", 3L, 3.0))
+        .toDF("region", "host", "time", "v").rdd,
+      org.apache.spark.sql.types.StructType(Seq(
+        graft.core.IoxSchema.tagged("region", org.apache.spark.sql.types.StringType, graft.core.IoxSchema.Tag),
+        graft.core.IoxSchema.tagged("host", org.apache.spark.sql.types.StringType, graft.core.IoxSchema.Tag),
+        graft.core.IoxSchema.tagged("time", org.apache.spark.sql.types.LongType, graft.core.IoxSchema.Time),
+        graft.core.IoxSchema.tagged("v", org.apache.spark.sql.types.DoubleType, graft.core.IoxSchema.Field))))
+    val acc = spark.sparkContext.longAccumulator("series-pipeline-rows")
+    val series = InfluxRpc.toSeriesSet(df, Seq("v")).map { s => acc.add(1L); s }
+    val frames = InfluxRpc
+      .toGroupedFramesStreaming(series, "m", Seq("region")).collect()
+    assert(frames.count(_.frameType == "group") == 2)
+    assert(frames.count(_.frameType == "series") == 3)
+    assert(acc.value == 3L,
+      s"series pipeline produced ${acc.value} rows for 3 series — must run once")
+  }
+
   test("validateRpcExpr rejects LIKE / IS NULL / modulo, allows rlike") {
     InfluxRpc.validateRpcExpr(col("state") === "CA" && col("temp") > 5)
     InfluxRpc.validateRpcExpr(col("state").rlike("C.*"))
