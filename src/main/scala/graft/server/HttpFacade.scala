@@ -1342,12 +1342,23 @@ object HttpFacade {
     w.flush()
   }
 
+  /** Pretty output cap: global column widths need the rendered rows in
+    * memory, so the interactive/debug format renders at most this many —
+    * the reference's formatters cap pretty output the same way — and a
+    * banner points at the streaming csv/json formats for full results.
+    * This keeps the LAST driver-side materialization on a user-reachable
+    * path row-bounded. */
+  val PrettyMaxRows: Int = 1000
+
   /** Fully-rendered result string. csv/json delegate to the streaming
-    * writer (one code path); pretty is the only eager format. */
+    * writer (one code path); pretty is the only eager format, and it is
+    * capped at [[PrettyMaxRows]] rows. */
   def renderResult(df: DataFrame, format: String): String = format match {
     case "pretty" =>
       val cols = df.columns.toSeq
-      val rows = df.collect().toSeq
+      val fetched = df.limit(PrettyMaxRows + 1).collect().toSeq
+      val truncated = fetched.size > PrettyMaxRows
+      val rows = fetched.take(PrettyMaxRows)
       val cells = rows.map(r => cols.indices.map(i => cellString(r.get(i))))
       val widths = cols.indices.map { i =>
         (cols(i).length +: cells.map(_(i).length)).max
@@ -1358,7 +1369,11 @@ object HttpFacade {
       val body = cells.map(row =>
         cols.indices.map(i => row(i).padTo(widths(i), ' '))
           .mkString("| ", " | ", " |"))
-      (Seq(sep, header, sep) ++ body :+ sep).mkString("\n")
+      val table = (Seq(sep, header, sep) ++ body :+ sep).mkString("\n")
+      if (truncated)
+        table + s"\n-- pretty output capped at $PrettyMaxRows rows; " +
+          "use format=csv or format=json for the full result"
+      else table
     case "csv" | "json" =>
       val bos = new ByteArrayOutputStream()
       writeResult(df, format, bos)

@@ -152,6 +152,30 @@ class HttpFacadeSpec extends SparkSpec {
     }
   }
 
+  test("pretty format caps rendered rows with a banner; csv streams them all") {
+    withFacade { facade =>
+      val p = facade.boundPort
+      post(p, "/api/v2/write?org=o&bucket=b", "m,t=x f=1.0 100".getBytes(UTF_8))
+      val over = graft.server.HttpFacade.PrettyMaxRows + 500
+      val q = s"SELECT explode(sequence(1, $over)) AS n"
+      val (ps, pretty) = get(p,
+        s"/iox/api/v1/databases/o_b/query?q=${enc(q)}&format=pretty")
+      assert(ps == 200)
+      assert(pretty.linesIterator
+        .count(l => l.startsWith("|") && !l.contains(" n ")) ==
+        graft.server.HttpFacade.PrettyMaxRows)
+      assert(pretty.endsWith("use format=csv or format=json for the full result"))
+      // under the cap: no banner
+      val (_, small) = get(p, s"/iox/api/v1/databases/o_b/query" +
+        s"?q=${enc("SELECT 1 AS one")}&format=pretty")
+      assert(!small.contains("capped"))
+      // csv is the streaming path: every row arrives
+      val (_, csv) = get(p,
+        s"/iox/api/v1/databases/o_b/query?q=${enc(q)}&format=csv")
+      assert(csv.trim.linesIterator.size == over + 1)
+    }
+  }
+
   test("management ListChunks: per-partition open chunks with row counts") {
     withFacade { facade =>
       val p = facade.boundPort

@@ -136,6 +136,30 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("ANN top-k: broadcast joins + partial TopK aggregate, no sort-merge join") {
+    // pins the ann_brute_topk / ann_ivf_topk physical shape: the query
+    // (and centroid/probe) sides broadcast, the top-k is the bounded
+    // partial aggregate, and nothing falls back to a sort-merge join —
+    // the plan flap that would explain bench drift without a code change
+    val d = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, d)
+    val q = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val brute = executedPlan(
+      graft.pipeline.Similarity.bruteForceTopK(emb, q, k = 10))
+    assert(brute.contains("BroadcastNestedLoopJoin"), brute)
+    assert(brute.toLowerCase.contains("partial_topkagg"), brute)
+    assert(!brute.contains("SortMergeJoin"), brute)
+
+    val centroids = emb.filter(pmod($"vec_id", lit(50)) === 0)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+    val ivf = executedPlan(
+      graft.pipeline.Similarity.ivfTopK(emb, centroids, q, k = 5, nprobe = 3))
+    assert(ivf.contains("BroadcastNestedLoopJoin"), ivf)
+    assert(ivf.toLowerCase.contains("partial_topkagg"), ivf)
+    assert(!ivf.contains("SortMergeJoin"), ivf)
+  }
+
   test("deterministic sampling is a scan-level filter with no shuffle") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val plan = executedPlan(
