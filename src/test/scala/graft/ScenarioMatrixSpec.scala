@@ -199,6 +199,54 @@ class ScenarioMatrixSpec extends SparkSpec {
     }
   }
 
+  test("InfluxQL function layer is placement-invariant") {
+    // the r5 function layer under the same runner as the storage
+    // operators: series transforms, gap filling, and the InfluxQL
+    // aggregates each produce one answer regardless of chunk placement.
+    // Float-accumulating outputs round to 6 decimals (4 for the integral)
+    // so a placement-dependent partial-aggregation order cannot flip a
+    // last bit into a spurious divergence.
+    import graft.functions.{InfluxAggregates => IA, SeriesFunctions => SF}
+    import graft.operators.GapFill
+    val keys = Seq("state", "city")
+    assertInvariant("difference")(SF.difference(_, keys, "time", "temp", "d"))
+    assertInvariant("derivative")(df =>
+      SF.derivative(df, keys, "time", "temp", 100L, "d")
+        .withColumn("d", round($"d", 6)))
+    assertInvariant("moving_average")(df =>
+      SF.movingAverage(df, keys, "time", "temp", 2, "ma")
+        .withColumn("ma", round($"ma", 6)))
+    assertInvariant("cumulative_sum")(SF.cumulativeSum(_, keys, "time", "temp", "cs"))
+    assertInvariant("elapsed")(SF.elapsed(_, keys, "time", "e"))
+    assertInvariant("non_negative_difference")(
+      SF.nonNegativeDifference(_, keys, "time", "temp", "d"))
+    assertInvariant("ema")(df =>
+      SF.exponentialMovingAverage(df, keys, "time", "temp", 0.5, "ema")
+        .withColumn("ema", round($"ema", 6)))
+    assertInvariant("gapfill_previous")(df =>
+      GapFill.bucketAndFill(df, keys, "time", 100L, 350L, 50L,
+        Seq(avg($"temp").as("temp")), Map("temp" -> GapFill.Previous)))
+    assertInvariant("gapfill_linear")(df =>
+      GapFill.bucketAndFill(df, keys, "time", 100L, 350L, 50L,
+        Seq(avg($"temp").as("temp")), Map("temp" -> GapFill.Linear))
+        .withColumn("temp", round($"temp", 6)))
+    assertInvariant("spread")(df =>
+      df.groupBy("state").agg(round(IA.spread($"temp"), 6).as("sp")))
+    assertInvariant("stddev")(df =>
+      df.groupBy("state").agg(round(IA.stddev($"temp"), 6).as("sd")))
+    assertInvariant("mode")(IA.mode(_, Seq("state"), "city", "md"))
+    assertInvariant("percentile")(IA.percentile(_, Seq("state"), "temp", 50, "p"))
+    assertInvariant("median")(df =>
+      IA.median(df, Seq("state"), "temp", "med")
+        .withColumn("med", round($"med", 6)))
+    assertInvariant("integral")(df =>
+      IA.integral(df, Seq("state"), "time", "temp", 100L, "ig")
+        .withColumn("ig", round($"ig", 4)))
+    assertInvariant("top")(IA.topN(_, Seq("state"), "time", "temp", 1))
+    assertInvariant("histogram")(IA.histogram(_, Seq("state"), "temp",
+      Seq(60.0, 100.0)))
+  }
+
   test("series-set wire shape is placement-invariant") {
     def seriesOf(df: DataFrame) = InfluxRpc.toSeriesSet(
       InfluxRpc.readFilter(df, RpcPredicate()), Seq("temp", "humid"))
