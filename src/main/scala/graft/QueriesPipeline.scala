@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.pipeline.{DocDedup, Multimodal, Similarity}
+import graft.pipeline.{Clustering, DocDedup, Multimodal, Similarity}
 import graft.sources.Tables
 
 /** Training-data-pipeline correctness-gate queries (documents/embeddings):
@@ -36,6 +36,22 @@ object QueriesPipeline {
     FROM pairs JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
     WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.7
     ORDER BY id1, id2"""
+
+  // DuckDB twins of Clustering.quantize / prepared / assignOnce: quantized
+  // integer vectors q, derived doubles e = q/1e6, and one argmax-affinity
+  // assignment (ties to the smallest cluster id) against a (c, ce) table
+  private val dKmeansPrep = """v AS (SELECT vec_id,
+      list_transform(CAST(embedding AS DOUBLE[]),
+        y -> floor(y * 1000000.0 + 0.5)) AS q FROM embeddings),
+    x AS (SELECT vec_id, list_transform(q, t -> t / 1000000.0) AS e FROM v)"""
+
+  private def dKmeansAssign(centTable: String): String =
+    s"""(SELECT vec_id, c FROM (
+      SELECT x.vec_id, $centTable.c, row_number() OVER (PARTITION BY x.vec_id
+          ORDER BY list_dot_product(e, ce)
+            / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))) DESC,
+          $centTable.c ASC) AS rk
+      FROM x CROSS JOIN $centTable) WHERE rk = 1)"""
 
   val entries: Seq[(String, Builder, Option[String])] = Seq(
 
@@ -471,6 +487,56 @@ object QueriesPipeline {
             * sqrt(list_dot_product(c.e, c.e))) >= 0.4
           ORDER BY id1, id2"""
       }),
+
+    // ------------------------------------------- embedding-space clustering
+
+    // spherical k-means, 2 Lloyd iterations, deterministic seed (the 8
+    // lowest vec_ids). Floats are quantized (floor(x*1e6+0.5)) so centroid
+    // sums are exact order-free integer sums on both engines; affinities
+    // and centroid components are then identical IEEE double sequences —
+    // the assignment ints compare hash-exact. See Clustering.scala.
+    ("emb_kmeans",
+      (s, d) => Clustering.kmeansAssign(
+          Tables.spread(s, Tables.embeddings(s, d)),
+          "vec_id", "embedding", k = 8, iters = 2)
+        .orderBy("vec_id"),
+      Some(s"""WITH $dKmeansPrep,
+        c0 AS (SELECT vec_id AS c, e AS ce FROM x WHERE vec_id < 8),
+        a1 AS ${dKmeansAssign("c0")},
+        s1 AS (SELECT c, d, sum(q[d]) AS s, count(*) AS n
+          FROM a1 JOIN v USING (vec_id)
+          CROSS JOIN (SELECT unnest(range(1, 65)) AS d) GROUP BY c, d),
+        c1 AS (SELECT c, list((s / n) / 1000000.0 ORDER BY d) AS ce
+          FROM s1 GROUP BY c),
+        a2 AS ${dKmeansAssign("c1")},
+        s2 AS (SELECT c, d, sum(q[d]) AS s, count(*) AS n
+          FROM a2 JOIN v USING (vec_id)
+          CROSS JOIN (SELECT unnest(range(1, 65)) AS d) GROUP BY c, d),
+        c2 AS (SELECT c, list((s / n) / 1000000.0 ORDER BY d) AS ce
+          FROM s2 GROUP BY c),
+        a3 AS ${dKmeansAssign("c2")}
+        SELECT vec_id, CAST(c AS INT) AS cluster FROM a3 ORDER BY vec_id""")),
+
+    // SemDeDup (arXiv:2303.09540): cluster against the seed centroids,
+    // then inside each cluster drop any member with a lower-id neighbor at
+    // cosine >= 0.4 (greedy keep-first, like the rest of the dedup family)
+    ("dedup_semantic",
+      (s, d) => Clustering.semanticDedup(
+          Tables.spread(s, Tables.embeddings(s, d)),
+          "vec_id", "embedding", k = 8, threshold = 0.4)
+        .orderBy("vec_id"),
+      Some(s"""WITH $dKmeansPrep,
+        c0 AS (SELECT vec_id AS c, e AS ce FROM x WHERE vec_id < 8),
+        a1 AS ${dKmeansAssign("c0")},
+        m AS (SELECT a1.vec_id, a1.c, x.e FROM a1 JOIN x USING (vec_id)),
+        drops AS (SELECT DISTINCT b.vec_id FROM m a JOIN m b
+          ON a.c = b.c AND a.vec_id < b.vec_id
+          WHERE list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e))
+            * sqrt(list_dot_product(b.e, b.e))) >= 0.4)
+        SELECT m.vec_id, CAST(m.c AS INT) AS cluster,
+          dr.vec_id IS NULL AS kept
+        FROM m LEFT JOIN drops dr ON dr.vec_id = m.vec_id
+        ORDER BY m.vec_id""")),
 
     // ------------------------------------------------ multimodal plumbing
 

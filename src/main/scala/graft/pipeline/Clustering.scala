@@ -1,0 +1,141 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.dot
+
+/** Embedding-space clustering for training-data curation: spherical
+  * k-means (Lloyd iterations with cosine affinity) and SemDeDup-style
+  * semantic deduplication (cluster, then drop near-identical members
+  * within each cluster — Abbas et al. 2023, arXiv:2303.09540).
+  *
+  * Distributed shape: centroids are metadata (k x dim doubles, kilobytes)
+  * and live on the driver between iterations — they ride into each job as
+  * broadcast literal arrays. Corpus vectors NEVER shuffle for assignment
+  * (a per-row argmax over k affinity expressions); the centroid update is
+  * one `posexplode` + partial aggregation per iteration, shipping only
+  * k x dim partial sums per map task. That is the canonical Lloyd layout
+  * at 100 TB: O(iters) scans, zero corpus shuffles, driver state O(k·dim).
+  *
+  * Cross-engine determinism (the oracle recomputes every step in DuckDB):
+  * float inputs are QUANTIZED to integers (`floor(x·1e6 + 0.5)`) so
+  * centroid sums are order-free exact integer sums — the one place a
+  * float reduction's accumulation order could diverge between engines —
+  * and every derived double (centroid component, affinity) is produced by
+  * the same sequence of IEEE ops on both sides. `floor(x·1e6 + 0.5)` is
+  * used instead of `round` because the engines disagree on half-way
+  * rounding modes, while the double arithmetic feeding `floor` is
+  * bit-identical. Affinity sums run in dimension order (Spark
+  * `aggregate(zip_with(...))` = DuckDB `list_dot_product`).
+  */
+object Clustering {
+
+  private val Scale = 1e6
+
+  /** Quantized integer vector: `floor(x·1e6 + 0.5)` per component. */
+  def quantize(vec: Column): Column =
+    transform(vec.cast("array<double>"),
+      x => floor(x * lit(Scale) + lit(0.5)).cast("long"))
+
+  /** (id, __q long vector, __e = __q/1e6 double vector, __n norm). */
+  private def prepared(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), quantize(col(vecCol)).as("__q"))
+      .withColumn("__e", transform(col("__q"), q => q.cast("double") / lit(Scale)))
+      .withColumn("__n", sqrt(dot(col("__e"), col("__e"))))
+
+  /** Argmax-affinity assignment against driver-held centroids: a struct
+    * max over k unrolled codegen'd expressions — no explode, no shuffle.
+    * Ties take the smallest cluster id (the `-cid` struct field).
+    * Centroid norms are pre-folded on the driver in dimension order, the
+    * same left fold as the per-row `dot`. */
+  private def assignOnce(x: DataFrame, idCol: String,
+      cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val affs = cents.map { case (cid, ce) =>
+      val cn = math.sqrt(ce.foldLeft(0.0)((a, v) => a + v * v))
+      struct((dot(col("__e"), array(ce.map(lit): _*)) / (col("__n") * lit(cn)))
+        .as("aff"), lit(-cid).as("nc"))
+    }
+    x.withColumn("__m", greatest(affs: _*))
+      .withColumn("cluster", (-col("__m.nc")).cast("int"))
+      .drop("__m")
+  }
+
+  /** One Lloyd update: exact integer sums per (cluster, dimension) —
+    * `posexplode` + map-side-combining aggregation, k·dim result rows —
+    * then centroid components as `(sum / count) / 1e6`, the identical
+    * double division the oracle performs. */
+  private def updateCentroids(assigned: DataFrame): Seq[(Int, Seq[Double])] = {
+    val rows = assigned
+      .select(col("cluster"), posexplode(col("__q")).as(Seq("d", "qd")))
+      .groupBy("cluster", "d")
+      .agg(sum("qd").as("s"), count(lit(1)).as("n"))
+      .collect() // k x dim rows: cluster metadata, not data
+    rows.groupBy(_.getAs[Int]("cluster")).toSeq.sortBy(_._1)
+      .map { case (cid, rs) =>
+        // an emptied cluster simply has no rows here and drops out of the
+        // candidate set, exactly as a GROUP BY over members would
+        cid -> rs.sortBy(_.getAs[Int]("d"))
+          .map(r => (r.getAs[Long]("s").toDouble / r.getAs[Long]("n").toDouble) / Scale)
+          .toSeq
+      }
+  }
+
+  /** Initial centroids: the k members with the smallest ids, quantized —
+    * deterministic (no RNG), reproducible by any engine. */
+  private def seedCentroids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): Seq[(Int, Seq[Double])] =
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .orderBy(col(idCol)).limit(k).collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        i -> r.getAs[scala.collection.Seq[Double]]("__v")
+          .iterator.map(x => math.floor(x * Scale + 0.5) / Scale).toSeq
+      }
+      .toSeq
+
+  /** Spherical k-means assignments after `iters` Lloyd iterations.
+    * Returns (idCol, cluster). `iters = 0` assigns against the seed
+    * centroids only. Requires nonzero-norm vectors (a zero-norm vector
+    * has no direction — filter upstream). */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val x = prepared(df, idCol, vecCol)
+    var cents = seedCentroids(df, idCol, vecCol, k)
+    var assigned = assignOnce(x, idCol, cents)
+    for (_ <- 0 until iters) {
+      cents = updateCentroids(assigned)
+      assigned = assignOnce(x, idCol, cents)
+    }
+    assigned.select(col(idCol), col("cluster"))
+  }
+
+  /** SemDeDup: cluster the corpus, then within each cluster drop every
+    * member that has a LOWER-id member with cosine >= `threshold` (the
+    * greedy keep-first rule every dedup family member here uses). Returns
+    * (idCol, cluster, kept).
+    *
+    * The quadratic pair expansion is bounded per cluster — k is the knob:
+    * size it so corpus/k members fit a task (SemDeDup's own regime is
+    * k ~ sqrt(n) on web-scale corpora). One shuffle on the cluster key
+    * for the self-join; vectors and norms computed once below it. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, threshold: Double, iters: Int = 0): DataFrame = {
+    val x = prepared(df, idCol, vecCol)
+    var cents = seedCentroids(df, idCol, vecCol, k)
+    for (_ <- 0 until iters) {
+      cents = updateCentroids(assignOnce(x, idCol, cents))
+    }
+    val assigned = assignOnce(x, idCol, cents)
+    val slim = assigned.select(col(idCol), col("cluster"), col("__e"), col("__n"))
+    val dropped = slim.as("a").join(slim.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .filter(dot(col("a.__e"), col("b.__e")) /
+        (col("a.__n") * col("b.__n")) >= lit(threshold))
+      .select(col(s"b.$idCol").as(idCol)).distinct()
+      .withColumn("__dropped", lit(true))
+    assigned.join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        coalesce(!col("__dropped"), lit(true)).as("kept"))
+  }
+}

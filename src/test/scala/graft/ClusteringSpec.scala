@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.pipeline.Clustering
+
+class ClusteringSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("vec", ArrayType(DoubleType))))
+
+  private def mk(rows: (Long, Seq[Double])*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 2), schema)
+
+  // three tight directional groups on the unit circle-ish plane
+  private val corpus = mk(
+    0L -> Seq(1.0, 0.05), 1L -> Seq(0.05, 1.0), 2L -> Seq(-1.0, -0.02),
+    3L -> Seq(0.9, 0.1), 4L -> Seq(0.11, 0.95), 5L -> Seq(-0.93, -0.11),
+    6L -> Seq(0.98, 0.0), 7L -> Seq(0.0, 0.97), 8L -> Seq(-0.99, 0.02))
+
+  test("kmeans assigns by cosine direction and is stable across iterations") {
+    val a = Clustering.kmeansAssign(corpus, "id", "vec", k = 3, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // seeds are ids 0,1,2 -> clusters 0,1,2; members follow direction
+    assert(a(0) == 0 && a(3) == 0 && a(6) == 0)
+    assert(a(1) == 1 && a(4) == 1 && a(7) == 1)
+    assert(a(2) == 2 && a(5) == 2 && a(8) == 2)
+  }
+
+  test("kmeans iterations move centroids: a seed-adjacent point can flip") {
+    // seed 1 = (1, 0.8): nearer seed 0 than its eventual group mean
+    val drift = mk(
+      0L -> Seq(1.0, 0.0), 1L -> Seq(1.0, 0.8),
+      2L -> Seq(0.0, 1.0), 3L -> Seq(0.05, 1.0), 4L -> Seq(1.0, 0.05))
+    val zero = Clustering.kmeansAssign(drift, "id", "vec", k = 2, iters = 0)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val two = Clustering.kmeansAssign(drift, "id", "vec", k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // against raw seeds, the y-heavy points stick to seed 1
+    assert(zero(2) == 1 && zero(3) == 1)
+    // after updates the centroids separate to the axes; memberships settle
+    assert(two(0) == 0 && two(4) == 0 && two(2) == 1 && two(3) == 1)
+  }
+
+  test("assignment ties break to the smallest cluster id") {
+    // equidistant from both seeds (equal cosine): must land in cluster 0
+    val t = mk(0L -> Seq(1.0, 0.0), 1L -> Seq(0.0, 1.0), 2L -> Seq(0.5, 0.5))
+    val a = Clustering.kmeansAssign(t, "id", "vec", k = 2, iters = 0)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a(2) == 0)
+  }
+
+  test("semanticDedup drops the higher id of a near-identical pair, once") {
+    val dup = mk(
+      0L -> Seq(1.0, 0.0), 1L -> Seq(0.0, 1.0),
+      2L -> Seq(0.999, 0.001), // ~= id 0 -> dropped
+      3L -> Seq(0.0, 0.9))     // same direction as id 1 -> dropped
+    val out = Clustering.semanticDedup(dup, "id", "vec", k = 2, threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out(0) && out(1))
+    assert(!out(2) && !out(3))
+  }
+
+  test("semanticDedup only pairs within a cluster") {
+    // ids 0/1 nearly opposite: cos ~ -1, never a pair; both kept
+    val c = mk(0L -> Seq(1.0, 0.0), 1L -> Seq(-1.0, 0.01))
+    val out = Clustering.semanticDedup(c, "id", "vec", k = 2, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out(0) && out(1))
+  }
+
+  test("quantization: floor(x*1e6+0.5) survives the long round-trip") {
+    val q = mk(0L -> Seq(0.1234567891, -0.9999995))
+      .select(Clustering.quantize(col("vec")).as("q"))
+      .head().getAs[scala.collection.Seq[Long]]("q")
+    assert(q == Seq(123457L, -999999L))
+  }
+}
