@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.pipeline.{Clustering, DocDedup, Multimodal, Similarity}
+import graft.pipeline.{Clustering, DocDedup, Multimodal, Packing, Similarity}
 import graft.sources.Tables
 
 /** Training-data-pipeline correctness-gate queries (documents/embeddings):
@@ -385,6 +385,50 @@ object QueriesPipeline {
         SELECT doc_id, CAST(sum(CASE WHEN sgn > 0
             THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
         FROM bitsums GROUP BY 1 ORDER BY 1""")),
+
+    // ------------------------------------------------ training-batch shaping
+
+    // GPT-style sequence packing: concatenate each language's documents in
+    // doc_id order, cut 128-token training sequences across doc boundaries,
+    // emit one row per (doc, sequence) overlap — all integer arithmetic
+    ("pack_sequences",
+      (s, d) => {
+        val t = Tables.documents(s, d).select(col("lang"), col("doc_id"),
+          TF.tokenCount(col("text")).cast("long").as("n"))
+        Packing.packSequences(t, Seq("lang"), "doc_id", "n", seqLen = 128)
+          .select(col("lang"), col("doc_id"), col("seq_id"),
+            col("seq_off"), col("n_take"))
+          .orderBy("lang", "doc_id", "seq_id")
+      },
+      Some(s"""WITH t AS (SELECT lang, doc_id, CAST(len($dToks) AS BIGINT) AS n
+          FROM documents),
+        w AS (SELECT lang, doc_id, n, CAST(sum(n) OVER (PARTITION BY lang
+            ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+          FROM t WHERE n > 0),
+        sp AS (SELECT lang, doc_id, n, e - n AS st, e,
+            unnest(range((e - n) // 128, (e - 1) // 128 + 1)) AS seq_id FROM w)
+        SELECT lang, doc_id, seq_id,
+          greatest(st, seq_id * 128) - seq_id * 128 AS seq_off,
+          least(e, (seq_id + 1) * 128) - greatest(st, seq_id * 128) AS n_take
+        FROM sp ORDER BY lang, doc_id, seq_id""")),
+
+    // RAG-style sliding-window chunking: 200-char windows every 150 chars;
+    // compare chunk digests, not the chunks themselves
+    ("text_chunks",
+      (s, d) => Packing.chunkDocuments(Tables.documents(s, d),
+          "doc_id", "text", size = 200, stride = 150)
+        .select(col("doc_id"), col("chunk_id"),
+          md5(encode(col("chunk"), "UTF-8")).as("chunk_md5"),
+          length(col("chunk")).as("chunk_len"))
+        .orderBy("doc_id", "chunk_id"),
+      Some("""WITH c AS (SELECT doc_id, text,
+          unnest(range(0, (greatest(length(text) - 200, 0) + 149) // 150 + 1))
+            AS cid FROM documents)
+        SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+          md5(substring(text, CAST(cid * 150 + 1 AS INT), 200)) AS chunk_md5,
+          CAST(length(substring(text, CAST(cid * 150 + 1 AS INT), 200)) AS INT)
+            AS chunk_len
+        FROM c ORDER BY doc_id, chunk_id""")),
 
     // -------------------------------------------------- similarity search
 

@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-batch shaping: GPT-style sequence packing (concatenate a
+  * group's documents in id order, then cut fixed-length training
+  * sequences across document boundaries) and RAG-style sliding-window
+  * document chunking.
+  *
+  * Scale shape: packing needs a prefix sum of token counts per group —
+  * a window over `partitionBy(group)`, so the GROUP is the parallelism
+  * knob: pack per shard/source/language bucket (any key with enough
+  * cardinality that one group's docs fit a task), never over an
+  * unkeyed corpus. The span explode emits one row per (doc, sequence)
+  * overlap — output is proportional to ceil(tokens/seqLen) + docs, not
+  * tokens. Chunking is embarrassingly parallel (per-row explode).
+  *
+  * All arithmetic is integer (`div`, exact window sums of longs), so
+  * results are engine-exact — no float rounding anywhere.
+  */
+object Packing {
+
+  /** Assign each document its spans in the packed token stream of its
+    * group: documents concatenate in `idCol` order, sequences are
+    * `seqLen`-token windows of that stream. Emits one row per (doc,
+    * sequence) overlap: `seq_id` (the sequence index within the group),
+    * `seq_off` (the span's first token's offset inside the sequence) and
+    * `n_take` (tokens of this doc in this sequence). Rows with
+    * non-positive `nCol` are dropped (nothing to pack). */
+  def packSequences(df: DataFrame, groupCols: Seq[String], idCol: String,
+      nCol: String, seqLen: Long): DataFrame = {
+    require(groupCols.nonEmpty,
+      "packing needs a group key (an unkeyed prefix sum is a single task)")
+    require(seqLen >= 1, s"sequence length out of range: $seqLen")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.filter(col(nCol) > 0)
+      .withColumn("__end", sum(col(nCol).cast("long")).over(w))
+      .withColumn("__start", col("__end") - col(nCol))
+      // spans floor(start/L) .. floor((end-1)/L), integer division
+      .withColumn("seq_id", explode(sequence(
+        expr(s"__start div $seqLen"), expr(s"(__end - 1) div $seqLen"))))
+      .withColumn("seq_off",
+        greatest(col("__start"), col("seq_id") * lit(seqLen))
+          - col("seq_id") * lit(seqLen))
+      .withColumn("n_take",
+        least(col("__end"), (col("seq_id") + 1) * lit(seqLen))
+          - greatest(col("__start"), col("seq_id") * lit(seqLen)))
+      .drop("__end", "__start")
+  }
+
+  /** Sliding-window character chunks: windows of `size` chars every
+    * `stride` chars (overlap = size - stride), the trailing window
+    * shorter. Every document emits at least one chunk (id 0). Output
+    * adds (chunk_id, chunk) one row per window. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(size >= 1 && stride >= 1 && stride <= size,
+      s"need 1 <= stride <= size, got size=$size stride=$stride")
+    df.withColumn("chunk_id", explode(sequence(lit(0),
+        expr(s"CAST((greatest(length($textCol) - $size, 0) + ${stride - 1})" +
+          s" div $stride AS INT)"))))
+      .withColumn("chunk",
+        expr(s"substring($textCol, chunk_id * $stride + 1, $size)"))
+  }
+}
