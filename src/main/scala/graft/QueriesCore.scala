@@ -1095,6 +1095,109 @@ object QueriesCore {
         SELECT user_id, t, round(ema, 6) AS ema FROM r
         ORDER BY user_id, t""")),
 
+    ("events_dema_tema",
+      (s, d) => {
+        // DEMA + TEMA from ONE scan: the three chained EMA recursions all
+        // carry O(1) state, so they share a single shuffle + sort + pass.
+        // The oracle inlines the identical update chain into one recursive
+        // CTE -> identical per-step IEEE arithmetic, bit-equal results
+        import graft.functions.{SeriesFunctions => SF}
+        val ev = Tables.events(s, d).filter(col("user_id") < 5)
+          .select(col("user_id"), col("ts_ns").as("t"), col("value"))
+        SF.demaTema(ev, Seq("user_id"), "t", "value", alpha = 0.25,
+            "dema", "tema")
+          .select(col("user_id").cast("long").as("user_id"), col("t"),
+            round(col("dema"), 6).as("dema"), round(col("tema"), 6).as("tema"))
+          .orderBy("user_id", "t")
+      },
+      Some("""WITH RECURSIVE e AS (SELECT user_id, epoch_ns(ts) AS t, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY epoch_ns(ts)) AS rn
+          FROM events WHERE user_id < 5),
+        r AS (SELECT user_id, t, rn, value AS e1, value AS e2, value AS e3
+          FROM e WHERE rn = 1
+          UNION ALL
+          SELECT e.user_id, e.t, e.rn,
+            0.25 * e.value + 0.75 * r.e1,
+            0.25 * (0.25 * e.value + 0.75 * r.e1) + 0.75 * r.e2,
+            0.25 * (0.25 * (0.25 * e.value + 0.75 * r.e1) + 0.75 * r.e2)
+              + 0.75 * r.e3
+          FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        SELECT user_id, t, round(2 * e1 - e2, 6) AS dema,
+          round(3 * e1 - 3 * e2 + e3, 6) AS tema
+        FROM r ORDER BY user_id, t""")),
+
+    ("events_cmo_ker",
+      (s, d) => {
+        // window-frame pair: Chande momentum + Kaufman efficiency ratio
+        // over the last 7 changes — both ride the one shared Window spec
+        import graft.functions.{SeriesFunctions => SF}
+        val ev = Tables.events(s, d).filter(col("user_id") < 5)
+          .select(col("user_id"), col("ts_ns").as("t"), col("value"))
+        val c = SF.chandeMomentumOscillator(ev, Seq("user_id"), "t", "value",
+          n = 7, "cmo")
+        SF.kaufmanEfficiencyRatio(c, Seq("user_id"), "t", "value", n = 7, "ker")
+          .select(col("user_id").cast("long").as("user_id"), col("t"),
+            round(col("cmo"), 6).as("cmo"), round(col("ker"), 6).as("ker"))
+          .orderBy("user_id", "t")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS t, value
+          FROM events WHERE user_id < 5),
+        d AS (SELECT user_id, t, value,
+            value - lag(value) OVER (PARTITION BY user_id ORDER BY t) AS ch,
+            lag(value, 7) OVER (PARTITION BY user_id ORDER BY t) AS v7
+          FROM e),
+        w AS (SELECT user_id, t, ch, value, v7,
+            sum(greatest(ch, 0)) OVER fr AS up,
+            sum(greatest(-ch, 0)) OVER fr AS dn,
+            sum(abs(ch)) OVER fr AS vol,
+            count(ch) OVER fr AS nch
+          FROM d WINDOW fr AS (PARTITION BY user_id ORDER BY t
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        SELECT user_id, t,
+          round(CASE WHEN nch = 7 THEN CASE WHEN up + dn = 0 THEN 0.0
+            ELSE 100.0 * (up - dn) / (up + dn) END END, 6) AS cmo,
+          round(CASE WHEN nch = 7 THEN CASE WHEN vol = 0 THEN 0.0
+            ELSE abs(value - v7) / vol END END, 6) AS ker
+        FROM w ORDER BY user_id, t""")),
+
+    ("events_rsi",
+      (s, d) => {
+        // Wilder RSI: mean of the first 7 changes seeds the smoothing
+        // recursion; the oracle carries the same running seed sums and
+        // smoothed averages through one recursive CTE, step for step
+        import graft.functions.{SeriesFunctions => SF}
+        val ev = Tables.events(s, d).filter(col("user_id") < 5)
+          .select(col("user_id"), col("ts_ns").as("t"), col("value"))
+        SF.relativeStrengthIndex(ev, Seq("user_id"), "t", "value", n = 7, "rsi")
+          .select(col("user_id").cast("long").as("user_id"), col("t"),
+            round(col("rsi"), 6).as("rsi"))
+          .orderBy("user_id", "t")
+      },
+      Some("""WITH RECURSIVE e AS (SELECT user_id, epoch_ns(ts) AS t, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY epoch_ns(ts)) AS rn
+          FROM events WHERE user_id < 5),
+        r AS (SELECT user_id, t, rn, value AS prev,
+            CAST(0 AS DOUBLE) AS sg, CAST(0 AS DOUBLE) AS sl,
+            CAST(0 AS DOUBLE) AS ag, CAST(0 AS DOUBLE) AS al
+          FROM e WHERE rn = 1
+          UNION ALL
+          SELECT e.user_id, e.t, e.rn, e.value,
+            r.sg + greatest(e.value - r.prev, 0),
+            r.sl + greatest(-(e.value - r.prev), 0),
+            CASE WHEN e.rn < 8 THEN 0.0
+              WHEN e.rn = 8 THEN (r.sg + greatest(e.value - r.prev, 0)) / 7
+              ELSE (r.ag * 6 + greatest(e.value - r.prev, 0)) / 7 END,
+            CASE WHEN e.rn < 8 THEN 0.0
+              WHEN e.rn = 8 THEN (r.sl + greatest(-(e.value - r.prev), 0)) / 7
+              ELSE (r.al * 6 + greatest(-(e.value - r.prev), 0)) / 7 END
+          FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        SELECT user_id, t, round(CASE WHEN rn >= 8 THEN
+            CASE WHEN al = 0 THEN 100.0 ELSE 100 - 100 / (1 + ag / al) END
+          END, 6) AS rsi
+        FROM r ORDER BY user_id, t""")),
+
     ("events_histogram",
       (s, d) => {
         // Flux histogram(): cumulative counts per upper bound, one wide

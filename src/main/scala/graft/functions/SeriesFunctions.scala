@@ -88,6 +88,45 @@ object SeriesFunctions {
     df.withColumn(out, col(timeCol) - lag(col(timeCol), 1).over(w))
   }
 
+  /** Chande momentum oscillator over the last `n` changes (InfluxQL
+    * `chande_momentum_oscillator`): 100·(Σgains − Σlosses)/(Σgains +
+    * Σlosses), emitted once a full window of `n` changes exists; a
+    * flat window (zero denominator) scores 0. Pure window math — one
+    * exchange + sort shared with every sibling transform. */
+  def chandeMomentumOscillator(df: DataFrame, keyCols: Seq[String],
+      timeCol: String, valueCol: String, n: Int, out: String): DataFrame = {
+    require(n >= 1, s"CMO period out of range: $n")
+    val w = series(keyCols, timeCol)
+    val frame = w.rowsBetween(-(n - 1), 0)
+    val ch = col(valueCol) - lag(col(valueCol), 1).over(w)
+    val d = df.withColumn("__ch", ch)
+    val up = sum(greatest(col("__ch"), lit(0.0))).over(frame)
+    val dn = sum(greatest(-col("__ch"), lit(0.0))).over(frame)
+    d.withColumn(out,
+        when(count(col("__ch")).over(frame) === n,
+          when(up + dn === 0.0, 0.0)
+            .otherwise(lit(100.0) * (up - dn) / (up + dn))))
+      .drop("__ch")
+  }
+
+  /** Kaufman's efficiency ratio over the last `n` changes (InfluxQL
+    * `kaufmans_efficiency_ratio`): |net change over n points| / Σ|change|,
+    * emitted once `n` changes exist; zero volatility scores 0. */
+  def kaufmanEfficiencyRatio(df: DataFrame, keyCols: Seq[String],
+      timeCol: String, valueCol: String, n: Int, out: String): DataFrame = {
+    require(n >= 1, s"efficiency-ratio period out of range: $n")
+    val w = series(keyCols, timeCol)
+    val frame = w.rowsBetween(-(n - 1), 0)
+    val ch = col(valueCol) - lag(col(valueCol), 1).over(w)
+    val d = df.withColumn("__ch", ch)
+    val vol = sum(abs(col("__ch"))).over(frame)
+    val net = abs(col(valueCol) - lag(col(valueCol), n).over(w))
+    d.withColumn(out,
+        when(count(col("__ch")).over(frame) === n,
+          when(vol === 0.0, 0.0).otherwise(net / vol)))
+      .drop("__ch")
+  }
+
   /** Exponential moving average (Flux `exponentialMovingAverage` rule:
     * the first EMA value IS the first point; after that
     * `ema = α·v + (1-α)·ema_prev`). The recursion makes every output
@@ -125,6 +164,102 @@ object SeriesFunctions {
           if (k != curKey) { curKey = k; ema = v }
           else ema = alpha * v + (1.0 - alpha) * ema
           (k, t, ema)
+        }
+      }
+      .toDF("__k", "__t", out)
+    scanned.select(keyCols.zipWithIndex.map { case (k, i) =>
+      col("__k")(i).as(k)
+    } ++ Seq(col("__t").as(timeCol), col(out)): _*)
+  }
+
+  /** DEMA and TEMA (Mulloy; InfluxQL `double_/triple_exponential_moving_
+    * average`) in ONE series scan: the three chained EMA recursions
+    * (e1 on the value, e2 on e1, e3 on e2) all update in O(1) state per
+    * point, so one shuffle + sort + linear pass yields both outputs —
+    * `dema = 2·e1 − e2`, `tema = 3·e1 − 3·e2 + e3`. Seeding follows the
+    * same Flux rule as [[exponentialMovingAverage]]: each stage's first
+    * value is its input's first value, so both start at the raw point. */
+  def demaTema(df: DataFrame, keyCols: Seq[String], timeCol: String,
+      valueCol: String, alpha: Double, demaOut: String,
+      temaOut: String): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha out of (0, 1]: $alpha")
+    require(keyCols.nonEmpty,
+      "series functions need a partition key (a keyless scan is a single task)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val packed = df.na.drop(Seq(timeCol, valueCol)).select(
+        array(keyCols.map(col(_).cast("string")): _*).as("__k"),
+        col(timeCol).cast("long").as("__t"),
+        col(valueCol).cast("double").as("__v"))
+      .as[(Seq[String], Long, Double)]
+    val scanned = packed
+      .repartition(col("__k"))
+      .sortWithinPartitions(col("__k"), col("__t"))
+      .mapPartitions { it =>
+        var curKey: Seq[String] = null
+        var e1 = 0.0; var e2 = 0.0; var e3 = 0.0
+        it.map { case (k, t, v) =>
+          if (k != curKey) { curKey = k; e1 = v; e2 = e1; e3 = e2 }
+          else {
+            e1 = alpha * v + (1.0 - alpha) * e1
+            e2 = alpha * e1 + (1.0 - alpha) * e2
+            e3 = alpha * e2 + (1.0 - alpha) * e3
+          }
+          (k, t, 2.0 * e1 - e2, 3.0 * e1 - 3.0 * e2 + e3)
+        }
+      }
+      .toDF("__k", "__t", demaOut, temaOut)
+    scanned.select(keyCols.zipWithIndex.map { case (k, i) =>
+      col("__k")(i).as(k)
+    } ++ Seq(col("__t").as(timeCol), col(demaOut), col(temaOut)): _*)
+  }
+
+  /** Relative strength index over `n` changes (Wilder; InfluxQL
+    * `relative_strength_index`): the first average gain/loss is the plain
+    * mean of the first `n` changes, after which Wilder smoothing applies
+    * (`a ← (a·(n−1) + x)/n`); `rsi = 100 − 100/(1 + ag/al)`, 100 when
+    * the loss average is zero. Warm-up points (fewer than `n` changes)
+    * emit NULL. One scan, O(1) state — the seed is two running sums. */
+  def relativeStrengthIndex(df: DataFrame, keyCols: Seq[String],
+      timeCol: String, valueCol: String, n: Int, out: String): DataFrame = {
+    require(n >= 1, s"RSI period out of range: $n")
+    require(keyCols.nonEmpty,
+      "series functions need a partition key (a keyless scan is a single task)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val packed = df.na.drop(Seq(timeCol, valueCol)).select(
+        array(keyCols.map(col(_).cast("string")): _*).as("__k"),
+        col(timeCol).cast("long").as("__t"),
+        col(valueCol).cast("double").as("__v"))
+      .as[(Seq[String], Long, Double)]
+    val scanned = packed
+      .repartition(col("__k"))
+      .sortWithinPartitions(col("__k"), col("__t"))
+      .mapPartitions { it =>
+        var curKey: Seq[String] = null
+        var i = 0; var prev = 0.0
+        var sg = 0.0; var sl = 0.0; var ag = 0.0; var al = 0.0
+        it.map { case (k, t, v) =>
+          if (k != curKey) {
+            curKey = k; i = 1; prev = v; sg = 0.0; sl = 0.0; ag = 0.0; al = 0.0
+          } else {
+            i += 1
+            val g = math.max(v - prev, 0.0)
+            val l = math.max(-(v - prev), 0.0)
+            prev = v
+            if (i <= n + 1) {
+              sg += g; sl += l
+              if (i == n + 1) { ag = sg / n; al = sl / n }
+            } else {
+              ag = (ag * (n - 1) + g) / n
+              al = (al * (n - 1) + l) / n
+            }
+          }
+          val rsi: Option[Double] =
+            if (i >= n + 1)
+              Some(if (al == 0.0) 100.0 else 100.0 - 100.0 / (1.0 + ag / al))
+            else None
+          (k, t, rsi)
         }
       }
       .toDF("__k", "__t", out)

@@ -98,6 +98,49 @@ class SeriesFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("demaTema: seeds at the raw point, cascaded recursions follow") {
+    val out = SF.demaTema(pts, Seq("k"), "t", "v", alpha = 0.5, "dema", "tema")
+      .orderBy("k", "t")
+      .as[(String, Long, Double, Double)].collect()
+    val a = out.filter(_._1 == "a")
+    // first point: e1=e2=e3=10 -> dema = 2*10-10 = 10, tema = 10
+    assert(a.head._3 == 10.0 && a.head._4 == 10.0)
+    // second point: e1=11.5, e2=.5*11.5+.5*10=10.75, e3=.5*10.75+.5*10=10.375
+    assert(a(1)._3 == 2.0 * 11.5 - 10.75)
+    assert(a(1)._4 == 3.0 * 11.5 - 3.0 * 10.75 + 10.375)
+    // series isolation
+    val b = out.filter(_._1 == "b")
+    assert(b.head._3 == 100.0 && b.head._4 == 100.0)
+  }
+
+  test("relativeStrengthIndex: warmup NULLs, seeded mean, Wilder smoothing") {
+    val series = (1L to 8L).map(i => ("a", i,
+      if (i % 2 == 0) 10.0 + i else 10.0 - i)).toDF("k", "t", "v")
+    val m = vals(SF.relativeStrengthIndex(series, Seq("k"), "t", "v",
+      n = 3, "rsi"), "rsi")
+    assert(m(("a", 1L)).isEmpty && m(("a", 3L)).isEmpty, "warmup emits NULL")
+    assert(m(("a", 4L)).isDefined, "first RSI after n changes")
+    m.values.flatten.foreach(v => assert(v >= 0.0 && v <= 100.0))
+    // monotone-up series: zero losses -> RSI 100
+    val up = (1L to 5L).map(i => ("a", i, i.toDouble)).toDF("k", "t", "v")
+    val u = vals(SF.relativeStrengthIndex(up, Seq("k"), "t", "v", 3, "rsi"), "rsi")
+    assert(u(("a", 4L)).contains(100.0) && u(("a", 5L)).contains(100.0))
+  }
+
+  test("CMO and efficiency ratio: full-window gate, flat-window zero") {
+    val flat = Seq(("a", 1L, 5.0), ("a", 2L, 5.0), ("a", 3L, 5.0),
+      ("a", 4L, 5.0)).toDF("k", "t", "v")
+    val c = vals(SF.chandeMomentumOscillator(flat, Seq("k"), "t", "v", 3, "cmo"), "cmo")
+    assert(c(("a", 3L)).isEmpty, "needs n changes")
+    assert(c(("a", 4L)).contains(0.0), "flat window scores 0")
+    val k = vals(SF.kaufmanEfficiencyRatio(flat, Seq("k"), "t", "v", 3, "ker"), "ker")
+    assert(k(("a", 4L)).contains(0.0), "zero volatility scores 0")
+    // monotone run is perfectly efficient: |net| == sum|ch| -> ER 1, CMO 100
+    val up = (1L to 4L).map(i => ("a", i, i * 2.0)).toDF("k", "t", "v")
+    assert(vals(SF.kaufmanEfficiencyRatio(up, Seq("k"), "t", "v", 3, "ker"), "ker")(("a", 4L)).contains(1.0))
+    assert(vals(SF.chandeMomentumOscillator(up, Seq("k"), "t", "v", 3, "cmo"), "cmo")(("a", 4L)).contains(100.0))
+  }
+
   test("all window transforms collapse into ONE Window operator (plan shape)") {
     val all = Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
       SF.difference(_, Seq("k"), "t", "v", "diff"),
