@@ -1198,6 +1198,80 @@ object QueriesCore {
           END, 6) AS rsi
         FROM r ORDER BY user_id, t""")),
 
+    ("events_kama",
+      (s, d) => {
+        // Kaufman adaptive MA: the efficiency ratio modulates the
+        // smoothing constant per point. The oracle precomputes er/sc with
+        // window functions (they depend only on the trailing 7 changes)
+        // and carries ONLY the kama recursion through the recursive CTE
+        import graft.functions.{SeriesFunctions => SF}
+        val ev = Tables.events(s, d).filter(col("user_id") < 5)
+          .select(col("user_id"), col("ts_ns").as("t"), col("value"))
+        SF.kaufmanAdaptiveMovingAverage(ev, Seq("user_id"), "t", "value",
+            n = 7, "kama")
+          .select(col("user_id").cast("long").as("user_id"), col("t"),
+            round(col("kama"), 6).as("kama"))
+          .orderBy("user_id", "t")
+      },
+      Some("""WITH RECURSIVE e AS (SELECT user_id, epoch_ns(ts) AS t, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY epoch_ns(ts)) AS rn
+          FROM events WHERE user_id < 5),
+        d AS (SELECT user_id, t, value, rn,
+            value - lag(value) OVER (PARTITION BY user_id ORDER BY rn) AS ch,
+            lag(value, 7) OVER (PARTITION BY user_id ORDER BY rn) AS v7
+          FROM e),
+        w AS (SELECT user_id, t, value, rn, v7,
+            sum(abs(ch)) OVER (PARTITION BY user_id ORDER BY rn
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS vol
+          FROM d),
+        s AS (SELECT user_id, t, value, rn,
+            CASE WHEN vol = 0 THEN 0.0 ELSE abs(value - v7) / vol END
+              * (2.0 / 3.0 - 2.0 / 31.0) + 2.0 / 31.0 AS sc
+          FROM w),
+        r AS (SELECT user_id, t, rn, value AS kama FROM s WHERE rn = 8
+          UNION ALL
+          SELECT s.user_id, s.t, s.rn,
+            r.kama + s.sc * s.sc * (s.value - r.kama)
+          FROM s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+        SELECT e.user_id, e.t, round(r.kama, 6) AS kama
+        FROM e LEFT JOIN r ON e.user_id = r.user_id AND e.rn = r.rn
+        ORDER BY e.user_id, e.t""")),
+
+    ("events_trix",
+      (s, d) => {
+        // TRIX: percent change of a triple-smoothed EMA (alpha = 0.25 for
+        // n=7 — exactly representable, so the recursions are bit-stable).
+        // The oracle chains the same three EMA updates through one
+        // recursive CTE and lags e3 for the percent step
+        import graft.functions.{SeriesFunctions => SF}
+        val ev = Tables.events(s, d).filter(col("user_id") < 5)
+          .select(col("user_id"), col("ts_ns").as("t"), col("value"))
+        SF.tripleExponentialDerivative(ev, Seq("user_id"), "t", "value",
+            n = 7, "trix")
+          .select(col("user_id").cast("long").as("user_id"), col("t"),
+            round(col("trix"), 6).as("trix"))
+          .orderBy("user_id", "t")
+      },
+      Some("""WITH RECURSIVE e AS (SELECT user_id, epoch_ns(ts) AS t, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY epoch_ns(ts)) AS rn
+          FROM events WHERE user_id < 5),
+        r AS (SELECT user_id, t, rn, value AS e1, value AS e2, value AS e3
+          FROM e WHERE rn = 1
+          UNION ALL
+          SELECT e.user_id, e.t, e.rn,
+            0.25 * e.value + 0.75 * r.e1,
+            0.25 * (0.25 * e.value + 0.75 * r.e1) + 0.75 * r.e2,
+            0.25 * (0.25 * (0.25 * e.value + 0.75 * r.e1) + 0.75 * r.e2)
+              + 0.75 * r.e3
+          FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        SELECT user_id, t, round(CASE WHEN lag_e3 <> 0
+            THEN 100.0 * (e3 - lag_e3) / lag_e3 END, 6) AS trix
+        FROM (SELECT user_id, t, e3,
+            lag(e3) OVER (PARTITION BY user_id ORDER BY t) AS lag_e3 FROM r)
+        ORDER BY user_id, t""")),
+
     ("events_histogram",
       (s, d) => {
         // Flux histogram(): cumulative counts per upper bound, one wide

@@ -214,6 +214,104 @@ object SeriesFunctions {
     } ++ Seq(col("__t").as(timeCol), col(demaOut), col(temaOut)): _*)
   }
 
+  /** Kaufman's adaptive moving average over an `n`-change efficiency
+    * window (InfluxQL `kaufmans_adaptive_moving_average`; Kaufman's
+    * published fast=2 / slow=30 smoothing bounds). Per point once `n`
+    * changes exist: `er = |v − v_n| / Σ|Δv|` over the trailing window,
+    * `sc = (er·(2/3 − 2/31) + 2/31)²`, `kama ← kama + sc·(v − kama)`;
+    * the first eligible output seeds at the raw point (the same rule the
+    * sibling EMA uses) and warm-up points emit NULL. The recursion makes
+    * every output depend on all predecessors, so this rides the same
+    * documented `mapPartitions` scan as EMA — one shuffle on the key,
+    * O(n) ring-buffer state per task, never per key count. */
+  def kaufmanAdaptiveMovingAverage(df: DataFrame, keyCols: Seq[String],
+      timeCol: String, valueCol: String, n: Int, out: String): DataFrame = {
+    require(n >= 1, s"KAMA period out of range: $n")
+    scanSeries(df, keyCols, timeCol, valueCol) { () =>
+      // ring of the last n+1 values; er recomputed oldest->newest so the
+      // accumulation order is fixed regardless of how rows arrive
+      val ring = new Array[Double](n + 1)
+      var seen = 0
+      var kama = 0.0
+      (v: Double) => {
+        if (seen <= n) ring(seen) = v
+        else { System.arraycopy(ring, 1, ring, 0, n); ring(n) = v }
+        seen += 1
+        if (seen < n + 1) None
+        else if (seen == n + 1) { kama = v; Some(v) }
+        else {
+          var vol = 0.0
+          var i = 1
+          while (i <= n) { vol += math.abs(ring(i) - ring(i - 1)); i += 1 }
+          val er = if (vol == 0.0) 0.0 else math.abs(ring(n) - ring(0)) / vol
+          val sc = { val s = er * (2.0 / 3.0 - 2.0 / 31.0) + 2.0 / 31.0; s * s }
+          kama += sc * (v - kama)
+          Some(kama)
+        }
+      }
+    }(out)
+  }
+
+  /** TRIX (InfluxQL `triple_exponential_derivative`): the 1-point percent
+    * change of a triple-smoothed EMA with `α = 2/(n+1)` — each stage seeds
+    * at its input's first value (Flux rule), and the output is
+    * `100·(e3 − e3_prev)/e3_prev` from the second point on (NULL first
+    * point; a zero previous e3 yields NULL, division guard). Same single
+    * mapPartitions scan as the sibling recursions: O(1) state. */
+  def tripleExponentialDerivative(df: DataFrame, keyCols: Seq[String],
+      timeCol: String, valueCol: String, n: Int, out: String): DataFrame = {
+    require(n >= 1, s"TRIX period out of range: $n")
+    val alpha = 2.0 / (n + 1)
+    scanSeries(df, keyCols, timeCol, valueCol) { () =>
+      var first = true
+      var e1 = 0.0; var e2 = 0.0; var e3 = 0.0
+      (v: Double) => {
+        if (first) { first = false; e1 = v; e2 = v; e3 = v; None }
+        else {
+          val prev = e3
+          e1 = alpha * v + (1.0 - alpha) * e1
+          e2 = alpha * e1 + (1.0 - alpha) * e2
+          e3 = alpha * e2 + (1.0 - alpha) * e3
+          if (prev == 0.0) None else Some(100.0 * (e3 - prev) / prev)
+        }
+      }
+    }(out)
+  }
+
+  /** Shared shape for the sequential per-series recursions: shuffle on the
+    * key, spillable in-partition sort, one linear pass where `mk()` builds
+    * a fresh per-series state machine returning `Option[Double]` per point
+    * (None = warm-up NULL). Null times/values are dropped up front like
+    * the sibling transforms' `lag` would skip them. */
+  private def scanSeries(df: DataFrame, keyCols: Seq[String],
+      timeCol: String, valueCol: String)(mk: () => Double => Option[Double])(
+      out: String): DataFrame = {
+    require(keyCols.nonEmpty,
+      "series functions need a partition key (a keyless scan is a single task)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val packed = df.na.drop(Seq(timeCol, valueCol)).select(
+        array(keyCols.map(col(_).cast("string")): _*).as("__k"),
+        col(timeCol).cast("long").as("__t"),
+        col(valueCol).cast("double").as("__v"))
+      .as[(Seq[String], Long, Double)]
+    val scanned = packed
+      .repartition(col("__k"))
+      .sortWithinPartitions(col("__k"), col("__t"))
+      .mapPartitions { it =>
+        var curKey: Seq[String] = null
+        var step: Double => Option[Double] = null
+        it.map { case (k, t, v) =>
+          if (k != curKey) { curKey = k; step = mk() }
+          (k, t, step(v))
+        }
+      }
+      .toDF("__k", "__t", out)
+    scanned.select(keyCols.zipWithIndex.map { case (k, i) =>
+      col("__k")(i).as(k)
+    } ++ Seq(col("__t").as(timeCol), col(out)): _*)
+  }
+
   /** Relative strength index over `n` changes (Wilder; InfluxQL
     * `relative_strength_index`): the first average gain/loss is the plain
     * mean of the first `n` changes, after which Wilder smoothing applies

@@ -141,6 +141,43 @@ class SeriesFunctionsSpec extends SparkSpec {
     assert(vals(SF.chandeMomentumOscillator(up, Seq("k"), "t", "v", 3, "cmo"), "cmo")(("a", 4L)).contains(100.0))
   }
 
+  test("kaufmanAdaptiveMovingAverage: warmup, raw-point seed, ER modulation") {
+    // constant tail: er = 0 -> sc = (2/31)^2, but v - kama = 0 so kama holds
+    val flat = (1L to 6L).map(i => ("a", i, 7.0)).toDF("k", "t", "v")
+    val f = vals(SF.kaufmanAdaptiveMovingAverage(flat, Seq("k"), "t", "v",
+      n = 3, "kama"), "kama")
+    assert(f(("a", 3L)).isEmpty, "warmup emits NULL until n changes exist")
+    assert(f(("a", 4L)).contains(7.0), "first eligible point seeds raw")
+    assert(f(("a", 6L)).contains(7.0), "flat series holds the seed")
+    // monotone run: er = 1 -> sc = (2/3)^2 = 4/9, one exact step from seed
+    val up = (1L to 5L).map(i => ("a", i, i * 9.0)).toDF("k", "t", "v")
+    val u = vals(SF.kaufmanAdaptiveMovingAverage(up, Seq("k"), "t", "v",
+      n = 3, "kama"), "kama")
+    assert(u(("a", 4L)).contains(36.0))
+    val sc = 4.0 / 9.0
+    assert(u(("a", 5L)).contains(36.0 + sc * (45.0 - 36.0)))
+    // per-key state resets
+    val two = ((1L to 5L).map(i => ("a", i, i * 9.0)) ++
+      (1L to 4L).map(i => ("b", i, 1.0))).toDF("k", "t", "v")
+    val t2 = vals(SF.kaufmanAdaptiveMovingAverage(two, Seq("k"), "t", "v",
+      n = 3, "kama"), "kama")
+    assert(t2(("b", 3L)).isEmpty && t2(("b", 4L)).contains(1.0))
+  }
+
+  test("tripleExponentialDerivative: n=1 degenerates to percent change") {
+    // alpha = 1 -> e3 tracks v exactly -> trix = 100*(v/v_prev - 1)
+    val m = vals(SF.tripleExponentialDerivative(pts, Seq("k"), "t", "v",
+      n = 1, "trix"), "trix")
+    assert(m(("a", 0L)).isEmpty, "first point has no previous e3")
+    assert(m(("a", 1000000000L)).contains(100.0 * (13.0 - 10.0) / 10.0))
+    assert(m(("a", 3000000000L)).contains(0.0))
+    assert(m(("b", 2000000000L)).contains(10.0), "series do not leak")
+    // zero previous e3 guards to NULL instead of dividing
+    val z = Seq(("a", 1L, 0.0), ("a", 2L, 5.0)).toDF("k", "t", "v")
+    assert(vals(SF.tripleExponentialDerivative(z, Seq("k"), "t", "v",
+      n = 1, "trix"), "trix")(("a", 2L)).isEmpty)
+  }
+
   test("all window transforms collapse into ONE Window operator (plan shape)") {
     val all = Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
       SF.difference(_, Seq("k"), "t", "v", "diff"),
