@@ -1272,6 +1272,73 @@ object QueriesCore {
             lag(e3) OVER (PARTITION BY user_id ORDER BY t) AS lag_e3 FROM r)
         ORDER BY user_id, t""")),
 
+    ("events_correlation",
+      (s, d) => {
+        // Flux cov()/pearsonr(): align two measurement streams on a 6h
+        // bucket (integer `div` — ns timestamps overflow double mantissas)
+        // and correlate per key. `value` is an exact 2-decimal quantity, so
+        // the whole statistic is computed on integer cents: bucket totals
+        // and the co-moment sums n·Σvc−Σv·Σc are EXACT (order-free — the
+        // built-in corr/covar co-moment aggregates accumulate doubles in
+        // partition order and bucket totals here land exactly on rounding
+        // boundaries). Products ride decimal(38) (DuckDB: HUGEINT) so the
+        // shape survives 100 TB row counts; the one division per output is
+        // a single IEEE op on identical exact operands in both engines.
+        val dec = "decimal(18,0)"
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("view", "click"))
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+        val b = ev
+          .groupBy(col("user_id"), expr("ts_ns div 21600000000000").as("hr"))
+          .agg(
+            sum(when(col("event_type") === "view", col("cents"))).as("v"),
+            sum(when(col("event_type") === "click", col("cents"))).as("c"))
+          .filter(col("v").isNotNull && col("c").isNotNull)
+        val stats = b.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"), sum("v").as("sv"), sum("c").as("sc"),
+            sum(col("v").cast(dec) * col("c").cast(dec)).as("svc"),
+            sum(col("v").cast(dec) * col("v").cast(dec)).as("svv"),
+            sum(col("c").cast(dec) * col("c").cast(dec)).as("scc"))
+          .filter(col("n") >= 3)
+        val ncov = col("n").cast(dec) * col("svc") -
+          col("sv").cast(dec) * col("sc").cast(dec)
+        val nvv = col("n").cast(dec) * col("svv") -
+          col("sv").cast(dec) * col("sv").cast(dec)
+        val ncc = col("n").cast(dec) * col("scc") -
+          col("sc").cast(dec) * col("sc").cast(dec)
+        stats.select(col("user_id").cast("long").as("user_id"),
+            col("n").as("n_buckets"),
+            round(when(nvv > 0 && ncc > 0, ncov.cast("double") /
+              sqrt(nvv.cast("double") * ncc.cast("double"))), 6)
+              .as("pearson_r"),
+            round(ncov.cast("double") /
+              (col("n") * (col("n") - lit(1))).cast("double") / lit(1e4), 6)
+              .as("cov_vc"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id,
+            epoch_ns(ts) // 21600000000000 AS hr, event_type,
+            CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type IN ('view', 'click')),
+        b AS (SELECT user_id, hr,
+            sum(CASE WHEN event_type = 'view' THEN cents END) AS v,
+            sum(CASE WHEN event_type = 'click' THEN cents END) AS c
+          FROM e GROUP BY 1, 2),
+        s AS (SELECT user_id, count(*) AS n, sum(v) AS sv, sum(c) AS sc,
+            sum(v * c) AS svc, sum(v * v) AS svv, sum(c * c) AS scc
+          FROM b WHERE v IS NOT NULL AND c IS NOT NULL
+          GROUP BY user_id HAVING count(*) >= 3),
+        t AS (SELECT user_id, n,
+            n * svc - sv * sc AS ncov, n * svv - sv * sv AS nvv,
+            n * scc - sc * sc AS ncc FROM s)
+        SELECT user_id, n AS n_buckets,
+          round(CASE WHEN nvv > 0 AND ncc > 0 THEN CAST(ncov AS DOUBLE)
+            / sqrt(CAST(nvv AS DOUBLE) * CAST(ncc AS DOUBLE)) END, 6)
+            AS pearson_r,
+          round(CAST(ncov AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
+            / 10000.0, 6) AS cov_vc
+        FROM t ORDER BY user_id""")),
+
     ("events_histogram",
       (s, d) => {
         // Flux histogram(): cumulative counts per upper bound, one wide

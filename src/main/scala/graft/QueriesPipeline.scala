@@ -161,6 +161,87 @@ object QueriesPipeline {
         LEFT JOIN top ON top.doc_id = t.doc_id
         ORDER BY t.doc_id""")),
 
+    // Gopher quality rules (Rae et al. 2021): six per-document heuristics
+    // plus the conjunction, every one exact per-row integer/division math
+    // (no float accumulation anywhere), thresholds calibrated so the
+    // corpus splits on wordcount, stopwords, and bigram repetition
+    ("text_gopher",
+      (s, d) => {
+        val t = col("text")
+        val n = TF.tokenCount(t)
+        val mwl = TF.meanWordLen(t)
+        Tables.documents(s, d).select(col("doc_id"),
+            n.cast("long").as("n_tokens"),
+            (n >= 50 && n <= 100000).cast("int").as("rule_wordcount"),
+            (mwl >= 3.0 && mwl <= 10.0).cast("int").as("rule_mean_word_len"),
+            (TF.symbolWordRatio(t) <= 0.1).cast("int").as("rule_symbol_ratio"),
+            (TF.alphaTokenFraction(t) >= 0.8).cast("int").as("rule_alpha_words"),
+            (TF.gopherStopCount(t) >= 2).cast("int").as("rule_stopwords"),
+            (TF.dupNgramRatio(t, 2) <= 0.05).cast("int").as("rule_dup_bigrams"))
+          .withColumn("pass",
+            col("rule_wordcount") * col("rule_mean_word_len") *
+              col("rule_symbol_ratio") * col("rule_alpha_words") *
+              col("rule_stopwords") * col("rule_dup_bigrams"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH p AS (SELECT doc_id, text, $dToks AS w FROM documents),
+        g AS (SELECT doc_id, text, w, len(w) AS n,
+            length(replace($dNorm, ' ', '')) AS chars,
+            len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS alpha,
+            len(list_filter(w, x -> x IN
+              ('the','be','to','of','and','that','have','with'))) AS stops,
+            CASE WHEN len(w) >= 2 THEN list_filter(
+                list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]),
+                x -> length(x) > 0) ELSE [] END AS bg
+          FROM p),
+        r AS (SELECT doc_id, n,
+            CAST(n >= 50 AND n <= 100000 AS INT) AS rule_wordcount,
+            CAST(chars * 1.0 / greatest(n, 1) >= 3.0
+              AND chars * 1.0 / greatest(n, 1) <= 10.0 AS INT)
+              AS rule_mean_word_len,
+            CAST((len(regexp_extract_all(text, '#'))
+                + len(regexp_extract_all(text, '\\.\\.\\.'))) * 1.0
+              / greatest(n, 1) <= 0.1 AS INT) AS rule_symbol_ratio,
+            CAST(alpha * 1.0 / greatest(n, 1) >= 0.8 AS INT) AS rule_alpha_words,
+            CAST(stops >= 2 AS INT) AS rule_stopwords,
+            CAST(CASE WHEN len(bg) > 0
+                THEN 1.0 - len(list_distinct(bg)) * 1.0 / len(bg)
+                ELSE 0.0 END <= 0.05 AS INT) AS rule_dup_bigrams
+          FROM g)
+        SELECT doc_id, n AS n_tokens, rule_wordcount, rule_mean_word_len,
+          rule_symbol_ratio, rule_alpha_words, rule_stopwords,
+          rule_dup_bigrams,
+          rule_wordcount * rule_mean_word_len * rule_symbol_ratio
+            * rule_alpha_words * rule_stopwords * rule_dup_bigrams AS pass
+        FROM r ORDER BY doc_id""")),
+
+    // BM25 retrieval against a query term set: tf is computed only for
+    // the query terms (filter BEFORE the shuffle — no corpus-wide index),
+    // df and corpus stats broadcast back; ln/division shapes mirrored in
+    // the oracle so scores agree to well under the rounding step
+    ("text_bm25",
+      (s, d) => graft.pipeline.Ranking
+        .bm25(Tables.documents(s, d), "doc_id", "text",
+          Seq("scan", "merge", "filter"))
+        .select(col("doc_id"), round(col("bm25"), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(50),
+      Some(s"""WITH p AS (SELECT doc_id, $dToks AS w FROM documents),
+        n AS (SELECT count(*) AS n_docs, avg(len(w)) AS avg_dl FROM p),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest(w) AS term FROM p)
+          WHERE term IN ('scan', 'merge', 'filter') GROUP BY 1, 2),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        dl AS (SELECT doc_id, len(w) AS dl FROM p)
+        SELECT tf.doc_id,
+          round(sum(ln((n.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+            * (tf.tf * (1.2 + 1)) /
+            (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / n.avg_dl))), 6) AS bm25
+        FROM tf JOIN df ON df.term = tf.term
+        JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN n
+        GROUP BY tf.doc_id
+        ORDER BY bm25 DESC, tf.doc_id LIMIT 50""")),
+
     // character-distribution entropy: per-row sorted-array run math on the
     // Spark side (zero shuffles); the oracle recomputes it with DuckDB's
     // entropy() aggregate over exploded chars — mathematically identical,

@@ -153,6 +153,31 @@ object TextFunctions {
     round(q, 6)
   }
 
+  // -------------------------------------------------- Gopher quality rules
+
+  /** '#' and '...' occurrences per token (the Gopher symbol-to-word
+    * ratio; Rae et al. 2021 §A.1.1). Counted on the RAW text — the
+    * symbols are the signal, normalization would keep them anyway. */
+  def symbolWordRatio(text: Column): Column =
+    (regexp_count(text, lit("#")) + regexp_count(text, lit("\\.\\.\\.")))
+      .cast("double") / greatest(tokenCount(text), lit(1)).cast("double")
+
+  /** Fraction of tokens containing at least one alphabetic character
+    * (Gopher requires >= 0.8). */
+  def alphaTokenFraction(text: Column): Column = {
+    val toks = tokens(text)
+    size(filter(toks, t => t.rlike("[a-z]"))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Gopher's required-stopword rule: the document must contain at least
+    * two occurrences from this exact 8-word list (Rae et al. 2021). */
+  val gopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherStopCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isInCollection(gopherStops)))
+
   /** Shannon entropy (bits) of the document's character distribution — a
     * cheap "is this natural text or noise/padding" quality signal (low
     * entropy = repeated filler, high = random bytes). Per-row array math

@@ -28,6 +28,45 @@ class PipelineSpec extends SparkSpec {
     assert(row.getAs[Long]("fp") == fp2)
   }
 
+  test("gopher rule helpers: symbol ratio, alpha fraction, stopword count") {
+    val df = Seq(
+      (1L, "the cat sat # on... the mat with a dog"),
+      (2L, "1 2 3 4 5"),
+      (3L, "")).toDF("id", "text")
+    val rows = df.select($"id",
+        TF.symbolWordRatio($"text").as("sym"),
+        TF.alphaTokenFraction($"text").as("alpha"),
+        TF.gopherStopCount($"text").as("stops"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getInt(3))).toMap
+    val (sym1, alpha1, stops1) = rows(1L)
+    assert(sym1 == 2.0 / 10.0, "# and ... each count once over 10 tokens")
+    assert(alpha1 == 9.0 / 10.0, "only the bare # token carries no letters")
+    assert(stops1 == 3, "the, the, with")
+    val (sym2, alpha2, stops2) = rows(2L)
+    assert(sym2 == 0.0 && alpha2 == 0.0 && stops2 == 0)
+    val (_, alpha3, _) = rows(3L)
+    assert(alpha3 == 0.0, "empty text never divides by zero")
+  }
+
+  test("bm25: idf favors rare terms, length normalization, absent-term docs") {
+    import graft.pipeline.Ranking
+    val docs = Seq(
+      (1L, "alpha beta beta"),
+      (2L, "alpha gamma gamma gamma gamma gamma gamma gamma gamma gamma"),
+      (3L, "delta delta delta")).toDF("doc_id", "text")
+    val out = Ranking.bm25(docs, "doc_id", "text", Seq("alpha", "beta"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!out.contains(3L), "doc matching no query term is absent")
+    // doc 1: rare term beta (df=1) twice + alpha; doc 2: only the common
+    // alpha (df=2) in a longer doc -> strictly smaller score
+    assert(out(1L) > out(2L))
+    // hand-check doc 2: tf=1, df=2, N=3, dl=10, avgdl=16/3
+    val idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1)
+    val expected = idf * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 10.0 / (16.0 / 3)))
+    assert(math.abs(out(2L) - expected) < 1e-12)
+  }
+
   test("native hash60 is bit-identical to the composed md5/conv form") {
     val samples = Seq("", "a", "hello world", "ünïcødé ∆", "x" * 500,
       "the quick brown fox")
