@@ -49,6 +49,12 @@ object QueriesCore {
   private val T1 = 1704499200000000000L
   private val SIXH = 21600000000000L // 6h in ns
 
+  /** events exposed as an InfluxQL measurement: event_type and user_id
+    * address series (tags), value is the field, ts_ns the time axis. */
+  private def influxMs(s: SparkSession, dir: String) =
+    Map("events" -> graft.operators.InfluxMeasurement(
+      Tables.events(s, dir), "ts_ns", Seq("event_type", "user_id")))
+
   /** orders with graft category metadata — a multi-year time axis for
     * calendar (month-granularity) window aggregates, which the one-month
     * events table cannot exercise. */
@@ -1338,6 +1344,81 @@ object QueriesCore {
           round(CAST(ncov AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
             / 10000.0, 6) AS cov_vc
         FROM t ORDER BY user_id""")),
+
+    // ------------------------------------------ InfluxQL query frontend
+    // These four run QUERY TEXT through the InfluxQL parser + planner end
+    // to end (raw select / time-grouped aggregates with the default
+    // fill(null) grid / composed window transforms / a whole-operator
+    // percentile) — the oracle recomputes each plan's semantics in SQL.
+    // Aggregates are chosen exact-by-construction (count, spread,
+    // selector picks, fixed-divisor moving average): no engine-order
+    // float accumulation anywhere near the 6-decimal format boundary.
+
+    ("influxql_raw",
+      (s, d) => graft.operators.InfluxQlPlanner.run(influxMs(s, d),
+        """SELECT value FROM events WHERE event_type = 'click'
+           AND time >= '2024-01-05T00:00:00Z'
+           AND time < '2024-01-07T00:00:00Z' ORDER BY time"""),
+      Some("""SELECT epoch_ns(ts) AS time, value FROM events
+        WHERE event_type = 'click'
+          AND epoch_ns(ts) >= 1704412800000000000
+          AND epoch_ns(ts) < 1704585600000000000
+        ORDER BY time""")),
+
+    ("influxql_agg",
+      (s, d) => graft.operators.InfluxQlPlanner.run(influxMs(s, d),
+        """SELECT count(value) AS n, spread(value) AS spread_v,
+             first(value) AS first_v, last(value) AS last_v
+           FROM events
+           WHERE time >= '2024-01-01T00:00:00Z'
+             AND time < '2024-01-15T00:00:00Z'
+           GROUP BY time(1d), event_type"""),
+      Some("""WITH e AS (SELECT event_type, epoch_ns(ts) AS tn, value
+          FROM events WHERE epoch_ns(ts) >= 1704067200000000000
+            AND epoch_ns(ts) < 1705276800000000000),
+        agg AS (SELECT event_type,
+            (tn // 86400000000000) * 86400000000000 AS time,
+            count(value) AS n, max(value) - min(value) AS spread_v,
+            arg_min(value, tn) AS first_v, arg_max(value, tn) AS last_v
+          FROM e GROUP BY 1, 2),
+        grid AS (SELECT event_type, unnest(range(1704067200000000000,
+            1705276800000000000, 86400000000000)) AS time
+          FROM (SELECT DISTINCT event_type FROM agg))
+        SELECT g.time, g.event_type, a.n, a.spread_v, a.first_v, a.last_v
+        FROM grid g LEFT JOIN agg a USING (event_type, time)
+        ORDER BY 2, 1""")),
+
+    ("influxql_transform",
+      (s, d) => graft.operators.InfluxQlPlanner.run(influxMs(s, d),
+        """SELECT difference(value) AS diff_v,
+             moving_average(value, 4) AS ma4
+           FROM events WHERE event_type = 'purchase'
+             AND time < '2024-01-03T00:00:00Z'
+           GROUP BY user_id"""),
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS time, value
+          FROM events WHERE event_type = 'purchase'
+            AND epoch_ns(ts) < 1704240000000000000),
+        w AS (SELECT user_id, time,
+            value - lag(value) OVER (PARTITION BY user_id ORDER BY time)
+              AS diff_v,
+            CASE WHEN count(value) OVER fr = 4
+              THEN avg(value) OVER fr END AS ma4
+          FROM e WINDOW fr AS (PARTITION BY user_id ORDER BY time
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
+        SELECT time, user_id, diff_v, ma4 FROM w
+        WHERE diff_v IS NOT NULL OR ma4 IS NOT NULL
+        ORDER BY user_id, time""")),
+
+    ("influxql_percentile",
+      (s, d) => graft.operators.InfluxQlPlanner.run(influxMs(s, d),
+        "SELECT percentile(value, 90) AS p90 FROM events GROUP BY event_type"),
+      Some("""WITH e AS (SELECT event_type, value FROM events
+          WHERE value IS NOT NULL),
+        r AS (SELECT event_type, value,
+            row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+            count(*) OVER (PARTITION BY event_type) AS n FROM e)
+        SELECT event_type, value AS p90 FROM r
+        WHERE rk = floor(0.9 * n + 0.5) ORDER BY event_type""")),
 
     ("events_histogram",
       (s, d) => {

@@ -1,0 +1,433 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.{GoRegex, InfluxQl, NsTime}
+import graft.core.InfluxQl._
+import graft.functions.{InfluxAggregates => IA, Selectors, SeriesFunctions => SF}
+
+/** A queryable InfluxQL measurement: the backing DataFrame, its epoch-ns
+  * time column, and which columns are tags (everything else is a field). */
+final case class InfluxMeasurement(df: DataFrame, timeCol: String,
+    tagCols: Seq[String])
+
+/** Plans a parsed InfluxQL SELECT onto the engine's operator layer —
+  * the language front door over the same operators the storage RPCs use
+  * (aggregates/selectors → one hash aggregate; window transforms →
+  * the shared per-series Window; recursive smoothers → the documented
+  * mapPartitions scan; fill() → [[GapFill]]). Nothing here executes its
+  * own loop: the planner only COMPOSES operators, so every query inherits
+  * their 100 TB postures (map-side partial aggregation, single shuffle
+  * per series pipeline, grid-side-only gap explosion).
+  *
+  * Planning rules (the InfluxQL spec spellings, influxdata/influxql):
+  *  - `WHERE` time bounds become scan-range filters (pushed to parquet);
+  *    tag/field predicates convert to Catalyst columns; `=~`/`!~` regexes
+  *    translate through [[GoRegex]] (Go/RE2 dialect).
+  *  - Aggregates/selectors (`count sum mean min max spread stddev first
+  *    last`) may be combined in one SELECT: one aggregate per group.
+  *  - `median mode percentile top bottom integral` execute alone (they
+  *    are whole-operator shapes, not single agg columns).
+  *  - Window transforms (`difference derivative moving_average
+  *    cumulative_sum elapsed non_negative_* chande_momentum_oscillator
+  *    kaufmans_efficiency_ratio`) may be combined; the recursive
+  *    smoothers (`exponential_moving_average kaufmans_adaptive_moving_
+  *    average triple_exponential_derivative relative_strength_index
+  *    double/triple_exponential_moving_average`) execute alone.
+  *  - `GROUP BY time(every[,offset])` buckets label by START bound;
+  *    `fill()` defaults to null (all buckets in the WHERE range appear)
+  *    and requires explicit time bounds, like upstream.
+  *  - Raw selects return `time` + requested columns ordered by time.
+  */
+object InfluxQlPlanner {
+
+  private val aggFns = Set("count", "sum", "mean", "min", "max", "spread",
+    "stddev", "first", "last")
+  private val aloneFns = Set("median", "mode", "percentile", "top", "bottom",
+    "integral")
+  private val windowFns = Set("difference", "non_negative_difference",
+    "derivative", "non_negative_derivative", "cumulative_sum",
+    "moving_average", "elapsed", "chande_momentum_oscillator",
+    "kaufmans_efficiency_ratio")
+  private val scanFns = Set("exponential_moving_average",
+    "kaufmans_adaptive_moving_average", "triple_exponential_derivative",
+    "relative_strength_index", "double_exponential_moving_average",
+    "triple_exponential_moving_average")
+
+  def run(measurements: Map[String, InfluxMeasurement], q: String): DataFrame =
+    plan(measurements, InfluxQl.parse(q))
+
+  def plan(ms: Map[String, InfluxMeasurement], sel: Select): DataFrame = {
+    val m = ms.getOrElse(sel.from,
+      throw ParseError(s"unknown measurement '${sel.from}'"))
+    val tcol = m.timeCol
+
+    // WHERE → time range + residual predicate
+    val (lo, hi, rest) = sel.where
+      .map(splitTime)
+      .getOrElse((None, None, None))
+    var df = m.df
+    lo.foreach(v => df = df.filter(col(tcol) >= v))
+    hi.foreach(v => df = df.filter(col(tcol) < v))
+    rest.foreach(e => df = df.filter(toColumn(e)))
+
+    val keyCols: Seq[String] =
+      if (sel.groupStar) m.tagCols
+      else {
+        sel.groupTags.foreach { t =>
+          if (!df.columns.contains(t))
+            throw ParseError(s"unknown GROUP BY column '$t'")
+        }
+        sel.groupTags
+      }
+
+    val calls = sel.projs.collect { case (c: Call, a) => (c, a) }
+    val refs = sel.projs.collect { case (Ref(n), a) => (n, a) }
+    val hasStar = sel.projs.exists(_._1 == Star)
+
+    val result =
+      if (calls.isEmpty) rawSelect(df, m, sel, refs, hasStar)
+      else if (refs.nonEmpty || hasStar)
+        throw ParseError("mixing function calls and raw columns in one " +
+          "SELECT is not supported")
+      else if (calls.forall(c => aggFns(c._1.fn)))
+        aggSelect(df, m, sel, keyCols, calls, lo, hi)
+      else if (calls.size == 1 && aloneFns(calls.head._1.fn))
+        aloneSelect(df, m, sel, keyCols, calls.head._1, calls.head._2)
+      else if (calls.forall(c => windowFns(c._1.fn)))
+        transformSelect(df, m, sel, keyCols, calls)
+      else if (calls.size == 1 && scanFns(calls.head._1.fn))
+        scanSelect(df, m, sel, keyCols, calls.head._1, calls.head._2)
+      else
+        throw ParseError("unsupported projection mix: " +
+          calls.map(_._1.fn).mkString(", "))
+
+    val offsetted = sel.offset.fold(result)(result.offset)
+    sel.limit.fold(offsetted)(offsetted.limit)
+  }
+
+  // ------------------------------------------------------------ raw mode
+  private def rawSelect(df: DataFrame, m: InfluxMeasurement, sel: Select,
+      refs: List[(String, Option[String])], hasStar: Boolean): DataFrame = {
+    val fields = m.df.columns.filterNot(c => c == m.timeCol)
+    val picked: Seq[Column] =
+      if (hasStar) fields.map(col).toSeq
+      else refs.map { case (n, a) =>
+        if (!df.columns.contains(n)) throw ParseError(s"unknown column '$n'")
+        col(n).as(a.getOrElse(n))
+      }
+    df.select(col(m.timeCol).as("time") +: picked: _*)
+      .orderBy(if (sel.timeDesc) col("time").desc else col("time").asc)
+  }
+
+  // ------------------------------------------------- aggregate/selector
+  private def aggSelect(df: DataFrame, m: InfluxMeasurement, sel: Select,
+      keyCols: Seq[String], calls: List[(Call, Option[String])],
+      lo: Option[Long], hi: Option[Long]): DataFrame = {
+    val tcol = m.timeCol
+    val names = nameCalls(calls)
+    val aggs = calls.zip(names).map { case ((c, _), name) =>
+      val f = fieldArg(c, df)
+      (c.fn match {
+        case "count" => count(col(f))
+        case "sum" => sum(col(f))
+        case "mean" => avg(col(f))
+        case "min" => min(col(f))
+        case "max" => max(col(f))
+        case "spread" => IA.spread(col(f))
+        case "stddev" => IA.stddev(col(f))
+        case "first" => Selectors.firstValue(col(f), col(tcol))
+        case "last" => Selectors.lastValue(col(f), col(tcol))
+      }).as(name)
+    }
+    val keys = keyCols.map(col)
+    sel.groupTime match {
+      case None =>
+        val g = if (keys.isEmpty) df.groupBy() else df.groupBy(keys: _*)
+        ordered(g.agg(aggs.head, aggs.tail: _*), keys)
+      case Some(gt) =>
+        val bucket =
+          (NsTime.windowStopNs(col(tcol), gt.everyNs, gt.offsetNs) -
+            gt.everyNs).as("time")
+        val grouped = df.groupBy(keys :+ bucket: _*).agg(aggs.head, aggs.tail: _*)
+        val filled = fillStrategy(sel.fill, lo, hi) match {
+          case None => grouped
+          case Some(strat) =>
+            val (l, h) = (lo.get, hi.get)
+            val start = NsTime.windowStopNs(l, gt.everyNs, gt.offsetNs) -
+              gt.everyNs
+            GapFill.onGrid(grouped, keyCols, "time", start, h, gt.everyNs,
+              names.map(_ -> strat).toMap)
+        }
+        val timeOrd = if (sel.timeDesc) col("time").desc else col("time").asc
+        filled.select((col("time") +: keys) ++ names.map(col): _*)
+          .orderBy(keys :+ timeOrd: _*)
+    }
+  }
+
+  /** InfluxQL's default fill for time-grouped aggregates is null (every
+    * bucket in the range appears); fill is only possible with explicit
+    * bounds — an unbounded range has no grid to enumerate. */
+  private def fillStrategy(fill: Fill, lo: Option[Long],
+      hi: Option[Long]): Option[GapFill.Strategy] = fill match {
+    case FillNone => None
+    // the default fill(null) degrades to observed-buckets-only when the
+    // range is unbounded (no grid to enumerate); an EXPLICIT carry/value
+    // fill without bounds is a user error and says so
+    case FillNull if lo.isEmpty || hi.isEmpty => None
+    case _ if lo.isEmpty || hi.isEmpty =>
+      throw ParseError("fill() needs explicit time bounds in WHERE " +
+        "(both a lower and an upper time condition)")
+    case FillNull => Some(GapFill.KeepNull)
+    case FillPrevious => Some(GapFill.Previous)
+    case FillLinear => Some(GapFill.Linear)
+    case FillValue(v) => Some(GapFill.Value(lit(v)))
+  }
+
+  // ------------------------------------------- single-operator aggregates
+  private def aloneSelect(df: DataFrame, m: InfluxMeasurement, sel: Select,
+      keyCols: Seq[String], c: Call, alias: Option[String]): DataFrame = {
+    if (sel.groupTime.isDefined)
+      throw ParseError(s"${c.fn}() does not support GROUP BY time()")
+    val tcol = m.timeCol
+    val name = alias.getOrElse(c.fn)
+    val f = fieldArg(c, df)
+    val keys = keyCols.map(col)
+    c.fn match {
+      case "median" => ordered(IA.median(df, keyCols, f, name), keys)
+      case "mode" => ordered(IA.mode(df, keyCols, f, name), keys)
+      case "percentile" =>
+        ordered(IA.percentile(df, keyCols, f,
+          numArg(c, 1, "percentile(field, p)"), name), keys)
+      case "integral" =>
+        val unit = c.args.lift(1) match {
+          case Some(DurLit(ns)) => ns
+          case None => 1000000000L
+          case _ => throw ParseError("integral unit must be a duration")
+        }
+        ordered(IA.integral(df, keyCols, tcol, f, unit, name), keys)
+      case "top" | "bottom" =>
+        val n = numArg(c, 1, s"${c.fn}(field, n)").toInt
+        IA.topN(df, keyCols, tcol, f, n, bottom = c.fn == "bottom")
+          .select((col(tcol).as("time") +: keys) :+ col(f).as(name): _*)
+          .orderBy(keys :+ col("time").asc: _*)
+    }
+  }
+
+  // ------------------------------------------------- window transforms
+  private def transformSelect(df: DataFrame, m: InfluxMeasurement,
+      sel: Select, keyCols: Seq[String],
+      calls: List[(Call, Option[String])]): DataFrame = {
+    val tcol = m.timeCol
+    val keys = seriesKeys(m, keyCols)
+    val names = nameCalls(calls)
+    var out = df
+    calls.zip(names).foreach { case ((c, _), name) =>
+      val f = fieldArg(c, out)
+      out = c.fn match {
+        case "difference" => SF.difference(out, keys, tcol, f, name)
+        case "non_negative_difference" =>
+          SF.nonNegativeDifference(out, keys, tcol, f, name)
+        case "derivative" =>
+          SF.derivative(out, keys, tcol, f, durOr(c, 1, 1000000000L), name)
+        case "non_negative_derivative" =>
+          SF.nonNegativeDerivative(out, keys, tcol, f, durOr(c, 1, 1000000000L), name)
+        case "cumulative_sum" => SF.cumulativeSum(out, keys, tcol, f, name)
+        case "moving_average" =>
+          SF.movingAverage(out, keys, tcol, f, numArg(c, 1, "moving_average(field, n)").toInt, name)
+        case "elapsed" =>
+          val e = SF.elapsed(out, keys, tcol, name)
+          c.args.lift(1) match {
+            case Some(DurLit(ns)) => e.withColumn(name, expr(s"`$name` div $ns"))
+            case None => e
+            case _ => throw ParseError("elapsed unit must be a duration")
+          }
+        case "chande_momentum_oscillator" =>
+          SF.chandeMomentumOscillator(out, keys, tcol, f,
+            numArg(c, 1, "chande_momentum_oscillator(field, n)").toInt, name)
+        case "kaufmans_efficiency_ratio" =>
+          SF.kaufmanEfficiencyRatio(out, keys, tcol, f,
+            numArg(c, 1, "kaufmans_efficiency_ratio(field, n)").toInt, name)
+      }
+    }
+    finishSeries(out, sel, keys, tcol, names)
+  }
+
+  // -------------------------------------------- recursive (scan) smoothers
+  private def scanSelect(df: DataFrame, m: InfluxMeasurement, sel: Select,
+      keyCols: Seq[String], c: Call, alias: Option[String]): DataFrame = {
+    val tcol = m.timeCol
+    val keys = seriesKeys(m, keyCols)
+    val name = alias.getOrElse(c.fn)
+    val f = fieldArg(c, df)
+    val n = numArg(c, 1, s"${c.fn}(field, n)").toInt
+    val alpha = 2.0 / (n + 1)
+    val out = c.fn match {
+      case "exponential_moving_average" =>
+        SF.exponentialMovingAverage(df, keys, tcol, f, alpha, name)
+      case "kaufmans_adaptive_moving_average" =>
+        SF.kaufmanAdaptiveMovingAverage(df, keys, tcol, f, n, name)
+      case "triple_exponential_derivative" =>
+        SF.tripleExponentialDerivative(df, keys, tcol, f, n, name)
+      case "relative_strength_index" =>
+        SF.relativeStrengthIndex(df, keys, tcol, f, n, name)
+      case "double_exponential_moving_average" =>
+        SF.demaTema(df, keys, tcol, f, alpha, name, "__tema").drop("__tema")
+      case "triple_exponential_moving_average" =>
+        SF.demaTema(df, keys, tcol, f, alpha, "__dema", name).drop("__dema")
+    }
+    finishSeries(out, sel, keys, tcol, Seq(name))
+  }
+
+  /** Shared transform epilogue: InfluxQL omits points where every output
+    * is null (warm-up rows), renames the time column, and orders per
+    * series then time. */
+  private def finishSeries(out: DataFrame, sel: Select, keys: Seq[String],
+      tcol: String, names: Seq[String]): DataFrame = {
+    val keep = names.map(col(_).isNotNull).reduce(_ || _)
+    val timeOrd = if (sel.timeDesc) col("time").desc else col("time").asc
+    out.filter(keep)
+      .select((col(tcol).as("time") +: keys.map(col)) ++ names.map(col): _*)
+      .orderBy(keys.map(col) :+ timeOrd: _*)
+  }
+
+  private def ordered(df: DataFrame, keys: Seq[Column]): DataFrame =
+    if (keys.isEmpty) df else df.orderBy(keys: _*)
+
+  private def seriesKeys(m: InfluxMeasurement, keyCols: Seq[String]): Seq[String] = {
+    val keys = if (keyCols.isEmpty) m.tagCols else keyCols
+    if (keys.isEmpty)
+      throw ParseError("series transforms need a GROUP BY key or tag " +
+        "columns (a keyless series scan is a single task)")
+    keys
+  }
+
+  // --------------------------------------------------------- arguments
+  private def fieldArg(c: Call, df: DataFrame): String = c.args.headOption match {
+    case Some(Ref(n)) =>
+      if (!df.columns.contains(n))
+        throw ParseError(s"unknown field '$n' in ${c.fn}()")
+      n
+    case Some(nested: Call) =>
+      throw ParseError(s"nested call ${nested.fn}() inside ${c.fn}() " +
+        "is not supported")
+    case _ => throw ParseError(s"${c.fn}() expects a field argument")
+  }
+
+  private def numArg(c: Call, i: Int, sig: String): Double = c.args.lift(i) match {
+    case Some(IntLit(v)) => v.toDouble
+    case Some(NumLit(v)) => v
+    case _ => throw ParseError(s"$sig expects a numeric argument $i")
+  }
+
+  private def durOr(c: Call, i: Int, default: Long): Long = c.args.lift(i) match {
+    case Some(DurLit(ns)) => ns
+    case None => default
+    case _ => throw ParseError(s"${c.fn}() argument $i must be a duration")
+  }
+
+  /** Default result column names follow InfluxQL: the function name, with
+    * `_1`, `_2`… suffixes on repeats; AS aliases override. */
+  private def nameCalls(calls: List[(Call, Option[String])]): List[String] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    calls.map { case (c, alias) =>
+      val base = alias.getOrElse(c.fn)
+      var name = base
+      var i = 0
+      while (used(name)) { i += 1; name = s"${base}_$i" }
+      used += name
+      name
+    }
+  }
+
+  // ------------------------------------------------------ WHERE handling
+  /** Splits a WHERE tree into (inclusive lo, exclusive hi, residual).
+    * Time conditions must sit on the AND spine — `time` inside OR has no
+    * single-range meaning and is rejected (upstream rejects it too). */
+  private def splitTime(e: Expr): (Option[Long], Option[Long], Option[Expr]) =
+    e match {
+      case Bin("and", l, r) =>
+        val (l1, h1, r1) = splitTime(l)
+        val (l2, h2, r2) = splitTime(r)
+        val lo = (l1.toSeq ++ l2.toSeq).reduceOption((a: Long, b: Long) => math.max(a, b))
+        val hi = (h1.toSeq ++ h2.toSeq).reduceOption((a: Long, b: Long) => math.min(a, b))
+        val rest = (r1, r2) match {
+          case (Some(a), Some(b)) => Some(Bin("and", a, b))
+          case (a, b) => a.orElse(b)
+        }
+        (lo, hi, rest)
+      case Bin(op, Ref(t), v) if t.equalsIgnoreCase("time") =>
+        timeBound(op, tsNs(v))
+      case Bin(op, v, Ref(t)) if t.equalsIgnoreCase("time") =>
+        timeBound(flip(op), tsNs(v))
+      case other =>
+        if (mentionsTime(other))
+          throw ParseError("time conditions must be top-level AND terms")
+        (None, None, Some(other))
+    }
+
+  private def timeBound(op: String, v: Long): (Option[Long], Option[Long], Option[Expr]) =
+    op match {
+      case ">=" => (Some(v), None, None)
+      case ">" => (Some(v + 1), None, None)
+      case "<" => (None, Some(v), None)
+      case "<=" => (None, Some(v + 1), None)
+      case "=" => (Some(v), Some(v + 1), None)
+      case other => throw ParseError(s"unsupported time operator '$other'")
+    }
+
+  private def flip(op: String): String = op match {
+    case "<" => ">"
+    case "<=" => ">="
+    case ">" => "<"
+    case ">=" => "<="
+    case other => other
+  }
+
+  private def mentionsTime(e: Expr): Boolean = e match {
+    case Ref(n) => n.equalsIgnoreCase("time")
+    case Bin(_, l, r) => mentionsTime(l) || mentionsTime(r)
+    case _ => false
+  }
+
+  /** Timestamp literal: epoch-ns integer or RFC3339 string. */
+  private def tsNs(e: Expr): Long = e match {
+    case IntLit(v) => v
+    case StrLit(s) =>
+      val inst = java.time.Instant.parse(s)
+      Math.addExact(Math.multiplyExact(inst.getEpochSecond, 1000000000L),
+        inst.getNano.toLong)
+    case DurLit(_) =>
+      throw ParseError("bare durations in time conditions need now(), " +
+        "which is not supported — use literal timestamps")
+    case other => throw ParseError(s"bad timestamp literal: $other")
+  }
+
+  // ------------------------------------------------- predicate columns
+  private def toColumn(e: Expr): Column = e match {
+    case Bin("and", l, r) => toColumn(l) && toColumn(r)
+    case Bin("or", l, r) => toColumn(l) || toColumn(r)
+    case Bin("=~", Ref(n), ReLit(p)) => col(n).rlike(GoRegex.toJava(p))
+    case Bin("!~", Ref(n), ReLit(p)) => !col(n).rlike(GoRegex.toJava(p))
+    case Bin(op, Ref(n), v) => cmp(op, col(n), litOf(v))
+    case Bin(op, v, Ref(n)) => cmp(flip(op), col(n), litOf(v))
+    case other => throw ParseError(s"unsupported WHERE term: $other")
+  }
+
+  private def cmp(op: String, l: Column, r: Column): Column = op match {
+    case "=" => l === r
+    case "!=" => l =!= r
+    case "<" => l < r
+    case "<=" => l <= r
+    case ">" => l > r
+    case ">=" => l >= r
+    case other => throw ParseError(s"unsupported operator '$other'")
+  }
+
+  private def litOf(e: Expr): Column = e match {
+    case IntLit(v) => lit(v)
+    case NumLit(v) => lit(v)
+    case StrLit(s) => lit(s)
+    case other => throw ParseError(s"bad literal: $other")
+  }
+}

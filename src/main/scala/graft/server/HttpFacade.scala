@@ -166,6 +166,7 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
         case ("POST", CloseChunkPath(db, key, table, id)) =>
           handleClosePartitionChunk(ex, db, key, table, id.toInt)
         case ("GET", QueryPath(db)) => handleQuery(ex, db)
+        case ("GET", "/query") => handleInfluxQlQuery(ex)
         case _ => respondJsonError(ex, 404, s"no route for $path")
       }
     } catch {
@@ -311,6 +312,99 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
                   else s"\n# ERROR: query failed mid-stream: $msg\n"
                 os.write(sentinel.getBytes(UTF_8))
               } catch { case NonFatal(_) => () }
+            } finally os.close()
+        }
+    }
+  }
+
+  /** InfluxDB 1.x compatibility query endpoint (`GET /query?db=..&q=..`,
+    * the shape every 1.x client library speaks): the q parameter is
+    * InfluxQL text, parsed by [[graft.core.InfluxQl]] and planned onto
+    * the operator layer by [[graft.operators.InfluxQlPlanner]] over this
+    * facade's measurement views (tag/time roles come from the ingest
+    * schema metadata). The response is the 1.x JSON document — one series
+    * object per tag set with columns/values arrays — with time rendered
+    * as epoch ns (the `epoch=ns` convention; this engine's time axis is
+    * ns-precise). Rows stream through `toLocalIterator` and series split
+    * on the planner's (tags, time) ordering, so large results never
+    * collect on the facade; errors surface INSIDE the results array with
+    * HTTP 200, exactly as 1.x clients expect. */
+  private def handleInfluxQlQuery(ex: HttpExchange): Unit = {
+    val params = queryParams(ex)
+    val db = params.getOrElse("db", "")
+    params.get("q") match {
+      case None => respondJsonError(ex, 400, "missing q parameter")
+      case Some(q) =>
+        if (!databases.contains(db)) {
+          respondJsonError(ex, 404, s"database not found: $db"); return
+        }
+        val planned = HttpFacade.synchronized {
+          try {
+            val sel = graft.core.InfluxQl.parse(q)
+            measurementView(db, sel.from) match {
+              case None => Left(s"measurement not found: ${sel.from}")
+              case Some(df) =>
+                val tags = df.schema.fields.collect {
+                  case f if IoxSchema.categoryOf(f).contains(IoxSchema.Tag) =>
+                    f.name
+                }.toSeq
+                val timeCol = df.schema.fields.collectFirst {
+                  case f if IoxSchema.categoryOf(f).contains(IoxSchema.Time) =>
+                    f.name
+                }.getOrElse(graft.core.NsTime.TimeColumn)
+                Right((sel.from, tags,
+                  graft.operators.InfluxQlPlanner.plan(
+                    Map(sel.from -> graft.operators.InfluxMeasurement(
+                      df, timeCol, tags)), sel)))
+            }
+          } catch {
+            case NonFatal(e) =>
+              Left(Option(e.getMessage).getOrElse(e.getClass.getName))
+          }
+        }
+        planned match {
+          case Left(err) =>
+            respond(ex, 200, "application/json",
+              s"""{"results":[{"statement_id":0,"error":${jsonStr(err)}}]}""")
+          case Right((mName, tags, df)) =>
+            import scala.jdk.CollectionConverters._
+            val cols = df.columns.toSeq
+            val tagIdx = cols.zipWithIndex.filter { case (c, _) => tags.contains(c) }
+            val valIdx = cols.zipWithIndex.filterNot { case (c, _) => tags.contains(c) }
+            ex.getResponseHeaders.set("Content-Type", "application/json")
+            ex.sendResponseHeaders(200, 0)
+            val os = ex.getResponseBody
+            try {
+              val w = new java.io.BufferedWriter(
+                new java.io.OutputStreamWriter(os, UTF_8), 64 * 1024)
+              w.write("""{"results":[{"statement_id":0,"series":[""")
+              var curTags: Seq[Any] = null
+              var firstSeries = true
+              var firstRow = true
+              df.toLocalIterator().asScala.foreach { r =>
+                val tvals = tagIdx.map { case (_, i) => r.get(i) }
+                if (curTags == null || tvals != curTags) {
+                  if (curTags != null) w.write("]}")
+                  if (!firstSeries) w.write(",")
+                  firstSeries = false
+                  curTags = tvals
+                  w.write(s"""{"name":${jsonStr(mName)}""")
+                  if (tagIdx.nonEmpty)
+                    w.write(tagIdx.map { case (c, i) =>
+                      s"${jsonStr(c)}:${jsonVal(r.get(i))}"
+                    }.mkString(""","tags":{""", ",", "}"))
+                  w.write(valIdx.map { case (c, _) => jsonStr(c) }
+                    .mkString(""","columns":[""", ",", """],"values":["""))
+                  firstRow = true
+                }
+                if (!firstRow) w.write(",")
+                firstRow = false
+                w.write(valIdx.map { case (_, i) => jsonVal(r.get(i)) }
+                  .mkString("[", ",", "]"))
+              }
+              if (curTags != null) w.write("]}")
+              w.write("]}]}")
+              w.flush()
             } finally os.close()
         }
     }

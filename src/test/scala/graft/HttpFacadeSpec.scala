@@ -341,6 +341,36 @@ class HttpFacadeSpec extends SparkSpec {
     }
   }
 
+  test("InfluxQL 1.x /query endpoint: raw, tag-split series, in-band errors") {
+    withFacade { facade =>
+      val p = facade.boundPort
+      val lp = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(fixture))
+      assert(post(p, "/api/v2/write?org=o&bucket=b", lp)._1 == 204)
+
+      // raw select: one unnamed-tag series, ns-epoch time first
+      val (s1, b1) = get(p, s"/query?db=o_b&q=${enc(
+        "SELECT surface_degrees FROM h2o_temperature " +
+          "WHERE location = 'puget_sound' ORDER BY time")}")
+      assert(s1 == 200)
+      assert(b1 == """{"results":[{"statement_id":0,"series":[""" +
+        """{"name":"h2o_temperature","columns":["time","surface_degrees"],""" +
+        """"values":[[1568756160,55.8],[1600756160,54.7]]}]}]}""")
+
+      // grouped aggregate: one series object PER tag set, 1.x shape
+      val (s2, b2) = get(p, s"/query?db=o_b&q=${enc(
+        "SELECT last(surface_degrees) AS last_sd FROM h2o_temperature GROUP BY state")}")
+      assert(s2 == 200)
+      assert(b2.contains(""""tags":{"state":"CA"},"columns":["last_sd"],"values":[[63.6]]"""))
+      assert(b2.contains(""""tags":{"state":"WA"},"columns":["last_sd"],"values":[[54.7]]"""))
+
+      // errors ride inside the results array with HTTP 200 (1.x contract)
+      val (s3, b3) = get(p, s"/query?db=o_b&q=${enc("SELECT nope(")}")
+      assert(s3 == 200 && b3.contains(""""error":"influxql:"""))
+      val (s4, b4) = get(p, s"/query?db=o_b&q=${enc("SELECT f FROM missing")}")
+      assert(s4 == 200 && b4.contains("measurement not found"))
+    }
+  }
+
   test("writeResult streams a 200k-row result through a bounded sink") {
     // rows flow straight to the sink via toLocalIterator: memory is one
     // partition + the 64KiB writer buffer, not the result size — the sink

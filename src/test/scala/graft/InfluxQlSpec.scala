@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.InfluxQl
+import graft.core.InfluxQl._
+import graft.operators.{InfluxMeasurement, InfluxQlPlanner}
+
+class InfluxQlSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two series over 40s of ns-time, one field
+  private lazy val fixture = Seq(
+    ("a", 0L, 1.0), ("a", 10000000000L, 3.0), ("a", 20000000000L, 2.0),
+    ("a", 30000000000L, 6.0),
+    ("b", 5000000000L, 10.0), ("b", 15000000000L, 20.0),
+    ("b", 35000000000L, 40.0)
+  ).toDF("host", "t", "value")
+
+  private lazy val ms = Map("cpu" ->
+    InfluxMeasurement(fixture, "t", Seq("host")))
+
+  private def run(q: String) = InfluxQlPlanner.run(ms, q)
+
+  // ------------------------------------------------------------- parser
+
+  test("parse: full clause coverage") {
+    val sel = InfluxQl.parse(
+      """SELECT mean("value") AS m, count(value) FROM cpu
+         WHERE time >= 0 AND time < 40000000000 AND host != 'c'
+         GROUP BY time(10s, 2s), host fill(previous)
+         ORDER BY time DESC LIMIT 10 OFFSET 2;""")
+    assert(sel.projs == List(
+      (Call("mean", List(Ref("value"))), Some("m")),
+      (Call("count", List(Ref("value"))), None)))
+    assert(sel.from == "cpu")
+    assert(sel.groupTime.contains(GroupTime(10000000000L, 2000000000L)))
+    assert(sel.groupTags == List("host"))
+    assert(sel.fill == FillPrevious)
+    assert(sel.timeDesc && sel.limit.contains(10) && sel.offset.contains(2))
+  }
+
+  test("parse: durations, regex, star, defaults") {
+    val sel = InfluxQl.parse(
+      "select * from m where host =~ /^(?P<g>web)-[0-9]+$/ group by *")
+    assert(sel.projs == List((Star, None)))
+    assert(sel.groupStar && sel.fill == FillNull)
+    assert(sel.where.contains(
+      Bin("=~", Ref("host"), ReLit("^(?P<g>web)-[0-9]+$"))))
+    assert(InfluxQl.parse("select f from m group by time(1m)").groupTime
+      .contains(GroupTime(60000000000L, 0L)))
+    assert(InfluxQl.parse("select f from m group by time(500ms)").groupTime
+      .contains(GroupTime(500000000L, 0L)))
+  }
+
+  test("parse: rejections carry the reason") {
+    def err(q: String): String =
+      intercept[ParseError](run(q)).getMessage
+    assert(err("select value from cpu where time >= now() - 1h")
+      .contains("now()"))
+    assert(err("select value from cpu where time >= 0 or host = 'a'")
+      .contains("AND"))
+    assert(err("select value, mean(value) from cpu").contains("mixing"))
+    assert(err("select mean(value) from nope").contains("unknown measurement"))
+    assert(err("select mean(missing) from cpu").contains("unknown field"))
+    assert(err("select value from cpu limit x").contains("LIMIT"))
+  }
+
+  // ------------------------------------------------------------ planner
+
+  test("raw select: time rename, predicate, desc order, limit/offset") {
+    val rows = run("""SELECT value FROM cpu WHERE host = 'a'
+        AND time >= 0 AND time < 25000000000
+        ORDER BY time DESC LIMIT 2""")
+      .as[(Long, Double)].collect().toSeq
+    assert(rows == Seq((20000000000L, 2.0), (10000000000L, 3.0)))
+    val off = run("SELECT value FROM cpu WHERE host = 'a' ORDER BY time LIMIT 2 OFFSET 1")
+      .as[(Long, Double)].collect().toSeq
+    assert(off == Seq((10000000000L, 3.0), (20000000000L, 2.0)))
+  }
+
+  test("aggregates with GROUP BY time + tag and default fill(null)") {
+    val rows = run("""SELECT mean(value), count(value) FROM cpu
+        WHERE time >= 0 AND time < 40000000000 GROUP BY time(20s), host""")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).toSeq
+    // host b has no point in [20s,40s)? it has 35s -> both buckets observed;
+    // all four (host, bucket) pairs appear
+    assert(rows == Seq(
+      (0L, "a", Some(2.0), Some(2L)),
+      (20000000000L, "a", Some(4.0), Some(2L)),
+      (0L, "b", Some(15.0), Some(2L)),
+      (20000000000L, "b", Some(40.0), Some(1L))))
+  }
+
+  test("fill(previous) materializes empty buckets from the grid") {
+    val rows = run("""SELECT sum(value) FROM cpu
+        WHERE host = 'b' AND time >= 0 AND time < 40000000000
+        GROUP BY time(10s), host fill(previous)""")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    // b observes 0s(5s), 10s(15s), 30s(35s); 20s bucket carries 20.0 forward
+    assert(rows == Seq((0L, "b", 10.0), (10000000000L, "b", 20.0),
+      (20000000000L, "b", 20.0), (30000000000L, "b", 40.0)))
+  }
+
+  test("selectors first/last ride the same single aggregate") {
+    val rows = run("SELECT first(value), last(value) FROM cpu GROUP BY host")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(rows == Seq(("a", 1.0, 6.0), ("b", 10.0, 40.0)))
+  }
+
+  test("repeated functions get InfluxQL _N suffixes; aliases override") {
+    val df = run("SELECT mean(value), mean(value), mean(value) AS mm FROM cpu GROUP BY host")
+    assert(df.columns.toSeq == Seq("host", "mean", "mean_1", "mm"))
+  }
+
+  test("percentile and top execute as whole operators") {
+    val p = run("SELECT percentile(value, 50) FROM cpu GROUP BY host")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    // a: 4 non-null values k=floor(.5*4+.5)=2 -> 2nd smallest = 2.0
+    // b: 3 values k=2 -> 20.0
+    assert(p == Seq(("a", 2.0), ("b", 20.0)))
+    val t = run("SELECT top(value, 2) FROM cpu GROUP BY host")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(t == Seq((10000000000L, "a", 3.0), (30000000000L, "a", 6.0),
+      (15000000000L, "b", 20.0), (35000000000L, "b", 40.0)))
+  }
+
+  test("window transforms compose and omit all-null warmup points") {
+    val rows = run("""SELECT difference(value), moving_average(value, 2)
+        FROM cpu WHERE host = 'a' GROUP BY host""")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSeq
+    // first point dropped (both outputs null there)
+    assert(rows == Seq(
+      (10000000000L, Some(2.0), Some(2.0)),
+      (20000000000L, Some(-1.0), Some(2.5)),
+      (30000000000L, Some(4.0), Some(4.0))))
+  }
+
+  test("derivative honors its unit argument") {
+    val rows = run("""SELECT derivative(value, 10s) FROM cpu
+        WHERE host = 'a' GROUP BY host""")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(rows == Seq((10000000000L, 2.0), (20000000000L, -1.0),
+      (30000000000L, 4.0)))
+  }
+
+  test("recursive smoothers: EMA matches the direct operator call") {
+    val got = run("SELECT exponential_moving_average(value, 3) FROM cpu GROUP BY host")
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getDouble(2))).toSeq
+    val want = graft.functions.SeriesFunctions
+      .exponentialMovingAverage(fixture, Seq("host"), "t", "value",
+        alpha = 0.5, "exponential_moving_average")
+      .orderBy("host", "t")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want)
+  }
+
+  test("RFC3339 timestamps and epoch-ns integers are interchangeable") {
+    val a = run("SELECT value FROM cpu WHERE time >= '1970-01-01T00:00:10Z' AND host = 'a' ORDER BY time")
+      .as[(Long, Double)].collect().toSeq
+    val b = run("SELECT value FROM cpu WHERE time >= 10000000000 AND host = 'a' ORDER BY time")
+      .as[(Long, Double)].collect().toSeq
+    assert(a == b && a.size == 3)
+  }
+}
