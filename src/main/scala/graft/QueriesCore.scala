@@ -1420,6 +1420,13 @@ object QueriesCore {
         SELECT event_type, value AS p90 FROM r
         WHERE rk = floor(0.9 * n + 0.5) ORDER BY event_type""")),
 
+    ("influxql_show",
+      (s, d) => graft.operators.InfluxQlPlanner.runStmt(influxMs(s, d),
+        "SHOW TAG VALUES FROM events WITH KEY = event_type"),
+      Some("""SELECT 'events' AS measurement, 'event_type' AS key,
+        event_type AS value FROM events
+        GROUP BY event_type ORDER BY event_type""")),
+
     ("events_histogram",
       (s, d) => {
         // Flux histogram(): cumulative counts per upper bound, one wide

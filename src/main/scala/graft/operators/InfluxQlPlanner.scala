@@ -57,6 +57,78 @@ object InfluxQlPlanner {
   def run(measurements: Map[String, InfluxMeasurement], q: String): DataFrame =
     plan(measurements, InfluxQl.parse(q))
 
+  /** Statement entry point: SELECT plans through [[plan]]; the SHOW
+    * schema-exploration forms map onto the metadata operators' semantics.
+    * (`SHOW DATABASES` is a server-level statement — the HTTP facade
+    * answers it from its database registry before planning.) */
+  def runStmt(measurements: Map[String, InfluxMeasurement], q: String): DataFrame =
+    InfluxQl.parseStmt(q) match {
+      case sel: Select => plan(measurements, sel)
+      case sh: Show => showPlan(measurements, sh)
+    }
+
+  /** SHOW MEASUREMENTS / TAG KEYS / TAG VALUES / FIELD KEYS.
+    *
+    * Tag keys follow the reference's tag_keys semantics: a tag column
+    * lists only if it carries at least one non-null value — decided by
+    * ONE aggregate row per measurement (the same one-row-collect shape as
+    * the metadata RPC fast paths; never a per-tag scan). Tag values are
+    * pure DataFrame distincts. Field keys come from the schema alone. */
+  def showPlan(ms: Map[String, InfluxMeasurement], sh: Show): DataFrame = {
+    if (ms.isEmpty) throw ParseError("no measurements to inspect")
+    val spark = ms.values.head.df.sparkSession
+    import spark.implicits._
+    def targets: Seq[(String, InfluxMeasurement)] = sh.from match {
+      case Some(f) => Seq(f -> ms.getOrElse(f,
+        throw ParseError(s"unknown measurement '$f'")))
+      case None => ms.toSeq.sortBy(_._1)
+    }
+    sh.what match {
+      case "measurements" =>
+        ms.keys.toSeq.sorted.toDF("name")
+      case "databases" =>
+        throw ParseError("SHOW DATABASES is a server-level statement")
+      case "tag keys" =>
+        targets.flatMap { case (name, m) =>
+          if (m.tagCols.isEmpty) Seq.empty[(String, String)]
+          else {
+            val counts = m.df.agg(
+              count(col(m.tagCols.head)).as(m.tagCols.head),
+              m.tagCols.tail.map(t => count(col(t)).as(t)): _*).head()
+            m.tagCols.sorted.filter(t => counts.getAs[Long](t) > 0)
+              .map(t => (name, t))
+          }
+        }.toDF("measurement", "tagKey")
+      case "tag values" =>
+        val k = sh.withKey.get
+        val parts = targets.collect {
+          case (name, m) if m.tagCols.contains(k) =>
+            m.df.filter(col(k).isNotNull)
+              .select(lit(name).as("measurement"), lit(k).as("key"),
+                col(k).cast("string").as("value"))
+              .distinct()
+        }
+        if (parts.isEmpty)
+          throw ParseError(s"tag key '$k' appears in no measurement")
+        parts.reduce(_ unionByName _).orderBy("measurement", "value")
+      case "field keys" =>
+        targets.flatMap { case (name, m) =>
+          m.df.schema.fields
+            .filter(f => f.name != m.timeCol && !m.tagCols.contains(f.name))
+            .map { f =>
+              val t = f.dataType.typeName match {
+                case "double" | "float" => "float"
+                case "long" | "integer" | "short" | "byte" => "integer"
+                case "string" => "string"
+                case "boolean" => "boolean"
+                case other => other
+              }
+              (name, f.name, t)
+            }.sortBy(_._2)
+        }.toDF("measurement", "fieldKey", "fieldType")
+    }
+  }
+
   def plan(ms: Map[String, InfluxMeasurement], sel: Select): DataFrame = {
     val m = ms.getOrElse(sel.from,
       throw ParseError(s"unknown measurement '${sel.from}'"))

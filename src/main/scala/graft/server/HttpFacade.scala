@@ -329,6 +329,18 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
     * on the planner's (tags, time) ordering, so large results never
     * collect on the facade; errors surface INSIDE the results array with
     * HTTP 200, exactly as 1.x clients expect. */
+  /** Tag/time roles for a measurement view, read from the ingest schema
+    * category metadata (every other column is a field). */
+  private def asMeasurement(df: DataFrame): graft.operators.InfluxMeasurement = {
+    val tags = df.schema.fields.collect {
+      case f if IoxSchema.categoryOf(f).contains(IoxSchema.Tag) => f.name
+    }.toSeq
+    val timeCol = df.schema.fields.collectFirst {
+      case f if IoxSchema.categoryOf(f).contains(IoxSchema.Time) => f.name
+    }.getOrElse(graft.core.NsTime.TimeColumn)
+    graft.operators.InfluxMeasurement(df, timeCol, tags)
+  }
+
   private def handleInfluxQlQuery(ex: HttpExchange): Unit = {
     val params = queryParams(ex)
     val db = params.getOrElse("db", "")
@@ -340,22 +352,26 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
         }
         val planned = HttpFacade.synchronized {
           try {
-            val sel = graft.core.InfluxQl.parse(q)
-            measurementView(db, sel.from) match {
-              case None => Left(s"measurement not found: ${sel.from}")
-              case Some(df) =>
-                val tags = df.schema.fields.collect {
-                  case f if IoxSchema.categoryOf(f).contains(IoxSchema.Tag) =>
-                    f.name
-                }.toSeq
-                val timeCol = df.schema.fields.collectFirst {
-                  case f if IoxSchema.categoryOf(f).contains(IoxSchema.Time) =>
-                    f.name
-                }.getOrElse(graft.core.NsTime.TimeColumn)
-                Right((sel.from, tags,
-                  graft.operators.InfluxQlPlanner.plan(
-                    Map(sel.from -> graft.operators.InfluxMeasurement(
-                      df, timeCol, tags)), sel)))
+            graft.core.InfluxQl.parseStmt(q) match {
+              case sel: graft.core.InfluxQl.Select =>
+                measurementView(db, sel.from) match {
+                  case None => Left(s"measurement not found: ${sel.from}")
+                  case Some(df) =>
+                    val m = asMeasurement(df)
+                    Right((sel.from, m.tagCols,
+                      graft.operators.InfluxQlPlanner.plan(
+                        Map(sel.from -> m), sel)))
+                }
+              case graft.core.InfluxQl.Show("databases", _, _) =>
+                import spark.implicits._
+                Right(("databases", Seq.empty[String],
+                  databases.keys.toSeq.sorted.toDF("name")))
+              case sh: graft.core.InfluxQl.Show =>
+                val ms = measurements(db).flatMap { m =>
+                  measurementView(db, m).map(df => m -> asMeasurement(df))
+                }.toMap
+                Right((sh.what, Seq.empty[String],
+                  graft.operators.InfluxQlPlanner.showPlan(ms, sh)))
             }
           } catch {
             case NonFatal(e) =>

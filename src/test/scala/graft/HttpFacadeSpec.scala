@@ -368,6 +368,21 @@ class HttpFacadeSpec extends SparkSpec {
       assert(s3 == 200 && b3.contains(""""error":"influxql:"""))
       val (s4, b4) = get(p, s"/query?db=o_b&q=${enc("SELECT f FROM missing")}")
       assert(s4 == 200 && b4.contains("measurement not found"))
+
+      // SHOW statements: schema exploration over every measurement
+      val (s5, b5) = get(p, s"/query?db=o_b&q=${enc("SHOW MEASUREMENTS")}")
+      assert(s5 == 200 && b5.contains(
+        """"values":[["air_temperature"],["h2o_temperature"]]"""))
+      val (s6, b6) = get(p, s"/query?db=o_b&q=${enc("SHOW TAG KEYS FROM h2o_temperature")}")
+      assert(s6 == 200 &&
+        b6.contains("""["h2o_temperature","location"]""") &&
+        b6.contains("""["h2o_temperature","state"]"""))
+      val (s7, b7) = get(p, s"/query?db=o_b&q=${enc(
+        "SHOW TAG VALUES FROM h2o_temperature WITH KEY = state")}")
+      assert(s7 == 200 && b7.contains("""["h2o_temperature","state","CA"]""") &&
+        b7.contains("""["h2o_temperature","state","WA"]"""))
+      val (s8, b8) = get(p, s"/query?db=o_b&q=${enc("SHOW DATABASES")}")
+      assert(s8 == 200 && b8.contains(""""values":[["o_b"]]"""))
     }
   }
 

@@ -158,6 +158,29 @@ class InfluxQlSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("SHOW statements map onto the metadata operators") {
+    def show(q: String) = InfluxQlPlanner.runStmt(ms, q)
+    assert(show("SHOW MEASUREMENTS").as[String].collect().toSeq == Seq("cpu"))
+    assert(show("SHOW TAG KEYS FROM cpu").as[(String, String)].collect().toSeq
+      == Seq(("cpu", "host")))
+    assert(show("SHOW TAG VALUES FROM cpu WITH KEY = host")
+      .as[(String, String, String)].collect().toSeq
+      == Seq(("cpu", "host", "a"), ("cpu", "host", "b")))
+    assert(show("SHOW FIELD KEYS FROM cpu")
+      .as[(String, String, String)].collect().toSeq
+      == Seq(("cpu", "value", "float")), "time and tags are not fields")
+    // an all-null tag column does not list (tag_keys semantics)
+    val withNullTag = Map("cpu" -> InfluxMeasurement(
+      fixture.withColumn("rack", lit(null).cast("string")),
+      "t", Seq("host", "rack")))
+    assert(InfluxQlPlanner.runStmt(withNullTag, "SHOW TAG KEYS")
+      .as[(String, String)].collect().toSeq == Seq(("cpu", "host")))
+    assert(intercept[ParseError](show("SHOW TAG VALUES FROM cpu"))
+      .getMessage.contains("WITH KEY"))
+    assert(intercept[ParseError](show("SHOW DATABASES"))
+      .getMessage.contains("server-level"))
+  }
+
   test("RFC3339 timestamps and epoch-ns integers are interchangeable") {
     val a = run("SELECT value FROM cpu WHERE time >= '1970-01-01T00:00:10Z' AND host = 'a' ORDER BY time")
       .as[(Long, Double)].collect().toSeq

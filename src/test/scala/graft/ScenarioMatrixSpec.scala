@@ -247,6 +247,42 @@ class ScenarioMatrixSpec extends SparkSpec {
       Seq(60.0, 100.0)))
   }
 
+  test("r6 smoothers and the InfluxQL planner are placement-invariant") {
+    // the adaptive/recursive smoothers (mapPartitions scans, not window
+    // frames) and query TEXT through the InfluxQL planner under the same
+    // runner: chunk placement must stay invisible to both. State-keyed
+    // series give every key two points, enough to exit each warm-up.
+    import graft.functions.{SeriesFunctions => SF}
+    import graft.operators.{InfluxMeasurement, InfluxQlPlanner}
+    val keys = Seq("state")
+    assertInvariant("cmo")(df =>
+      SF.chandeMomentumOscillator(df, keys, "time", "temp", 1, "c")
+        .withColumn("c", round($"c", 6)))
+    assertInvariant("ker")(df =>
+      SF.kaufmanEfficiencyRatio(df, keys, "time", "temp", 1, "k")
+        .withColumn("k", round($"k", 6)))
+    assertInvariant("kama")(df =>
+      SF.kaufmanAdaptiveMovingAverage(df, keys, "time", "temp", 1, "k")
+        .withColumn("k", round($"k", 6)))
+    assertInvariant("trix")(df =>
+      SF.tripleExponentialDerivative(df, keys, "time", "temp", 1, "t2")
+        .withColumn("t2", round($"t2", 6)))
+    assertInvariant("rsi")(df =>
+      SF.relativeStrengthIndex(df, keys, "time", "temp", 1, "r")
+        .withColumn("r", round($"r", 6)))
+    assertInvariant("dema_tema")(df =>
+      SF.demaTema(df, keys, "time", "temp", 0.5, "d", "t3")
+        .withColumn("d", round($"d", 6)).withColumn("t3", round($"t3", 6)))
+    assertInvariant("influxql_planner")(df => InfluxQlPlanner.run(
+      Map("m" -> InfluxMeasurement(df, "time", Seq("state", "city"))),
+      "SELECT count(temp), spread(temp), first(temp), last(temp) " +
+        "FROM m GROUP BY state")
+      .withColumn("spread", round($"spread", 6)))
+    assertInvariant("influxql_planner_transform")(df => InfluxQlPlanner.run(
+      Map("m" -> InfluxMeasurement(df, "time", Seq("state", "city"))),
+      "SELECT difference(temp) FROM m GROUP BY state"))
+  }
+
   test("series-set wire shape is placement-invariant") {
     def seriesOf(df: DataFrame) = InfluxRpc.toSeriesSet(
       InfluxRpc.readFilter(df, RpcPredicate()), Seq("temp", "humid"))
