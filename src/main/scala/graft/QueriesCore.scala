@@ -1420,6 +1420,26 @@ object QueriesCore {
         SELECT event_type, value AS p90 FROM r
         WHERE rk = floor(0.9 * n + 0.5) ORDER BY event_type""")),
 
+    ("influxql_downsample_rate",
+      (s, d) => graft.operators.InfluxQlPlanner.run(influxMs(s, d),
+        """SELECT non_negative_derivative(count(value)) AS rate FROM events
+           WHERE time >= '2024-01-01T00:00:00Z'
+             AND time < '2024-01-08T00:00:00Z'
+           GROUP BY time(6h), event_type fill(none)"""),
+      Some("""WITH e AS (SELECT event_type, epoch_ns(ts) AS tn FROM events
+          WHERE epoch_ns(ts) >= 1704067200000000000
+            AND epoch_ns(ts) < 1704672000000000000),
+        a AS (SELECT event_type,
+            (tn // 21600000000000) * 21600000000000 AS time,
+            count(*) AS c FROM e GROUP BY 1, 2),
+        d AS (SELECT event_type, time, c,
+            lag(c) OVER w AS pc, lag(time) OVER w AS pt
+          FROM a WINDOW w AS (PARTITION BY event_type ORDER BY time))
+        SELECT time, event_type,
+          (c - pc) / (CAST(time - pt AS DOUBLE) / 21600000000000.0) AS rate
+        FROM d WHERE pc IS NOT NULL AND c - pc >= 0
+        ORDER BY event_type, time""")),
+
     ("influxql_show",
       (s, d) => graft.operators.InfluxQlPlanner.runStmt(influxMs(s, d),
         "SHOW TAG VALUES FROM events WITH KEY = event_type"),

@@ -162,7 +162,7 @@ object InfluxQlPlanner {
       else if (refs.nonEmpty || hasStar)
         throw ParseError("mixing function calls and raw columns in one " +
           "SELECT is not supported")
-      else if (calls.forall(c => aggFns(c._1.fn)))
+      else if (calls.forall(c => aggFns(c._1.fn) || isNestedAgg(c._1)))
         aggSelect(df, m, sel, keyCols, calls, lo, hi)
       else if (calls.size == 1 && aloneFns(calls.head._1.fn))
         aloneSelect(df, m, sel, keyCols, calls.head._1, calls.head._2)
@@ -193,28 +193,51 @@ object InfluxQlPlanner {
   }
 
   // ------------------------------------------------- aggregate/selector
+  /** A window transform wrapped around an aggregate — the InfluxQL
+    * downsample-then-transform idiom `derivative(mean(value), 1h)` with
+    * `GROUP BY time(...)`. */
+  private def isNestedAgg(c: Call): Boolean =
+    Set("difference", "non_negative_difference", "derivative",
+      "non_negative_derivative", "cumulative_sum", "moving_average")(c.fn) &&
+      (c.args.headOption match {
+        case Some(inner: Call) => aggFns(inner.fn)
+        case _ => false
+      })
+
   private def aggSelect(df: DataFrame, m: InfluxMeasurement, sel: Select,
       keyCols: Seq[String], calls: List[(Call, Option[String])],
       lo: Option[Long], hi: Option[Long]): DataFrame = {
     val tcol = m.timeCol
     val names = nameCalls(calls)
-    val aggs = calls.zip(names).map { case ((c, _), name) =>
-      val f = fieldArg(c, df)
-      (c.fn match {
-        case "count" => count(col(f))
-        case "sum" => sum(col(f))
-        case "mean" => avg(col(f))
-        case "min" => min(col(f))
-        case "max" => max(col(f))
-        case "spread" => IA.spread(col(f))
-        case "stddev" => IA.stddev(col(f))
-        case "first" => Selectors.firstValue(col(f), col(tcol))
-        case "last" => Selectors.lastValue(col(f), col(tcol))
-      }).as(name)
+    // per projection: (agg column, its column name, output name, outer
+    // transform call if this is the nested downsample-then-transform form)
+    val entries = calls.zip(names).map { case ((c, _), name) =>
+      val (aggC, field, outer) =
+        if (isNestedAgg(c)) {
+          val inner = c.args.head.asInstanceOf[Call]
+          (inner, fieldArg(inner, df), Some(c))
+        } else (c, fieldArg(c, df), None)
+      val aggName = if (outer.isDefined) s"__in_$name" else name
+      val aggCol = (aggC.fn match {
+        case "count" => count(col(field))
+        case "sum" => sum(col(field))
+        case "mean" => avg(col(field))
+        case "min" => min(col(field))
+        case "max" => max(col(field))
+        case "spread" => IA.spread(col(field))
+        case "stddev" => IA.stddev(col(field))
+        case "first" => Selectors.firstValue(col(field), col(tcol))
+        case "last" => Selectors.lastValue(col(field), col(tcol))
+      }).as(aggName)
+      (aggCol, aggName, name, outer)
     }
+    val aggs = entries.map(_._1)
     val keys = keyCols.map(col)
     sel.groupTime match {
       case None =>
+        if (entries.exists(_._4.isDefined))
+          throw ParseError("a transform over an aggregate requires " +
+            "GROUP BY time(...)")
         val g = if (keys.isEmpty) df.groupBy() else df.groupBy(keys: _*)
         ordered(g.agg(aggs.head, aggs.tail: _*), keys)
       case Some(gt) =>
@@ -222,6 +245,9 @@ object InfluxQlPlanner {
           (NsTime.windowStopNs(col(tcol), gt.everyNs, gt.offsetNs) -
             gt.everyNs).as("time")
         val grouped = df.groupBy(keys :+ bucket: _*).agg(aggs.head, aggs.tail: _*)
+        // fill the GRID first, then transform over the filled series —
+        // the upstream order: fill() supplies the buckets the transform
+        // then differences/averages over
         val filled = fillStrategy(sel.fill, lo, hi) match {
           case None => grouped
           case Some(strat) =>
@@ -229,10 +255,49 @@ object InfluxQlPlanner {
             val start = NsTime.windowStopNs(l, gt.everyNs, gt.offsetNs) -
               gt.everyNs
             GapFill.onGrid(grouped, keyCols, "time", start, h, gt.everyNs,
-              names.map(_ -> strat).toMap)
+              entries.map(_._2 -> strat).toMap)
         }
+        // transforms run on the (small) bucketed frame; keyless grouping
+        // gets a constant series key — rows ∝ buckets, so the single
+        // task the series functions guard against cannot occur here
+        val (kdf0, tKeys) =
+          if (keyCols.isEmpty) (filled.withColumn("__gk", lit(1)), Seq("__gk"))
+          else (filled, keyCols)
+        var outDf = kdf0
+        entries.foreach {
+          case (_, aggName, name, Some(c)) =>
+            outDf = c.fn match {
+              case "difference" =>
+                SF.difference(outDf, tKeys, "time", aggName, name)
+              case "non_negative_difference" =>
+                SF.nonNegativeDifference(outDf, tKeys, "time", aggName, name)
+              case "derivative" =>
+                // with GROUP BY time the default rate unit is the interval
+                SF.derivative(outDf, tKeys, "time", aggName,
+                  durOr(c, 1, gt.everyNs), name)
+              case "non_negative_derivative" =>
+                SF.nonNegativeDerivative(outDf, tKeys, "time", aggName,
+                  durOr(c, 1, gt.everyNs), name)
+              case "cumulative_sum" =>
+                SF.cumulativeSum(outDf, tKeys, "time", aggName, name)
+              case "moving_average" =>
+                SF.movingAverage(outDf, tKeys, "time", aggName,
+                  numArg(c, 1, "moving_average(agg, n)").toInt, name)
+            }
+          case _ => ()
+        }
+        val hidden = entries.collect { case (_, a, _, Some(_)) => a } ++
+          (if (keyCols.isEmpty && entries.exists(_._4.isDefined)) Seq("__gk")
+           else Seq.empty)
+        val dropped = outDf.drop(hidden: _*)
+        // a pure transform select omits its all-null warm-up buckets,
+        // like the raw-series transforms; mixed selects keep every bucket
+        val pruned =
+          if (entries.forall(_._4.isDefined))
+            dropped.filter(names.map(col(_).isNotNull).reduce(_ || _))
+          else dropped
         val timeOrd = if (sel.timeDesc) col("time").desc else col("time").asc
-        filled.select((col("time") +: keys) ++ names.map(col): _*)
+        pruned.select((col("time") +: keys) ++ names.map(col): _*)
           .orderBy(keys :+ timeOrd: _*)
     }
   }

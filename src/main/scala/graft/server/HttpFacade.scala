@@ -350,80 +350,113 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
         if (!databases.contains(db)) {
           respondJsonError(ex, 404, s"database not found: $db"); return
         }
-        val planned = HttpFacade.synchronized {
-          try {
-            graft.core.InfluxQl.parseStmt(q) match {
-              case sel: graft.core.InfluxQl.Select =>
-                measurementView(db, sel.from) match {
-                  case None => Left(s"measurement not found: ${sel.from}")
-                  case Some(df) =>
-                    val m = asMeasurement(df)
-                    Right((sel.from, m.tagCols,
-                      graft.operators.InfluxQlPlanner.plan(
-                        Map(sel.from -> m), sel)))
-                }
-              case graft.core.InfluxQl.Show("databases", _, _) =>
-                import spark.implicits._
-                Right(("databases", Seq.empty[String],
-                  databases.keys.toSeq.sorted.toDF("name")))
-              case sh: graft.core.InfluxQl.Show =>
-                val ms = measurements(db).flatMap { m =>
-                  measurementView(db, m).map(df => m -> asMeasurement(df))
-                }.toMap
-                Right((sh.what, Seq.empty[String],
-                  graft.operators.InfluxQlPlanner.showPlan(ms, sh)))
-            }
-          } catch {
-            case NonFatal(e) =>
-              Left(Option(e.getMessage).getOrElse(e.getClass.getName))
-          }
-        }
-        planned match {
+        val parsed =
+          try Right(graft.core.InfluxQl.parseAll(q))
+          catch { case NonFatal(e) =>
+            Left(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+        parsed match {
           case Left(err) =>
             respond(ex, 200, "application/json",
               s"""{"results":[{"statement_id":0,"error":${jsonStr(err)}}]}""")
-          case Right((mName, tags, df)) =>
-            import scala.jdk.CollectionConverters._
-            val cols = df.columns.toSeq
-            val tagIdx = cols.zipWithIndex.filter { case (c, _) => tags.contains(c) }
-            val valIdx = cols.zipWithIndex.filterNot { case (c, _) => tags.contains(c) }
+          case Right(stmts) =>
+            // plan all statements under the catalog lock, then stream
+            val planned = HttpFacade.synchronized {
+              stmts.map { stmt =>
+                try planStatement(db, stmt)
+                catch { case NonFatal(e) =>
+                  Left(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+              }
+            }
             ex.getResponseHeaders.set("Content-Type", "application/json")
             ex.sendResponseHeaders(200, 0)
             val os = ex.getResponseBody
             try {
               val w = new java.io.BufferedWriter(
                 new java.io.OutputStreamWriter(os, UTF_8), 64 * 1024)
-              w.write("""{"results":[{"statement_id":0,"series":[""")
-              var curTags: Seq[Any] = null
-              var firstSeries = true
-              var firstRow = true
-              df.toLocalIterator().asScala.foreach { r =>
-                val tvals = tagIdx.map { case (_, i) => r.get(i) }
-                if (curTags == null || tvals != curTags) {
-                  if (curTags != null) w.write("]}")
-                  if (!firstSeries) w.write(",")
-                  firstSeries = false
-                  curTags = tvals
-                  w.write(s"""{"name":${jsonStr(mName)}""")
-                  if (tagIdx.nonEmpty)
-                    w.write(tagIdx.map { case (c, i) =>
-                      s"${jsonStr(c)}:${jsonVal(r.get(i))}"
-                    }.mkString(""","tags":{""", ",", "}"))
-                  w.write(valIdx.map { case (c, _) => jsonStr(c) }
-                    .mkString(""","columns":[""", ",", """],"values":["""))
-                  firstRow = true
+              w.write("""{"results":[""")
+              planned.zipWithIndex.foreach { case (p, i) =>
+                if (i > 0) w.write(",")
+                p match {
+                  case Left(err) =>
+                    w.write(s"""{"statement_id":$i,"error":${jsonStr(err)}}""")
+                  case Right((mName, tags, df)) =>
+                    w.write(s"""{"statement_id":$i,"series":[""")
+                    // a mid-stream execution failure cannot change the
+                    // status anymore; the in-band error keeps it visible
+                    // (1.x "partial" convention)
+                    try { writeSeriesArray(w, mName, tags, df); w.write("]}") }
+                    catch { case NonFatal(e) =>
+                      w.write(s"""],"partial":true,"error":${jsonStr(
+                        Option(e.getMessage).getOrElse(e.getClass.getName))}}""")
+                    }
                 }
-                if (!firstRow) w.write(",")
-                firstRow = false
-                w.write(valIdx.map { case (_, i) => jsonVal(r.get(i)) }
-                  .mkString("[", ",", "]"))
               }
-              if (curTags != null) w.write("]}")
-              w.write("]}]}")
+              w.write("]}")
               w.flush()
             } finally os.close()
         }
     }
+  }
+
+  /** Plans one 1.x statement against `db` (caller holds the catalog
+    * lock): returns (series name, tag columns, frame) or an in-band
+    * error string. */
+  private def planStatement(db: String, stmt: graft.core.InfluxQl.Stmt)
+      : Either[String, (String, Seq[String], DataFrame)] = stmt match {
+    case sel: graft.core.InfluxQl.Select =>
+      measurementView(db, sel.from) match {
+        case None => Left(s"measurement not found: ${sel.from}")
+        case Some(df) =>
+          val m = asMeasurement(df)
+          Right((sel.from, m.tagCols,
+            graft.operators.InfluxQlPlanner.plan(Map(sel.from -> m), sel)))
+      }
+    case graft.core.InfluxQl.Show("databases", _, _) =>
+      import spark.implicits._
+      Right(("databases", Seq.empty[String],
+        databases.keys.toSeq.sorted.toDF("name")))
+    case sh: graft.core.InfluxQl.Show =>
+      val ms = measurements(db).flatMap { m =>
+        measurementView(db, m).map(df => m -> asMeasurement(df))
+      }.toMap
+      Right((sh.what, Seq.empty[String],
+        graft.operators.InfluxQlPlanner.showPlan(ms, sh)))
+  }
+
+  /** Streams one statement's series objects (no enclosing brackets):
+    * consecutive rows sharing a tag tuple form one series, split on the
+    * planner's (tags, time) ordering. */
+  private def writeSeriesArray(w: java.io.Writer, mName: String,
+      tags: Seq[String], df: DataFrame): Unit = {
+    import scala.jdk.CollectionConverters._
+    val cols = df.columns.toSeq
+    val tagIdx = cols.zipWithIndex.filter { case (c, _) => tags.contains(c) }
+    val valIdx = cols.zipWithIndex.filterNot { case (c, _) => tags.contains(c) }
+    var curTags: Seq[Any] = null
+    var firstSeries = true
+    var firstRow = true
+    df.toLocalIterator().asScala.foreach { r =>
+      val tvals = tagIdx.map { case (_, i) => r.get(i) }
+      if (curTags == null || tvals != curTags) {
+        if (curTags != null) w.write("]}")
+        if (!firstSeries) w.write(",")
+        firstSeries = false
+        curTags = tvals
+        w.write(s"""{"name":${jsonStr(mName)}""")
+        if (tagIdx.nonEmpty)
+          w.write(tagIdx.map { case (c, i) =>
+            s"${jsonStr(c)}:${jsonVal(r.get(i))}"
+          }.mkString(""","tags":{""", ",", "}"))
+        w.write(valIdx.map { case (c, _) => jsonStr(c) }
+          .mkString(""","columns":[""", ",", """],"values":["""))
+        firstRow = true
+      }
+      if (!firstRow) w.write(",")
+      firstRow = false
+      w.write(valIdx.map { case (_, i) => jsonVal(r.get(i)) }
+        .mkString("[", ",", "]"))
+    }
+    if (curTags != null) w.write("]}")
   }
 
   /** Arrow Flight do_get with HTTP as the transport stand-in

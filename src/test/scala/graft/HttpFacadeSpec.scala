@@ -383,6 +383,17 @@ class HttpFacadeSpec extends SparkSpec {
         b7.contains("""["h2o_temperature","state","WA"]"""))
       val (s8, b8) = get(p, s"/query?db=o_b&q=${enc("SHOW DATABASES")}")
       assert(s8 == 200 && b8.contains(""""values":[["o_b"]]"""))
+
+      // multi-statement q: one results entry per statement, id per 1.x;
+      // a bad statement errors in-band without killing its neighbors
+      val (s9, b9) = get(p, s"/query?db=o_b&q=${enc(
+        "SHOW MEASUREMENTS; SELECT f FROM missing; " +
+          "SELECT first(surface_degrees) FROM h2o_temperature")}")
+      assert(s9 == 200)
+      assert(b9.contains(""""statement_id":0,"series":"""))
+      assert(b9.contains(""""statement_id":1,"error":"measurement not found: missing""""))
+      assert(b9.contains(""""statement_id":2,"series":"""))
+      assert(b9.contains(""""columns":["first"],"values":[[55.1]]"""))
     }
   }
 

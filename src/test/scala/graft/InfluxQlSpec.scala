@@ -158,6 +158,45 @@ class InfluxQlSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("transform over aggregate: the downsample-then-rate idiom") {
+    // host b: sums per 10s bucket = 10 (0s), 20 (10s), 40 (30s)
+    val rows = run("""SELECT derivative(sum(value)) FROM cpu
+        WHERE host = 'b' AND time >= 0 AND time < 40000000000
+        GROUP BY time(10s), host fill(none)""")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    // default unit with GROUP BY time is the interval: (20-10)/1, then
+    // (40-20) over a 2-interval gap -> 10
+    assert(rows == Seq((10000000000L, "b", 10.0), (30000000000L, "b", 10.0)))
+    // with fill(previous) the 20s bucket exists (carried 20.0): the 30s
+    // step becomes (40-20)/1 interval = 20, and the carried bucket's own
+    // derivative is 0
+    val filledRows = run("""SELECT derivative(sum(value)) FROM cpu
+        WHERE host = 'b' AND time >= 0 AND time < 40000000000
+        GROUP BY time(10s), host fill(previous)""")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(filledRows == Seq((10000000000L, 10.0), (20000000000L, 0.0),
+      (30000000000L, 20.0)))
+    // mixed select keeps every bucket; the transform column is null on
+    // the first one
+    val mixed = run("""SELECT mean(value), difference(mean(value)) FROM cpu
+        WHERE host = 'a' AND time >= 0 AND time < 40000000000
+        GROUP BY time(20s), host""")
+    assert(mixed.columns.toSeq ==
+      Seq("time", "host", "mean", "difference"))
+    val m0 = mixed.collect().map(r =>
+      (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Double]))).toSeq
+    assert(m0 == Seq((0L, None), (20000000000L, Some(2.0))))
+    // keyless grouping (time only) still plans — constant series key
+    val keyless = run("""SELECT cumulative_sum(count(value)) FROM cpu
+        WHERE time >= 0 AND time < 40000000000 GROUP BY time(20s) fill(none)""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(keyless == Seq((0L, 4L), (20000000000L, 7L)))
+    // nesting without GROUP BY time is the upstream error too
+    assert(intercept[ParseError](
+      run("SELECT derivative(mean(value)) FROM cpu GROUP BY host"))
+      .getMessage.contains("GROUP BY time"))
+  }
+
   test("SHOW statements map onto the metadata operators") {
     def show(q: String) = InfluxQlPlanner.runStmt(ms, q)
     assert(show("SHOW MEASUREMENTS").as[String].collect().toSeq == Seq("cpu"))
