@@ -1440,6 +1440,20 @@ object QueriesCore {
         FROM d WHERE pc IS NOT NULL AND c - pc >= 0
         ORDER BY event_type, time""")),
 
+    ("influxql_subquery",
+      (s, d) => graft.operators.InfluxQlPlanner.run(influxMs(s, d),
+        """SELECT count(diff) AS n, spread(diff) AS sp FROM
+           (SELECT difference(value) AS diff FROM events
+            WHERE event_type = 'view' GROUP BY user_id)
+           GROUP BY user_id"""),
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS t, value
+          FROM events WHERE event_type = 'view'),
+        d AS (SELECT user_id, value - lag(value)
+            OVER (PARTITION BY user_id ORDER BY t) AS diff FROM e)
+        SELECT user_id, count(diff) AS n, max(diff) - min(diff) AS sp
+        FROM d WHERE diff IS NOT NULL
+        GROUP BY user_id ORDER BY user_id""")),
+
     ("influxql_show",
       (s, d) => graft.operators.InfluxQlPlanner.runStmt(influxMs(s, d),
         "SHOW TAG VALUES FROM events WITH KEY = event_type"),

@@ -130,8 +130,22 @@ object InfluxQlPlanner {
   }
 
   def plan(ms: Map[String, InfluxMeasurement], sel: Select): DataFrame = {
-    val m = ms.getOrElse(sel.from,
-      throw ParseError(s"unknown measurement '${sel.from}'"))
+    val m = sel.fromSub match {
+      case Some(inner) =>
+        // FROM (subquery): the inner result IS the measurement. Its
+        // series keys are the inner GROUP BY dimensions that survive into
+        // the output; an aggregate inner select without time() grouping
+        // has no time axis — it gets the 1.x epoch-0 convention so the
+        // outer statement's time handling stays well-defined.
+        val innerDf = plan(ms, inner)
+        val tags = subTags(ms, inner).filter(innerDf.columns.contains)
+        val withTime =
+          if (innerDf.columns.contains("time")) innerDf
+          else innerDf.withColumn("time", lit(0L))
+        InfluxMeasurement(withTime, "time", tags)
+      case None => ms.getOrElse(sel.from,
+        throw ParseError(s"unknown measurement '${sel.from}'"))
+    }
     val tcol = m.timeCol
 
     // WHERE → time range + residual predicate
@@ -430,6 +444,16 @@ object InfluxQlPlanner {
 
   private def ordered(df: DataFrame, keys: Seq[Column]): DataFrame =
     if (keys.isEmpty) df else df.orderBy(keys: _*)
+
+  /** The tag columns a subquery's output carries: its GROUP BY
+    * dimensions (resolving `*` against the measurement it reads, through
+    * further nesting). */
+  private def subTags(ms: Map[String, InfluxMeasurement], sel: Select): Seq[String] =
+    if (sel.groupStar) sel.fromSub match {
+      case Some(inner) => subTags(ms, inner)
+      case None => ms.get(sel.from).map(_.tagCols).getOrElse(Nil)
+    }
+    else sel.groupTags
 
   private def seriesKeys(m: InfluxMeasurement, keyCols: Seq[String]): Seq[String] = {
     val keys = if (keyCols.isEmpty) m.tagCols else keyCols

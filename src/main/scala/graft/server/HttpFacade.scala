@@ -404,12 +404,19 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
   private def planStatement(db: String, stmt: graft.core.InfluxQl.Stmt)
       : Either[String, (String, Seq[String], DataFrame)] = stmt match {
     case sel: graft.core.InfluxQl.Select =>
-      measurementView(db, sel.from) match {
-        case None => Left(s"measurement not found: ${sel.from}")
-        case Some(df) =>
-          val m = asMeasurement(df)
-          Right((sel.from, m.tagCols,
-            graft.operators.InfluxQlPlanner.plan(Map(sel.from -> m), sel)))
+      // subqueries may nest: resolve the root measurement for the series
+      // name, and hand the planner the whole catalog
+      def root(s: graft.core.InfluxQl.Select): String =
+        s.fromSub.map(root).getOrElse(s.from)
+      val name = root(sel)
+      val msAll = measurements(db).flatMap { m =>
+        measurementView(db, m).map(df => m -> asMeasurement(df))
+      }.toMap
+      if (!msAll.contains(name)) Left(s"measurement not found: $name")
+      else {
+        val df = graft.operators.InfluxQlPlanner.plan(msAll, sel)
+        val tagSet = msAll.values.flatMap(_.tagCols).toSet
+        Right((name, df.columns.filter(tagSet).toSeq, df))
       }
     case graft.core.InfluxQl.Show("databases", _, _) =>
       import spark.implicits._

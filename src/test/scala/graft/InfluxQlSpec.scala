@@ -197,6 +197,32 @@ class InfluxQlSpec extends SparkSpec {
       .getMessage.contains("GROUP BY time"))
   }
 
+  test("subqueries: the inner result feeds in as a measurement") {
+    // mean of per-host differences: a: (2, -1, 4) -> 5/3; b: (10, 20) -> 15
+    val rows = run("""SELECT mean(difference) FROM
+        (SELECT difference(value) FROM cpu GROUP BY host) GROUP BY host""")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(math.abs(rows("a") - 5.0 / 3.0) < 1e-12)
+    assert(rows("b") == 15.0)
+    // keyless outer aggregate over the subquery output
+    val n = run("""SELECT count(difference) FROM
+        (SELECT difference(value) FROM cpu GROUP BY host)""")
+      .collect().head.getLong(0)
+    assert(n == 5, "warm-up rows were pruned by the inner transform")
+    // an aggregate subquery without time() grouping gets the epoch-0 axis
+    val t0 = run("""SELECT last(mean) FROM
+        (SELECT mean(value) FROM cpu GROUP BY host)""")
+      .collect().head.getDouble(0)
+    assert(t0 == 70.0 / 3.0,
+      "equal epoch-0 times tie-break to the largest value (pinned rule)")
+    // outer WHERE applies to the inner output
+    val w = run("""SELECT count(difference) FROM
+        (SELECT difference(value) FROM cpu GROUP BY host)
+        WHERE time >= 20000000000""")
+      .collect().head.getLong(0)
+    assert(w == 3)
+  }
+
   test("SHOW statements map onto the metadata operators") {
     def show(q: String) = InfluxQlPlanner.runStmt(ms, q)
     assert(show("SHOW MEASUREMENTS").as[String].collect().toSeq == Seq("cpu"))
