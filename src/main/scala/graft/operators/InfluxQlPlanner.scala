@@ -172,7 +172,7 @@ object InfluxQlPlanner {
     val hasStar = sel.projs.exists(_._1 == Star)
 
     val result =
-      if (calls.isEmpty) rawSelect(df, m, sel, refs, hasStar)
+      if (calls.isEmpty) rawSelect(df, m, sel, refs, hasStar, keyCols)
       else if (refs.nonEmpty || hasStar)
         throw ParseError("mixing function calls and raw columns in one " +
           "SELECT is not supported")
@@ -188,22 +188,76 @@ object InfluxQlPlanner {
         throw ParseError("unsupported projection mix: " +
           calls.map(_._1.fn).mkString(", "))
 
-    val offsetted = sel.offset.fold(result)(result.offset)
-    sel.limit.fold(offsetted)(offsetted.limit)
+    paginate(result, sel, keyCols)
+  }
+
+  /** The 1.x pagination rules: with GROUP BY dimensions, LIMIT/OFFSET
+    * paginate POINTS PER SERIES (row_number over each tag set's time
+    * order) and SLIMIT/SOFFSET page the SERIES themselves (the distinct
+    * key list — small by definition — sorts, pages, and semi-joins back,
+    * keeping the probe side streaming). Without dimensions they fall
+    * back to plain global row pagination. */
+  private def paginate(result: DataFrame, sel: Select,
+      keyCols: Seq[String]): DataFrame = {
+    val hasTime = result.columns.contains("time")
+    val seriesScoped = keyCols.nonEmpty && hasTime
+    val timeOrd = if (sel.timeDesc) col("time").desc else col("time").asc
+    val afterSeries = (sel.slimit, sel.soffset) match {
+      case (None, None) => result
+      case (sl, so) =>
+        if (keyCols.isEmpty)
+          throw ParseError("SLIMIT/SOFFSET need GROUP BY dimensions")
+        val keys = result.select(keyCols.map(col): _*).distinct()
+          .orderBy(keyCols.map(col): _*)
+        val paged = sl.fold(so.fold(keys)(keys.offset)) { n =>
+          so.fold(keys)(keys.offset).limit(n)
+        }
+        // a using-columns join fronts the key columns; restore the
+        // statement's output order
+        result.join(broadcast(paged), keyCols, "left_semi")
+          .select(result.columns.map(col): _*)
+          .orderBy(keyCols.map(col) ++
+            (if (hasTime) Seq(timeOrd) else Seq.empty): _*)
+    }
+    val paginated = (sel.limit, sel.offset) match {
+      case (None, None) => afterSeries
+      case (l, o) if seriesScoped =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*).orderBy(timeOrd)
+        val lo = o.getOrElse(0)
+        val hi = l.map(n => lo.toLong + n).getOrElse(Long.MaxValue)
+        afterSeries.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") > lo && col("__rn") <= hi).drop("__rn")
+      case (l, o) =>
+        val off = o.fold(afterSeries)(afterSeries.offset)
+        l.fold(off)(off.limit)
+    }
+    // the joins/windows above drop the modes' output ordering
+    if (paginated eq result) result
+    else if (seriesScoped || keyCols.nonEmpty)
+      paginated.orderBy(keyCols.map(col) ++
+        (if (hasTime) Seq(timeOrd) else Seq.empty): _*)
+    else paginated
   }
 
   // ------------------------------------------------------------ raw mode
   private def rawSelect(df: DataFrame, m: InfluxMeasurement, sel: Select,
-      refs: List[(String, Option[String])], hasStar: Boolean): DataFrame = {
+      refs: List[(String, Option[String])], hasStar: Boolean,
+      keyCols: Seq[String]): DataFrame = {
     val fields = m.df.columns.filterNot(c => c == m.timeCol)
+    // GROUP BY dimensions surface as columns (they are the 1.x series
+    // keys the facade splits on, and the per-series pagination axis)
+    val dims = keyCols.filterNot(k => refs.exists(_._1 == k))
+      .map(k => col(k))
     val picked: Seq[Column] =
       if (hasStar) fields.map(col).toSeq
-      else refs.map { case (n, a) =>
+      else dims ++ refs.map { case (n, a) =>
         if (!df.columns.contains(n)) throw ParseError(s"unknown column '$n'")
         col(n).as(a.getOrElse(n))
       }
+    val timeOrd = if (sel.timeDesc) col("time").desc else col("time").asc
     df.select(col(m.timeCol).as("time") +: picked: _*)
-      .orderBy(if (sel.timeDesc) col("time").desc else col("time").asc)
+      .orderBy(keyCols.map(col) :+ timeOrd: _*)
   }
 
   // ------------------------------------------------- aggregate/selector

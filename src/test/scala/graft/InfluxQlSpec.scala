@@ -197,6 +197,28 @@ class InfluxQlSpec extends SparkSpec {
       .getMessage.contains("GROUP BY time"))
   }
 
+  test("grouped pagination: LIMIT per series, SLIMIT on series") {
+    // with GROUP BY, LIMIT pages points PER SERIES (1.x rule)
+    val perSeries = run("SELECT value FROM cpu GROUP BY host LIMIT 2")
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSeq
+    assert(perSeries == Seq(("a", 0L), ("a", 10000000000L),
+      ("b", 5000000000L), ("b", 15000000000L)))
+    val offsetPage = run("SELECT value FROM cpu GROUP BY host LIMIT 1 OFFSET 1")
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSeq
+    assert(offsetPage == Seq(("a", 10000000000L), ("b", 15000000000L)))
+    // SLIMIT pages the series list (tag-sorted)
+    val s1 = run("SELECT value FROM cpu GROUP BY host SLIMIT 1")
+      .collect().map(_.getString(1)).distinct.toSeq
+    assert(s1 == Seq("a"))
+    val s2 = run("SELECT value FROM cpu GROUP BY host SLIMIT 1 SOFFSET 1")
+      .collect().map(_.getString(1)).distinct.toSeq
+    assert(s2 == Seq("b"))
+    // without dimensions LIMIT stays a global row limit
+    assert(run("SELECT value FROM cpu ORDER BY time LIMIT 3").count() == 3)
+    assert(intercept[ParseError](
+      run("SELECT value FROM cpu SLIMIT 1")).getMessage.contains("GROUP BY"))
+  }
+
   test("subqueries: the inner result feeds in as a measurement") {
     // mean of per-host differences: a: (2, -1, 4) -> 5/3; b: (10, 20) -> 15
     val rows = run("""SELECT mean(difference) FROM
