@@ -242,6 +242,37 @@ object QueriesPipeline {
         GROUP BY tf.doc_id
         ORDER BY bm25 DESC, tf.doc_id LIMIT 50""")),
 
+    // token-budget corpus selection: fill the training budget best-first.
+    // The Spark side is the two-level bucketed selection (no global
+    // sort); the oracle is the NAIVE quality-ordered running sum — their
+    // equality is exactly the operator's correctness claim
+    ("corpus_budget_select",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          TF.qualityScore(col("text")).as("q"),
+          TF.tokenCount(col("text")).cast("long").as("n_tokens"))
+        graft.pipeline.Sampling
+          .budgetSelect(docs, "doc_id", "q", "n_tokens", budgetTokens = 10000L)
+          .select(col("doc_id"), col("q"), col("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH p AS (SELECT doc_id, text, $dToks AS w FROM documents),
+        q AS (SELECT doc_id,
+            round(least(length(text) / 500.0, 1.0) * 0.3
+              + (len(regexp_extract_all(text, '[A-Za-z]')) * 1.0
+                / greatest(length(text), 1)) * 0.4
+              + (1.0 - len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) * 1.0
+                / greatest(length(text), 1)) * 0.2
+              + (1.0 - len(regexp_extract_all(text, '[0-9]')) * 1.0
+                / greatest(length(text), 1)) * 0.1, 6) AS q,
+            CAST(len(w) AS BIGINT) AS n_tokens FROM p),
+        o AS (SELECT doc_id, q, n_tokens,
+            sum(n_tokens) OVER (ORDER BY q DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM q)
+        SELECT doc_id, q, n_tokens FROM o WHERE cum <= 10000
+        ORDER BY doc_id""")),
+
     // character-distribution entropy: per-row sorted-array run math on the
     // Spark side (zero shuffles); the oracle recomputes it with DuckDB's
     // entropy() aggregate over exploded chars — mathematically identical,

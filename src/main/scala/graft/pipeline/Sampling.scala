@@ -78,4 +78,51 @@ object Sampling {
         round(col("n_overlap") / greatest(col("n_shingles"), lit(1L)), 6))
       .withColumn("contaminated", col("overlap") >= threshold)
   }
+
+  /** Token-budget corpus selection: keep the highest-`qualityCol` rows
+    * whose running `tokensCol` total stays within `budgetTokens` —
+    * "fill the training budget best-first", the selection step after
+    * scoring/dedup.
+    *
+    * Equivalent to ORDER BY (quality DESC, id) + running-sum <= budget,
+    * WITHOUT the global sort: quality rounds into at most
+    * 10^bucketDecimals+1 monotone buckets, so a tiny aggregate frame
+    * (one row per bucket) carries the cross-bucket running total, and
+    * only the single boundary bucket needs an in-bucket running sum —
+    * a window partitioned BY that bucket, never the corpus. Rounding is
+    * monotone, so (bucket DESC, quality DESC, id) orders identically to
+    * (quality DESC, id) and the selection is EXACTLY the naive one. */
+  def budgetSelect(df: DataFrame, idCol: String, qualityCol: String,
+      tokensCol: String, budgetTokens: Long,
+      bucketDecimals: Int = 2): DataFrame = {
+    require(budgetTokens >= 0, "budget must be non-negative")
+    import org.apache.spark.sql.expressions.Window
+    val bk = round(col(qualityCol), bucketDecimals).as("__bk")
+    val perBucket = df.select(bk, col(tokensCol))
+      .groupBy("__bk").agg(sum(tokensCol).as("__btoks"))
+    // the cross-bucket running total: <= 10^d+1 rows, the single-task
+    // window is the POINT (a driver-sized frame, like a metadata op)
+    val wb = Window.orderBy(col("__bk").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val marked = perBucket
+      .withColumn("__before", coalesce(sum("__btoks").over(wb), lit(0L)))
+      .select(col("__bk"), col("__before"),
+        (col("__before") + col("__btoks") <= budgetTokens).as("__full"),
+        (lit(budgetTokens) - col("__before")).as("__rem"))
+    val joined = df.withColumn("__bk", round(col(qualityCol), bucketDecimals))
+      .join(broadcast(marked), Seq("__bk"))
+    val helpers = Seq("__bk", "__before", "__full", "__rem")
+    // fully-selected buckets pass straight through; ONLY the boundary
+    // bucket's rows reach the in-bucket running-sum window (the filter
+    // sits under it, so the window sorts one bucket, not the corpus)
+    val wIn = Window.partitionBy(col("__bk"))
+      .orderBy(col(qualityCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val boundary = joined.filter(!col("__full") && col("__rem") > 0)
+      .withColumn("__cum", sum(tokensCol).over(wIn))
+      .filter(col("__cum") <= col("__rem"))
+      .drop("__cum")
+    joined.filter(col("__full")).unionByName(boundary)
+      .drop(helpers: _*)
+  }
 }

@@ -67,6 +67,29 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(out(2L) - expected) < 1e-12)
   }
 
+  test("budgetSelect equals the naive quality-ordered prefix") {
+    import graft.pipeline.Sampling
+    // ties across and inside rounding buckets, varied token counts
+    val rows = (1 to 40).map(i =>
+      (i.toLong, (i % 7) / 10.0 + 0.01 * (i % 3), 5L + i % 4))
+    val naive = rows.sortBy { case (id, q, _) => (-q, id) }
+    def naiveIds(budget: Long): Set[Long] = {
+      var cum = 0L
+      naive.flatMap { case (id, _, n) =>
+        cum += n; if (cum <= budget) Some(id) else None
+      }.toSet
+    }
+    val df = rows.toDF("id", "q", "n")
+    for (budget <- Seq(0L, 37L, 100L, 1000L)) {
+      val got = Sampling.budgetSelect(df, "id", "q", "n", budget)
+        .select("id").as[Long].collect().toSet
+      assert(got == naiveIds(budget), s"budget=$budget")
+    }
+    // untouched columns survive selection
+    assert(Sampling.budgetSelect(df, "id", "q", "n", 1000L).columns.toSeq ==
+      Seq("id", "q", "n"))
+  }
+
   test("native hash60 is bit-identical to the composed md5/conv form") {
     val samples = Seq("", "a", "hello world", "ünïcødé ∆", "x" * 500,
       "the quick brown fox")
