@@ -1440,6 +1440,20 @@ object QueriesCore {
         FROM d WHERE pc IS NOT NULL AND c - pc >= 0
         ORDER BY event_type, time""")),
 
+    ("influxql_scalar",
+      (s, d) => graft.operators.InfluxQlPlanner.run(influxMs(s, d),
+        """SELECT abs(value) AS av, floor(value) AS fv, sqrt(value) AS sv
+           FROM events WHERE event_type = 'error'
+             AND time >= '2024-01-01T00:00:00Z'
+             AND time < '2024-01-03T00:00:00Z'
+           ORDER BY time"""),
+      Some("""SELECT epoch_ns(ts) AS time, abs(value) AS av,
+          floor(value) AS fv, sqrt(value) AS sv
+        FROM events WHERE event_type = 'error'
+          AND epoch_ns(ts) >= 1704067200000000000
+          AND epoch_ns(ts) < 1704240000000000000
+        ORDER BY time""")),
+
     ("influxql_subquery",
       (s, d) => graft.operators.InfluxQlPlanner.run(influxMs(s, d),
         """SELECT count(diff) AS n, spread(diff) AS sp FROM

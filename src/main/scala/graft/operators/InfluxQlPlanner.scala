@@ -53,6 +53,9 @@ object InfluxQlPlanner {
     "kaufmans_adaptive_moving_average", "triple_exponential_derivative",
     "relative_strength_index", "double_exponential_moving_average",
     "triple_exponential_moving_average")
+  private val scalarFns = Set("abs", "ceil", "floor", "round", "sqrt",
+    "exp", "ln", "log", "log2", "log10", "sin", "cos", "tan", "asin",
+    "acos", "atan", "atan2", "pow")
 
   def run(measurements: Map[String, InfluxMeasurement], q: String): DataFrame =
     plan(measurements, InfluxQl.parse(q))
@@ -173,6 +176,8 @@ object InfluxQlPlanner {
 
     val result =
       if (calls.isEmpty) rawSelect(df, m, sel, refs, hasStar, keyCols)
+      else if (calls.forall(c => scalarFns(c._1.fn)) && !hasStar)
+        scalarSelect(df, m, sel, keyCols)
       else if (refs.nonEmpty || hasStar)
         throw ParseError("mixing function calls and raw columns in one " +
           "SELECT is not supported")
@@ -258,6 +263,63 @@ object InfluxQlPlanner {
     val timeOrd = if (sel.timeDesc) col("time").desc else col("time").asc
     df.select(col(m.timeCol).as("time") +: picked: _*)
       .orderBy(keyCols.map(col) :+ timeOrd: _*)
+  }
+
+  // -------------------------------------------------- scalar projections
+  /** Per-row math over fields (`SELECT abs(value), field2 ...`): plain
+    * codegen'd projections, mixable with raw column references. `ceil`
+    * and `floor` cast back to double — the 1.x scalar functions return
+    * floats. */
+  private def scalarSelect(df: DataFrame, m: InfluxMeasurement, sel: Select,
+      keyCols: Seq[String]): DataFrame = {
+    val names = nameCalls(sel.projs.collect { case (c: Call, a) => (c, a) })
+    var ni = -1
+    val picked = sel.projs.map {
+      case (Ref(n), a) =>
+        if (!df.columns.contains(n)) throw ParseError(s"unknown column '$n'")
+        col(n).as(a.getOrElse(n))
+      case (c: Call, _) =>
+        ni += 1
+        scalarCol(c, df).as(names(ni))
+      case (e, _) => throw ParseError(s"bad scalar projection: $e")
+    }
+    val dims = keyCols.filterNot(k => sel.projs.exists {
+      case (Ref(n), _) => n == k
+      case _ => false
+    }).map(col)
+    val timeOrd = if (sel.timeDesc) col("time").desc else col("time").asc
+    df.select((col(m.timeCol).as("time") +: dims) ++ picked: _*)
+      .orderBy(keyCols.map(col) :+ timeOrd: _*)
+  }
+
+  private def scalarCol(c: Call, df: DataFrame): Column = {
+    val f = col(fieldArg(c, df))
+    c.fn match {
+      case "abs" => abs(f)
+      case "ceil" => ceil(f).cast("double")
+      case "floor" => floor(f).cast("double")
+      case "round" => round(f, 0)
+      case "sqrt" => sqrt(f)
+      case "exp" => exp(f)
+      case "ln" => log(f)
+      case "log" => // InfluxQL log(field, base); Spark spells log(base, col)
+        log(numArg(c, 1, "log(field, base)"), f)
+      case "log2" => log2(f)
+      case "log10" => log10(f)
+      case "sin" => sin(f)
+      case "cos" => cos(f)
+      case "tan" => tan(f)
+      case "asin" => asin(f)
+      case "acos" => acos(f)
+      case "atan" => atan(f)
+      case "atan2" => c.args.lift(1) match {
+        case Some(Ref(o)) if df.columns.contains(o) => atan2(f, col(o))
+        case Some(IntLit(v)) => atan2(f, lit(v.toDouble))
+        case Some(NumLit(v)) => atan2(f, lit(v))
+        case _ => throw ParseError("atan2(field, field-or-number)")
+      }
+      case "pow" => pow(f, numArg(c, 1, "pow(field, exponent)"))
+    }
   }
 
   // ------------------------------------------------- aggregate/selector

@@ -197,6 +197,21 @@ class InfluxQlSpec extends SparkSpec {
       .getMessage.contains("GROUP BY time"))
   }
 
+  test("scalar functions project per row and mix with raw columns") {
+    val rows = run("""SELECT floor(value), sqrt(value), pow(value, 2),
+        value AS raw FROM cpu WHERE host = 'b' ORDER BY time""")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(rows == Seq(
+      (5000000000L, 10.0, math.sqrt(10.0), 100.0, 10.0),
+      (15000000000L, 20.0, math.sqrt(20.0), 400.0, 20.0),
+      (35000000000L, 40.0, math.sqrt(40.0), 1600.0, 40.0)))
+    // InfluxQL's log(field, base) maps to Spark's log(base, col)
+    val lg = run("SELECT log(value, 2) FROM cpu WHERE host = 'b' AND time < 10000000000")
+      .collect().head.getDouble(1)
+    assert(lg == math.log(10.0) / math.log(2.0))
+  }
+
   test("grouped pagination: LIMIT per series, SLIMIT on series") {
     // with GROUP BY, LIMIT pages points PER SERIES (1.x rule)
     val perSeries = run("SELECT value FROM cpu GROUP BY host LIMIT 2")
