@@ -202,6 +202,25 @@ object InfluxQlPlanner {
     * key list — small by definition — sorts, pages, and semi-joins back,
     * keeping the probe side streaming). Without dimensions they fall
     * back to plain global row pagination. */
+  /** One aggregate column per 1.x aggregate/selector name (shared with
+    * the streaming continuous-query binder — every one is a plain hash
+    * aggregate with map-side partial aggregation, batch or streaming). */
+  private[graft] def aggColumn(fn: String, field: String, tcol: String): Column =
+    fn match {
+      case "count" => count(col(field))
+      case "sum" => sum(col(field))
+      case "mean" => avg(col(field))
+      case "min" => min(col(field))
+      case "max" => max(col(field))
+      case "spread" => IA.spread(col(field))
+      case "stddev" => IA.stddev(col(field))
+      case "first" => Selectors.firstValue(col(field), col(tcol))
+      case "last" => Selectors.lastValue(col(field), col(tcol))
+      case other => throw ParseError(s"unsupported aggregate '$other'")
+    }
+
+  private[graft] def isAggFn(fn: String): Boolean = aggFns(fn)
+
   private def paginate(result: DataFrame, sel: Select,
       keyCols: Seq[String]): DataFrame = {
     val hasTime = result.columns.contains("time")
@@ -348,18 +367,7 @@ object InfluxQlPlanner {
           (inner, fieldArg(inner, df), Some(c))
         } else (c, fieldArg(c, df), None)
       val aggName = if (outer.isDefined) s"__in_$name" else name
-      val aggCol = (aggC.fn match {
-        case "count" => count(col(field))
-        case "sum" => sum(col(field))
-        case "mean" => avg(col(field))
-        case "min" => min(col(field))
-        case "max" => max(col(field))
-        case "spread" => IA.spread(col(field))
-        case "stddev" => IA.stddev(col(field))
-        case "first" => Selectors.firstValue(col(field), col(tcol))
-        case "last" => Selectors.lastValue(col(field), col(tcol))
-      }).as(aggName)
-      (aggCol, aggName, name, outer)
+      (aggColumn(aggC.fn, field, tcol).as(aggName), aggName, name, outer)
     }
     val aggs = entries.map(_._1)
     val keys = keyCols.map(col)
@@ -580,7 +588,7 @@ object InfluxQlPlanner {
   }
 
   // --------------------------------------------------------- arguments
-  private def fieldArg(c: Call, df: DataFrame): String = c.args.headOption match {
+  private[graft] def fieldArg(c: Call, df: DataFrame): String = c.args.headOption match {
     case Some(Ref(n)) =>
       if (!df.columns.contains(n))
         throw ParseError(s"unknown field '$n' in ${c.fn}()")
@@ -605,7 +613,7 @@ object InfluxQlPlanner {
 
   /** Default result column names follow InfluxQL: the function name, with
     * `_1`, `_2`… suffixes on repeats; AS aliases override. */
-  private def nameCalls(calls: List[(Call, Option[String])]): List[String] = {
+  private[graft] def nameCalls(calls: List[(Call, Option[String])]): List[String] = {
     val used = scala.collection.mutable.Set.empty[String]
     calls.map { case (c, alias) =>
       val base = alias.getOrElse(c.fn)
@@ -621,7 +629,7 @@ object InfluxQlPlanner {
   /** Splits a WHERE tree into (inclusive lo, exclusive hi, residual).
     * Time conditions must sit on the AND spine — `time` inside OR has no
     * single-range meaning and is rejected (upstream rejects it too). */
-  private def splitTime(e: Expr): (Option[Long], Option[Long], Option[Expr]) =
+  private[graft] def splitTime(e: Expr): (Option[Long], Option[Long], Option[Expr]) =
     e match {
       case Bin("and", l, r) =>
         val (l1, h1, r1) = splitTime(l)
@@ -681,7 +689,7 @@ object InfluxQlPlanner {
   }
 
   // ------------------------------------------------- predicate columns
-  private def toColumn(e: Expr): Column = e match {
+  private[graft] def toColumn(e: Expr): Column = e match {
     case Bin("and", l, r) => toColumn(l) && toColumn(r)
     case Bin("or", l, r) => toColumn(l) || toColumn(r)
     case Bin("=~", Ref(n), ReLit(p)) => col(n).rlike(GoRegex.toJava(p))
