@@ -182,6 +182,49 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles <= 2, s"$shuffles shuffles (bench distinct + doc agg expected):\n$plan")
   }
 
+  test("InfluxQL time bounds and tag predicates reach the parquet scan") {
+    import graft.operators.{InfluxMeasurement, InfluxQlPlanner}
+    val df = spark.read.parquet(parquetTable)
+    val plan = executedPlan(InfluxQlPlanner.run(
+      Map("cpu" -> InfluxMeasurement(df, "time", Seq("host", "region"))),
+      "SELECT user FROM cpu WHERE host = 'a' AND time >= 100 AND time < 200"))
+    // query TEXT through the frontend ends at the same pushed scan the
+    // DataFrame path gets: bounds + tag equality in PushedFilters, read
+    // schema pruned to the referenced columns
+    assert(plan.contains("GreaterThanOrEqual(time,100)"), plan)
+    assert(plan.contains("LessThan(time,200)"), plan)
+    assert(plan.contains("EqualTo(host,a)"), plan)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("sys") && !readSchema.contains("region"),
+      readSchema)
+  }
+
+  test("bm25 broadcasts df/stats and never builds a corpus-wide index") {
+    val docs = (1 to 50).map(i => (i.toLong, s"alpha beta doc $i"))
+      .toDF("doc_id", "text")
+    val plan = executedPlan(
+      graft.pipeline.Ranking.bm25(docs, "doc_id", "text", Seq("alpha")))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // tf shuffle happens AFTER the term filter: the exploded occurrences
+    // are filtered to the query terms below the first exchange
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    val filterIdx = plan.indexOf("alpha")
+    assert(exchangeIdx >= 0 && filterIdx >= 0, plan)
+  }
+
+  test("budgetSelect windows only the boundary bucket, never the corpus") {
+    val docs = (1 to 100).map(i => (i.toLong, (i % 10) / 10.0, 10L))
+      .toDF("id", "q", "n")
+    val plan = executedPlan(
+      graft.pipeline.Sampling.budgetSelect(docs, "id", "q", "n", 300L))
+    // the in-bucket running sum partitions BY bucket — a global (empty
+    // partition-by) running sum over the corpus would be a scale bug
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.exists(_.contains("__bk")), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("readFilter whole plan stays shuffle-free up to the ordering") {
     val df = spark.read.parquet(parquetTable)
     val tagged = spark.createDataFrame(
