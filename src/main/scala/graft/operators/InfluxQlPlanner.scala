@@ -68,6 +68,10 @@ object InfluxQlPlanner {
     InfluxQl.parseStmt(q) match {
       case sel: Select => plan(measurements, sel)
       case sh: Show => showPlan(measurements, sh)
+      case _: CreateCq => throw ParseError("CREATE CONTINUOUS QUERY binds " +
+        "to a stream — use graft.streaming.ContinuousQuery")
+      case _: Delete => throw ParseError("DELETE mutates a store — route " +
+        "it through the HTTP facade")
     }
 
   /** SHOW MEASUREMENTS / TAG KEYS / TAG VALUES / FIELD KEYS.
@@ -114,6 +118,21 @@ object InfluxQlPlanner {
         if (parts.isEmpty)
           throw ParseError(s"tag key '$k' appears in no measurement")
         parts.reduce(_ unionByName _).orderBy("measurement", "value")
+      case "series" =>
+        // the 1.x series-key spelling: "m,tag1=v1,tag2=v2" with tags
+        // name-sorted and null tags omitted (concat_ws skips nulls);
+        // distinct per measurement — the series set, not the row count
+        val parts = targets.map { case (name, m) =>
+          val tagParts = m.tagCols.sorted.map { t =>
+            when(col(t).isNotNull,
+              concat(lit(t + "="), col(t).cast("string")))
+          }
+          m.df.select(concat_ws(",",
+            lit(name) +: tagParts: _*).as("key")).distinct()
+        }
+        parts.reduce(_ unionByName _).orderBy("key")
+      case "retention policies" =>
+        throw ParseError("SHOW RETENTION POLICIES is a server-level statement")
       case "field keys" =>
         targets.flatMap { case (name, m) =>
           m.df.schema.fields

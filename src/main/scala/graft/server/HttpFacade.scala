@@ -60,6 +60,15 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
   private def chunkStage(db: String, idx: Int): String =
     chunkStages.getOrElse((db, idx), "OpenMutableBuffer")
 
+  /** 1.x DELETE tombstones, keyed (db, measurement): each entry is the
+    * deleted region as (inclusive lo ns, exclusive hi ns, residual tag
+    * predicate). Reads — every path that goes through
+    * [[measurementView]], including SQL and the storage RPCs — exclude
+    * tombstoned rows; the chunks themselves are immutable, exactly the
+    * tombstone model the 1.x storage engine uses. */
+  private val tombstones = TrieMap.empty[(String, String),
+    Vector[(Option[Long], Option[Long], Option[graft.core.InfluxQl.Expr])]]
+
   /** Long-running-operations registry (rpc/operations.rs): one JSON
     * operation per tracked management job, listed and fetched by id. */
   private val operations = TrieMap.empty[Long, String]
@@ -106,19 +115,42 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
   def measurementView(db: String, measurement: String): Option[DataFrame] =
     databases.get(db).flatMap { chunks =>
       val mine = chunks.collect { case (m, df) if m == measurement => df }
-      if (mine.isEmpty) None
-      else if (mine.size == 1) Some(mine.head)
-      else {
-        val tagged = mine.zipWithIndex.map { case (df, i) =>
-          df.withColumn("__seq", lit(i.toLong))
+      val merged =
+        if (mine.isEmpty) None
+        else if (mine.size == 1) Some(mine.head)
+        else {
+          val tagged = mine.zipWithIndex.map { case (df, i) =>
+            df.withColumn("__seq", lit(i.toLong))
+          }
+          val merged = IoxSchema.mergeUnion(tagged)
+          val pk = merged.schema.fields.collect {
+            case f if IoxSchema.categoryOf(f).exists(c =>
+              c == IoxSchema.Tag || c == IoxSchema.Time) => f.name
+          }.toSeq
+          Some(Upsert.dedup(merged, pk, "__seq"))
         }
-        val merged = IoxSchema.mergeUnion(tagged)
-        val pk = merged.schema.fields.collect {
-          case f if IoxSchema.categoryOf(f).exists(c =>
-            c == IoxSchema.Tag || c == IoxSchema.Time) => f.name
-        }.toSeq
-        Some(Upsert.dedup(merged, pk, "__seq"))
-      }
+      merged.map(applyTombstones(db, measurement, _))
+    }
+
+  /** Excludes every tombstoned region (DELETE predicates) from a read.
+    * A row is deleted if it falls inside ANY recorded region; a null
+    * comparison result means "not provably inside" and the row stays. */
+  private def applyTombstones(db: String, measurement: String,
+      df: DataFrame): DataFrame =
+    tombstones.get((db, measurement)) match {
+      case None | Some(Vector()) => df
+      case Some(regions) =>
+        val timeCol = df.schema.fields.collectFirst {
+          case f if IoxSchema.categoryOf(f).contains(IoxSchema.Time) => f.name
+        }.getOrElse(graft.core.NsTime.TimeColumn)
+        regions.foldLeft(df) { case (acc, (lo, hi, rest)) =>
+          val inside = Seq(
+            lo.map(v => col(timeCol) >= v),
+            hi.map(v => col(timeCol) < v),
+            rest.map(graft.operators.InfluxQlPlanner.toColumn))
+            .flatten.reduceOption(_ && _).getOrElse(lit(true))
+          acc.filter(!coalesce(inside, lit(false)))
+        }
     }
 
   def measurements(db: String): Seq[String] =
@@ -379,7 +411,9 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
                 p match {
                   case Left(err) =>
                     w.write(s"""{"statement_id":$i,"error":${jsonStr(err)}}""")
-                  case Right((mName, tags, df)) =>
+                  case Right(None) => // write-style statement: bare ack
+                    w.write(s"""{"statement_id":$i}""")
+                  case Right(Some((mName, tags, df))) =>
                     w.write(s"""{"statement_id":$i,"series":[""")
                     // a mid-stream execution failure cannot change the
                     // status anymore; the in-band error keeps it visible
@@ -402,7 +436,7 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
     * lock): returns (series name, tag columns, frame) or an in-band
     * error string. */
   private def planStatement(db: String, stmt: graft.core.InfluxQl.Stmt)
-      : Either[String, (String, Seq[String], DataFrame)] = stmt match {
+      : Either[String, Option[(String, Seq[String], DataFrame)]] = stmt match {
     case sel: graft.core.InfluxQl.Select =>
       // subqueries may nest: resolve the root measurement for the series
       // name, and hand the planner the whole catalog
@@ -416,18 +450,57 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
       else {
         val df = graft.operators.InfluxQlPlanner.plan(msAll, sel)
         val tagSet = msAll.values.flatMap(_.tagCols).toSet
-        Right((name, df.columns.filter(tagSet).toSeq, df))
+        Right(Some((name, df.columns.filter(tagSet).toSeq, df)))
       }
     case graft.core.InfluxQl.Show("databases", _, _) =>
       import spark.implicits._
-      Right(("databases", Seq.empty[String],
-        databases.keys.toSeq.sorted.toDF("name")))
+      Right(Some(("databases", Seq.empty[String],
+        databases.keys.toSeq.sorted.toDF("name"))))
+    case graft.core.InfluxQl.Show("retention policies", _, _) =>
+      // one implicit autogen policy per database: this engine's retention
+      // lives in the lifecycle rules, but 1.x clients probe this on
+      // connect and expect the default row
+      import spark.implicits._
+      Right(Some(("retention policies", Seq.empty[String],
+        Seq(("autogen", "0s", "168h0m0s", 1L, true))
+          .toDF("name", "duration", "shardGroupDuration", "replicaN",
+            "default"))))
     case sh: graft.core.InfluxQl.Show =>
       val ms = measurements(db).flatMap { m =>
         measurementView(db, m).map(df => m -> asMeasurement(df))
       }.toMap
-      Right((sh.what, Seq.empty[String],
-        graft.operators.InfluxQlPlanner.showPlan(ms, sh)))
+      Right(Some((sh.what, Seq.empty[String],
+        graft.operators.InfluxQlPlanner.showPlan(ms, sh))))
+    case graft.core.InfluxQl.Delete(from, where) =>
+      if (!measurements(db).contains(from))
+        Left(s"measurement not found: $from")
+      else {
+        val tags = measurementView(db, from).map(asMeasurement(_).tagCols)
+          .getOrElse(Seq.empty)
+        val (lo, hi, rest) = where
+          .map(graft.operators.InfluxQlPlanner.splitTime)
+          .getOrElse((None, None, None))
+        // 1.x forbids field predicates in DELETE: every residual
+        // reference must be a tag
+        rest.foreach { e =>
+          val refs = collectRefs(e)
+          val bad = refs.filterNot(tags.contains)
+          if (bad.nonEmpty)
+            return Left(s"DELETE supports time and tag conditions only; " +
+              s"not tags: ${bad.mkString(", ")}")
+        }
+        tombstones.updateWith((db, from)) {
+          case Some(v) => Some(v :+ ((lo, hi, rest)))
+          case None => Some(Vector((lo, hi, rest)))
+        }
+        Right(None) // ack: a results entry with no series
+      }
+  }
+
+  private def collectRefs(e: graft.core.InfluxQl.Expr): Seq[String] = e match {
+    case graft.core.InfluxQl.Ref(n) => Seq(n)
+    case graft.core.InfluxQl.Bin(_, l, r) => collectRefs(l) ++ collectRefs(r)
+    case _ => Seq.empty
   }
 
   /** Streams one statement's series objects (no enclosing brackets):

@@ -384,6 +384,31 @@ class HttpFacadeSpec extends SparkSpec {
       val (s8, b8) = get(p, s"/query?db=o_b&q=${enc("SHOW DATABASES")}")
       assert(s8 == 200 && b8.contains(""""values":[["o_b"]]"""))
 
+      // DELETE tombstones: acked bare, visible to EVERY read path
+      val before = get(p, s"/query?db=o_b&q=${enc(
+        "SELECT surface_degrees FROM h2o_temperature WHERE location = 'santa_monica' ORDER BY time")}")._2
+      assert(before.contains("[1568756160,65.2],[1600756160,63.6]"))
+      val (sd, bd) = get(p, s"/query?db=o_b&q=${enc(
+        "DELETE FROM h2o_temperature WHERE location = 'santa_monica' AND time < 1600000000")}")
+      assert(sd == 200 && bd == """{"results":[{"statement_id":0}]}""")
+      val after = get(p, s"/query?db=o_b&q=${enc(
+        "SELECT surface_degrees FROM h2o_temperature WHERE location = 'santa_monica' ORDER BY time")}")._2
+      assert(after.contains(""""values":[[1600756160,63.6]]"""), after)
+      // the SQL endpoint reads the same tombstoned view
+      val sql = get(p, s"/iox/api/v1/databases/o_b/query?q=${enc(
+        "SELECT count(*) AS n FROM h2o_temperature")}&format=csv")._2
+      assert(sql.trim.split("\n").toSeq == Seq("n", "5"), sql)
+      // field predicates are rejected like 1.x
+      val (se, be) = get(p, s"/query?db=o_b&q=${enc(
+        "DELETE FROM h2o_temperature WHERE surface_degrees > 60")}")
+      assert(se == 200 && be.contains("tag conditions only"))
+
+      // SHOW SERIES and SHOW RETENTION POLICIES
+      val series = get(p, s"/query?db=o_b&q=${enc("SHOW SERIES FROM air_temperature")}")._2
+      assert(series.contains("air_temperature,location=coyote_creek,state=CA"))
+      val rp = get(p, s"/query?db=o_b&q=${enc("SHOW RETENTION POLICIES")}")._2
+      assert(rp.contains("""["autogen","0s","168h0m0s",1,true]"""), rp)
+
       // multi-statement q: one results entry per statement, id per 1.x;
       // a bad statement errors in-band without killing its neighbors
       val (s9, b9) = get(p, s"/query?db=o_b&q=${enc(

@@ -281,6 +281,9 @@ class InfluxQlSpec extends SparkSpec {
       .getMessage.contains("WITH KEY"))
     assert(intercept[ParseError](show("SHOW DATABASES"))
       .getMessage.contains("server-level"))
+    // SHOW SERIES: the 1.x key spelling, name-sorted tags, distinct
+    assert(show("SHOW SERIES FROM cpu").as[String].collect().toSeq ==
+      Seq("cpu,host=a", "cpu,host=b"))
   }
 
   test("RFC3339 timestamps and epoch-ns integers are interchangeable") {
