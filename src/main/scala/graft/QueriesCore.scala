@@ -1487,6 +1487,55 @@ object QueriesCore {
       Some("""WITH b AS (SELECT unnest([50.0, 100.0, 200.0, 400.0, 800.0]) AS le)
         SELECT event_type, le,
           CAST(count(*) FILTER (value <= le) AS BIGINT) AS n
-        FROM events CROSS JOIN b GROUP BY 1, 2 ORDER BY 1, 2"""))
+        FROM events CROSS JOIN b GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    ("events_histogram_quantile",
+      (s, d) => {
+        // Flux histogramQuantile(): the sketch-side quantile — estimated
+        // from the cumulative histogram alone, raw data never re-scanned.
+        // The oracle replays the same interpolation rule in SQL; every
+        // arithmetic shape is mirrored, so the doubles are bit-equal
+        import graft.functions.{InfluxAggregates => IA}
+        val hist = IA.histogram(Tables.events(s, d), Seq("event_type"),
+          "value", Seq(50.0, 100.0, 200.0, 400.0, 800.0))
+        IA.histogramQuantile(hist, Seq("event_type"), "le", "n",
+            q = 0.9, "p90_est")
+          .select(col("event_type"), round(col("p90_est"), 6).as("p90_est"))
+          .orderBy("event_type")
+      },
+      Some("""WITH b AS (SELECT unnest([50.0, 100.0, 200.0, 400.0, 800.0]) AS le),
+        h AS (SELECT event_type, le,
+            CAST(count(*) FILTER (value <= le) AS BIGINT) AS n
+          FROM events CROSS JOIN b GROUP BY 1, 2),
+        w AS (SELECT event_type, le, n,
+            0.9 * CAST(max(n) OVER (PARTITION BY event_type) AS DOUBLE) AS t,
+            coalesce(lag(le) OVER k, 0.0) AS ple,
+            coalesce(lag(n) OVER k, 0) AS pn
+          FROM h WINDOW k AS (PARTITION BY event_type ORDER BY le))
+        SELECT event_type, round(ple + (t - pn) * (le - ple)
+            / CAST(n - pn AS DOUBLE), 6) AS p90_est
+        FROM w WHERE CAST(n AS DOUBLE) >= t AND CAST(pn AS DOUBLE) < t
+        ORDER BY event_type""")),
+
+    ("events_pivot",
+      (s, d) => {
+        // Flux pivot() / schema.fieldsAsCols: one row per day, one count
+        // column per event type. Spark's relational pivot with explicit
+        // values compiles to the same conditional aggregation the oracle
+        // spells out — absent combinations stay NULL in both
+        Tables.events(s, d)
+          .groupBy(expr("ts_ns div 86400000000000").as("day"))
+          .pivot("event_type",
+            Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .orderBy("day")
+      },
+      Some("""SELECT epoch_ns(ts) // 86400000000000 AS day,
+          CAST(sum(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+          CAST(sum(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+          CAST(sum(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+          CAST(sum(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+        FROM events GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -142,6 +142,38 @@ object InfluxAggregates {
       .select(keys :+ col("__h.le").as("le") :+ col("__h.n").as("n"): _*)
   }
 
+  /** Flux `histogramQuantile(quantile: q)`: estimate the q-quantile from
+    * a CUMULATIVE histogram (the shape [[histogram]] emits — one row per
+    * (keys..., le) with the count of values <= le). Linear interpolation
+    * inside the first bucket whose cumulative count reaches q·total,
+    * with the Flux rule that the first bucket's lower bound is 0. One
+    * lag window over the (small) histogram frame + a filter — the raw
+    * data never re-scans. */
+  def histogramQuantile(hist: DataFrame, keyCols: Seq[String],
+      leCol: String, countCol: String, q: Double, out: String): DataFrame = {
+    require(q > 0 && q <= 1, s"quantile out of (0, 1]: $q")
+    val keys = keyCols.map(col)
+    val byKey = Window.partitionBy(keys: _*)
+    val w = byKey.orderBy(col(leCol))
+    val total = max(col(countCol)).over(byKey)
+    val target = lit(q) * total.cast("double")
+    val prevLe = coalesce(lag(col(leCol), 1).over(w), lit(0.0))
+    val prevN = coalesce(lag(col(countCol), 1).over(w), lit(0L))
+    hist
+      .withColumn("__t", target)
+      .withColumn("__ple", prevLe)
+      .withColumn("__pn", prevN)
+      .filter(col(countCol).cast("double") >= col("__t") &&
+        col("__pn").cast("double") < col("__t"))
+      .withColumn(out,
+        // the filter guarantees count > prev count here, so the
+        // interpolation denominator is never zero
+        col("__ple") + (col("__t") - col("__pn")) *
+          (col(leCol) - col("__ple")) /
+          (col(countCol) - col("__pn")).cast("double"))
+      .select(keys :+ col(out): _*)
+  }
+
   /** InfluxQL `top(field, N)` / `bottom(field, N)`: the N largest
     * (smallest) points per series WITH their timestamps; ties break to
     * the earlier timestamp (call_iterator.go top/bottom keep the first

@@ -80,6 +80,27 @@ class InfluxAggregatesSpec extends SparkSpec {
       ("b", 1.0, 0L), ("b", 5.0, 1L), ("b", 100.0, 1L)))
   }
 
+  test("histogramQuantile interpolates within the crossing bucket") {
+    val hist = Seq(("a", 1.0, 2L), ("a", 2.0, 10L),
+      ("b", 1.0, 0L), ("b", 2.0, 4L)).toDF("k", "le", "n")
+    def q(p: Double) = IA.histogramQuantile(hist, Seq("k"), "le", "n", p, "est")
+      .as[(String, Double)].collect().toMap
+    // a, q=0.5: target 5 crosses at le=2 (prev 1.0/2): 1 + 3*(1)/8
+    assert(q(0.5)("a") == 1.0 + 3.0 / 8.0)
+    // a, q=0.1: target 1 lands in the FIRST bucket, lower bound 0 (Flux)
+    assert(q(0.1)("a") == 0.5)
+    // b's mass is all in the second bucket
+    assert(q(0.5)("b") == 1.0 + 2.0 * (2.0 - 1.0) / 4.0)
+    // exactly one row per key regardless of flat cumulative regions
+    val flat = Seq(("a", 1.0, 4L), ("a", 2.0, 4L), ("a", 3.0, 8L))
+      .toDF("k", "le", "n")
+    val rows = IA.histogramQuantile(flat, Seq("k"), "le", "n", 0.5, "est")
+      .collect()
+    assert(rows.length == 1 && rows.head.getDouble(1) == 1.0,
+      "target 4 consumes the whole first bucket (estimate = its upper " +
+        "bound); the flat region never double-reports")
+  }
+
   test("topN keeps timestamps and breaks value ties to the earlier point") {
     val df = Seq(("a", 1L, 9.0), ("a", 2L, 9.0), ("a", 3L, 8.0),
       ("a", 4L, 7.0), ("b", 1L, 1.0)).toDF("k", "t", "v")
