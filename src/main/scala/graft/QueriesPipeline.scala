@@ -242,6 +242,34 @@ object QueriesPipeline {
         GROUP BY tf.doc_id
         ORDER BY bm25 DESC, tf.doc_id LIMIT 50""")),
 
+    // self-trained bigram LM scoring (CCNet-style quality filtering):
+    // bits-per-bigram under an add-alpha model trained on the corpus in
+    // the same job; the oracle replays identical count joins and the
+    // same smoothing arithmetic (log2 inputs are rationals of counts,
+    // mirrored shape for shape)
+    ("text_lm_score",
+      (s, d) => graft.pipeline.LanguageModel
+        .bigramLogLoss(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("bits_per_bigram"), 6).as("bits_per_bigram"))
+        .orderBy("doc_id"),
+      Some(s"""WITH p AS (SELECT doc_id, $dToks AS w FROM documents),
+        bgl AS (SELECT doc_id, CASE WHEN len(w) >= 2 THEN list_filter(
+            list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]),
+            x -> length(x) > 0) ELSE [] END AS bgs FROM p),
+        occ AS (SELECT doc_id, unnest(bgs) AS b FROM bgl),
+        ucnt AS (SELECT tok, count(*) AS cw
+          FROM (SELECT unnest(w) AS tok FROM p) GROUP BY 1),
+        v AS (SELECT count(*) AS v FROM ucnt),
+        bcnt AS (SELECT b, count(*) AS cbg FROM occ GROUP BY 1)
+        SELECT occ.doc_id, count(*) AS n_bigrams,
+          round(-avg(log2((bcnt.cbg + 0.5) / (ucnt.cw + 0.5 * v.v))), 6)
+            AS bits_per_bigram
+        FROM occ JOIN bcnt USING (b)
+        JOIN ucnt ON ucnt.tok = string_split(occ.b, ' ')[1]
+        CROSS JOIN v
+        GROUP BY occ.doc_id ORDER BY occ.doc_id""")),
+
     // token-budget corpus selection: fill the training budget best-first.
     // The Spark side is the two-level bucketed selection (no global
     // sort); the oracle is the NAIVE quality-ordered running sum — their

@@ -67,6 +67,21 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(out(2L) - expected) < 1e-12)
   }
 
+  test("bigram LM log-loss: hand-checked smoothing, short docs absent") {
+    import graft.pipeline.LanguageModel
+    val df = Seq((1L, "a b a b"), (2L, "a a"), (3L, "x")).toDF("doc_id", "text")
+    val out = LanguageModel.bigramLogLoss(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // corpus: c(a)=4, c(b)=2, c(x)=1, V=3; bigrams "a b"x2 "b a"x1 "a a"x1
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    // doc1: two P(b|a) = 2.5/5.5 and one P(a|b) = 1.5/3.5
+    val d1 = -(2 * lg2(2.5 / 5.5) + lg2(1.5 / 3.5)) / 3
+    assert(out(1L)._1 == 3L && math.abs(out(1L)._2 - d1) < 1e-12)
+    // doc2: P(a|a) = 1.5/5.5
+    assert(math.abs(out(2L)._2 + lg2(1.5 / 5.5)) < 1e-12)
+    assert(!out.contains(3L), "a 1-token doc has no defined loss")
+  }
+
   test("budgetSelect equals the naive quality-ordered prefix") {
     import graft.pipeline.Sampling
     // ties across and inside rounding buckets, varied token counts
