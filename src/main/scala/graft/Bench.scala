@@ -44,38 +44,65 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    val samples = // samples(p) = Seq[(name, sec)] for pass p, suite order
+    // samples(p) = Seq[(name, Option[sec])] for pass p, suite order.
+    // A query that throws records None — NOT its failure latency — so a
+    // broken query can never masquerade as a 0.05 s "result" (r6 lesson:
+    // 47 plan-time failures benched as plausible speedups).
+    val samples =
       (1 to passes).map { _ =>
         queries.map { case (name, fn) =>
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          }
-          (name, (System.nanoTime() - t0) / 1e9)
+          val ok =
+            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              false
+            }
+          (name, if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
         }
       }
     val byQuery = queries.map { case (name, _) =>
-      val ts = samples.map(_.find(_._1 == name).get._2)
-      (name, ts.min, ts.max - ts.min)
+      val ts = samples.flatMap(_.find(_._1 == name).get._2)
+      (name, if (ts.isEmpty) None else Some((ts.min, ts.max - ts.min)))
     }
-    // The driver captures only a bounded tail of stdout and parses the last
-    // JSON line from it; full-precision doubles plus a per-query spread map
-    // overflow that window and the whole bench reads as unparseable. Keep
-    // stdout to ONE compact line (3-decimal minima) and put the verbose
-    // per-query spread on stderr for the record.
-    // Locale.ROOT pins the decimal separator: the f"" interpolator uses
-    // the JVM default locale, which under e.g. de_DE would print commas
-    // and make the JSON line unparseable
+    val failed = byQuery.collect { case (n, None) => n }
+    // Locale.ROOT pins the decimal separator: String.format uses the JVM
+    // default locale, which under e.g. de_DE would print commas and make
+    // the JSON line unparseable.
     def d3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    val qs = byQuery.map { case (k, min, _) => "\"" + k + "\":" + d3(min) }
+    val qs = byQuery.collect { case (k, Some((min, _))) => "\"" + k + "\":" + d3(min) }
       .mkString("{", ",", "}")
-    val spread = byQuery.map { case (k, _, s) => "\"" + k + "\":" + d3(s) }
+    val spread = byQuery.collect { case (k, Some((_, s))) => "\"" + k + "\":" + d3(s) }
       .mkString("{", ",", "}")
-    val passTotals = samples.map(p => d3(p.map(_._2).sum)).mkString("[", ",", "]")
-    val total = byQuery.map(_._2).sum
-    System.err.println(s"""[bench-detail] {"passes":$passes,"spread":$spread}""")
-    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"passes":$passes,"pass_totals":$passTotals,"sf":"$sfDir"}""")
+    val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val passTotals = samples.map(p => d3(p.flatMap(_._2).sum)).mkString("[", ",", "]")
+    val total = byQuery.flatMap(_._2.map(_._1)).sum
+    // The driver captures only a bounded 2000-byte TAIL of stdout (with the
+    // sbt "[success]" line inside it) and parses the last JSON line from
+    // that window; at ~100 queries the full per-query map overflows it and
+    // the whole bench reads as unparseable (r6: "parsed": null). So: the
+    // full-fidelity record always goes to a sidecar file + stderr; stdout
+    // gets the full line ONLY if it fits comfortably, else a compact line
+    // whose "queries" map rolls the minima up by family prefix (q/rpc/
+    // events/influxql/dedup/text/... — ~15 entries, stable round-over-round
+    // for trend comparison).
+    val detail = s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"failed":$failedArr,"passes":$passes,"pass_totals":$passTotals,"sf":"$sfDir"}"""
+    val famTotals = byQuery
+      .collect { case (k, Some((min, _))) => (k.takeWhile(_ != '_'), min) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (fam, xs) => "\"" + fam + "\":" + d3(xs.map(_._2).sum) }
+      .mkString("{", ",", "}")
+    val failedCapped = // keep stdout bounded even if half the suite fails
+      (failed.take(8).map("\"" + _ + "\"") ++
+        (if (failed.size > 8) Seq("\"+" + (failed.size - 8) + " more\"") else Nil))
+        .mkString("[", ",", "]")
+    val compact = s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$famTotals,"n_queries":${byQuery.size},"n_failed":${failed.size},"failed":$failedCapped,"passes":$passes,"pass_totals":$passTotals,"sf":"$sfDir","detail":"bench_detail.json"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_detail.json"),
+      (detail + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e") }
+    System.err.println(s"[bench-detail] $detail")
+    println(if (detail.length <= 1700) detail else compact)
     spark.stop()
   }
 }

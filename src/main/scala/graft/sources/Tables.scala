@@ -17,20 +17,38 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(path(dir, name))
 
-  /** The events table's `ts` is physical INT64 TIMESTAMP(NANOS), which
-    * Spark's µs TimestampType cannot represent; read it as a raw ns long
-    * (exactly the reference's i64-ns convention, schema.rs:36-40) and keep
-    * a derived µs view for SQL ergonomics. The legacy conf is per-session
-    * and dynamic, so set it just-in-time.
+  /** Schema-adaptive events loader. The testdata generator has shipped the
+    * `ts` column under two physical encodings across rounds — INT64
+    * TIMESTAMP(NANOS) (reads as a raw ns long under the legacy conf below,
+    * which Spark's µs TimestampType cannot represent) and INT64
+    * TIMESTAMP_MICROS (reads as timestamp / timestamp_ntz). Branch on the
+    * file schema and normalize both to the engine's i64-ns convention
+    * (reference schema.rs:36-40), µs-truncated so µs engines (DuckDB
+    * reading the same file, Spark TimestampType) see identical values.
+    * Output columns `ts_ns` (long) and `ts` (timestamp) are byte-identical
+    * across encodings. The legacy conf is per-session and dynamic, so set
+    * it just-in-time; it is a no-op for µs-encoded files.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumnRenamed("ts", "ts_ns_raw")
-      // truncate to µs grain: SQL engines with µs timestamps (DuckDB
-      // reading this file, Spark TimestampType) see exactly these values,
-      // so cross-engine results agree; the raw ns column stays available
-      .withColumn("ts_ns", col("ts_ns_raw") - pmod(col("ts_ns_raw"), lit(1000L)))
+    eventsNormalize(load(spark, dir, "events"))
+  }
+
+  /** Normalize any supported `ts` encoding to (`ts_ns`: long ns, `ts`:
+    * µs timestamp). Factored out so specs can exercise both encodings. */
+  def eventsNormalize(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+    val tsNs = raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) read as raw ns: truncate to µs grain
+        col("ts") - pmod(col("ts"), lit(1000L))
+      case TimestampType | TimestampNTZType =>
+        // NTZ→TZ cast is identity under the UTC session timezone all
+        // entry points pin (Verify/Bench/SparkSpec)
+        unix_micros(col("ts").cast(TimestampType)) * lit(1000L)
+      case other =>
+        throw new IllegalStateException(s"unsupported events.ts encoding: $other")
+    }
+    raw.withColumn("ts_ns", tsNs)
       .withColumn("ts", NsTime.nsToTimestamp(col("ts_ns")))
   }
 
