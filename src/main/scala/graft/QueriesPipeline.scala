@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.pipeline.{Clustering, DocDedup, Multimodal, Packing, Similarity}
+import graft.pipeline.{Clustering, DocDedup, LanguageModel, Multimodal,
+  Packing, Quantization, Ranking, Sampling, Similarity}
 import graft.sources.Tables
 
 /** Training-data-pipeline correctness-gate queries (documents/embeddings):
@@ -52,6 +53,16 @@ object QueriesPipeline {
             / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))) DESC,
           $centTable.c ASC) AS rk
       FROM x CROSS JOIN $centTable) WHERE rk = 1)"""
+
+  // DuckDB twin of TextFunctions.qualityScore (shared with the
+  // corpus_budget_select oracle)
+  private val dQuality = raw"""round(least(length(text) / 500.0, 1.0) * 0.3
+      + (len(regexp_extract_all(text, '[A-Za-z]')) * 1.0
+        / greatest(length(text), 1)) * 0.4
+      + (1.0 - len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) * 1.0
+        / greatest(length(text), 1)) * 0.2
+      + (1.0 - len(regexp_extract_all(text, '[0-9]')) * 1.0
+        / greatest(length(text), 1)) * 0.1, 6)"""
 
   val entries: Seq[(String, Builder, Option[String])] = Seq(
 
@@ -817,6 +828,121 @@ object QueriesPipeline {
         SELECT doc_id, n_shingles, n_overlap,
           round(n_overlap * 1.0 / greatest(n_shingles, 1), 6) AS overlap,
           n_overlap * 1.0 / greatest(n_shingles, 1) >= 0.2 AS contaminated
-        FROM agg ORDER BY doc_id"""))
+        FROM agg ORDER BY doc_id""")),
+
+    // weight-proportional Bernoulli sampling: P(keep) = rate·quality via
+    // an EXACT integer test (hash ppm vs quality ppm scaled by the 3/5
+    // rational rate) — importance sampling whose member set any engine
+    // reproduces bit-exactly; zero shuffles (pure filter on the scan)
+    ("sample_weighted",
+      (s, d) => Sampling.weightedSample(
+          Tables.documents(s, d).select(col("doc_id"), col("lang"),
+            TF.qualityScore(col("text")).as("q")),
+          "doc_id", "q", rateNum = 3, rateDen = 5)
+        .orderBy("doc_id"),
+      Some(s"""WITH q AS (SELECT doc_id, lang, $dQuality AS q FROM documents)
+        SELECT doc_id, lang, q FROM q
+        WHERE (${dHash60("CAST(doc_id AS VARCHAR)")} % 1000000) * 5
+          < CAST(round(q * 1000000) AS BIGINT) * 3
+        ORDER BY doc_id""")),
+
+    // data mixing with fractional epoch upsampling: de×2.5, fr×2, zh×0.5,
+    // rest ×1 — one (doc, epoch) row per training appearance. The ×0.5
+    // stratum exercises the rows-dropped path, ×2.5 the deterministic
+    // half-extra-epoch hash test; all arithmetic is integer ppm
+    ("corpus_mix",
+      (s, d) => Sampling.mixEpochs(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          "lang", "doc_id",
+          Map("de" -> 2500000L, "fr" -> 2000000L, "zh" -> 500000L))
+        .orderBy("doc_id", "epoch"),
+      Some(s"""WITH e AS (SELECT doc_id, lang, CASE lang
+            WHEN 'de' THEN 2500000 WHEN 'fr' THEN 2000000
+            WHEN 'zh' THEN 500000 ELSE 1000000 END AS ppm FROM documents),
+        n AS (SELECT doc_id, lang, ppm // 1000000
+            + CASE WHEN (${dHash60("CAST(doc_id AS VARCHAR)")} % 1000000)
+                < ppm % 1000000 THEN 1 ELSE 0 END AS reps FROM e)
+        SELECT doc_id, lang, CAST(unnest(range(reps)) AS BIGINT) AS epoch
+        FROM n WHERE reps > 0 ORDER BY doc_id, epoch""")),
+
+    // scalar int8 quantization of the embedding corpus: per-dimension
+    // min/max codebook (dim-sized stats frame -> broadcast array
+    // literals, zero-shuffle encode). Codes are bit-reproducible affine
+    // math, so the md5 digest of the code array compares hash-exact
+    ("emb_quantize_int8",
+      (s, d) => Quantization.quantizeInt8(s, Tables.embeddings(s, d),
+          "vec_id", "embedding")
+        .select(col("vec_id"),
+          size(col("codes")).as("n_dims"),
+          aggregate(col("codes"), lit(0L), (a, x) => a + x).as("code_sum"),
+          md5(encode(array_join(col("codes"), ","), "UTF-8")).as("codes_md5"))
+        .orderBy("vec_id"),
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings),
+        st AS (SELECT d, min(e[d]) AS mn, max(e[d]) AS mx
+          FROM v CROSS JOIN (SELECT unnest(range(1, 65)) AS d) GROUP BY d),
+        arrs AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs
+          FROM st),
+        codes AS (SELECT vec_id, list_transform(range(1, 65),
+            i -> CASE WHEN mxs[i] = mns[i] THEN 0
+              ELSE least(255, greatest(0, CAST(floor(
+                (e[i] - mns[i]) * 255.0 / (mxs[i] - mns[i]) + 0.5) AS BIGINT)))
+              END) AS c
+          FROM v CROSS JOIN arrs)
+        SELECT vec_id, CAST(len(c) AS INT) AS n_dims,
+          CAST(list_aggregate(c, 'sum') AS BIGINT) AS code_sum,
+          md5(array_to_string(c, ',')) AS codes_md5
+        FROM codes ORDER BY vec_id""")),
+
+    // self-trained Naive Bayes language classifier: per-class token
+    // counts + add-α smoothing, every log-likelihood quantized to integer
+    // micro-bits BEFORE summation so document scores are exact integer
+    // sums and the argmax compares identically across engines
+    ("text_nb_lang",
+      (s, d) => LanguageModel.naiveBayesClassify(
+          Tables.documents(s, d), "doc_id", "lang", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH p AS (SELECT doc_id, lang, $dToks AS w FROM documents),
+        occ AS (SELECT doc_id, unnest(w) AS t FROM p),
+        ct AS (SELECT lang AS c, t, count(*) AS ct
+          FROM (SELECT lang, unnest(w) AS t FROM p) GROUP BY 1, 2),
+        tot AS (SELECT c, sum(ct) AS n FROM ct GROUP BY 1),
+        vv AS (SELECT count(DISTINCT t) AS v FROM occ),
+        pr AS (SELECT lang AS c, CAST(round(log2(count(*)
+            / (SELECT count(*) * 1.0 FROM p)) * 1000000) AS BIGINT) AS prior_q
+          FROM p GROUP BY 1),
+        sc AS (SELECT occ.doc_id, tot.c, pr.prior_q
+            + sum(CAST(round(log2((coalesce(ct.ct, 0) + 0.5)
+              / (tot.n + 0.5 * vv.v)) * 1000000) AS BIGINT)) AS score_q
+          FROM occ CROSS JOIN tot CROSS JOIN vv
+          LEFT JOIN ct ON ct.c = tot.c AND ct.t = occ.t
+          JOIN pr ON pr.c = tot.c
+          GROUP BY occ.doc_id, tot.c, pr.prior_q),
+        rk AS (SELECT doc_id, c, score_q, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score_q DESC, c ASC) AS rk FROM sc)
+        SELECT doc_id, c AS pred, score_q FROM rk WHERE rk = 1
+        ORDER BY doc_id""")),
+
+    // Zipf-law fit over the top-100 token frequencies: one-row corpus
+    // health metric; (ln rank, ln freq) pairs quantized to integer
+    // micro-units so the normal-equation sums are exact in any engine
+    ("text_zipf",
+      (s, d) => Ranking.zipfFit(Tables.documents(s, d), "text", topN = 100),
+      Some("""WITH cnts AS (SELECT tok, count(*) AS cnt
+          FROM (SELECT unnest(regexp_split_to_array(
+              regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+            FROM documents)
+          GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 100),
+        rk AS (SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok)
+          AS rank FROM cnts),
+        q AS (SELECT CAST(round(ln(rank) * 1000000) AS BIGINT) AS xq,
+            CAST(round(ln(cnt) * 1000000) AS BIGINT) AS yq FROM rk),
+        a AS (SELECT count(*) AS n, sum(xq) AS sx, sum(yq) AS sy,
+            sum(xq * yq) AS sxy, sum(xq * xq) AS sxx FROM q)
+        SELECT CAST(n AS BIGINT) AS n_terms,
+          round((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6) AS slope,
+          round(((sy - (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) * sx)
+            / n) / 1000000.0, 6) AS intercept_ln
+        FROM a"""))
   )
 }

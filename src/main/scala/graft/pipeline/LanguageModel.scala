@@ -46,4 +46,64 @@ object LanguageModel {
       .agg(count(lit(1)).as("n_bigrams"),
         (-avg(col("__lp"))).as("bits_per_bigram"))
   }
+
+  /** Self-trained multinomial Naive Bayes classifier: train per-class
+    * token counts on a labeled column (language, source, quality tier)
+    * and score every document — the classic fastText-free corpus labeler
+    * (e.g. re-labeling documents whose declared language looks wrong).
+    *
+    * `score(d, c) = log2 P(c) + Σ_t log2 (cnt(c,t) + α) / (N_c + α·V)`
+    *
+    * Determinism across engines: every per-token log-likelihood and the
+    * class prior are QUANTIZED to integer micro-bits
+    * (`round(log2(...) * 1e6)` as BIGINT) before summation, so document
+    * scores are exact integer sums — no float-accumulation-order
+    * dependence, and the argmax (ties to the lexicographically smallest
+    * class) compares identically in any engine.
+    *
+    * Scale shape: one token-explode into TWO count aggregates (per-class
+    * totals: #classes rows; per-(class, token): vocab×classes rows — both
+    * shrink with vocabulary, not corpus, so they broadcast under AQE).
+    * The scoring pass re-explodes tokens, maps each occurrence against
+    * the broadcast count tables per class (#classes-way fan-out of the
+    * occurrence stream — classes are few by construction), and one
+    * groupBy(doc, class) + argmax window finishes. No corpus self-join.
+    * Returns (id, pred, score_q) with score_q the winning class's
+    * integer micro-bit score. */
+  def naiveBayesClassify(docs: DataFrame, idCol: String, labelCol: String,
+      textCol: String, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, "add-alpha smoothing needs alpha > 0")
+    import org.apache.spark.sql.expressions.Window
+    val occ = docs.select(col(idCol), explode(TF.tokens(col(textCol))).as("__t"))
+    val classTok = docs
+      .select(col(labelCol).as("__c"), explode(TF.tokens(col(textCol))).as("__t"))
+      .groupBy("__c", "__t").agg(count(lit(1)).as("__ct"))
+    val classTotals = classTok.groupBy("__c").agg(sum("__ct").as("__n"))
+    val vocab = occ.select(countDistinct("__t").as("__v"))
+    val priors = docs.groupBy(col(labelCol).as("__c"))
+      .agg(count(lit(1)).as("__docs"))
+    val priorsQ = priors
+      .crossJoin(broadcast(priors.agg(sum("__docs").as("__total"))))
+      .select(col("__c"),
+        round(log2(col("__docs") / col("__total")) * 1e6).cast("long")
+          .as("__prior_q"))
+    // per-occurrence × per-class quantized log-likelihood; unseen
+    // (class, token) pairs fall back to the zero-count smoothed mass
+    val scored = occ
+      .crossJoin(broadcast(classTotals.join(priorsQ, "__c")))
+      .crossJoin(broadcast(vocab))
+      .join(broadcast(classTok), Seq("__c", "__t"), "left")
+      .withColumn("__llq",
+        round(log2((coalesce(col("__ct"), lit(0L)) + alpha) /
+          (col("__n") + lit(alpha) * col("__v"))) * 1e6).cast("long"))
+      .groupBy(col(idCol), col("__c"), col("__prior_q"))
+      .agg(sum("__llq").as("__sum_llq"))
+      .select(col(idCol), col("__c"),
+        (col("__prior_q") + col("__sum_llq")).as("score_q"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_q").desc, col("__c").asc)
+    scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col("__c").as("pred"), col("score_q"))
+  }
 }

@@ -46,4 +46,40 @@ object Ranking {
       .groupBy(col(idCol))
       .agg(sum(col("__contrib")).as("bm25"))
   }
+
+  /** Zipf-law fit over the corpus token distribution: least-squares slope
+    * and intercept of `ln(freq)` against `ln(rank)` for the `topN` most
+    * frequent tokens. Natural-language corpora land near slope ≈ −1;
+    * machine-generated or template-heavy corpora flatten or step — a
+    * one-row corpus health metric (token distribution sanity check) run
+    * alongside per-document quality scores.
+    *
+    * Determinism: each term's (ln rank, ln freq) pair is quantized to
+    * integer micro-units before the Σx/Σy/Σxy/Σxx sums, so the normal
+    * equations divide identical integers in every engine; only the two
+    * final divisions are floats. Scale shape: one token-count aggregate
+    * (vocab-sized), a bounded top-N (orderBy+limit on the vocab frame,
+    * NOT the corpus), and a single-row reduce. */
+  def zipfFit(docs: DataFrame, textCol: String, topN: Int = 100): DataFrame = {
+    require(topN >= 2, "a line needs two points")
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode(TF.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(topN)
+    val ranked = counts.withColumn("rank",
+      row_number().over(Window.orderBy(col("cnt").desc, col("tok").asc)))
+    val q = ranked.select(
+      round(log(col("rank").cast("double")) * 1e6).cast("long").as("xq"),
+      round(log(col("cnt").cast("double")) * 1e6).cast("long").as("yq"))
+    q.agg(count(lit(1)).as("n"), sum("xq").as("sx"), sum("yq").as("sy"),
+        sum(col("xq") * col("yq")).as("sxy"), sum(col("xq") * col("xq")).as("sxx"))
+      .select(col("n").cast("long").as("n_terms"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round(((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n"))
+          / 1e6, 6).as("intercept_ln"))
+  }
 }

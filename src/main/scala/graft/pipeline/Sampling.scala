@@ -79,6 +79,59 @@ object Sampling {
       .withColumn("contaminated", col("overlap") >= threshold)
   }
 
+  /** Weight-proportional Bernoulli sampling: keep each row with
+    * probability `rate * weight` where `weight` ∈ [0, 1] is a per-row
+    * column (e.g. a quality score) — importance sampling for corpus
+    * curation ("keep good documents more often"), the standard soft
+    * alternative to a hard quality cutoff.
+    *
+    * Like the other samplers this is a PURE FILTER on a content-derived
+    * hash — zero shuffles, stable across runs/partitionings/engines. The
+    * acceptance test is EXACT integer arithmetic: the weight is quantized
+    * to ppm (`round(w * 1e6)` — exact for weights already rounded to ≤6
+    * decimals), the rate is a rational `rateNum/rateDen`, and the test is
+    * `(hash60 mod 1e6) * rateDen < w_ppm * rateNum` — no float compare
+    * anywhere, so any SQL engine reproduces the member set bit-exactly. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      rateNum: Int, rateDen: Int): DataFrame = {
+    require(rateNum >= 0 && rateDen > 0 && rateNum <= rateDen,
+      s"rate $rateNum/$rateDen outside [0, 1]")
+    val wPpm = round(col(weightCol) * 1e6).cast("long")
+    df.filter(
+      pmod(TextFunctions.hash60(col(keyCol).cast("string")), lit(1000000L))
+        * rateDen.toLong < wPpm * rateNum.toLong)
+  }
+
+  /** Data mixing with epoch upsampling: each stratum (language, source,
+    * domain) gets a fractional epoch count — e.g. `en -> 1.0, de -> 2.5`
+    * means every German document appears twice and a deterministic half
+    * of them a third time. Emits one row per (row, epoch) with the epoch
+    * index, ready to union into a training shuffle.
+    *
+    * Epochs are fixed-point eppm (epochs × 1e6) so the fractional-part
+    * selection is the same exact integer hash test as [[weightedSample]].
+    * Scale shape: a per-row `explode(sequence(...))` — output grows with
+    * Σ epochs·rows (unavoidable: that IS the requested corpus), but there
+    * is no shuffle, no join, and the repeat factor is computed row-local,
+    * so it parallelizes with the scan. */
+  def mixEpochs(df: DataFrame, strataCol: String, keyCol: String,
+      epochsPpm: Map[String, Long], defaultPpm: Long = 1000000L): DataFrame = {
+    (epochsPpm.values.toSeq :+ defaultPpm).foreach(e =>
+      require(e >= 0, s"negative epochs $e"))
+    val ppm = epochsPpm.toSeq.sortBy(_._1).foldLeft(lit(defaultPpm)) {
+      case (acc, (stratum, e)) =>
+        when(col(strataCol) === stratum, lit(e)).otherwise(acc)
+    }
+    val fullEpochs = (ppm / 1000000L).cast("long")
+    val fracPpm = pmod(ppm, lit(1000000L))
+    val extra = (pmod(TextFunctions.hash60(col(keyCol).cast("string")),
+      lit(1000000L)) < fracPpm).cast("long")
+    df.withColumn("__n", fullEpochs + extra)
+      .filter(col("__n") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__n") - 1L)))
+      .drop("__n")
+  }
+
   /** Token-budget corpus selection: keep the highest-`qualityCol` rows
     * whose running `tokensCol` total stays within `budgetTokens` —
     * "fill the training budget best-first", the selection step after

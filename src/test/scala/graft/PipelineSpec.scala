@@ -350,4 +350,88 @@ class PipelineSpec extends SparkSpec {
     val feats2 = Multimodal.extractImageFeatures(assets).collect()
     assert(feats.map(_.feature.toSeq).toSet == feats2.map(_.feature.toSeq).toSet)
   }
+
+  test("weighted sampling: zero weight drops all, full weight+rate=1 keeps all, monotone in weight") {
+    import graft.pipeline.Sampling
+    val rows = (1L to 400L).map(i => (i, 0.5)).toDF("doc_id", "w")
+    assert(Sampling.weightedSample(rows.withColumn("w", lit(0.0)),
+      "doc_id", "w", 1, 1).count() == 0)
+    assert(Sampling.weightedSample(rows.withColumn("w", lit(1.0)),
+      "doc_id", "w", 1, 1).count() == 400)
+    val lo = Sampling.weightedSample(rows.withColumn("w", lit(0.2)),
+      "doc_id", "w", 1, 1).select("doc_id").as[Long].collect().toSet
+    val hi = Sampling.weightedSample(rows.withColumn("w", lit(0.8)),
+      "doc_id", "w", 1, 1).select("doc_id").as[Long].collect().toSet
+    // same hash, bigger acceptance region: membership NESTS in weight
+    assert(lo.subsetOf(hi) && lo.nonEmpty && hi.size > lo.size && hi.size < 400)
+    // rate scales acceptance the same way
+    val rated = Sampling.weightedSample(rows.withColumn("w", lit(0.8)),
+      "doc_id", "w", 1, 2).select("doc_id").as[Long].collect().toSet
+    assert(rated.subsetOf(hi) && rated.size < hi.size)
+  }
+
+  test("mixEpochs: integer epochs exact, fractional epochs hash-split, zero drops") {
+    import graft.pipeline.Sampling
+    val rows = (1L to 300L).map(i =>
+      (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+      .toDF("doc_id", "lang")
+    val mixed = Sampling.mixEpochs(rows, "lang", "doc_id",
+      Map("a" -> 2000000L, "b" -> 1500000L, "c" -> 0L))
+    val byLang = mixed.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("a") == 200L) // exactly 2 epochs each
+    assert(!byLang.contains("c")) // 0 epochs -> dropped entirely
+    // 1.5 epochs: between 1x and 2x, and epoch ids are dense 0..n-1
+    assert(byLang("b") > 100L && byLang("b") < 200L)
+    val epochs = mixed.filter($"lang" === "a").groupBy("doc_id")
+      .agg(collect_list("epoch").as("es")).select("es")
+      .as[Seq[Long]].collect()
+    assert(epochs.forall(_.sorted == Seq(0L, 1L)))
+  }
+
+  test("int8 quantization: range endpoints code to 0/255, degenerate dim to 0") {
+    import graft.pipeline.Quantization
+    val vecs = Seq(
+      (1L, Array(0.0f, 10.0f, 7.0f)),
+      (2L, Array(1.0f, 30.0f, 7.0f)),
+      (3L, Array(0.5f, 20.0f, 7.0f))).toDF("vec_id", "embedding")
+    val out = Quantization.quantizeInt8(spark, vecs, "vec_id", "embedding")
+      .orderBy("vec_id").select("codes").as[Seq[Int]].collect()
+    assert(out(0) == Seq(0, 0, 0))     // mins -> 0; degenerate dim -> 0
+    assert(out(1) == Seq(255, 255, 0)) // maxes -> 255
+    assert(out(2) == Seq(128, 128, 0)) // midpoint -> floor(127.5+0.5)
+  }
+
+  test("naive bayes: separable classes classify correctly, scores are exact longs") {
+    import graft.pipeline.LanguageModel
+    val train = Seq(
+      (1L, "en", "the cat sat on the mat"),
+      (2L, "en", "the dog ran to the park"),
+      (3L, "de", "der hund lief zum park"),
+      (4L, "de", "die katze sass auf der matte"),
+      (5L, "en", "the cat and the dog"),
+      (6L, "de", "der hund und die katze")).toDF("doc_id", "lang", "text")
+    val out = LanguageModel.naiveBayesClassify(train, "doc_id", "lang", "text")
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    // self-classification on separable vocab recovers every label
+    assert(out.map(r => r._1 -> r._2).toMap ==
+      Map(1L -> "en", 2L -> "en", 3L -> "de", 4L -> "de", 5L -> "en", 6L -> "de"))
+    // repeated runs produce identical integer scores (exactness contract)
+    val out2 = LanguageModel.naiveBayesClassify(train, "doc_id", "lang", "text")
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    assert(out.toSeq == out2.toSeq)
+  }
+
+  test("zipf fit: an exact power law recovers its exponent") {
+    import graft.pipeline.Ranking
+    // freq(rank) = 1000 / rank for 20 tokens => slope exactly -1
+    val docs = (1 to 20).flatMap { r =>
+      val freq = 1000 / r
+      Seq.fill(freq)(s"tok${('a' + r).toChar}")
+    }.mkString(" ")
+    val fit = Ranking.zipfFit(Seq((1L, docs)).toDF("doc_id", "text"), "text",
+      topN = 20).as[(Long, Double, Double)].head()
+    assert(fit._1 == 20L)
+    assert(math.abs(fit._2 - (-1.0)) < 0.02, s"slope ${fit._2}")
+    assert(math.abs(fit._3 - math.log(1000.0)) < 0.05, s"intercept ${fit._3}")
+  }
 }
