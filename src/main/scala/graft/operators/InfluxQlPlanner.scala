@@ -96,16 +96,21 @@ object InfluxQlPlanner {
       case "databases" =>
         throw ParseError("SHOW DATABASES is a server-level statement")
       case "tag keys" =>
-        targets.flatMap { case (name, m) =>
-          if (m.tagCols.isEmpty) Seq.empty[(String, String)]
-          else {
-            val counts = m.df.agg(
-              count(col(m.tagCols.head)).as(m.tagCols.head),
-              m.tagCols.tail.map(t => count(col(t)).as(t)): _*).head()
-            m.tagCols.sorted.filter(t => counts.getAs[Long](t) > 0)
-              .map(t => (name, t))
-          }
-        }.toDF("measurement", "tagKey")
+        // the reference's SchemaPivot shape (schema_pivot.rs): ONE
+        // aggregate row per measurement (count per tag), melted to
+        // (measurement, tagKey) rows inside the engine — a single job
+        // over the union, no per-measurement driver round-trips
+        val parts = targets.collect { case (name, m) if m.tagCols.nonEmpty =>
+          m.df.agg(count(col(m.tagCols.head)).as(m.tagCols.head),
+              m.tagCols.tail.map(t => count(col(t)).as(t)): _*)
+            .select(explode(array(m.tagCols.sorted.map(t =>
+              struct(lit(t).as("tagKey"), col(t).as("cnt"))): _*)).as("kv"))
+            .select(lit(name).as("measurement"),
+              col("kv.tagKey").as("tagKey"), col("kv.cnt").as("cnt"))
+        }
+        if (parts.isEmpty) Seq.empty[(String, String)].toDF("measurement", "tagKey")
+        else parts.reduce(_ unionByName _).filter(col("cnt") > 0)
+          .select("measurement", "tagKey").orderBy("measurement", "tagKey")
       case "tag values" =>
         val k = sh.withKey.get
         val parts = targets.collect {
