@@ -64,6 +64,33 @@ object QueriesPipeline {
       + (1.0 - len(regexp_extract_all(text, '[0-9]')) * 1.0
         / greatest(length(text), 1)) * 0.1, 6)"""
 
+  // generalized DuckDB assign for product quantization: argmax cosine
+  // affinity of subspace table `xT` against centroid table `cT`
+  private def dPqAssign(xT: String, cT: String): String =
+    s"""(SELECT vec_id, c FROM (
+      SELECT $xT.vec_id, $cT.c, row_number() OVER (PARTITION BY $xT.vec_id
+          ORDER BY list_dot_product(e, ce)
+            / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))) DESC,
+          $cT.c ASC) AS rk
+      FROM $xT CROSS JOIN $cT) WHERE rk = 1)"""
+
+  /** One subspace's k-means CTE chain (seed -> assign -> update ->
+    * assign) for the PQ oracle; subspace j covers 1-based dims
+    * [j·sub+1, (j+1)·sub] of the quantized vector table v. */
+  private def dPqSubspace(j: Int, sub: Int, k: Int): String = {
+    val lo = j * sub
+    s"""x$j AS (SELECT vec_id,
+        list_transform(q[${lo + 1}:${lo + sub}], t -> t / 1000000.0) AS e FROM v),
+      c${j}0 AS (SELECT vec_id AS c, e AS ce FROM x$j WHERE vec_id < $k),
+      a${j}1 AS ${dPqAssign(s"x$j", s"c${j}0")},
+      s${j}1 AS (SELECT c, d, sum(q[$lo + d]) AS s, count(*) AS n
+        FROM a${j}1 JOIN v USING (vec_id)
+        CROSS JOIN (SELECT unnest(range(1, ${sub + 1})) AS d) GROUP BY c, d),
+      c${j}1 AS (SELECT c, list((s / n) / 1000000.0 ORDER BY d) AS ce
+        FROM s${j}1 GROUP BY c),
+      a${j}2 AS ${dPqAssign(s"x$j", s"c${j}1")}"""
+  }
+
   val entries: Seq[(String, Builder, Option[String])] = Seq(
 
     // ------------------------------------------------------ text analysis
@@ -943,6 +970,76 @@ object QueriesPipeline {
           round((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6) AS slope,
           round(((sy - (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) * sx)
             / n) / 1000000.0, 6) AS intercept_ln
-        FROM a"""))
+        FROM a""")),
+
+    // incremental dedup: a "new batch" (doc_id % 7 = 0) matched against
+    // the LSH index of the rest of the corpus — only the batch is
+    // shingled/signed at query time; the index join broadcasts the small
+    // batch side. Oracle = exact cross-set Jaccard closure (same LSH
+    // recall-gap tolerance as dedup_components, documented there)
+    ("dedup_incremental",
+      (s, d) => {
+        val docs = Tables.spread(s, Tables.documents(s, d))
+        val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+        val batch = docs.filter(col("doc_id") % 7 === 0)
+        val p = DocDedup.MinHashParams(numPerms = 32, bands = 16)
+        val idx = DocDedup.lshIndex(corpus, "doc_id", "text", n = 3, p)
+        DocDedup.incrementalNearDups(corpus, idx, batch, "doc_id", "text",
+            n = 3, threshold = 0.7, p)
+          .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("id1", "id2")
+      },
+      Some(s"""WITH $dShingles,
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s
+            AND a.doc_id % 7 != 0 AND b.doc_id % 7 = 0
+          GROUP BY 1, 2)
+        SELECT id1, id2,
+          round(inter * 1.0 / (s1.n + s2.n - inter), 6) AS jaccard
+        FROM pairs JOIN sizes s1 ON s1.doc_id = id1
+          JOIN sizes s2 ON s2.doc_id = id2
+        WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.7
+        ORDER BY id1, id2""")),
+
+    // product quantization: 4 subspaces x 16 dims, 4 centroids each, one
+    // Lloyd refinement per subspace — the IVF-PQ codebook layout; codes
+    // are engine-reproducible via the same integer-quantized k-means
+    // contract as emb_kmeans
+    ("emb_pq_codes",
+      (s, d) => Clustering.productQuantize(
+          Tables.spread(s, Tables.embeddings(s, d)), "vec_id", "embedding",
+          m = 4, k = 4, iters = 1)
+        .orderBy("vec_id"),
+      Some(s"""WITH v AS (SELECT vec_id,
+          list_transform(CAST(embedding AS DOUBLE[]),
+            y -> floor(y * 1000000.0 + 0.5)) AS q FROM embeddings),
+        ${(0 until 4).map(j => dPqSubspace(j, 16, 4)).mkString(",\n")}
+        SELECT a02.vec_id, CAST(a02.c AS INT) AS code_0,
+          CAST(a12.c AS INT) AS code_1, CAST(a22.c AS INT) AS code_2,
+          CAST(a32.c AS INT) AS code_3
+        FROM a02 JOIN a12 USING (vec_id) JOIN a22 USING (vec_id)
+          JOIN a32 USING (vec_id)
+        ORDER BY vec_id""")),
+
+    // per-group top-k selection as a bounded AGGREGATE (TopK partial
+    // aggregation: every map task reduces to k rows per group) instead of
+    // a window sort of each group — identical output to the row_number
+    // formulation the oracle runs
+    ("sample_topk_group",
+      (s, d) => Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), TF.qualityScore(col("text")).as("q"))
+        .groupBy("lang")
+        .agg(graft.functions.TopK.topK(3)(col("q"), col("doc_id")).as("top"))
+        .select(col("lang"), posexplode(col("top")).as(Seq("rk", "x")))
+        .select(col("lang"), (col("rk") + 1).cast("int").as("rank"),
+          col("x.id").as("doc_id"), col("x.score").as("q"))
+        .orderBy("lang", "rank"),
+      Some(s"""WITH q AS (SELECT lang, doc_id, $dQuality AS q FROM documents),
+        rk AS (SELECT lang, doc_id, q, CAST(row_number() OVER (
+            PARTITION BY lang ORDER BY q DESC, doc_id ASC) AS INT) AS rank
+          FROM q)
+        SELECT lang, rank, doc_id, q FROM rk WHERE rank <= 3
+        ORDER BY lang, rank"""))
   )
 }

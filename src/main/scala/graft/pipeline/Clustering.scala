@@ -109,6 +109,34 @@ object Clustering {
     assigned.select(col(idCol), col("cluster"))
   }
 
+  /** Product quantization (Jégou et al. 2011): split each vector into
+    * `m` contiguous subspaces and k-means each subspace independently;
+    * a vector's code is its m per-subspace centroid ids — `m·log2(k)`
+    * bits instead of `dim·32`, the codebook layout behind IVF-PQ ANN
+    * indexes. Returns (idCol, code_0 … code_{m-1}).
+    *
+    * Each subspace runs the same deterministic spherical k-means as
+    * [[kmeansAssign]] (seeded by the k lowest ids, integer-quantized
+    * sums), so codes are engine-reproducible. Scale shape: m independent
+    * Lloyd runs, each zero-corpus-shuffle (centroids are driver
+    * metadata); the final assembly joins m skinny (id, int) frames on the
+    * id — m is small (4–16) by construction. The one-row `first()` probe
+    * only reads the vector WIDTH (a schema-level fact not present in the
+    * array type), not data. */
+  def productQuantize(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int = 1): DataFrame = {
+    val v = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    val dim = v.select(size(col("__v"))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    (0 until m).map { j =>
+      kmeansAssign(v.select(col(idCol),
+          slice(col("__v"), j * sub + 1, sub).as("__s")),
+        idCol, "__s", k, iters)
+        .withColumnRenamed("cluster", s"code_$j")
+    }.reduce(_.join(_, Seq(idCol)))
+  }
+
   /** SemDeDup: cluster the corpus, then within each cluster drop every
     * member that has a LOWER-id member with cosine >= `threshold` (the
     * greedy keep-first rule every dedup family member here uses). Returns

@@ -96,9 +96,20 @@ object DocDedup {
     hashed.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
   }
 
-  /** LSH candidate pairs: equal signature slice in >= 1 band. One row per
+  /** (id, bucket) band-bucket rows from a signature frame: one row per
     * (doc, band) via a single explode — NOT a `bands`-way union, which
-    * would recompute the signature pipeline once per band — then bucket
+    * would recompute the signature pipeline once per band. This is also
+    * the PERSISTABLE shape of an LSH index (see [[lshIndex]]). */
+  private def bandBuckets(sigs: DataFrame, idCol: String,
+      p: MinHashParams): DataFrame = {
+    val bandKeys = (0 until p.bands).map { b =>
+      val cols = (b * p.rowsPerBand until (b + 1) * p.rowsPerBand).map(i => col(s"mh_$i"))
+      md5(concat_ws(",", lit(b.toString) +: cols: _*))
+    }
+    sigs.select(col(idCol), explode(array(bandKeys: _*)).as("bucket"))
+  }
+
+  /** LSH candidate pairs: equal signature slice in >= 1 band; bucket
     * members are collected and expanded to pairs.
     *
     * `maxBucket` bounds the per-bucket pair expansion (quadratic in
@@ -109,16 +120,48 @@ object DocDedup {
     * one executor materializing billions of structs at corpus scale. */
   def lshCandidates(sigs: DataFrame, idCol: String, p: MinHashParams,
       maxBucket: Int = 10000): DataFrame = {
-    val bandKeys = (0 until p.bands).map { b =>
-      val cols = (b * p.rowsPerBand until (b + 1) * p.rowsPerBand).map(i => col(s"mh_$i"))
-      md5(concat_ws(",", lit(b.toString) +: cols: _*))
-    }
-    val buckets = sigs.select(col(idCol), explode(array(bandKeys: _*)).as("bucket"))
+    val buckets = bandBuckets(sigs, idCol, p)
       .groupBy("bucket").agg(sort_array(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
     explodePairs(buckets, "ids")((x, y) => struct(x.as("id1"), y.as("id2")))
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .distinct()
+  }
+
+  /** The reusable LSH index of a corpus: (id, bucket) rows, computed once
+    * per corpus build and persisted (parquet, bucketed by `bucket`) so
+    * incoming batches dedup against it WITHOUT re-shingling the corpus —
+    * the incremental posture that matters when the corpus is 100 TB and
+    * the daily batch is 0.1% of it. */
+  def lshIndex(docs: DataFrame, idCol: String, textCol: String, n: Int,
+      p: MinHashParams): DataFrame =
+    bandBuckets(signatures(docs, idCol, textCol, n, p), idCol, p)
+
+  /** Incremental near-dup detection: match a NEW batch against an
+    * existing corpus index ([[lshIndex]] output — pass the persisted
+    * frame) plus the corpus texts for verification. Returns
+    * (id1 = corpus doc, id2 = new doc, jaccard) pairs at `threshold`.
+    *
+    * Scale shape: only the BATCH is shingled/signed (corpus work was paid
+    * once at index build); candidates come from one equality join on the
+    * bucket key — the batch side is small, so AQE broadcasts it and the
+    * corpus index is never shuffled; verification re-reads texts for the
+    * candidate ids only (semi-join restriction inside verifyJaccard).
+    * Batch-internal duplicates are [[minHashDedupPairs]] on the batch
+    * alone — compose the two for full coverage. */
+  def incrementalNearDups(corpus: DataFrame, index: DataFrame,
+      newDocs: DataFrame, idCol: String, textCol: String, n: Int,
+      threshold: Double, p: MinHashParams): DataFrame = {
+    val newBuckets =
+      bandBuckets(signatures(newDocs, idCol, textCol, n, p), idCol, p)
+        .withColumnRenamed(idCol, "__new_id")
+    val cands = index.join(newBuckets, "bucket")
+      .select(col(idCol).as("id1"), col("__new_id").as("id2"))
+      .distinct()
+    val texts = corpus.select(col(idCol), col(textCol))
+      .unionByName(newDocs.select(col(idCol), col(textCol)))
+    verifyJaccard(texts, cands, idCol, textCol, n)
+      .filter(col("jaccard") >= threshold)
   }
 
   // --------------------------------------------------- jaccard verification

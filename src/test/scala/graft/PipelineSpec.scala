@@ -421,6 +421,43 @@ class PipelineSpec extends SparkSpec {
     assert(out.toSeq == out2.toSeq)
   }
 
+  test("incremental dedup finds exactly the cross-set pairs the batch self-dedup would") {
+    val p = DocDedup.MinHashParams(numPerms = 32, bands = 16)
+    val corpus = docs.filter($"doc_id" % 5 =!= 0)
+    val batch = docs.filter($"doc_id" % 5 === 0)
+    val idx = DocDedup.lshIndex(corpus, "doc_id", "text", n = 3, p)
+    val inc = DocDedup.incrementalNearDups(corpus, idx, batch,
+        "doc_id", "text", n = 3, threshold = 0.7, p)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // ground truth: full-corpus pairs restricted to (corpus, batch) ends
+    val all = DocDedup.minHashDedupPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.7, p)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val expected = all.collect {
+      case (a, b) if a % 5 != 0 && b % 5 == 0 => (a, b)
+      case (a, b) if b % 5 != 0 && a % 5 == 0 => (b, a)
+    }
+    assert(inc == expected)
+    assert(inc.forall { case (a, b) => a % 5 != 0 && b % 5 == 0 })
+  }
+
+  test("product quantization: codes in range, deterministic, distinct subspaces") {
+    import graft.pipeline.Clustering
+    val out = graft.pipeline.Clustering.productQuantize(emb, "vec_id", "embedding",
+      m = 4, k = 4, iters = 1)
+    assert(out.columns.toSeq == Seq("vec_id", "code_0", "code_1", "code_2", "code_3"))
+    val rows = out.orderBy("vec_id").collect()
+    assert(rows.length == emb.count())
+    for (j <- 0 to 3) {
+      val codes = rows.map(_.getAs[Int](s"code_$j")).toSet
+      assert(codes.forall(c => c >= 0 && c < 4))
+      assert(codes.size > 1, s"subspace $j collapsed to one centroid")
+    }
+    val again = Clustering.productQuantize(emb, "vec_id", "embedding",
+      m = 4, k = 4, iters = 1).orderBy("vec_id").collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("zipf fit: an exact power law recovers its exponent") {
     import graft.pipeline.Ranking
     // freq(rank) = 1000 / rank for 20 tokens => slope exactly -1
