@@ -225,6 +225,52 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("weighted sampling and epoch mixing stay shuffle-free scan transforms") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select($"doc_id", $"lang", lit(0.5).as("w"))
+    val wPlan = executedPlan(
+      graft.pipeline.Sampling.weightedSample(docs, "doc_id", "w", 3, 5))
+    assert(!wPlan.contains("Exchange"), wPlan)
+    val mPlan = executedPlan(graft.pipeline.Sampling.mixEpochs(
+      docs.select("doc_id", "lang"), "lang", "doc_id",
+      Map("de" -> 2500000L)))
+    assert(!mPlan.contains("Exchange"), mPlan) // explode ≠ shuffle
+    assert(mPlan.contains("Generate explode"), mPlan)
+  }
+
+  test("int8 encode is a zero-shuffle map; stats reduce before their exchange") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val stats = executedPlan(
+      graft.pipeline.Quantization.int8Stats(emb, "embedding"))
+    // partial min/max combine map-side; only dim-sized rows cross the wire
+    assert(stats.contains("partial_min"), stats)
+    val encoded = executedPlan(graft.pipeline.Quantization
+      .quantizeInt8(spark, emb, "vec_id", "embedding"))
+    assert(!encoded.contains("Exchange"), encoded) // codebook is literal arrays
+  }
+
+  test("incremental dedup broadcasts the batch side against the corpus index") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val corpus = docs.filter($"doc_id" % 7 =!= 0)
+    val batch = docs.filter($"doc_id" % 7 === 0)
+    val p = graft.pipeline.DocDedup.MinHashParams(32, 16)
+    val idx = graft.pipeline.DocDedup.lshIndex(corpus, "doc_id", "text", 3, p)
+    val plan = executedPlan(graft.pipeline.DocDedup.incrementalNearDups(
+      corpus, idx, batch, "doc_id", "text", 3, 0.7, p))
+    // the bucket join must not sort-merge the corpus index
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("naive bayes count tables broadcast onto the occurrence stream") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val plan = executedPlan(graft.pipeline.LanguageModel
+      .naiveBayesClassify(docs, "doc_id", "lang", "text"))
+    // vocab-sized tables broadcast; the corpus-grain joins never sort-merge
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan) // #classes fan-out
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("readFilter whole plan stays shuffle-free up to the ordering") {
     val df = spark.read.parquet(parquetTable)
     val tagged = spark.createDataFrame(
