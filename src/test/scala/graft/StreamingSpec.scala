@@ -101,6 +101,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: re-arrivals within the watermark are dropped, text stays out of the key") {
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, java.sql.Timestamp)](
+      spark)
+    val ts = (s: Long) => java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s))
+    val out = graft.streaming.StreamDedup.dedupStream(
+      input.toDF().toDF("doc_id", "text", "ts"), "text", "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sdd")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "the quick brown fox", ts(100)),
+        (2L, "  The  quick Brown fox ", ts(110)), // normalized dup of 1
+        (3L, "a different document", ts(120)))
+      q.processAllAvailable()
+      input.addData((4L, "the quick brown fox", ts(130))) // dup, next batch
+      q.processAllAvailable()
+      val kept = spark.table("sdd").select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 3L), s"kept $kept")
+      // distinct hash per surviving content
+      assert(spark.table("sdd").select("text_hash").distinct().count() == 2)
+    } finally q.stop()
+  }
+
   test("streamSplit: null predicate rows land on the REST side") {
     val df = LineProtocol.ingest(spark, Seq(
       "m,host=a v=1.0 10", "m,host=b v=2.0 20", "m,host=c v=3.0 30"))("m")
