@@ -1475,6 +1475,14 @@ object QueriesCore {
         event_type AS value FROM events
         GROUP BY event_type ORDER BY event_type""")),
 
+    ("influxql_show_cardinality",
+      (s, d) => graft.operators.InfluxQlPlanner.runStmt(influxMs(s, d),
+        "SHOW SERIES CARDINALITY"),
+      Some("""SELECT 'events' AS measurement, count(DISTINCT
+          'events,event_type=' || event_type || ',user_id=' || user_id)
+          AS count
+        FROM events""")),
+
     ("events_histogram",
       (s, d) => {
         // Flux histogram(): cumulative counts per upper bound, one wide

@@ -138,6 +138,37 @@ object InfluxQlPlanner {
         parts.reduce(_ unionByName _).orderBy("key")
       case "retention policies" =>
         throw ParseError("SHOW RETENTION POLICIES is a server-level statement")
+      // ---- 1.x CARDINALITY forms: the same plans reduced to counts ----
+      case "measurement cardinality" =>
+        Seq(ms.size.toLong).toDF("count")
+      case "series cardinality" =>
+        // exact distinct series keys per measurement (the 1.x exact form;
+        // the estimated form maps to approx_count_distinct if ever needed)
+        val parts = targets.map { case (name, m) =>
+          val tagParts = m.tagCols.sorted.map { t =>
+            when(col(t).isNotNull,
+              concat(lit(t + "="), col(t).cast("string")))
+          }
+          m.df.select(concat_ws(",", lit(name) +: tagParts: _*).as("key"))
+            .agg(count_distinct(col("key")).as("count"))
+            .select(lit(name).as("measurement"), col("count"))
+        }
+        parts.reduce(_ unionByName _).orderBy("measurement")
+      case "tag keys cardinality" =>
+        showPlan(ms, sh.copy(what = "tag keys"))
+          .groupBy("measurement")
+          .agg(count(lit(1)).as("count"))
+          .orderBy("measurement")
+      case "tag values cardinality" =>
+        showPlan(ms, sh.copy(what = "tag values"))
+          .groupBy("measurement")
+          .agg(count(lit(1)).as("count"))
+          .orderBy("measurement")
+      case "field keys cardinality" =>
+        showPlan(ms, sh.copy(what = "field keys"))
+          .groupBy("measurement")
+          .agg(count(lit(1)).as("count"))
+          .orderBy("measurement")
       case "field keys" =>
         targets.flatMap { case (name, m) =>
           m.df.schema.fields

@@ -286,6 +286,25 @@ class InfluxQlSpec extends SparkSpec {
       Seq("cpu,host=a", "cpu,host=b"))
   }
 
+  test("SHOW CARDINALITY forms reduce the metadata plans to counts") {
+    def show(q: String) = InfluxQlPlanner.runStmt(ms, q)
+    assert(show("SHOW MEASUREMENT CARDINALITY").as[Long].collect().toSeq
+      == Seq(1L))
+    assert(show("SHOW SERIES CARDINALITY").as[(String, Long)].collect().toSeq
+      == Seq(("cpu", 2L)))
+    assert(show("SHOW SERIES CARDINALITY FROM cpu")
+      .as[(String, Long)].collect().toSeq == Seq(("cpu", 2L)))
+    // singular KEY spelling per 1.x; plural accepted too
+    assert(show("SHOW TAG KEY CARDINALITY").as[(String, Long)].collect().toSeq
+      == Seq(("cpu", 1L)))
+    assert(show("SHOW TAG KEYS CARDINALITY").as[(String, Long)].collect().toSeq
+      == Seq(("cpu", 1L)))
+    assert(show("SHOW TAG VALUES CARDINALITY WITH KEY = host")
+      .as[(String, Long)].collect().toSeq == Seq(("cpu", 2L)))
+    assert(show("SHOW FIELD KEY CARDINALITY").as[(String, Long)].collect().toSeq
+      == Seq(("cpu", 1L)))
+  }
+
   test("RFC3339 timestamps and epoch-ns integers are interchangeable") {
     val a = run("SELECT value FROM cpu WHERE time >= '1970-01-01T00:00:10Z' AND host = 'a' ORDER BY time")
       .as[(Long, Double)].collect().toSeq
