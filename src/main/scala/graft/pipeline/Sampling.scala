@@ -79,6 +79,38 @@ object Sampling {
       .withColumn("contaminated", col("overlap") >= threshold)
   }
 
+  /** Semantic (embedding-space) decontamination: flag corpus rows whose
+    * embedding is within cosine `threshold` of ANY benchmark embedding —
+    * the paraphrase-robust complement of the n-gram [[decontaminate]]
+    * (eval leakage survives rewording that defeats shingle overlap).
+    *
+    * Scale shape: the benchmark side (eval sets — small by construction)
+    * BROADCASTS under a nested-loop join; per-row max-cosine partial
+    * aggregation combines map-side, so the one shuffle carries a single
+    * (id, max) row per corpus row — never the benchmark fan-out. Same
+    * posture as the ANN brute-force scorer ([[Similarity.bruteForceTopK]]).
+    */
+  def decontaminateSemantic(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    // norms factor out of the pair loop: computed once per vector on
+    // each side BEFORE the join instead of |bench| (resp. |corpus|)
+    // times inside it — same IEEE expression (dot / (n1 · n2)), ~3x less
+    // float work per pair
+    val bench = broadcast(benchmark
+      .select(VF.asDouble(col(vecCol)).as("__bvec"))
+      .withColumn("__bnorm", VF.norm(col("__bvec"))))
+    corpus.select(col(idCol), VF.asDouble(col(vecCol)).as("__cvec"))
+      .withColumn("__cnorm", VF.norm(col("__cvec")))
+      .crossJoin(bench)
+      .select(col(idCol),
+        (VF.dot(col("__cvec"), col("__bvec")) /
+          (col("__cnorm") * col("__bnorm"))).as("__cos"))
+      .groupBy(col(idCol))
+      .agg(round(max("__cos"), 6).as("max_cos"))
+      .withColumn("contaminated", col("max_cos") >= threshold)
+  }
+
   /** Weight-proportional Bernoulli sampling: keep each row with
     * probability `rate * weight` where `weight` ∈ [0, 1] is a per-row
     * column (e.g. a quality score) — importance sampling for corpus
