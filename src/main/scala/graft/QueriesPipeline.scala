@@ -972,6 +972,27 @@ object QueriesPipeline {
             / n) / 1000000.0, 6) AS intercept_ln
         FROM a""")),
 
+    // embedding-space decontamination: max cosine of every corpus vector
+    // against the broadcast benchmark subset (vec_id % 13 = 0) — the
+    // paraphrase-robust twin of the n-gram decontaminate
+    ("decontaminate_semantic",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Sampling.decontaminateSemantic(emb,
+            emb.filter(col("vec_id") % 13 === 0), "vec_id", "embedding",
+            threshold = 0.4)
+          .orderBy("vec_id")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings),
+        b AS (SELECT e AS be FROM v WHERE vec_id % 13 = 0),
+        m AS (SELECT vec_id, round(max(list_dot_product(e, be)
+            / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(be, be)))), 6)
+            AS max_cos
+          FROM v CROSS JOIN b GROUP BY vec_id)
+        SELECT vec_id, max_cos, max_cos >= 0.4 AS contaminated
+        FROM m ORDER BY vec_id""")),
+
     // incremental dedup: a "new batch" (doc_id % 7 = 0) matched against
     // the LSH index of the rest of the corpus — only the batch is
     // shingled/signed at query time; the index join broadcasts the small
