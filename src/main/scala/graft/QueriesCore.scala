@@ -1475,6 +1475,28 @@ object QueriesCore {
         event_type AS value FROM events
         GROUP BY event_type ORDER BY event_type""")),
 
+    ("events_increase",
+      (s, d) => {
+        // Flux/PromQL counter increase over raw event series: running
+        // non-negative deltas with counter-reset handling
+        import graft.functions.{SeriesFunctions => SF}
+        val ev = Tables.events(s, d).filter(col("user_id") < 5)
+          .select(col("user_id"), col("ts_ns").as("t"), col("value"))
+        SF.increase(ev, Seq("user_id"), "t", "value", "incr")
+          .select(col("user_id"), col("t"), round(col("incr"), 6).as("incr"))
+          .orderBy("user_id", "t")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS t, value
+          FROM events WHERE user_id < 5),
+        c AS (SELECT user_id, t,
+            CASE WHEN lag(value) OVER win IS NULL THEN 0.0
+              WHEN value < lag(value) OVER win THEN value
+              ELSE value - lag(value) OVER win END AS contrib
+          FROM e WINDOW win AS (PARTITION BY user_id ORDER BY t))
+        SELECT user_id, t, round(sum(contrib) OVER (PARTITION BY user_id
+            ORDER BY t ROWS UNBOUNDED PRECEDING), 6) AS incr
+        FROM c ORDER BY user_id, t""")),
+
     ("influxql_show_cardinality",
       (s, d) => graft.operators.InfluxQlPlanner.runStmt(influxMs(s, d),
         "SHOW SERIES CARDINALITY"),

@@ -81,6 +81,24 @@ object SeriesFunctions {
   private def suppressNegative(df: DataFrame, out: String): DataFrame =
     df.withColumn(out, when(col(out) >= 0.0, col(out)))
 
+  /** Flux/PromQL-style counter `increase`: the running total of
+    * non-negative deltas within the series; a decrease is a counter
+    * reset, and the post-reset value is what gets added (the counter
+    * restarted from zero and counted up to it). The first point
+    * contributes 0. Same one-exchange window shape as its siblings. */
+  def increase(df: DataFrame, keyCols: Seq[String], timeCol: String,
+      valueCol: String, out: String): DataFrame = {
+    val w = series(keyCols, timeCol)
+    val prev = lag(col(valueCol), 1).over(w)
+    df.withColumn("__incr_d",
+        when(prev.isNull, lit(0.0))
+          .when(col(valueCol) < prev, col(valueCol))
+          .otherwise(col(valueCol) - prev))
+      .withColumn(out, sum(col("__incr_d"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__incr_d")
+  }
+
   /** Nanoseconds since the previous point (InfluxQL `elapsed`). */
   def elapsed(df: DataFrame, keyCols: Seq[String], timeCol: String,
       out: String): DataFrame = {

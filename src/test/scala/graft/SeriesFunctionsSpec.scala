@@ -27,6 +27,16 @@ class SeriesFunctionsSpec extends SparkSpec {
     assert(r(("a", 4000000000L)).isEmpty)
   }
 
+  test("increase: running non-negative deltas; a drop is a counter reset") {
+    val i = vals(SF.increase(pts, Seq("k"), "t", "v", "i"), "i")
+    assert(i(("a", 0L)).contains(0.0), "first point contributes nothing")
+    assert(i(("a", 1000000000L)).contains(3.0))
+    assert(i(("a", 3000000000L)).contains(3.0), "flat adds zero")
+    // drop 13 -> 9: reset, the post-reset value is added (3 + 9)
+    assert(i(("a", 4000000000L)).contains(12.0))
+    assert(i(("b", 2000000000L)).contains(10.0), "series are independent")
+  }
+
   test("exponentialMovingAverage: first point seeds, recursion follows") {
     val out = SF.exponentialMovingAverage(pts, Seq("k"), "t", "v",
         alpha = 0.5, "ema")
