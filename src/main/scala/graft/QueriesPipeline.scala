@@ -972,6 +972,38 @@ object QueriesPipeline {
             / n) / 1000000.0, 6) AS intercept_ln
         FROM a""")),
 
+    // winnowing fingerprints (MOSS): min-hash of each sliding window of 4
+    // trigram hashes — ~2/(w+1) density with a guaranteed detection
+    // length; pairs sharing >= 8 fingerprints, exact inverted-index count
+    ("dedup_winnow",
+      (s, d) => DocDedup.winnowPairs(Tables.spread(s, Tables.documents(s, d)),
+          "doc_id", "text", n = 3, w = 4, minShared = 8)
+        .select(col("id1"), col("id2"), col("n1"), col("n2"), col("shared"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy("id1", "id2"),
+      Some(s"""WITH toks AS (SELECT doc_id, $dToks AS tk FROM documents),
+        ng AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN list_filter(
+            list_transform(range(1, len(tk) - 1),
+              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]),
+            s -> length(s) > 0) ELSE [] END AS gs FROM toks),
+        hs AS (SELECT doc_id, list_transform(gs, s -> ${dHash60("s")}) AS h
+          FROM ng),
+        fp0 AS (SELECT doc_id, CASE
+            WHEN len(h) >= 4 THEN list_distinct(list_transform(
+              range(0, len(h) - 3), i -> list_min(h[i+1:i+4])))
+            WHEN len(h) > 0 THEN [list_min(h)]
+            ELSE [] END AS fps FROM hs),
+        fpr AS (SELECT doc_id, unnest(fps) AS fp FROM fp0),
+        sizes AS (SELECT doc_id, count(*) AS nf FROM fpr GROUP BY 1),
+        pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+          FROM fpr a JOIN fpr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id1, id2, s1.nf AS n1, s2.nf AS n2, shared,
+          round(shared * 1.0 / least(s1.nf, s2.nf), 6) AS containment
+        FROM pairs JOIN sizes s1 ON s1.doc_id = id1
+          JOIN sizes s2 ON s2.doc_id = id2
+        WHERE shared >= 8 ORDER BY id1, id2""")),
+
     // embedding-space decontamination: max cosine of every corpus vector
     // against the broadcast benchmark subset (vec_id % 13 = 0) — the
     // paraphrase-robust twin of the n-gram decontaminate

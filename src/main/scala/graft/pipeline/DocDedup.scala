@@ -164,6 +164,64 @@ object DocDedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ------------------------------------------------------------ winnowing
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD 2003 — the MOSS
+    * algorithm): hash every word-`n`-gram, then keep the MINIMUM hash of
+    * each sliding window of `w` consecutive n-gram hashes. The guarantee:
+    * any shared run of `w + n - 1` tokens between two documents shares at
+    * least one fingerprint, while expected density is only `2/(w+1)` —
+    * the corpus-scale alternative to indexing EVERY shingle (the inverted
+    * index shrinks ~w/2-fold with a detection-length guarantee instead of
+    * LSH's probabilistic recall).
+    *
+    * Returns one row per (id, fingerprint) — distinct per document. The
+    * selection is per-row array math (zero shuffles); ties inside a
+    * window resolve to the hash value itself (min over longs), so the
+    * fingerprint SET is deterministic and engine-reproducible. */
+  def winnowedFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, w: Int): DataFrame = {
+    require(w >= 1, "winnow window must be >= 1")
+    // multiplicity-preserving n-gram hashes in document order (ngrams,
+    // not the distinct shingles — windows are positional)
+    val hs = transform(graft.functions.TextFunctions.ngrams(col(textCol), n),
+      s => graft.functions.TextFunctions.hash60(s))
+    val fps = when(size(hs) >= w,
+        array_distinct(transform(sequence(lit(0), size(hs) - w),
+          i => array_min(slice(hs, i + 1, lit(w))))))
+      .otherwise(when(size(hs) > 0, array(array_min(hs))) // short doc: one fp
+        .otherwise(array().cast("array<bigint>")))
+    docs.select(col(idCol), explode(fps).as("fp"))
+  }
+
+  /** Near-dup candidate pairs from winnowed fingerprints: documents
+    * sharing >= `minShared` fingerprints, with the shared count and each
+    * side's fingerprint-set size (containment = shared/least(n1, n2)).
+    * Same one-shuffle inverted-index shape as [[ngramJaccardPairs]], but
+    * over the ~w/2-fold sparser winnowed sets — this is what makes exact
+    * (non-LSH) pair detection affordable at corpus scale. `maxFpDf`
+    * bounds the quadratic bucket expansion exactly like the shingle cap
+    * there. */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, w: Int, minShared: Long, maxFpDf: Int = 5000): DataFrame = {
+    val fps = winnowedFingerprints(docs, idCol, textCol, n, w)
+    val sized = fps.groupBy(col(idCol))
+      .agg(count(lit(1)).as("nf"))
+    val indexed = fps.join(sized, idCol)
+    val buckets = indexed.groupBy("fp")
+      .agg(sort_array(collect_list(struct(col(idCol), col("nf")))).as("xs"))
+      .filter(size(col("xs")) > 1 && size(col("xs")) <= maxFpDf)
+    explodePairs(buckets, "xs")((x, y) =>
+        struct(x.getField(idCol).as("id1"), y.getField(idCol).as("id2"),
+          x.getField("nf").as("n1"), y.getField("nf").as("n2")))
+      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"),
+        col("p.n1").as("n1"), col("p.n2").as("n2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .withColumn("containment",
+        col("shared") / least(col("n1"), col("n2")).cast("double"))
+  }
+
   // --------------------------------------------------- jaccard verification
 
   /** Exact word-n-gram Jaccard for given candidate pairs (id1, id2).

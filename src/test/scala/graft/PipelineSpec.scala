@@ -458,6 +458,33 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("winnowing: shared long runs always share a fingerprint; short docs covered") {
+    val n = 3; val w = 4
+    // two docs sharing a run of w+n-1 = 6 tokens amid distinct noise:
+    // the Schleimer guarantee says at least one fingerprint must match
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val two = Seq(
+      (1L, s"one two three $shared four five six"),
+      (2L, s"seven eight nine ten $shared eleven")).toDF("doc_id", "text")
+    val fps = DocDedup.winnowedFingerprints(two, "doc_id", "text", n, w)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert((fps(1L) intersect fps(2L)).nonEmpty, "guarantee violated")
+    // density: far fewer fingerprints than n-grams (expected 2/(w+1))
+    val doc = (1 to 200).map(i => s"tok${i % 50}").mkString(" ")
+    val nfp = DocDedup.winnowedFingerprints(Seq((1L, doc)).toDF("doc_id", "text"),
+      "doc_id", "text", n, w).count()
+    assert(nfp < 198 / 2, s"$nfp fingerprints for 198 n-grams is not sparse")
+    // docs shorter than one window still emit exactly one fingerprint
+    val short = DocDedup.winnowedFingerprints(
+      Seq((1L, "just three words here")).toDF("doc_id", "text"),
+      "doc_id", "text", n, w).count()
+    assert(short == 1L)
+    // disjoint docs share nothing
+    val pairs = DocDedup.winnowPairs(two, "doc_id", "text", n, w, minShared = 1)
+      .select("id1", "id2").collect()
+    assert(pairs.nonEmpty) // the planted overlap surfaces as a pair
+  }
+
   test("zipf fit: an exact power law recovers its exponent") {
     import graft.pipeline.Ranking
     // freq(rank) = 1000 / rank for 20 tokens => slope exactly -1
