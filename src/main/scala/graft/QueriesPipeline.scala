@@ -974,10 +974,16 @@ object QueriesPipeline {
 
     // winnowing fingerprints (MOSS): min-hash of each sliding window of 4
     // trigram hashes — ~2/(w+1) density with a guaranteed detection
-    // length; pairs sharing >= 8 fingerprints, exact inverted-index count
+    // length; pairs sharing >= 8 fingerprints, exact inverted-index count.
+    // The df cap (64) excludes corpus-ubiquitous fingerprints from pair
+    // counting on BOTH engines — min-hash selection concentrates on
+    // globally small hash values, so without the cap this synthetic
+    // small-vocabulary corpus degenerates to quadratic buckets; a
+    // fingerprint shared by >64 documents is boilerplate, not near-dup
+    // evidence
     ("dedup_winnow",
       (s, d) => DocDedup.winnowPairs(Tables.spread(s, Tables.documents(s, d)),
-          "doc_id", "text", n = 3, w = 4, minShared = 8)
+          "doc_id", "text", n = 3, w = 4, minShared = 8, maxFpDf = 64)
         .select(col("id1"), col("id2"), col("n1"), col("n2"), col("shared"),
           round(col("containment"), 6).as("containment"))
         .orderBy("id1", "id2"),
@@ -995,8 +1001,10 @@ object QueriesPipeline {
             ELSE [] END AS fps FROM hs),
         fpr AS (SELECT doc_id, unnest(fps) AS fp FROM fp0),
         sizes AS (SELECT doc_id, count(*) AS nf FROM fpr GROUP BY 1),
+        rare AS (SELECT fp FROM fpr GROUP BY fp HAVING count(*) <= 64),
         pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
           FROM fpr a JOIN fpr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          WHERE a.fp IN (SELECT fp FROM rare)
           GROUP BY 1, 2)
         SELECT id1, id2, s1.nf AS n1, s2.nf AS n2, shared,
           round(shared * 1.0 / least(s1.nf, s2.nf), 6) AS containment

@@ -183,15 +183,35 @@ object DocDedup {
       n: Int, w: Int): DataFrame = {
     require(w >= 1, "winnow window must be >= 1")
     // multiplicity-preserving n-gram hashes in document order (ngrams,
-    // not the distinct shingles — windows are positional)
-    val hs = transform(graft.functions.TextFunctions.ngrams(col(textCol), n),
-      s => graft.functions.TextFunctions.hash60(s))
+    // not the distinct shingles — windows are positional). The hash array
+    // MUST materialize as its own column before the window transform:
+    // expressions inside a higher-order lambda re-evaluate per element,
+    // so inlining this would re-tokenize and re-hash the document once
+    // per window position (measured ~6x the whole operator's cost).
+    // explode_outer + a cheap post-filter, NOT explode: for a bare
+    // explode the optimizer infers `size(arr) > 0` and pushes it below
+    // the projections, substituting the whole fingerprint expression
+    // into a per-row Filter — which re-evaluates the window lambda with
+    // the n-gram hashing inlined (measured ~20x the operator's cost)
+    winnowedFpArray(docs, idCol, textCol, n, w)
+      .select(col(idCol), explode_outer(col("__fps")).as("fp"))
+      .filter(col("fp").isNotNull)
+  }
+
+  /** (id, __fps array) form of [[winnowedFingerprints]] — lets callers
+    * derive the per-document set size without a second corpus pass. */
+  private def winnowedFpArray(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, w: Int): DataFrame = {
+    val withHs = docs.select(col(idCol),
+      transform(graft.functions.TextFunctions.ngrams(col(textCol), n),
+        s => graft.functions.TextFunctions.hash60(s)).as("__hs"))
+    val hs = col("__hs")
     val fps = when(size(hs) >= w,
         array_distinct(transform(sequence(lit(0), size(hs) - w),
           i => array_min(slice(hs, i + 1, lit(w))))))
       .otherwise(when(size(hs) > 0, array(array_min(hs))) // short doc: one fp
         .otherwise(array().cast("array<bigint>")))
-    docs.select(col(idCol), explode(fps).as("fp"))
+    withHs.select(col(idCol), fps.as("__fps"))
   }
 
   /** Near-dup candidate pairs from winnowed fingerprints: documents
@@ -204,10 +224,13 @@ object DocDedup {
     * there. */
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, w: Int, minShared: Long, maxFpDf: Int = 5000): DataFrame = {
-    val fps = winnowedFingerprints(docs, idCol, textCol, n, w)
-    val sized = fps.groupBy(col(idCol))
-      .agg(count(lit(1)).as("nf"))
-    val indexed = fps.join(sized, idCol)
+    // set size rides along with the explode — ONE corpus pass, no
+    // per-doc-count join (which would recompute the fingerprint pipeline:
+    // the doc-count side broadcasts, so no exchange reuse applies)
+    val indexed = winnowedFpArray(docs, idCol, textCol, n, w)
+      .select(col(idCol), size(col("__fps")).cast("long").as("nf"),
+        explode_outer(col("__fps")).as("fp")) // see winnowedFingerprints
+      .filter(col("fp").isNotNull)
     val buckets = indexed.groupBy("fp")
       .agg(sort_array(collect_list(struct(col(idCol), col("nf")))).as("xs"))
       .filter(size(col("xs")) > 1 && size(col("xs")) <= maxFpDf)
