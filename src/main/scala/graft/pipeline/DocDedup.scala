@@ -50,11 +50,18 @@ object DocDedup {
     * (the tail slice reuses the collected list). */
   private def explodePairs(buckets: DataFrame, xs: String)(
       mk: (Column, Column) => Column): DataFrame =
+    // *_outer + post-filter, not bare explode/posexplode: the optimizer
+    // infers `size(arr) > 0` from a bare generator and pushes it down
+    // with the generator-input EXPRESSION inlined into a per-row Filter,
+    // re-materializing every pair-struct array a second time (the hot
+    // path of every dedup family member)
     buckets
-      .select(col(xs).as("__xs"), posexplode(col(xs)).as(Seq("__i", "__x")))
-      .select(explode(transform(
+      .select(col(xs).as("__xs"), posexplode_outer(col(xs)).as(Seq("__i", "__x")))
+      .filter(col("__x").isNotNull)
+      .select(explode_outer(transform(
         slice(col("__xs"), col("__i") + lit(2), size(col("__xs"))),
         y => mk(col("__x"), y))).as("p"))
+      .filter(col("p").isNotNull)
 
   // ------------------------------------------------------------- minhash
 
@@ -304,8 +311,9 @@ object DocDedup {
       n: Int, threshold: Double, maxShingleDf: Int = 5000): DataFrame = {
     val shArr = shingles(col(textCol), n)
     val sh = docs.select(col(idCol).as("id"), shArr.as("__sh"))
-      .select(col("id"), explode(col("__sh")).as("s"),
+      .select(col("id"), explode_outer(col("__sh")).as("s"), // see explodePairs
         size(col("__sh")).as("n"))
+      .filter(col("s").isNotNull)
     val buckets = sh.groupBy("s")
       .agg(sort_array(collect_list(struct(col("id"), col("n")))).as("xs"))
     val counted = explodePairs(
@@ -510,7 +518,9 @@ object DocDedup {
     * count with map-side partial aggregation — never a countDistinct. */
   def commonSegments(docs: DataFrame, idCol: String, textCol: String,
       n: Int, minDocs: Int): DataFrame =
-    docs.select(explode(array_distinct(segments(col(textCol), n))).as("seg"))
+    docs.select(explode_outer(array_distinct(segments(col(textCol), n)))
+        .as("seg")) // outer + post-filter: see explodePairs
+      .filter(col("seg").isNotNull)
       .groupBy("seg").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
 
@@ -530,7 +540,8 @@ object DocDedup {
       n: Int, minDocs: Int): DataFrame = {
     val common = commonSegments(docs, idCol, textCol, n, minDocs).select("seg")
     val segs = docs.select(col(idCol),
-      posexplode(segments(col(textCol), n)).as(Seq("__pos", "seg")))
+        posexplode_outer(segments(col(textCol), n)).as(Seq("__pos", "seg")))
+      .filter(col("seg").isNotNull) // outer + post-filter: see explodePairs
     val kept = segs.join(broadcast(common), Seq("seg"), "left_anti")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_kept"),

@@ -29,11 +29,14 @@ object LanguageModel {
       alpha: Double = 0.5): DataFrame = {
     require(alpha > 0, "add-alpha smoothing needs alpha > 0")
     val uni = docs
-      .select(explode(TF.tokens(col(textCol))).as("__w1"))
+      .select(explode_outer(TF.tokens(col(textCol))).as("__w1"))
+      .filter(col("__w1").isNotNull) // outer+filter: a bare explode's
+      // inferred size()>0 predicate inlines the tokenizer into a Filter
       .groupBy("__w1").agg(count(lit(1)).as("__cw"))
     val vocab = uni.agg(count(lit(1)).as("__v"))
     val occ = docs
-      .select(col(idCol), explode(TF.ngrams(col(textCol), 2)).as("__bg"))
+      .select(col(idCol), explode_outer(TF.ngrams(col(textCol), 2)).as("__bg"))
+      .filter(col("__bg").isNotNull)
     val bgCounts = occ.groupBy("__bg").agg(count(lit(1)).as("__cbg"))
     occ
       .join(bgCounts, "__bg")
@@ -74,9 +77,13 @@ object LanguageModel {
       textCol: String, alpha: Double = 0.5): DataFrame = {
     require(alpha > 0, "add-alpha smoothing needs alpha > 0")
     import org.apache.spark.sql.expressions.Window
-    val occ = docs.select(col(idCol), explode(TF.tokens(col(textCol))).as("__t"))
+    val occ = docs
+      .select(col(idCol), explode_outer(TF.tokens(col(textCol))).as("__t"))
+      .filter(col("__t").isNotNull)
     val classTok = docs
-      .select(col(labelCol).as("__c"), explode(TF.tokens(col(textCol))).as("__t"))
+      .select(col(labelCol).as("__c"),
+        explode_outer(TF.tokens(col(textCol))).as("__t"))
+      .filter(col("__t").isNotNull)
       .groupBy("__c", "__t").agg(count(lit(1)).as("__ct"))
     val classTotals = classTok.groupBy("__c").agg(sum("__ct").as("__n"))
     val vocab = occ.select(countDistinct("__t").as("__v"))

@@ -30,8 +30,8 @@ object Ranking {
       .select(col(idCol), col("__toks"), size(col("__toks")).as("__dl"))
     val stats = base.agg(count(lit(1)).as("n_docs"), avg(col("__dl")).as("avg_dl"))
     val tf = base
-      .select(col(idCol), col("__dl"), explode(col("__toks")).as("term"))
-      .filter(col("term").isin(terms: _*))
+      .select(col(idCol), col("__dl"), explode_outer(col("__toks")).as("term"))
+      .filter(col("term").isin(terms: _*)) // in-set also drops the outer null
       .groupBy(col(idCol), col("term"), col("__dl"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -64,7 +64,8 @@ object Ranking {
     require(topN >= 2, "a line needs two points")
     import org.apache.spark.sql.expressions.Window
     val counts = docs
-      .select(explode(TF.tokens(col(textCol))).as("tok"))
+      .select(explode_outer(TF.tokens(col(textCol))).as("tok"))
+      .filter(col("tok").isNotNull) // outer+filter: see DocDedup.explodePairs
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tok").asc)
       .limit(topN)

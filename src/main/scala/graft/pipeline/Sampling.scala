@@ -61,7 +61,8 @@ object Sampling {
   def decontaminate(docs: DataFrame, benchmark: DataFrame, idCol: String,
       textCol: String, n: Int = 3, threshold: Double = 0.2): DataFrame = {
     val benchHashes = benchmark
-      .select(explode(TextFunctions.shingles(col(textCol), n)).as("s"))
+      .select(explode_outer(TextFunctions.shingles(col(textCol), n)).as("s"))
+      .filter(col("s").isNotNull) // outer+filter: see DocDedup.explodePairs
       .select(TextFunctions.hash60(col("s")).as("h"))
       .distinct()
       .withColumn("bench_hit", lit(1))
