@@ -1278,6 +1278,77 @@ object QueriesCore {
             lag(e3) OVER (PARTITION BY user_id ORDER BY t) AS lag_e3 FROM r)
         ORDER BY user_id, t""")),
 
+    ("events_holt",
+      (s, d) => {
+        // Holt linear-trend smoothing (the seasonless core of InfluxQL
+        // HOLT_WINTERS; α/β explicit so the recursion is deterministic).
+        // α=0.5, β=0.25 are exactly representable, so the per-step IEEE
+        // arithmetic is bit-identical to the oracle's recursive CTE
+        import graft.functions.{SeriesFunctions => SF}
+        val ev = Tables.events(s, d).filter(col("user_id") < 5)
+          .select(col("user_id"), col("ts_ns").as("t"), col("value"))
+        SF.holtLinear(ev, Seq("user_id"), "t", "value",
+            alpha = 0.5, beta = 0.25, "holt")
+          .select(col("user_id").cast("long").as("user_id"), col("t"),
+            round(col("holt"), 6).as("holt"))
+          .orderBy("user_id", "t")
+      },
+      Some("""WITH RECURSIVE e AS (SELECT user_id, epoch_ns(ts) AS t, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY epoch_ns(ts)) AS rn
+          FROM events WHERE user_id < 5),
+        r AS (SELECT user_id, t, rn, value AS l, CAST(0 AS DOUBLE) AS b
+          FROM e WHERE rn = 1
+          UNION ALL
+          SELECT e.user_id, e.t, e.rn,
+            CASE WHEN e.rn = 2 THEN e.value
+              ELSE 0.5 * e.value + 0.5 * (r.l + r.b) END,
+            CASE WHEN e.rn = 2 THEN e.value - r.l
+              ELSE 0.25 * ((0.5 * e.value + 0.5 * (r.l + r.b)) - r.l)
+                + 0.75 * r.b END
+          FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        SELECT user_id, t,
+          round(CASE WHEN rn >= 2 THEN l + b END, 6) AS holt
+        FROM r ORDER BY user_id, t""")),
+
+    ("events_holt_forecast",
+      (s, d) => {
+        // HOLT_WINTERS(…, 5, 0)-style forecast: run the level/trend
+        // recursion to each series' end, then project 5 hourly points
+        // l + h·b. Corpus cost = one scan; the explode is over the
+        // series-count-sized final-state frame, not the data
+        import graft.functions.{SeriesFunctions => SF}
+        val ev = Tables.events(s, d).filter(col("user_id") < 5)
+          .select(col("user_id"), col("ts_ns").as("t"), col("value"))
+        SF.holtForecast(ev, Seq("user_id"), "t", "value",
+            alpha = 0.5, beta = 0.25, n = 5, stepNs = 3600000000000L, "holt")
+          .select(col("user_id").cast("long").as("user_id"), col("t"),
+            round(col("holt"), 6).as("holt"))
+          .orderBy("user_id", "t")
+      },
+      Some("""WITH RECURSIVE e AS (SELECT user_id, epoch_ns(ts) AS t, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY epoch_ns(ts)) AS rn
+          FROM events WHERE user_id < 5),
+        r AS (SELECT user_id, t, rn, value AS l, CAST(0 AS DOUBLE) AS b
+          FROM e WHERE rn = 1
+          UNION ALL
+          SELECT e.user_id, e.t, e.rn,
+            CASE WHEN e.rn = 2 THEN e.value
+              ELSE 0.5 * e.value + 0.5 * (r.l + r.b) END,
+            CASE WHEN e.rn = 2 THEN e.value - r.l
+              ELSE 0.25 * ((0.5 * e.value + 0.5 * (r.l + r.b)) - r.l)
+                + 0.75 * r.b END
+          FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1),
+        last AS (SELECT user_id, max(rn) AS mrn FROM r GROUP BY 1),
+        fin AS (SELECT r.user_id, r.t, r.l, r.b FROM r
+          JOIN last ON r.user_id = last.user_id AND r.rn = last.mrn
+          WHERE last.mrn >= 2)
+        SELECT fin.user_id, fin.t + h * 3600000000000 AS t,
+          round(fin.l + h * fin.b, 6) AS holt
+        FROM fin CROSS JOIN (SELECT unnest(range(1, 6)) AS h)
+        ORDER BY user_id, t""")),
+
     ("events_correlation",
       (s, d) => {
         // Flux cov()/pearsonr(): align two measurement streams on a 6h
@@ -1438,6 +1509,46 @@ object QueriesCore {
         SELECT time, event_type,
           (c - pc) / (CAST(time - pt AS DOUBLE) / 21600000000000.0) AS rate
         FROM d WHERE pc IS NOT NULL AND c - pc >= 0
+        ORDER BY event_type, time""")),
+
+    ("influxql_holt_winters",
+      (s, d) => graft.operators.InfluxQlPlanner.run(influxMs(s, d),
+        """SELECT holt_winters(count(value), 4, 0) AS hw FROM events
+           WHERE time >= '2024-01-01T00:00:00Z'
+             AND time < '2024-01-08T00:00:00Z'
+           GROUP BY time(6h), event_type fill(none)""")
+        .select(col("time"), col("event_type"),
+          round(col("hw"), 6).as("hw"))
+        .orderBy("event_type", "time"),
+      // bucket counts are exact integers, so the Holt recursion performs
+      // the identical IEEE op sequence in both engines (α=.5, β=.25 are
+      // exactly representable); the oracle replays it per bucket series
+      // and projects the same 4 points past each series end
+      Some("""WITH RECURSIVE agg AS (SELECT event_type,
+            (epoch_ns(ts) // 21600000000000) * 21600000000000 AS time,
+            CAST(count(*) AS DOUBLE) AS v
+          FROM events WHERE epoch_ns(ts) >= 1704067200000000000
+            AND epoch_ns(ts) < 1704672000000000000 GROUP BY 1, 2),
+        bk AS (SELECT event_type, time, v, row_number() OVER (
+            PARTITION BY event_type ORDER BY time) AS rn FROM agg),
+        r AS (SELECT event_type, time, rn, v AS l, CAST(0 AS DOUBLE) AS b
+          FROM bk WHERE rn = 1
+          UNION ALL
+          SELECT bk.event_type, bk.time, bk.rn,
+            CASE WHEN bk.rn = 2 THEN bk.v
+              ELSE 0.5 * bk.v + 0.5 * (r.l + r.b) END,
+            CASE WHEN bk.rn = 2 THEN bk.v - r.l
+              ELSE 0.25 * ((0.5 * bk.v + 0.5 * (r.l + r.b)) - r.l)
+                + 0.75 * r.b END
+          FROM bk JOIN r ON bk.event_type = r.event_type
+            AND bk.rn = r.rn + 1),
+        last AS (SELECT event_type, max(rn) AS mrn FROM r GROUP BY 1),
+        fin AS (SELECT r.event_type, r.time, r.l, r.b FROM r
+          JOIN last ON r.event_type = last.event_type AND r.rn = last.mrn
+          WHERE last.mrn >= 2)
+        SELECT fin.time + h * 21600000000000 AS time, fin.event_type,
+          round(fin.l + h * fin.b, 6) AS hw
+        FROM fin CROSS JOIN (SELECT unnest(range(1, 5)) AS h)
         ORDER BY event_type, time""")),
 
     ("influxql_scalar",

@@ -383,4 +383,92 @@ object SeriesFunctions {
       col("__k")(i).as(k)
     } ++ Seq(col("__t").as(timeCol), col(out)): _*)
   }
+
+  /** Holt linear-trend (double exponential) smoothing — the seasonless
+    * core of InfluxQL's `holt_winters` (the reference family fits
+    * α/β by Nelder–Mead; we take them as explicit parameters so results
+    * are deterministic and engine-reproducible). Carries a level `l` and
+    * trend `b` per series and emits the one-step-ahead fit `l + b` after
+    * each observed point:
+    *   l' = α·v + (1−α)·(l + b);  b' = β·(l' − l) + (1−β)·b
+    * seeded at the second point with l = v₂, b = v₂ − v₁ (first point
+    * emits NULL). O(1) state on the shared shuffle+sort+scan shape. */
+  def holtLinear(df: DataFrame, keyCols: Seq[String], timeCol: String,
+      valueCol: String, alpha: Double, beta: Double, out: String): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha out of range: $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"beta out of range: $beta")
+    scanSeries(df, keyCols, timeCol, valueCol) { () =>
+      var i = 0; var l = 0.0; var b = 0.0
+      (v: Double) => {
+        i += 1
+        if (i == 1) { l = v; None }
+        else {
+          if (i == 2) { b = v - l; l = v }
+          else {
+            val nl = alpha * v + (1.0 - alpha) * (l + b)
+            b = beta * (nl - l) + (1.0 - beta) * b
+            l = nl
+          }
+          Some(l + b)
+        }
+      }
+    }(out)
+  }
+
+  /** Holt linear-trend FORECAST — the h-step extrapolation InfluxQL's
+    * `HOLT_WINTERS(…, N, 0)` returns: run the smoothing recursion to the
+    * series end, then emit N points `l + i·b` at `tᴺ + i·stepNs`. The
+    * recursion rides the shared per-series scan; the final (l, b, t)
+    * state per series is a last-row aggregate (max-time argmax — bounded,
+    * map-side combining), and the forecast rows are a ×N explode of that
+    * k-row frame: corpus-scan cost + O(series · N) generation, no second
+    * pass over the data. */
+  def holtForecast(df: DataFrame, keyCols: Seq[String], timeCol: String,
+      valueCol: String, alpha: Double, beta: Double, n: Int, stepNs: Long,
+      out: String): DataFrame = {
+    require(n >= 1, s"forecast horizon out of range: $n")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val packed = df.na.drop(Seq(timeCol, valueCol)).select(
+        array(keyCols.map(col(_).cast("string")): _*).as("__k"),
+        col(timeCol).cast("long").as("__t"),
+        col(valueCol).cast("double").as("__v"))
+      .as[(Seq[String], Long, Double)]
+    val states = packed
+      .repartition(col("__k"))
+      .sortWithinPartitions(col("__k"), col("__t"))
+      .mapPartitions { it =>
+        var curKey: Seq[String] = null
+        var i = 0; var l = 0.0; var b = 0.0
+        it.map { case (k, t, v) =>
+          if (k != curKey) { curKey = k; i = 0 }
+          i += 1
+          if (i == 1) { l = v; b = 0.0 }
+          else if (i == 2) { b = v - l; l = v }
+          else {
+            val nl = alpha * v + (1.0 - alpha) * (l + b)
+            b = beta * (nl - l) + (1.0 - beta) * b
+            l = nl
+          }
+          (k, t, l, b, i)
+        }
+      }
+      .toDF("__k", "__t", "__l", "__b", "__i")
+    // last state per series: max-time argmax via struct-max aggregate
+    // (bounded, partial-aggregating — never a window over few partitions)
+    val last = states
+      .groupBy(col("__k"))
+      .agg(max(struct(col("__t"), col("__i"), col("__l"), col("__b"))).as("__s"))
+      .select(col("__k"), col("__s.__t").as("__t"), col("__s.__i").as("__i"),
+        col("__s.__l").as("__l"), col("__s.__b").as("__b"))
+      .filter(col("__i") >= 2) // a 1-point series has no trend to project
+    val horizon = last.select(col("__k"), col("__t"), col("__l"), col("__b"),
+        explode(sequence(lit(1), lit(n))).as("__h"))
+      .select(col("__k"),
+        (col("__t") + col("__h").cast("long") * lit(stepNs)).as(timeCol),
+        (col("__l") + col("__h").cast("double") * col("__b")).as(out))
+    horizon.select(keyCols.zipWithIndex.map { case (k, i) =>
+      col("__k")(i).as(k)
+    } ++ Seq(col(timeCol), col(out)): _*)
+  }
 }

@@ -56,6 +56,7 @@ object InfluxQlPlanner {
   private val scalarFns = Set("abs", "ceil", "floor", "round", "sqrt",
     "exp", "ln", "log", "log2", "log10", "sin", "cos", "tan", "asin",
     "acos", "atan", "atan2", "pow")
+  private val holtFns = Set("holt_winters", "holt_winters_with_fit")
 
   def run(measurements: Map[String, InfluxMeasurement], q: String): DataFrame =
     plan(measurements, InfluxQl.parse(q))
@@ -244,6 +245,8 @@ object InfluxQlPlanner {
         transformSelect(df, m, sel, keyCols, calls)
       else if (calls.size == 1 && scanFns(calls.head._1.fn))
         scanSelect(df, m, sel, keyCols, calls.head._1, calls.head._2)
+      else if (calls.size == 1 && holtFns(calls.head._1.fn))
+        holtSelect(df, m, sel, keyCols, calls.head._1, calls.head._2, lo, hi)
       else
         throw ParseError("unsupported projection mix: " +
           calls.map(_._1.fn).mkString(", "))
@@ -607,6 +610,76 @@ object InfluxQlPlanner {
         SF.demaTema(df, keys, tcol, f, alpha, "__dema", name).drop("__dema")
     }
     finishSeries(out, sel, keys, tcol, Seq(name))
+  }
+
+  // ------------------------------------------------------- holt_winters
+  /** `HOLT_WINTERS(agg(field), N, S)` / `HOLT_WINTERS_WITH_FIT(…)` — the
+    * 1.x downsample-then-forecast form: the aggregate buckets by
+    * `GROUP BY time(...)`, a Holt linear-trend recursion runs over the
+    * buckets, and N points extrapolate past each series' end at the
+    * bucket interval. Upstream fits α/β (and a seasonal component when
+    * S > 0) by Nelder–Mead — a nondeterministic optimizer; this engine
+    * implements the deterministic seasonless core (S must be 0) with
+    * explicit smoothing constants via optional args 4/5 (defaults
+    * α = 0.5, β = 0.25). `WITH_FIT` unions the in-sample one-step fits
+    * with the forecast rows, like upstream. */
+  private def holtSelect(df: DataFrame, m: InfluxMeasurement, sel: Select,
+      keyCols: Seq[String], c: Call, alias: Option[String],
+      lo: Option[Long], hi: Option[Long]): DataFrame = {
+    val gt = sel.groupTime.getOrElse(
+      throw ParseError(s"${c.fn}() requires GROUP BY time(...)"))
+    val inner = c.args.headOption match {
+      case Some(in: Call) if aggFns(in.fn) => in
+      case _ => throw ParseError(s"${c.fn}() expects an aggregate " +
+        "argument, e.g. holt_winters(mean(value), 10, 0)")
+    }
+    val n = numArg(c, 1, s"${c.fn}(agg, N, S)").toInt
+    if (n < 1) throw ParseError(s"${c.fn}() forecast count must be >= 1")
+    if (numArg(c, 2, s"${c.fn}(agg, N, S)").toInt != 0)
+      throw ParseError("seasonal holt_winters (S > 0) needs the " +
+        "reference's Nelder-Mead seasonal fit and is not supported; " +
+        "pass S = 0 for the deterministic linear-trend form")
+    def optNum(i: Int, dflt: Double): Double = c.args.lift(i) match {
+      case Some(IntLit(v)) => v.toDouble
+      case Some(NumLit(v)) => v
+      case None => dflt
+      case _ => throw ParseError(s"${c.fn}() argument $i must be numeric")
+    }
+    val alpha = optNum(3, 0.5)
+    val beta = optNum(4, 0.25)
+    val tcol = m.timeCol
+    val name = alias.getOrElse(c.fn)
+    val keys = keyCols.map(col)
+    val bucket = (NsTime.windowStopNs(col(tcol), gt.everyNs, gt.offsetNs) -
+      gt.everyNs).as("time")
+    val grouped = df.groupBy(keys :+ bucket: _*)
+      .agg(aggColumn(inner.fn, fieldArg(inner, df), tcol).as("__hw"))
+    val filled = fillStrategy(sel.fill, lo, hi) match {
+      case None => grouped
+      case Some(strat) =>
+        val start = NsTime.windowStopNs(lo.get, gt.everyNs, gt.offsetNs) -
+          gt.everyNs
+        GapFill.onGrid(grouped, keyCols, "time", start, hi.get, gt.everyNs,
+          Map("__hw" -> strat))
+    }
+    // keyless grouping gets a constant series key like the nested
+    // transforms — rows ∝ buckets, so no single-task trap
+    val (kdf, tKeys) =
+      if (keyCols.isEmpty) (filled.withColumn("__gk", lit(1)), Seq("__gk"))
+      else (filled, keyCols)
+    val fc = SF.holtForecast(kdf, tKeys, "time", "__hw", alpha, beta, n,
+      gt.everyNs, name)
+    val out =
+      if (c.fn == "holt_winters_with_fit") {
+        val fit = SF.holtLinear(kdf, tKeys, "time", "__hw", alpha, beta, name)
+          .filter(col(name).isNotNull)
+          .select(tKeys.map(col) ++ Seq(col("time"), col(name)): _*)
+        fit.unionByName(fc.select(tKeys.map(col) ++
+          Seq(col("time"), col(name)): _*))
+      } else fc
+    val timeOrd = if (sel.timeDesc) col("time").desc else col("time").asc
+    out.select((col("time") +: keyCols.map(col)) :+ col(name): _*)
+      .orderBy(keyCols.map(col) :+ timeOrd: _*)
   }
 
   /** Shared transform epilogue: InfluxQL omits points where every output

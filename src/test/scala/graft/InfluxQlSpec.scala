@@ -197,6 +197,32 @@ class InfluxQlSpec extends SparkSpec {
       .getMessage.contains("GROUP BY time"))
   }
 
+  test("holt_winters: downsample, recurse, forecast N bucket steps") {
+    // host b sums per 10s bucket with fill(none): 10, 20, 40 -> seed at
+    // bucket 2 (l=20, b=10), bucket 3: l=.5*40+.5*30=35, b=.25*15+.75*10=11.25
+    val fc = run("""SELECT holt_winters(sum(value), 2, 0) FROM cpu
+        WHERE host = 'b' AND time >= 0 AND time < 40000000000
+        GROUP BY time(10s), host fill(none)""")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(fc == Seq(
+      (40000000000L, "b", 35.0 + 11.25),
+      (50000000000L, "b", 35.0 + 2 * 11.25)))
+    // with_fit unions the in-sample one-step fits before the forecast
+    val wf = run("""SELECT holt_winters_with_fit(sum(value), 1, 0) FROM cpu
+        WHERE host = 'b' AND time >= 0 AND time < 40000000000
+        GROUP BY time(10s), host fill(none)""")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(wf == Seq((10000000000L, 30.0), (30000000000L, 46.25),
+      (40000000000L, 46.25)))
+    // seasonal fit and missing GROUP BY time are explicit errors
+    assert(intercept[ParseError](run(
+      "SELECT holt_winters(mean(value), 2, 4) FROM cpu GROUP BY time(10s)"))
+      .getMessage.contains("seasonal"))
+    assert(intercept[ParseError](run(
+      "SELECT holt_winters(mean(value), 2, 0) FROM cpu GROUP BY host"))
+      .getMessage.contains("GROUP BY time"))
+  }
+
   test("scalar functions project per row and mix with raw columns") {
     val rows = run("""SELECT floor(value), sqrt(value), pow(value, 2),
         value AS raw FROM cpu WHERE host = 'b' ORDER BY time""")

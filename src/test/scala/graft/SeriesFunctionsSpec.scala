@@ -188,6 +188,32 @@ class SeriesFunctionsSpec extends SparkSpec {
       n = 1, "trix"), "trix")(("a", 2L)).isEmpty)
   }
 
+  test("holtLinear: null first point, trend seed, level/trend recursion") {
+    val m = vals(SF.holtLinear(pts, Seq("k"), "t", "v",
+      alpha = 0.5, beta = 0.25, "h"), "h")
+    assert(m(("a", 0L)).isEmpty, "first point has no trend yet")
+    // seed at point 2: l = 13, b = 3 -> fit 16
+    assert(m(("a", 1000000000L)).contains(16.0))
+    // point 3 (v=13): l' = .5*13 + .5*16 = 14.5; b' = .25*1.5 + .75*3 = 2.625
+    assert(m(("a", 3000000000L)).contains(14.5 + 2.625))
+    assert(m(("b", 2000000000L)).contains(120.0), "series do not leak")
+  }
+
+  test("holtForecast: projects l + h*b hourly past each series end") {
+    val out = SF.holtForecast(pts, Seq("k"), "t", "v",
+        alpha = 0.5, beta = 0.25, n = 3, stepNs = 1000000000L, "h")
+      .orderBy("k", "t").as[(String, Long, Double)].collect()
+    assert(out.count(_._1 == "a") == 3 && out.count(_._1 == "b") == 3)
+    val b = out.filter(_._1 == "b")
+    // series b ends at its seed state: l = 110, b = 10, t = 2e9
+    assert(b.map(_._2).toSeq == Seq(3000000000L, 4000000000L, 5000000000L))
+    assert(b.map(_._3).toSeq == Seq(120.0, 130.0, 140.0))
+    // a 1-point series yields no forecast (no trend)
+    val one = Seq(("c", 0L, 1.0)).toDF("k", "t", "v")
+    assert(SF.holtForecast(one, Seq("k"), "t", "v", 0.5, 0.25, 2,
+      1L, "h").count() == 0)
+  }
+
   test("all window transforms collapse into ONE Window operator (plan shape)") {
     val all = Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
       SF.difference(_, Seq("k"), "t", "v", "diff"),
