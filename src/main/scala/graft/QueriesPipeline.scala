@@ -308,6 +308,49 @@ object QueriesPipeline {
         CROSS JOIN v
         GROUP BY occ.doc_id ORDER BY occ.doc_id""")),
 
+    // CCNet perplexity terciles: rank documents by LM bits within each
+    // language and cut head/middle/tail at ceil(n/3)/ceil(2n/3). The
+    // Spark side is the two-level coarse-bucket rank (no corpus window);
+    // the oracle is the NAIVE per-language row_number — their equality
+    // is the operator's correctness claim, like corpus_budget_select
+    ("text_ppl_buckets",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val scores = graft.pipeline.LanguageModel
+          .bigramLogLoss(docs, "doc_id", "text")
+          .select(col("doc_id"), round(col("bits_per_bigram"), 6).as("bits"))
+        val scored = docs.select(col("doc_id"), col("lang")).join(scores, "doc_id")
+        graft.pipeline.LanguageModel
+          .perplexityBuckets(scored, "doc_id", "lang", "bits")
+          .select(col("doc_id"), col("lang"), col("bits"), col("bucket"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH p AS (SELECT doc_id, $dToks AS w FROM documents),
+        bgl AS (SELECT doc_id, CASE WHEN len(w) >= 2 THEN list_filter(
+            list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]),
+            x -> length(x) > 0) ELSE [] END AS bgs FROM p),
+        occ AS (SELECT doc_id, unnest(bgs) AS b FROM bgl),
+        ucnt AS (SELECT tok, count(*) AS cw
+          FROM (SELECT unnest(w) AS tok FROM p) GROUP BY 1),
+        v AS (SELECT count(*) AS v FROM ucnt),
+        bcnt AS (SELECT b, count(*) AS cbg FROM occ GROUP BY 1),
+        sc AS (SELECT occ.doc_id,
+            round(-avg(log2((bcnt.cbg + 0.5) / (ucnt.cw + 0.5 * v.v))), 6)
+              AS bits
+          FROM occ JOIN bcnt USING (b)
+          JOIN ucnt ON ucnt.tok = string_split(occ.b, ' ')[1]
+          CROSS JOIN v GROUP BY occ.doc_id),
+        r AS (SELECT d.doc_id, d.lang, sc.bits,
+            row_number() OVER (PARTITION BY d.lang
+              ORDER BY sc.bits, d.doc_id) AS rk,
+            count(*) OVER (PARTITION BY d.lang) AS n
+          FROM documents d JOIN sc ON sc.doc_id = d.doc_id)
+        SELECT doc_id, lang, bits,
+          CASE WHEN rk <= (n + 2) // 3 THEN 'head'
+            WHEN rk <= (2 * n + 2) // 3 THEN 'middle'
+            ELSE 'tail' END AS bucket
+        FROM r ORDER BY doc_id""")),
+
     // token-budget corpus selection: fill the training budget best-first.
     // The Spark side is the two-level bucketed selection (no global
     // sort); the oracle is the NAIVE quality-ordered running sum — their

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => TF}
 
@@ -112,5 +112,57 @@ object LanguageModel {
     scored.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1)
       .select(col(idCol), col("__c").as("pred"), col("score_q"))
+  }
+
+  /** CCNet-style perplexity terciles: within each stratum (CCNet cuts
+    * per language), rank documents by LM score ascending and label the
+    * first ⌈n/3⌉ `head`, the next third `middle`, the rest `tail` —
+    * the bucketing CCNet's pipeline feeds to its quality filter.
+    *
+    * Scale shape — NO corpus-wide window: scores coarse-bucket to
+    * `bucketDecimals` decimals (≤ strata × 10^d rows — a driver-sized
+    * metadata frame, like [[graft.pipeline.Sampling.budgetSelect]]'s
+    * running totals); each coarse bucket knows its global rank range
+    * `(before, before+count]`, so every bucket whose range sits inside
+    * one tercile labels its rows by broadcast-join alone. ONLY the ≤2
+    * buckets per stratum that straddle a cut line run an in-bucket
+    * row_number — the window sorts one coarse bucket, not the corpus.
+    * Determinism: ranking is over (score, id); the coarse bucket is a
+    * monotone function of score, so two-level rank ≡ global rank —
+    * exactly the equality the oracle asserts. Callers pass a score
+    * already rounded to stable decimals (e.g. `round(bits, 6)`). */
+  def perplexityBuckets(df: DataFrame, idCol: String, strataCol: String,
+      scoreCol: String, bucketDecimals: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bk = round(col(scoreCol), bucketDecimals)
+    val perBucket = df.groupBy(col(strataCol), bk.as("__bk"))
+      .agg(count(lit(1)).as("__bn"))
+    val wb = Window.partitionBy(col(strataCol)).orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wn = Window.partitionBy(col(strataCol))
+    val lo = col("__before") + 1L
+    val hi = col("__before") + col("__bn")
+    def label(r: Column): Column =
+      when(r <= col("__c1"), "head")
+        .when(r <= col("__c2"), "middle").otherwise("tail")
+    val marked = perBucket
+      .withColumn("__before", coalesce(sum("__bn").over(wb), lit(0L)))
+      .withColumn("__n", sum("__bn").over(wn))
+      .withColumn("__c1", expr("(__n + 2) div 3"))
+      .withColumn("__c2", expr("(2 * __n + 2) div 3"))
+      .withColumn("__uniform", label(lo) === label(hi))
+      .withColumn("__lbl", label(lo))
+      .drop("__bn", "__n")
+    val joined = df.withColumn("__bk", bk)
+      .join(broadcast(marked), Seq(strataCol, "__bk"))
+    val easy = joined.filter(col("__uniform"))
+      .withColumn("bucket", col("__lbl"))
+    val wIn = Window.partitionBy(col(strataCol), col("__bk"))
+      .orderBy(col(scoreCol).asc, col(idCol).asc)
+    val hard = joined.filter(!col("__uniform"))
+      .withColumn("bucket",
+        label(col("__before") + row_number().over(wIn)))
+    easy.unionByName(hard)
+      .drop("__bk", "__before", "__c1", "__c2", "__uniform", "__lbl")
   }
 }

@@ -105,6 +105,34 @@ class PipelineSpec extends SparkSpec {
       Seq("id", "q", "n"))
   }
 
+  test("perplexityBuckets equals the naive per-stratum tercile rank") {
+    import graft.pipeline.LanguageModel
+    // scores engineered to tie inside AND straddle coarse buckets, two
+    // strata of different sizes (10 and 7 -> cuts 4/7 and 3/5)
+    val rows = (1 to 10).map(i => (i.toLong, "en", (i % 4) / 2.0 + 0.001 * i)) ++
+      (1 to 7).map(i => (100L + i, "de", (i % 3) * 1.0))
+    def naive(rs: Seq[(Long, String, Double)]): Map[Long, String] =
+      rs.groupBy(_._2).flatMap { case (_, g) =>
+        val sorted = g.sortBy { case (id, _, s) => (s, id) }
+        val n = sorted.size
+        sorted.zipWithIndex.map { case ((id, _, _), i) =>
+          val rk = i + 1
+          id -> (if (rk <= (n + 2) / 3) "head"
+                 else if (rk <= (2 * n + 2) / 3) "middle" else "tail")
+        }
+      }
+    val want = naive(rows)
+    val got = LanguageModel
+      .perplexityBuckets(rows.toDF("id", "lang", "s"), "id", "lang", "s")
+      .select($"id", $"bucket").as[(Long, String)].collect().toMap
+    assert(got == want)
+    // a stratum smaller than 3 still labels every row
+    val tiny = Seq((1L, "x", 1.0), (2L, "x", 2.0)).toDF("id", "lang", "s")
+    val t = LanguageModel.perplexityBuckets(tiny, "id", "lang", "s")
+      .select($"id", $"bucket").as[(Long, String)].collect().toMap
+    assert(t == Map(1L -> "head", 2L -> "middle"))
+  }
+
   test("native hash60 is bit-identical to the composed md5/conv form") {
     val samples = Seq("", "a", "hello world", "ünïcødé ∆", "x" * 500,
       "the quick brown fox")
