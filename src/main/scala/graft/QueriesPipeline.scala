@@ -1126,6 +1126,52 @@ object QueriesPipeline {
           JOIN a32 USING (vec_id)
         ORDER BY vec_id""")),
 
+    // ADC search over the PQ codes (the IVF-PQ query path): per-query
+    // distance tables against the fitted codebooks, corpus scored by m
+    // table lookups — the oracle recomputes codebooks + codes with the
+    // emb_pq_codes CTE chain, then replays the same integer-micro table
+    // sums and the same (score desc, id) ranking
+    ("ann_pq_topk",
+      (s, d) => {
+        val (codes, cb) = Clustering.pqFit(
+          Tables.spread(s, Tables.embeddings(s, d)), "vec_id", "embedding",
+          m = 4, k = 4, iters = 1)
+        val queries = Tables.embeddings(s, d).filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.pqTopK(codes, cb, queries, k = 10)
+          .select(col("q_id"), col("rank"), col("neighbor_id"),
+            round(col("score"), 6).as("score"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH v AS (SELECT vec_id,
+          list_transform(CAST(embedding AS DOUBLE[]),
+            y -> floor(y * 1000000.0 + 0.5)) AS q FROM embeddings),
+        ${(0 until 4).map(j => dPqSubspace(j, 16, 4)).mkString(",\n")},
+        qx AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id < 5),
+        dt0 AS (SELECT q_id, c, floor(list_dot_product(e[1:16], ce)
+            * 1000000.0 + 0.5) AS d FROM qx CROSS JOIN c01),
+        dt1 AS (SELECT q_id, c, floor(list_dot_product(e[17:32], ce)
+            * 1000000.0 + 0.5) AS d FROM qx CROSS JOIN c11),
+        dt2 AS (SELECT q_id, c, floor(list_dot_product(e[33:48], ce)
+            * 1000000.0 + 0.5) AS d FROM qx CROSS JOIN c21),
+        dt3 AS (SELECT q_id, c, floor(list_dot_product(e[49:64], ce)
+            * 1000000.0 + 0.5) AS d FROM qx CROSS JOIN c31),
+        sc AS (SELECT dt0.q_id, a02.vec_id,
+            (((dt0.d + dt1.d) + dt2.d) + dt3.d) / 1000000.0 AS score
+          FROM a02 JOIN a12 USING (vec_id) JOIN a22 USING (vec_id)
+            JOIN a32 USING (vec_id)
+          JOIN dt0 ON dt0.c = a02.c
+          JOIN dt1 ON dt1.q_id = dt0.q_id AND dt1.c = a12.c
+          JOIN dt2 ON dt2.q_id = dt0.q_id AND dt2.c = a22.c
+          JOIN dt3 ON dt3.q_id = dt0.q_id AND dt3.c = a32.c
+          WHERE a02.vec_id != dt0.q_id),
+        rk AS (SELECT q_id, vec_id, score, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY score DESC, vec_id) AS INT) AS rank
+          FROM sc)
+        SELECT q_id, rank, vec_id AS neighbor_id, round(score, 6) AS score
+        FROM rk WHERE rank <= 10 ORDER BY q_id, rank""")),
+
     // per-group top-k selection as a bounded AGGREGATE (TopK partial
     // aggregation: every map task reduces to k rows per group) instead of
     // a window sort of each group — identical output to the row_number

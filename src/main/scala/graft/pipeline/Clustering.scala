@@ -98,7 +98,14 @@ object Clustering {
     * centroids only. Requires nonzero-norm vectors (a zero-norm vector
     * has no direction — filter upstream). */
   def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): DataFrame = {
+      k: Int, iters: Int): DataFrame =
+    kmeansFit(df, idCol, vecCol, k, iters)._1
+
+  /** [[kmeansAssign]] plus the FITTED centroids — the model artifact an
+    * ANN index needs at query time (the assignments alone suffice for
+    * clustering queries). Centroids are k·dim driver metadata. */
+  def kmeansFit(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): (DataFrame, Seq[(Int, Seq[Double])]) = {
     val x = prepared(df, idCol, vecCol)
     var cents = seedCentroids(df, idCol, vecCol, k)
     var assigned = assignOnce(x, idCol, cents)
@@ -106,7 +113,7 @@ object Clustering {
       cents = updateCentroids(assigned)
       assigned = assignOnce(x, idCol, cents)
     }
-    assigned.select(col(idCol), col("cluster"))
+    (assigned.select(col(idCol), col("cluster")), cents)
   }
 
   /** Product quantization (Jégou et al. 2011): split each vector into
@@ -124,17 +131,28 @@ object Clustering {
     * only reads the vector WIDTH (a schema-level fact not present in the
     * array type), not data. */
   def productQuantize(df: DataFrame, idCol: String, vecCol: String,
-      m: Int, k: Int, iters: Int = 1): DataFrame = {
+      m: Int, k: Int, iters: Int = 1): DataFrame =
+    pqFit(df, idCol, vecCol, m, k, iters)._1
+
+  /** [[productQuantize]] plus the per-subspace codebooks
+    * `(subspace j, code c, centroid)` — what an ADC scorer
+    * ([[Similarity.pqTopK]]) builds its distance tables from.
+    * Codebooks are m·k·(dim/m) = k·dim driver metadata. */
+  def pqFit(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int = 1)
+      : (DataFrame, Seq[(Int, Int, Seq[Double])]) = {
     val v = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
     val dim = v.select(size(col("__v"))).first().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
-    (0 until m).map { j =>
-      kmeansAssign(v.select(col(idCol),
+    val fits = (0 until m).map { j =>
+      val (assigned, cents) = kmeansFit(v.select(col(idCol),
           slice(col("__v"), j * sub + 1, sub).as("__s")),
         idCol, "__s", k, iters)
-        .withColumnRenamed("cluster", s"code_$j")
-    }.reduce(_.join(_, Seq(idCol)))
+      (assigned.withColumnRenamed("cluster", s"code_$j"),
+        cents.map { case (c, ce) => (j, c, ce) })
+    }
+    (fits.map(_._1).reduce(_.join(_, Seq(idCol))), fits.flatMap(_._2))
   }
 
   /** SemDeDup: cluster the corpus, then within each cluster drop every

@@ -120,6 +120,60 @@ object Similarity {
     rankTopK(scored, k, qIdCol, "cos", idCol)
   }
 
+  /** PQ asymmetric-distance top-k (ADC — Jégou et al. 2011, §IV): score
+    * corpus vectors from their PQ codes alone. For each query, a distance
+    * table `dt[j][c] = <q_j, codebook_j[c]>` is built ONCE (m·k dots);
+    * a corpus row's score is then m table LOOKUPS summed —
+    * `Σ_j dt[j][code_j] ≈ <q, x>` — never a full-dimension dot per pair.
+    * That is the PQ bargain: the scan touches only the m·log2(k)-bit
+    * codes (not the vectors), so the candidate pass runs on a corpus
+    * compressed ~100× and the per-pair cost drops from O(dim) to O(m).
+    *
+    * Scale shape: codebooks are driver metadata (from
+    * [[Clustering.pqFit]]); the per-query tables enter the plan as
+    * broadcast literal arrays; scoring is a broadcast nested-loop over
+    * the code table + the bounded TopK aggregate — the exact posture of
+    * [[bruteForceTopK]], minus the vector reads.
+    *
+    * Determinism: each table entry is quantized to integer micro-units
+    * (`floor(dot·1e6 + 0.5)` — the [[Clustering]] halfway-mode-safe
+    * form), so scores are EXACT integer sums — no accumulation-order
+    * dependence — and the final `/1e6` is one IEEE op on identical
+    * operands in any engine. */
+  def pqTopK(codes: DataFrame, codebooks: Seq[(Int, Int, Seq[Double])],
+      queries: DataFrame, k: Int,
+      idCol: String = "vec_id", qIdCol: String = "q_id",
+      qVecCol: String = "q_vec"): DataFrame = {
+    val m = codebooks.map(_._1).max + 1
+    val sub = codebooks.head._3.size
+    // per-query distance tables: for subspace j an array over codes c of
+    // floor(<q_j, cb[j][c]>·1e6 + .5) — computed on the (tiny) query side
+    val q = queries.select(col(qIdCol), asDouble(col(qVecCol)).as("__qe"))
+    val withTables = (0 until m).foldLeft(q) { (acc, j) =>
+      val qSub = slice(col("__qe"), j * sub + 1, sub)
+      // dense array INDEXED BY CODE ID — an emptied cluster leaves a gap
+      // in the id space (updateCentroids drops it); a positional array
+      // would silently shift every later code's entry
+      val byCode = codebooks.collect { case (`j`, c, ce) => c -> ce }.toMap
+      val entries = (0 to byCode.keys.max).map { c =>
+        byCode.get(c) match {
+          case Some(ce) =>
+            floor(dot(qSub, array(ce.map(lit): _*)) * lit(1e6) + lit(0.5))
+              .cast("long")
+          case None => lit(null).cast("long") // unassignable code id
+        }
+      }
+      acc.withColumn(s"__dt$j", array(entries: _*))
+    }
+    val scoreMicro = (0 until m).map(j =>
+      element_at(col(s"__dt$j"), col(s"code_$j") + 1)).reduce(_ + _)
+    val scored = codes.crossJoin(broadcast(withTables))
+      .filter(col(idCol) =!= col(qIdCol))
+      .select(col(qIdCol), col(idCol),
+        (scoreMicro.cast("double") / lit(1e6)).as("score"))
+    rankTopK(scored, k, qIdCol, "score", idCol)
+  }
+
   /** Deterministic ±1 hyperplanes for sign-bit LSH (seeded LCG, no RNG
     * state): reproducible across runs and engines, so an external oracle
     * can re-derive the identical buckets. */

@@ -266,6 +266,44 @@ class PipelineSpec extends SparkSpec {
     assert(bf.size == 10)
   }
 
+  test("pq ADC top-k scores equal the driver-side table-lookup sums") {
+    import graft.pipeline.{Clustering, Similarity}
+    val vecs = (0L until 12L).map(i =>
+      (i, Array.tabulate(4)(d => ((i * 7 + d * 3) % 11).toFloat / 10f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val (codes, cb) = Clustering.pqFit(df, "vec_id", "embedding",
+      m = 2, k = 2, iters = 1)
+    val queries = df.filter($"vec_id" < 2)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val got = Similarity.pqTopK(codes, cb, queries, k = 5)
+      .select($"q_id", $"neighbor_id", $"score", $"rank")
+      .as[(Long, Long, Double, Int)].collect()
+    // replay: dt[j][c] = floor(<q_j, cb[j][c]>*1e6+.5); score = sum/1e6
+    val codeRows = codes.select($"vec_id", $"code_0", $"code_1")
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val cbMap = cb.map { case (j, c, ce) => (j, c) -> ce }.toMap
+    def score(q: Array[Float], codes: (Int, Int)): Double = {
+      def dt(j: Int, c: Int): Long = {
+        val sub = q.slice(j * 2, j * 2 + 2).map(_.toDouble)
+        val ce = cbMap((j, c))
+        val d = sub.zip(ce).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+        math.floor(d * 1e6 + 0.5).toLong
+      }
+      (dt(0, codes._1) + dt(1, codes._2)).toDouble / 1e6
+    }
+    val qMap = vecs.toMap
+    got.foreach { case (qid, nid, s, _) =>
+      assert(s == score(qMap(qid), codeRows(nid)), s"q=$qid n=$nid")
+      assert(nid != qid, "self excluded")
+    }
+    assert(got.count(_._1 == 0L) == 5 && got.count(_._1 == 1L) == 5)
+    // ranks are dense per query, ties broken by ascending id
+    val r0 = got.filter(_._1 == 0L).sortBy(_._4)
+    assert(r0.map(_._4).toSeq == (1 to 5))
+    assert(r0.sliding(2).forall { case Array(a, b) =>
+      a._3 > b._3 || (a._3 == b._3 && a._2 < b._2) })
+  }
+
   test("zero-norm vectors (null cosine) are dropped, not a crash") {
     // x / 0.0 is NULL in Spark SQL even for doubles; a null score used to
     // hit TopK's non-nullable input encoder at runtime

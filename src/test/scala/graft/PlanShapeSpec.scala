@@ -158,6 +158,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(ivf.contains("BroadcastNestedLoopJoin"), ivf)
     assert(ivf.toLowerCase.contains("partial_topkagg"), ivf)
     assert(!ivf.contains("SortMergeJoin"), ivf)
+
+    // ADC over PQ codes: same broadcast + bounded-aggregate posture —
+    // the scan side carries only the code table, and the per-query
+    // distance tables enter as literal arrays (no join to build them)
+    val (codes, cb) = graft.pipeline.Clustering.pqFit(
+      emb, "vec_id", "embedding", m = 4, k = 4, iters = 0)
+    val pq = executedPlan(graft.pipeline.Similarity.pqTopK(codes, cb, q, k = 5))
+    assert(pq.contains("BroadcastNestedLoopJoin"), pq)
+    assert(pq.toLowerCase.contains("partial_topkagg"), pq)
+    assert(!pq.contains("SortMergeJoin"), pq)
   }
 
   test("deterministic sampling is a scan-level filter with no shuffle") {
