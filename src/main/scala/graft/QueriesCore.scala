@@ -49,6 +49,10 @@ object QueriesCore {
   private val T1 = 1704499200000000000L
   private val SIXH = 21600000000000L // 6h in ns
 
+  // DuckDB twin of TextFunctions.hash60 (same as QueriesPipeline's)
+  private def dHash60Core(x: String) =
+    s"CAST(('0x' || substring(md5($x), 1, 15)) AS BIGINT)"
+
   /** events exposed as an InfluxQL measurement: event_type and user_id
     * address series (tags), value is the field, ts_ns the time axis. */
   private def influxMs(s: SparkSession, dir: String) =
@@ -1550,6 +1554,26 @@ object QueriesCore {
           round(fin.l + h * fin.b, 6) AS hw
         FROM fin CROSS JOIN (SELECT unnest(range(1, 5)) AS h)
         ORDER BY event_type, time""")),
+
+    ("influxql_sample",
+      (s, d) => graft.operators.InfluxQlPlanner.run(influxMs(s, d),
+        """SELECT sample(value, 3) FROM events
+           WHERE time >= '2024-01-01T00:00:00Z'
+             AND time < '2024-01-08T00:00:00Z'
+           GROUP BY user_id"""),
+      // upstream SAMPLE is reservoir-random; the engine's deterministic
+      // stand-in picks per-series points by content hash — the oracle
+      // replays the identical md5-derived ordering
+      Some(s"""WITH e AS (SELECT user_id, epoch_ns(ts) AS t, value
+          FROM events WHERE epoch_ns(ts) >= 1704067200000000000
+            AND epoch_ns(ts) < 1704672000000000000),
+        h AS (SELECT user_id, t, value,
+            ${dHash60Core("CAST(user_id AS VARCHAR) || ',' || CAST(t AS VARCHAR)")} AS hh
+          FROM e WHERE value IS NOT NULL),
+        r AS (SELECT user_id, t, value, row_number() OVER (
+            PARTITION BY user_id ORDER BY hh, t) AS rk FROM h)
+        SELECT t AS time, user_id, value AS sample FROM r WHERE rk <= 3
+        ORDER BY user_id, time""")),
 
     ("influxql_scalar",
       (s, d) => graft.operators.InfluxQlPlanner.run(influxMs(s, d),

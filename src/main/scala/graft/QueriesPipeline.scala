@@ -280,6 +280,30 @@ object QueriesPipeline {
         GROUP BY tf.doc_id
         ORDER BY bm25 DESC, tf.doc_id LIMIT 50""")),
 
+    // classic tf-idf ranking beside BM25: sublinear tf × plain idf with
+    // every contribution quantized to integer micro-units BEFORE the
+    // per-document sum — scores are exact decimals, so the DESC ordering
+    // compares identically in both engines
+    ("text_tfidf",
+      (s, d) => graft.pipeline.Ranking
+        .tfidf(Tables.documents(s, d), "doc_id", "text",
+          Seq("scan", "merge", "filter"))
+        .select(col("doc_id"), round(col("tfidf"), 6).as("tfidf"))
+        .orderBy(col("tfidf").desc, col("doc_id"))
+        .limit(50),
+      Some(s"""WITH p AS (SELECT doc_id, $dToks AS w FROM documents),
+        n AS (SELECT count(*) AS n_docs FROM p),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest(w) AS term FROM p)
+          WHERE term IN ('scan', 'merge', 'filter') GROUP BY 1, 2),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+        SELECT tf.doc_id, round(sum(CAST(floor((1.0 + ln(tf.tf))
+            * ln(n.n_docs / df.df) * 1000000.0 + 0.5) AS BIGINT))
+          / 1000000.0, 6) AS tfidf
+        FROM tf JOIN df ON df.term = tf.term CROSS JOIN n
+        GROUP BY tf.doc_id
+        ORDER BY tfidf DESC, tf.doc_id LIMIT 50""")),
+
     // self-trained bigram LM scoring (CCNet-style quality filtering):
     // bits-per-bigram under an add-alpha model trained on the corpus in
     // the same job; the oracle replays identical count joins and the
@@ -1125,6 +1149,66 @@ object QueriesPipeline {
         FROM a02 JOIN a12 USING (vec_id) JOIN a22 USING (vec_id)
           JOIN a32 USING (vec_id)
         ORDER BY vec_id""")),
+
+    // Bloom membership sketch over normalized content: the streaming
+    // prefilter for incremental dedup (probe the metadata-sized sketch;
+    // only "maybe" rows pay an exact lookup). All-integer bit math, so
+    // the oracle reproduces the exact bit pattern — false positives
+    // included; corpus members can never probe false
+    ("dedup_bloom",
+      (s, d) => {
+        import graft.pipeline.DocDedup
+        val keyed = Tables.documents(s, d)
+          .select(col("doc_id"), TF.normalize(col("text")).as("k"))
+        val bloom = DocDedup.bloomBuild(
+          keyed.filter(col("doc_id") < 400), "k", mBits = 4096, kHashes = 3)
+        DocDedup.bloomProbe(keyed, "doc_id", "k", bloom, 4096, 3)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ks AS (SELECT doc_id, $dNorm AS k FROM documents),
+        pos AS (SELECT doc_id,
+            ${dHash60("k || '#' || CAST(i AS VARCHAR)")} % 4096 AS p
+          FROM ks CROSS JOIN (SELECT unnest(range(0, 3)) AS i)),
+        words AS (SELECT p // 60 AS w,
+            bit_or(CAST(1 AS BIGINT) << CAST(p % 60 AS INT)) AS bits
+          FROM pos WHERE doc_id < 400 GROUP BY 1),
+        probe AS (SELECT pos.doc_id, count(*) FILTER (WHERE
+            coalesce(words.bits, 0)
+              & (CAST(1 AS BIGINT) << CAST(p % 60 AS INT)) <> 0) AS nset
+          FROM pos LEFT JOIN words ON words.w = p // 60
+          GROUP BY 1)
+        SELECT doc_id, nset = 3 AS maybe_member FROM probe
+        ORDER BY doc_id""")),
+
+    // robust MAD outlier flagging per language: both medians are exact
+    // lower medians via the driver-sized histogram (no per-stratum
+    // sort); the oracle is the NAIVE row_number median — equality is the
+    // two-level operator's correctness claim
+    ("text_mad_outliers",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          TF.qualityScore(col("text")).as("q"))
+        graft.pipeline.Sampling.madOutliers(docs, "doc_id", "lang", "q")
+          .select(col("doc_id"), col("lang"), col("q"),
+            round(col("dev"), 6).as("dev"), col("outlier"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH q AS (SELECT doc_id, lang, $dQuality AS q FROM documents),
+        m1 AS (SELECT lang, q AS med FROM (
+            SELECT lang, q, row_number() OVER (PARTITION BY lang
+                ORDER BY q, doc_id) AS rk,
+              count(*) OVER (PARTITION BY lang) AS n FROM q)
+          WHERE rk = (n + 1) // 2),
+        d AS (SELECT q.doc_id, q.lang, q.q, abs(q.q - m1.med) AS dev
+          FROM q JOIN m1 USING (lang)),
+        m2 AS (SELECT lang, dev AS mad FROM (
+            SELECT lang, dev, row_number() OVER (PARTITION BY lang
+                ORDER BY dev, doc_id) AS rk,
+              count(*) OVER (PARTITION BY lang) AS n FROM d)
+          WHERE rk = (n + 1) // 2)
+        SELECT d.doc_id, d.lang, d.q, round(d.dev, 6) AS dev,
+          d.dev > 3.0 * 1.4826 * m2.mad AS outlier
+        FROM d JOIN m2 USING (lang) ORDER BY d.doc_id""")),
 
     // ADC search over the PQ codes (the IVF-PQ query path): per-query
     // distance tables against the fitted codebooks, corpus scored by m

@@ -44,7 +44,7 @@ object InfluxQlPlanner {
   private val aggFns = Set("count", "sum", "mean", "min", "max", "spread",
     "stddev", "first", "last")
   private val aloneFns = Set("median", "mode", "percentile", "top", "bottom",
-    "integral")
+    "integral", "sample")
   private val windowFns = Set("difference", "non_negative_difference",
     "derivative", "non_negative_derivative", "cumulative_sum",
     "moving_average", "elapsed", "chande_momentum_oscillator",
@@ -542,6 +542,22 @@ object InfluxQlPlanner {
       case "top" | "bottom" =>
         val n = numArg(c, 1, s"${c.fn}(field, n)").toInt
         IA.topN(df, keyCols, tcol, f, n, bottom = c.fn == "bottom")
+          .select((col(tcol).as("time") +: keys) :+ col(f).as(name): _*)
+          .orderBy(keys :+ col("time").asc: _*)
+      case "sample" =>
+        // upstream SAMPLE draws by reservoir RNG; this engine draws the
+        // same SIZE-n subset by content hash — deterministic across runs,
+        // partitionings, and engines (the same stand-in discipline as
+        // the deterministic samplers in graft.pipeline.Sampling)
+        val n = numArg(c, 1, "sample(field, n)").toInt
+        if (n < 1) throw ParseError("sample(field, n) needs n >= 1")
+        val hcol = graft.functions.TextFunctions.hash60(concat_ws(",",
+          keyCols.map(col(_).cast("string")) :+ col(tcol).cast("string"): _*))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys: _*).orderBy(hcol.asc, col(tcol).asc)
+        df.filter(col(f).isNotNull)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= n)
           .select((col(tcol).as("time") +: keys) :+ col(f).as(name): _*)
           .orderBy(keys :+ col("time").asc: _*)
     }

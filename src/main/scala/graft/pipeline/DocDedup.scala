@@ -555,6 +555,52 @@ object DocDedup {
         coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
 
+  /** Per-key bit positions for the Bloom pair below: hash i of a key is
+    * `hash60(key || "#i") mod mBits`. Words are 60 bits wide (not 64) so
+    * no mask ever shifts into the sign bit — engines disagree on BIGINT
+    * overflow at bit 63, and 60 matches hash60's range discipline. */
+  private def bloomPositions(df: DataFrame, keyCol: String,
+      mBits: Int, kHashes: Int, extra: Seq[Column]): DataFrame = {
+    require(mBits > 0 && kHashes > 0, "bloom needs positive m and k")
+    val posCols = (0 until kHashes).map(i =>
+      pmod(hash60(concat(col(keyCol), lit("#" + i))), lit(mBits.toLong)))
+    df.select(extra :+ explode(array(posCols: _*)).as("__p"): _*)
+      .withColumn("__w", expr("__p div 60"))
+      .withColumn("__mask",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(__p % 60 AS INT))"))
+  }
+
+  /** Build a Bloom filter over a key column as a (word, bits) table —
+    * ⌈mBits/60⌉ rows of 60-bit words. The standard streaming-ingest
+    * prefilter for incremental dedup: probe the sketch first
+    * ([[bloomProbe]]); only "maybe" rows pay the exact index lookup
+    * ([[incrementalNearDups]] / exact-hash anti-join). No false
+    * negatives ever; false-positive rate ~ (1 − e^{−kn/m})^k.
+    *
+    * Scale: the sketch is METADATA (m bits regardless of corpus size);
+    * the build is one projection + a bit_or aggregate whose partial
+    * (map-side) combine collapses every task to ≤ ⌈m/60⌉ rows — the
+    * cheapest possible corpus summary shape. All arithmetic is integer
+    * (hash60, div, mod, shift, or), so any engine reproduces the exact
+    * same bit pattern — false positives included. */
+  def bloomBuild(df: DataFrame, keyCol: String, mBits: Int,
+      kHashes: Int): DataFrame =
+    bloomPositions(df, keyCol, mBits, kHashes, Nil)
+      .groupBy(col("__w").as("w"))
+      .agg(expr("bit_or(__mask)").as("bits"))
+
+  /** Probe a [[bloomBuild]] sketch: a key is `maybe_member` iff ALL k of
+    * its bits are set. The sketch side broadcasts (it is metadata); the
+    * probe is one explode + hash join + count aggregate per key. */
+  def bloomProbe(df: DataFrame, idCol: String, keyCol: String,
+      bloom: DataFrame, mBits: Int, kHashes: Int): DataFrame =
+    bloomPositions(df, keyCol, mBits, kHashes, Seq(col(idCol)))
+      .join(broadcast(bloom), col("__w") === bloom("w"), "left")
+      .groupBy(col(idCol))
+      .agg((count(when(coalesce(col("bits"), lit(0L))
+        .bitwiseAND(col("__mask")) =!= 0L, true)) === kHashes)
+        .as("maybe_member"))
+
   /** Drop the cached blocks behind a localCheckpoint-ed frame.
     * `Dataset.unpersist` only covers cache-manager entries; a checkpoint
     * lives as a persisted RDD under a LogicalRDD leaf. */

@@ -47,6 +47,37 @@ object Ranking {
       .agg(sum(col("__contrib")).as("bm25"))
   }
 
+  /** Classic tf-idf scoring against a query term set — the pre-BM25
+    * baseline retrieval ranker, still the standard vectorizer for
+    * lightweight corpus topic filters: per document
+    * `Σ_t (1 + ln tf) · ln(N/df)` (sublinear tf, plain idf).
+    *
+    * Same scale shape as [[bm25]] (filter-before-shuffle, broadcast df
+    * and corpus stats), with one determinism upgrade: each term's
+    * contribution is quantized to integer micro-units before the
+    * per-document sum, so scores are exact integer sums — no
+    * accumulation-order dependence — and ORDER BY score is an exact
+    * decimal comparison in any engine. */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "tf-idf needs at least one query term")
+    val base = docs.select(col(idCol), TF.tokens(col(textCol)).as("__toks"))
+    val stats = base.agg(count(lit(1)).as("n_docs"))
+    val tf = base
+      .select(col(idCol), explode_outer(col("__toks")).as("term"))
+      .filter(col("term").isin(terms: _*)) // in-set also drops the outer null
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__cq",
+        floor((lit(1.0) + log(col("tf"))) * log(col("n_docs") / col("df"))
+          * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy(col(idCol))
+      .agg((sum(col("__cq")) / lit(1e6)).as("tfidf"))
+  }
+
   /** Zipf-law fit over the corpus token distribution: least-squares slope
     * and intercept of `ln(freq)` against `ln(rank)` for the `topN` most
     * frequent tokens. Natural-language corpora land near slope ≈ −1;

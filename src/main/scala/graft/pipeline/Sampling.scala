@@ -211,4 +211,64 @@ object Sampling {
     joined.filter(col("__full")).unionByName(boundary)
       .drop(helpers: _*)
   }
+
+  /** Exact per-stratum LOWER MEDIAN (the value at rank ⌈n/2⌉) without a
+    * per-stratum corpus sort: the [[budgetSelect]] two-level shape —
+    * coarse value buckets on a driver-sized histogram locate the bucket
+    * containing the median rank; ONLY that one bucket per stratum runs an
+    * in-bucket row_number. The lower median (not the interpolated mid) is
+    * chosen because it is an ELEMENT of the data — no averaging step
+    * whose float behavior an oracle would have to replicate. */
+  private def lowerMedian(df: DataFrame, idCol: String, strataCol: String,
+      valueCol: String, out: String, bucketDecimals: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bk = round(col(valueCol), bucketDecimals)
+    val perBucket = df.groupBy(col(strataCol), bk.as("__bk"))
+      .agg(count(lit(1)).as("__bn"))
+    val wb = Window.partitionBy(col(strataCol)).orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wn = Window.partitionBy(col(strataCol))
+    val target = perBucket
+      .withColumn("__before", coalesce(sum("__bn").over(wb), lit(0L)))
+      .withColumn("__n", sum("__bn").over(wn))
+      .withColumn("__k", expr("(__n + 1) div 2"))
+      .filter(col("__before") < col("__k") &&
+        col("__k") <= col("__before") + col("__bn"))
+      .select(col(strataCol), col("__bk"), col("__before"), col("__k"))
+    val wIn = Window.partitionBy(col(strataCol))
+      .orderBy(col(valueCol).asc, col(idCol).asc)
+    df.withColumn("__bk", bk)
+      .join(broadcast(target), Seq(strataCol, "__bk"))
+      .withColumn("__rn", row_number().over(wIn))
+      .filter(col("__before") + col("__rn") === col("__k"))
+      .select(col(strataCol), col(valueCol).as(out))
+  }
+
+  /** Robust outlier flagging by the median-absolute-deviation rule:
+    * a row is an outlier in its stratum when
+    * `|x − median| > cut · 1.4826 · MAD` (1.4826 scales MAD to σ under
+    * normality — the standard robust z-score corpus-curation filter,
+    * immune to the outliers it hunts, unlike mean/stddev).
+    *
+    * Both medians are exact per-stratum lower medians via the
+    * driver-sized-histogram shape ([[lowerMedian]]) — no corpus-wide or
+    * per-stratum full sort at any point; medians broadcast back.
+    * Determinism: medians are data ELEMENTS (6-decimal scores), the
+    * deviation and threshold are single IEEE expressions on identical
+    * operands in any engine. */
+  def madOutliers(df: DataFrame, idCol: String, strataCol: String,
+      valueCol: String, cut: Double = 3.0,
+      bucketDecimals: Int = 2): DataFrame = {
+    val med = lowerMedian(df, idCol, strataCol, valueCol, "__med",
+      bucketDecimals)
+    val withDev = df.join(broadcast(med), strataCol)
+      .withColumn("__dev", abs(col(valueCol) - col("__med")))
+    val mad = lowerMedian(withDev, idCol, strataCol, "__dev", "__mad",
+      bucketDecimals)
+    withDev.join(broadcast(mad), strataCol)
+      .withColumn("dev", col("__dev"))
+      .withColumn("outlier",
+        col("__dev") > lit(cut) * lit(1.4826) * col("__mad"))
+      .drop("__med", "__dev", "__mad")
+  }
 }

@@ -62,4 +62,29 @@ class DocDedupExtrasSpec extends SparkSpec {
       .select("n_removed", "cleaned").as[(Long, String)].collect()
     assert(out.forall(_ == ((1L, ""))))
   }
+
+  test("bloom sketch: no false negatives, metadata-sized, empty rejects") {
+    val corpus = (1 to 50).map(i => (i.toLong, s"member key $i"))
+      .toDF("id", "k")
+    val bloom = DocDedup.bloomBuild(corpus, "k", mBits = 1200, kHashes = 3)
+    // the sketch is metadata-sized: at most ceil(1200/60) words, none empty
+    val words = bloom.collect()
+    assert(words.length <= 20)
+    assert(words.forall(_.getLong(1) != 0L))
+    // every member probes maybe=true (a Bloom filter NEVER misses)
+    val probeAll = (1 to 80).map(i => (i.toLong, s"member key $i"))
+      .toDF("id", "k")
+    val got = DocDedup.bloomProbe(probeAll, "id", "k", bloom, 1200, 3)
+      .as[(Long, Boolean)].collect().toMap
+    assert((1 to 50).forall(i => got(i.toLong)), "member missed")
+    // non-members mostly reject at this fill rate; the exact count is
+    // deterministic (integer bit math) — pin it far below the batch
+    val fps = (51 to 80).count(i => got(i.toLong))
+    assert(fps < 10, s"suspicious false-positive count $fps")
+    // probing the empty sketch rejects everything
+    val empty = DocDedup.bloomBuild(corpus.filter(col("id") < 0), "k", 1200, 3)
+    val e = DocDedup.bloomProbe(probeAll, "id", "k", empty, 1200, 3)
+      .as[(Long, Boolean)].collect()
+    assert(e.forall(!_._2))
+  }
 }

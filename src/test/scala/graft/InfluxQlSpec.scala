@@ -197,6 +197,25 @@ class InfluxQlSpec extends SparkSpec {
       .getMessage.contains("GROUP BY time"))
   }
 
+  test("sample: deterministic n-per-series subset of the input points") {
+    val one = run("""SELECT sample(value, 2) FROM cpu
+        WHERE time >= 0 AND time < 40000000000 GROUP BY host""")
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getDouble(2)))
+    assert(one.count(_._1 == "a") == 2 && one.count(_._1 == "b") == 2)
+    // sampled points are real input points
+    val pts = fixture.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(one.forall { case (h, t, v) => pts((h, t, v)) })
+    // deterministic: a second run draws the identical subset
+    val two = run("""SELECT sample(value, 2) FROM cpu
+        WHERE time >= 0 AND time < 40000000000 GROUP BY host""")
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getDouble(2)))
+    assert(one.toSeq == two.toSeq)
+    // n >= series size degrades to all points, time-ordered
+    val all = run("SELECT sample(value, 99) FROM cpu GROUP BY host")
+    assert(all.count() == 7)
+  }
+
   test("holt_winters: downsample, recurse, forecast N bucket steps") {
     // host b sums per 10s bucket with fill(none): 10, 20, 40 -> seed at
     // bucket 2 (l=20, b=10), bucket 3: l=.5*40+.5*30=35, b=.25*15+.75*10=11.25

@@ -67,6 +67,23 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(out(2L) - expected) < 1e-12)
   }
 
+  test("tfidf: sublinear tf, idf, exact micro-quantized sums") {
+    import graft.pipeline.Ranking
+    val docs = Seq(
+      (1L, "alpha beta beta"),
+      (2L, "alpha gamma"),
+      (3L, "delta")).toDF("doc_id", "text")
+    val out = Ranking.tfidf(docs, "doc_id", "text", Seq("alpha", "beta"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!out.contains(3L))
+    def q(c: Double): Long = math.floor(c * 1e6 + 0.5).toLong
+    // doc 1: alpha tf=1 df=2 + beta tf=2 df=1; N=3
+    val d1 = (q((1 + math.log(1)) * math.log(3.0 / 2)) +
+      q((1 + math.log(2)) * math.log(3.0 / 1))).toDouble / 1e6
+    val d2 = q((1 + math.log(1)) * math.log(3.0 / 2)).toDouble / 1e6
+    assert(out(1L) == d1 && out(2L) == d2)
+  }
+
   test("bigram LM log-loss: hand-checked smoothing, short docs absent") {
     import graft.pipeline.LanguageModel
     val df = Seq((1L, "a b a b"), (2L, "a a"), (3L, "x")).toDF("doc_id", "text")
@@ -131,6 +148,29 @@ class PipelineSpec extends SparkSpec {
     val t = LanguageModel.perplexityBuckets(tiny, "id", "lang", "s")
       .select($"id", $"bucket").as[(Long, String)].collect().toMap
     assert(t == Map(1L -> "head", 2L -> "middle"))
+  }
+
+  test("madOutliers equals the naive lower-median MAD rule") {
+    import graft.pipeline.Sampling
+    // one stratum with a fat tail, one tiny stratum; scores straddle
+    // coarse 2-decimal buckets
+    val rows = ((1 to 20).map(i => (i.toLong, "a", 0.5 + 0.001 * (i % 5))) ++
+      Seq((21L, "a", 9.9), (22L, "a", -3.0)) ++
+      (1 to 3).map(i => (100L + i, "b", i * 1.0)))
+    def naiveMed(vs: Seq[Double]): Double =
+      vs.sorted.apply((vs.size + 1) / 2 - 1)
+    val want = rows.groupBy(_._2).flatMap { case (_, g) =>
+      val med = naiveMed(g.map(_._3))
+      val devs = g.map { case (id, _, v) => (id, math.abs(v - med)) }
+      val mad = naiveMed(devs.map(_._2))
+      devs.map { case (id, dv) => id -> (dv > 3.0 * 1.4826 * mad) }
+    }
+    val got = Sampling.madOutliers(rows.toDF("id", "lang", "v"),
+        "id", "lang", "v")
+      .select($"id", $"outlier").as[(Long, Boolean)].collect().toMap
+    assert(got == want)
+    assert(got(21L) && got(22L), "planted outliers flagged")
+    assert(!got(1L), "bulk rows pass")
   }
 
   test("native hash60 is bit-identical to the composed md5/conv form") {

@@ -124,6 +124,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: in-horizon pairs only, batch parity") {
+    val ts = (s: Long) => java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s))
+    val views = Seq(
+      (1L, ts(100), "v1"), (1L, ts(400), "v2"), (2L, ts(100), "v3"))
+    val clicks = Seq(
+      (1L, ts(150), "c1"),  // 50s after v1: in horizon of v1 only
+      (1L, ts(430), "c2"),  // 30s after v2 (330s after v1: out)
+      (2L, ts(500), "c3"),  // 400s after v3: out of horizon
+      (3L, ts(100), "c4"))  // keyless
+    val expect = Set(("v1", "c1"), ("v2", "c2"))
+
+    // batch reference: identical join condition, plain frames
+    val batch = graft.streaming.StreamJoin.intervalJoin(
+        views.toDF("user_id", "vts", "view"),
+        clicks.toDF("user_id", "cts", "click"),
+        "user_id", "vts", "cts", horizon = "120 seconds")
+      .select($"view", $"click").as[(String, String)].collect().toSet
+    assert(batch == expect, s"batch got $batch")
+
+    // streaming: same operator, MemoryStream sides, append sink
+    val vIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val cIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val out = graft.streaming.StreamJoin.intervalJoin(
+      vIn.toDF().toDF("user_id", "vts", "view"),
+      cIn.toDF().toDF("user_id", "cts", "click"),
+      "user_id", "vts", "cts", horizon = "120 seconds",
+      lateness = "30 seconds")
+    val q = out.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      vIn.addData(views: _*)
+      cIn.addData(clicks: _*)
+      q.processAllAvailable()
+      // advance both watermarks far past every horizon so results emit
+      // (distinct keys: the nudge rows must not pair with each other)
+      vIn.addData((98L, ts(10000), "vx"))
+      cIn.addData((99L, ts(10000), "cx"))
+      q.processAllAvailable()
+      val got = spark.table("ssj").select($"view", $"click")
+        .as[(String, String)].collect().toSet
+      assert(got == expect, s"stream got $got")
+    } finally q.stop()
+  }
+
   test("streamSplit: null predicate rows land on the REST side") {
     val df = LineProtocol.ingest(spark, Seq(
       "m,host=a v=1.0 10", "m,host=b v=2.0 20", "m,host=c v=3.0 30"))("m")
