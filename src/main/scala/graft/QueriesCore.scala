@@ -1555,6 +1555,32 @@ object QueriesCore {
         FROM fin CROSS JOIN (SELECT unnest(range(1, 5)) AS h)
         ORDER BY event_type, time""")),
 
+    ("influxql_distinct",
+      (s, d) => graft.operators.InfluxQlPlanner.run(influxMs(s, d),
+        """SELECT distinct(value) AS dv FROM events
+           WHERE event_type = 'error'
+             AND time >= '2024-01-01T00:00:00Z'
+             AND time < '2024-01-08T00:00:00Z'
+           GROUP BY user_id"""),
+      Some("""SELECT DISTINCT user_id, value AS dv FROM events
+        WHERE event_type = 'error'
+          AND epoch_ns(ts) >= 1704067200000000000
+          AND epoch_ns(ts) < 1704672000000000000
+        ORDER BY user_id, dv""")),
+
+    ("influxql_count_distinct",
+      (s, d) => graft.operators.InfluxQlPlanner.run(influxMs(s, d),
+        """SELECT count(distinct(value)) AS ndv FROM events
+           WHERE time >= '2024-01-01T00:00:00Z'
+             AND time < '2024-01-08T00:00:00Z'
+           GROUP BY time(1d), event_type fill(none)"""),
+      Some("""SELECT (epoch_ns(ts) // 86400000000000) * 86400000000000
+            AS time, event_type, count(DISTINCT value) AS ndv
+        FROM events
+        WHERE epoch_ns(ts) >= 1704067200000000000
+          AND epoch_ns(ts) < 1704672000000000000
+        GROUP BY 1, 2 ORDER BY event_type, time""")),
+
     ("influxql_sample",
       (s, d) => graft.operators.InfluxQlPlanner.run(influxMs(s, d),
         """SELECT sample(value, 3) FROM events

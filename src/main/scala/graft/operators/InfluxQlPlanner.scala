@@ -44,7 +44,7 @@ object InfluxQlPlanner {
   private val aggFns = Set("count", "sum", "mean", "min", "max", "spread",
     "stddev", "first", "last")
   private val aloneFns = Set("median", "mode", "percentile", "top", "bottom",
-    "integral", "sample")
+    "integral", "sample", "distinct")
   private val windowFns = Set("difference", "non_negative_difference",
     "derivative", "non_negative_derivative", "cumulative_sum",
     "moving_average", "elapsed", "chande_momentum_oscillator",
@@ -266,6 +266,7 @@ object InfluxQlPlanner {
   private[graft] def aggColumn(fn: String, field: String, tcol: String): Column =
     fn match {
       case "count" => count(col(field))
+      case "count_distinct" => countDistinct(col(field))
       case "sum" => sum(col(field))
       case "mean" => avg(col(field))
       case "min" => min(col(field))
@@ -423,7 +424,12 @@ object InfluxQlPlanner {
         if (isNestedAgg(c)) {
           val inner = c.args.head.asInstanceOf[Call]
           (inner, fieldArg(inner, df), Some(c))
-        } else (c, fieldArg(c, df), None)
+        } else (c, c.args.headOption, c.fn) match {
+          // COUNT(DISTINCT(field)) — the 1.x cardinality aggregate
+          case (_, Some(Call("distinct", List(Ref(n)))), "count") =>
+            (Call("count_distinct", List(Ref(n))), n, None)
+          case _ => (c, fieldArg(c, df), None)
+        }
       val aggName = if (outer.isDefined) s"__in_$name" else name
       (aggColumn(aggC.fn, field, tcol).as(aggName), aggName, name, outer)
     }
@@ -544,6 +550,11 @@ object InfluxQlPlanner {
         IA.topN(df, keyCols, tcol, f, n, bottom = c.fn == "bottom")
           .select((col(tcol).as("time") +: keys) :+ col(f).as(name): _*)
           .orderBy(keys :+ col("time").asc: _*)
+      case "distinct" =>
+        // InfluxQL DISTINCT(field): the distinct field values per series
+        ordered(df.filter(col(f).isNotNull)
+          .select(keys :+ col(f).as(name): _*).distinct(),
+          keys :+ col(name))
       case "sample" =>
         // upstream SAMPLE draws by reservoir RNG; this engine draws the
         // same SIZE-n subset by content hash — deterministic across runs,

@@ -197,6 +197,22 @@ class InfluxQlSpec extends SparkSpec {
       .getMessage.contains("GROUP BY time"))
   }
 
+  test("distinct and count(distinct): field-value cardinality forms") {
+    val dv = run("""SELECT distinct(value) AS dv FROM cpu
+        WHERE time >= 0 AND time < 40000000000 GROUP BY host""")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    // host a values {1,3,2,6}; host b {10,20,40} — all distinct already
+    assert(dv.size == 7 && dv.distinct.size == 7)
+    val dupd = run("SELECT distinct(value) FROM cpu GROUP BY host")
+    assert(dupd.columns.toSeq == Seq("host", "distinct"))
+    val cd = run("""SELECT count(distinct(value)) AS ndv FROM cpu
+        WHERE time >= 0 AND time < 40000000000
+        GROUP BY time(20s), host fill(none)""")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(cd == Set((0L, "a", 2L), (20000000000L, "a", 2L),
+      (0L, "b", 2L), (20000000000L, "b", 1L)))
+  }
+
   test("sample: deterministic n-per-series subset of the input points") {
     val one = run("""SELECT sample(value, 2) FROM cpu
         WHERE time >= 0 AND time < 40000000000 GROUP BY host""")
