@@ -280,6 +280,22 @@ object QueriesPipeline {
         GROUP BY tf.doc_id
         ORDER BY bm25 DESC, tf.doc_id LIMIT 50""")),
 
+    // BPE merge candidates: weighted adjacent-char-pair counts over the
+    // word-frequency table (the vocab-sized BPE trainer statistic, never
+    // a corpus-sized explode); top-20 by count desc, pair asc
+    ("text_bpe_pairs",
+      (s, d) => graft.pipeline.LanguageModel
+        .bpePairCandidates(Tables.documents(s, d), "text", topN = 20)
+        .select(col("pair"), col("count").cast("long").as("count")),
+      Some(s"""WITH vocab AS (SELECT tok, count(*) AS cnt
+          FROM (SELECT unnest($dToks) AS tok FROM documents) GROUP BY 1),
+        pairs AS (SELECT cnt, unnest(list_transform(
+            range(1, length(tok)),
+            i -> substr(tok, i, 1) || ' ' || substr(tok, i + 1, 1))) AS pair
+          FROM vocab WHERE length(tok) >= 2)
+        SELECT pair, CAST(sum(cnt) AS BIGINT) AS count FROM pairs
+        GROUP BY 1 ORDER BY count DESC, pair ASC LIMIT 20""")),
+
     // classic tf-idf ranking beside BM25: sublinear tf × plain idf with
     // every contribution quantized to integer micro-units BEFORE the
     // per-document sum — scores are exact decimals, so the DESC ordering

@@ -145,13 +145,23 @@ object Clustering {
     val dim = v.select(size(col("__v"))).first().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
-    val fits = (0 until m).map { j =>
-      val (assigned, cents) = kmeansFit(v.select(col(idCol),
-          slice(col("__v"), j * sub + 1, sub).as("__s")),
-        idCol, "__s", k, iters)
-      (assigned.withColumnRenamed("cluster", s"code_$j"),
-        cents.map { case (c, ce) => (j, c, ce) })
-    }
+    // the m subspace fits are independent, but each Lloyd iteration has
+    // two DRIVER BARRIERS (seed + centroid-update collects); run them as
+    // concurrent Spark jobs so the barriers overlap instead of chaining
+    // m·iters round-trips — results are identical (Future.sequence keeps
+    // subspace order; each fit is deterministic on its own)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fits = Await.result(Future.sequence((0 until m).map { j =>
+      Future {
+        val (assigned, cents) = kmeansFit(v.select(col(idCol),
+            slice(col("__v"), j * sub + 1, sub).as("__s")),
+          idCol, "__s", k, iters)
+        (assigned.withColumnRenamed("cluster", s"code_$j"),
+          cents.map { case (c, ce) => (j, c, ce) })
+      }
+    }), Duration.Inf)
     (fits.map(_._1).reduce(_.join(_, Seq(idCol))), fits.flatMap(_._2))
   }
 

@@ -114,6 +114,35 @@ object LanguageModel {
       .select(col(idCol), col("__c").as("pred"), col("score_q"))
   }
 
+  /** The first BPE merge-selection step (Sennrich et al. 2016): weighted
+    * adjacent-symbol-pair frequencies over the corpus, the statistic a
+    * tokenizer trainer maximizes at every merge. Returns the `topN`
+    * (pair, count) candidates, count desc / pair asc.
+    *
+    * Scale shape — the defining BPE trick carries over to Spark: pair
+    * counting runs on the WORD-FREQUENCY TABLE (vocab-sized, one corpus
+    * token-count aggregate), not the corpus — each distinct word
+    * contributes its pairs once, weighted by its count. The per-word
+    * char-pair explode is ∝ Σ word lengths over the VOCAB; the final
+    * top-N is a bounded orderBy+limit on the pair table. */
+  def bpePairCandidates(docs: DataFrame, textCol: String,
+      topN: Int = 20): DataFrame = {
+    require(topN >= 1, "need a positive candidate count")
+    val vocab = docs
+      .select(explode_outer(TF.tokens(col(textCol))).as("tok"))
+      .filter(col("tok").isNotNull) // outer+filter: see DocDedup.explodePairs
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    vocab
+      .filter(length(col("tok")) >= 2)
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(1, length(tok) - 1)," +
+          " i -> concat(substr(tok, i, 1), ' ', substr(tok, i + 1, 1)))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum("cnt").as("count"))
+      .orderBy(col("count").desc, col("pair").asc)
+      .limit(topN)
+  }
+
   /** CCNet-style perplexity terciles: within each stratum (CCNet cuts
     * per language), rank documents by LM score ascending and label the
     * first ⌈n/3⌉ `head`, the next third `middle`, the rest `tail` —

@@ -84,6 +84,20 @@ class PipelineSpec extends SparkSpec {
     assert(out(1L) == d1 && out(2L) == d2)
   }
 
+  test("bpePairCandidates: vocab-weighted pair counts, bounded top-N") {
+    import graft.pipeline.LanguageModel
+    // "aa ab aa" -> vocab {aa:2, ab:1}; pairs: "a a"x2, "a b"x1
+    val docs = Seq((1L, "aa ab"), (2L, "aa")).toDF("doc_id", "text")
+    val got = LanguageModel.bpePairCandidates(docs, "text", topN = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a a", 2L), ("a b", 1L)))
+    // single-char words contribute nothing; ties order by pair asc
+    val t = LanguageModel.bpePairCandidates(
+      Seq((1L, "x yz ab")).toDF("doc_id", "text"), "text", 10)
+      .as[(String, Long)].collect().toSeq
+    assert(t == Seq(("a b", 1L), ("y z", 1L)))
+  }
+
   test("bigram LM log-loss: hand-checked smoothing, short docs absent") {
     import graft.pipeline.LanguageModel
     val df = Seq((1L, "a b a b"), (2L, "a a"), (3L, "x")).toDF("doc_id", "text")
