@@ -280,6 +280,33 @@ object QueriesPipeline {
         GROUP BY tf.doc_id
         ORDER BY bm25 DESC, tf.doc_id LIMIT 50""")),
 
+    // n-gram novelty: the fraction of a document's distinct 3-gram
+    // shingles that appear NOWHERE else in the corpus — the standard
+    // diversity/redundancy audit beside the dedup family (a corpus of
+    // templated text scores near 0, fresh text near 1). One shingle
+    // explode + df aggregate; the ratio divides exact integers
+    ("text_novelty",
+      (s, d) => {
+        val sh = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode_outer(array_distinct(TF.shingles(col("text"), 3))).as("sx"))
+          .filter(col("sx").isNotNull)
+        val dfc = sh.groupBy("sx").agg(count(lit(1)).as("sdf"))
+        sh.join(dfc, "sx")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            round(sum(when(col("sdf") === 1, 1L).otherwise(0L)) /
+              count(lit(1)), 6).as("novelty"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $dShingles,
+        dfc AS (SELECT s, count(*) AS sdf FROM sh GROUP BY 1)
+        SELECT sh.doc_id, count(*) AS n_shingles,
+          round(sum(CASE WHEN dfc.sdf = 1 THEN 1 ELSE 0 END)
+            / count(*), 6) AS novelty
+        FROM sh JOIN dfc USING (s)
+        GROUP BY sh.doc_id ORDER BY sh.doc_id""")),
+
     // BPE merge candidates: weighted adjacent-char-pair counts over the
     // word-frequency table (the vocab-sized BPE trainer statistic, never
     // a corpus-sized explode); top-20 by count desc, pair asc
@@ -728,6 +755,41 @@ object QueriesPipeline {
         ranked AS (SELECT q_id, neighbor_id, cos, CAST(row_number() OVER (
             PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
           FROM scored)
+        SELECT q_id, rank, neighbor_id, round(cos, 6) AS cos
+        FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""")),
+
+    // hard-negative mining (DPR/Contriever): top-k most-similar vectors
+    // OUTSIDE the query's own k-means cluster — the ANN scorer and the
+    // clustering composed in one plan; the oracle replays the seed
+    // assignment and the cluster-pruned ranking
+    ("ann_hard_negatives",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val clusters = Clustering.kmeansAssign(
+          Tables.spread(s, emb), "vec_id", "embedding", k = 8, iters = 0)
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.hardNegatives(emb, clusters, q, k = 10)
+          .select(col("q_id"), col("rank"), col("neighbor_id"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH $dKmeansPrep,
+        c0 AS (SELECT vec_id AS c, e AS ce FROM x WHERE vec_id < 8),
+        a1 AS ${dKmeansAssign("c0")},
+        vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+        q AS (SELECT vv.vec_id AS q_id, e AS qe, a1.c AS qc
+          FROM vv JOIN a1 USING (vec_id) WHERE vv.vec_id < 5),
+        scored AS (SELECT q.q_id, vv.vec_id AS neighbor_id,
+            list_dot_product(vv.e, q.qe)
+              / (sqrt(list_dot_product(vv.e, vv.e))
+                * sqrt(list_dot_product(q.qe, q.qe))) AS cos
+          FROM vv JOIN a1 USING (vec_id) CROSS JOIN q
+          WHERE vv.vec_id != q.q_id AND a1.c != q.qc),
+        ranked AS (SELECT q_id, neighbor_id, cos, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS INT)
+            AS rank FROM scored)
         SELECT q_id, rank, neighbor_id, round(cos, 6) AS cos
         FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""")),
 

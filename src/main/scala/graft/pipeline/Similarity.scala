@@ -120,6 +120,36 @@ object Similarity {
     rankTopK(scored, k, qIdCol, "cos", idCol)
   }
 
+  /** Hard-negative mining for contrastive training (DPR/Contriever
+    * recipe): for each query, the top-k most-similar corpus vectors that
+    * sit OUTSIDE the query's own semantic cluster — similar enough to be
+    * hard, different enough (by the cluster oracle) to be negatives.
+    *
+    * `clusters` is an (id, cluster) frame covering corpus AND query ids
+    * (e.g. [[Clustering.kmeansAssign]]). Scale shape: one co-partitioned
+    * id join to attach corpus clusters, the query side broadcast with its
+    * clusters attached, then the [[bruteForceTopK]] posture — broadcast
+    * nested-loop + bounded TopK; the cluster filter prunes pairs BEFORE
+    * the aggregate. */
+  def hardNegatives(corpus: DataFrame, clusters: DataFrame,
+      queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "q_id", qVecCol: String = "q_vec",
+      clusterCol: String = "cluster"): DataFrame = {
+    val c = normed(corpus, idCol, vecCol, "__e", "__n")
+      .join(clusters, idCol)
+    val qClusters = clusters
+      .withColumnRenamed(idCol, qIdCol)
+      .withColumnRenamed(clusterCol, "__qc")
+    val q = normed(queries, qIdCol, qVecCol, "__qe", "__qn")
+      .join(qClusters, qIdCol)
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col(qIdCol) && col(clusterCol) =!= col("__qc"))
+      .select(col(qIdCol), col(idCol),
+        cosExpr(dot(col("__e"), col("__qe")), col("__n"), col("__qn")).as("cos"))
+    rankTopK(scored, k, qIdCol, "cos", idCol)
+  }
+
   /** PQ asymmetric-distance top-k (ADC — Jégou et al. 2011, §IV): score
     * corpus vectors from their PQ codes alone. For each query, a distance
     * table `dt[j][c] = <q_j, codebook_j[c]>` is built ONCE (m·k dots);

@@ -358,6 +358,21 @@ class PipelineSpec extends SparkSpec {
       a._3 > b._3 || (a._3 == b._3 && a._2 < b._2) })
   }
 
+  test("hardNegatives: same-cluster and self candidates are pruned") {
+    import graft.pipeline.Similarity
+    // two obvious clusters on a line; queries from cluster 0
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.95f, 0f)),
+      (10L, Array(0f, 1f)), (11L, Array(0.1f, 0.9f))).toDF("vec_id", "embedding")
+    val clusters = Seq((0L, 0), (1L, 0), (2L, 0), (10L, 1), (11L, 1))
+      .toDF("vec_id", "cluster")
+    val q = vecs.filter($"vec_id" === 0L)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val got = Similarity.hardNegatives(vecs, clusters, q, k = 10)
+      .select($"neighbor_id").as[Long].collect().toSet
+    assert(got == Set(10L, 11L), s"got $got — in-cluster rows must be pruned")
+  }
+
   test("zero-norm vectors (null cosine) are dropped, not a crash") {
     // x / 0.0 is NULL in Spark SQL even for doubles; a null score used to
     // hit TopK's non-nullable input encoder at runtime
