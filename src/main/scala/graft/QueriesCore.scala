@@ -1555,6 +1555,39 @@ object QueriesCore {
         FROM fin CROSS JOIN (SELECT unnest(range(1, 5)) AS h)
         ORDER BY event_type, time""")),
 
+    ("influxql_arith",
+      (s, d) => graft.operators.InfluxQlPlanner.run(influxMs(s, d),
+        """SELECT max(value) - min(value) AS sp,
+             (max(value) + min(value)) / 2 AS mid
+           FROM events
+           WHERE time >= '2024-01-01T00:00:00Z'
+             AND time < '2024-01-08T00:00:00Z'
+           GROUP BY time(1d), event_type fill(none)"""),
+      // min/max are order-free exact selections, so the arithmetic is a
+      // fixed IEEE expression on identical operands in both engines
+      Some("""SELECT (epoch_ns(ts) // 86400000000000) * 86400000000000
+            AS time, event_type,
+          max(value) - min(value) AS sp,
+          (max(value) + min(value)) / 2 AS mid
+        FROM events
+        WHERE epoch_ns(ts) >= 1704067200000000000
+          AND epoch_ns(ts) < 1704672000000000000
+        GROUP BY 1, 2 ORDER BY event_type, time""")),
+
+    ("influxql_arith_row",
+      (s, d) => graft.operators.InfluxQlPlanner.run(influxMs(s, d),
+        """SELECT value * 2 - 1 AS x, sqrt(value) + value / 4 AS y
+           FROM events WHERE event_type = 'error'
+             AND time >= '2024-01-01T00:00:00Z'
+             AND time < '2024-01-03T00:00:00Z'
+           ORDER BY time"""),
+      Some("""SELECT epoch_ns(ts) AS time, value * 2 - 1 AS x,
+          sqrt(value) + value / 4 AS y
+        FROM events WHERE event_type = 'error'
+          AND epoch_ns(ts) >= 1704067200000000000
+          AND epoch_ns(ts) < 1704240000000000000
+        ORDER BY time""")),
+
     ("influxql_distinct",
       (s, d) => graft.operators.InfluxQlPlanner.run(influxMs(s, d),
         """SELECT distinct(value) AS dv FROM events

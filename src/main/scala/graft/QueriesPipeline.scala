@@ -280,6 +280,65 @@ object QueriesPipeline {
         GROUP BY tf.doc_id
         ORDER BY bm25 DESC, tf.doc_id LIMIT 50""")),
 
+    // count-min sketch: bounded-memory token frequencies (the frequency
+    // sibling of dedup_bloom's membership sketch); estimates from the
+    // 3×512 cell table vs the exact counts — all-integer, so the oracle
+    // reproduces the cell table and estimates exactly
+    ("text_cms_counts",
+      (s, d) => {
+        import graft.pipeline.DocDedup
+        val toks = Tables.documents(s, d)
+          .select(explode_outer(TF.tokens(col("text"))).as("tok"))
+          .filter(col("tok").isNotNull)
+        val cms = DocDedup.cmsBuild(toks, "tok", width = 512, depth = 3)
+        val probe = toks.select(col("tok")).distinct()
+          .filter(col("tok").isin("the", "data", "merge", "scan", "quality"))
+        val exact = toks.groupBy("tok").agg(count(lit(1)).as("true_cnt"))
+        DocDedup.cmsEstimate(probe, "tok", cms, 512, 3)
+          .join(exact, "tok")
+          .select(col("tok"), col("est"), col("true_cnt"))
+          .orderBy("tok")
+      },
+      Some(s"""WITH toks AS (SELECT unnest($dToks) AS tok FROM documents),
+        pos AS (SELECT tok, i,
+            ${dHash60("tok || '#' || CAST(i AS VARCHAR)")} % 512 AS cell
+          FROM toks CROSS JOIN (SELECT unnest(range(0, 3)) AS i)),
+        cms AS (SELECT i AS r, cell, count(*) AS cnt FROM pos GROUP BY 1, 2),
+        probe AS (SELECT DISTINCT tok FROM toks
+          WHERE tok IN ('the', 'data', 'merge', 'scan', 'quality')),
+        est AS (SELECT p.tok, min(coalesce(cms.cnt, 0)) AS est
+          FROM (SELECT probe.tok, i,
+              ${dHash60("probe.tok || '#' || CAST(i AS VARCHAR)")} % 512 AS cell
+            FROM probe CROSS JOIN (SELECT unnest(range(0, 3)) AS i)) p
+          LEFT JOIN cms ON cms.r = p.i AND cms.cell = p.cell
+          GROUP BY 1),
+        exact AS (SELECT tok, count(*) AS true_cnt FROM toks GROUP BY 1)
+        SELECT est.tok, est.est, exact.true_cnt
+        FROM est JOIN exact USING (tok) ORDER BY tok""")),
+
+    // rebalance to target language proportions (50/30/20 en/de/fr; es
+    // and zh dropped): largest feasible output size from the observed
+    // counts, exact integer hash membership — the oracle replays the
+    // same count/threshold arithmetic and hash test
+    ("corpus_rebalance",
+      (s, d) => graft.pipeline.Sampling
+        .rebalance(Tables.documents(s, d), "lang", "doc_id",
+          Map("en" -> 500000L, "de" -> 300000L, "fr" -> 200000L))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id"),
+      Some(s"""WITH shares AS (SELECT * FROM (VALUES
+            ('en', 500000), ('de', 300000), ('fr', 200000))
+            AS t(lang, share_ppm)),
+        c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+        cs AS (SELECT c.lang, c.cnt, shares.share_ppm
+          FROM c JOIN shares USING (lang)),
+        tq AS (SELECT min(cnt * 1000000 // share_ppm) AS t FROM cs)
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN cs USING (lang) CROSS JOIN tq
+        WHERE (${dHash60("CAST(d.doc_id AS VARCHAR)")} % 1000000) * cs.cnt
+          < cs.share_ppm * tq.t
+        ORDER BY d.doc_id""")),
+
     // n-gram novelty: the fraction of a document's distinct 3-gram
     // shingles that appear NOWHERE else in the corpus — the standard
     // diversity/redundancy audit beside the dedup family (a corpus of

@@ -231,7 +231,9 @@ object InfluxQlPlanner {
     val hasStar = sel.projs.exists(_._1 == Star)
 
     val result =
-      if (calls.isEmpty) rawSelect(df, m, sel, refs, hasStar, keyCols)
+      if (sel.projs.exists(_._1.isInstanceOf[Bin]))
+        binSelect(df, m, sel, keyCols, lo, hi)
+      else if (calls.isEmpty) rawSelect(df, m, sel, refs, hasStar, keyCols)
       else if (calls.forall(c => scalarFns(c._1.fn)) && !hasStar)
         scalarSelect(df, m, sel, keyCols)
       else if (refs.nonEmpty || hasStar)
@@ -368,6 +370,133 @@ object InfluxQlPlanner {
     val timeOrd = if (sel.timeDesc) col("time").desc else col("time").asc
     df.select((col(m.timeCol).as("time") +: dims) ++ picked: _*)
       .orderBy(keyCols.map(col) :+ timeOrd: _*)
+  }
+
+  // ------------------------------------------- arithmetic projections
+  private val arithOps = Set("+", "-", "*", "/", "%")
+
+  private def isScalarExpr(e: Expr): Boolean = e match {
+    case Ref(_) | IntLit(_) | NumLit(_) => true
+    case c: Call => scalarFns(c.fn)
+    case Bin(op, l, r) => arithOps(op) && isScalarExpr(l) && isScalarExpr(r)
+    case _ => false
+  }
+
+  private def isAggArith(e: Expr): Boolean = e match {
+    case c: Call => aggFns(c.fn)
+    case IntLit(_) | NumLit(_) => true
+    case Bin(op, l, r) => arithOps(op) && isAggArith(l) && isAggArith(r)
+    case _ => false
+  }
+
+  private def aggSubCalls(e: Expr): Seq[Call] = e match {
+    case c: Call => Seq(c)
+    case Bin(_, l, r) => aggSubCalls(l) ++ aggSubCalls(r)
+    case _ => Seq.empty
+  }
+
+  private def arith(op: String, a: Column, b: Column): Column = op match {
+    case "+" => a + b
+    case "-" => a - b
+    case "*" => a * b
+    case "/" => a / b
+    case "%" => a % b
+    case other => throw ParseError(s"unsupported operator '$other'")
+  }
+
+  private def scalarColumn(e: Expr, df: DataFrame): Column = e match {
+    case Ref(n) =>
+      if (!df.columns.contains(n)) throw ParseError(s"unknown column '$n'")
+      col(n)
+    case IntLit(v) => lit(v)
+    case NumLit(v) => lit(v)
+    case c: Call => scalarCol(c, df)
+    case Bin(op, l, r) if arithOps(op) =>
+      arith(op, scalarColumn(l, df), scalarColumn(r, df))
+    case other => throw ParseError(s"bad scalar expression: $other")
+  }
+
+  /** SELECTs containing binary arithmetic: either per-row (all leaves
+    * raw fields / literals / scalar fns — `value * 2 + 1`) or
+    * aggregate-level (all calls are 1.x aggregates — the
+    * `sum(err) / count(value)` ratio idiom, with or without
+    * GROUP BY time). Mixing the two levels is rejected like upstream. */
+  private def binSelect(df: DataFrame, m: InfluxMeasurement, sel: Select,
+      keyCols: Seq[String], lo: Option[Long], hi: Option[Long]): DataFrame = {
+    if (sel.projs.exists(_._1 == Star))
+      throw ParseError("* cannot mix with arithmetic projections")
+    sel.projs.foreach {
+      case (_: Bin, None) =>
+        throw ParseError("arithmetic projections need AS <name>")
+      case _ => ()
+    }
+    def name(e: Expr, a: Option[String]): String = a.getOrElse(e match {
+      case Ref(n) => n
+      case c: Call => c.fn
+      case _ => "expr"
+    })
+    if (sel.projs.forall(p => isScalarExpr(p._1))) {
+      if (sel.groupTime.isDefined)
+        throw ParseError("per-row arithmetic does not support GROUP BY time()")
+      val picked = sel.projs.map { case (e, a) =>
+        scalarColumn(e, df).as(name(e, a)) }
+      val dims = keyCols.filterNot(k => sel.projs.exists {
+        case (Ref(n), _) => n == k
+        case _ => false
+      }).map(col)
+      val timeOrd = if (sel.timeDesc) col("time").desc else col("time").asc
+      df.select((col(m.timeCol).as("time") +: dims) ++ picked: _*)
+        .orderBy(keyCols.map(col) :+ timeOrd: _*)
+    } else if (sel.projs.forall(p =>
+        isAggArith(p._1) && aggSubCalls(p._1).nonEmpty))
+      aggArithSelect(df, m, sel, keyCols)
+    else
+      throw ParseError("arithmetic must be all per-row (fields/scalar " +
+        "functions) or all over aggregates")
+  }
+
+  private def aggArithSelect(df: DataFrame, m: InfluxMeasurement,
+      sel: Select, keyCols: Seq[String]): DataFrame = {
+    val tcol = m.timeCol
+    val subs = sel.projs.flatMap(p => aggSubCalls(p._1)).distinct
+    val hidden = subs.zipWithIndex.map { case (c, i) => c -> s"__ag$i" }.toMap
+    val aggs = subs.map { c =>
+      val n = hidden(c)
+      (c.fn, c.args.headOption) match {
+        case ("count", Some(Call("distinct", List(Ref(f))))) =>
+          countDistinct(col(f)).as(n)
+        case _ => aggColumn(c.fn, fieldArg(c, df), tcol).as(n)
+      }
+    }
+    def rewrite(e: Expr): Column = e match {
+      case c: Call => col(hidden(c))
+      case IntLit(v) => lit(v)
+      case NumLit(v) => lit(v)
+      case Bin(op, l, r) if arithOps(op) => arith(op, rewrite(l), rewrite(r))
+      case other => throw ParseError(s"bad aggregate expression: $other")
+    }
+    val outCols = sel.projs.map { case (e, a) =>
+      rewrite(e).as(a.getOrElse(e match {
+        case c: Call => c.fn
+        case _ => "expr"
+      }))
+    }
+    val keys = keyCols.map(col)
+    sel.groupTime match {
+      case None =>
+        val g = if (keys.isEmpty) df.groupBy() else df.groupBy(keys: _*)
+        ordered(g.agg(aggs.head, aggs.tail: _*)
+          .select(keys ++ outCols: _*), keys)
+      case Some(gt) =>
+        if (sel.fill != FillNull && sel.fill != FillNone)
+          throw ParseError("fill() is not supported with aggregate arithmetic")
+        val bucket = (NsTime.windowStopNs(col(tcol), gt.everyNs, gt.offsetNs) -
+          gt.everyNs).as("time")
+        val grouped = df.groupBy(keys :+ bucket: _*).agg(aggs.head, aggs.tail: _*)
+        val timeOrd = if (sel.timeDesc) col("time").desc else col("time").asc
+        grouped.select((col("time") +: keys) ++ outCols: _*)
+          .orderBy(keys :+ timeOrd: _*)
+    }
   }
 
   private def scalarCol(c: Call, df: DataFrame): Column = {

@@ -601,6 +601,44 @@ object DocDedup {
         .bitwiseAND(col("__mask")) =!= 0L, true)) === kHashes)
         .as("maybe_member"))
 
+  /** Count-min sketch over a key stream (Cormode & Muthukrishnan 2005) —
+    * the frequency companion of [[bloomBuild]] (membership) and the HLL
+    * cardinality path: `depth` hash rows of `width` cells; a key's count
+    * estimate is the MIN of its cells, an upper bound on the true count
+    * (collisions only inflate). The standard bounded-memory answer to
+    * "how often does this token/URL/fingerprint occur" over a stream too
+    * large to hold a full frequency table.
+    *
+    * Scale: the sketch is metadata (depth·width cells regardless of
+    * corpus); the build is one projection + a count aggregate that
+    * partial-combines map-side. All-integer hashing and counting, so any
+    * engine reproduces the exact cell table — estimates included. */
+  def cmsBuild(df: DataFrame, keyCol: String, width: Int,
+      depth: Int): DataFrame = {
+    require(width > 0 && depth > 0, "cms needs positive width and depth")
+    val rows = (0 until depth).map(i => struct(lit(i).as("r"),
+      pmod(hash60(concat(col(keyCol), lit("#" + i))), lit(width.toLong))
+        .as("cell")))
+    df.select(explode(array(rows: _*)).as("__rc"))
+      .groupBy(col("__rc.r").as("r"), col("__rc.cell").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate keys against a [[cmsBuild]] sketch: min over the
+    * key's `depth` cells (missing cell = 0). The sketch broadcasts. */
+  def cmsEstimate(df: DataFrame, keyCol: String, cms: DataFrame,
+      width: Int, depth: Int): DataFrame = {
+    val rows = (0 until depth).map(i => struct(lit(i).as("r"),
+      pmod(hash60(concat(col(keyCol), lit("#" + i))), lit(width.toLong))
+        .as("cell")))
+    df.select(col(keyCol), explode(array(rows: _*)).as("__rc"))
+      .join(broadcast(cms),
+        col("__rc.r") === cms("r") && col("__rc.cell") === cms("cell"),
+        "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
   /** Drop the cached blocks behind a localCheckpoint-ed frame.
     * `Dataset.unpersist` only covers cache-manager entries; a checkpoint
     * lives as a persisted RDD under a LogicalRDD leaf. */

@@ -244,6 +244,41 @@ object Sampling {
       .select(col(strataCol), col(valueCol).as(out))
   }
 
+  /** Rebalance a corpus to a TARGET stratum distribution (the dataset
+    * mixing step that downsamples over-represented languages/sources to
+    * hit training proportions): given target shares (ppm, caller-normalized
+    * to sum 1e6), find the largest feasible output size
+    * `T = min_s(count_s / share_s)` — the binding stratum keeps ~everything
+    * — and keep each stratum at acceptance rate `share_s·T / count_s`.
+    * Strata absent from the target are dropped.
+    *
+    * Membership is the same EXACT integer hash test as the other samplers
+    * (`pmod(hash60(key), 1e6)·count_s < share_ppm·T` — all-long products,
+    * headroom to ~10^12-row strata), so the kept set is deterministic
+    * across runs/partitionings/engines; proportions hold in expectation
+    * like any Bernoulli sampler. Scale shape: one strata-sized count
+    * aggregate + two broadcast joins; the corpus itself only scans and
+    * filters — zero corpus shuffles. */
+  def rebalance(df: DataFrame, strataCol: String, keyCol: String,
+      sharesPpm: Map[String, Long]): DataFrame = {
+    require(sharesPpm.nonEmpty, "rebalance needs target shares")
+    sharesPpm.foreach { case (s, p) =>
+      require(p > 0, s"share for '$s' must be positive (drop it to exclude)") }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shares = sharesPpm.toSeq.sortBy(_._1)
+      .toDF(strataCol, "__share_ppm")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__cnt"))
+      .join(broadcast(shares), strataCol) // inner: unlisted strata drop out
+    val tq = counts.agg(min(expr("__cnt * 1000000 div __share_ppm")).as("__t"))
+    df.join(broadcast(counts), strataCol)
+      .crossJoin(broadcast(tq))
+      .filter(
+        pmod(TextFunctions.hash60(col(keyCol).cast("string")), lit(1000000L))
+          * col("__cnt") < col("__share_ppm") * col("__t"))
+      .drop("__cnt", "__share_ppm", "__t")
+  }
+
   /** Robust outlier flagging by the median-absolute-deviation rule:
     * a row is an outlier in its stratum when
     * `|x − median| > cut · 1.4826 · MAD` (1.4826 scales MAD to σ under

@@ -63,6 +63,24 @@ class DocDedupExtrasSpec extends SparkSpec {
     assert(out.forall(_ == ((1L, ""))))
   }
 
+  test("count-min sketch: estimates upper-bound true counts, exact when sparse") {
+    val stream = (Seq.fill(10)("a") ++ Seq.fill(3)("b") ++ Seq("c"))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("i", "k")
+    val keys = stream.select($"k")
+    val cms = DocDedup.cmsBuild(keys, "k", width = 64, depth = 3)
+    // cell mass per row equals the stream length
+    val rowMass = cms.groupBy($"r").sum("cnt").collect().map(_.getLong(1))
+    assert(rowMass.toSeq == Seq(14L, 14L, 14L))
+    val est = DocDedup.cmsEstimate(keys.distinct(), "k", cms, 64, 3)
+      .as[(String, Long)].collect().toMap
+    // wide sketch, 3 keys: no collisions -> exact
+    assert(est == Map("a" -> 10L, "b" -> 3L, "c" -> 1L))
+    // unseen keys estimate 0 with this sparse table
+    val unseen = DocDedup.cmsEstimate(Seq("zz").toDF("k"), "k", cms, 64, 3)
+      .as[(String, Long)].collect()
+    assert(unseen.head._2 == 0L)
+  }
+
   test("bloom sketch: no false negatives, metadata-sized, empty rejects") {
     val corpus = (1 to 50).map(i => (i.toLong, s"member key $i"))
       .toDF("id", "k")

@@ -197,6 +197,39 @@ class InfluxQlSpec extends SparkSpec {
       .getMessage.contains("GROUP BY time"))
   }
 
+  test("arithmetic projections: per-row fields and aggregate ratios") {
+    // per-row: precedence, parens, division (no longer lexed as regex),
+    // and a - with a value on its left
+    val pr = run("""SELECT value * 2 + 1 AS x, (value + 1) / 2 AS y,
+          value - 1 AS z
+        FROM cpu WHERE host = 'a' AND time >= 0 AND time < 15000000000
+        ORDER BY time""")
+      .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(pr.toSeq == Seq((3.0, 1.0, 0.0), (7.0, 2.0, 2.0)))
+    // scalar functions compose into the expression
+    val sf = run("""SELECT sqrt(value) * 2 AS s FROM cpu
+        WHERE host = 'b' AND time >= 0 AND time < 10000000000""")
+      .collect().map(_.getDouble(1))
+    assert(sf.toSeq == Seq(math.sqrt(10.0) * 2))
+    // aggregate arithmetic, grouped and time-bucketed
+    val ag = run("""SELECT sum(value) / count(value) AS m FROM cpu
+        GROUP BY host""").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(ag == Map("a" -> 3.0, "b" -> (70.0 / 3)))
+    val tb = run("""SELECT max(value) - min(value) AS sp FROM cpu
+        WHERE time >= 0 AND time < 40000000000
+        GROUP BY time(20s), host fill(none)""")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(tb == Set((0L, "a", 2.0), (20000000000L, "a", 4.0),
+      (0L, "b", 10.0), (20000000000L, "b", 0.0)))
+    // mixing levels and unaliased arithmetic are rejected
+    assert(intercept[ParseError](
+      run("SELECT value + mean(value) AS x FROM cpu GROUP BY host"))
+      .getMessage.contains("arithmetic"))
+    assert(intercept[ParseError](run("SELECT value + 1 FROM cpu"))
+      .getMessage.contains("AS"))
+  }
+
   test("distinct and count(distinct): field-value cardinality forms") {
     val dv = run("""SELECT distinct(value) AS dv FROM cpu
         WHERE time >= 0 AND time < 40000000000 GROUP BY host""")

@@ -164,6 +164,32 @@ class PipelineSpec extends SparkSpec {
     assert(t == Map(1L -> "head", 2L -> "middle"))
   }
 
+  test("rebalance: exact-hash membership matches the formula replay") {
+    import graft.pipeline.Sampling
+    import graft.functions.TextFunctions
+    val rows = ((1 to 200).map(i => (i.toLong, "en")) ++
+      (1 to 50).map(i => (1000L + i, "de")) ++
+      (1 to 30).map(i => (2000L + i, "xx"))).toDF("id", "lang")
+    val shares = Map("en" -> 600000L, "de" -> 400000L)
+    val got = Sampling.rebalance(rows, "lang", "id", shares)
+      .select($"id", $"lang").as[(Long, String)].collect()
+    assert(got.forall(_._2 != "xx"), "unlisted strata are dropped")
+    // replay: T = min(200/.6, 50/.4) = min(333, 125) = 125
+    val t = 125L
+    val hdf = rows.select($"id", $"lang",
+      org.apache.spark.sql.functions.pmod(
+        TextFunctions.hash60($"id".cast("string")),
+        org.apache.spark.sql.functions.lit(1000000L)).as("h"))
+      .as[(Long, String, Long)].collect()
+    val want = hdf.collect {
+      case (id, "en", h) if h * 200L < 600000L * t => id
+      case (id, "de", h) if h * 50L < 400000L * t => id
+    }.toSet
+    assert(got.map(_._1).toSet == want)
+    // binding stratum (de) keeps ~all: threshold 400000*125/50 = 1e6 ppm
+    assert(got.count(_._2 == "de") == 50)
+  }
+
   test("madOutliers equals the naive lower-median MAD rule") {
     import graft.pipeline.Sampling
     // one stratum with a fat tail, one tiny stratum; scores straddle
