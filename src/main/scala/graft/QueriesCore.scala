@@ -1282,6 +1282,43 @@ object QueriesCore {
             lag(e3) OVER (PARTITION BY user_id ORDER BY t) AS lag_e3 FROM r)
         ORDER BY user_id, t""")),
 
+    ("events_state_count",
+      (s, d) => {
+        // Flux stateCount + stateDuration: threshold-streak tracking per
+        // user; all-integer window math, the duration in whole seconds
+        import graft.functions.{SeriesFunctions => SF}
+        val ev = Tables.events(s, d).filter(col("user_id") < 5)
+          .select(col("user_id"), col("ts_ns").as("t"), col("value"))
+        val pred = col("value") > 50.0
+        val c = SF.stateCount(ev, Seq("user_id"), "t", pred, "in_state")
+        SF.stateDuration(c, Seq("user_id"), "t", pred,
+            unitNs = 1000000000L, "state_secs")
+          .select(col("user_id").cast("long").as("user_id"), col("t"),
+            col("in_state"), col("state_secs"))
+          .orderBy("user_id", "t")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS t, value
+          FROM events WHERE user_id < 5),
+        r0 AS (SELECT user_id, t, value,
+            row_number() OVER (PARTITION BY user_id ORDER BY t) AS rn
+          FROM e),
+        r AS (SELECT user_id, t, value, rn,
+            sum(CASE WHEN value > 50.0 THEN 0 ELSE 1 END) OVER upto AS sid,
+            max(CASE WHEN NOT value > 50.0 THEN rn END) OVER upto AS lastf
+          FROM r0 WINDOW upto AS (PARTITION BY user_id ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        d AS (SELECT user_id, t, value, rn, sid, lastf,
+            min(CASE WHEN value > 50.0 THEN t END) OVER
+              (PARTITION BY user_id, sid ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t0
+          FROM r)
+        SELECT user_id, t,
+          CASE WHEN value > 50.0 THEN rn - coalesce(lastf, 0)
+            ELSE -1 END AS in_state,
+          CASE WHEN value > 50.0 THEN (t - t0) // 1000000000
+            ELSE -1 END AS state_secs
+        FROM d ORDER BY user_id, t""")),
+
     ("events_holt",
       (s, d) => {
         // Holt linear-trend smoothing (the seasonless core of InfluxQL

@@ -384,6 +384,50 @@ object SeriesFunctions {
     } ++ Seq(col("__t").as(timeCol), col(out)): _*)
   }
 
+  /** Flux `stateCount`: for each point, how many CONSECUTIVE points
+    * (this one included) have satisfied `pred`; `-1` outside the state —
+    * the alerting streak counter ("N readings above threshold in a
+    * row"). Window math: with per-series row numbers, the streak length
+    * is `rn − rn_of_last_non_matching_point`; one exchange + sort shared
+    * with every sibling transform. */
+  def stateCount(df: DataFrame, keyCols: Seq[String], timeCol: String,
+      pred: Column, out: String): DataFrame = {
+    val w = series(keyCols, timeCol)
+    val upTo = w.rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__lastF",
+        max(when(!pred, col("__rn"))).over(upTo))
+      .withColumn(out,
+        when(pred, col("__rn") - coalesce(col("__lastF"), lit(0)))
+          .otherwise(lit(-1)).cast("long"))
+      .drop("__rn", "__lastF")
+  }
+
+  /** Flux `stateDuration`: elapsed time (in `unitNs` units, integer
+    * division) since the current state began — 0 at the state's first
+    * point, `-1` outside it. The state-start time needs a second window
+    * PARTITIONED BY the streak id (the running count of non-matching
+    * points); Catalyst plans the second exchange on the finer
+    * (series, streak) key. */
+  def stateDuration(df: DataFrame, keyCols: Seq[String], timeCol: String,
+      pred: Column, unitNs: Long, out: String): DataFrame = {
+    require(unitNs > 0, s"unit must be positive: $unitNs")
+    val w = series(keyCols, timeCol)
+    val upTo = w.rowsBetween(Window.unboundedPreceding, 0)
+    val withSid = df.withColumn("__sid",
+      sum(when(pred, 0).otherwise(1)).over(upTo))
+    val wSid = Window
+      .partitionBy((keyCols.map(col) :+ col("__sid")): _*)
+      .orderBy(col(timeCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    withSid
+      .withColumn("__t0", min(when(pred, col(timeCol))).over(wSid))
+      .withColumn(out,
+        when(pred, expr(s"(`$timeCol` - __t0) div ${unitNs}L"))
+          .otherwise(lit(-1L)))
+      .drop("__sid", "__t0")
+  }
+
   /** Holt linear-trend (double exponential) smoothing — the seasonless
     * core of InfluxQL's `holt_winters` (the reference family fits
     * α/β by Nelder–Mead; we take them as explicit parameters so results

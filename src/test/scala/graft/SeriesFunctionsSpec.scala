@@ -188,6 +188,29 @@ class SeriesFunctionsSpec extends SparkSpec {
       n = 1, "trix"), "trix")(("a", 2L)).isEmpty)
   }
 
+  test("stateCount/stateDuration: streaks count and time, -1 outside") {
+    import org.apache.spark.sql.functions.col
+    // series: F T T F T (pred: v >= 10)
+    val s = Seq(("a", 0L, 1.0), ("a", 1000000000L, 10.0),
+      ("a", 3000000000L, 11.0), ("a", 4000000000L, 2.0),
+      ("a", 9000000000L, 12.0)).toDF("k", "t", "v")
+    val pred = col("v") >= 10.0
+    val c = vals(SF.stateCount(s, Seq("k"), "t", pred, "c"), "c")
+      .map { case (k, v) => k -> v.map(_.toLong) }
+    assert(c(("a", 0L)).contains(-1L))
+    assert(c(("a", 1000000000L)).contains(1L))
+    assert(c(("a", 3000000000L)).contains(2L), "streak continues")
+    assert(c(("a", 4000000000L)).contains(-1L), "streak resets")
+    assert(c(("a", 9000000000L)).contains(1L), "new streak restarts at 1")
+    val d = vals(SF.stateDuration(s, Seq("k"), "t", pred,
+        1000000000L, "d"), "d")
+      .map { case (k, v) => k -> v.map(_.toLong) }
+    assert(d(("a", 1000000000L)).contains(0L), "state start is 0")
+    assert(d(("a", 3000000000L)).contains(2L), "2s into the state")
+    assert(d(("a", 4000000000L)).contains(-1L))
+    assert(d(("a", 9000000000L)).contains(0L))
+  }
+
   test("holtLinear: null first point, trend seed, level/trend recursion") {
     val m = vals(SF.holtLinear(pts, Seq("k"), "t", "v",
       alpha = 0.5, beta = 0.25, "h"), "h")
