@@ -1282,6 +1282,29 @@ object QueriesCore {
             lag(e3) OVER (PARTITION BY user_id ORDER BY t) AS lag_e3 FROM r)
         ORDER BY user_id, t""")),
 
+    ("events_timed_mavg",
+      (s, d) => {
+        // Flux timedMovingAverage: trailing-6h RANGE window (irregular
+        // sampling makes row windows lie). value quantizes to integer
+        // cents so the window mean is one exact division per point
+        import graft.functions.{SeriesFunctions => SF}
+        val ev = Tables.events(s, d).filter(col("user_id") < 5)
+          .select(col("user_id"), col("ts_ns").as("t"),
+            round(col("value") * 100).cast("long").as("cents"))
+        SF.timedMovingAverage(ev, Seq("user_id"), "t", "cents",
+            windowNs = 21600000000000L, "tm")
+          .select(col("user_id").cast("long").as("user_id"), col("t"),
+            round(col("tm") / 100.0, 6).as("tmavg"))
+          .orderBy("user_id", "t")
+      },
+      Some("""SELECT user_id, epoch_ns(ts) AS t,
+          round(avg(CAST(round(value * 100) AS BIGINT)) OVER
+            (PARTITION BY user_id ORDER BY epoch_ns(ts)
+             RANGE BETWEEN 21599999999999 PRECEDING AND CURRENT ROW)
+            / 100.0, 6) AS tmavg
+        FROM events WHERE user_id < 5
+        ORDER BY user_id, t""")),
+
     ("events_state_count",
       (s, d) => {
         // Flux stateCount + stateDuration: threshold-streak tracking per

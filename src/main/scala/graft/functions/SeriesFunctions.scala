@@ -59,6 +59,20 @@ object SeriesFunctions {
         avg(col(valueCol)).over(frame)))
   }
 
+  /** Flux `timedMovingAverage`: mean over the trailing `windowNs` of
+    * EVENT TIME (`(t − windowNs, t]`, a RANGE frame) rather than the
+    * last n rows — the right smoother for irregularly-sampled series,
+    * where a row window spans wildly different durations. For
+    * cross-engine exactness feed an integer-quantized value column (the
+    * single sum/count division is then identical IEEE everywhere). */
+  def timedMovingAverage(df: DataFrame, keyCols: Seq[String],
+      timeCol: String, valueCol: String, windowNs: Long,
+      out: String): DataFrame = {
+    require(windowNs >= 1, s"window must be positive: $windowNs")
+    val w = series(keyCols, timeCol).rangeBetween(-(windowNs - 1), 0)
+    df.withColumn(out, avg(col(valueCol)).over(w))
+  }
+
   /** Running total within the series (InfluxQL `cumulative_sum`). */
   def cumulativeSum(df: DataFrame, keyCols: Seq[String], timeCol: String,
       valueCol: String, out: String): DataFrame =

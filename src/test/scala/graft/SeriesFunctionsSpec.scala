@@ -188,6 +188,17 @@ class SeriesFunctionsSpec extends SparkSpec {
       n = 1, "trix"), "trix")(("a", 2L)).isEmpty)
   }
 
+  test("timedMovingAverage: trailing time-range frame, not a row frame") {
+    // 2s window over irregular spacing: the 3s gap excludes older points
+    val m = vals(SF.timedMovingAverage(pts, Seq("k"), "t", "v",
+      2000000000L, "tm"), "tm")
+    assert(m(("a", 0L)).contains(10.0))
+    assert(m(("a", 1000000000L)).contains(11.5)) // (10+13)/2 within 2s
+    assert(m(("a", 3000000000L)).contains(13.0), "t=1s is outside (1,3]")
+    assert(m(("a", 4000000000L)).contains(11.0)) // (13+9)/2
+    assert(m(("b", 2000000000L)).contains(110.0), "series independent")
+  }
+
   test("stateCount/stateDuration: streaks count and time, -1 outside") {
     import org.apache.spark.sql.functions.col
     // series: F T T F T (pred: v >= 10)
