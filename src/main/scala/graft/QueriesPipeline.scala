@@ -382,6 +382,31 @@ object QueriesPipeline {
         SELECT pair, CAST(sum(cnt) AS BIGINT) AS count FROM pairs
         GROUP BY 1 ORDER BY count DESC, pair ASC LIMIT 20""")),
 
+    // per-document keyphrases: top-3 terms (>= 4 chars) by tf-idf — the
+    // unsupervised topic tagger; per-document window (high-cardinality
+    // key, tiny groups), micro-quantized scores, term-asc ties
+    ("text_keyphrases",
+      (s, d) => graft.pipeline.Ranking
+        .keyphrases(Tables.documents(s, d), "doc_id", "text", topK = 3)
+        .select(col("doc_id"), col("rank"), col("term"),
+          round(col("score"), 6).as("score"))
+        .orderBy("doc_id", "rank"),
+      Some(s"""WITH p AS (SELECT doc_id, $dToks AS w FROM documents),
+        n AS (SELECT count(*) AS n_docs FROM p),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest(w) AS term FROM p)
+          WHERE length(term) >= 4 GROUP BY 1, 2),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        sc AS (SELECT tf.doc_id, tf.term,
+            CAST(floor((1.0 + ln(tf.tf)) * ln(n.n_docs / df.df)
+              * 1000000.0 + 0.5) AS BIGINT) AS sq
+          FROM tf JOIN df USING (term) CROSS JOIN n),
+        rk AS (SELECT doc_id, term, sq, CAST(row_number() OVER (
+            PARTITION BY doc_id ORDER BY sq DESC, term ASC) AS INT) AS rank
+          FROM sc)
+        SELECT doc_id, rank, term, round(sq / 1000000.0, 6) AS score
+        FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
     // classic tf-idf ranking beside BM25: sublinear tf × plain idf with
     // every contribution quantized to integer micro-units BEFORE the
     // per-document sum — scores are exact decimals, so the DESC ordering

@@ -78,6 +78,42 @@ object Ranking {
       .agg((sum(col("__cq")) / lit(1e6)).as("tfidf"))
   }
 
+  /** Per-document keyphrase extraction: the `topK` terms of each
+    * document by tf·idf (`(1 + ln tf) · ln(N/df)`, the [[tfidf]]
+    * weighting applied per term instead of summed) — the classic
+    * unsupervised keyword tagger for corpus topic audits.
+    *
+    * Scale shape: one token-count aggregate per (doc, term), a
+    * vocab-sized df table joined back (AQE broadcasts it), then a
+    * row_number window PARTITIONED BY DOCUMENT — a high-cardinality
+    * key, so groups are tiny and the sort is per-document, never a
+    * corpus sort. Scores quantize to integer micro-units; ties break by
+    * term asc — total determinism. */
+  def keyphrases(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int = 3): DataFrame = {
+    require(topK >= 1, "need a positive keyphrase count")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol), TF.tokens(col(textCol)).as("__toks"))
+    val stats = base.agg(count(lit(1)).as("n_docs"))
+    val tf = base
+      .select(col(idCol), explode_outer(col("__toks")).as("term"))
+      .filter(col("term").isNotNull && length(col("term")) >= 4)
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__sq").desc, col("term").asc)
+    tf.join(df, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__sq",
+        floor((lit(1.0) + log(col("tf"))) * log(col("n_docs") / col("df"))
+          * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col(idCol), col("rank").cast("int").as("rank"), col("term"),
+        (col("__sq").cast("double") / lit(1e6)).as("score"))
+  }
+
   /** Zipf-law fit over the corpus token distribution: least-squares slope
     * and intercept of `ln(freq)` against `ln(rank)` for the `topN` most
     * frequent tokens. Natural-language corpora land near slope ≈ −1;

@@ -98,6 +98,24 @@ class PipelineSpec extends SparkSpec {
     assert(t == Seq(("a b", 1L), ("y z", 1L)))
   }
 
+  test("keyphrases: rare terms outrank common, short terms excluded") {
+    import graft.pipeline.Ranking
+    val docs = Seq(
+      (1L, "common common common unique1 unique1 word"),
+      (2L, "common word other"),
+      (3L, "common word misc")).toDF("doc_id", "text")
+    val got = Ranking.keyphrases(docs, "doc_id", "text", topK = 2)
+      .select($"doc_id", $"rank", $"term").as[(Long, Int, String)]
+      .collect().toSeq.sortBy(t => (t._1, t._2))
+    // doc 1: unique1 (df=1) beats common (df=3) despite lower tf
+    val d1 = got.filter(_._1 == 1L).map(_._3)
+    assert(d1.head == "unique1", s"got $d1")
+    // terms shorter than 4 chars never appear
+    assert(got.forall(_._3.length >= 4))
+    // ranks dense from 1
+    assert(got.filter(_._1 == 2L).map(_._2) == Seq(1, 2))
+  }
+
   test("bigram LM log-loss: hand-checked smoothing, short docs absent") {
     import graft.pipeline.LanguageModel
     val df = Seq((1L, "a b a b"), (2L, "a a"), (3L, "x")).toDF("doc_id", "text")
