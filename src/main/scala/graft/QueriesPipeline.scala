@@ -280,6 +280,24 @@ object QueriesPipeline {
         GROUP BY tf.doc_id
         ORDER BY bm25 DESC, tf.doc_id LIMIT 50""")),
 
+    // deterministic split assignment: train/val/test as a pure function
+    // of the content key hash (10%/5% val/test) — reshuffle/rerun/engine
+    // stable, the anti-leakage property; pure scan-level projection
+    ("corpus_splits",
+      (s, d) => graft.pipeline.Sampling
+        .assignSplits(Tables.documents(s, d), "doc_id",
+          valPpm = 100000L, testPpm = 50000L)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_id"))
+        .orderBy("split"),
+      Some(s"""WITH h AS (SELECT doc_id,
+          ${dHash60("CAST(doc_id AS VARCHAR)")} % 1000000 AS hh
+          FROM documents)
+        SELECT CASE WHEN hh < 100000 THEN 'val'
+            WHEN hh < 150000 THEN 'test' ELSE 'train' END AS split,
+          count(*) AS n, min(doc_id) AS first_id
+        FROM h GROUP BY 1 ORDER BY split""")),
+
     // count-min sketch: bounded-memory token frequencies (the frequency
     // sibling of dedup_bloom's membership sketch); estimates from the
     // 3×512 cell table vs the exact counts — all-integer, so the oracle

@@ -244,6 +244,23 @@ object Sampling {
       .select(col(strataCol), col(valueCol).as(out))
   }
 
+  /** Deterministic train/val/test split assignment: the split is a pure
+    * function of the row's key hash (`pmod(hash60(key), 1e6)` against
+    * ppm thresholds), so membership survives reshuffles, reruns,
+    * incremental appends, and engine changes — the property that stops
+    * eval leakage when the corpus is rebuilt. Zero shuffles. */
+  def assignSplits(df: DataFrame, keyCol: String, valPpm: Long,
+      testPpm: Long, out: String = "split"): DataFrame = {
+    require(valPpm >= 0 && testPpm >= 0 && valPpm + testPpm <= 1000000L,
+      s"val+test ppm out of range: $valPpm + $testPpm")
+    val h = pmod(TextFunctions.hash60(col(keyCol).cast("string")),
+      lit(1000000L))
+    df.withColumn(out,
+      when(h < valPpm, "val")
+        .when(h < valPpm + testPpm, "test")
+        .otherwise("train"))
+  }
+
   /** Rebalance a corpus to a TARGET stratum distribution (the dataset
     * mixing step that downsamples over-represented languages/sources to
     * hit training proportions): given target shares (ppm, caller-normalized

@@ -178,6 +178,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Filter"), plan)
   }
 
+  test("two-level rank operators never plan a corpus-wide single partition") {
+    // perplexityBuckets / madOutliers / budgetSelect put ONLY their
+    // driver-sized histogram through a SinglePartition exchange; the
+    // corpus path must stay hash-partitioned (the whole point of the
+    // two-level shape). A corpus-side global window would show up as a
+    // Window above an Exchange SinglePartition over the scan.
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select($"doc_id", $"lang",
+        graft.functions.TextFunctions.qualityScore($"text").as("q"))
+    val ppl = executedPlan(graft.pipeline.LanguageModel
+      .perplexityBuckets(docs, "doc_id", "lang", "q"))
+    val mad = executedPlan(graft.pipeline.Sampling
+      .madOutliers(docs, "doc_id", "lang", "q"))
+    for ((name, plan) <- Seq("perplexityBuckets" -> ppl, "madOutliers" -> mad)) {
+      // every rangepartitioning (window sort) must sit above a tiny
+      // aggregated frame, never above the raw corpus scan: the corpus
+      // windows here partition by (lang[, bucket]) hash keys instead
+      assert(plan.contains("Exchange hashpartitioning"), s"$name:\n$plan")
+      // split assignment stays a pure projection
+    }
+    val splits = executedPlan(graft.pipeline.Sampling
+      .assignSplits(docs, "doc_id", 100000L, 50000L))
+    assert(!splits.contains("Exchange"), splits)
+
+    val rebal = executedPlan(graft.pipeline.Sampling.rebalance(
+      docs.select($"doc_id", $"lang"), "lang", "doc_id",
+      Map("en" -> 500000L, "de" -> 500000L)))
+    // the corpus path is scan -> broadcast joins -> filter; the only
+    // exchange is the strata-sized count aggregate
+    assert(rebal.contains("BroadcastHashJoin") ||
+      rebal.contains("BroadcastNestedLoopJoin"), rebal)
+    assert(!rebal.contains("SortMergeJoin"), rebal)
+  }
+
   test("decontamination broadcasts the benchmark hash set; one shuffle for the doc aggregate") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val plan = executedPlan(graft.pipeline.Sampling.decontaminate(
