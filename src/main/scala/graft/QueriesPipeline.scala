@@ -661,6 +661,34 @@ object QueriesPipeline {
           coalesce(cleaned, '') AS cleaned
         FROM d LEFT JOIN kept USING (doc_id) ORDER BY doc_id""")),
 
+    // decontamination by excision: benchmark-verbatim 3-token segments
+    // are cut out and the clean remainder reassembled (flagging's
+    // salvage-the-rest complement); benchmark = every 13th doc, like
+    // the flagging query's spec fixture
+    ("decontaminate_excise",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        DocDedup.exciseBenchmarkSegments(docs,
+            docs.filter(col("doc_id") % 13 === 0), "doc_id", "text", n = 3)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $dToks AS w FROM documents),
+        d AS (SELECT doc_id, list_filter(list_transform(
+            range(0, greatest((len(w)-1)//3, 0)+1),
+            i -> array_to_string(w[i*3+1:i*3+3], ' ')), s -> len(s) > 0) AS segs
+          FROM toks),
+        bad AS (SELECT DISTINCT unnest(list_distinct(segs)) AS seg
+          FROM d WHERE doc_id % 13 = 0),
+        es AS (SELECT doc_id, unnest(segs) AS seg,
+            unnest(range(1, len(segs)+1)) AS pos FROM d),
+        kept AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+            string_agg(seg, ' ' ORDER BY pos) AS cleaned
+          FROM es WHERE seg NOT IN (SELECT seg FROM bad) GROUP BY doc_id)
+        SELECT d.doc_id, CAST(len(segs) AS BIGINT) AS n_segs,
+          CAST(len(segs) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+          coalesce(cleaned, '') AS cleaned
+        FROM d LEFT JOIN kept USING (doc_id) ORDER BY doc_id""")),
+
     // ------------------------------------------------------- dedup family
 
     ("dedup_exact",

@@ -537,12 +537,35 @@ object DocDedup {
     * collected boilerplate array, which would be O(|common|) per segment
     * and fall over once the template set grows. */
   def stripCommonSegments(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, minDocs: Int): DataFrame = {
-    val common = commonSegments(docs, idCol, textCol, n, minDocs).select("seg")
+      n: Int, minDocs: Int): DataFrame =
+    stripSegments(docs, idCol, textCol, n,
+      commonSegments(docs, idCol, textCol, n, minDocs).select("seg"))
+
+  /** Decontamination by EXCISION: remove every n-token segment of a
+    * document that appears verbatim in the benchmark corpus — the
+    * span-removal complement of [[graft.pipeline.Sampling.decontaminate]]
+    * (which only FLAGS documents; excision salvages the clean remainder
+    * instead of dropping the whole document). Same posture: the
+    * benchmark segment set is small by construction and broadcasts into
+    * a per-segment anti-join probe. */
+  def exciseBenchmarkSegments(docs: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame =
+    stripSegments(docs, idCol, textCol, n,
+      benchmark
+        .select(explode_outer(array_distinct(segments(col(textCol), n)))
+          .as("seg"))
+        .filter(col("seg").isNotNull)
+        .distinct())
+
+  /** Shared excision core: drop every segment of `docs` present in
+    * `bad` (a single-column `seg` frame, broadcast), reassemble the
+    * remainder in segment order. */
+  private def stripSegments(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, bad: DataFrame): DataFrame = {
     val segs = docs.select(col(idCol),
         posexplode_outer(segments(col(textCol), n)).as(Seq("__pos", "seg")))
       .filter(col("seg").isNotNull) // outer + post-filter: see explodePairs
-    val kept = segs.join(broadcast(common), Seq("seg"), "left_anti")
+    val kept = segs.join(broadcast(bad), Seq("seg"), "left_anti")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(

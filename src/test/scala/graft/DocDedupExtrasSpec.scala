@@ -63,6 +63,20 @@ class DocDedupExtrasSpec extends SparkSpec {
     assert(out.forall(_ == ((1L, ""))))
   }
 
+  test("exciseBenchmarkSegments: benchmark spans cut, clean text intact") {
+    val docs = Seq(
+      (1L, "keep this text eval question here tail bit"),
+      (2L, "totally clean document body")).toDF("doc_id", "text")
+    val bench = Seq((9L, "eval question here")).toDF("doc_id", "text")
+    val byId = DocDedup.exciseBenchmarkSegments(docs, bench,
+        "doc_id", "text", n = 3)
+      .select($"doc_id", $"n_removed", $"cleaned")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // doc 1 segments: "keep this text" | "eval question here" | "tail bit"
+    assert(byId(1L) == ((1L, "keep this text tail bit")))
+    assert(byId(2L) == ((0L, "totally clean document body")))
+  }
+
   test("count-min sketch: estimates upper-bound true counts, exact when sparse") {
     val stream = (Seq.fill(10)("a") ++ Seq.fill(3)("b") ++ Seq("c"))
       .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("i", "k")
