@@ -661,6 +661,38 @@ object QueriesPipeline {
           coalesce(cleaned, '') AS cleaned
         FROM d LEFT JOIN kept USING (doc_id) ORDER BY doc_id""")),
 
+    // corpus snapshot diff: v2 is derived deterministically from v1
+    // (every 10th doc removed, every 17th rewritten, ids 10000+ added);
+    // the diff compares fingerprints only — 16 bytes/row through the
+    // full outer join, never the text
+    ("corpus_diff",
+      (s, d) => {
+        import graft.pipeline.DocDedup
+        val v1 = Tables.documents(s, d)
+        val v2 = v1.filter(col("doc_id") % 10 =!= 0)
+          .withColumn("text", when(col("doc_id") % 17 === 0,
+            concat(col("text"), lit(" updated"))).otherwise(col("text")))
+          .unionByName(v1.filter(col("doc_id") < 5)
+            .withColumn("doc_id", col("doc_id") + 10000L))
+        DocDedup.corpusDiff(v1, v2, "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH v1 AS (SELECT doc_id, md5($dNorm) AS fp FROM documents),
+        v2 AS (SELECT doc_id, md5(CASE WHEN doc_id % 17 = 0
+              THEN regexp_replace(lower(trim(text || ' updated')),
+                '\\s+', ' ', 'g')
+              ELSE $dNorm END) AS fp
+            FROM documents WHERE doc_id % 10 != 0
+          UNION ALL
+          SELECT doc_id + 10000, md5($dNorm) FROM documents WHERE doc_id < 5)
+        SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+          CASE WHEN v1.doc_id IS NULL THEN 'added'
+            WHEN v2.doc_id IS NULL THEN 'removed'
+            WHEN v1.fp = v2.fp THEN 'unchanged'
+            ELSE 'changed' END AS status
+        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        ORDER BY doc_id""")),
+
     // decontamination by excision: benchmark-verbatim 3-token segments
     // are cut out and the clean remainder reassembled (flagging's
     // salvage-the-rest complement); benchmark = every 13th doc, like

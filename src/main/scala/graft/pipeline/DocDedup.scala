@@ -624,6 +624,25 @@ object DocDedup {
         .bitwiseAND(col("__mask")) =!= 0L, true)) === kHashes)
         .as("maybe_member"))
 
+  /** Corpus snapshot diff: classify every id across two corpus versions
+    * as `added` / `removed` / `changed` / `unchanged` by comparing
+    * content fingerprints — the audit step between two builds of a
+    * training set (what moved, before anything retrains). One
+    * fixed-width (id, fingerprint) projection per side and one full
+    * outer join on the id — never the text itself; at 100 TB the join
+    * carries 16 bytes/row. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def fp(df: DataFrame, out: String) =
+      df.select(col(idCol), fingerprint(col(textCol)).as(out))
+    fp(oldDocs, "__old").join(fp(newDocs, "__new"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__old").isNull, "added")
+          .when(col("__new").isNull, "removed")
+          .when(col("__old") === col("__new"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Count-min sketch over a key stream (Cormode & Muthukrishnan 2005) —
     * the frequency companion of [[bloomBuild]] (membership) and the HLL
     * cardinality path: `depth` hash rows of `width` cells; a key's count

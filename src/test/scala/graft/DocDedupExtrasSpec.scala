@@ -63,6 +63,18 @@ class DocDedupExtrasSpec extends SparkSpec {
     assert(out.forall(_ == ((1L, ""))))
   }
 
+  test("corpusDiff: added/removed/changed/unchanged by fingerprint") {
+    val v1 = Seq((1L, "same text"), (2L, "old text"), (3L, "gone"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((1L, " Same  TEXT "), (2L, "new text"), (4L, "fresh"))
+      .toDF("doc_id", "text")
+    val got = DocDedup.corpusDiff(v1, v2, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    // normalization makes doc 1 unchanged despite case/spacing drift
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("exciseBenchmarkSegments: benchmark spans cut, clean text intact") {
     val docs = Seq(
       (1L, "keep this text eval question here tail bit"),
