@@ -197,6 +197,21 @@ class InfluxQlSpec extends SparkSpec {
       .getMessage.contains("GROUP BY time"))
   }
 
+  test("lexer context: negatives and regexes survive the arithmetic grammar") {
+    // negative literal after a comparison (not subtraction)
+    assert(run("SELECT value FROM cpu WHERE value > -5 AND time >= 0")
+      .count() == 7)
+    // negative duration offset in GROUP BY time and negative fill value
+    assert(InfluxQl.parse(
+      "select mean(value) from cpu group by time(10s, -2s)")
+      .groupTime.contains(GroupTime(10000000000L, -2000000000L)))
+    assert(InfluxQl.parse(
+      "select mean(value) from cpu group by time(10s) fill(-1)")
+      .fill == FillValue(-1.0))
+    // '/' after =~ is still a regex, not division
+    assert(run("select value from cpu where host =~ /^a$/").count() == 4)
+  }
+
   test("arithmetic projections: per-row fields and aggregate ratios") {
     // per-row: precedence, parens, division (no longer lexed as regex),
     // and a - with a value on its left
