@@ -1282,6 +1282,35 @@ object QueriesCore {
             lag(e3) OVER (PARTITION BY user_id ORDER BY t) AS lag_e3 FROM r)
         ORDER BY user_id, t""")),
 
+    ("events_anomaly",
+      (s, d) => {
+        // rolling z-score anomaly flags: |v − mean₁₂| > 3σ over the 12
+        // TRAILING points (current excluded); the whole test is integer
+        // cents — (v·n − s)² > 9·(n·ss − s²) — no float compare at all
+        import graft.functions.{SeriesFunctions => SF}
+        val ev = Tables.events(s, d).filter(col("user_id") < 5)
+          .select(col("user_id"), col("ts_ns").as("t"),
+            round(col("value") * 100).cast("long").as("cents"))
+        SF.anomalyFlags(ev, Seq("user_id"), "t", "cents",
+            n = 12, sigmas = 3, "anom")
+          .select(col("user_id").cast("long").as("user_id"), col("t"),
+            col("cents"), col("anom"))
+          .orderBy("user_id", "t")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS t,
+            CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE user_id < 5),
+        w AS (SELECT user_id, t, cents,
+            sum(cents) OVER fr AS s, sum(cents * cents) OVER fr AS ss,
+            count(cents) OVER fr AS n
+          FROM e WINDOW fr AS (PARTITION BY user_id ORDER BY t
+            ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING))
+        SELECT user_id, t, cents,
+          CASE WHEN n = 12 THEN
+            (cents * n - s) * (cents * n - s) > 9 * (n * ss - s * s)
+          END AS anom
+        FROM w ORDER BY user_id, t""")),
+
     ("events_timed_mavg",
       (s, d) => {
         // Flux timedMovingAverage: trailing-6h RANGE window (irregular

@@ -398,6 +398,31 @@ object SeriesFunctions {
     } ++ Seq(col("__t").as(timeCol), col(out)): _*)
   }
 
+  /** Rolling z-score anomaly flags over an INTEGER-quantized value
+    * column (e.g. cents): a point is anomalous when it sits more than
+    * `sigmas` standard deviations from the mean of the previous `n`
+    * points (the trailing window EXCLUDES the current point — an
+    * anomaly must not drag its own baseline). The test is evaluated
+    * WITHOUT division or sqrt: with window sums s = Σx, ss = Σx²,
+    *   (v − s/n)² > σ²·(n·ss − s²)/n²  ⇔  (v·n − s)² > σ²·(n·ss − s²)
+    * — all-long arithmetic, so the flag is EXACT and engine-identical
+    * (no float comparison anywhere). Points without a full trailing
+    * window emit NULL. One exchange + sort shared with the siblings. */
+  def anomalyFlags(df: DataFrame, keyCols: Seq[String], timeCol: String,
+      quantCol: String, n: Int, sigmas: Int, out: String): DataFrame = {
+    require(n >= 2, s"baseline window must be >= 2 points: $n")
+    require(sigmas >= 1, s"sigma threshold out of range: $sigmas")
+    val w = series(keyCols, timeCol).rowsBetween(-n, -1)
+    val v = col(quantCol).cast("long")
+    val s = sum(v).over(w)
+    val ss = sum(v * v).over(w)
+    val cnt = count(v).over(w)
+    val dev = v * cnt - s // (v − mean)·n, exact
+    df.withColumn(out,
+      when(cnt === n,
+        dev * dev > lit(sigmas.toLong * sigmas) * (cnt * ss - s * s)))
+  }
+
   /** Flux `stateCount`: for each point, how many CONSECUTIVE points
     * (this one included) have satisfied `pred`; `-1` outside the state —
     * the alerting streak counter ("N readings above threshold in a

@@ -188,6 +188,27 @@ class SeriesFunctionsSpec extends SparkSpec {
       n = 1, "trix"), "trix")(("a", 2L)).isEmpty)
   }
 
+  test("anomalyFlags: integer-exact 3-sigma test over the trailing window") {
+    import org.apache.spark.sql.functions.col
+    // 10 flat points then a spike; window n=4
+    val s = ((1L to 10L).map(i => ("a", i, 100L)) :+ (("a", 11L, 1000L)))
+      .toDF("k", "t", "q")
+    val out = SF.anomalyFlags(s, Seq("k"), "t", "q", n = 4, sigmas = 3, "a")
+      .select(col("t"), col("a"))
+      .as[(Long, Option[Boolean])].collect().toMap
+    assert(out(1L).isEmpty && out(4L).isEmpty, "warmup emits NULL")
+    assert(out(5L).contains(false), "flat baseline, flat point: normal")
+    assert(out(11L).contains(true), "spike over zero-variance baseline")
+    // the spike does not poison its own baseline (window excludes self)
+    val out2 = SF.anomalyFlags(
+      (s.as[(String, Long, Long)].collect().toSeq :+ (("a", 12L, 100L)))
+        .toDF("k", "t", "q"), Seq("k"), "t", "q", 4, 3, "a")
+      .select(col("t"), col("a")).as[(Long, Option[Boolean])].collect().toMap
+    // t=12 baseline {8,9,10,11} includes the spike -> high variance ->
+    // the return to 100 is NOT anomalous at 3 sigma
+    assert(out2(12L).contains(false))
+  }
+
   test("timedMovingAverage: trailing time-range frame, not a row frame") {
     // 2s window over irregular spacing: the 3s gap excludes older points
     val m = vals(SF.timedMovingAverage(pts, Seq("k"), "t", "v",
