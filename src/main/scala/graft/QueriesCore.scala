@@ -1849,6 +1849,61 @@ object QueriesCore {
           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
           CAST(sum(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
-        FROM events GROUP BY 1 ORDER BY 1"""))
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
+    ("events_gaps",
+      (s, d) => {
+        // outage detection: inter-arrival spans over 24h per user series
+        // — the lag shares the sibling transforms' one exchange, and the
+        // filter sizes the output by gaps, not points
+        import graft.functions.{SeriesFunctions => SF}
+        val ev = Tables.events(s, d).filter(col("user_id") < 30)
+          .select(col("user_id"), col("ts_ns").as("t"))
+        SF.gaps(ev, Seq("user_id"), "t", thresholdNs = 86400000000000L)
+          .orderBy("user_id", "gap_start")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS t
+          FROM events WHERE user_id < 30),
+        g AS (SELECT user_id,
+            lag(t) OVER (PARTITION BY user_id ORDER BY t) AS gap_start,
+            t AS gap_end
+          FROM e)
+        SELECT user_id, gap_start, gap_end, gap_end - gap_start AS gap_ns
+        FROM g WHERE gap_end - gap_start > 86400000000000
+        ORDER BY user_id, gap_start""")),
+
+    ("events_downsample",
+      (s, d) => {
+        // LTOB largest-triangle downsampling to one visually-dominant
+        // point per day: all-integer triangle areas (µs time grain ×
+        // integer cents), so the per-bucket argmax is exact in any engine
+        import graft.functions.{SeriesFunctions => SF}
+        val ev = Tables.events(s, d).filter(col("user_id") < 30)
+          .select(col("user_id"), col("ts_ns").as("t"),
+            round(col("value") * 100).cast("long").as("cents"))
+        SF.ltobDownsample(ev, Seq("user_id"), "t", "cents",
+            bucketNs = 86400000000000L)
+          .select(col("user_id"), col("bucket"), col("t"),
+            round(col("cents") / 100.0, 2).as("v"))
+          .orderBy("user_id", "bucket")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS t,
+            CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE user_id < 30),
+        n AS (SELECT user_id, t, cents, t // 1000 AS tu,
+            lag(t // 1000) OVER w AS tp, lead(t // 1000) OVER w AS tn,
+            lag(cents) OVER w AS vp, lead(cents) OVER w AS vn
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        a AS (SELECT user_id, t, cents, t // 86400000000000 AS bucket,
+            CASE WHEN tp IS NULL OR tn IS NULL THEN 9223372036854775807
+              ELSE abs((tp - tn) * (cents - vp) - (tp - tu) * (vn - vp))
+            END AS area2
+          FROM n),
+        r AS (SELECT user_id, bucket, t, cents,
+            row_number() OVER (PARTITION BY user_id, bucket
+              ORDER BY area2 DESC, t ASC, cents ASC) AS rk
+          FROM a)
+        SELECT user_id, bucket, t, round(cents / 100.0, 2) AS v
+        FROM r WHERE rk = 1 ORDER BY user_id, bucket"""))
   )
 }

@@ -128,6 +128,30 @@ object QueriesPipeline {
           / greatest(len($dToks), 1), 6) AS stopword_ratio
         FROM documents ORDER BY doc_id""")),
 
+    ("text_readability",
+      // lexical richness + Flesch reading ease on vowel-group syllable
+      // proxies: integer counts into one float expression, zero shuffles
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          round(TF.typeTokenRatio(col("text")), 6).as("ttr"),
+          TF.sentenceCount(col("text")).cast("long").as("sentences"),
+          TF.syllableCount(col("text")).cast("long").as("syllables"),
+          round(TF.fleschReadingEase(col("text")), 4).as("flesch"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+        round(len(list_distinct($dToks)) * 1.0
+          / greatest(len($dToks), 1), 6) AS ttr,
+        CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+          AS sentences,
+        CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+          AS syllables,
+        round(206.835
+          - 1.015 * (CAST(greatest(len($dToks), 1) AS DOUBLE)
+            / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+          - 84.6 * (len(regexp_extract_all(lower(text), '[aeiouy]+'))
+            / CAST(greatest(len($dToks), 1) AS DOUBLE)), 4) AS flesch
+        FROM documents ORDER BY doc_id""")),
+
     ("text_langid",
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"), TF.langId(col("text")).as("lang_pred"))
@@ -779,6 +803,25 @@ object QueriesPipeline {
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id1", "id2"),
       Some(dJaccardPairs)),
+
+    ("dedup_containment",
+      // asymmetric near-dup: |A∩B| / min(|A|,|B|) catches a document
+      // embedded verbatim in a much longer one, which Jaccard scores ≈ 0
+      (s, d) => DocDedup.containmentPairs(Tables.spread(s, Tables.documents(s, d)),
+          "doc_id", "text", n = 3, threshold = 0.8)
+        .select(col("id1"), col("id2"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy("id1", "id2"),
+      Some(s"""WITH $dShingles,
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT id1, id2,
+          round(inter * 1.0 / least(s1.n, s2.n), 6) AS containment
+        FROM pairs JOIN sizes s1 ON s1.doc_id = id1
+          JOIN sizes s2 ON s2.doc_id = id2
+        WHERE inter * 1.0 / least(s1.n, s2.n) >= 0.8
+        ORDER BY id1, id2""")),
 
     // near-dup pairs -> canonical clusters: the DuckDB twin walks the
     // same pair set to a fixpoint with a recursive CTE (transitive

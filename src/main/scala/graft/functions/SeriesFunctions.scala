@@ -120,6 +120,57 @@ object SeriesFunctions {
     df.withColumn(out, col(timeCol) - lag(col(timeCol), 1).over(w))
   }
 
+  /** Gap (outage) detection: spans between consecutive points whose
+    * elapsed time exceeds `thresholdNs`, one row per gap —
+    * (keys…, gap_start, gap_end, gap_ns). The lag is the shared
+    * one-exchange series window; the filter keeps only the rare
+    * over-threshold rows, so the output is sized by gaps, not points. */
+  def gaps(df: DataFrame, keyCols: Seq[String], timeCol: String,
+      thresholdNs: Long): DataFrame = {
+    val w = series(keyCols, timeCol)
+    df.withColumn("__gap_prev", lag(col(timeCol), 1).over(w))
+      .filter(col(timeCol) - col("__gap_prev") > thresholdNs)
+      .select(keyCols.map(col) ++ Seq(col("__gap_prev").as("gap_start"),
+        col(timeCol).as("gap_end"),
+        (col(timeCol) - col("__gap_prev")).as("gap_ns")): _*)
+  }
+
+  /** Largest-Triangle-One-Bucket downsampling (Steinarsson 2013, the
+    * declarative sibling of LTTB): each point's "effective area" is the
+    * doubled triangle area it forms with its immediate neighbors, and
+    * each fixed `bucketNs` time bucket keeps its max-area point — the
+    * visually dominant one. All-integer: time is taken to µs grain
+    * (`t div 1000` — exact for the engine's µs-truncated ns longs, and
+    * it keeps the cross product far from Long overflow), the value is
+    * caller-pre-quantized (cents), and the area stays doubled/unsquared
+    * so no division or sqrt appears — the argmax is exact. Endpoint
+    * rule: a point missing a neighbor (series first/last) gets
+    * Long.MaxValue area, so series endpoints always survive (LTTB's
+    * keep-the-ends rule). Ties break to the earliest, then smallest,
+    * point via one lexicographic max struct — a map-side-combining
+    * aggregate, not a rank window. One exchange total: the neighbor
+    * window and the bucket argmax share the series partitioning. */
+  def ltobDownsample(df: DataFrame, keyCols: Seq[String], timeCol: String,
+      valueCol: String, bucketNs: Long): DataFrame = {
+    require(bucketNs > 0, "bucket must be positive")
+    val w = series(keyCols, timeCol)
+    val tU = expr(s"$timeCol div 1000")
+    val tPrev = lag(tU, 1).over(w)
+    val tNext = lead(tU, 1).over(w)
+    val v = col(valueCol)
+    val vPrev = lag(v, 1).over(w)
+    val vNext = lead(v, 1).over(w)
+    val area2 = when(tPrev.isNull || tNext.isNull, lit(Long.MaxValue))
+      .otherwise(abs((tPrev - tNext) * (v - vPrev) - (tPrev - tU) * (vNext - vPrev)))
+    df.withColumn("__ltob_area", area2)
+      .withColumn("__ltob_bucket", expr(s"$timeCol div ${bucketNs}L"))
+      .groupBy(keyCols.map(col) :+ col("__ltob_bucket").as("bucket"): _*)
+      .agg(max(struct(col("__ltob_area"), (-col(timeCol)).as("__nt"),
+        (-v).as("__nv"), col(timeCol).as("t"), v.as("v"))).as("__m"))
+      .select(keyCols.map(col) ++ Seq(col("bucket"),
+        col("__m.t").as(timeCol), col("__m.v").as(valueCol)): _*)
+  }
+
   /** Chande momentum oscillator over the last `n` changes (InfluxQL
     * `chande_momentum_oscillator`): 100·(Σgains − Σlosses)/(Σgains +
     * Σlosses), emitted once a full window of `n` changes exists; a

@@ -249,6 +249,33 @@ object TextFunctions {
     "es" -> Seq("el", "la", "los", "las", "es", "en", "que", "por", "con", "una"),
     "fr" -> Seq("le", "la", "les", "est", "et", "en", "que", "pour", "avec", "une"))
 
+  // ---------------------------------------------------------- readability
+
+  /** Lexical richness: distinct tokens / tokens (type-token ratio). */
+  def typeTokenRatio(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("double") /
+      greatest(size(tokens(text)), lit(1))
+
+  /** Sentence count as terminator runs ([.!?]+), floored at 1 so
+    * terminator-free fragments count as one sentence (the Flesch
+    * convention for untagged text). */
+  def sentenceCount(text: Column): Column =
+    greatest(size(regexp_extract_all(text, lit("[.!?]+"), lit(0))), lit(1))
+
+  /** Syllable estimate: vowel-group runs, the standard cheap proxy
+    * (each maximal [aeiouy]+ run ≈ one syllable nucleus). */
+  def syllableCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+
+  /** Flesch reading ease, 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words), on the proxies above. Integer counts into
+    * one float expression — the same IEEE doubles in any engine. */
+  def fleschReadingEase(text: Column): Column = {
+    val words = greatest(size(tokens(text)), lit(1)).cast("double")
+    lit(206.835) - lit(1.015) * (words / sentenceCount(text)) -
+      lit(84.6) * (syllableCount(text) / words)
+  }
+
   def langScores(text: Column): Seq[(String, Column)] = {
     val toks = tokens(text)
     langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>

@@ -259,7 +259,24 @@ object DocDedup {
     * restriction): after LSH, candidates cover a tiny fraction of the
     * corpus, so re-scanning every document would dominate the cost. */
   def verifyJaccard(docs: DataFrame, candidates: DataFrame, idCol: String,
-      textCol: String, n: Int): DataFrame = {
+      textCol: String, n: Int): DataFrame =
+    pairOverlap(docs, candidates, idCol, textCol, n)
+      .withColumn("jaccard",
+        col("inter") / (col("n1") + col("n2") - col("inter")))
+      .select(col("id1"), col("id2"), col("jaccard"))
+
+  /** Exact max-containment for candidate pairs: |A∩B| / min(|A|,|B|). */
+  def verifyContainment(docs: DataFrame, candidates: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    pairOverlap(docs, candidates, idCol, textCol, n)
+      .withColumn("containment", col("inter") / least(col("n1"), col("n2")))
+      .select(col("id1"), col("id2"), col("containment"))
+
+  /** Shared verification core: exact shingle-set overlap (inter, n1, n2)
+    * for the given candidate pairs, shingling only documents that appear
+    * in a pair (semi-join restriction). */
+  private def pairOverlap(docs: DataFrame, candidates: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
     val needed = candidates.select(col("id1").as(idCol))
       .union(candidates.select(col("id2").as(idCol))).distinct()
     val sh = docs.join(needed, Seq(idCol), "left_semi")
@@ -268,9 +285,8 @@ object DocDedup {
       .join(sh.withColumnRenamed(idCol, "id1").withColumnRenamed("sh", "sh1"), "id1")
       .join(sh.withColumnRenamed(idCol, "id2").withColumnRenamed("sh", "sh2"), "id2")
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
-      .withColumn("jaccard",
-        col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")))
-      .select(col("id1"), col("id2"), col("jaccard"))
+      .select(col("id1"), col("id2"), col("inter"),
+        size(col("sh1")).as("n1"), size(col("sh2")).as("n2"))
   }
 
   /** End-to-end MinHash-LSH near-dup pairs with exact verification.
@@ -339,6 +355,48 @@ object DocDedup {
         .select(col("id1"), col("id2")),
       idCol, textCol, n)
     clean.union(reverified).filter(col("jaccard") >= threshold)
+  }
+
+  /** Asymmetric near-dup pairs by shingle CONTAINMENT (Broder 1997):
+    * max-containment |A∩B| / min(|A|,|B|). Jaccard misses subset
+    * duplication — a document embedded verbatim inside a much longer one
+    * scores |A|/|B| ≈ 0 Jaccard but 1.0 containment — so this is the
+    * metric for quote/inclusion detection. Same one-shuffle inverted
+    * shingle index as ngramJaccardPairs, same `maxShingleDf` bound on the
+    * quadratic bucket expansion, and the same exactness repair: pairs
+    * whose BOTH ends contain an over-cap shingle are re-verified with the
+    * exact set intersection instead of the undercount. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxShingleDf: Int = 5000): DataFrame = {
+    val shArr = shingles(col(textCol), n)
+    val sh = docs.select(col(idCol).as("id"), shArr.as("__sh"))
+      .select(col("id"), explode_outer(col("__sh")).as("s"), // see explodePairs
+        size(col("__sh")).as("n"))
+      .filter(col("s").isNotNull)
+    val buckets = sh.groupBy("s")
+      .agg(sort_array(collect_list(struct(col("id"), col("n")))).as("xs"))
+    val counted = explodePairs(
+        buckets.filter(size(col("xs")) > 1 && size(col("xs")) <= maxShingleDf),
+        "xs")((x, y) =>
+        struct(x.getField("id").as("id1"), y.getField("id").as("id2"),
+          x.getField("n").as("n1"), y.getField("n").as("n2")))
+      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"),
+        col("p.n1").as("n1"), col("p.n2").as("n2"))
+      .agg(count(lit(1)).cast("double").as("inter"))
+    val hot = buckets.filter(size(col("xs")) > maxShingleDf)
+      .select(explode(col("xs")).as("x"))
+      .select(col("x.id").as("id")).distinct()
+    val marked = counted
+      .join(hot.select(col("id").as("id1"), lit(true).as("__h1")), Seq("id1"), "left")
+      .join(hot.select(col("id").as("id2"), lit(true).as("__h2")), Seq("id2"), "left")
+    val clean = marked.filter(col("__h1").isNull || col("__h2").isNull)
+      .select(col("id1"), col("id2"),
+        (col("inter") / least(col("n1"), col("n2"))).as("containment"))
+    val reverified = verifyContainment(docs,
+      marked.filter(col("__h1").isNotNull && col("__h2").isNotNull)
+        .select(col("id1"), col("id2")),
+      idCol, textCol, n)
+    clean.union(reverified).filter(col("containment") >= threshold)
   }
 
   // -------------------------------------------------------------- simhash

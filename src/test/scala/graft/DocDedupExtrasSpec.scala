@@ -30,6 +30,63 @@ class DocDedupExtrasSpec extends SparkSpec {
     assert(d.contains(0L))
   }
 
+  test("containmentPairs: a subset document scores 1.0 where jaccard ≈ small") {
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = short + " " + (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, short), (2L, long), (3L, "totally unrelated words here now"))
+      .toDF("doc_id", "text")
+    val out = DocDedup.containmentPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 1.0)), "every short-doc shingle is contained")
+    val jac = DocDedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5).count()
+    assert(jac == 0, "jaccard misses the same subset pair")
+  }
+
+  test("containmentPairs: over-cap shingles re-verify exactly for emitted pairs") {
+    // the leading shingle is shared by all 4 docs; with cap 3 its bucket
+    // is dropped from pair counting, every doc is "hot", and pairs that
+    // still surface through in-cap shingles re-verify with the exact sets
+    val common = "zeta eta theta"
+    val docs = Seq(
+      (1L, common + " a b c"), (2L, common + " a b d"),
+      (3L, common + " x y z"), (4L, common + " p q r")).toDF("doc_id", "text")
+    def run(cap: Int): Map[(Long, Long), Double] =
+      DocDedup.containmentPairs(docs, "doc_id", "text",
+          n = 3, threshold = 0.1, maxShingleDf = cap)
+        .as[(Long, Long, Double)].collect()
+        .map { case (a, b, c) => ((a, b), c) }.toMap
+    val capped = run(3)
+    val exact = run(5000)
+    // docs 1,2 share 3 of 4 shingles -> exact containment 0.75 — and the
+    // capped run must report the SAME value (re-verified, not the 2-of-4
+    // undercount the capped counting alone would produce)
+    assert(capped.get((1L, 2L)).contains(0.75))
+    for ((pair, c) <- capped)
+      assert(exact(pair) == c, s"capped value drifted for $pair")
+    // pairs linked ONLY through the over-cap shingle are a documented
+    // recall loss of the cap, never a wrong value
+    assert(!capped.contains((1L, 3L)) && exact((1L, 3L)) == 0.25)
+  }
+
+  test("readability: ttr, sentences, syllables, flesch hand-checked") {
+    import graft.functions.{TextFunctions => TF}
+    val df = Seq("The cat sat. The cat ran!", "word").toDF("text")
+      .select(TF.typeTokenRatio(col("text")).as("ttr"),
+        TF.sentenceCount(col("text")).as("sc"),
+        TF.syllableCount(col("text")).as("sy"),
+        TF.fleschReadingEase(col("text")).as("fl"))
+      .as[(Double, Int, Int, Double)].collect()
+    // "the cat sat. the cat ran!" -> 6 tokens, 4 distinct ("sat." != "ran!")
+    assert(df(0)._1 == 4.0 / 6.0)
+    assert(df(0)._2 == 2, "two terminator runs")
+    assert(df(0)._3 == 6, "one vowel group per word")
+    assert(df(1)._2 == 1, "no terminator floors at one sentence")
+    val expect = 206.835 - 1.015 * (1.0 / 1.0) - 84.6 * (1.0 / 1.0)
+    assert(math.abs(df(1)._4 - expect) < 1e-9)
+  }
+
   test("segments: non-overlapping n-token windows, trailing partial kept") {
     val df = Seq(("a b c d e f g h"), ("x y"), ("")).toDF("text")
       .select(DocDedup.segments(col("text"), 3).as("s"))

@@ -269,6 +269,46 @@ class SeriesFunctionsSpec extends SparkSpec {
       1L, "h").count() == 0)
   }
 
+  test("gaps: one row per over-threshold span, sized by gaps not points") {
+    val out = SF.gaps(pts, Seq("k"), "t", thresholdNs = 1500000000L)
+      .orderBy("k", "gap_start")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("a", 1000000000L, 3000000000L, 2000000000L),
+      ("b", 0L, 2000000000L, 2000000000L)))
+  }
+
+  test("ltobDownsample: endpoints always survive, interior by max area") {
+    // series a in one 10s bucket: first/last points get infinite area so
+    // the bucket keeps ONE of them (tie on area -> earliest = t0)
+    val one = SF.ltobDownsample(
+        pts.filter($"k" === "a").withColumn("c",
+          org.apache.spark.sql.functions.col("v").cast("long")),
+        Seq("k"), "t", "c", bucketNs = 10000000000L)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(one == Seq(("a", 0L, 0L, 10L)))
+    // 1s buckets: every point is alone in its bucket and survives
+    val all = SF.ltobDownsample(
+        pts.withColumn("c", org.apache.spark.sql.functions.col("v").cast("long")),
+        Seq("k"), "t", "c", bucketNs = 1000000000L)
+    assert(all.count() == 6)
+    // interior argmax: 5 points, middle 3 interior, bucket covers all ->
+    // the winner is an endpoint (infinite area) — now shrink to exclude
+    // them: interior-only bucket picks the sharpest corner
+    val tri = Seq(("x", 0L, 0L), ("x", 1000L, 0L), ("x", 2000L, 100L),
+      ("x", 3000L, 0L), ("x", 4000L, 0L)).toDF("k", "t", "c")
+    val picked = SF.ltobDownsample(tri, Seq("k"), "t", "c", bucketNs = 5000L)
+      .as[(String, Long, Long, Long)].collect()
+    assert(picked.length == 1 && picked.head._3 == 0L,
+      "endpoint infinite area wins the single bucket")
+    val interior = SF.ltobDownsample(
+        tri.filter($"t" > 0L && $"t" < 4000L), Seq("k"), "t", "c",
+        bucketNs = 5000L)
+      .as[(String, Long, Long, Long)].collect()
+    assert(interior.head._3 == 1000L,
+      "ends of the restricted series keep infinite area; earliest wins ties")
+  }
+
   test("all window transforms collapse into ONE Window operator (plan shape)") {
     val all = Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
       SF.difference(_, Seq("k"), "t", "v", "diff"),
