@@ -717,6 +717,67 @@ object QueriesPipeline {
         FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
         ORDER BY doc_id""")),
 
+    ("corpus_overlap_hll",
+      // cross-source shingle-set overlap from HLL sketches alone: union
+      // registers merge by per-bucket max, intersection by inclusion-
+      // exclusion — corpus scanned once, every downstream frame is
+      // register-table metadata (sources × 2^p rows)
+      (s, d) => {
+        import graft.pipeline.DocDedup
+        val docs = Tables.spread(s, Tables.documents(s, d))
+        val sh = docs.select(col("source"),
+          explode(TF.shingles(col("text"), 3)).as("sgm"))
+        val regs = DocDedup.hllRegisters(sh, "sgm", Seq("source"), p = 12)
+        val perSrc = DocDedup.hllEstimate(regs, Seq("source"), p = 12)
+        val srcs = docs.select("source").distinct()
+        val pairs = srcs.as("a").crossJoin(srcs.as("b"))
+          .filter(col("a.source") < col("b.source"))
+          .select(col("a.source").as("sa"), col("b.source").as("sb"))
+        val unionRegs = regs
+          .join(broadcast(pairs),
+            regs("source") === col("sa") || regs("source") === col("sb"))
+          .groupBy("sa", "sb", "bucket").agg(max("reg").as("reg"))
+        DocDedup.hllEstimate(unionRegs, Seq("sa", "sb"), p = 12)
+          .withColumnRenamed("est", "est_union")
+          .join(perSrc.select(col("source").as("sa"), col("est").as("ea")), "sa")
+          .join(perSrc.select(col("source").as("sb"), col("est").as("eb")), "sb")
+          .select(col("sa"), col("sb"), round(col("ea"), 2).as("est_a"),
+            round(col("eb"), 2).as("est_b"),
+            round(col("est_union"), 2).as("est_union"),
+            round(col("ea") + col("eb") - col("est_union"), 2).as("est_inter"))
+          .orderBy("sa", "sb")
+      },
+      Some(s"""WITH toks AS (SELECT source, $dToks AS w FROM documents),
+        sh AS (SELECT source, unnest(list_distinct(list_transform(
+            range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])))
+            AS sgm
+          FROM toks WHERE len(w) >= 3),
+        h AS (SELECT source, ${dHash60("sgm")} AS h FROM sh),
+        r AS (SELECT source, h & 4095 AS bucket,
+            max(CASE WHEN h >> 12 = 0 THEN 49
+              ELSE 49 - length(bin(h >> 12)) END) AS reg
+          FROM h GROUP BY 1, 2),
+        s1 AS (SELECT source, sum(CAST(1 AS BIGINT) << (50 - reg))
+            + (4096 - count(*)) * (CAST(1 AS BIGINT) << 50) AS S
+          FROM r GROUP BY 1),
+        e1 AS (SELECT source, 0.7213 / (1.0 + 1.079 / 4096.0) * pow(2.0, 74.0)
+            / CAST(S AS DOUBLE) AS est FROM s1),
+        srcs AS (SELECT DISTINCT source FROM documents),
+        p AS (SELECT a.source AS sa, b.source AS sb
+          FROM srcs a JOIN srcs b ON a.source < b.source),
+        u AS (SELECT sa, sb, bucket, max(reg) AS reg
+          FROM r JOIN p ON r.source = sa OR r.source = sb GROUP BY 1, 2, 3),
+        su AS (SELECT sa, sb, sum(CAST(1 AS BIGINT) << (50 - reg))
+            + (4096 - count(*)) * (CAST(1 AS BIGINT) << 50) AS S
+          FROM u GROUP BY 1, 2),
+        eu AS (SELECT sa, sb, 0.7213 / (1.0 + 1.079 / 4096.0) * pow(2.0, 74.0)
+            / CAST(S AS DOUBLE) AS est FROM su)
+        SELECT sa, sb, round(ea.est, 2) AS est_a, round(eb.est, 2) AS est_b,
+          round(eu.est, 2) AS est_union,
+          round(ea.est + eb.est - eu.est, 2) AS est_inter
+        FROM eu JOIN e1 ea ON ea.source = sa JOIN e1 eb ON eb.source = sb
+        ORDER BY sa, sb""")),
+
     // decontamination by excision: benchmark-verbatim 3-token segments
     // are cut out and the clean remainder reassembled (flagging's
     // salvage-the-rest complement); benchmark = every 13th doc, like

@@ -739,6 +739,50 @@ object DocDedup {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** HyperLogLog registers (Flajolet et al. 2007) over a key stream —
+    * the cardinality member of the engine-exact sketch family (Bloom
+    * membership / CMS frequency / HLL cardinality; the server side
+    * already pairs exact and HLL in read_series_cardinality). 2^p
+    * registers per group; register j holds the max leading-zero rank of
+    * hash60 suffixes landing in bucket j. Duplicates need no
+    * pre-distinct — max() is idempotent, which is the whole trick: the
+    * build is one projection + one map-side-combining aggregate, and the
+    * register table is metadata (≤ 2^p rows per group) no matter the
+    * corpus. All-integer (md5-based hash, bit ops, bin-length rank), so
+    * any engine reproduces the exact registers. */
+  def hllRegisters(df: DataFrame, keyCol: String, groupCols: Seq[String],
+      p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"precision out of range: $p")
+    val m = 1 << p
+    val h = hash60(col(keyCol))
+    val rest = shiftright(h, p) // top 60−p hash bits
+    val rank = when(rest === 0, lit(61 - p))
+      .otherwise(lit(61 - p) - length(bin(rest)))
+    df.select(groupCols.map(col)
+        :+ h.bitwiseAND(lit((m - 1).toLong)).as("bucket") :+ rank.as("rank"): _*)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max(col("rank")).as("reg"))
+  }
+
+  /** Read a [[hllRegisters]] table out to the raw HLL estimate
+    * α·m²/Σ2^−M(j). The harmonic-mean denominator stays EXACT: 2^−reg is
+    * a dyadic rational, so Σ scaled by 2^50 is a plain long sum (empty
+    * buckets contribute 2^50 each); the final α·2^(2p+50)/S is three IEEE
+    * double ops any engine computes bit-identically. Deliberately no
+    * small-range linear-counting correction — its ln() is the one step
+    * engines may round differently, and the raw estimator keeps the
+    * sketch engine-exact (document the low-cardinality bias instead). */
+  def hllEstimate(regs: DataFrame, groupCols: Seq[String], p: Int): DataFrame = {
+    val m = 1 << p
+    val term = expr("shiftleft(CAST(1 AS BIGINT), 50 - reg)")
+    regs.groupBy(groupCols.map(col): _*)
+      .agg((sum(term) + (lit(m.toLong) - count(lit(1))) * lit(1L << 50)).as("S"))
+      .withColumn("est",
+        lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
+          pow(lit(2.0), lit((2 * p + 50).toDouble)) / col("S").cast("double"))
+      .drop("S")
+  }
+
   /** Drop the cached blocks behind a localCheckpoint-ed frame.
     * `Dataset.unpersist` only covers cache-manager entries; a checkpoint
     * lives as a persisted RDD under a LogicalRDD leaf. */

@@ -70,6 +70,22 @@ class DocDedupExtrasSpec extends SparkSpec {
     assert(!capped.contains((1L, 3L)) && exact((1L, 3L)) == 0.25)
   }
 
+  test("hll: estimate tracks true cardinality; duplicates are free") {
+    val keys = (1 to 20000).map(i => ("g", s"key-$i")).toDF("g", "k")
+    val regs = DocDedup.hllRegisters(keys, "k", Seq("g"), p = 12)
+    assert(regs.count() <= 4096, "register table is metadata-sized")
+    val est = DocDedup.hllEstimate(regs, Seq("g"), p = 12)
+      .select("est").as[Double].head()
+    assert(math.abs(est - 20000) / 20000 < 0.05,
+      s"raw HLL at p=12 should land within ~5%: $est")
+    // max() idempotence: tripling every key changes nothing
+    val dupRegs = DocDedup.hllRegisters(
+      keys.union(keys).union(keys), "k", Seq("g"), p = 12)
+    val dupEst = DocDedup.hllEstimate(dupRegs, Seq("g"), p = 12)
+      .select("est").as[Double].head()
+    assert(dupEst == est, "duplicates must not move the estimate")
+  }
+
   test("readability: ttr, sentences, syllables, flesch hand-checked") {
     import graft.functions.{TextFunctions => TF}
     val df = Seq("The cat sat. The cat ran!", "word").toDF("text")
