@@ -1604,6 +1604,25 @@ object QueriesCore {
         FROM d WHERE pc IS NOT NULL AND c - pc >= 0
         ORDER BY event_type, time""")),
 
+    ("influxql_tz",
+      // TZ('Asia/Kolkata'): daily buckets aligned to +05:30 wall time.
+      // The engine path is the generic zone-rules conversion (DST-capable,
+      // spec-tested across a US transition); the oracle replays the
+      // fixed-offset arithmetic directly — agreeing hashes prove the
+      // generic path reduces to the right offset math
+      (s, d) => graft.operators.InfluxQlPlanner.run(influxMs(s, d),
+        """SELECT count(value) AS n, max(value) AS mx FROM events
+           WHERE time >= '2024-01-01T00:00:00Z'
+             AND time < '2024-01-15T00:00:00Z'
+           GROUP BY time(1d), event_type fill(none) TZ('Asia/Kolkata')"""),
+      Some("""WITH e AS (SELECT event_type, epoch_ns(ts) AS tn, value
+          FROM events WHERE epoch_ns(ts) >= 1704067200000000000
+            AND epoch_ns(ts) < 1705276800000000000)
+        SELECT ((tn + 19800000000000) // 86400000000000) * 86400000000000
+            - 19800000000000 AS time,
+          event_type, CAST(count(*) AS BIGINT) AS n, max(value) AS mx
+        FROM e GROUP BY 1, 2 ORDER BY event_type, time""")),
+
     ("influxql_holt_winters",
       (s, d) => graft.operators.InfluxQlPlanner.run(influxMs(s, d),
         """SELECT holt_winters(count(value), 4, 0) AS hw FROM events

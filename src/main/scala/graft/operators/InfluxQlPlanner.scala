@@ -490,13 +490,45 @@ object InfluxQlPlanner {
       case Some(gt) =>
         if (sel.fill != FillNull && sel.fill != FillNone)
           throw ParseError("fill() is not supported with aggregate arithmetic")
-        val bucket = (NsTime.windowStopNs(col(tcol), gt.everyNs, gt.offsetNs) -
-          gt.everyNs).as("time")
+        val bucket = (NsTime.windowStopNs(toLocalNs(col(tcol), sel.tz),
+          gt.everyNs, gt.offsetNs) - gt.everyNs).as("time")
         val grouped = df.groupBy(keys :+ bucket: _*).agg(aggs.head, aggs.tail: _*)
         val timeOrd = if (sel.timeDesc) col("time").desc else col("time").asc
-        grouped.select((col("time") +: keys) ++ outCols: _*)
+        grouped.select((toUtcNs(col("time"), sel.tz).as("time") +: keys)
+            ++ outCols: _*)
           .orderBy(keys :+ timeOrd: _*)
     }
+  }
+
+  // ------------------------------------------------------------- tz()
+  /** `TZ('<zone>')` support: with a zone, `GROUP BY time()` buckets align
+    * to LOCAL wall time (each instant shifted by its own zone offset, so
+    * DST is honored), the fill grid enumerates in local ns — where the
+    * bucket step genuinely is fixed-width — and the emitted `time` label
+    * converts back to the UTC instant of the local bucket start, exactly
+    * the 1.x behavior. Without a zone all three helpers are the
+    * identity. Conversions ride Spark's µs timestamp functions (the
+    * engine's ns columns are µs-truncated by discipline). */
+  private def toLocalNs(t: Column, tz: Option[String]): Column = tz match {
+    case None => t
+    case Some(z) =>
+      NsTime.timestampToNs(from_utc_timestamp(NsTime.nsToTimestamp(t), z))
+  }
+
+  private def toUtcNs(t: Column, tz: Option[String]): Column = tz match {
+    case None => t
+    case Some(z) =>
+      NsTime.timestampToNs(to_utc_timestamp(NsTime.nsToTimestamp(t), z))
+  }
+
+  /** Scala-side twin of [[toLocalNs]] for the driver-computed grid bounds. */
+  private def toLocalNs(ns: Long, tz: Option[String]): Long = tz match {
+    case None => ns
+    case Some(z) =>
+      val inst = java.time.Instant.ofEpochSecond(
+        Math.floorDiv(ns, 1000000000L), Math.floorMod(ns, 1000000000L))
+      ns + java.time.ZoneId.of(z).getRules.getOffset(inst)
+        .getTotalSeconds.toLong * 1000000000L
   }
 
   private def scalarCol(c: Call, df: DataFrame): Column = {
@@ -573,16 +605,17 @@ object InfluxQlPlanner {
         ordered(g.agg(aggs.head, aggs.tail: _*), keys)
       case Some(gt) =>
         val bucket =
-          (NsTime.windowStopNs(col(tcol), gt.everyNs, gt.offsetNs) -
-            gt.everyNs).as("time")
+          (NsTime.windowStopNs(toLocalNs(col(tcol), sel.tz), gt.everyNs,
+            gt.offsetNs) - gt.everyNs).as("time")
         val grouped = df.groupBy(keys :+ bucket: _*).agg(aggs.head, aggs.tail: _*)
         // fill the GRID first, then transform over the filled series —
         // the upstream order: fill() supplies the buckets the transform
-        // then differences/averages over
+        // then differences/averages over. Under tz() the grid lives in
+        // local ns, where the step truly is fixed-width.
         val filled = fillStrategy(sel.fill, lo, hi) match {
           case None => grouped
           case Some(strat) =>
-            val (l, h) = (lo.get, hi.get)
+            val (l, h) = (toLocalNs(lo.get, sel.tz), toLocalNs(hi.get, sel.tz))
             val start = NsTime.windowStopNs(l, gt.everyNs, gt.offsetNs) -
               gt.everyNs
             GapFill.onGrid(grouped, keyCols, "time", start, h, gt.everyNs,
@@ -628,7 +661,8 @@ object InfluxQlPlanner {
             dropped.filter(names.map(col(_).isNotNull).reduce(_ || _))
           else dropped
         val timeOrd = if (sel.timeDesc) col("time").desc else col("time").asc
-        pruned.select((col("time") +: keys) ++ names.map(col): _*)
+        pruned.select((toUtcNs(col("time"), sel.tz).as("time") +: keys)
+            ++ names.map(col): _*)
           .orderBy(keys :+ timeOrd: _*)
     }
   }
@@ -806,17 +840,18 @@ object InfluxQlPlanner {
     val tcol = m.timeCol
     val name = alias.getOrElse(c.fn)
     val keys = keyCols.map(col)
-    val bucket = (NsTime.windowStopNs(col(tcol), gt.everyNs, gt.offsetNs) -
-      gt.everyNs).as("time")
+    val bucket = (NsTime.windowStopNs(toLocalNs(col(tcol), sel.tz),
+      gt.everyNs, gt.offsetNs) - gt.everyNs).as("time")
     val grouped = df.groupBy(keys :+ bucket: _*)
       .agg(aggColumn(inner.fn, fieldArg(inner, df), tcol).as("__hw"))
     val filled = fillStrategy(sel.fill, lo, hi) match {
       case None => grouped
       case Some(strat) =>
-        val start = NsTime.windowStopNs(lo.get, gt.everyNs, gt.offsetNs) -
+        val l = toLocalNs(lo.get, sel.tz)
+        val start = NsTime.windowStopNs(l, gt.everyNs, gt.offsetNs) -
           gt.everyNs
-        GapFill.onGrid(grouped, keyCols, "time", start, hi.get, gt.everyNs,
-          Map("__hw" -> strat))
+        GapFill.onGrid(grouped, keyCols, "time", start,
+          toLocalNs(hi.get, sel.tz), gt.everyNs, Map("__hw" -> strat))
     }
     // keyless grouping gets a constant series key like the nested
     // transforms — rows ∝ buckets, so no single-task trap
@@ -834,7 +869,8 @@ object InfluxQlPlanner {
           Seq(col("time"), col(name)): _*))
       } else fc
     val timeOrd = if (sel.timeDesc) col("time").desc else col("time").asc
-    out.select((col("time") +: keyCols.map(col)) :+ col(name): _*)
+    out.select((toUtcNs(col("time"), sel.tz).as("time") +: keyCols.map(col))
+        :+ col(name): _*)
       .orderBy(keyCols.map(col) :+ timeOrd: _*)
   }
 

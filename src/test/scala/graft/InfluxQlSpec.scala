@@ -421,4 +421,33 @@ class InfluxQlSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq
     assert(a == b && a.size == 3)
   }
+
+  test("TZ(): parses, and daily buckets align to local wall time across DST") {
+    assert(InfluxQl.parse(
+      "SELECT count(value) FROM cpu GROUP BY time(1d) TZ('America/New_York')")
+      .tz.contains("America/New_York"))
+    // US spring-forward: 2024-03-10 02:00 EST -> 03:00 EDT.
+    //  p1 = 2024-03-10T04:00Z = Mar 9 23:00 EST  -> local day Mar 9
+    //  p2 = 2024-03-10T12:00Z = Mar 10 08:00 EDT -> local day Mar 10
+    // UTC bucketing would put BOTH in the Mar 10 UTC day.
+    val p1 = 1710043200000000000L // 2024-03-10T04:00:00Z
+    val p2 = 1710072000000000000L // 2024-03-10T12:00:00Z
+    val tzMs = Map("m" -> InfluxMeasurement(
+      Seq(("x", p1, 1.0), ("x", p2, 1.0)).toDF("host", "t", "value"),
+      "t", Seq("host")))
+    val out = InfluxQlPlanner.run(tzMs,
+      """SELECT count(value) AS n FROM m GROUP BY time(1d)
+         TZ('America/New_York')""")
+      .as[(Long, Long)].collect().toSeq
+    // labels = UTC instants of local midnights: Mar 9 00:00 EST = 05:00Z,
+    // Mar 10 00:00 EST = 05:00Z (the transition is later that morning)
+    assert(out == Seq(
+      (1709960400000000000L, 1L),  // 2024-03-09T05:00:00Z
+      (1710046800000000000L, 1L))) // 2024-03-10T05:00:00Z
+    // without TZ the same points share one UTC-day bucket
+    val utc = InfluxQlPlanner.run(tzMs,
+      "SELECT count(value) AS n FROM m GROUP BY time(1d)")
+      .as[(Long, Long)].collect().toSeq
+    assert(utc == Seq((1710028800000000000L, 2L)))
+  }
 }
