@@ -778,6 +778,54 @@ object QueriesPipeline {
         FROM eu JOIN e1 ea ON ea.source = sa JOIN e1 eb ON eb.source = sb
         ORDER BY sa, sb""")),
 
+    ("corpus_ngram_precision",
+      // BLEU-style clipped 1/2-gram precision of src0 docs against the
+      // rest of the corpus: the coverage/contamination eval between two
+      // corpus builds; bleu2 = sqrt(p1*p2), no brevity penalty
+      (s, d) => {
+        import graft.pipeline.Ranking
+        val docs = Tables.spread(s, Tables.documents(s, d))
+        val cand = docs.filter(col("source") === "src0")
+        val ref = docs.filter(col("source") =!= "src0")
+        val p1 = Ranking.ngramPrecision(cand, ref, "doc_id", "text", 1)
+          .select(col("doc_id"), col("precision").as("p1"))
+        val p2 = Ranking.ngramPrecision(cand, ref, "doc_id", "text", 2)
+          .select(col("doc_id"), col("precision").as("p2"))
+        cand.select("doc_id").join(p1, Seq("doc_id"), "left")
+          .join(p2, Seq("doc_id"), "left")
+          .select(col("doc_id"), round(col("p1"), 6).as("p1"),
+            round(col("p2"), 6).as("p2"),
+            round(sqrt(col("p1") * col("p2")), 6).as("bleu2"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, source,
+            list_filter($dToks, t -> t != '') AS w FROM documents),
+        cu AS (SELECT doc_id, unnest(w) AS g FROM toks WHERE source = 'src0'),
+        cuc AS (SELECT doc_id, g, count(*) AS c FROM cu GROUP BY 1, 2),
+        ru AS (SELECT unnest(w) AS g FROM toks WHERE source != 'src0'),
+        ruc AS (SELECT g, count(*) AS rc FROM ru GROUP BY 1),
+        pr1 AS (SELECT doc_id, sum(least(c, coalesce(rc, 0))) AS cl,
+            sum(c) AS tot
+          FROM cuc LEFT JOIN ruc USING (g) GROUP BY 1),
+        cb AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS g
+          FROM toks WHERE source = 'src0' AND len(w) >= 2),
+        cbc AS (SELECT doc_id, g, count(*) AS c FROM cb GROUP BY 1, 2),
+        rb AS (SELECT unnest(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS g
+          FROM toks WHERE source != 'src0' AND len(w) >= 2),
+        rbc AS (SELECT g, count(*) AS rc FROM rb GROUP BY 1),
+        pr2 AS (SELECT doc_id, sum(least(c, coalesce(rc, 0))) AS cl,
+            sum(c) AS tot
+          FROM cbc LEFT JOIN rbc USING (g) GROUP BY 1)
+        SELECT d.doc_id, round(pr1.cl * 1.0 / pr1.tot, 6) AS p1,
+          round(pr2.cl * 1.0 / pr2.tot, 6) AS p2,
+          round(sqrt((pr1.cl * 1.0 / pr1.tot) * (pr2.cl * 1.0 / pr2.tot)), 6)
+            AS bleu2
+        FROM documents d LEFT JOIN pr1 ON pr1.doc_id = d.doc_id
+          LEFT JOIN pr2 ON pr2.doc_id = d.doc_id
+        WHERE d.source = 'src0' ORDER BY d.doc_id""")),
+
     // decontamination by excision: benchmark-verbatim 3-token segments
     // are cut out and the clean remainder reassembled (flagging's
     // salvage-the-rest complement); benchmark = every 13th doc, like
@@ -1023,6 +1071,63 @@ object QueriesPipeline {
           FROM scored)
         SELECT q_id, rank, neighbor_id, round(cos, 6) AS cos
         FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""")),
+
+    ("ann_mmr_select",
+      // MMR diversified top-k: stage-1 brute retrieval (corpus-scale
+      // posture), then 5 greedy integer-exact rounds over the 15-deep
+      // candidate pool; the oracle unrolls the same greedy recursion as
+      // 5 chained SQL stages
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.mmrRerank(emb, q, n = 15, k = 5)
+          .select(col("q_id"), col("rank"), col("neighbor_id"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("q_id", "rank")
+      },
+      Some {
+        def pairSim(a: String, b: String) =
+          s"""CAST(round(list_dot_product($a.e, $b.e)
+            / (sqrt(list_dot_product($a.e, $a.e))
+               * sqrt(list_dot_product($b.e, $b.e))) * 1000000) AS BIGINT)"""
+        def pStage(i: Int): String = {
+          val (src, agg) =
+            if (i == 1) ("pool", s"${pairSim("p", "s")}")
+            else (s"p${i - 1}", s"greatest(p.ms, ${pairSim("p", "s")})")
+          s"""p$i AS (SELECT p.q_id, p.id, p.qsim, p.e, $agg AS ms
+            FROM $src p JOIN s$i s USING (q_id) WHERE p.id != s.id)"""
+        }
+        def sStage(i: Int): String = {
+          val (src, ord) =
+            if (i == 1) ("pool", "qsim")
+            else (s"p${i - 1}", "qsim - ms")
+          s"""s$i AS (SELECT * FROM (SELECT *, row_number() OVER (
+              PARTITION BY q_id ORDER BY $ord DESC, id ASC) AS rr
+            FROM $src) WHERE rr = 1)"""
+        }
+        // interleave s1, p1, s2, p2, … — each CTE only looks backwards
+        val stages = (1 to 5).flatMap(i =>
+          Seq(sStage(i)) ++ (if (i < 5) Seq(pStage(i)) else Nil))
+        val unions = (1 to 5).map(i =>
+          s"""SELECT q_id, $i AS rank, id AS neighbor_id,
+            round(qsim / 1000000.0, 6) AS cos FROM s$i""").mkString(
+          " UNION ALL ")
+        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings),
+          q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 3),
+          sc AS (SELECT q_id, vec_id AS id, e, list_dot_product(e, qe)
+              / (sqrt(list_dot_product(e, e))
+                 * sqrt(list_dot_product(qe, qe))) AS cos
+            FROM v CROSS JOIN q WHERE vec_id != q_id),
+          pool AS (SELECT q_id, id, e,
+              CAST(round(cos * 1000000) AS BIGINT) AS qsim
+            FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY cos DESC, id ASC) AS rr FROM sc)
+            WHERE rr <= 15),
+          ${stages.mkString(",\n          ")}
+          $unions ORDER BY q_id, rank"""
+      }),
 
     // hard-negative mining (DPR/Contriever): top-k most-similar vectors
     // OUTSIDE the query's own k-means cluster — the ANN scorer and the

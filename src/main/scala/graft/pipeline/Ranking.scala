@@ -150,4 +150,35 @@ object Ranking {
           (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n"))
           / 1e6, 6).as("intercept_ln"))
   }
+
+  /** Clipped n-gram precision of each candidate document against a
+    * REFERENCE corpus — the per-document core of corpus BLEU (Papineni
+    * et al. 2002): p_n = Σ_g min(tf_doc(g), tf_ref(g)) / Σ_g tf_doc(g),
+    * an absent reference gram clipping to 0. Reads as a coverage /
+    * contamination eval between two corpus builds: ≈1 means the
+    * candidate's phrasing is already in the reference, ≈0 means novel
+    * text. No brevity penalty (there is no aligned reference length for
+    * corpus-vs-corpus scoring).
+    *
+    * Scale shape: candidate tf is a per-(doc, gram) aggregate; the
+    * reference side collapses to a vocab-sized count table joined by
+    * gram (AQE broadcasts it when small). Integer clipped/total sums, so
+    * the ratio is one exact division. Documents with no n-grams surface
+    * with NULL precision (explode_outer keeps them). */
+  def ngramPrecision(cand: DataFrame, ref: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val cTf = cand
+      .select(col(idCol), explode_outer(TF.ngrams(col(textCol), n)).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+    val rTf = ref.select(explode(TF.ngrams(col(textCol), n)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("rc"))
+    cTf.join(rTf, Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("g").isNull, 0L)
+          .otherwise(least(col("c"), coalesce(col("rc"), lit(0L))))).as("clipped"),
+        sum(when(col("g").isNull, 0L).otherwise(col("c"))).as("total"))
+      .withColumn("precision",
+        when(col("total") > 0, col("clipped").cast("double") / col("total")))
+  }
 }

@@ -120,6 +120,70 @@ object Similarity {
     rankTopK(scored, k, qIdCol, "cos", idCol)
   }
 
+  /** Maximal Marginal Relevance diversified top-k (Carbonell & Goldstein
+    * 1998): greedily pick k of the top-`n` retrieval candidates
+    * maximizing λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s) — relevance traded
+    * against redundancy with what is already selected.
+    *
+    * Scale shape: the CORPUS is touched only by the stage-1 retrieval
+    * (the [[bruteForceTopK]] broadcast + bounded-TopK posture); the
+    * greedy loop then runs k rounds over the n-per-query candidate pool —
+    * a queries×n METADATA frame (the k-means-centroid discipline), each
+    * round one argmax aggregate + one join, lineage truncated per round
+    * by an eager localCheckpoint so round r never replays rounds 1..r−1.
+    *
+    * Exactness discipline: similarities quantize to integer micro-units
+    * and λ is the rational `lambdaNum/lambdaDen`, so every score
+    * comparison is integer arithmetic any engine replays identically;
+    * ties break to the smallest candidate id. Round 1 (empty S) is pure
+    * relevance, scaled by λden so it never mixes scales with later
+    * rounds. */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, n: Int, k: Int,
+      lambdaNum: Long = 1L, lambdaDen: Long = 2L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+    require(k >= 1 && n >= k, s"need n >= k >= 1, got n=$n k=$k")
+    require(lambdaDen > 0 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
+      "lambda must be a rational in [0, 1]")
+    val mu = lit(1000000.0)
+    val c = normed(corpus, idCol, vecCol, "__e", "__n")
+    val cands = bruteForceTopK(corpus, queries, n, idCol, vecCol,
+      qIdCol, qVecCol)
+    var pool = cands.join(c, cands("neighbor_id") === c(idCol))
+      .select(col(qIdCol), col("neighbor_id"),
+        round(col("cos") * mu).cast("long").as("qsim"),
+        col("__e"), col("__n"))
+      .withColumn("maxsel", lit(Long.MinValue))
+      .localCheckpoint()
+    val rounds = (1 to k).map { step =>
+      val score = when(col("maxsel") === Long.MinValue,
+          col("qsim") * lambdaDen)
+        .otherwise(col("qsim") * lambdaNum -
+          lit(lambdaDen - lambdaNum) * col("maxsel"))
+      val best = pool.withColumn("__sc", score)
+        .groupBy(col(qIdCol))
+        .agg(max(struct(col("__sc").as("sc"),
+          (-col("neighbor_id")).as("nid"), col("qsim").as("qs"),
+          col("__e").as("e"), col("__n").as("nm"))).as("b"))
+        .select(col(qIdCol), (-col("b.nid")).as("sel_id"),
+          col("b.qs").as("sel_qsim"), col("b.e").as("sel_e"),
+          col("b.nm").as("sel_n"))
+        .localCheckpoint()
+      pool = pool.join(best, Seq(qIdCol))
+        .filter(col("neighbor_id") =!= col("sel_id"))
+        .withColumn("maxsel", greatest(col("maxsel"),
+          round(cosExpr(dot(col("__e"), col("sel_e")),
+            col("__n"), col("sel_n")) * mu).cast("long")))
+        .select(col(qIdCol), col("neighbor_id"), col("qsim"),
+          col("__e"), col("__n"), col("maxsel"))
+        .localCheckpoint()
+      best.select(col(qIdCol), lit(step).cast("int").as("rank"),
+        col("sel_id").as("neighbor_id"),
+        (col("sel_qsim") / mu).as("cos"))
+    }
+    rounds.reduce(_ unionByName _)
+  }
+
   /** Hard-negative mining for contrastive training (DPR/Contriever
     * recipe): for each query, the top-k most-similar corpus vectors that
     * sit OUTSIDE the query's own semantic cluster — similar enough to be

@@ -402,6 +402,39 @@ class PipelineSpec extends SparkSpec {
       a._3 > b._3 || (a._3 == b._3 && a._2 < b._2) })
   }
 
+  test("ngramPrecision: clipped counts, absent grams clip to 0, empty -> NULL") {
+    import graft.pipeline.Ranking
+    val cand = Seq((1L, "a a b c"), (2L, "x y z"), (3L, "")).toDF("doc_id", "text")
+    val ref = Seq((10L, "a b b q"), (11L, "a q")).toDF("doc_id", "text")
+    val got = Ranking.ngramPrecision(cand, ref, "doc_id", "text", 1)
+      .orderBy("doc_id")
+      .select($"doc_id", $"clipped", $"total", $"precision")
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq
+    // doc 1: tf {a:2, b:1, c:1}; ref tf {a:2, b:2, q:2} ->
+    //   clipped = min(2,2) + min(1,2) + 0 = 3 of 4
+    assert(got(0) == ((1L, 3L, 4L, Some(0.75))))
+    assert(got(1) == ((2L, 0L, 3L, Some(0.0))), "fully novel doc scores 0")
+    assert(got(2)._4.isEmpty, "gram-less doc surfaces NULL, not a div error")
+  }
+
+  test("mmrRerank: a duplicate of the first pick defers to a diverse doc") {
+    import graft.pipeline.Similarity
+    // a and b are identical (a dup pair); c is relevant but diverse.
+    // Pure top-k orders a, b, c; MMR at lambda=1/2 must interleave c
+    // before the duplicate b, and round 1 must tie-break a over b by id.
+    val vecs = Seq(
+      (1L, Array(0.99f, 0.1f, 0f, 0f)), (2L, Array(0.99f, 0.1f, 0f, 0f)),
+      (3L, Array(0.6f, 0f, 0.8f, 0f))).toDF("vec_id", "embedding")
+    val q = Seq((100L, Array(1f, 0f, 0f, 0f))).toDF("q_id", "q_vec")
+    val got = Similarity.mmrRerank(vecs, q, n = 3, k = 3)
+      .orderBy("rank").select($"rank", $"neighbor_id")
+      .as[(Int, Long)].collect().toSeq
+    assert(got == Seq((1, 1L), (2, 3L), (3, 2L)))
+    val plain = Similarity.bruteForceTopK(vecs, q, k = 3)
+      .orderBy("rank").select($"neighbor_id").as[Long].collect().toSeq
+    assert(plain == Seq(1L, 2L, 3L), "pure relevance keeps the dup adjacent")
+  }
+
   test("hardNegatives: same-cluster and self candidates are pruned") {
     import graft.pipeline.Similarity
     // two obvious clusters on a line; queries from cluster 0
