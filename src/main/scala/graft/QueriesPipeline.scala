@@ -973,6 +973,58 @@ object QueriesPipeline {
         SELECT id AS doc_id, cluster_id, cluster_size
         FROM comp JOIN cs USING (cluster_id) ORDER BY doc_id""")),
 
+    ("dedup_ensemble",
+      // three detector families vote per pair; the count is the
+      // precision dial (3 = certain dup, 1 = review queue)
+      (s, d) => DocDedup.ensemblePairs(Tables.spread(s, Tables.documents(s, d)),
+          "doc_id", "text")
+        .orderBy("id1", "id2"),
+      Some(s"""WITH $dShingles,
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        prs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        ja AS (SELECT id1, id2 FROM prs
+          JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+          WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.7),
+        nh AS (SELECT doc_id, md5($dNorm) AS h FROM documents),
+        ex AS (SELECT a.doc_id AS id1, b.doc_id AS id2 FROM nh a
+          JOIN nh b ON a.h = b.h AND a.doc_id < b.doc_id),
+        toksd AS (SELECT doc_id, list_distinct($dToks) AS ws FROM documents),
+        th AS (SELECT doc_id, ${dHash60("t")} AS h
+          FROM (SELECT doc_id, unnest(ws) AS t FROM toksd)),
+        bitsums AS (SELECT doc_id, b,
+            sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END)
+              AS sgn
+          FROM th CROSS JOIN range(60) r(b) GROUP BY 1, 2),
+        sg AS (SELECT doc_id, CAST(sum(CASE WHEN sgn > 0
+            THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT)
+            AS sig
+          FROM bitsums GROUP BY 1),
+        sp AS (SELECT a.doc_id AS id1, b.doc_id AS id2 FROM sg a JOIN sg b
+          ON a.doc_id < b.doc_id
+            AND bit_count(xor(a.sig, b.sig)) <= 3),
+        u AS (SELECT id1, id2, 'exact' AS sig FROM ex
+          UNION ALL SELECT id1, id2, 'jaccard' FROM ja
+          UNION ALL SELECT id1, id2, 'simhash' FROM sp)
+        SELECT id1, id2, CAST(count(*) AS BIGINT) AS votes,
+          string_agg(sig, ',' ORDER BY sig) AS signals
+        FROM u GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    ("sample_fixed_size",
+      // reservoir-style EXACT-count draw per language, deterministic by
+      // content hash — stable across runs, partitionings, and engines
+      (s, d) => Sampling.fixedSizeSample(Tables.documents(s, d),
+          "lang", "doc_id", n = 10)
+        .orderBy("lang", "draw"),
+      Some(s"""WITH h AS (SELECT lang, doc_id,
+            ${dHash60("CAST(doc_id AS VARCHAR)")} AS hv FROM documents),
+        rk AS (SELECT lang, doc_id, CAST(row_number() OVER (
+            PARTITION BY lang ORDER BY hv ASC, doc_id ASC) AS INT) AS draw
+          FROM h)
+        SELECT lang, draw, doc_id FROM rk WHERE draw <= 10
+        ORDER BY lang, draw""")),
+
     ("dedup_simhash",
       (s, d) => Tables.spread(s, Tables.documents(s, d))
         .select(col("doc_id"), DocDedup.simHash(col("text")).as("simhash"))

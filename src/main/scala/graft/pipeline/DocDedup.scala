@@ -445,6 +445,39 @@ object DocDedup {
   /** Hamming distance between two long signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Ensemble near-dup vote: the exact-hash, n-gram-Jaccard and SimHash
+    * detectors each nominate pairs; every nominated pair surfaces with
+    * its vote count and sorted signal list. The families disagree by
+    * design on real corpora — exact sees byte dups, Jaccard sees shared
+    * phrasing through edits, SimHash sees token-profile similarity
+    * through reordering — so the vote count is the precision dial
+    * (3 = certain, 1 = review queue). Each member keeps its own bounded
+    * one-shuffle shape; the vote is one more pair-grain aggregate.
+    * `maxHamming` ≤ 3 keeps the 4-band SimHash candidate pass EXACT
+    * (pigeonhole: ≤3 differing bits leave one 15-bit band intact). */
+  def ensemblePairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, jaccardThreshold: Double = 0.7, maxHamming: Int = 3,
+      maxShingleDf: Int = 5000, maxBucket: Int = 10000): DataFrame = {
+    val hashed = docs.select(md5(normalize(col(textCol))).as("h"),
+      col(idCol).as("id"))
+    val exBuckets = hashed.groupBy("h")
+      .agg(sort_array(collect_list(struct(col("id")))).as("xs"))
+      .filter(size(col("xs")) > 1)
+    val ex = explodePairs(exBuckets, "xs")((x, y) =>
+        struct(x.getField("id").as("id1"), y.getField("id").as("id2")))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+    val ja = ngramJaccardPairs(docs, idCol, textCol, n, jaccardThreshold,
+      maxShingleDf).select("id1", "id2")
+    val sh = simHashPairs(docs, idCol, textCol, maxHamming, maxBucket)
+      .select("id1", "id2")
+    ex.withColumn("sig", lit("exact"))
+      .unionByName(ja.withColumn("sig", lit("jaccard")))
+      .unionByName(sh.withColumn("sig", lit("simhash")))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("votes"),
+        array_join(sort_array(collect_list(col("sig"))), ",").as("signals"))
+  }
+
   // ----------------------------------------------- duplicate clustering
 
   /** Connected components over near-dup pairs (id1, id2): the final step

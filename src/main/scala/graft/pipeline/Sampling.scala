@@ -28,6 +28,28 @@ object Sampling {
     df.filter(bucketOf(col(keyCol), outOf) < keep.toLong)
   }
 
+  /** EXACT-size deterministic sample: the `n` smallest content hashes per
+    * stratum — reservoir sampling's fixed-count guarantee without RNG or
+    * sequential state, so the draw is stable across runs, partitionings
+    * and engines. Unlike rate-based membership it is NOT stable under
+    * corpus growth (a new smaller hash displaces the current largest
+    * member — the price of an exact count). The bounded [[graft.functions
+    * .TopK]] aggregate means every map task ships at most n rows per
+    * stratum; no corpus sort, no single-reducer window. */
+  def fixedSizeSample(df: DataFrame, strataCol: String, keyCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, "sample size must be >= 1")
+    // TopK keeps the LARGEST scores (ties to the smaller id), so score
+    // by negated hash to draw the smallest-hash members
+    df.groupBy(col(strataCol))
+      .agg(graft.functions.TopK.topK(n)(
+        -TextFunctions.hash60(col(keyCol).cast("string")),
+        col(keyCol)).as("__tk"))
+      .select(col(strataCol), posexplode(col("__tk")).as(Seq("__pos", "__s")))
+      .select(col(strataCol), (col("__pos") + 1).cast("int").as("draw"),
+        col("__s.id").as(keyCol))
+  }
+
   /** Per-stratum rates: keep a `strata -> keep` fraction of each stratum
     * (e.g. downsample dominant languages, keep all of rare ones); strata
     * not listed fall back to `defaultKeep`. Still one pass, no shuffle —

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.pipeline.{DocDedup, Multimodal, Similarity}
+import graft.pipeline.{DocDedup, Multimodal, Sampling, Similarity}
 
 class PipelineSpec extends SparkSpec {
   import spark.implicits._
@@ -400,6 +400,39 @@ class PipelineSpec extends SparkSpec {
     assert(r0.map(_._4).toSeq == (1 to 5))
     assert(r0.sliding(2).forall { case Array(a, b) =>
       a._3 > b._3 || (a._3 == b._3 && a._2 < b._2) })
+  }
+
+  test("ensemblePairs: detector families vote, byte dup sweeps all three") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base),
+      (2L, base), // byte dup -> exact + jaccard + simhash
+      (3L, base + " extra"), // near dup -> jaccard (+ simhash, tokens ~same)
+      (4L, "completely unrelated content about databases and query engines ok"))
+      .toDF("doc_id", "text")
+    val got = DocDedup.ensemblePairs(docs, "doc_id", "text")
+      .orderBy("id1", "id2")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val m = got.map { case (a, b, v, s) => ((a, b), (v, s)) }.toMap
+    assert(m((1L, 2L)) == ((3L, "exact,jaccard,simhash")))
+    assert(m.get((1L, 3L)).exists(_._2.contains("jaccard")))
+    assert(!m.keySet.exists { case (a, b) => a == 4L || b == 4L },
+      "unrelated doc nominated by no detector")
+  }
+
+  test("fixedSizeSample: exact count per stratum, repartition-invariant") {
+    val docs = (1 to 200).map(i => (if (i % 2 == 0) "en" else "de", i.toLong))
+      .toDF("lang", "doc_id")
+    val a = Sampling.fixedSizeSample(docs, "lang", "doc_id", n = 7)
+      .orderBy("lang", "draw").as[(String, Int, Long)].collect().toSeq
+    assert(a.count(_._1 == "en") == 7 && a.count(_._1 == "de") == 7)
+    val b = Sampling.fixedSizeSample(docs.repartition(13), "lang", "doc_id", 7)
+      .orderBy("lang", "draw").as[(String, Int, Long)].collect().toSeq
+    assert(a == b, "the draw is a pure content function")
+    // a stratum smaller than n yields the whole stratum
+    val tiny = Sampling.fixedSizeSample(docs.filter($"doc_id" <= 4), "lang",
+      "doc_id", 7)
+    assert(tiny.count() == 4)
   }
 
   test("ngramPrecision: clipped counts, absent grams clip to 0, empty -> NULL") {
