@@ -1604,6 +1604,38 @@ object QueriesCore {
         FROM d WHERE pc IS NOT NULL AND c - pc >= 0
         ORDER BY event_type, time""")),
 
+    ("influxql_from_regex",
+      // FROM /^e/ sweeps every matching measurement: each plans through
+      // the single-measurement pipeline, results union under the 1.x
+      // per-measurement `name` label; a schema-mismatched measurement
+      // would contribute nothing rather than failing the statement
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val ms = Map(
+          "events" -> graft.operators.InfluxMeasurement(ev, "ts_ns",
+            Seq("event_type", "user_id")),
+          "errors" -> graft.operators.InfluxMeasurement(
+            ev.filter(col("event_type") === "error"), "ts_ns",
+            Seq("event_type", "user_id")))
+        graft.operators.InfluxQlPlanner.run(ms,
+          """SELECT count(value) AS n FROM /^e/
+             WHERE time >= '2024-01-01T00:00:00Z'
+               AND time < '2024-01-08T00:00:00Z'
+             GROUP BY time(1d) fill(none)""")
+      },
+      Some("""WITH e AS (SELECT event_type, epoch_ns(ts) AS tn FROM events
+          WHERE epoch_ns(ts) >= 1704067200000000000
+            AND epoch_ns(ts) < 1704672000000000000),
+        ev AS (SELECT 'events' AS name,
+            (tn // 86400000000000) * 86400000000000 AS time,
+            CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 2),
+        er AS (SELECT 'errors' AS name,
+            (tn // 86400000000000) * 86400000000000 AS time,
+            CAST(count(*) AS BIGINT) AS n FROM e
+          WHERE event_type = 'error' GROUP BY 2)
+        SELECT * FROM (SELECT * FROM ev UNION ALL SELECT * FROM er)
+        ORDER BY name, time""")),
+
     ("influxql_tz",
       // TZ('Asia/Kolkata'): daily buckets aligned to +05:30 wall time.
       // The engine path is the generic zone-rules conversion (DST-capable,

@@ -189,6 +189,43 @@ object InfluxQlPlanner {
   }
 
   def plan(ms: Map[String, InfluxMeasurement], sel: Select): DataFrame = {
+    // FROM /re/ or FROM m1, m2, …: plan each matched measurement with the
+    // single-measurement pipeline and union the labeled results — each
+    // part keeps its own pagination/ordering semantics, and (per 1.x) a
+    // measurement whose schema cannot satisfy the projection contributes
+    // nothing rather than failing the statement. Regex results always
+    // carry the `name` column, like the 1.x per-measurement series.
+    val multiNames: Option[Seq[String]] = sel.fromRegex match {
+      case Some(re) =>
+        val p = java.util.regex.Pattern.compile(GoRegex.toJava(re))
+        val hits = ms.keys.toSeq.sorted.filter(n => p.matcher(n).find())
+        if (hits.isEmpty) throw ParseError(s"no measurement matches /$re/")
+        Some(hits)
+      case None if sel.fromMore.nonEmpty => Some(sel.from :: sel.fromMore)
+      case None => None
+    }
+    multiNames match {
+      case Some(names) =>
+        val one = sel.copy(fromMore = Nil, fromRegex = None)
+        val parts = names.flatMap { n =>
+          ms.get(n).orElse(if (sel.fromRegex.isEmpty)
+            throw ParseError(s"unknown measurement '$n'") else None)
+            .flatMap { _ =>
+              try Some(plan(ms, one.copy(from = n)).withColumn("name", lit(n)))
+              catch { case _: ParseError => None } // schema mismatch: skip
+            }
+        }
+        if (parts.isEmpty)
+          throw ParseError("no matched measurement supports the projection")
+        val out = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+        val rest = out.columns.filterNot(_ == "name").map(col).toSeq
+        val ordered =
+          if (out.columns.contains("time"))
+            out.orderBy(col("name"), col("time"))
+          else out.orderBy(col("name"))
+        return ordered.select(col("name") +: rest: _*)
+      case None => ()
+    }
     val m = sel.fromSub match {
       case Some(inner) =>
         // FROM (subquery): the inner result IS the measurement. Its

@@ -422,6 +422,32 @@ class InfluxQlSpec extends SparkSpec {
     assert(a == b && a.size == 3)
   }
 
+  test("FROM regex and lists union labeled measurements; mismatches skip") {
+    val sel = InfluxQl.parse("SELECT value FROM a, b, c")
+    assert(sel.from == "a" && sel.fromMore == List("b", "c"))
+    assert(InfluxQl.parse("SELECT value FROM /cpu.*/").fromRegex
+      .contains("cpu.*"))
+    val multi = Map(
+      "cpu1" -> InfluxMeasurement(fixture, "t", Seq("host")),
+      "cpu2" -> InfluxMeasurement(
+        fixture.withColumn("value", $"value" * 10), "t", Seq("host")),
+      "mem" -> InfluxMeasurement(
+        fixture.withColumnRenamed("value", "used"), "t", Seq("host")))
+    val got = InfluxQlPlanner.run(multi,
+      "SELECT sum(value) AS s FROM /cpu[12]/")
+      .as[(String, Double)].collect().toSeq
+    assert(got == Seq(("cpu1", 82.0), ("cpu2", 820.0)))
+    // a regex sweeping ALL measurements skips the field-less one (1.x)
+    val swept = InfluxQlPlanner.run(multi, "SELECT sum(value) AS s FROM /.*/")
+      .select("name").as[String].collect().toSet
+    assert(swept == Set("cpu1", "cpu2"), "mem lacks 'value' and must skip")
+    // explicit comma list over mixed schemas: raw select aligns by name
+    val listed = InfluxQlPlanner.run(multi,
+      "SELECT sum(value) AS s FROM cpu1, cpu2")
+      .select("name").as[String].collect().toSet
+    assert(listed == Set("cpu1", "cpu2"))
+  }
+
   test("TZ(): parses, and daily buckets align to local wall time across DST") {
     assert(InfluxQl.parse(
       "SELECT count(value) FROM cpu GROUP BY time(1d) TZ('America/New_York')")
