@@ -1285,6 +1285,59 @@ object QueriesPipeline {
     // sums are exact order-free integer sums on both engines; affinities
     // and centroid components are then identical IEEE double sequences —
     // the assignment ints compare hash-exact. See Clustering.scala.
+    ("cluster_topics",
+      // BERTopic-style interpretable cluster labels: the emb_kmeans
+      // semantic clusters, each labeled by its class-based tf-idf top
+      // terms (keyphrases generalizes — the "document" is the cluster,
+      // df becomes cluster frequency). One id join bridges the embedding
+      // and text spaces; everything downstream is the two operators'
+      // existing shapes
+      (s, d) => {
+        val assign = Clustering.kmeansAssign(
+          Tables.spread(s, Tables.embeddings(s, d)),
+          "vec_id", "embedding", k = 8, iters = 2)
+        val byCluster = Tables.documents(s, d)
+          .join(assign, col("doc_id") === col("vec_id"))
+          .select(col("cluster"), col("text"))
+        graft.pipeline.Ranking.keyphrases(byCluster, "cluster", "text",
+            topK = 5)
+          .select(col("cluster"), col("rank"), col("term"),
+            round(col("score"), 6).as("score"))
+          .orderBy("cluster", "rank")
+      },
+      Some(s"""WITH $dKmeansPrep,
+        c0 AS (SELECT vec_id AS c, e AS ce FROM x WHERE vec_id < 8),
+        a1 AS ${dKmeansAssign("c0")},
+        s1 AS (SELECT c, d, sum(q[d]) AS s, count(*) AS n
+          FROM a1 JOIN v USING (vec_id)
+          CROSS JOIN (SELECT unnest(range(1, 65)) AS d) GROUP BY c, d),
+        c1 AS (SELECT c, list((s / n) / 1000000.0 ORDER BY d) AS ce
+          FROM s1 GROUP BY c),
+        a2 AS ${dKmeansAssign("c1")},
+        s2 AS (SELECT c, d, sum(q[d]) AS s, count(*) AS n
+          FROM a2 JOIN v USING (vec_id)
+          CROSS JOIN (SELECT unnest(range(1, 65)) AS d) GROUP BY c, d),
+        c2 AS (SELECT c, list((s / n) / 1000000.0 ORDER BY d) AS ce
+          FROM s2 GROUP BY c),
+        a3 AS ${dKmeansAssign("c2")},
+        p AS (SELECT a3.c AS cluster, $dToks AS w
+          FROM a3 JOIN documents ON doc_id = a3.vec_id),
+        n AS (SELECT count(*) AS n_docs FROM p),
+        tf AS (SELECT cluster, term, count(*) AS tf
+          FROM (SELECT cluster, unnest(w) AS term FROM p)
+          WHERE length(term) >= 4 GROUP BY 1, 2),
+        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        sc AS (SELECT tf.cluster, tf.term,
+            CAST(floor((1.0 + ln(tf.tf)) * ln(n.n_docs / dfq.df)
+              * 1000000.0 + 0.5) AS BIGINT) AS sq
+          FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        rk AS (SELECT cluster, term, sq, CAST(row_number() OVER (
+            PARTITION BY cluster ORDER BY sq DESC, term ASC) AS INT) AS rank
+          FROM sc)
+        SELECT CAST(cluster AS INT) AS cluster, rank, term,
+          round(sq / 1000000.0, 6) AS score
+        FROM rk WHERE rank <= 5 ORDER BY cluster, rank""")),
+
     ("emb_kmeans",
       (s, d) => Clustering.kmeansAssign(
           Tables.spread(s, Tables.embeddings(s, d)),

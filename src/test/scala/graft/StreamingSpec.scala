@@ -124,6 +124,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL: registers accumulate incrementally, batch parity") {
+    // max() is the whole sketch — natively streamable, so approx-distinct
+    // over an unbounded stream is the BATCH operator under update mode,
+    // with state bounded at 2^p registers per group no matter the stream
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)](
+      spark)
+    val regs = graft.pipeline.DocDedup.hllRegisters(
+      input.toDF().toDF("g", "k"), "k", Seq("g"), p = 6)
+    val q = regs.writeStream.format("memory").queryName("shll")
+      .outputMode("complete").start()
+    try {
+      input.addData((1 to 300).map(i => ("s", s"key-$i")): _*)
+      q.processAllAvailable()
+      input.addData((200 to 500).map(i => ("s", s"key-$i")): _*) // overlap
+      q.processAllAvailable()
+      val streamed = spark.table("shll").as[(String, Long, Int)].collect().toSet
+      val batch = graft.pipeline.DocDedup.hllRegisters(
+        (1 to 500).map(i => ("s", s"key-$i")).toDF("g", "k"), "k", Seq("g"),
+        p = 6).as[(String, Long, Int)].collect().toSet
+      assert(streamed == batch, "incremental registers equal the batch build")
+      assert(streamed.size <= 64, "state is bounded at 2^p registers")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: in-horizon pairs only, batch parity") {
     val ts = (s: Long) => java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s))
     val views = Seq(
