@@ -447,7 +447,37 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
         measurementView(db, m).map(df => m -> asMeasurement(df))
       }.toMap
       if (!msAll.contains(name)) Left(s"measurement not found: $name")
-      else {
+      else if (sel.into.isDefined) {
+        // `SELECT … INTO <target>`: run now and land the result in the
+        // SAME per-measurement store as LP/protobuf writes (1.x
+        // back-reference semantics: GROUP BY dims become tags, aggregate
+        // columns become fields, a time-less aggregate lands at epoch 0).
+        // The snapshot is pinned with localCheckpoint so later source
+        // writes cannot rewrite history, like a physical 1.x INTO write.
+        import org.apache.spark.sql.types.MetadataBuilder
+        val target = sel.into.get
+        val out = graft.operators.InfluxQlPlanner.plan(msAll, sel)
+        val tagSet = msAll.values.flatMap(_.tagCols).toSet + "name"
+        def meta(cat: String) = new MetadataBuilder()
+          .putString(IoxSchema.CategoryKey, cat).build()
+        val metaCols = out.schema.fields.toSeq.map { f =>
+          val cat =
+            if (f.name == "time") IoxSchema.Time
+            else if (tagSet(f.name)) IoxSchema.Tag
+            else IoxSchema.Field
+          col(f.name).as(f.name, meta(cat))
+        }
+        val projected =
+          if (out.columns.contains("time")) out.select(metaCols: _*)
+          else out.select(metaCols :+ lit(0L).as("time", meta(IoxSchema.Time)): _*)
+        val snap = projected.localCheckpoint()
+        databases.updateWith(db) { prev =>
+          Some(prev.getOrElse(Vector.empty) :+ (target -> snap))
+        }
+        import spark.implicits._
+        Right(Some(("result", Seq.empty[String],
+          Seq((0L, snap.count())).toDF("time", "written"))))
+      } else {
         val df = graft.operators.InfluxQlPlanner.plan(msAll, sel)
         val tagSet = msAll.values.flatMap(_.tagCols).toSet
         Right(Some((name, df.columns.filter(tagSet).toSeq, df)))

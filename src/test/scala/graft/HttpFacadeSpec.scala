@@ -422,6 +422,38 @@ class HttpFacadeSpec extends SparkSpec {
     }
   }
 
+  test("SELECT INTO materializes a queryable measurement; snapshot is pinned") {
+    withFacade { facade =>
+      val p = facade.boundPort
+      val lp = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(fixture))
+      assert(post(p, "/api/v2/write?org=o&bucket=b", lp)._1 == 204)
+      // write the per-state maxima into a new measurement
+      val (si, bi) = get(p, s"/query?db=o_b&q=${enc(
+        "SELECT max(surface_degrees) AS peak INTO sd_peaks " +
+          "FROM h2o_temperature GROUP BY state")}")
+      assert(si == 200, bi)
+      assert(bi.contains(""""name":"result""""), bi)
+      assert(bi.contains(""""columns":["time","written"],"values":[[0,2]]"""), bi)
+      // the target reads back like any measurement: GROUP BY dim became a
+      // tag (series split), the aggregate a field, time landed at epoch 0
+      val (sq, bq) = get(p, s"/query?db=o_b&q=${enc(
+        "SELECT peak FROM sd_peaks GROUP BY state")}")
+      assert(sq == 200)
+      assert(bq.contains(""""tags":{"state":"CA"}"""), bq)
+      assert(bq.contains("[0,65.2]"), bq)
+      assert(bq.contains("[0,55.8]"), bq)
+      assert(get(p, s"/query?db=o_b&q=${enc("SHOW MEASUREMENTS")}")._2
+        .contains("sd_peaks"))
+      // pinned snapshot: a later source write must NOT rewrite the target
+      assert(post(p, "/api/v2/write?org=o&bucket=b",
+        "h2o_temperature,location=x,state=CA surface_degrees=99.9 1700000000000000000"
+          .getBytes("UTF-8"))._1 == 204)
+      val again = get(p, s"/query?db=o_b&q=${enc(
+        "SELECT peak FROM sd_peaks GROUP BY state")}")._2
+      assert(again.contains("[0,65.2]") && !again.contains("99.9"), again)
+    }
+  }
+
   test("writeResult streams a 200k-row result through a bounded sink") {
     // rows flow straight to the sink via toLocalIterator: memory is one
     // partition + the 64KiB writer buffer, not the result size — the sink
