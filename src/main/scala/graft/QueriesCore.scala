@@ -1902,6 +1902,54 @@ object QueriesCore {
           CAST(sum(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
         FROM events GROUP BY 1 ORDER BY 1""")),
 
+    ("events_prom_rate",
+      (s, d) => {
+        // PromQL-faithful rate() per 6h window: reset-aware increase
+        // extrapolated to the window edges (classic Prometheus
+        // extrapolatedRate); integer-cent increase sums exactly, the
+        // extrapolation is a mirrored IEEE expression in both engines
+        import graft.functions.{SeriesFunctions => SF}
+        val ev = Tables.events(s, d).filter(col("user_id") < 10)
+          .select(col("user_id"), col("ts_ns").as("t"),
+            round(col("value") * 100).cast("long").as("cents"))
+        SF.promRate(ev, Seq("user_id"), "t", "cents",
+            windowNs = 21600000000000L, "r")
+          .select(col("user_id"), col("time"),
+            round(col("r") / 100.0, 6).as("rate"))
+          .orderBy("user_id", "time")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS t,
+            CAST(round(value * 100) AS BIGINT) AS v
+          FROM events WHERE user_id < 10),
+        c AS (SELECT user_id, t, v, t // 21600000000000 AS b,
+            CASE WHEN lag(v) OVER w IS NULL THEN 0
+              WHEN v < lag(v) OVER w THEN v ELSE v - lag(v) OVER w END
+              AS contrib
+          FROM e WINDOW w AS (PARTITION BY user_id, t // 21600000000000
+            ORDER BY t)),
+        g AS (SELECT user_id, b, count(*) AS n, min(t) AS ft, max(t) AS lt,
+            min(struct_pack(t := t, v := v)) AS fs, sum(contrib) AS inc
+          FROM c GROUP BY 1, 2),
+        x AS (SELECT user_id, (b + 1) * 21600000000000 AS time, n,
+            CAST(ft - b * 21600000000000 AS DOUBLE) AS d2s,
+            CAST((b + 1) * 21600000000000 - lt AS DOUBLE) AS d2e,
+            CAST(lt - ft AS DOUBLE) AS si,
+            CAST(fs.v AS DOUBLE) AS fv, CAST(inc AS DOUBLE) AS incd
+          FROM g WHERE n >= 2 AND lt > ft),
+        y AS (SELECT *, si / CAST(n - 1 AS DOUBLE) AS avgd FROM x),
+        z AS (SELECT *,
+            CASE WHEN d2s >= avgd * 1.1 THEN avgd / 2.0 ELSE d2s END AS exts0,
+            CASE WHEN d2e >= avgd * 1.1 THEN avgd / 2.0 ELSE d2e END AS exte
+          FROM y),
+        f AS (SELECT *, CASE WHEN incd > 0 AND fv >= 0
+              AND si * (fv / (CASE WHEN incd > 0 THEN incd END)) < exts0
+            THEN si * (fv / incd) ELSE exts0 END AS exts
+          FROM z)
+        SELECT user_id, time,
+          round(incd * ((si + exts + exte) / si) / 21600.0 / 100.0, 6)
+            AS rate
+        FROM f ORDER BY user_id, time""")),
+
     ("events_gaps",
       (s, d) => {
         // outage detection: inter-arrival spans over 24h per user series

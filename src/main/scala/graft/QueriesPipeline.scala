@@ -778,6 +778,64 @@ object QueriesPipeline {
         FROM eu JOIN e1 ea ON ea.source = sa JOIN e1 eb ON eb.source = sb
         ORDER BY sa, sb""")),
 
+    ("text_length_percentiles",
+      // per-source length profile: exact nearest-rank p50/p90 via the
+      // engine's InfluxQL percentile operator (rank = floor(p·n + 0.5));
+      // ties on the value are harmless — the SELECTED value is identical
+      // whichever tied row wins the rank
+      (s, d) => {
+        import graft.functions.{InfluxAggregates => IA}
+        val lens = Tables.documents(s, d).select(col("source"), col("n_chars"))
+        IA.percentile(lens, Seq("source"), "n_chars", 50, "p50")
+          .join(IA.percentile(lens, Seq("source"), "n_chars", 90, "p90"),
+            "source")
+          .orderBy("source")
+      },
+      Some("""WITH r AS (SELECT source, n_chars,
+            row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rk,
+            count(*) OVER (PARTITION BY source) AS n
+          FROM documents)
+        SELECT r50.source, r50.n_chars AS p50, r90.n_chars AS p90
+        FROM (SELECT source, n_chars FROM r
+            WHERE rk = floor(0.5 * n + 0.5)) r50
+          JOIN (SELECT source, n_chars FROM r
+            WHERE rk = floor(0.9 * n + 0.5)) r90
+          ON r50.source = r90.source
+        ORDER BY r50.source""")),
+
+    ("corpus_js_divergence",
+      // vocabulary-drift audit: JSD (bits) between each source's unigram
+      // mix and the rest of the corpus; per-term contributions quantize
+      // to integer nano-bits before the sum, so both engines add the
+      // same integers
+      (s, d) => graft.pipeline.LanguageModel.jsDivergence(
+          Tables.spread(s, Tables.documents(s, d)), "source", "text")
+        .select(col("source"), round(col("js_bits"), 6).as("js_bits"))
+        .orderBy("source"),
+      Some(s"""WITH tok AS (SELECT source AS s,
+            unnest(list_filter($dToks, x -> x != '')) AS t FROM documents),
+        sc AS (SELECT s, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        gc AS (SELECT t, sum(c) AS g FROM sc GROUP BY 1),
+        st AS (SELECT s, sum(c) AS ns FROM sc GROUP BY 1),
+        tot AS (SELECT sum(ns) AS N FROM st),
+        f0 AS (SELECT st.s, gc.t, gc.g, st.ns, coalesce(sc.c, 0) AS cp, N
+          FROM gc CROSS JOIN st
+          LEFT JOIN sc ON sc.s = st.s AND sc.t = gc.t CROSS JOIN tot),
+        e AS (SELECT s, cp, g - cp AS cq,
+            CAST(cp AS DOUBLE) / ns AS p,
+            CAST(g - cp AS DOUBLE) / (N - ns) AS q
+          FROM f0),
+        m0 AS (SELECT s, cp, cq, p, q, (p + q) / 2.0 AS m FROM e),
+        b AS (SELECT s,
+            CASE WHEN cp > 0 THEN CAST(floor(p * log2(p / m)
+              * 1000000000.0 + 0.5) AS BIGINT) ELSE 0 END AS bp,
+            CASE WHEN cq > 0 THEN CAST(floor(q * log2(q / m)
+              * 1000000000.0 + 0.5) AS BIGINT) ELSE 0 END AS bq
+          FROM m0)
+        SELECT s AS source, round(CAST(sum(bp) + sum(bq) AS DOUBLE)
+            / 2000000000.0, 6) AS js_bits
+        FROM b GROUP BY 1 ORDER BY 1""")),
+
     ("corpus_ngram_precision",
       // BLEU-style clipped 1/2-gram precision of src0 docs against the
       // rest of the corpus: the coverage/contamination eval between two

@@ -135,6 +135,63 @@ object SeriesFunctions {
         (col(timeCol) - col("__gap_prev")).as("gap_ns")): _*)
   }
 
+  /** PromQL-faithful `rate()` over fixed windows (the classic Prometheus
+    * extrapolatedRate algorithm, promql/functions.go): per series and
+    * per `windowNs` bucket, the reset-aware increase of the in-bucket
+    * samples, extrapolated to the bucket edges — extend by the actual
+    * edge distance when the first/last sample sits close to it
+    * (< 1.1× the average sample spacing), by half an average spacing
+    * otherwise, and never past the counter's zero crossing. Buckets with
+    * under two samples (or zero sampled interval) emit nothing, like
+    * Prometheus. Output: (keys…, time = bucket end ns, `out` =
+    * value-units per second).
+    *
+    * Pass an integer-quantized value column (e.g. cents): the in-bucket
+    * increase then sums exactly, and every remaining step is a mirrored
+    * IEEE double expression any engine replays bit-identically. One
+    * exchange: the in-bucket lag window and the bucket aggregate share
+    * the (keys, bucket) partitioning. */
+  def promRate(df: DataFrame, keyCols: Seq[String], timeCol: String,
+      valueCol: String, windowNs: Long, out: String): DataFrame = {
+    require(keyCols.nonEmpty,
+      "rate needs a partition key (a keyless window is a single task)")
+    require(windowNs > 0, "window must be positive")
+    val bucket = expr(s"$timeCol div ${windowNs}L")
+    val wIn = Window.partitionBy(keyCols.map(col) :+ bucket: _*)
+      .orderBy(col(timeCol))
+    val prev = lag(col(valueCol), 1).over(wIn)
+    val contrib = when(prev.isNull, lit(0L))
+      .when(col(valueCol) < prev, col(valueCol))
+      .otherwise(col(valueCol) - prev)
+    val g = df.withColumn("__pr_c", contrib)
+      .withColumn("__pr_b", bucket)
+      .groupBy(keyCols.map(col) :+ col("__pr_b").as("bucket"): _*)
+      .agg(count(lit(1)).as("n"),
+        min(col(timeCol)).as("ft"), max(col(timeCol)).as("lt"),
+        min(struct(col(timeCol), col(valueCol))).as("fs"),
+        sum(col("__pr_c")).as("inc"))
+      .filter(col("n") >= 2 && col("lt") > col("ft"))
+    val rangeStart = col("bucket") * windowNs
+    val rangeEnd = (col("bucket") + 1) * windowNs
+    val d2s = (col("ft") - rangeStart).cast("double")
+    val d2e = (rangeEnd - col("lt")).cast("double")
+    val si = (col("lt") - col("ft")).cast("double")
+    val avgd = si / (col("n") - 1).cast("double")
+    val thr = avgd * 1.1
+    val fv = col("fs").getField(valueCol).cast("double")
+    val incD = col("inc").cast("double")
+    val extS0 = when(d2s >= thr, avgd / 2.0).otherwise(d2s)
+    // counter zero guard: the guarded division keeps ANSI mode happy
+    // (inc = 0 makes the condition NULL, i.e. false) without changing
+    // any computed value
+    val d2zGuard = si * (fv / when(incD > 0, incD))
+    val extS = when(incD > 0 && fv >= 0 && d2zGuard < extS0,
+      si * (fv / incD)).otherwise(extS0)
+    val extE = when(d2e >= thr, avgd / 2.0).otherwise(d2e)
+    val rate = incD * ((si + extS + extE) / si) / lit(windowNs / 1e9)
+    g.select(keyCols.map(col) :+ rangeEnd.as("time") :+ rate.as(out): _*)
+  }
+
   /** Largest-Triangle-One-Bucket downsampling (Steinarsson 2013, the
     * declarative sibling of LTTB): each point's "effective area" is the
     * doubled triangle area it forms with its immediate neighbors, and

@@ -194,4 +194,43 @@ object LanguageModel {
     easy.unionByName(hard)
       .drop("__bk", "__before", "__c1", "__c2", "__uniform", "__lbl")
   }
+
+  /** Jensen–Shannon divergence (bits) between each stratum's unigram
+    * distribution and the REST of the corpus — the vocabulary-drift
+    * audit between corpus slices (sources, snapshots, languages): 0 =
+    * identical wording mix, 1 = disjoint vocabularies.
+    *
+    * JSD(P‖Q) = ½Σ p·log2(p/m) + ½Σ q·log2(q/m), m = (p+q)/2. Shape:
+    * one token count per (stratum, term), a vocab-sized global count
+    * table, and the strata totals (driver-sized) broadcast back; the
+    * per-term frame is vocab × strata — vocabulary-, not corpus-,
+    * proportional. Each term's contribution quantizes to integer
+    * nano-bits BEFORE the sum (the NB/Zipf discipline), so the two
+    * engine's sums are identical integers. */
+  def jsDivergence(docs: DataFrame, strataCol: String,
+      textCol: String): DataFrame = {
+    val tok = docs
+      .select(col(strataCol).as("s"), explode_outer(TF.tokens(col(textCol))).as("t"))
+      .filter(col("t").isNotNull && length(col("t")) > 0)
+    val sc = tok.groupBy("s", "t").agg(count(lit(1)).as("c"))
+    val gc = sc.groupBy("t").agg(sum("c").as("g"))
+    val st = sc.groupBy("s").agg(sum("c").as("ns"))
+    val tot = st.agg(sum("ns").as("N"))
+    val full = gc.crossJoin(broadcast(st))
+      .join(sc, Seq("s", "t"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("cp", coalesce(col("c"), lit(0L)))
+      .withColumn("cq", col("g") - col("cp"))
+      .withColumn("p", col("cp").cast("double") / col("ns"))
+      .withColumn("q", col("cq").cast("double") / (col("N") - col("ns")))
+      .withColumn("m", (col("p") + col("q")) / lit(2.0))
+      .withColumn("bp", when(col("cp") > 0,
+        floor(col("p") * log2(col("p") / col("m")) * lit(1e9) + lit(0.5))
+          .cast("long")).otherwise(lit(0L)))
+      .withColumn("bq", when(col("cq") > 0,
+        floor(col("q") * log2(col("q") / col("m")) * lit(1e9) + lit(0.5))
+          .cast("long")).otherwise(lit(0L)))
+    full.groupBy(col("s").as(strataCol))
+      .agg(((sum("bp") + sum("bq")).cast("double") / lit(2e9)).as("js_bits"))
+  }
 }

@@ -269,6 +269,32 @@ class SeriesFunctionsSpec extends SparkSpec {
       1L, "h").count() == 0)
   }
 
+  test("promRate: reset-aware increase, edge extrapolation, zero guard") {
+    // bucket [0, 10s): samples at 2s/4s/6s with one reset 13 -> 11
+    val s1 = Seq(("a", 2000000000L, 10L), ("a", 4000000000L, 13L),
+      ("a", 6000000000L, 11L)).toDF("k", "t", "v")
+    val r1 = SF.promRate(s1, Seq("k"), "t", "v", 10000000000L, "rate")
+      .select("time", "rate").as[(Long, Double)].head()
+    // inc = 3 + 11 = 14; si = 4s, avg = 2s, thr = 2.2s;
+    // extS = d2s = 2s (zero guard 4s*(10/14) = 2.857s doesn't bind);
+    // extE = avg/2 = 1s (d2e = 4s >= thr); factor = 7/4
+    assert(r1._1 == 10000000000L)
+    assert(math.abs(r1._2 - 14.0 * 1.75 / 10.0) < 1e-12)
+    // zero guard binds: first sample so low the counter can't extrapolate
+    // past its own zero crossing
+    val s2 = Seq(("a", 2000000000L, 1L), ("a", 8000000000L, 21L))
+      .toDF("k", "t", "v")
+    val r2 = SF.promRate(s2, Seq("k"), "t", "v", 10000000000L, "rate")
+      .select("rate").as[Double].head()
+    val expect = 20.0 * ((6e9 + 6e9 * (1.0 / 20.0) + 2e9) / 6e9) / 10.0
+    assert(math.abs(r2 - expect) < 1e-12)
+    // under two samples, or zero sampled interval: no output row
+    assert(SF.promRate(Seq(("a", 1L, 5L)).toDF("k", "t", "v"),
+      Seq("k"), "t", "v", 10000000000L, "r").count() == 0)
+    assert(SF.promRate(Seq(("a", 1L, 5L), ("a", 1L, 9L)).toDF("k", "t", "v"),
+      Seq("k"), "t", "v", 10000000000L, "r").count() == 0)
+  }
+
   test("gaps: one row per over-threshold span, sized by gaps not points") {
     val out = SF.gaps(pts, Seq("k"), "t", thresholdNs = 1500000000L)
       .orderBy("k", "gap_start")
