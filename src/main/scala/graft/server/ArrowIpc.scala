@@ -85,6 +85,52 @@ object ArrowIpc {
     }
   }
 
+  /** Decode an Arrow IPC stream into a typed (Spark schema, rows) pair —
+    * the INGEST half of the Flight surface (`do_put`): the exact inverse
+    * of [[arrowField]] over the same six types, so anything the engine
+    * can serve it can also accept. */
+  def readStreamTyped(in: InputStream)
+      : (StructType, Seq[org.apache.spark.sql.Row]) = {
+    val alloc = new RootAllocator()
+    val reader = new ArrowStreamReader(in, alloc)
+    try {
+      val root = reader.getVectorSchemaRoot
+      val sparkFields = root.getSchema.getFields.asScala.map { f =>
+        val dt = f.getFieldType.getType match {
+          case i: ArrowType.Int if i.getBitWidth == 64 => LongType
+          case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
+          case fp: ArrowType.FloatingPoint
+              if fp.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
+          case fp: ArrowType.FloatingPoint
+              if fp.getPrecision == FloatingPointPrecision.SINGLE => FloatType
+          case _: ArrowType.Bool => BooleanType
+          case _: ArrowType.Utf8 => StringType
+          case other => throw new IllegalArgumentException(
+            s"column '${f.getName}': arrow type $other not supported over flight")
+        }
+        StructField(f.getName, dt)
+      }.toSeq
+      val rows = Seq.newBuilder[org.apache.spark.sql.Row]
+      while (reader.loadNextBatch()) {
+        val vectors = (0 until root.getFieldVectors.size).map(root.getVector)
+        var r = 0
+        while (r < root.getRowCount) {
+          rows += org.apache.spark.sql.Row.fromSeq(vectors.map { v =>
+            if (v.isNull(r)) null
+            else v.getObject(r) match {
+              case t: org.apache.arrow.vector.util.Text => t.toString
+              case other => other
+            }
+          })
+          r += 1
+        }
+      }
+      (StructType(sparkFields), rows.result())
+    } finally {
+      reader.close(); alloc.close()
+    }
+  }
+
   /** Decode an Arrow IPC stream into (column names, rows) — the client
     * half, for tests and the demo client. Strings come back as String,
     * everything else as the vector's boxed JVM value. */

@@ -166,6 +166,7 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
         case ("POST", "/api/v2/write") => handleWrite(ex)
         case ("POST", "/api/v1/write_pb") => handleWritePb(ex)
         case ("POST", "/api/v2/flight/do_get") => handleDoGet(ex)
+        case ("POST", "/api/v2/flight/do_put") => handleDoPut(ex)
         case ("POST", "/api/v1/storage/read_filter") => handleReadFilter(ex)
         case ("POST", "/api/v1/storage/read_group") => handleReadGroup(ex)
         case ("POST", "/api/v1/storage/read_window_aggregate") =>
@@ -610,6 +611,51 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
             val os = ex.getResponseBody
             try ArrowIpc.writeStream(df, os) finally os.close()
         }
+    }
+  }
+
+  /** Arrow Flight do_put — the write half of the Flight surface, over
+    * the same HTTP transport stand-in as do_get: the body is the Arrow
+    * IPC stream a Flight client would send as FlightData frames, and
+    * `?db=&measurement=` carry what the FlightDescriptor path would.
+    * Decoded rows land in the SAME per-measurement store as LP/protobuf
+    * writes, with the LP role convention (the ns `time` column is the
+    * time axis, string columns are tags, everything else fields). The
+    * JSON `{"rows": n}` reply stands in for the PutResult ack. */
+  private def handleDoPut(ex: HttpExchange): Unit = {
+    val params = queryParams(ex)
+    (params.get("db"), params.get("measurement")) match {
+      case (Some(db), Some(m)) if db.nonEmpty && m.nonEmpty =>
+        try {
+          val raw = storageBodyBytes(ex).getOrElse(return)
+          val (schema, rows) = ArrowIpc.readStreamTyped(
+            new java.io.ByteArrayInputStream(raw))
+          if (!schema.fieldNames.contains(graft.core.NsTime.TimeColumn))
+            throw new IllegalArgumentException(
+              s"do_put needs a '${graft.core.NsTime.TimeColumn}' i64-ns column")
+          val withMeta = org.apache.spark.sql.types.StructType(
+            schema.fields.map { f =>
+              val cat =
+                if (f.name == graft.core.NsTime.TimeColumn) IoxSchema.Time
+                else if (f.dataType ==
+                  org.apache.spark.sql.types.StringType) IoxSchema.Tag
+                else IoxSchema.Field
+              IoxSchema.tagged(f.name, f.dataType, cat)
+            })
+          val df = spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), withMeta)
+          databases.updateWith(db) { prev =>
+            Some(prev.getOrElse(Vector.empty) :+ (m -> df))
+          }
+          ingestLines.addAndGet(rows.size.toLong)
+          ingestBytes.addAndGet(raw.length.toLong)
+          respond(ex, 200, "application/json", s"""{"rows":${rows.size}}""")
+        } catch {
+          case NonFatal(e) => respondJsonError(ex, 400,
+            s"do_put failed: ${Option(e.getMessage).getOrElse(e.getClass.getName)}")
+        }
+      case _ =>
+        respondJsonError(ex, 400, "missing db/measurement query parameters")
     }
   }
 

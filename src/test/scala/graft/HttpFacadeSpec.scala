@@ -422,6 +422,37 @@ class HttpFacadeSpec extends SparkSpec {
     }
   }
 
+  test("flight do_put: Arrow IPC write lands as a queryable measurement") {
+    withFacade { facade =>
+      val p = facade.boundPort
+      import spark.implicits._
+      val df = Seq(("srv1", 1.5, 1000000000L), ("srv2", 2.5, 2000000000L))
+        .toDF("host", "load", "time")
+      val bos = new java.io.ByteArrayOutputStream()
+      graft.server.ArrowIpc.writeStream(df, bos)
+      val (st, body) = post(p,
+        "/api/v2/flight/do_put?db=o_b&measurement=sys_load", bos.toByteArray)
+      assert(st == 200 && body.contains("\"rows\":2"), body)
+      // readable over do_get (SQL path) with the LP role convention
+      val (cols, rows) = graft.server.HttpFacade.doGet(p, "o_b",
+        "SELECT host, load, time FROM sys_load ORDER BY time")
+      assert(cols == Seq("host", "load", "time"))
+      assert(rows == Seq(Seq("srv1", 1.5, 1000000000L),
+        Seq("srv2", 2.5, 2000000000L)))
+      // and over the 1.x endpoint, where the string column split a series
+      val (sq, bq) = get(p, s"/query?db=o_b&q=${enc(
+        "SELECT load FROM sys_load GROUP BY host")}")
+      assert(sq == 200 && bq.contains(""""tags":{"host":"srv2"}"""), bq)
+      // a stream without the ns time column is a 400, not a silent write
+      val noTime = Seq(("x", 1.0)).toDF("host", "load")
+      val bos2 = new java.io.ByteArrayOutputStream()
+      graft.server.ArrowIpc.writeStream(noTime, bos2)
+      val (se, be) = post(p,
+        "/api/v2/flight/do_put?db=o_b&measurement=bad", bos2.toByteArray)
+      assert(se == 400 && be.contains("time"), be)
+    }
+  }
+
   test("SELECT INTO materializes a queryable measurement; snapshot is pinned") {
     withFacade { facade =>
       val p = facade.boundPort
