@@ -778,6 +778,63 @@ object QueriesPipeline {
         FROM eu JOIN e1 ea ON ea.source = sa JOIN e1 eb ON eb.source = sb
         ORDER BY sa, sb""")),
 
+    ("text_blocklist",
+      // safety/policy filter: one RE2 alternation pass counts blocklist
+      // phrase hits per document; the flag is the filter verdict
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TF.blocklistCount(col("text"),
+            Seq("click here", "buy now", "subscribe", "free", "winner"))
+            .cast("long").as("hits"))
+        .withColumn("flagged", col("hits") >= 2)
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(len(regexp_extract_all(lower(text),
+          'click here|buy now|subscribe|free|winner')) AS BIGINT) AS hits,
+        len(regexp_extract_all(lower(text),
+          'click here|buy now|subscribe|free|winner')) >= 2 AS flagged
+        FROM documents ORDER BY doc_id""")),
+
+    ("text_dedup_sentences",
+      // intra-document repeated-passage cleanup at sentence grain: keep
+      // each sentence's first occurrence in order, reassemble in place
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), "\\.\\s+")).cast("long").as("n_sentences"),
+          size(array_distinct(split(col("text"), "\\.\\s+"))).cast("long")
+            .as("n_kept"),
+          TF.dedupSentences(col("text")).as("text_clean"))
+        .orderBy("doc_id"),
+      Some("""WITH s AS (SELECT doc_id,
+            regexp_split_to_array(text, '\.\s+') AS arr FROM documents),
+        k AS (SELECT doc_id, arr,
+            list_filter(arr, (x, i) -> list_position(arr, x) = i) AS kept
+          FROM s)
+        SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_sentences,
+          CAST(len(kept) AS BIGINT) AS n_kept,
+          array_to_string(kept, '. ') AS text_clean
+        FROM k ORDER BY doc_id""")),
+
+    ("text_fertility",
+      // tokenizer fertility: bytes per BPE-ish token by language — the
+      // multilingual tokenizer-budget audit; integer byte/token sums,
+      // one exact division
+      (s, d) => Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(sum(octet_length(col("text"))).cast("long").as("bytes"),
+          sum(size(TF.bpeishTokens(col("text")))).cast("long")
+            .as("bpe_tokens"))
+        .withColumn("bytes_per_token",
+          round(col("bytes").cast("double") / col("bpe_tokens"), 6))
+        .orderBy("lang"),
+      // NB: non-interpolated string — single backslash reaches DuckDB
+      Some("""SELECT lang, CAST(sum(strlen(text)) AS BIGINT) AS bytes,
+        CAST(sum(len(regexp_extract_all(lower(trim(text)),
+          '[a-z0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
+        round(CAST(sum(strlen(text)) AS DOUBLE)
+          / sum(len(regexp_extract_all(lower(trim(text)),
+            '[a-z0-9]+|[^a-z0-9\s]'))), 6) AS bytes_per_token
+        FROM documents GROUP BY 1 ORDER BY 1""")),
+
     ("text_length_percentiles",
       // per-source length profile: exact nearest-rank p50/p90 via the
       // engine's InfluxQL percentile operator (rank = floor(p·n + 0.5));

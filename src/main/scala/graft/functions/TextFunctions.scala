@@ -249,6 +249,22 @@ object TextFunctions {
     "es" -> Seq("el", "la", "los", "las", "es", "en", "que", "por", "con", "una"),
     "fr" -> Seq("le", "la", "les", "est", "et", "en", "que", "pour", "avec", "une"))
 
+  /** Non-overlapping blocklist phrase hits (case-insensitive): ONE
+    * codegen'd RE2 alternation pass over the text, no UDF, no per-phrase
+    * rescans. Callers supply regex-literal-safe phrases (plain words /
+    * spaces), the policy-filter convention. */
+  def blocklistCount(text: Column, phrases: Seq[String]): Column = {
+    require(phrases.nonEmpty, "empty blocklist")
+    regexp_count(lower(text), lit(phrases.map(_.toLowerCase).mkString("|")))
+  }
+
+  /** Intra-document sentence dedup (the repeated-passage cleanup at
+    * sentence grain): split on sentence boundaries, keep each sentence's
+    * FIRST occurrence in order, reassemble. Pure per-row array ops —
+    * array_distinct preserves first-occurrence order. */
+  def dedupSentences(text: Column): Column =
+    array_join(array_distinct(split(text, "\\.\\s+")), ". ")
+
   // ---------------------------------------------------------- readability
 
   /** Lexical richness: distinct tokens / tokens (type-token ratio). */
