@@ -774,7 +774,7 @@ class HttpFacade(spark: SparkSession, port: Int = 0,
 
   /** All measurements of `db` as a name->view map (the database-level
     * operand of the *AcrossTables metadata ops). */
-  private def dbTables(db: String): Map[String, DataFrame] =
+  private[server] def dbTables(db: String): Map[String, DataFrame] =
     measurements(db).flatMap(m => measurementView(db, m).map(m -> _)).toMap
 
   /** 404 for an unknown database, like the query endpoints — without
