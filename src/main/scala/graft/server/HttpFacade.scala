@@ -44,7 +44,7 @@ import graft.sources.LineProtocol
   * fan-out, dedup, SQL) stays in Spark. Query views register lazily per
   * request so the one-JVM Spark catalog never holds stale state.
   */
-class HttpFacade(spark: SparkSession, port: Int = 0,
+class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
     clockNs: () => Long = () => System.currentTimeMillis() * 1000000L) {
   import HttpFacade._
 

@@ -3,7 +3,7 @@ package graft
 import java.net.{HttpURLConnection, URI}
 import java.nio.charset.StandardCharsets.UTF_8
 
-import graft.server.{GrpcClient, GrpcServer, HttpFacade, StorageGrpc, StorageProto, StorageProtoReader => R}
+import graft.server.{FlightGrpc, GrpcClient, GrpcServer, HttpFacade, StorageGrpc, StorageProto, StorageProtoReader => R}
 
 /** End-to-end storage gRPC over REAL HTTP/2: a client speaking the
   * public gRPC wire protocol (h2c prior knowledge, 5-byte length-prefixed
@@ -39,7 +39,11 @@ class GrpcStorageSpec extends SparkSpec {
 
   test("storage gRPC over real HTTP/2: caps, read_filter, tag keys/values") {
     val facade = new HttpFacade(spark, port = 0, clockNs = () => 42L)
-    val grpc = new GrpcServer(StorageGrpc.dispatcher(facade))
+    val storage = StorageGrpc.dispatcher(facade)
+    val flight = FlightGrpc.dispatcher(facade)
+    val grpc = new GrpcServer((path, req) =>
+      if (path.startsWith(FlightGrpc.ServicePrefix)) flight(path, req)
+      else storage(path, req))
     try {
       // land data under the hex database the read_source (0xab, 0xcd)
       // renders to, via the LP write endpoint
@@ -92,6 +96,27 @@ class GrpcStorageSpec extends SparkSpec {
       }
       val (vs, vals) = GrpcClient.call(p, S + "TagValues", tv)
       assert(vs == 0 && stringValues(vals.head) == Seq("a", "b"))
+
+      // Arrow Flight DoGet on the same connection semantics: Ticket ->
+      // FlightData messages -> reassembled IPC stream round-trips rows
+      val ticketJson =
+        """{"database_name":"00000000000000ab_00000000000000cd",""" +
+          """"sql_query":"SELECT host, usage, time FROM cpu ORDER BY time, host"}"""
+      val ticket = msg(w => w.bytes(1, ticketJson.getBytes(UTF_8)))
+      val (fs, fdata) = GrpcClient.call(p,
+        FlightGrpc.ServicePrefix + "DoGet", ticket)
+      assert(fs == 0, s"flight grpc-status $fs")
+      assert(fdata.size >= 2, "schema message + at least one batch")
+      val (cols, rows) = graft.server.ArrowIpc.readStream(
+        new java.io.ByteArrayInputStream(FlightGrpc.flightDataToIpc(fdata)))
+      assert(cols == Seq("host", "usage", "time"))
+      assert(rows == Seq(Seq("a", 1.5, 100L), Seq("b", 5.0, 100L),
+        Seq("a", 2.5, 200L)))
+      // flight errors ride the same grpc-status trailers
+      val (fe, _) = GrpcClient.call(p, FlightGrpc.ServicePrefix + "DoGet",
+        msg(w => w.bytes(1, """{"database_name":"nope","sql_query":"SELECT 1"}"""
+          .getBytes(UTF_8))))
+      assert(fe == 3)
 
       // errors surface as grpc-status 3 trailers, not transport failures
       val (es, _) = GrpcClient.call(p, S + "Nope", Array.emptyByteArray)
