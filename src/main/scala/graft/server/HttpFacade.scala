@@ -805,7 +805,7 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
     } finally os.close()
   }
 
-  private val aggKinds: Map[String, graft.operators.InfluxRpc.AggKind] = {
+  private[server] val aggKinds: Map[String, graft.operators.InfluxRpc.AggKind] = {
     import graft.operators.InfluxRpc.AggKind._
     Map("none" -> None, "sum" -> Sum, "count" -> Count, "min" -> Min,
       "max" -> Max, "mean" -> Mean, "first" -> First, "last" -> Last)
@@ -813,7 +813,7 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
 
   /** Aggregate.AggregateType enum (storage_common.proto:56-66) → the
     * facade's aggregate names. */
-  private val protoAggNames: Map[Int, String] = Map(0 -> "none", 1 -> "sum",
+  private[server] val protoAggNames: Map[Int, String] = Map(0 -> "none", 1 -> "sum",
     2 -> "count", 3 -> "min", 4 -> "max", 5 -> "first", 6 -> "last",
     7 -> "mean")
 
@@ -862,52 +862,59 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
       case Left(err) => respondJsonError(ex, 400, err); return
       case Right(p) => p
     }
-    {
-        val agg = aggKinds.get(aggName) match {
-          case Some(a) => a
-          case scala.None =>
-            respondJsonError(ex, 400, s"unknown aggregate: $aggName"); return
-        }
-        measurementView(db, table).foreach { df =>
-          val tags = IoxSchema.tagColumns(df.schema)
-          val bad = groupKeys.filterNot(tags.contains)
-          if (bad.nonEmpty) {
-            respondJsonError(ex, 400,
-              s"group keys must be tag columns; not tags: ${bad.mkString(", ")}")
-            return
+    planReadGroup(db, table, pred, aggName, groupKeys) match {
+      case Left((status, err)) => respondJsonError(ex, status, err)
+      case Right(frames) => streamFrames(ex, frames)
+    }
+  }
+
+  /** Transport-neutral read_group planning core — shared by the HTTP
+    * bridge above and the gRPC service ([[StorageGrpc]]). */
+  private[server] def planReadGroup(db: String, table: String,
+      pred: graft.core.RpcPredicate, aggName: String, groupKeys: Seq[String])
+      : Either[(Int, String),
+        org.apache.spark.sql.Dataset[graft.operators.InfluxRpc.Frame]] = {
+    import graft.operators.InfluxRpc
+    import graft.operators.InfluxRpc.AggKind
+    val agg = aggKinds.get(aggName) match {
+      case Some(a) => a
+      case scala.None => return Left((400, s"unknown aggregate: $aggName"))
+    }
+    measurementView(db, table) match {
+      case scala.None => Left((404, s"no table $table in database $db"))
+      case Some(df) =>
+        val tags = IoxSchema.tagColumns(df.schema)
+        val bad = groupKeys.filterNot(tags.contains)
+        if (bad.nonEmpty)
+          Left((400,
+            s"group keys must be tag columns; not tags: ${bad.mkString(", ")}"))
+        else {
+          val out = InfluxRpc.readGroup(df, pred, agg, groupKeys)
+          val fieldCols = IoxSchema.fieldColumns(df.schema)
+          val series = agg match {
+            case AggKind.None | AggKind.Sum | AggKind.Count | AggKind.Mean =>
+              // output shape is (tags..., fields..., time): direct
+              InfluxRpc.toSeriesSet(out, fieldCols)
+            case _ =>
+              // selectors emit per-field (value, time_<field>): one
+              // series per field from its own selected timestamps; a
+              // field-less table has no series at all
+              fieldCols.map { f =>
+                InfluxRpc.toSeriesSet(
+                  out.select((IoxSchema.tagColumns(out.schema).map(col) :+
+                    col(f)) :+
+                    col(s"${graft.core.NsTime.TimeColumn}_$f")
+                      .as(graft.core.NsTime.TimeColumn): _*),
+                  Seq(f))
+              }.reduceOption(_ union _).getOrElse {
+                import df.sparkSession.implicits._
+                df.sparkSession.emptyDataset[InfluxRpc.Series]
+              }
           }
-        }
-        val planned =
-          measurementView(db, table).map { df =>
-            val out = InfluxRpc.readGroup(df, pred, agg, groupKeys)
-            val fieldCols = IoxSchema.fieldColumns(df.schema)
-            val series = agg match {
-              case AggKind.None | AggKind.Sum | AggKind.Count | AggKind.Mean =>
-                // output shape is (tags..., fields..., time): direct
-                InfluxRpc.toSeriesSet(out, fieldCols)
-              case _ =>
-                // selectors emit per-field (value, time_<field>): one
-                // series per field from its own selected timestamps; a
-                // field-less table has no series at all
-                fieldCols.map { f =>
-                  InfluxRpc.toSeriesSet(
-                    out.select((IoxSchema.tagColumns(out.schema).map(col) :+
-                      col(f)) :+
-                      col(s"${graft.core.NsTime.TimeColumn}_$f")
-                        .as(graft.core.NsTime.TimeColumn): _*),
-                    Seq(f))
-                }.reduceOption(_ union _).getOrElse {
-                  import df.sparkSession.implicits._
-                  df.sparkSession.emptyDataset[InfluxRpc.Series]
-                }
-            }
+          Right(
             if (agg == AggKind.None)
               InfluxRpc.toGroupedFramesStreaming(series, table, groupKeys)
-            else InfluxRpc.toGroupedFrames(series, table, groupKeys)
-          }
-        planned match {
-          case scala.None => respondJsonError(ex, 404, s"no table $table in database $db")
-          case Some(frames) => streamFrames(ex, frames)
+            else InfluxRpc.toGroupedFrames(series, table, groupKeys))
         }
     }
   }

@@ -16,10 +16,12 @@ import graft.operators.InfluxRpc
   * selection the `\x00 _measurement` predicate sentinel — exactly what
   * reference storage clients put on the wire.
   *
-  * Methods wired: Capabilities, ReadFilter (server-streaming
-  * ReadResponse), TagKeys, TagValues (incl. the `_measurement`/`_field`
-  * sentinel keys). The remaining methods share these decoders/encoders
-  * and stay on the HTTP bridge; moving one is mechanical.
+  * Methods wired: Capabilities, ReadFilter and ReadGroup (both
+  * server-streaming ReadResponse; ReadGroup through the shared
+  * transport-neutral planning core), TagKeys, TagValues (incl. the
+  * `_measurement`/`_field` sentinel keys). The remaining methods share
+  * these decoders/encoders and stay on the HTTP bridge; moving one is
+  * mechanical — ReadGroup is the worked example.
   */
 object StorageGrpc {
   val ServicePrefix = "/influxdata.platform.storage.Storage/"
@@ -40,10 +42,40 @@ object StorageGrpc {
       case "Capabilities" =>
         Right(Iterator.single(StorageProto.capabilitiesResponse()))
       case "ReadFilter" => readFilter(f, raw)
+      case "ReadGroup" => readGroup(f, raw)
       case "TagKeys" => tagKeys(f, raw)
       case "TagValues" => tagValues(f, raw)
       case other => Left(s"unimplemented method: $other")
     }
+
+  private def frameStream(
+      frames: org.apache.spark.sql.Dataset[InfluxRpc.Frame])
+      : Iterator[Array[Byte]] = {
+    import scala.jdk.CollectionConverters._
+    frames.toLocalIterator().asScala.map(fr =>
+      StorageProto.readResponse(Seq(StorageProto.encodeFrame(fr))))
+  }
+
+  private def readGroup(f: HttpFacade, raw: Array[Byte])
+      : Either[String, Iterator[Array[Byte]]] = {
+    val req = StorageProtoReader.decodeReadGroup(raw)
+    StorageProtoReader.toRpcPredicate(req).flatMap { case (pred, meas) =>
+      (req.databaseName, meas) match {
+        case (Some(db), Some(t)) =>
+          val code = req.aggregates.headOption.getOrElse(0)
+          f.protoAggNames.get(code) match {
+            case Some(aggName) =>
+              f.planReadGroup(db, t, pred, aggName, req.groupKeys) match {
+                case Left((_, err)) => Left(err)
+                case Right(frames) => Right(frameStream(frames))
+              }
+            case None => Left(s"unconvertible aggregate type enum: $code")
+          }
+        case (None, _) => Left("request needs read_source")
+        case (_, None) => Left("request needs a _measurement predicate")
+      }
+    }
+  }
 
   private def readFilter(f: HttpFacade, raw: Array[Byte])
       : Either[String, Iterator[Array[Byte]]] = {

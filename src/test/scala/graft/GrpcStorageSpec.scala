@@ -85,6 +85,28 @@ class GrpcStorageSpec extends SparkSpec {
       }
       assert(members == Seq(1, 2, 1, 2), s"got $members")
 
+      // ReadGroup by host with SUM: group frame + series + points per host
+      val rg = msg { b =>
+        b.bytes(1, readSource(0xab, 0xcd))
+        b.bytes(3, predicate(cmp(R.Cmp.Equal, tagRef(measurementSentinel),
+          litStr("cpu"))))
+        b.bytes(4, "host".getBytes(UTF_8))
+        b.varintField(5, 2) // Group::GROUP_BY
+        b.bytes(6, msg(a => a.varintField(1, 1))) // Aggregate SUM
+      }
+      val (gs, gmsgs) = GrpcClient.call(p, S + "ReadGroup", rg)
+      assert(gs == 0, s"grpc-status $gs")
+      val gm = gmsgs.flatMap { m =>
+        val r = new R.Reader(m)
+        val out = Seq.newBuilder[Int]
+        while (r.hasMore) r.key() match {
+          case (1, 2) => val f = r.sub(); out += f.key()._1; f.bytesField()
+          case (_, wt) => r.skip(wt)
+        }
+        out.result()
+      }
+      assert(gm == Seq(7, 1, 2, 7, 1, 2), s"got $gm")
+
       // TagKeys: sentinel keys plus the series tag
       val (ks, keys) = GrpcClient.call(p, S + "TagKeys", rf)
       assert(ks == 0 && stringValues(keys.head).contains("host"))
