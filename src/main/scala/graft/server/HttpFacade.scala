@@ -943,37 +943,9 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
                     Left("unconvertible aggregate type enum: " +
                       req.aggregates.head)
                   case Some(aggName) =>
-                    // expr.rs:568-570: nonzero flat WindowEvery/Offset WIN
-                    // and the `window` message is ignored; the message
-                    // applies only when both flat fields are zero
-                    val win: Either[String,
-                        (Option[Long], Option[Long], Long, Int)] =
-                      (req.window, req.windowEveryNs, req.offsetNs) match {
-                        case (Some(w), 0L, 0L) =>
-                          val every = w.every.getOrElse(
-                            StorageProtoReader.Dur(0, 0, negative = false))
-                          val off = w.offset.getOrElse(
-                            StorageProtoReader.Dur(0, 0, negative = false))
-                          // the reference's convert_duration rejects a
-                          // Duration carrying BOTH nonzero months and
-                          // nsecs — mixed units have no single window unit
-                          if ((every.months != 0L && every.nsecs != 0L) ||
-                              (off.months != 0L && off.nsecs != 0L))
-                            Left("window Duration cannot mix months and nsecs")
-                          else {
-                            val offSign = if (off.negative) -1L else 1L
-                            if (every.months > 0)
-                              Right((scala.None, Some(every.months),
-                                0L, (offSign * off.months).toInt))
-                            else Right((Some(every.nsecs), scala.None,
-                              offSign * off.nsecs, 0))
-                          }
-                        case _ =>
-                          Right((Some(req.windowEveryNs), scala.None,
-                            req.offsetNs, 0))
-                      }
-                    win.map { case (evNs, evMonths, offNs, offMonths) =>
-                      (db, t, pred, aggName, evNs, evMonths, offNs, offMonths)
+                    resolveProtoWindow(req).map {
+                      case (evNs, evMonths, offNs, offMonths) =>
+                        (db, t, pred, aggName, evNs, evMonths, offNs, offMonths)
                     }
                 }
               case _ => Left("request needs read_source (or ?db=) and a " +
@@ -1000,24 +972,66 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
         case Left(err) => respondJsonError(ex, 400, err); return
         case Right(p) => p
       }
+    planReadWindowAggregate(db, table, pred, aggName, everyNs, everyMonths,
+        offsetNs, offsetMonths) match {
+      case Left((status, err)) => respondJsonError(ex, status, err)
+      case Right(frames) => streamFrames(ex, frames)
+    }
+  }
+
+  /** expr.rs:568-570: nonzero flat WindowEvery/Offset WIN and the
+    * `window` message is ignored; the message applies only when both
+    * flat fields are zero. The reference's convert_duration also rejects
+    * a Duration carrying BOTH nonzero months and nsecs — mixed units
+    * have no single window unit. Shared by the HTTP proto branch and
+    * the gRPC service. */
+  private[server] def resolveProtoWindow(req: StorageProtoReader.StorageRequest)
+      : Either[String, (Option[Long], Option[Long], Long, Int)] =
+    (req.window, req.windowEveryNs, req.offsetNs) match {
+      case (Some(w), 0L, 0L) =>
+        val every = w.every.getOrElse(
+          StorageProtoReader.Dur(0, 0, negative = false))
+        val off = w.offset.getOrElse(
+          StorageProtoReader.Dur(0, 0, negative = false))
+        if ((every.months != 0L && every.nsecs != 0L) ||
+            (off.months != 0L && off.nsecs != 0L))
+          Left("window Duration cannot mix months and nsecs")
+        else {
+          val offSign = if (off.negative) -1L else 1L
+          if (every.months > 0)
+            Right((scala.None, Some(every.months),
+              0L, (offSign * off.months).toInt))
+          else Right((Some(every.nsecs), scala.None,
+            offSign * off.nsecs, 0))
+        }
+      case _ =>
+        Right((Some(req.windowEveryNs), scala.None, req.offsetNs, 0))
+    }
+
+  /** Transport-neutral read_window_aggregate planning core — shared by
+    * the HTTP bridge above and the gRPC service ([[StorageGrpc]]). */
+  private[server] def planReadWindowAggregate(db: String, table: String,
+      pred: graft.core.RpcPredicate, aggName: String, everyNs: Option[Long],
+      everyMonths: Option[Long], offsetNs: Long, offsetMonths: Int)
+      : Either[(Int, String),
+        org.apache.spark.sql.Dataset[graft.operators.InfluxRpc.Frame]] = {
+    import graft.operators.InfluxRpc
     val agg = aggKinds.get(aggName) match {
       case Some(InfluxRpc.AggKind.None) | scala.None =>
-        respondJsonError(ex, 400,
-          s"window aggregate requires an aggregate, got '$aggName'"); return
+        return Left((400,
+          s"window aggregate requires an aggregate, got '$aggName'"))
       case Some(a) => a
     }
     val everyDefined = everyNs.exists(_ != 0L) || everyMonths.isDefined
-    if (!everyDefined) {
-      respondJsonError(ex, 400,
-        "window_every (ns) or window_every_months required"); return
-    }
+    if (!everyDefined)
+      return Left((400, "window_every (ns) or window_every_months required"))
     if (everyNs.exists(_ < 0L) ||
-        everyMonths.exists(m => m <= 0L || m > Int.MaxValue)) {
-      respondJsonError(ex, 400, "window width must be a positive " +
-        "duration (months fit in 32 bits)"); return
-    }
-    val planned =
-      measurementView(db, table).map { df =>
+        everyMonths.exists(m => m <= 0L || m > Int.MaxValue))
+      return Left((400, "window width must be a positive " +
+        "duration (months fit in 32 bits)"))
+    measurementView(db, table) match {
+      case scala.None => Left((404, s"no table $table in database $db"))
+      case Some(df) =>
         val out = (everyNs.filter(_ > 0L), everyMonths) match {
           case (Some(every), _) =>
             InfluxRpc.readWindowAggregate(df, pred, agg, every, offsetNs)
@@ -1025,12 +1039,9 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
             InfluxRpc.readWindowAggregateMonths(df, pred, agg,
               months.get.toInt, offsetMonths)
         }
-        InfluxRpc.toFrames(
-          InfluxRpc.toSeriesSet(out, IoxSchema.fieldColumns(df.schema)), table)
-      }
-    planned match {
-      case scala.None => respondJsonError(ex, 404, s"no table $table in database $db")
-      case Some(frames) => streamFrames(ex, frames)
+        Right(InfluxRpc.toFrames(
+          InfluxRpc.toSeriesSet(out, IoxSchema.fieldColumns(df.schema)),
+          table))
     }
   }
 

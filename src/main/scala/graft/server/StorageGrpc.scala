@@ -43,10 +43,38 @@ object StorageGrpc {
         Right(Iterator.single(StorageProto.capabilitiesResponse()))
       case "ReadFilter" => readFilter(f, raw)
       case "ReadGroup" => readGroup(f, raw)
+      case "ReadWindowAggregate" => readWindowAggregate(f, raw)
       case "TagKeys" => tagKeys(f, raw)
       case "TagValues" => tagValues(f, raw)
       case other => Left(s"unimplemented method: $other")
     }
+
+  private def readWindowAggregate(f: HttpFacade, raw: Array[Byte])
+      : Either[String, Iterator[Array[Byte]]] = {
+    val req = StorageProtoReader.decodeReadWindowAggregate(raw)
+    StorageProtoReader.toRpcPredicate(req).flatMap { case (pred, meas) =>
+      (req.databaseName, meas) match {
+        case (Some(db), Some(t)) =>
+          if (req.aggregates.size != 1)
+            Left(s"aggregate must be a singleton, got ${req.aggregates.size}")
+          else f.protoAggNames.get(req.aggregates.head) match {
+            case Some(aggName) =>
+              f.resolveProtoWindow(req).flatMap {
+                case (evNs, evMonths, offNs, offMonths) =>
+                  f.planReadWindowAggregate(db, t, pred, aggName, evNs,
+                      evMonths, offNs, offMonths) match {
+                    case Left((_, err)) => Left(err)
+                    case Right(frames) => Right(frameStream(frames))
+                  }
+              }
+            case None =>
+              Left(s"unconvertible aggregate type enum: ${req.aggregates.head}")
+          }
+        case (None, _) => Left("request needs read_source")
+        case (_, None) => Left("request needs a _measurement predicate")
+      }
+    }
+  }
 
   private def frameStream(
       frames: org.apache.spark.sql.Dataset[InfluxRpc.Frame])

@@ -107,6 +107,28 @@ class GrpcStorageSpec extends SparkSpec {
       }
       assert(gm == Seq(7, 1, 2, 7, 1, 2), s"got $gm")
 
+      // ReadWindowAggregate: 100ns windows, SUM — per-series bucketed
+      // series/points frames over the same transport
+      val rwa = msg { b =>
+        b.bytes(1, readSource(0xab, 0xcd))
+        b.bytes(3, predicate(cmp(R.Cmp.Equal, tagRef(measurementSentinel),
+          litStr("cpu"))))
+        b.varintField(4, 100L) // WindowEvery ns
+        b.bytes(5, msg(a => a.varintField(1, 1))) // Aggregate SUM
+      }
+      val (ws, wmsgs) = GrpcClient.call(p, S + "ReadWindowAggregate", rwa)
+      assert(ws == 0, s"grpc-status $ws")
+      val wm = wmsgs.flatMap { m =>
+        val r = new R.Reader(m)
+        val out = Seq.newBuilder[Int]
+        while (r.hasMore) r.key() match {
+          case (1, 2) => val fr = r.sub(); out += fr.key()._1; fr.bytesField()
+          case (_, wt) => r.skip(wt)
+        }
+        out.result()
+      }
+      assert(wm == Seq(1, 2, 1, 2), s"got $wm")
+
       // TagKeys: sentinel keys plus the series tag
       val (ks, keys) = GrpcClient.call(p, S + "TagKeys", rf)
       assert(ks == 0 && stringValues(keys.head).contains("host"))
