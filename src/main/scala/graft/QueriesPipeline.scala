@@ -1453,6 +1453,53 @@ object QueriesPipeline {
           round(sq / 1000000.0, 6) AS score
         FROM rk WHERE rank <= 5 ORDER BY cluster, rank""")),
 
+    ("emb_quality_audit",
+      // embedding-table health report: per label, dimension-drift and
+      // zero-vector counts plus the mean norm — norms quantized to
+      // integer micros BEFORE the sum so the mean is engine-exact
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("label"), VF.asDouble(col("embedding")).as("e"))
+          .withColumn("dot", VF.dot(col("e"), col("e")))
+        e.groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            sum(when(size(col("e")) =!= 64, 1L).otherwise(0L)).as("bad_dim"),
+            sum(when(col("dot") === 0.0, 1L).otherwise(0L)).as("zero_vecs"),
+            sum(floor(sqrt(col("dot")) * 1e6 + 0.5).cast("long")).as("__nq"))
+          .withColumn("mean_norm",
+            round(col("__nq").cast("double") / col("n") / 1e6, 6))
+          .drop("__nq")
+          .orderBy("label")
+      },
+      Some("""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+        x AS (SELECT label, e, list_dot_product(e, e) AS dot FROM e)
+        SELECT label, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN len(e) != 64 THEN 1 ELSE 0 END) AS BIGINT)
+            AS bad_dim,
+          CAST(sum(CASE WHEN dot = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS zero_vecs,
+          round(CAST(sum(CAST(floor(sqrt(dot) * 1000000.0 + 0.5) AS BIGINT))
+            AS DOUBLE) / count(*) / 1000000.0, 6) AS mean_norm
+        FROM x GROUP BY 1 ORDER BY 1""")),
+
+    ("dedup_report",
+      // per-source duplication report: the corpus-health summary a
+      // pipeline run emits before/after dedup; one aggregate pass
+      (s, d) => Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(TF.normalize(col("text")))).as("n_distinct"))
+        .withColumn("dup_fraction", round(
+          (col("n_docs") - col("n_distinct")).cast("double") / col("n_docs"),
+          6))
+        .orderBy("source"),
+      Some(s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(count(DISTINCT md5($dNorm)) AS BIGINT) AS n_distinct,
+        round(CAST(count(*) - count(DISTINCT md5($dNorm)) AS DOUBLE)
+          / count(*), 6) AS dup_fraction
+        FROM documents GROUP BY 1 ORDER BY 1""")),
+
     ("emb_kmeans",
       (s, d) => Clustering.kmeansAssign(
           Tables.spread(s, Tables.embeddings(s, d)),
