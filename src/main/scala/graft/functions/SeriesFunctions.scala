@@ -156,15 +156,17 @@ object SeriesFunctions {
     require(keyCols.nonEmpty,
       "rate needs a partition key (a keyless window is a single task)")
     require(windowNs > 0, "window must be positive")
-    val bucket = expr(s"$timeCol div ${windowNs}L")
-    val wIn = Window.partitionBy(keyCols.map(col) :+ bucket: _*)
+    // materialize the bucket column FIRST and key both the lag window
+    // and the aggregate on the same attribute, so Catalyst plans a
+    // single (keys, bucket) exchange feeding both
+    val wIn = Window.partitionBy(keyCols.map(col) :+ col("__pr_b"): _*)
       .orderBy(col(timeCol))
     val prev = lag(col(valueCol), 1).over(wIn)
     val contrib = when(prev.isNull, lit(0L))
       .when(col(valueCol) < prev, col(valueCol))
       .otherwise(col(valueCol) - prev)
-    val g = df.withColumn("__pr_c", contrib)
-      .withColumn("__pr_b", bucket)
+    val g = df.withColumn("__pr_b", expr(s"$timeCol div ${windowNs}L"))
+      .withColumn("__pr_c", contrib)
       .groupBy(keyCols.map(col) :+ col("__pr_b").as("bucket"): _*)
       .agg(count(lit(1)).as("n"),
         min(col(timeCol)).as("ft"), max(col(timeCol)).as("lt"),

@@ -170,6 +170,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(!pq.contains("SortMergeJoin"), pq)
   }
 
+  test("r7 operators: partial aggs, keyed windows, broadcast sides (plan pins)") {
+    val d = "/root/testdata/sf0.001"
+    import graft.functions.{SeriesFunctions => SF}
+    val ev = Tables.events(spark, d).filter($"user_id" < 5)
+      .select($"user_id", $"ts_ns".as("t"),
+        round($"value" * 100).cast("long").as("cents"))
+    // LTOB: per-bucket argmax is a map-side-combining max aggregate (no
+    // rank window) and the neighbor window is keyed — never unpartitioned
+    val ltob = executedPlan(
+      SF.ltobDownsample(ev, Seq("user_id"), "t", "cents", 86400000000000L))
+    assert(ltob.contains("partial_max"), ltob)
+    assert(!ltob.contains("Window [")
+      || ltob.contains("windowspecdefinition(user_id"), ltob)
+    // promRate: ONE exchange — the in-bucket lag window and the bucket
+    // aggregate share the (keys, bucket)-compatible partitioning
+    val rate = executedPlan(
+      SF.promRate(ev, Seq("user_id"), "t", "cents", 21600000000000L, "r"))
+    assert("Exchange hashpartitioning".r.findAllIn(rate).size == 1, rate)
+    assert(rate.contains("partial_"), rate)
+    // HLL registers: map-side-combining max into a metadata-sized table
+    val docs = Tables.documents(spark, d)
+    val hll = executedPlan(graft.pipeline.DocDedup.hllRegisters(
+      docs.select($"source", $"text"), "text", Seq("source"), p = 8))
+    assert(hll.contains("partial_max"), hll)
+    // fixed-size sample: bounded partial TopK, no rank window
+    val fs = executedPlan(graft.pipeline.Sampling.fixedSizeSample(
+      docs, "lang", "doc_id", n = 5))
+    assert(fs.toLowerCase.contains("partial_topkagg"), fs)
+    assert(!fs.contains("row_number"), fs)
+    // ngramPrecision: the reference count table joins without a
+    // sort-merge of the candidate side at this scale (broadcast/AQE)
+    val prec = executedPlan(graft.pipeline.Ranking.ngramPrecision(
+      docs.filter($"source" === "src0"), docs.filter($"source" =!= "src0"),
+      "doc_id", "text", 1))
+    assert(prec.contains("partial_count") || prec.contains("partial_sum"), prec)
+  }
+
   test("deterministic sampling is a scan-level filter with no shuffle") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val plan = executedPlan(
