@@ -1604,6 +1604,17 @@ object QueriesCore {
         FROM d WHERE pc IS NOT NULL AND c - pc >= 0
         ORDER BY event_type, time""")),
 
+    ("influxql_show_tag_values",
+      // the 1.x multi-key form: WITH KEY IN (...) unions the per-key
+      // distinct value sets under (measurement, key, value)
+      (s, d) => graft.operators.InfluxQlPlanner.runStmt(influxMs(s, d),
+        "SHOW TAG VALUES WITH KEY IN (event_type, user_id)"),
+      Some("""SELECT DISTINCT 'events' AS measurement,
+          'event_type' AS key, event_type AS value FROM events
+        UNION ALL SELECT DISTINCT 'events', 'user_id',
+          CAST(user_id AS VARCHAR) FROM events
+        ORDER BY 1, 2, 3""")),
+
     ("influxql_from_regex",
       // FROM /^e/ sweeps every matching measurement: each plans through
       // the single-measurement pipeline, results union under the 1.x

@@ -113,17 +113,28 @@ object InfluxQlPlanner {
         else parts.reduce(_ unionByName _).filter(col("cnt") > 0)
           .select("measurement", "tagKey").orderBy("measurement", "tagKey")
       case "tag values" =>
-        val k = sh.withKey.get
-        val parts = targets.collect {
-          case (name, m) if m.tagCols.contains(k) =>
+        // the 1.x key-selection forms resolve to a concrete key list:
+        // = k, IN (k1, k2, …), or =~ /re/ over each target's tag keys
+        def keysFor(m: InfluxMeasurement): Seq[String] = sh.withKeyRegex match {
+          case Some(re) =>
+            val p = java.util.regex.Pattern.compile(GoRegex.toJava(re))
+            m.tagCols.filter(k => p.matcher(k).find()).sorted
+          case None =>
+            val wanted = if (sh.withKeys.nonEmpty) sh.withKeys
+              else sh.withKey.toList
+            wanted.filter(m.tagCols.contains)
+        }
+        val parts = targets.flatMap { case (name, m) =>
+          keysFor(m).map { k =>
             m.df.filter(col(k).isNotNull)
               .select(lit(name).as("measurement"), lit(k).as("key"),
                 col(k).cast("string").as("value"))
               .distinct()
+          }
         }
         if (parts.isEmpty)
-          throw ParseError(s"tag key '$k' appears in no measurement")
-        parts.reduce(_ unionByName _).orderBy("measurement", "value")
+          throw ParseError("no selected tag key appears in any measurement")
+        parts.reduce(_ unionByName _).orderBy("measurement", "key", "value")
       case "series" =>
         // the 1.x series-key spelling: "m,tag1=v1,tag2=v2" with tags
         // name-sorted and null tags omitted (concat_ws skips nulls);

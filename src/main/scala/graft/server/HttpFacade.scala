@@ -483,11 +483,11 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
         val tagSet = msAll.values.flatMap(_.tagCols).toSet
         Right(Some((name, df.columns.filter(tagSet).toSeq, df)))
       }
-    case graft.core.InfluxQl.Show("databases", _, _) =>
+    case graft.core.InfluxQl.Show("databases", _, _, _, _) =>
       import spark.implicits._
       Right(Some(("databases", Seq.empty[String],
         databases.keys.toSeq.sorted.toDF("name"))))
-    case graft.core.InfluxQl.Show("retention policies", _, _) =>
+    case graft.core.InfluxQl.Show("retention policies", _, _, _, _) =>
       // one implicit autogen policy per database: this engine's retention
       // lives in the lifecycle rules, but 1.x clients probe this on
       // connect and expect the default row

@@ -422,6 +422,23 @@ class InfluxQlSpec extends SparkSpec {
     assert(a == b && a.size == 3)
   }
 
+  test("SHOW TAG VALUES: IN list and =~ regex key selection") {
+    val multiTag = fixture.withColumn("dc",
+      concat($"host", org.apache.spark.sql.functions.lit("-dc")))
+    val m2 = Map("cpu" -> InfluxMeasurement(multiTag, "t", Seq("host", "dc")))
+    val in = InfluxQlPlanner.runStmt(m2,
+      "SHOW TAG VALUES WITH KEY IN (host, dc)")
+      .as[(String, String, String)].collect().toSeq
+    assert(in == Seq(("cpu", "dc", "a-dc"), ("cpu", "dc", "b-dc"),
+      ("cpu", "host", "a"), ("cpu", "host", "b")))
+    val re = InfluxQlPlanner.runStmt(m2, "SHOW TAG VALUES WITH KEY =~ /^d/")
+      .as[(String, String, String)].collect().toSeq
+    assert(re == Seq(("cpu", "dc", "a-dc"), ("cpu", "dc", "b-dc")))
+    val err = intercept[InfluxQl.ParseError](
+      InfluxQlPlanner.runStmt(m2, "SHOW TAG VALUES WITH KEY =~ /^zz/"))
+    assert(err.getMessage.contains("no selected tag key"))
+  }
+
   test("FROM regex and lists union labeled measurements; mismatches skip") {
     val sel = InfluxQl.parse("SELECT value FROM a, b, c")
     assert(sel.from == "a" && sel.fromMore == List("b", "c"))
