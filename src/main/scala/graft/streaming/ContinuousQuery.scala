@@ -21,17 +21,32 @@ import graft.operators.InfluxQlPlanner
 object ContinuousQuery {
 
   final case class Bound(name: String, db: String, into: Option[String],
-      frame: DataFrame)
+      frame: DataFrame, triggerMs: Option[Long] = None)
 
   /** Parses a CREATE CONTINUOUS QUERY (or a bare SELECT with GROUP BY
     * time) and binds it onto `stream` — a STREAMING DataFrame whose
-    * `timeCol` is epoch ns. */
+    * `timeCol` is epoch ns.
+    *
+    * `RESAMPLE` maps onto Spark's model directly: `EVERY <d>` is the
+    * 1.x re-run timer — surfaced as `Bound.triggerMs` for the caller's
+    * `Trigger.ProcessingTime` — and `FOR <d>` is how far back each run
+    * would recompute, i.e. how long a bucket stays open to late data:
+    * the watermark delay becomes `FOR − bucket width` (floored at 0),
+    * overriding the `lateArrival` default. Same answers, no timer
+    * re-computation races. */
   def bind(stream: DataFrame, timeCol: String, tagCols: Seq[String],
       q: String, lateArrival: String = "0 seconds"): Bound =
     InfluxQl.parseStmt(q) match {
       case cq: CreateCq =>
+        val late = cq.resampleForNs match {
+          case Some(forNs) =>
+            val widthNs = cq.sel.groupTime.map(_.everyNs).getOrElse(0L)
+            s"${math.max(0L, forNs - widthNs) / 1000000L} milliseconds"
+          case None => lateArrival
+        }
         Bound(cq.name, cq.db, cq.sel.into,
-          bindSelect(stream, timeCol, tagCols, cq.sel, lateArrival))
+          bindSelect(stream, timeCol, tagCols, cq.sel, late),
+          cq.resampleEveryNs.map(_ / 1000000L))
       case sel: Select =>
         Bound("", "", sel.into,
           bindSelect(stream, timeCol, tagCols, sel, lateArrival))

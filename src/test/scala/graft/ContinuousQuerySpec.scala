@@ -21,6 +21,40 @@ class ContinuousQuerySpec extends SparkSpec {
     assert(cq.sel.groupTime.contains(InfluxQl.GroupTime(10 * S, 0L)))
   }
 
+  test("RESAMPLE EVERY/FOR: timer surfaces as trigger, FOR keeps buckets open") {
+    val rq =
+      """CREATE CONTINUOUS QUERY ds ON db RESAMPLE EVERY 30s FOR 25s BEGIN
+         SELECT count(value) INTO out FROM cpu GROUP BY time(10s), tag END"""
+    val cq = InfluxQl.parseStmt(rq).asInstanceOf[InfluxQl.CreateCq]
+    assert(cq.resampleEveryNs.contains(30 * S))
+    assert(cq.resampleForNs.contains(25 * S))
+    val input = MemoryStream[(String, Long, Double)](spark)
+    val bound = ContinuousQuery.bind(
+      input.toDF().toDF("tag", "t", "value"), "t", Seq("tag"), rq)
+    assert(bound.triggerMs.contains(30000L), "EVERY -> trigger interval")
+    // watermark delay = FOR - width = 15s: visible in the analyzed plan
+    assert(bound.frame.queryExecution.analyzed.toString
+      .contains("15 seconds"), bound.frame.queryExecution.analyzed.toString)
+    // behavioral: with FOR 25s, a 16s-late point still lands in its
+    // bucket (watermark trails 15s behind max event time)
+    val q = bound.frame.writeStream.format("memory").queryName("cq_rs")
+      .outputMode("append").start()
+    try {
+      input.addData(("a", 1 * S, 1.0), ("a", 20 * S, 1.0))
+      q.processAllAvailable()
+      input.addData(("a", 4 * S, 1.0)) // 16s late; inside the FOR horizon
+      q.processAllAvailable()
+      input.addData(("a", 100 * S, 1.0)) // close everything
+      q.processAllAvailable()
+      val rows = spark.table("cq_rs").select("time", "count")
+        .as[(Long, Long)].collect().toMap
+      assert(rows(0L) == 2L, s"late point must join its bucket: $rows")
+    } finally q.stop()
+    intercept[InfluxQl.ParseError](InfluxQl.parseStmt(
+      """CREATE CONTINUOUS QUERY x ON db RESAMPLE BEGIN
+         SELECT count(value) FROM cpu GROUP BY time(10s) END"""))
+  }
+
   test("bound CQ aggregates stream windows; buckets close on watermark") {
     val input = MemoryStream[(String, Long, Double)](spark)
     val bound = ContinuousQuery.bind(

@@ -148,6 +148,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming count-min sketch: cells accumulate, batch parity") {
+    // the CMS build is explode + count — natively streamable; state is
+    // the fixed depth×width cell table regardless of stream length
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String](spark)
+    val cms = graft.pipeline.DocDedup.cmsBuild(
+      input.toDF().toDF("k"), "k", width = 32, depth = 3)
+    val q = cms.writeStream.format("memory").queryName("scms")
+      .outputMode("complete").start()
+    try {
+      input.addData((1 to 100).map(i => s"k-${i % 7}"): _*)
+      q.processAllAvailable()
+      input.addData((1 to 50).map(i => s"k-${i % 11}"): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("scms").as[(Int, Long, Long)].collect().toSet
+      val batch = graft.pipeline.DocDedup.cmsBuild(
+        ((1 to 100).map(i => s"k-${i % 7}") ++
+          (1 to 50).map(i => s"k-${i % 11}")).toDF("k"), "k", 32, 3)
+        .as[(Int, Long, Long)].collect().toSet
+      assert(streamed == batch, "incremental cells equal the batch build")
+      assert(streamed.size <= 96, "state bounded at depth x width cells")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: in-horizon pairs only, batch parity") {
     val ts = (s: Long) => java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s))
     val views = Seq(
