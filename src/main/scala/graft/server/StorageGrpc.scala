@@ -16,12 +16,14 @@ import graft.operators.InfluxRpc
   * selection the `\x00 _measurement` predicate sentinel — exactly what
   * reference storage clients put on the wire.
   *
-  * Methods wired: Capabilities, ReadFilter and ReadGroup (both
-  * server-streaming ReadResponse; ReadGroup through the shared
-  * transport-neutral planning core), TagKeys, TagValues (incl. the
-  * `_measurement`/`_field` sentinel keys). The remaining methods share
-  * these decoders/encoders and stay on the HTTP bridge; moving one is
-  * mechanical — ReadGroup is the worked example.
+  * The FULL service.rs route surface is wired: Capabilities, ReadFilter /
+  * ReadGroup / ReadWindowAggregate (server-streaming ReadResponse, the
+  * latter two through transport-neutral planning cores shared with the
+  * HTTP bridge), TagKeys, TagValues (incl. the `_measurement`/`_field`
+  * sentinel keys), MeasurementNames, MeasurementTagKeys,
+  * MeasurementTagValues, MeasurementFields, ReadSeriesCardinality
+  * (exact; service.rs:560 declares it unimplemented), and Offsets
+  * (empty response, service.rs:794).
   */
 object StorageGrpc {
   val ServicePrefix = "/influxdata.platform.storage.Storage/"
@@ -46,8 +48,119 @@ object StorageGrpc {
       case "ReadWindowAggregate" => readWindowAggregate(f, raw)
       case "TagKeys" => tagKeys(f, raw)
       case "TagValues" => tagValues(f, raw)
+      case "MeasurementNames" => measurementNames(f, raw)
+      case "MeasurementTagKeys" => measurementTagKeys(f, raw)
+      case "MeasurementTagValues" => measurementTagValues(f, raw)
+      case "MeasurementFields" => measurementFields(f, raw)
+      case "ReadSeriesCardinality" => readSeriesCardinality(f, raw)
+      case "Offsets" =>
+        // service.rs:794 returns an empty OffsetsResponse; mirror that
+        Right(Iterator.single(Array.emptyByteArray))
       case other => Left(s"unimplemented method: $other")
     }
+
+  private def measurementNames(f: HttpFacade, raw: Array[Byte])
+      : Either[String, Iterator[Array[Byte]]] = {
+    val req = StorageProtoReader.decodeReadFilter(raw) // same field layout
+    StorageProtoReader.toRpcPredicate(req).flatMap { case (pred, _) =>
+      req.databaseName match {
+        case Some(db) => Right(Iterator.single(
+          StorageProto.stringValuesResponse(
+            InfluxRpc.tableNames(f.dbTables(db), pred)
+              .map(_.getBytes(UTF_8)))))
+        case None => Left("request needs read_source")
+      }
+    }
+  }
+
+  private def measurementTagKeys(f: HttpFacade, raw: Array[Byte])
+      : Either[String, Iterator[Array[Byte]]] = {
+    val (req, meas) = StorageProtoReader.decodeMeasurementScoped(raw)
+    StorageProtoReader.toRpcPredicate(req).flatMap { case (pred, sentinel) =>
+      (req.databaseName, meas.orElse(sentinel)) match {
+        case (Some(db), Some(t)) =>
+          f.measurementView(db, t) match {
+            case Some(df) => Right(Iterator.single(
+              StorageProto.stringValuesResponse(
+                StorageProto.tagKeysByteVecs(InfluxRpc.tagKeys(df, pred)))))
+            case None => Left(s"no table $t in database $db")
+          }
+        case (None, _) => Left("request needs read_source")
+        case (_, None) => Left("request needs a measurement")
+      }
+    }
+  }
+
+  private def measurementTagValues(f: HttpFacade, raw: Array[Byte])
+      : Either[String, Iterator[Array[Byte]]] = {
+    val (req, meas) = StorageProtoReader.decodeMeasurementTagValues(raw)
+    StorageProtoReader.toRpcPredicate(req).flatMap { case (pred, sentinel) =>
+      (req.databaseName, meas.orElse(sentinel), req.tagKey) match {
+        case (Some(db), Some(t), Some(tk)) =>
+          f.measurementView(db, t) match {
+            case Some(df) =>
+              val values = StorageProtoReader.renderTagKey(tk) match {
+                case "_measurement" => Seq(t)
+                case "_field" =>
+                  InfluxRpc.fieldColumns(df, pred).collect()
+                    .map(_.getString(0)).toSeq
+                case k => InfluxRpc.tagValues(df, k, pred)
+                  .collect().map(_.getString(0)).toSeq
+              }
+              Right(Iterator.single(StorageProto.stringValuesResponse(
+                values.map(_.getBytes(UTF_8)))))
+            case None => Left(s"no table $t in database $db")
+          }
+        case (None, _, _) => Left("request needs read_source")
+        case (_, None, _) => Left("request needs a measurement")
+        case (_, _, None) => Left("request needs tag_key")
+      }
+    }
+  }
+
+  private def measurementFields(f: HttpFacade, raw: Array[Byte])
+      : Either[String, Iterator[Array[Byte]]] = {
+    val (req, meas) = StorageProtoReader.decodeMeasurementScoped(raw)
+    StorageProtoReader.toRpcPredicate(req).flatMap { case (pred, sentinel) =>
+      (req.databaseName, meas.orElse(sentinel)) match {
+        case (Some(db), Some(t)) =>
+          f.measurementView(db, t) match {
+            case Some(df) =>
+              val fields = InfluxRpc.fieldColumns(df, pred).collect()
+                .map(r => (r.getString(0),
+                  StorageProto.fieldTypeOf(r.getString(1)), r.getLong(2)))
+                .toSeq
+              Right(Iterator.single(
+                StorageProto.measurementFieldsResponse(fields)))
+            case None => Left(s"no table $t in database $db")
+          }
+        case (None, _) => Left("request needs read_source")
+        case (_, None) => Left("request needs a measurement")
+      }
+    }
+  }
+
+  private def readSeriesCardinality(f: HttpFacade, raw: Array[Byte])
+      : Either[String, Iterator[Array[Byte]]] = {
+    val req = StorageProtoReader.decodeReadFilter(raw) // same field layout
+    StorageProtoReader.toRpcPredicate(req).flatMap { case (pred, meas) =>
+      req.databaseName match {
+        case Some(db) =>
+          val n = meas match {
+            case Some(t) => f.measurementView(db, t)
+              .map(InfluxRpc.seriesCardinality(_, pred, exact = true))
+            case None => Some(f.dbTables(db).values
+              .map(InfluxRpc.seriesCardinality(_, pred, exact = true)).sum)
+          }
+          n match {
+            case Some(v) => Right(Iterator.single(
+              StorageProto.int64ValuesResponse(Seq(v))))
+            case None => Left(s"no such table in $db")
+          }
+        case None => Left("request needs read_source")
+      }
+    }
+  }
 
   private def readWindowAggregate(f: HttpFacade, raw: Array[Byte])
       : Either[String, Iterator[Array[Byte]]] = {

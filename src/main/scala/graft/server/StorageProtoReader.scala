@@ -294,6 +294,43 @@ object StorageProtoReader {
     req
   }
 
+  /** MeasurementTagKeysRequest / MeasurementFieldsRequest
+    * (storage_common.proto:197-203,214-221): source=1, measurement=2
+    * (a plain string, not the sentinel), range=3, predicate=4. Returns
+    * the request plus the measurement name. */
+  def decodeMeasurementScoped(bytes: Array[Byte])
+      : (StorageRequest, Option[String]) = {
+    var req = StorageRequest()
+    var measurement: Option[String] = None
+    val r = new Reader(bytes)
+    while (r.hasMore) r.key() match {
+      case (1, 2) => req = req.copy(source = Some(decodeAnyReadSource(r.sub())))
+      case (2, 2) => measurement = Some(new String(r.bytesField(), UTF_8))
+      case (3, 2) => req = req.copy(range = Some(decodeRange(r.sub())))
+      case (4, 2) => req = req.copy(predicate = decodePredicate(r.sub()))
+      case (_, wt) => r.skip(wt)
+    }
+    (req, measurement)
+  }
+
+  /** MeasurementTagValuesRequest (storage_common.proto:205-212):
+    * source=1, measurement=2, tag_key=3, range=4, predicate=5. */
+  def decodeMeasurementTagValues(bytes: Array[Byte])
+      : (StorageRequest, Option[String]) = {
+    var req = StorageRequest()
+    var measurement: Option[String] = None
+    val r = new Reader(bytes)
+    while (r.hasMore) r.key() match {
+      case (1, 2) => req = req.copy(source = Some(decodeAnyReadSource(r.sub())))
+      case (2, 2) => measurement = Some(new String(r.bytesField(), UTF_8))
+      case (3, 2) => req = req.copy(tagKey = Some(r.bytesField()))
+      case (4, 2) => req = req.copy(range = Some(decodeRange(r.sub())))
+      case (5, 2) => req = req.copy(predicate = decodePredicate(r.sub()))
+      case (_, wt) => r.skip(wt)
+    }
+    (req, measurement)
+  }
+
   // ----------------------------------------- Node tree -> RpcPredicate
 
   /** The storage protocol's magic tag keys (expr.rs:42-48): `\x00` means

@@ -162,6 +162,33 @@ class GrpcStorageSpec extends SparkSpec {
           .getBytes(UTF_8))))
       assert(fe == 3)
 
+      // metadata route family: names, scoped keys/values/fields,
+      // cardinality, offsets — the full service.rs surface over gRPC
+      val src = readSource(0xab, 0xcd)
+      val (ms1, names) = GrpcClient.call(p, S + "MeasurementNames",
+        msg(b => b.bytes(1, src)))
+      assert(ms1 == 0 && stringValues(names.head) == Seq("cpu"))
+      val scoped = msg { b => b.bytes(1, src); b.string(2, "cpu") }
+      val (ms2, mtk) = GrpcClient.call(p, S + "MeasurementTagKeys", scoped)
+      assert(ms2 == 0 && stringValues(mtk.head).contains("host"))
+      val (ms3, mtv) = GrpcClient.call(p, S + "MeasurementTagValues",
+        msg { b => b.bytes(1, src); b.string(2, "cpu")
+          b.bytes(3, "host".getBytes(UTF_8)) })
+      assert(ms3 == 0 && stringValues(mtv.head) == Seq("a", "b"))
+      val (ms4, mf) = GrpcClient.call(p, S + "MeasurementFields", scoped)
+      assert(ms4 == 0 && mf.size == 1 && mf.head.nonEmpty)
+      val (ms5, card) = GrpcClient.call(p, S + "ReadSeriesCardinality",
+        msg(b => b.bytes(1, src)))
+      assert(ms5 == 0)
+      // Int64ValuesResponse { repeated int64 values = 1 } (packed):
+      // the db's one measurement carries two tag sets
+      val cr = new R.Reader(card.head)
+      assert(cr.key() == ((1, 2)))
+      val packed = new R.Reader(cr.bytesField())
+      assert(packed.varint() == 2L, "cpu has two series")
+      val (ms6, off) = GrpcClient.call(p, S + "Offsets", Array.emptyByteArray)
+      assert(ms6 == 0 && off.size == 1 && off.head.isEmpty)
+
       // errors surface as grpc-status 3 trailers, not transport failures
       val (es, _) = GrpcClient.call(p, S + "Nope", Array.emptyByteArray)
       assert(es == 3)
