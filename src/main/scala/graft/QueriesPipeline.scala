@@ -1972,6 +1972,86 @@ object QueriesPipeline {
         SELECT q_id, rank, vec_id AS neighbor_id, round(score, 6) AS score
         FROM rk WHERE rank <= 10 ORDER BY q_id, rank""")),
 
+    // the composed IVF-PQ index (the billion-scale ANN query path):
+    // coarse k-means cells prune the corpus to nprobe lists per query,
+    // PQ ADC scores the survivors from codes alone — the oracle replays
+    // the coarse assignment (seed centroids), the probe ranking, the PQ
+    // codebook fit, and the cell-restricted integer-micro table sums
+    ("ann_ivfpq_topk",
+      (s, d) => {
+        val spread = Tables.spread(s, Tables.embeddings(s, d))
+        val (cells, coarse) = Clustering.kmeansFit(
+          spread, "vec_id", "embedding", k = 8, iters = 0)
+        val (codes, cb) = Clustering.pqFit(
+          spread, "vec_id", "embedding", m = 4, k = 4, iters = 1)
+        val q = Tables.embeddings(s, d).filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.ivfPqTopK(codes, cells, coarse, cb, q, k = 10, nprobe = 3)
+          .select(col("q_id"), col("rank"), col("neighbor_id"),
+            round(col("score"), 6).as("score"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH $dKmeansPrep,
+        c0 AS (SELECT vec_id AS c, e AS ce FROM x WHERE vec_id < 8),
+        cell AS (SELECT vec_id, c AS cl FROM ${dKmeansAssign("c0")}),
+        ${(0 until 4).map(j => dPqSubspace(j, 16, 4)).mkString(",\n")},
+        qx AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id < 5),
+        probes AS (SELECT q_id, c AS cl FROM (SELECT qx.q_id, c0.c,
+            row_number() OVER (PARTITION BY qx.q_id
+              ORDER BY list_dot_product(qx.e, c0.ce)
+                / (sqrt(list_dot_product(qx.e, qx.e))
+                  * sqrt(list_dot_product(c0.ce, c0.ce))) DESC,
+              c0.c ASC) AS rn
+          FROM qx CROSS JOIN c0) WHERE rn <= 3),
+        dt0 AS (SELECT q_id, c, floor(list_dot_product(e[1:16], ce)
+            * 1000000.0 + 0.5) AS d FROM qx CROSS JOIN c01),
+        dt1 AS (SELECT q_id, c, floor(list_dot_product(e[17:32], ce)
+            * 1000000.0 + 0.5) AS d FROM qx CROSS JOIN c11),
+        dt2 AS (SELECT q_id, c, floor(list_dot_product(e[33:48], ce)
+            * 1000000.0 + 0.5) AS d FROM qx CROSS JOIN c21),
+        dt3 AS (SELECT q_id, c, floor(list_dot_product(e[49:64], ce)
+            * 1000000.0 + 0.5) AS d FROM qx CROSS JOIN c31),
+        sc AS (SELECT p.q_id, a02.vec_id,
+            (((dt0.d + dt1.d) + dt2.d) + dt3.d) / 1000000.0 AS score
+          FROM a02 JOIN a12 USING (vec_id) JOIN a22 USING (vec_id)
+            JOIN a32 USING (vec_id)
+          JOIN cell USING (vec_id)
+          JOIN probes p ON p.cl = cell.cl
+          JOIN dt0 ON dt0.q_id = p.q_id AND dt0.c = a02.c
+          JOIN dt1 ON dt1.q_id = p.q_id AND dt1.c = a12.c
+          JOIN dt2 ON dt2.q_id = p.q_id AND dt2.c = a22.c
+          JOIN dt3 ON dt3.q_id = p.q_id AND dt3.c = a32.c
+          WHERE a02.vec_id != p.q_id),
+        rk AS (SELECT q_id, vec_id, score, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY score DESC, vec_id) AS INT) AS rank
+          FROM sc)
+        SELECT q_id, rank, vec_id AS neighbor_id, round(score, 6) AS score
+        FROM rk WHERE rank <= 10 ORDER BY q_id, rank""")),
+
+    // exact corpus covariance (the whitening/PCA/OPQ input statistic):
+    // upper-triangle (i, j, cov) from order-free integer sums on the 1e-6
+    // quantized grid — the oracle re-derives the identical exact sums
+    ("emb_covariance",
+      (s, d) => Quantization.covariance(
+          Tables.spread(s, Tables.embeddings(s, d)), "embedding")
+        .orderBy("i", "j"),
+      Some("""WITH v AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+          y -> CAST(floor(y * 1000000.0 + 0.5) AS BIGINT)) AS q
+          FROM embeddings),
+        nn AS (SELECT count(*) AS n FROM v),
+        dims AS (SELECT unnest(range(1, 65)) AS i),
+        sx AS (SELECT i, sum(q[i]) AS s FROM v CROSS JOIN dims GROUP BY i),
+        sxy AS (SELECT a.i AS i, b.i AS j,
+            sum(CAST(q[a.i] AS HUGEINT) * q[b.i]) AS s
+          FROM v CROSS JOIN dims a CROSS JOIN dims b
+          WHERE b.i >= a.i GROUP BY 1, 2)
+        SELECT CAST(sxy.i AS INT) AS i, CAST(sxy.j AS INT) AS j,
+          round(CAST(nn.n * sxy.s - si.s * sj.s AS DOUBLE)
+            / (CAST(nn.n AS DOUBLE) * nn.n * 1000000000000.0), 6) + 0 AS cov
+        FROM sxy JOIN sx si ON si.i = sxy.i JOIN sx sj ON sj.i = sxy.j
+        CROSS JOIN nn ORDER BY i, j""")),
+
     // per-group top-k selection as a bounded AGGREGATE (TopK partial
     // aggregation: every map task reduces to k rows per group) instead of
     // a window sort of each group — identical output to the row_number

@@ -29,6 +29,53 @@ object Quantization {
     emb.select(posexplode(VF.asDouble(col(vecCol))).as(Seq("dim", "x")))
       .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
 
+  /** Exact corpus covariance matrix over an embedding column — the
+    * statistic behind whitening / PCA / OPQ rotation fits (the dim×dim
+    * second-moment summary a 100 TB corpus reduces to before any
+    * eigen-work happens driver-side).
+    *
+    * Returns the upper triangle (i, j, cov) for 1 ≤ i ≤ j ≤ dim with
+    * `cov = (n·Σxy − Σx·Σy) / (n²·10¹²)` over vectors quantized to the
+    * 1e-6 grid (`floor(x·1e6 + 0.5)` as longs — the [[Clustering]]
+    * discipline): every sum is an exact order-free integer/decimal sum,
+    * so any engine derives the identical IEEE double from identical
+    * operands, and no float-accumulation order can leak in.
+    *
+    * Scale shape: the pair expansion is n·d(d+1)/2 rows of three scalars
+    * — the inherent FLOP count of a covariance pass, spent map-side; the
+    * shuffle carries only the d(d+1)/2 partially-aggregated group sums
+    * per task (map-side combine collapses everything else), and the
+    * output frame is d² driver-scale metadata. Products accumulate in
+    * decimal(38,0): |q| ≤ ~2²² per component keeps n·Σxy inside 38
+    * digits beyond 10¹² rows. */
+  def covariance(emb: DataFrame, vecCol: String): DataFrame = {
+    val q = emb.select(transform(VF.asDouble(col(vecCol)),
+      x => floor(x * 1e6 + lit(0.5)).cast("long")).as("__q"))
+    val n = q.agg(count(lit(1)).as("__n"))
+    val sx = q.select(posexplode(col("__q")).as(Seq("__i0", "__qi")))
+      .select((col("__i0") + 1).cast("int").as("i"),
+        col("__qi").cast("decimal(38,0)").as("__qd"))
+      .groupBy("i").agg(sum(col("__qd")).as("__s"))
+    val sxy = q
+      .select(col("__q"), posexplode(col("__q")).as(Seq("__i0", "__qi")))
+      .select(col("__i0"), col("__qi"),
+        posexplode(slice(col("__q"), col("__i0") + 1,
+          size(col("__q")) - col("__i0"))).as(Seq("__j0", "__qj")))
+      .select((col("__i0") + 1).cast("int").as("i"),
+        (col("__i0") + 1 + col("__j0")).cast("int").as("j"),
+        (col("__qi").cast("decimal(38,0)") * col("__qj")).as("__p"))
+      .groupBy("i", "j").agg(sum(col("__p")).as("__sxy"))
+    sxy
+      .join(sx.select(col("i"), col("__s").as("__sxi")), "i")
+      .join(sx.select(col("i").as("j"), col("__s").as("__sxj")), "j")
+      .crossJoin(broadcast(n))
+      .select(col("i"), col("j"),
+        round((col("__n") * col("__sxy") - col("__sxi") * col("__sxj"))
+          .cast("double")
+          / (col("__n").cast("double") * col("__n") * lit(1e12)), 6)
+          .as("cov"))
+  }
+
   /** Encode every vector against the corpus codebook. Output keeps the
     * id column and adds `codes: array<int>` (one int8 code per dim). */
   def quantizeInt8(spark: SparkSession, emb: DataFrame, idCol: String,

@@ -238,11 +238,26 @@ object Similarity {
       queries: DataFrame, k: Int,
       idCol: String = "vec_id", qIdCol: String = "q_id",
       qVecCol: String = "q_vec"): DataFrame = {
+    val q = queries.select(col(qIdCol), asDouble(col(qVecCol)).as("__qe"))
+    val (withTables, scoreMicro) = adcTables(q, codebooks)
+    val scored = codes.crossJoin(broadcast(withTables))
+      .filter(col(idCol) =!= col(qIdCol))
+      .select(col(qIdCol), col(idCol),
+        (scoreMicro.cast("double") / lit(1e6)).as("score"))
+    rankTopK(scored, k, qIdCol, "score", idCol)
+  }
+
+  /** Attach per-query ADC distance tables (`__dt0 … __dt{m-1}`) to a frame
+    * carrying the f64 query vector in `__qe`; returns the augmented frame
+    * plus the integer-micro score expression `Σ_j dt[j][code_j]` that
+    * scores any row of a PQ code table joined alongside. Shared by
+    * [[pqTopK]] (flat scan) and [[ivfPqTopK]] (cell-pruned scan). */
+  private def adcTables(q: DataFrame,
+      codebooks: Seq[(Int, Int, Seq[Double])]): (DataFrame, Column) = {
     val m = codebooks.map(_._1).max + 1
     val sub = codebooks.head._3.size
     // per-query distance tables: for subspace j an array over codes c of
     // floor(<q_j, cb[j][c]>·1e6 + .5) — computed on the (tiny) query side
-    val q = queries.select(col(qIdCol), asDouble(col(qVecCol)).as("__qe"))
     val withTables = (0 until m).foldLeft(q) { (acc, j) =>
       val qSub = slice(col("__qe"), j * sub + 1, sub)
       // dense array INDEXED BY CODE ID — an emptied cluster leaves a gap
@@ -261,7 +276,52 @@ object Similarity {
     }
     val scoreMicro = (0 until m).map(j =>
       element_at(col(s"__dt$j"), col(s"code_$j") + 1)).reduce(_ + _)
-    val scored = codes.crossJoin(broadcast(withTables))
+    (withTables, scoreMicro)
+  }
+
+  /** IVF-PQ top-k (Jégou et al. 2011, §V — the composed index every
+    * billion-scale ANN service runs): the coarse quantizer prunes the
+    * corpus to the `nprobe` cells nearest each query, and within those
+    * cells candidates are scored by PQ asymmetric distance — so the scan
+    * touches ~nprobe/nlist of a corpus that is itself ~100× compressed
+    * (codes, not vectors). Recall returns as nprobe → nlist, at which
+    * point this degrades gracefully into [[pqTopK]].
+    *
+    * Inputs are the two fitted artifacts: `cells` =
+    * [[Clustering.kmeansFit]] assignments (id, cluster) with `centroids`
+    * its driver-metadata centroid list, and `codes` + `codebooks` =
+    * [[Clustering.pqFit]]. Scale shape: probe selection is pure
+    * expression math on the (tiny) query side against centroid literal
+    * arrays; the candidate restriction is ONE broadcast hash join of the
+    * code table against (query × nprobe) probe rows on the cell id —
+    * corpus rows in unprobed cells are filtered at the join, never
+    * scored; then the [[pqTopK]] posture (integer-micro table lookups +
+    * bounded TopK) finishes. Zero corpus shuffles.
+    *
+    * Determinism: probe ranking breaks affinity ties to the smaller cell
+    * id (the `array_sort` struct carries (−aff, cell)); ADC scores are
+    * exact integer sums, ties to the smaller corpus id. */
+  def ivfPqTopK(codes: DataFrame, cells: DataFrame,
+      centroids: Seq[(Int, Seq[Double])],
+      codebooks: Seq[(Int, Int, Seq[Double])],
+      queries: DataFrame, k: Int, nprobe: Int,
+      idCol: String = "vec_id", cellCol: String = "cluster",
+      qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+    require(nprobe >= 1, s"need nprobe >= 1, got $nprobe")
+    val q = queries.select(col(qIdCol), asDouble(col(qVecCol)).as("__qe"))
+      .withColumn("__qn", sqrt(dot(col("__qe"), col("__qe"))))
+    // (−affinity, cell) structs: array_sort ranks aff desc, cell asc
+    val affs = centroids.sortBy(_._1).map { case (c, ce) =>
+      val ceArr = array(ce.map(lit): _*)
+      struct((-cosExpr(dot(col("__qe"), ceArr), col("__qn"),
+        sqrt(dot(ceArr, ceArr)))).as("na"), lit(c).as("c"))
+    }
+    val probes = q
+      .withColumn("__p", explode(slice(array_sort(array(affs: _*)), 1, nprobe)))
+      .select(col(qIdCol), col("__qe"), col("__p.c").as(cellCol))
+    val (withTables, scoreMicro) = adcTables(probes, codebooks)
+    val scored = codes.join(cells.select(col(idCol), col(cellCol)), idCol)
+      .join(broadcast(withTables), cellCol)
       .filter(col(idCol) =!= col(qIdCol))
       .select(col(qIdCol), col(idCol),
         (scoreMicro.cast("double") / lit(1e6)).as("score"))

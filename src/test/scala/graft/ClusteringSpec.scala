@@ -78,4 +78,50 @@ class ClusteringSpec extends SparkSpec {
       .head().getAs[scala.collection.Seq[Long]]("q")
     assert(q == Seq(123457L, -999999L))
   }
+
+  test("ivfPqTopK with nprobe = nlist matches the flat pqTopK scan") {
+    import graft.pipeline.Similarity
+    val (cells, coarse) = Clustering.kmeansFit(corpus, "id", "vec",
+      k = 3, iters = 0)
+    val (codes, cb) = Clustering.pqFit(corpus, "id", "vec",
+      m = 1, k = 3, iters = 1)
+    val q = corpus.filter(col("id") < 2)
+      .select(col("id").as("q_id"), col("vec").as("q_vec"))
+    val key = (r: Row) => (r.getLong(0), r.getInt(3))
+    val flat = Similarity.pqTopK(codes, cb, q, k = 5, idCol = "id")
+      .orderBy("q_id", "rank").collect().toSeq
+    val ivf = Similarity.ivfPqTopK(codes, cells, coarse, cb, q,
+        k = 5, nprobe = 3, idCol = "id")
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(ivf == flat)
+  }
+
+  test("ivfPqTopK nprobe=1 returns only the probed (nearest) cell") {
+    import graft.pipeline.Similarity
+    val (cells, coarse) = Clustering.kmeansFit(corpus, "id", "vec",
+      k = 3, iters = 0)
+    val (codes, cb) = Clustering.pqFit(corpus, "id", "vec",
+      m = 1, k = 3, iters = 1)
+    val q = corpus.filter(col("id") === 0)
+      .select(col("id").as("q_id"), col("vec").as("q_vec"))
+    val cellOf = cells.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = Similarity.ivfPqTopK(codes, cells, coarse, cb, q,
+        k = 9, nprobe = 1, idCol = "id")
+      .collect().map(_.getAs[Long]("neighbor_id"))
+    assert(out.nonEmpty)
+    // query 0 sits in its own cell; every neighbor shares that cell
+    assert(out.forall(n => cellOf(n) == cellOf(0L)))
+    // and some corpus member outside the cell was pruned
+    assert(out.length < cellOf.size - 1)
+  }
+
+  test("covariance: exact population moments on a hand-checked frame") {
+    import graft.pipeline.Quantization
+    // cols x={1,3}, y={2,6}: var(x)=1, var(y)=4, cov=2 (population)
+    val c = mk(0L -> Seq(1.0, 2.0), 1L -> Seq(3.0, 6.0))
+    val got = Quantization.covariance(c, "vec")
+      .orderBy("i", "j").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1, 1, 1.0), (1, 2, 2.0), (2, 2, 4.0)))
+  }
 }
