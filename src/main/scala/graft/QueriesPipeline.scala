@@ -501,6 +501,66 @@ object QueriesPipeline {
         CROSS JOIN v
         GROUP BY occ.doc_id ORDER BY occ.doc_id""")),
 
+    // interpolated Kneser-Ney bigram scoring — the absolute-discount +
+    // continuation-probability upgrade of text_lm_score; the oracle
+    // replays the same count tables (types/contexts/continuations) and
+    // the identical micro-bit quantized log arithmetic
+    ("text_kn_score",
+      (s, d) => graft.pipeline.LanguageModel
+        .knBigramScore(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("bits_per_bigram"), 6).as("bits_per_bigram"))
+        .orderBy("doc_id"),
+      Some(s"""WITH p AS (SELECT doc_id, $dToks AS w FROM documents),
+        bgl AS (SELECT doc_id, CASE WHEN len(w) >= 2 THEN list_filter(
+            list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]),
+            x -> length(x) > 0) ELSE [] END AS bgs FROM p),
+        occ AS (SELECT doc_id, unnest(bgs) AS b FROM bgl),
+        sp AS (SELECT b, count(*) AS c12, string_split(b, ' ')[1] AS w1,
+            string_split(b, ' ')[2] AS w2
+          FROM occ GROUP BY 1),
+        ctx AS (SELECT w1, sum(c12) AS c1, count(*) AS n1f
+          FROM sp GROUP BY 1),
+        cont AS (SELECT w2, count(*) AS n1r FROM sp GROUP BY 1),
+        bb AS (SELECT count(*) AS b FROM sp),
+        sc AS (SELECT occ.doc_id,
+            CAST(round(log2((sp.c12 - 0.75) / ctx.c1
+              + (0.75 * ctx.n1f / ctx.c1) * (cont.n1r / bb.b))
+              * 1000000) AS BIGINT) AS lq
+          FROM occ JOIN sp USING (b) JOIN ctx USING (w1)
+          JOIN cont USING (w2) CROSS JOIN bb)
+        SELECT doc_id, count(*) AS n_bigrams,
+          round(-(CAST(sum(lq) AS DOUBLE) / count(*)) / 1000000.0, 6)
+            AS bits_per_bigram
+        FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+
+    // DSIR importance weights (hashed token features, target = English
+    // stratum): per-bucket log-ratio of target vs raw distributions on a
+    // fixed 256-cell table, quantized micro-bits, one per-doc sum — the
+    // oracle replays the identical hash buckets and smoothing arithmetic
+    ("corpus_dsir_weights",
+      (s, d) => graft.pipeline.LanguageModel
+        .dsirWeights(Tables.documents(s, d), "doc_id", "text",
+          isTarget = col("lang") === "en", buckets = 256)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("weight"), 6).as("weight"), col("target_like"))
+        .orderBy("doc_id"),
+      Some(s"""WITH p AS (SELECT doc_id, lang, $dToks AS w FROM documents),
+        occ AS (SELECT doc_id, lang = 'en' AS tgt, unnest(w) AS t FROM p),
+        bk AS (SELECT doc_id, tgt, ${dHash60("t")} % 256 AS bk FROM occ),
+        cnts AS (SELECT bk, count(*) AS cr,
+            sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+          FROM bk GROUP BY 1),
+        tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM cnts),
+        ratio AS (SELECT bk, CAST(round((log2((ct + 0.5) / (nt + 128.0))
+            - log2((cr + 0.5) / (nr + 128.0))) * 1000000) AS BIGINT) AS wq
+          FROM cnts CROSS JOIN tot)
+        SELECT bk.doc_id, count(*) AS n_tokens,
+          round(CAST(sum(wq) AS DOUBLE) / 1000000.0, 6) AS weight,
+          sum(wq) > 0 AS target_like
+        FROM bk JOIN ratio USING (bk)
+        GROUP BY bk.doc_id ORDER BY doc_id""")),
+
     // CCNet perplexity terciles: rank documents by LM bits within each
     // language and cut head/middle/tail at ceil(n/3)/ceil(2n/3). The
     // Spark side is the two-level coarse-bucket rank (no corpus window);

@@ -50,6 +50,97 @@ object LanguageModel {
         (-avg(col("__lp"))).as("bits_per_bigram"))
   }
 
+  /** Per-document bits-per-bigram under an interpolated Kneser-Ney
+    * bigram model (Kneser & Ney 1995; Chen & Goodman 1999 — the smoothing
+    * every n-gram quality filter graduated to after add-α):
+    *
+    * `P(w2|w1) = (c(w1w2) − D)/c(w1·) + D·N1+(w1·)/c(w1·) · N1+(·w2)/B`
+    *
+    * with D the absolute discount, `N1+(w1·)` the distinct-successor
+    * count, `N1+(·w2)` the distinct-PREDECESSOR count (the continuation
+    * probability that makes "Francisco" cheap despite "San Francisco"
+    * being frequent), and B the number of distinct bigram types. Scoring
+    * is in-corpus, so every scored bigram has c ≥ 1 > D and the max(·,0)
+    * clamp is vacuous — spelled without it on both engines.
+    *
+    * Scale shape: [[bigramLogLoss]]'s exactly — one bigram explode into
+    * vocab-sized count tables (bigram types, contexts, continuations)
+    * that join back to the occurrence stream under AQE broadcast; no
+    * corpus self-join. Determinism: each occurrence's log2 P is
+    * quantized to integer micro-bits before the per-document sum (the
+    * NB/Zipf discipline), so the mean is one exact integer division
+    * replayed identically by any engine. */
+  def knBigramScore(docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, "KN discount must be in (0, 1)")
+    val occ = docs
+      .select(col(idCol), explode_outer(TF.ngrams(col(textCol), 2)).as("__bg"))
+      .filter(col("__bg").isNotNull)
+    val bg = occ.groupBy("__bg").agg(count(lit(1)).as("__c12"))
+      .withColumn("__w1", split(col("__bg"), " ").getItem(0))
+      .withColumn("__w2", split(col("__bg"), " ").getItem(1))
+    val ctx = bg.groupBy("__w1")
+      .agg(sum("__c12").as("__c1"), count(lit(1)).as("__n1f"))
+    val cont = bg.groupBy("__w2").agg(count(lit(1)).as("__n1r"))
+    val types = bg.agg(count(lit(1)).as("__b"))
+    occ
+      .join(bg, "__bg").join(ctx, "__w1").join(cont, "__w2")
+      .crossJoin(broadcast(types))
+      .withColumn("__p",
+        (col("__c12") - lit(discount)) / col("__c1")
+          + (lit(discount) * col("__n1f") / col("__c1"))
+            * (col("__n1r") / col("__b")))
+      .withColumn("__lq", round(log2(col("__p")) * 1e6).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum("__lq").as("__s"))
+      .select(col(idCol), col("n_bigrams"),
+        (-col("__s").cast("double") / col("n_bigrams") / lit(1e6))
+          .as("bits_per_bigram"))
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how target-like its hashed token features are —
+    * `w(d) = Σ_tokens log p_target(bucket) − log p_raw(bucket)` with
+    * token features hashed into `buckets` cells and both distributions
+    * add-α smoothed over the bucket counts. Positive weight = more
+    * probable under the target than under the raw corpus; resampling
+    * keeps the high-weight tail.
+    *
+    * `isTarget` marks the target-domain rows (they score too — DSIR
+    * weighs the whole raw pool). Scale shape: one token explode into a
+    * BUCKETS-sized count frame (the hashing trick's whole point: vocab
+    * collapses to a fixed-width table no matter the corpus), the
+    * per-bucket log-ratio quantized to integer micro-bits on that
+    * metadata frame, broadcast back, one per-document sum. Zero corpus
+    * self-joins; membership in the weight is deterministic, so reruns
+    * and engines agree bit-exactly. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 256,
+      alpha: Double = 0.5): DataFrame = {
+    require(buckets > 0 && alpha > 0, "need buckets > 0 and alpha > 0")
+    val occ = docs
+      .select(col(idCol), isTarget.as("__tgt"),
+        explode_outer(TF.tokens(col(textCol))).as("__t"))
+      .filter(col("__t").isNotNull)
+      .withColumn("__bk", pmod(TF.hash60(col("__t")), lit(buckets.toLong)))
+    val cnts = occ.groupBy("__bk").agg(
+      count(lit(1)).as("__cr"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"))
+    val totals = cnts.agg(sum("__cr").as("__nr"), sum("__ct").as("__nt"))
+    val ratio = cnts.crossJoin(broadcast(totals))
+      .select(col("__bk"),
+        round((log2((col("__ct") + alpha) / (col("__nt") + lit(alpha * buckets)))
+          - log2((col("__cr") + alpha) / (col("__nr") + lit(alpha * buckets))))
+          * 1e6).cast("long").as("__wq"))
+    occ.join(broadcast(ratio), "__bk")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum("__wq").as("__s"))
+      .select(col(idCol), col("n_tokens"),
+        (col("__s").cast("double") / lit(1e6)).as("weight"),
+        (col("__s") > 0L).as("target_like"))
+  }
+
   /** Self-trained multinomial Naive Bayes classifier: train per-class
     * token counts on a labeled column (language, source, quality tier)
     * and score every document — the classic fastText-free corpus labeler

@@ -131,6 +131,47 @@ class PipelineSpec extends SparkSpec {
     assert(!out.contains(3L), "a 1-token doc has no defined loss")
   }
 
+  test("Kneser-Ney bigram score: hand-checked discount + continuation") {
+    import graft.pipeline.LanguageModel
+    val df = Seq((1L, "x y"), (2L, "x y"), (3L, "x z"), (4L, "w"))
+      .toDF("doc_id", "text")
+    val out = LanguageModel.knBigramScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // types: "x y"(c=2), "x z"(c=1); B=2; ctx x: c1=3, n1f=2;
+    // cont y/z: n1r=1 each. P(y|x) = 1.25/3 + (0.75*2/3)*(1/2);
+    // P(z|x) = 0.25/3 + (0.75*2/3)*(1/2); quantization error < 1e-6
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    val py = 1.25 / 3 + (0.75 * 2 / 3) * 0.5
+    val pz = 0.25 / 3 + (0.75 * 2 / 3) * 0.5
+    assert(out(1L)._1 == 1L && math.abs(out(1L)._2 + lg2(py)) < 2e-6)
+    assert(math.abs(out(3L)._2 + lg2(pz)) < 2e-6)
+    assert(!out.contains(4L), "a 1-token doc has no defined loss")
+    // the continuation term makes the rarer successor strictly costlier
+    assert(out(3L)._2 > out(1L)._2)
+  }
+
+  test("DSIR weights: target-domain tokens score positive, others negative") {
+    import graft.pipeline.LanguageModel
+    val df = Seq(
+      (1L, "tea tea tea", "en"), (2L, "tea tea tea", "en"),
+      (3L, "rock rock rock", "de"), (4L, "tea rock tea", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = LanguageModel.dsirWeights(df, "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = 16)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    // "tea" appears 8/6 times raw/target, "rock" 4/0: tea-buckets have
+    // higher target share than raw share -> positive log-ratio
+    assert(out(1L)._2 > 0 && out(1L)._3)
+    assert(out(3L)._2 < 0 && !out(3L)._3)
+    assert(out(1L)._1 == 3L)
+    // the mixed doc sits between the pure ones
+    assert(out(4L)._2 > out(3L)._2 && out(4L)._2 < out(1L)._2)
+    // a target-domain doc and an identical raw doc score identically
+    assert(out(1L)._2 == out(2L)._2)
+  }
+
   test("budgetSelect equals the naive quality-ordered prefix") {
     import graft.pipeline.Sampling
     // ties across and inside rounding buckets, varied token counts
