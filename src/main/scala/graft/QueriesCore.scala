@@ -1334,6 +1334,54 @@ object QueriesCore {
         FROM events WHERE user_id < 5
         ORDER BY user_id, t""")),
 
+    ("events_seasonal",
+      (s, d) => {
+        // classical additive decomposition at daily period over the 6h
+        // downsample: trend = centered 2xMA-4, seasonal = phase mean of
+        // the micro-quantized detrended points, remainder = the rest.
+        // All float expressions are fixed-arity per-row formulas; every
+        // accumulation is an exact integer sum
+        import graft.functions.{SeriesFunctions => SF}
+        val bucket = 21600000000000L
+        val ev = Tables.events(s, d).filter(col("user_id") < 5)
+          .select(col("user_id"),
+            (col("ts_ns") - pmod(col("ts_ns"), lit(bucket))).as("t"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val series = ev.groupBy("user_id", "t")
+          .agg((sum("cents").cast("double") / count(lit(1))).as("v"))
+        SF.seasonalDecompose(series, Seq("user_id"), "t", "v", period = 4,
+            phase = pmod(expr(s"t div $bucket"), lit(4L)))
+          .select(col("user_id").cast("long").as("user_id"), col("t"),
+            round(col("v") / 100.0, 6).as("mean"),
+            round(col("trend") / 100.0, 6).as("trend"),
+            round(col("seasonal") / 100.0, 6).as("seasonal"),
+            round(col("remainder") / 100.0, 6).as("remainder"))
+          .orderBy("user_id", "t")
+      },
+      Some("""WITH e AS (SELECT user_id,
+            epoch_ns(ts) - epoch_ns(ts) % 21600000000000 AS t,
+            CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE user_id < 5),
+        b AS (SELECT user_id, t, CAST(sum(cents) AS DOUBLE) / count(*) AS v
+          FROM e GROUP BY 1, 2),
+        w AS (SELECT user_id, t, v,
+            (0.5 * lag(v, 2) OVER s + lag(v, 1) OVER s + v
+              + lead(v, 1) OVER s + 0.5 * lead(v, 2) OVER s) / 4 AS trend,
+            (t // 21600000000000) % 4 AS ph
+          FROM b WINDOW s AS (PARTITION BY user_id ORDER BY t)),
+        d AS (SELECT *, CAST(round((v - trend) * 1000000) AS BIGINT) AS dq
+          FROM w),
+        sz AS (SELECT user_id, ph, CAST(sum(dq) AS DOUBLE) / count(dq) AS sq
+          FROM d GROUP BY 1, 2),
+        j AS (SELECT d.user_id, d.t, d.v, d.trend,
+            sz.sq / 1000000.0 AS seasonal
+          FROM d LEFT JOIN sz ON sz.user_id = d.user_id AND sz.ph = d.ph)
+        SELECT user_id, t, round(v / 100.0, 6) + 0 AS mean,
+          round(trend / 100.0, 6) + 0 AS trend,
+          round(seasonal / 100.0, 6) + 0 AS seasonal,
+          round((v - trend - seasonal) / 100.0, 6) + 0 AS remainder
+        FROM j ORDER BY user_id, t""")),
+
     ("events_state_count",
       (s, d) => {
         // Flux stateCount + stateDuration: threshold-streak tracking per
@@ -1583,6 +1631,23 @@ object QueriesCore {
             count(*) OVER (PARTITION BY event_type) AS n FROM e)
         SELECT event_type, value AS p90 FROM r
         WHERE rk = floor(0.9 * n + 0.5) ORDER BY event_type""")),
+
+    // TOP(field, tag_key, n): the n tag values whose best point ranks
+    // highest, one (best) point each, the tag emitted as a column — the
+    // grouped-selector form of the 1.x TOP/BOTTOM family
+    ("influxql_top_tag",
+      (s, d) => graft.operators.InfluxQlPlanner.run(influxMs(s, d),
+        "SELECT TOP(value, event_type, 3) AS best FROM events"),
+      Some("""WITH e AS (SELECT event_type, epoch_ns(ts) AS tn, value
+          FROM events WHERE value IS NOT NULL),
+        b AS (SELECT event_type, tn, value, row_number() OVER (
+            PARTITION BY event_type ORDER BY value DESC, tn ASC) AS rk
+          FROM e),
+        r AS (SELECT event_type, tn, value, row_number() OVER (
+            ORDER BY value DESC, tn ASC, event_type ASC) AS rk2
+          FROM b WHERE rk = 1)
+        SELECT tn AS time, event_type, value AS best FROM r
+        WHERE rk2 <= 3 ORDER BY time""")),
 
     ("influxql_downsample_rate",
       (s, d) => graft.operators.InfluxQlPlanner.run(influxMs(s, d),

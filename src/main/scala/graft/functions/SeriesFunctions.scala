@@ -26,6 +26,65 @@ object SeriesFunctions {
     Window.partitionBy(keyCols.map(col): _*).orderBy(col(timeCol))
   }
 
+  /** Classical additive seasonal decomposition (the moving-average STL
+    * precursor every monitoring stack ships): over a REGULAR series —
+    * one row per (key, bucket) — split `value = trend + seasonal +
+    * remainder` at a fixed `period`.
+    *
+    * trend = centered moving average (the classic 2×MA for even periods:
+    * half-weight endpoints, so the window spans exactly one cycle);
+    * NULL until a full window exists. seasonal = per-(key, phase) mean of
+    * the detrended points, with `phase` supplied by the caller (e.g.
+    * `(bucket_index) % period` — a column, so month-of-year or
+    * hour-of-day phases both fit). remainder = value − trend − seasonal.
+    *
+    * Determinism: detrended points quantize to integer micro-units
+    * before the phase mean (one exact integer sum + one division), so
+    * the only float expressions are fixed-arity per-row formulas any
+    * engine evaluates in the same order. Scale shape: the shared
+    * one-exchange series window for the trend, then one groupBy to a
+    * keys×period metadata frame joined back under AQE broadcast. */
+  def seasonalDecompose(df: DataFrame, keyCols: Seq[String],
+      timeCol: String, valueCol: String, period: Int, phase: Column,
+      trendOut: String = "trend", seasonalOut: String = "seasonal",
+      remainderOut: String = "remainder"): DataFrame = {
+    require(period >= 2, s"need period >= 2, got $period")
+    val w = series(keyCols, timeCol)
+    val v = col(valueCol)
+    val half = period / 2
+    // terms in window order so the left-assoc float sum is reproducible
+    val terms: Seq[Column] =
+      if (period % 2 == 0)
+        (lit(0.5) * lag(v, half).over(w)) +:
+          ((-(half - 1) to half - 1).map {
+            case 0          => v
+            case i if i < 0 => lag(v, -i).over(w)
+            case i          => lead(v, i).over(w)
+          }) :+ (lit(0.5) * lead(v, half).over(w))
+      else
+        (-half to half).map {
+          case 0          => v
+          case i if i < 0 => lag(v, -i).over(w)
+          case i          => lead(v, i).over(w)
+        }
+    val trended = df
+      .withColumn(trendOut, terms.reduceLeft(_ + _) / lit(period))
+      .withColumn("__ph", phase)
+      .withColumn("__dq",
+        round((v - col(trendOut)) * 1e6).cast("long"))
+    val seasonal = trended.groupBy((keyCols.map(col) :+ col("__ph")): _*)
+      .agg(sum(col("__dq")).as("__s"), count(col("__dq")).as("__n"))
+      // all-null phase group: no seasonal estimate (ANSI-safe 0-count)
+      .select((keyCols.map(col) :+ col("__ph") :+
+        when(col("__n") > 0L, col("__s").cast("double") / col("__n"))
+          .as("__sq")): _*)
+    trended
+      .join(seasonal, keyCols :+ "__ph", "left")
+      .withColumn(seasonalOut, col("__sq") / lit(1e6))
+      .withColumn(remainderOut, v - col(trendOut) - col(seasonalOut))
+      .drop("__ph", "__dq", "__sq")
+  }
+
   /** value - previous value within the series; NULL for the first point
     * (InfluxQL `difference`). */
   def difference(df: DataFrame, keyCols: Seq[String], timeCol: String,

@@ -757,10 +757,42 @@ object InfluxQlPlanner {
         }
         ordered(IA.integral(df, keyCols, tcol, f, unit, name), keys)
       case "top" | "bottom" =>
-        val n = numArg(c, 1, s"${c.fn}(field, n)").toInt
-        IA.topN(df, keyCols, tcol, f, n, bottom = c.fn == "bottom")
-          .select((col(tcol).as("time") +: keys) :+ col(f).as(name): _*)
-          .orderBy(keys :+ col("time").asc: _*)
+        val bottom = c.fn == "bottom"
+        // 1.x grammar: TOP(field, n) — the n extreme points — or
+        // TOP(field, tag_key, n) — the n tag VALUES whose best point
+        // ranks highest, one (best) point each, tag emitted as a column
+        val tagArgs = c.args.drop(1).dropRight(1)
+        if (tagArgs.isEmpty) {
+          val n = numArg(c, 1, s"${c.fn}(field, n)").toInt
+          IA.topN(df, keyCols, tcol, f, n, bottom)
+            .select((col(tcol).as("time") +: keys) :+ col(f).as(name): _*)
+            .orderBy(keys :+ col("time").asc: _*)
+        } else {
+          val tagKey = tagArgs match {
+            case List(Ref(t)) =>
+              if (!df.columns.contains(t))
+                throw ParseError(s"unknown tag '$t' in ${c.fn}()")
+              t
+            case _ =>
+              throw ParseError(s"${c.fn}(field, tag_key, n) takes one tag key")
+          }
+          val n = numArg(c, c.args.length - 1,
+            s"${c.fn}(field, tag_key, n)").toInt
+          if (n < 1) throw ParseError(s"${c.fn}(field, tag_key, n) needs n >= 1")
+          // best point per tag value first (extreme value, earlier time on
+          // ties), THEN rank tag values by their best point: the second
+          // window runs over a tag-cardinality-sized frame, never raw rows
+          val best = IA.topN(df, keyCols :+ tagKey, tcol, f, 1, bottom)
+          val ord = (if (bottom) col(f).asc else col(f).desc) +:
+            Seq(col(tcol).asc, col(tagKey).asc)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(keys: _*).orderBy(ord: _*)
+          best.withColumn("__rk", row_number().over(w))
+            .filter(col("__rk") <= n)
+            .select((col(tcol).as("time") +: keys) :+ col(tagKey) :+
+              col(f).as(name): _*)
+            .orderBy(keys :+ col("time").asc: _*)
+        }
       case "distinct" =>
         // InfluxQL DISTINCT(field): the distinct field values per series
         ordered(df.filter(col(f).isNotNull)

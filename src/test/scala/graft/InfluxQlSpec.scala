@@ -126,6 +126,18 @@ class InfluxQlSpec extends SparkSpec {
       (15000000000L, "b", 20.0), (35000000000L, "b", 40.0)))
   }
 
+  test("top/bottom with a tag key: n best tag values, one best point each") {
+    val t = run("SELECT TOP(value, host, 2) AS best FROM cpu")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    // host maxes: a -> 6.0@30s, b -> 40.0@35s; both hosts selected,
+    // one best point each, output ordered by time
+    assert(t == Seq((30000000000L, "a", 6.0), (35000000000L, "b", 40.0)))
+    val b = run("SELECT BOTTOM(value, host, 1) AS worst FROM cpu")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    // host mins: a -> 1.0@0, b -> 10.0@5s; the single best-ranked tag is a
+    assert(b == Seq((0L, "a", 1.0)))
+  }
+
   test("window transforms compose and omit all-null warmup points") {
     val rows = run("""SELECT difference(value), moving_average(value, 2)
         FROM cpu WHERE host = 'a' GROUP BY host""")

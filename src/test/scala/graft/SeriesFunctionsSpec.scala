@@ -350,4 +350,28 @@ class SeriesFunctionsSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
       s"one exchange on the series key:\n$plan")
   }
+
+  test("seasonalDecompose: 2xMA trend, phase means, additive identity") {
+    import org.apache.spark.sql.functions.{lit, pmod}
+    import spark.implicits._
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 3.0), ("a", 3L, 1.0),
+      ("a", 4L, 3.0), ("a", 5L, 1.0)).toDF("k", "t", "v")
+    val out = SF.seasonalDecompose(df, Seq("k"), "t", "v", period = 2,
+        phase = pmod($"t", lit(2L)))
+      .collect()
+      .map(r => r.getAs[Long]("t") ->
+        (Option(r.getAs[Any]("trend")).map(_.asInstanceOf[Double]),
+          r.getAs[Double]("seasonal"),
+          Option(r.getAs[Any]("remainder")).map(_.asInstanceOf[Double])))
+      .toMap
+    // edges have no full centered window
+    assert(out(1L)._1.isEmpty && out(5L)._1.isEmpty)
+    // interior trend is the flat 2: (0.5*a + b + 0.5*c)/2 with a=c
+    assert(Seq(2L, 3L, 4L).forall(t => out(t)._1.contains(2.0)))
+    // phase means: even buckets +1, odd buckets -1
+    assert(out(2L)._2 == 1.0 && out(4L)._2 == 1.0)
+    assert(out(1L)._2 == -1.0 && out(3L)._2 == -1.0)
+    // the decomposition reassembles exactly where trend exists
+    assert(Seq(2L, 3L, 4L).forall(t => out(t)._3.contains(0.0)))
+  }
 }
