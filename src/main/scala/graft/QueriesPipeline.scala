@@ -501,6 +501,54 @@ object QueriesPipeline {
         CROSS JOIN v
         GROUP BY occ.doc_id ORDER BY occ.doc_id""")),
 
+    // encoding/OCR garbage audit: control chars, non-ASCII share, longest
+    // consonant run — the decode-sanity filter that runs before any
+    // quality model sees a document; all per-row regexp math
+    ("text_garbage",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          round(TF.controlCharRatio(col("text")), 6).as("ctrl_ratio"),
+          round(TF.nonAsciiRatio(col("text")), 6).as("non_ascii_ratio"),
+          TF.maxConsonantRun(col("text")).as("max_consonant_run"),
+          (TF.controlCharRatio(col("text")) > 0.001 ||
+            TF.maxConsonantRun(col("text")) >= 10).as("garbled"))
+        .orderBy("doc_id"),
+      Some(raw"""SELECT doc_id,
+        round(len(regexp_extract_all(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]'))
+          * 1.0 / greatest(length(text), 1), 6) AS ctrl_ratio,
+        round(len(regexp_extract_all(text, '[^\x00-\x7f]'))
+          * 1.0 / greatest(length(text), 1), 6) AS non_ascii_ratio,
+        coalesce(list_max(list_transform(regexp_extract_all(lower(text),
+          '[bcdfghjklmnpqrstvwxz]+'), x -> length(x))), 0)
+          AS max_consonant_run,
+        (len(regexp_extract_all(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]'))
+            * 1.0 / greatest(length(text), 1) > 0.001
+          OR coalesce(list_max(list_transform(regexp_extract_all(lower(text),
+            '[bcdfghjklmnpqrstvwxz]+'), x -> length(x))), 0) >= 10)
+          AS garbled
+        FROM documents ORDER BY doc_id""")),
+
+    // cross-source shingle overlap matrix: exact shared distinct word-3-
+    // gram counts + Jaccard per source pair — the mix-diversity audit;
+    // one shuffle on the shingle, pair expansion bounded by #sources
+    ("corpus_source_overlap",
+      (s, d) => DocDedup.sourceOverlap(
+          Tables.spread(s, Tables.documents(s, d)), "source", "text")
+        .orderBy("source1", "source2"),
+      Some(s"""WITH $dShingles,
+        ss AS (SELECT DISTINCT d.source, sh.s
+          FROM sh JOIN documents d USING (doc_id)),
+        sizes AS (SELECT source, count(*) AS n FROM ss GROUP BY 1),
+        pr AS (SELECT a.source AS source1, b.source AS source2,
+            count(*) AS shared
+          FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT source1, source2, n1.n AS n1, n2.n AS n2, shared,
+          round(shared / (n1.n + n2.n - shared), 6) AS jaccard
+        FROM pr JOIN sizes n1 ON n1.source = source1
+        JOIN sizes n2 ON n2.source = source2
+        ORDER BY source1, source2""")),
+
     // interpolated Kneser-Ney bigram scoring — the absolute-discount +
     // continuation-probability upgrade of text_lm_score; the oracle
     // replays the same count tables (types/contexts/continuations) and

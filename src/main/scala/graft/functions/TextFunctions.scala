@@ -153,6 +153,31 @@ object TextFunctions {
     round(q, 6)
   }
 
+  // ----------------------------------------------- encoding/OCR garbage
+
+  /** Control-character ratio (C0 minus tab/newline/CR): mojibake and
+    * binary-in-text leakage rarely survive a clean decode — any hit is a
+    * strong garbage signal. One codegen'd regexp pass. */
+  def controlCharRatio(text: Column): Column =
+    regexp_count(text, lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"))
+      .cast("double") / greatest(length(text), lit(1)).cast("double")
+
+  /** Ratio of non-ASCII characters — meaningful only per expected
+    * script (Chinese text is all non-ASCII by design); callers compare
+    * against the language's baseline. */
+  def nonAsciiRatio(text: Column): Column =
+    regexp_count(text, lit("[^\\x00-\\x7f]")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Longest run of latin consonants — the classic OCR-garble detector
+    * ("mnbvcxz" runs don't occur in natural latin-script text; runs past
+    * ~8 flag scanner noise). Per-row array math, zero shuffles. */
+  def maxConsonantRun(text: Column): Column =
+    coalesce(array_max(transform(
+      regexp_extract_all(lower(text), lit("[bcdfghjklmnpqrstvwxz]+"),
+        lit(0)),
+      x => length(x))), lit(0))
+
   // -------------------------------------------------- Gopher quality rules
 
   /** '#' and '...' occurrences per token (the Gopher symbol-to-word

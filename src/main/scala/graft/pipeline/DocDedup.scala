@@ -734,6 +734,43 @@ object DocDedup {
           .otherwise("changed").as("status"))
   }
 
+  /** Cross-source n-gram overlap matrix: for every pair of corpus
+    * slices, the EXACT count of shared distinct word n-gram shingles and
+    * the resulting Jaccard — the diversity/contamination diagnostic run
+    * before mixing sources into a training set (the estimated twin for
+    * two huge corpora is the HLL path at [[hllRegisters]]).
+    *
+    * Scale shape: the dedup-family candidate discipline — distinct
+    * (source, shingle) rows, ONE shuffle on the shingle to collect its
+    * source set (bounded by #sources, not corpus), in-bucket pair
+    * expansion (≤ C(#sources, 2) rows per shingle), then a map-side
+    * combining count to the #sources² matrix. Source counts are a
+    * #sources-sized frame joined back under AQE broadcast. */
+  def sourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = docs.select(col(srcCol).as("source"),
+        explode_outer(array_distinct(shingles(col(textCol), n))).as("__sh"))
+      .filter(col("__sh").isNotNull)
+      .distinct()
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("__n"))
+    val buckets = sh.groupBy("__sh")
+      .agg(sort_array(collect_set(col("source"))).as("xs"))
+      .filter(size(col("xs")) > 1)
+    val shared = explodePairs(buckets, "xs")((x, y) =>
+        struct(x.as("s1"), y.as("s2")))
+      .groupBy(col("p.s1").as("source1"), col("p.s2").as("source2"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("source").as("source1"), col("__n").as("n1")),
+        "source1")
+      .join(sizes.select(col("source").as("source2"), col("__n").as("n2")),
+        "source2")
+      .select(col("source1"), col("source2"), col("n1"), col("n2"),
+        col("shared"),
+        round(col("shared") / (col("n1") + col("n2") - col("shared")), 6)
+          .as("jaccard"))
+  }
+
   /** Count-min sketch over a key stream (Cormode & Muthukrishnan 2005) —
     * the frequency companion of [[bloomBuild]] (membership) and the HLL
     * cardinality path: `depth` hash rows of `width` cells; a key's count

@@ -131,6 +131,41 @@ class PipelineSpec extends SparkSpec {
     assert(!out.contains(3L), "a 1-token doc has no defined loss")
   }
 
+  test("garbage audit: control chars, non-ascii share, consonant runs") {
+    val df = Seq(
+      (1L, "normal english text here"),
+      (2L, "bad\u0001\u0002 bytes"),
+      (3L, "zxcvbnmqwrtp scanner noise"),
+      (4L, "")).toDF("id", "text")
+    val out = df.select($"id",
+        TF.controlCharRatio($"text").as("c"),
+        TF.nonAsciiRatio($"text").as("na"),
+        TF.maxConsonantRun($"text").as("run"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getInt(3)))
+      .toMap
+    assert(out(1L)._1 == 0.0 && out(1L)._2 == 0.0)
+    assert(out(2L)._1 == 2.0 / 11 && out(2L)._3 == 1) // two C0 bytes
+    assert(out(3L)._3 == 12, "the full garble run is measured")
+    assert(out(4L) == ((0.0, 0.0, 0))) // empty text is length-guarded
+  }
+
+  test("sourceOverlap: exact shared-shingle counts and jaccard per pair") {
+    val df = Seq(
+      (1L, "a", "one two three four"),   // shingles: {one two three, two three four}
+      (2L, "b", "one two three"),        // {one two three}
+      (3L, "c", "five six seven eight")) // disjoint
+      .toDF("doc_id", "src", "text")
+    val out = DocDedup.sourceOverlap(df, "src", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    // only (a, b) share anything: 1 of (2 + 1 - 1) = 0.5
+    assert(out.keySet == Set(("a", "b")))
+    assert(out(("a", "b")) == ((2L, 1L, 1L, 0.5)))
+  }
+
   test("Kneser-Ney bigram score: hand-checked discount + continuation") {
     import graft.pipeline.LanguageModel
     val df = Seq((1L, "x y"), (2L, "x y"), (3L, "x z"), (4L, "w"))
