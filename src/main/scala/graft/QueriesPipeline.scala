@@ -2080,6 +2080,107 @@ object QueriesPipeline {
         SELECT q_id, rank, vec_id AS neighbor_id, round(score, 6) AS score
         FROM rk WHERE rank <= 10 ORDER BY q_id, rank""")),
 
+    // recall@k evaluation of the IVF index against brute-force ground
+    // truth — the accuracy dial every ANN deployment tunes (nprobe vs
+    // recall); exact hit counts per query, both sides replayed by the
+    // oracle from their existing CTE chains
+    ("ann_recall_eval",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val centroids = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val truth = Similarity.bruteForceTopK(emb, q, k = 10)
+          .select(col("q_id"), col("neighbor_id"))
+        val approx = Similarity.ivfTopK(emb, centroids, q, k = 10, nprobe = 3)
+          .select(col("q_id"), col("neighbor_id"), lit(1).as("__h"))
+        truth.join(approx, Seq("q_id", "neighbor_id"), "left")
+          .groupBy("q_id")
+          .agg(sum(coalesce(col("__h"), lit(0))).as("hits"))
+          .select(col("q_id"), col("hits"),
+            round(col("hits") / 10.0, 6).as("recall"))
+          .orderBy("q_id")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 5),
+        bf AS (SELECT q_id, neighbor_id FROM (SELECT q.q_id,
+            v.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.q_id
+              ORDER BY list_dot_product(v.e, q.qe)
+                / (sqrt(list_dot_product(v.e, v.e))
+                  * sqrt(list_dot_product(q.qe, q.qe))) DESC,
+              v.vec_id ASC) AS rk
+          FROM v CROSS JOIN q WHERE v.vec_id != q.q_id) WHERE rk <= 10),
+        c AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id % 50 = 0),
+        cosvc AS (SELECT v.vec_id, c.c_id, list_dot_product(v.e, c.ce)
+            / (sqrt(list_dot_product(v.e, v.e))
+              * sqrt(list_dot_product(c.ce, c.ce))) AS aff
+          FROM v CROSS JOIN c),
+        assign AS (SELECT vec_id, c_id FROM (SELECT vec_id, c_id,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY aff DESC, c_id ASC) AS rn
+          FROM cosvc) WHERE rn = 1),
+        probes AS (SELECT q_id, c_id FROM (SELECT q.q_id, c.c_id,
+            row_number() OVER (PARTITION BY q.q_id
+              ORDER BY list_dot_product(q.qe, c.ce)
+                / (sqrt(list_dot_product(q.qe, q.qe))
+                  * sqrt(list_dot_product(c.ce, c.ce))) DESC,
+              c.c_id ASC) AS rn
+          FROM q CROSS JOIN c) WHERE rn <= 3),
+        cand AS (SELECT p.q_id, a.vec_id
+          FROM probes p JOIN assign a ON a.c_id = p.c_id),
+        iv AS (SELECT q_id, neighbor_id FROM (SELECT cand.q_id,
+            cand.vec_id AS neighbor_id, row_number() OVER (
+              PARTITION BY cand.q_id ORDER BY list_dot_product(v.e, q.qe)
+                / (sqrt(list_dot_product(v.e, v.e))
+                  * sqrt(list_dot_product(q.qe, q.qe))) DESC,
+              cand.vec_id ASC) AS rk
+          FROM cand JOIN v ON v.vec_id = cand.vec_id
+          JOIN q ON q.q_id = cand.q_id
+          WHERE cand.vec_id != cand.q_id) WHERE rk <= 10)
+        SELECT bf.q_id,
+          sum(CASE WHEN iv.neighbor_id IS NULL THEN 0 ELSE 1 END) AS hits,
+          round(sum(CASE WHEN iv.neighbor_id IS NULL THEN 0 ELSE 1 END)
+            / 10.0, 6) AS recall
+        FROM bf LEFT JOIN iv ON iv.q_id = bf.q_id
+          AND iv.neighbor_id = bf.neighbor_id
+        GROUP BY bf.q_id ORDER BY bf.q_id""")),
+
+    // NB-classifier vs declared-label confusion matrix: the per-pair
+    // agreement audit run after any corpus relabeling pass — composes
+    // text_nb_lang's classifier with one counting aggregate
+    ("corpus_lang_confusion",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        LanguageModel.naiveBayesClassify(docs, "doc_id", "lang", "text")
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .groupBy(col("lang"), col("pred"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang", "pred")
+      },
+      Some(s"""WITH p AS (SELECT doc_id, lang, $dToks AS w FROM documents),
+        occ AS (SELECT doc_id, unnest(w) AS t FROM p),
+        ct AS (SELECT lang AS c, t, count(*) AS ct
+          FROM (SELECT lang, unnest(w) AS t FROM p) GROUP BY 1, 2),
+        tot AS (SELECT c, sum(ct) AS n FROM ct GROUP BY 1),
+        vv AS (SELECT count(DISTINCT t) AS v FROM occ),
+        pr AS (SELECT lang AS c, CAST(round(log2(count(*)
+            / (SELECT count(*) * 1.0 FROM p)) * 1000000) AS BIGINT) AS prior_q
+          FROM p GROUP BY 1),
+        sc AS (SELECT occ.doc_id, tot.c, pr.prior_q
+            + sum(CAST(round(log2((coalesce(ct.ct, 0) + 0.5)
+              / (tot.n + 0.5 * vv.v)) * 1000000) AS BIGINT)) AS score_q
+          FROM occ CROSS JOIN tot CROSS JOIN vv
+          LEFT JOIN ct ON ct.c = tot.c AND ct.t = occ.t
+          JOIN pr ON pr.c = tot.c
+          GROUP BY occ.doc_id, tot.c, pr.prior_q),
+        rk AS (SELECT doc_id, c, score_q, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score_q DESC, c ASC) AS rk FROM sc),
+        cls AS (SELECT doc_id, c AS pred FROM rk WHERE rk = 1)
+        SELECT p.lang, cls.pred, count(*) AS n
+        FROM cls JOIN p USING (doc_id)
+        GROUP BY 1, 2 ORDER BY lang, pred""")),
+
     // the composed IVF-PQ index (the billion-scale ANN query path):
     // coarse k-means cells prune the corpus to nprobe lists per query,
     // PQ ADC scores the survivors from codes alone — the oracle replays

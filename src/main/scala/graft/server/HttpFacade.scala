@@ -526,6 +526,36 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
         }
         Right(None) // ack: a results entry with no series
       }
+    case graft.core.InfluxQl.Drop("measurement", m, _) =>
+      // the whole measurement goes away: its chunks AND its tombstones
+      if (!measurements(db).contains(m)) Left(s"measurement not found: $m")
+      else {
+        databases.updateWith(db)(_.map(_.filterNot(_._1 == m)))
+        tombstones.remove((db, m))
+        Right(None)
+      }
+    case graft.core.InfluxQl.Drop("series", m, where) =>
+      // DROP SERIES = a tombstone across ALL time; 1.x forbids time
+      // bounds and field predicates here — only tag conditions select
+      // series
+      if (!measurements(db).contains(m)) Left(s"measurement not found: $m")
+      else {
+        val tags = measurementView(db, m).map(asMeasurement(_).tagCols)
+          .getOrElse(Seq.empty)
+        where.foreach { e =>
+          val bad = collectRefs(e).filterNot(tags.contains)
+          if (bad.nonEmpty)
+            return Left("DROP SERIES selects by tag conditions only; " +
+              s"not tags: ${bad.mkString(", ")}")
+        }
+        tombstones.updateWith((db, m)) {
+          case Some(v) => Some(v :+ ((None, None, where)))
+          case None => Some(Vector((None, None, where)))
+        }
+        Right(None)
+      }
+    case graft.core.InfluxQl.Drop(what, _, _) =>
+      Left(s"unsupported DROP $what")
   }
 
   private def collectRefs(e: graft.core.InfluxQl.Expr): Seq[String] = e match {

@@ -422,6 +422,58 @@ class HttpFacadeSpec extends SparkSpec {
     }
   }
 
+  test("DROP SERIES and DROP MEASUREMENT: 1.x management statements") {
+    withFacade { facade =>
+      val p = facade.boundPort
+      val lp = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(fixture))
+      assert(post(p, "/api/v2/write?org=o&bucket=b", lp)._1 == 204)
+
+      // DROP SERIES with a tag condition: matching series vanish across
+      // ALL time, on every read path
+      val (sd, bd) = get(p, s"/query?db=o_b&q=${enc(
+        "DROP SERIES FROM h2o_temperature WHERE location = 'santa_monica'")}")
+      assert(sd == 200 && bd == """{"results":[{"statement_id":0}]}""")
+      val after = get(p, s"/query?db=o_b&q=${enc(
+        "SELECT surface_degrees FROM h2o_temperature ORDER BY time")}")._2
+      assert(!after.contains("65.2") && !after.contains("63.6"), after)
+      assert(after.contains("55.8"), after)
+
+      // time bounds and field predicates are rejected (1.x: DROP SERIES
+      // selects by tags only; DELETE is the time-bounded form)
+      val (st, bt) = get(p, s"/query?db=o_b&q=${enc(
+        "DROP SERIES FROM h2o_temperature WHERE time < 1600000000")}")
+      assert(st == 200 && bt.contains("tag conditions only"), bt)
+      val (sf, bf) = get(p, s"/query?db=o_b&q=${enc(
+        "DROP SERIES FROM h2o_temperature WHERE surface_degrees > 60")}")
+      assert(sf == 200 && bf.contains("tag conditions only"), bf)
+
+      // DROP MEASUREMENT removes it from the catalog entirely
+      val (sm, bm) = get(p, s"/query?db=o_b&q=${enc(
+        "DROP MEASUREMENT air_temperature")}")
+      assert(sm == 200 && bm == """{"results":[{"statement_id":0}]}""")
+      val shows = get(p, s"/query?db=o_b&q=${enc("SHOW MEASUREMENTS")}")._2
+      assert(!shows.contains("air_temperature") &&
+        shows.contains("h2o_temperature"), shows)
+      val miss = get(p, s"/query?db=o_b&q=${enc(
+        "SELECT f FROM air_temperature")}")._2
+      assert(miss.contains("measurement not found"), miss)
+
+      // DROP SERIES without WHERE tombstones every series
+      val (sa, ba) = get(p, s"/query?db=o_b&q=${enc(
+        "DROP SERIES FROM h2o_temperature")}")
+      assert(sa == 200 && ba == """{"results":[{"statement_id":0}]}""")
+      val empty = get(p, s"/query?db=o_b&q=${enc(
+        "SELECT surface_degrees FROM h2o_temperature")}")._2
+      assert(empty == """{"results":[{"statement_id":0,"series":[]}]}""",
+        empty)
+
+      // unknown measurements error in-band
+      val (su, bu) = get(p, s"/query?db=o_b&q=${enc(
+        "DROP MEASUREMENT missing")}")
+      assert(su == 200 && bu.contains("measurement not found"), bu)
+    }
+  }
+
   test("flight do_put: Arrow IPC write lands as a queryable measurement") {
     withFacade { facade =>
       val p = facade.boundPort
