@@ -1382,6 +1382,37 @@ object QueriesCore {
           round((v - trend - seasonal) / 100.0, 6) + 0 AS remainder
         FROM j ORDER BY user_id, t""")),
 
+    ("events_interval_join",
+      (s, d) => {
+        // impression->conversion attribution: purchases joined to the
+        // views they follow within 1h per user — the BATCH run of the
+        // stream-stream interval join (identical Catalyst condition;
+        // StreamingSpec asserts the batch≡streaming parity)
+        val ev = Tables.events(s, d).filter(col("user_id") < 50)
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts").as("view_ts"),
+            col("ts_ns").as("view_ns"))
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("buy_ts"),
+            col("ts_ns").as("buy_ns"),
+            round(col("value") * 100).cast("long").as("buy_cents"))
+        graft.streaming.StreamJoin.intervalJoin(views, buys, "user_id",
+            "view_ts", "buy_ts", horizon = "6 hours")
+          .select(col("user_id").cast("long").as("user_id"),
+            col("view_ns"), col("buy_ns"), col("buy_cents"))
+          .orderBy("user_id", "view_ns", "buy_ns")
+      },
+      Some("""WITH v AS (SELECT user_id, epoch_ns(ts) AS view_ns FROM events
+          WHERE user_id < 50 AND event_type = 'view'),
+        b AS (SELECT user_id, epoch_ns(ts) AS buy_ns,
+            CAST(round(value * 100) AS BIGINT) AS buy_cents FROM events
+          WHERE user_id < 50 AND event_type = 'purchase')
+        SELECT v.user_id, v.view_ns, b.buy_ns, b.buy_cents
+        FROM v JOIN b ON b.user_id = v.user_id
+          AND b.buy_ns >= v.view_ns
+          AND b.buy_ns <= v.view_ns + 21600000000000
+        ORDER BY v.user_id, view_ns, buy_ns""")),
+
     ("events_state_count",
       (s, d) => {
         // Flux stateCount + stateDuration: threshold-streak tracking per

@@ -556,6 +556,29 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
       }
     case graft.core.InfluxQl.Drop(what, _, _) =>
       Left(s"unsupported DROP $what")
+    case graft.core.InfluxQl.Explain(sel, analyze) =>
+      // the 1.x plan-inspection statement, answered with the engine's
+      // native plan: EXPLAIN = formatted Catalyst logical->physical,
+      // ANALYZE = the final AQE-resolved executed plan after running
+      def root(s0: graft.core.InfluxQl.Select): String =
+        s0.fromSub.map(root).getOrElse(s0.from)
+      val msAll = measurements(db).flatMap { m =>
+        measurementView(db, m).map(df => m -> asMeasurement(df))
+      }.toMap
+      if (!msAll.contains(root(sel)))
+        Left(s"measurement not found: ${root(sel)}")
+      else {
+        val df = graft.operators.InfluxQlPlanner.plan(msAll, sel)
+        val text =
+          if (analyze) {
+            df.write.format("noop").mode("overwrite").save()
+            df.queryExecution.executedPlan.toString
+          } else df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+        import spark.implicits._
+        Right(Some(("explain", Seq.empty[String],
+          text.linesIterator.toSeq.toDF("QUERY PLAN"))))
+      }
   }
 
   private def collectRefs(e: graft.core.InfluxQl.Expr): Seq[String] = e match {

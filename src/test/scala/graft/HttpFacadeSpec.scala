@@ -422,6 +422,25 @@ class HttpFacadeSpec extends SparkSpec {
     }
   }
 
+  test("EXPLAIN [ANALYZE]: the plan-inspection statement, engine-native") {
+    withFacade { facade =>
+      val p = facade.boundPort
+      val lp = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(fixture))
+      assert(post(p, "/api/v2/write?org=o&bucket=b", lp)._1 == 204)
+      val (s1, b1) = get(p, s"/query?db=o_b&q=${enc(
+        "EXPLAIN SELECT mean(surface_degrees) FROM h2o_temperature GROUP BY state")}")
+      assert(s1 == 200 && b1.contains(""""columns":["QUERY PLAN"]"""), b1)
+      assert(b1.contains("Physical Plan"), b1)
+      assert(b1.contains("HashAggregate"), b1)
+      val (s2, b2) = get(p, s"/query?db=o_b&q=${enc(
+        "EXPLAIN ANALYZE SELECT surface_degrees FROM h2o_temperature")}")
+      assert(s2 == 200 && b2.contains(""""columns":["QUERY PLAN"]"""), b2)
+      val (s3, b3) = get(p, s"/query?db=o_b&q=${enc(
+        "EXPLAIN SELECT f FROM missing")}")
+      assert(s3 == 200 && b3.contains("measurement not found"), b3)
+    }
+  }
+
   test("DROP SERIES and DROP MEASUREMENT: 1.x management statements") {
     withFacade { facade =>
       val p = facade.boundPort
