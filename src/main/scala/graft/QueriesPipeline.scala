@@ -1196,6 +1196,97 @@ object QueriesPipeline {
         SELECT id AS doc_id, cluster_id, cluster_size
         FROM comp JOIN cs USING (cluster_id) ORDER BY doc_id""")),
 
+    // duplicate-cluster size histogram — the corpus-health report a dedup
+    // run emits (how much of the corpus sits in dup clusters of what
+    // size); singletons = docs outside every near-dup component
+    ("dedup_cluster_sizes",
+      (s, d) => {
+        val docs = Tables.spread(s, Tables.documents(s, d))
+        val cc = DocDedup.connectedComponents(
+          DocDedup.minHashDedupPairs(docs, "doc_id", "text", n = 3,
+            threshold = 0.7, DocDedup.MinHashParams(numPerms = 32, bands = 16)))
+        val hist = cc.groupBy("cluster_size")
+          .agg(countDistinct("cluster_id").as("n_clusters"),
+            count(lit(1)).as("n_docs"))
+        val singles = docs.agg(count(lit(1)).as("__nd"))
+          .crossJoin(cc.agg(count(lit(1)).as("__nc")))
+          .select(lit(1L).as("cluster_size"),
+            (col("__nd") - col("__nc")).as("n_clusters"),
+            (col("__nd") - col("__nc")).as("n_docs"))
+        hist.unionByName(singles).orderBy("cluster_size")
+      },
+      Some(s"""WITH RECURSIVE $dShingles,
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        rawpairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        dup AS (SELECT id1, id2 FROM rawpairs
+          JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+          WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.7),
+        edges AS (SELECT id1 AS u, id2 AS v FROM dup
+          UNION SELECT id2, id1 FROM dup),
+        reach(id, root) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.id),
+        comp AS (SELECT id, min(root) AS cluster_id FROM reach GROUP BY 1),
+        cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM comp GROUP BY 1),
+        hist AS (SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+            CAST(sum(cluster_size) AS BIGINT) AS n_docs FROM cs GROUP BY 1),
+        tot AS (SELECT count(*) AS nd FROM documents),
+        inc AS (SELECT count(*) AS nc FROM comp)
+        SELECT cluster_size, n_clusters, n_docs FROM hist
+        UNION ALL SELECT 1, nd - nc, nd - nc FROM tot CROSS JOIN inc
+        ORDER BY cluster_size""")),
+
+    // top-N PMI collocations (pointwise mutual information over corpus
+    // bigram/unigram counts, the classic collocation extractor) — counts
+    // shrink with vocabulary; the log quantizes to integer micro-bits so
+    // the ranking is an exact integer sort in any engine
+    ("text_pmi",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val uni = docs.select(explode_outer(TF.tokens(col("text"))).as("w"))
+          .filter(col("w").isNotNull)
+          .groupBy("w").agg(count(lit(1)).as("cw"))
+        val uniTot = uni.agg(sum("cw").as("u"))
+        val bg = docs.select(explode_outer(TF.ngrams(col("text"), 2)).as("bg"))
+          .filter(col("bg").isNotNull)
+          .groupBy("bg").agg(count(lit(1)).as("c12"))
+        val bgTot = bg.agg(sum("c12").as("tb"))
+        bg.filter(col("c12") >= 5)
+          .withColumn("w1", split(col("bg"), " ").getItem(0))
+          .withColumn("w2", split(col("bg"), " ").getItem(1))
+          .join(uni.select(col("w").as("w1"), col("cw").as("c1")), "w1")
+          .join(uni.select(col("w").as("w2"), col("cw").as("c2")), "w2")
+          .crossJoin(broadcast(uniTot)).crossJoin(broadcast(bgTot))
+          .withColumn("__q", round(log2((col("c12") / col("tb")) /
+            ((col("c1") / col("u")) * (col("c2") / col("u")))) * 1e6)
+            .cast("long"))
+          .select(col("bg").as("bigram"), col("c12"),
+            (col("__q").cast("double") / 1e6).as("pmi"))
+          .orderBy(col("pmi").desc, col("bigram").asc)
+          .limit(50)
+      },
+      Some(s"""WITH p AS (SELECT doc_id, $dToks AS w FROM documents),
+        u AS (SELECT tok, count(*) AS cw
+          FROM (SELECT unnest(w) AS tok FROM p) GROUP BY 1),
+        ut AS (SELECT sum(cw) AS u FROM u),
+        bgl AS (SELECT doc_id, CASE WHEN len(w) >= 2 THEN list_filter(
+            list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]),
+            x -> length(x) > 0) ELSE [] END AS bgs FROM p),
+        occ AS (SELECT doc_id, unnest(bgs) AS b FROM bgl),
+        bcnt AS (SELECT b, count(*) AS c12 FROM occ GROUP BY 1),
+        bt AS (SELECT sum(c12) AS tb FROM bcnt),
+        x AS (SELECT bcnt.b AS bigram, c12,
+            CAST(round(log2((c12 / bt.tb)
+              / ((u1.cw / ut.u) * (u2.cw / ut.u))) * 1000000) AS BIGINT) AS q
+          FROM bcnt JOIN u u1 ON u1.tok = string_split(bcnt.b, ' ')[1]
+          JOIN u u2 ON u2.tok = string_split(bcnt.b, ' ')[2]
+          CROSS JOIN ut CROSS JOIN bt WHERE c12 >= 5)
+        SELECT bigram, c12, q / 1000000.0 AS pmi FROM x
+        ORDER BY q DESC, bigram LIMIT 50""")),
+
     ("dedup_ensemble",
       // three detector families vote per pair; the count is the
       // precision dial (3 = certain dup, 1 = review queue)

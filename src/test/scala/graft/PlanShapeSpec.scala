@@ -170,6 +170,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!pq.contains("SortMergeJoin"), pq)
   }
 
+  test("r8 operators: IVF-PQ cell join broadcasts; covariance partial-aggregates") {
+    val d = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, d)
+    val q = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val (cells, coarse) = graft.pipeline.Clustering.kmeansFit(
+      emb, "vec_id", "embedding", k = 8, iters = 0)
+    val (codes, cb) = graft.pipeline.Clustering.pqFit(
+      emb, "vec_id", "embedding", m = 4, k = 4, iters = 0)
+    val ivfpq = executedPlan(graft.pipeline.Similarity.ivfPqTopK(
+      codes, cells, coarse, cb, q, k = 10, nprobe = 3))
+    // the candidate cut is a broadcast join on the cell id (the probe
+    // side is queries×nprobe rows), the top-k the bounded partial
+    // aggregate; nothing falls back to a sort-merge join
+    assert(ivfpq.contains("BroadcastHashJoin"), ivfpq)
+    assert(ivfpq.toLowerCase.contains("partial_topkagg"), ivfpq)
+    assert(!ivfpq.contains("SortMergeJoin"), ivfpq)
+
+    // covariance: the n·d² pair stream partial-aggregates BELOW its
+    // exchange — the shuffle carries d(d+1)/2 group sums per task, not
+    // exploded pairs — and no join degenerates to a cartesian product
+    // over data rows (the single-row total is a broadcast nested loop)
+    val cov = executedPlan(
+      graft.pipeline.Quantization.covariance(emb, "embedding"))
+    assert(cov.toLowerCase.contains("partial_sum"), cov)
+    assert(!cov.contains("CartesianProduct"), cov)
+    assert(!cov.contains("SortMergeJoin"), cov)
+  }
+
   test("r7 operators: partial aggs, keyed windows, broadcast sides (plan pins)") {
     val d = "/root/testdata/sf0.001"
     import graft.functions.{SeriesFunctions => SF}
