@@ -1380,6 +1380,37 @@ object QueriesPipeline {
           least(e, (seq_id + 1) * 128) - greatest(st, seq_id * 128) AS n_take
         FROM sp ORDER BY lang, doc_id, seq_id""")),
 
+    // packing-efficiency report: sequences built, tokens placed, and the
+    // fill ratio against padded capacity per stratum — the padding-waste
+    // number every training run watches; composes packSequences with one
+    // counting aggregate
+    ("pack_efficiency",
+      (s, d) => {
+        val t = Tables.documents(s, d).select(col("lang"), col("doc_id"),
+          TF.tokenCount(col("text")).cast("long").as("n"))
+        Packing.packSequences(t, Seq("lang"), "doc_id", "n", seqLen = 128)
+          .groupBy("lang")
+          .agg(countDistinct("seq_id").as("n_seqs"),
+            sum("n_take").as("n_tokens"))
+          .select(col("lang"), col("n_seqs"), col("n_tokens"),
+            round(col("n_tokens") / (col("n_seqs") * 128), 6).as("fill_ratio"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH t AS (SELECT lang, doc_id, CAST(len($dToks) AS BIGINT) AS n
+          FROM documents),
+        w AS (SELECT lang, doc_id, n, CAST(sum(n) OVER (PARTITION BY lang
+            ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+          FROM t WHERE n > 0),
+        sp AS (SELECT lang, doc_id, n, e - n AS st, e,
+            unnest(range((e - n) // 128, (e - 1) // 128 + 1)) AS seq_id FROM w),
+        tk AS (SELECT lang, seq_id,
+            least(e, (seq_id + 1) * 128) - greatest(st, seq_id * 128) AS n_take
+          FROM sp)
+        SELECT lang, CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+          CAST(sum(n_take) AS BIGINT) AS n_tokens,
+          round(sum(n_take) / (count(DISTINCT seq_id) * 128), 6) AS fill_ratio
+        FROM tk GROUP BY lang ORDER BY lang""")),
+
     // RAG-style sliding-window chunking: 200-char windows every 150 chars;
     // compare chunk digests, not the chunks themselves
     ("text_chunks",
@@ -1770,6 +1801,42 @@ object QueriesPipeline {
           CAST(i.doc_id % 48 + 16 AS INT) AS height,
           coalesce(c.f0_count, 0) AS f0_count
         FROM img i LEFT JOIN cnt c USING (doc_id) ORDER BY 1""")),
+
+    // perceptual-hash bucketing over the decoded image features (aHash:
+    // bit per histogram cell above the mean) — the binary-column dedup
+    // entry point; codes + bucket sizes here, pair expansion deferred to
+    // the sparse-bucket production hash (see Multimodal.aHashCode)
+    ("multimodal_phash",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val assets = Multimodal.syntheticAssets(s, docs)
+        val blen = docs.select(col("doc_id"),
+          length(encode(col("text"), "UTF-8")).as("blen"))
+        val coded = Multimodal.extractImageFeatures(assets)
+          .join(blen, col("asset_id") === col("doc_id"))
+          .select(col("asset_id"),
+            Multimodal.aHashCode(col("feature"), col("blen")).as("code"))
+        coded.join(coded.groupBy("code").agg(count(lit(1)).as("bucket_n")),
+            "code")
+          .select(col("asset_id"), col("code"), col("bucket_n"))
+          .orderBy("asset_id")
+      },
+      Some("""WITH img AS (SELECT doc_id, text FROM documents
+          WHERE doc_id % 3 = 0),
+        ch AS (SELECT doc_id, ascii(unnest(string_split(text, ''))) AS b
+          FROM img),
+        hist AS (SELECT doc_id, b % 8 AS k, count(*) AS c
+          FROM ch GROUP BY 1, 2),
+        bl AS (SELECT doc_id, length(text) AS blen FROM img),
+        code AS (SELECT bl.doc_id, CAST(coalesce(
+            sum(CASE WHEN c * 8 > blen THEN (1 << k) END), 0) AS BIGINT)
+            AS code
+          FROM bl LEFT JOIN hist ON hist.doc_id = bl.doc_id
+          GROUP BY bl.doc_id, blen),
+        bk AS (SELECT code, count(*) AS bucket_n FROM code GROUP BY 1)
+        SELECT doc_id AS asset_id, code.code, bk.bucket_n
+        FROM code JOIN bk USING (code) ORDER BY asset_id""")),
 
     ("multimodal_frames",
       (s, d) => {

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -109,6 +109,23 @@ object Multimodal {
       }
     }
   }
+
+  /** Average-hash code over a decoded feature histogram (the aHash
+    * family every image-dedup pipeline starts from: bit i set iff cell i
+    * exceeds the mean). Computed from [[extractImageFeatures]] output
+    * plus the content byte length: the stub feature stores exact ratios,
+    * so `round(ratio·len)` recovers the integer cell count and the
+    * bit test `count·cells > len` is all-integer — engine-reproducible.
+    *
+    * The stub histogram has 8 cells → an 8-bit code, so buckets are
+    * COARSE (fine for plumbing tests); a production phash is 64-bit with
+    * sparse buckets, and pairs then flow through the standard
+    * explode→bucket→pair candidate discipline of the text dedup family. */
+  def aHashCode(feature: Column, byteLen: Column, cells: Int = 8): Column =
+    (0 until cells).map { i =>
+      when(round(element_at(feature, i + 1).cast("double") * byteLen)
+        .cast("long") * cells > byteLen, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** Deterministic synthetic asset table (for tests and the correctness
     * gate): content bytes derived from the documents table so no RNG is
