@@ -1382,6 +1382,40 @@ object QueriesCore {
           round((v - trend - seasonal) / 100.0, 6) + 0 AS remainder
         FROM j ORDER BY user_id, t""")),
 
+    ("events_cusum",
+      (s, d) => {
+        // Page's tabular CUSUM on integer cents (target 50.00, slack
+        // 1.00, decision threshold 20.00): sustained small shifts
+        // accumulate where the point-wise z-score never fires. The whole
+        // recursion is integer arithmetic — the oracle replays it as a
+        // recursive CTE on BIGINTs, step for step
+        import graft.functions.{SeriesFunctions => SF}
+        val ev = Tables.events(s, d).filter(col("user_id") < 5)
+          .select(col("user_id"), col("ts_ns").as("t"),
+            round(col("value") * 100).cast("long").as("cents"))
+        SF.cusum(ev, Seq("user_id"), "t", "cents",
+            target = 5000.0, slack = 100.0, threshold = 2000.0)
+          .select(col("user_id").cast("long").as("user_id"), col("t"),
+            col("cusum_pos").cast("long").as("cusum_pos"),
+            col("cusum_neg").cast("long").as("cusum_neg"), col("alarm"))
+          .orderBy("user_id", "t")
+      },
+      Some("""WITH RECURSIVE e AS (SELECT user_id, epoch_ns(ts) AS t,
+            CAST(round(value * 100) AS BIGINT) AS c,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY epoch_ns(ts)) AS rn
+          FROM events WHERE user_id < 5),
+        r AS (SELECT user_id, t, rn,
+            greatest(0, c - 5100) AS sp, greatest(0, 4900 - c) AS sn
+          FROM e WHERE rn = 1
+          UNION ALL
+          SELECT e.user_id, e.t, e.rn,
+            greatest(0, r.sp + e.c - 5100), greatest(0, r.sn + 4900 - e.c)
+          FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        SELECT user_id, t, sp AS cusum_pos, sn AS cusum_neg,
+          (sp > 2000 OR sn > 2000) AS alarm
+        FROM r ORDER BY user_id, t""")),
+
     ("events_interval_join",
       (s, d) => {
         // impression->conversion attribution: purchases joined to the

@@ -922,6 +922,36 @@ object QueriesPipeline {
           array_to_string(kept, '. ') AS text_clean
         FROM k ORDER BY doc_id""")),
 
+    // cross-document duplicate-line ratio (the RefinedWeb per-doc dup
+    // metric): fraction of a doc's distinct sentences that appear in at
+    // least one other document — one sentence explode into a df table
+    // joined back, all-integer per-doc counts
+    ("text_dup_lines",
+      (s, d) => {
+        val sents = Tables.spread(s, Tables.documents(s, d))
+          .select(col("doc_id"),
+            explode_outer(array_distinct(split(col("text"), "\\.\\s+")))
+              .as("sent"))
+          .filter(col("sent").isNotNull && length(col("sent")) > 0)
+        val dfT = sents.groupBy("sent").agg(count(lit(1)).as("df"))
+        sents.join(dfT, "sent")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_sentences"),
+            sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+          .select(col("doc_id"), col("n_sentences"), col("n_dup"),
+            round(col("n_dup") / col("n_sentences"), 6).as("dup_ratio"))
+          .orderBy("doc_id")
+      },
+      Some(raw"""WITH s AS (SELECT doc_id, unnest(list_distinct(
+            regexp_split_to_array(text, '\.\s+'))) AS sent FROM documents),
+        f AS (SELECT doc_id, sent FROM s WHERE length(sent) > 0),
+        d AS (SELECT sent, count(*) AS df FROM f GROUP BY 1)
+        SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_sentences,
+          CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+          round(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) / count(*), 6)
+            AS dup_ratio
+        FROM f JOIN d USING (sent) GROUP BY 1 ORDER BY doc_id""")),
+
     ("text_fertility",
       // tokenizer fertility: bytes per BPE-ish token by language — the
       // multilingual tokenizer-budget audit; integer byte/token sums,
@@ -1751,6 +1781,46 @@ object QueriesPipeline {
           FROM s2 GROUP BY c),
         a3 AS ${dKmeansAssign("c2")}
         SELECT vec_id, CAST(c AS INT) AS cluster FROM a3 ORDER BY vec_id""")),
+
+    // embedding-space outliers: the 50 vectors least aligned with their
+    // own fitted centroid (cosine to the cluster mean after one Lloyd
+    // iteration) — the embedding-QA sweep that catches corrupt or
+    // out-of-distribution vectors before they poison ANN/clustering
+    ("emb_outliers",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val (cells, cents) = Clustering.kmeansFit(
+          Tables.spread(s, emb), "vec_id", "embedding", k = 8, iters = 1)
+        val centDf = cents.toDF("cluster", "ce")
+        emb.join(cells, "vec_id").join(broadcast(centDf), "cluster")
+          .withColumn("__aff", VF.dot(col("embedding"), col("ce")) /
+            (VF.norm(col("embedding")) * VF.norm(col("ce"))))
+          .orderBy(col("__aff").asc, col("vec_id").asc)
+          .limit(50)
+          .select(col("vec_id"), col("cluster"),
+            round(col("__aff"), 6).as("aff"))
+      },
+      Some(s"""WITH $dKmeansPrep,
+        c0 AS (SELECT vec_id AS c, e AS ce FROM x WHERE vec_id < 8),
+        a1 AS ${dKmeansAssign("c0")},
+        s1 AS (SELECT c, d, sum(q[d]) AS s, count(*) AS n
+          FROM a1 JOIN v USING (vec_id)
+          CROSS JOIN (SELECT unnest(range(1, 65)) AS d) GROUP BY c, d),
+        c1 AS (SELECT c, list((s / n) / 1000000.0 ORDER BY d) AS ce
+          FROM s1 GROUP BY c),
+        a2 AS ${dKmeansAssign("c1")},
+        vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS re
+          FROM embeddings),
+        sc AS (SELECT a2.vec_id, a2.c AS cluster,
+            list_dot_product(vv.re, c1.ce)
+              / (sqrt(list_dot_product(vv.re, vv.re))
+                * sqrt(list_dot_product(c1.ce, c1.ce))) AS aff
+          FROM a2 JOIN vv USING (vec_id) JOIN c1 ON c1.c = a2.c),
+        rk AS (SELECT vec_id, cluster, aff,
+            row_number() OVER (ORDER BY aff ASC, vec_id ASC) AS rn FROM sc)
+        SELECT vec_id, CAST(cluster AS INT) AS cluster, round(aff, 6) AS aff
+        FROM rk WHERE rn <= 50 ORDER BY rn""")),
 
     // SemDeDup (arXiv:2303.09540): cluster against the seed centroids,
     // then inside each cluster drop any member with a lower-id neighbor at

@@ -484,6 +484,54 @@ object SeriesFunctions {
     * a fresh per-series state machine returning `Option[Double]` per point
     * (None = warm-up NULL). Null times/values are dropped up front like
     * the sibling transforms' `lag` would skip them. */
+  /** Tabular CUSUM change detection (Page 1954 — the classic sequential
+    * drift detector): per series,
+    * `S⁺ ← max(0, S⁺ + (v − target − slack))` and
+    * `S⁻ ← max(0, S⁻ + (target − v − slack))`, alarming when either
+    * side exceeds `threshold`. Catches small sustained shifts a
+    * point-wise z-score ([[anomalyFlags]]) never accumulates.
+    *
+    * Exactness: feed integer-quantized values (cents) and integer
+    * target/slack/threshold — the recursion is then pure integer
+    * arithmetic carried exactly in doubles (< 2⁵³), so any engine
+    * replays it bit-identically (the oracle uses a recursive CTE on
+    * BIGINTs). Shape: the [[scanSeries]] posture — shuffle on the
+    * series key, spillable in-partition sort, O(1) state per series;
+    * sequential recursion is the documented mapPartitions last resort. */
+  def cusum(df: DataFrame, keyCols: Seq[String], timeCol: String,
+      valueCol: String, target: Double, slack: Double, threshold: Double,
+      posOut: String = "cusum_pos", negOut: String = "cusum_neg",
+      alarmOut: String = "alarm"): DataFrame = {
+    require(keyCols.nonEmpty,
+      "series functions need a partition key (a keyless scan is a single task)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val packed = df.na.drop(Seq(timeCol, valueCol)).select(
+        array(keyCols.map(col(_).cast("string")): _*).as("__k"),
+        col(timeCol).cast("long").as("__t"),
+        col(valueCol).cast("double").as("__v"))
+      .as[(Seq[String], Long, Double)]
+    val scanned = packed
+      .repartition(col("__k"))
+      .sortWithinPartitions(col("__k"), col("__t"))
+      .mapPartitions { it =>
+        var curKey: Seq[String] = null
+        var sp = 0.0
+        var sn = 0.0
+        it.map { case (k, t, v) =>
+          if (k != curKey) { curKey = k; sp = 0.0; sn = 0.0 }
+          sp = math.max(0.0, sp + (v - target - slack))
+          sn = math.max(0.0, sn + (target - v - slack))
+          (k, t, sp, sn, sp > threshold || sn > threshold)
+        }
+      }
+      .toDF("__k", "__t", posOut, negOut, alarmOut)
+    scanned.select(keyCols.zipWithIndex.map { case (k, i) =>
+      col("__k")(i).as(k)
+    } ++ Seq(col("__t").as(timeCol), col(posOut), col(negOut),
+      col(alarmOut)): _*)
+  }
+
   private def scanSeries(df: DataFrame, keyCols: Seq[String],
       timeCol: String, valueCol: String)(mk: () => Double => Option[Double])(
       out: String): DataFrame = {

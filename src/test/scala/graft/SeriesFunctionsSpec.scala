@@ -351,6 +351,27 @@ class SeriesFunctionsSpec extends SparkSpec {
       s"one exchange on the series key:\n$plan")
   }
 
+  test("cusum: accumulates sustained drift, resets at zero, alarms at h") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 50.0), ("a", 2L, 52.0), ("a", 3L, 53.0),
+      ("a", 4L, 53.0), ("a", 5L, 46.0),
+      ("b", 1L, 50.0)).toDF("k", "t", "v")
+    val out = SF.cusum(df, Seq("k"), "t", "v",
+        target = 50.0, slack = 1.0, threshold = 4.0)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    // sp: 0, 1, 3, 5 (alarm), then 5 + (46-51) -> 0
+    assert(out(("a", 1L)) == ((0.0, 0.0, false)))
+    assert(out(("a", 2L)) == ((1.0, 0.0, false)))
+    assert(out(("a", 3L)) == ((3.0, 0.0, false)))
+    assert(out(("a", 4L)) == ((5.0, 0.0, true)))
+    assert(out(("a", 5L)) == ((0.0, 3.0, false)))
+    // a new series starts from zero state
+    assert(out(("b", 1L)) == ((0.0, 0.0, false)))
+  }
+
   test("seasonalDecompose: 2xMA trend, phase means, additive identity") {
     import org.apache.spark.sql.functions.{lit, pmod}
     import spark.implicits._
