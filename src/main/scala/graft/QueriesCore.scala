@@ -1382,6 +1382,42 @@ object QueriesCore {
           round((v - trend - seasonal) / 100.0, 6) + 0 AS remainder
         FROM j ORDER BY user_id, t""")),
 
+    ("events_m4",
+      (s, d) => {
+        // M4 downsampling (Jugel et al., VLDB 2014): min/max/first/last
+        // per pixel bucket — the error-free line-chart reduction; one
+        // hash aggregate, selectors as single-pass lexicographic struct
+        // extremes (the Selectors discipline), no window sorts
+        val bucket = 21600000000000L
+        val ev = Tables.events(s, d).filter(col("user_id") < 5)
+          .select(col("user_id"),
+            (col("ts_ns") - pmod(col("ts_ns"), lit(bucket))).as("t"),
+            col("ts_ns"), col("value"))
+        ev.groupBy("user_id", "t")
+          .agg(min("value").as("vmin"), max("value").as("vmax"),
+            min(struct(col("ts_ns"), col("value"))).as("__f"),
+            max(struct(col("ts_ns"), col("value"))).as("__l"))
+          .select(col("user_id").cast("long").as("user_id"), col("t"),
+            col("vmin"), col("vmax"),
+            col("__f.value").as("vfirst"), col("__l.value").as("vlast"))
+          .orderBy("user_id", "t")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS tn, value
+          FROM events WHERE user_id < 5),
+        b AS (SELECT user_id, tn - tn % 21600000000000 AS t, tn, value
+          FROM e),
+        a AS (SELECT user_id, t, min(value) AS vmin, max(value) AS vmax
+          FROM b GROUP BY 1, 2),
+        f AS (SELECT user_id, t, value AS vfirst FROM (SELECT *,
+            row_number() OVER (PARTITION BY user_id, t
+              ORDER BY tn, value) AS rk FROM b) WHERE rk = 1),
+        l AS (SELECT user_id, t, value AS vlast FROM (SELECT *,
+            row_number() OVER (PARTITION BY user_id, t
+              ORDER BY tn DESC, value DESC) AS rk FROM b) WHERE rk = 1)
+        SELECT a.user_id, a.t, a.vmin, a.vmax, f.vfirst, l.vlast
+        FROM a JOIN f USING (user_id, t) JOIN l USING (user_id, t)
+        ORDER BY a.user_id, a.t""")),
+
     ("events_cusum",
       (s, d) => {
         // Page's tabular CUSUM on integer cents (target 50.00, slack

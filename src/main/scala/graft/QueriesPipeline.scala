@@ -501,6 +501,80 @@ object QueriesPipeline {
         CROSS JOIN v
         GROUP BY occ.doc_id ORDER BY occ.doc_id""")),
 
+    // filter-calibration sweep: precision/recall of the cheap composite
+    // quality score against the expensive Gopher-rule conjunction at nine
+    // thresholds — the curve a pipeline reads before replacing the slow
+    // filter with the fast one; exact integer confusion counts
+    ("corpus_quality_calibration",
+      (s, d) => {
+        import s.implicits._
+        val t = col("text")
+        val n = TF.tokenCount(t)
+        val mwl = TF.meanWordLen(t)
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          round(TF.qualityScore(t), 6).as("q"),
+          ((n >= 50 && n <= 100000) && (mwl >= 3.0 && mwl <= 10.0) &&
+            TF.symbolWordRatio(t) <= 0.1 && TF.alphaTokenFraction(t) >= 0.8 &&
+            TF.gopherStopCount(t) >= 2 && TF.dupNgramRatio(t, 2) <= 0.05)
+            .as("label"))
+        val thresholds = (1 to 9).map(_ / 10.0).toDF("threshold")
+        docs.crossJoin(broadcast(thresholds))
+          .groupBy("threshold")
+          .agg(
+            sum(when(col("q") >= col("threshold") && col("label"), 1L)
+              .otherwise(0L)).as("tp"),
+            sum(when(col("q") >= col("threshold") && !col("label"), 1L)
+              .otherwise(0L)).as("fp"),
+            sum(when(col("q") < col("threshold") && col("label"), 1L)
+              .otherwise(0L)).as("fn"),
+            sum(when(col("q") < col("threshold") && !col("label"), 1L)
+              .otherwise(0L)).as("tn"))
+          .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+            col("tn"),
+            when(col("tp") + col("fp") > 0L,
+              round(col("tp") / (col("tp") + col("fp")), 6)).as("precision"),
+            when(col("tp") + col("fn") > 0L,
+              round(col("tp") / (col("tp") + col("fn")), 6)).as("recall"))
+          .orderBy("threshold")
+      },
+      Some(s"""WITH p AS (SELECT doc_id, text, $dToks AS w FROM documents),
+        g AS (SELECT doc_id, text, w, len(w) AS n,
+            length(replace($dNorm, ' ', '')) AS chars,
+            len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS alpha,
+            len(list_filter(w, x -> x IN
+              ('the','be','to','of','and','that','have','with'))) AS stops,
+            CASE WHEN len(w) >= 2 THEN list_filter(
+                list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]),
+                x -> length(x) > 0) ELSE [] END AS bg
+          FROM p),
+        lab AS (SELECT doc_id,
+            (n >= 50 AND n <= 100000
+              AND chars * 1.0 / greatest(n, 1) >= 3.0
+              AND chars * 1.0 / greatest(n, 1) <= 10.0
+              AND (len(regexp_extract_all(text, '#'))
+                + len(regexp_extract_all(text, '\\.\\.\\.'))) * 1.0
+                / greatest(n, 1) <= 0.1
+              AND alpha * 1.0 / greatest(n, 1) >= 0.8
+              AND stops >= 2
+              AND CASE WHEN len(bg) > 0
+                THEN 1.0 - len(list_distinct(bg)) * 1.0 / len(bg)
+                ELSE 0.0 END <= 0.05) AS label
+          FROM g),
+        qd AS (SELECT doc_id, $dQuality AS q FROM documents),
+        th AS (SELECT unnest(range(1, 10)) / 10.0 AS threshold),
+        cm AS (SELECT threshold,
+            sum(CASE WHEN q >= threshold AND label THEN 1 ELSE 0 END) AS tp,
+            sum(CASE WHEN q >= threshold AND NOT label THEN 1 ELSE 0 END) AS fp,
+            sum(CASE WHEN q < threshold AND label THEN 1 ELSE 0 END) AS fn,
+            sum(CASE WHEN q < threshold AND NOT label THEN 1 ELSE 0 END) AS tn
+          FROM lab JOIN qd USING (doc_id) CROSS JOIN th GROUP BY 1)
+        SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+          CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+          CASE WHEN tp + fp > 0 THEN round(tp / (tp + fp), 6) END
+            AS precision,
+          CASE WHEN tp + fn > 0 THEN round(tp / (tp + fn), 6) END AS recall
+        FROM cm ORDER BY threshold""")),
+
     // encoding/OCR garbage audit: control chars, non-ASCII share, longest
     // consonant run — the decode-sanity filter that runs before any
     // quality model sees a document; all per-row regexp math
