@@ -93,7 +93,14 @@ object InfluxQlPlanner {
     }
     sh.what match {
       case "measurements" =>
-        ms.keys.toSeq.sorted.toDF("name")
+        // WITH MEASUREMENT filters: exact name rides sh.from, the regex
+        // form (Go dialect) rides sh.withKeyRegex
+        val names = ms.keys.toSeq.sorted
+          .filter(n => sh.from.forall(_ == n))
+          .filter(n => sh.withKeyRegex.forall(re =>
+            java.util.regex.Pattern.compile(graft.core.GoRegex.toJava(re))
+              .matcher(n).find()))
+        names.toDF("name")
       case "databases" =>
         throw ParseError("SHOW DATABASES is a server-level statement")
       case "tag keys" =>

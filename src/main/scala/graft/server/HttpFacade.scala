@@ -69,6 +69,18 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
   private val tombstones = TrieMap.empty[(String, String),
     Vector[(Option[Long], Option[Long], Option[graft.core.InfluxQl.Expr])]]
 
+  /** In-flight 1.x queries: id → (db, text, start ns). Every /query
+    * request runs its Spark jobs under an `influxql-<id>` job group, so
+    * KILL QUERY maps onto real job-group cancellation. */
+  private val nextQueryId = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val runningQueries = TrieMap.empty[Long, (String, String, Long)]
+
+  /** Test hook: register an externally-managed entry (a spec drives a
+    * Spark job under the matching group and asserts KILL cancels it). */
+  private[graft] def testRegisterQuery(id: Long, db: String,
+      text: String): Unit =
+    runningQueries.put(id, (db, text, System.nanoTime()))
+
   /** Long-running-operations registry (rpc/operations.rs): one JSON
     * operation per tracked management job, listed and fetched by id. */
   private val operations = TrieMap.empty[Long, String]
@@ -392,6 +404,13 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
             respond(ex, 200, "application/json",
               s"""{"results":[{"statement_id":0,"error":${jsonStr(err)}}]}""")
           case Right(stmts) =>
+            val qid = nextQueryId.incrementAndGet()
+            runningQueries.put(qid, (db, q, System.nanoTime()))
+            // this handler thread runs every Spark job of the request, so
+            // the thread-local job group covers planning AND streaming
+            spark.sparkContext.setJobGroup(s"influxql-$qid", q,
+              interruptOnCancel = true)
+            try {
             // plan all statements under the catalog lock, then stream
             val planned = HttpFacade.synchronized {
               stmts.map { stmt =>
@@ -429,6 +448,10 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
               w.write("]}")
               w.flush()
             } finally os.close()
+            } finally {
+              spark.sparkContext.clearJobGroup()
+              runningQueries.remove(qid)
+            }
         }
     }
   }
@@ -496,6 +519,23 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
         Seq(("autogen", "0s", "168h0m0s", 1L, true))
           .toDF("name", "duration", "shardGroupDuration", "replicaN",
             "default"))))
+    case graft.core.InfluxQl.Show("queries", _, _, _, _) =>
+      // ops management: one row per in-flight /query request (this very
+      // statement included, like 1.x); duration in whole microseconds
+      import spark.implicits._
+      val now = System.nanoTime()
+      val rows = runningQueries.toSeq.map { case (id, (qdb, text, t0)) =>
+        (id, text, qdb, (now - t0) / 1000L)
+      }.sortBy(_._1)
+      Right(Some(("queries", Seq.empty[String],
+        rows.toDF("qid", "query", "database", "duration_us"))))
+    case graft.core.InfluxQl.Kill(id) =>
+      if (!runningQueries.contains(id)) Left(s"no such query id: $id")
+      else {
+        spark.sparkContext.cancelJobGroup(s"influxql-$id")
+        runningQueries.remove(id)
+        Right(None)
+      }
     case sh: graft.core.InfluxQl.Show =>
       val ms = measurements(db).flatMap { m =>
         measurementView(db, m).map(df => m -> asMeasurement(df))

@@ -422,6 +422,49 @@ class HttpFacadeSpec extends SparkSpec {
     }
   }
 
+  test("SHOW QUERIES lists in-flight requests; KILL QUERY cancels jobs") {
+    withFacade { facade =>
+      val p = facade.boundPort
+      val lp = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(fixture))
+      assert(post(p, "/api/v2/write?org=o&bucket=b", lp)._1 == 204)
+
+      // SHOW QUERIES lists itself (the 1.x behavior)
+      val (s1, b1) = get(p, s"/query?db=o_b&q=${enc("SHOW QUERIES")}")
+      assert(s1 == 200 && b1.contains("SHOW QUERIES"), b1)
+      assert(b1.contains(
+        """"columns":["qid","query","database","duration_us"]"""), b1)
+
+      // KILL QUERY on an unknown id errors in-band
+      val (s2, b2) = get(p, s"/query?db=o_b&q=${enc("KILL QUERY 424242")}")
+      assert(s2 == 200 && b2.contains("no such query id"), b2)
+
+      // KILL QUERY cancels the registered id's REAL Spark job group: a
+      // background thread runs an effectively-unbounded job under
+      // influxql-999; the statement must interrupt it
+      facade.testRegisterQuery(999L, "o_b", "synthetic long scan")
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val job = Future {
+        spark.sparkContext.setJobGroup("influxql-999", "synthetic",
+          interruptOnCancel = true)
+        try spark.range(Long.MaxValue).filter("id % 7 = 3").count()
+        finally spark.sparkContext.clearJobGroup()
+      }
+      // wait until the job is actually running under the group
+      val t0 = System.nanoTime()
+      while (spark.sparkContext.statusTracker
+          .getJobIdsForGroup("influxql-999").isEmpty &&
+          System.nanoTime() - t0 < 30e9) Thread.sleep(50)
+      assert(spark.sparkContext.statusTracker
+        .getJobIdsForGroup("influxql-999").nonEmpty, "job never started")
+      val (s3, b3) = get(p, s"/query?db=o_b&q=${enc("KILL QUERY 999")}")
+      assert(s3 == 200 && b3 == """{"results":[{"statement_id":0}]}""", b3)
+      val outcome = Await.ready(job, 60.seconds).value.get
+      assert(outcome.isFailure, "the job group cancellation must abort the job")
+    }
+  }
+
   test("EXPLAIN [ANALYZE]: the plan-inspection statement, engine-native") {
     withFacade { facade =>
       val p = facade.boundPort

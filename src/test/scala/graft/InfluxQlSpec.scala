@@ -426,6 +426,17 @@ class InfluxQlSpec extends SparkSpec {
       == Seq(("cpu", 1L)))
   }
 
+  test("SHOW MEASUREMENTS WITH MEASUREMENT: exact and regex name filters") {
+    val ms2 = ms + ("mem" -> InfluxMeasurement(fixture, "t", Seq("host")))
+    def names(q: String) = InfluxQlPlanner.runStmt(ms2, q)
+      .collect().map(_.getString(0)).toSeq
+    assert(names("SHOW MEASUREMENTS") == Seq("cpu", "mem"))
+    assert(names("SHOW MEASUREMENTS WITH MEASUREMENT = cpu") == Seq("cpu"))
+    assert(names("SHOW MEASUREMENTS WITH MEASUREMENT =~ /^m/") == Seq("mem"))
+    assert(names("SHOW MEASUREMENTS WITH MEASUREMENT =~ /c|m/") ==
+      Seq("cpu", "mem"))
+  }
+
   test("RFC3339 timestamps and epoch-ns integers are interchangeable") {
     val a = run("SELECT value FROM cpu WHERE time >= '1970-01-01T00:00:10Z' AND host = 'a' ORDER BY time")
       .as[(Long, Double)].collect().toSeq
