@@ -1733,6 +1733,29 @@ object QueriesCore {
         SELECT event_type, value AS p90 FROM r
         WHERE rk = floor(0.9 * n + 0.5) ORDER BY event_type""")),
 
+    // PERCENTILE under GROUP BY time(): exact nearest-rank per (tag,
+    // day bucket) — the downsampled-quantile form upstream supports and
+    // the plain percentile operator previously rejected
+    ("influxql_percentile_time",
+      (s, d) => graft.operators.InfluxQlPlanner.run(influxMs(s, d),
+        """SELECT percentile(value, 90) AS p90 FROM events
+           WHERE time >= '2024-01-01T00:00:00Z'
+             AND time < '2024-01-08T00:00:00Z'
+           GROUP BY time(1d), event_type fill(none)"""),
+      Some("""WITH e AS (SELECT event_type, epoch_ns(ts) AS tn, value
+          FROM events WHERE value IS NOT NULL
+            AND epoch_ns(ts) >= 1704067200000000000
+            AND epoch_ns(ts) < 1704672000000000000),
+        b AS (SELECT event_type,
+            (tn // 86400000000000) * 86400000000000 AS time, value FROM e),
+        r AS (SELECT event_type, time, value,
+            row_number() OVER (PARTITION BY event_type, time
+              ORDER BY value) AS rk,
+            count(*) OVER (PARTITION BY event_type, time) AS n FROM b)
+        SELECT time, event_type, value AS p90 FROM r
+        WHERE rk = floor(0.9 * n + 0.5)
+        ORDER BY event_type, time""")),
+
     // TOP(field, tag_key, n): the n tag values whose best point ranks
     // highest, one (best) point each, the tag emitted as a column — the
     // grouped-selector form of the 1.x TOP/BOTTOM family

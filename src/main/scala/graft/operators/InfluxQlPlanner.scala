@@ -297,7 +297,7 @@ object InfluxQlPlanner {
       else if (calls.forall(c => aggFns(c._1.fn) || isNestedAgg(c._1)))
         aggSelect(df, m, sel, keyCols, calls, lo, hi)
       else if (calls.size == 1 && aloneFns(calls.head._1.fn))
-        aloneSelect(df, m, sel, keyCols, calls.head._1, calls.head._2)
+        aloneSelect(df, m, sel, keyCols, calls.head._1, calls.head._2, lo, hi)
       else if (calls.forall(c => windowFns(c._1.fn)))
         transformSelect(df, m, sel, keyCols, calls)
       else if (calls.size == 1 && scanFns(calls.head._1.fn))
@@ -743,9 +743,13 @@ object InfluxQlPlanner {
 
   // ------------------------------------------- single-operator aggregates
   private def aloneSelect(df: DataFrame, m: InfluxMeasurement, sel: Select,
-      keyCols: Seq[String], c: Call, alias: Option[String]): DataFrame = {
-    if (sel.groupTime.isDefined)
+      keyCols: Seq[String], c: Call, alias: Option[String],
+      lo: Option[Long] = None, hi: Option[Long] = None): DataFrame = {
+    if (sel.groupTime.isDefined) {
+      if (Set("median", "mode", "percentile")(c.fn))
+        return aloneBucketed(df, m, sel, keyCols, c, alias, lo, hi)
       throw ParseError(s"${c.fn}() does not support GROUP BY time()")
+    }
     val tcol = m.timeCol
     val name = alias.getOrElse(c.fn)
     val f = fieldArg(c, df)
@@ -822,6 +826,44 @@ object InfluxQlPlanner {
           .select((col(tcol).as("time") +: keys) :+ col(f).as(name): _*)
           .orderBy(keys :+ col("time").asc: _*)
     }
+  }
+
+  /** median/mode/percentile under `GROUP BY time(...)`: the exact
+    * whole-operator aggregates run per (series, bucket), then fill()
+    * applies on the bucket grid exactly as for ordinary aggregates —
+    * upstream supports fill() here, and a percentile whose rank falls
+    * out of range leaves its bucket to the fill strategy. */
+  private def aloneBucketed(df: DataFrame, m: InfluxMeasurement,
+      sel: Select, keyCols: Seq[String], c: Call, alias: Option[String],
+      lo: Option[Long], hi: Option[Long]): DataFrame = {
+    val tcol = m.timeCol
+    val gt = sel.groupTime.get
+    val name = alias.getOrElse(c.fn)
+    val f = fieldArg(c, df)
+    val keys = keyCols.map(col)
+    val bucketed = df.withColumn("time",
+      NsTime.windowStopNs(toLocalNs(col(tcol), sel.tz), gt.everyNs,
+        gt.offsetNs) - gt.everyNs)
+    val bKeys = keyCols :+ "time"
+    val agg = c.fn match {
+      case "median" => IA.median(bucketed, bKeys, f, name)
+      case "mode" => IA.mode(bucketed, bKeys, f, name)
+      case "percentile" => IA.percentile(bucketed, bKeys, f,
+        numArg(c, 1, "percentile(field, p)"), name)
+    }
+    val filled = fillStrategy(sel.fill, lo, hi) match {
+      case None => agg
+      case Some(strat) =>
+        val (l, h) = (toLocalNs(lo.get, sel.tz), toLocalNs(hi.get, sel.tz))
+        val start = NsTime.windowStopNs(l, gt.everyNs, gt.offsetNs) -
+          gt.everyNs
+        GapFill.onGrid(agg, keyCols, "time", start, h, gt.everyNs,
+          Map(name -> strat))
+    }
+    val timeOrd = if (sel.timeDesc) col("time").desc else col("time").asc
+    filled.select((toUtcNs(col("time"), sel.tz).as("time") +: keys) :+
+        col(name): _*)
+      .orderBy(keys :+ timeOrd: _*)
   }
 
   // ------------------------------------------------- window transforms

@@ -126,6 +126,28 @@ class InfluxQlSpec extends SparkSpec {
       (15000000000L, "b", 20.0), (35000000000L, "b", 40.0)))
   }
 
+  test("percentile/median with GROUP BY time(): exact per-bucket ranks") {
+    val p = run("""SELECT percentile(value, 50) AS p FROM cpu
+        WHERE time >= 0 AND time < 40000000000
+        GROUP BY time(20s), host fill(none)""")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    // a/bucket0 {1,3} k=1 -> 1; a/bucket1 {2,6} -> 2; b/bucket0 {10,20}
+    // -> 10; b/bucket1 {40} -> 40
+    assert(p == Seq((0L, "a", 1.0), (20000000000L, "a", 2.0),
+      (0L, "b", 10.0), (20000000000L, "b", 40.0)))
+    // default fill(null) enumerates the bounded grid
+    val md = run("""SELECT median(value) AS md FROM cpu
+        WHERE time >= 0 AND time < 60000000000 GROUP BY time(20s), host""")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSeq
+    assert(md.count(_._2 == "a") == 3 && md.count(_._2 == "b") == 3)
+    // even-count buckets interpolate; empty trailing buckets fill null
+    assert(md.contains((0L, "a", Some(2.0))), md.toString)
+    assert(md.contains((20000000000L, "b", Some(40.0))), md.toString)
+    assert(md.contains((40000000000L, "a", None)), md.toString)
+    assert(md.contains((40000000000L, "b", None)), md.toString)
+  }
+
   test("top/bottom with a tag key: n best tag values, one best point each") {
     val t = run("SELECT TOP(value, host, 2) AS best FROM cpu")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
