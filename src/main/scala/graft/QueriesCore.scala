@@ -1756,6 +1756,27 @@ object QueriesCore {
         WHERE rk = floor(0.9 * n + 0.5)
         ORDER BY event_type, time""")),
 
+    // TOP under GROUP BY time(): the n extreme points per (tag, day
+    // bucket), each keeping its own timestamp — the per-bucket selector
+    // form upstream supports
+    ("influxql_top_time",
+      (s, d) => graft.operators.InfluxQlPlanner.run(influxMs(s, d),
+        """SELECT top(value, 2) AS top2 FROM events
+           WHERE time >= '2024-01-01T00:00:00Z'
+             AND time < '2024-01-08T00:00:00Z'
+           GROUP BY time(1d), event_type"""),
+      Some("""WITH e AS (SELECT event_type, epoch_ns(ts) AS tn, value
+          FROM events WHERE value IS NOT NULL
+            AND epoch_ns(ts) >= 1704067200000000000
+            AND epoch_ns(ts) < 1704672000000000000),
+        b AS (SELECT event_type,
+            (tn // 86400000000000) * 86400000000000 AS bk, tn, value FROM e),
+        r AS (SELECT event_type, tn, value, row_number() OVER (
+            PARTITION BY event_type, bk
+            ORDER BY value DESC, tn ASC) AS rk FROM b)
+        SELECT tn AS time, event_type, value AS top2 FROM r
+        WHERE rk <= 2 ORDER BY event_type, time""")),
+
     // TOP(field, tag_key, n): the n tag values whose best point ranks
     // highest, one (best) point each, the tag emitted as a column — the
     // grouped-selector form of the 1.x TOP/BOTTOM family

@@ -757,6 +757,42 @@ object QueriesPipeline {
         SELECT doc_id, q, n_tokens FROM o WHERE cum <= 10000
         ORDER BY doc_id""")),
 
+    // the whole corpus-build pipeline in ONE Spark plan: exact dedup ->
+    // quality gate -> token-budget selection -> per-language report.
+    // Each stage keeps its documented scale shape (hash semi-join, per-row
+    // codegen math, the two-level boundary-bucket window); the oracle
+    // replays the identical chain naively
+    ("pipeline_end_to_end",
+      (s, d) => {
+        val docs = Tables.spread(s, Tables.documents(s, d))
+        val deduped = DocDedup.exactDedup(docs, "doc_id", "text")
+        val scored = deduped.select(col("doc_id"), col("lang"),
+            round(TF.qualityScore(col("text")), 6).as("q"),
+            TF.tokenCount(col("text")).cast("long").as("n_tokens"))
+          .filter(col("q") >= 0.5)
+        graft.pipeline.Sampling
+          .budgetSelect(scored, "doc_id", "q", "n_tokens",
+            budgetTokens = 5000L)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH p AS (SELECT doc_id, lang, text, $dToks AS w
+          FROM documents),
+        keep AS (SELECT min(doc_id) AS k FROM p GROUP BY md5($dNorm)),
+        dd AS (SELECT p.doc_id, p.lang, p.text, p.w
+          FROM p JOIN keep ON keep.k = p.doc_id),
+        q AS (SELECT doc_id, lang, $dQuality AS q,
+            CAST(len(w) AS BIGINT) AS n_tokens FROM dd),
+        f AS (SELECT * FROM q WHERE q >= 0.5),
+        o AS (SELECT doc_id, lang, n_tokens,
+            sum(n_tokens) OVER (ORDER BY q DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM f)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM o WHERE cum <= 5000 GROUP BY lang ORDER BY lang""")),
+
     // character-distribution entropy: per-row sorted-array run math on the
     // Spark side (zero shuffles); the oracle recomputes it with DuckDB's
     // entropy() aggregate over exploded chars — mathematically identical,

@@ -748,6 +748,8 @@ object InfluxQlPlanner {
     if (sel.groupTime.isDefined) {
       if (Set("median", "mode", "percentile")(c.fn))
         return aloneBucketed(df, m, sel, keyCols, c, alias, lo, hi)
+      if (Set("top", "bottom", "distinct")(c.fn))
+        return aloneBucketedPoints(df, m, sel, keyCols, c, alias)
       throw ParseError(s"${c.fn}() does not support GROUP BY time()")
     }
     val tcol = m.timeCol
@@ -864,6 +866,43 @@ object InfluxQlPlanner {
     filled.select((toUtcNs(col("time"), sel.tz).as("time") +: keys) :+
         col(name): _*)
       .orderBy(keys :+ timeOrd: _*)
+  }
+
+  /** top/bottom/distinct under `GROUP BY time(...)`: per-bucket point
+    * selection — TOP/BOTTOM keep the selected points' own timestamps
+    * (the 1.x shape), DISTINCT labels rows with the bucket start.
+    * fill() does not apply to point selections, like upstream. */
+  private def aloneBucketedPoints(df: DataFrame, m: InfluxMeasurement,
+      sel: Select, keyCols: Seq[String], c: Call,
+      alias: Option[String]): DataFrame = {
+    val tcol = m.timeCol
+    val gt = sel.groupTime.get
+    if (sel.fill != FillNull && sel.fill != FillNone)
+      throw ParseError(s"fill() does not apply to ${c.fn}() selections")
+    val name = alias.getOrElse(c.fn)
+    val f = fieldArg(c, df)
+    val keys = keyCols.map(col)
+    val bucketed = df.withColumn("__bk",
+      NsTime.windowStopNs(toLocalNs(col(tcol), sel.tz), gt.everyNs,
+        gt.offsetNs) - gt.everyNs)
+    val bKeys = keyCols :+ "__bk"
+    c.fn match {
+      case "top" | "bottom" =>
+        if (c.args.size > 2)
+          throw ParseError(
+            s"${c.fn}(field, tag, n) does not support GROUP BY time()")
+        val n = numArg(c, 1, s"${c.fn}(field, n)").toInt
+        IA.topN(bucketed, bKeys, tcol, f, n, c.fn == "bottom")
+          .select((col(tcol).as("time") +: keys) :+ col(f).as(name): _*)
+          .orderBy(keys :+ col("time").asc: _*)
+      case "distinct" =>
+        bucketed.filter(col(f).isNotNull)
+          .select((col("__bk").as("__t") +: keys) :+ col(f).as(name): _*)
+          .distinct()
+          .select((toUtcNs(col("__t"), sel.tz).as("time") +: keys) :+
+            col(name): _*)
+          .orderBy(keys ++ Seq(col("time").asc, col(name).asc): _*)
+    }
   }
 
   // ------------------------------------------------- window transforms

@@ -148,6 +148,22 @@ class InfluxQlSpec extends SparkSpec {
     assert(md.contains((40000000000L, "b", None)), md.toString)
   }
 
+  test("top and distinct under GROUP BY time(): per-bucket selections") {
+    val t = run("""SELECT top(value, 1) FROM cpu
+        WHERE time >= 0 AND time < 40000000000 GROUP BY time(20s), host""")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    // per (host, 20s bucket) the max point keeps its OWN timestamp
+    assert(t == Seq((10000000000L, "a", 3.0), (30000000000L, "a", 6.0),
+      (15000000000L, "b", 20.0), (35000000000L, "b", 40.0)))
+    val d = run("""SELECT DISTINCT(value) AS v FROM cpu
+        WHERE time >= 0 AND time < 40000000000 GROUP BY time(20s), host""")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    // distinct values per bucket, labeled with the bucket start
+    assert(d == Seq((0L, "a", 1.0), (0L, "a", 3.0),
+      (20000000000L, "a", 2.0), (20000000000L, "a", 6.0),
+      (0L, "b", 10.0), (0L, "b", 20.0), (20000000000L, "b", 40.0)))
+  }
+
   test("top/bottom with a tag key: n best tag values, one best point each") {
     val t = run("SELECT TOP(value, host, 2) AS best FROM cpu")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
