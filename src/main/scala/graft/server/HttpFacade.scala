@@ -395,6 +395,17 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
         if (!databases.contains(db)) {
           respondJsonError(ex, 404, s"database not found: $db"); return
         }
+        // 1.x `epoch=` time-unit selection (default ns, this engine's axis)
+        val epochDiv = params.get("epoch") match {
+          case None | Some("ns") => 1L
+          case Some("u") | Some("us") => 1000L
+          case Some("ms") => 1000000L
+          case Some("s") => 1000000000L
+          case Some("m") => 60L * 1000000000L
+          case Some("h") => 3600L * 1000000000L
+          case Some(other) =>
+            respondJsonError(ex, 400, s"invalid epoch unit: $other"); return
+        }
         val parsed =
           try Right(graft.core.InfluxQl.parseAll(q))
           catch { case NonFatal(e) =>
@@ -438,7 +449,7 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
                     // a mid-stream execution failure cannot change the
                     // status anymore; the in-band error keeps it visible
                     // (1.x "partial" convention)
-                    try { writeSeriesArray(w, mName, tags, df); w.write("]}") }
+                    try { writeSeriesArray(w, mName, tags, df, epochDiv); w.write("]}") }
                     catch { case NonFatal(e) =>
                       w.write(s"""],"partial":true,"error":${jsonStr(
                         Option(e.getMessage).getOrElse(e.getClass.getName))}}""")
@@ -631,7 +642,7 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
     * consecutive rows sharing a tag tuple form one series, split on the
     * planner's (tags, time) ordering. */
   private def writeSeriesArray(w: java.io.Writer, mName: String,
-      tags: Seq[String], df: DataFrame): Unit = {
+      tags: Seq[String], df: DataFrame, epochDiv: Long = 1L): Unit = {
     import scala.jdk.CollectionConverters._
     val cols = df.columns.toSeq
     val tagIdx = cols.zipWithIndex.filter { case (c, _) => tags.contains(c) }
@@ -657,8 +668,14 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
       }
       if (!firstRow) w.write(",")
       firstRow = false
-      w.write(valIdx.map { case (_, i) => jsonVal(r.get(i)) }
-        .mkString("[", ",", "]"))
+      w.write(valIdx.map { case (c, i) =>
+        // 1.x epoch= scaling: integer-truncate the ns time axis
+        r.get(i) match {
+          case t: java.lang.Long if c == "time" && epochDiv != 1L =>
+            jsonVal(java.lang.Long.valueOf(t.longValue / epochDiv))
+          case v => jsonVal(v)
+        }
+      }.mkString("[", ",", "]"))
     }
     if (curTags != null) w.write("]}")
   }

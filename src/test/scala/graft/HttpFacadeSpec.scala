@@ -422,6 +422,26 @@ class HttpFacadeSpec extends SparkSpec {
     }
   }
 
+  test("epoch= parameter scales the 1.x time axis (s/ms/us/ns)") {
+    withFacade { facade =>
+      val p = facade.boundPort
+      val lp = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(fixture))
+      assert(post(p, "/api/v2/write?org=o&bucket=b", lp)._1 == 204)
+      def first(epoch: String): String = get(p,
+        s"/query?db=o_b&epoch=$epoch&q=${enc(
+          "SELECT surface_degrees FROM h2o_temperature " +
+            "WHERE location = 'puget_sound' ORDER BY time")}")._2
+      // fixture times are small ns values; integer truncation per unit
+      assert(first("ns").contains("[[1568756160,55.8]"), first("ns"))
+      assert(first("us").contains("[[1568756,55.8]"), first("us"))
+      assert(first("ms").contains("[[1568,55.8]"), first("ms"))
+      assert(first("s").contains("[[1,55.8]"), first("s"))
+      val (sb, bb) = get(p, s"/query?db=o_b&epoch=parsec&q=${enc(
+        "SELECT surface_degrees FROM h2o_temperature")}")
+      assert(sb == 400 && bb.contains("invalid epoch unit"), bb)
+    }
+  }
+
   test("SHOW QUERIES lists in-flight requests; KILL QUERY cancels jobs") {
     withFacade { facade =>
       val p = facade.boundPort

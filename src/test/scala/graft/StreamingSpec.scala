@@ -215,6 +215,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CUSUM: state carries across batches, batch parity") {
+    // the (S+, S-) pair is the whole per-series state; feeding the same
+    // in-order points through two micro-batches must reproduce the batch
+    // scan bit for bit
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long, Double)](
+      spark)
+    val flags = graft.streaming.StreamDetect.cusumStream(
+      input.toDF().toDF("k", "t", "v"),
+      "k", "t", "v", target = 50.0, slack = 1.0, threshold = 4.0)
+    val q = flags.writeStream.format("memory").queryName("scusum")
+      .outputMode("append").start()
+    try {
+      input.addData(("a", 1L, 50.0), ("a", 2L, 52.0), ("b", 1L, 47.0))
+      q.processAllAvailable()
+      input.addData(("a", 3L, 53.0), ("a", 4L, 53.0), ("b", 2L, 46.0))
+      q.processAllAvailable()
+      val streamed = spark.table("scusum")
+        .as[(String, Long, Double, Double, Boolean)].collect().toSet
+      val batch = graft.functions.SeriesFunctions.cusum(
+          Seq(("a", 1L, 50.0), ("a", 2L, 52.0), ("a", 3L, 53.0),
+            ("a", 4L, 53.0), ("b", 1L, 47.0), ("b", 2L, 46.0))
+            .toDF("k", "t", "v"),
+          Seq("k"), "t", "v", target = 50.0, slack = 1.0, threshold = 4.0)
+        .as[(String, Long, Double, Double, Boolean)].collect().toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      // the cross-batch carry actually fired: series a alarms only in
+      // the second micro-batch (S+ reaches 5 > 4 at t=4)
+      assert(streamed.contains(("a", 4L, 5.0, 0.0, true)))
+    } finally q.stop()
+  }
+
   test("streamSplit: null predicate rows land on the REST side") {
     val df = LineProtocol.ingest(spark, Seq(
       "m,host=a v=1.0 10", "m,host=b v=2.0 20", "m,host=c v=3.0 30"))("m")
