@@ -1932,6 +1932,61 @@ object QueriesPipeline {
         SELECT vec_id, CAST(cluster AS INT) AS cluster, round(aff, 6) AS aff
         FROM rk WHERE rn <= 50 ORDER BY rn""")),
 
+    // centroid-silhouette clustering quality: per cluster, the mean of
+    // (cosine to own centroid − best cosine to any other) — the
+    // separation report read before trusting SemDeDup/IVF cell
+    // boundaries; micro-quantized per-vector scores, exact integer mean
+    ("emb_silhouette",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val (cells, cents) = Clustering.kmeansFit(
+          Tables.spread(s, emb), "vec_id", "embedding", k = 8, iters = 1)
+        val centDf = cents.toDF("c", "ce")
+        val aff = emb.join(cells, "vec_id")
+          .crossJoin(broadcast(centDf))
+          .select(col("vec_id"), col("cluster"), col("c"),
+            (VF.dot(col("embedding"), col("ce")) /
+              (VF.norm(col("embedding")) * VF.norm(col("ce")))).as("aff"))
+        aff.groupBy("vec_id", "cluster")
+          .agg(max(when(col("c") === col("cluster"), col("aff"))).as("own"),
+            max(when(col("c") =!= col("cluster"), col("aff"))).as("oth"))
+          .select(col("cluster"),
+            round((col("own") - col("oth")) * 1e6).cast("long").as("sq"))
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n"), sum("sq").as("ssq"))
+          .select(col("cluster"), col("n"),
+            round(col("ssq").cast("double") / col("n") / 1e6, 6)
+              .as("mean_sep"))
+          .orderBy("cluster")
+      },
+      Some(s"""WITH $dKmeansPrep,
+        c0 AS (SELECT vec_id AS c, e AS ce FROM x WHERE vec_id < 8),
+        a1 AS ${dKmeansAssign("c0")},
+        s1 AS (SELECT c, d, sum(q[d]) AS s, count(*) AS n
+          FROM a1 JOIN v USING (vec_id)
+          CROSS JOIN (SELECT unnest(range(1, 65)) AS d) GROUP BY c, d),
+        c1 AS (SELECT c, list((s / n) / 1000000.0 ORDER BY d) AS ce
+          FROM s1 GROUP BY c),
+        a2 AS ${dKmeansAssign("c1")},
+        vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS re
+          FROM embeddings),
+        aff AS (SELECT a2.vec_id, a2.c AS cluster, c1.c AS cc,
+            list_dot_product(vv.re, c1.ce)
+              / (sqrt(list_dot_product(vv.re, vv.re))
+                * sqrt(list_dot_product(c1.ce, c1.ce))) AS aff
+          FROM a2 JOIN vv USING (vec_id) CROSS JOIN c1),
+        sc AS (SELECT vec_id, cluster,
+            CAST(round((max(CASE WHEN cc = cluster THEN aff END)
+              - max(CASE WHEN cc != cluster THEN aff END)) * 1000000)
+              AS BIGINT) AS sq
+          FROM aff GROUP BY 1, 2)
+        SELECT CAST(cluster AS INT) AS cluster,
+          CAST(count(*) AS BIGINT) AS n,
+          round(CAST(sum(sq) AS DOUBLE) / count(*) / 1000000.0, 6)
+            AS mean_sep
+        FROM sc GROUP BY 1 ORDER BY cluster""")),
+
     // SemDeDup (arXiv:2303.09540): cluster against the seed centroids,
     // then inside each cluster drop any member with a lower-id neighbor at
     // cosine >= 0.4 (greedy keep-first, like the rest of the dedup family)

@@ -91,7 +91,7 @@ object InfluxQlPlanner {
         throw ParseError(s"unknown measurement '$f'")))
       case None => ms.toSeq.sortBy(_._1)
     }
-    sh.what match {
+    val out = sh.what match {
       case "measurements" =>
         // WITH MEASUREMENT filters: exact name rides sh.from, the regex
         // form (Go dialect) rides sh.withKeyRegex
@@ -204,6 +204,9 @@ object InfluxQlPlanner {
             }.sortBy(_._2)
         }.toDF("measurement", "fieldKey", "fieldType")
     }
+    // 1.x LIMIT/OFFSET pagination on the (already-ordered) metadata frame
+    val off = sh.offset.fold(out)(out.offset)
+    sh.limit.fold(off)(off.limit)
   }
 
   def plan(ms: Map[String, InfluxMeasurement], sel: Select): DataFrame = {

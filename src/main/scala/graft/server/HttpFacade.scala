@@ -517,11 +517,11 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
         val tagSet = msAll.values.flatMap(_.tagCols).toSet
         Right(Some((name, df.columns.filter(tagSet).toSeq, df)))
       }
-    case graft.core.InfluxQl.Show("databases", _, _, _, _) =>
+    case sh: graft.core.InfluxQl.Show if sh.what == "databases" =>
       import spark.implicits._
       Right(Some(("databases", Seq.empty[String],
         databases.keys.toSeq.sorted.toDF("name"))))
-    case graft.core.InfluxQl.Show("retention policies", _, _, _, _) =>
+    case sh: graft.core.InfluxQl.Show if sh.what == "retention policies" =>
       // one implicit autogen policy per database: this engine's retention
       // lives in the lifecycle rules, but 1.x clients probe this on
       // connect and expect the default row
@@ -530,7 +530,7 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
         Seq(("autogen", "0s", "168h0m0s", 1L, true))
           .toDF("name", "duration", "shardGroupDuration", "replicaN",
             "default"))))
-    case graft.core.InfluxQl.Show("queries", _, _, _, _) =>
+    case sh: graft.core.InfluxQl.Show if sh.what == "queries" =>
       // ops management: one row per in-flight /query request (this very
       // statement included, like 1.x); duration in whole microseconds
       import spark.implicits._

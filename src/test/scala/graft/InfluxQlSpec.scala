@@ -473,6 +473,13 @@ class InfluxQlSpec extends SparkSpec {
     assert(names("SHOW MEASUREMENTS WITH MEASUREMENT =~ /^m/") == Seq("mem"))
     assert(names("SHOW MEASUREMENTS WITH MEASUREMENT =~ /c|m/") ==
       Seq("cpu", "mem"))
+    // 1.x LIMIT/OFFSET pagination applies to any SHOW output
+    assert(names("SHOW MEASUREMENTS LIMIT 1") == Seq("cpu"))
+    assert(names("SHOW MEASUREMENTS LIMIT 1 OFFSET 1") == Seq("mem"))
+    val tv = InfluxQlPlanner.runStmt(ms2,
+        "SHOW TAG VALUES FROM cpu WITH KEY = host LIMIT 1 OFFSET 1")
+      .collect().map(_.getString(2)).toSeq
+    assert(tv == Seq("b"))
   }
 
   test("RFC3339 timestamps and epoch-ns integers are interchangeable") {
