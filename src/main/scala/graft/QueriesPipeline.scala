@@ -2157,6 +2157,54 @@ object QueriesPipeline {
           < CAST(round(q * 1000000) AS BIGINT) * 3
         ORDER BY doc_id""")),
 
+    // exact-size WEIGHTED sampling (Efraimidis-Spirakis A-ES): 5 docs
+    // per language drawn with probability proportional to quality, via
+    // the deterministic ln(u)/w key — reservoir guarantees without RNG;
+    // the oracle replays the identical nano-quantized keys
+    ("sample_weighted_fixed",
+      (s, d) => Sampling.weightedFixedSample(
+          Tables.documents(s, d).select(col("doc_id"), col("lang"),
+            round(TF.qualityScore(col("text")), 6).as("q")),
+          "lang", "doc_id", "q", n = 5)
+        .orderBy("lang", "rank"),
+      Some(s"""WITH q AS (SELECT doc_id, lang, $dQuality AS q FROM documents),
+        k AS (SELECT doc_id, lang, CAST(round(
+            ln((${dHash60("CAST(doc_id AS VARCHAR)")} + 1.0)
+              / 1152921504606846976) / q * 1000000000) AS BIGINT) AS kq
+          FROM q WHERE q > 0),
+        r AS (SELECT lang, doc_id, CAST(row_number() OVER (
+            PARTITION BY lang ORDER BY kq DESC, doc_id ASC) AS INT) AS rank
+          FROM k)
+        SELECT lang, rank, doc_id FROM r WHERE rank <= 5
+        ORDER BY lang, rank""")),
+
+    // feature-hashing vectorizer (the hashing trick: Weinberger et al.
+    // 2009) — fixed-width hashed token count vectors, the front end of
+    // every cheap linear classifier over unbounded vocabularies; the
+    // sparse vector compares as an md5 digest of its (bucket:count) runs
+    ("text_hash_features",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), explode_outer(TF.tokens(col("text"))).as("t"))
+        .filter(col("t").isNotNull)
+        .withColumn("b", pmod(TF.hash60(col("t")), lit(64L)))
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nnz"), sum("c").as("n_tokens"),
+          sort_array(collect_list(struct(col("b"), col("c")))).as("bc"))
+        .select(col("doc_id"), col("nnz"), col("n_tokens"),
+          md5(array_join(transform(col("bc"),
+            x => concat_ws(":", x.getField("b"), x.getField("c"))), ","))
+            .as("vec_md5"))
+        .orderBy("doc_id"),
+      Some(s"""WITH occ AS (SELECT doc_id, ${dHash60("tok")} % 64 AS b
+          FROM (SELECT doc_id, unnest($dToks) AS tok FROM documents)),
+        c AS (SELECT doc_id, b, count(*) AS c FROM occ GROUP BY 1, 2)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS nnz,
+          CAST(sum(c) AS BIGINT) AS n_tokens,
+          md5(array_to_string(list(b || ':' || c ORDER BY b), ','))
+            AS vec_md5
+        FROM c GROUP BY doc_id ORDER BY doc_id""")),
+
     // data mixing with fractional epoch upsampling: de×2.5, fr×2, zh×0.5,
     // rest ×1 — one (doc, epoch) row per training appearance. The ×0.5
     // stratum exercises the rows-dropped path, ×2.5 the deterministic

@@ -157,6 +157,35 @@ object Sampling {
         * rateDen.toLong < wPpm * rateNum.toLong)
   }
 
+  /** Exact-size WEIGHTED sampling (Efraimidis & Spirakis 2006, A-ES):
+    * each row draws a deterministic pseudo-uniform u from its content
+    * hash and ranks by `ln(u)/w` — the n LARGEST keys per stratum are
+    * the sample. The log form is order-equivalent to the paper's
+    * `u^(1/w)` but avoids pow(), whose last-ulp behavior differs across
+    * libm implementations; keys quantize to integer nano-units before
+    * ranking so the top-n cut is an exact integer comparison in any
+    * engine (ties to the smaller id). Non-positive weights never select.
+    *
+    * Scale shape: the bounded [[graft.functions.TopK]] aggregate — every
+    * map task reduces to n rows per stratum, no per-stratum sort. */
+  def weightedFixedSample(df: DataFrame, strataCol: String, keyCol: String,
+      weightCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    // u = (h + 1) / 2^60 in (0, 1]; the h -> double rounding is the same
+    // nearest-even cast in any engine
+    val u = (TextFunctions.hash60(col(keyCol).cast("string")).cast("double")
+      + 1.0) / lit(1152921504606846976L)
+    df.filter(col(weightCol) > 0)
+      .withColumn("__kq",
+        round(log(u) / col(weightCol) * 1e9).cast("long"))
+      .groupBy(col(strataCol))
+      .agg(graft.functions.TopK.topK(n)(col("__kq").cast("double"),
+        col(keyCol)).as("tk"))
+      .select(col(strataCol), posexplode(col("tk")).as(Seq("rk", "x")))
+      .select(col(strataCol), (col("rk") + 1).cast("int").as("rank"),
+        col("x.id").as(keyCol))
+  }
+
   /** Data mixing with epoch upsampling: each stratum (language, source,
     * domain) gets a fractional epoch count — e.g. `en -> 1.0, de -> 2.5`
     * means every German document appears twice and a deterministic half
