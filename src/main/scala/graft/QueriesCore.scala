@@ -1733,6 +1733,16 @@ object QueriesCore {
         SELECT event_type, value AS p90 FROM r
         WHERE rk = floor(0.9 * n + 0.5) ORDER BY event_type""")),
 
+    // scalar functions wrapped around aggregates — round(mean()),
+    // sqrt(count()) — the post-aggregate math 1.x allows in projections
+    ("influxql_scalar_agg",
+      (s, d) => graft.operators.InfluxQlPlanner.run(influxMs(s, d),
+        """SELECT round(mean(value)) AS rm, sqrt(count(value)) AS sc
+           FROM events GROUP BY event_type"""),
+      Some("""SELECT event_type, round(avg(value)) AS rm,
+          sqrt(count(value)) AS sc
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
     // PERCENTILE under GROUP BY time(): exact nearest-rank per (tag,
     // day bucket) — the downsampled-quantile form upstream supports and
     // the plain percentile operator previously rejected

@@ -56,6 +56,10 @@ object InfluxQlPlanner {
   private val scalarFns = Set("abs", "ceil", "floor", "round", "sqrt",
     "exp", "ln", "log", "log2", "log10", "sin", "cos", "tan", "asin",
     "acos", "atan", "atan2", "pow")
+  // the single-argument scalar functions — the ones that may also wrap
+  // an aggregate expression (round(mean(v)); log/atan2/pow carry extra
+  // arguments and stay per-row-only)
+  private val scalar1Fns = scalarFns -- Set("log", "atan2", "pow")
   private val holtFns = Set("holt_winters", "holt_winters_with_fit")
 
   def run(measurements: Map[String, InfluxMeasurement], q: String): DataFrame =
@@ -289,7 +293,12 @@ object InfluxQlPlanner {
     val hasStar = sel.projs.exists(_._1 == Star)
 
     val result =
-      if (sel.projs.exists(_._1.isInstanceOf[Bin]))
+      if (sel.projs.exists(_._1.isInstanceOf[Bin]) ||
+          // scalar-over-aggregate (round(mean(v))): the aggregate-
+          // arithmetic path, unless plain aggregates handle it
+          (calls.nonEmpty && sel.projs.forall(p => isAggArith(p._1)) &&
+            sel.projs.exists(p => aggSubCalls(p._1).nonEmpty) &&
+            !calls.forall(c => aggFns(c._1.fn) || isNestedAgg(c._1))))
         binSelect(df, m, sel, keyCols, lo, hi)
       else if (calls.isEmpty) rawSelect(df, m, sel, refs, hasStar, keyCols)
       else if (calls.forall(c => scalarFns(c._1.fn)) && !hasStar)
@@ -435,12 +444,20 @@ object InfluxQlPlanner {
 
   private def isScalarExpr(e: Expr): Boolean = e match {
     case Ref(_) | IntLit(_) | NumLit(_) => true
-    case c: Call => scalarFns(c.fn)
+    // scalar CALLS are per-row only over bare field/literal arguments
+    // (what scalarCol supports) — nested calls/arithmetic route to the
+    // aggregate path
+    case c: Call => scalarFns(c.fn) && c.args.forall {
+      case _: Call | _: Bin => false
+      case _ => true
+    }
     case Bin(op, l, r) => arithOps(op) && isScalarExpr(l) && isScalarExpr(r)
     case _ => false
   }
 
   private def isAggArith(e: Expr): Boolean = e match {
+    case c: Call if scalar1Fns(c.fn) && c.args.size == 1 =>
+      isAggArith(c.args.head) // round(mean(v)) and friends
     case c: Call => aggFns(c.fn)
     case IntLit(_) | NumLit(_) => true
     case Bin(op, l, r) => arithOps(op) && isAggArith(l) && isAggArith(r)
@@ -448,9 +465,31 @@ object InfluxQlPlanner {
   }
 
   private def aggSubCalls(e: Expr): Seq[Call] = e match {
+    case c: Call if scalar1Fns(c.fn) => c.args.flatMap(aggSubCalls)
     case c: Call => Seq(c)
     case Bin(_, l, r) => aggSubCalls(l) ++ aggSubCalls(r)
     case _ => Seq.empty
+  }
+
+  /** Apply a single-argument scalar function to an arbitrary column
+    * (per-row or post-aggregate). */
+  private def applyScalar1(fn: String, a: Column): Column = fn match {
+    case "abs" => abs(a)
+    case "ceil" => ceil(a).cast("double")
+    case "floor" => floor(a).cast("double")
+    case "round" => round(a, 0)
+    case "sqrt" => sqrt(a)
+    case "exp" => exp(a)
+    case "ln" => log(a)
+    case "log2" => log2(a)
+    case "log10" => log10(a)
+    case "sin" => sin(a)
+    case "cos" => cos(a)
+    case "tan" => tan(a)
+    case "asin" => asin(a)
+    case "acos" => acos(a)
+    case "atan" => atan(a)
+    case other => throw ParseError(s"$other() cannot wrap an aggregate")
   }
 
   private def arith(op: String, a: Column, b: Column): Column = op match {
@@ -527,6 +566,8 @@ object InfluxQlPlanner {
       }
     }
     def rewrite(e: Expr): Column = e match {
+      case c: Call if scalar1Fns(c.fn) && c.args.size == 1 =>
+        applyScalar1(c.fn, rewrite(c.args.head))
       case c: Call => col(hidden(c))
       case IntLit(v) => lit(v)
       case NumLit(v) => lit(v)

@@ -126,6 +126,26 @@ class InfluxQlSpec extends SparkSpec {
       (15000000000L, "b", 20.0), (35000000000L, "b", 40.0)))
   }
 
+  test("scalar functions wrap aggregates: round(mean), sqrt over ratios") {
+    val r = run("SELECT round(mean(value)) AS rm FROM cpu GROUP BY host")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // a: mean(1,3,2,6)=3 -> 3.0; b: mean(10,20,40)=23.33 -> 23.0
+    assert(r == Map("a" -> 3.0, "b" -> 23.0))
+    val c = run(
+      "SELECT sqrt(sum(value) / count(value)) AS s FROM cpu GROUP BY host")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(c("a") - math.sqrt(3.0)) < 1e-12)
+    // per-row scalar calls still work unchanged
+    val p = run("SELECT abs(value) AS a FROM cpu WHERE host = 'a' LIMIT 1")
+      .collect().map(_.getDouble(1)).toSeq
+    assert(p == Seq(1.0))
+    // multi-arg scalars stay per-row-only, with a reason
+    val e = intercept[graft.core.InfluxQl.ParseError] {
+      run("SELECT pow(mean(value), 2) AS p FROM cpu")
+    }
+    assert(e.getMessage.contains("pow"), e.getMessage)
+  }
+
   test("percentile/median with GROUP BY time(): exact per-bucket ranks") {
     val p = run("""SELECT percentile(value, 50) AS p FROM cpu
         WHERE time >= 0 AND time < 40000000000
