@@ -322,6 +322,50 @@ object QueriesPipeline {
           count(*) AS n, min(doc_id) AS first_id
         FROM h GROUP BY 1 ORDER BY split""")),
 
+    // held-out n-gram coverage: what fraction of each non-train split's
+    // distinct shingles the TRAIN split has seen — the generalization /
+    // leakage-direction audit run after any split assignment; one
+    // shuffle on the shingle, split sets bounded by #splits per shingle
+    ("corpus_split_coverage",
+      (s, d) => {
+        val docs = Tables.spread(s, Tables.documents(s, d))
+        val sh = graft.pipeline.Sampling
+          .assignSplits(docs, "doc_id", valPpm = 100000L, testPpm = 50000L)
+          .select(col("split"),
+            explode_outer(array_distinct(TF.shingles(col("text"), 3)))
+              .as("sh"))
+          .filter(col("sh").isNotNull)
+          .distinct()
+        val train = sh.filter(col("split") === "train")
+          .select(col("sh"), lit(1).as("__t"))
+        sh.filter(col("split") =!= "train")
+          .join(train, Seq("sh"), "left")
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(coalesce(col("__t"), lit(0))).as("covered"))
+          .select(col("split"), col("n_shingles"), col("covered"),
+            round(col("covered") / col("n_shingles"), 6).as("coverage"))
+          .orderBy("split")
+      },
+      Some(s"""WITH $dShingles,
+        spl AS (SELECT doc_id, CASE
+            WHEN ${dHash60("CAST(doc_id AS VARCHAR)")} % 1000000 < 100000
+              THEN 'val'
+            WHEN ${dHash60("CAST(doc_id AS VARCHAR)")} % 1000000 < 150000
+              THEN 'test' ELSE 'train' END AS split
+          FROM documents),
+        ss AS (SELECT DISTINCT spl.split, sh.s
+          FROM sh JOIN spl USING (doc_id)),
+        tr AS (SELECT s FROM ss WHERE split = 'train')
+        SELECT ss.split, CAST(count(*) AS BIGINT) AS n_shingles,
+          CAST(sum(CASE WHEN tr.s IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+            AS covered,
+          round(sum(CASE WHEN tr.s IS NULL THEN 0 ELSE 1 END)
+            / count(*), 6) AS coverage
+        FROM ss LEFT JOIN tr ON tr.s = ss.s
+        WHERE ss.split != 'train'
+        GROUP BY 1 ORDER BY split""")),
+
     // count-min sketch: bounded-memory token frequencies (the frequency
     // sibling of dedup_bloom's membership sketch); estimates from the
     // 3×512 cell table vs the exact counts — all-integer, so the oracle
