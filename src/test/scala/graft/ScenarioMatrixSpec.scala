@@ -281,6 +281,22 @@ class ScenarioMatrixSpec extends SparkSpec {
     assertInvariant("influxql_planner_transform")(df => InfluxQlPlanner.run(
       Map("m" -> InfluxMeasurement(df, "time", Seq("state", "city"))),
       "SELECT difference(temp) FROM m GROUP BY state"))
+    // r8 forms: bucketed whole-operators, tag-grouped selectors,
+    // scalar-over-aggregate — placement must stay invisible to all
+    assertInvariant("influxql_percentile_bucketed")(df => InfluxQlPlanner.run(
+      Map("m" -> InfluxMeasurement(df, "time", Seq("state", "city"))),
+      "SELECT percentile(temp, 50) AS p FROM m " +
+        "WHERE time >= 0 AND time < 400 GROUP BY time(150ns), state fill(none)"))
+    assertInvariant("influxql_top_tag")(df => InfluxQlPlanner.run(
+      Map("m" -> InfluxMeasurement(df, "time", Seq("state", "city"))),
+      "SELECT TOP(temp, state, 2) AS best FROM m"))
+    assertInvariant("influxql_top_bucketed")(df => InfluxQlPlanner.run(
+      Map("m" -> InfluxMeasurement(df, "time", Seq("state", "city"))),
+      "SELECT top(temp, 1) FROM m WHERE time >= 0 AND time < 400 " +
+        "GROUP BY time(150ns), state"))
+    assertInvariant("influxql_scalar_over_agg")(df => InfluxQlPlanner.run(
+      Map("m" -> InfluxMeasurement(df, "time", Seq("state", "city"))),
+      "SELECT round(mean(temp)) AS rm FROM m GROUP BY state"))
   }
 
   test("series-set wire shape is placement-invariant") {
