@@ -727,6 +727,45 @@ object QueriesPipeline {
         FROM bk JOIN ratio USING (bk)
         GROUP BY bk.doc_id ORDER BY doc_id""")),
 
+    // per-source LM drift: mean bits-per-bigram by source — the corpus
+    // health dashboard row that catches a source going garbled or
+    // boilerplate between builds; per-doc bits micro-quantized so the
+    // source mean is one exact integer division
+    ("corpus_ppl_by_source",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bits = graft.pipeline.LanguageModel
+          .bigramLogLoss(docs, "doc_id", "text")
+          .select(col("doc_id"),
+            round(col("bits_per_bigram") * 1e6).cast("long").as("bq"))
+        docs.select(col("doc_id"), col("source")).join(bits, "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("bq").as("sbq"))
+          .select(col("source"), col("n_docs"),
+            round(col("sbq").cast("double") / col("n_docs") / 1e6, 6)
+              .as("mean_bits"))
+          .orderBy("source")
+      },
+      Some(s"""WITH p AS (SELECT doc_id, $dToks AS w FROM documents),
+        bgl AS (SELECT doc_id, CASE WHEN len(w) >= 2 THEN list_filter(
+            list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]),
+            x -> length(x) > 0) ELSE [] END AS bgs FROM p),
+        occ AS (SELECT doc_id, unnest(bgs) AS b FROM bgl),
+        ucnt AS (SELECT tok, count(*) AS cw
+          FROM (SELECT unnest(w) AS tok FROM p) GROUP BY 1),
+        v AS (SELECT count(*) AS v FROM ucnt),
+        bcnt AS (SELECT b, count(*) AS cbg FROM occ GROUP BY 1),
+        db AS (SELECT occ.doc_id, CAST(round(-avg(log2((bcnt.cbg + 0.5)
+            / (ucnt.cw + 0.5 * v.v))) * 1000000) AS BIGINT) AS bq
+          FROM occ JOIN bcnt USING (b)
+          JOIN ucnt ON ucnt.tok = string_split(occ.b, ' ')[1]
+          CROSS JOIN v GROUP BY occ.doc_id)
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+          round(CAST(sum(bq) AS DOUBLE) / count(*) / 1000000.0, 6)
+            AS mean_bits
+        FROM db JOIN documents d USING (doc_id)
+        GROUP BY 1 ORDER BY source""")),
+
     // CCNet perplexity terciles: rank documents by LM bits within each
     // language and cut head/middle/tail at ceil(n/3)/ceil(2n/3). The
     // Spark side is the two-level coarse-bucket rank (no corpus window);
