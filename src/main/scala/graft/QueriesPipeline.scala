@@ -329,20 +329,23 @@ object QueriesPipeline {
     ("corpus_split_coverage",
       (s, d) => {
         val docs = Tables.spread(s, Tables.documents(s, d))
-        val sh = graft.pipeline.Sampling
+        // ONE shingling pass and ONE shuffle: each shingle's split set
+        // (bounded by #splits) carries both the membership rows and the
+        // train flag — no second corpus read, no shingle self-join
+        val bySh = graft.pipeline.Sampling
           .assignSplits(docs, "doc_id", valPpm = 100000L, testPpm = 50000L)
           .select(col("split"),
             explode_outer(array_distinct(TF.shingles(col("text"), 3)))
               .as("sh"))
           .filter(col("sh").isNotNull)
-          .distinct()
-        val train = sh.filter(col("split") === "train")
-          .select(col("sh"), lit(1).as("__t"))
-        sh.filter(col("split") =!= "train")
-          .join(train, Seq("sh"), "left")
+          .groupBy("sh").agg(collect_set(col("split")).as("splits"))
+        bySh
+          .select(array_contains(col("splits"), "train").as("__t"),
+            explode(col("splits")).as("split"))
+          .filter(col("split") =!= "train")
           .groupBy("split")
           .agg(count(lit(1)).as("n_shingles"),
-            sum(coalesce(col("__t"), lit(0))).as("covered"))
+            sum(when(col("__t"), 1L).otherwise(0L)).as("covered"))
           .select(col("split"), col("n_shingles"), col("covered"),
             round(col("covered") / col("n_shingles"), 6).as("coverage"))
           .orderBy("split")
