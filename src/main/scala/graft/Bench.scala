@@ -77,15 +77,16 @@ object Bench {
     val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val passTotals = samples.map(p => d3(p.flatMap(_._2).sum)).mkString("[", ",", "]")
     val total = byQuery.flatMap(_._2.map(_._1)).sum
-    // The driver captures only a bounded 2000-byte TAIL of stdout (with the
-    // sbt "[success]" line inside it) and parses the last JSON line from
-    // that window; at ~100 queries the full per-query map overflows it and
-    // the whole bench reads as unparseable (r6: "parsed": null). So: the
-    // full-fidelity record always goes to a sidecar file + stderr; stdout
-    // gets the full line ONLY if it fits comfortably, else a compact line
-    // whose "queries" map rolls the minima up by family prefix (q/rpc/
-    // events/influxql/dedup/text/... — ~15 entries, stable round-over-round
-    // for trend comparison).
+    // The driver captures only a bounded 2000-byte TAIL of the run's
+    // MERGED stdout+stderr (with the sbt "[success]" line inside it) and
+    // parses the last JSON line from that window; at ~190 queries the full
+    // per-query map overflows it and the whole bench reads as unparseable
+    // (r6-r8: "parsed": null — r8's tail held the 6 KB stderr detail line
+    // truncated mid-map ABOVE the compact line). So: the full-fidelity
+    // record goes ONLY to the sidecar file — never stdout, never stderr —
+    // and stdout gets exactly one compact line whose "queries" map rolls
+    // the minima up by family prefix (q/rpc/events/influxql/dedup/text/…
+    // — ~35 entries, stable round-over-round for trend comparison).
     val detail = s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"failed":$failedArr,"passes":$passes,"pass_totals":$passTotals,"sf":"$sfDir"}"""
     val famTotals = byQuery
       .collect { case (k, Some((min, _))) => (k.takeWhile(_ != '_'), min) }
@@ -101,8 +102,7 @@ object Bench {
       java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e") }
-    System.err.println(s"[bench-detail] $detail")
-    println(if (detail.length <= 1700) detail else compact)
+    println(compact)
     spark.stop()
   }
 }

@@ -861,6 +861,87 @@ object QueriesCore {
         min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
         FROM customer GROUP BY 1 ORDER BY 1""")),
 
+    ("grpc_management_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        // the management-plane gRPC services end-to-end over real HTTP/2
+        // (management.rs:114-137 create_database with rules,
+        // rpc/write.rs:23-54 write, management.rs:342-363
+        // close_partition_chunk + operations get, management.rs:157-186
+        // list_chunks): create a database whose rules partition by
+        // c_mktsegment, write the customer rows as LP through the gRPC
+        // write service, close the write's chunk, and read the chunk
+        // inventory back — per-partition row counts with the post-close
+        // storage stage, all four hops on the gRPC wire
+        import graft.server.{GrpcClient, ManagementProto, StorageProto, StorageProtoReader => R}
+        def msg(f: StorageProto.Writer => Unit): Array[Byte] = {
+          val w = new StorageProto.Writer; f(w); w.result()
+        }
+        val lines = t(s, d, "customer").select(concat(
+          lit("customer,c_mktsegment="), col("c_mktsegment"),
+          lit(" c_acctbal="), col("c_acctbal").cast("string"),
+          lit(",c_nationkey="), col("c_nationkey").cast("string"), lit("i"),
+          lit(" "), col("c_custkey").cast("string"))).as[String].collect()
+        val facade = new graft.server.HttpFacade(s, port = 0)
+        val grpc = graft.server.IoxGrpc.start(facade)
+        try {
+          val p = grpc.boundPort
+          val M = graft.server.ManagementGrpc.ManagementPrefix
+          val rules = msg { r =>
+            r.string(1, "mgmtdb")
+            r.bytes(2, msg(_.bytes(1, msg(_.string(2, "c_mktsegment")))))
+          }
+          require(GrpcClient.call(p, M + "CreateDatabase",
+            msg(_.bytes(1, rules)))._1 == 0, "create_database failed")
+          val (ws, wr) = GrpcClient.call(p,
+            graft.server.ManagementGrpc.WritePrefix + "Write",
+            msg { w => w.string(1, "mgmtdb")
+              w.string(2, lines.mkString("\n")) })
+          require(ws == 0, s"grpc write returned status $ws")
+          require(ManagementProto.readVarint(wr.head, 1) == lines.length.toLong,
+            "lines_written mismatch")
+          val (cs, _) = GrpcClient.call(p, M + "ClosePartitionChunk",
+            msg { w => w.string(1, "mgmtdb")
+              w.string(2, "c_mktsegment_BUILDING")
+              w.varintField(3, 0); w.string(4, "customer") })
+          require(cs == 0, s"close_partition_chunk returned status $cs")
+          val (os, ops) = GrpcClient.call(p,
+            graft.server.ManagementGrpc.OperationsPrefix + "GetOperation",
+            msg(_.string(1, "0")))
+          require(os == 0 && ManagementProto.readVarint(ops.head, 3) == 1,
+            "operation not done")
+          val (ls, chunks) = GrpcClient.call(p, M + "ListChunks",
+            msg(_.string(1, "mgmtdb")))
+          require(ls == 0, s"list_chunks returned status $ls")
+          val stageNames = Map(1 -> "OpenMutableBuffer",
+            2 -> "ClosedMutableBuffer", 3 -> "ReadBuffer",
+            4 -> "ReadBufferAndObjectStore", 5 -> "ObjectStoreOnly")
+          val rows = Seq.newBuilder[(String, String, String, Long)]
+          val rr = new R.Reader(chunks.head)
+          while (rr.hasMore) rr.key() match {
+            case (1, 2) =>
+              val c = rr.sub()
+              var key = ""; var table = ""; var storage = 0; var n = 0L
+              while (c.hasMore) c.key() match {
+                case (1, 2) => key = c.stringField()
+                case (3, 0) => storage = c.varint().toInt
+                case (8, 2) => table = c.stringField()
+                case (9, 0) => n = c.varint()
+                case (_, wt) => c.skip(wt)
+              }
+              rows += ((key, table, stageNames(storage), n))
+            case (_, wt) => rr.skip(wt)
+          }
+          rows.result()
+            .toDF("partition_key", "table_name", "storage", "row_count")
+            .orderBy("partition_key")
+        } finally { grpc.stop(); facade.stop() }
+      },
+      Some("""SELECT 'c_mktsegment_' || c_mktsegment AS partition_key,
+        'customer' AS table_name, 'ReadBuffer' AS storage,
+        CAST(count(*) AS BIGINT) AS row_count
+        FROM customer GROUP BY 1 ORDER BY 1""")),
+
     ("flight_do_get",
       (s, d) => {
         import s.implicits._

@@ -40,6 +40,20 @@ object Similarity {
   private def cosExpr(dotCol: Column, na: Column, nb: Column): Column =
     when(na * nb =!= 0.0, dotCol / (na * nb))
 
+  /** Quantize a cosine to integer micro-units (halfway-mode-safe
+    * `floor(x·1e6 + 0.5)`, the [[pqTopK]] form; exact as a double since
+    * |cos|·1e6 ≪ 2^53). Ranking raw doubles is not engine-version-proof:
+    * DuckDB's `list_dot_product` and the JVM's fold can differ by 1 ulp
+    * (pairwise vs sequential summation), and a 1-ulp cosine at ranks
+    * k/k+1 swaps them (r8 verdict: `ann_recall_eval`). After
+    * quantization an ulp wobble flips the score only at a .5-micro
+    * boundary, and even then changes the output only if it crosses
+    * another candidate's value — ties already break by id. */
+  private def micro(c: Column): Column =
+    // floor() yields bigint; TopK's encoder scores doubles — the cast
+    // back is exact (|cos|·1e6 ≪ 2^53)
+    floor(c * lit(1e6) + lit(0.5)).cast("double")
+
   /** Rank the scored candidates: top-k rows per group via the bounded
     * [[graft.functions.TopK]] aggregate — partial aggregation means each
     * map task ships at most k rows per group, so a handful of query groups
@@ -63,13 +77,15 @@ object Similarity {
     * Ties break by ascending corpus id for determinism. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+      qIdCol: String = "q_id", qVecCol: String = "q_vec",
+      microRank: Boolean = false): DataFrame = {
     val c = normed(corpus, idCol, vecCol, "__e", "__n")
     val q = normed(queries, qIdCol, qVecCol, "__qe", "__qn")
+    val cos = cosExpr(dot(col("__e"), col("__qe")), col("__n"), col("__qn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col(idCol) =!= col(qIdCol))
       .select(col(qIdCol), col(idCol),
-        cosExpr(dot(col("__e"), col("__qe")), col("__n"), col("__qn")).as("cos"))
+        (if (microRank) micro(cos) else cos).as("cos"))
     rankTopK(scored, k, qIdCol, "cos", idCol)
   }
 
@@ -82,12 +98,13 @@ object Similarity {
     * downstream scoring. */
   def assignToCentroids(corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String,
-      cIdCol: String = "c_id", cVecCol: String = "c_vec"): DataFrame = {
+      cIdCol: String = "c_id", cVecCol: String = "c_vec",
+      microRank: Boolean = false): DataFrame = {
     val c = normed(corpus, idCol, vecCol, "__e", "__n")
     val cent = normed(centroids, cIdCol, cVecCol, "__ce", "__cn")
+    val aff = cosExpr(dot(col("__e"), col("__ce")), col("__n"), col("__cn"))
     c.crossJoin(broadcast(cent))
-      .withColumn("aff",
-        cosExpr(dot(col("__e"), col("__ce")), col("__n"), col("__cn")))
+      .withColumn("aff", if (microRank) micro(aff) else aff)
       .groupBy(col(idCol))
       .agg(first(col("__e")).as("__e"), first(col("__n")).as("__n"),
         max(struct(col("aff").as("a"), (-col(cIdCol)).as("nc"))).as("m"))
@@ -100,23 +117,28 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
       k: Int, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
-    val assigned = assignToCentroids(corpus, centroids, idCol, vecCol)
+      qIdCol: String = "q_id", qVecCol: String = "q_vec",
+      microRank: Boolean = false): DataFrame = {
+    val assigned =
+      assignToCentroids(corpus, centroids, idCol, vecCol, microRank = microRank)
     val cent = normed(centroids, "c_id", "c_vec", "__ce", "__cn")
     val q = normed(queries, qIdCol, qVecCol, "__qe", "__qn")
     // centroid lists each query probes: tiny (queries x nlist), ranked by
     // the same bounded top-k aggregate
+    val probeAff =
+      cosExpr(dot(col("__qe"), col("__ce")), col("__qn"), col("__cn"))
     val probes = rankTopK(
       q.crossJoin(broadcast(cent))
         .select(col(qIdCol), col("c_id").as("__cid"),
-          cosExpr(dot(col("__qe"), col("__ce")), col("__qn"), col("__cn")).as("aff")),
+          (if (microRank) micro(probeAff) else probeAff).as("aff")),
       nprobe, qIdCol, "aff", "__cid")
       .select(col(qIdCol), col("neighbor_id").as("c_id"))
       .join(q, qIdCol)
+    val cos = cosExpr(dot(col("__e"), col("__qe")), col("__n"), col("__qn"))
     val scored = assigned.join(broadcast(probes), "c_id")
       .filter(col(idCol) =!= col(qIdCol))
       .select(col(qIdCol), col(idCol),
-        cosExpr(dot(col("__e"), col("__qe")), col("__n"), col("__qn")).as("cos"))
+        (if (microRank) micro(cos) else cos).as("cos"))
     rankTopK(scored, k, qIdCol, "cos", idCol)
   }
 

@@ -12,7 +12,7 @@ import io.netty.channel.{ChannelDuplexHandler, ChannelHandlerContext, ChannelInb
 import io.netty.channel.nio.NioEventLoopGroup
 import io.netty.channel.socket.SocketChannel
 import io.netty.channel.socket.nio.{NioServerSocketChannel, NioSocketChannel}
-import io.netty.handler.codec.http2.{DefaultHttp2DataFrame, DefaultHttp2Headers, DefaultHttp2HeadersFrame, Http2DataFrame, Http2FrameCodecBuilder, Http2FrameStream, Http2HeadersFrame, Http2MultiplexHandler, Http2StreamChannelBootstrap}
+import io.netty.handler.codec.http2.{DefaultHttp2DataFrame, DefaultHttp2Headers, DefaultHttp2HeadersFrame, DefaultHttp2WindowUpdateFrame, Http2DataFrame, Http2FrameCodecBuilder, Http2FrameStream, Http2HeadersFrame, Http2MultiplexHandler, Http2StreamChannelBootstrap}
 import io.netty.util.ReferenceCountUtil
 
 /** Real gRPC framing over real HTTP/2 — the transport layer for the
@@ -80,7 +80,14 @@ final class GrpcServer(
           val buf = bodies.computeIfAbsent(d.stream(), _ => Unpooled.buffer())
           buf.writeBytes(d.content())
           val end = d.isEndStream
+          // hand the consumed bytes back to HTTP/2 flow control: without
+          // the WINDOW_UPDATE a request larger than the 64 KiB initial
+          // window (e.g. a bulk gRPC Write) stalls forever mid-stream
+          val consumed = d.initialFlowControlledBytes()
           d.release()
+          if (consumed > 0)
+            ctx.writeAndFlush(
+              new DefaultHttp2WindowUpdateFrame(consumed).stream(d.stream()))
           if (end) finish(ctx, d.stream())
         case other => ReferenceCountUtil.release(other)
       }
@@ -119,11 +126,15 @@ final class GrpcServer(
     private def respond(ctx: ChannelHandlerContext, stream: Http2FrameStream,
         result: Either[String, Vector[Array[Byte]]]): Unit = result match {
       case Left(err) =>
-        // trailers-only error: grpc-status 3 (INVALID_ARGUMENT)
+        // trailers-only error: grpc-status 3 (INVALID_ARGUMENT) unless the
+        // dispatcher encoded a specific code via GrpcServer.statusError
+        // (NOT_FOUND / ALREADY_EXISTS on the management routes, like
+        // tonic's typed Status in the reference)
+        val (code, message) = GrpcServer.splitStatus(err)
         val h = new DefaultHttp2Headers().status("200")
         h.set("content-type", "application/grpc")
-        h.set("grpc-status", "3")
-        h.set("grpc-message", err.replaceAll("[\r\n]", " ").take(512))
+        h.set("grpc-status", code.toString)
+        h.set("grpc-message", message.replaceAll("[\r\n]", " ").take(512))
         ctx.writeAndFlush(new DefaultHttp2HeadersFrame(h, true).stream(stream))
       case Right(messages) =>
         val h = new DefaultHttp2Headers().status("200")
@@ -140,6 +151,24 @@ final class GrpcServer(
         ctx.flush()
     }
   }
+}
+
+object GrpcServer {
+  /** Encode a non-default gRPC status code into the dispatch error
+    * channel (the dispatch signature carries errors as strings);
+    * [[splitStatus]] recovers it in the transport. Codes are the public
+    * grpc-status values: 5 NOT_FOUND, 6 ALREADY_EXISTS, 12 UNIMPLEMENTED. */
+  private val Marker = '\u0001'
+
+  def statusError(code: Int, msg: String): String =
+    s"$Marker$code$Marker$msg"
+
+  private[server] def splitStatus(err: String): (Int, String) =
+    if (err.nonEmpty && err.charAt(0) == Marker) {
+      val sep = err.indexOf(Marker.toInt, 1)
+      if (sep > 1) (err.substring(1, sep).toInt, err.substring(sep + 1))
+      else (3, err)
+    } else (3, err)
 }
 
 /** Minimal prior-knowledge h2c gRPC CLIENT (one call per connection) —
@@ -176,7 +205,11 @@ object GrpcClient {
             case df: Http2DataFrame =>
               acc.writeBytes(df.content())
               val end = df.isEndStream
+              val consumed = df.initialFlowControlledBytes()
               df.release()
+              if (consumed > 0) // same flow-control hand-back, client side
+                ctx.writeAndFlush(
+                  new DefaultHttp2WindowUpdateFrame(consumed).stream(df.stream()))
               var more = true
               while (more && acc.readableBytes() >= 5) {
                 acc.markReaderIndex()

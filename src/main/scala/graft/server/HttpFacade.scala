@@ -81,10 +81,25 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
       text: String): Unit =
     runningQueries.put(id, (db, text, System.nanoTime()))
 
-  /** Long-running-operations registry (rpc/operations.rs): one JSON
-    * operation per tracked management job, listed and fetched by id. */
-  private val operations = TrieMap.empty[Long, String]
+  /** Long-running-operations registry (rpc/operations.rs): one
+    * structured record per tracked management job — rendered as JSON by
+    * the HTTP routes and as `google.longrunning.Operation` protobuf by
+    * the gRPC operations service ([[ManagementGrpc]]), both from the
+    * same record. */
+  private val operations = TrieMap.empty[Long, HttpFacade.OpRecord]
   private val nextOpId = new AtomicLong
+
+  /** Server id (management.rs:55-83): settable once, 0 = unset — the
+    * reference's `Server::set_id` SetIdError on re-set. */
+  private val serverIdRef = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Known remote servers (management.rs:198-241): id → connection
+    * string, upserted/deleted via the management surface. */
+  private val remotes = TrieMap.empty[Int, String]
+
+  /** Serving readiness (management.rs:398-405): flipped via
+    * SetServingReadiness; surfaced by GetServerStatus-adjacent checks. */
+  private val servingReady = new java.util.concurrent.atomic.AtomicBoolean(true)
 
   /** Per-database rules set via the management surface; a database
     * without an entry runs on `DatabaseRules` defaults (the reference
@@ -235,26 +250,11 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
           case None => respondJsonError(ex, 413,
             s"request size exceeds $MaxBodySize bytes")
           case Some(bytes) =>
-            val body = new String(bytes, UTF_8)
-            val lines = body.split("\n").toSeq
-            try {
-              // one driver-side parse for the counters the reference tracks
-              // per write (num_lines / num_fields, http.rs:494-506); the
-              // frames below re-parse the same <=10MiB body — still one
-              // facade-sized pass, the data path proper stays in Spark
-              val parsed = LineProtocol.parseLines(lines.iterator).toSeq
-              val frames = LineProtocol.ingest(spark, lines, clockNs())
-              val db = dbName(org, bucket)
-              databases.updateWith(db) { prev =>
-                Some(prev.getOrElse(Vector.empty) ++ frames.toVector)
-              }
-              ingestLines.addAndGet(parsed.size.toLong)
-              ingestFields.addAndGet(parsed.iterator.map(_.fields.size.toLong).sum)
-              ingestBytes.addAndGet(bytes.length.toLong)
-              ex.sendResponseHeaders(204, -1)
-            } catch {
-              case e: LineProtocol.LpException =>
-                respondJsonError(ex, 400, s"error parsing line protocol: ${e.getMessage}")
+            writeLines(dbName(org, bucket), new String(bytes, UTF_8),
+                bytes.length) match {
+              case Right(_) => ex.sendResponseHeaders(204, -1)
+              case Left(err) => respondJsonError(ex, 400,
+                s"error parsing line protocol: $err")
             }
         }
       case _ => respondJsonError(ex, 400, "missing org/bucket query parameters")
@@ -887,6 +887,32 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
   private[server] def dbTables(db: String): Map[String, DataFrame] =
     measurements(db).flatMap(m => measurementView(db, m).map(m -> _)).toMap
 
+  /** LP ingest core shared by the HTTP write endpoint and the gRPC write
+    * service (rpc/write.rs:23-54 funnels into the same
+    * `Server::write_lines` the HTTP route uses): one driver-side parse
+    * for the per-write counters the reference tracks (num_lines /
+    * num_fields, http.rs:494-506), frames appended to the per-db chunk
+    * store, parse errors surfaced to the caller's transport. The frames
+    * re-parse the same <=10MiB body — still one facade-sized pass, the
+    * data path proper stays in Spark. Returns lines written. */
+  private[server] def writeLines(db: String, body: String,
+      bodyBytes: Int): Either[String, Long] = {
+    val lines = body.split("\n").toSeq
+    try {
+      val parsed = LineProtocol.parseLines(lines.iterator).toSeq
+      val frames = LineProtocol.ingest(spark, lines, clockNs())
+      databases.updateWith(db) { prev =>
+        Some(prev.getOrElse(Vector.empty) ++ frames.toVector)
+      }
+      ingestLines.addAndGet(parsed.size.toLong)
+      ingestFields.addAndGet(parsed.iterator.map(_.fields.size.toLong).sum)
+      ingestBytes.addAndGet(bodyBytes.toLong)
+      Right(parsed.size.toLong)
+    } catch {
+      case e: LineProtocol.LpException => Left(e.getMessage)
+    }
+  }
+
   /** 404 for an unknown database, like the query endpoints — without
     * this, database-level metadata RPCs would answer "exists and is
     * empty" for a typo'd name. Returns false after responding. */
@@ -1343,20 +1369,70 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
   // ListDatabases with DatabaseRules payloads — gRPC there,
   // management.proto; HTTP-carried JSON here like the other stand-ins)
 
-  private def handleListDatabases(ex: HttpExchange): Unit = {
-    val names = (databases.keySet ++ rulesStore.keySet).toSeq.sorted
+  /** db_names_sorted (management.rs:85-91): every database that was
+    * written to or configured. */
+  private[server] def databaseNames: Seq[String] =
+    (databases.keySet ++ rulesStore.keySet).toSeq.sorted
+
+  private[server] def hasDatabase(db: String): Boolean =
+    databases.contains(db) || rulesStore.contains(db)
+
+  /** db_rules (management.rs:93-112): stored rules, or the defaults in
+    * effect for a written-to-but-never-configured database; None when
+    * the database is unknown. */
+  private[server] def storedRules(db: String): Option[graft.streaming.DatabaseRules] =
+    rulesStore.get(db)
+      .orElse(if (databases.contains(db)) Some(rulesOf(db)) else None)
+
+  /** create_database (management.rs:114-137): AlreadyExists is an error
+    * — unlike [[updateRules]]' upsert. */
+  private[server] def createDatabase(
+      r: graft.streaming.DatabaseRules): Either[String, Unit] =
+    if (hasDatabase(r.name)) Left(s"database already exists: ${r.name}")
+    else { rulesStore.put(r.name, r); Right(()) }
+
+  /** update_database (management.rs:139-155): replace the stored rules;
+    * NotFound when the database was never created or written to. */
+  private[server] def updateRules(
+      r: graft.streaming.DatabaseRules): Either[String, graft.streaming.DatabaseRules] =
+    if (!hasDatabase(r.name)) Left(s"database not found: ${r.name}")
+    else { rulesStore.put(r.name, r); Right(r) }
+
+  // server-plane state (management.rs:55-84,198-241,398-405)
+
+  private[server] def serverId: Option[Int] =
+    Option(serverIdRef.get()).filter(_ != 0)
+
+  /** set_id (server: settable once; SetIdError on a conflicting re-set,
+    * idempotent on the same value). */
+  private[server] def setServerId(id: Int): Either[String, Unit] =
+    if (id == 0) Left("id must be non-zero")
+    else if (serverIdRef.compareAndSet(0, id) || serverIdRef.get() == id)
+      Right(())
+    else Left(s"id already set to ${serverIdRef.get()}")
+
+  private[server] def remotesSorted: Seq[(Int, String)] =
+    remotes.toSeq.sortBy(_._1)
+
+  private[server] def updateRemote(id: Int, connectionString: String): Unit =
+    remotes.put(id, connectionString)
+
+  /** delete_remote: false when the id was unknown (NotFound upstream). */
+  private[server] def deleteRemote(id: Int): Boolean =
+    remotes.remove(id).isDefined
+
+  private[graft] def servingReadiness: Boolean = servingReady.get()
+  private[server] def setServingReadiness(ready: Boolean): Unit =
+    servingReady.set(ready)
+
+  private def handleListDatabases(ex: HttpExchange): Unit =
     respond(ex, 200, "application/json",
-      names.map(jsonStr).mkString("""{"names":[""", ",", "]}"))
-  }
+      databaseNames.map(jsonStr).mkString("""{"names":[""", ",", "]}"))
 
   private def handleGetRules(ex: HttpExchange, db: String): Unit =
-    rulesStore.get(db) match {
+    storedRules(db) match {
       case Some(r) => respond(ex, 200, "application/json",
         graft.streaming.DatabaseRules.toJson(r))
-      case None if databases.contains(db) =>
-        // written-to but never configured: serve the defaults in effect
-        respond(ex, 200, "application/json",
-          graft.streaming.DatabaseRules.toJson(rulesOf(db)))
       case None => respondJsonError(ex, 404, s"database not found: $db")
     }
 
@@ -1383,6 +1459,24 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
     * close_partition_chunk → ReadBuffer); the compacted/persisted disk
     * stages live on the ChunkedTable path and surface through
     * `system_chunks`. */
+  /** list_chunks data (management.rs:157-186): one [[HttpFacade.ChunkRow]]
+    * per (partition_key, table, write chunk), sorted. */
+  private[server] def chunkRows(db: String): Seq[HttpFacade.ChunkRow] = {
+    val template = rulesOf(db).partitionTemplate
+    databases.getOrElse(db, Vector.empty).zipWithIndex.flatMap {
+      case ((m, df), i) =>
+        df.groupBy(template.keyColumn(m, df.schema).as("k"))
+          .agg(count(lit(1)).as("n")).collect()
+          .map(r => HttpFacade.ChunkRow(r.getString(0), m, i,
+            chunkStage(db, i), r.getLong(1)))
+    }.sortBy(c => (c.partitionKey, c.table, c.id))
+  }
+
+  private def chunkRowJson(c: HttpFacade.ChunkRow): String =
+    s"""{"partition_key":${jsonStr(c.partitionKey)},""" +
+      s""""table_name":${jsonStr(c.table)},""" +
+      s""""id":${c.id},"storage":"${c.storage}","row_count":${c.rowCount}}"""
+
   private def handleListChunks(ex: HttpExchange): Unit = {
     val params = queryParams(ex)
     (params.get("org"), params.get("bucket")) match {
@@ -1391,17 +1485,8 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
         if (!databases.contains(db)) {
           respondJsonError(ex, 404, s"database not found: $db"); return
         }
-        val template = rulesOf(db).partitionTemplate
-        val rows = databases(db).zipWithIndex.flatMap { case ((m, df), i) =>
-          df.groupBy(template.keyColumn(m, df.schema).as("k"))
-            .agg(count(lit(1)).as("n")).collect()
-            .map(r => (r.getString(0), m, i, r.getLong(1)))
-        }.sortBy { case (k, m, id, _) => (k, m, id) }
-        val body = rows.map { case (k, m, id, n) =>
-          s"""{"partition_key":${jsonStr(k)},"table_name":${jsonStr(m)},""" +
-            s""""id":$id,"storage":"${chunkStage(db, id)}","row_count":$n}"""
-        }.mkString("[", ",", "]")
-        respond(ex, 200, "application/json", body)
+        respond(ex, 200, "application/json",
+          chunkRows(db).map(chunkRowJson).mkString("[", ",", "]"))
       case _ => respondJsonError(ex, 400, "org and bucket params required")
     }
   }
@@ -1419,17 +1504,27 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
       .limit(1).count() > 0L
   }
 
-  /** list_partitions (management.rs:243): the database's distinct
-    * partition keys, one `{"key": ...}` per partition. */
-  private def handleDbPartitions(ex: HttpExchange, db: String): Unit = {
-    if (!requireDb(ex, db)) return
+  /** list_partitions data (management.rs:243): the database's distinct
+    * partition keys, sorted. */
+  private[server] def partitionKeysOf(db: String): Seq[String] = {
     val template = rulesOf(db).partitionTemplate
-    val keys = databases(db).flatMap { case (m, df) =>
+    databases.getOrElse(db, Vector.empty).flatMap { case (m, df) =>
       df.select(template.keyColumn(m, df.schema).as("k"))
         .distinct().collect().map(_.getString(0))
     }.distinct.sorted
+  }
+
+  /** get_partition membership (management.rs:265). */
+  private[server] def partitionExists(db: String, key: String): Boolean =
+    databases.getOrElse(db, Vector.empty).exists { case (m, df) =>
+      inPartition(db, m, df, key)
+    }
+
+  private def handleDbPartitions(ex: HttpExchange, db: String): Unit = {
+    if (!requireDb(ex, db)) return
     respond(ex, 200, "application/json",
-      keys.map(k => s"""{"key":${jsonStr(k)}}""").mkString("[", ",", "]"))
+      partitionKeysOf(db).map(k => s"""{"key":${jsonStr(k)}}""")
+        .mkString("[", ",", "]"))
   }
 
   /** get_partition (management.rs:265): the partition by key, 404 when
@@ -1437,29 +1532,29 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
   private def handleGetPartition(ex: HttpExchange, db: String,
       key: String): Unit = {
     if (!requireDb(ex, db)) return
-    val exists = databases(db).exists { case (m, df) =>
-      inPartition(db, m, df, key)
-    }
-    if (exists)
+    if (partitionExists(db, key))
       respond(ex, 200, "application/json", s"""{"key":${jsonStr(key)}}""")
     else respondJsonError(ex, 404, s"partition not found: $key")
   }
 
-  /** list_partition_chunks (management.rs:293): the chunks holding rows
-    * of one partition, with their current lifecycle storage stage. */
+  /** list_partition_chunks data (management.rs:293): the chunks holding
+    * rows of one partition, with their current lifecycle storage stage. */
+  private[server] def partitionChunkRows(db: String,
+      key: String): Seq[HttpFacade.ChunkRow] = {
+    val template = rulesOf(db).partitionTemplate
+    databases.getOrElse(db, Vector.empty).zipWithIndex.flatMap {
+      case ((m, df), i) =>
+        val n = df.filter(template.keyColumn(m, df.schema) === key).count()
+        if (n == 0L) None
+        else Some(HttpFacade.ChunkRow(key, m, i, chunkStage(db, i), n))
+    }.sortBy(c => (c.table, c.id))
+  }
+
   private def handlePartitionChunks(ex: HttpExchange, db: String,
       key: String): Unit = {
     if (!requireDb(ex, db)) return
-    val template = rulesOf(db).partitionTemplate
-    val rows = databases(db).zipWithIndex.flatMap { case ((m, df), i) =>
-      val n = df.filter(template.keyColumn(m, df.schema) === key).count()
-      if (n == 0L) None else Some((m, i, n))
-    }.sortBy { case (m, id, _) => (m, id) }
-    val body = rows.map { case (m, id, n) =>
-      s"""{"partition_key":${jsonStr(key)},"table_name":${jsonStr(m)},""" +
-        s""""id":$id,"storage":"${chunkStage(db, id)}","row_count":$n}"""
-    }.mkString("[", ",", "]")
-    respond(ex, 200, "application/json", body)
+    respond(ex, 200, "application/json",
+      partitionChunkRows(db, key).map(chunkRowJson).mkString("[", ",", "]"))
   }
 
   /** new_partition_chunk (management.rs:318 → rollover_partition): close
@@ -1468,19 +1563,27 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
     * reference's chunk state machine. Rolling over a partition whose
     * open chunk is already closed is a no-op, like the reference's
     * rollover of an empty open chunk. */
+  /** new_partition_chunk core (management.rs:318 → rollover_partition):
+    * false when the (partition, table) holds no rows. */
+  private[server] def rolloverPartition(db: String, key: String,
+      table: String): Boolean = {
+    val members = databases.getOrElse(db, Vector.empty).zipWithIndex
+      .filter { case ((m, df), _) => m == table && inPartition(db, m, df, key) }
+      .map(_._2)
+    if (members.isEmpty) false
+    else {
+      members.filter(chunkStage(db, _) == "OpenMutableBuffer")
+        .foreach(i => chunkStages((db, i)) = "ClosedMutableBuffer")
+      true
+    }
+  }
+
   private def handleNewPartitionChunk(ex: HttpExchange, db: String,
       key: String, table: String): Unit = {
     if (!requireDb(ex, db)) return
-    val members = databases(db).zipWithIndex.filter { case ((m, df), _) =>
-      m == table && inPartition(db, m, df, key)
-    }.map(_._2)
-    if (members.isEmpty) {
-      respondJsonError(ex, 404,
-        s"partition not found: $key (table $table)"); return
-    }
-    members.filter(chunkStage(db, _) == "OpenMutableBuffer")
-      .foreach(i => chunkStages((db, i)) = "ClosedMutableBuffer")
-    respond(ex, 200, "application/json", "{}")
+    if (rolloverPartition(db, key, table))
+      respond(ex, 200, "application/json", "{}")
+    else respondJsonError(ex, 404, s"partition not found: $key (table $table)")
   }
 
   /** close_partition_chunk (management.rs:342 → Server::close_chunk):
@@ -1488,42 +1591,113 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
     * with the reference's CloseChunk job shape (job.rs:91 description
     * "Loading chunk to ReadBuffer"). Closing an already-moved chunk is
     * the reference's lifecycle error. */
+  /** close_partition_chunk core (management.rs:342 → Server::close_chunk):
+    * move one chunk to the read buffer and return the tracked operation
+    * record, with the reference's CloseChunk job shape (job.rs:91
+    * description "Loading chunk to ReadBuffer"). Closing an
+    * already-moved chunk is the reference's lifecycle error. Left is
+    * (http-ish status, message): 404 not-found, 400 lifecycle. */
+  /** Shared (table, partition, id) validation of the chunk-scoped
+    * management actions; Left is (404, message). */
+  private def validateChunkRef(db: String, key: String, table: String,
+      chunkId: Int): Either[(Int, String), Unit] = {
+    val chunks = databases.getOrElse(db, Vector.empty)
+    if (chunkId < 0 || chunkId >= chunks.size || chunks(chunkId)._1 != table)
+      Left((404, s"chunk $chunkId not found for table $table"))
+    else if (!inPartition(db, table, chunks(chunkId)._2, key))
+      Left((404, s"chunk $chunkId holds no rows of partition $key"))
+    else Right(())
+  }
+
+  private[server] def closeChunkAction(db: String, key: String,
+      table: String, chunkId: Int): Either[(Int, String), HttpFacade.OpRecord] =
+    validateChunkRef(db, key, table, chunkId).flatMap { _ =>
+      if (chunkStage(db, chunkId) == "ReadBuffer")
+        Left((400, s"chunk $chunkId already moved to ReadBuffer"))
+      else {
+        chunkStages((db, chunkId)) = "ReadBuffer"
+        Right(trackOperation(HttpFacade.OpRecord(0, "CloseChunk",
+          "Loading chunk to ReadBuffer", dbName = db, partitionKey = key,
+          tableName = table, chunkId = Some(chunkId))))
+      }
+    }
+
+  /** unload_partition_chunk (management.rs:366-396 → unload_read_buffer):
+    * drop the read-buffer stage label, keeping the chunk queryable —
+    * ReadBuffer → ObjectStoreOnly, the facade's two-stage analog of the
+    * reference's ReadBufferAndObjectStore → ObjectStoreOnly edge.
+    * Unloading a chunk that is not in the read buffer is the
+    * reference's lifecycle error. */
+  private[server] def unloadChunkAction(db: String, key: String,
+      table: String, chunkId: Int): Either[(Int, String), Unit] =
+    validateChunkRef(db, key, table, chunkId).flatMap { _ =>
+      if (chunkStage(db, chunkId) != "ReadBuffer")
+        Left((400, s"chunk $chunkId is not in the read buffer"))
+      else {
+        chunkStages((db, chunkId)) = "ObjectStoreOnly"
+        Right(())
+      }
+    }
+
+  private def trackOperation(r: HttpFacade.OpRecord): HttpFacade.OpRecord = {
+    val id = nextOpId.getAndIncrement()
+    val rec = r.copy(id = id)
+    operations(id) = rec
+    rec
+  }
+
+  /** create_dummy_job (management.rs:188-196): tracked job carrying the
+    * request's nanos; the facade's jobs are synchronous, so it records
+    * Complete immediately. */
+  private[server] def createDummyJob(nanos: Seq[Long]): HttpFacade.OpRecord =
+    trackOperation(HttpFacade.OpRecord(0, "Dummy", "dummy job", nanos = nanos))
+
+  /** wipe_preserved_catalog (management.rs:447-471): only legal for a
+    * database the server does NOT actively hold — wiping an active
+    * database is the reference's AlreadyExists error. The facade's
+    * preserved-catalog analog is the chunk-stage sidecar, which is
+    * cleared for the name. */
+  private[server] def wipePreservedCatalog(
+      db: String): Either[String, HttpFacade.OpRecord] =
+    if (hasDatabase(db)) Left(s"database already exists: $db")
+    else {
+      chunkStages.keys.filter(_._1 == db).foreach(chunkStages.remove)
+      Right(trackOperation(HttpFacade.OpRecord(0, "WipePreservedCatalog",
+        "Wiping preserved catalog", dbName = db)))
+    }
+
+  private[server] def operationsList: Seq[HttpFacade.OpRecord] =
+    operations.toSeq.sortBy(_._1).map(_._2)
+
+  private[server] def operationGet(id: Long): Option[HttpFacade.OpRecord] =
+    operations.get(id)
+
+  /** cancel_operation (rpc/operations.rs:171-181): cancelling a finished
+    * job is a no-op on the tracker; the record keeps the cancelled mark
+    * like the reference's `is_cancelled`. False when the id is unknown. */
+  private[server] def cancelOperation(id: Long): Boolean =
+    operations.updateWith(id)(_.map(_.copy(cancelled = true))).isDefined
+
   private def handleClosePartitionChunk(ex: HttpExchange, db: String,
       key: String, table: String, chunkId: Int): Unit = {
     if (!requireDb(ex, db)) return
-    val chunks = databases(db)
-    if (chunkId < 0 || chunkId >= chunks.size || chunks(chunkId)._1 != table) {
-      respondJsonError(ex, 404,
-        s"chunk $chunkId not found for table $table"); return
+    closeChunkAction(db, key, table, chunkId) match {
+      case Left((status, msg)) => respondJsonError(ex, status, msg)
+      case Right(rec) => respond(ex, 200, "application/json",
+        s"""{"operation":${HttpFacade.opJson(rec)}}""")
     }
-    if (!inPartition(db, table, chunks(chunkId)._2, key)) {
-      respondJsonError(ex, 404,
-        s"chunk $chunkId holds no rows of partition $key"); return
-    }
-    if (chunkStage(db, chunkId) == "ReadBuffer") {
-      respondJsonError(ex, 400,
-        s"chunk $chunkId already moved to ReadBuffer"); return
-    }
-    chunkStages((db, chunkId)) = "ReadBuffer"
-    val id = nextOpId.getAndIncrement()
-    val op = s"""{"id":$id,"status":"Complete",""" +
-      s""""description":"Loading chunk to ReadBuffer",""" +
-      s""""job":{"kind":"CloseChunk","db_name":${jsonStr(db)},""" +
-      s""""partition_key":${jsonStr(key)},"table_name":${jsonStr(table)},""" +
-      s""""chunk_id":$chunkId}}"""
-    operations(id) = op
-    respond(ex, 200, "application/json", s"""{"operation":$op}""")
   }
 
   /** Operations listing (rpc/operations.rs): every tracked management
     * job, oldest first; per-id fetch below. */
   private def handleListOperations(ex: HttpExchange): Unit =
     respond(ex, 200, "application/json",
-      operations.toSeq.sortBy(_._1).map(_._2).mkString("[", ",", "]"))
+      operationsList.map(HttpFacade.opJson).mkString("[", ",", "]"))
 
   private def handleGetOperation(ex: HttpExchange, id: Long): Unit =
-    operations.get(id) match {
-      case Some(op) => respond(ex, 200, "application/json", op)
+    operationGet(id) match {
+      case Some(op) => respond(ex, 200, "application/json",
+        HttpFacade.opJson(op))
       case None => respondJsonError(ex, 404, s"operation $id not found")
     }
 
@@ -1583,6 +1757,41 @@ object HttpFacade {
 
   /** Max accepted body, pre- and post-inflate (http.rs:345 MAX_SIZE). */
   val MaxBodySize: Int = 10 * 1024 * 1024
+
+  /** One management-surface chunk row (chunk.proto:46-81 Chunk):
+    * partition key, table, id, lifecycle storage stage, row count —
+    * rendered as JSON by the HTTP routes and protobuf by gRPC. */
+  final case class ChunkRow(partitionKey: String, table: String, id: Int,
+      storage: String, rowCount: Long)
+
+  /** One tracked long-running operation (rpc/operations.rs
+    * encode_tracker + jobs.proto OperationMetadata): the facade's
+    * management jobs are synchronous, so every record is terminal —
+    * either Complete or (after cancel_operation) carrying the cancelled
+    * mark, mirroring the tracker's `is_cancelled`. */
+  final case class OpRecord(id: Long, kind: String, description: String,
+      dbName: String = "", partitionKey: String = "", tableName: String = "",
+      chunkId: Option[Int] = None, nanos: Seq[Long] = Nil,
+      cancelled: Boolean = false)
+
+  /** The HTTP rendering of an operation record — the shape the
+    * /iox/api/v1/operations routes have always served. */
+  private[server] def opJson(r: OpRecord): String = {
+    val job = r.kind match {
+      case "CloseChunk" =>
+        s""""job":{"kind":"CloseChunk","db_name":${jsonStr(r.dbName)},""" +
+          s""""partition_key":${jsonStr(r.partitionKey)},""" +
+          s""""table_name":${jsonStr(r.tableName)},""" +
+          s""""chunk_id":${r.chunkId.getOrElse(0)}}"""
+      case "WipePreservedCatalog" =>
+        s""""job":{"kind":"WipePreservedCatalog","db_name":${jsonStr(r.dbName)}}"""
+      case _ =>
+        s""""job":{"kind":"Dummy","nanos":${r.nanos.mkString("[", ",", "]")}}"""
+    }
+    val status = if (r.cancelled) "Cancelled" else "Complete"
+    s"""{"id":${r.id},"status":"$status",""" +
+      s""""description":${jsonStr(r.description)},$job}"""
+  }
 
   // ------------------------------------------- minimal client (tests/demos)
 
