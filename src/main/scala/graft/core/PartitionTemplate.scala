@@ -43,6 +43,28 @@ case class PartitionTemplate(parts: Seq[TemplatePart]) {
             PartitionTemplate.strftimeToJava(fmt)),
           lit(""))
     }: _*)
+
+  /** Driver-side key of ONE line (reference `partition_key`,
+    * database_rules.rs:205-228, applied per parsed LP line by
+    * entry.rs:58-137 before batches are built): same rendering contract
+    * as [[keyColumn]] — `Column` parts read the line's TAGS (a missing
+    * tag renders blank, separators kept), `TimeFormat` formats the ns
+    * timestamp in UTC. */
+  def keyOf(tableName: String, tags: Seq[(String, String)],
+      timeNs: Long): String =
+    parts.map {
+      case Table => tableName
+      case ColumnValue(name) =>
+        tags.collectFirst { case (k, v) if k == name => s"${name}_$v" }
+          .getOrElse("")
+      case TimeFormat(fmt) =>
+        java.time.format.DateTimeFormatter
+          .ofPattern(PartitionTemplate.strftimeToJava(fmt))
+          .withZone(java.time.ZoneOffset.UTC)
+          .format(java.time.Instant.ofEpochSecond(
+            Math.floorDiv(timeNs, 1000000000L),
+            Math.floorMod(timeNs, 1000000000L)))
+    }.mkString("-")
 }
 
 object PartitionTemplate {

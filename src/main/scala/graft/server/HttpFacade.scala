@@ -269,6 +269,25 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
     * Entry (entry.rs:306 pb_to_entry). The database comes from
     * database_name (a `?db=` param overrides, as on the storage routes).
     */
+  /** Columnar-batch ingest core shared by the HTTP `write_pb` route and
+    * the gRPC `WriteEntry` flatbuffers path: frames land in the SAME
+    * per-measurement store as LP writes, with the same per-write
+    * counters (rows in, non-null field cells in, body bytes in). */
+  private[server] def writeBatches(db: String,
+      tables: Vector[WriteProto.PbTableBatch], bodyBytes: Int): Unit = {
+    val frames = WriteProto.toFrames(spark,
+      WriteProto.PbDatabaseBatch(db, tables))
+    databases.updateWith(db) { prev =>
+      Some(prev.getOrElse(Vector.empty) ++ frames.toVector)
+    }
+    ingestLines.addAndGet(tables.iterator.map(_.rowCount.toLong).sum)
+    ingestFields.addAndGet(tables.iterator.flatMap { t =>
+      t.columns.iterator.filter(_.semanticType == WriteProto.Semantic.Field)
+        .map(c => t.rowCount.toLong - c.nullCount(t.rowCount))
+    }.sum)
+    ingestBytes.addAndGet(bodyBytes.toLong)
+  }
+
   private def handleWritePb(ex: HttpExchange): Unit = {
     val raw = storageBodyBytes(ex).getOrElse(return)
     try {
@@ -277,18 +296,7 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
       if (db.isEmpty) {
         respondJsonError(ex, 400, "database_name is required"); return
       }
-      val frames = WriteProto.toFrames(spark, batch)
-      databases.updateWith(db) { prev =>
-        Some(prev.getOrElse(Vector.empty) ++ frames.toVector)
-      }
-      // the same per-write counters the LP path tracks: rows in, non-null
-      // field cells in, body bytes in
-      ingestLines.addAndGet(batch.tables.iterator.map(_.rowCount.toLong).sum)
-      ingestFields.addAndGet(batch.tables.iterator.flatMap { t =>
-        t.columns.iterator.filter(_.semanticType == WriteProto.Semantic.Field)
-          .map(c => t.rowCount.toLong - c.nullCount(t.rowCount))
-      }.sum)
-      ingestBytes.addAndGet(raw.length.toLong)
+      writeBatches(db, batch.tables, raw.length)
       respondProto(ex, Array.emptyByteArray) // WriteResponse {}
     } catch {
       case WriteProto.WritePbException(msg) =>

@@ -15,8 +15,9 @@ import scala.util.control.NonFatal
   * create-database collisions and wipe-of-active-database,
   * INVALID_ARGUMENT(3) for field violations, UNIMPLEMENTED(12) for
   * DeleteOperation (rpc/operations.rs:162-169 — the reference does not
-  * support operation deletion) and WriteEntry (the flatbuffers Entry
-  * format is not carried; `write_pb` plays the columnar-write role).
+  * support operation deletion). WriteEntry accepts the flatbuffers
+  * `Entry` format ([[EntryFlat]], entry.rs:749-944) and lands batches in
+  * the same store as every other write path.
   */
 /** The full gRPC route surface on one [[GrpcServer]] — storage, Arrow
   * Flight, management, operations and write services multiplexed by
@@ -229,8 +230,31 @@ object ManagementGrpc {
         case Left(e) => Left(s"Invalid Line Protocol: $e")
       }
     case "WriteEntry" =>
-      unimplemented("flatbuffers Entry writes are not supported; " +
-        "use Write (line protocol) or the write_pb columnar service")
+      // WriteEntryRequest { db_name = 1, entry (flatbuffers bytes) = 2 }
+      val db = P.readString(raw, 1)
+      val entryBytes = {
+        val r = new StorageProtoReader.Reader(raw)
+        var b: Array[Byte] = Array.emptyByteArray
+        while (r.hasMore) r.key() match {
+          case (2, 2) => b = r.bytesField()
+          case (_, wt) => r.skip(wt)
+        }
+        b
+      }
+      if (db.isEmpty) Left("db_name is required")
+      else if (entryBytes.isEmpty) Left("entry is required")
+      else EntryFlat.decode(entryBytes).flatMap { entry =>
+        if (entry.deletes.nonEmpty)
+          unimplemented("delete entries are not accepted on the write path")
+        else {
+          val tables = entry.partitionWrites.flatMap(_.tables)
+          if (tables.isEmpty) Left("entry carries no table batches")
+          else {
+            f.writeBatches(db, tables, entryBytes.length)
+            empty
+          }
+        }
+      }
     case other => unimplemented(s"unimplemented method: $other")
   }
 }

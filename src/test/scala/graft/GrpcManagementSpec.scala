@@ -174,9 +174,12 @@ class GrpcManagementSpec extends SparkSpec {
       // bad LP: INVALID_ARGUMENT, nothing written (rpc/write.rs:37-42)
       assert(GrpcClient.call(p, W + "Write",
         msg { w => w.string(1, "wdb"); w.string(2, "not line protocol") })._1 == 3)
-      // WriteEntry (flatbuffers) is not carried: UNIMPLEMENTED
+      // WriteEntry: a missing entry is a field violation; malformed
+      // flatbuffers reject without landing anything
       assert(GrpcClient.call(p, W + "WriteEntry",
-        msg { w => w.string(1, "wdb"); w.bytes(2, Array[Byte](1)) })._1 == 12)
+        msg(_.string(1, "wdb")))._1 == 3)
+      assert(GrpcClient.call(p, W + "WriteEntry",
+        msg { w => w.string(1, "wdb"); w.bytes(2, Array[Byte](1)) })._1 == 3)
       // the gRPC write is indistinguishable from an HTTP LP write on the
       // query path — the write_pb_roundtrip contract
       val (qs, csv) = HttpFacade.getQuery(facade.boundPort, "wdb",
