@@ -1673,26 +1673,32 @@ object QueriesPipeline {
           / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 6) AS cos
         FROM v CROSS JOIN q ORDER BY q_id, vec_id""")),
 
+    // brute-force cosine top-k; ranks AND the exposed score ride integer
+    // micro-units on both engines (r8 lesson from ann_recall_eval: a
+    // 1-ulp cross-engine dot-product difference must not be able to swap
+    // adjacent ranks or shift a rounded score) — `micro/1e6` is one IEEE
+    // division of identical operands, bit-equal everywhere
     ("ann_brute_topk",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val q = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-        Similarity.bruteForceTopK(emb, q, k = 10)
+        Similarity.bruteForceTopK(emb, q, k = 10, microRank = true)
           .select(col("q_id"), col("rank"), col("neighbor_id"),
-            round(col("cos"), 6).as("cos"))
+            (col("cos") / lit(1e6)).as("cos"))
           .orderBy("q_id", "rank")
       },
       Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 5),
         scored AS (SELECT q_id, vec_id AS neighbor_id,
-            list_dot_product(e, qe)
-              / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))) AS cos
+            floor(list_dot_product(e, qe)
+              / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe)))
+              * 1000000 + 0.5) AS qm
           FROM v CROSS JOIN q WHERE vec_id != q_id),
-        ranked AS (SELECT q_id, neighbor_id, cos, CAST(row_number() OVER (
-            PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+        ranked AS (SELECT q_id, neighbor_id, qm, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY qm DESC, neighbor_id ASC) AS INT) AS rank
           FROM scored)
-        SELECT q_id, rank, neighbor_id, round(cos, 6) AS cos
+        SELECT q_id, rank, neighbor_id, qm / 1000000.0 AS cos
         FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""")),
 
     ("ann_mmr_select",
@@ -1763,9 +1769,9 @@ object QueriesPipeline {
           Tables.spread(s, emb), "vec_id", "embedding", k = 8, iters = 0)
         val q = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-        Similarity.hardNegatives(emb, clusters, q, k = 10)
+        Similarity.hardNegatives(emb, clusters, q, k = 10, microRank = true)
           .select(col("q_id"), col("rank"), col("neighbor_id"),
-            round(col("cos"), 6).as("cos"))
+            (col("cos") / lit(1e6)).as("cos"))
           .orderBy("q_id", "rank")
       },
       Some(s"""WITH $dKmeansPrep,
@@ -1776,15 +1782,15 @@ object QueriesPipeline {
         q AS (SELECT vv.vec_id AS q_id, e AS qe, a1.c AS qc
           FROM vv JOIN a1 USING (vec_id) WHERE vv.vec_id < 5),
         scored AS (SELECT q.q_id, vv.vec_id AS neighbor_id,
-            list_dot_product(vv.e, q.qe)
+            floor(list_dot_product(vv.e, q.qe)
               / (sqrt(list_dot_product(vv.e, vv.e))
-                * sqrt(list_dot_product(q.qe, q.qe))) AS cos
+                * sqrt(list_dot_product(q.qe, q.qe))) * 1000000 + 0.5) AS qm
           FROM vv JOIN a1 USING (vec_id) CROSS JOIN q
           WHERE vv.vec_id != q.q_id AND a1.c != q.qc),
-        ranked AS (SELECT q_id, neighbor_id, cos, CAST(row_number() OVER (
-            PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS INT)
+        ranked AS (SELECT q_id, neighbor_id, qm, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY qm DESC, neighbor_id ASC) AS INT)
             AS rank FROM scored)
-        SELECT q_id, rank, neighbor_id, round(cos, 6) AS cos
+        SELECT q_id, rank, neighbor_id, qm / 1000000.0 AS cos
         FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""")),
 
     ("ann_ivf_topk",
@@ -1794,35 +1800,40 @@ object QueriesPipeline {
           .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
         val q = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-        Similarity.ivfTopK(emb, centroids, q, k = 5, nprobe = 3)
+        Similarity.ivfTopK(emb, centroids, q, k = 5, nprobe = 3,
+            microRank = true)
           .select(col("q_id"), col("rank"), col("neighbor_id"),
-            round(col("cos"), 6).as("cos"))
+            (col("cos") / lit(1e6)).as("cos"))
           .orderBy("q_id", "rank")
       },
       Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         c AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id % 50 = 0),
-        cosvc AS (SELECT v.vec_id, c.c_id, list_dot_product(v.e, c.ce)
-            / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce))) AS aff
+        cosvc AS (SELECT v.vec_id, c.c_id, floor(list_dot_product(v.e, c.ce)
+            / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce)))
+            * 1000000 + 0.5) AS aff
           FROM v CROSS JOIN c),
         assign AS (SELECT vec_id, c_id FROM (SELECT vec_id, c_id,
             row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, c_id ASC) AS rn
           FROM cosvc) WHERE rn = 1),
         q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 5),
         probes AS (SELECT q_id, c_id FROM (SELECT q.q_id, c.c_id,
-            row_number() OVER (PARTITION BY q.q_id ORDER BY list_dot_product(q.qe, c.ce)
-              / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.ce, c.ce))) DESC,
+            row_number() OVER (PARTITION BY q.q_id
+              ORDER BY floor(list_dot_product(q.qe, c.ce)
+              / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.ce, c.ce)))
+              * 1000000 + 0.5) DESC,
               c.c_id ASC) AS rn
           FROM q CROSS JOIN c) WHERE rn <= 3),
         cand AS (SELECT p.q_id, a.vec_id FROM probes p JOIN assign a ON a.c_id = p.c_id),
         scored AS (SELECT cand.q_id, cand.vec_id AS neighbor_id,
-            list_dot_product(v.e, q.qe)
-              / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe))) AS cos
+            floor(list_dot_product(v.e, q.qe)
+              / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe)))
+              * 1000000 + 0.5) AS qm
           FROM cand JOIN v ON v.vec_id = cand.vec_id JOIN q ON q.q_id = cand.q_id
           WHERE cand.vec_id != cand.q_id),
-        ranked AS (SELECT q_id, neighbor_id, cos, CAST(row_number() OVER (
-            PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+        ranked AS (SELECT q_id, neighbor_id, qm, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY qm DESC, neighbor_id ASC) AS INT) AS rank
           FROM scored)
-        SELECT q_id, rank, neighbor_id, round(cos, 6) AS cos
+        SELECT q_id, rank, neighbor_id, qm / 1000000.0 AS cos
         FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""")),
 
     ("emb_neardup_lsh",
@@ -1989,13 +2000,17 @@ object QueriesPipeline {
         val (cells, cents) = Clustering.kmeansFit(
           Tables.spread(s, emb), "vec_id", "embedding", k = 8, iters = 1)
         val centDf = cents.toDF("cluster", "ce")
+        // rank + emitted score on integer micro-units (the ann_* rule):
+        // a 1-ulp cross-engine cosine difference must not move the
+        // 50-row cutoff or flip a rounded output digit
         emb.join(cells, "vec_id").join(broadcast(centDf), "cluster")
-          .withColumn("__aff", VF.dot(col("embedding"), col("ce")) /
-            (VF.norm(col("embedding")) * VF.norm(col("ce"))))
-          .orderBy(col("__aff").asc, col("vec_id").asc)
+          .withColumn("__qm", floor(VF.dot(col("embedding"), col("ce")) /
+            (VF.norm(col("embedding")) * VF.norm(col("ce")))
+            * lit(1e6) + lit(0.5)))
+          .orderBy(col("__qm").asc, col("vec_id").asc)
           .limit(50)
           .select(col("vec_id"), col("cluster"),
-            round(col("__aff"), 6).as("aff"))
+            (col("__qm") / lit(1e6)).as("aff"))
       },
       Some(s"""WITH $dKmeansPrep,
         c0 AS (SELECT vec_id AS c, e AS ce FROM x WHERE vec_id < 8),
@@ -2009,13 +2024,14 @@ object QueriesPipeline {
         vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS re
           FROM embeddings),
         sc AS (SELECT a2.vec_id, a2.c AS cluster,
-            list_dot_product(vv.re, c1.ce)
+            floor(list_dot_product(vv.re, c1.ce)
               / (sqrt(list_dot_product(vv.re, vv.re))
-                * sqrt(list_dot_product(c1.ce, c1.ce))) AS aff
+                * sqrt(list_dot_product(c1.ce, c1.ce))) * 1000000 + 0.5) AS qm
           FROM a2 JOIN vv USING (vec_id) JOIN c1 ON c1.c = a2.c),
-        rk AS (SELECT vec_id, cluster, aff,
-            row_number() OVER (ORDER BY aff ASC, vec_id ASC) AS rn FROM sc)
-        SELECT vec_id, CAST(cluster AS INT) AS cluster, round(aff, 6) AS aff
+        rk AS (SELECT vec_id, cluster, qm,
+            row_number() OVER (ORDER BY qm ASC, vec_id ASC) AS rn FROM sc)
+        SELECT vec_id, CAST(cluster AS INT) AS cluster,
+          qm / 1000000.0 AS aff
         FROM rk WHERE rn <= 50 ORDER BY rn""")),
 
     // centroid-silhouette clustering quality: per cluster, the mean of

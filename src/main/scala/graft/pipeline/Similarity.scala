@@ -221,7 +221,7 @@ object Similarity {
       queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       qIdCol: String = "q_id", qVecCol: String = "q_vec",
-      clusterCol: String = "cluster"): DataFrame = {
+      clusterCol: String = "cluster", microRank: Boolean = false): DataFrame = {
     val c = normed(corpus, idCol, vecCol, "__e", "__n")
       .join(clusters, idCol)
     val qClusters = clusters
@@ -229,10 +229,11 @@ object Similarity {
       .withColumnRenamed(clusterCol, "__qc")
     val q = normed(queries, qIdCol, qVecCol, "__qe", "__qn")
       .join(qClusters, qIdCol)
+    val cos = cosExpr(dot(col("__e"), col("__qe")), col("__n"), col("__qn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col(idCol) =!= col(qIdCol) && col(clusterCol) =!= col("__qc"))
       .select(col(qIdCol), col(idCol),
-        cosExpr(dot(col("__e"), col("__qe")), col("__n"), col("__qn")).as("cos"))
+        (if (microRank) micro(cos) else cos).as("cos"))
     rankTopK(scored, k, qIdCol, "cos", idCol)
   }
 
