@@ -883,15 +883,25 @@ object QueriesPipeline {
     // Spark side (zero shuffles); the oracle recomputes it with DuckDB's
     // entropy() aggregate over exploded chars — mathematically identical,
     // different float accumulation order, hence the rounding
+    // character entropy in integer MILLI-bits (charEntropyMb): the
+    // previous h_chars contract (round(float entropy, 6) vs DuckDB's
+    // entropy() built-in) compared a float accumulated in two different
+    // orders through two different libm log2s — the exact
+    // engine-version fragility the r8 verdict had text_nb_lang fail on
     ("text_entropy",
       (s, d) => Tables.documents(s, d)
-        .select(col("doc_id"), round(TF.charEntropy(col("text")), 6).as("h_chars"))
+        .select(col("doc_id"), TF.charEntropyMb(col("text")).as("h_mb"))
         .orderBy("doc_id"),
-      Some("""SELECT d.doc_id, round(coalesce(e.h, 0.0), 6) AS h_chars
+      Some("""SELECT d.doc_id, coalesce(e.h_mb, 0) AS h_mb
         FROM documents d LEFT JOIN (
-          SELECT doc_id, entropy(c) AS h
-          FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
-                FROM documents) GROUP BY doc_id) e
+          SELECT doc_id, CAST(floor(
+              (sum(cnt) * CAST(round(log2(sum(cnt)) * 1000000) AS BIGINT)
+               - sum(cnt * CAST(round(log2(cnt) * 1000000) AS BIGINT)))
+              / (sum(cnt) * 1000.0)) AS BIGINT) AS h_mb
+          FROM (SELECT doc_id, c, count(*) AS cnt
+                FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+                      FROM documents) GROUP BY doc_id, c)
+          GROUP BY doc_id) e
           ON e.doc_id = d.doc_id
         ORDER BY d.doc_id""")),
 

@@ -234,6 +234,40 @@ object TextFunctions {
     when(length(text) > 0, h).otherwise(lit(0.0))
   }
 
+  /** [[charEntropy]] restated for the cross-engine gate: every per-run
+    * term quantizes to integer micro-bits BEFORE summation
+    * (`c·round(log2(c)·1e6)`, the text_nb_lang discipline), so the
+    * accumulated numerator `n·L(n) − Σ c_i·L(c_i)` is an exact integer
+    * in any engine; the exposed value coarsens to MILLI-bits
+    * (`floor(num / (n·1000))`) so a quantization-boundary flip of one
+    * term cannot move the output. Raw-float entropy compared at
+    * `round(…, 6)` is not engine-version-proof: the sum order and the
+    * libm log2 both differ across engines. */
+  def charEntropyMb(text: Column): Column = {
+    def qTerm(r: Column): Column =
+      when(r > 0L, r * round(log2(r.cast("double")) * 1e6).cast("long"))
+        .otherwise(lit(0L))
+    val mb = element_at(
+      transform(array(sort_array(split(text, ""))), cs => {
+        val s = aggregate(cs,
+          struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("acc")),
+          (st, c) => {
+            val same = c === st.getField("prev")
+            struct(c.as("prev"),
+              when(same, st.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+              when(same, st.getField("acc"))
+                .otherwise(st.getField("acc") + qTerm(st.getField("run")))
+                .as("acc"))
+          },
+          st => st.getField("acc") + qTerm(st.getField("run")))
+        val n = size(cs).cast("long")
+        floor((n * round(log2(n.cast("double")) * 1e6).cast("long") - s)
+          .cast("double") / (n.cast("double") * lit(1000.0))).cast("long")
+      }),
+      1)
+    when(length(text) > 0, mb).otherwise(lit(0L))
+  }
+
   // ------------------------------------------------- PII detection/redaction
 
   /** RE2-compatible PII patterns (shared verbatim with the DuckDB oracle —

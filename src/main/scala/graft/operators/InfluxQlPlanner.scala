@@ -62,16 +62,18 @@ object InfluxQlPlanner {
   private val scalar1Fns = scalarFns -- Set("log", "atan2", "pow")
   private val holtFns = Set("holt_winters", "holt_winters_with_fit")
 
-  def run(measurements: Map[String, InfluxMeasurement], q: String): DataFrame =
-    plan(measurements, InfluxQl.parse(q))
+  def run(measurements: Map[String, InfluxMeasurement], q: String,
+      nowNs: Option[Long] = None): DataFrame =
+    plan(measurements, InfluxQl.parse(q), nowNs)
 
   /** Statement entry point: SELECT plans through [[plan]]; the SHOW
     * schema-exploration forms map onto the metadata operators' semantics.
     * (`SHOW DATABASES` is a server-level statement — the HTTP facade
     * answers it from its database registry before planning.) */
-  def runStmt(measurements: Map[String, InfluxMeasurement], q: String): DataFrame =
+  def runStmt(measurements: Map[String, InfluxMeasurement], q: String,
+      nowNs: Option[Long] = None): DataFrame =
     InfluxQl.parseStmt(q) match {
-      case sel: Select => plan(measurements, sel)
+      case sel: Select => plan(measurements, sel, nowNs)
       case sh: Show => showPlan(measurements, sh)
       case _: CreateCq => throw ParseError("CREATE CONTINUOUS QUERY binds " +
         "to a stream — use graft.streaming.ContinuousQuery")
@@ -213,7 +215,45 @@ object InfluxQlPlanner {
     sh.limit.fold(off)(off.limit)
   }
 
-  def plan(ms: Map[String, InfluxMeasurement], sel: Select): DataFrame = {
+  /** Fold `now()` and timestamp±duration arithmetic in WHERE conditions
+    * to literal epoch-ns (upstream evaluates ONE now() per statement
+    * before planning; the transport supplies the clock). A statement
+    * using now() without a clock rejects rather than silently reading
+    * the wall clock — determinism is the caller's choice. */
+  private def resolveNow(e: Expr, nowNs: Option[Long]): Expr = e match {
+    case Call("now", Nil) => nowNs match {
+      case Some(n) => IntLit(n)
+      case None => throw ParseError(
+        "now() needs a server clock; this entry point has none")
+    }
+    case Bin(op, l, r) if op == "+" || op == "-" =>
+      (resolveNow(l, nowNs), resolveNow(r, nowNs)) match {
+        case (IntLit(a), IntLit(b)) =>
+          IntLit(if (op == "+") Math.addExact(a, b)
+          else Math.subtractExact(a, b))
+        case (IntLit(a), DurLit(b)) =>
+          IntLit(if (op == "+") Math.addExact(a, b)
+          else Math.subtractExact(a, b))
+        case (DurLit(a), IntLit(b)) if op == "+" =>
+          IntLit(Math.addExact(a, b))
+        case (DurLit(a), DurLit(b)) =>
+          DurLit(if (op == "+") Math.addExact(a, b)
+          else Math.subtractExact(a, b))
+        case (a, b) => Bin(op, a, b)
+      }
+    case Bin(op, l, r) => Bin(op, resolveNow(l, nowNs), resolveNow(r, nowNs))
+    case other => other
+  }
+
+  /** [[resolveNow]] over a statement tree, subqueries included. */
+  private def resolveNowSel(sel: Select, nowNs: Option[Long]): Select =
+    sel.copy(
+      where = sel.where.map(resolveNow(_, nowNs)),
+      fromSub = sel.fromSub.map(resolveNowSel(_, nowNs)))
+
+  def plan(ms: Map[String, InfluxMeasurement], sel0: Select,
+      nowNs: Option[Long] = None): DataFrame = {
+    val sel = resolveNowSel(sel0, nowNs)
     // FROM /re/ or FROM m1, m2, …: plan each matched measurement with the
     // single-measurement pipeline and union the labeled results — each
     // part keeps its own pagination/ordering semantics, and (per 1.x) a

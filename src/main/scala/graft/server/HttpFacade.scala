@@ -499,7 +499,8 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
         // writes cannot rewrite history, like a physical 1.x INTO write.
         import org.apache.spark.sql.types.MetadataBuilder
         val target = sel.into.get
-        val out = graft.operators.InfluxQlPlanner.plan(msAll, sel)
+        val out = graft.operators.InfluxQlPlanner.plan(msAll, sel,
+          nowNs = Some(clockNs()))
         val tagSet = msAll.values.flatMap(_.tagCols).toSet + "name"
         def meta(cat: String) = new MetadataBuilder()
           .putString(IoxSchema.CategoryKey, cat).build()
@@ -521,7 +522,8 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
         Right(Some(("result", Seq.empty[String],
           Seq((0L, snap.count())).toDF("time", "written"))))
       } else {
-        val df = graft.operators.InfluxQlPlanner.plan(msAll, sel)
+        val df = graft.operators.InfluxQlPlanner.plan(msAll, sel,
+          nowNs = Some(clockNs()))
         val tagSet = msAll.values.flatMap(_.tagCols).toSet
         Right(Some((name, df.columns.filter(tagSet).toSeq, df)))
       }
@@ -627,7 +629,8 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
       if (!msAll.contains(root(sel)))
         Left(s"measurement not found: ${root(sel)}")
       else {
-        val df = graft.operators.InfluxQlPlanner.plan(msAll, sel)
+        val df = graft.operators.InfluxQlPlanner.plan(msAll, sel,
+          nowNs = Some(clockNs()))
         val text =
           if (analyze) {
             df.write.format("noop").mode("overwrite").save()

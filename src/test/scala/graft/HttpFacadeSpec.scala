@@ -363,6 +363,18 @@ class HttpFacadeSpec extends SparkSpec {
       assert(b2.contains(""""tags":{"state":"CA"},"columns":["last_sd"],"values":[[63.6]]"""))
       assert(b2.contains(""""tags":{"state":"WA"},"columns":["last_sd"],"values":[[54.7]]"""))
 
+      // now() resolves against the facade's injected clock (42 ns), so
+      // `time > now()` keeps every fixture row and `time < now()` none —
+      // deterministic proof the server clock, not the wall clock, drives
+      // the 1.x time arithmetic
+      val (sn, bn) = get(p, s"/query?db=o_b&q=${enc(
+        "SELECT surface_degrees FROM h2o_temperature " +
+          "WHERE time > now() - 40ns + 1ns ORDER BY time")}")
+      assert(sn == 200 && bn.contains("[1568756160,55.8]"))
+      val (sn2, bn2) = get(p, s"/query?db=o_b&q=${enc(
+        "SELECT surface_degrees FROM h2o_temperature WHERE time < now()")}")
+      assert(sn2 == 200 && !bn2.contains("55.8"))
+
       // errors ride inside the results array with HTTP 200 (1.x contract)
       val (s3, b3) = get(p, s"/query?db=o_b&q=${enc("SELECT nope(")}")
       assert(s3 == 200 && b3.contains(""""error":"influxql:"""))

@@ -52,11 +52,34 @@ class InfluxQlSpec extends SparkSpec {
       .contains(GroupTime(500000000L, 0L)))
   }
 
+  test("now(): folds to the supplied clock; rejected without one") {
+    // clock at t=21s: now() - 20s keeps the five rows with t > 1s and
+    // t < now() (1.x also bounds raw selects at now)
+    val got = InfluxQlPlanner.run(ms,
+      "select value from cpu where time > now() - 20s and time < now()",
+      nowNs = Some(21000000000L))
+      .select("time", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted
+    assert(got.toSeq == Seq((5000000000L, 10.0), (10000000000L, 3.0),
+      (15000000000L, 20.0), (20000000000L, 2.0)))
+    // duration+duration and ts+duration arithmetic folds too
+    assert(InfluxQlPlanner.run(ms,
+      "select value from cpu where time >= 10000000000 + 5s " +
+        "and time < now() - 1s - 4s",
+      nowNs = Some(40000000000L)).count() == 3) // t=15s, 20s, 30s
+    // one now() per statement, subqueries included
+    assert(InfluxQlPlanner.run(ms,
+      "select max(m) from (select mean(value) as m from cpu " +
+        "where time < now() group by host)",
+      nowNs = Some(21000000000L)).count() == 1)
+    val e = intercept[ParseError](run(
+      "select value from cpu where time >= now() - 1h")).getMessage
+    assert(e.contains("now()") && e.contains("clock"))
+  }
+
   test("parse: rejections carry the reason") {
     def err(q: String): String =
       intercept[ParseError](run(q)).getMessage
-    assert(err("select value from cpu where time >= now() - 1h")
-      .contains("now()"))
     assert(err("select value from cpu where time >= 0 or host = 'a'")
       .contains("AND"))
     assert(err("select value, mean(value) from cpu").contains("mixing"))

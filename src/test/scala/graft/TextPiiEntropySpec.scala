@@ -26,6 +26,19 @@ class TextPiiEntropySpec extends SparkSpec {
     assert(h1 == h2)
   }
 
+  test("charEntropyMb: integer milli-bits, exact on hand-computed cases") {
+    assert(one("aabb", TF.charEntropyMb($"t")) == 1000L) // 1 bit
+    assert(one("abcd", TF.charEntropyMb($"t")) == 2000L) // 2 bits
+    assert(one("aaaa", TF.charEntropyMb($"t")) == 0L)
+    assert(one("", TF.charEntropyMb($"t")) == 0L)
+    // "aab": (3·L(3) − 2·L(2)) / 3000 = (3·1584963 − 2·1000000) / 3000
+    //      = 2754889 / 3000 → floor = 918  (H ≈ 0.9183 bits)
+    assert(one("aab", TF.charEntropyMb($"t")) == 918L)
+    // order-invariant like the float form
+    assert(one("abab", TF.charEntropyMb($"t")) ==
+      one("aabb", TF.charEntropyMb($"t")))
+  }
+
   // ---------------------------------------------------------------- PII
 
   test("email detection and redaction, hostile local parts") {
