@@ -71,6 +71,25 @@ object Tables {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
-  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  /** The pipeline corpora load pre-spread: at test SF both arrive as ONE
+    * parquet split, which would serialize every downstream per-row
+    * regex/array/dot-product pass on one core (the text_* family spent
+    * 1-2.5 s each on a 32-core box doing exactly that). Per-row compute
+    * dominates every consumer of these two tables, so the one-time
+    * ~600 KB rebalance always pays; at real scale splits >= cores and
+    * [[spread]] is a no-op. Row-preserving, so oracle outputs (all
+    * order-insensitive or explicitly ordered) are unchanged. */
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spread(spark, load(spark, dir, "documents"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spread(spark, load(spark, dir, "embeddings"))
+
+  /** Unspread scans, for plan-shape assertions: the default loaders'
+    * round-robin rebalance is a scan-level concern, not part of any
+    * operator's shuffle shape, and would read as a spurious Exchange
+    * in a zero-shuffle pin. */
+  def documentsRaw(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+  def embeddingsRaw(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "embeddings")
 }

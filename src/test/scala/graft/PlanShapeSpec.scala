@@ -142,7 +142,7 @@ class PlanShapeSpec extends SparkSpec {
     // partial aggregate, and nothing falls back to a sort-merge join —
     // the plan flap that would explain bench drift without a code change
     val d = "/root/testdata/sf0.001"
-    val emb = Tables.embeddings(spark, d)
+    val emb = Tables.embeddingsRaw(spark, d)
     val q = emb.filter($"vec_id" < 5)
       .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
     val brute = executedPlan(
@@ -172,7 +172,7 @@ class PlanShapeSpec extends SparkSpec {
 
   test("r8 operators: IVF-PQ cell join broadcasts; covariance partial-aggregates") {
     val d = "/root/testdata/sf0.001"
-    val emb = Tables.embeddings(spark, d)
+    val emb = Tables.embeddingsRaw(spark, d)
     val q = emb.filter($"vec_id" < 5)
       .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
     val (cells, coarse) = graft.pipeline.Clustering.kmeansFit(
@@ -219,7 +219,7 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(rate).size == 1, rate)
     assert(rate.contains("partial_"), rate)
     // HLL registers: map-side-combining max into a metadata-sized table
-    val docs = Tables.documents(spark, d)
+    val docs = Tables.documentsRaw(spark, d)
     val hll = executedPlan(graft.pipeline.DocDedup.hllRegisters(
       docs.select($"source", $"text"), "text", Seq("source"), p = 8))
     assert(hll.contains("partial_max"), hll)
@@ -237,7 +237,7 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("deterministic sampling is a scan-level filter with no shuffle") {
-    val docs = Tables.documents(spark, sf("sf0.001"))
+    val docs = Tables.documentsRaw(spark, sf("sf0.001"))
     val plan = executedPlan(
       graft.pipeline.Sampling.deterministicSample(docs, "doc_id", 37))
     assert(!plan.contains("Exchange"), plan) // pure filter: zero shuffles
@@ -250,7 +250,7 @@ class PlanShapeSpec extends SparkSpec {
     // corpus path must stay hash-partitioned (the whole point of the
     // two-level shape). A corpus-side global window would show up as a
     // Window above an Exchange SinglePartition over the scan.
-    val docs = Tables.documents(spark, sf("sf0.001"))
+    val docs = Tables.documentsRaw(spark, sf("sf0.001"))
       .select($"doc_id", $"lang",
         graft.functions.TextFunctions.qualityScore($"text").as("q"))
     val ppl = executedPlan(graft.pipeline.LanguageModel
@@ -279,7 +279,7 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("decontamination broadcasts the benchmark hash set; one shuffle for the doc aggregate") {
-    val docs = Tables.documents(spark, sf("sf0.001"))
+    val docs = Tables.documentsRaw(spark, sf("sf0.001"))
     val plan = executedPlan(graft.pipeline.Sampling.decontaminate(
       docs, docs.filter($"doc_id" % 13 === 0), "doc_id", "text"))
     // corpus side never sort-merge-joins against the benchmark
@@ -336,7 +336,7 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("weighted sampling and epoch mixing stay shuffle-free scan transforms") {
-    val docs = Tables.documents(spark, sf("sf0.001"))
+    val docs = Tables.documentsRaw(spark, sf("sf0.001"))
       .select($"doc_id", $"lang", lit(0.5).as("w"))
     val wPlan = executedPlan(
       graft.pipeline.Sampling.weightedSample(docs, "doc_id", "w", 3, 5))
@@ -349,7 +349,7 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("int8 encode is a zero-shuffle map; stats reduce before their exchange") {
-    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val emb = Tables.embeddingsRaw(spark, sf("sf0.001"))
     val stats = executedPlan(
       graft.pipeline.Quantization.int8Stats(emb, "embedding"))
     // partial min/max combine map-side; only dim-sized rows cross the wire
@@ -360,7 +360,7 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("incremental dedup broadcasts the batch side against the corpus index") {
-    val docs = Tables.documents(spark, sf("sf0.001"))
+    val docs = Tables.documentsRaw(spark, sf("sf0.001"))
     val corpus = docs.filter($"doc_id" % 7 =!= 0)
     val batch = docs.filter($"doc_id" % 7 === 0)
     val p = graft.pipeline.DocDedup.MinHashParams(32, 16)
@@ -372,7 +372,7 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("naive bayes count tables broadcast onto the occurrence stream") {
-    val docs = Tables.documents(spark, sf("sf0.001"))
+    val docs = Tables.documentsRaw(spark, sf("sf0.001"))
     val plan = executedPlan(graft.pipeline.LanguageModel
       .naiveBayesClassify(docs, "doc_id", "lang", "text"))
     // vocab-sized tables broadcast; the corpus-grain joins never sort-merge
