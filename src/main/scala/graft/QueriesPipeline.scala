@@ -932,7 +932,7 @@ object QueriesPipeline {
               lit("-"),
               lpad(pmod(col("c_custkey"), lit(9000)).cast("string"), 4, "0")))
             .otherwise(lit("")))
-        Tables.load(s, d, "customer")
+        Tables.spread(s, Tables.load(s, d, "customer"))
           .select(col("c_custkey").as("id"), text.as("t"))
           .select(col("id"),
             TF.emailCount(col("t")).cast("long").as("n_email"),

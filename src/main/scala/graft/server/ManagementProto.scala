@@ -123,7 +123,12 @@ object ManagementProto {
   }
 
   private def decodeLifecycle(r: Reader): Lifecycle.Rules = {
-    var lc = Lifecycle.Rules()
+    // proto3 presence semantics: an explicit LifecycleRules message with
+    // `persist` absent MEANS false (the proto default) — starting from
+    // the model default (true) would make persist=false unexpressable
+    // on the wire. A rules message with no lifecycle at all still gets
+    // the engine defaults (the caller never reaches here).
+    var lc = Lifecycle.Rules(persist = false)
     while (r.hasMore) r.key() match {
       case (4, 0) => lc = lc.copy(bufferSizeSoft = Some(r.varint()))
       case (5, 0) => lc = lc.copy(bufferSizeHard = Some(r.varint()))
