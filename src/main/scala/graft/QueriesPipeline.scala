@@ -1851,7 +1851,6 @@ object QueriesPipeline {
         val planes = Similarity.lshPlanes(nPlanes = 4, dim = 64)
         Similarity.cosineNearDupPairs(Tables.spread(s, Tables.embeddings(s, d)),
             "vec_id", "embedding", planes, threshold = 0.4)
-          .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
           .orderBy("id1", "id2")
       },
       Some {
@@ -1860,13 +1859,13 @@ object QueriesPipeline {
           s"(CASE WHEN list_dot_product(e, ${p.mkString("[", ",", "]")}) >= 0 THEN ${1L << i} ELSE 0 END)"
         }.mkString(" + ")
         s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-          b AS (SELECT vec_id, e, $bucketExpr AS bucket FROM v)
-          SELECT a.vec_id AS id1, c.vec_id AS id2,
-            round(list_dot_product(a.e, c.e) / (sqrt(list_dot_product(a.e, a.e))
-              * sqrt(list_dot_product(c.e, c.e))), 6) AS cos
-          FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-          WHERE list_dot_product(a.e, c.e) / (sqrt(list_dot_product(a.e, a.e))
-            * sqrt(list_dot_product(c.e, c.e))) >= 0.4
+          b AS (SELECT vec_id, e, $bucketExpr AS bucket FROM v),
+          pairs AS (SELECT a.vec_id AS id1, c.vec_id AS id2,
+            floor(list_dot_product(a.e, c.e) / (sqrt(list_dot_product(a.e, a.e))
+              * sqrt(list_dot_product(c.e, c.e))) * 1000000 + 0.5) AS qm
+          FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+          SELECT id1, id2, qm / 1000000.0 AS cos
+          FROM pairs WHERE qm >= 400000
           ORDER BY id1, id2"""
       }),
 
@@ -2113,8 +2112,9 @@ object QueriesPipeline {
         m AS (SELECT a1.vec_id, a1.c, x.e FROM a1 JOIN x USING (vec_id)),
         drops AS (SELECT DISTINCT b.vec_id FROM m a JOIN m b
           ON a.c = b.c AND a.vec_id < b.vec_id
-          WHERE list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e))
-            * sqrt(list_dot_product(b.e, b.e))) >= 0.4)
+          WHERE floor(list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e))
+              * sqrt(list_dot_product(b.e, b.e))) * 1000000 + 0.5) >= 400000)
         SELECT m.vec_id, CAST(m.c AS INT) AS cluster,
           dr.vec_id IS NULL AS kept
         FROM m LEFT JOIN drops dr ON dr.vec_id = m.vec_id
@@ -2483,11 +2483,12 @@ object QueriesPipeline {
       Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
             FROM embeddings),
         b AS (SELECT e AS be FROM v WHERE vec_id % 13 = 0),
-        m AS (SELECT vec_id, round(max(list_dot_product(e, be)
-            / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(be, be)))), 6)
-            AS max_cos
+        m AS (SELECT vec_id, max(floor(list_dot_product(e, be)
+            / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(be, be)))
+            * 1000000 + 0.5)) AS qmax
           FROM v CROSS JOIN b GROUP BY vec_id)
-        SELECT vec_id, max_cos, max_cos >= 0.4 AS contaminated
+        SELECT vec_id, qmax / 1000000.0 AS max_cos,
+          qmax >= 400000 AS contaminated
         FROM m ORDER BY vec_id""")),
 
     // incremental dedup: a "new batch" (doc_id % 7 = 0) matched against

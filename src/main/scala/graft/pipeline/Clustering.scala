@@ -183,11 +183,14 @@ object Clustering {
     }
     val assigned = assignOnce(x, idCol, cents)
     val slim = assigned.select(col(idCol), col("cluster"), col("__e"), col("__n"))
+    // micro-quantized membership: a raw-double `cos >= t` puts dropped
+    // vs kept on a 1-ulp cross-engine knife edge (see Similarity.micro)
     val dropped = slim.as("a").join(slim.as("b"),
         col("a.cluster") === col("b.cluster") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
-      .filter(dot(col("a.__e"), col("b.__e")) /
-        (col("a.__n") * col("b.__n")) >= lit(threshold))
+      .filter(floor(dot(col("a.__e"), col("b.__e")) /
+        (col("a.__n") * col("b.__n")) * lit(1e6) + lit(0.5)) >=
+        math.rint(threshold * 1e6))
       .select(col(s"b.$idCol").as(idCol)).distinct()
       .withColumn("__dropped", lit(true))
     assigned.join(dropped, Seq(idCol), "left")

@@ -123,15 +123,21 @@ object Sampling {
     val bench = broadcast(benchmark
       .select(VF.asDouble(col(vecCol)).as("__bvec"))
       .withColumn("__bnorm", VF.norm(col("__bvec"))))
+    // per-pair cosines quantize to integer micro-units BEFORE the max and
+    // the threshold compare; `max_cos` is exposed as micro/1e6. The
+    // previous round(max, 6) >= t spelling put the verdict on a 1-ulp
+    // cross-engine knife edge at the threshold (and at the round
+    // boundary) — the r8 ann_recall_eval fragility class, on a filter
     corpus.select(col(idCol), VF.asDouble(col(vecCol)).as("__cvec"))
       .withColumn("__cnorm", VF.norm(col("__cvec")))
       .crossJoin(bench)
       .select(col(idCol),
-        (VF.dot(col("__cvec"), col("__bvec")) /
-          (col("__cnorm") * col("__bnorm"))).as("__cos"))
+        floor(VF.dot(col("__cvec"), col("__bvec")) /
+          (col("__cnorm") * col("__bnorm")) * lit(1e6) + lit(0.5)).as("__qm"))
       .groupBy(col(idCol))
-      .agg(round(max("__cos"), 6).as("max_cos"))
-      .withColumn("contaminated", col("max_cos") >= threshold)
+      .agg(max("__qm").as("__qmax"))
+      .select(col(idCol), (col("__qmax") / lit(1e6)).as("max_cos"),
+        (col("__qmax") >= math.rint(threshold * 1e6)).as("contaminated"))
   }
 
   /** Weight-proportional Bernoulli sampling: keep each row with

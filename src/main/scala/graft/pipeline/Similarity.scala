@@ -391,11 +391,17 @@ object Similarity {
     val small = b0.groupBy("bucket").count()
       .filter(col("count") <= maxBucket).drop("count")
     val b = b0.join(small, Seq("bucket"), "left_semi")
+    // membership quantizes to integer micro-units before the threshold
+    // compare (and `cos` is exposed as micro/1e6): a raw-double
+    // `cos >= t` puts pair membership on a 1-ulp knife edge whenever a
+    // pair's cosine sits at the threshold — the cross-engine fragility
+    // class of the r8 ann_recall_eval miss, applied to a filter
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .withColumn("cos",
-        cosExpr(dot(col("a.__e"), col("b.__e")), col("a.__n"), col("b.__n")))
-      .filter(col("cos") >= threshold)
-      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"), col("cos"))
+      .withColumn("__qm", micro(
+        cosExpr(dot(col("a.__e"), col("b.__e")), col("a.__n"), col("b.__n"))))
+      .filter(col("__qm") >= math.rint(threshold * 1e6))
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"),
+        (col("__qm") / lit(1e6)).as("cos"))
   }
 }
