@@ -586,14 +586,15 @@ object InfluxQlPlanner {
         .orderBy(keyCols.map(col) :+ timeOrd: _*)
     } else if (sel.projs.forall(p =>
         isAggArith(p._1) && aggSubCalls(p._1).nonEmpty))
-      aggArithSelect(df, m, sel, keyCols)
+      aggArithSelect(df, m, sel, keyCols, lo, hi)
     else
       throw ParseError("arithmetic must be all per-row (fields/scalar " +
         "functions) or all over aggregates")
   }
 
   private def aggArithSelect(df: DataFrame, m: InfluxMeasurement,
-      sel: Select, keyCols: Seq[String]): DataFrame = {
+      sel: Select, keyCols: Seq[String], lo: Option[Long],
+      hi: Option[Long]): DataFrame = {
     val tcol = m.timeCol
     val subs = sel.projs.flatMap(p => aggSubCalls(p._1)).distinct
     val hidden = subs.zipWithIndex.map { case (c, i) => c -> s"__ag$i" }.toMap
@@ -627,14 +628,30 @@ object InfluxQlPlanner {
         ordered(g.agg(aggs.head, aggs.tail: _*)
           .select(keys ++ outCols: _*), keys)
       case Some(gt) =>
-        if (sel.fill != FillNull && sel.fill != FillNone)
-          throw ParseError("fill() is not supported with aggregate arithmetic")
         val bucket = (NsTime.windowStopNs(toLocalNs(col(tcol), sel.tz),
           gt.everyNs, gt.offsetNs) - gt.everyNs).as("time")
         val grouped = df.groupBy(keys :+ bucket: _*).agg(aggs.head, aggs.tail: _*)
+        // fill applies to the COMPUTED projections (1.x: an empty bucket
+        // shows the fill value for the whole expression, not for each
+        // hidden sub-aggregate), so evaluate the arithmetic first and
+        // run the grid over the output columns — same local-ns grid +
+        // UTC relabel discipline as the transform-over-aggregate path
+        val outNames = sel.projs.map { case (e, a) =>
+          a.getOrElse(e match { case c: Call => c.fn; case _ => "expr" })
+        }
+        val computed = grouped.select((col("time") +: keys) ++ outCols: _*)
+        val filled = fillStrategy(sel.fill, lo, hi) match {
+          case None => computed
+          case Some(strat) =>
+            val (l, h) = (toLocalNs(lo.get, sel.tz), toLocalNs(hi.get, sel.tz))
+            val start = NsTime.windowStopNs(l, gt.everyNs, gt.offsetNs) -
+              gt.everyNs
+            GapFill.onGrid(computed, keyCols, "time", start, h, gt.everyNs,
+              outNames.map(_ -> strat).toMap)
+        }
         val timeOrd = if (sel.timeDesc) col("time").desc else col("time").asc
-        grouped.select((toUtcNs(col("time"), sel.tz).as("time") +: keys)
-            ++ outCols: _*)
+        filled.select((toUtcNs(col("time"), sel.tz).as("time") +: keys)
+            ++ outNames.map(col): _*)
           .orderBy(keys :+ timeOrd: _*)
     }
   }

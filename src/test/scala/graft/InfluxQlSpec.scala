@@ -330,6 +330,29 @@ class InfluxQlSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
     assert(tb == Set((0L, "a", 2.0), (20000000000L, "a", 4.0),
       (0L, "b", 10.0), (20000000000L, "b", 0.0)))
+    // fill() over aggregate arithmetic: the fill applies to the COMPUTED
+    // expression per bucket (1.x). host b has no point in [10s, 20s) or
+    // [25s, 30s)... with 5s buckets b observes 5,15,35 only
+    val fv = run("""SELECT max(value) - min(value) AS sp FROM cpu
+        WHERE host = 'b' AND time >= 0 AND time < 40000000000
+        GROUP BY time(10s) fill(0)""")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
+    assert(fv == Seq((0L, 0.0), (10000000000L, 0.0), (20000000000L, 0.0),
+      (30000000000L, 0.0)))
+    val fp = run("""SELECT sum(value) / count(value) AS m FROM cpu
+        WHERE host = 'b' AND time >= 0 AND time < 40000000000
+        GROUP BY time(10s) fill(previous)""")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
+    assert(fp == Seq((0L, 10.0), (10000000000L, 20.0),
+      (20000000000L, 20.0), (30000000000L, 40.0)))
+    // default fill(null) enumerates the bounded grid with null buckets
+    val fn = run("""SELECT max(value) - min(value) AS sp FROM cpu
+        WHERE host = 'b' AND time >= 0 AND time < 40000000000
+        GROUP BY time(10s)""").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toSeq.sorted
+    assert(fn == Seq((0L, Some(0.0)), (10000000000L, Some(0.0)),
+      (20000000000L, None), (30000000000L, Some(0.0))))
     // mixing levels and unaliased arithmetic are rejected
     assert(intercept[ParseError](
       run("SELECT value + mean(value) AS x FROM cpu GROUP BY host"))
