@@ -285,7 +285,7 @@ object QueriesPipeline {
       (s, d) => graft.pipeline.Ranking
         .bm25(Tables.documents(s, d), "doc_id", "text",
           Seq("scan", "merge", "filter"))
-        .select(col("doc_id"), round(col("bm25"), 6).as("bm25"))
+        .select(col("doc_id"), col("bm25"))
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(50),
       Some(s"""WITH p AS (SELECT doc_id, $dToks AS w FROM documents),
@@ -296,9 +296,10 @@ object QueriesPipeline {
         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
         dl AS (SELECT doc_id, len(w) AS dl FROM p)
         SELECT tf.doc_id,
-          round(sum(ln((n.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+          sum(CAST(floor(ln((n.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
             * (tf.tf * (1.2 + 1)) /
-            (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / n.avg_dl))), 6) AS bm25
+            (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / n.avg_dl))
+            * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS bm25
         FROM tf JOIN df ON df.term = tf.term
         JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN n
         GROUP BY tf.doc_id
@@ -525,11 +526,17 @@ object QueriesPipeline {
     // the same job; the oracle replays identical count joins and the
     // same smoothing arithmetic (log2 inputs are rationals of counts,
     // mirrored shape for shape)
+    // exposed value is integer MILLI-bits-per-bigram (the text_nb_lang
+    // coarsening: per-term micro-bit quantization makes the sum exact;
+    // the /1000 coarsening removes the per-term rounding boundary from
+    // the contract — round(-avg(raw log2), 6) was the r8 fragility class)
     ("text_lm_score",
       (s, d) => graft.pipeline.LanguageModel
         .bigramLogLoss(Tables.documents(s, d), "doc_id", "text")
         .select(col("doc_id"), col("n_bigrams"),
-          round(col("bits_per_bigram"), 6).as("bits_per_bigram"))
+          floor(col("bits_q").cast("double") /
+            (col("n_bigrams").cast("double") * lit(1000.0)))
+            .cast("long").as("bits_mb"))
         .orderBy("doc_id"),
       Some(s"""WITH p AS (SELECT doc_id, $dToks AS w FROM documents),
         bgl AS (SELECT doc_id, CASE WHEN len(w) >= 2 THEN list_filter(
@@ -541,8 +548,9 @@ object QueriesPipeline {
         v AS (SELECT count(*) AS v FROM ucnt),
         bcnt AS (SELECT b, count(*) AS cbg FROM occ GROUP BY 1)
         SELECT occ.doc_id, count(*) AS n_bigrams,
-          round(-avg(log2((bcnt.cbg + 0.5) / (ucnt.cw + 0.5 * v.v))), 6)
-            AS bits_per_bigram
+          CAST(floor(CAST(-sum(CAST(round(log2((bcnt.cbg + 0.5)
+            / (ucnt.cw + 0.5 * v.v)) * 1000000) AS BIGINT)) AS DOUBLE)
+            / (count(*) * 1000.0)) AS BIGINT) AS bits_mb
         FROM occ JOIN bcnt USING (b)
         JOIN ucnt ON ucnt.tok = string_split(occ.b, ' ')[1]
         CROSS JOIN v
@@ -739,8 +747,11 @@ object QueriesPipeline {
         val docs = Tables.documents(s, d)
         val bits = graft.pipeline.LanguageModel
           .bigramLogLoss(docs, "doc_id", "text")
+          // per-doc mean in integer micro-bits: exact sum / count, one
+          // deterministic floor-division (no round-of-avg boundary)
           .select(col("doc_id"),
-            round(col("bits_per_bigram") * 1e6).cast("long").as("bq"))
+            floor(col("bits_q").cast("double") / col("n_bigrams"))
+              .cast("long").as("bq"))
         docs.select(col("doc_id"), col("source")).join(bits, "doc_id")
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"), sum("bq").as("sbq"))
@@ -758,8 +769,10 @@ object QueriesPipeline {
           FROM (SELECT unnest(w) AS tok FROM p) GROUP BY 1),
         v AS (SELECT count(*) AS v FROM ucnt),
         bcnt AS (SELECT b, count(*) AS cbg FROM occ GROUP BY 1),
-        db AS (SELECT occ.doc_id, CAST(round(-avg(log2((bcnt.cbg + 0.5)
-            / (ucnt.cw + 0.5 * v.v))) * 1000000) AS BIGINT) AS bq
+        db AS (SELECT occ.doc_id, CAST(floor(
+            CAST(-sum(CAST(round(log2((bcnt.cbg + 0.5)
+              / (ucnt.cw + 0.5 * v.v)) * 1000000) AS BIGINT)) AS DOUBLE)
+            / count(*)) AS BIGINT) AS bq
           FROM occ JOIN bcnt USING (b)
           JOIN ucnt ON ucnt.tok = string_split(occ.b, ' ')[1]
           CROSS JOIN v GROUP BY occ.doc_id)
@@ -777,9 +790,15 @@ object QueriesPipeline {
     ("text_ppl_buckets",
       (s, d) => {
         val docs = Tables.documents(s, d)
+        // ranking score is integer MILLI-bits (the text_lm_score
+        // contract): ranking a round()ed float accumulated through libm
+        // was the r8 fragility class, and ties break by doc_id anyway
         val scores = graft.pipeline.LanguageModel
           .bigramLogLoss(docs, "doc_id", "text")
-          .select(col("doc_id"), round(col("bits_per_bigram"), 6).as("bits"))
+          .select(col("doc_id"),
+            floor(col("bits_q").cast("double") /
+              (col("n_bigrams").cast("double") * lit(1000.0)))
+              .cast("long").as("bits"))
         val scored = docs.select(col("doc_id"), col("lang")).join(scores, "doc_id")
         graft.pipeline.LanguageModel
           .perplexityBuckets(scored, "doc_id", "lang", "bits")
@@ -795,9 +814,10 @@ object QueriesPipeline {
           FROM (SELECT unnest(w) AS tok FROM p) GROUP BY 1),
         v AS (SELECT count(*) AS v FROM ucnt),
         bcnt AS (SELECT b, count(*) AS cbg FROM occ GROUP BY 1),
-        sc AS (SELECT occ.doc_id,
-            round(-avg(log2((bcnt.cbg + 0.5) / (ucnt.cw + 0.5 * v.v))), 6)
-              AS bits
+        sc AS (SELECT occ.doc_id, CAST(floor(
+            CAST(-sum(CAST(round(log2((bcnt.cbg + 0.5)
+              / (ucnt.cw + 0.5 * v.v)) * 1000000) AS BIGINT)) AS DOUBLE)
+            / (count(*) * 1000.0)) AS BIGINT) AS bits
           FROM occ JOIN bcnt USING (b)
           JOIN ucnt ON ucnt.tok = string_split(occ.b, ' ')[1]
           CROSS JOIN v GROUP BY occ.doc_id),
@@ -1674,13 +1694,15 @@ object QueriesPipeline {
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
         emb.crossJoin(broadcast(q))
           .select(col("q_id"), col("vec_id"),
-            round(VF.cosine(col("embedding"), col("q_vec")), 6).as("cos"))
+            (floor(VF.cosine(col("embedding"), col("q_vec")) * lit(1e6)
+              + lit(0.5)) / lit(1e6)).as("cos"))
           .orderBy("q_id", "vec_id")
       },
       Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 3)
-        SELECT q_id, vec_id, round(list_dot_product(e, qe)
-          / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 6) AS cos
+        SELECT q_id, vec_id, floor(list_dot_product(e, qe)
+          / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe)))
+          * 1000000 + 0.5) / 1000000.0 AS cos
         FROM v CROSS JOIN q ORDER BY q_id, vec_id""")),
 
     // brute-force cosine top-k; ranks AND the exposed score ride integer

@@ -43,11 +43,20 @@ object LanguageModel {
       .withColumn("__w1", split(col("__bg"), " ").getItem(0))
       .join(uni, "__w1")
       .crossJoin(broadcast(vocab))
-      .withColumn("__lp", log2((col("__cbg") + alpha) /
-        (col("__cw") + lit(alpha) * col("__v"))))
+      // per-term log-likelihoods quantize to integer micro-bits BEFORE
+      // the aggregate (the naiveBayesClassify discipline): an exposed
+      // -avg(raw log2) is a float accumulated in engine order through an
+      // engine libm — the r8 text_nb_lang fragility. `bits_q` is the
+      // exact integer micro-bit sum; `bits_per_bigram` derives from it
+      // by one deterministic division chain (identical operands in any
+      // engine). Consumers that must be quantization-boundary-proof
+      // coarsen bits_q further (see text_lm_score's milli-bit contract).
+      .withColumn("__lpq", round(log2((col("__cbg") + alpha) /
+        (col("__cw") + lit(alpha) * col("__v"))) * 1e6).cast("long"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"),
-        (-avg(col("__lp"))).as("bits_per_bigram"))
+      .agg(count(lit(1)).as("n_bigrams"), (-sum(col("__lpq"))).as("bits_q"))
+      .withColumn("bits_per_bigram",
+        col("bits_q").cast("double") / col("n_bigrams") / lit(1e6))
   }
 
   /** Per-document bits-per-bigram under an interpolated Kneser-Ney

@@ -39,12 +39,17 @@ object Ranking {
       .crossJoin(broadcast(stats))
       .withColumn("__idf",
         log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      // per-term contributions quantize to integer micro-units before the
+      // sum (the cross-engine discipline: the ln rides libm, and exposed
+      // round()s of float sums are not engine-version-proof); the exposed
+      // score is micro/1e6 — identical IEEE division everywhere
       .withColumn("__contrib",
-        col("__idf") * (col("tf") * lit(k1 + 1)) /
+        floor(col("__idf") * (col("tf") * lit(k1 + 1)) /
           (col("tf") + lit(k1) *
-            (lit(1.0 - b) + lit(b) * col("__dl") / col("avg_dl"))))
+            (lit(1.0 - b) + lit(b) * col("__dl") / col("avg_dl")))
+          * lit(1e6) + lit(0.5)).cast("long"))
       .groupBy(col(idCol))
-      .agg(sum(col("__contrib")).as("bm25"))
+      .agg((sum(col("__contrib")) / lit(1e6)).as("bm25"))
   }
 
   /** Classic tf-idf scoring against a query term set — the pre-BM25
