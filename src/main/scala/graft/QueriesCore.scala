@@ -1672,6 +1672,69 @@ object QueriesCore {
         FROM fin CROSS JOIN (SELECT unnest(range(1, 6)) AS h)
         ORDER BY user_id, t""")),
 
+    ("events_holt_seasonal",
+      (s, d) => {
+        // seasonal HOLT_WINTERS(…, 4, 4)-style triple smoothing over 6h
+        // activity counts (period = 4 buckets = daily cycle): classical
+        // init, S-slot ring recursion, 4 forecast points. All-dyadic
+        // α=β=γ=0.5 over integer counts → every step is exact binary,
+        // so the oracle's recursive CTE (ring carried as a LIST column)
+        // reproduces the doubles bit-for-bit — no rounding needed
+        import graft.functions.{SeriesFunctions => SF}
+        val step = 21600000000000L
+        val ev = Tables.events(s, d).filter(col("user_id") < 3)
+          .groupBy(col("user_id"),
+            (col("ts_ns") - pmod(col("ts_ns"), lit(step))).as("t"))
+          .agg(count(lit(1)).cast("double").as("v"))
+        val (fit, fc) = SF.holtSeasonal(ev, Seq("user_id"), "t", "v",
+          alpha = 0.5, beta = 0.5, gamma = 0.5, n = 4, season = 4,
+          stepNs = step, "hw")
+        fit.withColumn("phase", lit("fit"))
+          .unionByName(fc.withColumn("phase", lit("forecast")))
+          .select(col("user_id").cast("long").as("user_id"), col("t"),
+            col("phase"), col("hw"))
+          .orderBy("user_id", "t", "phase")
+      },
+      Some("""WITH RECURSIVE b AS (SELECT user_id,
+            (epoch_ns(ts) // 21600000000000) * 21600000000000 AS t,
+            CAST(count(*) AS DOUBLE) AS v
+          FROM events WHERE user_id < 3 GROUP BY 1, 2),
+        e AS (SELECT user_id, t, v,
+            row_number() OVER (PARTITION BY user_id ORDER BY t) AS rn,
+            count(*) OVER (PARTITION BY user_id) AS cnt FROM b),
+        w AS (SELECT user_id, list(v ORDER BY rn) AS vs,
+            list(t ORDER BY rn) AS ts, max(cnt) AS cnt
+          FROM e GROUP BY user_id),
+        init AS (SELECT user_id, vs, ts, cnt,
+            (((vs[1] + vs[2]) + vs[3]) + vs[4]) / 4 AS m1,
+            (((vs[5] + vs[6]) + vs[7]) + vs[8]) / 4 AS m2
+          FROM w WHERE cnt >= 8),
+        r AS (SELECT user_id, vs, ts, cnt, 4 AS rn,
+            m1 AS l, (m2 - m1) / 4 AS b,
+            [vs[1] - m1, vs[2] - m1, vs[3] - m1, vs[4] - m1] AS ring,
+            CAST(NULL AS DOUBLE) AS fit
+          FROM init
+          UNION ALL
+          SELECT user_id, vs, ts, cnt, rn + 1,
+            0.5 * (vs[rn + 1] - ring[(rn % 4) + 1]) + 0.5 * (l + b),
+            0.5 * ((0.5 * (vs[rn + 1] - ring[(rn % 4) + 1])
+              + 0.5 * (l + b)) - l) + 0.5 * b,
+            ring[1:(rn % 4)]
+              || [0.5 * (vs[rn + 1] - (0.5 * (vs[rn + 1] - ring[(rn % 4) + 1])
+                   + 0.5 * (l + b))) + 0.5 * ring[(rn % 4) + 1]]
+              || ring[(rn % 4) + 2:4],
+            l + b + ring[(rn % 4) + 1]
+          FROM r WHERE rn < cnt),
+        fits AS (SELECT user_id, ts[rn] AS t, 'fit' AS phase, fit AS hw
+          FROM r WHERE rn >= 5),
+        fin AS (SELECT * FROM r WHERE rn = cnt),
+        fc AS (SELECT user_id, ts[cnt] + h * 21600000000000 AS t,
+            'forecast' AS phase,
+            l + h * b + ring[((cnt - 1 + h) % 4) + 1] AS hw
+          FROM fin CROSS JOIN (SELECT unnest(range(1, 5)) AS h))
+        SELECT * FROM fits UNION ALL SELECT * FROM fc
+        ORDER BY user_id, t, phase""")),
+
     ("events_correlation",
       (s, d) => {
         // Flux cov()/pearsonr(): align two measurement streams on a 6h

@@ -723,6 +723,77 @@ object SeriesFunctions {
     * map-side combining), and the forecast rows are a ×N explode of that
     * k-row frame: corpus-scan cost + O(series · N) generation, no second
     * pass over the data. */
+  /** Additive seasonal Holt-Winters (triple exponential smoothing):
+    * level/trend as [[holtLinear]] plus an S-slot seasonal ring. The
+    * reference's 1.x holt_winters fits (α, β, γ) per call with a
+    * Nelder-Mead optimization — seed- and iteration-order-sensitive, so
+    * no second engine can replay it — hence this engine's deterministic
+    * contract: EXPLICIT smoothing parameters and the classical
+    * initialization (level = mean of season one, trend =
+    * (mean₂ − mean₁)/S, seasonalᵢ = xᵢ − mean₁), recurrence from t = S.
+    * A series shorter than 2·S yields nothing (the init needs two full
+    * seasons). Runs on the bucketed frame — rows ∝ GROUP BY time()
+    * buckets, so the per-series buffering is bounded by construction.
+    *
+    * Returns `(fit, forecast)`: fit = one-step-ahead prediction
+    * `l + b + s[t mod S]` at every observed bucket from t = S on
+    * (holt_winters_with_fit's observed half); forecast = `n` points past
+    * the last bucket, `l + h·b + s[(T−1+h) mod S]`. */
+  def holtSeasonal(df: DataFrame, keyCols: Seq[String], timeCol: String,
+      valueCol: String, alpha: Double, beta: Double, gamma: Double,
+      n: Int, season: Int, stepNs: Long,
+      out: String): (DataFrame, DataFrame) = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha out of range: $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"beta out of range: $beta")
+    require(gamma >= 0.0 && gamma <= 1.0, s"gamma out of range: $gamma")
+    require(n >= 1, s"forecast horizon out of range: $n")
+    require(season >= 2, s"seasonal period out of range: $season")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val packed = df.na.drop(Seq(timeCol, valueCol)).select(
+        array(keyCols.map(col(_).cast("string")): _*).as("__k"),
+        col(timeCol).cast("long").as("__t"),
+        col(valueCol).cast("double").as("__v"))
+      .as[(Seq[String], Long, Double)]
+    // (key, time, value, isForecast) rows; one group per series — the
+    // frame is bucket-sized, so the sort+buffer is per-series-bounded
+    val rows = packed.groupByKey(_._1).flatMapGroups { (k, it) =>
+      val xs = it.toArray.sortBy(_._2)
+      if (xs.length < 2 * season) Iterator.empty
+      else {
+        val s = season
+        val mean1 = xs.iterator.take(s).map(_._3).sum / s
+        val mean2 = xs.iterator.slice(s, 2 * s).map(_._3).sum / s
+        var l = mean1
+        var b = (mean2 - mean1) / s
+        val ring = Array.tabulate(s)(i => xs(i)._3 - mean1)
+        val fits = Array.newBuilder[(Seq[String], Long, Double, Boolean)]
+        var i = s
+        while (i < xs.length) {
+          val v = xs(i)._3
+          val slot = i % s
+          fits += ((k, xs(i)._2, l + b + ring(slot), false))
+          val nl = alpha * (v - ring(slot)) + (1.0 - alpha) * (l + b)
+          b = beta * (nl - l) + (1.0 - beta) * b
+          ring(slot) = gamma * (v - nl) + (1.0 - gamma) * ring(slot)
+          l = nl
+          i += 1
+        }
+        val lastT = xs.last._2
+        val fc = (1 to n).iterator.map { h =>
+          (k, lastT + h.toLong * stepNs,
+            l + h * b + ring((xs.length - 1 + h) % s), true)
+        }
+        fits.result().iterator ++ fc
+      }
+    }.toDF("__k", "__t", out, "__fc")
+    def unpack(d: DataFrame): DataFrame =
+      d.select(keyCols.zipWithIndex.map { case (kc, i) =>
+        col("__k")(i).as(kc)
+      } ++ Seq(col("__t").as(timeCol), col(out)): _*)
+    (unpack(rows.filter(!col("__fc"))), unpack(rows.filter(col("__fc"))))
+  }
+
   def holtForecast(df: DataFrame, keyCols: Seq[String], timeCol: String,
       valueCol: String, alpha: Double, beta: Double, n: Int, stepNs: Long,
       out: String): DataFrame = {

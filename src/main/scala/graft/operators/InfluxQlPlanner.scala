@@ -1094,10 +1094,11 @@ object InfluxQlPlanner {
     }
     val n = numArg(c, 1, s"${c.fn}(agg, N, S)").toInt
     if (n < 1) throw ParseError(s"${c.fn}() forecast count must be >= 1")
-    if (numArg(c, 2, s"${c.fn}(agg, N, S)").toInt != 0)
-      throw ParseError("seasonal holt_winters (S > 0) needs the " +
-        "reference's Nelder-Mead seasonal fit and is not supported; " +
-        "pass S = 0 for the deterministic linear-trend form")
+    val season = numArg(c, 2, s"${c.fn}(agg, N, S)").toInt
+    if (season < 0) throw ParseError(s"${c.fn}() seasonal period must be >= 0")
+    if (season == 1)
+      throw ParseError("a seasonal period of 1 bucket has no seasonality; " +
+        "pass S = 0 for the linear-trend form or S >= 2")
     def optNum(i: Int, dflt: Double): Double = c.args.lift(i) match {
       case Some(IntLit(v)) => v.toDouble
       case Some(NumLit(v)) => v
@@ -1106,6 +1107,7 @@ object InfluxQlPlanner {
     }
     val alpha = optNum(3, 0.5)
     val beta = optNum(4, 0.25)
+    val gamma = optNum(5, 0.25)
     val tcol = m.timeCol
     val name = alias.getOrElse(c.fn)
     val keys = keyCols.map(col)
@@ -1127,16 +1129,28 @@ object InfluxQlPlanner {
     val (kdf, tKeys) =
       if (keyCols.isEmpty) (filled.withColumn("__gk", lit(1)), Seq("__gk"))
       else (filled, keyCols)
-    val fc = SF.holtForecast(kdf, tKeys, "time", "__hw", alpha, beta, n,
-      gt.everyNs, name)
     val out =
-      if (c.fn == "holt_winters_with_fit") {
-        val fit = SF.holtLinear(kdf, tKeys, "time", "__hw", alpha, beta, name)
-          .filter(col(name).isNotNull)
-          .select(tKeys.map(col) ++ Seq(col("time"), col(name)): _*)
-        fit.unionByName(fc.select(tKeys.map(col) ++
-          Seq(col("time"), col(name)): _*))
-      } else fc
+      if (season >= 2) {
+        // deterministic seasonal form (SeriesFunctions.holtSeasonal docs
+        // the contract vs the reference's per-call Nelder-Mead fit)
+        val (fit, fc) = SF.holtSeasonal(kdf, tKeys, "time", "__hw",
+          alpha, beta, gamma, n, season, gt.everyNs, name)
+        if (c.fn == "holt_winters_with_fit")
+          fit.select(tKeys.map(col) ++ Seq(col("time"), col(name)): _*)
+            .unionByName(fc.select(tKeys.map(col) ++
+              Seq(col("time"), col(name)): _*))
+        else fc
+      } else {
+        val fc = SF.holtForecast(kdf, tKeys, "time", "__hw", alpha, beta, n,
+          gt.everyNs, name)
+        if (c.fn == "holt_winters_with_fit") {
+          val fit = SF.holtLinear(kdf, tKeys, "time", "__hw", alpha, beta, name)
+            .filter(col(name).isNotNull)
+            .select(tKeys.map(col) ++ Seq(col("time"), col(name)): _*)
+          fit.unionByName(fc.select(tKeys.map(col) ++
+            Seq(col("time"), col(name)): _*))
+        } else fc
+      }
     val timeOrd = if (sel.timeDesc) col("time").desc else col("time").asc
     out.select((toUtcNs(col("time"), sel.tz).as("time") +: keyCols.map(col))
         :+ col(name): _*)

@@ -77,6 +77,30 @@ class InfluxQlSpec extends SparkSpec {
     assert(e.contains("now()") && e.contains("clock"))
   }
 
+  test("holt_winters with a seasonal period: deterministic triple " +
+      "smoothing over the bucketed frame") {
+    // host a buckets (10s grid): 1, 3, 2, 6. S=2, α=β=γ=0.5:
+    // init l=2 b=1 ring=[-1,1]; t2: l=3 b=1 ring0=-1; t3: l=4.5 b=1.25
+    // ring1=1.25; forecasts: 4.5+1.25-1=4.75 @40s, 4.5+2.5+1.25=8.25 @50s
+    val fc = run("""SELECT holt_winters(mean(value), 2, 2, 0.5, 0.5, 0.5)
+        AS hw FROM cpu WHERE host = 'a' AND time >= 0
+        AND time < 40000000000 GROUP BY time(10s)""")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
+    assert(fc == Seq((40000000000L, 4.75), (50000000000L, 8.25)))
+    // with_fit prepends the one-step predictions from t = S on
+    val wf = run("""SELECT holt_winters_with_fit(mean(value), 1, 2,
+          0.5, 0.5, 0.5) AS hw
+        FROM cpu WHERE host = 'a' AND time >= 0 AND time < 40000000000
+        GROUP BY time(10s)""")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
+    assert(wf == Seq((20000000000L, 2.0), (30000000000L, 5.0),
+      (40000000000L, 4.75)))
+    // S = 1 is a contradiction and says so; S < 0 rejects
+    assert(intercept[ParseError](run(
+      "SELECT holt_winters(mean(value), 2, 1) FROM cpu GROUP BY time(10s)"))
+      .getMessage.contains("seasonality"))
+  }
+
   test("parse: rejections carry the reason") {
     def err(q: String): String =
       intercept[ParseError](run(q)).getMessage
@@ -413,10 +437,8 @@ class InfluxQlSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
     assert(wf == Seq((10000000000L, 30.0), (30000000000L, 46.25),
       (40000000000L, 46.25)))
-    // seasonal fit and missing GROUP BY time are explicit errors
-    assert(intercept[ParseError](run(
-      "SELECT holt_winters(mean(value), 2, 4) FROM cpu GROUP BY time(10s)"))
-      .getMessage.contains("seasonal"))
+    // missing GROUP BY time is an explicit error (S > 0 is supported
+    // since r9 — see the seasonal test)
     assert(intercept[ParseError](run(
       "SELECT holt_winters(mean(value), 2, 0) FROM cpu GROUP BY host"))
       .getMessage.contains("GROUP BY time"))

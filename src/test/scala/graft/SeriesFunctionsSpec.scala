@@ -269,6 +269,29 @@ class SeriesFunctionsSpec extends SparkSpec {
       1L, "h").count() == 0)
   }
 
+  test("holtSeasonal: classical init, seasonal ring recursion, forecast") {
+    // period-2 seasonality + trend; dyadic α=β=γ=0.5 makes every step
+    // exact in binary, so the assertions are equalities, not tolerances
+    val xs = Seq(("a", 0L, 10.0), ("a", 1L, 0.0), ("a", 2L, 12.0),
+      ("a", 3L, 2.0), ("a", 4L, 14.0), ("a", 5L, 4.0)).toDF("k", "t", "v")
+    val (fit, fc) = SF.holtSeasonal(xs, Seq("k"), "t", "v",
+      alpha = 0.5, beta = 0.5, gamma = 0.5, n = 2, season = 2,
+      stepNs = 1L, "h")
+    // init: l = mean(10,0) = 5, b = (mean(12,2) − 5)/2 = 1, ring = [5,−5]
+    val f = fit.orderBy("t").as[(String, Long, Double)].collect()
+    assert(f.map(_._2).toSeq == Seq(2L, 3L, 4L, 5L), "fits from t = S on")
+    assert(f.map(_._3).toSeq == Seq(11.0, 2.75, 13.6875, 4.546875))
+    val p = fc.orderBy("t").as[(String, Long, Double)].collect()
+    assert(p.map(_._2).toSeq == Seq(6L, 7L))
+    assert(p.map(_._3).toSeq == Seq(15.79296875, 6.14453125))
+    // a series shorter than two seasons yields nothing
+    val short = Seq(("c", 0L, 1.0), ("c", 1L, 2.0), ("c", 2L, 3.0))
+      .toDF("k", "t", "v")
+    val (sf, sc) = SF.holtSeasonal(short, Seq("k"), "t", "v",
+      0.5, 0.5, 0.5, n = 1, season = 2, stepNs = 1L, "h")
+    assert(sf.count() == 0 && sc.count() == 0)
+  }
+
   test("promRate: reset-aware increase, edge extrapolation, zero guard") {
     // bucket [0, 10s): samples at 2s/4s/6s with one reset 13 -> 11
     val s1 = Seq(("a", 2000000000L, 10L), ("a", 4000000000L, 13L),
