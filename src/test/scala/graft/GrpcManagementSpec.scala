@@ -307,6 +307,42 @@ class GrpcManagementSpec extends SparkSpec {
     }
   }
 
+  test("flow control: request and response bodies beyond the 64 KiB " +
+      "HTTP/2 initial window cross the wire intact") {
+    withServer { (facade, p) =>
+      // ~400 KB LP body: without the server's WINDOW_UPDATE hand-back the
+      // stream stalls at 64 KiB and the call times out (the r9 regression
+      // this test pins); 5000 distinct hosts also makes the TagValues
+      // response exceed the client-side window, exercising the reverse
+      // direction
+      val lp = (0 until 5000).map(i =>
+        s"big,host=host-with-a-long-name-$i value=$i.5 ${i}000").mkString("\n")
+      assert(lp.length > 65536, s"fixture must exceed the window: ${lp.length}")
+      val (ws, wr) = GrpcClient.call(p, W + "Write",
+        msg { w => w.string(1, "bigdb"); w.string(2, lp) })
+      assert(ws == 0 && P.readVarint(wr.head, 1) == 5000L)
+      val (qs, csv) = HttpFacade.getQuery(facade.boundPort, "bigdb",
+        "SELECT count(*) AS n, sum(value) AS s FROM big")
+      assert(qs == 200 && csv.contains("5000"))
+      // storage TagValues for host: 5000 long strings back over gRPC
+      val req = {
+        val w = new StorageProto.Writer
+        w.bytes(1, msg(s => s.string(1, "type.googleapis.com/ReadSource")
+          .bytes(2, msg(rs => rs.varintField(1, 0xb1).varintField(2, 0xb2)))))
+        w.bytes(4, "host".getBytes("UTF-8"))
+        w.result()
+      }
+      // land the same data under the hex db the read_source renders to
+      assert(GrpcClient.call(p, W + "Write",
+        msg { w => w.string(1, "00000000000000b1_00000000000000b2")
+          w.string(2, lp) })._1 == 0)
+      val (ts, tv) = GrpcClient.call(p,
+        "/influxdata.platform.storage.Storage/TagValues", req)
+      assert(ts == 0, s"TagValues status $ts")
+      assert(tv.map(_.length).sum > 65536, "response crossed the window")
+    }
+  }
+
   test("shard config round-trips through the DatabaseRules protobuf") {
     val sc = graft.core.Sharding.ShardConfig(
       Seq((graft.core.Sharding.Matcher("^system\\."), 0)),
