@@ -47,15 +47,20 @@ case class PartitionTemplate(parts: Seq[TemplatePart]) {
   /** Driver-side key of ONE line (reference `partition_key`,
     * database_rules.rs:205-228, applied per parsed LP line by
     * entry.rs:58-137 before batches are built): same rendering contract
-    * as [[keyColumn]] — `Column` parts read the line's TAGS (a missing
-    * tag renders blank, separators kept), `TimeFormat` formats the ns
-    * timestamp in UTC. */
+    * as [[keyColumn]] — `Column` parts read the line's TAGS, falling
+    * back to its FIELDS (database_rules.rs:211-217 tries tag_value then
+    * field_value; a miss on both renders blank, separators kept), and
+    * `TimeFormat` formats the ns timestamp in UTC. `fields` arrive
+    * pre-rendered in the cast-to-string spelling [[keyColumn]] uses. */
   def keyOf(tableName: String, tags: Seq[(String, String)],
-      timeNs: Long): String =
+      timeNs: Long, fields: Seq[(String, String)] = Nil): String =
     parts.map {
       case Table => tableName
       case ColumnValue(name) =>
         tags.collectFirst { case (k, v) if k == name => s"${name}_$v" }
+          .orElse(fields.collectFirst {
+            case (k, v) if k == name => s"${name}_$v"
+          })
           .getOrElse("")
       case TimeFormat(fmt) =>
         java.time.format.DateTimeFormatter

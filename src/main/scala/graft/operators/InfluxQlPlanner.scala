@@ -220,7 +220,7 @@ object InfluxQlPlanner {
     * before planning; the transport supplies the clock). A statement
     * using now() without a clock rejects rather than silently reading
     * the wall clock — determinism is the caller's choice. */
-  private def resolveNow(e: Expr, nowNs: Option[Long]): Expr = e match {
+  private[graft] def resolveNow(e: Expr, nowNs: Option[Long]): Expr = e match {
     case Call("now", Nil) => nowNs match {
       case Some(n) => IntLit(n)
       case None => throw ParseError(
@@ -615,11 +615,23 @@ object InfluxQlPlanner {
       case Bin(op, l, r) if arithOps(op) => arith(op, rewrite(l), rewrite(r))
       case other => throw ParseError(s"bad aggregate expression: $other")
     }
-    val outCols = sel.projs.map { case (e, a) =>
-      rewrite(e).as(a.getOrElse(e match {
-        case c: Call => c.fn
-        case _ => "expr"
-      }))
+    // one name derivation for both the aliases and the by-name fill/
+    // reprojection below; colliding derived names (two unaliased `abs(…)`
+    // projections, 1.x allows them) disambiguate with _1/_2 suffixes so
+    // the later col(name) references stay unambiguous
+    val outNames = {
+      val base = sel.projs.map { case (e, a) =>
+        a.getOrElse(e match { case c: Call => c.fn; case _ => "expr" })
+      }
+      val seen = scala.collection.mutable.Map.empty[String, Int]
+      base.map { n =>
+        val k = seen.getOrElse(n, 0)
+        seen(n) = k + 1
+        if (k == 0) n else s"${n}_$k"
+      }
+    }
+    val outCols = sel.projs.zip(outNames).map { case ((e, _), n) =>
+      rewrite(e).as(n)
     }
     val keys = keyCols.map(col)
     sel.groupTime match {
@@ -636,9 +648,6 @@ object InfluxQlPlanner {
         // hidden sub-aggregate), so evaluate the arithmetic first and
         // run the grid over the output columns — same local-ns grid +
         // UTC relabel discipline as the transform-over-aggregate path
-        val outNames = sel.projs.map { case (e, a) =>
-          a.getOrElse(e match { case c: Call => c.fn; case _ => "expr" })
-        }
         val computed = grouped.select((col("time") +: keys) ++ outCols: _*)
         val filled = fillStrategy(sel.fill, lo, hi) match {
           case None => computed

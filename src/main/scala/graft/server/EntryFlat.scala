@@ -188,14 +188,24 @@ object EntryFlat {
       indirect(pos) + 4 + i * elemSize
     def longAt(pos: Int): Long = buf.getLong(pos)
     def doubleAt(pos: Int): Double = buf.getDouble(pos)
+    /** Declared length validated against the remaining buffer BEFORE any
+      * allocation: a crafted u32 length (e.g. 0x7ffffff0 on a tiny
+      * buffer) would otherwise allocate gigabytes and throw
+      * OutOfMemoryError — an Error that escapes decode()'s
+      * Either-on-malformed catch and would kill the caller. */
+    private def checkedLen(s: Int): Int = {
+      val len = buf.getInt(s)
+      require(len >= 0 && len <= bytes.length - s - 4,
+        s"declared length $len overruns the ${bytes.length}-byte buffer")
+      len
+    }
     def string(pos: Int): String = {
       val s = indirect(pos)
-      val len = buf.getInt(s)
-      new String(bytes, s + 4, len, "UTF-8")
+      new String(bytes, s + 4, checkedLen(s), "UTF-8")
     }
     def byteVector(pos: Int): Array[Byte] = {
       val s = indirect(pos)
-      val len = buf.getInt(s)
+      val len = checkedLen(s)
       java.util.Arrays.copyOfRange(bytes, s + 4, s + 4 + len)
     }
   }
@@ -329,14 +339,24 @@ object EntryFlat {
     * the reference's type-collision error. */
   def linesToEntry(lines: Seq[LineProtocol.ParsedLine],
       template: PartitionTemplate, defaultTimeNs: Long): Array[Byte] = {
-    val byPartition = lines.zipWithIndex
-      .groupBy { case (l, _) =>
-        template.keyOf(l.measurement, l.tags,
-          l.timestampNs.getOrElse(defaultTimeNs))
+    import LineProtocol._
+    // field values rendered in keyColumn's cast-to-string spelling, for
+    // templates whose Column part names a field (database_rules.rs:211-217
+    // falls back from tag_value to field_value)
+    def fieldStrings(l: ParsedLine): Seq[(String, String)] =
+      l.fields.map {
+        case (k, F64(v)) => (k, v.toString)
+        case (k, I64(v)) => (k, v.toString)
+        case (k, U64(v)) => (k, v.toString)
+        case (k, Str(v)) => (k, v)
+        case (k, Bool(v)) => (k, v.toString)
       }
+    val byPartition = lines
+      .groupBy(l => template.keyOf(l.measurement, l.tags,
+        l.timestampNs.getOrElse(defaultTimeNs), fieldStrings(l)))
       .toSeq.sortBy(_._1)
     val writes = byPartition.map { case (key, ls) =>
-      val tables = ls.map(_._1).groupBy(_.measurement).toSeq.sortBy(_._1)
+      val tables = ls.groupBy(_.measurement).toSeq.sortBy(_._1)
         .map { case (m, rows) => buildBatch(m, rows, defaultTimeNs) }
       PartitionWrite(key, tables.toVector)
     }
@@ -361,7 +381,7 @@ object EntryFlat {
     val tagCols = tagNames.map { tn =>
       val perRow = rows.map(_.tags.collectFirst {
         case (k, v) if k == tn => v
-      })
+      }).toIndexedSeq // positional mask lookups must be O(1)
       PbColumn(tn, WriteProto.Semantic.Tag,
         Some(PbValues(str = perRow.flatten.toVector)),
         mask(r => perRow(r).isDefined))
@@ -370,7 +390,7 @@ object EntryFlat {
     val fieldCols = fieldNames.map { fn =>
       val perRow = rows.map(_.fields.collectFirst {
         case (k, v) if k == fn => v
-      })
+      }).toIndexedSeq
       val dense = perRow.flatten
       val values = dense.head match {
         case _: F64 =>

@@ -569,8 +569,12 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
       else {
         val tags = measurementView(db, from).map(asMeasurement(_).tagCols)
           .getOrElse(Seq.empty)
+        // DELETE ... WHERE time < now() - 7d is the canonical retention
+        // command: resolve now() against the server clock before the
+        // time-bound split, exactly like the SELECT path
         val (lo, hi, rest) = where
-          .map(graft.operators.InfluxQlPlanner.splitTime)
+          .map(e => graft.operators.InfluxQlPlanner.splitTime(
+            graft.operators.InfluxQlPlanner.resolveNow(e, Some(clockNs()))))
           .getOrElse((None, None, None))
         // 1.x forbids field predicates in DELETE: every residual
         // reference must be a tag

@@ -231,15 +231,14 @@ object ManagementGrpc {
       }
     case "WriteEntry" =>
       // WriteEntryRequest { db_name = 1, entry (flatbuffers bytes) = 2 }
-      val db = P.readString(raw, 1)
-      val entryBytes = {
-        val r = new StorageProtoReader.Reader(raw)
-        var b: Array[Byte] = Array.emptyByteArray
-        while (r.hasMore) r.key() match {
-          case (2, 2) => b = r.bytesField()
-          case (_, wt) => r.skip(wt)
-        }
-        b
+      // — one pass over the (entry-dominated) request buffer
+      val r = new StorageProtoReader.Reader(raw)
+      var db = ""
+      var entryBytes: Array[Byte] = Array.emptyByteArray
+      while (r.hasMore) r.key() match {
+        case (1, 2) => db = r.stringField()
+        case (2, 2) => entryBytes = r.bytesField()
+        case (_, wt) => r.skip(wt)
       }
       if (db.isEmpty) Left("db_name is required")
       else if (entryBytes.isEmpty) Left("entry is required")

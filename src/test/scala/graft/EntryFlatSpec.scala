@@ -75,6 +75,33 @@ class EntryFlatSpec extends SparkSpec {
       EntryFlat.DeleteOp("mem", "")))))
     assert(EntryFlat.decode(Array[Byte](1, 2, 3)).isLeft)
     assert(EntryFlat.decode(Array.fill[Byte](16)(0x7f)).isLeft)
+    // a crafted huge declared length must reject BEFORE allocating
+    // (an OutOfMemoryError would escape the Either contract): corrupt a
+    // valid entry's first length-prefixed region to 0x7ffffff0
+    val good = EntryFlat.encode(Seq(EntryFlat.PartitionWrite("k",
+      Vector(WriteProto.PbTableBatch("t", Vector(
+        PbColumn("v", Semantic.Field,
+          Some(PbValues(bytes = Vector(Array.fill[Byte](64)(1)))),
+          Array.emptyByteArray)), 1)))))
+    val idx = good.indexOfSlice(Array[Byte](64, 0, 0, 0)) // the data vec len
+    assert(idx > 0, "fixture must contain the 64-byte vector length")
+    val evil = good.clone()
+    evil(idx) = 0xf0.toByte; evil(idx + 1) = 0xff.toByte
+    evil(idx + 2) = 0xff.toByte; evil(idx + 3) = 0x7f.toByte
+    assert(EntryFlat.decode(evil).isLeft)
+  }
+
+  test("template column parts fall back to FIELD values like the " +
+      "reference partitioner (database_rules.rs:211-217)") {
+    val lines = LineProtocol.parseLines(Seq(
+      "m,host=a level=3i 100", "m level=4i 200", "m other=1i 300").iterator)
+      .toSeq
+    val byLevel = PartitionTemplate(Seq(TemplatePart.ColumnValue("level")))
+    val e = EntryFlat.decode(
+      EntryFlat.linesToEntry(lines, byLevel, 0L)).toOption.get
+    // tag-less lines key on the field value; a line with neither renders
+    // blank (separators kept — single part, so empty string)
+    assert(e.partitionWrites.map(_.key) == Vector("", "level_3", "level_4"))
   }
 
   test("linesToEntry groups by the rules template partition key " +

@@ -414,6 +414,15 @@ class HttpFacadeSpec extends SparkSpec {
       val (se, be) = get(p, s"/query?db=o_b&q=${enc(
         "DELETE FROM h2o_temperature WHERE surface_degrees > 60")}")
       assert(se == 200 && be.contains("tag conditions only"))
+      // DELETE ... time < now() - dur resolves against the server clock
+      // (42 ns here, so now() - 40ns tombstones nothing — the canonical
+      // retention command must not error on now())
+      val (sn3, bn3) = get(p, s"/query?db=o_b&q=${enc(
+        "DELETE FROM h2o_temperature WHERE time < now() - 40")}")
+      assert(sn3 == 200 && bn3 == """{"results":[{"statement_id":0}]}""", bn3)
+      assert(get(p, s"/iox/api/v1/databases/o_b/query?q=${enc(
+        "SELECT count(*) AS n FROM h2o_temperature")}&format=csv")._2
+        .trim.split("\n").toSeq == Seq("n", "5"))
 
       // SHOW SERIES and SHOW RETENTION POLICIES
       val series = get(p, s"/query?db=o_b&q=${enc("SHOW SERIES FROM air_temperature")}")._2

@@ -377,6 +377,15 @@ class InfluxQlSpec extends SparkSpec {
       .toSeq.sorted
     assert(fn == Seq((0L, Some(0.0)), (10000000000L, Some(0.0)),
       (20000000000L, None), (30000000000L, Some(0.0))))
+    // two unaliased projections deriving the same name stay addressable
+    // (1.x allows them; suffix disambiguation keeps the fill/reproject
+    // path unambiguous)
+    val dup = run("""SELECT abs(max(value)), abs(min(value)) FROM cpu
+        WHERE host = 'a' AND time >= 0 AND time < 40000000000
+        GROUP BY time(40s)""")
+    assert(dup.columns.toSeq == Seq("time", "abs", "abs_1"))
+    assert(dup.collect().map(r => (r.getDouble(1), r.getDouble(2))).toSeq ==
+      Seq((6.0, 1.0)))
     // mixing levels and unaliased arithmetic are rejected
     assert(intercept[ParseError](
       run("SELECT value + mean(value) AS x FROM cpu GROUP BY host"))
