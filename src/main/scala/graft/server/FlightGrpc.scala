@@ -55,14 +55,17 @@ object FlightGrpc {
       case None => Left("invalid ticket: expected " +
         """{"database_name": ..., "sql_query": ...}""")
       case Some((db, sql)) =>
-        if (f.measurements(db).isEmpty) Left(s"database not found: $db")
+        // existence, not emptiness: a freshly created or drop-emptied
+        // database is real — queries over it should plan (and fail with
+        // table-not-found where warranted), matching the HTTP bridge
+        if (!f.hasDatabase(db)) Left(s"database not found: $db")
         else {
           // plan under the shared temp-view catalog lock, like the bridge
           val planned = HttpFacade.synchronized {
             try {
-              f.measurements(db).foreach { m =>
-                f.measurementView(db, m).foreach(_.createOrReplaceTempView(m))
-              }
+              HttpFacade.registerMeasurementViews(f.spark,
+                f.measurements(db).flatMap(m =>
+                  f.measurementView(db, m).map(m -> _)))
               Right(f.spark.sql(sql))
             } catch {
               case NonFatal(e) =>

@@ -12,7 +12,7 @@ import io.netty.channel.{ChannelDuplexHandler, ChannelHandlerContext, ChannelInb
 import io.netty.channel.nio.NioEventLoopGroup
 import io.netty.channel.socket.SocketChannel
 import io.netty.channel.socket.nio.{NioServerSocketChannel, NioSocketChannel}
-import io.netty.handler.codec.http2.{DefaultHttp2DataFrame, DefaultHttp2Headers, DefaultHttp2HeadersFrame, DefaultHttp2WindowUpdateFrame, Http2DataFrame, Http2FrameCodecBuilder, Http2FrameStream, Http2HeadersFrame, Http2MultiplexHandler, Http2StreamChannelBootstrap}
+import io.netty.handler.codec.http2.{DefaultHttp2DataFrame, DefaultHttp2Headers, DefaultHttp2HeadersFrame, DefaultHttp2WindowUpdateFrame, Http2DataFrame, Http2FrameCodecBuilder, Http2FrameStream, Http2HeadersFrame, Http2MultiplexHandler, Http2ResetFrame, Http2StreamChannelBootstrap}
 import io.netty.util.ReferenceCountUtil
 
 /** Real gRPC framing over real HTTP/2 — the transport layer for the
@@ -89,6 +89,11 @@ final class GrpcServer(
             ctx.writeAndFlush(
               new DefaultHttp2WindowUpdateFrame(consumed).stream(d.stream()))
           if (end) finish(ctx, d.stream())
+        case r: Http2ResetFrame =>
+          // a cancelled call never reaches finish(): drop its buffered
+          // body or repeated cancels on one connection leak memory
+          paths.remove(r.stream())
+          Option(bodies.remove(r.stream())).foreach(_.release())
         case other => ReferenceCountUtil.release(other)
       }
 
@@ -104,7 +109,11 @@ final class GrpcServer(
           val compressed = body.readByte()
           val len = body.readInt()
           if (compressed != 0) Left("compressed gRPC messages unsupported")
-          else if (body.readableBytes() < len) Left("truncated gRPC message")
+          // len < 0: a crafted u32 length >= 2^31 would otherwise pass
+          // the truncation guard and throw NegativeArraySizeException on
+          // the event loop, leaking the ByteBuf and hanging the caller
+          else if (len < 0 || body.readableBytes() < len)
+            Left("truncated gRPC message")
           else {
             val a = new Array[Byte](len); body.readBytes(a); Right(a)
           }
@@ -215,7 +224,7 @@ object GrpcClient {
                 acc.markReaderIndex()
                 acc.readByte() // compressed flag (always 0 here)
                 val len = acc.readInt()
-                if (acc.readableBytes() < len) {
+                if (len < 0 || acc.readableBytes() < len) {
                   acc.resetReaderIndex(); more = false
                 } else {
                   val a = new Array[Byte](len); acc.readBytes(a); msgs.add(a)

@@ -324,9 +324,9 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
         // bound to this request's views before the lock releases
         val planned = HttpFacade.synchronized {
           try {
-            measurements(db).foreach { m =>
-              measurementView(db, m).foreach(_.createOrReplaceTempView(m))
-            }
+            HttpFacade.registerMeasurementViews(spark,
+              measurements(db).flatMap(m =>
+                measurementView(db, m).map(m -> _)))
             Right(spark.sql(q))
           } catch {
             case NonFatal(e) =>
@@ -400,7 +400,20 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
     params.get("q") match {
       case None => respondJsonError(ex, 400, "missing q parameter")
       case Some(q) =>
-        if (!databases.contains(db)) {
+        // 1.x defines SHOW DATABASES / SHOW QUERIES / KILL QUERY as
+        // database-less — client libraries probe connectivity with a
+        // db-less SHOW DATABASES, which must not 404. A db param is
+        // required only when some statement actually reads a database;
+        // a db created via the management surface but never written to
+        // also resolves (hasDatabase, not databases.contains).
+        val dbFree =
+          try graft.core.InfluxQl.parseAll(q).forall {
+            case sh: graft.core.InfluxQl.Show =>
+              sh.what == "databases" || sh.what == "queries"
+            case _: graft.core.InfluxQl.Kill => true
+            case _ => false
+          } catch { case NonFatal(_) => false }
+        if (!dbFree && !hasDatabase(db)) {
           respondJsonError(ex, 404, s"database not found: $db"); return
         }
         // 1.x `epoch=` time-unit selection (default ns, this engine's axis)
@@ -497,6 +510,11 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
         // columns become fields, a time-less aggregate lands at epoch 0).
         // The snapshot is pinned with localCheckpoint so later source
         // writes cannot rewrite history, like a physical 1.x INTO write.
+        // KNOWN TRADEOFF: the checkpoint executes the INTO's Spark job
+        // while the shared planning lock is held, so a long INTO delays
+        // other requests' PLANNING (their streams are unaffected) — at
+        // the facade's micro-batch scale that beats the alternative of
+        // snapshotting without catalog consistency.
         import org.apache.spark.sql.types.MetadataBuilder
         val target = sel.into.get
         val out = graft.operators.InfluxQlPlanner.plan(msAll, sel,
@@ -592,10 +610,28 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
         Right(None) // ack: a results entry with no series
       }
     case graft.core.InfluxQl.Drop("measurement", m, _) =>
-      // the whole measurement goes away: its chunks AND its tombstones
+      // the whole measurement goes away: its chunks AND its tombstones.
+      // Chunk stages are keyed by position in the db's chunk vector, so
+      // the surviving chunks' stage labels must migrate to their new
+      // indices — otherwise a ReadBuffer mark orphaned at an old index
+      // attaches to whatever chunk slides into it (wrong ListChunks
+      // storage, wrong already-moved lifecycle errors)
       if (!measurements(db).contains(m)) Left(s"measurement not found: $m")
       else {
-        databases.updateWith(db)(_.map(_.filterNot(_._1 == m)))
+        databases.updateWith(db) {
+          case None => None
+          case Some(chunks) =>
+            val survivors = chunks.zipWithIndex.filterNot(_._1._1 == m)
+            val remapped = survivors.zipWithIndex.flatMap {
+              case ((_, oldIdx), newIdx) =>
+                chunkStages.get((db, oldIdx)).map(newIdx -> _)
+            }.toMap
+            chunkStages.keys.filter(_._1 == db).foreach(chunkStages.remove)
+            remapped.foreach { case (i, stage) =>
+              chunkStages((db, i)) = stage
+            }
+            Some(survivors.map(_._1))
+        }
         tombstones.remove((db, m))
         Right(None)
       }
@@ -718,9 +754,9 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
         // plan under the shared temp-view catalog lock, stream after
         val planned = HttpFacade.synchronized {
           try {
-            measurements(db).foreach { m =>
-              measurementView(db, m).foreach(_.createOrReplaceTempView(m))
-            }
+            HttpFacade.registerMeasurementViews(spark,
+              measurements(db).flatMap(m =>
+                measurementView(db, m).map(m -> _)))
             Right(spark.sql(sql))
           } catch {
             case NonFatal(e) =>
@@ -755,9 +791,14 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
           val raw = storageBodyBytes(ex).getOrElse(return)
           val (schema, rows) = ArrowIpc.readStreamTyped(
             new java.io.ByteArrayInputStream(raw))
-          if (!schema.fieldNames.contains(graft.core.NsTime.TimeColumn))
+          val timeField =
+            schema.fields.find(_.name == graft.core.NsTime.TimeColumn)
+          if (timeField.isEmpty ||
+              timeField.get.dataType != org.apache.spark.sql.types.LongType)
             throw new IllegalArgumentException(
-              s"do_put needs a '${graft.core.NsTime.TimeColumn}' i64-ns column")
+              s"do_put needs a '${graft.core.NsTime.TimeColumn}' i64-ns " +
+                "column; a mistyped time axis would poison every later " +
+                "merge of this measurement")
           val withMeta = org.apache.spark.sql.types.StructType(
             schema.fields.map { f =>
               val cat =
@@ -773,6 +814,10 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
             Some(prev.getOrElse(Vector.empty) :+ (m -> df))
           }
           ingestLines.addAndGet(rows.size.toLong)
+          ingestFields.addAndGet(withMeta.fields.iterator
+            .filter(f => IoxSchema.categoryOf(f).contains(IoxSchema.Field))
+            .map(f => rows.iterator.count(
+              _.get(withMeta.fieldIndex(f.name)) != null).toLong).sum)
           ingestBytes.addAndGet(raw.length.toLong)
           respond(ex, 200, "application/json", s"""{"rows":${rows.size}}""")
         } catch {
@@ -1208,11 +1253,22 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
         (String, Option[String], graft.core.RpcPredicate)] =
       if (isProtoRequest(ex)) {
         try {
-          val req = StorageProtoReader.decodeReadFilter(raw) // same field set
+          // the two routes this handler serves carry DIFFERENT messages:
+          // TagKeysRequest (source=1, range=2, predicate=3) vs
+          // MeasurementTagKeysRequest (source=1, measurement=2 string,
+          // range=3, predicate=4) — decoding the measurement-scoped one
+          // with the read_filter layout parses the measurement bytes as
+          // a range and drops the restriction (the gRPC path at
+          // StorageGrpc.measurementTagKeys already distinguishes them)
+          val (req, scoped) =
+            if (ex.getRequestURI.getPath.endsWith("measurement_tag_keys"))
+              StorageProtoReader.decodeMeasurementScoped(raw)
+            else (StorageProtoReader.decodeReadFilter(raw), scala.None)
           StorageProtoReader.toRpcPredicate(req).flatMap { case (pred, meas) =>
             protoDb(ex, req) match {
               case Some(db) =>
-                Right((db, meas.orElse(queryParams(ex).get("table")), pred))
+                Right((db, scoped.orElse(meas)
+                  .orElse(queryParams(ex).get("table")), pred))
               case scala.None => Left("request needs read_source (or ?db=)")
             }
           }
@@ -1256,11 +1312,18 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
         (String, Option[String], String, graft.core.RpcPredicate)] =
       if (isProtoRequest(ex)) {
         try {
-          val req = StorageProtoReader.decodeTagValues(raw)
+          // TagValuesRequest (tag_key=3) vs MeasurementTagValuesRequest
+          // (measurement=2, tag_key=3, range=4, predicate=5) — same
+          // two-message split as the tag-keys handler above
+          val (req, scoped) =
+            if (ex.getRequestURI.getPath.endsWith("measurement_tag_values"))
+              StorageProtoReader.decodeMeasurementTagValues(raw)
+            else (StorageProtoReader.decodeTagValues(raw), scala.None)
           StorageProtoReader.toRpcPredicate(req).flatMap { case (pred, meas) =>
             (protoDb(ex, req), req.tagKey) match {
               case (Some(db), Some(tk)) =>
-                Right((db, meas.orElse(queryParams(ex).get("table")),
+                Right((db, scoped.orElse(meas)
+                  .orElse(queryParams(ex).get("table")),
                   StorageProtoReader.renderTagKey(tk), pred))
               case (scala.None, _) => Left("request needs read_source (or ?db=)")
               case (_, scala.None) => Left("request needs tag_key")
@@ -1773,6 +1836,29 @@ object HttpFacade {
   /** Max accepted body, pre- and post-inflate (http.rs:345 MAX_SIZE). */
   val MaxBodySize: Int = 10 * 1024 * 1024
 
+  /** Measurement temp views currently registered in the shared session
+    * catalog (guarded by `HttpFacade.synchronized`, like the
+    * registration sites). Planning for one database FIRST drops the
+    * previous request's views: without this, a measurement that exists
+    * only in db A kept resolving in db B's queries and silently served
+    * A's rows instead of a table-not-found error. Only views this
+    * registry created are dropped — externally registered views (e.g.
+    * SqlFrontend system tables) are untouched. Plans are analyzed
+    * eagerly under the lock, so dropping a view later never unbinds an
+    * in-flight stream. */
+  private val registeredViews = scala.collection.mutable.Set.empty[String]
+
+  private[server] def registerMeasurementViews(
+      spark: org.apache.spark.sql.SparkSession,
+      views: Seq[(String, org.apache.spark.sql.DataFrame)]): Unit = {
+    registeredViews.foreach(v => spark.catalog.dropTempView(v))
+    registeredViews.clear()
+    views.foreach { case (m, df) =>
+      df.createOrReplaceTempView(m)
+      registeredViews += m
+    }
+  }
+
   /** One management-surface chunk row (chunk.proto:46-81 Chunk):
     * partition key, table, id, lifecycle storage stage, row count —
     * rendered as JSON by the HTTP routes and protobuf by gRPC. */
@@ -2051,7 +2137,10 @@ object HttpFacade {
     case n: Short => n.toString
     case n: Int => n.toString
     case n: Long => n.toString
+    // bare NaN/Infinity tokens are not JSON; 1.x marshals them as null
+    case n: Float if n.isNaN || n.isInfinite => "null"
     case n: Float => n.toString
+    case n: Double if n.isNaN || n.isInfinite => "null"
     case n: Double => n.toString
     case n: java.math.BigDecimal => n.toPlainString
     case s => jsonStr(s.toString)

@@ -118,6 +118,28 @@ class HttpFacadeSpec extends SparkSpec {
     }
   }
 
+  test("stale temp views never leak across databases") {
+    withFacade { facade =>
+      val p = facade.boundPort
+      // db A has 'cpu'; db B exists but has only 'mem'
+      assert(post(p, "/api/v2/write?org=a&bucket=x",
+        "cpu,host=h v=1.0 100".getBytes(UTF_8))._1 == 204)
+      assert(post(p, "/api/v2/write?org=b&bucket=x",
+        "mem,host=h v=2.0 100".getBytes(UTF_8))._1 == 204)
+      // prime the catalog with A's views
+      assert(get(p, s"/iox/api/v1/databases/a_x/query?q=${enc(
+        "SELECT count(*) FROM cpu")}&format=csv")._1 == 200)
+      // B must NOT resolve A's cpu view: table-not-found, not A's rows
+      val (sb, bb) = get(p, s"/iox/api/v1/databases/b_x/query?q=${enc(
+        "SELECT count(*) FROM cpu")}&format=csv")
+      assert(sb == 400 && bb.toLowerCase.contains("cpu"), s"$sb $bb")
+      // NaN renders as null, not a bare NaN token (invalid JSON)
+      val (sn, bn) = get(p, s"/iox/api/v1/databases/a_x/query?q=${enc(
+        "SELECT sqrt(v - 2.0) AS x FROM cpu")}&format=json")
+      assert(sn == 200 && bn.contains("null") && !bn.contains("NaN"), bn)
+    }
+  }
+
   test("query endpoint: formats, unknown db, unknown format") {
     withFacade { facade =>
       val p = facade.boundPort
@@ -424,6 +446,14 @@ class HttpFacadeSpec extends SparkSpec {
         "SELECT count(*) AS n FROM h2o_temperature")}&format=csv")._2
         .trim.split("\n").toSeq == Seq("n", "5"))
 
+      // a db-less SHOW DATABASES is the 1.x client connect probe and
+      // must not 404 (SHOW QUERIES likewise); db-reading statements
+      // still require a valid db
+      val (sp1, bp1) = get(p, s"/query?q=${enc("SHOW DATABASES")}")
+      assert(sp1 == 200 && bp1.contains("o_b"), bp1)
+      assert(get(p, s"/query?q=${enc("SHOW QUERIES")}")._1 == 200)
+      assert(get(p, s"/query?q=${enc("SHOW MEASUREMENTS")}")._1 == 404)
+
       // SHOW SERIES and SHOW RETENTION POLICIES
       val series = get(p, s"/query?db=o_b&q=${enc("SHOW SERIES FROM air_temperature")}")._2
       assert(series.contains("air_temperature,location=coyote_creek,state=CA"))
@@ -695,6 +725,43 @@ class HttpFacadeSpec extends SparkSpec {
 
   private def pbSfixed64s(b: Array[Byte]): Seq[Long] =
     b.grouped(8).map(_.zipWithIndex.map { case (x, i) => (x & 0xffL) << (8 * i) }.sum).toSeq
+
+  test("measurement-scoped storage routes decode their OWN protobuf " +
+      "layout (measurement=2, not the read_filter field set)") {
+    withFacade { facade =>
+      val p = facade.boundPort
+      post(p, "/api/v2/write?org=o&bucket=b",
+        ("cpu,host=a usage=1.5 100\nmem,region=r free=1.0 100").getBytes(UTF_8))
+      import graft.server.StorageProto
+      def msg(f: StorageProto.Writer => Unit): Array[Byte] = {
+        val w = new StorageProto.Writer; f(w); w.result()
+      }
+      val source = msg(s => s.string(1, "type.googleapis.com/ReadSource")
+        .bytes(2, msg(rs => rs.varintField(1, 0xab).varintField(2, 0xcd))))
+      def postPb(path: String, body: Array[Byte]): Array[Byte] = {
+        val conn = new URI(s"http://127.0.0.1:$p$path?db=o_b").toURL
+          .openConnection().asInstanceOf[HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        conn.setRequestProperty("Content-Type", "application/x-protobuf")
+        conn.getOutputStream.write(body); conn.getOutputStream.close()
+        assert(conn.getResponseCode == 200, s"$path status ${conn.getResponseCode}")
+        conn.getInputStream.readAllBytes()
+      }
+      def strings(b: Array[Byte]): Seq[String] =
+        pbFields(b).collect { case (1, Right(v)) =>
+          new String(v.toArray, UTF_8) }
+      // MeasurementTagKeysRequest: source=1, measurement=2 — the
+      // measurement restriction must hold (misparsed as a range before)
+      val keys = strings(postPb("/api/v1/storage/measurement_tag_keys",
+        msg { w => w.bytes(1, source); w.string(2, "cpu") }))
+      assert(keys.contains("host") && !keys.contains("region"), keys)
+      // MeasurementTagValuesRequest: measurement=2, tag_key=3
+      val vals = strings(postPb("/api/v1/storage/measurement_tag_values",
+        msg { w => w.bytes(1, source); w.string(2, "cpu")
+          w.bytes(3, "host".getBytes(UTF_8)) }))
+      assert(vals == Seq("a"), vals)
+    }
+  }
 
   test("storage read_filter + capabilities speak the reference protobuf (service.rs:212,567)") {
     withFacade { facade =>
