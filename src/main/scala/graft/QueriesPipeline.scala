@@ -2505,9 +2505,9 @@ object QueriesPipeline {
       Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
             FROM embeddings),
         b AS (SELECT e AS be FROM v WHERE vec_id % 13 = 0),
-        m AS (SELECT vec_id, max(floor(list_dot_product(e, be)
-            / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(be, be)))
-            * 1000000 + 0.5)) AS qmax
+        m AS (SELECT vec_id, floor(max(list_dot_product(e, be)
+            / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(be, be))))
+            * 1000000 + 0.5) AS qmax
           FROM v CROSS JOIN b GROUP BY vec_id)
         SELECT vec_id, qmax / 1000000.0 AS max_cos,
           qmax >= 400000 AS contaminated

@@ -177,24 +177,42 @@ object Clustering {
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       k: Int, threshold: Double, iters: Int = 0): DataFrame = {
     val x = prepared(df, idCol, vecCol)
-    var cents = seedCentroids(df, idCol, vecCol, k)
+    // zero-norm vectors (incl. vectors whose every component quantizes
+    // to zero) have no direction: they cannot seed, join, or match a
+    // cluster — under Spark 4's default ANSI mode their affinity
+    // division would kill the whole job with DIVIDE_BY_ZERO. They sit
+    // out the clustering under cluster -1 and are always kept (nothing
+    // is cosine-near a directionless vector).
+    val live = x.filter(col("__n") =!= 0.0)
+    val liveDf = df.join(live.select(col(idCol)), Seq(idCol), "left_semi")
+    var cents = seedCentroids(liveDf, idCol, vecCol, k)
     for (_ <- 0 until iters) {
-      cents = updateCentroids(assignOnce(x, idCol, cents))
+      cents = updateCentroids(assignOnce(live, idCol, cents))
     }
-    val assigned = assignOnce(x, idCol, cents)
+    val assigned = assignOnce(live, idCol, cents)
     val slim = assigned.select(col(idCol), col("cluster"), col("__e"), col("__n"))
     // micro-quantized membership: a raw-double `cos >= t` puts dropped
-    // vs kept on a 1-ulp cross-engine knife edge (see Similarity.micro)
+    // vs kept on a 1-ulp cross-engine knife edge ([[Similarity.micro]]).
+    // RESIDUAL (accepted): the cluster ASSIGNMENT feeding this filter
+    // still argmaxes raw-double affinities on both engines — a <1-ulp
+    // centroid tie could theoretically split assignment cross-engine,
+    // but that window is ~1e6x narrower than the quantization
+    // boundaries this closes, and quantizing assignment would have to
+    // cascade through every kmeans-consuming oracle.
     val dropped = slim.as("a").join(slim.as("b"),
         col("a.cluster") === col("b.cluster") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
-      .filter(floor(dot(col("a.__e"), col("b.__e")) /
-        (col("a.__n") * col("b.__n")) * lit(1e6) + lit(0.5)) >=
+      .filter(Similarity.micro(
+        dot(col("a.__e"), col("b.__e")) / (col("a.__n") * col("b.__n"))) >=
         math.rint(threshold * 1e6))
       .select(col(s"b.$idCol").as(idCol)).distinct()
       .withColumn("__dropped", lit(true))
+    val zeroNorm = x.filter(col("__n") === 0.0)
+      .select(col(idCol), lit(-1).cast("int").as("cluster"),
+        lit(true).as("kept"))
     assigned.join(dropped, Seq(idCol), "left")
       .select(col(idCol), col("cluster"),
         coalesce(!col("__dropped"), lit(true)).as("kept"))
+      .unionByName(zeroNorm)
   }
 }

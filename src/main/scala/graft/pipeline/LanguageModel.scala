@@ -51,6 +51,12 @@ object LanguageModel {
       // by one deterministic division chain (identical operands in any
       // engine). Consumers that must be quantization-boundary-proof
       // coarsen bits_q further (see text_lm_score's milli-bit contract).
+      // Spelling note: this LM family quantizes with round() — Spark and
+      // DuckDB both round halves away from zero, and the downstream
+      // milli-bit coarsening absorbs a ±1 flip — while the cosine family
+      // uses floor(x+0.5) ([[graft.pipeline.Similarity.micro]]); the
+      // two spellings differ only at exact negative half-micros and
+      // each family's oracles mirror its own spelling verbatim.
       .withColumn("__lpq", round(log2((col("__cbg") + alpha) /
         (col("__cw") + lit(alpha) * col("__v"))) * 1e6).cast("long"))
       .groupBy(col(idCol))

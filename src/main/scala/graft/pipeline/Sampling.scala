@@ -123,19 +123,26 @@ object Sampling {
     val bench = broadcast(benchmark
       .select(VF.asDouble(col(vecCol)).as("__bvec"))
       .withColumn("__bnorm", VF.norm(col("__bvec"))))
-    // per-pair cosines quantize to integer micro-units BEFORE the max and
-    // the threshold compare; `max_cos` is exposed as micro/1e6. The
-    // previous round(max, 6) >= t spelling put the verdict on a 1-ulp
-    // cross-engine knife edge at the threshold (and at the round
-    // boundary) — the r8 ann_recall_eval fragility class, on a filter
+    // the max cosine quantizes to integer micro-units before the
+    // threshold compare and the exposure ([[Similarity.micro]]'s
+    // quantize-before-compare rule — round(max, 6) >= t put the verdict
+    // on a 1-ulp cross-engine knife edge, the r8 ann_recall_eval
+    // fragility class). Quantizing AFTER the max is value-identical to
+    // per-pair quantization (floor(x·1e6+0.5) is monotone
+    // non-decreasing, so max∘q = q∘max) at |benchmark| fewer ops per
+    // corpus row in the cross-join hot loop. The norm product is
+    // guarded: Spark 4's default ANSI mode turns a zero-norm division
+    // into a job-killing DIVIDE_BY_ZERO; a zero-norm pair scores NULL
+    // and max ignores it.
+    val normProd = col("__cnorm") * col("__bnorm")
     corpus.select(col(idCol), VF.asDouble(col(vecCol)).as("__cvec"))
       .withColumn("__cnorm", VF.norm(col("__cvec")))
       .crossJoin(bench)
       .select(col(idCol),
-        floor(VF.dot(col("__cvec"), col("__bvec")) /
-          (col("__cnorm") * col("__bnorm")) * lit(1e6) + lit(0.5)).as("__qm"))
+        when(normProd =!= 0.0,
+          VF.dot(col("__cvec"), col("__bvec")) / normProd).as("__cos"))
       .groupBy(col(idCol))
-      .agg(max("__qm").as("__qmax"))
+      .agg(Similarity.micro(max("__cos")).as("__qmax"))
       .select(col(idCol), (col("__qmax") / lit(1e6)).as("max_cos"),
         (col("__qmax") >= math.rint(threshold * 1e6)).as("contaminated"))
   }

@@ -49,9 +49,12 @@ object Similarity {
     * quantization an ulp wobble flips the score only at a .5-micro
     * boundary, and even then changes the output only if it crosses
     * another candidate's value — ties already break by id. */
-  private def micro(c: Column): Column =
+  private[pipeline] def micro(c: Column): Column =
     // floor() yields bigint; TopK's encoder scores doubles — the cast
-    // back is exact (|cos|·1e6 ≪ 2^53)
+    // back is exact (|cos|·1e6 ≪ 2^53). Shared across the pipeline
+    // package: every quantize-before-rank/filter site must use THIS
+    // spelling (floor(x·1e6+0.5), not round()) or the cross-engine
+    // bit-exactness contract silently forks.
     floor(c * lit(1e6) + lit(0.5)).cast("double")
 
   /** Rank the scored candidates: top-k rows per group via the bounded

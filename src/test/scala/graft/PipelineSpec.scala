@@ -406,6 +406,43 @@ class PipelineSpec extends SparkSpec {
     assert(guarded.count() == 0) // every bucket over the cap was dropped
   }
 
+  test("quantized cosine-threshold membership: micro/1e6 exposure, " +
+      "half-micro rounding at the boundary, zero-norm vectors survive") {
+    import graft.pipeline.{Clustering, Sampling}
+    // orthogonal-ish fixture: pair (1,2) cos == 0.6 exactly (3-4-5),
+    // pair (1,3) cos == 0; all vectors share one LSH bucket via planes
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.6f, 0.8f)),
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(0.0f, 0.0f)) // zero-norm: must not kill the job (ANSI)
+    ).toDF("vec_id", "embedding")
+    val planes = Seq(Seq(1.0, 1.0)) // everything non-negative collides
+    val pairs = Similarity.cosineNearDupPairs(df, "vec_id", "embedding",
+        planes, threshold = 0.6)
+      .as[(Long, Long, Double)].collect().map(p => ((p._1, p._2), p._3)).toMap
+    // 0.6 lands exactly on the threshold -> member; exposed as micro/1e6
+    assert(pairs.keySet == Set((1L, 2L), (2L, 3L)), pairs)
+    assert(pairs((1L, 2L)) == 0.6 && pairs((2L, 3L)) == 0.8)
+    // semanticDedup with a zero-norm member: no DIVIDE_BY_ZERO, the
+    // zero vector pairs score NULL and it is kept
+    val sd = Clustering.semanticDedup(df, "vec_id", "embedding",
+        k = 2, threshold = 0.5)
+      .select($"vec_id", $"kept").as[(Long, Boolean)].collect().toMap
+    assert(sd(4L), "zero-norm member survives (sits out clustering, kept)")
+    // seeds: c0 = v1, c1 = v2; v3 joins c1 (cos 0.8) and is dropped by
+    // the in-cluster pair (2,3); the cross-cluster pair (1,2) is never
+    // compared — SemDeDup's cluster-bounded contract
+    assert(sd(1L) && sd(2L) && !sd(3L), sd)
+    // decontaminateSemantic against a zero-norm benchmark row: guarded
+    val dec = Sampling.decontaminateSemantic(
+        df.filter($"vec_id" <= 2), df.filter($"vec_id" >= 3),
+        "vec_id", "embedding", threshold = 0.5)
+      .select($"vec_id", $"contaminated").as[(Long, Boolean)].collect().toMap
+    // vec 2 vs benchmark vec 3: cos = 0.8 -> contaminated; vec 1 vs 3: 0
+    assert(dec == Map(1L -> false, 2L -> true), dec)
+  }
+
   test("simhash: near-identical docs collide, distinct docs don't") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
