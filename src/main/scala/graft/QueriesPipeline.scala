@@ -54,6 +54,24 @@ object QueriesPipeline {
           $centTable.c ASC) AS rk
       FROM x CROSS JOIN $centTable) WHERE rk = 1)"""
 
+  // Integer-micro embedding view — the engine-proof cosine discipline
+  // (r9 verdict, `ann_recall_eval`): quantize the VECTORS before any dot
+  // product, so dots and squared norms are exact integer sums (identical
+  // under ANY accumulation order — sequential fold, pairwise, SIMD) and a
+  // cosine is sqrt/divide over identical operands, bit-equal on every
+  // engine. Quantizing a raw-double cosine AFTER the dot (the r8 fix)
+  // still inherits the dot's 1-ulp cross-engine wobble at a .5-micro
+  // boundary. Spark twin: [[qEmb]] / VF.microVec.
+  private val dEmbMicro = """v AS (SELECT vec_id,
+      list_transform(CAST(embedding AS DOUBLE[]),
+        y -> floor(y * 1000000.0 + 0.5)) AS e FROM embeddings)"""
+
+  /** Embeddings with every coordinate quantized to integer micro-units —
+    * the input the ANN-family queries score on (see [[dEmbMicro]]). */
+  private def qEmb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("embedding", VF.microVec(col("embedding")))
+
   // DuckDB twin of TextFunctions.qualityScore (shared with the
   // corpus_budget_select oracle)
   private val dQuality = raw"""round(least(length(text) / 500.0, 1.0) * 0.3
@@ -1689,7 +1707,7 @@ object QueriesPipeline {
 
     ("emb_cosine_pairs",
       (s, d) => {
-        val emb = Tables.embeddings(s, d)
+        val emb = qEmb(s, d)
         val q = emb.filter(col("vec_id") < 3)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
         emb.crossJoin(broadcast(q))
@@ -1698,21 +1716,22 @@ object QueriesPipeline {
               + lit(0.5)) / lit(1e6)).as("cos"))
           .orderBy("q_id", "vec_id")
       },
-      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      Some(s"""WITH $dEmbMicro,
         q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 3)
         SELECT q_id, vec_id, floor(list_dot_product(e, qe)
           / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe)))
           * 1000000 + 0.5) / 1000000.0 AS cos
         FROM v CROSS JOIN q ORDER BY q_id, vec_id""")),
 
-    // brute-force cosine top-k; ranks AND the exposed score ride integer
-    // micro-units on both engines (r8 lesson from ann_recall_eval: a
-    // 1-ulp cross-engine dot-product difference must not be able to swap
-    // adjacent ranks or shift a rounded score) — `micro/1e6` is one IEEE
-    // division of identical operands, bit-equal everywhere
+    // brute-force cosine top-k on integer-micro VECTORS (dEmbMicro):
+    // every dot/norm is an exact order-free integer sum, so the cosines
+    // feeding the ranking are bit-equal across engines; the micro
+    // post-quantization (microRank) then maps identical bits to
+    // identical longs, and `micro/1e6` exposes one IEEE division of
+    // identical operands
     ("ann_brute_topk",
       (s, d) => {
-        val emb = Tables.embeddings(s, d)
+        val emb = qEmb(s, d)
         val q = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
         Similarity.bruteForceTopK(emb, q, k = 10, microRank = true)
@@ -1720,7 +1739,7 @@ object QueriesPipeline {
             (col("cos") / lit(1e6)).as("cos"))
           .orderBy("q_id", "rank")
       },
-      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      Some(s"""WITH $dEmbMicro,
         q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 5),
         scored AS (SELECT q_id, vec_id AS neighbor_id,
             floor(list_dot_product(e, qe)
@@ -1739,7 +1758,7 @@ object QueriesPipeline {
       // candidate pool; the oracle unrolls the same greedy recursion as
       // 5 chained SQL stages
       (s, d) => {
-        val emb = Tables.embeddings(s, d)
+        val emb = qEmb(s, d)
         val q = emb.filter(col("vec_id") < 3)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
         Similarity.mmrRerank(emb, q, n = 15, k = 5)
@@ -1774,8 +1793,7 @@ object QueriesPipeline {
           s"""SELECT q_id, $i AS rank, id AS neighbor_id,
             round(qsim / 1000000.0, 6) AS cos FROM s$i""").mkString(
           " UNION ALL ")
-        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-            FROM embeddings),
+        s"""WITH $dEmbMicro,
           q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 3),
           sc AS (SELECT q_id, vec_id AS id, e, list_dot_product(e, qe)
               / (sqrt(list_dot_product(e, e))
@@ -1796,9 +1814,13 @@ object QueriesPipeline {
     // assignment and the cluster-pruned ranking
     ("ann_hard_negatives",
       (s, d) => {
-        val emb = Tables.embeddings(s, d)
+        // cluster assignment on the raw embeddings (kmeansAssign carries
+        // its own integer quantization, mirrored by dKmeansPrep); the
+        // SCORING side rides integer-micro vectors (dEmbMicro discipline)
         val clusters = Clustering.kmeansAssign(
-          Tables.spread(s, emb), "vec_id", "embedding", k = 8, iters = 0)
+          Tables.spread(s, Tables.embeddings(s, d)), "vec_id", "embedding",
+          k = 8, iters = 0)
+        val emb = qEmb(s, d)
         val q = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
         Similarity.hardNegatives(emb, clusters, q, k = 10, microRank = true)
@@ -1809,7 +1831,8 @@ object QueriesPipeline {
       Some(s"""WITH $dKmeansPrep,
         c0 AS (SELECT vec_id AS c, e AS ce FROM x WHERE vec_id < 8),
         a1 AS ${dKmeansAssign("c0")},
-        vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        vv AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+            y -> floor(y * 1000000.0 + 0.5)) AS e
           FROM embeddings),
         q AS (SELECT vv.vec_id AS q_id, e AS qe, a1.c AS qc
           FROM vv JOIN a1 USING (vec_id) WHERE vv.vec_id < 5),
@@ -1827,7 +1850,7 @@ object QueriesPipeline {
 
     ("ann_ivf_topk",
       (s, d) => {
-        val emb = Tables.embeddings(s, d)
+        val emb = qEmb(s, d)
         val centroids = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
           .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
         val q = emb.filter(col("vec_id") < 5)
@@ -1838,7 +1861,7 @@ object QueriesPipeline {
             (col("cos") / lit(1e6)).as("cos"))
           .orderBy("q_id", "rank")
       },
-      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      Some(s"""WITH $dEmbMicro,
         c AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id % 50 = 0),
         cosvc AS (SELECT v.vec_id, c.c_id, floor(list_dot_product(v.e, c.ce)
             / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce)))
@@ -1870,8 +1893,11 @@ object QueriesPipeline {
 
     ("emb_neardup_lsh",
       (s, d) => {
+        // integer-micro vectors (dEmbMicro): plane projections against the
+        // ±1 hyperplanes are exact integer dots, so even the sign-bit
+        // bucketing is engine-proof (a raw dot near 0 is a knife edge)
         val planes = Similarity.lshPlanes(nPlanes = 4, dim = 64)
-        Similarity.cosineNearDupPairs(Tables.spread(s, Tables.embeddings(s, d)),
+        Similarity.cosineNearDupPairs(Tables.spread(s, qEmb(s, d)),
             "vec_id", "embedding", planes, threshold = 0.4)
           .orderBy("id1", "id2")
       },
@@ -1880,7 +1906,7 @@ object QueriesPipeline {
         val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
           s"(CASE WHEN list_dot_product(e, ${p.mkString("[", ",", "]")}) >= 0 THEN ${1L << i} ELSE 0 END)"
         }.mkString(" + ")
-        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        s"""WITH $dEmbMicro,
           b AS (SELECT vec_id, e, $bucketExpr AS bucket FROM v),
           pairs AS (SELECT a.vec_id AS id1, c.vec_id AS id2,
             floor(list_dot_product(a.e, c.e) / (sqrt(list_dot_product(a.e, a.e))
@@ -2672,16 +2698,19 @@ object QueriesPipeline {
     // recall@k evaluation of the IVF index against brute-force ground
     // truth — the accuracy dial every ANN deployment tunes (nprobe vs
     // recall); exact hit counts per query, both sides replayed by the
-    // oracle from their existing CTE chains. Every ranking step (truth
-    // top-k, centroid assignment, probe choice, candidate top-k) runs on
-    // integer-MICRO cosines on BOTH engines (microRank / the oracle's
-    // floor(x*1e6+0.5) wrappers): ranking raw doubles let a 1-ulp
-    // cross-engine cosine difference swap ranks 10/11 and shift `hits`
-    // (r8 verdict) — quantize-before-rank is the pqTopK discipline
-    // applied to the evaluation itself.
+    // oracle from their existing CTE chains. Every cosine in every
+    // ranking step (truth top-k, centroid assignment, probe choice,
+    // candidate top-k) is computed over integer-MICRO VECTORS (dEmbMicro)
+    // on BOTH engines: dots and norms are exact order-free integer sums,
+    // so the cosines are bit-equal before the microRank quantizer even
+    // runs. The r8 fix (quantize the raw-double cosine AFTER the dot)
+    // was not engine-proof — a 1-ulp dot difference at a .5-micro
+    // boundary still flipped one quantized score (r9 verdict); with four
+    // chained ranking stages over all pairs some pair always lands on
+    // the boundary. Quantize-before-dot removes the wobble at the source.
     ("ann_recall_eval",
       (s, d) => {
-        val emb = Tables.embeddings(s, d)
+        val emb = qEmb(s, d)
         val centroids = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
           .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
         val q = emb.filter(col("vec_id") < 5)
@@ -2698,7 +2727,7 @@ object QueriesPipeline {
             round(col("hits") / 10.0, 6).as("recall"))
           .orderBy("q_id")
       },
-      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      Some(s"""WITH $dEmbMicro,
         q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 5),
         bf AS (SELECT q_id, neighbor_id FROM (SELECT q.q_id,
             v.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.q_id

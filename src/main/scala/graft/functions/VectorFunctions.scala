@@ -26,4 +26,21 @@ object VectorFunctions {
   def l2Distance(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x))
+
+  /** Quantize every coordinate to integer micro-units —
+    * `floor(x·1e6 + 0.5)`, the halfway-mode-safe spelling shared with
+    * [[graft.pipeline.Similarity]]'s scalar quantizer — kept as exact
+    * doubles. Dots and squared norms of the result are sums of exact
+    * integers (each |q| ≤ ~1e6·|x|, so products and partial sums stay far
+    * under 2^53), which makes them independent of accumulation order:
+    * a sequential JVM fold and a pairwise/SIMD engine produce the SAME
+    * bits, and a cosine built from them is one IEEE divide of identical
+    * operands on every engine. Quantize-before-dot is the only
+    * engine-proof discipline — quantizing a raw-double cosine AFTER the
+    * dot still inherits the dot's 1-ulp cross-engine wobble at a
+    * .5-micro boundary. */
+  def microVec(v: Column): Column =
+    // floor() yields bigint; the cast back to double is exact (< 2^53)
+    // and keeps every consumer on one array element type
+    transform(asDouble(v), x => floor(x * lit(1e6) + lit(0.5)).cast("double"))
 }
