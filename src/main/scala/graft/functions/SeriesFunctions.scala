@@ -532,6 +532,74 @@ object SeriesFunctions {
       col(alarmOut)): _*)
   }
 
+  /** Per-series sequential recursion with BOUNDED lookahead and an
+    * end-of-series flush — the [[scanSeries]] shape (shuffle on the
+    * series key, spillable in-partition sort, per-series state)
+    * generalized for recursions that (a) may emit zero or several rows
+    * per input and (b) must emit trailing rows when a series ends
+    * (forecast horizons). `mk()` builds one scanner per series;
+    * `step`/`finish` return EAGER lists so state mutation order never
+    * depends on downstream consumption. State and per-step emission must
+    * be O(bounded-parameter), never O(series length) — this is what keeps
+    * the shape spill-safe on a raw unbucketed series. */
+  private trait SeriesScanner {
+    def step(t: Long, v: Double): List[(Long, Double, Boolean)]
+    def finish(): List[(Long, Double, Boolean)]
+  }
+
+  private def scanSeriesFlush(df: DataFrame, keyCols: Seq[String],
+      timeCol: String, valueCol: String)(mk: () => SeriesScanner)(
+      out: String, flagOut: String): DataFrame = {
+    require(keyCols.nonEmpty,
+      "series functions need a partition key (a keyless scan is a single task)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val packed = df.na.drop(Seq(timeCol, valueCol)).select(
+        array(keyCols.map(col(_).cast("string")): _*).as("__k"),
+        col(timeCol).cast("long").as("__t"),
+        col(valueCol).cast("double").as("__v"))
+      .as[(Seq[String], Long, Double)]
+    val scanned = packed
+      .repartition(col("__k"))
+      .sortWithinPartitions(col("__k"), col("__t"))
+      .mapPartitions { rows =>
+        new Iterator[(Seq[String], Long, Double, Boolean)] {
+          private var outBuf: Iterator[(Seq[String], Long, Double, Boolean)] =
+            Iterator.empty
+          private var curKey: Seq[String] = null
+          private var sc: SeriesScanner = null
+          private var done = false
+          private def tag(k: Seq[String], xs: List[(Long, Double, Boolean)]) =
+            xs.iterator.map { case (t, x, f) => (k, t, x, f) }
+          private def fill(): Unit =
+            while (!outBuf.hasNext && !done) {
+              if (rows.hasNext) {
+                val (k, t, v) = rows.next()
+                if (k != curKey) {
+                  val flushed =
+                    if (sc == null) Iterator.empty else tag(curKey, sc.finish())
+                  curKey = k
+                  sc = mk()
+                  val stepped = tag(k, sc.step(t, v)) // eager: step runs NOW
+                  outBuf = flushed ++ stepped
+                } else outBuf = tag(curKey, sc.step(t, v))
+              } else {
+                done = true
+                if (sc != null) { outBuf = tag(curKey, sc.finish()); sc = null }
+              }
+            }
+          def hasNext: Boolean = { fill(); outBuf.hasNext }
+          def next(): (Seq[String], Long, Double, Boolean) = {
+            fill(); outBuf.next()
+          }
+        }
+      }
+      .toDF("__k", "__t", out, flagOut)
+    scanned.select(keyCols.zipWithIndex.map { case (k, i) =>
+      col("__k")(i).as(k)
+    } ++ Seq(col("__t").as(timeCol), col(out), col(flagOut)): _*)
+  }
+
   private def scanSeries(df: DataFrame, keyCols: Seq[String],
       timeCol: String, valueCol: String)(mk: () => Double => Option[Double])(
       out: String): DataFrame = {
@@ -732,8 +800,17 @@ object SeriesFunctions {
     * initialization (level = mean of season one, trend =
     * (mean₂ − mean₁)/S, seasonalᵢ = xᵢ − mean₁), recurrence from t = S.
     * A series shorter than 2·S yields nothing (the init needs two full
-    * seasons). Runs on the bucketed frame — rows ∝ GROUP BY time()
-    * buckets, so the per-series buffering is bounded by construction.
+    * seasons).
+    *
+    * Shape: the [[scanSeriesFlush]] posture — shuffle on the series key,
+    * spillable in-partition sort, and O(S + n) state per series: the
+    * classical init needs the first 2·S points (a bounded lookahead, so
+    * exactly those rows are buffered; the fits for rows S..2S−1 are
+    * emitted in one burst when row 2S−1 arrives), after which the scan
+    * streams with just the S-slot ring, and the forecast tail flushes at
+    * the series boundary. State never grows with series length, so the
+    * public operator is safe on a raw unbucketed series, not only on the
+    * planner's GROUP BY time() frames.
     *
     * Returns `(fit, forecast)`: fit = one-step-ahead prediction
     * `l + b + s[t mod S]` at every observed bucket from t = S on
@@ -748,50 +825,65 @@ object SeriesFunctions {
     require(gamma >= 0.0 && gamma <= 1.0, s"gamma out of range: $gamma")
     require(n >= 1, s"forecast horizon out of range: $n")
     require(season >= 2, s"seasonal period out of range: $season")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val packed = df.na.drop(Seq(timeCol, valueCol)).select(
-        array(keyCols.map(col(_).cast("string")): _*).as("__k"),
-        col(timeCol).cast("long").as("__t"),
-        col(valueCol).cast("double").as("__v"))
-      .as[(Seq[String], Long, Double)]
-    // (key, time, value, isForecast) rows; one group per series — the
-    // frame is bucket-sized, so the sort+buffer is per-series-bounded
-    val rows = packed.groupByKey(_._1).flatMapGroups { (k, it) =>
-      val xs = it.toArray.sortBy(_._2)
-      if (xs.length < 2 * season) Iterator.empty
-      else {
-        val s = season
-        val mean1 = xs.iterator.take(s).map(_._3).sum / s
-        val mean2 = xs.iterator.slice(s, 2 * s).map(_._3).sum / s
-        var l = mean1
-        var b = (mean2 - mean1) / s
-        val ring = Array.tabulate(s)(i => xs(i)._3 - mean1)
-        val fits = Array.newBuilder[(Seq[String], Long, Double, Boolean)]
-        var i = s
-        while (i < xs.length) {
-          val v = xs(i)._3
-          val slot = i % s
-          fits += ((k, xs(i)._2, l + b + ring(slot), false))
+    val s = season
+    val rows = scanSeriesFlush(df, keyCols, timeCol, valueCol) { () =>
+      new SeriesScanner {
+        // lookahead buffer: ONLY the first 2S rows of the series
+        private val buf = new scala.collection.mutable.ArrayBuffer[(Long, Double)](2 * s)
+        private var i = 0 // rows seen so far (this row's 0-based index)
+        private var l = 0.0
+        private var b = 0.0
+        private var ring: Array[Double] = null // non-null once initialized
+        private var lastT = 0L
+        private def advance(v: Double, slot: Int): Unit = {
           val nl = alpha * (v - ring(slot)) + (1.0 - alpha) * (l + b)
           b = beta * (nl - l) + (1.0 - beta) * b
           ring(slot) = gamma * (v - nl) + (1.0 - gamma) * ring(slot)
           l = nl
-          i += 1
         }
-        val lastT = xs.last._2
-        val fc = (1 to n).iterator.map { h =>
-          (k, lastT + h.toLong * stepNs,
-            l + h * b + ring((xs.length - 1 + h) % s), true)
+        def step(t: Long, v: Double): List[(Long, Double, Boolean)] = {
+          lastT = t
+          if (ring == null) {
+            buf += ((t, v)); i += 1
+            if (i < 2 * s) Nil
+            else {
+              // two full seasons in hand: classical init, then replay
+              // the buffered second season's fits in arrival order
+              val mean1 = buf.iterator.take(s).map(_._2).sum / s
+              val mean2 = buf.iterator.slice(s, 2 * s).map(_._2).sum / s
+              l = mean1
+              b = (mean2 - mean1) / s
+              ring = Array.tabulate(s)(j => buf(j)._2 - mean1)
+              val fits = List.newBuilder[(Long, Double, Boolean)]
+              var j = s
+              while (j < 2 * s) {
+                val (tj, vj) = buf(j)
+                val slot = j % s
+                fits += ((tj, l + b + ring(slot), false))
+                advance(vj, slot)
+                j += 1
+              }
+              buf.clear()
+              fits.result()
+            }
+          } else {
+            val slot = i % s
+            val fit = (t, l + b + ring(slot), false)
+            advance(v, slot)
+            i += 1
+            fit :: Nil
+          }
         }
-        fits.result().iterator ++ fc
+        def finish(): List[(Long, Double, Boolean)] =
+          if (ring == null) Nil // shorter than two seasons: no output
+          else (1 to n).iterator.map { h =>
+            (lastT + h.toLong * stepNs,
+              l + h * b + ring((i - 1 + h) % s), true)
+          }.toList
       }
-    }.toDF("__k", "__t", out, "__fc")
-    def unpack(d: DataFrame): DataFrame =
-      d.select(keyCols.zipWithIndex.map { case (kc, i) =>
-        col("__k")(i).as(kc)
-      } ++ Seq(col("__t").as(timeCol), col(out)): _*)
-    (unpack(rows.filter(!col("__fc"))), unpack(rows.filter(col("__fc"))))
+    }(out, "__fc")
+    (rows.filter(!col("__fc")).drop("__fc"),
+      rows.filter(col("__fc")).drop("__fc"))
   }
 
   def holtForecast(df: DataFrame, keyCols: Seq[String], timeCol: String,
