@@ -1,7 +1,8 @@
 package graft.server
 
 import java.io.{ByteArrayOutputStream, InputStream}
-import java.net.{InetSocketAddress, URLDecoder}
+import java.net.{InetSocketAddress, URLDecoder, URLEncoder}
+import java.nio.file.{Files, Paths}
 import java.nio.charset.StandardCharsets.UTF_8
 import java.util.concurrent.Executors
 import java.util.concurrent.atomic.AtomicLong
@@ -45,11 +46,20 @@ import graft.sources.LineProtocol
   * request so the one-JVM Spark catalog never holds stale state.
   */
 class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
-    clockNs: () => Long = () => System.currentTimeMillis() * 1000000L) {
+    clockNs: () => Long = () => System.currentTimeMillis() * 1000000L,
+    dataDir: Option[String] = None) {
   import HttpFacade._
 
   /** measurement -> ordered chunks (one per accepted write batch). */
   private val databases = TrieMap.empty[String, Vector[(String, DataFrame)]]
+
+  /** With [[dataDir]] set, the parquet file id backing each chunk of a
+    * db's chunk vector (same order); the manifest file records the
+    * (fid, measurement) sequence, so a restarted facade can rebuild the
+    * exact chunk vector. File ids are never reused — a dropped chunk's
+    * directory is simply no longer referenced. */
+  private val chunkFiles = TrieMap.empty[String, Vector[Long]]
+  private val nextChunkFid = new AtomicLong
 
   /** Chunk lifecycle stages set by the management actions, keyed by
     * (db, chunk index); a chunk with no entry is OpenMutableBuffer. The
@@ -109,6 +119,109 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
   /** The effective rules for `db` (stored or defaults). */
   def rulesOf(db: String): graft.streaming.DatabaseRules =
     rulesStore.getOrElse(db, graft.streaming.DatabaseRules(db))
+
+  // ---------------------------------------------- restart persistence
+  // The reference preserves server config in the object store
+  // (server/src/config.rs — rules as protobuf under the server's path)
+  // and chunk data as parquet, and a restarted server reloads both
+  // (tests/end_to_end_cases/management_api.rs: rules survive restart).
+  // With `dataDir` set this facade does the same: a rules.pb per
+  // database, a server_id file, and every accepted write batch written
+  // through to `<db>/chunks/c<fid>` parquet with a manifest pinning the
+  // chunk-vector order. Reloaded chunks surface as ObjectStoreOnly —
+  // their bytes live on disk, the reference's post-restart stage.
+  // Purely in-memory sidecars the reference also rebuilds from scratch
+  // on restart (operation records, 1.x DELETE tombstones, remotes)
+  // reset. With dataDir = None (the default) nothing is written.
+
+  private def dbDir(db: String): String =
+    s"${dataDir.get}/${URLEncoder.encode(db, "UTF-8")}"
+
+  private def persistRules(r: graft.streaming.DatabaseRules): Unit =
+    dataDir.foreach { _ =>
+      val dir = Paths.get(dbDir(r.name))
+      Files.createDirectories(dir)
+      Files.write(dir.resolve("rules.pb"),
+        ManagementProto.encodeDatabaseRules(r))
+    }
+
+  private def persistServerId(): Unit =
+    dataDir.foreach { root =>
+      Files.createDirectories(Paths.get(root))
+      Files.writeString(Paths.get(root, "server_id"),
+        serverIdRef.get().toString)
+    }
+
+  /** Rewrite `db`'s chunk manifest: one `fid measurement` line per chunk
+    * in vector order (measurement URL-encoded — names may hold spaces). */
+  private def writeManifest(db: String): Unit = {
+    val fids = chunkFiles.getOrElse(db, Vector.empty)
+    val ms = databases.getOrElse(db, Vector.empty).map(_._1)
+    val dir = Paths.get(dbDir(db))
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("manifest"),
+      fids.zip(ms).map { case (fid, m) =>
+        s"$fid ${URLEncoder.encode(m, "UTF-8")}"
+      }.mkString("\n"))
+  }
+
+  /** Append write-batch chunks to a db's vector; with [[dataDir]] set,
+    * write each through to parquet and advance the manifest. Every write
+    * path (HTTP LP, write_pb, gRPC WriteEntry, SELECT INTO, 1.x JSON)
+    * lands here so durability is uniform. */
+  private def appendChunks(db: String,
+      frames: Seq[(String, DataFrame)]): Unit = {
+    databases.updateWith(db) { prev =>
+      Some(prev.getOrElse(Vector.empty) ++ frames.toVector)
+    }
+    dataDir.foreach { _ =>
+      val fids = frames.map { case (_, df) =>
+        val fid = nextChunkFid.getAndIncrement()
+        df.write.mode("overwrite").parquet(s"${dbDir(db)}/chunks/c$fid")
+        fid
+      }
+      chunkFiles.updateWith(db) { prev =>
+        Some(prev.getOrElse(Vector.empty) ++ fids)
+      }
+      writeManifest(db)
+    }
+  }
+
+  // reload persisted state (runs before the HTTP listener below opens)
+  dataDir.foreach { root =>
+    val rootPath = Paths.get(root)
+    Files.createDirectories(rootPath)
+    val idFile = rootPath.resolve("server_id")
+    if (Files.exists(idFile))
+      serverIdRef.set(Files.readString(idFile).trim.toInt)
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).sortBy(_.getName).foreach { d =>
+        val db = URLDecoder.decode(d.getName, "UTF-8")
+        val rulesFile = new java.io.File(d, "rules.pb")
+        if (rulesFile.exists())
+          ManagementProto.decodeDatabaseRules(
+            Files.readAllBytes(rulesFile.toPath))
+            .foreach(r => rulesStore.put(db, r))
+        val manifest = new java.io.File(d, "manifest")
+        if (manifest.exists()) {
+          val entries = Files.readString(manifest.toPath)
+            .split("\n").toSeq.filter(_.nonEmpty).map { line =>
+              val Array(fid, m) = line.split(" ", 2)
+              (fid.toLong, URLDecoder.decode(m, "UTF-8"))
+            }
+          if (entries.nonEmpty) {
+            databases.put(db, entries.map { case (fid, m) =>
+              m -> spark.read.parquet(s"${d.getAbsolutePath}/chunks/c$fid")
+            }.toVector)
+            chunkFiles.put(db, entries.map(_._1).toVector)
+            entries.indices.foreach(i =>
+              chunkStages((db, i)) = "ObjectStoreOnly")
+            val top = entries.map(_._1).max + 1
+            nextChunkFid.updateAndGet(cur => math.max(cur, top))
+          }
+        }
+      }
+  }
 
   private val ingestLines = new AtomicLong
   private val ingestFields = new AtomicLong
@@ -277,9 +390,7 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
       tables: Vector[WriteProto.PbTableBatch], bodyBytes: Int): Unit = {
     val frames = WriteProto.toFrames(spark,
       WriteProto.PbDatabaseBatch(db, tables))
-    databases.updateWith(db) { prev =>
-      Some(prev.getOrElse(Vector.empty) ++ frames.toVector)
-    }
+    appendChunks(db, frames.toVector)
     ingestLines.addAndGet(tables.iterator.map(_.rowCount.toLong).sum)
     ingestFields.addAndGet(tables.iterator.flatMap { t =>
       t.columns.iterator.filter(_.semanticType == WriteProto.Semantic.Field)
@@ -533,9 +644,7 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
           if (out.columns.contains("time")) out.select(metaCols: _*)
           else out.select(metaCols :+ lit(0L).as("time", meta(IoxSchema.Time)): _*)
         val snap = projected.localCheckpoint()
-        databases.updateWith(db) { prev =>
-          Some(prev.getOrElse(Vector.empty) :+ (target -> snap))
-        }
+        appendChunks(db, Seq(target -> snap))
         import spark.implicits._
         Right(Some(("result", Seq.empty[String],
           Seq((0L, snap.count())).toDF("time", "written"))))
@@ -630,8 +739,14 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
             remapped.foreach { case (i, stage) =>
               chunkStages((db, i)) = stage
             }
+            // the persisted manifest tracks the vector: drop the file
+            // ids at the dropped positions, keep survivor order
+            chunkFiles.updateWith(db)(_.map { fids =>
+              fids.zip(chunks.map(_._1)).filterNot(_._2 == m).map(_._1)
+            })
             Some(survivors.map(_._1))
         }
+        dataDir.foreach(_ => writeManifest(db))
         tombstones.remove((db, m))
         Right(None)
       }
@@ -810,9 +925,7 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
             })
           val df = spark.createDataFrame(
             spark.sparkContext.parallelize(rows, 1), withMeta)
-          databases.updateWith(db) { prev =>
-            Some(prev.getOrElse(Vector.empty) :+ (m -> df))
-          }
+          appendChunks(db, Seq(m -> df))
           ingestLines.addAndGet(rows.size.toLong)
           ingestFields.addAndGet(withMeta.fields.iterator
             .filter(f => IoxSchema.categoryOf(f).contains(IoxSchema.Field))
@@ -961,9 +1074,7 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
     try {
       val parsed = LineProtocol.parseLines(lines.iterator).toSeq
       val frames = LineProtocol.ingest(spark, lines, clockNs())
-      databases.updateWith(db) { prev =>
-        Some(prev.getOrElse(Vector.empty) ++ frames.toVector)
-      }
+      appendChunks(db, frames.toVector)
       ingestLines.addAndGet(parsed.size.toLong)
       ingestFields.addAndGet(parsed.iterator.map(_.fields.size.toLong).sum)
       ingestBytes.addAndGet(bodyBytes.toLong)
@@ -1467,14 +1578,14 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
   private[server] def createDatabase(
       r: graft.streaming.DatabaseRules): Either[String, Unit] =
     if (hasDatabase(r.name)) Left(s"database already exists: ${r.name}")
-    else { rulesStore.put(r.name, r); Right(()) }
+    else { rulesStore.put(r.name, r); persistRules(r); Right(()) }
 
   /** update_database (management.rs:139-155): replace the stored rules;
     * NotFound when the database was never created or written to. */
   private[server] def updateRules(
       r: graft.streaming.DatabaseRules): Either[String, graft.streaming.DatabaseRules] =
     if (!hasDatabase(r.name)) Left(s"database not found: ${r.name}")
-    else { rulesStore.put(r.name, r); Right(r) }
+    else { rulesStore.put(r.name, r); persistRules(r); Right(r) }
 
   // server-plane state (management.rs:55-84,198-241,398-405)
 
@@ -1485,9 +1596,10 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
     * idempotent on the same value). */
   private[server] def setServerId(id: Int): Either[String, Unit] =
     if (id == 0) Left("id must be non-zero")
-    else if (serverIdRef.compareAndSet(0, id) || serverIdRef.get() == id)
+    else if (serverIdRef.compareAndSet(0, id) || serverIdRef.get() == id) {
+      persistServerId()
       Right(())
-    else Left(s"id already set to ${serverIdRef.get()}")
+    } else Left(s"id already set to ${serverIdRef.get()}")
 
   private[server] def remotesSorted: Seq[(Int, String)] =
     remotes.toSeq.sortBy(_._1)
@@ -1523,6 +1635,7 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
           s"rules name '${r.name}' does not match path database '$db'")
       case Right(r) =>
         rulesStore.put(db, r)
+        persistRules(r)
         respond(ex, 200, "application/json",
           graft.streaming.DatabaseRules.toJson(r))
     }
