@@ -36,6 +36,10 @@ object Bench {
     // single pass is visible in the record itself.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Locale.ROOT pins the decimal separator: String.format uses the JVM
+    // default locale, which under e.g. de_DE would print commas and make
+    // the JSON line unparseable.
+    def d3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     // Untimed warmup pass at tiny SF: generated code is keyed by plan
     // source (data-independent), so this compiles every query's codegen
     // once; the enlarged cache above keeps it resident for all K passes.
@@ -48,28 +52,37 @@ object Bench {
     // A query that throws records None — NOT its failure latency — so a
     // broken query can never masquerade as a 0.05 s "result" (r6 lesson:
     // 47 plan-time failures benched as plausible speedups).
-    val samples =
-      (1 to passes).map { _ =>
-        queries.map { case (name, fn) =>
-          val t0 = System.nanoTime()
-          val ok =
-            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] $name failed: ${e.getMessage}")
-              false
-            }
-          (name, if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
-        }
+    def onePass(): Seq[(String, Option[Double])] =
+      queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        (name, if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
       }
+    var samples = (1 to passes).map(_ => onePass())
+    // Adaptive top-up (co-tenant contamination guard): when the FIRST
+    // pass's total exceeds the LAST's by >30%, something big was running
+    // early in the bench — one extra pass gives every query another
+    // chance at an uncontended sample. Bounded at +2 so a permanently
+    // loaded box still terminates.
+    def passTotal(p: Seq[(String, Option[Double])]): Double = p.flatMap(_._2).sum
+    var extra = 0
+    while (extra < 2 && samples.size >= 2 &&
+        passTotal(samples.head) > 1.3 * passTotal(samples.last)) {
+      System.err.println(s"[bench] first pass ${d3(passTotal(samples.head))}s vs " +
+        s"last ${d3(passTotal(samples.last))}s — adding a top-up pass")
+      samples = samples :+ onePass()
+      extra += 1
+    }
     val byQuery = queries.map { case (name, _) =>
       val ts = samples.flatMap(_.find(_._1 == name).get._2)
       (name, if (ts.isEmpty) None else Some((ts.min, ts.max - ts.min)))
     }
     val failed = byQuery.collect { case (n, None) => n }
-    // Locale.ROOT pins the decimal separator: String.format uses the JVM
-    // default locale, which under e.g. de_DE would print commas and make
-    // the JSON line unparseable.
-    def d3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val qs = byQuery.collect { case (k, Some((min, _))) => "\"" + k + "\":" + d3(min) }
       .mkString("{", ",", "}")
     val spread = byQuery.collect { case (k, Some((_, s))) => "\"" + k + "\":" + d3(s) }
@@ -87,7 +100,7 @@ object Bench {
     // and stdout gets exactly one compact line whose "queries" map rolls
     // the minima up by family prefix (q/rpc/events/influxql/dedup/text/…
     // — ~35 entries, stable round-over-round for trend comparison).
-    val detail = s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"failed":$failedArr,"passes":$passes,"pass_totals":$passTotals,"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"failed":$failedArr,"passes":${samples.size},"pass_totals":$passTotals,"sf":"$sfDir"}"""
     val famTotals = byQuery
       .collect { case (k, Some((min, _))) => (k.takeWhile(_ != '_'), min) }
       .groupBy(_._1).toSeq.sortBy(_._1)
@@ -97,7 +110,7 @@ object Bench {
       (failed.take(8).map("\"" + _ + "\"") ++
         (if (failed.size > 8) Seq("\"+" + (failed.size - 8) + " more\"") else Nil))
         .mkString("[", ",", "]")
-    val compact = s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$famTotals,"n_queries":${byQuery.size},"n_failed":${failed.size},"failed":$failedCapped,"passes":$passes,"pass_totals":$passTotals,"sf":"$sfDir","detail":"bench_detail.json"}"""
+    val compact = s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$famTotals,"n_queries":${byQuery.size},"n_failed":${failed.size},"failed":$failedCapped,"passes":${samples.size},"pass_totals":$passTotals,"sf":"$sfDir","detail":"bench_detail.json"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes("UTF-8"))

@@ -43,6 +43,7 @@ object ManagementGrpc {
   val ManagementPrefix = "/influxdata.iox.management.v1.ManagementService/"
   val OperationsPrefix = "/google.longrunning.Operations/"
   val WritePrefix = "/influxdata.iox.write.v1.WriteService/"
+  val TestingPrefix = "/influxdata.platform.storage.IOxTesting/"
 
   private val P = ManagementProto
 
@@ -67,7 +68,7 @@ object ManagementGrpc {
   /** True when [[dispatcher]] serves this `:path`. */
   def handles(path: String): Boolean =
     path.startsWith(ManagementPrefix) || path.startsWith(OperationsPrefix) ||
-      path.startsWith(WritePrefix)
+      path.startsWith(WritePrefix) || path.startsWith(TestingPrefix)
 
   private def route(f: HttpFacade, path: String, raw: Array[Byte])
       : Either[String, Iterator[Array[Byte]]] =
@@ -77,7 +78,24 @@ object ManagementGrpc {
       operations(f, path.stripPrefix(OperationsPrefix), raw)
     else if (path.startsWith(WritePrefix))
       write(f, path.stripPrefix(WritePrefix), raw)
+    else if (path.startsWith(TestingPrefix))
+      testing(path.stripPrefix(TestingPrefix))
     else Left(s"unknown service: $path")
+
+  // --------------------------------------------- IOxTesting (test.proto)
+
+  /** The reference's debug/testing service (rpc/testing.rs): TestError
+    * deliberately panics the handler ("This is a test panic",
+    * testing.rs:16), which tonic surfaces to the client as an aborted
+    * RPC. A JVM service must not kill the process for a test hook, so
+    * the client-observable contract is kept instead: the RPC fails with
+    * INTERNAL carrying the reference's panic text. */
+  private def testing(method: String)
+      : Either[String, Iterator[Array[Byte]]] = method match {
+    case "TestError" =>
+      Left(GrpcServer.statusError(13, "This is a test panic"))
+    case other => unimplemented(s"IOxTesting method: $other")
+  }
 
   // ------------------------------------------------- ManagementService
 

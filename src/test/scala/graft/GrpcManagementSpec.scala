@@ -27,6 +27,22 @@ class GrpcManagementSpec extends SparkSpec {
     finally { grpc.stop(); facade.stop() }
   }
 
+  test("IOxTesting TestError aborts the RPC (testing.rs panic contract)") {
+    withServer { (_, p) =>
+      // the reference's handler panics; the client-observable contract
+      // is a failed RPC — INTERNAL(13) carrying the panic text here
+      val (s, _) = GrpcClient.call(p,
+        "/influxdata.platform.storage.IOxTesting/TestError",
+        Array.emptyByteArray)
+      assert(s == 13)
+      // unknown testing methods are UNIMPLEMENTED, not mis-routed to
+      // the storage fallback
+      assert(GrpcClient.call(p,
+        "/influxdata.platform.storage.IOxTesting/Nope",
+        Array.emptyByteArray)._1 == 12)
+    }
+  }
+
   test("server id: NOT_FOUND before set, settable once, idempotent re-set") {
     withServer { (_, p) =>
       // e2e management_api.rs test_set_get_writer_id
