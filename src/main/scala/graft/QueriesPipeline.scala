@@ -1410,6 +1410,31 @@ object QueriesPipeline {
         .orderBy("id1", "id2"),
       Some(dJaccardPairs)),
 
+    // maximal repeated token runs (Lee et al. 2022 exact-substring
+    // dedup): positional 6-shingle anchor index → corpus occurrence
+    // counts → per-document gaps-and-islands; all-integer positions and
+    // counts, so the oracle replays the spans bit-exactly
+    ("dedup_repeated_spans",
+      (s, d) => DocDedup.repeatedSpans(
+          Tables.documents(s, d).filter(col("doc_id") < 400),
+          "doc_id", "text", k = 6, minOccurs = 2, minRun = 2)
+        .orderBy("doc_id", "span_start"),
+      Some(s"""WITH toks AS (SELECT doc_id, $dToks AS w FROM documents
+          WHERE doc_id < 400),
+        ps AS (SELECT doc_id, unnest(range(1, len(w) - 4)) AS i, w
+          FROM toks WHERE len(w) >= 6),
+        p AS (SELECT doc_id, i, array_to_string(w[i:i+5], ' ') AS sh
+          FROM ps),
+        hot AS (SELECT sh FROM p GROUP BY sh HAVING count(*) >= 2),
+        dd AS (SELECT p.doc_id, p.i,
+            row_number() OVER (PARTITION BY p.doc_id ORDER BY p.i) AS rn
+          FROM p JOIN hot USING (sh)),
+        g AS (SELECT doc_id, CAST(min(i) AS INT) AS span_start,
+            CAST(max(i) + 5 AS INT) AS span_end, count(*) AS n_shingles
+          FROM dd GROUP BY doc_id, i - rn)
+        SELECT doc_id, span_start, span_end, n_shingles FROM g
+        WHERE n_shingles >= 2 ORDER BY doc_id, span_start""")),
+
     ("dedup_containment",
       // asymmetric near-dup: |A∩B| / min(|A|,|B|) catches a document
       // embedded verbatim in a much longer one, which Jaccard scores ≈ 0

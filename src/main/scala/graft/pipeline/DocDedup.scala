@@ -581,6 +581,66 @@ object DocDedup {
       .select("id1", "id2", "dist", "sim")
   }
 
+  // ---------------------------------- maximal repeated-run span mining
+
+  /** Positional k-token shingles `(pos, sh)` of the normalized text —
+    * 1-based positions, WITH multiplicity (the positional complement of
+    * [[graft.functions.TextFunctions.shingles]]; same bind-the-token-
+    * array-once guard so the regex tokenization runs once per row, not
+    * once per shingle position). */
+  private def posShingles(text: Column, k: Int): Column =
+    element_at(
+      transform(array(tokens(text)), tk =>
+        when(size(tk) >= k,
+          transform(sequence(lit(1), size(tk) - k + 1),
+            i => struct(i.as("pos"),
+              array_join(slice(tk, i, lit(k)), " ").as("sh"))))
+          .otherwise(array().cast("array<struct<pos:int,sh:string>>"))),
+      1)
+
+  /** Maximal repeated token runs per document — the exact-substring
+    * dedup signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499): a position is
+    * `duplicated` when its k-token shingle occurs at least `minOccurs`
+    * times corpus-wide (any document, its own included); maximal runs of
+    * consecutive duplicated positions become spans
+    * `(span_start, span_end)` — 1-based token indices, end-inclusive, a
+    * run of r shingles covering r + k − 1 tokens — and runs shorter than
+    * `minRun` shingles drop as noise. Feed the spans to
+    * [[stripSegments]]-style excision or use the per-doc duplicated-token
+    * mass as a quality filter.
+    *
+    * The paper builds a corpus suffix array; the Spark-shaped equivalent
+    * is a k-gram anchor index: one explode into positional shingles, one
+    * count aggregate (map-side partials), one co-partitioned semi-join
+    * back, and a per-DOCUMENT gaps-and-islands window — every stage
+    * keyed, nothing corpus-sized on one node. Integer positions and
+    * counts only, so any engine replays the result bit-exactly. */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minOccurs: Int = 2, minRun: Int = 1): DataFrame = {
+    require(k >= 1, "shingle width must be >= 1 token")
+    require(minOccurs >= 2, "a repeat needs at least two occurrences")
+    require(minRun >= 1, "minimum run must be >= 1 shingle")
+    import org.apache.spark.sql.expressions.Window
+    val pos = docs
+      .select(col(idCol).as("__id"),
+        explode_outer(posShingles(col(textCol), k)).as("p"))
+      .filter(col("p").isNotNull) // outer + post-filter: see explodePairs
+      .select(col("__id"), col("p.pos").as("pos"), col("p.sh").as("sh"))
+    val hot = pos.groupBy("sh").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minOccurs).select("sh")
+    val w = Window.partitionBy(col("__id")).orderBy(col("pos"))
+    pos.join(hot, Seq("sh"), "left_semi")
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col("__id"), col("__grp"))
+      .agg(min(col("pos")).cast("int").as("span_start"),
+        (max(col("pos")) + lit(k - 1)).cast("int").as("span_end"),
+        count(lit(1)).as("n_shingles"))
+      .filter(col("n_shingles") >= minRun)
+      .select(col("__id").as(idCol), col("span_start"), col("span_end"),
+        col("n_shingles"))
+  }
+
   // ------------------------------------- segment-level boilerplate removal
 
   /** Non-overlapping n-token segments of the normalized text, in order —

@@ -6,6 +6,34 @@ import graft.pipeline.DocDedup
 class DocDedupExtrasSpec extends SparkSpec {
   import spark.implicits._
 
+  test("repeatedSpans: maximal runs across and within documents, " +
+      "minRun filter, clean docs emit nothing") {
+    // docs 1 and 2 share the 9-token phrase "the quick brown fox jumps
+    // over the lazy dog" (doc1 tokens 1-9, doc2 tokens 3-11); doc 3 is
+    // clean; doc 4 repeats "a b c d" WITHIN itself (positions 1 and 6)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog end one"),
+      (2L, "prefix words the quick brown fox jumps over the lazy dog tail"),
+      (3L, "completely different content with no repeats at all here"),
+      (4L, "a b c d x a b c d y")).toDF("doc_id", "text")
+    val spans = DocDedup.repeatedSpans(docs, "doc_id", "text", k = 4)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Int, Int, Long)].collect().toSeq
+    // shared phrase -> ONE maximal island per doc (6 consecutive dup
+    // 4-shingles = 9 tokens), not six length-1 spans
+    assert(spans == Seq(
+      (1L, 1, 9, 6L), (2L, 3, 11, 6L), (4L, 1, 4, 1L), (4L, 6, 9, 1L)))
+    // the intra-doc repeat proves minOccurs counts OCCURRENCES, not docs
+    assert(spans.count(_._1 == 4L) == 2)
+    // minRun prunes short runs
+    val long = DocDedup.repeatedSpans(docs, "doc_id", "text", k = 4,
+      minRun = 2).orderBy("doc_id").as[(Long, Int, Int, Long)].collect()
+    assert(long.map(_._1).toSeq == Seq(1L, 2L))
+    // a k longer than any shared run finds nothing
+    assert(DocDedup.repeatedSpans(docs, "doc_id", "text", k = 10)
+      .count() == 0)
+  }
+
   test("editDistanceVerify: bounded distance, NULL above the cap") {
     val docs = Seq(
       (1L, "the quick brown fox"),
