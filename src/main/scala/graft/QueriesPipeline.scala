@@ -1435,6 +1435,38 @@ object QueriesPipeline {
         SELECT doc_id, span_start, span_end, n_shingles FROM g
         WHERE n_shingles >= 2 ORDER BY doc_id, span_start""")),
 
+    // span EXCISION over the repeated runs: per-doc removed-token mass
+    // and the cleaned remainder text — the oracle rebuilds both with the
+    // same spans CTE plus a positional anti-join token filter
+    ("dedup_span_excision",
+      (s, d) => DocDedup.exciseRepeatedSpans(
+          Tables.documents(s, d).filter(col("doc_id") < 400),
+          "doc_id", "text", k = 6, minOccurs = 2, minRun = 2)
+        .orderBy("doc_id"),
+      Some(s"""WITH toks AS (SELECT doc_id, $dToks AS w FROM documents
+          WHERE doc_id < 400),
+        ps AS (SELECT doc_id, unnest(range(1, len(w) - 4)) AS i, w
+          FROM toks WHERE len(w) >= 6),
+        p AS (SELECT doc_id, i, array_to_string(w[i:i+5], ' ') AS sh
+          FROM ps),
+        hot AS (SELECT sh FROM p GROUP BY sh HAVING count(*) >= 2),
+        dd AS (SELECT p.doc_id, p.i,
+            row_number() OVER (PARTITION BY p.doc_id ORDER BY p.i) AS rn
+          FROM p JOIN hot USING (sh)),
+        g AS (SELECT doc_id, min(i) AS span_start, max(i) + 5 AS span_end
+          FROM dd GROUP BY doc_id, i - rn HAVING count(*) >= 2),
+        tpos AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos,
+            unnest(w) AS t, len(w) AS n FROM toks),
+        kept AS (SELECT doc_id, pos, t, n FROM tpos
+          WHERE NOT EXISTS (SELECT 1 FROM g
+            WHERE g.doc_id = tpos.doc_id
+              AND tpos.pos BETWEEN g.span_start AND g.span_end))
+        SELECT toks.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+          CAST(len(w) - count(kept.pos) AS BIGINT) AS removed_tokens,
+          coalesce(string_agg(kept.t, ' ' ORDER BY kept.pos), '') AS cleaned
+        FROM toks LEFT JOIN kept ON kept.doc_id = toks.doc_id
+        GROUP BY toks.doc_id, len(w) ORDER BY toks.doc_id""")),
+
     ("dedup_containment",
       // asymmetric near-dup: |A∩B| / min(|A|,|B|) catches a document
       // embedded verbatim in a much longer one, which Jaccard scores ≈ 0

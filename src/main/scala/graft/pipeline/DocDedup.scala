@@ -641,6 +641,38 @@ object DocDedup {
         col("n_shingles"))
   }
 
+  /** Excise every [[repeatedSpans]] run from its document: returns one
+    * row per input doc — (id, n_tokens, removed_tokens, cleaned text) —
+    * with all tokens covered by a qualifying span removed. This is the
+    * remove-ALL-occurrences policy (boilerplate flavor); Lee et al.'s
+    * keep-one-occurrence policy is a composition choice on top (join the
+    * spans with a canonical-keeper pick before excising) left to the
+    * caller, since the keeper rule is corpus-policy, not mechanics.
+    *
+    * Shape: the span frame is per-doc metadata (collect_list bounded by
+    * doc length), one keyed join back, then per-row array math — the
+    * token filter is an index-aware higher-order `filter`, O(tokens ×
+    * spans-per-doc) per row, never a shuffle. */
+  def exciseRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minOccurs: Int = 2, minRun: Int = 1): DataFrame = {
+    val spans = repeatedSpans(docs, idCol, textCol, k, minOccurs, minRun)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__spans"))
+    val emptySpans = array().cast("array<struct<span_start:int,span_end:int>>")
+    docs.join(spans, Seq(idCol), "left")
+      .select(col(idCol), tokens(col(textCol)).as("__tk"),
+        coalesce(col("__spans"), emptySpans).as("__sp"))
+      .select(col(idCol), size(col("__tk")).cast("long").as("n_tokens"),
+        filter(col("__tk"), (t, i) => !exists(col("__sp"),
+          s => (i + 1) >= s("span_start") && (i + 1) <= s("span_end")))
+          .as("__kept"))
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - size(col("__kept"))).cast("long")
+          .as("removed_tokens"),
+        array_join(col("__kept"), " ").as("cleaned"))
+  }
+
   // ------------------------------------- segment-level boilerplate removal
 
   /** Non-overlapping n-token segments of the normalized text, in order —

@@ -34,6 +34,22 @@ class DocDedupExtrasSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("exciseRepeatedSpans: removes span tokens, keeps the clean rest") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog end one"),
+      (2L, "prefix words the quick brown fox jumps over the lazy dog tail"),
+      (3L, "completely different content with no repeats at all here"),
+      (4L, "a b c d x a b c d y")).toDF("doc_id", "text")
+    val out = DocDedup.exciseRepeatedSpans(docs, "doc_id", "text", k = 4)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 11L, 9L, "end one"),
+      (2L, 12L, 9L, "prefix words tail"),
+      (3L, 9L, 0L,
+        "completely different content with no repeats at all here"),
+      (4L, 10L, 8L, "x y")))
+  }
+
   test("editDistanceVerify: bounded distance, NULL above the cap") {
     val docs = Seq(
       (1L, "the quick brown fox"),
