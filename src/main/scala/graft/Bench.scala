@@ -68,13 +68,26 @@ object Bench {
     // pass's total exceeds the LAST's by >30%, something big was running
     // early in the bench — one extra pass gives every query another
     // chance at an uncontended sample. Bounded at +2 so a permanently
-    // loaded box still terminates.
-    def passTotal(p: Seq[(String, Option[Double])]): Double = p.flatMap(_._2).sum
+    // loaded box still terminates. Totals compare over the queries that
+    // succeeded in BOTH passes: a query failing in just one pass would
+    // otherwise skew the ratio (a last-pass-only failure drops 30 s from
+    // that side and falsely fires; a first-pass-only failure hides real
+    // contamination).
+    def comparableTotals(a: Seq[(String, Option[Double])],
+        b: Seq[(String, Option[Double])]): (Double, Double) = {
+      val inB = b.collect { case (n, Some(_)) => n }.toSet
+      val both = a.collect { case (n, Some(_)) if inB(n) => n }.toSet
+      (a.collect { case (n, Some(t)) if both(n) => t }.sum,
+        b.collect { case (n, Some(t)) if both(n) => t }.sum)
+    }
     var extra = 0
-    while (extra < 2 && samples.size >= 2 &&
-        passTotal(samples.head) > 1.3 * passTotal(samples.last)) {
-      System.err.println(s"[bench] first pass ${d3(passTotal(samples.head))}s vs " +
-        s"last ${d3(passTotal(samples.last))}s — adding a top-up pass")
+    while (extra < 2 && samples.size >= 2 && {
+      val (h, l) = comparableTotals(samples.head, samples.last)
+      l > 0 && h > 1.3 * l
+    }) {
+      val (h, l) = comparableTotals(samples.head, samples.last)
+      System.err.println(s"[bench] first pass ${d3(h)}s vs last ${d3(l)}s " +
+        "(shared-success queries) — adding a top-up pass")
       samples = samples :+ onePass()
       extra += 1
     }

@@ -611,11 +611,13 @@ object DocDedup {
     * mass as a quality filter.
     *
     * The paper builds a corpus suffix array; the Spark-shaped equivalent
-    * is a k-gram anchor index: one explode into positional shingles, one
-    * count aggregate (map-side partials), one co-partitioned semi-join
-    * back, and a per-DOCUMENT gaps-and-islands window — every stage
-    * keyed, nothing corpus-sized on one node. Integer positions and
-    * counts only, so any engine replays the result bit-exactly. */
+    * is a k-gram anchor index: ONE explode into positional shingles (the
+    * expensive tokenize+join stage runs once — a count-aggregate +
+    * semi-join formulation would evaluate the explode once per side), a
+    * corpus occurrence count as a shingle-keyed window, and a
+    * per-DOCUMENT gaps-and-islands window — every stage keyed, nothing
+    * corpus-sized on one node. Integer positions and counts only, so any
+    * engine replays the result bit-exactly. */
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int, minOccurs: Int = 2, minRun: Int = 1): DataFrame = {
     require(k >= 1, "shingle width must be >= 1 token")
@@ -627,10 +629,9 @@ object DocDedup {
         explode_outer(posShingles(col(textCol), k)).as("p"))
       .filter(col("p").isNotNull) // outer + post-filter: see explodePairs
       .select(col("__id"), col("p.pos").as("pos"), col("p.sh").as("sh"))
-    val hot = pos.groupBy("sh").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= minOccurs).select("sh")
     val w = Window.partitionBy(col("__id")).orderBy(col("pos"))
-    pos.join(hot, Seq("sh"), "left_semi")
+    pos.withColumn("__n", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("__n") >= minOccurs)
       .withColumn("__grp", col("pos") - row_number().over(w))
       .groupBy(col("__id"), col("__grp"))
       .agg(min(col("pos")).cast("int").as("span_start"),

@@ -137,51 +137,77 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
   private def dbDir(db: String): String =
     s"${dataDir.get}/${URLEncoder.encode(db, "UTF-8")}"
 
+  /** Serializes every chunk-vector mutation: the HTTP pool is
+    * multi-threaded, and the manifest pairs two structures (`databases`,
+    * `chunkFiles`) that must advance together — two interleaved appends
+    * to one db would otherwise pair file ids with the wrong measurements
+    * (cross-measurement corruption after restart). Also taken WITHOUT a
+    * dataDir: the DROP path must not lose a concurrent append between
+    * its read and write of the chunk vector. Bookkeeping under the lock
+    * is vector-append-sized; only the persisting write path holds it
+    * across a parquet write, which serializes concurrent writes to a
+    * durable facade — the price of a consistent manifest. */
+  private val persistLock = new Object
+
+  /** Crash-safe file replace: write a temp sibling, fsync-free atomic
+    * rename over the target. A kill mid-write can no longer leave a torn
+    * manifest/rules/server_id that would fail every subsequent startup —
+    * the old complete file survives until the new one is complete. */
+  private def atomicWrite(path: java.nio.file.Path,
+      bytes: Array[Byte]): Unit = {
+    Files.createDirectories(path.getParent)
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    Files.write(tmp, bytes)
+    Files.move(tmp, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   private def persistRules(r: graft.streaming.DatabaseRules): Unit =
     dataDir.foreach { _ =>
-      val dir = Paths.get(dbDir(r.name))
-      Files.createDirectories(dir)
-      Files.write(dir.resolve("rules.pb"),
+      atomicWrite(Paths.get(dbDir(r.name), "rules.pb"),
         ManagementProto.encodeDatabaseRules(r))
     }
 
   private def persistServerId(): Unit =
     dataDir.foreach { root =>
-      Files.createDirectories(Paths.get(root))
-      Files.writeString(Paths.get(root, "server_id"),
-        serverIdRef.get().toString)
+      atomicWrite(Paths.get(root, "server_id"),
+        serverIdRef.get().toString.getBytes(UTF_8))
     }
 
   /** Rewrite `db`'s chunk manifest: one `fid measurement` line per chunk
-    * in vector order (measurement URL-encoded — names may hold spaces). */
+    * in vector order (measurement URL-encoded — names may hold spaces).
+    * Call only while holding [[persistLock]]. */
   private def writeManifest(db: String): Unit = {
     val fids = chunkFiles.getOrElse(db, Vector.empty)
     val ms = databases.getOrElse(db, Vector.empty).map(_._1)
-    val dir = Paths.get(dbDir(db))
-    Files.createDirectories(dir)
-    Files.writeString(dir.resolve("manifest"),
+    atomicWrite(Paths.get(dbDir(db), "manifest"),
       fids.zip(ms).map { case (fid, m) =>
         s"$fid ${URLEncoder.encode(m, "UTF-8")}"
-      }.mkString("\n"))
+      }.mkString("\n").getBytes(UTF_8))
   }
 
   /** Append write-batch chunks to a db's vector; with [[dataDir]] set,
     * write each through to parquet and advance the manifest. Every write
     * path (HTTP LP, write_pb, gRPC WriteEntry, SELECT INTO, 1.x JSON)
-    * lands here so durability is uniform. */
+    * lands here so durability is uniform. The parquet writes run FIRST:
+    * if any fails, neither store advances, so the client's error
+    * truthfully means "nothing landed" (no half-applied write that is
+    * queryable in memory but absent after restart). */
   private def appendChunks(db: String,
-      frames: Seq[(String, DataFrame)]): Unit = {
-    databases.updateWith(db) { prev =>
-      Some(prev.getOrElse(Vector.empty) ++ frames.toVector)
-    }
-    dataDir.foreach { _ =>
-      val fids = frames.map { case (_, df) =>
+      frames: Seq[(String, DataFrame)]): Unit = persistLock.synchronized {
+    val fids = dataDir.map { _ =>
+      frames.map { case (_, df) =>
         val fid = nextChunkFid.getAndIncrement()
         df.write.mode("overwrite").parquet(s"${dbDir(db)}/chunks/c$fid")
         fid
       }
+    }
+    databases.updateWith(db) { prev =>
+      Some(prev.getOrElse(Vector.empty) ++ frames.toVector)
+    }
+    fids.foreach { ids =>
       chunkFiles.updateWith(db) { prev =>
-        Some(prev.getOrElse(Vector.empty) ++ fids)
+        Some(prev.getOrElse(Vector.empty) ++ ids)
       }
       writeManifest(db)
     }
@@ -727,9 +753,13 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
       // storage, wrong already-moved lifecycle errors)
       if (!measurements(db).contains(m)) Left(s"measurement not found: $m")
       else {
-        databases.updateWith(db) {
-          case None => None
-          case Some(chunks) =>
+        // persistLock, not a bare updateWith: TrieMap.updateWith may
+        // re-invoke its remap function on CAS contention, so side
+        // effects (stage remapping, chunkFiles, the manifest) must live
+        // OUTSIDE any retry-able closure; the lock also pins the
+        // databases/chunkFiles pair against a concurrent append
+        persistLock.synchronized {
+          databases.get(db).foreach { chunks =>
             val survivors = chunks.zipWithIndex.filterNot(_._1._1 == m)
             val remapped = survivors.zipWithIndex.flatMap {
               case ((_, oldIdx), newIdx) =>
@@ -744,9 +774,10 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
             chunkFiles.updateWith(db)(_.map { fids =>
               fids.zip(chunks.map(_._1)).filterNot(_._2 == m).map(_._1)
             })
-            Some(survivors.map(_._1))
+            databases.put(db, survivors.map(_._1))
+          }
+          dataDir.foreach(_ => writeManifest(db))
         }
-        dataDir.foreach(_ => writeManifest(db))
         tombstones.remove((db, m))
         Right(None)
       }

@@ -30,6 +30,9 @@ class GoldenExplainSpec extends SparkSpec {
         .replaceAll("#\\d+", "#N")
         .replaceAll("plan_id=\\d+", "plan_id=N")
         .replaceAll("\\*\\(\\d+\\)", "*(N)")
+        // RDD ids depend on what ran earlier in the shared session
+        .replaceAll("RDD\\[\\d+\\]", "RDD[N]")
+        .replaceAll("\\[codegen id : \\d+\\]", "[codegen id : N]")
         .replaceAll("file:[^\\s,\\])]+", "<path>")
         .replaceAll("/tmp/[^\\s,\\])]+", "<path>")
         .replaceAll("InMemoryFileIndex\\([^)]*\\)", "InMemoryFileIndex")
