@@ -170,6 +170,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!pq.contains("SortMergeJoin"), pq)
   }
 
+  test("r10 repeatedSpans: one positional-shingle explode, keyed windows, " +
+      "no join") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter($"doc_id" < 50)
+    val plan = executedPlan(graft.pipeline.DocDedup.repeatedSpans(
+      docs, "doc_id", "text", k = 6, minRun = 2))
+    // the corpus-sized tokenize+explode stage must appear ONCE — the
+    // count-aggregate + semi-join formulation evaluated it per side
+    assert("Generate explode".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Join"), plan)
+    // both windows are keyed (shingle count, per-doc islands) — an
+    // unpartitioned window would single-task the corpus
+    val specs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(s =>
+      s.contains("sh") || s.contains("__id")), plan)
+  }
+
   test("r8 operators: IVF-PQ cell join broadcasts; covariance partial-aggregates") {
     val d = "/root/testdata/sf0.001"
     val emb = Tables.embeddingsRaw(spark, d)
