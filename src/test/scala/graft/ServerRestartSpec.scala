@@ -57,6 +57,33 @@ class ServerRestartSpec extends SparkSpec {
     assert(GrpcClient.call(p, W + "Write",
       msg { w => w.string(1, db); w.string(2, lp) })._1 == 0)
 
+  test("concurrent writers to one db keep the persisted manifest " +
+      "consistent: every row reloads under its own measurement") {
+    // the HTTP pool is multi-threaded; interleaved appends must not pair
+    // a chunk's parquet file id with another measurement in the manifest
+    // (the failure mode is silent cross-measurement data after restart)
+    val dir = Files.createTempDirectory("graft-restart-conc").toString
+    withFacade(dir) { (_, p) =>
+      val threads = (0 until 4).map { t =>
+        new Thread(() => {
+          for (j <- 0 until 3)
+            writeLp(p, "cdb", s"m$t,host=h$j v=${t * 10 + j} ${100 + j}")
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+    }
+    withFacade(dir) { (fac, _) =>
+      for (t <- 0 until 4) {
+        val (qs, csv) = HttpFacade.getQuery(fac.boundPort, "cdb",
+          s"SELECT count(*) AS n, sum(v) AS sv FROM m$t")
+        assert(qs == 200 && csv.trim.split("\n").toSeq ==
+          Seq("n,sv", s"3,${t * 30 + 3}.0"),
+          s"m$t rows mis-attributed after restart: $csv")
+      }
+    }
+  }
+
   test("server id, rules, and chunk data survive facade restarts " +
       "(management_api.rs restart shape)") {
     val dir = Files.createTempDirectory("graft-restart").toString
