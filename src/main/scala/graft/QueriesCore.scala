@@ -301,6 +301,66 @@ object QueriesCore {
         WHERE o_orderpriority = '1-URGENT'
         GROUP BY n_name ORDER BY n_name""")),
 
+    // correlated SCALAR subquery (TPC-H Q17 shape): Catalyst must
+    // decorrelate the per-part average into an aggregate + join — the
+    // rewrite that decides whether this runs as one pass or a
+    // per-row re-scan. Determinism: quantities are integers carried in
+    // doubles (avg = exact-sum / count, one divide), prices aggregate as
+    // exact integer cents
+    ("q17_correlated_subquery",
+      (s, d) => {
+        SqlFrontend.register(s, Map(
+          "lineitem" -> t(s, d, "lineitem"), "part" -> t(s, d, "part")))
+        s.sql("""SELECT p_brand, CAST(count(*) AS BIGINT) AS n_small,
+          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+            AS cents
+          FROM lineitem l1 JOIN part ON p_partkey = l_partkey
+          WHERE l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = l1.l_partkey)
+          GROUP BY p_brand ORDER BY p_brand""")
+      },
+      Some("""SELECT p_brand, CAST(count(*) AS BIGINT) AS n_small,
+        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+          AS cents
+        FROM lineitem l1 JOIN part ON p_partkey = l_partkey
+        WHERE l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = l1.l_partkey)
+        GROUP BY p_brand ORDER BY p_brand""")),
+
+    // correlated EXISTS + NOT EXISTS (TPC-H Q21 shape, shipdate standing
+    // in for receipt/commit dates): both rewrite to semi / anti joins —
+    // the multi-correlation case q09/q10's single joins don't cover
+    ("q18_exists_chain",
+      (s, d) => {
+        SqlFrontend.register(s, Map(
+          "supplier" -> t(s, d, "supplier"),
+          "lineitem" -> t(s, d, "lineitem"), "orders" -> t(s, d, "orders")))
+        s.sql("""SELECT s_name, CAST(count(*) AS BIGINT) AS waiting
+          FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+          JOIN orders ON o_orderkey = l1.l_orderkey
+          WHERE o_orderstatus = 'F'
+            AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+            AND NOT EXISTS (SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > l1.l_shipdate)
+          GROUP BY s_name ORDER BY waiting DESC, s_name LIMIT 20""")
+      },
+      Some("""SELECT s_name, CAST(count(*) AS BIGINT) AS waiting
+        FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY s_name ORDER BY waiting DESC, s_name LIMIT 20""")),
+
     // ------------------------------------------- InfluxRPC operator suite
 
     ("rpc_read_filter",

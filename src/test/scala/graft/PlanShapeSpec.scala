@@ -170,6 +170,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(!pq.contains("SortMergeJoin"), pq)
   }
 
+  test("r10 correlated subqueries decorrelate: scalar -> aggregate join, " +
+      "EXISTS/NOT EXISTS -> semi/anti joins") {
+    val d = sf("sf0.001")
+    graft.sources.SqlFrontend.register(spark, Map(
+      "lineitem" -> Tables.lineitem(spark, d),
+      "part" -> Tables.part(spark, d),
+      "supplier" -> Tables.supplier(spark, d),
+      "orders" -> Tables.orders(spark, d)))
+    // q17 shape: the per-part average must run ONCE as an aggregate
+    // joined back, never as a per-outer-row re-scan
+    val q17 = executedPlan(spark.sql(
+      """SELECT count(*) FROM lineitem l1
+        WHERE l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = l1.l_partkey)"""))
+    assert(!q17.contains("Subquery"), q17) // decorrelated, not re-executed
+    assert(q17.contains("Aggregate") || q17.contains("HashAggregate"), q17)
+    // q18 shape: EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti
+    val q18 = executedPlan(spark.sql(
+      """SELECT s_name, count(*) FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        WHERE EXISTS (SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY s_name"""))
+    assert(q18.contains("LeftSemi"), q18)
+    assert(q18.contains("LeftAnti"), q18)
+  }
+
   test("r10 repeatedSpans: one positional-shingle explode, keyed windows, " +
       "no join") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
