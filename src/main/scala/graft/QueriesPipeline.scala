@@ -1435,6 +1435,41 @@ object QueriesPipeline {
         SELECT doc_id, span_start, span_end, n_shingles FROM g
         WHERE n_shingles >= 2 ORDER BY doc_id, span_start""")),
 
+    // incremental span mining: only the BATCH (doc_id < 200) is
+    // shingled; the corpus contributes through its persisted (sh, n)
+    // occurrence index — batch-internal and batch-vs-corpus repeats both
+    // surface. The oracle rebuilds the same index + batch-window counts
+    ("dedup_spans_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val index = DocDedup.spanShingleIndex(
+          docs.filter(col("doc_id") >= 200 && col("doc_id") < 500),
+          "doc_id", "text", k = 6)
+        DocDedup.incrementalRepeatedSpans(index,
+          docs.filter(col("doc_id") < 200), "doc_id", "text", k = 6,
+          minRun = 2)
+          .orderBy("doc_id", "span_start")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $dToks AS w FROM documents
+          WHERE doc_id < 500),
+        ps AS (SELECT doc_id, unnest(range(1, len(w) - 4)) AS i, w
+          FROM toks WHERE len(w) >= 6),
+        p AS (SELECT doc_id, i, array_to_string(w[i:i+5], ' ') AS sh
+          FROM ps),
+        idx AS (SELECT sh, count(*) AS ni FROM p WHERE doc_id >= 200
+          GROUP BY sh),
+        bc AS (SELECT doc_id, i, sh, count(*) OVER (PARTITION BY sh) AS nb
+          FROM p WHERE doc_id < 200),
+        dup AS (SELECT bc.doc_id, bc.i FROM bc LEFT JOIN idx USING (sh)
+          WHERE nb + coalesce(ni, 0) >= 2),
+        dd AS (SELECT doc_id, i, row_number() OVER (PARTITION BY doc_id
+            ORDER BY i) AS rn FROM dup),
+        g AS (SELECT doc_id, CAST(min(i) AS INT) AS span_start,
+            CAST(max(i) + 5 AS INT) AS span_end, count(*) AS n_shingles
+          FROM dd GROUP BY doc_id, i - rn)
+        SELECT doc_id, span_start, span_end, n_shingles FROM g
+        WHERE n_shingles >= 2 ORDER BY doc_id, span_start""")),
+
     // span EXCISION over the repeated runs: per-doc removed-token mass
     // and the cleaned remainder text — the oracle rebuilds both with the
     // same spans CTE plus a positional anti-join token filter

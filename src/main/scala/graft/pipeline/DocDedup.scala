@@ -624,15 +624,28 @@ object DocDedup {
     require(minOccurs >= 2, "a repeat needs at least two occurrences")
     require(minRun >= 1, "minimum run must be >= 1 shingle")
     import org.apache.spark.sql.expressions.Window
-    val pos = docs
-      .select(col(idCol).as("__id"),
+    val pos = positionalShingles(docs, idCol, textCol, k)
+    islandsOf(
+      pos.withColumn("__n", count(lit(1)).over(Window.partitionBy(col("sh"))))
+        .filter(col("__n") >= minOccurs),
+      idCol, k, minRun)
+  }
+
+  /** (doc `__id`, 1-based `pos`, `sh`) positional-shingle frame. */
+  private def positionalShingles(docs: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol).as("__id"),
         explode_outer(posShingles(col(textCol), k)).as("p"))
       .filter(col("p").isNotNull) // outer + post-filter: see explodePairs
       .select(col("__id"), col("p.pos").as("pos"), col("p.sh").as("sh"))
+
+  /** Gaps-and-islands over a duplicated-position frame `(__id, pos)`:
+    * maximal consecutive-position runs per doc → span rows. */
+  private def islandsOf(dup: DataFrame, idCol: String, k: Int,
+      minRun: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("__id")).orderBy(col("pos"))
-    pos.withColumn("__n", count(lit(1)).over(Window.partitionBy(col("sh"))))
-      .filter(col("__n") >= minOccurs)
-      .withColumn("__grp", col("pos") - row_number().over(w))
+    dup.withColumn("__grp", col("pos") - row_number().over(w))
       .groupBy(col("__id"), col("__grp"))
       .agg(min(col("pos")).cast("int").as("span_start"),
         (max(col("pos")) + lit(k - 1)).cast("int").as("span_end"),
@@ -640,6 +653,37 @@ object DocDedup {
       .filter(col("n_shingles") >= minRun)
       .select(col("__id").as(idCol), col("span_start"), col("span_end"),
         col("n_shingles"))
+  }
+
+  /** Corpus k-shingle occurrence index — the persisted artifact the
+    * incremental span path probes: `(sh, n)`, one count aggregate with
+    * map-side partials. Rebuilt only when the corpus itself changes. */
+  def spanShingleIndex(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    positionalShingles(docs, idCol, textCol, k)
+      .groupBy(col("sh")).agg(count(lit(1)).as("n"))
+
+  /** [[repeatedSpans]] for a NEW batch against a persisted corpus index
+    * (the [[incrementalNearDups]] discipline: only the batch is
+    * shingled — the corpus is never re-tokenized). A batch position is
+    * duplicated when its shingle's batch-internal occurrences plus the
+    * index count reach `minOccurs`, so both batch-vs-corpus repeats and
+    * repeats wholly inside the new batch surface. One explode of the
+    * batch, one keyed join against the index, the same gaps-and-islands
+    * finish. */
+  def incrementalRepeatedSpans(index: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, k: Int, minOccurs: Int = 2,
+      minRun: Int = 1): DataFrame = {
+    require(k >= 1, "shingle width must be >= 1 token")
+    require(minOccurs >= 2, "a repeat needs at least two occurrences")
+    require(minRun >= 1, "minimum run must be >= 1 shingle")
+    import org.apache.spark.sql.expressions.Window
+    val pos = positionalShingles(batch, idCol, textCol, k)
+      .withColumn("__nb", count(lit(1)).over(Window.partitionBy(col("sh"))))
+    val dup = pos
+      .join(index.select(col("sh"), col("n").as("__ni")), Seq("sh"), "left")
+      .filter(col("__nb") + coalesce(col("__ni"), lit(0L)) >= minOccurs)
+    islandsOf(dup, idCol, k, minRun)
   }
 
   /** Excise every [[repeatedSpans]] run from its document: returns one

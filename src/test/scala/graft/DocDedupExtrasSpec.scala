@@ -34,6 +34,30 @@ class DocDedupExtrasSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("incrementalRepeatedSpans == full recompute restricted to the batch") {
+    // for batch-doc positions the duplicated criterion is identical:
+    // corpus∪batch occurrence count = index count + batch-window count
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the dam"),
+      (11L, "unrelated corpus content sits here quietly")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "watch the quick brown fox jumps again"), // repeats vs corpus
+      (2L, "p q r s p q r s"), // repeats wholly inside the batch doc
+      (3L, "nothing shared with anything else")).toDF("doc_id", "text")
+    val idx = DocDedup.spanShingleIndex(corpus, "doc_id", "text", k = 3)
+    val inc = DocDedup.incrementalRepeatedSpans(idx, batch,
+        "doc_id", "text", k = 3)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Int, Int, Long)].collect().toSeq
+    val full = DocDedup.repeatedSpans(corpus.unionByName(batch),
+        "doc_id", "text", k = 3)
+      .filter($"doc_id" < 10).orderBy("doc_id", "span_start")
+      .as[(Long, Int, Int, Long)].collect().toSeq
+    assert(inc == full, s"inc=$inc full=$full")
+    assert(inc.exists(_._1 == 1L) && inc.exists(_._1 == 2L)
+      && !inc.exists(_._1 == 3L))
+  }
+
   test("exciseRepeatedSpans: removes span tokens, keeps the clean rest") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog end one"),
