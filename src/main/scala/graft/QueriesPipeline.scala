@@ -1983,6 +1983,37 @@ object QueriesPipeline {
         SELECT q_id, rank, neighbor_id, qm / 1000000.0 AS cos
         FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""")),
 
+    // binary-quantized retrieval: sign bits packed 32-per-word, Hamming
+    // distance = XOR+popcount per word — all-integer, so the oracle
+    // replays distances and ranks exactly
+    ("emb_hamming_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val bits = Similarity.binarySign(Tables.spread(s, emb),
+          "vec_id", "embedding")
+        val qbits = Similarity.binarySign(emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding")
+          .select(col("vec_id").as("q_id"), col("bits").as("q_bits"))
+        Similarity.hammingTopK(bits, qbits, k = 10)
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        b AS (SELECT vec_id, list_transform(range(0, 2), w ->
+            list_aggregate(list_transform(range(1, 33), j ->
+              CASE WHEN e[CAST(w * 32 + j AS INT)] >= 0
+                THEN CAST(1 AS BIGINT) << CAST(j - 1 AS INT) ELSE 0 END),
+            'bit_or')) AS bits FROM v),
+        q AS (SELECT vec_id AS q_id, bits AS qb FROM b WHERE vec_id < 5),
+        sc AS (SELECT q.q_id, b.vec_id AS neighbor_id,
+            CAST(bit_count(xor(b.bits[1], q.qb[1]))
+              + bit_count(xor(b.bits[2], q.qb[2])) AS INT) AS hamming
+          FROM b CROSS JOIN q WHERE b.vec_id != q.q_id),
+        rk AS (SELECT q_id, neighbor_id, hamming, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY hamming ASC, neighbor_id ASC)
+            AS INT) AS rank FROM sc)
+        SELECT q_id, rank, neighbor_id, hamming FROM rk WHERE rank <= 10
+        ORDER BY q_id, rank""")),
+
     ("emb_neardup_lsh",
       (s, d) => {
         // integer-micro vectors (dEmbMicro): plane projections against the

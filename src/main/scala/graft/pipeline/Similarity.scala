@@ -354,6 +354,53 @@ object Similarity {
     rankTopK(scored, k, qIdCol, "score", idCol)
   }
 
+  // ------------------------- binary (sign) embeddings + Hamming top-k
+
+  /** Sign-bit binarization of an embedding column — the "binary
+    * quantization" retrieval baseline (Charikar 2002 sign-projection
+    * duality, applied directly to the coordinates): bit j of word w is
+    * set iff `x[32w + j] >= 0`. Packs 32 dims per 64-bit word (not 64 —
+    * bit 63 would need `1L << 63`, which overflow-checked engines
+    * refuse, and 32-per-word keeps every shift and OR exact everywhere),
+    * a 64x compression of an f64 vector. A short final word zero-fills
+    * its missing dims on both engines. */
+  def binarySign(df: DataFrame, idCol: String, vecCol: String,
+      out: String = "bits"): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val powers = array((0 until 32).map(j => lit(1L << j)): _*)
+    val nWords = floor((size(v) + 31) / lit(32)).cast("int")
+    val words = transform(sequence(lit(0), nWords - 1), w =>
+      aggregate(
+        // zip_with pads the short final slice with nulls; null >= 0 is
+        // null -> otherwise(0), so missing dims contribute no bits
+        zip_with(slice(v, w * 32 + 1, lit(32)), powers,
+          (x, p) => when(x >= 0, p).otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc.bitwiseOR(x)))
+    df.select(col(idCol), words.as(out))
+  }
+
+  /** Hamming top-k over [[binarySign]] words: per-pair cost is dim/32
+    * XOR+popcount word ops instead of dim multiplies — the coarse stage
+    * of binary-quantized retrieval (rescore survivors with the exact
+    * cosine when recall matters). Same posture as [[bruteForceTopK]]
+    * (queries broadcast, bounded TopK aggregate); distances are small
+    * integers, so results are exact on any engine; ties break by
+    * ascending id. */
+  def hammingTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", bitsCol: String = "bits",
+      qIdCol: String = "q_id", qBitsCol: String = "q_bits"): DataFrame = {
+    val dist = aggregate(
+      zip_with(col(bitsCol), col(qBitsCol),
+        (a, b) => bit_count(a.bitwiseXOR(b))),
+      lit(0), (acc, x) => acc + x)
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col(idCol) =!= col(qIdCol))
+      .select(col(qIdCol), col(idCol), (-dist).cast("double").as("score"))
+    rankTopK(scored, k, qIdCol, "score", idCol)
+      .select(col(qIdCol), col("rank"), col("neighbor_id"),
+        (-col("score")).cast("int").as("hamming"))
+  }
+
   /** Deterministic ±1 hyperplanes for sign-bit LSH (seeded LCG, no RNG
     * state): reproducible across runs and engines, so an external oracle
     * can re-derive the identical buckets. */

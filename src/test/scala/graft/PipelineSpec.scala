@@ -10,6 +10,31 @@ class PipelineSpec extends SparkSpec {
   lazy val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
   lazy val emb = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
 
+  test("binarySign + hammingTopK: 32-per-word packing, short final word, " +
+      "exact integer distances") {
+    // dim 3: bits set where x >= 0 (positions 0 and 2) -> word 0b101 = 5
+    val tiny = Seq((1L, Seq(1.0f, -2.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.binarySign(tiny, "vec_id", "embedding")
+      .select($"bits").as[Seq[Long]].head() == Seq(5L))
+    // dim 40 -> two words; dims 32..39 land in word 1 bits 0..7
+    val wide = Seq((1L, (0 until 40).map(i =>
+      if (i == 35 || i < 2) 1.0f else -1.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.binarySign(wide, "vec_id", "embedding")
+      .select($"bits").as[Seq[Long]].head() == Seq(3L, 8L))
+    // hamming ranking: distances exact, ascending, ties by id
+    val corpus = Similarity.binarySign(Seq(
+      (10L, Seq(1.0f, 1.0f, -1.0f, -1.0f)),  // bits 0011
+      (11L, Seq(1.0f, -1.0f, -1.0f, -1.0f)), // bits 0001
+      (12L, Seq(-1.0f, -1.0f, 1.0f, 1.0f))   // bits 1100
+    ).toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val q = Similarity.binarySign(Seq((1L, Seq(1.0f, 1.0f, -1.0f, 1.0f)))
+        .toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .select($"vec_id".as("q_id"), $"bits".as("q_bits")) // bits 1011
+    val out = Similarity.hammingTopK(corpus, q, k = 3)
+      .orderBy("rank").as[(Long, Int, Long, Int)].collect().toSeq
+    assert(out == Seq((1L, 1, 10L, 1), (1L, 2, 11L, 2), (1L, 3, 12L, 3)))
+  }
+
   test("text functions: tokens, shingles, quality, fingerprint") {
     val df = Seq((1L, "The quick  Brown fox! 42 jumps."), (2L, "")).toDF("id", "text")
     val row = df.filter($"id" === 1).select(
