@@ -2014,6 +2014,46 @@ object QueriesPipeline {
         SELECT q_id, rank, neighbor_id, hamming FROM rk WHERE rank <= 10
         ORDER BY q_id, rank""")),
 
+    // cascade retrieval: Hamming coarse filter (50 candidates) -> exact
+    // cosine rescore of candidates only. Cosines ride integer-micro
+    // VECTORS (dEmbMicro), so ranks are bit-equal; Hamming candidates
+    // are integer-exact by construction
+    ("ann_cascade_topk",
+      (s, d) => {
+        val emb = qEmb(s, d)
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.cascadeTopK(Tables.spread(s, emb), q, coarseK = 50, k = 10)
+          .select(col("q_id"), col("rank"), col("neighbor_id"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH $dEmbMicro,
+        b AS (SELECT vec_id, e, list_transform(range(0, 2), w ->
+            list_aggregate(list_transform(range(1, 33), j ->
+              CASE WHEN e[CAST(w * 32 + j AS INT)] >= 0
+                THEN CAST(1 AS BIGINT) << CAST(j - 1 AS INT) ELSE 0 END),
+            'bit_or')) AS bits FROM v),
+        q AS (SELECT vec_id AS q_id, e AS qe, bits AS qb FROM b
+          WHERE vec_id < 5),
+        hm AS (SELECT q.q_id, b.vec_id AS neighbor_id, b.e,
+            CAST(bit_count(xor(b.bits[1], q.qb[1]))
+              + bit_count(xor(b.bits[2], q.qb[2])) AS INT) AS hamming
+          FROM b CROSS JOIN q WHERE b.vec_id != q.q_id),
+        cand AS (SELECT q_id, neighbor_id, e FROM (SELECT *, row_number()
+            OVER (PARTITION BY q_id ORDER BY hamming ASC, neighbor_id ASC)
+            AS rc FROM hm) WHERE rc <= 50),
+        sc AS (SELECT cand.q_id, cand.neighbor_id,
+            list_dot_product(cand.e, q.qe)
+              / (sqrt(list_dot_product(cand.e, cand.e))
+                * sqrt(list_dot_product(q.qe, q.qe))) AS cos
+          FROM cand JOIN q USING (q_id)),
+        rk AS (SELECT q_id, neighbor_id, cos, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS INT)
+            AS rank FROM sc)
+        SELECT q_id, rank, neighbor_id, round(cos, 6) AS cos
+        FROM rk WHERE rank <= 10 ORDER BY q_id, rank""")),
+
     ("emb_neardup_lsh",
       (s, d) => {
         // integer-micro vectors (dEmbMicro): plane projections against the

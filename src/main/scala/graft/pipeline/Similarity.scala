@@ -401,6 +401,33 @@ object Similarity {
         (-col("score")).cast("int").as("hamming"))
   }
 
+  /** Two-stage cascade retrieval: Hamming over [[binarySign]] words
+    * prunes the corpus to `coarseK` candidates per query, then the EXACT
+    * cosine rescores just those — the standard coarse-filter/fine-rank
+    * deployment of binary quantization (recall returns as coarseK
+    * grows). Scale shape: the coarse stage is the [[hammingTopK]]
+    * broadcast+popcount scan; the rescore joins only queries x coarseK
+    * candidate rows back to the corpus BY ID (a keyed hash join pulling
+    * candidate vectors alone — the full-dimension math never touches
+    * non-candidates), then the bounded TopK finishes. */
+  def cascadeTopK(corpus: DataFrame, queries: DataFrame, coarseK: Int,
+      k: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
+    require(coarseK >= k, s"need coarseK >= k, got coarseK=$coarseK k=$k")
+    val bits = binarySign(corpus, idCol, vecCol)
+    val qbits = binarySign(queries, qIdCol, qVecCol, out = "q_bits")
+    val cands = hammingTopK(bits, qbits, coarseK, idCol, "bits",
+        qIdCol, "q_bits")
+      .select(col(qIdCol), col("neighbor_id").as(idCol))
+    val c = normed(corpus, idCol, vecCol, "__e", "__n")
+    val q = normed(queries, qIdCol, qVecCol, "__qe", "__qn")
+    val scored = cands.join(c, idCol).join(broadcast(q), qIdCol)
+      .select(col(qIdCol), col(idCol),
+        cosExpr(dot(col("__e"), col("__qe")), col("__n"), col("__qn"))
+          .as("cos"))
+    rankTopK(scored, k, qIdCol, "cos", idCol)
+  }
+
   /** Deterministic ±1 hyperplanes for sign-bit LSH (seeded LCG, no RNG
     * state): reproducible across runs and engines, so an external oracle
     * can re-derive the identical buckets. */
