@@ -2054,6 +2054,62 @@ object QueriesPipeline {
         SELECT q_id, rank, neighbor_id, round(cos, 6) AS cos
         FROM rk WHERE rank <= 10 ORDER BY q_id, rank""")),
 
+    // recall@10 of the binary-Hamming coarse stage against the exact
+    // cosine ground truth — the dial that sizes cascadeTopK's coarseK;
+    // truth rides integer-micro vectors (bit-equal cosines), Hamming is
+    // integer-exact by construction
+    ("ann_hamming_recall",
+      (s, d) => {
+        val emb = qEmb(s, d)
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val truth = Similarity.bruteForceTopK(emb, q, k = 10,
+            microRank = true)
+          .select(col("q_id"), col("neighbor_id"))
+        val bits = Similarity.binarySign(Tables.spread(s, emb),
+          "vec_id", "embedding")
+        val qbits = Similarity.binarySign(emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding")
+          .select(col("vec_id").as("q_id"), col("bits").as("q_bits"))
+        val approx = Similarity.hammingTopK(bits, qbits, k = 10)
+          .select(col("q_id"), col("neighbor_id"), lit(1).as("__h"))
+        truth.join(approx, Seq("q_id", "neighbor_id"), "left")
+          .groupBy("q_id")
+          .agg(sum(coalesce(col("__h"), lit(0))).as("hits"))
+          .select(col("q_id"), col("hits"),
+            round(col("hits") / 10.0, 6).as("recall"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH $dEmbMicro,
+        q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 5),
+        bf AS (SELECT q_id, neighbor_id FROM (SELECT q.q_id,
+            v.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.q_id
+              ORDER BY floor(list_dot_product(v.e, q.qe)
+                / (sqrt(list_dot_product(v.e, v.e))
+                  * sqrt(list_dot_product(q.qe, q.qe)))
+                * 1000000 + 0.5) DESC,
+              v.vec_id ASC) AS rk
+          FROM v CROSS JOIN q WHERE v.vec_id != q.q_id) WHERE rk <= 10),
+        b AS (SELECT vec_id, list_transform(range(0, 2), w ->
+            list_aggregate(list_transform(range(1, 33), j ->
+              CASE WHEN e[CAST(w * 32 + j AS INT)] >= 0
+                THEN CAST(1 AS BIGINT) << CAST(j - 1 AS INT) ELSE 0 END),
+            'bit_or')) AS bits FROM v),
+        qb AS (SELECT vec_id AS q_id, bits AS qbb FROM b WHERE vec_id < 5),
+        hm AS (SELECT q_id, neighbor_id FROM (SELECT qb.q_id,
+            b.vec_id AS neighbor_id, row_number() OVER (PARTITION BY qb.q_id
+              ORDER BY bit_count(xor(b.bits[1], qb.qbb[1]))
+                + bit_count(xor(b.bits[2], qb.qbb[2])) ASC,
+              b.vec_id ASC) AS rk
+          FROM b CROSS JOIN qb WHERE b.vec_id != qb.q_id) WHERE rk <= 10)
+        SELECT bf.q_id,
+          sum(CASE WHEN hm.neighbor_id IS NULL THEN 0 ELSE 1 END) AS hits,
+          round(sum(CASE WHEN hm.neighbor_id IS NULL THEN 0 ELSE 1 END)
+            / 10.0, 6) AS recall
+        FROM bf LEFT JOIN hm ON hm.q_id = bf.q_id
+          AND hm.neighbor_id = bf.neighbor_id
+        GROUP BY bf.q_id ORDER BY bf.q_id""")),
+
     ("emb_neardup_lsh",
       (s, d) => {
         // integer-micro vectors (dEmbMicro): plane projections against the
