@@ -369,13 +369,18 @@ object Similarity {
     val v = asDouble(col(vecCol))
     val powers = array((0 until 32).map(j => lit(1L << j)): _*)
     val nWords = floor((size(v) + 31) / lit(32)).cast("int")
-    val words = transform(sequence(lit(0), nWords - 1), w =>
+    val packed = transform(sequence(lit(0), nWords - 1), w =>
       aggregate(
         // zip_with pads the short final slice with nulls; null >= 0 is
         // null -> otherwise(0), so missing dims contribute no bits
         zip_with(slice(v, w * 32 + 1, lit(32)), powers,
           (x, p) => when(x >= 0, p).otherwise(lit(0L))),
         lit(0L), (acc, x) => acc.bitwiseOR(x)))
+    // zero-length guard: sequence(0, -1) would STEP DOWN and yield
+    // [0, -1], minting a spurious two-word signature for an empty
+    // vector that hammingTopK would then rank like a real one
+    val words = when(size(v) > 0, packed)
+      .otherwise(array().cast("array<bigint>"))
     df.select(col(idCol), words.as(out))
   }
 

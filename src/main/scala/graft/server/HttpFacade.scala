@@ -137,26 +137,34 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
   private def dbDir(db: String): String =
     s"${dataDir.get}/${URLEncoder.encode(db, "UTF-8")}"
 
-  /** Serializes every chunk-vector mutation: the HTTP pool is
-    * multi-threaded, and the manifest pairs two structures (`databases`,
-    * `chunkFiles`) that must advance together — two interleaved appends
-    * to one db would otherwise pair file ids with the wrong measurements
+  /** Per-DATABASE mutation locks: the HTTP pool is multi-threaded, and
+    * the manifest pairs two structures (`databases`, `chunkFiles`) that
+    * must advance together — two interleaved appends to one db would
+    * otherwise pair file ids with the wrong measurements
     * (cross-measurement corruption after restart). Also taken WITHOUT a
     * dataDir: the DROP path must not lose a concurrent append between
-    * its read and write of the chunk vector. Bookkeeping under the lock
-    * is vector-append-sized; only the persisting write path holds it
-    * across a parquet write, which serializes concurrent writes to a
-    * durable facade — the price of a consistent manifest. */
-  private val persistLock = new Object
+    * its read and write of the chunk vector. The invariant is strictly
+    * per-db, so the lock is too — a slow parquet write to one database
+    * never convoys writes to another; within one db, holding the lock
+    * across the parquet write is the price of a consistent manifest. */
+  private val persistLocks = TrieMap.empty[String, Object]
+  private def persistLock(db: String): Object =
+    persistLocks.getOrElseUpdate(db, new Object)
 
-  /** Crash-safe file replace: write a temp sibling, fsync-free atomic
-    * rename over the target. A kill mid-write can no longer leave a torn
-    * manifest/rules/server_id that would fail every subsequent startup —
-    * the old complete file survives until the new one is complete. */
+  /** Crash-safe file replace: write a UNIQUELY-NAMED temp sibling, then
+    * atomically rename over the target. A kill mid-write can no longer
+    * leave a torn manifest/rules/server_id that would fail every
+    * subsequent startup — the old complete file survives until the new
+    * one is complete — and the unique temp name keeps concurrent writers
+    * of the same file (last-write-wins registries like rules/server_id)
+    * from promoting each other's half-written bytes. Orphaned temps from
+    * a crash are never read back (the loader looks files up by name). */
+  private val tmpSeq = new AtomicLong
   private def atomicWrite(path: java.nio.file.Path,
       bytes: Array[Byte]): Unit = {
     Files.createDirectories(path.getParent)
-    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    val tmp = path.resolveSibling(
+      s"${path.getFileName}.${tmpSeq.getAndIncrement()}.tmp")
     Files.write(tmp, bytes)
     Files.move(tmp, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -194,7 +202,7 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
     * truthfully means "nothing landed" (no half-applied write that is
     * queryable in memory but absent after restart). */
   private def appendChunks(db: String,
-      frames: Seq[(String, DataFrame)]): Unit = persistLock.synchronized {
+      frames: Seq[(String, DataFrame)]): Unit = persistLock(db).synchronized {
     val fids = dataDir.map { _ =>
       frames.map { case (_, df) =>
         val fid = nextChunkFid.getAndIncrement()
@@ -758,7 +766,7 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
         // effects (stage remapping, chunkFiles, the manifest) must live
         // OUTSIDE any retry-able closure; the lock also pins the
         // databases/chunkFiles pair against a concurrent append
-        persistLock.synchronized {
+        persistLock(db).synchronized {
           databases.get(db).foreach { chunks =>
             val survivors = chunks.zipWithIndex.filterNot(_._1._1 == m)
             val remapped = survivors.zipWithIndex.flatMap {

@@ -21,6 +21,10 @@ class PipelineSpec extends SparkSpec {
       if (i == 35 || i < 2) 1.0f else -1.0f))).toDF("vec_id", "embedding")
     assert(Similarity.binarySign(wide, "vec_id", "embedding")
       .select($"bits").as[Seq[Long]].head() == Seq(3L, 8L))
+    // an empty vector has NO signature (not a spurious [0, -1]-shaped one)
+    val empty = Seq((1L, Seq.empty[Float])).toDF("vec_id", "embedding")
+    assert(Similarity.binarySign(empty, "vec_id", "embedding")
+      .select($"bits").as[Seq[Long]].head().isEmpty)
     // hamming ranking: distances exact, ascending, ties by id
     val corpus = Similarity.binarySign(Seq(
       (10L, Seq(1.0f, 1.0f, -1.0f, -1.0f)),  // bits 0011

@@ -185,7 +185,11 @@ class PlanShapeSpec extends SparkSpec {
         WHERE l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
           WHERE l2.l_partkey = l1.l_partkey)"""))
     assert(!q17.contains("Subquery"), q17) // decorrelated, not re-executed
-    assert(q17.contains("Aggregate") || q17.contains("HashAggregate"), q17)
+    // the decorrelated shape specifically: an average AGGREGATED BY the
+    // correlation key (the outer count(*) would satisfy a bare
+    // "HashAggregate" check, proving nothing)
+    assert("keys=\\[l_partkey#\\d+L?\\], functions=\\[(partial_)?avg".r
+      .findFirstIn(q17).isDefined, q17)
     // q18 shape: EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti
     val q18 = executedPlan(spark.sql(
       """SELECT s_name, count(*) FROM supplier
