@@ -1470,6 +1470,33 @@ object QueriesPipeline {
         SELECT doc_id, span_start, span_end, n_shingles FROM g
         WHERE n_shingles >= 2 ORDER BY doc_id, span_start""")),
 
+    // keep-one-occurrence policy (Lee et al. §4 semantics proper): the
+    // globally-first (doc_id, pos) occurrence of each repeated shingle
+    // is the canonical keeper; only LATER copies become excisable spans.
+    // The oracle replays the same per-shingle rank
+    ("dedup_spans_keep_first",
+      (s, d) => DocDedup.repeatedSpansKeepFirst(
+          Tables.documents(s, d).filter(col("doc_id") < 400),
+          "doc_id", "text", k = 6, minRun = 2)
+        .orderBy("doc_id", "span_start"),
+      Some(s"""WITH toks AS (SELECT doc_id, $dToks AS w FROM documents
+          WHERE doc_id < 400),
+        ps AS (SELECT doc_id, unnest(range(1, len(w) - 4)) AS i, w
+          FROM toks WHERE len(w) >= 6),
+        p AS (SELECT doc_id, i, array_to_string(w[i:i+5], ' ') AS sh
+          FROM ps),
+        r AS (SELECT doc_id, i, count(*) OVER (PARTITION BY sh) AS n,
+            row_number() OVER (PARTITION BY sh ORDER BY doc_id, i) AS rn
+          FROM p),
+        dd AS (SELECT doc_id, i, row_number() OVER (PARTITION BY doc_id
+            ORDER BY i) AS rk
+          FROM r WHERE n >= 2 AND rn > 1),
+        g AS (SELECT doc_id, CAST(min(i) AS INT) AS span_start,
+            CAST(max(i) + 5 AS INT) AS span_end, count(*) AS n_shingles
+          FROM dd GROUP BY doc_id, i - rk)
+        SELECT doc_id, span_start, span_end, n_shingles FROM g
+        WHERE n_shingles >= 2 ORDER BY doc_id, span_start""")),
+
     // span EXCISION over the repeated runs: per-doc removed-token mass
     // and the cleaned remainder text — the oracle rebuilds both with the
     // same spans CTE plus a positional anti-join token filter

@@ -631,6 +631,30 @@ object DocDedup {
       idCol, k, minRun)
   }
 
+  /** The EXCISABLE spans under Lee et al.'s keep-one-occurrence policy:
+    * a position counts as removable only when its shingle repeats
+    * corpus-wide AND this occurrence is NOT the canonical one (the
+    * globally smallest `(doc id, position)` — deterministic, so both
+    * engines pick the same keeper). The first document carrying a
+    * repeated passage keeps it; every later copy excises. Same plan
+    * shape as [[repeatedSpans]] with one extra rank inside the existing
+    * shingle-keyed window partition — no new shuffle. */
+  def repeatedSpansKeepFirst(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, minOccurs: Int = 2,
+      minRun: Int = 1): DataFrame = {
+    require(k >= 1, "shingle width must be >= 1 token")
+    require(minOccurs >= 2, "a repeat needs at least two occurrences")
+    require(minRun >= 1, "minimum run must be >= 1 shingle")
+    import org.apache.spark.sql.expressions.Window
+    val bySh = Window.partitionBy(col("sh"))
+    val pos = positionalShingles(docs, idCol, textCol, k)
+      .withColumn("__n", count(lit(1)).over(bySh))
+      .withColumn("__rn", row_number().over(
+        bySh.orderBy(col("__id"), col("pos"))))
+    islandsOf(pos.filter(col("__n") >= minOccurs && col("__rn") > 1),
+      idCol, k, minRun)
+  }
+
   /** (doc `__id`, 1-based `pos`, `sh`) positional-shingle frame. */
   private def positionalShingles(docs: DataFrame, idCol: String,
       textCol: String, k: Int): DataFrame =

@@ -58,6 +58,21 @@ class DocDedupExtrasSpec extends SparkSpec {
       && !inc.exists(_._1 == 3L))
   }
 
+  test("repeatedSpansKeepFirst: the first occurrence is the keeper; " +
+      "only later copies become spans") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog end one"),
+      (2L, "prefix words the quick brown fox jumps over the lazy dog tail"),
+      (4L, "a b c d x a b c d y")).toDF("doc_id", "text")
+    val spans = DocDedup.repeatedSpansKeepFirst(docs, "doc_id", "text",
+        k = 4)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Int, Int, Long)].collect().toSeq
+    // doc 1 holds every shared shingle's first occurrence -> no spans;
+    // doc 2's copy of the phrase and doc 4's SECOND "a b c d" excise
+    assert(spans == Seq((2L, 3, 11, 6L), (4L, 6, 9, 1L)))
+  }
+
   test("exciseRepeatedSpans: removes span tokens, keeps the clean rest") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog end one"),
