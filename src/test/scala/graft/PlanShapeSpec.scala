@@ -222,6 +222,16 @@ class PlanShapeSpec extends SparkSpec {
       .findAllMatchIn(plan).map(_.group(1)).toSeq
     assert(specs.nonEmpty && specs.forall(s =>
       s.contains("sh") || s.contains("__id")), plan)
+    // keep-first adds its rank INSIDE the existing shingle partition:
+    // still one explode, still no join, still only keyed windows
+    val kf = executedPlan(graft.pipeline.DocDedup.repeatedSpansKeepFirst(
+      docs, "doc_id", "text", k = 6, minRun = 2))
+    assert("Generate explode".r.findAllIn(kf).size == 1, kf)
+    assert(!kf.contains("Join"), kf)
+    val kfSpecs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(kf).map(_.group(1)).toSeq
+    assert(kfSpecs.nonEmpty && kfSpecs.forall(s =>
+      s.contains("sh") || s.contains("__id")), kf)
   }
 
   test("r8 operators: IVF-PQ cell join broadcasts; covariance partial-aggregates") {
