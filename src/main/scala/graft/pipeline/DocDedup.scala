@@ -687,6 +687,16 @@ object DocDedup {
     positionalShingles(docs, idCol, textCol, k)
       .groupBy(col("sh")).agg(count(lit(1)).as("n"))
 
+  /** Fold a new batch's shingles into a persisted [[spanShingleIndex]]:
+    * union + one summing groupBy (map-side partials) — the index-update
+    * step of the incremental span pipeline, run after mining each batch.
+    * The result is the exact index of the enlarged corpus, so repeated
+    * folds compose associatively. */
+  def mergeSpanShingleIndex(index: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, k: Int): DataFrame =
+    index.unionByName(spanShingleIndex(batch, idCol, textCol, k))
+      .groupBy(col("sh")).agg(sum(col("n")).as("n"))
+
   /** [[repeatedSpans]] for a NEW batch against a persisted corpus index
     * (the [[incrementalNearDups]] discipline: only the batch is
     * shingled — the corpus is never re-tokenized). A batch position is
