@@ -44,6 +44,49 @@ class RepeatedSpansPropSpec extends SparkSpec {
     }
   }
 
+  test("binarySign/hammingTopK match the brute-force bit model on " +
+      "random vectors (odd dims exercise the short final word)") {
+    import graft.pipeline.Similarity
+    val vecGen: Gen[List[List[Float]]] = for {
+      dim <- Gen.oneOf(1, 5, 31, 32, 33, 64, 70)
+      n <- Gen.choose(2, 8)
+      vs <- Gen.listOfN(n,
+        Gen.listOfN(dim, Gen.choose(-100, 100).map(_ / 10.0f)))
+    } yield vs
+    def modelBits(v: Seq[Float]): Seq[Long] =
+      v.grouped(32).map(_.zipWithIndex.collect {
+        case (x, j) if x >= 0 => 1L << j
+      }.foldLeft(0L)(_ | _)).toSeq
+    val prop = Prop.forAll(vecGen) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val bits = Similarity.binarySign(df, "vec_id", "embedding")
+      val gotBits = bits.orderBy("vec_id").as[(Long, Seq[Long])]
+        .collect().toMap
+      val bitsOk = vs.zipWithIndex.forall { case (v, i) =>
+        gotBits(i.toLong) == modelBits(v)
+      }
+      // top-k from query 0 vs model Hamming ranking
+      val q = bits.filter($"vec_id" === 0)
+        .select($"vec_id".as("q_id"), $"bits".as("q_bits"))
+      val got = Similarity.hammingTopK(bits, q, k = 3)
+        .orderBy("rank").as[(Long, Int, Long, Int)].collect()
+        .map(r => (r._3, r._4)).toSeq
+      val qb = modelBits(vs.head)
+      val want = vs.zipWithIndex.drop(1).map { case (v, i) =>
+        (i.toLong, modelBits(v).zip(qb)
+          .map { case (a, b) => java.lang.Long.bitCount(a ^ b) }.sum)
+      }.sortBy { case (id, dd) => (dd, id) }.take(3)
+      val rankOk = got == want
+      if (!bitsOk || !rankOk)
+        println(s"vs=$vs got=$got want=$want gotBits=$gotBits")
+      bitsOk && rankOk
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("repeatedSpans matches the brute-force model on random corpora") {
     val prop = Prop.forAll(corpusGen, Gen.choose(1, 3), Gen.choose(1, 2)) {
       (docs, kk, minRun) =>
