@@ -38,6 +38,13 @@ object QueriesPipeline {
     WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.7
     ORDER BY id1, id2"""
 
+  // the MinHash permutation parameters the dedup queries run with,
+  // exported to the oracle as a VALUES table so DuckDB replays the exact
+  // all-integer signature arithmetic (h·a + b mod 2³¹−1 stays under 2⁶³)
+  private val dMinHashParams = DocDedup.MinHashParams(numPerms = 32, bands = 16)
+  private val dPerms = dMinHashParams.abs.zipWithIndex
+    .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+
   // DuckDB twins of Clustering.quantize / prepared / assignOnce: quantized
   // integer vectors q, derived doubles e = q/1e6, and one argmax-affinity
   // assignment (ties to the smallest cluster id) against a (c, ce) table
@@ -322,6 +329,66 @@ object QueriesPipeline {
         JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN n
         GROUP BY tf.doc_id
         ORDER BY bm25 DESC, tf.doc_id LIMIT 50""")),
+
+    // end-to-end RAG retrieval: sliding-window passages (200 chars every
+    // 150) scored by multi-query BM25 — ONE corpus pass for the whole
+    // query batch — then top-3 passages per query via the bounded TopK
+    // AGGREGATE (map-side partials; no per-query corpus sort). Passage
+    // key packs (doc, chunk) into one long (chunks/doc is bounded by the
+    // stride; well under the 1000 packing base)
+    ("rag_passage_retrieval",
+      (s, d) => {
+        val chunks = Packing.chunkDocuments(
+            Tables.spread(s, Tables.documents(s, d)),
+            "doc_id", "text", size = 200, stride = 150)
+          .select((col("doc_id") * 1000 + col("chunk_id")).as("pid"),
+            col("chunk"))
+        val queryBatch = Seq(
+          "q_exec" -> Seq("scan", "filter", "merge"),
+          "q_stream" -> Seq("window", "agg", "stream"),
+          "q_sales" -> Seq("customer", "order", "join"))
+        Ranking.bm25MultiQuery(chunks, "pid", "chunk", queryBatch)
+          .groupBy("query_id")
+          .agg(graft.functions.TopK.topK(3)(col("bm25"), col("pid")).as("top"))
+          .select(col("query_id"), posexplode(col("top")).as(Seq("rk", "x")))
+          .select(col("query_id"), (col("rk") + 1).cast("int").as("rank"),
+            (col("x.id") / lit(1000)).cast("long").as("doc_id"),
+            pmod(col("x.id"), lit(1000)).as("chunk_id"),
+            round(col("x.score"), 6).as("bm25"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH c AS (SELECT doc_id, cid,
+          substring(text, CAST(cid * 150 + 1 AS INT), 200) AS chunk
+          FROM (SELECT doc_id, text, unnest(range(0,
+            (greatest(length(text) - 200, 0) + 149) // 150 + 1)) AS cid
+          FROM documents)),
+        p AS (SELECT doc_id * 1000 + cid AS pid, regexp_split_to_array(
+            regexp_replace(lower(trim(chunk)), '\\s+', ' ', 'g'), ' ') AS w
+          FROM c),
+        n AS (SELECT count(*) AS n_docs, avg(len(w)) AS avg_dl FROM p),
+        dl AS (SELECT pid, len(w) AS dl FROM p),
+        qt(query_id, term) AS (VALUES
+          ('q_exec', 'scan'), ('q_exec', 'filter'), ('q_exec', 'merge'),
+          ('q_stream', 'window'), ('q_stream', 'agg'), ('q_stream', 'stream'),
+          ('q_sales', 'customer'), ('q_sales', 'order'), ('q_sales', 'join')),
+        tf AS (SELECT pid, term, count(*) AS tf
+          FROM (SELECT pid, unnest(w) AS term FROM p)
+          WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        sc AS (SELECT qt.query_id, tf.pid,
+            sum(CAST(floor(ln((n.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * (tf.tf * (1.2 + 1)) /
+              (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / n.avg_dl))
+              * 1000000 + 0.5) AS BIGINT)) AS sq
+          FROM tf JOIN df USING (term) JOIN qt ON qt.term = tf.term
+          JOIN dl ON dl.pid = tf.pid CROSS JOIN n
+          GROUP BY 1, 2),
+        rk AS (SELECT query_id, pid, sq, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY sq DESC, pid ASC) AS INT) AS rank
+          FROM sc)
+        SELECT query_id, rank, pid // 1000 AS doc_id, pid % 1000 AS chunk_id,
+          round(sq / 1000000.0, 6) AS bm25
+        FROM rk WHERE rank <= 3 ORDER BY query_id, rank""")),
 
     // deterministic split assignment: train/val/test as a pure function
     // of the content key hash (10%/5% val/test) — reshuffle/rerun/engine
@@ -1370,6 +1437,44 @@ object QueriesPipeline {
         .orderBy("id1", "id2"),
       Some(dJaccardPairs)),
 
+    // MinHash sketch-accuracy audit: the estimate (fraction of agreeing
+    // signature components) vs the exact Jaccard it approximates, per
+    // near-dup pair — the QA gate before trusting an LSH config on a new
+    // corpus. The oracle replays the full all-integer signature pipeline
+    // (hash60 mod p, 32 permutations from the exported VALUES table,
+    // min per permutation), so every value is bit-equal by construction
+    ("dedup_minhash_accuracy",
+      (s, d) => DocDedup.minHashEstimateAudit(
+          Tables.spread(s, Tables.documents(s, d)), "doc_id", "text",
+          n = 3, threshold = 0.7, dMinHashParams)
+        .select(col("id1"), col("id2"),
+          round(col("est_jaccard"), 6).as("est_jaccard"),
+          round(col("jaccard"), 6).as("jaccard"),
+          round(col("abs_err"), 6).as("abs_err"))
+        .orderBy("id1", "id2"),
+      Some(s"""WITH $dShingles,
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        good AS (SELECT id1, id2,
+            inter * 1.0 / (s1.n + s2.n - inter) AS jac
+          FROM pairs JOIN sizes s1 ON s1.doc_id = id1
+            JOIN sizes s2 ON s2.doc_id = id2
+          WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.7),
+        hs AS (SELECT doc_id, ${dHash60("s")} % 2147483647 AS h FROM sh),
+        perms(i, a, b) AS (VALUES $dPerms),
+        mins AS (SELECT doc_id, i, min((h * a + b) % 2147483647) AS mh
+          FROM hs CROSS JOIN perms GROUP BY 1, 2),
+        agree AS (SELECT g.id1, g.id2, g.jac,
+            sum(CASE WHEN m1.mh = m2.mh THEN 1 ELSE 0 END) / 32.0 AS est
+          FROM good g JOIN mins m1 ON m1.doc_id = g.id1
+          JOIN mins m2 ON m2.doc_id = g.id2 AND m2.i = m1.i
+          GROUP BY 1, 2, 3)
+        SELECT id1, id2, round(est, 6) AS est_jaccard, round(jac, 6) AS jaccard,
+          round(abs(est - jac), 6) AS abs_err
+        FROM agree ORDER BY id1, id2""")),
+
     // bounded-Levenshtein verification over the LSH near-dup pairs: the
     // cap (6) is chosen so this corpus exercises BOTH paths — most pairs
     // verify within the bound, the farthest exceed it and surface NULL.
@@ -1822,6 +1927,86 @@ object QueriesPipeline {
             AS chunk_len
         FROM c ORDER BY doc_id, chunk_id""")),
 
+    // Misra-Gries heavy hitters: top tokens via a bounded MERGEABLE
+    // summary (≤ k counters per state, map-side partials — never a
+    // vocabulary-sized shuffle). Capacity 64 > the corpus vocabulary, so
+    // the summary is exact counting here and the oracle replays it as
+    // plain counts; the spec pins the eviction/merge semantics below
+    // capacity
+    ("text_heavy_hitters",
+      (s, d) => Tables.spread(s, Tables.documents(s, d))
+        .select(explode(TF.tokens(col("text"))).as("tok"))
+        .agg(graft.functions.HeavyHitters.misraGries(64)(col("tok")).as("hh"))
+        .select(explode(col("hh")).as(Seq("token", "est")))
+        .orderBy(col("est").desc, col("token"))
+        .limit(15),
+      Some(s"""WITH occ AS (SELECT unnest(w) AS t
+          FROM (SELECT $dToks AS w FROM documents))
+        SELECT t AS token, CAST(count(*) AS BIGINT) AS est
+        FROM occ GROUP BY 1
+        ORDER BY est DESC, token LIMIT 15""")),
+
+    // content-defined chunking: boundaries where a token's hash ≡ 0
+    // (mod 8) — insertions in near-duplicates shift one chunk, later
+    // boundaries re-synchronize (the LBFS/rsync property at text grain).
+    // All-integer boundary decisions, so the oracle replays them exactly
+    ("text_cdc_chunks",
+      (s, d) => Packing.cdcChunks(Tables.spread(s, Tables.documents(s, d)),
+          "doc_id", "text", mask = 8)
+        .select(col("doc_id"), col("chunk_id"),
+          md5(encode(col("chunk"), "UTF-8")).as("chunk_md5"), col("n_toks"))
+        .orderBy("doc_id", "chunk_id"),
+      Some(s"""WITH t AS (SELECT doc_id, $dToks AS w FROM documents),
+        occ AS (SELECT doc_id, i, w[i] AS tok
+          FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM t)),
+        seg AS (SELECT doc_id, i, tok, CAST(coalesce(sum(
+            CASE WHEN ${dHash60("tok")} % 8 = 0 THEN 1 ELSE 0 END) OVER (
+            PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+            AS chunk_id
+          FROM occ),
+        ch AS (SELECT doc_id, chunk_id,
+            string_agg(tok, ' ' ORDER BY i) AS chunk,
+            CAST(count(*) AS BIGINT) AS n_toks
+          FROM seg GROUP BY 1, 2)
+        SELECT doc_id, chunk_id, md5(chunk) AS chunk_md5, n_toks
+        FROM ch ORDER BY doc_id, chunk_id""")),
+
+    // the CDC payoff measured: chunks (>= 3 tokens, to skip boundary
+    // singletons) shared verbatim across >= 2 documents — the shareable
+    // sub-document text a near-dup family exposes to storage/training
+    // dedup
+    ("dedup_cdc_shared",
+      (s, d) => Packing.cdcChunks(Tables.spread(s, Tables.documents(s, d)),
+          "doc_id", "text", mask = 8)
+        .filter(col("n_toks") >= 3)
+        .withColumn("chunk_md5", md5(encode(col("chunk"), "UTF-8")))
+        .groupBy("chunk_md5")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"), min(col("n_toks")).as("n_toks"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("chunk_md5"),
+      Some(s"""WITH t AS (SELECT doc_id, $dToks AS w FROM documents),
+        occ AS (SELECT doc_id, i, w[i] AS tok
+          FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM t)),
+        seg AS (SELECT doc_id, i, tok, CAST(coalesce(sum(
+            CASE WHEN ${dHash60("tok")} % 8 = 0 THEN 1 ELSE 0 END) OVER (
+            PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+            AS chunk_id
+          FROM occ),
+        ch AS (SELECT doc_id, chunk_id,
+            string_agg(tok, ' ' ORDER BY i) AS chunk,
+            count(*) AS n_toks
+          FROM seg GROUP BY 1, 2)
+        SELECT md5(chunk) AS chunk_md5,
+          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          CAST(count(*) AS BIGINT) AS n_occ,
+          CAST(min(n_toks) AS BIGINT) AS n_toks
+        FROM ch WHERE n_toks >= 3
+        GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+        ORDER BY chunk_md5""")),
+
     // -------------------------------------------------- similarity search
 
     ("emb_cosine_pairs",
@@ -1997,6 +2182,56 @@ object QueriesPipeline {
               * 1000000 + 0.5) DESC,
               c.c_id ASC) AS rn
           FROM q CROSS JOIN c) WHERE rn <= 3),
+        cand AS (SELECT p.q_id, a.vec_id FROM probes p JOIN assign a ON a.c_id = p.c_id),
+        scored AS (SELECT cand.q_id, cand.vec_id AS neighbor_id,
+            floor(list_dot_product(v.e, q.qe)
+              / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe)))
+              * 1000000 + 0.5) AS qm
+          FROM cand JOIN v ON v.vec_id = cand.vec_id JOIN q ON q.q_id = cand.q_id
+          WHERE cand.vec_id != cand.q_id),
+        ranked AS (SELECT q_id, neighbor_id, qm, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY qm DESC, neighbor_id ASC) AS INT) AS rank
+          FROM scored)
+        SELECT q_id, rank, neighbor_id, qm / 1000000.0 AS cos
+        FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""")),
+
+    // serving against a PREBUILT IVF index (the deployed-ANN shape: the
+    // corpus was assigned to lists once at build time; a query batch only
+    // assigns ITSELF to nprobe lists and scores those lists' members —
+    // the corpus is never re-assigned or re-shuffled). Different batch
+    // and probe width than ann_ivf_topk so both paths are exercised
+    ("ann_ivf_indexed",
+      (s, d) => {
+        val emb = qEmb(s, d)
+        val centroids = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+        val index = Similarity.ivfIndex(emb, centroids, microRank = true)
+        val q = emb.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.ivfTopKIndexed(index, centroids, q, k = 5, nprobe = 2,
+            microRank = true)
+          .select(col("q_id"), col("rank"), col("neighbor_id"),
+            (col("cos") / lit(1e6)).as("cos"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH $dEmbMicro,
+        c AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id % 50 = 0),
+        cosvc AS (SELECT v.vec_id, c.c_id, floor(list_dot_product(v.e, c.ce)
+            / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce)))
+            * 1000000 + 0.5) AS aff
+          FROM v CROSS JOIN c),
+        assign AS (SELECT vec_id, c_id FROM (SELECT vec_id, c_id,
+            row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, c_id ASC) AS rn
+          FROM cosvc) WHERE rn = 1),
+        q AS (SELECT vec_id AS q_id, e AS qe FROM v
+          WHERE vec_id >= 5 AND vec_id < 10),
+        probes AS (SELECT q_id, c_id FROM (SELECT q.q_id, c.c_id,
+            row_number() OVER (PARTITION BY q.q_id
+              ORDER BY floor(list_dot_product(q.qe, c.ce)
+              / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.ce, c.ce)))
+              * 1000000 + 0.5) DESC,
+              c.c_id ASC) AS rn
+          FROM q CROSS JOIN c) WHERE rn <= 2),
         cand AS (SELECT p.q_id, a.vec_id FROM probes p JOIN assign a ON a.c_id = p.c_id),
         scored AS (SELECT cand.q_id, cand.vec_id AS neighbor_id,
             floor(list_dot_product(v.e, q.qe)
@@ -3134,6 +3369,70 @@ object QueriesPipeline {
             / (CAST(nn.n AS DOUBLE) * nn.n * 1000000000000.0), 6) + 0 AS cov
         FROM sxy JOIN sx si ON si.i = sxy.i JOIN sx sj ON sj.i = sxy.j
         CROSS JOIN nn ORDER BY i, j""")),
+
+    // label-centroid separability matrix: pairwise cosine between the
+    // per-label mean embeddings — the linear-separability audit run
+    // before trusting the labels for a probe/classifier. Cosine is
+    // scale-invariant, so both engines compute it over per-label integer
+    // SUM vectors (never means): exact order-free sums, one IEEE divide
+    // of identical operands
+    ("emb_label_centroids",
+      (s, d) => Clustering.labelCentroidCosines(
+          Tables.spread(s, Tables.embeddings(s, d)), "label", "embedding")
+        .orderBy("label_a", "label_b"),
+      Some("""WITH v AS (SELECT label, list_transform(CAST(embedding AS DOUBLE[]),
+          y -> CAST(floor(y * 1000000.0 + 0.5) AS BIGINT)) AS q FROM embeddings),
+        sums AS (SELECT label, d, sum(q[d]) AS s
+          FROM v CROSS JOIN (SELECT unnest(range(1, 65)) AS d) GROUP BY 1, 2),
+        nsq AS (SELECT label, sum(CAST(s AS HUGEINT) * s) AS nsq
+          FROM sums GROUP BY 1),
+        cnt AS (SELECT label, count(*) AS n FROM v GROUP BY 1),
+        dots AS (SELECT a.label AS la, b.label AS lb,
+            sum(CAST(a.s AS HUGEINT) * b.s) AS dot
+          FROM sums a JOIN sums b ON a.d = b.d AND a.label < b.label
+          GROUP BY 1, 2)
+        SELECT la AS label_a, lb AS label_b, c1.n AS n_a, c2.n AS n_b,
+          round(CAST(dot AS DOUBLE) / (sqrt(CAST(n1.nsq AS DOUBLE))
+            * sqrt(CAST(n2.nsq AS DOUBLE))), 6) + 0 AS cos
+        FROM dots JOIN nsq n1 ON n1.label = la JOIN nsq n2 ON n2.label = lb
+        JOIN cnt c1 ON c1.label = la JOIN cnt c2 ON c2.label = lb
+        WHERE n1.nsq != 0 AND n2.nsq != 0
+        ORDER BY label_a, label_b""")),
+
+    // cross-signal audit: does text quality correlate with embedding
+    // norm? Pearson r from exact decimal moments over integer-quantized
+    // inputs (norm² = Σ micro², quality in micro-units) — any drift here
+    // flags degenerate embeddings for a quality stratum before training
+    ("emb_quality_corr",
+      (s, d) => {
+        val q = Tables.documents(s, d).select(col("doc_id"),
+          floor(TF.qualityScore(col("text")) * lit(1e6) + lit(0.5))
+            .cast("long").as("q_micro"))
+        val nsq = Tables.spread(s, Tables.embeddings(s, d))
+          .select(col("vec_id").as("doc_id"),
+            posexplode(Clustering.quantize(col("embedding")))
+              .as(Seq("__d", "__x")))
+          .groupBy("doc_id")
+          .agg(sum(col("__x") * col("__x")).as("norm_sq"))
+        Quantization.pearsonExact(q.join(nsq, "doc_id"), "norm_sq", "q_micro")
+      },
+      Some(s"""WITH q AS (SELECT doc_id,
+          CAST(floor($dQuality * 1000000.0 + 0.5) AS BIGINT) AS qm
+          FROM documents),
+        e AS (SELECT vec_id AS doc_id, sum(x * x) AS nsq FROM (
+          SELECT vec_id, unnest(list_transform(CAST(embedding AS DOUBLE[]),
+            y -> CAST(floor(y * 1000000.0 + 0.5) AS BIGINT))) AS x
+          FROM embeddings) GROUP BY 1),
+        j AS (SELECT qm, nsq FROM q JOIN e USING (doc_id)),
+        m AS (SELECT count(*) AS n,
+          sum(CAST(nsq AS HUGEINT)) AS sx, sum(CAST(qm AS HUGEINT)) AS sy,
+          sum(CAST(nsq AS HUGEINT) * nsq) AS sxx,
+          sum(CAST(qm AS HUGEINT) * qm) AS syy,
+          sum(CAST(nsq AS HUGEINT) * qm) AS sxy FROM j)
+        SELECT n, round(CAST(n * sxy - sx * sy AS DOUBLE)
+          / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) + 0 AS r
+        FROM m""")),
 
     // per-group top-k selection as a bounded AGGREGATE (TopK partial
     // aggregation: every map task reduces to k rows per group) instead of

@@ -215,4 +215,52 @@ object Clustering {
         coalesce(!col("__dropped"), lit(true)).as("kept"))
       .unionByName(zeroNorm)
   }
+
+  /** Label-centroid separability matrix: the pairwise cosine between the
+    * per-label mean embeddings — the first audit run on a labeled
+    * embedding corpus (near-1 off-diagonal cosines mean the labels are
+    * not linearly separable and a probe/classifier trained on them will
+    * confuse those classes). Returns the strict upper triangle
+    * (label_a < label_b, cos) plus each label's member count.
+    *
+    * Exactness: cosine is scale-invariant, so it is computed over the
+    * per-label per-dimension SUMS of the micro-quantized coordinates —
+    * never the means — and those sums are exact order-free integer
+    * aggregates (decimal(38,0), so a 100 TB label's sum cannot silently
+    * overflow a long). cos(sum_a, sum_b) == cos(mean_a, mean_b) exactly,
+    * and the final value is one IEEE divide of identical operands on any
+    * engine.
+    *
+    * Scale shape: one posexplode + groupBy(label, dim) REDUCES the corpus
+    * to an (L·dim)-row frame (metadata-sized for any real label count);
+    * the pairwise stage only ever sees that frame. Zero-sum labels (all
+    * members quantize to the zero vector) have no direction and are
+    * excluded from the pair output rather than dividing by zero. */
+  def labelCentroidCosines(df: DataFrame, labelCol: String,
+      vecCol: String): DataFrame = {
+    val q = df.select(col(labelCol).as("__lbl"),
+      quantize(col(vecCol)).as("__q"))
+    val sums = q
+      .select(col("__lbl"), posexplode(col("__q")).as(Seq("__d", "__x")))
+      .groupBy(col("__lbl"), col("__d"))
+      .agg(sum(col("__x").cast("decimal(38,0)")).as("__s"))
+    val counts = q.groupBy(col("__lbl")).agg(count(lit(1)).as("__n"))
+    val norms = sums.groupBy(col("__lbl"))
+      .agg(sum(col("__s") * col("__s")).as("__nsq"))
+    val a = sums.toDF("__la", "__d", "__sa")
+    val b = sums.toDF("__lb", "__d", "__sb")
+    a.join(b, Seq("__d")).filter(col("__la") < col("__lb"))
+      .groupBy(col("__la"), col("__lb"))
+      .agg(sum(col("__sa") * col("__sb")).as("__dot"))
+      .join(norms.select(col("__lbl").as("__la"), col("__nsq").as("__na")), "__la")
+      .join(norms.select(col("__lbl").as("__lb"), col("__nsq").as("__nb")), "__lb")
+      .filter(col("__na") =!= 0 && col("__nb") =!= 0)
+      .join(counts.select(col("__lbl").as("__la"), col("__n").as("n_a")), "__la")
+      .join(counts.select(col("__lbl").as("__lb"), col("__n").as("n_b")), "__lb")
+      .select(col("__la").as("label_a"), col("__lb").as("label_b"),
+        col("n_a"), col("n_b"),
+        round(col("__dot").cast("double") /
+          (sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double"))),
+          6).as("cos"))
+  }
 }

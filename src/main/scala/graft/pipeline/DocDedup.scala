@@ -303,6 +303,40 @@ object DocDedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** MinHash sketch-accuracy audit: for every exact near-dup pair
+    * (n-gram Jaccard >= `threshold`), compare the MinHash ESTIMATE — the
+    * fraction of the `p.numPerms` signature components the two documents
+    * agree on (an unbiased estimator of Jaccard) — against the exact
+    * Jaccard it approximates. This is the QA step run before trusting an
+    * LSH configuration on a new corpus: a systematic estimate gap means
+    * the permutation count is too low (variance ~ J(1−J)/numPerms) for
+    * the chosen banding to hit its recall target.
+    *
+    * Returns (id1, id2, est_jaccard, jaccard, abs_err). Scale shape: the
+    * pair set is candidate-bounded (inverted-index generation with a df
+    * cap, never all-pairs); signatures attach via two equality joins on
+    * the id — no re-shingling, no quadratic stage. Determinism: the
+    * estimate is matches/numPerms (an exact dyadic rational for
+    * power-of-two permutation counts) and the signature arithmetic is
+    * all-integer, so both engines reproduce every value bit-for-bit. */
+  def minHashEstimateAudit(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, p: MinHashParams): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, idCol, textCol, n, threshold)
+    val sigs = signatures(docs, idCol, textCol, n, p)
+    val s1 = sigs.toDF(sigs.columns.map(c =>
+      if (c == idCol) "id1" else s"${c}_1"): _*)
+    val s2 = sigs.toDF(sigs.columns.map(c =>
+      if (c == idCol) "id2" else s"${c}_2"): _*)
+    val matches = (0 until p.numPerms)
+      .map(i => when(col(s"mh_${i}_1") === col(s"mh_${i}_2"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(s1, "id1").join(s2, "id2")
+      .select(col("id1"), col("id2"),
+        (matches.cast("double") / lit(p.numPerms)).as("est_jaccard"),
+        col("jaccard"))
+      .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs from a single shingling of the
     * corpus. |A∩B| is counted as pair multiplicity in the inverted
     * shingle index (the pair appears once per shared shingle); each doc's

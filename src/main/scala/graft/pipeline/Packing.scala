@@ -51,6 +51,44 @@ object Packing {
       .drop("__end", "__start")
   }
 
+  /** Content-defined chunking (CDC): cut each document into variable-
+    * size chunks at CONTENT-determined boundaries — a boundary falls
+    * after every token whose hash is ≡ 0 (mod `mask`), giving chunks of
+    * ~`mask` tokens on average. Unlike fixed windows, an insertion early
+    * in a near-duplicate document shifts only the chunk it lands in: all
+    * later boundaries re-synchronize, so shared runs between
+    * near-duplicates keep producing IDENTICAL chunks — the property
+    * storage dedup systems (LBFS/rsync lineage) rely on, applied here to
+    * find shareable text at sub-document grain.
+    *
+    * Output: one row per (doc, chunk) with `chunk_id` (0-based, in
+    * document order), the chunk text and its token count.
+    *
+    * Scale shape: one explode + one cumulative window PARTITIONED BY
+    * DOCUMENT (high-cardinality key — per-doc sorts, never a corpus
+    * sort) + one groupBy back to chunk rows. All boundary decisions are
+    * integer (hash60 mod), so chunking is engine- and shard-exact. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      mask: Int): DataFrame = {
+    require(mask >= 2, s"mask must be >= 2, got $mask")
+    import graft.functions.TextFunctions.{hash60, tokens}
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol),
+        posexplode_outer(tokens(col(textCol))).as(Seq("__pos", "__tok")))
+      .filter(col("__tok").isNotNull)
+      .withColumn("__b",
+        (pmod(hash60(col("__tok")), lit(mask)) === 0).cast("int"))
+      .withColumn("chunk_id",
+        coalesce(sum(col("__b")).over(w), lit(0)).cast("int"))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("__pos"), col("__tok")))),
+          x => x("__tok")), " ").as("chunk"),
+        count(lit(1)).as("n_toks"))
+  }
+
   /** Sliding-window character chunks: windows of `size` chars every
     * `stride` chars (overlap = size - stride), the trailing window
     * shorter. Every document emits at least one chunk (id 0). Output

@@ -76,6 +76,33 @@ object Quantization {
           .as("cov"))
   }
 
+  /** Exact Pearson correlation between two INTEGER columns — the
+    * cross-signal audit primitive (e.g. does text quality correlate with
+    * embedding norm?). Inputs are expected pre-quantized to an integer
+    * grid (the micro-unit discipline); every sum runs in decimal(38,0)
+    * so the four moments are exact order-free integer sums at any corpus
+    * size, and `r = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² −
+    * (Σy)²))` is evaluated as IEEE doubles over those identical exact
+    * operands — bit-reproducible on any engine. Returns one row
+    * (n, r); a zero-variance column makes r degenerate (0/0), which the
+    * caller should treat as undefined.
+    *
+    * Scale shape: a single full-scan aggregate with map-side partials —
+    * one reduce to one row, nothing else. */
+  def pearsonExact(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("decimal(38,0)")
+    val y = col(yCol).cast("decimal(38,0)")
+    df.agg(count(lit(1)).as("n"), sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * x).as("__sxx"), sum(y * y).as("__syy"), sum(x * y).as("__sxy"))
+      .select(col("n"),
+        round((col("n") * col("__sxy") - col("__sx") * col("__sy"))
+            .cast("double") /
+          (sqrt((col("n") * col("__sxx") - col("__sx") * col("__sx"))
+              .cast("double")) *
+            sqrt((col("n") * col("__syy") - col("__sy") * col("__sy"))
+              .cast("double"))), 6).as("r"))
+  }
+
   /** Encode every vector against the corpus codebook. Output keeps the
     * id column and adds `codes: array<int>` (one int8 code per dim). */
   def quantizeInt8(spark: SparkSession, emb: DataFrame, idCol: String,

@@ -52,6 +52,58 @@ object Ranking {
       .agg((sum(col("__contrib")) / lit(1e6)).as("bm25"))
   }
 
+  /** Multi-query BM25: score EVERY query of a batch with corpus work
+    * INDEPENDENT of the query count — the retrieval shape of a RAG
+    * evaluation or a topic-routing pipeline, where thousands of queries
+    * rank the same passage corpus. Returns one row per
+    * (query_id, document) with a matching term.
+    *
+    * Scale posture: running [[bm25]] per query would redo the scan, the
+    * tokenize and the tf shuffle once per query. Here the token stream is
+    * filtered once to the UNION of all query vocabularies, term
+    * frequencies are aggregated once (plus one corpus-stats aggregate),
+    * and a broadcast (query_id, term) table fans each term row out to the
+    * queries that asked for it — adding a query adds only broadcast-sized
+    * work, and everything query-sized stays broadcast.
+    *
+    * Determinism: identical contribution quantization to [[bm25]] (each
+    * per-term contribution floors to integer micro-units before the sum),
+    * so per-query scores are exact integer sums in any engine. */
+  def bm25MultiQuery(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(String, Seq[String])],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "every query needs at least one term")
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val queryTerms = queries
+      .flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val allTerms = queries.flatMap(_._2).distinct
+    val base = docs
+      .select(col(idCol), TF.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"), size(col("__toks")).as("__dl"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), avg(col("__dl")).as("avg_dl"))
+    val tf = base
+      .select(col(idCol), col("__dl"), explode_outer(col("__toks")).as("term"))
+      .filter(col("term").isin(allTerms: _*)) // in-set also drops the outer null
+      .groupBy(col(idCol), col("term"), col("__dl"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "term")
+      .join(broadcast(queryTerms), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("__contrib",
+        floor(col("__idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("__dl") / col("avg_dl")))
+          * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg((sum(col("__contrib")) / lit(1e6)).as("bm25"))
+  }
+
   /** Classic tf-idf scoring against a query term set — the pre-BM25
     * baseline retrieval ranker, still the standard vectorizer for
     * lightweight corpus topic filters: per document

@@ -114,20 +114,30 @@ object Similarity {
       .select(col(idCol), col("__e"), col("__n"), (-col("m.nc")).as(cIdCol))
   }
 
-  /** IVF top-k: probe the `nprobe` centroid lists nearest to each query.
-    * Approximate — recall depends on nprobe/nlist; exactness returns as
-    * nprobe -> nlist. */
-  def ivfTopK(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
-      k: Int, nprobe: Int,
+  /** The persistable IVF index of a corpus: every vector assigned to its
+    * nearest centroid list, carrying the normalized vector and its norm —
+    * exactly what [[ivfTopKIndexed]] scores against. Computed ONCE per
+    * corpus build and persisted (parquet, partitioned by `c_id`), so
+    * serving-time queries never re-assign the corpus — the same
+    * pay-the-corpus-cost-once posture as [[DocDedup.lshIndex]]. At
+    * 100 TB the index build is the one full-corpus job; every query
+    * batch afterwards touches only the probed lists. */
+  def ivfIndex(corpus: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
+      microRank: Boolean = false): DataFrame =
+    assignToCentroids(corpus, centroids, idCol, vecCol, microRank = microRank)
+
+  /** IVF top-k against a prebuilt [[ivfIndex]]: assign each QUERY to its
+    * `nprobe` nearest centroid lists, score only those lists' members.
+    * The index side is never re-shuffled — the probe table broadcasts
+    * onto it. */
+  def ivfTopKIndexed(index: DataFrame, centroids: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int,
+      idCol: String = "vec_id",
       qIdCol: String = "q_id", qVecCol: String = "q_vec",
       microRank: Boolean = false): DataFrame = {
-    val assigned =
-      assignToCentroids(corpus, centroids, idCol, vecCol, microRank = microRank)
     val cent = normed(centroids, "c_id", "c_vec", "__ce", "__cn")
     val q = normed(queries, qIdCol, qVecCol, "__qe", "__qn")
-    // centroid lists each query probes: tiny (queries x nlist), ranked by
-    // the same bounded top-k aggregate
     val probeAff =
       cosExpr(dot(col("__qe"), col("__ce")), col("__qn"), col("__cn"))
     val probes = rankTopK(
@@ -138,12 +148,24 @@ object Similarity {
       .select(col(qIdCol), col("neighbor_id").as("c_id"))
       .join(q, qIdCol)
     val cos = cosExpr(dot(col("__e"), col("__qe")), col("__n"), col("__qn"))
-    val scored = assigned.join(broadcast(probes), "c_id")
+    val scored = index.join(broadcast(probes), "c_id")
       .filter(col(idCol) =!= col(qIdCol))
       .select(col(qIdCol), col(idCol),
         (if (microRank) micro(cos) else cos).as("cos"))
     rankTopK(scored, k, qIdCol, "cos", idCol)
   }
+
+  /** IVF top-k: probe the `nprobe` centroid lists nearest to each query.
+    * Approximate — recall depends on nprobe/nlist; exactness returns as
+    * nprobe -> nlist. One-shot form of [[ivfIndex]] + [[ivfTopKIndexed]]. */
+  def ivfTopK(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "q_id", qVecCol: String = "q_vec",
+      microRank: Boolean = false): DataFrame =
+    ivfTopKIndexed(
+      ivfIndex(corpus, centroids, idCol, vecCol, microRank = microRank),
+      centroids, queries, k, nprobe, idCol, qIdCol, qVecCol, microRank)
 
   /** Maximal Marginal Relevance diversified top-k (Carbonell & Goldstein
     * 1998): greedily pick k of the top-`n` retrieval candidates

@@ -76,4 +76,37 @@ class PackingSpec extends SparkSpec {
       .select("chunk_id", "chunk").collect().map(r => r.getInt(0) -> r.getString(1))
     assert(out.toSeq == Seq(0 -> "ab"))
   }
+
+  private def cdcOf(rows: (Long, String)*): Map[Long, Seq[(String, Long)]] = {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 2),
+      StructType(Seq(StructField("id", LongType), StructField("t", StringType))))
+    Packing.cdcChunks(df, "id", "t", mask = 8)
+      .orderBy("id", "chunk_id").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3))).toMap
+  }
+
+  test("cdcChunks: chunks reassemble the document; token counts add up") {
+    val text = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val chunks = cdcOf(1L -> text)(1L)
+    assert(chunks.map(_._1).mkString(" ") == text)
+    assert(chunks.map(_._2).sum == 40L)
+    assert(chunks.size > 1, "mask 8 over 40 tokens should cut somewhere")
+  }
+
+  test("cdcChunks: boundaries re-synchronize after an insertion " +
+      "(the content-defined property fixed windows lack)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val text = (0 until 40).map(i => s"tok$i").mkString(" ")
+    // pick an inserted token that is NOT itself a boundary, so the only
+    // change is a longer first chunk
+    val ins = Seq("zzz", "qqq", "xxy", "wvu").find(t =>
+      graft.functions.Hash60.hash60(UTF8String.fromString(t)) % 8 != 0).get
+    val out = cdcOf(1L -> text, 2L -> s"$ins $text")
+    val (a, b) = (out(1L), out(2L))
+    assert(b.size == a.size)
+    assert(b.head._1 == s"$ins ${a.head._1}")
+    assert(b.tail == a.tail, "all chunks after the edited one are identical")
+  }
 }
