@@ -3429,9 +3429,11 @@ object QueriesPipeline {
           sum(CAST(nsq AS HUGEINT) * nsq) AS sxx,
           sum(CAST(qm AS HUGEINT) * qm) AS syy,
           sum(CAST(nsq AS HUGEINT) * qm) AS sxy FROM j)
-        SELECT n, round(CAST(n * sxy - sx * sy AS DOUBLE)
-          / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) + 0 AS r
+        SELECT n, round(CASE WHEN n * sxx - sx * sx > 0
+            AND n * syy - sy * sy > 0
+          THEN CAST(n * sxy - sx * sy AS DOUBLE)
+            / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+              * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END, 6) + 0 AS r
         FROM m""")),
 
     // per-group top-k selection as a bounded AGGREGATE (TopK partial

@@ -240,15 +240,26 @@ object Clustering {
       vecCol: String): DataFrame = {
     val q = df.select(col(labelCol).as("__lbl"),
       quantize(col(vecCol)).as("__q"))
+    // member counts ride the SAME (label, dim) aggregate (count per dim,
+    // then max over the metadata-sized frame) — a separate
+    // q.groupBy(label).count() would rescan the whole corpus. The
+    // aggregate output is L·dim rows (metadata-sized), and it is
+    // referenced FIVE times downstream (pair sides, norms, counts):
+    // an eager localCheckpoint materializes it once so the corpus scan
+    // runs exactly once instead of once per reference (the MMR /
+    // connectedComponents discipline for driver-sized frames)
     val sums = q
       .select(col("__lbl"), posexplode(col("__q")).as(Seq("__d", "__x")))
       .groupBy(col("__lbl"), col("__d"))
-      .agg(sum(col("__x").cast("decimal(38,0)")).as("__s"))
-    val counts = q.groupBy(col("__lbl")).agg(count(lit(1)).as("__n"))
+      .agg(sum(col("__x").cast("decimal(38,0)")).as("__s"),
+        count(lit(1)).as("__cnt"))
+      .localCheckpoint()
+    val counts = sums.groupBy(col("__lbl")).agg(max(col("__cnt")).as("__n"))
     val norms = sums.groupBy(col("__lbl"))
       .agg(sum(col("__s") * col("__s")).as("__nsq"))
-    val a = sums.toDF("__la", "__d", "__sa")
-    val b = sums.toDF("__lb", "__d", "__sb")
+    val slim = sums.select(col("__lbl"), col("__d"), col("__s"))
+    val a = slim.toDF("__la", "__d", "__sa")
+    val b = slim.toDF("__lb", "__d", "__sb")
     a.join(b, Seq("__d")).filter(col("__la") < col("__lb"))
       .groupBy(col("__la"), col("__lb"))
       .agg(sum(col("__sa") * col("__sb")).as("__dot"))

@@ -315,7 +315,11 @@ object DocDedup {
     * Returns (id1, id2, est_jaccard, jaccard, abs_err). Scale shape: the
     * pair set is candidate-bounded (inverted-index generation with a df
     * cap, never all-pairs); signatures attach via two equality joins on
-    * the id — no re-shingling, no quadratic stage. Determinism: the
+    * the id — no quadratic stage. The corpus IS shingled twice (once for
+    * the exact pairs, once for the signatures: the two consumers shuffle
+    * on different keys, so no exchange is reusable between them) — the
+    * price of auditing the sketch against ground truth, paid only when
+    * this QA query runs, never on the dedup hot path. Determinism: the
     * estimate is matches/numPerms (an exact dyadic rational for
     * power-of-two permutation counts) and the signature arithmetic is
     * all-integer, so both engines reproduce every value bit-for-bit. */

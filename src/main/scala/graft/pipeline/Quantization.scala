@@ -84,23 +84,23 @@ object Quantization {
     * size, and `r = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² −
     * (Σy)²))` is evaluated as IEEE doubles over those identical exact
     * operands — bit-reproducible on any engine. Returns one row
-    * (n, r); a zero-variance column makes r degenerate (0/0), which the
-    * caller should treat as undefined.
+    * (n, r); r is NULL when either column has zero variance (a raw 0/0
+    * would THROW under Spark 4's default ANSI mode, the same hazard
+    * [[graft.pipeline.Similarity]] guards on its cosine paths).
     *
     * Scale shape: a single full-scan aggregate with map-side partials —
     * one reduce to one row, nothing else. */
   def pearsonExact(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val x = col(xCol).cast("decimal(38,0)")
     val y = col(yCol).cast("decimal(38,0)")
+    val dx = col("n") * col("__sxx") - col("__sx") * col("__sx")
+    val dy = col("n") * col("__syy") - col("__sy") * col("__sy")
     df.agg(count(lit(1)).as("n"), sum(x).as("__sx"), sum(y).as("__sy"),
         sum(x * x).as("__sxx"), sum(y * y).as("__syy"), sum(x * y).as("__sxy"))
       .select(col("n"),
-        round((col("n") * col("__sxy") - col("__sx") * col("__sy"))
-            .cast("double") /
-          (sqrt((col("n") * col("__sxx") - col("__sx") * col("__sx"))
-              .cast("double")) *
-            sqrt((col("n") * col("__syy") - col("__sy") * col("__sy"))
-              .cast("double"))), 6).as("r"))
+        round(when(dx > 0 && dy > 0,
+          (col("n") * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+            / (sqrt(dx.cast("double")) * sqrt(dy.cast("double")))), 6).as("r"))
   }
 
   /** Encode every vector against the corpus codebook. Output keeps the

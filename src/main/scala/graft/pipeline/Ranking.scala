@@ -23,34 +23,12 @@ object Ranking {
     * `idf = ln((N − df + 0.5)/(df + 0.5) + 1)`. Documents matching no
     * term are absent from the result (score 0 by definition). */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
-      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(terms.nonEmpty, "BM25 needs at least one query term")
-    val base = docs
-      .select(col(idCol), TF.tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), col("__toks"), size(col("__toks")).as("__dl"))
-    val stats = base.agg(count(lit(1)).as("n_docs"), avg(col("__dl")).as("avg_dl"))
-    val tf = base
-      .select(col(idCol), col("__dl"), explode_outer(col("__toks")).as("term"))
-      .filter(col("term").isin(terms: _*)) // in-set also drops the outer null
-      .groupBy(col(idCol), col("term"), col("__dl"))
-      .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    tf.join(broadcast(df), "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("__idf",
-        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-      // per-term contributions quantize to integer micro-units before the
-      // sum (the cross-engine discipline: the ln rides libm, and exposed
-      // round()s of float sums are not engine-version-proof); the exposed
-      // score is micro/1e6 — identical IEEE division everywhere
-      .withColumn("__contrib",
-        floor(col("__idf") * (col("tf") * lit(k1 + 1)) /
-          (col("tf") + lit(k1) *
-            (lit(1.0 - b) + lit(b) * col("__dl") / col("avg_dl")))
-          * lit(1e6) + lit(0.5)).cast("long"))
-      .groupBy(col(idCol))
-      .agg((sum(col("__contrib")) / lit(1e6)).as("bm25"))
-  }
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    // the single-query special case of the multi-query plan: one scoring
+    // pipeline means the micro-quantization spelling (the cross-engine
+    // bit-exactness contract) lives in exactly one place
+    bm25MultiQuery(docs, idCol, textCol, Seq("q" -> terms), k1, b)
+      .drop("query_id")
 
   /** Multi-query BM25: score EVERY query of a batch with corpus work
     * INDEPENDENT of the query count — the retrieval shape of a RAG

@@ -170,6 +170,61 @@ class PlanShapeSpec extends SparkSpec {
     assert(!pq.contains("SortMergeJoin"), pq)
   }
 
+  test("r10 retrieval/audit operators: broadcast fan-outs, partial " +
+      "aggregates, single-scan/single-shuffle shapes") {
+    val d = sf("sf0.001")
+    val docs = Tables.documents(spark, d)
+
+    // bm25MultiQuery: the (query, term) table and df/stats broadcast onto
+    // the tf stream — never a sort-merge join, never a corpus-wide index
+    val multi = executedPlan(graft.pipeline.Ranking.bm25MultiQuery(
+      docs, "doc_id", "text",
+      Seq("qa" -> Seq("scan", "merge"), "qb" -> Seq("filter"))))
+    assert(multi.contains("BroadcastHashJoin"), multi)
+    assert(!multi.contains("SortMergeJoin"), multi)
+
+    // ivfTopKIndexed: probes broadcast onto the index (equality join on
+    // the list id), top-k is the bounded partial aggregate — the index
+    // side is never sort-merge-joined or re-shuffled for assignment
+    val emb = Tables.embeddingsRaw(spark, d)
+    val cents = emb.filter(pmod($"vec_id", lit(50)) === 0)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+    val q = emb.filter($"vec_id" < 4)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val idx = graft.pipeline.Similarity.ivfIndex(emb, cents)
+    val served = executedPlan(graft.pipeline.Similarity.ivfTopKIndexed(
+      idx, cents, q, k = 5, nprobe = 2))
+    assert(served.contains("BroadcastHashJoin"), served)
+    assert(served.toLowerCase.contains("partial_topkagg"), served)
+    assert(!served.contains("SortMergeJoin"), served)
+
+    // cdcChunks: the per-doc window and the (doc, chunk) aggregate share
+    // ONE hash exchange (the aggregate's clustering is satisfied by the
+    // window's doc partitioning — no second shuffle)
+    val cdc = executedPlan(
+      graft.pipeline.Packing.cdcChunks(docs, "doc_id", "text", mask = 8))
+    val nExchanges = "Exchange hashpartitioning".r.findAllIn(cdc).size
+    assert(nExchanges == 1, s"expected 1 exchange, got $nExchanges\n$cdc")
+
+    // misraGries: map-side partial aggregation — the k-counter summary
+    // reduces per task before anything shuffles
+    val hh = executedPlan(docs
+      .select(explode(graft.functions.TextFunctions.tokens($"text")).as("t"))
+      .agg(graft.functions.HeavyHitters.misraGries(8)($"t")))
+    assert(hh.toLowerCase.contains("partial_misragries"), hh)
+
+    // labelCentroidCosines: the corpus scan happens exactly once — in
+    // the eager localCheckpoint of the metadata-sized (label, dim)
+    // aggregate — so the served plan (five references to that frame)
+    // reads the checkpointed RDD and NEVER re-touches the corpus
+    val cent = executedPlan(graft.pipeline.Clustering.labelCentroidCosines(
+      emb, "label", "embedding"))
+    val nScans = "Scan parquet".r.findAllIn(cent).size
+    assert(nScans == 0, s"expected 0 corpus scans (checkpointed " +
+      s"metadata frame), got $nScans\n$cent")
+    assert(cent.contains("ExistingRDD"), cent)
+  }
+
   test("r10 correlated subqueries decorrelate: scalar -> aggregate join, " +
       "EXISTS/NOT EXISTS -> semi/anti joins") {
     val d = sf("sf0.001")
