@@ -45,6 +45,17 @@ object QueriesPipeline {
   private val dPerms = dMinHashParams.abs.zipWithIndex
     .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
 
+  // nDCG@10 discount table, micro-quantized ONCE driver-side and injected
+  // into BOTH engines as integer literals: log2 rides libm (the 1-ulp
+  // cross-engine hazard), so neither engine ever evaluates it — DCG and
+  // the ideal DCG become exact integer sums of rel × disc
+  private val dNdcgDisc: Seq[(Int, Long)] = (1 to 10).map(p =>
+    p -> math.floor(1e6 / (math.log(p + 1.0) / math.log(2.0)) + 0.5).toLong)
+  private val dNdcgIdcg: Long =
+    dNdcgDisc.map { case (p, disc) => (11L - p) * disc }.sum
+  private val dDiscValues =
+    dNdcgDisc.map { case (p, c) => s"($p, $c)" }.mkString(", ")
+
   // DuckDB twins of Clustering.quantize / prepared / assignOnce: quantized
   // integer vectors q, derived doubles e = q/1e6, and one argmax-affinity
   // assignment (ties to the smallest cluster id) against a (c, ce) table
@@ -389,6 +400,72 @@ object QueriesPipeline {
         SELECT query_id, rank, pid // 1000 AS doc_id, pid % 1000 AS chunk_id,
           round(sq / 1000000.0, 6) AS bm25
         FROM rk WHERE rank <= 3 ORDER BY query_id, rank""")),
+
+    // hybrid retrieval: lexical BM25 top-20 and semantic cosine top-20
+    // fused by Reciprocal Rank Fusion (1/(60+rank) per list, the SIGIR
+    // 2009 calibration-free standard) — contributions micro-quantized
+    // before the sum, so the fused ranking is an exact integer sort
+    ("rag_rrf_fusion",
+      (s, d) => {
+        val docs = Tables.spread(s, Tables.documents(s, d))
+        val lex = Ranking
+          .bm25(docs, "doc_id", "text", Seq("scan", "filter", "merge"))
+          .select(lit(0L).as("q_id"), col("doc_id"), col("bm25"))
+          .groupBy("q_id")
+          .agg(graft.functions.TopK.topK(20)(col("bm25"), col("doc_id"))
+            .as("tk"))
+          .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "x")))
+          .select(col("q_id"), col("x.id").as("doc_id"),
+            (col("pos") + 1).cast("int").as("rank"))
+        val emb = qEmb(s, d)
+        val q = emb.filter(col("vec_id") === 0)
+          .select(lit(0L).as("q_id"), col("embedding").as("q_vec"))
+        val sem = Similarity.bruteForceTopK(emb, q, k = 20, microRank = true)
+          .select(col("q_id"), col("neighbor_id").as("doc_id"), col("rank"))
+        Similarity.rrfFuse(Seq(lex, sem), "q_id", "doc_id", "rank", k = 10)
+          .select(col("q_id"), col("rank"),
+            col("neighbor_id").as("doc_id"), col("rrf"))
+          .orderBy("rank")
+      },
+      Some(s"""WITH $dEmbMicro,
+        p AS (SELECT doc_id, $dToks AS w FROM documents),
+        n AS (SELECT count(*) AS n_docs, avg(len(w)) AS avg_dl FROM p),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest(w) AS term FROM p)
+          WHERE term IN ('scan', 'filter', 'merge') GROUP BY 1, 2),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        dl AS (SELECT doc_id, len(w) AS dl FROM p),
+        lexsc AS (SELECT tf.doc_id,
+            sum(CAST(floor(ln((n.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * (tf.tf * (1.2 + 1)) /
+              (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / n.avg_dl))
+              * 1000000 + 0.5) AS BIGINT)) AS sq
+          FROM tf JOIN df ON df.term = tf.term
+          JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN n GROUP BY 1),
+        lex AS (SELECT doc_id, rank FROM (SELECT doc_id,
+            CAST(row_number() OVER (ORDER BY sq DESC, doc_id ASC) AS INT)
+              AS rank FROM lexsc) WHERE rank <= 20),
+        qv AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+        semsc AS (SELECT v.vec_id AS doc_id,
+            floor(list_dot_product(v.e, qv.qe)
+              / (sqrt(list_dot_product(v.e, v.e))
+                * sqrt(list_dot_product(qv.qe, qv.qe)))
+              * 1000000 + 0.5) AS qm
+          FROM v CROSS JOIN qv WHERE v.vec_id != 0),
+        sem AS (SELECT doc_id, rank FROM (SELECT doc_id,
+            CAST(row_number() OVER (ORDER BY qm DESC, doc_id ASC) AS INT)
+              AS rank FROM semsc) WHERE rank <= 20),
+        contrib AS (
+          SELECT doc_id, CAST(floor(1000000.0 / (60 + rank) + 0.5) AS BIGINT)
+            AS c FROM lex
+          UNION ALL
+          SELECT doc_id, CAST(floor(1000000.0 / (60 + rank) + 0.5) AS BIGINT)
+            AS c FROM sem),
+        fused AS (SELECT doc_id, sum(c) AS sc FROM contrib GROUP BY 1),
+        rk AS (SELECT doc_id, sc, CAST(row_number() OVER (
+            ORDER BY sc DESC, doc_id ASC) AS INT) AS rank FROM fused)
+        SELECT CAST(0 AS BIGINT) AS q_id, rank, doc_id, sc / 1000000.0 AS rrf
+        FROM rk WHERE rank <= 10 ORDER BY rank""")),
 
     // deterministic split assignment: train/val/test as a pure function
     // of the content key hash (10%/5% val/test) — reshuffle/rerun/engine
@@ -3254,6 +3331,83 @@ object QueriesPipeline {
         FROM bf LEFT JOIN iv ON iv.q_id = bf.q_id
           AND iv.neighbor_id = bf.neighbor_id
         GROUP BY bf.q_id ORDER BY bf.q_id""")),
+
+    // graded-relevance twin of ann_recall_eval: nDCG@10 of the IVF list
+    // against brute-force ground truth (rel = 11 − truth rank). The log2
+    // position discounts are micro-quantized ONCE driver-side and enter
+    // both engines as integer literals, so DCG/IDCG are exact integer
+    // sums and nDCG is one division of identical operands
+    ("ann_ndcg_eval",
+      (s, d) => {
+        import s.implicits._
+        val emb = qEmb(s, d)
+        val centroids = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val truth = Similarity.bruteForceTopK(emb, q, k = 10, microRank = true)
+          .select(col("q_id"), col("neighbor_id"),
+            (lit(11) - col("rank")).cast("long").as("rel"))
+        val approx = Similarity
+          .ivfTopK(emb, centroids, q, k = 10, nprobe = 3, microRank = true)
+          .select(col("q_id"), col("neighbor_id"), col("rank"))
+        val disc = dNdcgDisc.toDF("rank", "disc")
+        approx.join(broadcast(disc), "rank")
+          .join(truth, Seq("q_id", "neighbor_id"), "left")
+          .groupBy("q_id")
+          .agg(sum(coalesce(col("rel"), lit(0L)) * col("disc"))
+            .as("dcg_micro"))
+          .select(col("q_id"), col("dcg_micro"),
+            round(col("dcg_micro") / lit(dNdcgIdcg), 6).as("ndcg"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH $dEmbMicro,
+        q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 5),
+        bf AS (SELECT q_id, neighbor_id, 11 - rk AS rel FROM (SELECT q.q_id,
+            v.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.q_id
+              ORDER BY floor(list_dot_product(v.e, q.qe)
+                / (sqrt(list_dot_product(v.e, v.e))
+                  * sqrt(list_dot_product(q.qe, q.qe)))
+                * 1000000 + 0.5) DESC,
+              v.vec_id ASC) AS rk
+          FROM v CROSS JOIN q WHERE v.vec_id != q.q_id) WHERE rk <= 10),
+        c AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id % 50 = 0),
+        cosvc AS (SELECT v.vec_id, c.c_id, floor(list_dot_product(v.e, c.ce)
+            / (sqrt(list_dot_product(v.e, v.e))
+              * sqrt(list_dot_product(c.ce, c.ce))) * 1000000 + 0.5) AS aff
+          FROM v CROSS JOIN c),
+        assign AS (SELECT vec_id, c_id FROM (SELECT vec_id, c_id,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY aff DESC, c_id ASC) AS rn
+          FROM cosvc) WHERE rn = 1),
+        probes AS (SELECT q_id, c_id FROM (SELECT q.q_id, c.c_id,
+            row_number() OVER (PARTITION BY q.q_id
+              ORDER BY floor(list_dot_product(q.qe, c.ce)
+                / (sqrt(list_dot_product(q.qe, q.qe))
+                  * sqrt(list_dot_product(c.ce, c.ce)))
+                * 1000000 + 0.5) DESC,
+              c.c_id ASC) AS rn
+          FROM q CROSS JOIN c) WHERE rn <= 3),
+        cand AS (SELECT p.q_id, a.vec_id
+          FROM probes p JOIN assign a ON a.c_id = p.c_id),
+        iv AS (SELECT q_id, neighbor_id, rk AS rank FROM (SELECT cand.q_id,
+            cand.vec_id AS neighbor_id, row_number() OVER (
+              PARTITION BY cand.q_id ORDER BY floor(list_dot_product(v.e, q.qe)
+                / (sqrt(list_dot_product(v.e, v.e))
+                  * sqrt(list_dot_product(q.qe, q.qe)))
+                * 1000000 + 0.5) DESC,
+              cand.vec_id ASC) AS rk
+          FROM cand JOIN v ON v.vec_id = cand.vec_id
+          JOIN q ON q.q_id = cand.q_id
+          WHERE cand.vec_id != cand.q_id) WHERE rk <= 10),
+        disc(rank, disc) AS (VALUES $dDiscValues)
+        SELECT iv.q_id,
+          CAST(sum(coalesce(bf.rel, 0) * disc.disc) AS BIGINT) AS dcg_micro,
+          round(CAST(sum(coalesce(bf.rel, 0) * disc.disc) AS BIGINT)
+            * 1.0 / $dNdcgIdcg, 6) AS ndcg
+        FROM iv JOIN disc ON disc.rank = iv.rank
+        LEFT JOIN bf ON bf.q_id = iv.q_id AND bf.neighbor_id = iv.neighbor_id
+        GROUP BY iv.q_id ORDER BY iv.q_id""")),
 
     // NB-classifier vs declared-label confusion matrix: the per-pair
     // agreement audit run after any corpus relabeling pass — composes

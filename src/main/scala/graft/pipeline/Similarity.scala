@@ -76,6 +76,37 @@ object Similarity {
       .select(col(groupCol), col("s.id").as("neighbor_id"),
         col("s.score").as(scoreCol), (col("pos") + 1).cast("int").as("rank"))
 
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009) —
+    * THE standard way to combine a lexical and a semantic ranking (or any
+    * set of rankings) without score calibration: each list contributes
+    * `1/(k0 + rank)` per item, fused items rank by the sum. `k0 = 60` is
+    * the canonical constant.
+    *
+    * Every input must carry (groupCol, idCol, rankCol). Contributions
+    * quantize to integer micro-units BEFORE the sum (ranks are small
+    * integers, so `floor(1e6/(k0+rank) + 0.5)` is the same value on any
+    * engine and the sum is order-free); the exposed `rrf` is micro/1e6.
+    *
+    * Scale shape: one union of the (already bounded) candidate lists,
+    * one (group, id) aggregate, then the bounded TopK per group — never
+    * a corpus pass; fusion only ever touches retrieval outputs. */
+  def rrfFuse(lists: Seq[DataFrame], groupCol: String, idCol: String,
+      rankCol: String, k: Int, k0: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "RRF needs at least one ranked list")
+    val contribs = lists.map(_.select(col(groupCol), col(idCol),
+        floor(lit(1e6) / (lit(k0) + col(rankCol)) + lit(0.5))
+          .cast("long").as("__c")))
+      .reduce(_ unionByName _)
+    val scored = contribs
+      .groupBy(col(groupCol), col(idCol))
+      .agg(sum(col("__c")).as("__s"))
+      .select(col(groupCol), col(idCol),
+        col("__s").cast("double").as("rrf"))
+    rankTopK(scored, k, groupCol, "rrf", idCol)
+      .select(col(groupCol), col("neighbor_id"),
+        (col("rrf") / lit(1e6)).as("rrf"), col("rank"))
+  }
+
   /** Brute-force top-k by cosine. `queries` must be small (it is broadcast).
     * Ties break by ascending corpus id for determinism. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,

@@ -142,6 +142,23 @@ class RetrievalAuditSpec extends SparkSpec {
     assert(res.contains("hot"), s"freq 300 > ${n / (k + 1)} must survive")
   }
 
+  test("rrfFuse: hand-checked reciprocal-rank sums, both-list items " +
+      "outrank single-list items, ties break by id") {
+    import graft.pipeline.Similarity
+    val lex = Seq((0L, 10L, 1), (0L, 11L, 2)).toDF("q_id", "doc_id", "rank")
+    val sem = Seq((0L, 11L, 1), (0L, 12L, 2)).toDF("q_id", "doc_id", "rank")
+    val out = Similarity.rrfFuse(Seq(lex, sem), "q_id", "doc_id", "rank",
+        k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    // micro contributions: rank 1 -> floor(1e6/61 + .5) = 16393,
+    // rank 2 -> floor(1e6/62 + .5) = 16129
+    assert(out == Seq(
+      (11L, (16393L + 16129L) / 1e6, 1), // in both lists
+      (10L, 16393L / 1e6, 2),            // rank-1 in one list
+      (12L, 16129L / 1e6, 3)))
+  }
+
   test("pearsonExact: perfect +/- correlation and a hand-computed case") {
     def r(rows: Seq[(Long, Long)]): Double =
       Quantization.pearsonExact(rows.toDF("x", "y"), "x", "y")
