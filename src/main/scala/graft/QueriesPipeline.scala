@@ -2004,6 +2004,31 @@ object QueriesPipeline {
             AS chunk_len
         FROM c ORDER BY doc_id, chunk_id""")),
 
+    // token-balanced shard export: documents dealt to shards in
+    // boustrophedon order of descending token count (the deterministic
+    // LPT approximation) — per-shard document and token totals show the
+    // straggler headroom; all-integer rank/modulo arithmetic
+    ("pack_shard_balance",
+      (s, d) => {
+        val docs = Tables.spread(s, Tables.documents(s, d))
+          .select(col("doc_id"),
+            size(TF.tokens(col("text"))).cast("long").as("n_toks"))
+        Packing.shardBalance(docs, "doc_id", "n_toks", shards = 5)
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tokens"))
+          .orderBy("shard")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, len($dToks) AS n_toks
+          FROM documents),
+        rk AS (SELECT doc_id, n_toks, CAST(row_number() OVER (
+            ORDER BY n_toks DESC, doc_id ASC) - 1 AS BIGINT) AS r FROM t),
+        a AS (SELECT n_toks, CASE WHEN (r // 5) % 2 = 0 THEN r % 5
+            ELSE 4 - (r % 5) END AS shard FROM rk)
+        SELECT CAST(shard AS INT) AS shard,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_toks) AS BIGINT) AS tokens
+        FROM a GROUP BY 1 ORDER BY 1""")),
+
     // Misra-Gries heavy hitters: top tokens via a bounded MERGEABLE
     // summary (≤ k counters per state, map-side partials — never a
     // vocabulary-sized shuffle). Capacity 64 > the corpus vocabulary, so

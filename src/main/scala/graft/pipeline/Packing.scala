@@ -51,6 +51,38 @@ object Packing {
       .drop("__end", "__start")
   }
 
+  /** Token-balanced shard assignment: distribute documents over
+    * `shards` output shards so per-shard token totals stay close —
+    * the export step before distributed training, where a skewed shard
+    * becomes the epoch's straggler. Documents are ranked by token count
+    * DESCENDING (ties by id) and dealt in BOUSTROPHEDON (snake) order:
+    * shard `r % S` on even rounds, `S-1-r % S` on odd — the classic
+    * deterministic approximation of longest-processing-time scheduling
+    * that, unlike plain round-robin, does not hand shard 0 the largest
+    * item of EVERY round. Adds a `shard` column.
+    *
+    * Determinism & replay: rank + modulo integer arithmetic only — any
+    * engine reproduces the assignment bit-for-bit (the sequential
+    * true-LPT greedy, by contrast, needs a running min and cannot be
+    * expressed as a window).
+    *
+    * Scale shape: one global rank over (tokens desc, id). A total sort of
+    * document METADATA (id + count — not the text) is the irreducible
+    * cost of size-ordered dealing; at 100 TB run it per source/language
+    * partition the way [[packSequences]] keys its prefix sums. */
+  def shardBalance(df: DataFrame, idCol: String, nCol: String,
+      shards: Int): DataFrame = {
+    require(shards >= 1, s"need at least one shard, got $shards")
+    val w = Window.orderBy(col(nCol).desc, col(idCol))
+    val r = row_number().over(w) - 1
+    // dealing round = r div shards, as exact integer arithmetic
+    val round = ((r - pmod(r, lit(shards))) / lit(shards)).cast("long")
+    df.withColumn("shard",
+      when(pmod(round, lit(2)) === 0, pmod(r, lit(shards)))
+        .otherwise(lit(shards - 1) - pmod(r, lit(shards)))
+        .cast("int"))
+  }
+
   /** Content-defined chunking (CDC): cut each document into variable-
     * size chunks at CONTENT-determined boundaries — a boundary falls
     * after every token whose hash is ≡ 0 (mod `mask`), giving chunks of

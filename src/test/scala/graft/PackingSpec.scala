@@ -95,6 +95,22 @@ class PackingSpec extends SparkSpec {
     assert(chunks.size > 1, "mask 8 over 40 tokens should cut somewhere")
   }
 
+  test("shardBalance: boustrophedon dealing by descending size, " +
+      "hand-checked totals beat round-robin skew") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (1L to 10L).map(i => Row(i, 11L - i)), 2),
+      StructType(Seq(StructField("id", LongType), StructField("n", LongType))))
+    val out = Packing.shardBalance(df, "id", "n", shards = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // sizes desc: 10 9 8 | 7 6 5 | 4 3 2 | 1 -> shards 012 | 210 | 012 | 2
+    assert(out == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 2, 5L -> 1,
+      6L -> 0, 7L -> 0, 8L -> 1, 9L -> 2, 10L -> 2))
+    val totals = (1L to 10L).groupBy(i => out(i))
+      .view.mapValues(_.map(11L - _).sum).toMap
+    assert(totals == Map(0 -> 19L, 1 -> 18L, 2 -> 18L))
+  }
+
   test("cdcChunks: boundaries re-synchronize after an insertion " +
       "(the content-defined property fixed windows lack)") {
     import org.apache.spark.unsafe.types.UTF8String

@@ -171,6 +171,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Misra-Gries heavy hitters: k-counter state, batch parity " +
+      "in the exact regime") {
+    // the MG summary is a mergeable Aggregator, so Structured Streaming
+    // maintains it directly in the state store — one ≤ k-entry map,
+    // never a vocabulary-sized state
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String](spark)
+    val hh = input.toDF().toDF("t")
+      .agg(graft.functions.HeavyHitters.misraGries(16)(col("t")).as("hh"))
+    val q = hh.writeStream.format("memory").queryName("shh")
+      .outputMode("complete").start()
+    try {
+      input.addData((1 to 100).map(i => s"k-${i % 7}"): _*)
+      q.processAllAvailable()
+      input.addData((1 to 50).map(i => s"k-${i % 11}"): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("shh")
+        .select(explode(col("hh"))).as[(String, Long)].collect().toMap
+      val all = (1 to 100).map(i => s"k-${i % 7}") ++
+        (1 to 50).map(i => s"k-${i % 11}")
+      val exact = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(streamed == exact,
+        "capacity 16 > 11 distinct keys: streaming summary is exact counts")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: in-horizon pairs only, batch parity") {
     val ts = (s: Long) => java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s))
     val views = Seq(
