@@ -401,6 +401,93 @@ object QueriesPipeline {
           round(sq / 1000000.0, 6) AS bm25
         FROM rk WHERE rank <= 3 ORDER BY query_id, rank""")),
 
+    // pseudo-relevance-feedback query expansion (RM3-lite): retrieve a
+    // 10-doc feedback set with the base query, pick the 3 new terms that
+    // are frequent in the feedback but rare in the corpus (cnt·ln(N/df),
+    // micro-quantized, ties by term), re-retrieve with the expanded
+    // query. The expansion term set is metadata-sized (the k-means-
+    // centroid collect discipline); the oracle re-derives the same terms
+    // in SQL and replays the expanded scoring
+    ("rag_query_expansion",
+      (s, d) => {
+        val docs = Tables.spread(s, Tables.documents(s, d))
+        val base = Seq("scan", "filter")
+        val fbIds = Ranking.bm25(docs, "doc_id", "text", base)
+          .select(lit(0L).as("g"), col("doc_id"), col("bm25"))
+          .groupBy("g")
+          .agg(graft.functions.TopK.topK(10)(col("bm25"), col("doc_id"))
+            .as("tk"))
+          .select(explode(col("tk")).as("x"))
+          .select(col("x.id").as("doc_id"))
+        val occ = docs
+          .select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+        val corpusDf = occ.distinct().groupBy("term")
+          .agg(count(lit(1)).as("df"))
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val expTerms = occ.join(fbIds, "doc_id")
+          .filter(!col("term").isin(base: _*))
+          .groupBy("term").agg(count(lit(1)).as("cnt"))
+          .join(corpusDf, "term").crossJoin(broadcast(nDocs))
+          .withColumn("score_q",
+            floor(col("cnt") * log(col("n_docs") / col("df"))
+              * lit(1e6) + lit(0.5)).cast("long"))
+          .orderBy(col("score_q").desc, col("term"))
+          .limit(3)
+          .collect().map(_.getAs[String]("term")).toSeq
+        Ranking.bm25(docs, "doc_id", "text", base ++ expTerms)
+          .select(lit(0L).as("g"), col("doc_id"), col("bm25"))
+          .groupBy("g")
+          .agg(graft.functions.TopK.topK(10)(col("bm25"), col("doc_id"))
+            .as("tk"))
+          .select(posexplode(col("tk")).as(Seq("pos", "x")))
+          .select((col("pos") + 1).cast("int").as("rank"),
+            col("x.id").as("doc_id"),
+            round(col("x.score"), 6).as("bm25"))
+          .orderBy("rank")
+      },
+      Some(s"""WITH p AS (SELECT doc_id, $dToks AS w FROM documents),
+        n AS (SELECT count(*) AS n_docs, avg(len(w)) AS avg_dl FROM p),
+        dl AS (SELECT doc_id, len(w) AS dl FROM p),
+        occ AS (SELECT doc_id, unnest(w) AS term FROM p),
+        tf0 AS (SELECT doc_id, term, count(*) AS tf FROM occ
+          WHERE term IN ('scan', 'filter') GROUP BY 1, 2),
+        df0 AS (SELECT term, count(*) AS df FROM tf0 GROUP BY 1),
+        sc0 AS (SELECT tf0.doc_id,
+            sum(CAST(floor(ln((n.n_docs - df0.df + 0.5) / (df0.df + 0.5) + 1.0)
+              * (tf0.tf * (1.2 + 1)) /
+              (tf0.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / n.avg_dl))
+              * 1000000 + 0.5) AS BIGINT)) AS sq
+          FROM tf0 JOIN df0 ON df0.term = tf0.term
+          JOIN dl ON dl.doc_id = tf0.doc_id CROSS JOIN n GROUP BY 1),
+        fb AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER (
+            ORDER BY sq DESC, doc_id ASC) AS rn FROM sc0) WHERE rn <= 10),
+        cdf AS (SELECT term, count(*) AS df
+          FROM (SELECT DISTINCT doc_id, term FROM occ) GROUP BY 1),
+        exp AS (SELECT term FROM (SELECT occ.term,
+            CAST(floor(count(*) * ln(n.n_docs * 1.0 / cdf.df)
+              * 1000000 + 0.5) AS BIGINT) AS score_q
+          FROM occ JOIN fb ON fb.doc_id = occ.doc_id
+          JOIN cdf ON cdf.term = occ.term CROSS JOIN n
+          WHERE occ.term NOT IN ('scan', 'filter')
+          GROUP BY occ.term, n.n_docs, cdf.df
+          ORDER BY score_q DESC, occ.term ASC LIMIT 3)),
+        qt AS (SELECT 'scan' AS term UNION ALL SELECT 'filter'
+          UNION ALL SELECT term FROM exp),
+        tf1 AS (SELECT doc_id, term, count(*) AS tf FROM occ
+          WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+        df1 AS (SELECT term, count(*) AS df FROM tf1 GROUP BY 1),
+        sc1 AS (SELECT tf1.doc_id,
+            sum(CAST(floor(ln((n.n_docs - df1.df + 0.5) / (df1.df + 0.5) + 1.0)
+              * (tf1.tf * (1.2 + 1)) /
+              (tf1.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / n.avg_dl))
+              * 1000000 + 0.5) AS BIGINT)) AS sq
+          FROM tf1 JOIN df1 ON df1.term = tf1.term
+          JOIN dl ON dl.doc_id = tf1.doc_id CROSS JOIN n GROUP BY 1)
+        SELECT rank, doc_id, round(sq / 1000000.0, 6) AS bm25
+        FROM (SELECT doc_id, sq, CAST(row_number() OVER (
+            ORDER BY sq DESC, doc_id ASC) AS INT) AS rank FROM sc1)
+        WHERE rank <= 10 ORDER BY rank""")),
+
     // hybrid retrieval: lexical BM25 top-20 and semantic cosine top-20
     // fused by Reciprocal Rank Fusion (1/(60+rank) per list, the SIGIR
     // 2009 calibration-free standard) — contributions micro-quantized
