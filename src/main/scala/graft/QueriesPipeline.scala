@@ -572,6 +572,54 @@ object QueriesPipeline {
           count(*) AS n, min(doc_id) AS first_id
         FROM h GROUP BY 1 ORDER BY split""")),
 
+    // leakage-safe splits: assign near-dup CLUSTERS to train/val/test,
+    // not documents — a near-duplicate pair split across train and test
+    // is silent evaluation leakage, so every member of a dup cluster
+    // must co-travel. Cluster ids come from connected components over
+    // the LSH near-dup graph (singletons cluster as themselves); the
+    // split is the same exact hash-bucket rule as corpus_splits, keyed
+    // on the cluster
+    ("split_leakage_safe",
+      (s, d) => {
+        val docs = Tables.spread(s, Tables.documents(s, d))
+        val comp = DocDedup.connectedComponents(
+            DocDedup.minHashDedupPairs(docs, "doc_id", "text", n = 3,
+              threshold = 0.7, dMinHashParams))
+          .select(col("id").as("doc_id"), col("cluster_id"))
+        val clustered = docs.select(col("doc_id"))
+          .join(comp, Seq("doc_id"), "left")
+          .withColumn("cluster_id",
+            coalesce(col("cluster_id"), col("doc_id")))
+        graft.pipeline.Sampling
+          .assignSplits(clustered, "cluster_id", valPpm = 100000L,
+            testPpm = 50000L)
+          .select(col("doc_id"), col("cluster_id"), col("split"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $dShingles,
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        rawpairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        dup AS (SELECT id1, id2 FROM rawpairs
+          JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+          WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.7),
+        edges AS (SELECT id1 AS u, id2 AS v FROM dup
+          UNION SELECT id2, id1 FROM dup),
+        reach(id, root) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.id),
+        comp AS (SELECT id, min(root) AS cluster_id FROM reach GROUP BY 1),
+        withc AS (SELECT d.doc_id,
+            coalesce(c.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+        SELECT doc_id, cluster_id,
+          CASE WHEN ${dHash60("CAST(cluster_id AS VARCHAR)")} % 1000000
+              < 100000 THEN 'val'
+            WHEN ${dHash60("CAST(cluster_id AS VARCHAR)")} % 1000000
+              < 150000 THEN 'test' ELSE 'train' END AS split
+        FROM withc ORDER BY doc_id""")),
+
     // held-out n-gram coverage: what fraction of each non-train split's
     // distinct shingles the TRAIN split has seen — the generalization /
     // leakage-direction audit run after any split assignment; one
