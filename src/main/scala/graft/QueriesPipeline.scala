@@ -1687,6 +1687,49 @@ object QueriesPipeline {
           round(abs(est - jac), 6) AS abs_err
         FROM agree ORDER BY id1, id2""")),
 
+    // the banding S-curve audited on real pairs: theoretical collision
+    // probability 1-(1-j^2)^16 (explicit squaring chain — no libm pow on
+    // either engine) vs whether the pair actually shares a full band of
+    // signature mins; the before/after view of an LSH config decision
+    ("dedup_lsh_scurve",
+      (s, d) => DocDedup.lshSCurveAudit(
+          Tables.spread(s, Tables.documents(s, d)), "doc_id", "text",
+          n = 3, threshold = 0.7, dMinHashParams)
+        .select(col("id1"), col("id2"),
+          round(col("jaccard"), 6).as("jaccard"),
+          round(col("theory_p"), 6).as("theory_p"), col("collided"))
+        .orderBy("id1", "id2"),
+      Some(s"""WITH $dShingles,
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        good AS (SELECT id1, id2,
+            inter * 1.0 / (s1.n + s2.n - inter) AS jac
+          FROM pairs JOIN sizes s1 ON s1.doc_id = id1
+            JOIN sizes s2 ON s2.doc_id = id2
+          WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.7),
+        hs AS (SELECT doc_id, ${dHash60("s")} % 2147483647 AS h FROM sh),
+        perms(i, a, b) AS (VALUES $dPerms),
+        mins AS (SELECT doc_id, i, min((h * a + b) % 2147483647) AS mh
+          FROM hs CROSS JOIN perms GROUP BY 1, 2),
+        bandagree AS (SELECT g.id1, g.id2, m1.i // 2 AS band,
+            bool_and(m1.mh = m2.mh) AS all_eq
+          FROM good g JOIN mins m1 ON m1.doc_id = g.id1
+          JOIN mins m2 ON m2.doc_id = g.id2 AND m2.i = m1.i
+          GROUP BY 1, 2, 3),
+        coll AS (SELECT id1, id2, bool_or(all_eq) AS collided
+          FROM bandagree GROUP BY 1, 2),
+        t0 AS (SELECT id1, id2, jac, 1.0 - jac * jac AS x FROM good),
+        t1 AS (SELECT id1, id2, jac, x * x AS x FROM t0),
+        t2 AS (SELECT id1, id2, jac, x * x AS x FROM t1),
+        t3 AS (SELECT id1, id2, jac, x * x AS x FROM t2),
+        t4 AS (SELECT id1, id2, jac, x * x AS x FROM t3)
+        SELECT t4.id1, t4.id2, round(t4.jac, 6) AS jaccard,
+          round(1.0 - t4.x, 6) AS theory_p, coll.collided
+        FROM t4 JOIN coll ON coll.id1 = t4.id1 AND coll.id2 = t4.id2
+        ORDER BY t4.id1, t4.id2""")),
+
     // bounded-Levenshtein verification over the LSH near-dup pairs: the
     // cap (6) is chosen so this corpus exercises BOTH paths — most pairs
     // verify within the bound, the farthest exceed it and surface NULL.
@@ -3712,6 +3755,43 @@ object QueriesPipeline {
         JOIN cnt c1 ON c1.label = la JOIN cnt c2 ON c2.label = lb
         WHERE n1.nsq != 0 AND n2.nsq != 0
         ORDER BY label_a, label_b""")),
+
+    // per-source embedding drift matrix: the same scale-invariant
+    // integer-sum centroid cosine as emb_label_centroids, keyed on the
+    // SOURCE string — a collapsing off-diagonal row means one crawl
+    // source drifted into another's embedding region (dedup/mixing
+    // implications before training)
+    ("emb_source_centroids",
+      (s, d) => {
+        val j = Tables.documents(s, d).select(col("doc_id"), col("source"))
+          .join(Tables.spread(s, Tables.embeddings(s, d))
+            .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+        Clustering.labelCentroidCosines(j, "source", "embedding")
+          .select(col("label_a").as("source_a"),
+            col("label_b").as("source_b"), col("n_a"), col("n_b"),
+            col("cos"))
+          .orderBy("source_a", "source_b")
+      },
+      Some("""WITH j AS (SELECT d.source,
+          list_transform(CAST(e.embedding AS DOUBLE[]),
+            y -> CAST(floor(y * 1000000.0 + 0.5) AS BIGINT)) AS q
+          FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        sums AS (SELECT source, dd, sum(q[dd]) AS s
+          FROM j CROSS JOIN (SELECT unnest(range(1, 65)) AS dd) GROUP BY 1, 2),
+        nsq AS (SELECT source, sum(CAST(s AS HUGEINT) * s) AS nsq
+          FROM sums GROUP BY 1),
+        cnt AS (SELECT source, count(*) AS n FROM j GROUP BY 1),
+        dots AS (SELECT a.source AS sa, b.source AS sb,
+            sum(CAST(a.s AS HUGEINT) * b.s) AS dot
+          FROM sums a JOIN sums b ON a.dd = b.dd AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT sa AS source_a, sb AS source_b, c1.n AS n_a, c2.n AS n_b,
+          round(CAST(dot AS DOUBLE) / (sqrt(CAST(n1.nsq AS DOUBLE))
+            * sqrt(CAST(n2.nsq AS DOUBLE))), 6) + 0 AS cos
+        FROM dots JOIN nsq n1 ON n1.source = sa JOIN nsq n2 ON n2.source = sb
+        JOIN cnt c1 ON c1.source = sa JOIN cnt c2 ON c2.source = sb
+        WHERE n1.nsq != 0 AND n2.nsq != 0
+        ORDER BY source_a, source_b""")),
 
     // cross-signal audit: does text quality correlate with embedding
     // norm? Pearson r from exact decimal moments over integer-quantized

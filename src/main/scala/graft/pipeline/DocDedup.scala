@@ -341,6 +341,43 @@ object DocDedup {
       .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
   }
 
+  /** LSH S-curve audit: for each exact near-dup pair, the THEORETICAL
+    * banding collision probability `1 − (1 − j^r)^b` (the S-curve every
+    * LSH tuning chart plots) next to whether the pair ACTUALLY collided
+    * in ≥ 1 band of this corpus's signatures — the before/after view of
+    * an LSH configuration decision (dedup_minhash_accuracy audits the
+    * estimator; this audits the banding).
+    *
+    * Determinism: the power chain is spelled as explicit squarings
+    * (j², then (1−j²) squared log₂(bands) times for the power-of-two
+    * band counts this supports), so both engines run the IDENTICAL
+    * IEEE multiply sequence — no libm pow. Collision is an all-integer
+    * comparison of band signature slices. Returns
+    * (id1, id2, jaccard, theory_p, collided). */
+  def lshSCurveAudit(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, p: MinHashParams): DataFrame = {
+    require(Integer.bitCount(p.bands) == 1,
+      s"power-of-two band count required for the exact power chain, got ${p.bands}")
+    val pairs = ngramJaccardPairs(docs, idCol, textCol, n, threshold)
+    val sigs = signatures(docs, idCol, textCol, n, p)
+    val s1 = sigs.toDF(sigs.columns.map(c =>
+      if (c == idCol) "id1" else s"${c}_1"): _*)
+    val s2 = sigs.toDF(sigs.columns.map(c =>
+      if (c == idCol) "id2" else s"${c}_2"): _*)
+    val collided = (0 until p.bands).map { b =>
+      (b * p.rowsPerBand until (b + 1) * p.rowsPerBand)
+        .map(i => col(s"mh_${i}_1") === col(s"mh_${i}_2"))
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    // j^r by repeated multiplication, then (1 - j^r)^bands by squaring
+    val jr = (1 to p.rowsPerBand).map(_ => col("jaccard")).reduce(_ * _)
+    val miss = (1 to Integer.numberOfTrailingZeros(p.bands))
+      .foldLeft(lit(1.0) - jr)((x, _) => x * x)
+    pairs.join(s1, "id1").join(s2, "id2")
+      .select(col("id1"), col("id2"), col("jaccard"),
+        (lit(1.0) - miss).as("theory_p"), collided.as("collided"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs from a single shingling of the
     * corpus. |A∩B| is counted as pair multiplicity in the inverted
     * shingle index (the pair appears once per shared shingle); each doc's

@@ -61,6 +61,33 @@ class RetrievalAuditSpec extends SparkSpec {
     }
   }
 
+  test("lshSCurveAudit: theory replays the squaring chain, exact dups " +
+      "collide with p=1, power-of-two bands enforced") {
+    val base = (0 until 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base),          // exact dups: j = 1
+      (3L, base + " t0 t1 t2 t3 t4"))  // near-dup: j < 1
+      .toDF("doc_id", "text")
+    val p = DocDedup.MinHashParams(numPerms = 32, bands = 16)
+    val out = DocDedup
+      .lshSCurveAudit(docs, "doc_id", "text", n = 3, threshold = 0.5, p)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    val (j12, p12, c12) = out((1L, 2L))
+    assert(j12 == 1.0 && p12 == 1.0 && c12)
+    // replay the exact squaring chain for a j < 1 pair
+    for (((_, _), (j, tp, _)) <- out if j < 1.0) {
+      var x = 1.0 - j * j
+      for (_ <- 1 to 4) x = x * x
+      assert(tp == 1.0 - x)
+    }
+    intercept[IllegalArgumentException] {
+      DocDedup.lshSCurveAudit(docs, "doc_id", "text", 3, 0.5,
+        DocDedup.MinHashParams(numPerms = 30, bands = 15))
+    }
+  }
+
   test("labelCentroidCosines: exact hand-checked cosines, counts, and " +
       "zero-sum label exclusion") {
     val df = Seq(
