@@ -18,7 +18,11 @@ import graft.core.NsTime
   *    calendar-month variant (WindowDuration::Variable,
   *    func/window/internal.rs) as the custom codegen expression;
   *  - `hash60(str)` — the engine's deterministic 60-bit content hash
-  *    (fingerprinting / deterministic sampling in SQL).
+  *    (fingerprinting / deterministic sampling in SQL);
+  *  - `quality_score(text)` / `lang_id(text)` — the pipeline's text
+  *    quality and language-ID scorers as SQL macros (the Column
+  *    composition eagerly converted to catalyst via
+  *    `ColumnBridge.toCatalyst`, then resolved like any expression).
   *
   * Usage: `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions` — the
@@ -77,6 +81,25 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 1, "hash60(str)")
         Hash60Expr(args.head)
+      }),
+    // pipeline scalar functions for pure-SQL users: the Column
+    // compositions converted through ColumnBridge; their unresolved
+    // children resolve in the analyzer's fixed-point like any macro
+    (new FunctionIdentifier("quality_score"),
+      new ExpressionInfo(graft.functions.TextFunctions.getClass.getName,
+        "quality_score"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "quality_score(text)")
+        import org.apache.spark.sql.graft.ColumnBridge._
+        toCatalyst(graft.functions.TextFunctions.qualityScore(fromExpr(args.head)))
+      }),
+    (new FunctionIdentifier("lang_id"),
+      new ExpressionInfo(graft.functions.TextFunctions.getClass.getName,
+        "lang_id"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "lang_id(text)")
+        import org.apache.spark.sql.graft.ColumnBridge._
+        toCatalyst(graft.functions.TextFunctions.langId(fromExpr(args.head)))
       }))
 
   /** Install the SQL functions on an already-running session (sessions

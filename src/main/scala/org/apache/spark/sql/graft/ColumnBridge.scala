@@ -14,6 +14,16 @@ object ColumnBridge {
   def toExpr(c: Column): Expression = ExpressionUtils.expression(c)
   def fromExpr(e: Expression): Column = ExpressionUtils.column(e)
 
+  /** EAGER Column -> catalyst conversion: [[toExpr]] wraps the node tree
+    * in a lazy `ColumnNodeExpression` that only unwraps at DataFrame
+    * analysis boundaries — embedded inside a SQL FunctionBuilder's output
+    * it survives to codegen and throws (Unevaluable). This converts the
+    * node tree to real (possibly unresolved) catalyst expressions
+    * immediately, which the analyzer then resolves like any macro
+    * expansion. */
+  def toCatalyst(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Register a SQL function on a LIVE session's function registry
     * (sessionState is private[sql]); the builder-time path for sessions
     * the library constructs itself is `GraftExtensions`. */

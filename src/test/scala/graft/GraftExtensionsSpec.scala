@@ -46,6 +46,33 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(viaSql == viaDf)
   }
 
+  test("pipeline scalar functions answer from SQL text and match the " +
+      "Column API") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val texts = Seq("The quick brown fox jumps over the lazy dog!",
+      "le la les des une et est 123!!", "x")
+    for (t <- texts) {
+      val esc = t.replace("'", "''")
+      val qSql = spark.sql(s"SELECT quality_score('$esc') AS q")
+        .head().getDouble(0)
+      val qDf = spark.range(1)
+        .select(graft.functions.TextFunctions.qualityScore(lit(t)).as("q"))
+        .head().getDouble(0)
+      assert(qSql == qDf, s"quality_score($t)")
+      val lSql = spark.sql(s"SELECT lang_id('$esc') AS l")
+        .head().getString(0)
+      val lDf = spark.range(1)
+        .select(graft.functions.TextFunctions.langId(lit(t)).as("l"))
+        .head().getString(0)
+      assert(lSql == lDf, s"lang_id($t)")
+    }
+    // the macro works over table columns, not just literals
+    val n = spark.sql(
+      "SELECT count(*) FROM VALUES ('good text here'), ('..!!..') v(t) " +
+        "WHERE quality_score(t) > 0.5").head().getLong(0)
+    assert(n >= 1)
+  }
+
   test("argument validation surfaces as analysis-time errors") {
     assertThrows[Exception](
       spark.sql("SELECT month_window_stop(1L, 2)").collect())
