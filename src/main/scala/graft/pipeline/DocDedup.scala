@@ -323,18 +323,27 @@ object DocDedup {
     * estimate is matches/numPerms (an exact dyadic rational for
     * power-of-two permutation counts) and the signature arithmetic is
     * all-integer, so both engines reproduce every value bit-for-bit. */
-  def minHashEstimateAudit(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, p: MinHashParams): DataFrame = {
+  /** Shared audit base: exact near-dup pairs (with their jaccard) joined
+    * to BOTH endpoints' MinHash signatures, signature columns suffixed
+    * `_1`/`_2` by pair side — the frame both sketch audits compare on. */
+  private def pairsWithSignatures(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double,
+      p: MinHashParams): DataFrame = {
     val pairs = ngramJaccardPairs(docs, idCol, textCol, n, threshold)
     val sigs = signatures(docs, idCol, textCol, n, p)
     val s1 = sigs.toDF(sigs.columns.map(c =>
       if (c == idCol) "id1" else s"${c}_1"): _*)
     val s2 = sigs.toDF(sigs.columns.map(c =>
       if (c == idCol) "id2" else s"${c}_2"): _*)
+    pairs.join(s1, "id1").join(s2, "id2")
+  }
+
+  def minHashEstimateAudit(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, p: MinHashParams): DataFrame = {
     val matches = (0 until p.numPerms)
       .map(i => when(col(s"mh_${i}_1") === col(s"mh_${i}_2"), 1).otherwise(0))
       .reduce(_ + _)
-    pairs.join(s1, "id1").join(s2, "id2")
+    pairsWithSignatures(docs, idCol, textCol, n, threshold, p)
       .select(col("id1"), col("id2"),
         (matches.cast("double") / lit(p.numPerms)).as("est_jaccard"),
         col("jaccard"))
@@ -358,12 +367,6 @@ object DocDedup {
       n: Int, threshold: Double, p: MinHashParams): DataFrame = {
     require(Integer.bitCount(p.bands) == 1,
       s"power-of-two band count required for the exact power chain, got ${p.bands}")
-    val pairs = ngramJaccardPairs(docs, idCol, textCol, n, threshold)
-    val sigs = signatures(docs, idCol, textCol, n, p)
-    val s1 = sigs.toDF(sigs.columns.map(c =>
-      if (c == idCol) "id1" else s"${c}_1"): _*)
-    val s2 = sigs.toDF(sigs.columns.map(c =>
-      if (c == idCol) "id2" else s"${c}_2"): _*)
     val collided = (0 until p.bands).map { b =>
       (b * p.rowsPerBand until (b + 1) * p.rowsPerBand)
         .map(i => col(s"mh_${i}_1") === col(s"mh_${i}_2"))
@@ -373,7 +376,7 @@ object DocDedup {
     val jr = (1 to p.rowsPerBand).map(_ => col("jaccard")).reduce(_ * _)
     val miss = (1 to Integer.numberOfTrailingZeros(p.bands))
       .foldLeft(lit(1.0) - jr)((x, _) => x * x)
-    pairs.join(s1, "id1").join(s2, "id2")
+    pairsWithSignatures(docs, idCol, textCol, n, threshold, p)
       .select(col("id1"), col("id2"), col("jaccard"),
         (lit(1.0) - miss).as("theory_p"), collided.as("collided"))
   }

@@ -213,6 +213,16 @@ class PlanShapeSpec extends SparkSpec {
       .agg(graft.functions.HeavyHitters.misraGries(8)($"t")))
     assert(hh.toLowerCase.contains("partial_misragries"), hh)
 
+    // rrfFuse: fusion of already-bounded lists — the per-group result is
+    // the bounded partial TopK aggregate, never a window sort or a
+    // sort-merge join
+    val lexList = Seq((0L, 10L, 1), (0L, 11L, 2)).toDF("q", "id", "rank")
+    val semList = Seq((0L, 11L, 1), (0L, 12L, 2)).toDF("q", "id", "rank")
+    val rrf = executedPlan(graft.pipeline.Similarity.rrfFuse(
+      Seq(lexList, semList), "q", "id", "rank", k = 5))
+    assert(rrf.toLowerCase.contains("partial_topkagg"), rrf)
+    assert(!rrf.contains("SortMergeJoin") && !rrf.contains("WindowExec"), rrf)
+
     // labelCentroidCosines: the corpus scan happens exactly once — in
     // the eager localCheckpoint of the metadata-sized (label, dim)
     // aggregate — so the served plan (five references to that frame)
