@@ -196,6 +196,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming semantic dedup: arrivals flag against the corpus-so-far " +
+      "index, survivors fold in, duplicates never enter") {
+    import graft.streaming.StreamSemanticDedup
+    import graft.pipeline.Similarity
+    val centroids = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)), (1L, Seq(0.0f, 1.0f, 0.0f)))
+      .toDF("c_id", "c_vec")
+    val b1 = Seq(
+      (0L, Seq(0.9f, 0.1f, 0.0f)), (1L, Seq(0.1f, 0.9f, 0.1f)),
+      (2L, Seq(0.8f, 0.0f, 0.3f)))
+    val b2 = Seq(
+      (10L, Seq(0.1f, 0.9f, 0.1f)),  // exact copy of vector 1 -> dup
+      (11L, Seq(0.0f, 0.1f, 0.9f)))  // novel direction -> kept
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])](spark)
+    var index = Similarity.ivfIndex(
+      Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"),
+      centroids, microRank = true)
+    val flags = scala.collection.mutable.ArrayBuffer[(Long, Boolean, Any)]()
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val flagged = StreamSemanticDedup.nearDupsAgainstIndex(
+          batch, index, centroids, thresholdMicro = 990000L, nprobe = 2)
+        flags ++= flagged.collect().map(r =>
+          (r.getLong(0), r.getBoolean(3), r.get(1)))
+        val keep = batch.join(
+          flagged.filter(!col("is_dup")).select("vec_id"), "vec_id")
+        index = StreamSemanticDedup
+          .appendToIndex(index, keep, centroids).localCheckpoint()
+        ()
+      }.start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val byId = flags.map(f => f._1 -> f).toMap
+    assert(byId.size == 5)
+    // batch 1 arrives to an empty index: everything kept
+    assert(Seq(0L, 1L, 2L).forall(i => !byId(i)._2))
+    // the exact copy flags as a duplicate OF vector 1; the novel one keeps
+    assert(byId(10L)._2 && byId(10L)._3 == 1L)
+    assert(!byId(11L)._2)
+    // duplicates never entered the index
+    val indexed = index.select("vec_id").as[Long].collect().toSet
+    assert(indexed == Set(0L, 1L, 2L, 11L))
+  }
+
   test("stream-stream interval join: in-horizon pairs only, batch parity") {
     val ts = (s: Long) => java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s))
     val views = Seq(
