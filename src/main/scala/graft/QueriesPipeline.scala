@@ -572,6 +572,76 @@ object QueriesPipeline {
           count(*) AS n, min(doc_id) AS first_id
         FROM h GROUP BY 1 ORDER BY split""")),
 
+    // the one-look corpus dashboard: every first-order health metric a
+    // data curator checks before a training run, as (metric, value)
+    // rows — sizes, vocabulary, duplication (exact + near at the 0.7
+    // Jaccard bar), quality, and stratum counts. Each value is either an
+    // exact integer or one division of exact integer operands (quality
+    // rides its micro sum), so the whole report replays bit-equal
+    ("corpus_health_report",
+      (s, d) => {
+        val docs = Tables.spread(s, Tables.documents(s, d))
+        val toks = docs.select(col("doc_id"),
+          explode(TF.tokens(col("text"))).as("t"))
+        val base = docs.agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(md5(TF.normalize(col("text")))).as("n_distinct"),
+          sum(floor(TF.qualityScore(col("text")) * lit(1e6) + lit(0.5))
+            .cast("long")).as("q_micro"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"))
+        val tok = toks.agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("t")).as("n_vocab"))
+        val pairs = DocDedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = 0.7).agg(count(lit(1)).as("n_near"))
+        val m = base.crossJoin(tok).crossJoin(pairs)
+        def row(name: String, v: org.apache.spark.sql.Column) =
+          m.select(lit(name).as("metric"), v.cast("double").as("value"))
+        row("docs", col("n_docs"))
+          .unionByName(row("exact_dup_docs", col("n_docs") - col("n_distinct")))
+          .unionByName(row("langs", col("n_langs")))
+          .unionByName(row("mean_doc_tokens",
+            round(col("n_tokens") / col("n_docs"), 6)))
+          .unionByName(row("mean_quality",
+            round(col("q_micro") / col("n_docs") / lit(1e6), 6)))
+          .unionByName(row("near_dup_pairs", col("n_near")))
+          .unionByName(row("sources", col("n_sources")))
+          .unionByName(row("tokens", col("n_tokens")))
+          .unionByName(row("vocab", col("n_vocab")))
+          .orderBy("metric")
+      },
+      Some(s"""WITH $dShingles,
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        nd AS (SELECT count(*) AS n_near FROM pr
+          JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+          WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.7),
+        t AS (SELECT doc_id, $dToks AS w FROM documents),
+        tok AS (SELECT (SELECT sum(len(w)) FROM t) AS n_tokens,
+          (SELECT count(DISTINCT u.t) FROM t, unnest(w) AS u(t)) AS n_vocab),
+        base AS (SELECT count(*) AS n_docs,
+          count(DISTINCT md5($dNorm)) AS n_distinct,
+          sum(CAST(floor($dQuality * 1000000.0 + 0.5) AS BIGINT)) AS q_micro,
+          count(DISTINCT lang) AS n_langs,
+          count(DISTINCT source) AS n_sources FROM documents)
+        SELECT metric, value FROM (
+          SELECT 'docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM base
+          UNION ALL SELECT 'exact_dup_docs',
+            CAST(n_docs - n_distinct AS DOUBLE) FROM base
+          UNION ALL SELECT 'langs', CAST(n_langs AS DOUBLE) FROM base
+          UNION ALL SELECT 'mean_doc_tokens',
+            round(tok.n_tokens * 1.0 / base.n_docs, 6)
+            FROM base CROSS JOIN tok
+          UNION ALL SELECT 'mean_quality',
+            round(base.q_micro * 1.0 / base.n_docs / 1000000.0, 6) FROM base
+          UNION ALL SELECT 'near_dup_pairs', CAST(n_near AS DOUBLE) FROM nd
+          UNION ALL SELECT 'sources', CAST(n_sources AS DOUBLE) FROM base
+          UNION ALL SELECT 'tokens', CAST(tok.n_tokens AS DOUBLE) FROM tok
+          UNION ALL SELECT 'vocab', CAST(tok.n_vocab AS DOUBLE) FROM tok)
+        ORDER BY metric""")),
+
     // leakage-safe splits: assign near-dup CLUSTERS to train/val/test,
     // not documents — a near-duplicate pair split across train and test
     // is silent evaluation leakage, so every member of a dup cluster
