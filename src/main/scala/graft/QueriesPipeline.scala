@@ -401,6 +401,92 @@ object QueriesPipeline {
           round(sq / 1000000.0, 6) AS bm25
         FROM rk WHERE rank <= 3 ORDER BY query_id, rank""")),
 
+    // the fusion-gain decision table: recall@10 against the semantic
+    // ground truth for lexical-only retrieval vs the RRF-fused list —
+    // the number that justifies (or kills) running the hybrid stack.
+    // Semantic truth is a proxy (no human labels), measuring what
+    // lexical-only retrieval misses semantically; hits are exact
+    // integers, recall one division of identical operands
+    ("rag_fusion_gain",
+      (s, d) => {
+        val docs = Tables.spread(s, Tables.documents(s, d))
+        val lex20 = Ranking
+          .bm25(docs, "doc_id", "text", Seq("scan", "filter", "merge"))
+          .select(lit(0L).as("q_id"), col("doc_id"), col("bm25"))
+          .groupBy("q_id")
+          .agg(graft.functions.TopK.topK(20)(col("bm25"), col("doc_id"))
+            .as("tk"))
+          .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "x")))
+          .select(col("q_id"), col("x.id").as("doc_id"),
+            (col("pos") + 1).cast("int").as("rank"))
+        val emb = qEmb(s, d)
+        val q = emb.filter(col("vec_id") === 0)
+          .select(lit(0L).as("q_id"), col("embedding").as("q_vec"))
+        val sem20 = Similarity.bruteForceTopK(emb, q, k = 20, microRank = true)
+          .select(col("q_id"), col("neighbor_id").as("doc_id"), col("rank"))
+        val truth = sem20.filter(col("rank") <= 10)
+          .select(col("doc_id"), lit(1).as("__h"))
+        def recallOf(name: String, list: DataFrame) =
+          list.join(truth, Seq("doc_id"), "left")
+            .agg(sum(coalesce(col("__h"), lit(0))).as("hits"))
+            .select(lit(name).as("method"), col("hits"),
+              round(col("hits") / 10.0, 6).as("recall"))
+        val fused = Similarity
+          .rrfFuse(Seq(lex20, sem20), "q_id", "doc_id", "rank", k = 10)
+          .select(col("neighbor_id").as("doc_id"))
+        recallOf("fused", fused)
+          .unionByName(recallOf("lexical", lex20.filter(col("rank") <= 10)
+            .select(col("doc_id"))))
+          .orderBy("method")
+      },
+      Some(s"""WITH $dEmbMicro,
+        p AS (SELECT doc_id, $dToks AS w FROM documents),
+        n AS (SELECT count(*) AS n_docs, avg(len(w)) AS avg_dl FROM p),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest(w) AS term FROM p)
+          WHERE term IN ('scan', 'filter', 'merge') GROUP BY 1, 2),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        dl AS (SELECT doc_id, len(w) AS dl FROM p),
+        lexsc AS (SELECT tf.doc_id,
+            sum(CAST(floor(ln((n.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * (tf.tf * (1.2 + 1)) /
+              (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / n.avg_dl))
+              * 1000000 + 0.5) AS BIGINT)) AS sq
+          FROM tf JOIN df ON df.term = tf.term
+          JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN n GROUP BY 1),
+        lex AS (SELECT doc_id, rank FROM (SELECT doc_id,
+            CAST(row_number() OVER (ORDER BY sq DESC, doc_id ASC) AS INT)
+              AS rank FROM lexsc) WHERE rank <= 20),
+        qv AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+        semsc AS (SELECT v.vec_id AS doc_id,
+            floor(list_dot_product(v.e, qv.qe)
+              / (sqrt(list_dot_product(v.e, v.e))
+                * sqrt(list_dot_product(qv.qe, qv.qe)))
+              * 1000000 + 0.5) AS qm
+          FROM v CROSS JOIN qv WHERE v.vec_id != 0),
+        sem AS (SELECT doc_id, rank FROM (SELECT doc_id,
+            CAST(row_number() OVER (ORDER BY qm DESC, doc_id ASC) AS INT)
+              AS rank FROM semsc) WHERE rank <= 20),
+        truth AS (SELECT doc_id FROM sem WHERE rank <= 10),
+        contrib AS (
+          SELECT doc_id, CAST(floor(1000000.0 / (60 + rank) + 0.5) AS BIGINT)
+            AS c FROM lex
+          UNION ALL
+          SELECT doc_id, CAST(floor(1000000.0 / (60 + rank) + 0.5) AS BIGINT)
+            AS c FROM sem),
+        fused AS (SELECT doc_id FROM (SELECT doc_id, CAST(row_number() OVER (
+            ORDER BY sum(c) DESC, doc_id ASC) AS INT) AS rank
+          FROM contrib GROUP BY doc_id) WHERE rank <= 10),
+        fh AS (SELECT count(*) AS hits FROM fused JOIN truth USING (doc_id)),
+        lh AS (SELECT count(*) AS hits FROM lex JOIN truth USING (doc_id)
+          WHERE lex.rank <= 10)
+        SELECT method, hits, recall FROM (
+          SELECT 'fused' AS method, CAST(hits AS BIGINT) AS hits,
+            round(hits / 10.0, 6) AS recall FROM fh
+          UNION ALL
+          SELECT 'lexical', CAST(hits AS BIGINT), round(hits / 10.0, 6)
+          FROM lh) ORDER BY method""")),
+
     // pseudo-relevance-feedback query expansion (RM3-lite): retrieve a
     // 10-doc feedback set with the base query, pick the 3 new terms that
     // are frequent in the feedback but rare in the corpus (cnt·ln(N/df),
