@@ -123,11 +123,27 @@ object Bench {
       (failed.take(8).map("\"" + _ + "\"") ++
         (if (failed.size > 8) Seq("\"+" + (failed.size - 8) + " more\"") else Nil))
         .mkString("[", ",", "]")
-    val compact = s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$famTotals,"n_queries":${byQuery.size},"n_failed":${failed.size},"failed":$failedCapped,"passes":${samples.size},"pass_totals":$passTotals,"sf":"$sfDir","detail":"bench_detail.json"}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_detail.json"),
-      (detail + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e") }
+    // Per-round sidecar name: the highest BENCH_r{N}.json on disk names
+    // the PREVIOUS round (the driver writes this round's after this main
+    // exits), so max+1 is the current round. Keeping every round's
+    // per-query detail in git makes family drift attributable to
+    // queries (r10 verdict: a 12% text-family question was unprovable
+    // because bench_detail.json had been overwritten).
+    val roundTag = try {
+      val pat = "BENCH_r(\\d+)\\.json".r
+      val ns = Option(new java.io.File(".").list()).toSeq.flatten
+        .collect { case pat(n) => n.toInt }
+      if (ns.isEmpty) "" else f"_r${ns.max + 1}%02d"
+    } catch { case _: Throwable => "" }
+    val detailName = s"bench_detail$roundTag.json"
+    val compact = s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$famTotals,"n_queries":${byQuery.size},"n_failed":${failed.size},"failed":$failedCapped,"passes":${samples.size},"pass_totals":$passTotals,"sf":"$sfDir","detail":"$detailName"}"""
+    // bench_detail.json stays as the stable latest-run pointer
+    Seq(detailName, "bench_detail.json").distinct.foreach { f =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(f),
+        (detail + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] sidecar write failed ($f): $e") }
+    }
     println(compact)
     spark.stop()
   }

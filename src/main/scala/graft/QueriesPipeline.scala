@@ -84,6 +84,28 @@ object QueriesPipeline {
       list_transform(CAST(embedding AS DOUBLE[]),
         y -> floor(y * 1000000.0 + 0.5)) AS e FROM embeddings)"""
 
+  // Exact BIGINT dot over integer-micro vectors, spelled WITHOUT
+  // `list_dot_product`: that builtin's accumulation width is
+  // implementation-defined across DuckDB builds (the r10 driver's build
+  // hash-flipped `ann_recall_eval`/`ann_hamming_recall` while DuckDB
+  // 1.0.0 agreed with Spark — consistent with a FLOAT32 overload binding
+  // there). BIGINT multiply+sum cannot bind a float path: coords ≤ ~1e6,
+  // dim 64 → |dot| ≤ 6.4e13, exact in 64-bit everywhere. Spark twin:
+  // VF.dot over VF.microVec (a sequential f64 fold over the same exact
+  // integers — also order-free exact, < 2^53).
+  private def dDotI(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(range(1, 1 + len($a)),
+        i -> CAST($a[i] AS BIGINT) * CAST($b[i] AS BIGINT))) AS BIGINT)"""
+
+  // Micro-quantized cosine from exact integer dots: sqrt / multiply /
+  // divide / floor over IDENTICAL integer operands are IEEE
+  // correctly-rounded single ops, bit-equal on every engine. Expression
+  // order mirrors Similarity.cosExpr + Similarity.micro exactly.
+  private def dCosMicroI(a: String, b: String): String =
+    s"""floor(${dDotI(a, b)}
+                / (sqrt(${dDotI(a, a)}) * sqrt(${dDotI(b, b)}))
+                * 1000000 + 0.5)"""
+
   /** Embeddings with every coordinate quantized to integer micro-units —
     * the input the ANN-family queries score on (see [[dEmbMicro]]). */
   private def qEmb(s: SparkSession, d: String): DataFrame =
@@ -2340,28 +2362,33 @@ object QueriesPipeline {
 
     // token-balanced shard export: documents dealt to shards in
     // boustrophedon order of descending token count (the deterministic
-    // LPT approximation) — per-shard document and token totals show the
-    // straggler headroom; all-integer rank/modulo arithmetic
+    // LPT approximation), balanced WITHIN each language stratum — the
+    // rank is keyed (r10 verdict: an unkeyed rank is a single task over
+    // the whole corpus), and a per-stratum deal also makes each shard's
+    // language mix match the corpus mix. All-integer rank/modulo
+    // arithmetic; per-(lang, shard) totals show the straggler headroom
     ("pack_shard_balance",
       (s, d) => {
         val docs = Tables.spread(s, Tables.documents(s, d))
-          .select(col("doc_id"),
+          .select(col("lang"), col("doc_id"),
             size(TF.tokens(col("text"))).cast("long").as("n_toks"))
-        Packing.shardBalance(docs, "doc_id", "n_toks", shards = 5)
-          .groupBy("shard")
+        Packing.shardBalance(docs, Seq("lang"), "doc_id", "n_toks",
+            shards = 5)
+          .groupBy("lang", "shard")
           .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tokens"))
-          .orderBy("shard")
+          .orderBy("lang", "shard")
       },
-      Some(s"""WITH t AS (SELECT doc_id, len($dToks) AS n_toks
+      Some(s"""WITH t AS (SELECT lang, doc_id, len($dToks) AS n_toks
           FROM documents),
-        rk AS (SELECT doc_id, n_toks, CAST(row_number() OVER (
+        rk AS (SELECT lang, doc_id, n_toks, CAST(row_number() OVER (
+            PARTITION BY lang
             ORDER BY n_toks DESC, doc_id ASC) - 1 AS BIGINT) AS r FROM t),
-        a AS (SELECT n_toks, CASE WHEN (r // 5) % 2 = 0 THEN r % 5
+        a AS (SELECT lang, n_toks, CASE WHEN (r // 5) % 2 = 0 THEN r % 5
             ELSE 4 - (r % 5) END AS shard FROM rk)
-        SELECT CAST(shard AS INT) AS shard,
+        SELECT lang, CAST(shard AS INT) AS shard,
           CAST(count(*) AS BIGINT) AS n_docs,
           CAST(sum(n_toks) AS BIGINT) AS tokens
-        FROM a GROUP BY 1 ORDER BY 1""")),
+        FROM a GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // Misra-Gries heavy hitters: top tokens via a bounded MERGEABLE
     // summary (≤ k counters per state, map-side partials — never a
@@ -2755,7 +2782,9 @@ object QueriesPipeline {
     // recall@10 of the binary-Hamming coarse stage against the exact
     // cosine ground truth — the dial that sizes cascadeTopK's coarseK;
     // truth rides integer-micro vectors (bit-equal cosines), Hamming is
-    // integer-exact by construction
+    // integer-exact by construction. r11: the ground-truth dots are
+    // explicit BIGINT sums ([[dDotI]]) — see ann_recall_eval's note on
+    // the driver-DuckDB `list_dot_product` flip this removes
     ("ann_hamming_recall",
       (s, d) => {
         val emb = qEmb(s, d)
@@ -2782,10 +2811,7 @@ object QueriesPipeline {
         q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 5),
         bf AS (SELECT q_id, neighbor_id FROM (SELECT q.q_id,
             v.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.q_id
-              ORDER BY floor(list_dot_product(v.e, q.qe)
-                / (sqrt(list_dot_product(v.e, v.e))
-                  * sqrt(list_dot_product(q.qe, q.qe)))
-                * 1000000 + 0.5) DESC,
+              ORDER BY ${dCosMicroI("v.e", "q.qe")} DESC,
               v.vec_id ASC) AS rk
           FROM v CROSS JOIN q WHERE v.vec_id != q.q_id) WHERE rk <= 10),
         b AS (SELECT vec_id, list_transform(range(0, 2), w ->
@@ -3624,7 +3650,16 @@ object QueriesPipeline {
     // was not engine-proof — a 1-ulp dot difference at a .5-micro
     // boundary still flipped one quantized score (r9 verdict); with four
     // chained ranking stages over all pairs some pair always lands on
-    // the boundary. Quantize-before-dot removes the wobble at the source.
+    // the boundary. Quantize-before-dot removes the wobble at the source
+    // — IF the oracle's dot really sums those integers exactly. The last
+    // implementation-defined piece was DuckDB's `list_dot_product`
+    // builtin (r10 verdict: the driver's DuckDB build still hash-flipped
+    // this query while 1.0.0 agreed with Spark — a FLOAT32 overload
+    // there would inject ~0.2-micro wobble, enough to flip only the
+    // most boundary-sensitive set-intersection queries, which is
+    // exactly the observed failure set). r11: every dot in this oracle
+    // is now an explicit BIGINT multiply+sum ([[dDotI]]) that cannot
+    // bind a float path on any engine.
     ("ann_recall_eval",
       (s, d) => {
         val emb = qEmb(s, d)
@@ -3648,16 +3683,12 @@ object QueriesPipeline {
         q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 5),
         bf AS (SELECT q_id, neighbor_id FROM (SELECT q.q_id,
             v.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.q_id
-              ORDER BY floor(list_dot_product(v.e, q.qe)
-                / (sqrt(list_dot_product(v.e, v.e))
-                  * sqrt(list_dot_product(q.qe, q.qe)))
-                * 1000000 + 0.5) DESC,
+              ORDER BY ${dCosMicroI("v.e", "q.qe")} DESC,
               v.vec_id ASC) AS rk
           FROM v CROSS JOIN q WHERE v.vec_id != q.q_id) WHERE rk <= 10),
         c AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id % 50 = 0),
-        cosvc AS (SELECT v.vec_id, c.c_id, floor(list_dot_product(v.e, c.ce)
-            / (sqrt(list_dot_product(v.e, v.e))
-              * sqrt(list_dot_product(c.ce, c.ce))) * 1000000 + 0.5) AS aff
+        cosvc AS (SELECT v.vec_id, c.c_id,
+            ${dCosMicroI("v.e", "c.ce")} AS aff
           FROM v CROSS JOIN c),
         assign AS (SELECT vec_id, c_id FROM (SELECT vec_id, c_id,
             row_number() OVER (PARTITION BY vec_id
@@ -3665,20 +3696,15 @@ object QueriesPipeline {
           FROM cosvc) WHERE rn = 1),
         probes AS (SELECT q_id, c_id FROM (SELECT q.q_id, c.c_id,
             row_number() OVER (PARTITION BY q.q_id
-              ORDER BY floor(list_dot_product(q.qe, c.ce)
-                / (sqrt(list_dot_product(q.qe, q.qe))
-                  * sqrt(list_dot_product(c.ce, c.ce)))
-                * 1000000 + 0.5) DESC,
+              ORDER BY ${dCosMicroI("q.qe", "c.ce")} DESC,
               c.c_id ASC) AS rn
           FROM q CROSS JOIN c) WHERE rn <= 3),
         cand AS (SELECT p.q_id, a.vec_id
           FROM probes p JOIN assign a ON a.c_id = p.c_id),
         iv AS (SELECT q_id, neighbor_id FROM (SELECT cand.q_id,
             cand.vec_id AS neighbor_id, row_number() OVER (
-              PARTITION BY cand.q_id ORDER BY floor(list_dot_product(v.e, q.qe)
-                / (sqrt(list_dot_product(v.e, v.e))
-                  * sqrt(list_dot_product(q.qe, q.qe)))
-                * 1000000 + 0.5) DESC,
+              PARTITION BY cand.q_id
+              ORDER BY ${dCosMicroI("v.e", "q.qe")} DESC,
               cand.vec_id ASC) AS rk
           FROM cand JOIN v ON v.vec_id = cand.vec_id
           JOIN q ON q.q_id = cand.q_id
@@ -3724,16 +3750,12 @@ object QueriesPipeline {
         q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 5),
         bf AS (SELECT q_id, neighbor_id, 11 - rk AS rel FROM (SELECT q.q_id,
             v.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.q_id
-              ORDER BY floor(list_dot_product(v.e, q.qe)
-                / (sqrt(list_dot_product(v.e, v.e))
-                  * sqrt(list_dot_product(q.qe, q.qe)))
-                * 1000000 + 0.5) DESC,
+              ORDER BY ${dCosMicroI("v.e", "q.qe")} DESC,
               v.vec_id ASC) AS rk
           FROM v CROSS JOIN q WHERE v.vec_id != q.q_id) WHERE rk <= 10),
         c AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id % 50 = 0),
-        cosvc AS (SELECT v.vec_id, c.c_id, floor(list_dot_product(v.e, c.ce)
-            / (sqrt(list_dot_product(v.e, v.e))
-              * sqrt(list_dot_product(c.ce, c.ce))) * 1000000 + 0.5) AS aff
+        cosvc AS (SELECT v.vec_id, c.c_id,
+            ${dCosMicroI("v.e", "c.ce")} AS aff
           FROM v CROSS JOIN c),
         assign AS (SELECT vec_id, c_id FROM (SELECT vec_id, c_id,
             row_number() OVER (PARTITION BY vec_id
@@ -3741,20 +3763,15 @@ object QueriesPipeline {
           FROM cosvc) WHERE rn = 1),
         probes AS (SELECT q_id, c_id FROM (SELECT q.q_id, c.c_id,
             row_number() OVER (PARTITION BY q.q_id
-              ORDER BY floor(list_dot_product(q.qe, c.ce)
-                / (sqrt(list_dot_product(q.qe, q.qe))
-                  * sqrt(list_dot_product(c.ce, c.ce)))
-                * 1000000 + 0.5) DESC,
+              ORDER BY ${dCosMicroI("q.qe", "c.ce")} DESC,
               c.c_id ASC) AS rn
           FROM q CROSS JOIN c) WHERE rn <= 3),
         cand AS (SELECT p.q_id, a.vec_id
           FROM probes p JOIN assign a ON a.c_id = p.c_id),
         iv AS (SELECT q_id, neighbor_id, rk AS rank FROM (SELECT cand.q_id,
             cand.vec_id AS neighbor_id, row_number() OVER (
-              PARTITION BY cand.q_id ORDER BY floor(list_dot_product(v.e, q.qe)
-                / (sqrt(list_dot_product(v.e, v.e))
-                  * sqrt(list_dot_product(q.qe, q.qe)))
-                * 1000000 + 0.5) DESC,
+              PARTITION BY cand.q_id
+              ORDER BY ${dCosMicroI("v.e", "q.qe")} DESC,
               cand.vec_id ASC) AS rk
           FROM cand JOIN v ON v.vec_id = cand.vec_id
           JOIN q ON q.q_id = cand.q_id

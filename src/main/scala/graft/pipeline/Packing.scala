@@ -66,14 +66,20 @@ object Packing {
     * true-LPT greedy, by contrast, needs a running min and cannot be
     * expressed as a window).
     *
-    * Scale shape: one global rank over (tokens desc, id). A total sort of
-    * document METADATA (id + count — not the text) is the irreducible
-    * cost of size-ordered dealing; at 100 TB run it per source/language
-    * partition the way [[packSequences]] keys its prefix sums. */
-  def shardBalance(df: DataFrame, idCol: String, nCol: String,
-      shards: Int): DataFrame = {
+    * Scale shape: the rank runs PER GROUP (`groupCols` is required, the
+    * same contract as [[packSequences]] — an unkeyed rank would be one
+    * task ordering every document in the corpus). Balancing within each
+    * source/language stratum is also what training exports want: shard
+    * mix then matches the corpus mix by construction. Only document
+    * METADATA (group key + id + count — never the text) enters the
+    * window. */
+  def shardBalance(df: DataFrame, groupCols: Seq[String], idCol: String,
+      nCol: String, shards: Int): DataFrame = {
+    require(groupCols.nonEmpty,
+      "shard balancing needs a group key (an unkeyed rank is a single task)")
     require(shards >= 1, s"need at least one shard, got $shards")
-    val w = Window.orderBy(col(nCol).desc, col(idCol))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(nCol).desc, col(idCol))
     val r = row_number().over(w) - 1
     // dealing round = r div shards, as exact integer arithmetic
     val round = ((r - pmod(r, lit(shards))) / lit(shards)).cast("long")

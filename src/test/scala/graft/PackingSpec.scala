@@ -95,20 +95,31 @@ class PackingSpec extends SparkSpec {
     assert(chunks.size > 1, "mask 8 over 40 tokens should cut somewhere")
   }
 
-  test("shardBalance: boustrophedon dealing by descending size, " +
-      "hand-checked totals beat round-robin skew") {
+  test("shardBalance: boustrophedon dealing by descending size within " +
+      "each group, hand-checked totals beat round-robin skew") {
+    // group "a": the hand-checked 10-doc deal; group "b": a copy of the
+    // first three docs — its ranks must restart (keyed window), so doc 1
+    // lands on shard 0 in BOTH groups
+    val rows = (1L to 10L).map(i => Row("a", i, 11L - i)) ++
+      (1L to 3L).map(i => Row("b", i, 11L - i))
     val df = spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        (1L to 10L).map(i => Row(i, 11L - i)), 2),
-      StructType(Seq(StructField("id", LongType), StructField("n", LongType))))
-    val out = Packing.shardBalance(df, "id", "n", shards = 3)
-      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+      spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(StructField("g", StringType), StructField("id", LongType),
+        StructField("n", LongType))))
+    val res = Packing.shardBalance(df, Seq("g"), "id", "n", shards = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(3)).toMap
+    val out = (1L to 10L).map(i => i -> res(("a", i))).toMap
     // sizes desc: 10 9 8 | 7 6 5 | 4 3 2 | 1 -> shards 012 | 210 | 012 | 2
     assert(out == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 2, 5L -> 1,
       6L -> 0, 7L -> 0, 8L -> 1, 9L -> 2, 10L -> 2))
     val totals = (1L to 10L).groupBy(i => out(i))
       .view.mapValues(_.map(11L - _).sum).toMap
     assert(totals == Map(0 -> 19L, 1 -> 18L, 2 -> 18L))
+    assert((1L to 3L).map(i => res(("b", i))) == Seq(0, 1, 2),
+      "group b ranks independently of group a")
+    intercept[IllegalArgumentException] {
+      Packing.shardBalance(df, Nil, "id", "n", shards = 3)
+    }
   }
 
   test("cdcChunks: boundaries re-synchronize after an insertion " +
