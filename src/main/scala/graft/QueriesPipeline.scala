@@ -367,14 +367,20 @@ object QueriesPipeline {
     // 150) scored by multi-query BM25 — ONE corpus pass for the whole
     // query batch — then top-3 passages per query via the bounded TopK
     // AGGREGATE (map-side partials; no per-query corpus sort). Passage
-    // key packs (doc, chunk) into one long (chunks/doc is bounded by the
-    // stride; well under the 1000 packing base)
+    // key packs (doc, chunk) into one long with a 1e6 base: chunk_id =
+    // chars/150, so the base holds documents up to 150M chars (vs ~150k
+    // under the old 1000 base — a long document would have silently
+    // aliased pids across documents), and doc_id keeps 9.2e12 of
+    // headroom. A defensive filter drops (and thereby surfaces in
+    // recall evals) anything beyond the packing range rather than
+    // corrupting neighbors' ids.
     ("rag_passage_retrieval",
       (s, d) => {
         val chunks = Packing.chunkDocuments(
             Tables.spread(s, Tables.documents(s, d)),
             "doc_id", "text", size = 200, stride = 150)
-          .select((col("doc_id") * 1000 + col("chunk_id")).as("pid"),
+          .filter(col("chunk_id") < 1000000)
+          .select((col("doc_id") * 1000000L + col("chunk_id")).as("pid"),
             col("chunk"))
         val queryBatch = Seq(
           "q_exec" -> Seq("scan", "filter", "merge"),
@@ -385,8 +391,8 @@ object QueriesPipeline {
           .agg(graft.functions.TopK.topK(3)(col("bm25"), col("pid")).as("top"))
           .select(col("query_id"), posexplode(col("top")).as(Seq("rk", "x")))
           .select(col("query_id"), (col("rk") + 1).cast("int").as("rank"),
-            (col("x.id") / lit(1000)).cast("long").as("doc_id"),
-            pmod(col("x.id"), lit(1000)).as("chunk_id"),
+            (col("x.id") / lit(1000000L)).cast("long").as("doc_id"),
+            pmod(col("x.id"), lit(1000000L)).as("chunk_id"),
             round(col("x.score"), 6).as("bm25"))
           .orderBy("query_id", "rank")
       },
@@ -395,9 +401,9 @@ object QueriesPipeline {
           FROM (SELECT doc_id, text, unnest(range(0,
             (greatest(length(text) - 200, 0) + 149) // 150 + 1)) AS cid
           FROM documents)),
-        p AS (SELECT doc_id * 1000 + cid AS pid, regexp_split_to_array(
+        p AS (SELECT doc_id * 1000000 + cid AS pid, regexp_split_to_array(
             regexp_replace(lower(trim(chunk)), '\\s+', ' ', 'g'), ' ') AS w
-          FROM c),
+          FROM c WHERE cid < 1000000),
         n AS (SELECT count(*) AS n_docs, avg(len(w)) AS avg_dl FROM p),
         dl AS (SELECT pid, len(w) AS dl FROM p),
         qt(query_id, term) AS (VALUES
@@ -419,7 +425,8 @@ object QueriesPipeline {
         rk AS (SELECT query_id, pid, sq, CAST(row_number() OVER (
             PARTITION BY query_id ORDER BY sq DESC, pid ASC) AS INT) AS rank
           FROM sc)
-        SELECT query_id, rank, pid // 1000 AS doc_id, pid % 1000 AS chunk_id,
+        SELECT query_id, rank, pid // 1000000 AS doc_id,
+          pid % 1000000 AS chunk_id,
           round(sq / 1000000.0, 6) AS bm25
         FROM rk WHERE rank <= 3 ORDER BY query_id, rank""")),
 

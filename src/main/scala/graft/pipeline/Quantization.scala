@@ -80,10 +80,20 @@ object Quantization {
     * cross-signal audit primitive (e.g. does text quality correlate with
     * embedding norm?). Inputs are expected pre-quantized to an integer
     * grid (the micro-unit discipline); every sum runs in decimal(38,0)
-    * so the four moments are exact order-free integer sums at any corpus
-    * size, and `r = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² −
-    * (Σy)²))` is evaluated as IEEE doubles over those identical exact
-    * operands — bit-reproducible on any engine. Returns one row
+    * so the four moments are exact order-free integer sums, and
+    * `r = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²))` is
+    * evaluated as IEEE doubles over those identical exact operands —
+    * bit-reproducible on any engine.
+    *
+    * Operand bound (not unlimited): the variance term n·Σx² must fit
+    * decimal(38,0), so with micro-quantized inputs (|x| ≤ ~1e6, x² ≤
+    * 1e12) the product stays exact up to n·Σx² < 1e38 — roughly n <
+    * 3e12 rows of full-magnitude values, but only ~2e5 rows if callers
+    * feed 64 summed squared micro-coordinates per row (norm²-style
+    * inputs; DuckDB's HUGEINT twin hits the same ~1.7e38 ceiling).
+    * Under ANSI mode an overflow THROWS rather than corrupting r;
+    * rescale such inputs (e.g. norm² / 64) before calling at larger n.
+    * Returns one row
     * (n, r); r is NULL when either column has zero variance (a raw 0/0
     * would THROW under Spark 4's default ANSI mode, the same hazard
     * [[graft.pipeline.Similarity]] guards on its cosine paths).

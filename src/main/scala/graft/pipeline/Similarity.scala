@@ -166,7 +166,8 @@ object Similarity {
       queries: DataFrame, k: Int, nprobe: Int,
       idCol: String = "vec_id",
       qIdCol: String = "q_id", qVecCol: String = "q_vec",
-      microRank: Boolean = false): DataFrame = {
+      microRank: Boolean = false,
+      excludeSelf: Boolean = true): DataFrame = {
     val cent = normed(centroids, "c_id", "c_vec", "__ce", "__cn")
     val q = normed(queries, qIdCol, qVecCol, "__qe", "__qn")
     val probeAff =
@@ -179,8 +180,14 @@ object Similarity {
       .select(col(qIdCol), col("neighbor_id").as("c_id"))
       .join(q, qIdCol)
     val cos = cosExpr(dot(col("__e"), col("__qe")), col("__n"), col("__qn"))
-    val scored = index.join(broadcast(probes), "c_id")
-      .filter(col(idCol) =!= col(qIdCol))
+    // excludeSelf drops an index row whose id equals the query's — right
+    // for retrieval/eval (a query must not retrieve itself). Dedup-style
+    // callers pass false: there an id ALREADY in the index (at-least-once
+    // replay of a delivered batch) must match its indexed copy at
+    // cos = 1e6 and flag as a duplicate instead of slipping past.
+    val joined = index.join(broadcast(probes), "c_id")
+    val scored = (if (excludeSelf) joined.filter(col(idCol) =!= col(qIdCol))
+      else joined)
       .select(col(qIdCol), col(idCol),
         (if (microRank) micro(cos) else cos).as("cos"))
     rankTopK(scored, k, qIdCol, "cos", idCol)

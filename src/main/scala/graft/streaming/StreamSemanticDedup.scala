@@ -29,14 +29,21 @@ object StreamSemanticDedup {
     * (idCol, neighbor_id, cos micro, is_dup) with `is_dup` = micro-cosine
     * >= `thresholdMicro` (the quantize-before-compare contract —
     * [[Similarity.micro]]). Batch vectors with no candidate in the probed
-    * lists (or zero norm) are kept with a NULL neighbor. */
+    * lists (or zero norm) are kept with a NULL neighbor.
+    *
+    * Replay-safe: the scorer runs WITHOUT the retrieval path's self-id
+    * exclusion (`excludeSelf = false`), so a batch vector re-delivered
+    * with an id already in the index (at-least-once redelivery) matches
+    * its own indexed copy at cos = 1e6 and flags `is_dup` — the
+    * filter-survivors-then-append loop then drops it instead of
+    * inserting a second copy. */
   def nearDupsAgainstIndex(batch: DataFrame, index: DataFrame,
       centroids: DataFrame, thresholdMicro: Long, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = batch.select(col(idCol).as("__bid"), col(vecCol).as("q_vec"))
     val best = Similarity.ivfTopKIndexed(index, centroids,
         q.withColumnRenamed("__bid", "q_id"), k = 1, nprobe = nprobe,
-        idCol = idCol, microRank = true)
+        idCol = idCol, microRank = true, excludeSelf = false)
       .select(col("q_id").as(idCol), col("neighbor_id"), col("cos"))
     batch.select(col(idCol))
       .join(best, Seq(idCol), "left")

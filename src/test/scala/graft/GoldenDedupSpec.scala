@@ -106,4 +106,57 @@ class GoldenDedupSpec extends SparkSpec {
     assert(names ==
       (expected.map(_._2) ++ expected.map(_._3)).sorted)
   }
+
+  test("sql_deduplicate_1 persisted-chunk scenario: same golden rows " +
+      "through rollover -> compact -> sidecar scan") {
+    // The reference runs the duplicates fixture across chunk-STAGE
+    // scenarios too (scenarios.rs: rollover + move_chunk_to_read_buffer /
+    // persist per chunk). Spark mapping: each chunk compacts to its own
+    // parquet dir + stats sidecar (within-chunk dedup at write, like the
+    // reference's dedup on move), then Upsert.scanChunks plans from the
+    // sidecars alone — overlap groups from timeMin/timeMax, cross-chunk
+    // dedup only where ranges overlap — and must produce the identical
+    // 18 golden rows.
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-golden-dedup").toString
+    val lines = Seq(
+      Seq("h2o,state=MA,city=Boston min_temp=70.4 50",
+        "h2o,state=MA,city=Bedford min_temp=71.59 150",
+        "h2o,state=MA,city=Boston max_temp=75.4 250",
+        "h2o,state=MA,city=Andover max_temp=69.2 250"),
+      Seq("h2o,state=MA,city=Bedford max_temp=78.75,area=742.0 150",
+        "h2o,state=MA,city=Boston min_temp=65.4 250",
+        "h2o,state=MA,city=Reading min_temp=53.4 250",
+        "h2o,state=CA,city=SF min_temp=79.0,max_temp=87.2,area=500.0 300",
+        "h2o,state=CA,city=SJ min_temp=78.5,max_temp=88.0 300",
+        "h2o,state=CA,city=SJ min_temp=75.5,max_temp=84.08 350"),
+      Seq("h2o,state=MA,city=Bedford max_temp=80.75,area=742.0 400",
+        "h2o,state=MA,city=Boston min_temp=68.4 400",
+        "h2o,state=MA,city=Bedford min_temp=65.22,area=750.0 400",
+        "h2o,state=MA,city=Boston min_temp=65.40,max_temp=82.67 400",
+        "h2o,state=CA,city=SJ min_temp=77.0,max_temp=90.7 450",
+        "h2o,state=CA,city=SJ min_temp=69.5,max_temp=88.2 500"),
+      Seq("h2o,state=MA,city=Bedford max_temp=88.75,area=742.0 600",
+        "h2o,state=MA,city=Boston min_temp=67.4 600",
+        "h2o,state=MA,city=Reading min_temp=60.4 600",
+        "h2o,state=CA,city=SF min_temp=68.4,max_temp=85.7,area=500.0 650",
+        "h2o,state=CA,city=SJ min_temp=69.5,max_temp=89.2 650",
+        "h2o,state=CA,city=SJ min_temp=75.5,max_temp=84.08 700"))
+    val pk = Seq("city", "state", "time")
+    val chunkDirs = lines.zipWithIndex.map { case (ls, i) =>
+      chunk(ls: _*).write.parquet(s"$base/raw_$i")
+      graft.streaming.Ingest.compact(spark, s"$base/raw_$i",
+        s"$base/chunk_$i", pk, seqCol = Some(Upsert.ArrivalCol))
+      s"$base/chunk_$i"
+    }
+    // every chunk's sidecar must exist — the scan plans from them
+    chunkDirs.foreach(p =>
+      assert(graft.sources.StatsCatalog.load(spark, p).isDefined, p))
+    val got = Upsert.scanChunks(spark, chunkDirs, pk)
+      .select("time", "state", "city", "min_temp", "max_temp", "area")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        Option(r.get(3)), Option(r.get(4)), Option(r.get(5))))
+      .sortBy(t => (t._1, t._2, t._3))
+    assert(got.toSeq == expected)
+  }
 }

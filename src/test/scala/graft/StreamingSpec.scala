@@ -229,17 +229,28 @@ class StreamingSpec extends SparkSpec {
     try {
       input.addData(b1: _*); q.processAllAvailable()
       input.addData(b2: _*); q.processAllAvailable()
+      val byId = flags.map(f => f._1 -> f).toMap
+      assert(byId.size == 5)
+      // batch 1 arrives to an empty index: everything kept
+      assert(Seq(0L, 1L, 2L).forall(i => !byId(i)._2))
+      // the exact copy flags as a duplicate OF vector 1; the novel one keeps
+      assert(byId(10L)._2 && byId(10L)._3 == 1L)
+      assert(!byId(11L)._2)
+      // duplicates never entered the index
+      val indexed = index.select("vec_id").as[Long].collect().toSet
+      assert(indexed == Set(0L, 1L, 2L, 11L))
+      // at-least-once replay: b2 redelivered. The already-indexed id 11
+      // must match its OWN copy (the dedup path scores without the
+      // retrieval self-id exclusion) and flag, so nothing double-inserts
+      flags.clear()
+      input.addData(b2: _*); q.processAllAvailable()
+      val replay = flags.map(f => f._1 -> f).toMap
+      assert(replay(10L)._2, "replayed copy-of-1 still flags")
+      assert(replay(11L)._2 && replay(11L)._3 == 11L,
+        "replayed indexed vector flags against its own indexed copy")
+      assert(index.select("vec_id").as[Long].collect().toSet ==
+        Set(0L, 1L, 2L, 11L), "replay inserted no second copy")
     } finally q.stop()
-    val byId = flags.map(f => f._1 -> f).toMap
-    assert(byId.size == 5)
-    // batch 1 arrives to an empty index: everything kept
-    assert(Seq(0L, 1L, 2L).forall(i => !byId(i)._2))
-    // the exact copy flags as a duplicate OF vector 1; the novel one keeps
-    assert(byId(10L)._2 && byId(10L)._3 == 1L)
-    assert(!byId(11L)._2)
-    // duplicates never entered the index
-    val indexed = index.select("vec_id").as[Long].collect().toSet
-    assert(indexed == Set(0L, 1L, 2L, 11L))
   }
 
   test("stream-stream interval join: in-horizon pairs only, batch parity") {
