@@ -911,6 +911,27 @@ object QueriesPipeline {
           < cs.share_ppm * tq.t
         ORDER BY d.doc_id""")),
 
+    // temperature sampling weights (mT5/XLM-R q ∝ p^α, α = 1/2): the
+    // multilingual curriculum dial — low-resource languages up-boosted,
+    // high-resource damped. α = 1/2 keeps p^α a single IEEE sqrt (the
+    // pow()-ban discipline); √counts quantize to micros before the
+    // normalization sum so both engines divide identical integers
+    ("corpus_temperature_mix",
+      (s, d) => graft.pipeline.Sampling
+        .temperatureMix(Tables.documents(s, d), "lang")
+        .orderBy("lang"),
+      Some("""WITH c AS (SELECT lang, count(*) AS n_docs
+          FROM documents GROUP BY 1),
+        sq AS (SELECT lang, n_docs,
+          CAST(floor(sqrt(n_docs) * 1000000 + 0.5) AS BIGINT) AS s FROM c),
+        t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tn,
+          CAST(sum(s) AS BIGINT) AS tsq FROM sq)
+        SELECT lang, n_docs,
+          round(n_docs / tn, 6) AS p_natural,
+          round(s / tsq, 6) AS q_temp,
+          round((s * tn) / (tsq * n_docs), 6) AS boost
+        FROM sq CROSS JOIN t ORDER BY lang""")),
+
     // n-gram novelty: the fraction of a document's distinct 3-gram
     // shingles that appear NOWHERE else in the corpus — the standard
     // diversity/redundancy audit beside the dedup family (a corpus of
@@ -2714,6 +2735,45 @@ object QueriesPipeline {
           FROM scored)
         SELECT q_id, rank, neighbor_id, qm / 1000000.0 AS cos
         FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""")),
+
+    // IVF list-balance audit: per-centroid list sizes and the skew
+    // ratio vs a perfectly uniform split — the serving dial behind IVF
+    // tail latency (a 3× hot list is a 3× slow probe; rebalance =
+    // retrain centroids or split the list). Assignment replays the
+    // index build's micro-affinity argmax; dots ride [[dDotI]] so the
+    // assignment is engine-proof end to end
+    ("ann_ivf_balance",
+      (s, d) => {
+        val emb = qEmb(s, d)
+        val centroids = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+        val lists = Similarity
+          .ivfIndex(Tables.spread(s, emb), centroids, microRank = true)
+          .groupBy("c_id").agg(count(lit(1)).as("n_vecs"))
+        val tot = lists.agg(sum("n_vecs").as("__t"),
+          count(lit(1)).as("__k"))
+        lists.crossJoin(broadcast(tot))
+          .select(col("c_id"), col("n_vecs"),
+            round(col("n_vecs") / col("__t"), 6).as("share"),
+            round((col("n_vecs") * col("__k")) / col("__t"), 6).as("balance"))
+          .orderBy("c_id")
+      },
+      Some(s"""WITH $dEmbMicro,
+        c AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id % 50 = 0),
+        cosvc AS (SELECT v.vec_id, c.c_id,
+            ${dCosMicroI("v.e", "c.ce")} AS aff
+          FROM v CROSS JOIN c),
+        assign AS (SELECT vec_id, c_id FROM (SELECT vec_id, c_id,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY aff DESC, c_id ASC) AS rn
+          FROM cosvc) WHERE rn = 1),
+        lists AS (SELECT c_id, count(*) AS n_vecs FROM assign GROUP BY 1),
+        t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS tt,
+          count(*) AS k FROM lists)
+        SELECT c_id, n_vecs,
+          round(n_vecs / tt, 6) AS share,
+          round((n_vecs * k) / tt, 6) AS balance
+        FROM lists CROSS JOIN t ORDER BY c_id""")),
 
     // binary-quantized retrieval: sign bits packed 32-per-word, Hamming
     // distance = XOR+popcount per word — all-integer, so the oracle

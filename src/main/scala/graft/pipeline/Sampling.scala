@@ -360,6 +360,39 @@ object Sampling {
       .drop("__cnt", "__share_ppm", "__t")
   }
 
+  /** Temperature-rescaled multilingual sampling weights — the mT5/XLM-R
+    * curriculum `q_l ∝ p_l^α` with α = 1/2: low-resource strata are
+    * up-weighted and high-resource ones damped, flattening the natural
+    * distribution without inverting it. One row per stratum: natural
+    * count and share, the temperature share, and `boost` = q/p (the
+    * per-stratum up/down-sampling factor an epoch mixer applies).
+    *
+    * α is FIXED at 1/2: p^(1/2) is one IEEE-correctly-rounded sqrt, so
+    * results are bit-reproducible across engines. A general α would ride
+    * pow = exp(α·ln p) through libm, whose last ulp differs across
+    * implementations (this repo's pow()-ban discipline). Each √count is
+    * quantized to integer micros BEFORE the cross-strata normalization,
+    * so the denominator is an exact order-free integer sum.
+    *
+    * Scale shape: one count per stratum (map-side partials into a
+    * stratum-sized frame), then arithmetic on that frame alone — the
+    * corpus is scanned once and never shuffled. */
+  def temperatureMix(df: DataFrame, strataCol: String): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("__sq",
+        floor(sqrt(col("n_docs").cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long"))
+    val tot = counts.agg(sum("n_docs").as("__tn"), sum("__sq").as("__tsq"))
+    counts.crossJoin(broadcast(tot))
+      .select(col(strataCol), col("n_docs"),
+        round(col("n_docs") / col("__tn"), 6).as("p_natural"),
+        round(col("__sq") / col("__tsq"), 6).as("q_temp"),
+        // q/p = (√n_l·Σn) / (Σ√n·n_l): exact integer products (micros ×
+        // counts stay far under 2^53), one IEEE division
+        round((col("__sq") * col("__tn")) / (col("__tsq") * col("n_docs")), 6)
+          .as("boost"))
+  }
+
   /** Robust outlier flagging by the median-absolute-deviation rule:
     * a row is an outlier in its stratum when
     * `|x − median| > cut · 1.4826 · MAD` (1.4826 scales MAD to σ under

@@ -316,6 +316,20 @@ class PipelineSpec extends SparkSpec {
     assert(got.count(_._2 == "de") == 50)
   }
 
+  test("temperatureMix: α=1/2 flattening — hand-checked boosts, " +
+      "low-resource up, high-resource down") {
+    // counts 9/16/25 -> √ = 3/4/5 exactly, so every share is checkable
+    // by hand: q = (3,4,5)/12, p = (9,16,25)/50, boost = q/p
+    val rows = Seq.fill(9)("a") ++ Seq.fill(16)("b") ++ Seq.fill(25)("c")
+    val got = Sampling.temperatureMix(rows.toDF("lang"), "lang")
+      .orderBy("lang")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      ("a", 9L, 0.18, 0.25, 1.388889),
+      ("b", 16L, 0.32, 0.333333, 1.041667),
+      ("c", 25L, 0.5, 0.416667, 0.833333)))
+  }
+
   test("madOutliers equals the naive lower-median MAD rule") {
     import graft.pipeline.Sampling
     // one stratum with a fat tail, one tiny stratum; scores straddle
