@@ -488,10 +488,7 @@ object QueriesPipeline {
               AS rank FROM lexsc) WHERE rank <= 20),
         qv AS (SELECT e AS qe FROM v WHERE vec_id = 0),
         semsc AS (SELECT v.vec_id AS doc_id,
-            floor(list_dot_product(v.e, qv.qe)
-              / (sqrt(list_dot_product(v.e, v.e))
-                * sqrt(list_dot_product(qv.qe, qv.qe)))
-              * 1000000 + 0.5) AS qm
+            ${dCosMicroI("v.e", "qv.qe")} AS qm
           FROM v CROSS JOIN qv WHERE v.vec_id != 0),
         sem AS (SELECT doc_id, rank FROM (SELECT doc_id,
             CAST(row_number() OVER (ORDER BY qm DESC, doc_id ASC) AS INT)
@@ -649,10 +646,7 @@ object QueriesPipeline {
               AS rank FROM lexsc) WHERE rank <= 20),
         qv AS (SELECT e AS qe FROM v WHERE vec_id = 0),
         semsc AS (SELECT v.vec_id AS doc_id,
-            floor(list_dot_product(v.e, qv.qe)
-              / (sqrt(list_dot_product(v.e, v.e))
-                * sqrt(list_dot_product(qv.qe, qv.qe)))
-              * 1000000 + 0.5) AS qm
+            ${dCosMicroI("v.e", "qv.qe")} AS qm
           FROM v CROSS JOIN qv WHERE v.vec_id != 0),
         sem AS (SELECT doc_id, rank FROM (SELECT doc_id,
             CAST(row_number() OVER (ORDER BY qm DESC, doc_id ASC) AS INT)
@@ -2513,9 +2507,8 @@ object QueriesPipeline {
       },
       Some(s"""WITH $dEmbMicro,
         q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 3)
-        SELECT q_id, vec_id, floor(list_dot_product(e, qe)
-          / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe)))
-          * 1000000 + 0.5) / 1000000.0 AS cos
+        SELECT q_id, vec_id,
+          ${dCosMicroI("e", "qe")} / 1000000.0 AS cos
         FROM v CROSS JOIN q ORDER BY q_id, vec_id""")),
 
     // brute-force cosine top-k on integer-micro VECTORS (dEmbMicro):
@@ -2537,9 +2530,7 @@ object QueriesPipeline {
       Some(s"""WITH $dEmbMicro,
         q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 5),
         scored AS (SELECT q_id, vec_id AS neighbor_id,
-            floor(list_dot_product(e, qe)
-              / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe)))
-              * 1000000 + 0.5) AS qm
+            ${dCosMicroI("e", "qe")} AS qm
           FROM v CROSS JOIN q WHERE vec_id != q_id),
         ranked AS (SELECT q_id, neighbor_id, qm, CAST(row_number() OVER (
             PARTITION BY q_id ORDER BY qm DESC, neighbor_id ASC) AS INT) AS rank
@@ -2563,9 +2554,9 @@ object QueriesPipeline {
       },
       Some {
         def pairSim(a: String, b: String) =
-          s"""CAST(round(list_dot_product($a.e, $b.e)
-            / (sqrt(list_dot_product($a.e, $a.e))
-               * sqrt(list_dot_product($b.e, $b.e))) * 1000000) AS BIGINT)"""
+          s"""CAST(round(${dDotI(s"$a.e", s"$b.e")}
+            / (sqrt(${dDotI(s"$a.e", s"$a.e")})
+               * sqrt(${dDotI(s"$b.e", s"$b.e")})) * 1000000) AS BIGINT)"""
         def pStage(i: Int): String = {
           val (src, agg) =
             if (i == 1) ("pool", s"${pairSim("p", "s")}")
@@ -2590,9 +2581,9 @@ object QueriesPipeline {
           " UNION ALL ")
         s"""WITH $dEmbMicro,
           q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 3),
-          sc AS (SELECT q_id, vec_id AS id, e, list_dot_product(e, qe)
-              / (sqrt(list_dot_product(e, e))
-                 * sqrt(list_dot_product(qe, qe))) AS cos
+          sc AS (SELECT q_id, vec_id AS id, e, ${dDotI("e", "qe")}
+              / (sqrt(${dDotI("e", "e")})
+                 * sqrt(${dDotI("qe", "qe")})) AS cos
             FROM v CROSS JOIN q WHERE vec_id != q_id),
           pool AS (SELECT q_id, id, e,
               CAST(round(cos * 1000000) AS BIGINT) AS qsim
@@ -2632,9 +2623,7 @@ object QueriesPipeline {
         q AS (SELECT vv.vec_id AS q_id, e AS qe, a1.c AS qc
           FROM vv JOIN a1 USING (vec_id) WHERE vv.vec_id < 5),
         scored AS (SELECT q.q_id, vv.vec_id AS neighbor_id,
-            floor(list_dot_product(vv.e, q.qe)
-              / (sqrt(list_dot_product(vv.e, vv.e))
-                * sqrt(list_dot_product(q.qe, q.qe))) * 1000000 + 0.5) AS qm
+            ${dCosMicroI("vv.e", "q.qe")} AS qm
           FROM vv JOIN a1 USING (vec_id) CROSS JOIN q
           WHERE vv.vec_id != q.q_id AND a1.c != q.qc),
         ranked AS (SELECT q_id, neighbor_id, qm, CAST(row_number() OVER (
@@ -2658,9 +2647,8 @@ object QueriesPipeline {
       },
       Some(s"""WITH $dEmbMicro,
         c AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id % 50 = 0),
-        cosvc AS (SELECT v.vec_id, c.c_id, floor(list_dot_product(v.e, c.ce)
-            / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce)))
-            * 1000000 + 0.5) AS aff
+        cosvc AS (SELECT v.vec_id, c.c_id,
+            ${dCosMicroI("v.e", "c.ce")} AS aff
           FROM v CROSS JOIN c),
         assign AS (SELECT vec_id, c_id FROM (SELECT vec_id, c_id,
             row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, c_id ASC) AS rn
@@ -2668,16 +2656,12 @@ object QueriesPipeline {
         q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 5),
         probes AS (SELECT q_id, c_id FROM (SELECT q.q_id, c.c_id,
             row_number() OVER (PARTITION BY q.q_id
-              ORDER BY floor(list_dot_product(q.qe, c.ce)
-              / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.ce, c.ce)))
-              * 1000000 + 0.5) DESC,
+              ORDER BY ${dCosMicroI("q.qe", "c.ce")} DESC,
               c.c_id ASC) AS rn
           FROM q CROSS JOIN c) WHERE rn <= 3),
         cand AS (SELECT p.q_id, a.vec_id FROM probes p JOIN assign a ON a.c_id = p.c_id),
         scored AS (SELECT cand.q_id, cand.vec_id AS neighbor_id,
-            floor(list_dot_product(v.e, q.qe)
-              / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe)))
-              * 1000000 + 0.5) AS qm
+            ${dCosMicroI("v.e", "q.qe")} AS qm
           FROM cand JOIN v ON v.vec_id = cand.vec_id JOIN q ON q.q_id = cand.q_id
           WHERE cand.vec_id != cand.q_id),
         ranked AS (SELECT q_id, neighbor_id, qm, CAST(row_number() OVER (
@@ -2707,9 +2691,8 @@ object QueriesPipeline {
       },
       Some(s"""WITH $dEmbMicro,
         c AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id % 50 = 0),
-        cosvc AS (SELECT v.vec_id, c.c_id, floor(list_dot_product(v.e, c.ce)
-            / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce)))
-            * 1000000 + 0.5) AS aff
+        cosvc AS (SELECT v.vec_id, c.c_id,
+            ${dCosMicroI("v.e", "c.ce")} AS aff
           FROM v CROSS JOIN c),
         assign AS (SELECT vec_id, c_id FROM (SELECT vec_id, c_id,
             row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, c_id ASC) AS rn
@@ -2718,16 +2701,12 @@ object QueriesPipeline {
           WHERE vec_id >= 5 AND vec_id < 10),
         probes AS (SELECT q_id, c_id FROM (SELECT q.q_id, c.c_id,
             row_number() OVER (PARTITION BY q.q_id
-              ORDER BY floor(list_dot_product(q.qe, c.ce)
-              / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.ce, c.ce)))
-              * 1000000 + 0.5) DESC,
+              ORDER BY ${dCosMicroI("q.qe", "c.ce")} DESC,
               c.c_id ASC) AS rn
           FROM q CROSS JOIN c) WHERE rn <= 2),
         cand AS (SELECT p.q_id, a.vec_id FROM probes p JOIN assign a ON a.c_id = p.c_id),
         scored AS (SELECT cand.q_id, cand.vec_id AS neighbor_id,
-            floor(list_dot_product(v.e, q.qe)
-              / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe)))
-              * 1000000 + 0.5) AS qm
+            ${dCosMicroI("v.e", "q.qe")} AS qm
           FROM cand JOIN v ON v.vec_id = cand.vec_id JOIN q ON q.q_id = cand.q_id
           WHERE cand.vec_id != cand.q_id),
         ranked AS (SELECT q_id, neighbor_id, qm, CAST(row_number() OVER (
@@ -2836,9 +2815,9 @@ object QueriesPipeline {
             OVER (PARTITION BY q_id ORDER BY hamming ASC, neighbor_id ASC)
             AS rc FROM hm) WHERE rc <= 50),
         sc AS (SELECT cand.q_id, cand.neighbor_id,
-            list_dot_product(cand.e, q.qe)
-              / (sqrt(list_dot_product(cand.e, cand.e))
-                * sqrt(list_dot_product(q.qe, q.qe))) AS cos
+            ${dDotI("cand.e", "q.qe")}
+              / (sqrt(${dDotI("cand.e", "cand.e")})
+                * sqrt(${dDotI("q.qe", "q.qe")})) AS cos
           FROM cand JOIN q USING (q_id)),
         rk AS (SELECT q_id, neighbor_id, cos, CAST(row_number() OVER (
             PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS INT)
@@ -2914,13 +2893,12 @@ object QueriesPipeline {
       Some {
         val planes = Similarity.lshPlanes(nPlanes = 4, dim = 64)
         val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
-          s"(CASE WHEN list_dot_product(e, ${p.mkString("[", ",", "]")}) >= 0 THEN ${1L << i} ELSE 0 END)"
+          s"(CASE WHEN ${dDotI("e", p.mkString("[", ",", "]"))} >= 0 THEN ${1L << i} ELSE 0 END)"
         }.mkString(" + ")
         s"""WITH $dEmbMicro,
           b AS (SELECT vec_id, e, $bucketExpr AS bucket FROM v),
           pairs AS (SELECT a.vec_id AS id1, c.vec_id AS id2,
-            floor(list_dot_product(a.e, c.e) / (sqrt(list_dot_product(a.e, a.e))
-              * sqrt(list_dot_product(c.e, c.e))) * 1000000 + 0.5) AS qm
+            ${dCosMicroI("a.e", "c.e")} AS qm
           FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
           SELECT id1, id2, qm / 1000000.0 AS cos
           FROM pairs WHERE qm >= 400000
