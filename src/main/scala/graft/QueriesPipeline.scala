@@ -2754,6 +2754,67 @@ object QueriesPipeline {
           round((n_vecs * k) / tt, 6) AS balance
         FROM lists CROSS JOIN t ORDER BY c_id""")),
 
+    // recall@10 for EVERY nprobe 1..4 in one corpus pass — the table
+    // that picks the IVF operating point (recall climbs, probe cost is
+    // linear; serve at the knee). Candidates are scored once at the
+    // widest probe set; a candidate found via probe rank pr joins every
+    // curve np >= pr through a bounded explode. All dots ride exact
+    // BIGINT sums ([[dDotI]]) on the oracle side
+    ("ann_nprobe_curve",
+      (s, d) => {
+        val emb = qEmb(s, d)
+        val centroids = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.ivfRecallCurve(Tables.spread(s, emb), centroids, q,
+            k = 10, maxProbe = 4, microRank = true)
+          .orderBy("nprobe")
+      },
+      Some(s"""WITH $dEmbMicro,
+        q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 5),
+        c AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id % 50 = 0),
+        cosvc AS (SELECT v.vec_id, c.c_id,
+            ${dCosMicroI("v.e", "c.ce")} AS aff
+          FROM v CROSS JOIN c),
+        assign AS (SELECT vec_id, c_id FROM (SELECT vec_id, c_id,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY aff DESC, c_id ASC) AS rn
+          FROM cosvc) WHERE rn = 1),
+        probes AS (SELECT q_id, c_id, pr FROM (SELECT q.q_id, c.c_id,
+            row_number() OVER (PARTITION BY q.q_id
+              ORDER BY ${dCosMicroI("q.qe", "c.ce")} DESC,
+              c.c_id ASC) AS pr
+          FROM q CROSS JOIN c) WHERE pr <= 4),
+        cand AS (SELECT p.q_id, p.pr, a.vec_id
+          FROM probes p JOIN assign a ON a.c_id = p.c_id),
+        scored AS (SELECT cand.q_id, cand.pr, cand.vec_id AS neighbor_id,
+            ${dCosMicroI("v.e", "q.qe")} AS qm
+          FROM cand JOIN v ON v.vec_id = cand.vec_id
+          JOIN q ON q.q_id = cand.q_id
+          WHERE cand.vec_id != cand.q_id),
+        ex AS (SELECT q_id, neighbor_id, qm, unnest(range(pr, 5)) AS np
+          FROM scored),
+        ranked AS (SELECT q_id, np, neighbor_id FROM (SELECT q_id, np,
+            neighbor_id, row_number() OVER (PARTITION BY q_id, np
+              ORDER BY qm DESC, neighbor_id ASC) AS rk
+          FROM ex) WHERE rk <= 10),
+        bf AS (SELECT q_id, neighbor_id FROM (SELECT q.q_id,
+            v.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.q_id
+              ORDER BY ${dCosMicroI("v.e", "q.qe")} DESC,
+              v.vec_id ASC) AS rk
+          FROM v CROSS JOIN q WHERE v.vec_id != q.q_id) WHERE rk <= 10),
+        nq AS (SELECT count(*) AS n FROM q)
+        SELECT CAST(np AS INT) AS nprobe,
+          CAST(sum(CASE WHEN bf.neighbor_id IS NULL THEN 0 ELSE 1 END)
+            AS BIGINT) AS hits,
+          round(sum(CASE WHEN bf.neighbor_id IS NULL THEN 0 ELSE 1 END)
+            / (10.0 * nq.n), 6) AS recall
+        FROM ranked LEFT JOIN bf ON bf.q_id = ranked.q_id
+          AND bf.neighbor_id = ranked.neighbor_id
+        CROSS JOIN nq
+        GROUP BY np, nq.n ORDER BY nprobe""")),
+
     // binary-quantized retrieval: sign bits packed 32-per-word, Hamming
     // distance = XOR+popcount per word — all-integer, so the oracle
     // replays distances and ranks exactly

@@ -193,6 +193,64 @@ object Similarity {
     rankTopK(scored, k, qIdCol, "cos", idCol)
   }
 
+  /** Recall@k of IVF retrieval for EVERY nprobe in 1..maxProbe at once —
+    * the table that picks the nprobe operating point (recall climbs, cost
+    * grows linearly; serve at the knee). Output: one row per nprobe with
+    * total hits against brute-force ground truth and the mean recall.
+    *
+    * One corpus pass: candidates are scored ONCE against the maxProbe
+    * widest probe set; a candidate found via probe rank `pr` then joins
+    * every curve np >= pr through a bounded explode (≤ maxProbe rows per
+    * candidate) — never maxProbe separate corpus scans. Ranking is the
+    * bounded TopK aggregate per (query, np) group, and with `microRank`
+    * the scores ride integer-micro cosines (engine-proof, the
+    * quantize-before-dot discipline). */
+  def ivfRecallCurve(corpus: DataFrame, centroids: DataFrame,
+      queries: DataFrame, k: Int, maxProbe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qIdCol: String = "q_id", qVecCol: String = "q_vec",
+      microRank: Boolean = false): DataFrame = {
+    require(maxProbe >= 1, s"maxProbe must be >= 1, got $maxProbe")
+    val index = ivfIndex(corpus, centroids, idCol, vecCol,
+      microRank = microRank)
+    val cent = normed(centroids, "c_id", "c_vec", "__ce", "__cn")
+    val q = normed(queries, qIdCol, qVecCol, "__qe", "__qn")
+    val probeAff =
+      cosExpr(dot(col("__qe"), col("__ce")), col("__qn"), col("__cn"))
+    val probes = rankTopK(
+      q.crossJoin(broadcast(cent))
+        .select(col(qIdCol), col("c_id").as("__cid"),
+          (if (microRank) micro(probeAff) else probeAff).as("aff")),
+      maxProbe, qIdCol, "aff", "__cid")
+      .select(col(qIdCol), col("neighbor_id").as("c_id"),
+        col("rank").as("__pr"))
+      .join(q, qIdCol)
+    val cos = cosExpr(dot(col("__e"), col("__qe")), col("__n"), col("__qn"))
+    val base = lit(maxProbe + 1L)
+    val scored = index.join(broadcast(probes), "c_id")
+      .filter(col(idCol) =!= col(qIdCol))
+      .select(col(qIdCol), col("__pr"), col(idCol),
+        (if (microRank) micro(cos) else cos).as("cos"))
+      .withColumn("__np",
+        explode(sequence(col("__pr").cast("long"), lit(maxProbe.toLong))))
+      // composite (query, np) group packed into one long for the bounded
+      // TopK ranking; decoded right after
+      .withColumn("__g", col(qIdCol) * base + col("__np"))
+    val truth = bruteForceTopK(corpus, queries, k, idCol, vecCol,
+        qIdCol, qVecCol, microRank = microRank)
+      .select(col(qIdCol), col("neighbor_id"), lit(1L).as("__hit"))
+    val nQueries = queries.count()
+    rankTopK(scored, k, "__g", "cos", idCol)
+      .select(((col("__g") - pmod(col("__g"), base)) / base).cast("long")
+          .as(qIdCol),
+        pmod(col("__g"), base).cast("int").as("nprobe"), col("neighbor_id"))
+      .join(truth, Seq(qIdCol, "neighbor_id"), "left")
+      .groupBy("nprobe")
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+      .select(col("nprobe"), col("hits"),
+        round(col("hits") / lit(k.toLong * nQueries), 6).as("recall"))
+  }
+
   /** IVF top-k: probe the `nprobe` centroid lists nearest to each query.
     * Approximate — recall depends on nprobe/nlist; exactness returns as
     * nprobe -> nlist. One-shot form of [[ivfIndex]] + [[ivfTopKIndexed]]. */
