@@ -2438,6 +2438,51 @@ object QueriesCore {
               ORDER BY area2 DESC, t ASC, cents ASC) AS rk
           FROM a)
         SELECT user_id, bucket, t, round(cents / 100.0, 2) AS v
-        FROM r WHERE rk = 1 ORDER BY user_id, bucket"""))
+        FROM r WHERE rk = 1 ORDER BY user_id, bucket""")),
+
+    // OHLC candle downsample: per (series, day) the open/high/low/close
+    // plus point count — the financial-style rollup every time-series UI
+    // draws. Open/close are argmin/argmax-by-time via lexicographic
+    // struct aggregates (map-side partials, ties broken by value on both
+    // engines identically); all comparisons run on integer cents
+    ("events_ohlc",
+      (s, d) => {
+        val day = 86400000000000L
+        Tables.events(s, d).filter(col("user_id") < 30)
+          .select(col("user_id"), col("ts_ns").as("t"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .withColumn("bucket", expr(s"t div $day"))
+          .groupBy("user_id", "bucket")
+          .agg(min(struct(col("t"), col("cents"))).as("__o"),
+            max(struct(col("t"), col("cents"))).as("__c"),
+            min("cents").as("__lo"), max("cents").as("__hi"),
+            count(lit(1)).as("n_points"))
+          .select(col("user_id"), col("bucket"),
+            round(col("__o.cents") / 100.0, 2).as("open_v"),
+            round(col("__hi") / 100.0, 2).as("high_v"),
+            round(col("__lo") / 100.0, 2).as("low_v"),
+            round(col("__c.cents") / 100.0, 2).as("close_v"),
+            col("n_points"))
+          .orderBy("user_id", "bucket")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS t,
+            CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE user_id < 30),
+        b AS (SELECT user_id, t // 86400000000000 AS bucket, t, cents
+          FROM e),
+        o AS (SELECT user_id, bucket, cents AS oc FROM (SELECT *,
+            row_number() OVER (PARTITION BY user_id, bucket
+              ORDER BY t ASC, cents ASC) AS rk FROM b) WHERE rk = 1),
+        c AS (SELECT user_id, bucket, cents AS cc FROM (SELECT *,
+            row_number() OVER (PARTITION BY user_id, bucket
+              ORDER BY t DESC, cents DESC) AS rk FROM b) WHERE rk = 1),
+        g AS (SELECT user_id, bucket, min(cents) AS lo, max(cents) AS hi,
+            count(*) AS n_points FROM b GROUP BY 1, 2)
+        SELECT g.user_id, g.bucket,
+          round(o.oc / 100.0, 2) AS open_v, round(g.hi / 100.0, 2) AS high_v,
+          round(g.lo / 100.0, 2) AS low_v, round(c.cc / 100.0, 2) AS close_v,
+          CAST(g.n_points AS BIGINT) AS n_points
+        FROM g JOIN o USING (user_id, bucket) JOIN c USING (user_id, bucket)
+        ORDER BY user_id, bucket"""))
   )
 }

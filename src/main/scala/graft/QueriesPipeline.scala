@@ -1849,6 +1849,41 @@ object QueriesPipeline {
         .orderBy("id1", "id2"),
       Some(dJaccardPairs)),
 
+    // cross-source duplicate flow: near-dup pairs bucketed by the
+    // (unordered) source pair — the provenance matrix that shows which
+    // sources copy from which, the decision input for dropping or
+    // down-weighting a mirror-heavy source before training. Composes the
+    // LSH pair pipeline with one broadcast source lookup per end
+    ("dedup_source_flow",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val src = docs.select(col("doc_id"), col("source"))
+        DocDedup.minHashDedupPairs(Tables.spread(s, docs),
+            "doc_id", "text", n = 3, threshold = 0.7, dMinHashParams)
+          .join(broadcast(src.select(col("doc_id").as("id1"),
+            col("source").as("s1"))), "id1")
+          .join(broadcast(src.select(col("doc_id").as("id2"),
+            col("source").as("s2"))), "id2")
+          .groupBy(least(col("s1"), col("s2")).as("src_a"),
+            greatest(col("s1"), col("s2")).as("src_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("src_a", "src_b")
+      },
+      Some(s"""WITH $dShingles,
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        good AS (SELECT id1, id2 FROM pairs
+          JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+          WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.7),
+        fl AS (SELECT least(d1.source, d2.source) AS src_a,
+            greatest(d1.source, d2.source) AS src_b
+          FROM good JOIN documents d1 ON d1.doc_id = good.id1
+          JOIN documents d2 ON d2.doc_id = good.id2)
+        SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM fl GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // MinHash sketch-accuracy audit: the estimate (fraction of agreeing
     // signature components) vs the exact Jaccard it approximates, per
     // near-dup pair — the QA gate before trusting an LSH config on a new
