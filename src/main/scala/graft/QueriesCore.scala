@@ -1926,6 +1926,29 @@ object QueriesCore {
         WHERE diff_v IS NOT NULL OR ma4 IS NOT NULL
         ORDER BY user_id, time""")),
 
+    // ELAPSED with a unit + NON_NEGATIVE_DIFFERENCE in one select:
+    // both per-row lag arithmetic (integer ns division / one subtraction
+    // of identical operands) — deterministic on any engine, unlike the
+    // float-accumulating INTEGRAL which stays spec-covered
+    ("influxql_elapsed",
+      (s, d) => graft.operators.InfluxQlPlanner.run(influxMs(s, d),
+        """SELECT elapsed(value, 1ms) AS gap_ms,
+             non_negative_difference(value) AS nnd
+           FROM events WHERE event_type = 'purchase'
+             AND time < '2024-01-03T00:00:00Z'
+           GROUP BY user_id"""),
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS time, value
+          FROM events WHERE event_type = 'purchase'
+            AND epoch_ns(ts) < 1704240000000000000),
+        w AS (SELECT user_id, time,
+            (time - lag(time) OVER sw) // 1000000 AS gap_ms,
+            CASE WHEN value - lag(value) OVER sw >= 0
+              THEN value - lag(value) OVER sw END AS nnd
+          FROM e WINDOW sw AS (PARTITION BY user_id ORDER BY time))
+        SELECT time, user_id, gap_ms, nnd FROM w
+        WHERE gap_ms IS NOT NULL OR nnd IS NOT NULL
+        ORDER BY user_id, time""")),
+
     ("influxql_percentile",
       (s, d) => graft.operators.InfluxQlPlanner.run(influxMs(s, d),
         "SELECT percentile(value, 90) AS p90 FROM events GROUP BY event_type"),

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.pipeline.{Clustering, DocDedup, LanguageModel, Multimodal,
@@ -2184,6 +2184,60 @@ object QueriesPipeline {
         SELECT id AS doc_id, cluster_id, cluster_size
         FROM comp JOIN cs USING (cluster_id) ORDER BY doc_id""")),
 
+    // canonical selection per duplicate cluster: keep the HIGHEST-QUALITY
+    // member (ties -> lowest doc_id), not the first-arriving one — the
+    // production dedup semantic when sources differ in cleanliness. One
+    // keyed join of the (small) clustered-docs frame against per-doc
+    // quality micros, then a struct-max aggregate (map-side partials) —
+    // no window over the corpus; ranking runs on integer micros so the
+    // argmax is engine-stable
+    ("dedup_keep_best",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val cc = DocDedup.connectedComponents(
+          DocDedup.minHashDedupPairs(Tables.spread(s, docs), "doc_id",
+            "text", n = 3, threshold = 0.7, dMinHashParams))
+        val qm = docs.select(col("doc_id"),
+          floor(TF.qualityScore(col("text")) * lit(1e6) + lit(0.5))
+            .cast("long").as("qm"))
+        cc.join(qm, cc("id") === qm("doc_id"))
+          .groupBy("cluster_id", "cluster_size")
+          .agg(max(struct(col("qm"), (-col("doc_id")).as("__nd"))).as("__b"))
+          .select(col("cluster_id"),
+            (-col("__b.__nd")).as("kept_doc"),
+            col("__b.qm").as("kept_q_micro"),
+            col("cluster_size"),
+            (col("cluster_size") - 1).as("n_dropped"))
+          .orderBy("cluster_id")
+      },
+      Some(s"""WITH RECURSIVE $dShingles,
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        rawpairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        dup AS (SELECT id1, id2 FROM rawpairs
+          JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+          WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.7),
+        edges AS (SELECT id1 AS u, id2 AS v FROM dup
+          UNION SELECT id2, id1 FROM dup),
+        reach(id, root) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.id),
+        comp AS (SELECT id, min(root) AS cluster_id FROM reach GROUP BY 1),
+        cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM comp GROUP BY 1),
+        q AS (SELECT doc_id,
+            CAST(floor($dQuality * 1000000.0 + 0.5) AS BIGINT) AS qm
+          FROM documents),
+        r AS (SELECT comp.cluster_id, comp.id AS doc_id, q.qm,
+            cs.cluster_size,
+            row_number() OVER (PARTITION BY comp.cluster_id
+              ORDER BY q.qm DESC, comp.id ASC) AS rk
+          FROM comp JOIN q ON q.doc_id = comp.id JOIN cs USING (cluster_id))
+        SELECT cluster_id, doc_id AS kept_doc, qm AS kept_q_micro,
+          cluster_size, cluster_size - 1 AS n_dropped
+        FROM r WHERE rk = 1 ORDER BY cluster_id""")),
+
     // duplicate-cluster size histogram — the corpus-health report a dedup
     // run emits (how much of the corpus sits in dup clusters of what
     // size); singletons = docs outside every near-dup component
@@ -3778,6 +3832,72 @@ object QueriesPipeline {
           FROM sc)
         SELECT q_id, rank, vec_id AS neighbor_id, round(score, 6) AS score
         FROM rk WHERE rank <= 10 ORDER BY q_id, rank""")),
+
+    // PQ distortion audit: per-subspace mean squared reconstruction
+    // error between each micro vector slice and its assigned codebook
+    // centroid — the quantization-quality dial (distortion up = recall
+    // down) checked before trusting a PQ index config. Per-vector SSE is
+    // an exact integer fold over the micro grid (centroids micro-floored
+    // the same way on both engines); corpus totals accumulate in
+    // decimal(38,0)/HUGEINT so the exposed mse is one division of
+    // identical exact operands. One corpus pass + a 4-row aggregate
+    ("ann_pq_distortion",
+      (s, d) => {
+        val m = 4; val k = 4; val sub = 16
+        val (codes, books) = Clustering.pqFit(
+          Tables.spread(s, Tables.embeddings(s, d)), "vec_id", "embedding",
+          m = m, k = k, iters = 1)
+        val bookLit: Map[Int, Column] = (0 until m).map { j =>
+          j -> array((0 until k).map { c =>
+            val ce = books.find(b => b._1 == j && b._2 == c).get._3
+            array(ce.map(x => lit(math.floor(x * 1e6 + 0.5).toLong)): _*)
+          }: _*)
+        }.toMap
+        val q = Tables.embeddings(s, d).select(col("vec_id"),
+          VF.microVec(col("embedding")).as("q"))
+        val sseCols = (0 until m).map { j =>
+          // q is array<double> of integer-valued micros (microVec); the
+          // per-element squares (<= 4e12) and 16-term fold stay exact in
+          // double (< 2^53), cast back to long once at the end
+          aggregate(
+            zip_with(slice(col("q"), j * sub + 1, sub),
+              element_at(bookLit(j), col(s"code_$j") + 1),
+              (x, c) => (x - c) * (x - c)),
+            lit(0d), (acc, e) => acc + e).cast("long").as(s"__sse_$j")
+        }
+        codes.join(q, "vec_id")
+          .select(col("vec_id") +: sseCols: _*)
+          .select(posexplode(array(
+            (0 until m).map(j => col(s"__sse_$j")): _*))
+            .as(Seq("subspace", "sse")))
+          .groupBy("subspace")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(col("sse").cast("decimal(38,0)")).as("__t"))
+          .select(col("subspace"), col("n_vecs"),
+            round(col("__t").cast("double") / col("n_vecs").cast("double")
+              / lit(1e12), 6).as("mse"))
+          .orderBy("subspace")
+      },
+      Some(s"""WITH v AS (SELECT vec_id,
+          list_transform(CAST(embedding AS DOUBLE[]),
+            y -> floor(y * 1000000.0 + 0.5)) AS q FROM embeddings),
+        ${(0 until 4).map(j => dPqSubspace(j, 16, 4)).mkString(",\n")},
+        ${(0 until 4).map { j =>
+          val lo = j * 16
+          s"""cm$j AS (SELECT c, list_transform(ce,
+              t -> floor(t * 1000000.0 + 0.5)) AS cm FROM c${j}1),
+          e$j AS (SELECT a.vec_id, CAST(list_sum(list_transform(
+              list_zip(v.q[${lo + 1}:${lo + 16}], cm.cm),
+              p -> (p[1] - p[2]) * (p[1] - p[2]))) AS HUGEINT) AS sse
+            FROM a${j}2 a JOIN v USING (vec_id)
+            JOIN cm$j cm ON cm.c = a.c)"""
+        }.mkString(",\n")}
+        SELECT * FROM (
+          ${(0 until 4).map(j =>
+            s"""SELECT $j AS subspace, CAST(count(*) AS BIGINT) AS n_vecs,
+              round(CAST(sum(sse) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                / 1e12, 6) AS mse FROM e$j""").mkString("\nUNION ALL\n")}
+        ) ORDER BY subspace""")),
 
     // recall@k evaluation of the IVF index against brute-force ground
     // truth — the accuracy dial every ANN deployment tunes (nprobe vs
