@@ -687,6 +687,84 @@ object QueriesCore {
             AND c.click_time < e.error_time) WHERE rn = 1
         ORDER BY event_id""")),
 
+    // ordered funnel (view -> click -> purchase, strictly increasing time
+    // per user): each stage is "earliest qualifying event AFTER the
+    // previous stage's time" — min-aggregate per user, then a keyed join
+    // onto the next stage's candidates. Three keyed user_id aggregations,
+    // no window, no self-join explosion: at 100 TB each stage is one
+    // shuffle on the user key and the stage frames shrink monotonically.
+    // Conversion is one division of two exact counts
+    ("events_funnel",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts_ns"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts_ns").as("t1"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("ts_ns") > col("t1"))
+          .groupBy("user_id").agg(min("ts_ns").as("t2"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, "user_id").filter(col("ts_ns") > col("t2"))
+          .groupBy("user_id").agg(min("ts_ns").as("t3"))
+        val stages = Seq((1, "view", v), (2, "click", c), (3, "purchase", p))
+          .map { case (i, nm, df) =>
+            df.agg(count(lit(1)).as("n_users"))
+              .select(lit(i).as("stage"), lit(nm).as("stage_name"),
+                col("n_users"))
+          }.reduce(_ unionByName _)
+        val first = stages.filter(col("stage") === 1)
+          .select(col("n_users").as("__n1"))
+        stages.crossJoin(broadcast(first))
+          .select(col("stage"), col("stage_name"), col("n_users"),
+            round(col("n_users").cast("double") / col("__n1").cast("double"),
+              6).as("pct"))
+          .orderBy("stage")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t
+          FROM events),
+        v AS (SELECT user_id, min(t) AS t1 FROM e
+          WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN v USING (user_id)
+          WHERE event_type = 'click' AND t > t1 GROUP BY 1),
+        p AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND t > t2 GROUP BY 1),
+        n AS (SELECT 1 AS stage, 'view' AS stage_name,
+            CAST(count(*) AS BIGINT) AS n_users FROM v
+          UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM c
+          UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM p)
+        SELECT stage, stage_name, n_users,
+          round(CAST(n_users AS DOUBLE) /
+            (SELECT CAST(n_users AS DOUBLE) FROM n WHERE stage = 1), 6) AS pct
+        FROM n ORDER BY stage""")),
+
+    // weekly retention cohorts: users grouped by the epoch-week of their
+    // first event, counted distinct in every later week they reappear —
+    // the (cohort, weeks-since) retention matrix. Week ids are INTEGER
+    // floor-division of the ns timestamp (`div` / `//`): the float path
+    // (ts/604800e12 then cast) is NOT engine-proof at ns magnitudes
+    // (~2^60.5 > 2^53 doubles round before truncation). Shapes: one
+    // distinct on (user, week), one min-per-user, one keyed join back,
+    // one counted group — every step keyed, no window
+    ("events_retention",
+      (s, d) => {
+        val wk = 604800000000000L
+        val weeks = Tables.events(s, d)
+          .select(col("user_id"), expr(s"ts_ns div ${wk}L").as("w"))
+          .distinct()
+        val first = weeks.groupBy("user_id").agg(min("w").as("cohort_w"))
+        weeks.join(first, "user_id")
+          .groupBy(col("cohort_w"), (col("w") - col("cohort_w")).as("week_offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort_w", "week_offset")
+      },
+      Some("""WITH weeks AS (SELECT DISTINCT user_id,
+          epoch_ns(ts) // 604800000000000 AS w FROM events),
+        f AS (SELECT user_id, min(w) AS cohort_w FROM weeks GROUP BY 1)
+        SELECT cohort_w, w - cohort_w AS week_offset,
+          CAST(count(*) AS BIGINT) AS n_users
+        FROM weeks JOIN f USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     ("lifecycle_scan",
       (s, d) => {
         // the lifecycle loop end-to-end (policy.rs): two overlapping write

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.pipeline.{Clustering, DocDedup, LanguageModel, Multimodal,
@@ -925,6 +926,39 @@ object QueriesPipeline {
           round(s / tsq, 6) AS q_temp,
           round((s * tn) / (tsq * n_docs), 6) AS boost
         FROM sq CROSS JOIN t ORDER BY lang""")),
+
+    // curriculum staging (easy->hard training order, Bengio et al. 2009
+    // framing): quality-quartile each document WITHIN its source (cleanest
+    // quartile = stage 1) and report per-(source, stage) counts and
+    // quality micro bounds — the export manifest of a curriculum run.
+    // The ntile window is PARTITIONED by source (ties broken by doc_id,
+    // identical bucket-remainder rule on both engines); ranking rides
+    // integer quality micros. At 100 TB a single source's partition can
+    // still be large — the percentile-threshold variant (approx quantiles
+    // per source, then a stateless filter) is the swap-in when a source
+    // outgrows one task's sort; the per-source bucket COUNTS here are
+    // what that variant is tuned against
+    ("corpus_curriculum",
+      (s, d) => {
+        val qm = Tables.documents(s, d).select(col("doc_id"), col("source"),
+          floor(TF.qualityScore(col("text")) * lit(1e6) + lit(0.5))
+            .cast("long").as("qm"))
+        qm.withColumn("stage", ntile(4).over(
+            Window.partitionBy("source")
+              .orderBy(col("qm").desc, col("doc_id").asc)))
+          .groupBy("source", "stage")
+          .agg(count(lit(1)).as("n_docs"),
+            min("qm").as("min_qm"), max("qm").as("max_qm"))
+          .orderBy("source", "stage")
+      },
+      Some(s"""WITH q AS (SELECT doc_id, source,
+          CAST(floor($dQuality * 1000000.0 + 0.5) AS BIGINT) AS qm
+          FROM documents),
+        staged AS (SELECT source, qm, ntile(4) OVER (PARTITION BY source
+            ORDER BY qm DESC, doc_id ASC) AS stage FROM q)
+        SELECT source, stage, CAST(count(*) AS BIGINT) AS n_docs,
+          min(qm) AS min_qm, max(qm) AS max_qm
+        FROM staged GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // n-gram novelty: the fraction of a document's distinct 3-gram
     // shingles that appear NOWHERE else in the corpus — the standard
@@ -2842,6 +2876,98 @@ object QueriesPipeline {
           round(n_vecs / tt, 6) AS share,
           round((n_vecs * k) / tt, 6) AS balance
         FROM lists CROSS JOIN t ORDER BY c_id""")),
+
+    // filtered vector search (label/ACL/date predicates — the variant
+    // every vector store exposes): the filterable attribute is carried
+    // INTO the IVF index at build time (ivfIndex carryCols), so the
+    // predicate lands on the index scan BEFORE any distance math —
+    // PRE-filtering; on a persisted index it pushes down to parquet.
+    // Post-filtering (rank, then drop) would under-fill k whenever the
+    // true neighbors are mostly filtered out. Oracle replays the same
+    // assign -> probe -> label-filter -> score pipeline
+    ("ann_filtered_topk",
+      (s, d) => {
+        val emb = qEmb(s, d)
+        val centroids = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+        val index = Similarity.ivfIndex(emb, centroids, microRank = true,
+          carryCols = Seq("label"))
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.filteredTopKIndexed(index, centroids, q,
+            col("label").isin(2, 5, 7), k = 5, nprobe = 3, microRank = true)
+          .select(col("q_id"), col("rank"), col("neighbor_id"),
+            (col("cos") / lit(1e6)).as("cos"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH $dEmbMicro,
+        c AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id % 50 = 0),
+        cosvc AS (SELECT v.vec_id, c.c_id,
+            ${dCosMicroI("v.e", "c.ce")} AS aff
+          FROM v CROSS JOIN c),
+        assign AS (SELECT vec_id, c_id FROM (SELECT vec_id, c_id,
+            row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, c_id ASC) AS rn
+          FROM cosvc) WHERE rn = 1),
+        q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 5),
+        probes AS (SELECT q_id, c_id FROM (SELECT q.q_id, c.c_id,
+            row_number() OVER (PARTITION BY q.q_id
+              ORDER BY ${dCosMicroI("q.qe", "c.ce")} DESC,
+              c.c_id ASC) AS rn
+          FROM q CROSS JOIN c) WHERE rn <= 3),
+        cand AS (SELECT p.q_id, a.vec_id
+          FROM probes p JOIN assign a ON a.c_id = p.c_id
+          JOIN embeddings l ON l.vec_id = a.vec_id
+          WHERE l.label IN (2, 5, 7)),
+        scored AS (SELECT cand.q_id, cand.vec_id AS neighbor_id,
+            ${dCosMicroI("v.e", "q.qe")} AS qm
+          FROM cand JOIN v ON v.vec_id = cand.vec_id JOIN q ON q.q_id = cand.q_id
+          WHERE cand.vec_id != cand.q_id),
+        ranked AS (SELECT q_id, neighbor_id, qm, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY qm DESC, neighbor_id ASC) AS INT) AS rank
+          FROM scored)
+        SELECT q_id, rank, neighbor_id, qm / 1000000.0 AS cos
+        FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""")),
+
+    // semi-hard triplet mining (FaceNet, Schroff et al. 2015 §3.2): per
+    // anchor, positive = most-similar same-label vector, negative =
+    // most-similar different-label vector STRICTLY below the positive —
+    // the band where triplet loss has gradient. Struct-max aggregates on
+    // integer-micro cosines (no corpus window); anchors broadcast onto
+    // one corpus scan
+    ("emb_triplets",
+      (s, d) => {
+        val emb = qEmb(s, d)
+        val anchors = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+            col("label").as("q_label"))
+        Similarity.semiHardTriplets(emb, anchors, microRank = true)
+          .select(col("q_id").as("anchor_id"),
+            col("pos_id"), (col("pos_cos") / lit(1e6)).as("pos_cos"),
+            col("neg_id"), (col("neg_cos") / lit(1e6)).as("neg_cos"),
+            (col("gap") / lit(1e6)).as("gap"))
+          .orderBy("anchor_id")
+      },
+      Some(s"""WITH $dEmbMicro,
+        lab AS (SELECT vec_id, label FROM embeddings),
+        a AS (SELECT v.vec_id AS q_id, v.e AS qe, lab.label AS ql
+          FROM v JOIN lab USING (vec_id) WHERE v.vec_id < 10),
+        scored AS (SELECT a.q_id, v.vec_id AS id, lab.label, a.ql,
+            ${dCosMicroI("v.e", "a.qe")} AS qm
+          FROM v JOIN lab USING (vec_id) CROSS JOIN a
+          WHERE v.vec_id != a.q_id),
+        pos AS (SELECT q_id, id AS pos_id, qm AS pos_qm FROM (
+          SELECT q_id, id, qm, row_number() OVER (PARTITION BY q_id
+              ORDER BY qm DESC, id ASC) AS rn
+            FROM scored WHERE label = ql) WHERE rn = 1),
+        neg AS (SELECT q_id, id AS neg_id, qm AS neg_qm FROM (
+          SELECT s.q_id, s.id, s.qm, row_number() OVER (PARTITION BY s.q_id
+              ORDER BY s.qm DESC, s.id ASC) AS rn
+            FROM scored s JOIN pos p USING (q_id)
+            WHERE s.label != s.ql AND s.qm < p.pos_qm) WHERE rn = 1)
+        SELECT q_id AS anchor_id, pos_id, pos_qm / 1000000.0 AS pos_cos,
+          neg_id, neg_qm / 1000000.0 AS neg_cos,
+          (pos_qm - neg_qm) / 1000000.0 AS gap
+        FROM pos JOIN neg USING (q_id) ORDER BY anchor_id""")),
 
     // recall@10 for EVERY nprobe 1..4 in one corpus pass — the table
     // that picks the IVF operating point (recall climbs, probe cost is

@@ -133,16 +133,19 @@ object Similarity {
   def assignToCentroids(corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String,
       cIdCol: String = "c_id", cVecCol: String = "c_vec",
-      microRank: Boolean = false): DataFrame = {
-    val c = normed(corpus, idCol, vecCol, "__e", "__n")
+      microRank: Boolean = false, carryCols: Seq[String] = Nil): DataFrame = {
+    val c = normed(corpus, idCol, vecCol, "__e", "__n", carryCols.map(col))
     val cent = normed(centroids, cIdCol, cVecCol, "__ce", "__cn")
     val aff = cosExpr(dot(col("__e"), col("__ce")), col("__n"), col("__cn"))
     c.crossJoin(broadcast(cent))
       .withColumn("aff", if (microRank) micro(aff) else aff)
       .groupBy(col(idCol))
-      .agg(first(col("__e")).as("__e"), first(col("__n")).as("__n"),
-        max(struct(col("aff").as("a"), (-col(cIdCol)).as("nc"))).as("m"))
-      .select(col(idCol), col("__e"), col("__n"), (-col("m.nc")).as(cIdCol))
+      .agg(first(col("__e")).as("__e"),
+        (Seq(first(col("__n")).as("__n"),
+          max(struct(col("aff").as("a"), (-col(cIdCol)).as("nc"))).as("m")) ++
+        carryCols.map(n => first(col(n)).as(n))): _*)
+      .select(Seq(col(idCol), col("__e"), col("__n"),
+        (-col("m.nc")).as(cIdCol)) ++ carryCols.map(col): _*)
   }
 
   /** The persistable IVF index of a corpus: every vector assigned to its
@@ -155,8 +158,34 @@ object Similarity {
     * batch afterwards touches only the probed lists. */
   def ivfIndex(corpus: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
+      microRank: Boolean = false, carryCols: Seq[String] = Nil): DataFrame =
+    assignToCentroids(corpus, centroids, idCol, vecCol,
+      microRank = microRank, carryCols = carryCols)
+
+  /** Filtered vector search (the label/ACL/date-predicate variant every
+    * vector store exposes): top-k over only the index rows satisfying
+    * `pred`. This is PRE-filtering — the predicate is applied to the
+    * index scan BEFORE any distance is computed, so a selective filter
+    * cuts scoring cost proportionally; post-filtering (rank first, drop
+    * after) under-fills k whenever fewer than k of the true top
+    * candidates match. The filterable attributes must have been carried
+    * INTO the index at build time (`ivfIndex(carryCols = ...)`) — the
+    * production posture: attributes ride the same parquet rows as the
+    * lists, so on a persisted index the predicate pushes down to the
+    * scan (row-group stats / partition pruning) and filtered search
+    * never touches an attribute side-table at query time.
+    *
+    * Recall caveat (standard for IVF pre-filtering): probes are chosen
+    * by query-centroid affinity BEFORE the filter, so a highly selective
+    * predicate concentrated in un-probed lists lowers recall — widen
+    * `nprobe` as selectivity rises. */
+  def filteredTopKIndexed(index: DataFrame, centroids: DataFrame,
+      queries: DataFrame, pred: Column, k: Int, nprobe: Int,
+      idCol: String = "vec_id",
+      qIdCol: String = "q_id", qVecCol: String = "q_vec",
       microRank: Boolean = false): DataFrame =
-    assignToCentroids(corpus, centroids, idCol, vecCol, microRank = microRank)
+    ivfTopKIndexed(index.filter(pred), centroids, queries, k, nprobe,
+      idCol, qIdCol, qVecCol, microRank)
 
   /** IVF top-k against a prebuilt [[ivfIndex]]: assign each QUERY to its
     * `nprobe` nearest centroid lists, score only those lists' members.
@@ -356,6 +385,56 @@ object Similarity {
       .select(col(qIdCol), col(idCol),
         (if (microRank) micro(cos) else cos).as("cos"))
     rankTopK(scored, k, qIdCol, "cos", idCol)
+  }
+
+  /** Semi-hard triplet mining (FaceNet recipe, Schroff et al. 2015 §3.2):
+    * for each anchor, the positive is its most-similar SAME-label vector
+    * and the negative is the most-similar DIFFERENT-label vector that is
+    * still strictly LESS similar than the positive — inside the margin
+    * band where the triplet loss has gradient (an easy negative
+    * contributes nothing; the hardest negative can collapse training).
+    * Anchors with no semi-hard negative (the positive is the weakest
+    * match) are dropped, as in the reference recipe.
+    *
+    * Scale shape: the anchor batch broadcasts onto one corpus scan
+    * (the [[bruteForceTopK]] posture); positive and negative are
+    * struct-max AGGREGATES over that scored stream (map-side partials,
+    * ties to the lowest id) — never a window over corpus rows. The
+    * negative's "below the positive" bound rides a broadcast join of the
+    * per-anchor positive row back onto the same scored stream. With
+    * `microRank` the comparisons run on integer-micro cosines
+    * (quantize-before-rank, engine-proof). */
+  def semiHardTriplets(corpus: DataFrame, anchors: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label",
+      qIdCol: String = "q_id", qVecCol: String = "q_vec",
+      qLabelCol: String = "q_label",
+      microRank: Boolean = false): DataFrame = {
+    val c = normed(corpus, idCol, vecCol, "__e", "__n", Seq(col(labelCol)))
+    val q = normed(anchors, qIdCol, qVecCol, "__qe", "__qn",
+      Seq(col(qLabelCol)))
+    val cos = cosExpr(dot(col("__e"), col("__qe")), col("__n"), col("__qn"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col(qIdCol))
+      .select(col(qIdCol), col(idCol), col(labelCol), col(qLabelCol),
+        (if (microRank) micro(cos) else cos).as("cos"))
+      .filter(col("cos").isNotNull)
+    val pos = scored.filter(col(labelCol) === col(qLabelCol))
+      .groupBy(col(qIdCol))
+      .agg(max(struct(col("cos").as("c"), (-col(idCol)).as("ni"))).as("m"))
+      .select(col(qIdCol), (-col("m.ni")).as("pos_id"),
+        col("m.c").as("pos_cos"))
+    val neg = scored.filter(col(labelCol) =!= col(qLabelCol))
+      .join(broadcast(pos), qIdCol)
+      .filter(col("cos") < col("pos_cos"))
+      .groupBy(col(qIdCol))
+      .agg(max(struct(col("cos").as("c"), (-col(idCol)).as("ni"))).as("m"))
+      .select(col(qIdCol), (-col("m.ni")).as("neg_id"),
+        col("m.c").as("neg_cos"))
+    pos.join(neg, qIdCol)
+      .select(col(qIdCol), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"),
+        (col("pos_cos") - col("neg_cos")).as("gap"))
   }
 
   /** PQ asymmetric-distance top-k (ADC — Jégou et al. 2011, §IV): score

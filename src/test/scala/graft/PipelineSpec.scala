@@ -642,6 +642,53 @@ class PipelineSpec extends SparkSpec {
     assert(got == Set(10L, 11L), s"got $got — in-cluster rows must be pruned")
   }
 
+  test("semiHardTriplets: negative sits strictly below the positive; " +
+      "anchors with no semi-hard negative are dropped") {
+    import graft.pipeline.Similarity
+    val vecs = Seq(
+      // anchor 0 (label 0): positive must be 1 (cos .9939), not 2 (.6)
+      (0L, Array(1f, 0f), 0), (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0.6f, 0.8f), 0),
+      // label-1 candidates: 10 is HARDER than the positive (cos .9987 >
+      // .9939 — outside the semi-hard band), 12 (.8) beats 11 (.7071)
+      (10L, Array(0.95f, 0.05f), 1), (11L, Array(0.7f, 0.7f), 1),
+      (12L, Array(0.8f, 0.6f), 1),
+      // anchor 30 (label 3): its only positive is the WORST match in the
+      // corpus (cos -1), so no negative is strictly below it -> dropped
+      (30L, Array(-1f, 0f), 3), (31L, Array(1f, 0f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val anchors = vecs.filter($"vec_id" === 0L || $"vec_id" === 30L)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+        $"label".as("q_label"))
+    val got = Similarity.semiHardTriplets(vecs, anchors)
+      .select($"q_id", $"pos_id", $"neg_id").as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq((0L, 1L, 12L)),
+      s"got $got — expected pos=1, semi-hard neg=12, anchor 30 dropped")
+  }
+
+  test("filteredTopKIndexed: predicate prunes the index BEFORE scoring; " +
+      "carryCols rides attributes into the index") {
+    import graft.pipeline.Similarity
+    val vecs = Seq(
+      (1L, Array(1f, 0f), "A"), (2L, Array(0.99f, 0.01f), "B"),
+      (3L, Array(0.9f, 0.1f), "A"),
+      (10L, Array(0f, 1f), "A"), (11L, Array(0.1f, 0.9f), "B")
+    ).toDF("vec_id", "embedding", "label")
+    val cents = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+      .toDF("c_id", "c_vec")
+    val index = Similarity.ivfIndex(vecs, cents, carryCols = Seq("label"))
+    assert(index.columns.contains("label"), "carryCols must reach the index")
+    val q = Seq((100L, Array(1f, 0f))).toDF("q_id", "q_vec")
+    // unfiltered rank-2 is id 2 (label B); the filter must drop it and
+    // fill k from the remaining label-A rows of the probed list
+    val got = Similarity.filteredTopKIndexed(index, cents, q,
+        $"label" === "A", k = 3, nprobe = 1)
+      .orderBy("rank").select($"neighbor_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 3L),
+      s"got $got — only label-A members of the probed list, ranked")
+  }
+
   test("zero-norm vectors (null cosine) are dropped, not a crash") {
     // x / 0.0 is NULL in Spark SQL even for doubles; a null score used to
     // hit TopK's non-nullable input encoder at runtime
