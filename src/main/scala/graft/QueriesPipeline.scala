@@ -4287,6 +4287,51 @@ object QueriesPipeline {
         FROM sxy JOIN sx si ON si.i = sxy.i JOIN sx sj ON sj.i = sxy.j
         CROSS JOIN nn ORDER BY i, j""")),
 
+    // dominant principal component by fixed-round power iteration on the
+    // integer-micro covariance — engine-reproducible PCA where an
+    // eigensolver is not (LAPACK/Jacobi differ across libraries): the
+    // corpus reduces to the d×d covariance once, then 3 exact-integer
+    // matrix-vector rounds with a micro re-normalization after each.
+    // The oracle unrolls the identical recurrence as chained CTEs
+    ("emb_top_component",
+      (s, d) => Quantization.topComponent(
+          Tables.spread(s, Tables.embeddings(s, d)), "embedding", iters = 3)
+        .orderBy("dim"),
+      Some {
+        def round(t: Int, prev: String): String =
+          s"""w$t AS (SELECT m.i, sum(m.m * $prev.v) AS w
+            FROM m JOIN $prev ON $prev.j = m.j GROUP BY 1),
+          x$t AS (SELECT max(abs(w)) AS wm FROM w$t),
+          v$t AS (SELECT i AS j, CASE WHEN wm = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor(CAST(w AS DOUBLE) / CAST(wm AS DOUBLE)
+                * 1000000.0 + 0.5) AS BIGINT) END AS v
+            FROM w$t CROSS JOIN x$t)"""
+        val rounds = (1 to 3).map(t =>
+          round(t, if (t == 1) "v0" else s"v${t - 1}")).mkString(",\n")
+        s"""WITH v AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+            y -> CAST(floor(y * 1000000.0 + 0.5) AS BIGINT)) AS q
+            FROM embeddings),
+          nn AS (SELECT count(*) AS n FROM v),
+          dims AS (SELECT unnest(range(1, 65)) AS i),
+          sx AS (SELECT i, sum(q[i]) AS s FROM v CROSS JOIN dims GROUP BY i),
+          sxy AS (SELECT a.i AS i, b.i AS j,
+              sum(CAST(q[a.i] AS HUGEINT) * q[b.i]) AS s
+            FROM v CROSS JOIN dims a CROSS JOIN dims b
+            WHERE b.i >= a.i GROUP BY 1, 2),
+          cm AS (SELECT sxy.i, sxy.j,
+              CAST(floor(round(CAST(nn.n * sxy.s - si.s * sj.s AS DOUBLE)
+                / (CAST(nn.n AS DOUBLE) * nn.n * 1000000000000.0), 6)
+                * 1000000.0 + 0.5) AS BIGINT) AS m
+            FROM sxy JOIN sx si ON si.i = sxy.i JOIN sx sj ON sj.i = sxy.j
+            CROSS JOIN nn),
+          m AS (SELECT i, j, m FROM cm
+            UNION ALL SELECT j, i, m FROM cm WHERE i != j),
+          v0 AS (SELECT i AS j, CAST(1000000 AS BIGINT) AS v FROM dims),
+          $rounds
+          SELECT CAST(j AS INT) AS dim, v / 1000000.0 AS loading
+          FROM v3 ORDER BY dim"""
+      }),
+
     // label-centroid separability matrix: pairwise cosine between the
     // per-label mean embeddings — the linear-separability audit run
     // before trusting the labels for a probe/classifier. Cosine is

@@ -76,6 +76,48 @@ object Quantization {
           .as("cov"))
   }
 
+  /** Dominant principal component by FIXED-ROUND power iteration over the
+    * integer-micro covariance — the whitening/PCA primitive that stays
+    * engine-reproducible where an eigensolver would not (LAPACK/Jacobi
+    * implementations differ across libraries in iteration order and sign
+    * convention; a fixed recurrence on an integer grid is bit-identical
+    * everywhere).
+    *
+    * The corpus reduces to the d×d [[covariance]] matrix once (that pass
+    * is the only corpus-sized work — at 100 TB everything after is
+    * metadata-sized); the matrix quantizes to covariance micros
+    * `m = floor(cov·1e6 + 0.5)` and the iteration runs `iters` rounds of
+    *   `w = M v`  (exact BIGINT: |m| ≤ ~1e7 micros, |v| ≤ 1e6, d ≤ 4096
+    *   keeps every sum well under 2^63),
+    *   `v ← floor(w / max|w| · 1e6 + 0.5)`  (two exact-integer-to-double
+    *   casts < 2^53, one IEEE divide of identical operands, one floor),
+    * starting from the all-ones vector (sign convention: the loading of
+    * the dominant direction the ones-vector projects onto positively).
+    * A fixed iteration count (not a convergence test) keeps the output a
+    * pure function of the input on every engine. Returns (dim 1-based,
+    * loading = v/1e6) — max-norm-normalized, so the peak |loading| is 1.
+    * Callers wanting unit L2 rescale driver-side. */
+  def topComponent(emb: DataFrame, vecCol: String, iters: Int = 3): DataFrame = {
+    val covM = covariance(emb, vecCol)
+      .select(col("i"), col("j"),
+        floor(col("cov") * lit(1e6) + lit(0.5)).cast("long").as("m"))
+    val full = covM.unionByName(covM.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("m")))
+    var v = covM.filter(col("i") === col("j")) // one row per dimension
+      .select(col("i").as("j"), lit(1000000L).as("v"))
+    for (_ <- 1 to iters) {
+      val w = full.join(broadcast(v), "j")
+        .groupBy("i").agg(sum(col("m") * col("v")).as("w"))
+      val wmax = w.agg(max(abs(col("w"))).as("__wm"))
+      v = w.crossJoin(broadcast(wmax))
+        .select(col("i").as("j"),
+          when(col("__wm") === 0L, lit(0L)).otherwise(
+            floor(col("w").cast("double") / col("__wm").cast("double")
+              * lit(1e6) + lit(0.5)).cast("long")).as("v"))
+    }
+    v.select(col("j").as("dim"), (col("v") / lit(1e6)).as("loading"))
+  }
+
   /** Exact Pearson correlation between two INTEGER columns — the
     * cross-signal audit primitive (e.g. does text quality correlate with
     * embedding norm?). Inputs are expected pre-quantized to an integer

@@ -431,7 +431,8 @@ object Similarity {
       .agg(max(struct(col("cos").as("c"), (-col(idCol)).as("ni"))).as("m"))
       .select(col(qIdCol), (-col("m.ni")).as("neg_id"),
         col("m.c").as("neg_cos"))
-    pos.join(neg, qIdCol)
+    // both sides are anchor-batch-sized; broadcast skips a stats-blind SMJ
+    broadcast(pos).join(neg, qIdCol)
       .select(col(qIdCol), col("pos_id"), col("pos_cos"),
         col("neg_id"), col("neg_cos"),
         (col("pos_cos") - col("neg_cos")).as("gap"))

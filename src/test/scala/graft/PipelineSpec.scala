@@ -667,6 +667,21 @@ class PipelineSpec extends SparkSpec {
       s"got $got — expected pos=1, semi-hard neg=12, anchor 30 dropped")
   }
 
+  test("topComponent: power iteration recovers a known dominant direction") {
+    import graft.pipeline.Quantization
+    // y = 0.01·x exactly: covariance is rank-1 with direction (1, 0.01),
+    // so the max-norm-normalized loading must be exactly (1.0, 0.01)
+    // after one round (and stay there under more rounds)
+    val vecs = Seq(1f, -1f, 2f, -2f).zipWithIndex
+      .map { case (x, i) => (i.toLong, Array(x, 0.01f * x)) }
+      .toDF("vec_id", "embedding")
+    val got = Quantization.topComponent(vecs, "embedding", iters = 3)
+      .orderBy("dim").select($"loading").as[Double].collect().toSeq
+    assert(got.head == 1.0, s"dominant dim must peak at 1.0, got $got")
+    assert(math.abs(got(1) - 0.01) < 2e-6,
+      s"off-axis loading must be ~0.01, got $got")
+  }
+
   test("filteredTopKIndexed: predicate prunes the index BEFORE scoring; " +
       "carryCols rides attributes into the index") {
     import graft.pipeline.Similarity
