@@ -4104,6 +4104,111 @@ object QueriesPipeline {
           AND iv.neighbor_id = bf.neighbor_id
         GROUP BY bf.q_id ORDER BY bf.q_id""")),
 
+    // recall@10 of int8 scalar-quantized retrieval vs exact ground truth
+    // — the eval that closes the SQ family (codes exist via
+    // emb_quantize_int8; this measures what the 4x compression costs at
+    // rank time). Asymmetric scoring (query exact, corpus dequantized),
+    // with the dequantization on an INTEGER micro grid: rec_i = mnm_i +
+    // code_i * dm_i where mnm/dm are micro-floored per-dim offsets/steps
+    // computed with the identical op order on both engines — so every
+    // dot is an exact < 2^53 sum and the top-10 set intersection is
+    // engine-proof (the ann_recall_eval discipline)
+    ("ann_sq_recall",
+      (s, d) => {
+        val embRaw = Tables.embeddings(s, d)
+        val emb = qEmb(s, d)
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val truth = Similarity.bruteForceTopK(emb, q, k = 10, microRank = true)
+          .select(col("q_id"), col("neighbor_id"))
+        val stats = Quantization.int8Stats(embRaw, "embedding")
+          .orderBy("dim").collect() // dim-sized codebook, driver metadata
+        val mns = stats.map(_.getAs[Double]("mn"))
+        val mxs = stats.map(_.getAs[Double]("mx"))
+        // one recall row per (query, bit width): int8 vs int4 — the
+        // compression dial with its rank cost made visible
+        def arm(bits: Int): DataFrame = {
+          val levels = (1 << bits) - 1
+          val mnm = mns.map(mn => math.floor(mn * 1e6 + 0.5).toLong)
+          val dm = mns.zip(mxs).map { case (mn, mx) =>
+            math.floor((mx - mn) / levels.toDouble * 1e6 + 0.5).toLong }
+          val steps = zip_with(array(mnm.map(lit): _*), array(dm.map(lit): _*),
+            (a, b) => struct(a.as("mn"), b.as("dm")))
+          val mnArr = array(mns.map(lit): _*)
+          val mxArr = array(mxs.map(lit): _*)
+          val rec = embRaw.select(col("vec_id"),
+            zip_with(
+              zip_with(VF.asDouble(col("embedding")),
+                zip_with(mnArr, mxArr, (a, b) =>
+                  struct(a.as("mn"), b.as("mx"))),
+                (x, st) => {
+                  val mn = st.getField("mn"); val mx = st.getField("mx")
+                  when(mx === mn, lit(0L)).otherwise(
+                    greatest(lit(0L), least(lit(levels.toLong),
+                      floor((x - mn) * lit(levels.toDouble) / (mx - mn)
+                        + 0.5).cast("long"))))
+                }),
+              steps,
+              (c, st) => (st.getField("mn") + c * st.getField("dm"))
+                .cast("double")).as("embedding"))
+          Similarity.bruteForceTopK(rec, q, k = 10, microRank = true)
+            .select(col("q_id"), col("neighbor_id"),
+              lit(bits).as("bits"), lit(1).as("__h"))
+        }
+        import s.implicits._
+        val approx = arm(8).unionByName(arm(4))
+        truth.crossJoin(broadcast(Seq(8, 4).toDF("bits")))
+          .join(approx, Seq("q_id", "neighbor_id", "bits"), "left")
+          .groupBy("q_id", "bits")
+          .agg(sum(coalesce(col("__h"), lit(0))).as("hits"))
+          .select(col("q_id"), col("bits"), col("hits"),
+            round(col("hits") / 10.0, 6).as("recall"))
+          .orderBy("q_id", "bits")
+      },
+      Some(s"""WITH $dEmbMicro,
+        raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+        q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 5),
+        bf AS (SELECT q_id, neighbor_id FROM (SELECT q.q_id,
+            v.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.q_id
+              ORDER BY ${dCosMicroI("v.e", "q.qe")} DESC,
+              v.vec_id ASC) AS rk
+          FROM v CROSS JOIN q WHERE v.vec_id != q.q_id) WHERE rk <= 10),
+        st AS (SELECT d, min(e[d]) AS mn, max(e[d]) AS mx
+          FROM raw CROSS JOIN (SELECT unnest(range(1, 65)) AS d) GROUP BY d),
+        arrs AS (SELECT
+            list(CAST(floor(mn * 1000000.0 + 0.5) AS BIGINT) ORDER BY d) AS mnm,
+            list(CAST(floor((mx - mn) / 255.0 * 1000000.0 + 0.5) AS BIGINT)
+              ORDER BY d) AS dm8,
+            list(CAST(floor((mx - mn) / 15.0 * 1000000.0 + 0.5) AS BIGINT)
+              ORDER BY d) AS dm4,
+            list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM st),
+        ${Seq(8 -> 255, 4 -> 15).map { case (b, lv) =>
+          s"""rec$b AS (SELECT vec_id, list_transform(range(1, 65),
+            i -> mnm[i] + (CASE WHEN mxs[i] = mns[i] THEN 0
+              ELSE least($lv, greatest(0, CAST(floor(
+                (e[i] - mns[i]) * $lv.0 / (mxs[i] - mns[i]) + 0.5)
+                AS BIGINT))) END) * dm$b[i]) AS e
+          FROM raw CROSS JOIN arrs),
+          sq$b AS (SELECT q_id, neighbor_id FROM (SELECT q.q_id,
+            rec$b.vec_id AS neighbor_id, row_number() OVER (
+              PARTITION BY q.q_id
+              ORDER BY ${dCosMicroI(s"rec$b.e", "q.qe")} DESC,
+              rec$b.vec_id ASC) AS rk
+          FROM rec$b CROSS JOIN q WHERE rec$b.vec_id != q.q_id)
+          WHERE rk <= 10)"""
+        }.mkString(",\n        ")},
+        sq AS (SELECT CAST(8 AS INT) AS bits, q_id, neighbor_id FROM sq8
+          UNION ALL SELECT CAST(4 AS INT), q_id, neighbor_id FROM sq4)
+        SELECT bf.q_id, b.bits,
+          sum(CASE WHEN sq.neighbor_id IS NULL THEN 0 ELSE 1 END) AS hits,
+          round(sum(CASE WHEN sq.neighbor_id IS NULL THEN 0 ELSE 1 END)
+            / 10.0, 6) AS recall
+        FROM bf CROSS JOIN (SELECT CAST(unnest([8, 4]) AS INT) AS bits) b
+        LEFT JOIN sq ON sq.bits = b.bits AND sq.q_id = bf.q_id
+          AND sq.neighbor_id = bf.neighbor_id
+        GROUP BY bf.q_id, b.bits ORDER BY bf.q_id, b.bits""")),
+
     // graded-relevance twin of ann_recall_eval: nDCG@10 of the IVF list
     // against brute-force ground truth (rel = 11 − truth rank). The log2
     // position discounts are micro-quantized ONCE driver-side and enter
