@@ -3497,6 +3497,65 @@ object QueriesPipeline {
         SELECT doc_id AS asset_id, code.code, bk.bucket_n
         FROM code JOIN bk USING (code) ORDER BY asset_id""")),
 
+    // image near-dup pairs via banded LSH over the perceptual hash: the
+    // code splits into 2 nibble bands (pigeonhole: Hamming <= 1 implies
+    // at least one band matches exactly), candidates meet in band
+    // buckets, survivors verify by exact popcount. The MinHash-LSH shape
+    // transplanted to images — one shuffle on (band, key), in-bucket
+    // expansion only, never all-pairs. The stub 8-bit aHash keeps bucket
+    // counts small here; a production 64-bit pHash uses 4x16-bit bands
+    // (same plan, better selectivity)
+    ("multimodal_phash_pairs",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val assets = Multimodal.syntheticAssets(s, docs)
+        val blen = docs.select(col("doc_id"),
+          length(encode(col("text"), "UTF-8")).as("blen"))
+        val coded = Multimodal.extractImageFeatures(assets)
+          .join(blen, col("asset_id") === col("doc_id"))
+          .select(col("asset_id"),
+            Multimodal.aHashCode(col("feature"), col("blen")).as("code"))
+        val banded = coded.select(col("asset_id"), col("code"),
+            explode(array(
+              struct(lit(0).as("band"), (col("code") % 16).as("key")),
+              struct(lit(1).as("band"),
+                shiftright(col("code"), 4).as("key")))).as("b"))
+          .select(col("asset_id"), col("code"),
+            col("b.band").as("band"), col("b.key").as("key"))
+        val l = banded.select(col("band"), col("key"),
+          col("asset_id").as("id1"), col("code").as("c1"))
+        val r = banded.select(col("band"), col("key"),
+          col("asset_id").as("id2"), col("code").as("c2"))
+        l.join(r, Seq("band", "key")).filter(col("id1") < col("id2"))
+          .select(col("id1"), col("id2"), col("c1"), col("c2")).distinct()
+          .select(bit_count(col("c1").bitwiseXOR(col("c2"))).as("ham"))
+          .filter(col("ham") <= 1)
+          .groupBy("ham").agg(count(lit(1)).as("n_pairs"))
+          .orderBy("ham")
+      },
+      Some("""WITH img AS (SELECT doc_id, text FROM documents
+          WHERE doc_id % 3 = 0),
+        ch AS (SELECT doc_id, ascii(unnest(string_split(text, ''))) AS b
+          FROM img),
+        hist AS (SELECT doc_id, b % 8 AS k, count(*) AS c
+          FROM ch GROUP BY 1, 2),
+        bl AS (SELECT doc_id, length(text) AS blen FROM img),
+        code AS (SELECT bl.doc_id, CAST(coalesce(
+            sum(CASE WHEN c * 8 > blen THEN (1 << k) END), 0) AS BIGINT)
+            AS code
+          FROM bl LEFT JOIN hist ON hist.doc_id = bl.doc_id
+          GROUP BY bl.doc_id, blen),
+        banded AS (SELECT doc_id, code, 0 AS band, code % 16 AS key FROM code
+          UNION ALL SELECT doc_id, code, 1, code // 16 FROM code),
+        pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+            a.code AS c1, b.code AS c2
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+        SELECT CAST(bit_count(xor(c1, c2)) AS INT) AS ham,
+          CAST(count(*) AS BIGINT) AS n_pairs
+        FROM pairs WHERE bit_count(xor(c1, c2)) <= 1
+        GROUP BY 1 ORDER BY 1""")),
+
     ("multimodal_frames",
       (s, d) => {
         import s.implicits._
