@@ -4018,6 +4018,105 @@ object QueriesPipeline {
         SELECT q_id, rank, vec_id AS neighbor_id, round(score, 6) AS score
         FROM rk WHERE rank <= 10 ORDER BY q_id, rank""")),
 
+    // recall@10 of PQ-ADC retrieval vs exact ground truth — the eval
+    // that closes the PQ family (topk + distortion existed; this is the
+    // operating number a PQ config ships on). ADC tables here are EXACT
+    // Long integer dots of the micro query slices against micro-floored
+    // codebook centroids (built driver-side from the bounded query
+    // batch — the table build is m·k dots per query, metadata-scale), so
+    // corpus scores are exact integer sums of 4 table lookups and the
+    // top-10 set intersection is engine-proof end to end
+    ("ann_pq_recall",
+      (s, d) => {
+        import s.implicits._
+        val m = 4; val k = 4; val sub = 16
+        val emb = qEmb(s, d)
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val truth = Similarity.bruteForceTopK(emb, q, k = 10, microRank = true)
+          .select(col("q_id"), col("neighbor_id"))
+        val (codes, books) = Clustering.pqFit(
+          Tables.spread(s, Tables.embeddings(s, d)), "vec_id", "embedding",
+          m = m, k = k, iters = 1)
+        val cm: Map[(Int, Int), Array[Long]] = books.map { case (j, c, ce) =>
+          (j, c) -> ce.map(x => math.floor(x * 1e6 + 0.5).toLong).toArray
+        }.toMap
+        val qmv = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).map(_.toLong).toArray))
+        val qdt = qmv.toSeq.map { case (qid, qv) =>
+          val t = (0 until m).map { j =>
+            (0 until k).map { c =>
+              val cc = cm((j, c))
+              (0 until sub).map(i => qv(j * sub + i) * cc(i)).sum
+            }
+          }
+          (qid, t(0), t(1), t(2), t(3))
+        }.toDF("q_id", "dt0", "dt1", "dt2", "dt3")
+        val scored = codes.crossJoin(broadcast(qdt))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            (element_at(col("dt0"), col("code_0") + 1)
+              + element_at(col("dt1"), col("code_1") + 1)
+              + element_at(col("dt2"), col("code_2") + 1)
+              + element_at(col("dt3"), col("code_3") + 1)).as("score"))
+        val approx = scored
+          .groupBy("q_id")
+          .agg(graft.functions.TopK.topK(10)(col("score").cast("double"),
+            col("vec_id")).as("tk"))
+          .select(col("q_id"), explode(col("tk")).as("s2"))
+          .select(col("q_id"), col("s2.id").as("neighbor_id"),
+            lit(1).as("__h"))
+        truth.join(approx, Seq("q_id", "neighbor_id"), "left")
+          .groupBy("q_id")
+          .agg(sum(coalesce(col("__h"), lit(0))).as("hits"))
+          .select(col("q_id"), col("hits"),
+            round(col("hits") / 10.0, 6).as("recall"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH v AS (SELECT vec_id,
+          list_transform(CAST(embedding AS DOUBLE[]),
+            y -> floor(y * 1000000.0 + 0.5)) AS q FROM embeddings),
+        qs AS (SELECT vec_id AS q_id, q AS qe FROM v WHERE vec_id < 5),
+        bf AS (SELECT q_id, neighbor_id FROM (SELECT qs.q_id,
+            v.vec_id AS neighbor_id, row_number() OVER (
+              PARTITION BY qs.q_id
+              ORDER BY ${dCosMicroI("v.q", "qs.qe")} DESC,
+              v.vec_id ASC) AS rk
+          FROM v CROSS JOIN qs WHERE v.vec_id != qs.q_id) WHERE rk <= 10),
+        ${(0 until 4).map(j => dPqSubspace(j, 16, 4)).mkString(",\n")},
+        ${(0 until 4).map { j =>
+          val lo = j * 16
+          s"""cm$j AS (SELECT c, list_transform(ce,
+              t -> CAST(floor(t * 1000000.0 + 0.5) AS BIGINT)) AS cm
+            FROM c${j}1),
+          dt$j AS (SELECT qs.q_id, cm$j.c,
+              CAST(list_sum(list_transform(range(1, 17),
+                i -> CAST(qs.qe[$lo + i] AS BIGINT) * cm$j.cm[i]))
+                AS BIGINT) AS dval
+            FROM qs CROSS JOIN cm$j)"""
+        }.mkString(",\n")},
+        sc AS (SELECT dt0.q_id, a02.vec_id,
+            dt0.dval + dt1.dval + dt2.dval + dt3.dval AS score
+          FROM a02 JOIN a12 USING (vec_id) JOIN a22 USING (vec_id)
+            JOIN a32 USING (vec_id)
+          JOIN dt0 ON dt0.c = a02.c
+          JOIN dt1 ON dt1.q_id = dt0.q_id AND dt1.c = a12.c
+          JOIN dt2 ON dt2.q_id = dt0.q_id AND dt2.c = a22.c
+          JOIN dt3 ON dt3.q_id = dt0.q_id AND dt3.c = a32.c
+          WHERE a02.vec_id != dt0.q_id),
+        pq AS (SELECT q_id, neighbor_id FROM (SELECT q_id,
+            vec_id AS neighbor_id, row_number() OVER (PARTITION BY q_id
+              ORDER BY score DESC, vec_id ASC) AS rk FROM sc)
+          WHERE rk <= 10)
+        SELECT bf.q_id,
+          sum(CASE WHEN pq.neighbor_id IS NULL THEN 0 ELSE 1 END) AS hits,
+          round(sum(CASE WHEN pq.neighbor_id IS NULL THEN 0 ELSE 1 END)
+            / 10.0, 6) AS recall
+        FROM bf LEFT JOIN pq ON pq.q_id = bf.q_id
+          AND pq.neighbor_id = bf.neighbor_id
+        GROUP BY bf.q_id ORDER BY bf.q_id""")),
+
     // PQ distortion audit: per-subspace mean squared reconstruction
     // error between each micro vector slice and its assigned codebook
     // centroid — the quantization-quality dial (distortion up = recall
