@@ -361,6 +361,77 @@ object QueriesCore {
               AND l3.l_shipdate > l1.l_shipdate)
         GROUP BY s_name ORDER BY waiting DESC, s_name LIMIT 20""")),
 
+    // disjunctive multi-band predicate (TPC-H Q19 shape): an OR of
+    // per-brand (size band AND quantity band) conjuncts — the filter
+    // class that cannot be split into one residual per column, testing
+    // that the join still prunes (brand/size push to the part scan,
+    // quantity to lineitem, the OR evaluated post-join). Revenue in
+    // exact cents: round(price·(1−disc)·100) is single IEEE ops on
+    // identical operands, the sum is exact integers
+    ("q19_disjunctive",
+      (s, d) => {
+        SqlFrontend.register(s, Map(
+          "lineitem" -> t(s, d, "lineitem"), "part" -> t(s, d, "part")))
+        s.sql("""SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+            AS BIGINT)) AS BIGINT) AS revenue_cents
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                 AND l_quantity BETWEEN 1 AND 20)
+             OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+                 AND l_quantity BETWEEN 10 AND 40)
+             OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+                 AND l_quantity BETWEEN 20 AND 60)
+          GROUP BY p_brand ORDER BY p_brand""")
+      },
+      Some("""SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+          AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 10 AND 40)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+               AND l_quantity BETWEEN 20 AND 60)
+        GROUP BY p_brand ORDER BY p_brand""")),
+
+    // uncorrelated scalar subquery + anti join in one query (TPC-H Q22
+    // shape): customers above the positive-balance average with no
+    // URGENT order (bare no-orders is vacuous in this data: referential
+    // integrity leaves <=1 such customer at any SF). The threshold
+    // compares exact integer cents against
+    // an average whose partial sums stay under 2^53 (exact in double
+    // under ANY accumulation order), so the filter boundary cannot
+    // wobble across engines
+    ("q20_above_avg_anti",
+      (s, d) => {
+        SqlFrontend.register(s, Map(
+          "customer" -> t(s, d, "customer"), "orders" -> t(s, d, "orders")))
+        s.sql("""SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+          CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+            AS bal_cents
+          FROM customer
+          WHERE CAST(round(c_acctbal * 100) AS BIGINT) >
+              (SELECT avg(CAST(round(c_acctbal * 100) AS BIGINT))
+               FROM customer WHERE c_acctbal > 0)
+            AND NOT EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderpriority = '1-URGENT')
+          GROUP BY c_nationkey ORDER BY c_nationkey""")
+      },
+      Some("""SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+        CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+          AS bal_cents
+        FROM customer
+        WHERE CAST(round(c_acctbal * 100) AS BIGINT) >
+            (SELECT avg(CAST(round(c_acctbal * 100) AS BIGINT))
+             FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
     // ------------------------------------------- InfluxRPC operator suite
 
     ("rpc_read_filter",

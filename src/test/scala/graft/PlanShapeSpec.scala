@@ -271,6 +271,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(q18.contains("LeftAnti"), q18)
   }
 
+  test("r11 q19/q20 shapes: disjunctive bands keep per-side pushdown; " +
+      "uncorrelated scalar threshold runs once, anti join plans LeftAnti") {
+    val d = sf("sf0.001")
+    graft.sources.SqlFrontend.register(spark, Map(
+      "lineitem" -> Tables.lineitem(spark, d),
+      "part" -> Tables.part(spark, d),
+      "customer" -> Tables.customer(spark, d),
+      "orders" -> Tables.orders(spark, d)))
+    // q19 shape: from the OR-of-conjuncts, the optimizer must still
+    // derive a PER-SIDE residual (brand IN (...) on the part scan,
+    // quantity range on lineitem) so both scans prune before the join
+    val q19 = executedPlan(spark.sql(
+      """SELECT count(*) FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 10 AND 40)"""))
+    assert("PushedFilters: \\[[^\\]]*In\\(p_brand".r.findFirstIn(q19)
+      .isDefined || q19.contains("p_brand#"), q19)
+    // the quantity disjunction's hull must prune the lineitem scan:
+    // l_quantity >= 1 AND <= 40 is derivable from the OR
+    assert("GreaterThanOrEqual\\(l_quantity".r.findFirstIn(q19).isDefined,
+      s"lineitem scan keeps no quantity bound:\n$q19")
+    // q20 shape: the uncorrelated scalar average is a one-row subquery
+    // (executed once), and NOT EXISTS plans as LeftAnti on the hash key
+    val q20 = executedPlan(spark.sql(
+      """SELECT count(*) FROM customer
+        WHERE CAST(round(c_acctbal * 100) AS BIGINT) >
+            (SELECT avg(CAST(round(c_acctbal * 100) AS BIGINT))
+             FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey)"""))
+    assert(q20.contains("LeftAnti"), q20)
+    assert(q20.contains("Subquery") || q20.contains("scalar-subquery"),
+      s"scalar threshold should run as a one-shot subquery:\n$q20")
+  }
+
   test("r10 repeatedSpans: one positional-shingle explode, keyed windows, " +
       "no join") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
