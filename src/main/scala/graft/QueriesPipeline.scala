@@ -1918,6 +1918,66 @@ object QueriesPipeline {
         SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
         FROM fl GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // blocking-quality eval (record-linkage metrics over the LSH config):
+    // pairs completeness = recall of the band join against the exact
+    // >= 0.7-Jaccard truth, candidate precision = true-pair density among
+    // candidates, reduction ratio = fraction of the all-pairs quadratic
+    // the blocking avoided — the three numbers that justify an LSH
+    // config before a 100 TB run. All inputs are integer counts; the
+    // three ratios are one-shot divisions of exact operands
+    ("dedup_blocking_eval",
+      (s, d) => {
+        val docs = Tables.spread(s, Tables.documents(s, d))
+        val sigs = DocDedup.signatures(docs, "doc_id", "text",
+          n = 3, p = dMinHashParams)
+        val cand = DocDedup.lshCandidates(sigs, "doc_id", dMinHashParams)
+        val tp = DocDedup.ngramJaccardPairs(docs, "doc_id", "text",
+            n = 3, threshold = 0.7)
+          .select(col("id1"), col("id2"))
+        val nd = docs.agg(count(lit(1)).as("n_docs"))
+        val nt = tp.agg(count(lit(1)).as("n_true"))
+        val nc = cand.agg(count(lit(1)).as("n_cand"))
+        val nh = tp.join(cand, Seq("id1", "id2"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+        nd.crossJoin(broadcast(nt)).crossJoin(broadcast(nc))
+          .crossJoin(broadcast(nh))
+          .select(col("n_docs"), col("n_true"), col("n_cand"), col("n_hit"),
+            round(col("n_hit") / col("n_true"), 6).as("completeness"),
+            round(col("n_hit") / col("n_cand"), 6).as("precision"),
+            round(lit(1.0) - (col("n_cand") * lit(2.0))
+              / (col("n_docs") * (col("n_docs") - 1)), 6).as("reduction"))
+      },
+      Some(s"""WITH $dShingles,
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        good AS (SELECT id1, id2 FROM pairs
+          JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+          WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.7),
+        hs AS (SELECT doc_id, ${dHash60("s")} % 2147483647 AS h FROM sh),
+        perms(i, a, b) AS (VALUES $dPerms),
+        mins AS (SELECT doc_id, i, min((h * a + b) % 2147483647) AS mh
+          FROM hs CROSS JOIN perms GROUP BY 1, 2),
+        bands AS (SELECT doc_id, i // 2 AS band,
+            string_agg(mh, ',' ORDER BY i) AS key FROM mins GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT b1.doc_id AS id1, b2.doc_id AS id2
+          FROM bands b1 JOIN bands b2
+            ON b1.band = b2.band AND b1.key = b2.key
+            AND b1.doc_id < b2.doc_id),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM good),
+        nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+        nh AS (SELECT CAST(count(*) AS BIGINT) AS n_hit FROM good
+          WHERE EXISTS (SELECT 1 FROM cand
+            WHERE cand.id1 = good.id1 AND cand.id2 = good.id2))
+        SELECT n_docs, n_true, n_cand, n_hit,
+          round(CAST(n_hit AS DOUBLE) / n_true, 6) AS completeness,
+          round(CAST(n_hit AS DOUBLE) / n_cand, 6) AS precision,
+          round(1.0 - (n_cand * 2.0) / (n_docs * (n_docs - 1)), 6)
+            AS reduction
+        FROM nd CROSS JOIN nt CROSS JOIN nc CROSS JOIN nh""")),
+
     // MinHash sketch-accuracy audit: the estimate (fraction of agreeing
     // signature components) vs the exact Jaccard it approximates, per
     // near-dup pair — the QA gate before trusting an LSH config on a new
