@@ -2332,6 +2332,47 @@ object QueriesPipeline {
           cluster_size, cluster_size - 1 AS n_dropped
         FROM r WHERE rk = 1 ORDER BY cluster_id""")),
 
+    // duplication centrality: fixed-round integer PageRank over the
+    // near-dup pair graph — the "most-mirrored document" score that
+    // separates a one-canonical-many-copies star from a chain of drafts
+    // (cluster size alone cannot). All-integer mass propagation
+    // (m div deg shares, 150000 + 85%·incoming re-damp), 3 fixed rounds
+    // — bit-identical on any engine, one keyed join + keyed sum per round
+    ("dedup_pagerank",
+      (s, d) => {
+        val pairs = DocDedup.minHashDedupPairs(
+          Tables.spread(s, Tables.documents(s, d)), "doc_id", "text",
+          n = 3, threshold = 0.7, dMinHashParams)
+        DocDedup.duplicationRank(pairs, iters = 3)
+          .select(col("doc_id"), col("deg"),
+            (col("rank_micro") / lit(1e6)).as("rank"))
+          .orderBy("doc_id")
+      },
+      Some {
+        def round(t: Int): String = {
+          val prev = if (t == 1) "m0" else s"r${t - 1}"
+          s"""r$t AS (SELECT e.dst AS id,
+              CAST(150000 + (85 * sum(m.m // d.deg)) // 100 AS BIGINT) AS m
+            FROM edges e JOIN $prev m ON m.id = e.src
+            JOIN deg d ON d.src = e.src GROUP BY e.dst)"""
+        }
+        s"""WITH $dShingles,
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        rawpairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        dup AS (SELECT id1, id2 FROM rawpairs
+          JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+          WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.7),
+        edges AS (SELECT id1 AS src, id2 AS dst FROM dup
+          UNION ALL SELECT id2, id1 FROM dup),
+        deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+          FROM edges GROUP BY 1),
+        m0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS m FROM deg),
+        ${(1 to 3).map(round).mkString(",\n        ")}
+        SELECT d.src AS doc_id, d.deg, r3.m / 1000000.0 AS rank
+        FROM deg d JOIN r3 ON r3.id = d.src ORDER BY doc_id"""
+      }),
+
     // duplicate-cluster size histogram — the corpus-health report a dedup
     // run emits (how much of the corpus sits in dup clusters of what
     // size); singletons = docs outside every near-dup component

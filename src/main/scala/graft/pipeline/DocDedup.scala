@@ -627,6 +627,44 @@ object DocDedup {
       .select(col("id"), col("label").as("cluster_id"), col("cluster_size"))
   }
 
+  /** Duplication centrality: fixed-round PageRank over the (undirected)
+    * near-dup pair graph — the "most-mirrored document" score. A high-rank
+    * node sits at the center of a duplication star (one canonical page
+    * copied by many), which cluster SIZE alone cannot distinguish from a
+    * chain of pairwise-similar drafts; centrality is the drop/keep signal
+    * for template and boilerplate hubs.
+    *
+    * Determinism discipline (the [[graft.pipeline.Quantization]]
+    * power-iteration recipe on a graph): mass is integer micro-units,
+    * each round every node sends `m div deg` to each neighbor and
+    * re-damps as `150000 + (85·Σincoming) div 100` — all integer ops,
+    * bit-identical on any engine, and a FIXED round count keeps the
+    * output a pure function of the input. Scale shape: per round one
+    * keyed join (edges × mass) and one keyed sum — the CC loop's cost
+    * model without the convergence test. Returns
+    * (doc_id, deg, rank_micro) for every node of the pair graph. */
+  def duplicationRank(pairs: DataFrame, iters: Int = 3): DataFrame = {
+    val p = pairs.persist()
+    val edges = p.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(p.select(col("id2").as("src"), col("id1").as("dst")))
+      .persist()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    var m = deg.select(col("src").as("id"), lit(1000000L).as("m"))
+    for (_ <- 1 to iters) {
+      m = edges
+        .join(m, edges("src") === m("id"))
+        .join(deg, "src")
+        .select(col("dst"), expr("m div deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("inc"))
+        .select(col("dst").as("id"),
+          (lit(150000L) + expr("(85 * inc) div 100")).as("m"))
+    }
+    val out = deg.join(m, deg("src") === m("id"))
+      .select(col("id").as("doc_id"), col("deg"), col("m").as("rank_micro"))
+    edges.unpersist(); p.unpersist()
+    out
+  }
+
   // ---------------------------------------- edit-distance pair verification
 
   /** Edit-distance verification of near-dup candidate pairs — the classic

@@ -667,6 +667,20 @@ class PipelineSpec extends SparkSpec {
       s"got $got — expected pos=1, semi-hard neg=12, anchor 30 dropped")
   }
 
+  test("duplicationRank: star center out-ranks chain middle; exact " +
+      "integer masses after 3 rounds") {
+    // star 0-{1,2,3} and chain 10-11-12: hand-unrolled integer recurrence
+    // (m div deg shares, 150000 + 85%*inc div 100 re-damp)
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (10L, 11L), (11L, 12L))
+      .toDF("id1", "id2")
+    val got = DocDedup.duplicationRank(pairs, iters = 3)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 3L, 2483250L), (1L, 1L, 505583L), (2L, 1L, 505583L),
+      (3L, 1L, 505583L), (10L, 1L, 629187L), (11L, 2L, 1741625L),
+      (12L, 1L, 629187L)), s"got $got")
+  }
+
   test("topComponent: power iteration recovers a known dominant direction") {
     import graft.pipeline.Quantization
     // y = 0.01·x exactly: covariance is rank-1 with direction (1, 0.01),
