@@ -808,6 +808,94 @@ object QueriesCore {
             (SELECT CAST(n_users AS DOUBLE) FROM n WHERE stage = 1), 6) AS pct
         FROM n ORDER BY stage""")),
 
+    // attribution-window funnel: same ordered stages, but each conversion
+    // must land within 72h of the PREVIOUS stage's time — the variant
+    // real funnel analytics default to (an unbounded funnel credits a
+    // purchase months after the view). Same keyed-aggregation shapes;
+    // the window is pure integer ns arithmetic
+    ("events_funnel_windowed",
+      (s, d) => {
+        val win = 259200000000000L // 72h in ns
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts_ns"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts_ns").as("t1"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, "user_id")
+          .filter(col("ts_ns") > col("t1") && col("ts_ns") <= col("t1") + win)
+          .groupBy("user_id").agg(min("ts_ns").as("t2"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, "user_id")
+          .filter(col("ts_ns") > col("t2") && col("ts_ns") <= col("t2") + win)
+          .groupBy("user_id").agg(min("ts_ns").as("t3"))
+        val stages = Seq((1, "view", v), (2, "click", c), (3, "purchase", p))
+          .map { case (i, nm, df) =>
+            df.agg(count(lit(1)).as("n_users"))
+              .select(lit(i).as("stage"), lit(nm).as("stage_name"),
+                col("n_users"))
+          }.reduce(_ unionByName _)
+        val first = stages.filter(col("stage") === 1)
+          .select(col("n_users").as("__n1"))
+        stages.crossJoin(broadcast(first))
+          .select(col("stage"), col("stage_name"), col("n_users"),
+            round(col("n_users").cast("double") / col("__n1").cast("double"),
+              6).as("pct"))
+          .orderBy("stage")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t
+          FROM events),
+        v AS (SELECT user_id, min(t) AS t1 FROM e
+          WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN v USING (user_id)
+          WHERE event_type = 'click' AND t > t1
+            AND t <= t1 + 259200000000000 GROUP BY 1),
+        p AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND t > t2
+            AND t <= t2 + 259200000000000 GROUP BY 1),
+        n AS (SELECT 1 AS stage, 'view' AS stage_name,
+            CAST(count(*) AS BIGINT) AS n_users FROM v
+          UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM c
+          UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM p)
+        SELECT stage, stage_name, n_users,
+          round(CAST(n_users AS DOUBLE) /
+            (SELECT CAST(n_users AS DOUBLE) FROM n WHERE stage = 1), 6) AS pct
+        FROM n ORDER BY stage""")),
+
+    // volume-weighted average value (VWAP shape) per (event_type, day):
+    // the weight rides the props JSON payload — extracted with the same
+    // anchored regex on both engines (no JSON-library dependence), value
+    // in exact integer cents, so the exposed vwap is one division of two
+    // exact integer sums. One scan, one keyed aggregate
+    ("events_vwap",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val dayNs = 86400000000000L
+        ev.select(col("event_type"),
+            expr(s"ts_ns div ${dayNs}L").as("day"),
+            regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+              .cast("long").as("w"),
+            (col("value") * 100).as("v100"))
+          .select(col("event_type"), col("day"), col("w"),
+            floor(col("v100") + lit(0.5)).cast("long").as("cents"))
+          .groupBy("event_type", "day")
+          .agg(count(lit(1)).as("n"),
+            sum(col("w")).as("w_sum"),
+            sum(col("w") * col("cents")).as("wv_sum"))
+          .select(col("event_type"), col("day"), col("n"),
+            col("w_sum"),
+            round(col("wv_sum") / col("w_sum") / lit(100.0), 6).as("vwap"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH e AS (SELECT event_type,
+          epoch_ns(ts) // 86400000000000 AS day,
+          CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS w,
+          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events)
+        SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(w) AS BIGINT) AS w_sum,
+          round(CAST(sum(w * cents) AS DOUBLE) / sum(w) / 100.0, 6) AS vwap
+        FROM e GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // weekly retention cohorts: users grouped by the epoch-week of their
     // first event, counted distinct in every later week they reappear —
     // the (cohort, weeks-since) retention matrix. Week ids are INTEGER
