@@ -171,6 +171,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming OHLC candles: argmin/argmax-by-time struct aggregates " +
+      "stream, late arrivals revise open/close, batch parity") {
+    // the events_ohlc shape is min/max of (t, cents) structs + plain
+    // min/max/count — all mergeable aggregates, so candles stream
+    // natively; a LATE point earlier than the current open must revise
+    // the candle (complete mode), proving the argmin rides the
+    // aggregation state rather than arrival order
+    import org.apache.spark.sql.DataFrame
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)](
+      spark)
+    def candles(df: DataFrame): DataFrame = df
+      .toDF("user_id", "t", "cents")
+      .withColumn("bucket", expr("t div 1000"))
+      .groupBy("user_id", "bucket")
+      .agg(min(struct(col("t"), col("cents"))).as("__o"),
+        max(struct(col("t"), col("cents"))).as("__c"),
+        min("cents").as("lo"), max("cents").as("hi"),
+        count(lit(1)).as("n"))
+      .select(col("user_id"), col("bucket"),
+        col("__o.cents").as("open"), col("hi"), col("lo"),
+        col("__c.cents").as("close"), col("n"))
+    val q = candles(input.toDF()).writeStream.format("memory")
+      .queryName("sohlc").outputMode("complete").start()
+    try {
+      val early = Seq((1L, 500L, 120L), (1L, 900L, 80L), (1L, 1500L, 200L))
+      val late = Seq((1L, 100L, 55L), (1L, 950L, 300L)) // 100 < current open t
+      input.addData(early: _*)
+      q.processAllAvailable()
+      val mid = spark.table("sohlc")
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(mid.contains((1L, 0L, 120L, 120L, 80L, 80L, 2L)),
+        s"pre-late candle wrong: $mid")
+      input.addData(late: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sohlc")
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+      val batch = candles((early ++ late).toDF("user_id", "t", "cents"))
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch, "incremental candles equal the batch build")
+      assert(streamed.contains((1L, 0L, 55L, 300L, 55L, 300L, 4L)),
+        s"late point must revise open AND high/close: $streamed")
+    } finally q.stop()
+  }
+
   test("streaming Misra-Gries heavy hitters: k-counter state, batch parity " +
       "in the exact regime") {
     // the MG summary is a mergeable Aggregator, so Structured Streaming
