@@ -2526,6 +2526,28 @@ object QueriesCore {
             ORDER BY t ROWS UNBOUNDED PRECEDING), 6) AS incr
         FROM c ORDER BY user_id, t""")),
 
+    // PromQL `resets`: per-series counter-restart count — the
+    // instance-flap audit next to rate/increase. Pure comparisons of
+    // identical raw values (no arithmetic), integer counts
+    ("events_resets",
+      (s, d) => {
+        import graft.functions.{SeriesFunctions => SF}
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            col("ts_ns").as("t"), col("value"))
+        SF.resets(ev, Seq("user_id", "event_type"), "t", "value", "n_resets")
+          .orderBy("user_id", "event_type")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t,
+          value FROM events),
+        r AS (SELECT user_id, event_type,
+            CASE WHEN lag(value) OVER win IS NOT NULL
+              AND value < lag(value) OVER win THEN 1 ELSE 0 END AS rst
+          FROM e WINDOW win AS (PARTITION BY user_id, event_type ORDER BY t))
+        SELECT user_id, event_type, CAST(sum(rst) AS BIGINT) AS n_resets,
+          CAST(count(*) AS BIGINT) AS n_points
+        FROM r GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     ("influxql_show_cardinality",
       (s, d) => graft.operators.InfluxQlPlanner.runStmt(influxMs(s, d),
         "SHOW SERIES CARDINALITY"),

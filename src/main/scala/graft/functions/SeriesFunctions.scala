@@ -172,6 +172,22 @@ object SeriesFunctions {
       .drop("__incr_d")
   }
 
+  /** PromQL `resets`: per series, how many times the counter DECREASED —
+    * each drop is a counter restart (process restart, scrape of a new
+    * instance). The count is an aggregate per series, one row each;
+    * the drop test compares identical raw values on any engine (no
+    * arithmetic), so the integer count is engine-proof by construction.
+    * Same one-exchange window + keyed aggregate shape as its siblings. */
+  def resets(df: DataFrame, keyCols: Seq[String], timeCol: String,
+      valueCol: String, out: String): DataFrame = {
+    val w = series(keyCols, timeCol)
+    val prev = lag(col(valueCol), 1).over(w)
+    df.withColumn("__rst",
+        when(prev.isNotNull && col(valueCol) < prev, 1L).otherwise(0L))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__rst")).as(out), count(lit(1)).as("n_points"))
+  }
+
   /** Nanoseconds since the previous point (InfluxQL `elapsed`). */
   def elapsed(df: DataFrame, keyCols: Seq[String], timeCol: String,
       out: String): DataFrame = {
