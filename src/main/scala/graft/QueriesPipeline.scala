@@ -1313,6 +1313,62 @@ object QueriesPipeline {
         FROM db JOIN documents d USING (doc_id)
         GROUP BY 1 ORDER BY source""")),
 
+    // perplexity-filter operating curve: per source, the fraction of
+    // documents kept at each milli-bits-per-bigram threshold — the table
+    // a CCNet-style quality cut is tuned on (pick the knee, not a guess).
+    // One LM scoring pass (integer milli-bits, the text_lm_score
+    // contract), then a bounded threshold explode with conditional
+    // counts; keep rates are single divisions of exact counts
+    ("corpus_ppl_keep_curve",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val scores = graft.pipeline.LanguageModel
+          .bigramLogLoss(docs, "doc_id", "text")
+          .select(col("doc_id"),
+            floor(col("bits_q").cast("double") /
+              (col("n_bigrams").cast("double") * lit(1000.0)))
+              .cast("long").as("bits"))
+        val ts = broadcast(Seq(4000L, 6000L, 8000L, 10000L, 12000L)
+          .toDF("t_millibits"))
+        docs.select(col("doc_id"), col("source")).join(scores, "doc_id")
+          .crossJoin(ts)
+          .groupBy("source", "t_millibits")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("bits") <= col("t_millibits"), 1L).otherwise(0L))
+              .as("n_kept"))
+          .select(col("source"), col("t_millibits"), col("n_docs"),
+            col("n_kept"),
+            round(col("n_kept") / col("n_docs"), 6).as("keep_rate"))
+          .orderBy("source", "t_millibits")
+      },
+      Some(s"""WITH p AS (SELECT doc_id, $dToks AS w FROM documents),
+        bgl AS (SELECT doc_id, CASE WHEN len(w) >= 2 THEN list_filter(
+            list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]),
+            x -> length(x) > 0) ELSE [] END AS bgs FROM p),
+        occ AS (SELECT doc_id, unnest(bgs) AS b FROM bgl),
+        ucnt AS (SELECT tok, count(*) AS cw
+          FROM (SELECT unnest(w) AS tok FROM p) GROUP BY 1),
+        v AS (SELECT count(*) AS v FROM ucnt),
+        bcnt AS (SELECT b, count(*) AS cbg FROM occ GROUP BY 1),
+        sc AS (SELECT occ.doc_id, CAST(floor(
+            CAST(-sum(CAST(round(log2((bcnt.cbg + 0.5)
+              / (ucnt.cw + 0.5 * v.v)) * 1000000) AS BIGINT)) AS DOUBLE)
+            / (count(*) * 1000.0)) AS BIGINT) AS bits
+          FROM occ JOIN bcnt USING (b)
+          JOIN ucnt ON ucnt.tok = string_split(occ.b, ' ')[1]
+          CROSS JOIN v GROUP BY occ.doc_id),
+        ts AS (SELECT CAST(unnest([4000, 6000, 8000, 10000, 12000])
+          AS BIGINT) AS t_millibits)
+        SELECT d.source, ts.t_millibits,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN sc.bits <= ts.t_millibits THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+          round(CAST(sum(CASE WHEN sc.bits <= ts.t_millibits THEN 1
+            ELSE 0 END) AS DOUBLE) / count(*), 6) AS keep_rate
+        FROM documents d JOIN sc USING (doc_id) CROSS JOIN ts
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // CCNet perplexity terciles: rank documents by LM bits within each
     // language and cut head/middle/tail at ceil(n/3)/ceil(2n/3). The
     // Spark side is the two-level coarse-bucket rank (no corpus window);
@@ -2058,6 +2114,50 @@ object QueriesPipeline {
           round(1.0 - t4.x, 6) AS theory_p, coll.collided
         FROM t4 JOIN coll ON coll.id1 = t4.id1 AND coll.id2 = t4.id2
         ORDER BY t4.id1, t4.id2""")),
+
+    // dedup threshold operating curve: pair counts and docs-touched at
+    // every candidate Jaccard cut — the table that picks the dedup
+    // threshold (too low deletes content, too high keeps mirrors).
+    // One exact pair pass at the curve floor (0.05 here — at corpus
+    // scale pick the floor to bound the pair frame), then a bounded
+    // 5-way threshold explode over the pair frame — never a re-scan per
+    // threshold; comparisons are one-shot integer-count ratios against
+    // identical double literals on both engines
+    ("dedup_threshold_curve",
+      (s, d) => {
+        import s.implicits._
+        val pairs = DocDedup.ngramJaccardPairs(
+          Tables.spread(s, Tables.documents(s, d)), "doc_id", "text",
+          n = 3, threshold = 0.05)
+        val ts = broadcast(Seq(0.05, 0.1, 0.5, 0.7, 0.9).toDF("t"))
+        val expanded = pairs.crossJoin(ts).filter(col("jaccard") >= col("t"))
+        val np = expanded.groupBy("t").agg(count(lit(1)).as("n_pairs"))
+        val ndocs = expanded
+          .select(col("t"), explode(array(col("id1"), col("id2"))).as("id"))
+          .distinct()
+          .groupBy("t").agg(count(lit(1)).as("n_docs_touched"))
+        np.join(ndocs, "t")
+          .select(col("t"), col("n_pairs"), col("n_docs_touched"))
+          .orderBy("t")
+      },
+      Some(s"""WITH $dShingles,
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        rawpairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+            count(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        jac AS (SELECT id1, id2,
+            inter * 1.0 / (s1.n + s2.n - inter) AS j
+          FROM rawpairs JOIN sizes s1 ON s1.doc_id = id1
+          JOIN sizes s2 ON s2.doc_id = id2),
+        ts AS (SELECT unnest([0.05, 0.1, 0.5, 0.7, 0.9]) AS t),
+        ex AS (SELECT t, id1, id2 FROM jac CROSS JOIN ts WHERE j >= t),
+        np AS (SELECT t, CAST(count(*) AS BIGINT) AS n_pairs
+          FROM ex GROUP BY 1),
+        nd AS (SELECT t, CAST(count(*) AS BIGINT) AS n_docs_touched FROM (
+          SELECT DISTINCT t, unnest([id1, id2]) AS id FROM ex) GROUP BY 1)
+        SELECT t, n_pairs, n_docs_touched FROM np JOIN nd USING (t)
+        ORDER BY t""")),
 
     // bounded-Levenshtein verification over the LSH near-dup pairs: the
     // cap (6) is chosen so this corpus exercises BOTH paths — most pairs
