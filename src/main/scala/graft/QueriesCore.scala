@@ -2526,6 +2526,36 @@ object QueriesCore {
             ORDER BY t ROWS UNBOUNDED PRECEDING), 6) AS incr
         FROM c ORDER BY user_id, t""")),
 
+    // Apdex score per event type (the SRE satisfaction index): satisfied
+    // = value <= T, tolerating = T < value <= 4T, apdex = (sat + tol/2)
+    // / total — computed as the exact rational (2·sat + tol) / (2·total)
+    // so the only float is one division of exact integers. One scan,
+    // conditional counts, no shuffle beyond the keyed aggregate
+    ("events_apdex",
+      (s, d) => {
+        val t = 100.0
+        Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("value") <= t, 1L).otherwise(0L)).as("sat"),
+            sum(when(col("value") > t && col("value") <= 4 * t, 1L)
+              .otherwise(0L)).as("tol"))
+          .select(col("event_type"), col("n"), col("sat"), col("tol"),
+            round((col("sat") * 2 + col("tol"))
+              / (col("n") * lit(2.0)), 6).as("apdex"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS sat,
+        CAST(sum(CASE WHEN value > 100.0 AND value <= 400.0 THEN 1
+          ELSE 0 END) AS BIGINT) AS tol,
+        round((sum(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END) * 2
+            + sum(CASE WHEN value > 100.0 AND value <= 400.0 THEN 1
+              ELSE 0 END))
+          / (count(*) * 2.0), 6) AS apdex
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
     // PromQL `resets`: per-series counter-restart count — the
     // instance-flap audit next to rate/increase. Pure comparisons of
     // identical raw values (no arithmetic), integer counts

@@ -4671,6 +4671,134 @@ object QueriesPipeline {
         FROM cls JOIN p USING (doc_id)
         GROUP BY 1, 2 ORDER BY lang, pred""")),
 
+    // recall@10 of the composed IVF-PQ path vs exact ground truth — the
+    // last cell of the recall matrix (IVF, PQ, SQ, Hamming all carry
+    // one). Everything rank-bearing is integer-exact: probes rank by
+    // the mirrored integer-micro cosine (computed driver-side from the
+    // k=8 seed centroids — metadata), ADC tables are exact Long dots of
+    // micro query slices against micro-floored PQ codebooks, and the
+    // candidate scan is cell-pruned before any scoring. Both losses
+    // compound here (probe misses + code distortion), which is exactly
+    // what the number is for
+    ("ann_ivfpq_recall",
+      (s, d) => {
+        import s.implicits._
+        val m = 4; val k = 4; val sub = 16; val nprobe = 3
+        val spread = Tables.spread(s, Tables.embeddings(s, d))
+        val emb = qEmb(s, d)
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val truth = Similarity.bruteForceTopK(emb, q, k = 10, microRank = true)
+          .select(col("q_id"), col("neighbor_id"))
+        val (cells, coarse) = Clustering.kmeansFit(
+          spread, "vec_id", "embedding", k = 8, iters = 0)
+        val (codes, books) = Clustering.pqFit(
+          spread, "vec_id", "embedding", m = m, k = k, iters = 1)
+        val qmv = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).map(_.toLong).toArray))
+        // mirrored integer-micro cosine (the dCosMicroI expression order)
+        def cosMicro(a: Array[Long], b: Array[Long]): Long = {
+          val dot = a.zip(b).map { case (x, y) => x * y }.sum
+          val na = a.map(x => x * x).sum; val nb = b.map(x => x * x).sum
+          math.floor(dot.toDouble
+            / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+            * 1e6 + 0.5).toLong
+        }
+        val centM: Seq[(Int, Array[Long])] = coarse.map { case (c, ce) =>
+          c -> ce.map(x => math.floor(x * 1e6 + 0.5).toLong).toArray }
+        val probes = qmv.toSeq.flatMap { case (qid, qv) =>
+          centM.map { case (c, cm) => (qid, c, cosMicro(qv, cm)) }
+            .sortBy { case (_, c, s0) => (-s0, c) }.take(nprobe)
+            .map { case (_, c, _) => (qid, c) }
+        }.toDF("q_id", "cluster")
+        val cm: Map[(Int, Int), Array[Long]] = books.map { case (j, c, ce) =>
+          (j, c) -> ce.map(x => math.floor(x * 1e6 + 0.5).toLong).toArray
+        }.toMap
+        val qdt = qmv.toSeq.map { case (qid, qv) =>
+          val t = (0 until m).map { j =>
+            (0 until k).map { c =>
+              val cc = cm((j, c))
+              (0 until sub).map(i => qv(j * sub + i) * cc(i)).sum
+            }
+          }
+          (qid, t(0), t(1), t(2), t(3))
+        }.toDF("q_id", "dt0", "dt1", "dt2", "dt3")
+        val scored = codes.join(cells, "vec_id")
+          .join(broadcast(probes), "cluster")
+          .join(broadcast(qdt), "q_id")
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            (element_at(col("dt0"), col("code_0") + 1)
+              + element_at(col("dt1"), col("code_1") + 1)
+              + element_at(col("dt2"), col("code_2") + 1)
+              + element_at(col("dt3"), col("code_3") + 1)).as("score"))
+        val approx = scored
+          .groupBy("q_id")
+          .agg(graft.functions.TopK.topK(10)(col("score").cast("double"),
+            col("vec_id")).as("tk"))
+          .select(col("q_id"), explode(col("tk")).as("s2"))
+          .select(col("q_id"), col("s2.id").as("neighbor_id"),
+            lit(1).as("__h"))
+        truth.join(approx, Seq("q_id", "neighbor_id"), "left")
+          .groupBy("q_id")
+          .agg(sum(coalesce(col("__h"), lit(0))).as("hits"))
+          .select(col("q_id"), col("hits"),
+            round(col("hits") / 10.0, 6).as("recall"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH $dKmeansPrep,
+        qs AS (SELECT vec_id AS q_id, q AS qe FROM v WHERE vec_id < 5),
+        bf AS (SELECT q_id, neighbor_id FROM (SELECT qs.q_id,
+            v.vec_id AS neighbor_id, row_number() OVER (
+              PARTITION BY qs.q_id
+              ORDER BY ${dCosMicroI("v.q", "qs.qe")} DESC,
+              v.vec_id ASC) AS rk
+          FROM v CROSS JOIN qs WHERE v.vec_id != qs.q_id) WHERE rk <= 10),
+        c0 AS (SELECT vec_id AS c, e AS ce FROM x WHERE vec_id < 8),
+        cell AS (SELECT vec_id, c AS cl FROM ${dKmeansAssign("c0")}),
+        cm0 AS (SELECT c, list_transform(ce,
+          t -> CAST(floor(t * 1000000.0 + 0.5) AS BIGINT)) AS cm FROM c0),
+        probes AS (SELECT q_id, c AS cl FROM (SELECT qs.q_id, cm0.c,
+            row_number() OVER (PARTITION BY qs.q_id
+              ORDER BY ${dCosMicroI("qs.qe", "cm0.cm")} DESC,
+              cm0.c ASC) AS rn
+          FROM qs CROSS JOIN cm0) WHERE rn <= 3),
+        ${(0 until 4).map(j => dPqSubspace(j, 16, 4)).mkString(",\n")},
+        ${(0 until 4).map { j =>
+          val lo = j * 16
+          s"""cmq$j AS (SELECT c, list_transform(ce,
+              t -> CAST(floor(t * 1000000.0 + 0.5) AS BIGINT)) AS cm
+            FROM c${j}1),
+          dt$j AS (SELECT qs.q_id, cmq$j.c,
+              CAST(list_sum(list_transform(range(1, 17),
+                i -> CAST(qs.qe[$lo + i] AS BIGINT) * cmq$j.cm[i]))
+                AS BIGINT) AS dval
+            FROM qs CROSS JOIN cmq$j)"""
+        }.mkString(",\n")},
+        sc AS (SELECT p.q_id, a02.vec_id,
+            dt0.dval + dt1.dval + dt2.dval + dt3.dval AS score
+          FROM a02 JOIN a12 USING (vec_id) JOIN a22 USING (vec_id)
+            JOIN a32 USING (vec_id)
+          JOIN cell USING (vec_id)
+          JOIN probes p ON p.cl = cell.cl
+          JOIN dt0 ON dt0.q_id = p.q_id AND dt0.c = a02.c
+          JOIN dt1 ON dt1.q_id = p.q_id AND dt1.c = a12.c
+          JOIN dt2 ON dt2.q_id = p.q_id AND dt2.c = a22.c
+          JOIN dt3 ON dt3.q_id = p.q_id AND dt3.c = a32.c
+          WHERE a02.vec_id != p.q_id),
+        pq AS (SELECT q_id, neighbor_id FROM (SELECT q_id,
+            vec_id AS neighbor_id, row_number() OVER (PARTITION BY q_id
+              ORDER BY score DESC, vec_id ASC) AS rk FROM sc)
+          WHERE rk <= 10)
+        SELECT bf.q_id,
+          sum(CASE WHEN pq.neighbor_id IS NULL THEN 0 ELSE 1 END) AS hits,
+          round(sum(CASE WHEN pq.neighbor_id IS NULL THEN 0 ELSE 1 END)
+            / 10.0, 6) AS recall
+        FROM bf LEFT JOIN pq ON pq.q_id = bf.q_id
+          AND pq.neighbor_id = bf.neighbor_id
+        GROUP BY bf.q_id ORDER BY bf.q_id""")),
+
     // the composed IVF-PQ index (the billion-scale ANN query path):
     // coarse k-means cells prune the corpus to nprobe lists per query,
     // PQ ADC scores the survivors from codes alone — the oracle replays
