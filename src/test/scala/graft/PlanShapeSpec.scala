@@ -308,6 +308,29 @@ class PlanShapeSpec extends SparkSpec {
       s"scalar threshold should run as a one-shot subquery:\n$q20")
   }
 
+  test("r11 filtered ANN: the attribute predicate pushes down to the " +
+      "persisted index's parquet scan") {
+    // the filteredTopKIndexed contract: attributes carried into the
+    // index at build time mean the filter prunes the SCAN (row-group
+    // stats / partition pruning), not a post-scan residual-only filter
+    import graft.pipeline.Similarity
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val cents = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+    val index = Similarity.ivfIndex(emb, cents, carryCols = Seq("label"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-pushdown").toString
+    index.write.mode("overwrite").partitionBy("c_id").parquet(dir)
+    val persisted = spark.read.parquet(dir)
+    val q = emb.filter($"vec_id" === 1L)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val plan = executedPlan(Similarity.filteredTopKIndexed(
+      persisted, cents, q, $"label" === 3, k = 5, nprobe = 2))
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(label,3\\)".r
+      .findFirstIn(plan).isDefined,
+      s"label predicate must reach the index parquet scan:\n$plan")
+  }
+
   test("r10 repeatedSpans: one positional-shingle explode, keyed windows, " +
       "no join") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
