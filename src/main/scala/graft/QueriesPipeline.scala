@@ -3350,7 +3350,8 @@ object QueriesPipeline {
               b.vec_id ASC) AS rk
           FROM b CROSS JOIN qb WHERE b.vec_id != qb.q_id) WHERE rk <= 10)
         SELECT bf.q_id,
-          sum(CASE WHEN hm.neighbor_id IS NULL THEN 0 ELSE 1 END) AS hits,
+          CAST(sum(CASE WHEN hm.neighbor_id IS NULL THEN 0 ELSE 1 END)
+            AS BIGINT) AS hits,
           round(sum(CASE WHEN hm.neighbor_id IS NULL THEN 0 ELSE 1 END)
             / 10.0, 6) AS recall
         FROM bf LEFT JOIN hm ON hm.q_id = bf.q_id
@@ -4311,7 +4312,8 @@ object QueriesPipeline {
               ORDER BY score DESC, vec_id ASC) AS rk FROM sc)
           WHERE rk <= 10)
         SELECT bf.q_id,
-          sum(CASE WHEN pq.neighbor_id IS NULL THEN 0 ELSE 1 END) AS hits,
+          CAST(sum(CASE WHEN pq.neighbor_id IS NULL THEN 0 ELSE 1 END)
+            AS BIGINT) AS hits,
           round(sum(CASE WHEN pq.neighbor_id IS NULL THEN 0 ELSE 1 END)
             / 10.0, 6) AS recall
         FROM bf LEFT JOIN pq ON pq.q_id = bf.q_id
@@ -4456,7 +4458,8 @@ object QueriesPipeline {
           JOIN q ON q.q_id = cand.q_id
           WHERE cand.vec_id != cand.q_id) WHERE rk <= 10)
         SELECT bf.q_id,
-          sum(CASE WHEN iv.neighbor_id IS NULL THEN 0 ELSE 1 END) AS hits,
+          CAST(sum(CASE WHEN iv.neighbor_id IS NULL THEN 0 ELSE 1 END)
+            AS BIGINT) AS hits,
           round(sum(CASE WHEN iv.neighbor_id IS NULL THEN 0 ELSE 1 END)
             / 10.0, 6) AS recall
         FROM bf LEFT JOIN iv ON iv.q_id = bf.q_id
@@ -4560,7 +4563,8 @@ object QueriesPipeline {
         sq AS (SELECT CAST(8 AS INT) AS bits, q_id, neighbor_id FROM sq8
           UNION ALL SELECT CAST(4 AS INT), q_id, neighbor_id FROM sq4)
         SELECT bf.q_id, b.bits,
-          sum(CASE WHEN sq.neighbor_id IS NULL THEN 0 ELSE 1 END) AS hits,
+          CAST(sum(CASE WHEN sq.neighbor_id IS NULL THEN 0 ELSE 1 END)
+            AS BIGINT) AS hits,
           round(sum(CASE WHEN sq.neighbor_id IS NULL THEN 0 ELSE 1 END)
             / 10.0, 6) AS recall
         FROM bf CROSS JOIN (SELECT CAST(unnest([8, 4]) AS INT) AS bits) b
@@ -4792,7 +4796,8 @@ object QueriesPipeline {
               ORDER BY score DESC, vec_id ASC) AS rk FROM sc)
           WHERE rk <= 10)
         SELECT bf.q_id,
-          sum(CASE WHEN pq.neighbor_id IS NULL THEN 0 ELSE 1 END) AS hits,
+          CAST(sum(CASE WHEN pq.neighbor_id IS NULL THEN 0 ELSE 1 END)
+            AS BIGINT) AS hits,
           round(sum(CASE WHEN pq.neighbor_id IS NULL THEN 0 ELSE 1 END)
             / 10.0, 6) AS recall
         FROM bf LEFT JOIN pq ON pq.q_id = bf.q_id

@@ -1,8 +1,8 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate: run graft.Verify at a
 given SF, execute each oracle SQL in DuckDB over the same parquet tables,
-and compare row counts, column names and values (exact for
-strings/ints/dates, tiny-epsilon for floats). Usage:
+and compare row counts, column names and values, stringified exactly like
+the driver (no float epsilon; HUGEINT oracle columns are a hard fail). Usage:
     python3 tools/local_verify.py [sfdir] [outdir] [--skip-spark]
 """
 import json, math, subprocess, sys, glob, os
@@ -37,7 +37,8 @@ for name in sorted(oracle):
         bad.append((name, "no spark output")); continue
     try:
         got = con.execute(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").fetchdf()
-        want = con.execute(sql).fetchdf()
+        rel = con.sql(sql)
+        want = rel.df()
     except Exception as e:
         bad.append((name, f"exec error: {str(e)[:200]}")); continue
     gcols, wcols = sorted(got.columns), sorted(want.columns)
@@ -45,23 +46,22 @@ for name in sorted(oracle):
         bad.append((name, f"columns differ: spark={gcols} oracle={wcols}")); continue
     if len(got) != len(want):
         bad.append((name, f"rowcount differ: spark={len(got)} oracle={len(want)}")); continue
+    huge = [c for c, t in zip(rel.columns, rel.types) if "HUGEINT" in str(t).upper()]
+    if huge:
+        bad.append((name, f"oracle cols typed HUGEINT (cast them): {huge}")); continue
     got, want = got[gcols].reset_index(drop=True), want[gcols].reset_index(drop=True)
+    # driver-faithful compare: plain str() of every cell (no float epsilon —
+    # an integer-valued float64 stringifies "10.0" and must NOT match "10"),
+    # rows order-insensitive like the driver's sorted hash
+    def cell(v):
+        if v is None or (isinstance(v, float) and pd.isna(v)): return "NULL"
+        return str(v).removesuffix(" 00:00:00")
+    grows = sorted("|".join(cell(v) for v in r) for r in got.itertuples(index=False, name=None))
+    wrows = sorted("|".join(cell(v) for v in r) for r in want.itertuples(index=False, name=None))
     mism = None
-    for c in gcols:
-        g, w = got[c], want[c]
-        for i in range(len(g)):
-            gv, wv = g.iloc[i], w.iloc[i]
-            if pd.isna(gv) and pd.isna(wv): continue
-            if isinstance(gv, float) or isinstance(wv, float):
-                try:
-                    fg, fw = float(gv), float(wv)
-                    if pd.isna(fg) != pd.isna(fw) or abs(fg - fw) > 1e-9 * max(1, abs(fw)):
-                        mism = f"col {c} row {i}: {gv!r} != {wv!r}"; break
-                except Exception:
-                    mism = f"col {c} row {i}: {gv!r} != {wv!r}"; break
-            elif str(gv) != str(wv):
-                mism = f"col {c} row {i}: {gv!r} != {wv!r}"; break
-        if mism: break
+    for i, (gr, wr) in enumerate(zip(grows, wrows)):
+        if gr != wr:
+            mism = f"first differing sorted row {i}: spark={gr!r} oracle={wr!r}"; break
     if mism: bad.append((name, mism))
     else: ok.append((name, len(got)))
 
