@@ -123,18 +123,25 @@ object Bench {
       (failed.take(8).map("\"" + _ + "\"") ++
         (if (failed.size > 8) Seq("\"+" + (failed.size - 8) + " more\"") else Nil))
         .mkString("[", ",", "]")
-    // Per-round sidecar name: the highest BENCH_r{N}.json on disk names
-    // the PREVIOUS round (the driver writes this round's after this main
-    // exits), so max+1 is the current round. Keeping every round's
-    // per-query detail in git makes family drift attributable to
-    // queries (r10 verdict: a 12% text-family question was unprovable
-    // because bench_detail.json had been overwritten).
-    val roundTag = try {
+    // Per-round sidecar name. An explicit tag wins (SPARK_GRAFT_ROUND env
+    // or a `--round N` arg) — the directory scan below silently misfiles
+    // the sidecar if the bench runs from a different cwd, or overwrites
+    // it if the bench runs twice in one round. Fallback: the highest
+    // BENCH_r{N}.json on disk names the PREVIOUS round (the driver writes
+    // this round's after this main exits), so max+1 is the current round.
+    // Keeping every round's per-query detail in git makes family drift
+    // attributable to queries (r10 verdict: a 12% text-family question
+    // was unprovable because bench_detail.json had been overwritten).
+    val explicitRound = sys.env.get("SPARK_GRAFT_ROUND")
+      .orElse(args.sliding(2).collectFirst {
+        case Array("--round", n) => n })
+      .flatMap(n => scala.util.Try(n.trim.toInt).toOption)
+    val roundTag = explicitRound.map(n => f"_r$n%02d").getOrElse(try {
       val pat = "BENCH_r(\\d+)\\.json".r
       val ns = Option(new java.io.File(".").list()).toSeq.flatten
         .collect { case pat(n) => n.toInt }
       if (ns.isEmpty) "" else f"_r${ns.max + 1}%02d"
-    } catch { case _: Throwable => "" }
+    } catch { case _: Throwable => "" })
     val detailName = s"bench_detail$roundTag.json"
     val compact = s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$famTotals,"n_queries":${byQuery.size},"n_failed":${failed.size},"failed":$failedCapped,"passes":${samples.size},"pass_totals":$passTotals,"sf":"$sfDir","detail":"$detailName"}"""
     // bench_detail.json stays as the stable latest-run pointer

@@ -58,20 +58,32 @@ object QueriesPipeline {
     dNdcgDisc.map { case (p, c) => s"($p, $c)" }.mkString(", ")
 
   // DuckDB twins of Clustering.quantize / prepared / assignOnce: quantized
-  // integer vectors q, derived doubles e = q/1e6, and one argmax-affinity
-  // assignment (ties to the smallest cluster id) against a (c, ce) table
+  // INTEGER micro vectors q, integer-micro centroid tables (c, cq), and
+  // one argmax assignment ranking the micro-quantized cosine over exact
+  // BIGINT dots (ties to the smallest cluster id) — no step rides an
+  // implementation-defined accumulator (the dDotI discipline; the old
+  // spelling ranked raw `list_dot_product` doubles, the r10 hazard class)
   private val dKmeansPrep = """v AS (SELECT vec_id,
       list_transform(CAST(embedding AS DOUBLE[]),
-        y -> floor(y * 1000000.0 + 0.5)) AS q FROM embeddings),
-    x AS (SELECT vec_id, list_transform(q, t -> t / 1000000.0) AS e FROM v)"""
+        y -> CAST(floor(y * 1000000.0 + 0.5) AS BIGINT)) AS q
+    FROM embeddings)"""
 
   private def dKmeansAssign(centTable: String): String =
     s"""(SELECT vec_id, c FROM (
-      SELECT x.vec_id, $centTable.c, row_number() OVER (PARTITION BY x.vec_id
-          ORDER BY list_dot_product(e, ce)
-            / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))) DESC,
+      SELECT v.vec_id, $centTable.c, row_number() OVER (PARTITION BY v.vec_id
+          ORDER BY ${dCosMicroI("q", "cq")} DESC,
           $centTable.c ASC) AS rk
-      FROM x CROSS JOIN $centTable) WHERE rk = 1)"""
+      FROM v CROSS JOIN $centTable) WHERE rk = 1)"""
+
+  // one Lloyd centroid update in DuckDB: exact per-(cluster, dim) integer
+  // sums from assignment table `aT`, re-quantized to integer micro-units
+  // exactly like Clustering.updateCentroids (floor(sum/count + 0.5))
+  private def dKmeansUpdate(aT: String, dim: Int): String =
+    s"""(SELECT c, list(CAST(floor(s / n + 0.5) AS BIGINT) ORDER BY d) AS cq
+      FROM (SELECT c, d, sum(q[d]) AS s, count(*) AS n
+        FROM $aT JOIN v USING (vec_id)
+        CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS d)
+        GROUP BY c, d) GROUP BY c)"""
 
   // Integer-micro embedding view — the engine-proof cosine discipline
   // (r9 verdict, `ann_recall_eval`): quantize the VECTORS before any dot
@@ -123,29 +135,32 @@ object QueriesPipeline {
       + (1.0 - len(regexp_extract_all(text, '[0-9]')) * 1.0
         / greatest(length(text), 1)) * 0.1, 6)"""
 
-  // generalized DuckDB assign for product quantization: argmax cosine
-  // affinity of subspace table `xT` against centroid table `cT`
+  // generalized DuckDB assign for product quantization: argmax
+  // micro-quantized cosine (exact BIGINT dots, the dCosMicroI spelling)
+  // of integer subspace table `xT` (vec_id, sq) against integer-micro
+  // centroid table `cT` (c, cq)
   private def dPqAssign(xT: String, cT: String): String =
     s"""(SELECT vec_id, c FROM (
       SELECT $xT.vec_id, $cT.c, row_number() OVER (PARTITION BY $xT.vec_id
-          ORDER BY list_dot_product(e, ce)
-            / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))) DESC,
+          ORDER BY ${dCosMicroI("sq", "cq")} DESC,
           $cT.c ASC) AS rk
       FROM $xT CROSS JOIN $cT) WHERE rk = 1)"""
 
   /** One subspace's k-means CTE chain (seed -> assign -> update ->
     * assign) for the PQ oracle; subspace j covers 1-based dims
-    * [j·sub+1, (j+1)·sub] of the quantized vector table v. */
+    * [j·sub+1, (j+1)·sub] of the quantized INTEGER vector table v.
+    * Centroids stay integer-micro through the update, mirroring
+    * Clustering.updateCentroids. */
   private def dPqSubspace(j: Int, sub: Int, k: Int): String = {
     val lo = j * sub
-    s"""x$j AS (SELECT vec_id,
-        list_transform(q[${lo + 1}:${lo + sub}], t -> t / 1000000.0) AS e FROM v),
-      c${j}0 AS (SELECT vec_id AS c, e AS ce FROM x$j WHERE vec_id < $k),
+    s"""x$j AS (SELECT vec_id, q[${lo + 1}:${lo + sub}] AS sq FROM v),
+      c${j}0 AS (SELECT vec_id AS c, sq AS cq FROM x$j WHERE vec_id < $k),
       a${j}1 AS ${dPqAssign(s"x$j", s"c${j}0")},
       s${j}1 AS (SELECT c, d, sum(q[$lo + d]) AS s, count(*) AS n
         FROM a${j}1 JOIN v USING (vec_id)
         CROSS JOIN (SELECT unnest(range(1, ${sub + 1})) AS d) GROUP BY c, d),
-      c${j}1 AS (SELECT c, list((s / n) / 1000000.0 ORDER BY d) AS ce
+      c${j}1 AS (SELECT c, list(CAST(floor(s / n + 0.5) AS BIGINT)
+          ORDER BY d) AS cq
         FROM s${j}1 GROUP BY c),
       a${j}2 AS ${dPqAssign(s"x$j", s"c${j}1")}"""
   }
@@ -392,7 +407,11 @@ object QueriesPipeline {
           .agg(graft.functions.TopK.topK(3)(col("bm25"), col("pid")).as("top"))
           .select(col("query_id"), posexplode(col("top")).as(Seq("rk", "x")))
           .select(col("query_id"), (col("rk") + 1).cast("int").as("rank"),
-            (col("x.id") / lit(1000000L)).cast("long").as("doc_id"),
+            // integer `div`, not double `/`: float division is exact
+            // only below 2^53, which would cap doc_id at ~9e9 instead of
+            // the packing's full 9.2e12 headroom (and the oracle's `//`
+            // is exact integer division)
+            expr("x.id div 1000000").as("doc_id"),
             pmod(col("x.id"), lit(1000000L)).as("chunk_id"),
             round(col("x.score"), 6).as("bm25"))
           .orderBy("query_id", "rank")
@@ -924,7 +943,8 @@ object QueriesPipeline {
         SELECT lang, n_docs,
           round(n_docs / tn, 6) AS p_natural,
           round(s / tsq, 6) AS q_temp,
-          round((s * tn) / (tsq * n_docs), 6) AS boost
+          round((CAST(s AS DOUBLE) * CAST(tn AS DOUBLE))
+            / (CAST(tsq AS DOUBLE) * CAST(n_docs AS DOUBLE)), 6) AS boost
         FROM sq CROSS JOIN t ORDER BY lang""")),
 
     // curriculum staging (easy->hard training order, Bengio et al. 2009
@@ -2939,7 +2959,7 @@ object QueriesPipeline {
           .orderBy("q_id", "rank")
       },
       Some(s"""WITH $dKmeansPrep,
-        c0 AS (SELECT vec_id AS c, e AS ce FROM x WHERE vec_id < 8),
+        c0 AS (SELECT vec_id AS c, q AS cq FROM v WHERE vec_id < 8),
         a1 AS ${dKmeansAssign("c0")},
         vv AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
             y -> floor(y * 1000000.0 + 0.5)) AS e
@@ -3411,19 +3431,11 @@ object QueriesPipeline {
           .orderBy("cluster", "rank")
       },
       Some(s"""WITH $dKmeansPrep,
-        c0 AS (SELECT vec_id AS c, e AS ce FROM x WHERE vec_id < 8),
+        c0 AS (SELECT vec_id AS c, q AS cq FROM v WHERE vec_id < 8),
         a1 AS ${dKmeansAssign("c0")},
-        s1 AS (SELECT c, d, sum(q[d]) AS s, count(*) AS n
-          FROM a1 JOIN v USING (vec_id)
-          CROSS JOIN (SELECT unnest(range(1, 65)) AS d) GROUP BY c, d),
-        c1 AS (SELECT c, list((s / n) / 1000000.0 ORDER BY d) AS ce
-          FROM s1 GROUP BY c),
+        c1 AS ${dKmeansUpdate("a1", 64)},
         a2 AS ${dKmeansAssign("c1")},
-        s2 AS (SELECT c, d, sum(q[d]) AS s, count(*) AS n
-          FROM a2 JOIN v USING (vec_id)
-          CROSS JOIN (SELECT unnest(range(1, 65)) AS d) GROUP BY c, d),
-        c2 AS (SELECT c, list((s / n) / 1000000.0 ORDER BY d) AS ce
-          FROM s2 GROUP BY c),
+        c2 AS ${dKmeansUpdate("a2", 64)},
         a3 AS ${dKmeansAssign("c2")},
         p AS (SELECT a3.c AS cluster, $dToks AS w
           FROM a3 JOIN documents ON doc_id = a3.vec_id),
@@ -3445,31 +3457,36 @@ object QueriesPipeline {
 
     ("emb_quality_audit",
       // embedding-table health report: per label, dimension-drift and
-      // zero-vector counts plus the mean norm — norms quantized to
-      // integer micros BEFORE the sum so the mean is engine-exact
+      // zero-vector counts plus the mean norm. Vectors are micro-quantized
+      // FIRST (quantize-the-vectors discipline): the squared norm is an
+      // exact order-free integer sum on any engine, sqrt of it IS the
+      // micro-norm, and the per-row floor(·+0.5) long rides an exact sum
+      // so the mean is engine-exact
       (s, d) => {
         val e = Tables.embeddings(s, d)
-          .select(col("label"), VF.asDouble(col("embedding")).as("e"))
+          .select(col("label"), VF.microVec(col("embedding")).as("e"))
           .withColumn("dot", VF.dot(col("e"), col("e")))
         e.groupBy("label")
           .agg(count(lit(1)).as("n"),
             sum(when(size(col("e")) =!= 64, 1L).otherwise(0L)).as("bad_dim"),
             sum(when(col("dot") === 0.0, 1L).otherwise(0L)).as("zero_vecs"),
-            sum(floor(sqrt(col("dot")) * 1e6 + 0.5).cast("long")).as("__nq"))
+            sum(floor(sqrt(col("dot")) + 0.5).cast("long")).as("__nq"))
           .withColumn("mean_norm",
             round(col("__nq").cast("double") / col("n") / 1e6, 6))
           .drop("__nq")
           .orderBy("label")
       },
-      Some("""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e
+      Some(s"""WITH e AS (SELECT label,
+          list_transform(CAST(embedding AS DOUBLE[]),
+            y -> CAST(floor(y * 1000000.0 + 0.5) AS BIGINT)) AS e
           FROM embeddings),
-        x AS (SELECT label, e, list_dot_product(e, e) AS dot FROM e)
+        x AS (SELECT label, e, ${dDotI("e", "e")} AS dot FROM e)
         SELECT label, CAST(count(*) AS BIGINT) AS n,
           CAST(sum(CASE WHEN len(e) != 64 THEN 1 ELSE 0 END) AS BIGINT)
             AS bad_dim,
           CAST(sum(CASE WHEN dot = 0 THEN 1 ELSE 0 END) AS BIGINT)
             AS zero_vecs,
-          round(CAST(sum(CAST(floor(sqrt(dot) * 1000000.0 + 0.5) AS BIGINT))
+          round(CAST(sum(CAST(floor(sqrt(dot) + 0.5) AS BIGINT))
             AS DOUBLE) / count(*) / 1000000.0, 6) AS mean_norm
         FROM x GROUP BY 1 ORDER BY 1""")),
 
@@ -3496,19 +3513,11 @@ object QueriesPipeline {
           "vec_id", "embedding", k = 8, iters = 2)
         .orderBy("vec_id"),
       Some(s"""WITH $dKmeansPrep,
-        c0 AS (SELECT vec_id AS c, e AS ce FROM x WHERE vec_id < 8),
+        c0 AS (SELECT vec_id AS c, q AS cq FROM v WHERE vec_id < 8),
         a1 AS ${dKmeansAssign("c0")},
-        s1 AS (SELECT c, d, sum(q[d]) AS s, count(*) AS n
-          FROM a1 JOIN v USING (vec_id)
-          CROSS JOIN (SELECT unnest(range(1, 65)) AS d) GROUP BY c, d),
-        c1 AS (SELECT c, list((s / n) / 1000000.0 ORDER BY d) AS ce
-          FROM s1 GROUP BY c),
+        c1 AS ${dKmeansUpdate("a1", 64)},
         a2 AS ${dKmeansAssign("c1")},
-        s2 AS (SELECT c, d, sum(q[d]) AS s, count(*) AS n
-          FROM a2 JOIN v USING (vec_id)
-          CROSS JOIN (SELECT unnest(range(1, 65)) AS d) GROUP BY c, d),
-        c2 AS (SELECT c, list((s / n) / 1000000.0 ORDER BY d) AS ce
-          FROM s2 GROUP BY c),
+        c2 AS ${dKmeansUpdate("a2", 64)},
         a3 AS ${dKmeansAssign("c2")}
         SELECT vec_id, CAST(c AS INT) AS cluster FROM a3 ORDER BY vec_id""")),
 
@@ -3522,13 +3531,15 @@ object QueriesPipeline {
         val emb = Tables.embeddings(s, d)
         val (cells, cents) = Clustering.kmeansFit(
           Tables.spread(s, emb), "vec_id", "embedding", k = 8, iters = 1)
-        val centDf = cents.toDF("cluster", "ce")
-        // rank + emitted score on integer micro-units (the ann_* rule):
-        // a 1-ulp cross-engine cosine difference must not move the
-        // 50-row cutoff or flip a rounded output digit
+        val centDf = cents.toDF("cluster", "cq")
+        // rank + emitted score on integer micro-units over EXACT integer
+        // dots (micro corpus vector × integer-micro fitted centroid — the
+        // dCosMicroI spelling): no accumulation-order dependence anywhere,
+        // so the 50-row cutoff and every rounded digit are engine-proof
         emb.join(cells, "vec_id").join(broadcast(centDf), "cluster")
-          .withColumn("__qm", floor(VF.dot(col("embedding"), col("ce")) /
-            (VF.norm(col("embedding")) * VF.norm(col("ce")))
+          .withColumn("__qv", VF.microVec(col("embedding")))
+          .withColumn("__qm", floor(VF.dot(col("__qv"), col("cq")) /
+            (VF.norm(col("__qv")) * VF.norm(col("cq")))
             * lit(1e6) + lit(0.5)))
           .orderBy(col("__qm").asc, col("vec_id").asc)
           .limit(50)
@@ -3536,21 +3547,13 @@ object QueriesPipeline {
             (col("__qm") / lit(1e6)).as("aff"))
       },
       Some(s"""WITH $dKmeansPrep,
-        c0 AS (SELECT vec_id AS c, e AS ce FROM x WHERE vec_id < 8),
+        c0 AS (SELECT vec_id AS c, q AS cq FROM v WHERE vec_id < 8),
         a1 AS ${dKmeansAssign("c0")},
-        s1 AS (SELECT c, d, sum(q[d]) AS s, count(*) AS n
-          FROM a1 JOIN v USING (vec_id)
-          CROSS JOIN (SELECT unnest(range(1, 65)) AS d) GROUP BY c, d),
-        c1 AS (SELECT c, list((s / n) / 1000000.0 ORDER BY d) AS ce
-          FROM s1 GROUP BY c),
+        c1 AS ${dKmeansUpdate("a1", 64)},
         a2 AS ${dKmeansAssign("c1")},
-        vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS re
-          FROM embeddings),
         sc AS (SELECT a2.vec_id, a2.c AS cluster,
-            floor(list_dot_product(vv.re, c1.ce)
-              / (sqrt(list_dot_product(vv.re, vv.re))
-                * sqrt(list_dot_product(c1.ce, c1.ce))) * 1000000 + 0.5) AS qm
-          FROM a2 JOIN vv USING (vec_id) JOIN c1 ON c1.c = a2.c),
+            ${dCosMicroI("v.q", "c1.cq")} AS qm
+          FROM a2 JOIN v USING (vec_id) JOIN c1 ON c1.c = a2.c),
         rk AS (SELECT vec_id, cluster, qm,
             row_number() OVER (ORDER BY qm ASC, vec_id ASC) AS rn FROM sc)
         SELECT vec_id, CAST(cluster AS INT) AS cluster,
@@ -3567,12 +3570,16 @@ object QueriesPipeline {
         val emb = Tables.embeddings(s, d)
         val (cells, cents) = Clustering.kmeansFit(
           Tables.spread(s, emb), "vec_id", "embedding", k = 8, iters = 1)
-        val centDf = cents.toDF("c", "ce")
+        val centDf = cents.toDF("c", "cq")
+        // affinities ride exact integer dots (micro vector × micro
+        // centroid): the raw double below is a deterministic function of
+        // identical integer operands on any engine
         val aff = emb.join(cells, "vec_id")
+          .withColumn("__qv", VF.microVec(col("embedding")))
           .crossJoin(broadcast(centDf))
           .select(col("vec_id"), col("cluster"), col("c"),
-            (VF.dot(col("embedding"), col("ce")) /
-              (VF.norm(col("embedding")) * VF.norm(col("ce")))).as("aff"))
+            (VF.dot(col("__qv"), col("cq")) /
+              (VF.norm(col("__qv")) * VF.norm(col("cq")))).as("aff"))
         aff.groupBy("vec_id", "cluster")
           .agg(max(when(col("c") === col("cluster"), col("aff"))).as("own"),
             max(when(col("c") =!= col("cluster"), col("aff"))).as("oth"))
@@ -3586,21 +3593,15 @@ object QueriesPipeline {
           .orderBy("cluster")
       },
       Some(s"""WITH $dKmeansPrep,
-        c0 AS (SELECT vec_id AS c, e AS ce FROM x WHERE vec_id < 8),
+        c0 AS (SELECT vec_id AS c, q AS cq FROM v WHERE vec_id < 8),
         a1 AS ${dKmeansAssign("c0")},
-        s1 AS (SELECT c, d, sum(q[d]) AS s, count(*) AS n
-          FROM a1 JOIN v USING (vec_id)
-          CROSS JOIN (SELECT unnest(range(1, 65)) AS d) GROUP BY c, d),
-        c1 AS (SELECT c, list((s / n) / 1000000.0 ORDER BY d) AS ce
-          FROM s1 GROUP BY c),
+        c1 AS ${dKmeansUpdate("a1", 64)},
         a2 AS ${dKmeansAssign("c1")},
-        vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS re
-          FROM embeddings),
         aff AS (SELECT a2.vec_id, a2.c AS cluster, c1.c AS cc,
-            list_dot_product(vv.re, c1.ce)
-              / (sqrt(list_dot_product(vv.re, vv.re))
-                * sqrt(list_dot_product(c1.ce, c1.ce))) AS aff
-          FROM a2 JOIN vv USING (vec_id) CROSS JOIN c1),
+            ${dDotI("v.q", "c1.cq")}
+              / (sqrt(${dDotI("v.q", "v.q")})
+                * sqrt(${dDotI("c1.cq", "c1.cq")})) AS aff
+          FROM a2 JOIN v USING (vec_id) CROSS JOIN c1),
         sc AS (SELECT vec_id, cluster,
             CAST(round((max(CASE WHEN cc = cluster THEN aff END)
               - max(CASE WHEN cc != cluster THEN aff END)) * 1000000)
@@ -3621,14 +3622,12 @@ object QueriesPipeline {
           "vec_id", "embedding", k = 8, threshold = 0.4)
         .orderBy("vec_id"),
       Some(s"""WITH $dKmeansPrep,
-        c0 AS (SELECT vec_id AS c, e AS ce FROM x WHERE vec_id < 8),
+        c0 AS (SELECT vec_id AS c, q AS cq FROM v WHERE vec_id < 8),
         a1 AS ${dKmeansAssign("c0")},
-        m AS (SELECT a1.vec_id, a1.c, x.e FROM a1 JOIN x USING (vec_id)),
+        m AS (SELECT a1.vec_id, a1.c, v.q FROM a1 JOIN v USING (vec_id)),
         drops AS (SELECT DISTINCT b.vec_id FROM m a JOIN m b
           ON a.c = b.c AND a.vec_id < b.vec_id
-          WHERE floor(list_dot_product(a.e, b.e)
-            / (sqrt(list_dot_product(a.e, a.e))
-              * sqrt(list_dot_product(b.e, b.e))) * 1000000 + 0.5) >= 400000)
+          WHERE ${dCosMicroI("a.q", "b.q")} >= 400000)
         SELECT m.vec_id, CAST(m.c AS INT) AS cluster,
           dr.vec_id IS NULL AS kept
         FROM m LEFT JOIN drops dr ON dr.vec_id = m.vec_id
@@ -4053,12 +4052,12 @@ object QueriesPipeline {
             threshold = 0.4)
           .orderBy("vec_id")
       },
-      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-            FROM embeddings),
+      // max-of-quantized == quantized-of-max (floor is monotone), so the
+      // oracle maxes the per-pair micro cosine — exact integer dots, the
+      // dCosMicroI spelling the Spark side mirrors
+      Some(s"""WITH $dEmbMicro,
         b AS (SELECT e AS be FROM v WHERE vec_id % 13 = 0),
-        m AS (SELECT vec_id, floor(max(list_dot_product(e, be)
-            / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(be, be))))
-            * 1000000 + 0.5) AS qmax
+        m AS (SELECT vec_id, max(${dCosMicroI("e", "be")}) AS qmax
           FROM v CROSS JOIN b GROUP BY vec_id)
         SELECT vec_id, qmax / 1000000.0 AS max_cos,
           qmax >= 400000 AS contaminated
@@ -4103,9 +4102,7 @@ object QueriesPipeline {
           Tables.spread(s, Tables.embeddings(s, d)), "vec_id", "embedding",
           m = 4, k = 4, iters = 1)
         .orderBy("vec_id"),
-      Some(s"""WITH v AS (SELECT vec_id,
-          list_transform(CAST(embedding AS DOUBLE[]),
-            y -> floor(y * 1000000.0 + 0.5)) AS q FROM embeddings),
+      Some(s"""WITH $dKmeansPrep,
         ${(0 until 4).map(j => dPqSubspace(j, 16, 4)).mkString(",\n")}
         SELECT a02.vec_id, CAST(a02.c AS INT) AS code_0,
           CAST(a12.c AS INT) AS code_1, CAST(a22.c AS INT) AS code_2,
@@ -4191,22 +4188,19 @@ object QueriesPipeline {
             round(col("score"), 6).as("score"))
           .orderBy("q_id", "rank")
       },
-      Some(s"""WITH v AS (SELECT vec_id,
-          list_transform(CAST(embedding AS DOUBLE[]),
-            y -> floor(y * 1000000.0 + 0.5)) AS q FROM embeddings),
+      Some(s"""WITH $dKmeansPrep,
         ${(0 until 4).map(j => dPqSubspace(j, 16, 4)).mkString(",\n")},
-        qx AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS e
-          FROM embeddings WHERE vec_id < 5),
-        dt0 AS (SELECT q_id, c, floor(list_dot_product(e[1:16], ce)
-            * 1000000.0 + 0.5) AS d FROM qx CROSS JOIN c01),
-        dt1 AS (SELECT q_id, c, floor(list_dot_product(e[17:32], ce)
-            * 1000000.0 + 0.5) AS d FROM qx CROSS JOIN c11),
-        dt2 AS (SELECT q_id, c, floor(list_dot_product(e[33:48], ce)
-            * 1000000.0 + 0.5) AS d FROM qx CROSS JOIN c21),
-        dt3 AS (SELECT q_id, c, floor(list_dot_product(e[49:64], ce)
-            * 1000000.0 + 0.5) AS d FROM qx CROSS JOIN c31),
+        qx AS (SELECT vec_id AS q_id, q AS qe FROM v WHERE vec_id < 5),
+        dt0 AS (SELECT q_id, c, ${dDotI("qe[1:16]", "cq")} AS d
+          FROM qx CROSS JOIN c01),
+        dt1 AS (SELECT q_id, c, ${dDotI("qe[17:32]", "cq")} AS d
+          FROM qx CROSS JOIN c11),
+        dt2 AS (SELECT q_id, c, ${dDotI("qe[33:48]", "cq")} AS d
+          FROM qx CROSS JOIN c21),
+        dt3 AS (SELECT q_id, c, ${dDotI("qe[49:64]", "cq")} AS d
+          FROM qx CROSS JOIN c31),
         sc AS (SELECT dt0.q_id, a02.vec_id,
-            (((dt0.d + dt1.d) + dt2.d) + dt3.d) / 1000000.0 AS score
+            (((dt0.d + dt1.d) + dt2.d) + dt3.d) / 1000000000000.0 AS score
           FROM a02 JOIN a12 USING (vec_id) JOIN a22 USING (vec_id)
             JOIN a32 USING (vec_id)
           JOIN dt0 ON dt0.c = a02.c
@@ -4240,8 +4234,10 @@ object QueriesPipeline {
         val (codes, books) = Clustering.pqFit(
           Tables.spread(s, Tables.embeddings(s, d)), "vec_id", "embedding",
           m = m, k = k, iters = 1)
-        val cm: Map[(Int, Int), Array[Long]] = books.map { case (j, c, ce) =>
-          (j, c) -> ce.map(x => math.floor(x * 1e6 + 0.5).toLong).toArray
+        // codebooks arrive in integer micro-units from pqFit — no
+        // re-quantization needed
+        val cm: Map[(Int, Int), Array[Long]] = books.map { case (j, c, cq) =>
+          (j, c) -> cq.toArray
         }.toMap
         val qmv = emb.filter(col("vec_id") < 5)
           .select(col("vec_id"), col("embedding")).collect()
@@ -4276,9 +4272,7 @@ object QueriesPipeline {
             round(col("hits") / 10.0, 6).as("recall"))
           .orderBy("q_id")
       },
-      Some(s"""WITH v AS (SELECT vec_id,
-          list_transform(CAST(embedding AS DOUBLE[]),
-            y -> floor(y * 1000000.0 + 0.5)) AS q FROM embeddings),
+      Some(s"""WITH $dKmeansPrep,
         qs AS (SELECT vec_id AS q_id, q AS qe FROM v WHERE vec_id < 5),
         bf AS (SELECT q_id, neighbor_id FROM (SELECT qs.q_id,
             v.vec_id AS neighbor_id, row_number() OVER (
@@ -4289,14 +4283,11 @@ object QueriesPipeline {
         ${(0 until 4).map(j => dPqSubspace(j, 16, 4)).mkString(",\n")},
         ${(0 until 4).map { j =>
           val lo = j * 16
-          s"""cm$j AS (SELECT c, list_transform(ce,
-              t -> CAST(floor(t * 1000000.0 + 0.5) AS BIGINT)) AS cm
-            FROM c${j}1),
-          dt$j AS (SELECT qs.q_id, cm$j.c,
+          s"""dt$j AS (SELECT qs.q_id, c${j}1.c,
               CAST(list_sum(list_transform(range(1, 17),
-                i -> CAST(qs.qe[$lo + i] AS BIGINT) * cm$j.cm[i]))
+                i -> CAST(qs.qe[$lo + i] AS BIGINT) * c${j}1.cq[i]))
                 AS BIGINT) AS dval
-            FROM qs CROSS JOIN cm$j)"""
+            FROM qs CROSS JOIN c${j}1)"""
         }.mkString(",\n")},
         sc AS (SELECT dt0.q_id, a02.vec_id,
             dt0.dval + dt1.dval + dt2.dval + dt3.dval AS score
@@ -4336,8 +4327,9 @@ object QueriesPipeline {
           m = m, k = k, iters = 1)
         val bookLit: Map[Int, Column] = (0 until m).map { j =>
           j -> array((0 until k).map { c =>
-            val ce = books.find(b => b._1 == j && b._2 == c).get._3
-            array(ce.map(x => lit(math.floor(x * 1e6 + 0.5).toLong)): _*)
+            // codebooks are already integer micro-units from pqFit
+            val cq = books.find(b => b._1 == j && b._2 == c).get._3
+            array(cq.map(lit): _*)
           }: _*)
         }.toMap
         val q = Tables.embeddings(s, d).select(col("vec_id"),
@@ -4365,19 +4357,15 @@ object QueriesPipeline {
               / lit(1e12), 6).as("mse"))
           .orderBy("subspace")
       },
-      Some(s"""WITH v AS (SELECT vec_id,
-          list_transform(CAST(embedding AS DOUBLE[]),
-            y -> floor(y * 1000000.0 + 0.5)) AS q FROM embeddings),
+      Some(s"""WITH $dKmeansPrep,
         ${(0 until 4).map(j => dPqSubspace(j, 16, 4)).mkString(",\n")},
         ${(0 until 4).map { j =>
           val lo = j * 16
-          s"""cm$j AS (SELECT c, list_transform(ce,
-              t -> floor(t * 1000000.0 + 0.5)) AS cm FROM c${j}1),
-          e$j AS (SELECT a.vec_id, CAST(list_sum(list_transform(
-              list_zip(v.q[${lo + 1}:${lo + 16}], cm.cm),
+          s"""e$j AS (SELECT a.vec_id, CAST(list_sum(list_transform(
+              list_zip(v.q[${lo + 1}:${lo + 16}], cm.cq),
               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS HUGEINT) AS sse
             FROM a${j}2 a JOIN v USING (vec_id)
-            JOIN cm$j cm ON cm.c = a.c)"""
+            JOIN c${j}1 cm ON cm.c = a.c)"""
         }.mkString(",\n")}
         SELECT * FROM (
           ${(0 until 4).map(j =>
@@ -4709,15 +4697,17 @@ object QueriesPipeline {
             / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
             * 1e6 + 0.5).toLong
         }
-        val centM: Seq[(Int, Array[Long])] = coarse.map { case (c, ce) =>
-          c -> ce.map(x => math.floor(x * 1e6 + 0.5).toLong).toArray }
+        val centM: Seq[(Int, Array[Long])] = coarse.map { case (c, cq) =>
+          c -> cq.toArray }
         val probes = qmv.toSeq.flatMap { case (qid, qv) =>
           centM.map { case (c, cm) => (qid, c, cosMicro(qv, cm)) }
             .sortBy { case (_, c, s0) => (-s0, c) }.take(nprobe)
             .map { case (_, c, _) => (qid, c) }
         }.toDF("q_id", "cluster")
-        val cm: Map[(Int, Int), Array[Long]] = books.map { case (j, c, ce) =>
-          (j, c) -> ce.map(x => math.floor(x * 1e6 + 0.5).toLong).toArray
+        // codebooks arrive in integer micro-units from pqFit — no
+        // re-quantization needed
+        val cm: Map[(Int, Int), Array[Long]] = books.map { case (j, c, cq) =>
+          (j, c) -> cq.toArray
         }.toMap
         val qdt = qmv.toSeq.map { case (qid, qv) =>
           val t = (0 until m).map { j =>
@@ -4759,26 +4749,21 @@ object QueriesPipeline {
               ORDER BY ${dCosMicroI("v.q", "qs.qe")} DESC,
               v.vec_id ASC) AS rk
           FROM v CROSS JOIN qs WHERE v.vec_id != qs.q_id) WHERE rk <= 10),
-        c0 AS (SELECT vec_id AS c, e AS ce FROM x WHERE vec_id < 8),
+        c0 AS (SELECT vec_id AS c, q AS cq FROM v WHERE vec_id < 8),
         cell AS (SELECT vec_id, c AS cl FROM ${dKmeansAssign("c0")}),
-        cm0 AS (SELECT c, list_transform(ce,
-          t -> CAST(floor(t * 1000000.0 + 0.5) AS BIGINT)) AS cm FROM c0),
-        probes AS (SELECT q_id, c AS cl FROM (SELECT qs.q_id, cm0.c,
+        probes AS (SELECT q_id, c AS cl FROM (SELECT qs.q_id, c0.c,
             row_number() OVER (PARTITION BY qs.q_id
-              ORDER BY ${dCosMicroI("qs.qe", "cm0.cm")} DESC,
-              cm0.c ASC) AS rn
-          FROM qs CROSS JOIN cm0) WHERE rn <= 3),
+              ORDER BY ${dCosMicroI("qs.qe", "c0.cq")} DESC,
+              c0.c ASC) AS rn
+          FROM qs CROSS JOIN c0) WHERE rn <= 3),
         ${(0 until 4).map(j => dPqSubspace(j, 16, 4)).mkString(",\n")},
         ${(0 until 4).map { j =>
           val lo = j * 16
-          s"""cmq$j AS (SELECT c, list_transform(ce,
-              t -> CAST(floor(t * 1000000.0 + 0.5) AS BIGINT)) AS cm
-            FROM c${j}1),
-          dt$j AS (SELECT qs.q_id, cmq$j.c,
+          s"""dt$j AS (SELECT qs.q_id, c${j}1.c,
               CAST(list_sum(list_transform(range(1, 17),
-                i -> CAST(qs.qe[$lo + i] AS BIGINT) * cmq$j.cm[i]))
+                i -> CAST(qs.qe[$lo + i] AS BIGINT) * c${j}1.cq[i]))
                 AS BIGINT) AS dval
-            FROM qs CROSS JOIN cmq$j)"""
+            FROM qs CROSS JOIN c${j}1)"""
         }.mkString(",\n")},
         sc AS (SELECT p.q_id, a02.vec_id,
             dt0.dval + dt1.dval + dt2.dval + dt3.dval AS score
@@ -4824,28 +4809,25 @@ object QueriesPipeline {
           .orderBy("q_id", "rank")
       },
       Some(s"""WITH $dKmeansPrep,
-        c0 AS (SELECT vec_id AS c, e AS ce FROM x WHERE vec_id < 8),
+        c0 AS (SELECT vec_id AS c, q AS cq FROM v WHERE vec_id < 8),
         cell AS (SELECT vec_id, c AS cl FROM ${dKmeansAssign("c0")}),
         ${(0 until 4).map(j => dPqSubspace(j, 16, 4)).mkString(",\n")},
-        qx AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS e
-          FROM embeddings WHERE vec_id < 5),
+        qx AS (SELECT vec_id AS q_id, q AS qe FROM v WHERE vec_id < 5),
         probes AS (SELECT q_id, c AS cl FROM (SELECT qx.q_id, c0.c,
             row_number() OVER (PARTITION BY qx.q_id
-              ORDER BY list_dot_product(qx.e, c0.ce)
-                / (sqrt(list_dot_product(qx.e, qx.e))
-                  * sqrt(list_dot_product(c0.ce, c0.ce))) DESC,
+              ORDER BY ${dCosMicroI("qx.qe", "c0.cq")} DESC,
               c0.c ASC) AS rn
           FROM qx CROSS JOIN c0) WHERE rn <= 3),
-        dt0 AS (SELECT q_id, c, floor(list_dot_product(e[1:16], ce)
-            * 1000000.0 + 0.5) AS d FROM qx CROSS JOIN c01),
-        dt1 AS (SELECT q_id, c, floor(list_dot_product(e[17:32], ce)
-            * 1000000.0 + 0.5) AS d FROM qx CROSS JOIN c11),
-        dt2 AS (SELECT q_id, c, floor(list_dot_product(e[33:48], ce)
-            * 1000000.0 + 0.5) AS d FROM qx CROSS JOIN c21),
-        dt3 AS (SELECT q_id, c, floor(list_dot_product(e[49:64], ce)
-            * 1000000.0 + 0.5) AS d FROM qx CROSS JOIN c31),
+        dt0 AS (SELECT q_id, c, ${dDotI("qe[1:16]", "cq")} AS d
+          FROM qx CROSS JOIN c01),
+        dt1 AS (SELECT q_id, c, ${dDotI("qe[17:32]", "cq")} AS d
+          FROM qx CROSS JOIN c11),
+        dt2 AS (SELECT q_id, c, ${dDotI("qe[33:48]", "cq")} AS d
+          FROM qx CROSS JOIN c21),
+        dt3 AS (SELECT q_id, c, ${dDotI("qe[49:64]", "cq")} AS d
+          FROM qx CROSS JOIN c31),
         sc AS (SELECT p.q_id, a02.vec_id,
-            (((dt0.d + dt1.d) + dt2.d) + dt3.d) / 1000000.0 AS score
+            (((dt0.d + dt1.d) + dt2.d) + dt3.d) / 1000000000000.0 AS score
           FROM a02 JOIN a12 USING (vec_id) JOIN a22 USING (vec_id)
             JOIN a32 USING (vec_id)
           JOIN cell USING (vec_id)

@@ -18,15 +18,21 @@ import graft.functions.VectorFunctions.dot
   * at 100 TB: O(iters) scans, zero corpus shuffles, driver state O(k·dim).
   *
   * Cross-engine determinism (the oracle recomputes every step in DuckDB):
-  * float inputs are QUANTIZED to integers (`floor(x·1e6 + 0.5)`) so
-  * centroid sums are order-free exact integer sums — the one place a
-  * float reduction's accumulation order could diverge between engines —
-  * and every derived double (centroid component, affinity) is produced by
-  * the same sequence of IEEE ops on both sides. `floor(x·1e6 + 0.5)` is
-  * used instead of `round` because the engines disagree on half-way
+  * float inputs are QUANTIZED to integers (`floor(x·1e6 + 0.5)`), and —
+  * crucially — CENTROIDS ARE INTEGER-MICRO TOO (each updated component is
+  * `floor(sum/count + 0.5)`, a long). Every dot product and squared norm
+  * in an assignment is therefore a sum of exact integers (|q·cq| ≤ 1e12
+  * per term, ≤ ~1e14 per vector — far under 2^53), which is identical
+  * under ANY accumulation order — sequential fold, pairwise, SIMD — so no
+  * step depends on an implementation-defined reduction (DuckDB's
+  * `list_dot_product` accumulator width, the r10 hazard). The affinity a
+  * vector is ranked on is the micro-quantized cosine
+  * `floor(dotI/(sqrt(dotI_aa)·sqrt(dotI_bb))·1e6 + 0.5)` — single
+  * correctly-rounded IEEE ops over identical integer operands, bit-equal
+  * on every engine; ties take the smaller cluster id. `floor(x·1e6+0.5)`
+  * is used instead of `round` because the engines disagree on half-way
   * rounding modes, while the double arithmetic feeding `floor` is
-  * bit-identical. Affinity sums run in dimension order (Spark
-  * `aggregate(zip_with(...))` = DuckDB `list_dot_product`).
+  * bit-identical.
   */
 object Clustering {
 
@@ -37,23 +43,30 @@ object Clustering {
     transform(vec.cast("array<double>"),
       x => floor(x * lit(Scale) + lit(0.5)).cast("long"))
 
-  /** (id, __q long vector, __e = __q/1e6 double vector, __n norm). */
+  /** (id, __q long vector, __e = __q as exact doubles, __n = micro-norm
+    * `sqrt(Σ q²)`). `__e` carries the INTEGER micro values (not /1e6):
+    * every downstream dot over it is an exact order-free integer sum, and
+    * cosine is scale-invariant so affinities are unchanged. */
   private def prepared(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol), quantize(col(vecCol)).as("__q"))
-      .withColumn("__e", transform(col("__q"), q => q.cast("double") / lit(Scale)))
+      .withColumn("__e", transform(col("__q"), q => q.cast("double")))
       .withColumn("__n", sqrt(dot(col("__e"), col("__e"))))
 
-  /** Argmax-affinity assignment against driver-held centroids: a struct
-    * max over k unrolled codegen'd expressions — no explode, no shuffle.
-    * Ties take the smallest cluster id (the `-cid` struct field).
-    * Centroid norms are pre-folded on the driver in dimension order, the
-    * same left fold as the per-row `dot`. */
+  /** Argmax-affinity assignment against driver-held INTEGER-MICRO
+    * centroids: a struct max over k unrolled codegen'd expressions — no
+    * explode, no shuffle. The ranked affinity is the micro-quantized
+    * cosine (exact integer dot, two sqrt, one divide, one floor — the
+    * `dCosMicroI` oracle spelling), so the argmax is engine-proof by
+    * construction. Ties take the smallest cluster id (the `-cid` struct
+    * field). Centroid norms are pre-folded on the driver — an exact
+    * integer sum, so the fold order is immaterial. */
   private def assignOnce(x: DataFrame, idCol: String,
-      cents: Seq[(Int, Seq[Double])]): DataFrame = {
-    val affs = cents.map { case (cid, ce) =>
-      val cn = math.sqrt(ce.foldLeft(0.0)((a, v) => a + v * v))
-      struct((dot(col("__e"), array(ce.map(lit): _*)) / (col("__n") * lit(cn)))
-        .as("aff"), lit(-cid).as("nc"))
+      cents: Seq[(Int, Seq[Long])]): DataFrame = {
+    val affs = cents.map { case (cid, cq) =>
+      val cn = math.sqrt(cq.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble))
+      val aff = floor(dot(col("__e"), array(cq.map(v => lit(v.toDouble)): _*))
+        / (col("__n") * lit(cn)) * lit(Scale) + lit(0.5)).cast("long")
+      struct(aff.as("aff"), lit(-cid).as("nc"))
     }
     x.withColumn("__m", greatest(affs: _*))
       .withColumn("cluster", (-col("__m.nc")).cast("int"))
@@ -62,9 +75,10 @@ object Clustering {
 
   /** One Lloyd update: exact integer sums per (cluster, dimension) —
     * `posexplode` + map-side-combining aggregation, k·dim result rows —
-    * then centroid components as `(sum / count) / 1e6`, the identical
-    * double division the oracle performs. */
-  private def updateCentroids(assigned: DataFrame): Seq[(Int, Seq[Double])] = {
+    * then each centroid component RE-QUANTIZED to integer micro-units as
+    * `floor(sum/count + 0.5)` (the identical double division + floor the
+    * oracle performs), so the next assignment round stays all-integer. */
+  private def updateCentroids(assigned: DataFrame): Seq[(Int, Seq[Long])] = {
     val rows = assigned
       .select(col("cluster"), posexplode(col("__q")).as(Seq("d", "qd")))
       .groupBy("cluster", "d")
@@ -75,21 +89,24 @@ object Clustering {
         // an emptied cluster simply has no rows here and drops out of the
         // candidate set, exactly as a GROUP BY over members would
         cid -> rs.sortBy(_.getAs[Int]("d"))
-          .map(r => (r.getAs[Long]("s").toDouble / r.getAs[Long]("n").toDouble) / Scale)
+          .map(r => math.floor(
+            r.getAs[Long]("s").toDouble / r.getAs[Long]("n").toDouble + 0.5)
+            .toLong)
           .toSeq
       }
   }
 
-  /** Initial centroids: the k members with the smallest ids, quantized —
-    * deterministic (no RNG), reproducible by any engine. */
+  /** Initial centroids: the k members with the smallest ids, quantized to
+    * integer micro-units — deterministic (no RNG), reproducible by any
+    * engine. */
   private def seedCentroids(df: DataFrame, idCol: String, vecCol: String,
-      k: Int): Seq[(Int, Seq[Double])] =
+      k: Int): Seq[(Int, Seq[Long])] =
     df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .orderBy(col(idCol)).limit(k).collect()
       .zipWithIndex
       .map { case (r, i) =>
         i -> r.getAs[scala.collection.Seq[Double]]("__v")
-          .iterator.map(x => math.floor(x * Scale + 0.5) / Scale).toSeq
+          .iterator.map(x => math.floor(x * Scale + 0.5).toLong).toSeq
       }
       .toSeq
 
@@ -103,9 +120,12 @@ object Clustering {
 
   /** [[kmeansAssign]] plus the FITTED centroids — the model artifact an
     * ANN index needs at query time (the assignments alone suffice for
-    * clustering queries). Centroids are k·dim driver metadata. */
+    * clustering queries). Centroids are k·dim driver metadata, in
+    * INTEGER MICRO-UNITS (divide by 1e6 for the real-valued centroid —
+    * consumers ranking by cosine never need to, since cosine is
+    * scale-invariant and the integer form keeps their dots exact). */
   def kmeansFit(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): (DataFrame, Seq[(Int, Seq[Double])]) = {
+      k: Int, iters: Int): (DataFrame, Seq[(Int, Seq[Long])]) = {
     val x = prepared(df, idCol, vecCol)
     var cents = seedCentroids(df, idCol, vecCol, k)
     var assigned = assignOnce(x, idCol, cents)
@@ -137,10 +157,11 @@ object Clustering {
   /** [[productQuantize]] plus the per-subspace codebooks
     * `(subspace j, code c, centroid)` — what an ADC scorer
     * ([[Similarity.pqTopK]]) builds its distance tables from.
-    * Codebooks are m·k·(dim/m) = k·dim driver metadata. */
+    * Codebooks are m·k·(dim/m) = k·dim driver metadata, in integer
+    * micro-units like [[kmeansFit]]'s centroids. */
   def pqFit(df: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, iters: Int = 1)
-      : (DataFrame, Seq[(Int, Int, Seq[Double])]) = {
+      : (DataFrame, Seq[(Int, Int, Seq[Long])]) = {
     val v = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
     val dim = v.select(size(col("__v"))).first().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
@@ -191,14 +212,12 @@ object Clustering {
     }
     val assigned = assignOnce(live, idCol, cents)
     val slim = assigned.select(col(idCol), col("cluster"), col("__e"), col("__n"))
-    // micro-quantized membership: a raw-double `cos >= t` puts dropped
-    // vs kept on a 1-ulp cross-engine knife edge ([[Similarity.micro]]).
-    // RESIDUAL (accepted): the cluster ASSIGNMENT feeding this filter
-    // still argmaxes raw-double affinities on both engines — a <1-ulp
-    // centroid tie could theoretically split assignment cross-engine,
-    // but that window is ~1e6x narrower than the quantization
-    // boundaries this closes, and quantizing assignment would have to
-    // cascade through every kmeans-consuming oracle.
+    // micro-quantized membership over EXACT integer dots: __e carries
+    // integer micro values, so dot/(n·n) is single IEEE ops over
+    // identical operands on any engine and the quantized `cos >= t`
+    // verdict cannot sit on a 1-ulp cross-engine knife edge — and the
+    // cluster ASSIGNMENT feeding it is the same all-integer discipline
+    // (see [[assignOnce]]), so no step here is implementation-defined.
     val dropped = slim.as("a").join(slim.as("b"),
         col("a.cluster") === col("b.cluster") &&
           col(s"a.$idCol") < col(s"b.$idCol"))

@@ -116,12 +116,15 @@ object Sampling {
   def decontaminateSemantic(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, vecCol: String, threshold: Double): DataFrame = {
     import graft.functions.{VectorFunctions => VF}
-    // norms factor out of the pair loop: computed once per vector on
-    // each side BEFORE the join instead of |bench| (resp. |corpus|)
-    // times inside it — same IEEE expression (dot / (n1 · n2)), ~3x less
-    // float work per pair
+    // vectors are micro-quantized BEFORE any dot (VF.microVec — the
+    // quantize-the-vectors discipline): dots and norms become exact
+    // order-free integer sums, so every cosine below is bit-equal on any
+    // engine. Norms factor out of the pair loop: computed once per
+    // vector on each side BEFORE the join instead of |bench| (resp.
+    // |corpus|) times inside it — same IEEE expression (dot / (n1 · n2)),
+    // ~3x less float work per pair
     val bench = broadcast(benchmark
-      .select(VF.asDouble(col(vecCol)).as("__bvec"))
+      .select(VF.microVec(col(vecCol)).as("__bvec"))
       .withColumn("__bnorm", VF.norm(col("__bvec"))))
     // the max cosine quantizes to integer micro-units before the
     // threshold compare and the exposure ([[Similarity.micro]]'s
@@ -135,7 +138,7 @@ object Sampling {
     // into a job-killing DIVIDE_BY_ZERO; a zero-norm pair scores NULL
     // and max ignores it.
     val normProd = col("__cnorm") * col("__bnorm")
-    corpus.select(col(idCol), VF.asDouble(col(vecCol)).as("__cvec"))
+    corpus.select(col(idCol), VF.microVec(col(vecCol)).as("__cvec"))
       .withColumn("__cnorm", VF.norm(col("__cvec")))
       .crossJoin(bench)
       .select(col(idCol),
@@ -387,9 +390,14 @@ object Sampling {
       .select(col(strataCol), col("n_docs"),
         round(col("n_docs") / col("__tn"), 6).as("p_natural"),
         round(col("__sq") / col("__tsq"), 6).as("q_temp"),
-        // q/p = (√n_l·Σn) / (Σ√n·n_l): exact integer products (micros ×
-        // counts stay far under 2^53), one IEEE division
-        round((col("__sq") * col("__tn")) / (col("__tsq") * col("n_docs")), 6)
+        // q/p = (√n_l·Σn) / (Σ√n·n_l), computed as DOUBLE products: a
+        // long·long spelling overflows 2^63 past ~4e8 rows per stratum
+        // (√n·1e6 · Σn ≈ 2e19), silently wrapping or throwing under
+        // ANSI. Each long→double conversion and each product is one
+        // correctly-rounded IEEE op on identical operands in any engine,
+        // so the spelling stays bit-reproducible at any corpus size
+        round((col("__sq").cast("double") * col("__tn").cast("double"))
+          / (col("__tsq").cast("double") * col("n_docs").cast("double")), 6)
           .as("boost"))
   }
 

@@ -453,54 +453,59 @@ object Similarity {
     * the code table + the bounded TopK aggregate — the exact posture of
     * [[bruteForceTopK]], minus the vector reads.
     *
-    * Determinism: each table entry is quantized to integer micro-units
-    * (`floor(dot·1e6 + 0.5)` — the [[Clustering]] halfway-mode-safe
-    * form), so scores are EXACT integer sums — no accumulation-order
-    * dependence — and the final `/1e6` is one IEEE op on identical
-    * operands in any engine. */
-  def pqTopK(codes: DataFrame, codebooks: Seq[(Int, Int, Seq[Double])],
+    * Determinism: the query vector is micro-quantized and the codebooks
+    * arrive as integer micro-units ([[Clustering.pqFit]]), so each table
+    * entry is an EXACT integer dot (scale 1e12 — |entry| ≤ sub·1e12 ≪
+    * 2^53) with no accumulation-order dependence anywhere, and the
+    * exposed score's `/1e12` is one IEEE op on identical operands in any
+    * engine. */
+  def pqTopK(codes: DataFrame, codebooks: Seq[(Int, Int, Seq[Long])],
       queries: DataFrame, k: Int,
       idCol: String = "vec_id", qIdCol: String = "q_id",
       qVecCol: String = "q_vec"): DataFrame = {
     val q = queries.select(col(qIdCol), asDouble(col(qVecCol)).as("__qe"))
-    val (withTables, scoreMicro) = adcTables(q, codebooks)
+    val (withTables, scoreQ) = adcTables(q, codebooks)
     val scored = codes.crossJoin(broadcast(withTables))
       .filter(col(idCol) =!= col(qIdCol))
       .select(col(qIdCol), col(idCol),
-        (scoreMicro.cast("double") / lit(1e6)).as("score"))
+        (scoreQ.cast("double") / lit(1e12)).as("score"))
     rankTopK(scored, k, qIdCol, "score", idCol)
   }
 
   /** Attach per-query ADC distance tables (`__dt0 … __dt{m-1}`) to a frame
     * carrying the f64 query vector in `__qe`; returns the augmented frame
-    * plus the integer-micro score expression `Σ_j dt[j][code_j]` that
-    * scores any row of a PQ code table joined alongside. Shared by
-    * [[pqTopK]] (flat scan) and [[ivfPqTopK]] (cell-pruned scan). */
+    * plus the integer score expression `Σ_j dt[j][code_j]` (scale 1e12 —
+    * micro query × micro codebook) that scores any row of a PQ code table
+    * joined alongside. The query vector is micro-quantized HERE, so every
+    * table entry is an exact order-free integer dot on any engine (the
+    * quantize-the-vectors-not-the-dot discipline). Shared by [[pqTopK]]
+    * (flat scan) and [[ivfPqTopK]] (cell-pruned scan). */
   private def adcTables(q: DataFrame,
-      codebooks: Seq[(Int, Int, Seq[Double])]): (DataFrame, Column) = {
+      codebooks: Seq[(Int, Int, Seq[Long])]): (DataFrame, Column) = {
     val m = codebooks.map(_._1).max + 1
     val sub = codebooks.head._3.size
+    val q2 = q.withColumn("__qq", microVec(col("__qe")))
     // per-query distance tables: for subspace j an array over codes c of
-    // floor(<q_j, cb[j][c]>·1e6 + .5) — computed on the (tiny) query side
-    val withTables = (0 until m).foldLeft(q) { (acc, j) =>
-      val qSub = slice(col("__qe"), j * sub + 1, sub)
+    // the exact integer dot <qq_j, cb[j][c]> — computed on the (tiny)
+    // query side
+    val withTables = (0 until m).foldLeft(q2) { (acc, j) =>
+      val qSub = slice(col("__qq"), j * sub + 1, sub)
       // dense array INDEXED BY CODE ID — an emptied cluster leaves a gap
       // in the id space (updateCentroids drops it); a positional array
       // would silently shift every later code's entry
-      val byCode = codebooks.collect { case (`j`, c, ce) => c -> ce }.toMap
+      val byCode = codebooks.collect { case (`j`, c, cq) => c -> cq }.toMap
       val entries = (0 to byCode.keys.max).map { c =>
         byCode.get(c) match {
-          case Some(ce) =>
-            floor(dot(qSub, array(ce.map(lit): _*)) * lit(1e6) + lit(0.5))
-              .cast("long")
+          case Some(cq) =>
+            dot(qSub, array(cq.map(v => lit(v.toDouble)): _*)).cast("long")
           case None => lit(null).cast("long") // unassignable code id
         }
       }
       acc.withColumn(s"__dt$j", array(entries: _*))
     }
-    val scoreMicro = (0 until m).map(j =>
+    val scoreQ = (0 until m).map(j =>
       element_at(col(s"__dt$j"), col(s"code_$j") + 1)).reduce(_ + _)
-    (withTables, scoreMicro)
+    (withTables.drop("__qq"), scoreQ)
   }
 
   /** IVF-PQ top-k (Jégou et al. 2011, §V — the composed index every
@@ -522,33 +527,42 @@ object Similarity {
     * scored; then the [[pqTopK]] posture (integer-micro table lookups +
     * bounded TopK) finishes. Zero corpus shuffles.
     *
-    * Determinism: probe ranking breaks affinity ties to the smaller cell
-    * id (the `array_sort` struct carries (−aff, cell)); ADC scores are
-    * exact integer sums, ties to the smaller corpus id. */
+    * Determinism: probe ranking runs on micro-quantized cosines over
+    * exact integer dots (micro query × micro centroids — the same
+    * all-integer discipline as [[Clustering.assignOnce]]) and breaks
+    * affinity ties to the smaller cell id (the `array_sort` struct
+    * carries (−affMicro, cell)); ADC scores are exact integer sums, ties
+    * to the smaller corpus id. */
   def ivfPqTopK(codes: DataFrame, cells: DataFrame,
-      centroids: Seq[(Int, Seq[Double])],
-      codebooks: Seq[(Int, Int, Seq[Double])],
+      centroids: Seq[(Int, Seq[Long])],
+      codebooks: Seq[(Int, Int, Seq[Long])],
       queries: DataFrame, k: Int, nprobe: Int,
       idCol: String = "vec_id", cellCol: String = "cluster",
       qIdCol: String = "q_id", qVecCol: String = "q_vec"): DataFrame = {
     require(nprobe >= 1, s"need nprobe >= 1, got $nprobe")
     val q = queries.select(col(qIdCol), asDouble(col(qVecCol)).as("__qe"))
-      .withColumn("__qn", sqrt(dot(col("__qe"), col("__qe"))))
-    // (−affinity, cell) structs: array_sort ranks aff desc, cell asc
-    val affs = centroids.sortBy(_._1).map { case (c, ce) =>
-      val ceArr = array(ce.map(lit): _*)
-      struct((-cosExpr(dot(col("__qe"), ceArr), col("__qn"),
-        sqrt(dot(ceArr, ceArr)))).as("na"), lit(c).as("c"))
+      .withColumn("__qq", microVec(col("__qe")))
+      .withColumn("__qn", sqrt(dot(col("__qq"), col("__qq"))))
+    // (−micro-affinity, cell) structs: array_sort ranks aff desc, cell asc
+    val affs = centroids.sortBy(_._1).map { case (c, cq) =>
+      val cn = math.sqrt(cq.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble))
+      // a zero-norm side has no direction: rank it last (Long.MaxValue on
+      // the negated axis) instead of letting ANSI mode throw on x/0
+      val na = when(col("__qn") * lit(cn) =!= 0.0,
+        -floor(dot(col("__qq"), array(cq.map(v => lit(v.toDouble)): _*))
+          / (col("__qn") * lit(cn)) * lit(1e6) + lit(0.5)).cast("long"))
+        .otherwise(lit(Long.MaxValue))
+      struct(na.as("na"), lit(c).as("c"))
     }
     val probes = q
       .withColumn("__p", explode(slice(array_sort(array(affs: _*)), 1, nprobe)))
       .select(col(qIdCol), col("__qe"), col("__p.c").as(cellCol))
-    val (withTables, scoreMicro) = adcTables(probes, codebooks)
+    val (withTables, scoreQ) = adcTables(probes, codebooks)
     val scored = codes.join(cells.select(col(idCol), col(cellCol)), idCol)
       .join(broadcast(withTables), cellCol)
       .filter(col(idCol) =!= col(qIdCol))
       .select(col(qIdCol), col(idCol),
-        (scoreMicro.cast("double") / lit(1e6)).as("score"))
+        (scoreQ.cast("double") / lit(1e12)).as("score"))
     rankTopK(scored, k, qIdCol, "score", idCol)
   }
 

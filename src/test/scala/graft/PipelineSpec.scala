@@ -535,18 +535,19 @@ class PipelineSpec extends SparkSpec {
     val got = Similarity.pqTopK(codes, cb, queries, k = 5)
       .select($"q_id", $"neighbor_id", $"score", $"rank")
       .as[(Long, Long, Double, Int)].collect()
-    // replay: dt[j][c] = floor(<q_j, cb[j][c]>*1e6+.5); score = sum/1e6
+    // replay: dt[j][c] = <micro(q_j), cb[j][c]> (exact integer dot —
+    // codebooks arrive in integer micro-units); score = sum/1e12
     val codeRows = codes.select($"vec_id", $"code_0", $"code_1")
       .as[(Long, Int, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
-    val cbMap = cb.map { case (j, c, ce) => (j, c) -> ce }.toMap
+    val cbMap = cb.map { case (j, c, cq) => (j, c) -> cq }.toMap
     def score(q: Array[Float], codes: (Int, Int)): Double = {
       def dt(j: Int, c: Int): Long = {
-        val sub = q.slice(j * 2, j * 2 + 2).map(_.toDouble)
-        val ce = cbMap((j, c))
-        val d = sub.zip(ce).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
-        math.floor(d * 1e6 + 0.5).toLong
+        val sub = q.slice(j * 2, j * 2 + 2)
+          .map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+        val cq = cbMap((j, c))
+        sub.zip(cq).foldLeft(0L) { case (a, (x, y)) => a + x * y }
       }
-      (dt(0, codes._1) + dt(1, codes._2)).toDouble / 1e6
+      (dt(0, codes._1) + dt(1, codes._2)).toDouble / 1e12
     }
     val qMap = vecs.toMap
     got.foreach { case (qid, nid, s, _) =>
