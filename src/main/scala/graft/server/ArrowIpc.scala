@@ -85,45 +85,86 @@ object ArrowIpc {
     }
   }
 
+  private def sparkTypeOf(name: String, at: ArrowType): DataType = at match {
+    case i: ArrowType.Int if i.getBitWidth == 64 => LongType
+    case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
+    case fp: ArrowType.FloatingPoint
+        if fp.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
+    case fp: ArrowType.FloatingPoint
+        if fp.getPrecision == FloatingPointPrecision.SINGLE => FloatType
+    case _: ArrowType.Bool => BooleanType
+    case _: ArrowType.Utf8 => StringType
+    case other => throw new IllegalArgumentException(
+      s"column '$name': arrow type $other not supported over flight")
+  }
+
   /** Decode an Arrow IPC stream into a typed (Spark schema, rows) pair —
     * the INGEST half of the Flight surface (`do_put`): the exact inverse
     * of [[arrowField]] over the same six types, so anything the engine
-    * can serve it can also accept. */
+    * can serve it can also accept.
+    *
+    * Dictionary-encoded columns (how Arrow-native clients ship
+    * low-cardinality tag columns — the reference hydrates exactly these
+    * before use, src/influxdb_ioxd/rpc/flight.rs:285-348's
+    * optimize_record_batch / dictionary unwrapping) are HYDRATED here:
+    * each encoded vector is decoded against its dictionary batch and
+    * lands as a plain dense column of the dictionary's VALUE type, so a
+    * dictionary utf8 tag arrives as StringType rows indistinguishable
+    * from a dense utf8 send. */
   def readStreamTyped(in: InputStream)
       : (StructType, Seq[org.apache.spark.sql.Row]) = {
     val alloc = new RootAllocator()
     val reader = new ArrowStreamReader(in, alloc)
     try {
       val root = reader.getVectorSchemaRoot
-      val sparkFields = root.getSchema.getFields.asScala.map { f =>
-        val dt = f.getFieldType.getType match {
-          case i: ArrowType.Int if i.getBitWidth == 64 => LongType
-          case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
-          case fp: ArrowType.FloatingPoint
-              if fp.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
-          case fp: ArrowType.FloatingPoint
-              if fp.getPrecision == FloatingPointPrecision.SINGLE => FloatType
-          case _: ArrowType.Bool => BooleanType
-          case _: ArrowType.Utf8 => StringType
-          case other => throw new IllegalArgumentException(
-            s"column '${f.getName}': arrow type $other not supported over flight")
-        }
-        StructField(f.getName, dt)
-      }.toSeq
+      val fields = root.getSchema.getFields.asScala.toSeq
+      // a dictionary-encoded field's Field carries the INDEX type; its
+      // Spark type comes from the dictionary's value vector, resolvable
+      // only after the stream's dictionary batches load — fill then
+      val sparkTypes =
+        scala.collection.mutable.ArraySeq.fill[DataType](fields.size)(NullType)
+      fields.zipWithIndex.foreach { case (f, c) =>
+        if (f.getDictionary == null)
+          sparkTypes(c) = sparkTypeOf(f.getName, f.getFieldType.getType)
+      }
       val rows = Seq.newBuilder[org.apache.spark.sql.Row]
       while (reader.loadNextBatch()) {
-        val vectors = (0 until root.getFieldVectors.size).map(root.getVector)
-        var r = 0
-        while (r < root.getRowCount) {
-          rows += org.apache.spark.sql.Row.fromSeq(vectors.map { v =>
-            if (v.isNull(r)) null
-            else v.getObject(r) match {
-              case t: org.apache.arrow.vector.util.Text => t.toString
-              case other => other
-            }
-          })
-          r += 1
+        val decoded = fields.zipWithIndex.map { case (f, c) =>
+          val fv = root.getVector(c)
+          Option(f.getDictionary) match {
+            case None => (fv, false)
+            case Some(enc) =>
+              val dict = reader.lookup(enc.getId)
+              require(dict != null,
+                s"column '${f.getName}': dictionary ${enc.getId} not in stream")
+              if (sparkTypes(c) == NullType)
+                sparkTypes(c) = sparkTypeOf(f.getName,
+                  dict.getVector.getField.getFieldType.getType)
+              (org.apache.arrow.vector.dictionary.DictionaryEncoder
+                .decode(fv, dict), true)
+          }
         }
+        try {
+          var r = 0
+          while (r < root.getRowCount) {
+            rows += org.apache.spark.sql.Row.fromSeq(decoded.map { case (v, _) =>
+              if (v.isNull(r)) null
+              else v.getObject(r) match {
+                case t: org.apache.arrow.vector.util.Text => t.toString
+                case other => other
+              }
+            })
+            r += 1
+          }
+        } finally decoded.foreach { case (v, owned) => if (owned) v.close() }
+      }
+      // an empty stream never loads a dictionary batch: tags are utf8 in
+      // this engine (IoxSchema), the same default the reference hydrates to
+      fields.zipWithIndex.foreach { case (_, c) =>
+        if (sparkTypes(c) == NullType) sparkTypes(c) = StringType
+      }
+      val sparkFields = fields.zipWithIndex.map { case (f, c) =>
+        StructField(f.getName, sparkTypes(c))
       }
       (StructType(sparkFields), rows.result())
     } finally {

@@ -638,6 +638,91 @@ class HttpFacadeSpec extends SparkSpec {
     }
   }
 
+  test("flight: dictionary-encoded tag hydrates to dense utf8; server never " +
+      "emits dictionaries (flight.rs:285-348 optimize_record_batch)") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.{BigIntVector, FieldVector, IntVector, VarCharVector, VectorSchemaRoot}
+    import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryProvider}
+    import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
+    import org.apache.arrow.vector.types.pojo.{ArrowType, DictionaryEncoding, Field, FieldType}
+    import org.apache.spark.sql.types.{LongType, StringType}
+
+    // hand-build the stream an Arrow-native client ships for a
+    // low-cardinality tag: utf8 dictionary {east, west} + int32 indices
+    val alloc = new RootAllocator()
+    val dictVec = new VarCharVector("host_dict", alloc)
+    dictVec.allocateNew()
+    dictVec.setSafe(0, "east".getBytes(UTF_8))
+    dictVec.setSafe(1, "west".getBytes(UTF_8))
+    dictVec.setValueCount(2)
+    val encoding = new DictionaryEncoding(7L, false, new ArrowType.Int(32, true))
+    val dict = new Dictionary(dictVec, encoding)
+    val hostField = new Field("host",
+      new FieldType(true, new ArrowType.Int(32, true), encoding),
+      java.util.Collections.emptyList())
+    val host = new IntVector(hostField, alloc)
+    host.allocateNew(3)
+    host.setSafe(0, 0); host.setSafe(1, 1); host.setSafe(2, 0)
+    host.setValueCount(3)
+    val timeField = new Field("time",
+      FieldType.nullable(new ArrowType.Int(64, true)),
+      java.util.Collections.emptyList())
+    val time = new BigIntVector(timeField, alloc)
+    time.allocateNew(3)
+    (0 until 3).foreach(i => time.setSafe(i, 1000000000L * (i + 1)))
+    time.setValueCount(3)
+    val root = new VectorSchemaRoot(Seq(hostField, timeField).asJava,
+      Seq[FieldVector](host, time).asJava, 3)
+    val bos = new ByteArrayOutputStream()
+    val writer = new ArrowStreamWriter(root,
+      new DictionaryProvider.MapDictionaryProvider(dict), bos)
+    writer.start(); writer.writeBatch(); writer.end(); writer.close()
+    root.close(); dictVec.close()
+    val bytes = bos.toByteArray
+
+    // ingest half: the decoder hydrates against the dictionary batch —
+    // StringType schema, dense values, exactly as a dense send would land
+    val (schema, rows) = graft.server.ArrowIpc.readStreamTyped(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Seq(("host", StringType), ("time", LongType)))
+    assert(rows.map(r => (r.getString(0), r.getLong(1))) ==
+      Seq(("east", 1000000000L), ("west", 2000000000L), ("east", 3000000000L)))
+
+    withFacade { facade =>
+      val p = facade.boundPort
+      // end-to-end: the dictionary bytes land through do_put and query
+      // back dense over do_get
+      val (st, body) = post(p,
+        "/api/v2/flight/do_put?db=o_b&measurement=dict_m", bytes)
+      assert(st == 200 && body.contains("\"rows\":3"), body)
+      val (cols, got) = graft.server.HttpFacade.doGet(p, "o_b",
+        "SELECT host, time FROM dict_m ORDER BY time")
+      assert(cols == Seq("host", "time"))
+      assert(got == Seq(Seq("east", 1000000000L), Seq("west", 2000000000L),
+        Seq("east", 3000000000L)))
+    }
+
+    // serve half: the engine's own IPC output carries NO dictionary
+    // encodings — tags go dense utf8 (the reference's optimize_schema
+    // unwraps dictionaries before send, flight.rs:320-360)
+    import spark.implicits._
+    val served = Seq(("east", 1L), ("west", 2L)).toDF("host", "time")
+    val bos2 = new ByteArrayOutputStream()
+    graft.server.ArrowIpc.writeStream(served, bos2)
+    val alloc2 = new RootAllocator()
+    val reader = new ArrowStreamReader(
+      new java.io.ByteArrayInputStream(bos2.toByteArray), alloc2)
+    try {
+      val fields = reader.getVectorSchemaRoot.getSchema.getFields.asScala
+      assert(fields.forall(_.getDictionary == null),
+        s"server emitted a dictionary encoding: $fields")
+      assert(fields.map(_.getName).toSeq == Seq("host", "time"))
+    } finally { reader.close(); alloc2.close() }
+    alloc.close()
+  }
+
   test("SELECT INTO materializes a queryable measurement; snapshot is pinned") {
     withFacade { facade =>
       val p = facade.boundPort
