@@ -947,6 +947,39 @@ object QueriesPipeline {
             / (CAST(tsq AS DOUBLE) * CAST(n_docs AS DOUBLE)), 6) AS boost
         FROM sq CROSS JOIN t ORDER BY lang""")),
 
+    // UniMax budget allocation (Chung et al. 2023): uniform-as-possible
+    // budget split across languages, capped at 2 epochs each — the
+    // bounded-repetition successor to temperature sampling. The oracle
+    // replays the exact integer water-filling (cross-multiplied cap
+    // criterion, floor-division even split) over the same strata frame
+    ("corpus_unimax_mix",
+      (s, d) => Sampling.unimaxMix(Tables.documents(s, d), "lang",
+          budget = 900L, capEpochs = 2)
+        .orderBy("lang"),
+      Some("""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(count(*) * 2 AS BIGINT) AS capacity FROM documents GROUP BY 1),
+        r AS (SELECT lang, n_docs, capacity,
+            CAST(row_number() OVER (ORDER BY capacity, lang) AS BIGINT) AS k,
+            CAST(count(*) OVER () AS BIGINT) AS nn,
+            CAST(coalesce(sum(capacity) OVER (ORDER BY capacity, lang
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cumb
+          FROM c),
+        f AS (SELECT *, capacity * (nn - k + 1) <= 900 - cumb AS capped
+          FROM r),
+        g AS (SELECT *,
+            CAST(max(CASE WHEN capped THEN k ELSE 0 END) OVER ()
+              AS BIGINT) AS kk,
+            CAST(sum(CASE WHEN capped THEN capacity ELSE 0 END) OVER ()
+              AS BIGINT) AS ss
+          FROM f),
+        a AS (SELECT *, CAST(CASE WHEN capped THEN capacity
+            ELSE (900 - ss) // (nn - kk) END AS BIGINT) AS alloc_docs
+          FROM g)
+        SELECT lang, n_docs, capacity, capped, alloc_docs,
+          ((alloc_docs * 1000000) // n_docs) / 1000000.0 AS epochs
+        FROM a ORDER BY lang""")),
+
     // curriculum staging (easy->hard training order, Bengio et al. 2009
     // framing): quality-quartile each document WITHIN its source (cleanest
     // quartile = stage 1) and report per-(source, stage) counts and
@@ -2006,10 +2039,17 @@ object QueriesPipeline {
         val docs = Tables.spread(s, Tables.documents(s, d))
         val sigs = DocDedup.signatures(docs, "doc_id", "text",
           n = 3, p = dMinHashParams)
+        // both pair frames are consumed TWICE below (their own count +
+        // the hit semi-join); they are pair-grain (bounded candidate
+        // sets, tiny next to the corpus), so one eager localCheckpoint
+        // each runs the expensive candidate pipelines exactly once
+        // instead of twice (the duplicationRank discipline)
         val cand = DocDedup.lshCandidates(sigs, "doc_id", dMinHashParams)
+          .localCheckpoint()
         val tp = DocDedup.ngramJaccardPairs(docs, "doc_id", "text",
             n = 3, threshold = 0.7)
           .select(col("id1"), col("id2"))
+          .localCheckpoint()
         val nd = docs.agg(count(lit(1)).as("n_docs"))
         val nt = tp.agg(count(lit(1)).as("n_true"))
         val nc = cand.agg(count(lit(1)).as("n_cand"))
@@ -2218,6 +2258,39 @@ object QueriesPipeline {
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id1", "id2"),
       Some(dJaccardPairs)),
+
+    // IDF-weighted Jaccard near-dups: boilerplate-robust pair scoring —
+    // shared hot shingles (headers, license text) contribute ~0 weight,
+    // so the score counts shared CONTENT. The oracle replays the exact
+    // integer-micro IDF weights, weight sums, and the cross-multiplied
+    // threshold verdict
+    ("dedup_weighted_jaccard",
+      (s, d) => DocDedup.weightedJaccardPairs(
+          Tables.spread(s, Tables.documents(s, d)),
+          "doc_id", "text", n = 3, threshold = 0.5)
+        .select(col("id1"), col("id2"),
+          round(col("wjaccard"), 6).as("wjaccard"))
+        .orderBy("id1", "id2"),
+      Some(s"""WITH $dShingles,
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        wt AS (SELECT s, count(*) AS df,
+            CAST(floor(ln((nd.n + 1) / (count(*) + 1)) * 1000000 + 0.5)
+              AS BIGINT) AS w
+          FROM sh CROSS JOIN nd GROUP BY s, nd.n),
+        dw AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS wsum
+          FROM sh JOIN wt USING (s) GROUP BY 1),
+        pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+            CAST(sum(wt.w) AS BIGINT) AS winter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          JOIN wt ON wt.s = a.s
+          WHERE wt.df <= 5000
+          GROUP BY 1, 2)
+        SELECT id1, id2,
+          round(CAST(winter AS DOUBLE) / (w1.wsum + w2.wsum - winter), 6)
+            AS wjaccard
+        FROM pr JOIN dw w1 ON w1.doc_id = id1 JOIN dw w2 ON w2.doc_id = id2
+        WHERE winter * 1000000 >= 500000 * (w1.wsum + w2.wsum - winter)
+        ORDER BY id1, id2""")),
 
     // maximal repeated token runs (Lee et al. 2022 exact-substring
     // dedup): positional 6-shingle anchor index → corpus occurrence
@@ -4396,6 +4469,65 @@ object QueriesPipeline {
     // exactly the observed failure set). r11: every dot in this oracle
     // is now an explicit BIGINT multiply+sum ([[dDotI]]) that cannot
     // bind a float path on any engine.
+    // Matryoshka truncation eval (Kusupati et al. 2022, MRL): recall@10
+    // of retrieval over the first 16 / 32 dims against full-64-dim ground
+    // truth — the table that picks the serving dimensionality of an
+    // MRL-trained embedding (half the dims = half the index bytes and
+    // score FLOPs; serve at the knee). Prefix slices of integer-micro
+    // vectors are still integer-micro, so every cosine in both rankings
+    // is exact on any engine; one corpus scan per prefix, each the
+    // broadcast + bounded-TopK brute-force posture
+    ("ann_matryoshka_recall",
+      (s, d) => {
+        import s.implicits._
+        val emb = qEmb(s, d)
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val truth = Similarity.bruteForceTopK(emb, q, k = 10,
+            microRank = true)
+          .select(col("q_id"), col("neighbor_id"))
+        val perDim = Seq(16, 32).map { m =>
+          val embT = emb.select(col("vec_id"),
+            slice(col("embedding"), 1, m).as("embedding"))
+          val qT = q.select(col("q_id"),
+            slice(col("q_vec"), 1, m).as("q_vec"))
+          Similarity.bruteForceTopK(embT, qT, k = 10, microRank = true)
+            .select(col("q_id"), col("neighbor_id"), lit(1).as("__h"))
+            .withColumn("dims", lit(m))
+        }.reduce(_ unionByName _)
+        truth.crossJoin(Seq(16, 32).toDF("dims"))
+          .join(perDim, Seq("q_id", "neighbor_id", "dims"), "left")
+          .groupBy("q_id", "dims")
+          .agg(sum(coalesce(col("__h"), lit(0))).as("hits"))
+          .select(col("q_id"), col("dims"), col("hits"),
+            round(col("hits") / 10.0, 6).as("recall"))
+          .orderBy("q_id", "dims")
+      },
+      Some(s"""WITH $dEmbMicro,
+        q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 5),
+        bf AS (SELECT q_id, neighbor_id FROM (SELECT q.q_id,
+            v.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.q_id
+              ORDER BY ${dCosMicroI("v.e", "q.qe")} DESC,
+              v.vec_id ASC) AS rk
+          FROM v CROSS JOIN q WHERE v.vec_id != q.q_id) WHERE rk <= 10),
+        ${Seq(16, 32).map(m => s"""ap$m AS (SELECT q_id, neighbor_id,
+            CAST($m AS INT) AS dims FROM (SELECT q.q_id,
+            v.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.q_id
+              ORDER BY ${dCosMicroI(s"v.e[1:$m]", s"q.qe[1:$m]")} DESC,
+              v.vec_id ASC) AS rk
+          FROM v CROSS JOIN q WHERE v.vec_id != q.q_id) WHERE rk <= 10)""")
+          .mkString(",\n        ")},
+        ap AS (SELECT * FROM ap16 UNION ALL SELECT * FROM ap32)
+        SELECT bf.q_id, dm.dims,
+          CAST(sum(CASE WHEN ap.neighbor_id IS NULL THEN 0 ELSE 1 END)
+            AS BIGINT) AS hits,
+          round(sum(CASE WHEN ap.neighbor_id IS NULL THEN 0 ELSE 1 END)
+            / 10.0, 6) AS recall
+        FROM bf CROSS JOIN (SELECT CAST(unnest([16, 32]) AS INT) AS dims) dm
+        LEFT JOIN ap ON ap.q_id = bf.q_id AND ap.dims = dm.dims
+          AND ap.neighbor_id = bf.neighbor_id
+        GROUP BY bf.q_id, dm.dims ORDER BY bf.q_id, dm.dims""")),
+
     ("ann_recall_eval",
       (s, d) => {
         val emb = qEmb(s, d)

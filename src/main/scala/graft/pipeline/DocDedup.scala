@@ -435,6 +435,68 @@ object DocDedup {
     clean.union(reverified).filter(col("jaccard") >= threshold)
   }
 
+  /** IDF-weighted n-gram Jaccard near-dup pairs: shared boilerplate
+    * shingles (headers, license blurbs, navigation chrome) inflate plain
+    * Jaccard; weighting every shingle by its corpus IDF
+    * (`floor(ln((N+1)/(df+1))·1e6 + 0.5)`, an integer micro weight) makes
+    * the score `Σ_{shared} w / (W_A + W_B − Σ_shared w)` count shared
+    * CONTENT, with hot shingles contributing ≈0 by construction. The
+    * weighted score is the min/max form of weighted Jaccard restricted to
+    * set (0/1) multiplicities — the standard boilerplate-robust variant.
+    *
+    * Same one-shuffle inverted-index shape as [[ngramJaccardPairs]]:
+    * buckets carry df (so the weight is computed once per shingle, on the
+    * index side), per-doc weight totals ride one aggregate of the same
+    * exploded frame, and `maxShingleDf` bounds the quadratic bucket
+    * expansion. Pairs sharing ONLY over-cap shingles are missed
+    * (recall-only loss, and exactly the pairs whose shared weight is
+    * lowest — the IDF of a df > maxShingleDf shingle is the corpus floor);
+    * over-cap shingles still count toward each document's W total. The
+    * threshold verdict is an exact integer cross-multiplication
+    * (`winter·1e6 ≥ t_micro·(W1+W2−winter)`), never a raw float compare.
+    * Returns (id1, id2, wjaccard). */
+  def weightedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxShingleDf: Int = 5000): DataFrame = {
+    val nDocs = broadcast(docs.agg(count(lit(1)).as("__n")))
+    val sh = docs.select(col(idCol).as("id"),
+        explode_outer(shingles(col(textCol), n)).as("s")) // see explodePairs
+      .filter(col("s").isNotNull)
+    val buckets = sh.groupBy("s")
+      .agg(sort_array(collect_list(struct(col("id")))).as("xs"))
+      .withColumn("df", size(col("xs")))
+      .crossJoin(nDocs)
+      // ln((N+1)/(df+1)): long-to-double division is one correctly-rounded
+      // IEEE op and ln rides the same libm contract the tf-idf family
+      // already pins cross-engine; the floor(·1e6+0.5) micro weight is the
+      // quantity every sum below accumulates exactly
+      .withColumn("w", floor(
+        log((col("__n") + lit(1L)).cast("double") / (col("df") + lit(1L)))
+          * lit(1e6) + lit(0.5)).cast("long"))
+    val docW = buckets
+      .select(explode(col("xs")).as("x"), col("w"))
+      .groupBy(col("x.id").as("id"))
+      .agg(sum(col("w")).as("wsum"))
+    val counted = explodePairs(
+        buckets.filter(col("df") > 1 && col("df") <= maxShingleDf)
+          .withColumn("xs", transform(col("xs"),
+            x => struct(x.getField("id").as("id"), col("w").as("w")))),
+        "xs")((x, y) =>
+        struct(x.getField("id").as("id1"), y.getField("id").as("id2"),
+          x.getField("w").as("w")))
+      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .agg(sum(col("p.w")).as("winter"))
+    val tMicro = math.rint(threshold * 1e6).toLong
+    counted
+      .join(docW.select(col("id").as("id1"), col("wsum").as("w1")), "id1")
+      .join(docW.select(col("id").as("id2"), col("wsum").as("w2")), "id2")
+      .filter(col("winter") * lit(1000000L) >=
+        lit(tMicro) * (col("w1") + col("w2") - col("winter")))
+      .select(col("id1"), col("id2"),
+        (col("winter").cast("double") /
+          (col("w1") + col("w2") - col("winter")).cast("double"))
+          .as("wjaccard"))
+  }
+
   /** Asymmetric near-dup pairs by shingle CONTAINMENT (Broder 1997):
     * max-containment |A∩B| / min(|A|,|B|). Jaccard misses subset
     * duplication — a document embedded verbatim inside a much longer one

@@ -401,6 +401,55 @@ object Sampling {
           .as("boost"))
   }
 
+  /** UniMax budget allocation (Chung et al. 2023, arXiv:2304.09151): give
+    * every stratum (language) as close to a UNIFORM share of the training
+    * budget as possible, capped at `capEpochs` passes over its data —
+    * the successor to temperature sampling that bounds low-resource
+    * repetition explicitly instead of implicitly. Water-filling closed
+    * form: sort strata by capacity `n_docs·capEpochs` ascending; stratum
+    * k is CAPPED (gets its full capacity) iff
+    * `capacity_k·(N−k+1) ≤ budget − Σ_{j<k} capacity_j` (the criterion is
+    * monotone in k, so capped strata are a prefix); every uncapped
+    * stratum gets the integer-division even split of what remains.
+    *
+    * Exactness: the criterion is an exact integer cross-multiplication
+    * (no division), allocations are integer docs (floor division), and
+    * `epochs` is exposed as an integer-micro ratio — every step replays
+    * bit-equal on any engine. Scale shape: one corpus aggregate reduces
+    * to a strata-sized frame (languages — tens of rows at any corpus
+    * size); the windows below are over THAT frame, never corpus rows.
+    * Returns (stratum, n_docs, capacity, capped, alloc_docs, epochs). */
+  def unimaxMix(df: DataFrame, strataCol: String, budget: Long,
+      capEpochs: Int): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(capEpochs >= 1, s"capEpochs must be >= 1, got $capEpochs")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("capacity", col("n_docs") * lit(capEpochs.toLong))
+    val byCap = Window.orderBy(col("capacity"), col(strataCol))
+    val before = byCap.rowsBetween(Window.unboundedPreceding, -1)
+    val all = byCap.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    counts
+      .withColumn("__k", row_number().over(byCap))
+      .withColumn("__cumb", coalesce(sum("capacity").over(before), lit(0L)))
+      .withColumn("__nn", count(lit(1)).over(all))
+      .withColumn("capped",
+        col("capacity") * (col("__nn") - col("__k") + 1) <=
+          lit(budget) - col("__cumb"))
+      .withColumn("__kk", max(when(col("capped"), col("__k"))
+        .otherwise(lit(0L))).over(all))
+      .withColumn("__ss", sum(when(col("capped"), col("capacity"))
+        .otherwise(lit(0L))).over(all))
+      .withColumn("alloc_docs", when(col("capped"), col("capacity"))
+        .otherwise(expr(s"($budget - __ss) div (__nn - __kk)")))
+      .withColumn("epochs",
+        expr("(alloc_docs * 1000000) div n_docs").cast("double") / lit(1e6))
+      .select(col(strataCol), col("n_docs"), col("capacity"), col("capped"),
+        col("alloc_docs"), col("epochs"))
+  }
+
   /** Robust outlier flagging by the median-absolute-deviation rule:
     * a row is an outlier in its stratum when
     * `|x − median| > cut · 1.4826 · MAD` (1.4826 scales MAD to σ under

@@ -330,6 +330,59 @@ class PipelineSpec extends SparkSpec {
       ("c", 25L, 0.5, 0.416667, 0.833333)))
   }
 
+  test("unimaxMix: capped strata get full capacity, the rest an even " +
+      "floor split; all-capped and none-capped edges hold") {
+    // counts 2/3/10, cap 2 -> capacities 4/6/20; budget 18:
+    //   k=1 (a,4): 4*3=12 <= 18        -> capped, alloc 4
+    //   k=2 (b,6): 6*2=12 <= 18-4=14   -> capped, alloc 6
+    //   k=3 (c,20): 20*1=20 <= 14-6=8? no -> alloc (18-10) div 1 = 8
+    val rows = Seq.fill(2)("a") ++ Seq.fill(3)("b") ++ Seq.fill(10)("c")
+    val got = Sampling.unimaxMix(rows.toDF("lang"), "lang",
+        budget = 18L, capEpochs = 2)
+      .orderBy("lang")
+      .as[(String, Long, Long, Boolean, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("a", 2L, 4L, true, 4L, 2.0),
+      ("b", 3L, 6L, true, 6L, 2.0),
+      ("c", 10L, 20L, false, 8L, 0.8)))
+    // budget >= total capacity: everyone capped at capEpochs
+    val allCap = Sampling.unimaxMix(rows.toDF("lang"), "lang",
+        budget = 100L, capEpochs = 2)
+      .as[(String, Long, Long, Boolean, Long, Double)].collect()
+    assert(allCap.forall(r => r._4 && r._5 == r._3 && r._6 == 2.0))
+    // tiny budget: nobody capped, even floor split
+    val noneCap = Sampling.unimaxMix(rows.toDF("lang"), "lang",
+        budget = 9L, capEpochs = 2)
+      .as[(String, Long, Long, Boolean, Long, Double)].collect()
+    assert(noneCap.forall(r => !r._4 && r._5 == 3L))
+  }
+
+  test("weightedJaccardPairs: boilerplate-only overlap scores below a " +
+      "content duplicate pair") {
+    import graft.pipeline.DocDedup
+    val boiler = "all rights reserved contact us terms of service apply here"
+    // 1 & 2: same content + boilerplate (true near-dups); 3 shares ONLY
+    // the boilerplate with them; 4 is unrelated filler
+    val docs = Seq(
+      (1L, s"the quick brown fox jumps over the lazy dog $boiler"),
+      (2L, s"the quick brown fox jumps over the lazy dog $boiler again"),
+      (3L, s"completely different subject matter entirely $boiler"),
+      (4L, "unrelated text about databases and distributed query engines"))
+      .toDF("doc_id", "text")
+    val all = DocDedup.weightedJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(all((1L, 2L)) > all((1L, 3L)),
+      s"content dup must outscore boilerplate-only overlap: $all")
+    assert(all((1L, 2L)) > 0.5 && all((1L, 3L)) < 0.5, s"$all")
+    // thresholding keeps only the content pair
+    val kept = DocDedup.weightedJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5).select($"id1", $"id2")
+      .as[(Long, Long)].collect().toSet
+    assert(kept == Set((1L, 2L)), kept)
+  }
+
   test("madOutliers equals the naive lower-median MAD rule") {
     import graft.pipeline.Sampling
     // one stratum with a fat tail, one tiny stratum; scores straddle

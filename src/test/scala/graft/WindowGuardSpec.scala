@@ -31,7 +31,10 @@ class WindowGuardSpec extends SparkSpec {
     "influxql_top_tag" -> "per-tag-value selector rows",
     // Ranking.zipfFit: rank-frequency regression over the top-N
     // vocabulary slice (already limited before the window)
-    "text_zipf" -> "top-N vocabulary slice")
+    "text_zipf" -> "top-N vocabulary slice",
+    // Sampling.unimaxMix: water-filling rank/cumsum over the per-stratum
+    // COUNTS frame (languages — tens of rows at any corpus size)
+    "corpus_unimax_mix" -> "strata-count frame (languages)")
 
   test("no query plans an unpartitioned window outside the documented " +
       "metadata-sized sites") {
