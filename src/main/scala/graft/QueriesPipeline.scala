@@ -723,7 +723,11 @@ object QueriesPipeline {
           countDistinct(col("t")).as("n_vocab"))
         val pairs = DocDedup.ngramJaccardPairs(docs, "doc_id", "text",
           n = 3, threshold = 0.7).agg(count(lit(1)).as("n_near"))
-        val m = base.crossJoin(tok).crossJoin(pairs)
+        // the metric frame is ONE row but referenced once per report row
+        // below — without pinning it, the nine union branches re-run the
+        // whole three-aggregate pipeline (incl. the near-dup pair count)
+        // nine times
+        val m = base.crossJoin(tok).crossJoin(pairs).localCheckpoint()
         def row(name: String, v: org.apache.spark.sql.Column) =
           m.select(lit(name).as("metric"), v.cast("double").as("value"))
         row("docs", col("n_docs"))
