@@ -1060,6 +1060,48 @@ object QueriesPipeline {
         SELECT pair, CAST(sum(cnt) AS BIGINT) AS count FROM pairs
         GROUP BY 1 ORDER BY count DESC, pair ASC LIMIT 20""")),
 
+    // iterated BPE merge TRAINING: 3 greedy merge rounds over the
+    // vocab-frequency table — each round's argmax pair is applied
+    // corpus-wide (double-pass literal replace on the space-padded
+    // symbol string) before the next count, exactly what a tokenizer
+    // trainer does. The oracle chains the identical rounds as CTEs with
+    // scalar-subquery merges
+    ("text_bpe_merges",
+      (s, d) => graft.pipeline.LanguageModel
+        .bpeMergeRounds(Tables.documents(s, d), "text", rounds = 3),
+      Some {
+        def mergeRound(r: Int): String = {
+          val prev = s"v${r - 1}"
+          s"""m$r AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS count FROM (
+              SELECT cnt, unnest(list_transform(range(1, len(a)),
+                i -> a[i] || ' ' || a[i + 1])) AS pair
+              FROM (SELECT cnt, string_split(syms, ' ') AS a FROM $prev)
+              WHERE len(a) >= 2)
+            GROUP BY 1 ORDER BY count DESC, pair ASC LIMIT 1),
+          v$r AS (SELECT trim(replace(replace(' ' || syms || ' ',
+              ' ' || (SELECT pair FROM m$r) || ' ',
+              ' ' || (SELECT replace(pair, ' ', '') FROM m$r) || ' '),
+              ' ' || (SELECT pair FROM m$r) || ' ',
+              ' ' || (SELECT replace(pair, ' ', '') FROM m$r) || ' '))
+              AS syms, cnt FROM v${r - 1})"""
+        }
+        s"""WITH vocab AS (SELECT tok, count(*) AS cnt
+            FROM (SELECT unnest($dToks) AS tok FROM documents)
+            WHERE length(tok) >= 1 GROUP BY 1),
+          v0 AS (SELECT array_to_string(list_transform(
+              range(1, length(tok) + 1), i -> tok[i]), ' ') AS syms, cnt
+            FROM vocab),
+          ${(1 to 3).map(mergeRound).mkString(",\n          ")}
+          SELECT * FROM (
+            SELECT CAST(1 AS INT) AS round, pair,
+              replace(pair, ' ', '') AS merged, count FROM m1
+            UNION ALL SELECT CAST(2 AS INT), pair,
+              replace(pair, ' ', ''), count FROM m2
+            UNION ALL SELECT CAST(3 AS INT), pair,
+              replace(pair, ' ', ''), count FROM m3)
+          ORDER BY round"""
+      }),
+
     // per-document keyphrases: top-3 terms (>= 4 chars) by tf-idf — the
     // unsupervised topic tagger; per-document window (high-cardinality
     // key, tiny groups), micro-quantized scores, term-asc ties

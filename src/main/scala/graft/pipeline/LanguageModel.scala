@@ -249,6 +249,70 @@ object LanguageModel {
       .limit(topN)
   }
 
+  /** Iterated BPE merge TRAINING (Sennrich et al. 2016 §3.2): `rounds`
+    * greedy merge selections, each the argmax weighted adjacent-pair
+    * count over the current symbolization, applied corpus-wide before
+    * the next count. Returns the merge table
+    * (round, pair, merged, count) — the tokenizer-training artifact a
+    * BPE encoder replays in order.
+    *
+    * Scale shape — the defining BPE trick ([[bpePairCandidates]]): every
+    * round runs on the WORD-FREQUENCY TABLE (vocab-sized), never the
+    * corpus; the corpus is scanned exactly once to build it. Each round
+    * is one vocab aggregate + a 1-row driver argmax + one vocab-wide
+    * projection, with the vocab localCheckpointed per round so round r
+    * never replays rounds 1..r−1 (the connectedComponents discipline).
+    *
+    * Determinism: counts are exact integer sums (ties: pair ascending),
+    * and the merge application is two passes of LITERAL-substring
+    * `replace` over the space-padded symbol string — the first pass
+    * consumes the shared separator space of back-to-back occurrences,
+    * the second catches the ones it skipped, and a merge can never
+    * create a new occurrence of its own pair (the merged symbol is
+    * space-free) — so the double-pass is exactly greedy non-overlapping
+    * merging, replayed bit-identically by any engine's `replace`. */
+  def bpeMergeRounds(docs: DataFrame, textCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "need at least one merge round")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def escSql(s: String): String =
+      s.replace("\\", "\\\\").replace("'", "''")
+    var vocab = docs
+      .select(explode_outer(TF.tokens(col(textCol))).as("tok"))
+      .filter(col("tok").isNotNull && length(col("tok")) >= 1)
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      // initial symbolization: characters joined by single spaces
+      .select(expr("array_join(transform(sequence(1, length(tok)), " +
+        "i -> substring(tok, i, 1)), ' ')").as("syms"), col("cnt"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (r <- 1 to rounds) {
+      val top = vocab
+        .select(col("cnt"), split(col("syms"), " ").as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(col("cnt"), explode(expr("transform(sequence(1, size(a) - 1), " +
+          "i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum("cnt").as("count"))
+        .orderBy(col("count").desc, col("pair").asc)
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val pair = top(0).getString(0)
+        val cnt = top(0).getLong(1)
+        val merged = pair.replace(" ", "")
+        out += ((r, pair, merged, cnt))
+        val f = escSql(" " + pair + " ")
+        val t = escSql(" " + merged + " ")
+        vocab = vocab.select(trim(expr(
+          s"replace(replace(' ' || syms || ' ', '$f', '$t'), '$f', '$t')"))
+          .as("syms"), col("cnt"))
+          .localCheckpoint()
+      }
+    }
+    out.toSeq.toDF("round", "pair", "merged", "count")
+  }
+
   /** CCNet-style perplexity terciles: within each stratum (CCNet cuts
     * per language), rank documents by LM score ascending and label the
     * first ⌈n/3⌉ `head`, the next third `middle`, the rest `tail` —

@@ -383,6 +383,29 @@ class PipelineSpec extends SparkSpec {
     assert(kept == Set((1L, 2L)), kept)
   }
 
+  test("bpeMergeRounds: greedy argmax merges with back-to-back " +
+      "occurrences and tie-breaking, hand-checked") {
+    import graft.pipeline.LanguageModel
+    // vocab: "aaab" x2 -> "a a a b", "ab" x3 -> "a b"
+    // r1: pairs (a a):4, (a b):5 -> merge "a b" (5)
+    // r2: (a a):2 ties (a ab):2 -> pair-asc picks "a a" (2)
+    // r3: only (aa ab):2 -> "aaab" fully merged
+    val docs = (Seq.fill(2)("aaab") ++ Seq.fill(3)("ab")).toDF("text")
+    val got = LanguageModel.bpeMergeRounds(docs, "text", rounds = 3)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1, "a b", "ab", 5L),
+      (2, "a a", "aa", 2L),
+      (3, "aa ab", "aaab", 2L)))
+    // back-to-back occurrences all merge (the double-pass replace):
+    // "abababab" chars -> 4 non-overlapping (a b) merges in round 1
+    val chain = Seq("abababab").toDF("text")
+    val r1 = LanguageModel.bpeMergeRounds(chain, "text", rounds = 2)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(r1.head == (1, "a b", "ab", 4L), r1)
+    assert(r1(1) == (2, "ab ab", "abab", 3L), r1)
+  }
+
   test("madOutliers equals the naive lower-median MAD rule") {
     import graft.pipeline.Sampling
     // one stratum with a fat tail, one tiny stratum; scores straddle
