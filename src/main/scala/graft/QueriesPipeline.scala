@@ -701,6 +701,42 @@ object QueriesPipeline {
           count(*) AS n, min(doc_id) AS first_id
         FROM h GROUP BY 1 ORDER BY split""")),
 
+    // greedy maximum-coverage selection: 5 picks, each the document with
+    // the most not-yet-covered shingles — the submodular diversity-first
+    // selection recipe; the oracle replays the identical greedy rounds as
+    // chained NOT EXISTS CTEs with scalar-subquery picks
+    ("corpus_coverage_select",
+      (s, d) => Sampling.coverageSelect(
+          Tables.spread(s, Tables.documents(s, d)),
+          "doc_id", "text", n = 3, k = 5),
+      Some {
+        def round(r: Int): String = {
+          val uncov = if (r == 1) "sh"
+            else s"""(SELECT sh.doc_id, sh.s FROM sh
+              WHERE NOT EXISTS (SELECT 1 FROM c${r - 1}
+                WHERE c${r - 1}.s = sh.s)) u$r"""
+          val cov = if (r == 1)
+            s"c1 AS (SELECT DISTINCT s FROM sh WHERE doc_id = (SELECT doc_id FROM g1))"
+          else
+            s"""c$r AS (SELECT s FROM c${r - 1} UNION
+              SELECT s FROM sh WHERE doc_id = (SELECT doc_id FROM g$r))"""
+          s"""g$r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+            FROM $uncov GROUP BY 1 ORDER BY gain DESC, doc_id ASC LIMIT 1),
+          $cov"""
+        }
+        val cum = (1 to 5).map(i =>
+          (1 to i).map(j => s"(SELECT gain FROM g$j)").mkString(" + "))
+        s"""WITH $dShingles,
+          ${(1 to 5).map(round).mkString(",\n          ")}
+          SELECT * FROM (
+            ${(1 to 5).map(r => s"""SELECT CAST($r AS INT) AS rank,
+              (SELECT doc_id FROM g$r) AS doc_id,
+              (SELECT gain FROM g$r) AS gain,
+              CAST(${cum(r - 1)} AS BIGINT) AS covered""")
+            .mkString("\n            UNION ALL ")})
+          ORDER BY rank"""
+      }),
+
     // the one-look corpus dashboard: every first-order health metric a
     // data curator checks before a training run, as (metric, value)
     // rows — sizes, vocabulary, duplication (exact + near at the 0.7

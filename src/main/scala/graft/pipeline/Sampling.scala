@@ -450,6 +450,58 @@ object Sampling {
         col("alloc_docs"), col("epochs"))
   }
 
+  /** Greedy maximum-coverage subset selection (the facility-location /
+    * submodular-coverage recipe behind diversity-first data selection):
+    * pick `k` documents one at a time, each round taking the document
+    * covering the most shingles NOT yet covered by earlier picks — the
+    * classic (1−1/e)-approximate greedy for submodular coverage. Returns
+    * (rank, doc_id, gain, covered): the marginal new-shingle count of
+    * each pick and the running covered total (= Σ gains, since every
+    * gain is by construction new).
+    *
+    * Scale shape: the corpus is shingled ONCE (localCheckpointed — all k
+    * rounds reuse it); each round is one shingle-keyed anti-join + one
+    * doc-grain count aggregate + a 1-row driver argmax, with the covered
+    * set checkpointed per round so round r never replays rounds 1..r−1
+    * (the MMR/connectedComponents discipline). Determinism: gains are
+    * exact integer counts, ties to the smallest doc id; a document whose
+    * shingles are fully covered simply has no uncovered rows and cannot
+    * be re-picked. */
+  def coverageSelect(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = docs.select(col(idCol).as("id"),
+        explode_outer(TextFunctions.shingles(col(textCol), n)).as("s"))
+      .filter(col("s").isNotNull)
+      .localCheckpoint()
+    var covered: DataFrame = spark.emptyDataset[String].toDF("s")
+    val picks = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long)]()
+    var cum = 0L
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val top = sh.join(covered, Seq("s"), "left_anti")
+        .groupBy("id").agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("id").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // every shingle covered
+      else {
+        val id = top(0).getLong(0)
+        val gain = top(0).getLong(1)
+        cum += gain
+        picks += ((r, id, gain, cum))
+        covered = covered
+          .unionByName(sh.filter(col("id") === id).select("s"))
+          .distinct()
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    picks.toSeq.toDF("rank", "doc_id", "gain", "covered")
+  }
+
   /** Robust outlier flagging by the median-absolute-deviation rule:
     * a row is an outlier in its stratum when
     * `|x − median| > cut · 1.4826 · MAD` (1.4826 scales MAD to σ under

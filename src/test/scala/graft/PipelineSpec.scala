@@ -383,6 +383,25 @@ class PipelineSpec extends SparkSpec {
     assert(kept == Set((1L, 2L)), kept)
   }
 
+  test("coverageSelect: greedy marginal-gain picks with ties to the " +
+      "smallest id; exhaustion stops early") {
+    import graft.pipeline.Sampling
+    // 3-shingle docs 1/2 tie round 1 (id asc -> 1); doc 2's two
+    // uncovered shingles tie doc 3's round 2 (id asc -> 2)
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c x y"), (3L, "p q r s"))
+      .toDF("doc_id", "text")
+    val got = Sampling.coverageSelect(docs, "doc_id", "text", n = 3, k = 5)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1, 1L, 3L, 3L),
+      (2, 2L, 2L, 5L),
+      (3, 3L, 2L, 7L)),
+      s"got $got")
+    // k beyond exhaustion returned only 3 rows (everything covered)
+    assert(got.size == 3)
+  }
+
   test("bpeMergeRounds: greedy argmax merges with back-to-back " +
       "occurrences and tie-breaking, hand-checked") {
     import graft.pipeline.LanguageModel
