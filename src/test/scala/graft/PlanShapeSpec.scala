@@ -235,6 +235,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(cent.contains("ExistingRDD"), cent)
   }
 
+  test("r12 operators: broadcast metadata joins, no sort-merge, " +
+      "checkpointed iteration bases") {
+    val d = sf("sf0.001")
+    val docs = Tables.documents(spark, d)
+
+    // weightedJaccardPairs: the 1-row corpus count broadcasts onto the
+    // index (nested-loop on a single row is free); candidate counting
+    // and weight totals are hash aggregates — never a sort-merge join
+    val wj = executedPlan(graft.pipeline.DocDedup.weightedJaccardPairs(
+      docs, "doc_id", "text", n = 3, threshold = 0.5))
+    assert(wj.contains("BroadcastNestedLoopJoin") ||
+      wj.contains("BroadcastHashJoin"), wj)
+    assert(!wj.contains("SortMergeJoin"), wj)
+    assert(!wj.contains("CartesianProduct"), wj)
+
+    // unimaxMix: the corpus reduces to ONE strata-sized aggregate; the
+    // water-filling windows run over that frame, so the plan carries
+    // exactly one corpus-side hash exchange (count per stratum) before
+    // the single-partition window exchange
+    val um = executedPlan(graft.pipeline.Sampling.unimaxMix(
+      docs, "lang", budget = 900L, capEpochs = 2))
+    assert(!um.contains("SortMergeJoin"), um)
+    val corpusScans = "Scan parquet".r.findAllIn(um).size
+    assert(corpusScans == 1, s"expected 1 corpus scan, got $corpusScans\n$um")
+
+    // coverageSelect: the shingled corpus is checkpointed ONCE — the
+    // returned picks frame is driver rows (LocalTableScan), no lingering
+    // corpus lineage
+    val cs = executedPlan(graft.pipeline.Sampling.coverageSelect(
+      docs, "doc_id", "text", n = 3, k = 2))
+    assert(cs.contains("LocalTableScan"), cs)
+    assert(!cs.contains("Scan parquet"), cs)
+  }
+
   test("r10 correlated subqueries decorrelate: scalar -> aggregate join, " +
       "EXISTS/NOT EXISTS -> semi/anti joins") {
     val d = sf("sf0.001")
