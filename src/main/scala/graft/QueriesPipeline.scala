@@ -2911,6 +2911,34 @@ object QueriesPipeline {
           CAST(sum(n_toks) AS BIGINT) AS tokens
         FROM a GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // shard export manifest: per (stratum, shard) doc/token totals, id
+    // range, and an order-free xor-of-hashes membership fingerprint —
+    // what a training job validates before reading a shard; the oracle
+    // replays the dealing assignment and the exact integer fingerprint
+    ("pack_shard_manifest",
+      (s, d) => {
+        val docs = Tables.spread(s, Tables.documents(s, d))
+          .select(col("lang"), col("doc_id"),
+            size(TF.tokens(col("text"))).cast("long").as("n_toks"))
+        Packing.shardManifest(docs, Seq("lang"), "doc_id", "n_toks",
+            shards = 5)
+          .orderBy("lang", "shard")
+      },
+      Some(s"""WITH t AS (SELECT lang, doc_id, len($dToks) AS n_toks
+          FROM documents),
+        rk AS (SELECT lang, doc_id, n_toks, CAST(row_number() OVER (
+            PARTITION BY lang
+            ORDER BY n_toks DESC, doc_id ASC) - 1 AS BIGINT) AS r FROM t),
+        a AS (SELECT lang, doc_id, n_toks,
+            CASE WHEN (r // 5) % 2 = 0 THEN r % 5
+            ELSE 4 - (r % 5) END AS shard FROM rk)
+        SELECT lang, CAST(shard AS INT) AS shard,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+          min(doc_id) AS id_min, max(doc_id) AS id_max,
+          bit_xor(${dHash60("CAST(doc_id AS VARCHAR)")}) AS ids_fp
+        FROM a GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // Misra-Gries heavy hitters: top tokens via a bounded MERGEABLE
     // summary (≤ k counters per state, map-side partials — never a
     // vocabulary-sized shuffle). Capacity 64 > the corpus vocabulary, so

@@ -89,6 +89,25 @@ object Packing {
         .cast("int"))
   }
 
+  /** Per-shard export manifest over a [[shardBalance]] assignment: the
+    * artifact a training job validates before reading a shard — doc and
+    * token totals, the id range, and an ORDER-FREE membership
+    * fingerprint (`bit_xor` of each member id's 60-bit content hash, so
+    * any added/dropped/substituted document flips it, any row order or
+    * partitioning does not, and the accumulator is a single long —
+    * mergeable map-side at any scale, unlike a sorted-concat digest). */
+  def shardManifest(df: DataFrame, groupCols: Seq[String], idCol: String,
+      nCol: String, shards: Int): DataFrame =
+    shardBalance(df, groupCols, idCol, nCol, shards)
+      .withColumn("__h",
+        graft.functions.TextFunctions.hash60(col(idCol).cast("string")))
+      .groupBy((groupCols :+ "shard").map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(nCol)).as("n_tokens"),
+        min(col(idCol)).as("id_min"),
+        max(col(idCol)).as("id_max"),
+        expr("bit_xor(__h)").as("ids_fp"))
+
   /** Content-defined chunking (CDC): cut each document into variable-
     * size chunks at CONTENT-determined boundaries — a boundary falls
     * after every token whose hash is ≡ 0 (mod `mask`), giving chunks of

@@ -383,6 +383,30 @@ class PipelineSpec extends SparkSpec {
     assert(kept == Set((1L, 2L)), kept)
   }
 
+  test("shardManifest: fingerprint is order/partition-invariant and " +
+      "flips on any membership change") {
+    import graft.pipeline.Packing
+    val rows = (1L to 20L).map(i => ("a", i, 10L + i % 3))
+    val base = Packing.shardManifest(rows.toDF("g", "id", "n"),
+        Seq("g"), "id", "n", shards = 3)
+      .as[(String, Int, Long, Long, Long, Long, Long)].collect().toSet
+    // a different input order and partitioning yields identical manifests
+    val shuffled = Packing.shardManifest(
+        scala.util.Random.shuffle(rows).toDF("g", "id", "n").repartition(7),
+        Seq("g"), "id", "n", shards = 3)
+      .as[(String, Int, Long, Long, Long, Long, Long)].collect().toSet
+    assert(base == shuffled)
+    assert(base.map(_._2) == Set(0, 1, 2))
+    assert(base.toSeq.map(_._3).sum == 20L)
+    // substituting one member changes its shard's fingerprint
+    val swapped = Packing.shardManifest(
+        rows.map { case (g, i, n) => (g, if (i == 20L) 99L else i, n) }
+          .toDF("g", "id", "n"),
+        Seq("g"), "id", "n", shards = 3)
+      .as[(String, Int, Long, Long, Long, Long, Long)].collect().toSet
+    assert(base.map(_._7) != swapped.map(_._7))
+  }
+
   test("coverageSelect: greedy marginal-gain picks with ties to the " +
       "smallest id; exhaustion stops early") {
     import graft.pipeline.Sampling
