@@ -1760,6 +1760,72 @@ object QueriesCore {
           round((v - trend - seasonal) / 100.0, 6) + 0 AS remainder
         FROM j ORDER BY user_id, t""")),
 
+    ("events_lttb",
+      (s, d) => {
+        // true LTTB (Steinarsson 2013): sequential per-series recursion —
+        // each 2-day bucket keeps the point forming the largest triangle
+        // with the PREVIOUS selection and the next bucket's average;
+        // first/last always survive. Values pre-quantized to cents so the
+        // cross-multiplied doubled areas are exact integers; the oracle
+        // replays the recursion with correlated argmax subqueries
+        import graft.functions.{SeriesFunctions => SF}
+        val ev = Tables.events(s, d).filter(col("user_id") < 8)
+          .select(col("user_id"), col("ts_ns").as("t"),
+            floor(col("value") * 100 + 0.5).cast("double").as("vc"))
+        SF.lttbDownsample(ev, Seq("user_id"), "t", "vc",
+            bucketNs = 172800000000000L)
+          .select(col("user_id").cast("long").as("user_id"), col("t"),
+            (col("vc") / lit(100.0)).as("value"), col("endpoint"))
+          .orderBy("user_id", "t")
+      },
+      Some("""WITH RECURSIVE pts AS (SELECT user_id, epoch_ns(ts) AS t,
+            CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY epoch_ns(ts)) AS rn,
+            count(*) OVER (PARTITION BY user_id) AS n
+          FROM events WHERE user_id < 8),
+        fp AS (SELECT user_id, t, v FROM pts WHERE rn = 1),
+        lp AS (SELECT user_id, t, v FROM pts WHERE rn = n AND n >= 2),
+        cand AS (SELECT user_id, t, v,
+            dense_rank() OVER (PARTITION BY user_id
+              ORDER BY t // 172800000000000) - 1 AS bi
+          FROM pts WHERE rn > 1 AND rn < n),
+        na AS (SELECT user_id, bi, sum(t // 1000) AS st, sum(v) AS sv,
+            CAST(count(*) AS BIGINT) AS nn FROM cand GROUP BY 1, 2),
+        mx AS (SELECT user_id, max(bi) AS mb FROM cand GROUP BY 1),
+        candx AS (SELECT c.user_id, c.bi, c.t, c.v,
+            CAST(coalesce(na.st, lp.t // 1000) AS HUGEINT) AS nst,
+            CAST(coalesce(na.sv, lp.v) AS HUGEINT) AS nsv,
+            CAST(coalesce(na.nn, 1) AS HUGEINT) AS nn
+          FROM cand c
+          LEFT JOIN na ON na.user_id = c.user_id AND na.bi = c.bi + 1
+          JOIN lp ON lp.user_id = c.user_id),
+        sel(user_id, step, t, v) AS (
+          SELECT user_id, -1, t, v FROM fp
+          UNION ALL
+          SELECT s.user_id, s.step + 1,
+            (SELECT c.t FROM candx c
+              WHERE c.user_id = s.user_id AND c.bi = s.step + 1
+              ORDER BY abs((CAST(s.t // 1000 AS HUGEINT) * c.nn - c.nst)
+                  * (c.v - s.v)
+                - CAST(s.t // 1000 - c.t // 1000 AS HUGEINT)
+                  * (c.nsv - CAST(s.v AS HUGEINT) * c.nn)) DESC,
+                c.t ASC, c.v ASC LIMIT 1),
+            (SELECT c.v FROM candx c
+              WHERE c.user_id = s.user_id AND c.bi = s.step + 1
+              ORDER BY abs((CAST(s.t // 1000 AS HUGEINT) * c.nn - c.nst)
+                  * (c.v - s.v)
+                - CAST(s.t // 1000 - c.t // 1000 AS HUGEINT)
+                  * (c.nsv - CAST(s.v AS HUGEINT) * c.nn)) DESC,
+                c.t ASC, c.v ASC LIMIT 1)
+          FROM sel s JOIN mx ON mx.user_id = s.user_id
+          WHERE s.step + 1 <= mx.mb)
+        SELECT user_id, t, v / 100.0 AS value, endpoint FROM (
+          SELECT user_id, t, v, TRUE AS endpoint FROM fp
+          UNION ALL SELECT user_id, t, v, FALSE FROM sel WHERE step >= 0
+          UNION ALL SELECT user_id, t, v, TRUE FROM lp)
+        ORDER BY user_id, t""")),
+
     ("events_m4",
       (s, d) => {
         // M4 downsampling (Jugel et al., VLDB 2014): min/max/first/last

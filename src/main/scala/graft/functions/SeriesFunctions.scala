@@ -305,6 +305,95 @@ object SeriesFunctions {
         col("__m.t").as(timeCol), col("__m.v").as(valueCol)): _*)
   }
 
+  /** Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013, the
+    * canonical dashboard downsampler), adapted to fixed TIME buckets:
+    * the series' first and last points always survive; every other
+    * point is a candidate in its `t div bucketNs` bucket, and each
+    * bucket keeps the point forming the largest triangle with the
+    * PREVIOUS bucket's selected point and the NEXT bucket's average
+    * point (the last bucket uses the series' final point as its
+    * "next"). Unlike [[ltobDownsample]] (each point scored against its
+    * immediate neighbors — fully declarative), the previous-selection
+    * dependency makes LTTB a per-series sequential recursion, so it
+    * rides the documented `mapPartitions` scan (one shuffle on the key)
+    * with O(two buckets) state.
+    *
+    * Exactness contract (the [[ltobDownsample]] discipline): `valueCol`
+    * must be caller-pre-quantized to integral doubles (cents/micros);
+    * times are taken to µs grain for the area only. The doubled area is
+    * cross-multiplied by the next bucket's count — `|(q.t·n − Σt)·(p.v −
+    * q.v) − (q.t − p.t)·(Σv − q.v·n)|`, exact BigInt integers on this
+    * side and HUGEINT in any SQL replay — ties to the earliest
+    * candidate. Returns (keys…, timeCol, valueCol, endpoint). */
+  def lttbDownsample(df: DataFrame, keyCols: Seq[String], timeCol: String,
+      valueCol: String, bucketNs: Long): DataFrame = {
+    require(bucketNs > 0, "bucket must be positive")
+    scanSeriesFlush(df, keyCols, timeCol, valueCol)(() => new SeriesScanner {
+      private case class P(t: Long, v: Long)
+      private var first: P = null
+      private var pend: P = null // one-point lookahead: the series LAST
+      private var bufA = List.empty[P]; private var bktA = Long.MinValue
+      private var bufB = List.empty[P]; private var bktB = Long.MinValue
+      private var prev: P = null
+      private def us(t: Long): Long = t / 1000L
+      private def area2n(q: P, c: P, st: BigInt, sv: BigInt, n: Long): BigInt =
+        ((BigInt(us(q.t)) * n - st) * (c.v - q.v) -
+          BigInt(us(q.t) - us(c.t)) * (sv - BigInt(q.v) * n)).abs
+      private def pick(cands: List[P], st: BigInt, sv: BigInt,
+          n: Long): P =
+        cands.minBy(c => (-area2n(prev, c, st, sv, n), c.t, c.v))
+      private def bucketStats(b: List[P]): (BigInt, BigInt, Long) =
+        (b.iterator.map(p => BigInt(us(p.t))).sum,
+          b.iterator.map(p => BigInt(p.v)).sum, b.size.toLong)
+      private def finalizeA(nextSt: BigInt, nextSv: BigInt,
+          nextN: Long): List[(Long, Double, Boolean)] = {
+        val sel = pick(bufA.reverse, nextSt, nextSv, nextN)
+        prev = sel
+        List((sel.t, sel.v.toDouble, false))
+      }
+      private def candidate(c: P): List[(Long, Double, Boolean)] = {
+        val b = Math.floorDiv(c.t, bucketNs)
+        if (bufA.isEmpty && bufB.isEmpty) { bufA = c :: Nil; bktA = b; Nil }
+        else if (b == bktA && bufB.isEmpty) { bufA = c :: bufA; Nil }
+        else if (bufB.isEmpty || b == bktB) {
+          if (bufB.isEmpty) bktB = b
+          bufB = c :: bufB; Nil
+        } else { // b starts a third non-empty bucket: A is finalizable
+          val (st, sv, n) = bucketStats(bufB)
+          val out = finalizeA(st, sv, n)
+          bufA = bufB; bktA = bktB
+          bufB = c :: Nil; bktB = b
+          out
+        }
+      }
+      def step(t: Long, v: Double): List[(Long, Double, Boolean)] = {
+        val p = P(t, math.rint(v).toLong)
+        if (first == null) {
+          first = p; prev = p
+          List((p.t, p.v.toDouble, true))
+        } else if (pend == null) { pend = p; Nil }
+        else { val c = pend; pend = p; candidate(c) }
+      }
+      def finish(): List[(Long, Double, Boolean)] = {
+        if (pend == null) Nil // 1-point series: first already emitted
+        else {
+          val last = pend
+          val outA = if (bufA.nonEmpty) {
+            if (bufB.nonEmpty) {
+              val (st, sv, n) = bucketStats(bufB)
+              finalizeA(st, sv, n)
+            } else finalizeA(BigInt(us(last.t)), BigInt(last.v), 1L)
+          } else Nil
+          val outB = if (bufB.nonEmpty) {
+            bufA = bufB; bktA = bktB; bufB = Nil
+            finalizeA(BigInt(us(last.t)), BigInt(last.v), 1L)
+          } else Nil
+          outA ++ outB ++ List((last.t, last.v.toDouble, true))
+        }
+      }
+    })(valueCol, "endpoint")
+  }
+
   /** Chande momentum oscillator over the last `n` changes (InfluxQL
     * `chande_momentum_oscillator`): 100·(Σgains − Σlosses)/(Σgains +
     * Σlosses), emitted once a full window of `n` changes exists; a

@@ -376,6 +376,37 @@ class SeriesFunctionsSpec extends SparkSpec {
       ("b", 0L, 2000000000L, 2000000000L)))
   }
 
+  test("lttbDownsample: endpoints kept, one pick per bucket against the " +
+      "previous selection and next-bucket average; tiny series degrade") {
+    // series: first(0,0); bucket0 candidates (1s,100) & (2s,0);
+    // bucket1 candidates (11s,50) & (12s,60); last (21s,0).
+    // bucket0 scores vs prev=(0,0) and next-avg=((11.5s),55):
+    // (1s,100) area ~ |(0-11.5)(100-0) - (0-1)(55-0)|*2 >> (2s,0) ->
+    // picks (1s,100); bucket1 vs prev=(1s,100), next=last(21s,0):
+    // (11s,50): |(1-21)(50-100)-(1-11)(0-100)| = |1000-1000| = 0;
+    // (12s,60): |(1-21)(60-100)-(1-12)(0-100)| = |800-1100| = 300 ->
+    // picks (12s,60)
+    val s = Seq(
+      ("a", 0L, 0.0), ("a", 1000000000L, 100.0), ("a", 2000000000L, 0.0),
+      ("a", 11000000000L, 50.0), ("a", 12000000000L, 60.0),
+      ("a", 21000000000L, 0.0)).toDF("k", "t", "v")
+    val got = SF.lttbDownsample(s, Seq("k"), "t", "v",
+        bucketNs = 10000000000L)
+      .as[(String, Long, Double, Boolean)].collect().toSeq.sortBy(_._2)
+    assert(got == Seq(
+      ("a", 0L, 0.0, true),
+      ("a", 1000000000L, 100.0, false),
+      ("a", 12000000000L, 60.0, false),
+      ("a", 21000000000L, 0.0, true)), got)
+    // 1-point and 2-point series: endpoints only, nothing else
+    val tiny = Seq(("one", 5L, 1.0), ("two", 5L, 1.0), ("two", 9L, 2.0))
+      .toDF("k", "t", "v")
+    val t2 = SF.lttbDownsample(tiny, Seq("k"), "t", "v", bucketNs = 100L)
+      .as[(String, Long, Double, Boolean)].collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(t2 == Seq(("one", 5L, 1.0, true),
+      ("two", 5L, 1.0, true), ("two", 9L, 2.0, true)), t2)
+  }
+
   test("ltobDownsample: endpoints always survive, interior by max area") {
     // series a in one 10s bucket: first/last points get infinite area so
     // the bucket keeps ONE of them (tie on area -> earliest = t0)
