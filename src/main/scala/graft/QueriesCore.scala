@@ -758,6 +758,37 @@ object QueriesCore {
             AND c.click_time < e.error_time) WHERE rn = 1
         ORDER BY event_id""")),
 
+    // nearest as-of (kdb aj-family): each error attaches the click
+    // MINIMIZING |Δt| (strict on both sides, ties to the earlier click);
+    // one union + one key exchange + two window sorts — never the
+    // quadratic join+rank expansion the oracle spells
+    ("events_asof_nearest",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val err = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts_ns").as("error_time"))
+        val clk = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts_ns").as("click_time"),
+            col("value").as("click_value"))
+        AsOfJoin.nearest(err, clk, Seq("user_id"),
+            "error_time", "click_time", Seq("click_value"))
+          .filter(col("click_time").isNotNull) // inner: users with no click
+          .select("event_id", "error_time", "click_time", "click_value")
+          .orderBy("event_id")
+      },
+      Some("""WITH err AS (SELECT event_id, user_id, epoch_ns(ts) AS error_time
+          FROM events WHERE event_type = 'error'),
+        clk AS (SELECT user_id, epoch_ns(ts) AS click_time, value AS click_value
+          FROM events WHERE event_type = 'click')
+        SELECT event_id, error_time, click_time, click_value FROM (
+          SELECT e.event_id, e.error_time, c.click_time, c.click_value,
+            row_number() OVER (PARTITION BY e.event_id
+              ORDER BY abs(c.click_time - e.error_time) ASC,
+                c.click_time ASC) AS rn
+          FROM err e JOIN clk c ON c.user_id = e.user_id
+            AND c.click_time != e.error_time) WHERE rn = 1
+        ORDER BY event_id""")),
+
     // ordered funnel (view -> click -> purchase, strictly increasing time
     // per user): each stage is "earliest qualifying event AFTER the
     // previous stage's time" — min-aggregate per user, then a keyed join

@@ -45,4 +45,69 @@ object AsOfJoin {
         (col("__m.__rt").as(rightTimeCol) +:
           payloadCols.map(c => col(s"__m.__p_$c").as(c))): _*)
   }
+
+  /** Forward as-of: for every left row, the EARLIEST right row with
+    * `rightTime > leftTime` (strict) sharing the keys — the mirror of
+    * [[backward]] with the same union+window shape. Right rows order
+    * BEFORE left rows on equal timestamps, which is exactly the strict
+    * `>` semantics. */
+  def forward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTimeCol: String, rightTimeCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "need at least one right payload column")
+    val leftCols = left.columns.toSeq
+    val l = left.withColumn("__t", col(leftTimeCol)).withColumn("__side", lit(1))
+    val r = right.select(
+      keyCols.map(col) ++ Seq(col(rightTimeCol).as("__t"), lit(0).as("__side")) ++
+        payloadCols.map(c => col(c).as(s"__p_$c")): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val carried = struct(col("__t").as("__rt") +: payloadCols.map(c => col(s"__p_$c")): _*)
+    val matched = unioned.withColumn("__m",
+      first(when(col("__side") === 0, carried), ignoreNulls = true).over(w))
+    matched.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        (col("__m.__rt").as(rightTimeCol) +:
+          payloadCols.map(c => col(s"__m.__p_$c").as(c))): _*)
+  }
+
+  /** Nearest as-of: the right row MINIMIZING `|rightTime − leftTime|`
+    * (strict on both sides — an exactly-equal timestamp matches neither
+    * direction, keeping the two passes' semantics symmetric), ties to
+    * the EARLIER (backward) match. One union, one key exchange, two
+    * window sorts (the equal-timestamp strictness of `<` and `>` needs
+    * opposite tie orders, so the two carries cannot share one sort) —
+    * still never the quadratic join+rank expansion. */
+  def nearest(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTimeCol: String, rightTimeCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "need at least one right payload column")
+    val leftCols = left.columns.toSeq
+    val l = left.withColumn("__t", col(leftTimeCol)).withColumn("__side", lit(0))
+    val r = right.select(
+      keyCols.map(col) ++ Seq(col(rightTimeCol).as("__t"), lit(1).as("__side")) ++
+        payloadCols.map(c => col(c).as(s"__p_$c")): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val carried = struct(col("__t").as("__rt") +: payloadCols.map(c => col(s"__p_$c")): _*)
+    val wb = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wf = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t"), col("__side").desc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val m = unioned
+      .withColumn("__mb",
+        last(when(col("__side") === 1, carried), ignoreNulls = true).over(wb))
+      .withColumn("__mf",
+        first(when(col("__side") === 1, carried), ignoreNulls = true).over(wf))
+    val pickB = col("__mb").isNotNull && (col("__mf").isNull ||
+      (col("__t") - col("__mb.__rt")) <= (col("__mf.__rt") - col("__t")))
+    m.filter(col("__side") === 0)
+      .withColumn("__m", when(pickB, col("__mb")).otherwise(col("__mf")))
+      .select(leftCols.map(col) ++
+        (col("__m.__rt").as(rightTimeCol) +:
+          payloadCols.map(c => col(s"__m.__p_$c").as(c))): _*)
+  }
 }

@@ -31,4 +31,35 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
     assert("Exchange".r.findAllIn(plan).size == 1, plan)
   }
+
+  test("forward as-of: earliest right strictly after each left row") {
+    val out = AsOfJoin.forward(trades, quotes, Seq("sym"), "tt", "qt", Seq("px"))
+      .orderBy("sym", "tt")
+      .collect().map(r => (r.getAs[String]("sym"), r.getAs[Long]("tt"),
+        Option(r.getAs[Any]("px"))))
+    assert(out.toSeq == Seq(
+      ("A", 5L, Some(1.0)),
+      ("A", 20L, Some(3.0)),    // STRICT >: the t=20 quote does not match
+      ("A", 25L, Some(3.0)),
+      ("B", 100L, None),        // nothing after t=100
+      ("C", 50L, None)))
+  }
+
+  test("nearest as-of: min |Δt| with ties to the earlier match, strict " +
+      "on equal timestamps; plan stays one shuffle, no join") {
+    val out = AsOfJoin.nearest(trades, quotes, Seq("sym"), "tt", "qt", Seq("px"))
+      .orderBy("sym", "tt")
+      .collect().map(r => (r.getAs[String]("sym"), r.getAs[Long]("tt"),
+        Option(r.getAs[Any]("px"))))
+    assert(out.toSeq == Seq(
+      ("A", 5L, Some(1.0)),     // only forward exists
+      ("A", 20L, Some(1.0)),    // equal-t quote excluded; 10 vs 30 tie -> earlier
+      ("A", 25L, Some(2.0)),    // |25-20| = |25-30| tie -> earlier (20)
+      ("B", 100L, Some(9.0)),   // only backward exists
+      ("C", 50L, None)))
+    val plan = AsOfJoin.nearest(trades, quotes, Seq("sym"), "tt", "qt", Seq("px"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+  }
 }
