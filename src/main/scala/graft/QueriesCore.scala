@@ -789,6 +789,42 @@ object QueriesCore {
             AND c.click_time != e.error_time) WHERE rn = 1
         ORDER BY event_id""")),
 
+    // toleranced as-of (pandas merge_asof's tolerance knob): a prior
+    // click older than 1 hour is NO match — stale context must not
+    // attach to an error; same union+window shape, the tolerance is one
+    // projection over the carried match
+    ("events_asof_tolerance",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val err = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts_ns").as("error_time"))
+        val clk = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts_ns").as("click_time"),
+            col("value").as("click_value"))
+        AsOfJoin.backward(err, clk, Seq("user_id"),
+            "error_time", "click_time", Seq("click_value"),
+            toleranceNs = Some(3600L * 1000000000L))
+          .select(col("event_id"), col("error_time"),
+            col("click_time"), col("click_value"),
+            col("click_time").isNotNull.as("matched"))
+          .orderBy("event_id")
+      },
+      Some("""WITH err AS (SELECT event_id, user_id, epoch_ns(ts) AS error_time
+          FROM events WHERE event_type = 'error'),
+        clk AS (SELECT user_id, epoch_ns(ts) AS click_time, value AS click_value
+          FROM events WHERE event_type = 'click'),
+        m AS (SELECT event_id, error_time, click_time, click_value FROM (
+          SELECT e.event_id, e.error_time, c.click_time, c.click_value,
+            row_number() OVER (PARTITION BY e.event_id
+              ORDER BY c.click_time DESC) AS rn
+          FROM err e JOIN clk c ON c.user_id = e.user_id
+            AND c.click_time < e.error_time
+            AND e.error_time - c.click_time <= 3600000000000) WHERE rn = 1)
+        SELECT e.event_id, e.error_time, m.click_time, m.click_value,
+          m.click_time IS NOT NULL AS matched
+        FROM err e LEFT JOIN m ON m.event_id = e.event_id
+        ORDER BY e.event_id""")),
+
     // ordered funnel (view -> click -> purchase, strictly increasing time
     // per user): each stage is "earliest qualifying event AFTER the
     // previous stage's time" — min-aggregate per user, then a keyed join

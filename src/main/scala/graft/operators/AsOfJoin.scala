@@ -24,8 +24,9 @@ object AsOfJoin {
 
   def backward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTimeCol: String, rightTimeCol: String,
-      payloadCols: Seq[String]): DataFrame = {
+      payloadCols: Seq[String], toleranceNs: Option[Long] = None): DataFrame = {
     require(payloadCols.nonEmpty, "need at least one right payload column")
+    require(toleranceNs.forall(_ >= 0), "tolerance must be >= 0")
     val leftCols = left.columns.toSeq
     val l = left.withColumn("__t", col(leftTimeCol)).withColumn("__side", lit(0))
     val r = right.select(
@@ -40,7 +41,12 @@ object AsOfJoin {
     val matched = unioned.withColumn("__m",
       last(when(col("__side") === 1, carried), ignoreNulls = true).over(w))
 
-    matched.filter(col("__side") === 0)
+    // merge_asof-style tolerance: a match farther back than toleranceNs
+    // is no match at all (the carried payload nulls out, like a miss)
+    val tol = toleranceNs.map(t => matched.withColumn("__m",
+      when(col("__t") - col("__m.__rt") <= t, col("__m"))))
+      .getOrElse(matched)
+    tol.filter(col("__side") === 0)
       .select(leftCols.map(col) ++
         (col("__m.__rt").as(rightTimeCol) +:
           payloadCols.map(c => col(s"__m.__p_$c").as(c))): _*)
@@ -53,8 +59,9 @@ object AsOfJoin {
     * `>` semantics. */
   def forward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTimeCol: String, rightTimeCol: String,
-      payloadCols: Seq[String]): DataFrame = {
+      payloadCols: Seq[String], toleranceNs: Option[Long] = None): DataFrame = {
     require(payloadCols.nonEmpty, "need at least one right payload column")
+    require(toleranceNs.forall(_ >= 0), "tolerance must be >= 0")
     val leftCols = left.columns.toSeq
     val l = left.withColumn("__t", col(leftTimeCol)).withColumn("__side", lit(1))
     val r = right.select(
@@ -67,7 +74,10 @@ object AsOfJoin {
     val carried = struct(col("__t").as("__rt") +: payloadCols.map(c => col(s"__p_$c")): _*)
     val matched = unioned.withColumn("__m",
       first(when(col("__side") === 0, carried), ignoreNulls = true).over(w))
-    matched.filter(col("__side") === 1)
+    val tol = toleranceNs.map(t => matched.withColumn("__m",
+      when(col("__m.__rt") - col("__t") <= t, col("__m"))))
+      .getOrElse(matched)
+    tol.filter(col("__side") === 1)
       .select(leftCols.map(col) ++
         (col("__m.__rt").as(rightTimeCol) +:
           payloadCols.map(c => col(s"__m.__p_$c").as(c))): _*)
@@ -82,8 +92,9 @@ object AsOfJoin {
     * still never the quadratic join+rank expansion. */
   def nearest(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTimeCol: String, rightTimeCol: String,
-      payloadCols: Seq[String]): DataFrame = {
+      payloadCols: Seq[String], toleranceNs: Option[Long] = None): DataFrame = {
     require(payloadCols.nonEmpty, "need at least one right payload column")
+    require(toleranceNs.forall(_ >= 0), "tolerance must be >= 0")
     val leftCols = left.columns.toSeq
     val l = left.withColumn("__t", col(leftTimeCol)).withColumn("__side", lit(0))
     val r = right.select(
@@ -97,11 +108,19 @@ object AsOfJoin {
     val wf = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__t"), col("__side").desc)
       .rowsBetween(1, Window.unboundedFollowing)
-    val m = unioned
+    val m0 = unioned
       .withColumn("__mb",
         last(when(col("__side") === 1, carried), ignoreNulls = true).over(wb))
       .withColumn("__mf",
         first(when(col("__side") === 1, carried), ignoreNulls = true).over(wf))
+    // tolerance prunes each DIRECTION's candidate before the pick — a
+    // beyond-tolerance near side must not shadow an in-tolerance far side
+    val m = toleranceNs.map(t => m0
+      .withColumn("__mb",
+        when(col("__t") - col("__mb.__rt") <= t, col("__mb")))
+      .withColumn("__mf",
+        when(col("__mf.__rt") - col("__t") <= t, col("__mf"))))
+      .getOrElse(m0)
     val pickB = col("__mb").isNotNull && (col("__mf").isNull ||
       (col("__t") - col("__mb.__rt")) <= (col("__mf.__rt") - col("__t")))
     m.filter(col("__side") === 0)

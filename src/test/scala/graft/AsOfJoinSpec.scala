@@ -62,4 +62,30 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
     assert("Exchange".r.findAllIn(plan).size == 1, plan)
   }
+
+  test("tolerance: a beyond-tolerance match nulls out; nearest prunes " +
+      "each direction before the pick") {
+    // backward with tolerance 5: trade A@25 matched quote@20 (Δ=5 ok);
+    // trade B@100 matched quote@15 (Δ=85) -> nulled
+    val b = AsOfJoin.backward(trades, quotes, Seq("sym"), "tt", "qt",
+        Seq("px"), toleranceNs = Some(5L))
+      .orderBy("sym", "tt")
+      .collect().map(r => (r.getAs[String]("sym"), r.getAs[Long]("tt"),
+        Option(r.getAs[Any]("px"))))
+    assert(b.toSeq == Seq(
+      ("A", 5L, None), ("A", 20L, None), // Δ=10 > 5
+      ("A", 25L, Some(2.0)),
+      ("B", 100L, None), ("C", 50L, None)))
+    // nearest with tolerance 5: A@25 keeps both directions in range and
+    // ties to earlier; A@5 keeps the forward quote@10 (Δ=5)
+    val n = AsOfJoin.nearest(trades, quotes, Seq("sym"), "tt", "qt",
+        Seq("px"), toleranceNs = Some(5L))
+      .orderBy("sym", "tt")
+      .collect().map(r => (r.getAs[String]("sym"), r.getAs[Long]("tt"),
+        Option(r.getAs[Any]("px"))))
+    assert(n.toSeq == Seq(
+      ("A", 5L, Some(1.0)), ("A", 20L, None), // both directions Δ=10
+      ("A", 25L, Some(2.0)),
+      ("B", 100L, None), ("C", 50L, None)))
+  }
 }
