@@ -2911,6 +2911,46 @@ object QueriesPipeline {
           CAST(sum(n_toks) AS BIGINT) AS tokens
         FROM a GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // per-source lexical diversity audit: type-token ratio and Simpson
+    // repeat-probability over the token distribution — the vocabulary
+    // health dial (a source whose Simpson index spikes is template spam
+    // even when per-doc repetition looks clean). Exact rational
+    // arithmetic on integer counts, one token aggregate per source
+    ("text_diversity",
+      (s, d) => {
+        val counts = Tables.spread(s, Tables.documents(s, d))
+          .select(col("source"), explode(TF.tokens(col("text"))).as("t"))
+          .filter(length(col("t")) >= 1)
+          .groupBy("source", "t").agg(count(lit(1)).as("n"))
+        counts.groupBy("source")
+          .agg(sum("n").as("n_tokens"),
+            count(lit(1)).as("n_vocab"),
+            // decimal(38,0): the repeat-pair sum is Σ n(n−1) ≤ N², which
+            // a long cannot hold at corpus scale (DuckDB's twin sums in
+            // HUGEINT)
+            sum((col("n") * (col("n") - 1)).cast("decimal(38,0)"))
+              .as("__rep"))
+          .select(col("source"), col("n_tokens"), col("n_vocab"),
+            round(col("n_vocab") / col("n_tokens"), 6).as("ttr"),
+            // DOUBLE products: the long·long denominator would overflow
+            // 2^63 past ~3e9 tokens per source (the temperatureMix rule)
+            round(col("__rep").cast("double") /
+              (col("n_tokens").cast("double") *
+                (col("n_tokens") - 1).cast("double")), 6).as("simpson"))
+          .orderBy("source")
+      },
+      Some(s"""WITH occ AS (SELECT source, unnest(w) AS t
+          FROM (SELECT source, $dToks AS w FROM documents)),
+        cnt AS (SELECT source, t, count(*) AS n FROM occ
+          WHERE length(t) >= 1 GROUP BY 1, 2)
+        SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+          CAST(count(*) AS BIGINT) AS n_vocab,
+          round(count(*) / sum(n), 6) AS ttr,
+          round(CAST(sum(n * (n - 1)) AS DOUBLE)
+            / (CAST(sum(n) AS DOUBLE) * CAST(sum(n) - 1 AS DOUBLE)), 6)
+            AS simpson
+        FROM cnt GROUP BY 1 ORDER BY 1""")),
+
     // shard export manifest: per (stratum, shard) doc/token totals, id
     // range, and an order-free xor-of-hashes membership fingerprint —
     // what a training job validates before reading a shard; the oracle
