@@ -1404,6 +1404,44 @@ object QueriesPipeline {
         FROM bk JOIN ratio USING (bk)
         GROUP BY bk.doc_id ORDER BY doc_id""")),
 
+    // effective-sample-size audit of quality-weighted sampling, per
+    // source: ESS = (Σw)²/Σw² over the integer-ppm quality weights —
+    // the sanity dial every importance-weighted pipeline reads before
+    // trusting its weights (ESS/n near 1 = weights barely matter, near
+    // 1/n = one document dominates). Weight sums are exact integer
+    // aggregates (decimal(38,0) / HUGEINT); the ESS is single IEEE ops
+    // over identical operands on both engines
+    ("corpus_ess_report",
+      (s, d) => {
+        val w = Tables.spread(s, Tables.documents(s, d))
+          .select(col("source"),
+            floor(TF.qualityScore(col("text")) * lit(1e6) + lit(0.5))
+              .cast("long").as("w"))
+        w.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("w").cast("decimal(38,0)")).as("__sw"),
+            sum((col("w") * col("w")).cast("decimal(38,0)")).as("__sw2"))
+          .select(col("source"), col("n_docs"),
+            round((col("__sw").cast("double") * col("__sw").cast("double"))
+              / col("__sw2").cast("double"), 6).as("ess"),
+            round((col("__sw").cast("double") * col("__sw").cast("double"))
+              / col("__sw2").cast("double") / col("n_docs"), 6)
+              .as("ess_frac"))
+          .orderBy("source")
+      },
+      Some(s"""WITH w AS (SELECT source,
+          CAST(floor($dQuality * 1000000.0 + 0.5) AS BIGINT) AS w
+          FROM documents),
+        a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            sum(w) AS sw, sum(w * w) AS sw2
+          FROM w GROUP BY 1)
+        SELECT source, n_docs,
+          round((CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE))
+            / CAST(sw2 AS DOUBLE), 6) AS ess,
+          round((CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE))
+            / CAST(sw2 AS DOUBLE) / n_docs, 6) AS ess_frac
+        FROM a ORDER BY source""")),
+
     // per-source LM drift: mean bits-per-bigram by source — the corpus
     // health dashboard row that catches a source going garbled or
     // boilerplate between builds; per-doc bits micro-quantized so the
