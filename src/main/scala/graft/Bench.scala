@@ -35,7 +35,13 @@ object Bench {
     // Per-pass totals go into the JSON artifact so contamination of any
     // single pass is visible in the record itself.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
+    // Profiling filter: SPARK_GRAFT_ONLY=name1,name2 restricts the run to
+    // the named queries (local iteration on a hot query without paying the
+    // full suite). Absent in the driver's environment → full suite.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // Locale.ROOT pins the decimal separator: String.format uses the JVM
     // default locale, which under e.g. de_DE would print commas and make
     // the JSON line unparseable.
@@ -142,10 +148,18 @@ object Bench {
         .collect { case pat(n) => n.toInt }
       if (ns.isEmpty) "" else f"_r${ns.max + 1}%02d"
     } catch { case _: Throwable => "" })
-    val detailName = s"bench_detail$roundTag.json"
+    // A filtered profiling run must never clobber the round's full-suite
+    // sidecars — route it to a scratch name instead.
+    val detailName =
+      if (only.isDefined) "bench_detail_filtered.json"
+      else s"bench_detail$roundTag.json"
     val compact = s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$famTotals,"n_queries":${byQuery.size},"n_failed":${failed.size},"failed":$failedCapped,"passes":${samples.size},"pass_totals":$passTotals,"sf":"$sfDir","detail":"$detailName"}"""
-    // bench_detail.json stays as the stable latest-run pointer
-    Seq(detailName, "bench_detail.json").distinct.foreach { f =>
+    // bench_detail.json stays as the stable latest-run pointer (not for
+    // filtered profiling runs, which would replace it with a partial map)
+    val sidecars =
+      if (only.isDefined) Seq(detailName)
+      else Seq(detailName, "bench_detail.json").distinct
+    sidecars.foreach { f =>
       try java.nio.file.Files.write(java.nio.file.Paths.get(f),
         (detail + "\n").getBytes("UTF-8"))
       catch { case e: Throwable =>

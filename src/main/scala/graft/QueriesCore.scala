@@ -2830,6 +2830,149 @@ object QueriesCore {
             AS rate
         FROM f ORDER BY user_id, time""")),
 
+    ("events_predict_linear",
+      (s, d) => {
+        // PromQL predict_linear()/deriv(): per-series OLS over 6h bucket
+        // sums (integer cents), evaluated 4 buckets past the last point.
+        // Slope and prediction are ratios of exact decimal(38,0) integer
+        // polynomials — one final IEEE division each (see
+        // SeriesFunctions.predictLinear); x is re-based to the global min
+        // bucket so the co-moment magnitudes stay tiny at any corpus size
+        import graft.functions.{SeriesFunctions => SF}
+        val b = Tables.events(s, d).filter(col("user_id") < 50)
+          .select(col("user_id"), expr("ts_ns div 21600000000000").as("hr"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy("user_id", "hr").agg(sum("cents").as("y"))
+        val base = b.agg(min("hr").as("__h0"))
+        val xed = b.crossJoin(broadcast(base))
+          .select(col("user_id"), (col("hr") - col("__h0")).as("x"), col("y"))
+        SF.predictLinear(xed, Seq("user_id"), "x", "y", horizon = 4L)
+          .select(col("user_id"), col("n"),
+            round(col("slope"), 6).as("slope"),
+            round(col("predicted"), 6).as("predicted"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id,
+            epoch_ns(ts) // 21600000000000 AS hr,
+            CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE user_id < 50),
+        b AS (SELECT user_id, hr, sum(cents) AS y FROM e GROUP BY 1, 2),
+        m AS (SELECT min(hr) AS h0 FROM b),
+        x AS (SELECT user_id, hr - h0 AS x, y FROM b CROSS JOIN m),
+        g AS (SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
+            CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+            CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+            CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+            max(x) AS xmax
+          FROM x GROUP BY 1),
+        t AS (SELECT user_id, n, n * sxx - sx * sx AS den,
+            n * sxy - sx * sy AS snum, sy * sxx - sx * sxy AS inum, xmax
+          FROM g)
+        SELECT user_id, CAST(n AS BIGINT) AS n,
+          round(CASE WHEN den != 0
+            THEN CAST(snum AS DOUBLE) / CAST(den AS DOUBLE) END, 6) AS slope,
+          round(CASE WHEN den != 0
+            THEN CAST(inum + snum * (xmax + 4) AS DOUBLE)
+              / CAST(den AS DOUBLE) END, 6) AS predicted
+        FROM t ORDER BY user_id""")),
+
+    ("events_acf",
+      (s, d) => {
+        // autocorrelation at lags 1..3 per user over 6h bucket sums — the
+        // seasonality probe next to seasonalDecompose. Bucket keys are
+        // unique per series (lag order is total), values are integer
+        // cents, and each r_k is one division of exact decimal(38,0)
+        // polynomials (see SeriesFunctions.acf)
+        import graft.functions.{SeriesFunctions => SF}
+        val b = Tables.events(s, d).filter(col("user_id") < 30)
+          .select(col("user_id"), expr("ts_ns div 21600000000000").as("hr"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy("user_id", "hr").agg(sum("cents").as("y"))
+        SF.acf(b, Seq("user_id"), "hr", "y", maxLag = 3)
+          .select(col("user_id"), col("n"),
+            round(col("acf1"), 6).as("acf1"),
+            round(col("acf2"), 6).as("acf2"),
+            round(col("acf3"), 6).as("acf3"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id,
+            epoch_ns(ts) // 21600000000000 AS hr,
+            CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE user_id < 30),
+        b AS (SELECT user_id, hr, sum(cents) AS y FROM e GROUP BY 1, 2),
+        l AS (SELECT user_id, y,
+            lag(y, 1) OVER w AS l1, lag(y, 2) OVER w AS l2,
+            lag(y, 3) OVER w AS l3
+          FROM b WINDOW w AS (PARTITION BY user_id ORDER BY hr)),
+        g AS (SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
+            CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS s,
+            CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+            CAST(sum(CASE WHEN l1 IS NOT NULL
+              THEN CAST(y AS HUGEINT) * l1 END) AS HUGEINT) AS p1,
+            CAST(sum(CASE WHEN l1 IS NOT NULL
+              THEN CAST(y AS HUGEINT) END) AS HUGEINT) AS a1,
+            CAST(sum(CAST(l1 AS HUGEINT)) AS HUGEINT) AS b1,
+            CAST(count(l1) AS HUGEINT) AS m1,
+            CAST(sum(CASE WHEN l2 IS NOT NULL
+              THEN CAST(y AS HUGEINT) * l2 END) AS HUGEINT) AS p2,
+            CAST(sum(CASE WHEN l2 IS NOT NULL
+              THEN CAST(y AS HUGEINT) END) AS HUGEINT) AS a2,
+            CAST(sum(CAST(l2 AS HUGEINT)) AS HUGEINT) AS b2,
+            CAST(count(l2) AS HUGEINT) AS m2,
+            CAST(sum(CASE WHEN l3 IS NOT NULL
+              THEN CAST(y AS HUGEINT) * l3 END) AS HUGEINT) AS p3,
+            CAST(sum(CASE WHEN l3 IS NOT NULL
+              THEN CAST(y AS HUGEINT) END) AS HUGEINT) AS a3,
+            CAST(sum(CAST(l3 AS HUGEINT)) AS HUGEINT) AS b3,
+            CAST(count(l3) AS HUGEINT) AS m3
+          FROM l GROUP BY 1)
+        SELECT user_id, CAST(n AS BIGINT) AS n,
+          round(CASE WHEN n * n * syy - n * s * s != 0
+            THEN CAST(n * n * p1 - n * s * (a1 + b1) + m1 * s * s AS DOUBLE)
+              / CAST(n * n * syy - n * s * s AS DOUBLE) END, 6) AS acf1,
+          round(CASE WHEN n * n * syy - n * s * s != 0
+            THEN CAST(n * n * p2 - n * s * (a2 + b2) + m2 * s * s AS DOUBLE)
+              / CAST(n * n * syy - n * s * s AS DOUBLE) END, 6) AS acf2,
+          round(CASE WHEN n * n * syy - n * s * s != 0
+            THEN CAST(n * n * p3 - n * s * (a3 + b3) + m3 * s * s AS DOUBLE)
+              / CAST(n * n * syy - n * s * s AS DOUBLE) END, 6) AS acf3
+        FROM g ORDER BY user_id""")),
+
+    ("events_hdr_quantiles",
+      (s, d) => {
+        // HDR-histogram log-linear quantile sketch per event type — the
+        // mergeable at-scale quantile path (vs events_histogram_quantile's
+        // fixed explicit bounds). Bucketing is pure integer math (bit
+        // length + power-of-two scaling — no libm anywhere), the rank
+        // pick is an exact integer cross-multiplication
+        import graft.functions.{InfluxAggregates => IA}
+        val ev = Tables.events(s, d)
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val sk = IA.hdrSketch(ev, Seq("event_type"), "cents", subBits = 5)
+        IA.hdrQuantiles(sk, Seq("event_type"), Seq(50, 90, 99), out = "est")
+          .orderBy("event_type", "pct")
+      },
+      Some("""WITH e AS (SELECT event_type,
+            CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE CAST(round(value * 100) AS BIGINT) > 0),
+        u AS (SELECT event_type, c, length(bin(c)) - 1 AS msb FROM e),
+        v AS (SELECT event_type, msb, CAST(floor(CAST(c * 32 AS DOUBLE)
+            / power(2.0, msb)) AS BIGINT) AS m FROM u),
+        s AS (SELECT event_type, msb * 32 + m - 32 AS idx,
+            power(2.0, msb) * (2 * m + 1) / 64.0 AS rep,
+            CAST(count(*) AS BIGINT) AS n
+          FROM v GROUP BY 1, 2, 3),
+        w AS (SELECT event_type, idx, rep, n,
+            sum(n) OVER (PARTITION BY event_type ORDER BY idx) AS cum,
+            sum(n) OVER (PARTITION BY event_type) AS tot
+          FROM s),
+        p AS (SELECT unnest([50, 90, 99]) AS pct)
+        SELECT event_type, pct, rep AS est, CAST(tot AS BIGINT) AS n_total
+        FROM w CROSS JOIN p
+        WHERE cum * 100 >= tot * pct AND (cum - n) * 100 < tot * pct
+        ORDER BY event_type, pct""")),
+
     ("events_gaps",
       (s, d) => {
         // outage detection: inter-arrival spans over 24h per user series

@@ -3359,6 +3359,51 @@ object QueriesPipeline {
           round((n_vecs * k) / tt, 6) AS balance
         FROM lists CROSS JOIN t ORDER BY c_id""")),
 
+    // range (radius) search — the OTHER query shape every vector store
+    // exposes next to k-NN: all matches above a similarity floor, with a
+    // data-dependent hit count (near-dup discovery, similarity joins).
+    // Served against the prebuilt IVF index: probes broadcast onto the
+    // never-re-shuffled index, the verdict is an exact integer-micro
+    // threshold — no ranking state at all. Oracle replays assign ->
+    // probe -> in-list threshold
+    ("ann_range_search",
+      (s, d) => {
+        val emb = qEmb(s, d)
+        val centroids = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+        val index = Similarity.ivfIndex(emb, centroids, microRank = true)
+        val q = emb.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.ivfRangeIndexed(index, centroids, q,
+            minCosMicro = 200000L, nprobe = 3)
+          .select(col("q_id"), col("neighbor_id"),
+            (col("cos_micro") / lit(1e6)).as("cos"))
+          .orderBy("q_id", "neighbor_id")
+      },
+      Some(s"""WITH $dEmbMicro,
+        c AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id % 50 = 0),
+        cosvc AS (SELECT v.vec_id, c.c_id,
+            ${dCosMicroI("v.e", "c.ce")} AS aff
+          FROM v CROSS JOIN c),
+        assign AS (SELECT vec_id, c_id FROM (SELECT vec_id, c_id,
+            row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, c_id ASC) AS rn
+          FROM cosvc) WHERE rn = 1),
+        q AS (SELECT vec_id AS q_id, e AS qe FROM v
+          WHERE vec_id >= 10 AND vec_id < 15),
+        probes AS (SELECT q_id, c_id FROM (SELECT q.q_id, c.c_id,
+            row_number() OVER (PARTITION BY q.q_id
+              ORDER BY ${dCosMicroI("q.qe", "c.ce")} DESC,
+              c.c_id ASC) AS rn
+          FROM q CROSS JOIN c) WHERE rn <= 3),
+        cand AS (SELECT p.q_id, a.vec_id FROM probes p JOIN assign a ON a.c_id = p.c_id),
+        scored AS (SELECT cand.q_id, cand.vec_id AS neighbor_id,
+            ${dCosMicroI("v.e", "q.qe")} AS qm
+          FROM cand JOIN v ON v.vec_id = cand.vec_id JOIN q ON q.q_id = cand.q_id
+          WHERE cand.vec_id != cand.q_id)
+        SELECT q_id, neighbor_id, qm / 1000000.0 AS cos
+        FROM scored WHERE qm >= 200000
+        ORDER BY q_id, neighbor_id""")),
+
     // filtered vector search (label/ACL/date predicates — the variant
     // every vector store exposes): the filterable attribute is carried
     // INTO the IVF index at build time (ivfIndex carryCols), so the

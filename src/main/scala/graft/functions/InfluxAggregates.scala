@@ -191,4 +191,81 @@ object InfluxAggregates {
       .filter(col("__rk") <= n)
       .drop("__rk")
   }
+
+  /** HDR-histogram-style log-linear sketch over a POSITIVE INTEGER value
+    * column (the at-scale quantile path: fixed-size, mergeable bucket
+    * counts — the thing DDSketch/HdrHistogram serve where an exact
+    * percentile would need a full sort). Bucket layout: octave
+    * `msb = ⌊log₂ x⌋` with `subBits`-bit linear sub-buckets, i.e.
+    * `idx = msb·2^subBits + (⌊x·2^subBits / 2^msb⌋ − 2^subBits)`;
+    * relative error ≤ 2^−(subBits+1) per bucket. Unlike γ-log sketches
+    * the bucketing NEVER touches libm: `msb` is the bit length of an
+    * integer (`length(bin(x)) − 1`, exact in any engine) and the
+    * sub-bucket divide is by a power of two — an exponent shift, exact
+    * in IEEE for any x·2^subBits < 2⁵³.
+    *
+    * Returns one row per (keys..., idx) with the count and the exact
+    * midpoint representative `rep = 2^msb·(2·sub + 1) / 2^(subBits+1)`
+    * (a dyadic rational — exact double). Counts merge by addition across
+    * chunks/streams/shards, so the sketch is a metadata-sized mergeable
+    * state at any corpus size. */
+  def hdrSketch(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      subBits: Int = 5): DataFrame = {
+    require(subBits >= 1 && subBits <= 16, s"subBits out of [1,16]: $subBits")
+    val keys = keyCols.map(col)
+    val sub = 1L << subBits
+    val x = col(valueCol).cast("long")
+    val msb = (length(bin(x)) - 1).cast("long")
+    // x·2^subBits / 2^msb: the numerator is an exact long (x < 2^47 for
+    // subBits=5 keeps it < 2^53); dividing a double by a power of two
+    // only shifts the exponent, so floor() sees an exact value
+    val m = floor((x * lit(sub)).cast("double") / pow(lit(2.0), msb.cast("double")))
+      .cast("long")
+    val idx = msb * lit(sub) + (m - lit(sub))
+    // bucket spans [2^msb·m/2^subBits, 2^msb·(m+1)/2^subBits); midpoint
+    // = 2^msb·(2m+1)/2^(subBits+1), a dyadic rational — exact in f64
+    val rep = pow(lit(2.0), msb.cast("double")) *
+      (lit(2L) * m + lit(1L)).cast("double") / lit(2.0 * sub)
+    df.filter(x > 0)
+      .withColumn("__idx", idx).withColumn("__rep", rep)
+      .groupBy(keys :+ col("__idx") :+ col("__rep"): _*)
+      .agg(count(lit(1)).as("n"))
+      .select(keys ++ Seq(col("__idx").as("idx"), col("__rep").as("rep"),
+        col("n")): _*)
+  }
+
+  /** Quantile estimates from an [[hdrSketch]]: for each requested
+    * quantile `pct/100`, the representative of the first bucket (by idx)
+    * whose cumulative count reaches rank `⌈n·pct/100⌉`. The rank test is
+    * the EXACT integer cross-multiplication `cum·100 ≥ n·pct` — never
+    * `ceil(0.9·n)`, whose double product can straddle an integer — and
+    * the pick is integer comparisons over the (metadata-sized) bucket
+    * frame: one keyed window + filter, the raw data never re-scans.
+    * Output: one row per (keys..., pct) with the estimate and the total
+    * count. */
+  def hdrQuantiles(sketch: DataFrame, keyCols: Seq[String],
+      pcts: Seq[Int], out: String = "est"): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"percentiles out of [1,100]: $pcts")
+    val dec = "decimal(38,0)"
+    val keys = keyCols.map(col)
+    val byKey = Window.partitionBy(keys: _*)
+    val w = byKey.orderBy(col("idx"))
+    val cum = sum(col("n")).over(w)
+    val total = sum(col("n")).over(byKey)
+    val pctRows = pcts.map(p => struct(lit(p).as("pct")))
+    // cum·100 ≥ ⌈tot·pct/100⌉·100 ⟺ cum·100 ≥ tot·pct (cum, rank ints):
+    // the bucket containing rank r is the first with cum ≥ r, and
+    // r = ⌈tot·pct/100⌉ ≤ c ⟺ tot·pct ≤ c·100 for integer c
+    sketch
+      .withColumn("__cum", cum.cast(dec)).withColumn("__tot", total)
+      .withColumn("__prev", col("__cum") - col("n").cast(dec))
+      .select(keys ++ Seq(col("rep"), col("__cum"), col("__prev"),
+        col("__tot"), explode(array(pctRows: _*)).as("__p")): _*)
+      .withColumn("__target", col("__tot").cast(dec) * col("__p.pct").cast(dec))
+      .filter(col("__cum") * lit(100) >= col("__target") &&
+        col("__prev") * lit(100) < col("__target"))
+      .select(keys ++ Seq(col("__p.pct").as("pct"), col("rep").as(out),
+        col("__tot").as("n_total")): _*)
+  }
 }

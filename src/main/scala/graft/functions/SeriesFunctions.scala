@@ -1039,4 +1039,102 @@ object SeriesFunctions {
       col("__k")(i).as(k)
     } ++ Seq(col(timeCol), col(out)): _*)
   }
+
+  /** PromQL `predict_linear` / `deriv`: per-series ordinary least squares
+    * of an INTEGER value column over an INTEGER x column (a bucket index
+    * or re-based time), evaluated at `x_max + horizon`.
+    *
+    * Exactness discipline (the events_correlation co-moment spelling):
+    * slope, intercept and the prediction are each a ratio of EXACT
+    * integer polynomials in the per-key sums —
+    *   slope     = (n·Σxy − Σx·Σy) / (n·Σxx − (Σx)²)
+    *   intercept = (Σy·Σxx − Σx·Σxy) / (n·Σxx − (Σx)²)
+    *   ŷ(x*)    = (Σy·Σxx − Σx·Σxy + (n·Σxy − Σx·Σy)·x*) / (n·Σxx − (Σx)²)
+    * — numerator and denominator accumulate order-free in decimal(38,0)
+    * (DuckDB twin: HUGEINT), and the ONLY float op per output is the one
+    * final division of identical exact operands: bit-equal on any engine,
+    * any partitioning. The built-in regr_slope/regr_intercept aggregates
+    * accumulate doubles in partition order — banned here for that reason.
+    *
+    * Magnitude discipline: decimal(38,0) holds products of the RAW sums,
+    * so feed a RE-BASED x (x − min(x), like feeding integer cents for y):
+    * with x re-based, Σy·Σxx stays far under 10³⁸ even at 10¹²-row keys.
+    * A constant series (den = 0) yields NULL slope/prediction.
+    *
+    * Scale shape: one partial-aggregating groupBy per key — no window, no
+    * second pass; the output is one row per series. */
+  def predictLinear(df: DataFrame, keyCols: Seq[String], xCol: String,
+      yCol: String, horizon: Long, slopeOut: String = "slope",
+      predictOut: String = "predicted"): DataFrame = {
+    require(keyCols.nonEmpty, "predictLinear needs a series key")
+    val dec = "decimal(38,0)"
+    val xd = col(xCol).cast(dec)
+    val yd = col(yCol).cast(dec)
+    val g = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).cast(dec).as("__n"),
+        sum(xd).as("__sx"), sum(yd).as("__sy"),
+        sum(xd * yd).as("__sxy"), sum(xd * xd).as("__sxx"),
+        max(col(xCol)).as("__xmax"))
+    val den = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val slopeNum = col("__n") * col("__sxy") - col("__sx") * col("__sy")
+    val interNum = col("__sy") * col("__sxx") - col("__sx") * col("__sxy")
+    val xStar = col("__xmax").cast(dec) + lit(horizon).cast(dec)
+    val predNum = interNum + slopeNum * xStar
+    g.select(keyCols.map(col) ++ Seq(
+      col("__n").cast("long").as("n"),
+      when(den =!= 0, slopeNum.cast("double") / den.cast("double"))
+        .as(slopeOut),
+      when(den =!= 0, predNum.cast("double") / den.cast("double"))
+        .as(predictOut)): _*)
+  }
+
+  /** Per-series autocorrelation function at lags 1..`maxLag` over an
+    * INTEGER value column — the stationarity/seasonality probe next to
+    * [[seasonalDecompose]]. Uses the standard ACF estimator
+    *   r_k = Σ_{t>k}(y_t − ȳ)(y_{t−k} − ȳ) / Σ_t(y_t − ȳ)²
+    * with the FULL-series mean and variance in the denominator.
+    *
+    * Exactness: multiply the estimator through by n² so every term is an
+    * exact integer polynomial in per-key sums —
+    *   num_k = n²·P_k − n·S·(A_k + B_k) + m_k·S²
+    *   den   = n²·Σy² − n·S²
+    * where P_k = Σ y_t·y_{t−k}, A_k = Σ_{t>k} y_t, B_k = Σ_{t>k} y_{t−k},
+    * m_k = n − k (rows where the lag exists), S = Σy. Sums accumulate
+    * order-free in decimal(38,0) (DuckDB: HUGEINT); each r_k is ONE
+    * final division of identical exact operands. A constant series
+    * (den = 0) yields NULL.
+    *
+    * Scale shape: one keyed window (the shared series exchange) computes
+    * the lag columns, one partial-aggregating groupBy reduces to a row
+    * per series — output is series-count-sized, never corpus-sized. */
+  def acf(df: DataFrame, keyCols: Seq[String], timeCol: String,
+      valueCol: String, maxLag: Int, outPrefix: String = "acf"): DataFrame = {
+    require(maxLag >= 1, s"need maxLag >= 1, got $maxLag")
+    val dec = "decimal(38,0)"
+    val w = series(keyCols, timeCol)
+    val y = col(valueCol).cast(dec)
+    val lagged = (1 to maxLag).foldLeft(df) { (acc, k) =>
+      acc.withColumn(s"__l$k", lag(col(valueCol), k).over(w).cast(dec))
+    }
+    val perLag = (1 to maxLag).flatMap { k =>
+      val lk = col(s"__l$k")
+      Seq(sum(when(lk.isNotNull, y * lk)).as(s"__p$k"),
+        sum(when(lk.isNotNull, y)).as(s"__a$k"),
+        sum(when(lk.isNotNull, lk)).as(s"__b$k"),
+        count(lk).cast(dec).as(s"__m$k"))
+    }
+    val aggs = Seq(count(lit(1)).cast(dec).as("__n"), sum(y).as("__s"),
+      sum(y * y).as("__syy")) ++ perLag
+    val g = lagged.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val n = col("__n"); val s = col("__s")
+    val den = n * n * col("__syy") - n * s * s
+    val outs = (1 to maxLag).map { k =>
+      val num = n * n * col(s"__p$k") - n * s * (col(s"__a$k") + col(s"__b$k")) +
+        col(s"__m$k") * s * s
+      when(den =!= 0, num.cast("double") / den.cast("double"))
+        .as(s"$outPrefix$k")
+    }
+    g.select(keyCols.map(col) ++ Seq(col("__n").cast("long").as("n")) ++
+      outs: _*)
+  }
 }

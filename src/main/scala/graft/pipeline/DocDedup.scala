@@ -598,6 +598,13 @@ object DocDedup {
   def ensemblePairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, jaccardThreshold: Double = 0.7, maxHamming: Int = 3,
       maxShingleDf: Int = 5000, maxBucket: Int = 10000): DataFrame = {
+    // NOTE (r12, measured): do NOT persist() a shared (id, text) base for
+    // the three members. Caching the raw text column made this 1.7× SLOWER
+    // at sf0.1 (4.35 → 7.26 s min-of-5): materializing the cache serializes
+    // the first member's stage graph and the cached relation blocks the
+    // per-member column pruning/codegen fusion into the parquet scan,
+    // while the thing it saves — three cheap parallel corpus scans — was
+    // never the bottleneck (the pair-bucket shuffles are).
     val hashed = docs.select(md5(normalize(col(textCol))).as("h"),
       col(idCol).as("id"))
     val exBuckets = hashed.groupBy("h")

@@ -222,6 +222,42 @@ object Similarity {
     rankTopK(scored, k, qIdCol, "cos", idCol)
   }
 
+  /** Range search against a prebuilt [[ivfIndex]]: EVERY index row within
+    * cosine ≥ `minCosMicro/1e6` of each query, not a fixed top-k — the
+    * radius-query variant every vector store exposes next to k-NN (find
+    * all near-duplicates / all matches above a similarity floor, where
+    * the hit count is data-dependent). Same probing shape as
+    * [[ivfTopKIndexed]] — the index is never re-shuffled, the probe table
+    * broadcasts onto it — but the verdict is a THRESHOLD on the
+    * integer-micro cosine (exact comparison, no ranking state), so the
+    * scan needs no TopK aggregate at all: candidates stream through a
+    * codegen'd filter and the output is exactly the qualifying pairs.
+    * Approximation contract matches IVF k-NN: hits living in un-probed
+    * lists are missed — widen `nprobe` to trade cost for recall. */
+  def ivfRangeIndexed(index: DataFrame, centroids: DataFrame,
+      queries: DataFrame, minCosMicro: Long, nprobe: Int,
+      idCol: String = "vec_id",
+      qIdCol: String = "q_id", qVecCol: String = "q_vec",
+      excludeSelf: Boolean = true): DataFrame = {
+    val cent = normed(centroids, "c_id", "c_vec", "__ce", "__cn")
+    val q = normed(queries, qIdCol, qVecCol, "__qe", "__qn")
+    val probeAff =
+      cosExpr(dot(col("__qe"), col("__ce")), col("__qn"), col("__cn"))
+    val probes = rankTopK(
+      q.crossJoin(broadcast(cent))
+        .select(col(qIdCol), col("c_id").as("__cid"),
+          micro(probeAff).as("aff")),
+      nprobe, qIdCol, "aff", "__cid")
+      .select(col(qIdCol), col("neighbor_id").as("c_id"))
+      .join(q, qIdCol)
+    val cos = cosExpr(dot(col("__e"), col("__qe")), col("__n"), col("__qn"))
+    val joined = index.join(broadcast(probes), "c_id")
+    (if (excludeSelf) joined.filter(col(idCol) =!= col(qIdCol)) else joined)
+      .select(col(qIdCol), col(idCol).as("neighbor_id"),
+        micro(cos).as("cos_micro"))
+      .filter(col("cos_micro") >= minCosMicro)
+  }
+
   /** Recall@k of IVF retrieval for EVERY nprobe in 1..maxProbe at once —
     * the table that picks the nprobe operating point (recall climbs, cost
     * grows linearly; serve at the knee). Output: one row per nprobe with

@@ -111,4 +111,55 @@ class InfluxAggregatesSpec extends SparkSpec {
       .select("k", "t", "v").as[(String, Long, Double)].collect().toSet
     assert(bot == Set(("a", 4L, 7.0), ("b", 1L, 1.0)))
   }
+
+  test("hdrSketch: exact integer bucketing, mergeable counts") {
+    // subBits=5: x=12345 -> msb=13, m=floor(12345*32/8192)=48,
+    // idx=13*32+48-32=432, rep=2^13*(2*48+1)/64=12416
+    val df = Seq(("a", 12345L), ("a", 12345L), ("a", 1L), ("a", 0L),
+      ("b", 33L)).toDF("k", "v")
+    val sk = IA.hdrSketch(df, Seq("k"), "v")
+      .as[(String, Long, Double, Long)].collect()
+      .map { case (k, idx, rep, n) => (k, idx) -> ((rep, n)) }.toMap
+    assert(sk(("a", 432L)) == ((12416.0, 2L)))
+    // x=1: msb=0, m=floor(32/1)=32, idx=0, rep=(2*32+1)/64
+    assert(sk(("a", 0L)) == ((65.0 / 64.0, 1L)))
+    // zero/negative values are excluded (no bucket for them)
+    assert(sk.keys.count(_._1 == "a") == 2)
+    // x=33: msb=5, m=floor(33*32/32)=33, idx=5*32+1=161,
+    // rep=32*(2*33+1)/64=33.5; every value in [2^msb*m/32, ...) maps here
+    assert(sk(("b", 161L)) == ((33.5, 1L)))
+    // merge = count addition: sketching a doubled frame doubles every n
+    val doubled = IA.hdrSketch(df.union(df), Seq("k"), "v")
+      .as[(String, Long, Double, Long)].collect()
+      .map { case (k, idx, rep, n) => (k, idx) -> ((rep, n)) }.toMap
+    assert(doubled.keySet == sk.keySet &&
+      doubled.forall { case (k, (rep, n)) => sk(k) == ((rep, n / 2)) },
+      "bucket ids/reps are value-determined; counts merge by addition")
+  }
+
+  test("hdrQuantiles: rank pick is exact; estimate within bucket error of truth") {
+    import org.apache.spark.sql.functions.col
+    // values 1..1000 on one key: p50 ~ 500, p90 ~ 900, p99 ~ 990 with
+    // relative error <= 2^-6 (subBits=5 midpoint rule)
+    val vals = (1L to 1000L).map(("a", _))
+    val df = vals.toDF("k", "v")
+    val sk = IA.hdrSketch(df, Seq("k"), "v")
+    val q = IA.hdrQuantiles(sk, Seq("k"), Seq(50, 90, 99))
+      .as[(String, Int, Double, Long)].collect()
+      .map { case (_, p, est, tot) => p -> ((est, tot)) }.toMap
+    assert(q.keySet == Set(50, 90, 99) && q.values.forall(_._2 == 1000L))
+    for ((p, truth) <- Seq(50 -> 500.0, 90 -> 900.0, 99 -> 990.0)) {
+      val est = q(p)._1
+      assert(math.abs(est - truth) / truth <= 1.0 / 64.0 + 1e-9,
+        s"p$p: est $est vs exact $truth exceeds the bucket error bound")
+    }
+    // exactly one bucket wins per (key, pct): the half-open rank window
+    // [prev, cum) admits a single row even across flat cumulative regions
+    val rows = IA.hdrQuantiles(sk, Seq("k"), Seq(50, 90, 99)).collect()
+    assert(rows.length == 3)
+    // pct=100 lands in the last non-empty bucket, never drops off the end
+    val p100 = IA.hdrQuantiles(sk, Seq("k"), Seq(100))
+      .select(col("est")).as[Double].collect()
+    assert(p100.length == 1 && math.abs(p100.head - 1000.0) / 1000.0 <= 1.0 / 64.0)
+  }
 }

@@ -618,4 +618,53 @@ class PlanShapeSpec extends SparkSpec {
     // clustered (non-global) form: exactly the tag repartition, no extra sort shuffle
     assert("Exchange".r.findAllIn(plan).size == 1, plan)
   }
+
+  test("r12 additions: predictLinear/acf/hdr/range-search plan pins") {
+    val d = "/root/testdata/sf0.001"
+    import graft.functions.{SeriesFunctions => SF, InfluxAggregates => IA}
+    val b = Tables.events(spark, d).filter($"user_id" < 5)
+      .select($"user_id", expr("ts_ns div 21600000000000").as("hr"),
+        round($"value" * 100).cast("long").as("cents"))
+      .groupBy("user_id", "hr").agg(sum("cents").as("y"))
+    // predictLinear: ONE partial-aggregating groupBy per series, no window
+    val pl = executedPlan(
+      SF.predictLinear(b, Seq("user_id"), "hr", "y", horizon = 4L))
+    assert(pl.contains("partial_"), pl)
+    assert(!pl.contains("Window ["), pl)
+    // acf: the lag columns ride ONE keyed window exchange, then a partial
+    // agg — never one Window operator per lag
+    val ac = executedPlan(SF.acf(b, Seq("user_id"), "hr", "y", maxLag = 3))
+    assert("Window \\[".r.findAllIn(ac).size == 1,
+      s"the 3 lags must collapse into one Window operator:\n$ac")
+    assert(ac.contains("windowspecdefinition(user_id"), ac)
+    assert(ac.contains("partial_"), ac)
+    // hdr sketch: a plain partial-aggregating count groupBy (mergeable);
+    // the quantile pick windows only the bucket frame, keyed
+    val ev = Tables.events(spark, d)
+      .select($"event_type", round($"value" * 100).cast("long").as("c"))
+    val sk = IA.hdrSketch(ev, Seq("event_type"), "c")
+    assert(executedPlan(sk).contains("partial_count"), executedPlan(sk))
+    val hq = executedPlan(IA.hdrQuantiles(sk, Seq("event_type"), Seq(50, 99)))
+    assert(hq.contains("windowspecdefinition(event_type"), hq)
+    // range search: probes broadcast onto the index — no sort-merge join,
+    // no ranking window/TopK on the scoring path (threshold filter only)
+    val emb = Tables.embeddings(spark, d)
+      .withColumn("embedding",
+        graft.functions.VectorFunctions.microVec($"embedding"))
+    val cents = emb.filter(pmod($"vec_id", lit(20)) === 0)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+    val index = graft.pipeline.Similarity.ivfIndex(emb, cents,
+      microRank = true)
+    val q = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val rs = executedPlan(graft.pipeline.Similarity.ivfRangeIndexed(
+      index, cents, q, minCosMicro = 150000L, nprobe = 2))
+    assert(rs.contains("BroadcastHashJoin"), rs)
+    assert(!rs.contains("SortMergeJoin"), rs)
+    assert(!rs.contains("row_number"), rs)
+    // the probe SELECTION may rank (bounded TopK over nprobe candidates),
+    // but the index-scoring side must not re-rank: the only TopK in the
+    // plan is the probe pick
+    assert("TopKAgg".r.findAllIn(rs).size <= 2, rs)
+  }
 }

@@ -498,4 +498,68 @@ class SeriesFunctionsSpec extends SparkSpec {
     // the decomposition reassembles exactly where trend exists
     assert(Seq(2L, 3L, 4L).forall(t => out(t)._3.contains(0.0)))
   }
+
+  test("predictLinear: exact OLS on integer points; constant series is NULL") {
+    // y = 3x + 7 exactly: slope 3, prediction at xmax+2 = 3*5+7 = 22
+    val exact = Seq(("a", 0L, 7L), ("a", 1L, 10L), ("a", 2L, 13L),
+      ("a", 3L, 16L),
+      ("c", 0L, 5L), ("c", 4L, 5L), // constant: slope 0, predict 5
+      ("d", 2L, 9L)) // single point: den = 0 -> NULL
+      .toDF("k", "x", "y")
+    val out = SF.predictLinear(exact, Seq("k"), "x", "y", horizon = 2L)
+      .as[(String, Long, Option[Double], Option[Double])].collect()
+      .map { case (k, n, sl, p) => k -> ((n, sl, p)) }.toMap
+    assert(out("a") == ((4L, Some(3.0), Some(22.0))),
+      "a perfect line recovers exactly (integer co-moments, one division)")
+    assert(out("c") == ((2L, Some(0.0), Some(5.0))))
+    assert(out("d")._2.isEmpty && out("d")._3.isEmpty,
+      "a single point has no regression (den = 0 -> NULL, never a throw)")
+    // non-collinear data matches the closed-form OLS computed directly
+    val pts = Seq(0L -> 2L, 1L -> 5L, 2L -> 4L, 3L -> 11L, 5L -> 9L)
+    val df = pts.map { case (x, y) => ("m", x, y) }.toDF("k", "x", "y")
+    val n = pts.size.toDouble
+    val sx = pts.map(_._1).sum.toDouble; val sy = pts.map(_._2).sum.toDouble
+    val sxy = pts.map { case (x, y) => x.toDouble * y }.sum
+    val sxx = pts.map { case (x, _) => x.toDouble * x }.sum
+    val den = n * sxx - sx * sx
+    val slope = (n * sxy - sx * sy) / den
+    val pred = (sy * sxx - sx * sxy + (n * sxy - sx * sy) * (5 + 2)) / den
+    val got = SF.predictLinear(df, Seq("k"), "x", "y", horizon = 2L)
+      .as[(String, Long, Double, Double)].collect().head
+    assert(got._3 == slope && got._4 == pred,
+      "integer sums are exact, so the doubles agree bit-for-bit with the model")
+  }
+
+  test("acf: matches the direct estimator; lag-1 of an alternating series is negative") {
+    // alternating series: strong negative lag-1, positive lag-2
+    val ys = Seq(10L, 2L, 10L, 2L, 10L, 2L, 10L, 2L)
+    val df = ys.zipWithIndex.map { case (y, i) => ("a", i.toLong, y) }
+      .toDF("k", "t", "y")
+    def model(k: Int): Double = {
+      val n = ys.size
+      val mean = ys.sum.toDouble / n
+      val num = (k until n).map(t => (ys(t) - mean) * (ys(t - k) - mean)).sum
+      val den = ys.map(y => (y - mean) * (y - mean)).sum
+      num / den
+    }
+    val got = SF.acf(df, Seq("k"), "t", "y", maxLag = 3)
+      .as[(String, Long, Double, Double, Double)].collect().head
+    assert(got._2 == ys.size.toLong)
+    assert(math.abs(got._3 - model(1)) < 1e-12 && got._3 < 0,
+      s"alternation -> negative lag-1 acf, got ${got._3}")
+    assert(math.abs(got._4 - model(2)) < 1e-12 && got._4 > 0)
+    assert(math.abs(got._5 - model(3)) < 1e-12)
+    // constant series: zero variance -> NULL at every lag, never a throw
+    val const = Seq(("c", 0L, 4L), ("c", 1L, 4L), ("c", 2L, 4L))
+      .toDF("k", "t", "y")
+    val c = SF.acf(const, Seq("k"), "t", "y", maxLag = 2)
+      .as[(String, Long, Option[Double], Option[Double])].collect().head
+    assert(c._3.isEmpty && c._4.isEmpty)
+    // a series shorter than the lag yields NULL for that lag only
+    val short = Seq(("s", 0L, 1L), ("s", 1L, 9L)).toDF("k", "t", "y")
+    val row = SF.acf(short, Seq("k"), "t", "y", maxLag = 3)
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(row._3.nonEmpty && row._4.isEmpty && row._5.isEmpty)
+  }
 }

@@ -119,4 +119,35 @@ class SimilarityPropSpec extends SparkSpec {
     }
     check("filteredTopKIndexed", prop, min = 12)
   }
+
+  test("ivfRangeIndexed with every list probed equals the brute-force " +
+      "threshold filter (micro-quantized, self excluded)") {
+    val thGen = Gen.oneOf(-500000L, 0L, 300000L, 900000L)
+    val prop = Prop.forAll(corpusGen, thGen) { (rows, minMicro) =>
+      val df = rows.map { case (id, v, l) => (id, v.map(_.toFloat), l) }
+        .toDF("vec_id", "embedding", "label")
+      val cents = Seq((0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 1f)))
+        .toDF("c_id", "c_vec")
+      val index = Similarity.ivfIndex(df, cents)
+      val q = df.filter($"vec_id" === 0L)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+      // nprobe covers every list, so probing drops nothing and the
+      // result must be exactly the brute-force radius query
+      val got = Similarity.ivfRangeIndexed(index, cents, q,
+          minCosMicro = minMicro, nprobe = 2)
+        .select($"neighbor_id", $"cos_micro").as[(Long, Double)]
+        .collect().sortBy(_._1).toSeq
+      val qRow = rows.find(_._1 == 0L).get
+      val want = rows.filter(_._1 != 0L)
+        .flatMap { case (id, v, _) =>
+          cos(v, qRow._2).map(c => (id, math.floor(c * 1e6 + 0.5))) }
+        .filter(_._2 >= minMicro)
+        .sortBy(_._1)
+      if (got != want) {
+        println(s"rows=$rows min=$minMicro\ngot=$got\nwant=$want")
+      }
+      got == want
+    }
+    check("ivfRangeIndexed", prop, min = 12)
+  }
 }
