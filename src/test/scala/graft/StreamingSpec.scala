@@ -171,6 +171,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HDR sketch: bucket counts accumulate, batch parity, " +
+      "quantiles from the streamed state match the batch pick") {
+    // the sketch is groupBy + count — natively streamable; state is the
+    // occupied (key, bucket) cells, bounded by the value range's octaves
+    // × 32 sub-buckets regardless of stream length. The quantile pick is
+    // a metadata-frame batch step over whatever state has accumulated.
+    import graft.functions.{InfluxAggregates => IA}
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)](
+      spark)
+    val sk = IA.hdrSketch(input.toDF().toDF("g", "v"), Seq("g"), "v")
+    val q = sk.writeStream.format("memory").queryName("shdr")
+      .outputMode("complete").start()
+    try {
+      input.addData((1L to 600L).map(("s", _)): _*)
+      q.processAllAvailable()
+      input.addData((401L to 1000L).map(("s", _)): _*) // overlapping range
+      q.processAllAvailable()
+      val streamed = spark.table("shdr")
+        .as[(String, Long, Double, Long)].collect().toSet
+      val batch = IA.hdrSketch(
+        ((1L to 600L) ++ (401L to 1000L)).map(("s", _)).toDF("g", "v"),
+        Seq("g"), "v").as[(String, Long, Double, Long)].collect().toSet
+      assert(streamed == batch, "incremental bucket counts equal the batch build")
+      val qs = IA.hdrQuantiles(spark.table("shdr"), Seq("g"), Seq(50, 99))
+        .as[(String, Int, Double, Long)].collect()
+        .map { case (_, p, est, tot) => p -> ((est, tot)) }.toMap
+      val bqs = IA.hdrQuantiles(
+        IA.hdrSketch(((1L to 600L) ++ (401L to 1000L)).map(("s", _))
+          .toDF("g", "v"), Seq("g"), "v"), Seq("g"), Seq(50, 99))
+        .as[(String, Int, Double, Long)].collect()
+        .map { case (_, p, est, tot) => p -> ((est, tot)) }.toMap
+      assert(qs == bqs, "quantiles from streamed state equal the batch pick")
+      assert(qs(50)._2 == 1200L, "total rides the state (1200 points seen)")
+    } finally q.stop()
+  }
+
   test("streaming OHLC candles: argmin/argmax-by-time struct aggregates " +
       "stream, late arrivals revise open/close, batch parity") {
     // the events_ohlc shape is min/max of (t, cents) structs + plain
