@@ -2973,6 +2973,76 @@ object QueriesCore {
         WHERE cum * 100 >= tot * pct AND (cum - n) * 100 < tot * pct
         ORDER BY event_type, pct""")),
 
+    ("events_hdr_error_audit",
+      (s, d) => {
+        // the sketch's accuracy contract made visible (the eval beside
+        // the operator, like the ANN recall family): HDR estimate vs the
+        // EXACT value at the same rank ⌈n·pct/100⌉, with the relative
+        // error micro-quantized and checked against the 1/64 bucket
+        // bound. est is a dyadic rational and exact_val an integer, so
+        // |est−exact|/exact is IEEE ops on identical operands anywhere
+        import graft.functions.{InfluxAggregates => IA}
+        // cents > 0 up front: the sketch's domain is positive integers
+        // (hdrSketch filters internally), and the exact ranking must
+        // rank over the SAME population or ranks shift at any SF whose
+        // smallest values round to zero cents
+        val ev = Tables.events(s, d)
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .filter(col("cents") > 0)
+        val sk = IA.hdrSketch(ev, Seq("event_type"), "cents", subBits = 5)
+        val est = IA.hdrQuantiles(sk, Seq("event_type"), Seq(50, 90, 99))
+        val byKey = Window.partitionBy(col("event_type"))
+        val ranked = ev
+          .withColumn("rk", row_number().over(byKey.orderBy(col("cents"))))
+          .withColumn("nn", count(lit(1)).over(byKey))
+        val exact = ranked
+          .select(col("*"),
+            explode(array(lit(50), lit(90), lit(99))).as("pct"))
+          .filter(col("rk") === expr("(nn * pct + 99) div 100"))
+          .select(col("event_type"), col("pct"),
+            col("cents").as("exact_val"))
+        est.join(exact, Seq("event_type", "pct"))
+          .select(col("event_type"), col("pct"), col("est"),
+            col("exact_val"),
+            floor(abs(col("est") - col("exact_val")) / col("exact_val")
+              * lit(1000000) + lit(0.5)).cast("long").as("rel_err_micro"))
+          .withColumn("within_bound", col("rel_err_micro") <= lit(15625L))
+          .orderBy("event_type", "pct")
+      },
+      Some("""WITH e AS (SELECT event_type,
+            CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE CAST(round(value * 100) AS BIGINT) > 0),
+        u AS (SELECT event_type, c, length(bin(c)) - 1 AS msb FROM e),
+        v AS (SELECT event_type, c, msb, CAST(floor(CAST(c * 32 AS DOUBLE)
+            / power(2.0, msb)) AS BIGINT) AS m FROM u),
+        s AS (SELECT event_type, msb * 32 + m - 32 AS idx,
+            power(2.0, msb) * (2 * m + 1) / 64.0 AS rep,
+            CAST(count(*) AS BIGINT) AS n
+          FROM v GROUP BY 1, 2, 3),
+        w AS (SELECT event_type, idx, rep, n,
+            sum(n) OVER (PARTITION BY event_type ORDER BY idx) AS cum,
+            sum(n) OVER (PARTITION BY event_type) AS tot
+          FROM s),
+        p AS (SELECT unnest([50, 90, 99]) AS pct),
+        est AS (SELECT event_type, pct, rep AS est
+          FROM w CROSS JOIN p
+          WHERE cum * 100 >= tot * pct AND (cum - n) * 100 < tot * pct),
+        ranked AS (SELECT event_type, c,
+            row_number() OVER (PARTITION BY event_type ORDER BY c) AS rk,
+            count(*) OVER (PARTITION BY event_type) AS nn
+          FROM e),
+        exact AS (SELECT event_type, pct, c AS exact_val
+          FROM ranked CROSS JOIN p WHERE rk = (nn * pct + 99) // 100)
+        SELECT est.event_type, est.pct, est.est, exact.exact_val,
+          CAST(floor(abs(est.est - exact.exact_val) / exact.exact_val
+            * 1000000 + 0.5) AS BIGINT) AS rel_err_micro,
+          CAST(floor(abs(est.est - exact.exact_val) / exact.exact_val
+            * 1000000 + 0.5) AS BIGINT) <= 15625 AS within_bound
+        FROM est JOIN exact ON est.event_type = exact.event_type
+          AND est.pct = exact.pct
+        ORDER BY est.event_type, est.pct""")),
+
     ("events_gaps",
       (s, d) => {
         // outage detection: inter-arrival spans over 24h per user series
