@@ -2102,6 +2102,81 @@ object QueriesCore {
         FROM fin CROSS JOIN (SELECT unnest(range(1, 6)) AS h)
         ORDER BY user_id, t""")),
 
+    ("events_forecast_backtest",
+      (s, d) => {
+        // the eval beside the forecaster: hold out each series' last 4
+        // buckets, fit Holt on the rest, score the forecasts against the
+        // held-out actuals as per-user sMAPE. Values are integer bucket
+        // counts and α/β are dyadic, so the recursion is the same IEEE
+        // sequence in both engines; each per-point sMAPE is
+        // micro-quantized BEFORE the mean (exact integer sum, one
+        // division) — the ANN-recall discipline applied to forecasting
+        import graft.functions.{SeriesFunctions => SF}
+        val bucket = 21600000000000L
+        val b = Tables.events(s, d).filter(col("user_id") < 10)
+          .groupBy(col("user_id"), expr("ts_ns div 21600000000000").as("hr"))
+          .agg(count(lit(1)).cast("double").as("v"))
+          .select(col("user_id"), (col("hr") * bucket).as("t"), col("v"))
+        val byU = Window.partitionBy(col("user_id"))
+        val ranked = b
+          .withColumn("rn", row_number().over(byU.orderBy(col("t"))))
+          .withColumn("nn", count(lit(1)).over(byU))
+        val train = ranked.filter(col("rn") <= col("nn") - 4 && col("nn") >= 6)
+          .select(col("user_id"), col("t"), col("v"))
+        val fc = SF.holtForecast(train, Seq("user_id"), "t", "v",
+            alpha = 0.5, beta = 0.25, n = 4, stepNs = bucket, "f")
+          .select(col("user_id").cast("long").as("user_id"), col("t"),
+            col("f"))
+        val sm = fc
+          .join(b.select(col("user_id"), col("t"), col("v").as("a")),
+            Seq("user_id", "t"))
+          .select(col("user_id"),
+            floor(lit(2.0) * abs(col("f") - col("a"))
+              / (abs(col("f")) + abs(col("a"))) * lit(1000000) + lit(0.5))
+              .cast("long").as("m"))
+        sm.groupBy("user_id")
+          .agg(count(lit(1)).as("n_eval"), sum("m").as("s"))
+          .select(col("user_id"), col("n_eval"),
+            round(col("s") / col("n_eval") / lit(1000000.0), 6).as("smape"))
+          .orderBy("user_id")
+      },
+      Some("""WITH RECURSIVE bk AS (SELECT user_id,
+            epoch_ns(ts) // 21600000000000 AS hr,
+            CAST(count(*) AS DOUBLE) AS v
+          FROM events WHERE user_id < 10 GROUP BY 1, 2),
+        e0 AS (SELECT user_id, hr * 21600000000000 AS t, v,
+            row_number() OVER (PARTITION BY user_id ORDER BY hr) AS rn,
+            count(*) OVER (PARTITION BY user_id) AS nn
+          FROM bk),
+        e AS (SELECT user_id, t, v,
+            row_number() OVER (PARTITION BY user_id ORDER BY t) AS rn
+          FROM e0 WHERE rn <= nn - 4 AND nn >= 6),
+        r AS (SELECT user_id, t, rn, v AS l, CAST(0 AS DOUBLE) AS b
+          FROM e WHERE rn = 1
+          UNION ALL
+          SELECT e.user_id, e.t, e.rn,
+            CASE WHEN e.rn = 2 THEN e.v
+              ELSE 0.5 * e.v + 0.5 * (r.l + r.b) END,
+            CASE WHEN e.rn = 2 THEN e.v - r.l
+              ELSE 0.25 * ((0.5 * e.v + 0.5 * (r.l + r.b)) - r.l)
+                + 0.75 * r.b END
+          FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1),
+        last AS (SELECT user_id, max(rn) AS mrn FROM r GROUP BY 1),
+        fin AS (SELECT r.user_id, r.t, r.l, r.b FROM r
+          JOIN last ON r.user_id = last.user_id AND r.rn = last.mrn
+          WHERE last.mrn >= 2),
+        fc AS (SELECT fin.user_id, fin.t + h * 21600000000000 AS t,
+            fin.l + h * fin.b AS f
+          FROM fin CROSS JOIN (SELECT unnest(range(1, 5)) AS h)),
+        j AS (SELECT fc.user_id, fc.f, a.v AS a
+          FROM fc JOIN e0 a ON a.user_id = fc.user_id AND a.t = fc.t),
+        sm AS (SELECT user_id, CAST(floor(2.0 * abs(f - a)
+            / (abs(f) + abs(a)) * 1000000 + 0.5) AS BIGINT) AS m
+          FROM j)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_eval,
+          round(sum(m) / count(*) / 1000000.0, 6) AS smape
+        FROM sm GROUP BY 1 ORDER BY 1""")),
+
     ("events_holt_seasonal",
       (s, d) => {
         // seasonal HOLT_WINTERS(…, 4, 4)-style triple smoothing over 6h
