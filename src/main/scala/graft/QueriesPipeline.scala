@@ -3404,6 +3404,41 @@ object QueriesPipeline {
         FROM scored WHERE qm >= 200000
         ORDER BY q_id, neighbor_id""")),
 
+    // ColBERT-style late-interaction retrieval: documents are bags of
+    // chunk vectors (5 per doc here), queries are bags of part vectors,
+    // score = sum over parts of the best-matching chunk's micro-cosine.
+    // A strong local match can't be diluted by a long document the way
+    // single-pooled-vector retrieval dilutes it. Parts broadcast onto
+    // one chunk scan; max-then-sum are partial aggregates
+    ("ann_maxsim_topk",
+      (s, d) => {
+        val emb = qEmb(s, d)
+        val chunks = emb.select(expr("vec_id div 5").as("doc_id"),
+          col("embedding"))
+        val qp = emb
+          .filter(col("vec_id") < 13 && pmod(col("vec_id"), lit(5)) < 3)
+          .select(expr("vec_id div 5").as("q_id"),
+            pmod(col("vec_id"), lit(5)).as("part_id"),
+            col("embedding").as("q_vec"))
+        Similarity.maxSimTopK(chunks, qp, k = 5)
+          .select(col("q_id"), col("rank"), col("neighbor_id"),
+            (col("maxsim") / lit(1e6)).as("maxsim"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH $dEmbMicro,
+        ch AS (SELECT vec_id // 5 AS doc_id, e FROM v),
+        qp AS (SELECT vec_id // 5 AS q_id, vec_id % 5 AS part_id, e AS qe
+          FROM v WHERE vec_id < 13 AND vec_id % 5 < 3),
+        pm AS (SELECT q_id, doc_id, part_id,
+            CAST(max(${dCosMicroI("ch.e", "qp.qe")}) AS BIGINT) AS best
+          FROM ch CROSS JOIN qp WHERE doc_id != q_id GROUP BY 1, 2, 3),
+        sc AS (SELECT q_id, doc_id, sum(best) AS ms FROM pm GROUP BY 1, 2),
+        rk AS (SELECT q_id, doc_id, ms, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY ms DESC, doc_id ASC) AS INT) AS rank
+          FROM sc)
+        SELECT q_id, rank, doc_id AS neighbor_id, ms / 1000000.0 AS maxsim
+        FROM rk WHERE rank <= 5 ORDER BY q_id, rank""")),
+
     // filtered vector search (label/ACL/date predicates — the variant
     // every vector store exposes): the filterable attribute is carried
     // INTO the IVF index at build time (ivfIndex carryCols), so the

@@ -258,6 +258,50 @@ object Similarity {
       .filter(col("cos_micro") >= minCosMicro)
   }
 
+  /** ColBERT-style late-interaction retrieval (Khattab & Zaharia, SIGIR
+    * 2020 "maxsim"): documents and queries are BAGS of vectors (passage
+    * chunks / query tokens), and
+    *   score(q, d) = Σ_{query parts p} max_{doc chunks c} cos(p, c)
+    * — each query part finds its best-matching chunk independently, so
+    * a long document can't dilute a strong local match the way a single
+    * pooled vector does.
+    *
+    * Exactness: cosines are micro-quantized per (part, chunk) pair
+    * (integer), the per-part max and the per-doc sum are exact integer
+    * aggregates, and ranking ties break by ascending doc id — engine-
+    * and partitioning-proof end to end. Scale shape: the query-part
+    * table broadcasts onto ONE chunk-corpus scan; both reductions are
+    * partial-aggregating groupBys (max then sum collapse the pair
+    * expansion map-side), and the final ranking is the bounded TopK
+    * aggregate — never a corpus window. `excludeDocOf` drops candidate
+    * docs equal to a query's own source doc (eval hygiene). */
+  def maxSimTopK(chunks: DataFrame, queryParts: DataFrame, k: Int,
+      docCol: String = "doc_id", vecCol: String = "embedding",
+      qIdCol: String = "q_id", qVecCol: String = "q_vec",
+      excludeSelfDoc: Boolean = true): DataFrame = {
+    val c = chunks.select(col(docCol), asDouble(col(vecCol)).as("__e"))
+      .withColumn("__n", sqrt(dot(col("__e"), col("__e"))))
+    val q = queryParts
+      .select(col(qIdCol), col("part_id"), asDouble(col(qVecCol)).as("__qe"))
+      .withColumn("__qn", sqrt(dot(col("__qe"), col("__qe"))))
+    val cos = cosExpr(dot(col("__e"), col("__qe")), col("__n"), col("__qn"))
+    val joined = c.crossJoin(broadcast(q))
+    val scoped =
+      if (excludeSelfDoc) joined.filter(col(docCol) =!= col(qIdCol))
+      else joined
+    val perPart = scoped
+      .select(col(qIdCol), col(docCol), col("part_id"),
+        micro(cos).cast("long").as("__m"))
+      .filter(col("__m").isNotNull)
+      .groupBy(col(qIdCol), col(docCol), col("part_id"))
+      .agg(max(col("__m")).as("__best"))
+    val scored = perPart
+      .groupBy(col(qIdCol), col(docCol))
+      .agg(sum(col("__best")).cast("double").as("maxsim"))
+    rankTopK(scored.select(col(qIdCol), col(docCol), col("maxsim")),
+      k, qIdCol, "maxsim", docCol)
+  }
+
   /** Recall@k of IVF retrieval for EVERY nprobe in 1..maxProbe at once —
     * the table that picks the nprobe operating point (recall climbs, cost
     * grows linearly; serve at the knee). Output: one row per nprobe with

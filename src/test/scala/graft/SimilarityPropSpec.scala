@@ -150,4 +150,45 @@ class SimilarityPropSpec extends SparkSpec {
     }
     check("ivfRangeIndexed", prop, min = 12)
   }
+
+  test("maxSimTopK matches the sum-of-best-chunk-micro-cosines model " +
+      "(self doc excluded, ties by doc id)") {
+    val prop = Prop.forAll(corpusGen) { rows =>
+      // docs of 2 chunks each; queries 0 and 1 get the first 2 vectors
+      // of their own doc as parts (self-doc exclusion must drop doc q)
+      val chunks = rows.map { case (id, v, _) =>
+        (id / 2, v.map(_.toFloat)) }.toDF("doc_id", "embedding")
+      val qp = rows.filter(_._1 < 4).map { case (id, v, _) =>
+        (id / 2, id % 2, v.map(_.toFloat)) }
+        .toDF("q_id", "part_id", "q_vec")
+      val got = Similarity.maxSimTopK(chunks, qp, k = 3)
+        .select($"q_id", $"rank", $"neighbor_id", $"maxsim")
+        .as[(Long, Int, Long, Double)].collect()
+        .groupBy(_._1).map { case (q, xs) =>
+          q -> xs.sortBy(_._2).map(x => (x._3, x._4)).toSeq }
+
+      val want = (0L to 1L).map { q =>
+        val parts = rows.filter(r => r._1 < 4 && r._1 / 2 == q).map(_._2)
+        val byDoc = rows.groupBy(_._1 / 2).filter(_._1 != q)
+        val scored = byDoc.toSeq.flatMap { case (doc, rs) =>
+          // per part: best micro cosine over the doc's chunks; a part
+          // with no scoreable chunk (all zero-norm) contributes nothing
+          val bests = parts.flatMap { p =>
+            val cs = rs.flatMap(r => cos(r._2, p))
+              .map(c => math.floor(c * 1e6 + 0.5).toLong)
+            if (cs.isEmpty) None else Some(cs.max)
+          }
+          if (bests.isEmpty) None
+          else Some(doc -> bests.sum.toDouble)
+        }
+        q -> scored.sortBy { case (doc, s) => (-s, doc) }.take(3)
+      }.filter(_._2.nonEmpty).toMap
+      val gotN = got.view.mapValues(_.toSeq).toMap
+      if (gotN != want) {
+        println(s"rows=$rows\ngot=$gotN\nwant=$want")
+      }
+      gotN == want
+    }
+    check("maxSimTopK", prop, min = 12)
+  }
 }
