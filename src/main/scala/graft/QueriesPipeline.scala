@@ -3862,6 +3862,47 @@ object QueriesPipeline {
         a3 AS ${dKmeansAssign("c2")}
         SELECT vec_id, CAST(c AS INT) AS cluster FROM a3 ORDER BY vec_id""")),
 
+    // Gonzalez farthest-point traversal (k-center 2-approx; the
+    // deterministic k-means++ alternative): each round picks the vector
+    // whose max cosine to the chosen set is minimum — better-spread
+    // seeds than lowest-k-ids on a clustered corpus. k−1 corpus scans,
+    // seeds inlined as broadcast literals, one argmin partial aggregate
+    // per round; the emitted coverage cosine is the k-center radius curve
+    ("emb_kcenter_seeds",
+      (s, d) => Clustering.farthestPointSeeds(
+          Tables.spread(s, Tables.embeddings(s, d)),
+          "vec_id", "embedding", k = 4)
+        .orderBy("rank"),
+      Some(s"""WITH $dKmeansPrep,
+        s1 AS (SELECT vec_id, q FROM v
+          WHERE vec_id = (SELECT min(vec_id) FROM v)),
+        a2 AS (SELECT v.vec_id, v.q,
+            CAST(${dCosMicroI("v.q", "s1.q")} AS BIGINT) AS mx
+          FROM v CROSS JOIN s1 WHERE v.vec_id != s1.vec_id),
+        s2 AS (SELECT vec_id, q, mx FROM a2
+          ORDER BY mx ASC, vec_id ASC LIMIT 1),
+        a3 AS (SELECT v.vec_id, v.q, greatest(
+            CAST(${dCosMicroI("v.q", "s1.q")} AS BIGINT),
+            CAST(${dCosMicroI("v.q", "s2.q")} AS BIGINT)) AS mx
+          FROM v CROSS JOIN s1 CROSS JOIN s2
+          WHERE v.vec_id NOT IN (s1.vec_id, s2.vec_id)),
+        s3 AS (SELECT vec_id, q, mx FROM a3
+          ORDER BY mx ASC, vec_id ASC LIMIT 1),
+        a4 AS (SELECT v.vec_id, v.q, greatest(
+            CAST(${dCosMicroI("v.q", "s1.q")} AS BIGINT),
+            CAST(${dCosMicroI("v.q", "s2.q")} AS BIGINT),
+            CAST(${dCosMicroI("v.q", "s3.q")} AS BIGINT)) AS mx
+          FROM v CROSS JOIN s1 CROSS JOIN s2 CROSS JOIN s3
+          WHERE v.vec_id NOT IN (s1.vec_id, s2.vec_id, s3.vec_id)),
+        s4 AS (SELECT vec_id, mx FROM a4
+          ORDER BY mx ASC, vec_id ASC LIMIT 1)
+        SELECT 1 AS rank, vec_id, CAST(NULL AS BIGINT) AS max_cos_micro
+          FROM s1
+        UNION ALL SELECT 2, vec_id, mx FROM s2
+        UNION ALL SELECT 3, vec_id, mx FROM s3
+        UNION ALL SELECT 4, vec_id, mx FROM s4
+        ORDER BY rank""")),
+
     // embedding-space outliers: the 50 vectors least aligned with their
     // own fitted centroid (cosine to the cluster mean after one Lloyd
     // iteration) — the embedding-QA sweep that catches corrupt or

@@ -136,6 +136,65 @@ object Clustering {
     (assigned.select(col(idCol), col("cluster")), cents)
   }
 
+  /** Gonzalez farthest-point traversal (the classic 2-approximation for
+    * k-center, and the deterministic alternative to k-means++ seeding):
+    * start at the smallest id, then k−1 times pick the vector whose
+    * MAXIMUM cosine to any already-chosen seed is MINIMUM — the point
+    * farthest from the chosen set in angular distance, ties to the
+    * smallest id. Better-spread seeds than lowest-k-ids when the corpus
+    * is clustered (lowest ids can all land in one cluster).
+    *
+    * Determinism: the ranked value is the micro-quantized cosine over
+    * integer-micro vectors (the [[assignOnce]] / `dCosMicroI` spelling),
+    * so every round's argmin is engine-proof; no RNG anywhere.
+    * Scale shape: k−1 rounds, each ONE corpus scan with the chosen seeds
+    * inlined as broadcast literal expressions and a single
+    * min(struct(aff, id)) partial aggregate — zero corpus shuffles,
+    * driver state = k·dim longs (the kmeansFit cost model with an argmin
+    * in place of the centroid update). Returns (rank, idCol,
+    * max_cos_micro) — max_cos_micro is NULL for the rank-1 start and the
+    * chosen point's coverage cosine afterwards (monotonically
+    * non-decreasing: the k-center radius curve).
+    * Requires nonzero-norm vectors, like every cosine path here. */
+  def farthestPointSeeds(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    val x = prepared(df, idCol, vecCol)
+    def vecOf(id: Long): Seq[Long] =
+      x.filter(col(idCol) === id).select(col("__q")).head()
+        .getAs[scala.collection.Seq[Long]](0).toSeq
+    val firstId = x.agg(min(col(idCol))).head().getLong(0)
+    var chosen: Seq[(Long, Seq[Long])] = Seq(firstId -> vecOf(firstId))
+    var out: Seq[(Int, Long, Option[Long])] = Seq((1, firstId, None))
+    for (r <- 2 to k) {
+      val affs = chosen.map { case (_, cq) =>
+        val cn = math.sqrt(cq.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble))
+        floor(dot(col("__e"), array(cq.map(v => lit(v.toDouble)): _*))
+          / (col("__n") * lit(cn)) * lit(Scale) + lit(0.5)).cast("long")
+      }
+      val maxAff = if (affs.size == 1) affs.head else greatest(affs: _*)
+      val pick = x.filter(!col(idCol).isin(chosen.map(_._1): _*))
+        .select(struct(maxAff.as("mx"), col(idCol).as("id")).as("s"))
+        .agg(min(col("s")).as("m"))
+        .select(col("m.id"), col("m.mx")).head()
+      val (pid, pmx) = (pick.getLong(0), pick.getLong(1))
+      chosen = chosen :+ (pid -> vecOf(pid))
+      out = out :+ ((r, pid, Some(pmx)))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.map { case (r, id, mx) =>
+        Row(r, id, mx.map(Long.box).orNull) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField(idCol,
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("max_cos_micro",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+  }
+
   /** Product quantization (Jégou et al. 2011): split each vector into
     * `m` contiguous subspaces and k-means each subspace independently;
     * a vector's code is its m per-subspace centroid ids — `m·log2(k)`

@@ -115,6 +115,36 @@ class ClusteringSpec extends SparkSpec {
     assert(out.length < cellOf.size - 1)
   }
 
+  test("farthestPointSeeds: Gonzalez traversal picks the angularly " +
+      "farthest point each round, ties to smallest id, radius curve " +
+      "non-decreasing") {
+    // axis-ish geometry in 3d: id0 on x, id2 on y, id3 on z, id1 hugs
+    // id0, id4 sits between x and y
+    val c = mk3(
+      0L -> Seq(1.0, 0.0, 0.0), 1L -> Seq(0.9, 0.1, 0.0),
+      2L -> Seq(0.0, 1.0, 0.0), 3L -> Seq(0.0, 0.0, 1.0),
+      4L -> Seq(0.7, 0.7, 0.0))
+    val out = Clustering.farthestPointSeeds(c, "id", "vec", k = 4)
+      .orderBy("rank")
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    // start = smallest id; rounds: id2 and id3 are both orthogonal to
+    // id0 (max-cos 0) -> tie to id2; then id3 (orthogonal to both);
+    // last pick is id4 (cos ~0.707 to x and y beats id1's ~0.994 to id0)
+    assert(out.map(_._2).toSeq == Seq(0L, 2L, 3L, 4L), out.toSeq.toString)
+    assert(out.head._3.isEmpty, "the start has no coverage cosine")
+    val curve = out.tail.map(_._3.get).toSeq
+    assert(curve == curve.sorted,
+      s"coverage cosine must be non-decreasing: $curve")
+    assert(curve.head == 0L && curve.last > 700000L && curve.last < 710000L)
+  }
+
+  private def mk3(rows: (Long, Seq[Double])*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 2),
+      StructType(Seq(StructField("id", LongType),
+        StructField("vec", ArrayType(DoubleType)))))
+
   test("covariance: exact population moments on a hand-checked frame") {
     import graft.pipeline.Quantization
     // cols x={1,3}, y={2,6}: var(x)=1, var(y)=4, cov=2 (population)
