@@ -3903,6 +3903,61 @@ object QueriesPipeline {
         UNION ALL SELECT 4, vec_id, mx FROM s4
         ORDER BY rank""")),
 
+    // k-means seeded by the k-center traversal (the composition a
+    // clustered corpus wants: spread seeds instead of lowest-k-ids,
+    // then one Lloyd round) — seeds are k·dim driver metadata handed to
+    // kmeansFitSeeded, so the corpus-side cost model is unchanged
+    ("emb_kmeans_kcenter",
+      (s, d) => {
+        val emb = Tables.spread(s, Tables.embeddings(s, d))
+        val seedIds = Clustering.farthestPointSeeds(
+            emb, "vec_id", "embedding", k = 4)
+          .orderBy("rank").collect()
+          .map(r => (r.getInt(0) - 1, r.getLong(1)))
+        val ids = seedIds.map(_._2)
+        val vecs = emb.filter(col("vec_id").isin(ids: _*))
+          .select(col("vec_id"), Clustering.quantize(col("embedding")).as("q"))
+          .collect()
+          .map(r => r.getLong(0) ->
+            r.getAs[scala.collection.Seq[Long]]("q").toSeq).toMap
+        val seeds = seedIds.map { case (c, id) => c -> vecs(id) }.toSeq
+        Clustering.kmeansFitSeeded(emb, "vec_id", "embedding", seeds,
+            iters = 1)._1
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH $dKmeansPrep,
+        s1 AS (SELECT vec_id, q FROM v
+          WHERE vec_id = (SELECT min(vec_id) FROM v)),
+        a2k AS (SELECT v.vec_id, v.q,
+            CAST(${dCosMicroI("v.q", "s1.q")} AS BIGINT) AS mx
+          FROM v CROSS JOIN s1 WHERE v.vec_id != s1.vec_id),
+        s2 AS (SELECT vec_id, q, mx FROM a2k
+          ORDER BY mx ASC, vec_id ASC LIMIT 1),
+        a3k AS (SELECT v.vec_id, v.q, greatest(
+            CAST(${dCosMicroI("v.q", "s1.q")} AS BIGINT),
+            CAST(${dCosMicroI("v.q", "s2.q")} AS BIGINT)) AS mx
+          FROM v CROSS JOIN s1 CROSS JOIN s2
+          WHERE v.vec_id NOT IN (s1.vec_id, s2.vec_id)),
+        s3 AS (SELECT vec_id, q, mx FROM a3k
+          ORDER BY mx ASC, vec_id ASC LIMIT 1),
+        a4k AS (SELECT v.vec_id, v.q, greatest(
+            CAST(${dCosMicroI("v.q", "s1.q")} AS BIGINT),
+            CAST(${dCosMicroI("v.q", "s2.q")} AS BIGINT),
+            CAST(${dCosMicroI("v.q", "s3.q")} AS BIGINT)) AS mx
+          FROM v CROSS JOIN s1 CROSS JOIN s2 CROSS JOIN s3
+          WHERE v.vec_id NOT IN (s1.vec_id, s2.vec_id, s3.vec_id)),
+        s4 AS (SELECT vec_id, q FROM a4k
+          ORDER BY mx ASC, vec_id ASC LIMIT 1),
+        c0 AS (SELECT 0 AS c, q AS cq FROM s1
+          UNION ALL SELECT 1, q FROM s2
+          UNION ALL SELECT 2, q FROM s3
+          UNION ALL SELECT 3, q FROM s4),
+        a1 AS ${dKmeansAssign("c0")},
+        c1 AS ${dKmeansUpdate("a1", 64)},
+        a2 AS ${dKmeansAssign("c1")}
+        SELECT vec_id, CAST(c AS INT) AS cluster FROM a2
+        ORDER BY vec_id""")),
+
     // embedding-space outliers: the 50 vectors least aligned with their
     // own fitted centroid (cosine to the cluster mean after one Lloyd
     // iteration) — the embedding-QA sweep that catches corrupt or

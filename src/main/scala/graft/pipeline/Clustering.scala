@@ -125,9 +125,19 @@ object Clustering {
     * consumers ranking by cosine never need to, since cosine is
     * scale-invariant and the integer form keeps their dots exact). */
   def kmeansFit(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): (DataFrame, Seq[(Int, Seq[Long])]) = {
+      k: Int, iters: Int): (DataFrame, Seq[(Int, Seq[Long])]) =
+    kmeansFitSeeded(df, idCol, vecCol,
+      seedCentroids(df, idCol, vecCol, k), iters)
+
+  /** [[kmeansFit]] with caller-supplied integer-micro seed centroids —
+    * the hook for better-than-lowest-ids seeding (e.g.
+    * [[farthestPointSeeds]], whose spread seeds avoid the all-in-one-
+    * cluster start a clustered corpus gives the default seeding). */
+  def kmeansFitSeeded(df: DataFrame, idCol: String, vecCol: String,
+      seeds: Seq[(Int, Seq[Long])], iters: Int)
+      : (DataFrame, Seq[(Int, Seq[Long])]) = {
     val x = prepared(df, idCol, vecCol)
-    var cents = seedCentroids(df, idCol, vecCol, k)
+    var cents = seeds
     var assigned = assignOnce(x, idCol, cents)
     for (_ <- 0 until iters) {
       cents = updateCentroids(assigned)
