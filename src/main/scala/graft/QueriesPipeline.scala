@@ -3958,6 +3958,91 @@ object QueriesPipeline {
         SELECT vec_id, CAST(c AS INT) AS cluster FROM a2
         ORDER BY vec_id""")),
 
+    // the seeding A/B that justifies the k-center traversal: mean
+    // assigned cosine (fit quality) after one identical Lloyd round
+    // under lowest-k-ids vs farthest-point seeds. Per-vector scores are
+    // micro-quantized before the exact integer mean — one division per
+    // row of a 2-row output
+    ("emb_seeding_quality",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.spread(s, Tables.embeddings(s, d))
+        def quality(fit: (org.apache.spark.sql.DataFrame, Seq[(Int, Seq[Long])]),
+            name: String) = {
+          val (cells, cents) = fit
+          val centDf = cents.toDF("cluster", "cq")
+          emb.join(cells, "vec_id").join(broadcast(centDf), "cluster")
+            .withColumn("__qv", VF.microVec(col("embedding")))
+            .withColumn("__qm", floor(VF.dot(col("__qv"), col("cq")) /
+              (VF.norm(col("__qv")) * VF.norm(col("cq")))
+              * lit(1e6) + lit(0.5)).cast("long"))
+            .agg(count(lit(1)).as("n"), sum("__qm").as("sm"))
+            .select(lit(name).as("seeding"), col("n"),
+              round(col("sm") / col("n") / lit(1e6), 6).as("mean_cos"))
+        }
+        val seedIds = Clustering.farthestPointSeeds(
+            emb, "vec_id", "embedding", k = 4)
+          .orderBy("rank").collect()
+          .map(r => (r.getInt(0) - 1, r.getLong(1)))
+        val vecs = emb.filter(col("vec_id").isin(seedIds.map(_._2): _*))
+          .select(col("vec_id"), Clustering.quantize(col("embedding")).as("q"))
+          .collect()
+          .map(r => r.getLong(0) ->
+            r.getAs[scala.collection.Seq[Long]]("q").toSeq).toMap
+        val kseeds = seedIds.map { case (c, id) => c -> vecs(id) }.toSeq
+        quality(Clustering.kmeansFitSeeded(emb, "vec_id", "embedding",
+            kseeds, iters = 1), "kcenter")
+          .unionByName(quality(Clustering.kmeansFit(emb, "vec_id",
+            "embedding", k = 4, iters = 1), "lowest_ids"))
+          .orderBy("seeding")
+      },
+      Some(s"""WITH $dKmeansPrep,
+        l0 AS (SELECT vec_id AS c, q AS cq FROM v WHERE vec_id < 4),
+        la1 AS ${dKmeansAssign("l0")},
+        lc1 AS ${dKmeansUpdate("la1", 64)},
+        la2 AS ${dKmeansAssign("lc1")},
+        lsc AS (SELECT CAST(${dCosMicroI("v.q", "lc1.cq")} AS BIGINT) AS qm
+          FROM la2 JOIN v USING (vec_id) JOIN lc1 ON lc1.c = la2.c),
+        lagg AS (SELECT 'lowest_ids' AS seeding,
+            CAST(count(*) AS BIGINT) AS n,
+            round(sum(qm) / count(*) / 1000000.0, 6) AS mean_cos FROM lsc),
+        s1 AS (SELECT vec_id, q FROM v
+          WHERE vec_id = (SELECT min(vec_id) FROM v)),
+        a2k AS (SELECT v.vec_id, v.q,
+            CAST(${dCosMicroI("v.q", "s1.q")} AS BIGINT) AS mx
+          FROM v CROSS JOIN s1 WHERE v.vec_id != s1.vec_id),
+        s2 AS (SELECT vec_id, q, mx FROM a2k
+          ORDER BY mx ASC, vec_id ASC LIMIT 1),
+        a3k AS (SELECT v.vec_id, v.q, greatest(
+            CAST(${dCosMicroI("v.q", "s1.q")} AS BIGINT),
+            CAST(${dCosMicroI("v.q", "s2.q")} AS BIGINT)) AS mx
+          FROM v CROSS JOIN s1 CROSS JOIN s2
+          WHERE v.vec_id NOT IN (s1.vec_id, s2.vec_id)),
+        s3 AS (SELECT vec_id, q, mx FROM a3k
+          ORDER BY mx ASC, vec_id ASC LIMIT 1),
+        a4k AS (SELECT v.vec_id, v.q, greatest(
+            CAST(${dCosMicroI("v.q", "s1.q")} AS BIGINT),
+            CAST(${dCosMicroI("v.q", "s2.q")} AS BIGINT),
+            CAST(${dCosMicroI("v.q", "s3.q")} AS BIGINT)) AS mx
+          FROM v CROSS JOIN s1 CROSS JOIN s2 CROSS JOIN s3
+          WHERE v.vec_id NOT IN (s1.vec_id, s2.vec_id, s3.vec_id)),
+        s4 AS (SELECT vec_id, q FROM a4k
+          ORDER BY mx ASC, vec_id ASC LIMIT 1),
+        kc0 AS (SELECT 0 AS c, q AS cq FROM s1
+          UNION ALL SELECT 1, q FROM s2
+          UNION ALL SELECT 2, q FROM s3
+          UNION ALL SELECT 3, q FROM s4),
+        ka1 AS ${dKmeansAssign("kc0")},
+        kc1 AS ${dKmeansUpdate("ka1", 64)},
+        ka2 AS ${dKmeansAssign("kc1")},
+        ksc AS (SELECT CAST(${dCosMicroI("v.q", "kc1.cq")} AS BIGINT) AS qm
+          FROM ka2 JOIN v USING (vec_id) JOIN kc1 ON kc1.c = ka2.c),
+        kagg AS (SELECT 'kcenter' AS seeding,
+            CAST(count(*) AS BIGINT) AS n,
+            round(sum(qm) / count(*) / 1000000.0, 6) AS mean_cos FROM ksc)
+        SELECT * FROM kagg UNION ALL SELECT * FROM lagg
+        ORDER BY seeding""")),
+
     // embedding-space outliers: the 50 vectors least aligned with their
     // own fitted centroid (cosine to the cluster mean after one Lloyd
     // iteration) — the embedding-QA sweep that catches corrupt or
