@@ -666,5 +666,19 @@ class PlanShapeSpec extends SparkSpec {
     // but the index-scoring side must not re-rank: the only TopK in the
     // plan is the probe pick
     assert("TopKAgg".r.findAllIn(rs).size <= 2, rs)
+    // maxsim: query parts broadcast onto ONE chunk scan; max-then-sum
+    // collapse the pair expansion with map-side partials; no corpus
+    // window anywhere
+    val chunks = emb.select(expr("vec_id div 5").as("doc_id"), $"embedding")
+    val qp = emb.filter($"vec_id" < 13 && pmod($"vec_id", lit(5)) < 3)
+      .select(expr("vec_id div 5").as("q_id"),
+        pmod($"vec_id", lit(5)).as("part_id"), $"embedding".as("q_vec"))
+    val ms = executedPlan(
+      graft.pipeline.Similarity.maxSimTopK(chunks, qp, k = 5))
+    assert(ms.contains("BroadcastNestedLoopJoin")
+      || ms.contains("BroadcastHashJoin"), ms)
+    assert(!ms.contains("SortMergeJoin"), ms)
+    assert(ms.contains("partial_max"), ms)
+    assert(!ms.contains("row_number"), ms)
   }
 }
