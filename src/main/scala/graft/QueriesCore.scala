@@ -1827,6 +1827,81 @@ object QueriesCore {
           round((v - trend - seasonal) / 100.0, 6) + 0 AS remainder
         FROM j ORDER BY user_id, t""")),
 
+    ("events_seasonal_anomaly",
+      (s, d) => {
+        // seasonality-aware anomaly flags: a point is anomalous when its
+        // DECOMPOSITION REMAINDER deviates > 3σ from the series' mean
+        // remainder — catches "unusual for this phase" where a raw
+        // z-score sees a normal absolute level. Remainders micro-quantize
+        // to integers, so the test is the exact integer
+        // cross-multiplication (r·n − s)² > 9·(n·ss − s²) — no float
+        // compare; window-edge rows (no trend) flag NULL
+        import graft.functions.{SeriesFunctions => SF}
+        val bucket = 21600000000000L
+        val dec = "decimal(38,0)"
+        val ev = Tables.events(s, d).filter(col("user_id") < 5)
+          .select(col("user_id"),
+            (col("ts_ns") - pmod(col("ts_ns"), lit(bucket))).as("t"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val series = ev.groupBy("user_id", "t")
+          .agg((sum("cents").cast("double") / count(lit(1))).as("v"))
+        // milli-cent quantization: remainders reach ~1.4e4 cents, so the
+        // 1e3 grid keeps every window sum in long range (ss ≤ ~1e17) and
+        // the final cross-multiplied squares well inside decimal(38,0)
+        // at any per-series bucket count
+        val rem = SF.seasonalDecompose(series, Seq("user_id"), "t", "v",
+            period = 4, phase = pmod(expr(s"t div $bucket"), lit(4L)))
+          .withColumn("rq",
+            floor(col("remainder") * lit(1e3) + lit(0.5)).cast("long"))
+        val byU = Window.partitionBy(col("user_id"))
+        val flagged = rem
+          .withColumn("n", count(col("rq")).over(byU))
+          .withColumn("sS", sum(col("rq")).over(byU))
+          .withColumn("ss", sum(col("rq") * col("rq")).over(byU))
+          .withColumn("diff",
+            col("rq").cast(dec) * col("n").cast(dec) - col("sS").cast(dec))
+          .withColumn("anom", when(col("rq").isNotNull && col("n") >= 8,
+            col("diff") * col("diff") >
+            lit(9) * (col("n").cast(dec) * col("ss").cast(dec) -
+              col("sS").cast(dec) * col("sS").cast(dec))))
+        flagged.select(col("user_id").cast("long").as("user_id"), col("t"),
+            round(col("remainder") / 100.0, 6).as("remainder"),
+            col("anom"))
+          .orderBy("user_id", "t")
+      },
+      Some("""WITH e AS (SELECT user_id,
+            epoch_ns(ts) - epoch_ns(ts) % 21600000000000 AS t,
+            CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE user_id < 5),
+        b AS (SELECT user_id, t, CAST(sum(cents) AS DOUBLE) / count(*) AS v
+          FROM e GROUP BY 1, 2),
+        w AS (SELECT user_id, t, v,
+            (0.5 * lag(v, 2) OVER s + lag(v, 1) OVER s + v
+              + lead(v, 1) OVER s + 0.5 * lead(v, 2) OVER s) / 4 AS trend,
+            (t // 21600000000000) % 4 AS ph
+          FROM b WINDOW s AS (PARTITION BY user_id ORDER BY t)),
+        dd AS (SELECT *, CAST(round((v - trend) * 1000000) AS BIGINT) AS dq
+          FROM w),
+        sz AS (SELECT user_id, ph, CAST(sum(dq) AS DOUBLE) / count(dq) AS sq
+          FROM dd GROUP BY 1, 2),
+        j AS (SELECT dd.user_id, dd.t,
+            dd.v - dd.trend - sz.sq / 1000000.0 AS remainder
+          FROM dd LEFT JOIN sz ON sz.user_id = dd.user_id AND sz.ph = dd.ph),
+        q AS (SELECT user_id, t, remainder,
+            CAST(floor(remainder * 1000.0 + 0.5) AS BIGINT) AS rq
+          FROM j),
+        g AS (SELECT user_id, t, remainder, rq,
+            CAST(count(rq) OVER u AS HUGEINT) AS n,
+            CAST(sum(rq) OVER u AS HUGEINT) AS sS,
+            CAST(sum(rq * rq) OVER u AS HUGEINT) AS ss
+          FROM q WINDOW u AS (PARTITION BY user_id))
+        SELECT user_id, t,
+          round(remainder / 100.0, 6) + 0 AS remainder,
+          CASE WHEN rq IS NOT NULL AND n >= 8 THEN
+            (rq * n - sS) * (rq * n - sS) > 9 * (n * ss - sS * sS)
+          END AS anom
+        FROM g ORDER BY user_id, t""")),
+
     ("events_lttb",
       (s, d) => {
         // true LTTB (Steinarsson 2013): sequential per-series recursion —
