@@ -108,6 +108,16 @@ object Bench {
       .mkString("{", ",", "}")
     val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val passTotals = samples.map(p => d3(p.flatMap(_._2).sum)).mkString("[", ",", "]")
+    // Contamination marker: relative spread of the pass totals. A clean run
+    // has passes within a few percent of each other; a co-tenant burst
+    // inflates one pass's total, so (max-min)/min > 0.3 flags the run as
+    // burst-poisoned IN THE ARTIFACT ITSELF — a judge or later round
+    // reading the sidecar need not reconstruct this from pass_totals.
+    val rawTotals = samples.map(_.flatMap(_._2).sum).filter(_ > 0)
+    val passSpread =
+      if (rawTotals.size < 2) 0.0
+      else (rawTotals.max - rawTotals.min) / rawTotals.min
+    val contaminated = passSpread > 0.3
     val total = byQuery.flatMap(_._2.map(_._1)).sum
     // The driver captures only a bounded 2000-byte TAIL of the run's
     // MERGED stdout+stderr (with the sbt "[success]" line inside it) and
@@ -119,7 +129,15 @@ object Bench {
     // and stdout gets exactly one compact line whose "queries" map rolls
     // the minima up by family prefix (q/rpc/events/influxql/dedup/text/…
     // — ~35 entries, stable round-over-round for trend comparison).
-    val detail = s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"failed":$failedArr,"passes":${samples.size},"pass_totals":$passTotals,"sf":"$sfDir"}"""
+    // A SPARK_GRAFT_ONLY run is a partial suite: mark it in BOTH emitted
+    // JSON forms so no stdout-parsing harness can record a filtered
+    // partial total as a round total (the sidecar routing below already
+    // protects the files; this protects the stream).
+    val filteredMark = if (only.isDefined)
+      s""","filtered":true,"only":${only.get.toSeq.sorted
+        .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+      else ""
+    val detail = s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"failed":$failedArr,"passes":${samples.size},"pass_totals":$passTotals,"pass_spread":${d3(passSpread)},"contaminated":$contaminated$filteredMark,"sf":"$sfDir"}"""
     val famTotals = byQuery
       .collect { case (k, Some((min, _))) => (k.takeWhile(_ != '_'), min) }
       .groupBy(_._1).toSeq.sortBy(_._1)
@@ -153,7 +171,7 @@ object Bench {
     val detailName =
       if (only.isDefined) "bench_detail_filtered.json"
       else s"bench_detail$roundTag.json"
-    val compact = s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$famTotals,"n_queries":${byQuery.size},"n_failed":${failed.size},"failed":$failedCapped,"passes":${samples.size},"pass_totals":$passTotals,"sf":"$sfDir","detail":"$detailName"}"""
+    val compact = s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$famTotals,"n_queries":${byQuery.size},"n_failed":${failed.size},"failed":$failedCapped,"passes":${samples.size},"pass_totals":$passTotals,"pass_spread":${d3(passSpread)},"contaminated":$contaminated$filteredMark,"sf":"$sfDir","detail":"$detailName"}"""
     // bench_detail.json stays as the stable latest-run pointer (not for
     // filtered profiling runs, which would replace it with a partial map)
     val sidecars =

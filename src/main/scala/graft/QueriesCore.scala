@@ -1845,10 +1845,11 @@ object QueriesCore {
             round(col("value") * 100).cast("long").as("cents"))
         val series = ev.groupBy("user_id", "t")
           .agg((sum("cents").cast("double") / count(lit(1))).as("v"))
-        // milli-cent quantization: remainders reach ~1.4e4 cents, so the
-        // 1e3 grid keeps every window sum in long range (ss ≤ ~1e17) and
-        // the final cross-multiplied squares well inside decimal(38,0)
-        // at any per-series bucket count
+        // milli-cent quantization: remainders reach ~1.4e4 cents (rq
+        // ~1.4e7); the squares are summed in decimal(38,0) — NOT long —
+        // so neither the window sums (rq² ~2e14 would overflow a long
+        // sum at ~46k buckets/series) nor the final cross-multiplied
+        // squares can wrap at any per-series bucket count
         val rem = SF.seasonalDecompose(series, Seq("user_id"), "t", "v",
             period = 4, phase = pmod(expr(s"t div $bucket"), lit(4L)))
           .withColumn("rq",
@@ -1856,14 +1857,14 @@ object QueriesCore {
         val byU = Window.partitionBy(col("user_id"))
         val flagged = rem
           .withColumn("n", count(col("rq")).over(byU))
-          .withColumn("sS", sum(col("rq")).over(byU))
-          .withColumn("ss", sum(col("rq") * col("rq")).over(byU))
+          .withColumn("sS", sum(col("rq").cast(dec)).over(byU))
+          .withColumn("ss", sum(col("rq").cast(dec) * col("rq").cast(dec)).over(byU))
           .withColumn("diff",
-            col("rq").cast(dec) * col("n").cast(dec) - col("sS").cast(dec))
+            col("rq").cast(dec) * col("n").cast(dec) - col("sS"))
           .withColumn("anom", when(col("rq").isNotNull && col("n") >= 8,
             col("diff") * col("diff") >
-            lit(9) * (col("n").cast(dec) * col("ss").cast(dec) -
-              col("sS").cast(dec) * col("sS").cast(dec))))
+            lit(9) * (col("n").cast(dec) * col("ss") -
+              col("sS") * col("sS"))))
         flagged.select(col("user_id").cast("long").as("user_id"), col("t"),
             round(col("remainder") / 100.0, 6).as("remainder"),
             col("anom"))

@@ -199,10 +199,14 @@ object InfluxAggregates {
     * `msb = ⌊log₂ x⌋` with `subBits`-bit linear sub-buckets, i.e.
     * `idx = msb·2^subBits + (⌊x·2^subBits / 2^msb⌋ − 2^subBits)`;
     * relative error ≤ 2^−(subBits+1) per bucket. Unlike γ-log sketches
-    * the bucketing NEVER touches libm: `msb` is the bit length of an
-    * integer (`length(bin(x)) − 1`, exact in any engine) and the
-    * sub-bucket divide is by a power of two — an exponent shift, exact
-    * in IEEE for any x·2^subBits < 2⁵³.
+    * the bucketing NEVER touches libm or doubles: `msb` is the bit
+    * length of an integer (`length(bin(x)) − 1`, exact in any engine)
+    * and `⌊x·2^subBits / 2^msb⌋` is a plain bit shift —
+    * `x >> (msb−subBits)` (or `x << (subBits−msb)` for tiny x) — so the
+    * bucket index is exact for EVERY positive int64, with no
+    * x·2^subBits < 2⁵³ ceiling. The midpoint `rep` is also exact in f64:
+    * 2^msb is a power of two (exact at any msb ≤ 62) times a dyadic
+    * rational with a ≤(subBits+2)-bit numerator.
     *
     * Returns one row per (keys..., idx) with the count and the exact
     * midpoint representative `rep = 2^msb·(2·sub + 1) / 2^(subBits+1)`
@@ -215,19 +219,26 @@ object InfluxAggregates {
     val keys = keyCols.map(col)
     val sub = 1L << subBits
     val x = col(valueCol).cast("long")
-    val msb = (length(bin(x)) - 1).cast("long")
-    // x·2^subBits / 2^msb: the numerator is an exact long (x < 2^47 for
-    // subBits=5 keeps it < 2^53); dividing a double by a power of two
-    // only shifts the exponent, so floor() sees an exact value
-    val m = floor((x * lit(sub)).cast("double") / pow(lit(2.0), msb.cast("double")))
-      .cast("long")
-    val idx = msb * lit(sub) + (m - lit(sub))
+    // All-integer bucketing: ⌊x·2^subBits / 2^msb⌋ = x >> (msb−subBits)
+    // when msb ≥ subBits (both shifts of a positive long — no overflow,
+    // no double rounding, valid for every positive int64), else
+    // x << (subBits−msb) (x < 2^subBits ≤ 2^16 there, tiny). shiftright/
+    // shiftleft with a COLUMN shift amount need the SQL builder form.
+    val m = when(col("__msb") >= lit(subBits.toLong),
+        expr(s"shiftright(__x, cast(__msb - $subBits as int))"))
+      .otherwise(expr(s"shiftleft(__x, cast($subBits - __msb as int))"))
     // bucket spans [2^msb·m/2^subBits, 2^msb·(m+1)/2^subBits); midpoint
-    // = 2^msb·(2m+1)/2^(subBits+1), a dyadic rational — exact in f64
-    val rep = pow(lit(2.0), msb.cast("double")) *
-      (lit(2L) * m + lit(1L)).cast("double") / lit(2.0 * sub)
+    // = 2^msb·(2m+1)/2^(subBits+1): 2^msb via an integer shift cast to
+    // double (a power of two — exact at any msb ≤ 62), times a dyadic
+    // rational with a small numerator — exact in f64 for all of int64
+    val rep = expr("cast(shiftleft(1L, cast(__msb as int)) as double)") *
+      (lit(2L) * col("__m") + lit(1L)).cast("double") / lit(2.0 * sub)
     df.filter(x > 0)
-      .withColumn("__idx", idx).withColumn("__rep", rep)
+      .withColumn("__x", x)
+      .withColumn("__msb", (length(bin(col("__x"))) - 1).cast("long"))
+      .withColumn("__m", m)
+      .withColumn("__idx", col("__msb") * lit(sub) + (col("__m") - lit(sub)))
+      .withColumn("__rep", rep)
       .groupBy(keys :+ col("__idx") :+ col("__rep"): _*)
       .agg(count(lit(1)).as("n"))
       .select(keys ++ Seq(col("__idx").as("idx"), col("__rep").as("rep"),

@@ -175,7 +175,10 @@ object Clustering {
     def vecOf(id: Long): Seq[Long] =
       x.filter(col(idCol) === id).select(col("__q")).head()
         .getAs[scala.collection.Seq[Long]](0).toSeq
-    val firstId = x.agg(min(col(idCol))).head().getLong(0)
+    val firstRow = x.agg(min(col(idCol))).head()
+    require(!firstRow.isNullAt(0),
+      s"farthestPointSeeds: empty corpus (no non-null '$idCol' rows) — cannot seed k=$k")
+    val firstId = firstRow.getLong(0)
     var chosen: Seq[(Long, Seq[Long])] = Seq(firstId -> vecOf(firstId))
     var out: Seq[(Int, Long, Option[Long])] = Seq((1, firstId, None))
     for (r <- 2 to k) {
@@ -185,10 +188,14 @@ object Clustering {
           / (col("__n") * lit(cn)) * lit(Scale) + lit(0.5)).cast("long")
       }
       val maxAff = if (affs.size == 1) affs.head else greatest(affs: _*)
-      val pick = x.filter(!col(idCol).isin(chosen.map(_._1): _*))
+      val pickRow = x.filter(!col(idCol).isin(chosen.map(_._1): _*))
         .select(struct(maxAff.as("mx"), col(idCol).as("id")).as("s"))
         .agg(min(col("s")).as("m"))
         .select(col("m.id"), col("m.mx")).head()
+      require(!pickRow.isNullAt(0),
+        s"farthestPointSeeds: k=$k exceeds corpus size ${chosen.size} — " +
+          "candidate set exhausted at rank " + r)
+      val pick = pickRow
       val (pid, pmx) = (pick.getLong(0), pick.getLong(1))
       chosen = chosen :+ (pid -> vecOf(pid))
       out = out :+ ((r, pid, Some(pmx)))

@@ -14,8 +14,40 @@ import graft.core.NsTime
 object Tables {
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  /** Per-process memo of the base table frames, keyed by (session, dir,
+    * table). `spark.read.parquet` pays a footer read + schema merge and
+    * every reuse of the returned frame re-analyzes the same relation;
+    * across a 265-query bench each table is re-loaded hundreds of times
+    * and that fixed cost dominates the suite's flat ~0.4 s/query profile
+    * (r12 verdict #6). The testdata dirs are immutable for a process
+    * lifetime, so memoizing the DataFrame (NOT a .cache() of its data —
+    * data caching measurably hurt here, see DocDedup.ensemblePairs) is
+    * a pure plan-construction saving with bit-identical results. Keyed
+    * on the session object itself so a restarted session (tests) can
+    * never see a frame bound to a stopped one. */
+  private val frameMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]
+
+  /** get-then-putIfAbsent, NOT computeIfAbsent: the derived-frame memos
+    * (events/documents below) build on the raw-load memo of the same
+    * map, and a nested computeIfAbsent on one ConcurrentHashMap throws
+    * "Recursive update" when the keys land in one bin. A racing
+    * duplicate build is benign — both sides produce the same plan and
+    * putIfAbsent keeps exactly one. */
+  private def memo(spark: SparkSession, dir: String, slot: String)(
+      mk: => DataFrame): DataFrame = {
+    val key = (spark, dir, slot)
+    val cur = frameMemo.get(key)
+    if (cur != null) cur
+    else {
+      val df = mk
+      val prev = frameMemo.putIfAbsent(key, df)
+      if (prev != null) prev else df
+    }
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(path(dir, name))
+    memo(spark, dir, name)(spark.read.parquet(path(dir, name)))
 
   /** Schema-adaptive events loader. The testdata generator has shipped the
     * `ts` column under two physical encodings across rounds — INT64
@@ -29,10 +61,11 @@ object Tables {
     * across encodings. The legacy conf is per-session and dynamic, so set
     * it just-in-time; it is a no-op for µs-encoded files.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    eventsNormalize(load(spark, dir, "events"))
-  }
+  def events(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "events::normalized") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      eventsNormalize(load(spark, dir, "events"))
+    }
 
   /** Normalize any supported `ts` encoding to (`ts_ns`: long ns, `ts`:
     * µs timestamp). Factored out so specs can exercise both encodings. */
@@ -80,9 +113,11 @@ object Tables {
     * [[spread]] is a no-op. Row-preserving, so oracle outputs (all
     * order-insensitive or explicitly ordered) are unchanged. */
   def documents(spark: SparkSession, dir: String): DataFrame =
-    spread(spark, load(spark, dir, "documents"))
+    memo(spark, dir, "documents::spread")(
+      spread(spark, load(spark, dir, "documents")))
   def embeddings(spark: SparkSession, dir: String): DataFrame =
-    spread(spark, load(spark, dir, "embeddings"))
+    memo(spark, dir, "embeddings::spread")(
+      spread(spark, load(spark, dir, "embeddings")))
 
   /** Unspread scans, for plan-shape assertions: the default loaders'
     * round-robin rebalance is a scan-level concern, not part of any

@@ -112,6 +112,48 @@ class InfluxQlSpec extends SparkSpec {
     assert(err("select value from cpu limit x").contains("LIMIT"))
   }
 
+  test("upstream parser corpus: compound durations, identifier/regex/" +
+      "string escapes (influxql parser_test.go vectors)") {
+    // ParseDuration: "1h30m" is ONE 5400 s literal; segments sum
+    assert(InfluxQl.parse("select f from m group by time(1m30s)").groupTime
+      .contains(GroupTime(90000000000L, 0L)))
+    assert(InfluxQl.parse("select f from m group by time(1h30m, 15m)").groupTime
+      .contains(GroupTime(5400000000000L, 900000000000L)))
+    assert(InfluxQl.parse("select f from m group by time(1d12h)").groupTime
+      .contains(GroupTime(129600000000000L, 0L)))
+    // micro spellings: 1u == 1µ == 1000 ns
+    assert(InfluxQl.parse("select f from m group by time(500u)").groupTime
+      .contains(GroupTime(500000L, 0L)))
+    assert(InfluxQl.parse("select f from m group by time(500µ)").groupTime
+      .contains(GroupTime(500000L, 0L)))
+    // compound duration in a now() offset
+    assert(InfluxQl.parse(
+      "select f from m where time > now() - 1h30m").where.contains(
+      Bin(">", Ref("time"), Bin("-", Call("now", Nil), DurLit(5400000000000L)))))
+    // a trailing unitless run does NOT fold in ("1h30" is not upstream-
+    // parseable as one duration; the 30 lexes apart and the grammar
+    // rejects it downstream)
+    intercept[ParseError](
+      InfluxQl.parse("select f from m group by time(1h30)"))
+    // quoted identifiers: \" and \\ escapes (scanString over IDENT)
+    val esc = InfluxQl.parse("""select "va\"lue" from "m\\x"""")
+    assert(esc.projs == List((Ref("va\"lue"), None)))
+    assert(esc.from == "m\\x")
+    // identifiers may hold spaces and keyword spellings when quoted
+    val kw = InfluxQl.parse("""select "count" from "my measurement"""")
+    assert(kw.projs == List((Ref("count"), None)))
+    assert(kw.from == "my measurement")
+    // regex literal: \/ unescapes to a slash, everything else verbatim
+    assert(InfluxQl.parse("""select f from m where host =~ /a\/b[0-9]+/""")
+      .where.contains(Bin("=~", Ref("host"), ReLit("a/b[0-9]+"))))
+    // string literal: \' escape
+    assert(InfluxQl.parse("""select f from m where host = 'it\'s'""")
+      .where.contains(Bin("=", Ref("host"), StrLit("it's"))))
+    // <> is the != alias
+    assert(InfluxQl.parse("select f from m where host <> 'a'")
+      .where.contains(Bin("!=", Ref("host"), StrLit("a"))))
+  }
+
   // ------------------------------------------------------------ planner
 
   test("raw select: time rename, predicate, desc order, limit/offset") {
