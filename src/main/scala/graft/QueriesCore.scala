@@ -3194,6 +3194,48 @@ object QueriesCore {
           AND est.pct = exact.pct
         ORDER BY est.event_type, est.pct""")),
 
+    ("events_hdr_merge",
+      (s, d) => {
+        // the sketch's MERGEABILITY contract made visible (the property
+        // that makes it the at-scale quantile path: 1000 executors
+        // sketch their shards locally, the merge is a metadata-sized
+        // count sum): shard the corpus 4 ways, sketch each shard
+        // independently, merge by summing per-bucket counts — the
+        // quantile picks must equal the whole-corpus sketch's EXACTLY,
+        // so the oracle is events_hdr_quantiles' verbatim
+        import graft.functions.{InfluxAggregates => IA}
+        val ev = Tables.events(s, d)
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"),
+            pmod(col("event_id"), lit(4L)).as("shard"))
+        val perShard = IA.hdrSketch(ev, Seq("event_type", "shard"),
+          "cents", subBits = 5)
+        val merged = perShard.groupBy("event_type", "idx", "rep")
+          .agg(sum(col("n")).as("n"))
+        IA.hdrQuantiles(merged, Seq("event_type"), Seq(50, 90, 99),
+            out = "est")
+          .orderBy("event_type", "pct")
+      },
+      Some("""WITH e AS (SELECT event_type,
+            CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE CAST(round(value * 100) AS BIGINT) > 0),
+        u AS (SELECT event_type, c, length(bin(c)) - 1 AS msb FROM e),
+        v AS (SELECT event_type, msb, CAST(floor(CAST(c * 32 AS DOUBLE)
+            / power(2.0, msb)) AS BIGINT) AS m FROM u),
+        s AS (SELECT event_type, msb * 32 + m - 32 AS idx,
+            power(2.0, msb) * (2 * m + 1) / 64.0 AS rep,
+            CAST(count(*) AS BIGINT) AS n
+          FROM v GROUP BY 1, 2, 3),
+        w AS (SELECT event_type, idx, rep, n,
+            sum(n) OVER (PARTITION BY event_type ORDER BY idx) AS cum,
+            sum(n) OVER (PARTITION BY event_type) AS tot
+          FROM s),
+        p AS (SELECT unnest([50, 90, 99]) AS pct)
+        SELECT event_type, pct, rep AS est, CAST(tot AS BIGINT) AS n_total
+        FROM w CROSS JOIN p
+        WHERE cum * 100 >= tot * pct AND (cum - n) * 100 < tot * pct
+        ORDER BY event_type, pct""")),
+
     ("events_gaps",
       (s, d) => {
         // outage detection: inter-arrival spans over 24h per user series

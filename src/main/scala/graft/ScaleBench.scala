@@ -106,6 +106,11 @@ object ScaleBench {
           false
         }
       val sec = (System.nanoTime() - t0) / 1e9
+      // Nudge the ContextCleaner: shuffle files are deleted only when
+      // their ShuffleDependency is GC'd, and a big-factor run writes
+      // tens of GB per query — without this, one long session
+      // accumulates shuffle dirs toward disk exhaustion.
+      System.gc()
       Thread.sleep(200)
       if (ok) {
         val run = Run(sec, shufW.get - w0, shufR.get - r0, inB.get - i0)

@@ -18,12 +18,19 @@ import org.apache.spark.sql.functions._
   *
   * Per-table treatment (replica k = 0 keeps the original rows bit-exact):
   *  - `documents`: ids stride by (max_id+1)·k; replica text (k>0) gets a
-  *    replica-salt token appended to every 4th word. Every 5-gram shingle
-  *    window then crosses ≥1 salted word, so NO shingle survives across
-  *    replicas: each replica is its own shingle universe, per-shingle df
-  *    stays flat, and true near-dup pairs scale ×F (constant dup rate).
-  *    Docs that are near-dups of each other WITHIN a replica stay
-  *    near-dups (the salt is position-based, applied identically).
+  *    replica-salt token appended to every 2ND word, so every n-gram
+  *    window with n ≥ 2 crosses ≥1 salted word and NO shingle survives
+  *    across replicas: each replica is its own shingle universe,
+  *    per-shingle df stays flat, and true near-dup pairs scale ×F
+  *    (constant dup rate). Docs that are near-dups of each other WITHIN
+  *    a replica stay near-dups (the salt is position-based, applied
+  *    identically). The first r13 run salted every 4TH word, which let
+  *    1-in-4 TRIgram windows (the dedup family's n=3) land between
+  *    markers and stay replica-shared — per-trigram df then grew ×F and
+  *    the ×100 run measured the resulting quadratic pair blowup
+  *    (31 GB of shuffle on corpus_health_report; see SCALE_r13.md —
+  *    a useful adversarial datapoint, but not the flat-df experiment
+  *    this generator promises).
   *  - `embeddings`: ids stride; replica k's vectors are circularly
   *    rotated by k·7 positions — an orthogonal transform, so norms and
   *    all WITHIN-replica cosines are preserved exactly while
@@ -69,14 +76,14 @@ object ScaleData {
     // ---- documents ---------------------------------------------------
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
     val docStride = docs.agg(max("doc_id")).head().getLong(0) + 1
-    // k>0: salt every 4th word with a replica marker so no 5-shingle
+    // k>0: salt every 2nd word with a replica marker so no n>=2 shingle
     // survives across replicas (see scaladoc); k=0 rows stay bit-exact
     val saltedText = when(col("__k") === 0, col("text")).otherwise(
       array_join(
         zip_with(
           split(col("text"), " "),
           sequence(lit(0), size(split(col("text"), " ")) - 1),
-          (w, i) => when(i % 4 === 3,
+          (w, i) => when(i % 2 === 1,
             concat(w, lit("⟦r"), col("__k"), lit("⟧"))).otherwise(w)),
         " "))
     write(replicate(docs).select(

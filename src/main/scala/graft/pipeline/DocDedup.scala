@@ -126,7 +126,7 @@ object DocDedup {
     * standard LSH practice and the difference between bounded memory and
     * one executor materializing billions of structs at corpus scale. */
   def lshCandidates(sigs: DataFrame, idCol: String, p: MinHashParams,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 2048): DataFrame = {
     val buckets = bandBuckets(sigs, idCol, p)
       .groupBy("bucket").agg(sort_array(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
@@ -230,7 +230,7 @@ object DocDedup {
     * bounds the quadratic bucket expansion exactly like the shingle cap
     * there. */
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, w: Int, minShared: Long, maxFpDf: Int = 5000): DataFrame = {
+      n: Int, w: Int, minShared: Long, maxFpDf: Int = 512): DataFrame = {
     // set size rides along with the explode — ONE corpus pass, no
     // per-doc-count join (which would recompute the fingerprint pipeline:
     // the doc-count side broadcasts, so no exchange reuse applies)
@@ -390,6 +390,16 @@ object DocDedup {
     * `maxShingleDf` bounds the quadratic bucket expansion: a shingle
     * shared by d documents contributes d(d-1)/2 index pairs, so one
     * stopword-like trigram with df 10⁵ would alone emit ~5×10⁹ pair rows.
+    * The cap must stay SMALL relative to the corpus, not scale with it:
+    * a bucket just UNDER the cap emits ~cap²/2 pair rows, and the number
+    * of near-cap buckets grows with corpus size, so worst-case emitted
+    * volume is (#hot buckets)·cap²/2 — at cap 5000 that is 12.5M rows
+    * per bucket, which the r13 ×100 scale run measured as a 31 GB
+    * shuffle on a 1.7 GB corpus. 512 bounds a bucket at ~131k rows
+    * while still dwarfing any plausible near-dup cluster (a genuine
+    * cluster of >512 mutual near-dups is an exactDedup case); the r13
+    * audit measured max trigram df = 25 at sf0.1, so results at the
+    * test SFs are bit-identical under any cap ≥ 26.
     * Buckets over the cap are excluded from pair COUNTING — but exactness
     * is preserved for every emitted pair: documents containing an
     * over-cap shingle are marked, and candidate pairs where BOTH ends are
@@ -402,7 +412,7 @@ object DocDedup {
     * (handle those with exactDedup first). With no over-cap shingles the
     * marked set is empty and the plan degenerates to pure pair counting. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, maxShingleDf: Int = 5000): DataFrame = {
+      n: Int, threshold: Double, maxShingleDf: Int = 512): DataFrame = {
     val shArr = shingles(col(textCol), n)
     val sh = docs.select(col(idCol).as("id"), shArr.as("__sh"))
       .select(col("id"), explode_outer(col("__sh")).as("s"), // see explodePairs
@@ -456,7 +466,7 @@ object DocDedup {
     * (`winter·1e6 ≥ t_micro·(W1+W2−winter)`), never a raw float compare.
     * Returns (id1, id2, wjaccard). */
   def weightedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, maxShingleDf: Int = 5000): DataFrame = {
+      n: Int, threshold: Double, maxShingleDf: Int = 512): DataFrame = {
     val nDocs = broadcast(docs.agg(count(lit(1)).as("__n")))
     val sh = docs.select(col(idCol).as("id"),
         explode_outer(shingles(col(textCol), n)).as("s")) // see explodePairs
@@ -507,7 +517,7 @@ object DocDedup {
     * whose BOTH ends contain an over-cap shingle are re-verified with the
     * exact set intersection instead of the undercount. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, maxShingleDf: Int = 5000): DataFrame = {
+      n: Int, threshold: Double, maxShingleDf: Int = 512): DataFrame = {
     val shArr = shingles(col(textCol), n)
     val sh = docs.select(col(idCol).as("id"), shArr.as("__sh"))
       .select(col("id"), explode_outer(col("__sh")).as("s"), // see explodePairs
@@ -563,7 +573,7 @@ object DocDedup {
     * 15-bit quarter by pigeonhole), verify hamming inside buckets. The
     * signature is computed once per doc; quarters explode from it. */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int, maxBucket: Int = 10000): DataFrame = {
+      maxHamming: Int, maxBucket: Int = 2048): DataFrame = {
     val sigs = docs.select(col(idCol), simHash(col(textCol)).as("sig"))
     val quarterKeys = (0 until 4).map { q =>
       concat_ws(":", lit(q.toString),
@@ -597,7 +607,7 @@ object DocDedup {
     * (pigeonhole: ≤3 differing bits leave one 15-bit band intact). */
   def ensemblePairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, jaccardThreshold: Double = 0.7, maxHamming: Int = 3,
-      maxShingleDf: Int = 5000, maxBucket: Int = 10000): DataFrame = {
+      maxShingleDf: Int = 512, maxBucket: Int = 2048): DataFrame = {
     // NOTE (r12, measured): do NOT persist() a shared (id, text) base for
     // the three members. Caching the raw text column made this 1.7× SLOWER
     // at sf0.1 (4.35 → 7.26 s min-of-5): materializing the cache serializes
