@@ -91,6 +91,17 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
       text: String): Unit =
     runningQueries.put(id, (db, text, System.nanoTime()))
 
+  /** Registered continuous queries, keyed (db, name) — the 1.x standing
+    * downsample registry behind CREATE/SHOW/DROP CONTINUOUS QUERY
+    * (services/continuous_querier). Execution: [[runContinuousQueries]]
+    * plays the 1.x scheduler tick on demand (specs and embedders call it
+    * with a clock; a wall-clock timer is one `scheduleAtFixedRate` away
+    * and deliberately not started here — streams belong to
+    * `graft.streaming.ContinuousQuery`, which binds the same statement
+    * to Structured Streaming for the always-on path). */
+  private val continuousQueries =
+    TrieMap.empty[(String, String), graft.core.InfluxQl.CreateCq]
+
   /** Long-running-operations registry (rpc/operations.rs): one
     * structured record per tracked management job — rendered as JSON by
     * the HTTP routes and as `google.longrunning.Operation` protobuf by
@@ -554,8 +565,13 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
         val dbFree =
           try graft.core.InfluxQl.parseAll(q).forall {
             case sh: graft.core.InfluxQl.Show =>
-              sh.what == "databases" || sh.what == "queries"
+              sh.what == "databases" || sh.what == "queries" ||
+                sh.what == "continuous queries"
             case _: graft.core.InfluxQl.Kill => true
+            // CREATE/DROP CONTINUOUS QUERY name their db in the ON clause
+            case _: graft.core.InfluxQl.CreateCq => true
+            case d: graft.core.InfluxQl.Drop
+              if d.what == "continuous query" && d.db.isDefined => true
             case _ => false
           } catch { case NonFatal(_) => false }
         if (!dbFree && !hasDatabase(db)) {
@@ -718,6 +734,34 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
         runningQueries.remove(id)
         Right(None)
       }
+    case cq: graft.core.InfluxQl.CreateCq =>
+      // 1.x CQ validation (services/continuous_querier + statement.go):
+      // the embedded SELECT must write somewhere (INTO) and must have a
+      // schedule to derive (GROUP BY time() or RESAMPLE EVERY);
+      // re-creating an existing name on the same db is an error
+      if (cq.sel.into.isEmpty)
+        Left("continuous query's SELECT must name an INTO target")
+      else if (cq.sel.groupTime.isEmpty && cq.resampleEveryNs.isEmpty)
+        Left("continuous query needs GROUP BY time(...) or RESAMPLE EVERY")
+      else if (continuousQueries.putIfAbsent((cq.db, cq.name), cq).isDefined)
+        Left(s"continuous query already exists: ${cq.name}")
+      else Right(None)
+    case sh: graft.core.InfluxQl.Show if sh.what == "continuous queries" =>
+      // 1.x prints each registered CQ back as its CREATE statement,
+      // grouped by database. 1.x shapes this as one series PER database;
+      // here the database rides as a tag column (the same information,
+      // one frame — the series writer splits on tag tuples)
+      import spark.implicits._
+      val rows = continuousQueries.toSeq.sortBy(k => (k._1._1, k._1._2))
+        .map { case ((cdb, name), c) =>
+          (cdb, name, graft.core.InfluxQl.render(c))
+        }
+      Right(Some(("continuous queries", Seq("database"),
+        rows.toDF("database", "name", "query"))))
+    case graft.core.InfluxQl.Drop("continuous query", name, _, dbOpt) =>
+      val key = (dbOpt.getOrElse(db), name)
+      if (continuousQueries.remove(key).isDefined) Right(None)
+      else Left(s"continuous query not found: $name")
     case sh: graft.core.InfluxQl.Show =>
       val ms = measurements(db).flatMap { m =>
         measurementView(db, m).map(df => m -> asMeasurement(df))
@@ -752,7 +796,7 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
         }
         Right(None) // ack: a results entry with no series
       }
-    case graft.core.InfluxQl.Drop("measurement", m, _) =>
+    case graft.core.InfluxQl.Drop("measurement", m, _, _) =>
       // the whole measurement goes away: its chunks AND its tombstones.
       // Chunk stages are keyed by position in the db's chunk vector, so
       // the surviving chunks' stage labels must migrate to their new
@@ -789,7 +833,7 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
         tombstones.remove((db, m))
         Right(None)
       }
-    case graft.core.InfluxQl.Drop("series", m, where) =>
+    case graft.core.InfluxQl.Drop("series", m, where, _) =>
       // DROP SERIES = a tombstone across ALL time; 1.x forbids time
       // bounds and field predicates here — only tag conditions select
       // series
@@ -809,7 +853,7 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
         }
         Right(None)
       }
-    case graft.core.InfluxQl.Drop(what, _, _) =>
+    case graft.core.InfluxQl.Drop(what, _, _, _) =>
       Left(s"unsupported DROP $what")
     case graft.core.InfluxQl.Explain(sel, analyze) =>
       // the 1.x plan-inspection statement, answered with the engine's
@@ -841,6 +885,45 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
     case graft.core.InfluxQl.Ref(n) => Seq(n)
     case graft.core.InfluxQl.Bin(_, l, r) => collectRefs(l) ++ collectRefs(r)
     case _ => Seq.empty
+  }
+
+  /** One 1.x continuous-query scheduler tick (continuous_querier
+    * ExecuteContinuousQuery): for every registered CQ, recompute the
+    * window ending at the last interval boundary ≤ `nowNs` — interval =
+    * RESAMPLE EVERY, else the SELECT's GROUP BY time() — going back
+    * RESAMPLE FOR (else one interval), and land the result through the
+    * SELECT ... INTO write path (GROUP BY dims become tags, aggregates
+    * become fields, same per-measurement chunk store as LP writes).
+    * Time bounds are injected as a WHERE conjunct, so the planner's
+    * normal time-split handles them; a CQ whose source measurement does
+    * not exist yet reports its error instead of throwing (1.x logs and
+    * moves on). Returns one (db, name, rowsWritten | -1 on error) per CQ
+    * in (db, name) order. */
+  def runContinuousQueries(nowNs: Long): Seq[(String, String, Long)] = {
+    import graft.core.InfluxQl._
+    continuousQueries.toSeq.sortBy(k => (k._1._1, k._1._2)).map {
+      case ((cdb, name), cq) =>
+        val interval =
+          cq.resampleEveryNs.orElse(cq.sel.groupTime.map(_.everyNs)).get
+        val end = nowNs - java.lang.Math.floorMod(nowNs, interval)
+        val start = end - cq.resampleForNs.getOrElse(interval)
+        val bound = Bin("and",
+          Bin(">=", Ref("time"), IntLit(start)),
+          Bin("<", Ref("time"), IntLit(end)))
+        val bounded = cq.sel.copy(where =
+          Some(cq.sel.where.map(w => Bin("and", w, bound)).getOrElse(bound)))
+        val planned = HttpFacade.synchronized {
+          try planStatement(cdb, bounded)
+          catch { case NonFatal(e) => Left(String.valueOf(e.getMessage)) }
+        }
+        planned match {
+          case Right(Some((_, _, ack))) =>
+            // the INTO path acks with one (time, written) row
+            (cdb, name, ack.select(col("written")).head().getLong(0))
+          case Right(None) => (cdb, name, 0L)
+          case Left(_) => (cdb, name, -1L)
+        }
+    }
   }
 
   /** Streams one statement's series objects (no enclosing brackets):

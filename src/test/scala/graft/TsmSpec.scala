@@ -1,0 +1,123 @@
+package graft
+
+import graft.sources.Tsm
+import org.apache.spark.sql.functions._
+
+/** TSM importer against the reference repo's REAL fixture files, pinned
+  * to the facts the reference's own tests assert (reader.rs:685-801,
+  * mapper.rs:650-745): block/measurement counts, time range, org/bucket
+  * ids, per-block value counts, and the cpu measurement's tag/field
+  * columns. */
+class TsmSpec extends SparkSpec {
+
+  private def gunzip(path: String): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.FileInputStream(path))
+    try in.readAllBytes() finally in.close()
+  }
+
+  private lazy val fixture =
+    gunzip("/root/reference/tests/fixtures/000000000000005-000000002.tsm.gz")
+
+  test("index walk reproduces the reference reader's fixture facts") {
+    assert(fixture.length == 4222248) // documented file size (reader.rs:711)
+    val entries = Tsm.readIndex(fixture)
+    // 2,159 blocks across the index (reader.rs read_tsm_block)
+    assert(entries.map(_.blocks.size).sum == 2159)
+    // earliest 2020-05-27T13:16:44.546128Z, latest 2020-05-27T16:36:18.379824Z
+    assert(entries.flatMap(_.blocks).map(_.minTime).min == 1590585404546128000L)
+    assert(entries.flatMap(_.blocks).map(_.maxTime).max == 1590597378379824000L)
+    // every block is for org 05c19117091a1000, bucket 05c19117091a1001,
+    // and every series key parses
+    val keys = entries.map(e => Tsm.parseKey(e.key))
+    assert(keys.forall(_.orgId == "05c19117091a1000"))
+    assert(keys.forall(_.bucketId == "05c19117091a1001"))
+    // 121 unique measurements (mapper.rs:669)
+    assert(keys.map(_.measurement).distinct.size == 121)
+    // the cpu measurement's schema (mapper.rs:731-745)
+    val cpu = keys.filter(_.measurement == "cpu")
+    assert(cpu.flatMap(_.tags.map(_._1)).distinct.sorted == Seq("cpu", "host"))
+    assert(cpu.map(_.field).distinct.sorted == Seq(
+      "usage_guest", "usage_guest_nice", "usage_idle", "usage_iowait",
+      "usage_irq", "usage_nice", "usage_softirq", "usage_steal",
+      "usage_system", "usage_user"))
+  }
+
+  test("block decode matches the reference's per-block value counts") {
+    // the two blocks decode_tsm_blocks pins (reader.rs:752-800)
+    val f = Tsm.Block(1590585530000000000L, 1590590600000000000L,
+      offset = 5339, size = 153, typ = 0)
+    val (fts, fvals) = Tsm.decodeBlock(fixture, f)
+    assert(fts.length == 507)
+    assert(fvals.asInstanceOf[Array[Double]].length == 507)
+    assert(fts.head >= f.minTime && fts.last <= f.maxTime)
+    assert(fts.sameElements(fts.sorted))
+
+    val i = Tsm.Block(1590585520000000000L, 1590590600000000000L,
+      offset = 190770, size = 30, typ = 1)
+    val (its, ivals) = Tsm.decodeBlock(fixture, i)
+    assert(its.length == 509)
+    assert(ivals.asInstanceOf[Array[Long]].length == 509)
+    // 30 bytes holding 509 timestamps+values is the RLE container —
+    // the timestamps must be a perfect arithmetic sequence
+    val deltas = its.sliding(2).map(p => p(1) - p(0)).toSeq.distinct
+    assert(deltas.size == 1, s"RLE timestamps not equi-spaced: $deltas")
+  }
+
+  test("every block in the fixture decodes with ts.len == values.len") {
+    val entries = Tsm.readIndex(fixture)
+    var points = 0L
+    entries.foreach { e =>
+      e.blocks.foreach { b =>
+        val (ts, values) = Tsm.decodeBlock(fixture, b)
+        val n = values match {
+          case a: Array[Double] => a.length
+          case a: Array[Long] => a.length
+          case a: Array[Boolean] => a.length
+          case a: Array[String] => a.length
+        }
+        assert(ts.length == n,
+          s"ts/value length mismatch in ${new String(e.key)} block $b")
+        assert(ts.nonEmpty && ts.head >= b.minTime && ts.last <= b.maxTime)
+        points += n
+      }
+    }
+    assert(points > 100000, s"suspiciously few points decoded: $points")
+  }
+
+  test("distributed readPoints + measurement ingest over a fixture dir") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tsm")
+    val gz = java.nio.file.Paths.get(
+      "/root/reference/tests/fixtures/merge-tsm/merge_a.tsm.gz")
+    java.nio.file.Files.copy(gz, tmp.resolve("merge_a.tsm.gz"))
+
+    val pts = Tsm.readPoints(spark, tmp.toString + "/*.tsm.gz")
+    val n = pts.count()
+    assert(n > 0)
+    val tables = Tsm.ingest(spark, tmp.toString + "/*.tsm.gz")
+    assert(tables.nonEmpty)
+    // every measurement frame carries a time column plus at least one
+    // field; row count never exceeds the point count (the pivot only
+    // merges points sharing (series, time))
+    tables.foreach { case (m, df) =>
+      assert(df.columns.contains("time"), s"$m missing time")
+      assert(df.count() <= n)
+      assert(df.count() > 0, s"$m pivoted to zero rows")
+    }
+    // pivot conservation: per-measurement non-null field cells must
+    // equal the long-format point count for that measurement
+    val longCounts = pts.groupBy("measurement").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    tables.foreach { case (m, df) =>
+      val tagCols = pts.filter(col("measurement") === m)
+        .select(explode(map_keys(col("tags")))).distinct()
+        .collect().map(_.getString(0)).toSeq
+      val fields = df.columns.toSeq.diff("time" +: tagCols)
+      val cells = df.select(
+        fields.map(f => sum(when(col(f).isNotNull, 1L).otherwise(0L))): _*)
+        .head().toSeq.map(_.asInstanceOf[Long]).sum
+      assert(cells == longCounts(m),
+        s"$m: pivoted $cells non-null cells vs ${longCounts(m)} points")
+    }
+  }
+}
