@@ -405,6 +405,7 @@ object Tsm {
     }
 
   private val pointSchema = StructType(Seq(
+    StructField("file", StringType, nullable = false),
     StructField("measurement", StringType, nullable = false),
     StructField("tags", MapType(StringType, StringType), nullable = false),
     StructField("field", StringType, nullable = false),
@@ -428,7 +429,9 @@ object Tsm {
             new java.io.ByteArrayInputStream(raw))
           try in.readAllBytes() finally in.close()
         } else raw
-      decodeFile(bytes).map(p => Row(p.measurement, p.tags, p.field, p.time,
+      val base = name.substring(name.lastIndexOf('/') + 1)
+      decodeFile(bytes).map(p => Row(base, p.measurement, p.tags, p.field,
+        p.time,
         p.fval.map(Double.box).orNull, p.ival.map(Long.box).orNull,
         p.uval.map(Long.box).orNull, p.sval.orNull,
         p.bval.map(Boolean.box).orNull))
@@ -442,10 +445,25 @@ object Tsm {
     * shard drops into every downstream operator. Schema (tag/field
     * names and field types) is discovered from a one-pass metadata
     * aggregate over the long frame; the pivot is an ordinary groupBy
-    * over (tags, time) — last write wins per (series, time, field),
-    * matching TSM's own merge rule for duplicate points. */
+    * over (tags, time) — LAST WRITE WINS per (series, time, field),
+    * with arrival order = the files' generation-sequence order (TSM
+    * names are zero-padded `<generation>-<sequence>.tsm`, so the
+    * lexicographic file-name rank IS the compaction order — a later
+    * generation's rewrite of a point shadows the earlier one, the
+    * same shadowing rule the 1.x engine applies when levels overlap).
+    * The rank comes from one metadata-sized sorted broadcast of the
+    * distinct file names. Within a single file a duplicate
+    * (series, time, field) resolves to the max value (disclosed
+    * approximation: real in-file block order needs no fixture). */
   def ingest(spark: SparkSession, path: String): Map[String, DataFrame] = {
-    val pts = readPoints(spark, path)
+    val ptsRaw = readPoints(spark, path)
+    // arrival rank per file: lexicographic = (generation, sequence)
+    val fileNames = ptsRaw.select("file").distinct()
+      .collect().map(_.getString(0)).sorted
+    val rank = spark.createDataFrame(
+      fileNames.zipWithIndex.map { case (f, i) => (f, i.toLong) }.toSeq)
+      .toDF("file", "__arrival")
+    val pts = ptsRaw.join(broadcast(rank), "file")
     val meta = pts.groupBy("measurement", "field")
       .agg(
         max(when(col("fval").isNotNull, 1).otherwise(0)).as("f"),
@@ -469,15 +487,14 @@ object Tsm {
           else if (r.getInt(4) == 1) col("uval")
           else if (r.getInt(5) == 1) col("sval")
           else col("bval")
-        // non-null-wins per (series, time, field); a duplicate point for
-        // the SAME field at the same timestamp (overlapping blocks)
-        // resolves deterministically to the max value — the full
-        // arrival-order rule (later block wins) would need a block
-        // ordinal threaded through readPoints, which no fixture needs
+        // last-non-null by FILE arrival order per (series, time, field):
+        // a later-generation rewrite of the same point shadows the
+        // earlier one (max(struct(arrival, value)) — the Upsert rule)
         graft.operators.Upsert.lastNonNull(
-          when(col("field") === f, src), col("time")).as(f)
+          when(col("field") === f, src), col("__arrival")).as(f)
       }
-      m -> base.select(tagCols ++ Seq(col("time"), col("field"), col("fval"),
+      m -> base.select(tagCols ++ Seq(col("time"), col("field"),
+          col("__arrival"), col("fval"),
           col("ival"), col("uval"), col("sval"), col("bval")): _*)
         .groupBy(tks.map(col) :+ col("time"): _*)
         .agg(fieldAggs.head, fieldAggs.tail: _*)

@@ -87,11 +87,15 @@ class TsmSpec extends SparkSpec {
 
   test("distributed readPoints + measurement ingest over a fixture dir") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-tsm")
-    val gz = java.nio.file.Paths.get(
-      "/root/reference/tests/fixtures/merge-tsm/merge_a.tsm.gz")
-    java.nio.file.Files.copy(gz, tmp.resolve("merge_a.tsm.gz"))
+    for (f <- Seq("merge_a.tsm.gz", "merge_b.tsm.gz"))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(
+        s"/root/reference/tests/fixtures/merge-tsm/$f"), tmp.resolve(f))
 
     val pts = Tsm.readPoints(spark, tmp.toString + "/*.tsm.gz")
+    // the two generations interleave: both contribute cpu and disk
+    assert(pts.select("file").distinct().count() == 2)
+    assert(pts.select("measurement").distinct().collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("cpu", "disk"))
     val n = pts.count()
     assert(n > 0)
     val tables = Tsm.ingest(spark, tmp.toString + "/*.tsm.gz")
@@ -119,5 +123,56 @@ class TsmSpec extends SparkSpec {
       assert(cells == longCounts(m),
         s"$m: pivoted $cells non-null cells vs ${longCounts(m)} points")
     }
+  }
+
+  test("a later generation's rewrite of the same points shadows, " +
+      "never duplicates") {
+    // the same file under two generation names: every (series, time,
+    // field) arrives twice; the pivot's file-arrival last-write-wins
+    // must collapse them to the single-file row count
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tsm-shadow")
+    val src = java.nio.file.Paths.get(
+      "/root/reference/tests/fixtures/merge-tsm/merge_a.tsm.gz")
+    val one = java.nio.file.Files.createTempDirectory("graft-tsm-one")
+    java.nio.file.Files.copy(src, one.resolve("000000001-000000001.tsm.gz"))
+    java.nio.file.Files.copy(src, tmp.resolve("000000001-000000001.tsm.gz"))
+    java.nio.file.Files.copy(src, tmp.resolve("000000002-000000001.tsm.gz"))
+
+    val single = Tsm.ingest(spark, one.toString + "/*.tsm.gz")
+    val doubled = Tsm.ingest(spark, tmp.toString + "/*.tsm.gz")
+    assert(doubled.keySet == single.keySet)
+    doubled.foreach { case (m, df) =>
+      assert(df.count() == single(m).count(),
+        s"$m: duplicate generations changed the row count")
+    }
+  }
+
+  test("an ingested TSM measurement drives the RPC query layer") {
+    import org.apache.spark.sql.types.MetadataBuilder
+    import graft.core.{IoxSchema, RpcPredicate}
+    import graft.operators.InfluxRpc
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tsm-rpc")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(
+      "/root/reference/tests/fixtures/merge-tsm/merge_a.tsm.gz"),
+      tmp.resolve("merge_a.tsm.gz"))
+    val cpu = Tsm.ingest(spark, tmp.toString + "/*.tsm.gz")("cpu")
+    def meta(cat: String) = new MetadataBuilder()
+      .putString(IoxSchema.CategoryKey, cat).build()
+    val pts = Tsm.readPoints(spark, tmp.toString + "/*.tsm.gz")
+    val tagCols = pts.filter(col("measurement") === "cpu")
+      .select(explode(map_keys(col("tags")))).distinct()
+      .collect().map(_.getString(0)).toSet
+    val tagged = cpu.select(cpu.columns.toSeq.map { c =>
+      val cat =
+        if (c == "time") IoxSchema.Time
+        else if (tagCols(c)) IoxSchema.Tag
+        else IoxSchema.Field
+      col(c).as(c, meta(cat))
+    }: _*)
+    // metadata ops and a grouped read over the imported frame
+    assert(InfluxRpc.tagKeys(tagged, RpcPredicate()).toSet == tagCols)
+    val grouped = InfluxRpc.readGroup(tagged, RpcPredicate(),
+      InfluxRpc.AggKind.Count)
+    assert(grouped.count() > 0)
   }
 }
