@@ -147,7 +147,10 @@ class CqRegistrySpec extends SparkSpec {
       "SELECT * FROM /cpu.*/ WHERE s = 'it\\'s' GROUP BY *",
       "SELECT f FROM (SELECT mean(v) AS f FROM m GROUP BY time(10s)) " +
         "WHERE f > 1.5",
-      "SELECT f FROM a, b, \"weird name\"")
+      "SELECT f FROM a, b, \"weird name\"",
+      "SELECT mean(v) AS v INTO \"mydb\".\"autogen\".cpu_1h FROM cpu " +
+        "GROUP BY time(1h)",
+      "SELECT v INTO mydb..t FROM m")
     for (v <- vectors) {
       val ast = InfluxQl.parseStmt(v)
       val rendered = InfluxQl.render(ast)

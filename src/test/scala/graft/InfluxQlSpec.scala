@@ -152,6 +152,22 @@ class InfluxQlSpec extends SparkSpec {
     // <> is the != alias
     assert(InfluxQl.parse("select f from m where host <> 'a'")
       .where.contains(Bin("!=", Ref("host"), StrLit("a"))))
+    // fully-qualified INTO targets (db.rp.m / rp.m / db..m) keep the
+    // bare measurement in `into` and the qualifiers beside it
+    val q3 = InfluxQl.parse(
+      """select mean(v) as v into "mydb"."autogen".cpu_1h from cpu""")
+    assert(q3.into.contains("cpu_1h") && q3.intoDb.contains("mydb") &&
+      q3.intoRp.contains("autogen"))
+    val q2p = InfluxQl.parse("select v into autogen.t from m")
+    assert(q2p.into.contains("t") && q2p.intoRp.contains("autogen") &&
+      q2p.intoDb.isEmpty)
+    val qdd = InfluxQl.parse("select v into mydb..t from m")
+    assert(qdd.into.contains("t") && qdd.intoDb.contains("mydb") &&
+      qdd.intoRp.isEmpty)
+    // dotted FROM folds to the bare measurement (single-db planner)
+    assert(InfluxQl.parse("""select f from "mydb"."autogen".m""").from == "m")
+    assert(InfluxQl.parse("select f from mydb..m, autogen.n").fromMore ==
+      List("n"))
   }
 
   // ------------------------------------------------------------ planner
