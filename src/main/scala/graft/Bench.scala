@@ -7,6 +7,7 @@ import org.apache.spark.sql.SparkSession
   * and undercount the real work). */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val mainStartNs = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -23,7 +24,13 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver keeps only a 2000-byte TAIL of merged
+    // stdout+stderr and parses the last JSON line in it. r13's artifact
+    // was rc=124/parsed=null because the tail was 100% `WARN WindowExec`/
+    // `MapPartitionsRDD` spam printed AFTER the compact line. The bench
+    // entrypoint needs no WARNs; real failures still surface via the
+    // per-query try/catch below.
+    spark.sparkContext.setLogLevel("ERROR")
     // Timing methodology (shared-box noise): co-tenant CPU bursts run for
     // MINUTES, so iterating one query n times back-to-back lets a single
     // burst poison every sample of that query — min-of-n cannot shed it.
@@ -54,12 +61,26 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    // samples(p) = Seq[(name, Option[sec])] for pass p, suite order.
+    // Elapsed-time budget (r13 lesson: 3 interleaved full passes blew the
+    // driver's bench slot — rc 124 with nothing parseable in the tail).
+    // Two defenses: (1) stop STARTING work once the budget is spent — the
+    // first pass always runs to completion so every query gets >=1 sample,
+    // later passes abort between queries; (2) the caller below emits the
+    // cumulative compact line + sidecar after EVERY pass, so even a hard
+    // kill leaves the latest parseable total as the last JSON on stdout.
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "600").toDouble
+    def elapsedS: Double = (System.nanoTime() - mainStartNs) / 1e9
+    // samples(p) = (Seq[(name, Option[sec])] in suite order, ranToEnd).
     // A query that throws records None — NOT its failure latency — so a
     // broken query can never masquerade as a 0.05 s "result" (r6 lesson:
-    // 47 plan-time failures benched as plausible speedups).
-    def onePass(): Seq[(String, Option[Double])] =
-      queries.map { case (name, fn) =>
+    // 47 plan-time failures benched as plausible speedups). A pass aborted
+    // by the budget simply OMITS the unreached queries (missing sample,
+    // not a failure) and reports ranToEnd=false.
+    def onePass(abortable: Boolean): (Seq[(String, Option[Double])], Boolean) = {
+      val out = Seq.newBuilder[(String, Option[Double])]
+      var i = 0
+      while (i < queries.size && !(abortable && elapsedS > budgetS)) {
+        val (name, fn) = queries(i)
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -67,68 +88,11 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false
           }
-        (name, if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
+        out += ((name, if (ok) Some((System.nanoTime() - t0) / 1e9) else None))
+        i += 1
       }
-    var samples = (1 to passes).map(_ => onePass())
-    // Adaptive top-up (co-tenant contamination guard): when the FIRST
-    // pass's total exceeds the LAST's by >30%, something big was running
-    // early in the bench — one extra pass gives every query another
-    // chance at an uncontended sample. Bounded at +2 so a permanently
-    // loaded box still terminates. Totals compare over the queries that
-    // succeeded in BOTH passes: a query failing in just one pass would
-    // otherwise skew the ratio (a last-pass-only failure drops 30 s from
-    // that side and falsely fires; a first-pass-only failure hides real
-    // contamination).
-    def comparableTotals(a: Seq[(String, Option[Double])],
-        b: Seq[(String, Option[Double])]): (Double, Double) = {
-      val inB = b.collect { case (n, Some(_)) => n }.toSet
-      val both = a.collect { case (n, Some(_)) if inB(n) => n }.toSet
-      (a.collect { case (n, Some(t)) if both(n) => t }.sum,
-        b.collect { case (n, Some(t)) if both(n) => t }.sum)
+      (out.result(), i == queries.size)
     }
-    var extra = 0
-    while (extra < 2 && samples.size >= 2 && {
-      val (h, l) = comparableTotals(samples.head, samples.last)
-      l > 0 && h > 1.3 * l
-    }) {
-      val (h, l) = comparableTotals(samples.head, samples.last)
-      System.err.println(s"[bench] first pass ${d3(h)}s vs last ${d3(l)}s " +
-        "(shared-success queries) — adding a top-up pass")
-      samples = samples :+ onePass()
-      extra += 1
-    }
-    val byQuery = queries.map { case (name, _) =>
-      val ts = samples.flatMap(_.find(_._1 == name).get._2)
-      (name, if (ts.isEmpty) None else Some((ts.min, ts.max - ts.min)))
-    }
-    val failed = byQuery.collect { case (n, None) => n }
-    val qs = byQuery.collect { case (k, Some((min, _))) => "\"" + k + "\":" + d3(min) }
-      .mkString("{", ",", "}")
-    val spread = byQuery.collect { case (k, Some((_, s))) => "\"" + k + "\":" + d3(s) }
-      .mkString("{", ",", "}")
-    val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val passTotals = samples.map(p => d3(p.flatMap(_._2).sum)).mkString("[", ",", "]")
-    // Contamination marker: relative spread of the pass totals. A clean run
-    // has passes within a few percent of each other; a co-tenant burst
-    // inflates one pass's total, so (max-min)/min > 0.3 flags the run as
-    // burst-poisoned IN THE ARTIFACT ITSELF — a judge or later round
-    // reading the sidecar need not reconstruct this from pass_totals.
-    val rawTotals = samples.map(_.flatMap(_._2).sum).filter(_ > 0)
-    val passSpread =
-      if (rawTotals.size < 2) 0.0
-      else (rawTotals.max - rawTotals.min) / rawTotals.min
-    val contaminated = passSpread > 0.3
-    val total = byQuery.flatMap(_._2.map(_._1)).sum
-    // The driver captures only a bounded 2000-byte TAIL of the run's
-    // MERGED stdout+stderr (with the sbt "[success]" line inside it) and
-    // parses the last JSON line from that window; at ~190 queries the full
-    // per-query map overflows it and the whole bench reads as unparseable
-    // (r6-r8: "parsed": null — r8's tail held the 6 KB stderr detail line
-    // truncated mid-map ABOVE the compact line). So: the full-fidelity
-    // record goes ONLY to the sidecar file — never stdout, never stderr —
-    // and stdout gets exactly one compact line whose "queries" map rolls
-    // the minima up by family prefix (q/rpc/events/influxql/dedup/text/…
-    // — ~35 entries, stable round-over-round for trend comparison).
     // A SPARK_GRAFT_ONLY run is a partial suite: mark it in BOTH emitted
     // JSON forms so no stdout-parsing harness can record a filtered
     // partial total as a round total (the sidecar routing below already
@@ -137,16 +101,6 @@ object Bench {
       s""","filtered":true,"only":${only.get.toSeq.sorted
         .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
       else ""
-    val detail = s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"failed":$failedArr,"passes":${samples.size},"pass_totals":$passTotals,"pass_spread":${d3(passSpread)},"contaminated":$contaminated$filteredMark,"sf":"$sfDir"}"""
-    val famTotals = byQuery
-      .collect { case (k, Some((min, _))) => (k.takeWhile(_ != '_'), min) }
-      .groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (fam, xs) => "\"" + fam + "\":" + d3(xs.map(_._2).sum) }
-      .mkString("{", ",", "}")
-    val failedCapped = // keep stdout bounded even if half the suite fails
-      (failed.take(8).map("\"" + _ + "\"") ++
-        (if (failed.size > 8) Seq("\"+" + (failed.size - 8) + " more\"") else Nil))
-        .mkString("[", ",", "]")
     // Per-round sidecar name. An explicit tag wins (SPARK_GRAFT_ROUND env
     // or a `--round N` arg) — the directory scan below silently misfiles
     // the sidecar if the bench runs from a different cwd, or overwrites
@@ -171,19 +125,115 @@ object Bench {
     val detailName =
       if (only.isDefined) "bench_detail_filtered.json"
       else s"bench_detail$roundTag.json"
-    val compact = s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$famTotals,"n_queries":${byQuery.size},"n_failed":${failed.size},"failed":$failedCapped,"passes":${samples.size},"pass_totals":$passTotals,"pass_spread":${d3(passSpread)},"contaminated":$contaminated$filteredMark,"sf":"$sfDir","detail":"$detailName"}"""
-    // bench_detail.json stays as the stable latest-run pointer (not for
-    // filtered profiling runs, which would replace it with a partial map)
-    val sidecars =
-      if (only.isDefined) Seq(detailName)
-      else Seq(detailName, "bench_detail.json").distinct
-    sidecars.foreach { f =>
-      try java.nio.file.Files.write(java.nio.file.Paths.get(f),
-        (detail + "\n").getBytes("UTF-8"))
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] sidecar write failed ($f): $e") }
+    // Emits the cumulative artifact for the passes run SO FAR: the compact
+    // line to stdout and the full per-query record to the sidecar files.
+    // Called after EVERY pass (r13 lesson: the one end-of-run emission was
+    // never reached when the driver's timeout killed pass 2, leaving
+    // rc=124/parsed=null) — a kill at any point now loses at most the
+    // in-flight pass, and the driver's last-JSON-line parse picks up the
+    // newest cumulative total.
+    def emitArtifacts(
+        samples: Vector[(Seq[(String, Option[Double])], Boolean)]): Unit = {
+      val byQuery = queries.map { case (name, _) =>
+        // find(...).flatMap, not .get: a budget-aborted pass omits the
+        // queries it never reached (missing sample != failure).
+        val ts = samples.flatMap(_._1.find(_._1 == name).flatMap(_._2))
+        (name, if (ts.isEmpty) None else Some((ts.min, ts.max - ts.min)))
+      }
+      // "Failed" = attempted at least once and never succeeded. A query no
+      // pass reached (can only happen if even pass 1 was cut, which it
+      // structurally isn't) would otherwise read as a failure.
+      val attempted = samples.flatMap(_._1.map(_._1)).toSet
+      val failed = byQuery.collect { case (n, None) if attempted(n) => n }
+      val qs = byQuery.collect { case (k, Some((min, _))) => "\"" + k + "\":" + d3(min) }
+        .mkString("{", ",", "}")
+      val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val passTotals = samples.map(p => d3(p._1.flatMap(_._2).sum)).mkString("[", ",", "]")
+      // Contamination marker: relative spread of the COMPLETE passes'
+      // totals (a budget-truncated pass's total is structurally smaller —
+      // comparing it would always fire). A clean run has passes within a
+      // few percent; a co-tenant burst inflates one, so (max-min)/min >
+      // 0.3 flags the run as burst-poisoned IN THE ARTIFACT ITSELF.
+      val rawTotals = samples.collect { case (p, true) => p.flatMap(_._2).sum }
+        .filter(_ > 0)
+      val passSpread =
+        if (rawTotals.size < 2) 0.0
+        else (rawTotals.max - rawTotals.min) / rawTotals.min
+      val contaminated = passSpread > 0.3
+      val total = byQuery.flatMap(_._2.map(_._1)).sum
+      val passesComplete = samples.count(_._2)
+      val passMark =
+        s""","passes":${samples.size},"passes_complete":$passesComplete,"pass_totals":$passTotals,"pass_spread":${d3(passSpread)},"contaminated":$contaminated,"elapsed_s":${d3(elapsedS)},"budget_s":${d3(budgetS)}"""
+      val detail = s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"failed":$failedArr$passMark$filteredMark,"sf":"$sfDir"}"""
+      // The driver captures only a bounded 2000-byte TAIL of the run's
+      // MERGED stdout+stderr (with the sbt "[success]" line inside it) and
+      // parses the last JSON line from that window; at ~190 queries the
+      // full per-query map overflows it and the whole bench reads as
+      // unparseable (r6-r8: "parsed": null). So: the full-fidelity record
+      // goes ONLY to the sidecar file — never stdout, never stderr — and
+      // stdout gets compact lines whose "queries" map rolls the minima up
+      // by family prefix (q/rpc/events/influxql/dedup/text/… — ~35
+      // entries, stable round-over-round for trend comparison).
+      val famTotals = byQuery
+        .collect { case (k, Some((min, _))) => (k.takeWhile(_ != '_'), min) }
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (fam, xs) => "\"" + fam + "\":" + d3(xs.map(_._2).sum) }
+        .mkString("{", ",", "}")
+      val failedCapped = // keep stdout bounded even if half the suite fails
+        (failed.take(8).map("\"" + _ + "\"") ++
+          (if (failed.size > 8) Seq("\"+" + (failed.size - 8) + " more\"") else Nil))
+          .mkString("[", ",", "]")
+      val compact = s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$famTotals,"n_queries":${byQuery.size},"n_failed":${failed.size},"failed":$failedCapped$passMark$filteredMark,"sf":"$sfDir","detail":"$detailName"}"""
+      // bench_detail.json stays as the stable latest-run pointer (not for
+      // filtered profiling runs, which would replace it with a partial map)
+      val sidecars =
+        if (only.isDefined) Seq(detailName)
+        else Seq(detailName, "bench_detail.json").distinct
+      sidecars.foreach { f =>
+        try java.nio.file.Files.write(java.nio.file.Paths.get(f),
+          (detail + "\n").getBytes("UTF-8"))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] sidecar write failed ($f): $e") }
+      }
+      println(compact)
+      System.out.flush()
     }
-    println(compact)
+    var samples = Vector.empty[(Seq[(String, Option[Double])], Boolean)]
+    samples = samples :+ onePass(abortable = false)
+    emitArtifacts(samples)
+    var p = 1
+    while (p < passes && elapsedS <= budgetS) {
+      samples = samples :+ onePass(abortable = true)
+      emitArtifacts(samples)
+      p += 1
+    }
+    // Adaptive top-up (co-tenant contamination guard): when the FIRST
+    // pass's total exceeds the LAST COMPLETE pass's by >30%, something big
+    // was running early in the bench — one extra pass gives every query
+    // another chance at an uncontended sample. Bounded at +2 AND by the
+    // elapsed budget so a permanently loaded box still terminates. Totals
+    // compare over the queries that succeeded in BOTH passes: a query
+    // failing in just one pass would otherwise skew the ratio.
+    def comparableTotals(a: Seq[(String, Option[Double])],
+        b: Seq[(String, Option[Double])]): (Double, Double) = {
+      val inB = b.collect { case (n, Some(_)) => n }.toSet
+      val both = a.collect { case (n, Some(_)) if inB(n) => n }.toSet
+      (a.collect { case (n, Some(t)) if both(n) => t }.sum,
+        b.collect { case (n, Some(t)) if both(n) => t }.sum)
+    }
+    def lastComplete = samples.filter(_._2)
+    var extra = 0
+    while (extra < 2 && elapsedS <= budgetS && lastComplete.size >= 2 && {
+      val (h, l) = comparableTotals(lastComplete.head._1, lastComplete.last._1)
+      l > 0 && h > 1.3 * l
+    }) {
+      val (h, l) = comparableTotals(lastComplete.head._1, lastComplete.last._1)
+      System.err.println(s"[bench] first pass ${d3(h)}s vs last complete ${d3(l)}s " +
+        "(shared-success queries) — adding a top-up pass")
+      samples = samples :+ onePass(abortable = true)
+      emitArtifacts(samples)
+      extra += 1
+    }
     spark.stop()
   }
 }
