@@ -124,7 +124,16 @@ object DocDedup {
     * (e.g. empty documents sharing an all-identical signature slice) and
     * its pairs would be noise at quadratic cost, so it is dropped —
     * standard LSH practice and the difference between bounded memory and
-    * one executor materializing billions of structs at corpus scale. */
+    * one executor materializing billions of structs at corpus scale.
+    *
+    * RECALL CAVEAT (r13 default change, 10000 -> 2048): over-cap buckets
+    * are dropped OUTRIGHT — there is no exact re-verify repair path here
+    * (unlike [[ngramJaccardPairs]], whose over-cap shingles re-verify
+    * pair-exactly). A genuine near-dup cluster larger than `maxBucket`
+    * loses its intra-cluster candidate pairs unless another, smaller
+    * band bucket recovers them. Callers who expect dup clusters in the
+    * (2048, 10000] range should raise `maxBucket` explicitly or run
+    * [[connectedComponents]] over multiple bands' survivors. */
   def lshCandidates(sigs: DataFrame, idCol: String, p: MinHashParams,
       maxBucket: Int = 2048): DataFrame = {
     val buckets = bandBuckets(sigs, idCol, p)
@@ -228,7 +237,15 @@ object DocDedup {
     * over the ~w/2-fold sparser winnowed sets — this is what makes exact
     * (non-LSH) pair detection affordable at corpus scale. `maxFpDf`
     * bounds the quadratic bucket expansion exactly like the shingle cap
-    * there. */
+    * there.
+    *
+    * RECALL CAVEAT (r13 default change, 5000 -> 512): fingerprints with
+    * df > `maxFpDf` are dropped from the index with NO repair path (the
+    * exact re-verify in [[ngramJaccardPairs]] has no analog here), so
+    * the shared-fingerprint count UNDERCOUNTS for pairs whose overlap
+    * runs through hot fingerprints — a pair can fall below `minShared`
+    * and be missed. Raise `maxFpDf` explicitly when boilerplate-heavy
+    * corpora (many docs sharing hot spans) must still pair up. */
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, w: Int, minShared: Long, maxFpDf: Int = 512): DataFrame = {
     // set size rides along with the explode — ONE corpus pass, no
@@ -571,7 +588,13 @@ object DocDedup {
   /** SimHash near-dup pairs: bucket by 4 signature quarters (a pair within
     * hamming distance <= 3 of a 60-bit signature shares at least one exact
     * 15-bit quarter by pigeonhole), verify hamming inside buckets. The
-    * signature is computed once per doc; quarters explode from it. */
+    * signature is computed once per doc; quarters explode from it.
+    *
+    * RECALL CAVEAT (r13 default change, 10000 -> 2048): a quarter bucket
+    * larger than `maxBucket` is dropped OUTRIGHT (no exact repair path) —
+    * a pair is then found only if one of its other three quarters lands
+    * in a surviving bucket. Raise `maxBucket` explicitly when near-dup
+    * clusters in the (2048, 10000] range matter. */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int, maxBucket: Int = 2048): DataFrame = {
     val sigs = docs.select(col(idCol), simHash(col(textCol)).as("sig"))

@@ -34,12 +34,26 @@ object Tables {
     * "Recursive update" when the keys land in one bin. A racing
     * duplicate build is benign — both sides produce the same plan and
     * putIfAbsent keeps exactly one. */
+  /** Drop entries whose session has stopped: the memo would otherwise
+    * retain every stopped session (and its analyzed plans) for the
+    * process lifetime — a slow leak in long test runs that create many
+    * sessions (r13 advice). Swept on the MISS path only: a miss is the
+    * moment a new session first loads a table (exactly when older
+    * sessions have typically been stopped), and the map is small
+    * (sessions x dirs x tables), so the sweep is O(dozens) and never on
+    * the memo-hit hot path. */
+  private def purgeStopped(): Unit = {
+    val it = frameMemo.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+  }
+
   private def memo(spark: SparkSession, dir: String, slot: String)(
       mk: => DataFrame): DataFrame = {
     val key = (spark, dir, slot)
     val cur = frameMemo.get(key)
     if (cur != null) cur
     else {
+      purgeStopped()
       val df = mk
       val prev = frameMemo.putIfAbsent(key, df)
       if (prev != null) prev else df

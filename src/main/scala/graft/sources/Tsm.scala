@@ -404,7 +404,8 @@ object Tsm {
       }
     }
 
-  private val pointSchema = StructType(Seq(
+  /** Long-format decoded-points schema shared by [[readPoints]] and [[ingestPoints]]. */
+  val pointSchema = StructType(Seq(
     StructField("file", StringType, nullable = false),
     StructField("measurement", StringType, nullable = false),
     StructField("tags", MapType(StringType, StringType), nullable = false),
@@ -429,8 +430,13 @@ object Tsm {
             new java.io.ByteArrayInputStream(raw))
           try in.readAllBytes() finally in.close()
         } else raw
-      val base = name.substring(name.lastIndexOf('/') + 1)
-      decodeFile(bytes).map(p => Row(base, p.measurement, p.tags, p.field,
+      // Full path, not basename: real 1.x shard trees restart the
+      // generation-sequence numbering per shard directory, so two .tsm
+      // files with the SAME name in different subdirectories are
+      // distinct files and must get distinct arrival ranks (r13 advice —
+      // basename identity merged their points and let last-write-wins
+      // resolve by max-value instead of generation order).
+      decodeFile(bytes).map(p => Row(name, p.measurement, p.tags, p.field,
         p.time,
         p.fval.map(Double.box).orNull, p.ival.map(Long.box).orNull,
         p.uval.map(Long.box).orNull, p.sval.orNull,
@@ -455,9 +461,21 @@ object Tsm {
     * distinct file names. Within a single file a duplicate
     * (series, time, field) resolves to the max value (disclosed
     * approximation: real in-file block order needs no fixture). */
-  def ingest(spark: SparkSession, path: String): Map[String, DataFrame] = {
-    val ptsRaw = readPoints(spark, path)
-    // arrival rank per file: lexicographic = (generation, sequence)
+  def ingest(spark: SparkSession, path: String): Map[String, DataFrame] =
+    ingestPoints(spark, readPoints(spark, path))
+
+  /** [[ingest]] over an already-decoded long-format points frame (the
+    * [[readPoints]]/`pointSchema` shape) — the seam that lets points from
+    * any decoder reuse the schema-discovery + shadowing pivot. */
+  def ingestPoints(spark: SparkSession, ptsRaw: DataFrame): Map[String, DataFrame] = {
+    // Arrival rank per file: lexicographic FULL-PATH order. Within one
+    // shard directory the zero-padded <generation>-<sequence>.tsm names
+    // make this exactly the compaction order; ACROSS shard directories
+    // the rank follows directory path order, and cross-shard-dir
+    // generation ordering is UNDEFINED by the 1.x format (each shard dir
+    // restarts numbering) — points of the same series+time in different
+    // shard dirs should not exist in a healthy 1.x tree, and if they do,
+    // path order is the documented tiebreak.
     val fileNames = ptsRaw.select("file").distinct()
       .collect().map(_.getString(0)).sorted
     val rank = spark.createDataFrame(
@@ -469,7 +487,8 @@ object Tsm {
         max(when(col("fval").isNotNull, 1).otherwise(0)).as("f"),
         max(when(col("ival").isNotNull, 1).otherwise(0)).as("i"),
         max(when(col("uval").isNotNull, 1).otherwise(0)).as("u"),
-        max(when(col("sval").isNotNull, 1).otherwise(0)).as("s"))
+        max(when(col("sval").isNotNull, 1).otherwise(0)).as("s"),
+        max(when(col("bval").isNotNull, 1).otherwise(0)).as("b"))
       .collect()
     val tagKeys = pts.select(col("measurement"),
         explode(map_keys(col("tags"))).as("k"))
@@ -481,12 +500,24 @@ object Tsm {
       val tagCols = tks.map(t => col("tags")(t).as(t))
       val fieldAggs = fields.toSeq.sortBy(_.getString(1)).map { r =>
         val f = r.getString(1)
-        val src =
-          if (r.getInt(2) == 1) col("fval")
-          else if (r.getInt(3) == 1) col("ival")
-          else if (r.getInt(4) == 1) col("uval")
-          else if (r.getInt(5) == 1) col("sval")
-          else col("bval")
+        // A field whose blocks carry more than one value type across the
+        // imported files fails LOUDLY, mirroring the 1.x "field type
+        // conflict" write error — the old fixed fval>ival>… priority
+        // silently nulled every point of the non-chosen type in the
+        // pivot (r13 advice).
+        val present = Seq("float" -> r.getInt(2), "integer" -> r.getInt(3),
+          "unsigned" -> r.getInt(4), "string" -> r.getInt(5),
+          "boolean" -> r.getInt(6)).collect { case (t, 1) => t }
+        if (present.size > 1) throw new IllegalArgumentException(
+          s"field type conflict: measurement=$m field=$f has blocks of " +
+            s"types [${present.mkString(", ")}] across the imported TSM files")
+        val src = present.headOption match {
+          case Some("float") => col("fval")
+          case Some("integer") => col("ival")
+          case Some("unsigned") => col("uval")
+          case Some("string") => col("sval")
+          case _ => col("bval")
+        }
         // last-non-null by FILE arrival order per (series, time, field):
         // a later-generation rewrite of the same point shadows the
         // earlier one (max(struct(arrival, value)) — the Upsert rule)

@@ -150,7 +150,13 @@ class CqRegistrySpec extends SparkSpec {
       "SELECT f FROM a, b, \"weird name\"",
       "SELECT mean(v) AS v INTO \"mydb\".\"autogen\".cpu_1h FROM cpu " +
         "GROUP BY time(1h)",
-      "SELECT v INTO mydb..t FROM m")
+      "SELECT v INTO mydb..t FROM m",
+      // extreme float literals: Double.toString would emit exponent
+      // notation ("1.0E-7") the lexer cannot re-read; the renderer must
+      // stay plain-decimal (r13 advice, InfluxQl.renderNum)
+      "SELECT v FROM m WHERE f > 0.0000001 AND g < 250000000.5 " +
+        "GROUP BY time(10s) fill(0.0000001)",
+      "SELECT v FROM m WHERE f = 10000000.0")
     for (v <- vectors) {
       val ast = InfluxQl.parseStmt(v)
       val rendered = InfluxQl.render(ast)

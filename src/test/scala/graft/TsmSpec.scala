@@ -147,6 +147,62 @@ class TsmSpec extends SparkSpec {
     }
   }
 
+  test("same-basename files in different shard directories stay distinct") {
+    // real 1.x shard trees restart generation-sequence numbering per
+    // shard dir, so <root>/12/000000001-000000001.tsm and
+    // <root>/13/000000001-000000001.tsm are DIFFERENT files; file
+    // identity (and so the arrival rank) must key on the full path —
+    // basename identity merged them (r13 advice)
+    val root = java.nio.file.Files.createTempDirectory("graft-tsm-shards")
+    val src = java.nio.file.Paths.get(
+      "/root/reference/tests/fixtures/merge-tsm/merge_a.tsm.gz")
+    for (shard <- Seq("12", "13")) {
+      val d = root.resolve(shard)
+      java.nio.file.Files.createDirectory(d)
+      java.nio.file.Files.copy(src, d.resolve("000000001-000000001.tsm.gz"))
+    }
+    val pts = Tsm.readPoints(spark, root.toString + "/*/*.tsm.gz")
+    assert(pts.select("file").distinct().count() == 2,
+      "full-path file identity collapsed same-basename files across dirs")
+    // identical content in both shards: the pivot still collapses each
+    // (series, time, field) to one row, by path-order last-write-wins
+    val one = java.nio.file.Files.createTempDirectory("graft-tsm-shard-one")
+    java.nio.file.Files.copy(src, one.resolve("000000001-000000001.tsm.gz"))
+    val single = Tsm.ingest(spark, one.toString + "/*.tsm.gz")
+    val both = Tsm.ingest(spark, root.toString + "/*/*.tsm.gz")
+    assert(both.keySet == single.keySet)
+    both.foreach { case (m, df) =>
+      assert(df.count() == single(m).count(),
+        s"$m: cross-directory duplicates changed the row count")
+    }
+  }
+
+  test("a field whose blocks disagree on type across files fails loudly") {
+    import scala.jdk.CollectionConverters._
+    // mirrors the 1.x "field type conflict" write error: the old fixed
+    // priority silently nulled the integer points of `usage`
+    val rows = Seq(
+      org.apache.spark.sql.Row("a/f1.tsm", "cpu", Map("host" -> "a"),
+        "usage", 1L, Double.box(1.5), null, null, null, null),
+      org.apache.spark.sql.Row("a/f2.tsm", "cpu", Map("host" -> "a"),
+        "usage", 2L, null, Long.box(2L), null, null, null))
+    val pts = spark.createDataFrame(rows.asJava, Tsm.pointSchema)
+    val e = intercept[IllegalArgumentException](Tsm.ingestPoints(spark, pts))
+    assert(e.getMessage.contains("field type conflict"))
+    assert(e.getMessage.contains("usage"))
+    // control: the same field NAME under different measurements may
+    // carry different types — no conflict
+    val ok = Seq(
+      org.apache.spark.sql.Row("a/f1.tsm", "cpu", Map("host" -> "a"),
+        "usage", 1L, Double.box(1.5), null, null, null, null),
+      org.apache.spark.sql.Row("a/f2.tsm", "mem", Map("host" -> "a"),
+        "usage", 2L, null, Long.box(2L), null, null, null))
+    val tables = Tsm.ingestPoints(spark,
+      spark.createDataFrame(ok.asJava, Tsm.pointSchema))
+    assert(tables.keySet == Set("cpu", "mem"))
+    assert(tables("cpu").count() == 1 && tables("mem").count() == 1)
+  }
+
   test("an ingested TSM measurement drives the RPC query layer") {
     import org.apache.spark.sql.types.MetadataBuilder
     import graft.core.{IoxSchema, RpcPredicate}
