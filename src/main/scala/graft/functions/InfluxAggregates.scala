@@ -181,15 +181,56 @@ object InfluxAggregates {
   def topN(df: DataFrame, keyCols: Seq[String], timeCol: String,
       valueCol: String, n: Int, bottom: Boolean = false): DataFrame = {
     require(n >= 1, "top/bottom needs n >= 1")
+    // Bounded AGGREGATE, not row_number() over a window (r13 scale
+    // measurement: the window path shuffles the FULL table once
+    // partitions hold <n rows per series — 973× shuffle at ×100 series
+    // count — because map-side WindowGroupLimit can only prune within a
+    // partition's run of one series). The TopK aggregate's map-side
+    // partial reduces each task to <=n points per (task, series); the
+    // exchange then carries aggregate-sized state (<= n x series rows)
+    // at ANY row count. Ordering is identical to the windowed
+    // formulation (value extreme first, ties to the earlier time), so
+    // results are row-equal.
+    //
+    // Output contract: (keyCols..., timeCol, valueCol) ONLY — unlike a
+    // window, an aggregate cannot carry unrelated columns through. All
+    // in-repo callers project to exactly this set afterwards.
     val keys = keyCols.map(col)
-    val ord =
-      if (bottom) Seq(col(valueCol).asc, col(timeCol).asc)
-      else Seq(col(valueCol).desc, col(timeCol).asc)
-    val w = Window.partitionBy(keys: _*).orderBy(ord: _*)
+    if (n > 256) {
+      // large n: the aggregate's O(n) sorted buffer per group stops
+      // paying for itself; fall back to the window rank (map-side
+      // WindowGroupLimit still prunes when partitions hold >= n rows of
+      // a series, which at large n they usually do)
+      val ord =
+        if (bottom) Seq(col(valueCol).asc, col(timeCol).asc)
+        else Seq(col(valueCol).desc, col(timeCol).asc)
+      val w = Window.partitionBy(keys: _*).orderBy(ord: _*)
+      return df.filter(col(valueCol).isNotNull)
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= n)
+        .select(keys :+ col(timeCol) :+ col(valueCol): _*)
+    }
+    val vType = df.schema(valueCol).dataType
+    val tType = df.schema(timeCol).dataType
+    import org.apache.spark.sql.types._
+    val integral = vType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    // two typed aggregators so int64 fields never round-trip through a
+    // double (lossy past 2^53); the output casts restore the caller's
+    // original column types exactly
+    val fn =
+      if (integral) graft.functions.TopK.topPointsL(n, bottom)
+      else graft.functions.TopK.topPointsD(n, bottom)
+    val vIn =
+      if (integral) col(valueCol).cast("long") else col(valueCol).cast("double")
     df.filter(col(valueCol).isNotNull)
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= n)
-      .drop("__rk")
+      .groupBy(keys: _*)
+      .agg(fn(vIn, col(timeCol).cast("long")).as("__top"))
+      .select(keys :+ explode(col("__top")).as("__p"): _*)
+      .select(keys :+ col("__p.t").cast(tType).as(timeCol) :+
+        col("__p.v").cast(vType).as(valueCol): _*)
   }
 
   /** HDR-histogram-style log-linear sketch over a POSITIVE INTEGER value

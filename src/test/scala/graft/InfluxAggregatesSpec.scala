@@ -112,6 +112,36 @@ class InfluxAggregatesSpec extends SparkSpec {
     assert(bot == Set(("a", 4L, 7.0), ("b", 1L, 1.0)))
   }
 
+  test("topN plans as a partial aggregate (map-side bounded), not a window") {
+    // the r13 ×100 TSDB measurement: the window formulation shuffles the
+    // FULL table once partitions hold <n rows per series; the aggregate
+    // path must show a partial aggregate BELOW the exchange so the
+    // shuffle carries <= n points per (task, series)
+    val df = Seq(("a", 1L, 9.0), ("a", 2L, 8.0), ("b", 3L, 7.0))
+      .toDF("k", "t", "v")
+    val plan = IA.topN(df, Seq("k"), "t", "v", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"topN still plans a window:\n$plan")
+    val ex = plan.indexOf("Exchange")
+    val partial = plan.indexOf("partial_")
+    assert(partial >= 0, s"no partial aggregate in topN plan:\n$plan")
+    // physical plans print top-down: final agg, exchange, partial agg —
+    // the partial must sit below the exchange
+    assert(ex >= 0 && ex < partial,
+      s"partial aggregate not below the exchange:\n$plan")
+    // large n falls back to the window rank (O(n) aggregate buffers
+    // stop paying for themselves)
+    val big = IA.topN(df, Seq("k"), "t", "v", 1000)
+      .queryExecution.executedPlan.toString
+    assert(big.contains("Window"), s"large-n fallback missing:\n$big")
+    // int64 values survive without a double round-trip
+    val li = Seq(("a", 1L, (1L << 60) + 1L), ("a", 2L, (1L << 60) + 2L))
+      .toDF("k", "t", "v")
+    val got = IA.topN(li, Seq("k"), "t", "v", 1)
+      .select("v").as[Long].collect().toSeq
+    assert(got == Seq((1L << 60) + 2L), s"int64 precision lost: $got")
+  }
+
   test("hdrSketch: exact integer bucketing, mergeable counts") {
     // subBits=5: x=12345 -> msb=13, m=floor(12345*32/8192)=48,
     // idx=13*32+48-32=432, rep=2^13*(2*48+1)/64=12416
