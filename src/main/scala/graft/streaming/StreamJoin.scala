@@ -34,13 +34,20 @@ object StreamJoin {
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
       lTsCol: String, rTsCol: String, horizon: String,
       lateness: String = "0 seconds"): DataFrame = {
-    val l = if (left.isStreaming) left.withWatermark(lTsCol, lateness) else left
-    val r = if (right.isStreaming) right.withWatermark(rTsCol, lateness)
-            else right
+    // alias both sides: when left and right derive from the SAME source
+    // (the usual self-attribution shape), unaliased l(keyCol)/r(keyCol)
+    // resolve to one attribute — Spark warns "trivially true equals
+    // predicate" and falls back to its self-join disambiguation; the
+    // aliases make the condition unambiguous by construction
+    val l = (if (left.isStreaming) left.withWatermark(lTsCol, lateness)
+             else left).alias("__sj_l")
+    val r = (if (right.isStreaming) right.withWatermark(rTsCol, lateness)
+             else right).alias("__sj_r")
     l.join(r,
-      l(keyCol) === r(keyCol) &&
-        r(rTsCol) >= l(lTsCol) &&
-        r(rTsCol) <= l(lTsCol) + expr(s"INTERVAL $horizon"))
-      .drop(r(keyCol))
+      col(s"__sj_l.$keyCol") === col(s"__sj_r.$keyCol") &&
+        col(s"__sj_r.$rTsCol") >= col(s"__sj_l.$lTsCol") &&
+        col(s"__sj_r.$rTsCol") <= col(s"__sj_l.$lTsCol") +
+          expr(s"INTERVAL $horizon"))
+      .drop(col(s"__sj_r.$keyCol"))
   }
 }

@@ -107,6 +107,23 @@ class GoldenSqlSpec extends SparkSpec {
     assert(names.contains("cpu") && names.contains("system_columns"))
   }
 
+  test("all_chunks_dropped golden: a table whose chunks were ALL dropped " +
+      "stays in the catalog with its schema, yielding zero rows") {
+    // the point of cases/in/all_chunks_dropped.sql: OneMeasurementAllChunksDropped
+    // registers h2o, drops every chunk, and the catalog must STILL list
+    // h2o (schema survives chunk lifecycle) — here the empty frame plays
+    // the dropped-chunks table
+    val h2o = LineProtocol.ingest(spark,
+      Seq("h2o,state=MA temp=70.4 50"))("h2o").limit(0)
+    SqlFrontend.register(spark, Map("h2o" -> h2o))
+    val names = sql("SHOW TABLES").map(_(1).asInstanceOf[String]).toSet
+    assert(names.contains("h2o"), "dropped-chunks table vanished from catalog")
+    assert(sql("SELECT * FROM h2o").isEmpty)
+    // schema is still queryable (the reference's information_schema view)
+    val cols = sql("SHOW COLUMNS IN h2o").map(_(0).asInstanceOf[String]).toSet
+    assert(cols == Set("state", "temp", "time"), s"schema lost: $cols")
+  }
+
   test("sql.rs: select from restaurant / school (unsigned counts)") {
     // TwoMeasurementsUnsignedType (scenarios.rs:256)
     SqlFrontend.register(spark, mergedIngest(Seq(

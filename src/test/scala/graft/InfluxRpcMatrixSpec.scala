@@ -304,8 +304,10 @@ class InfluxRpcMatrixSpec extends SparkSpec {
     val mixed = RpcPredicate().withExpr(col("region") === "west")
       .withExpr(col("tag_not_in_h20") === "foo")
     assert(seriesOf(two("cpu"), Seq("user"), mixed).isEmpty)
-    // a predicate with no column references applies everywhere
-    val noCols = RpcPredicate().withExpr(lit("foo") === lit("foo"))
+    // a predicate with no column references applies everywhere (expr
+    // string, not lit === lit: Column's === would log a "trivially true
+    // equals" WARN for this intentionally tautological predicate)
+    val noCols = RpcPredicate().withExpr(expr("'foo' = 'foo'"))
     assert(pts(seriesOf(two("cpu"), Seq("user"), noCols).head) ==
       Seq((100L, 23.2), (150L, 21.0)))
     assert(pts(seriesOf(two("disk"), Seq("bytes"), noCols).head) == Seq((200L, 99.0)))
