@@ -349,6 +349,7 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
       val path = ex.getRequestURI.getPath
       (ex.getRequestMethod, path) match {
         case ("POST", "/api/v2/write") => handleWrite(ex)
+        case ("POST", "/iox/api/v1/write") => handleDbWrite(ex)
         case ("POST", "/api/v1/write_pb") => handleWritePb(ex)
         case ("POST", "/api/v2/flight/do_get") => handleDoGet(ex)
         case ("POST", "/api/v2/flight/do_put") => handleDoPut(ex)
@@ -416,6 +417,26 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
             }
         }
       case _ => respondJsonError(ex, 400, "missing org/bucket query parameters")
+    }
+  }
+
+  /** Db-addressed LP write — the downstream hop of shard routing (the
+    * reference's write_entry gRPC, server/src/lib.rs:775: addressed by
+    * db_name, writes LOCALLY — a forwarded write is never re-sharded). */
+  private def handleDbWrite(ex: HttpExchange): Unit = {
+    queryParams(ex).get("db") match {
+      case None => respondJsonError(ex, 400, "missing db query parameter")
+      case Some(db) =>
+        readBody(ex.getRequestBody, gzipped = false) match {
+          case None => respondJsonError(ex, 413,
+            s"request size exceeds $MaxBodySize bytes")
+          case Some(bytes) =>
+            writeLinesLocal(db, new String(bytes, UTF_8), bytes.length) match {
+              case Right(_) => ex.sendResponseHeaders(204, -1)
+              case Left(err) => respondJsonError(ex, 400,
+                s"error parsing line protocol: $err")
+            }
+        }
     }
   }
 
@@ -1190,7 +1211,91 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
     * store, parse errors surfaced to the caller's transport. The frames
     * re-parse the same <=10MiB body — still one facade-sized pass, the
     * data path proper stays in Spark. Returns lines written. */
+  /** Write entry point: shard-routes when the database's rules carry a
+    * ShardConfig with specific (table-regex) targets whose shard ids
+    * resolve through the `remotes` registry — the reference's
+    * grpc-router role (server/src/lib.rs:716-773 write_sharded_entry →
+    * write_entry_downstream → resolve_remote). Lines matching no target
+    * write locally, exactly like the reference's `shard_id: None` arm.
+    * The downstream hop is the db-addressed `/iox/api/v1/write` route,
+    * which writes LOCALLY at the receiver (the reference's write_entry →
+    * write_entry_local: a forwarded entry is never re-sharded, so a
+    * mis-configured ring cannot loop). Hash-ring targets stay a local
+    * write here: ring routing shards ROWS, which this single-process
+    * facade does at ingest via Sharding.shardColumn — only table-matcher
+    * targets name whole-line destinations. */
   private[server] def writeLines(db: String, body: String,
+      bodyBytes: Int): Either[String, Long] = {
+    val targets = rulesStore.get(db).flatMap(_.shardConfig)
+      .map(_.specificTargets).getOrElse(Nil)
+    // no matcher targets -> plain local write. With targets, a matched
+    // line's shard MUST resolve through `remotes` (reference Shard::Iox:
+    // every explicit shard id names a downstream node group; lib.rs:724
+    // ShardNotFound otherwise) — only unmatched lines write locally.
+    if (targets.isEmpty) return writeLinesLocal(db, body, bodyBytes)
+    try {
+      val content = body.split("\n").toSeq.map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+      val routed = content.map { line =>
+        val m = LineProtocol.parseLine(line).measurement
+        (targets.find(_._1.matches(m)).map(_._2), line)
+      }
+      val remoteTotals = routed.collect { case (Some(s), l) => (s, l) }
+        .groupBy(_._1).toSeq.sortBy(_._1).map { case (shard, ls) =>
+          remotes.get(shard) match {
+            case None => return Left(s"shard not found: $shard") // lib.rs ShardNotFound
+            case Some(addr) =>
+              forwardWrite(addr, db, ls.map(_._2).mkString("\n")) match {
+                case Left(err) => return Left(err)
+                case Right(()) => ls.size.toLong
+              }
+          }
+        }
+      val localLines = routed.collect { case (None, l) => l }
+      val localCount =
+        if (localLines.isEmpty) 0L
+        else writeLinesLocal(db, localLines.mkString("\n"),
+          localLines.iterator.map(_.length + 1).sum) match {
+          case Left(err) => return Left(err)
+          case Right(n) => n
+        }
+      Right(remoteTotals.sum + localCount)
+    } catch {
+      case e: LineProtocol.LpException => Left(e.getMessage)
+    }
+  }
+
+  /** One downstream write to a configured remote (connection strings as
+    * stored by update_remote; bare host:port gets http://). */
+  private def forwardWrite(addr: String, db: String,
+      body: String): Either[String, Unit] = {
+    val base = if (addr.startsWith("http://") || addr.startsWith("https://"))
+      addr.stripSuffix("/") else s"http://${addr.stripSuffix("/")}"
+    try {
+      val conn = new java.net.URI(
+        s"$base/iox/api/v1/write?db=${HttpFacade.urlEnc(db)}")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setConnectTimeout(5000)
+      conn.setReadTimeout(15000)
+      conn.getOutputStream.write(body.getBytes(UTF_8))
+      conn.getOutputStream.close()
+      val status = conn.getResponseCode
+      val err = if (status >= 400) {
+        val is = conn.getErrorStream
+        val detail = if (is == null) "" else new String(is.readAllBytes(), UTF_8)
+        Some(s"remote $addr returned $status: ${detail.take(200)}")
+      } else None
+      conn.disconnect()
+      err.toLeft(())
+    } catch {
+      case e: java.io.IOException =>
+        Left(s"no remote reachable at $addr: ${e.getMessage}") // NoRemoteReachable
+    }
+  }
+
+  private def writeLinesLocal(db: String, body: String,
       bodyBytes: Int): Either[String, Long] = {
     val lines = body.split("\n").toSeq
     try {
@@ -1726,7 +1831,7 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
   private[server] def remotesSorted: Seq[(Int, String)] =
     remotes.toSeq.sortBy(_._1)
 
-  private[server] def updateRemote(id: Int, connectionString: String): Unit =
+  private[graft] def updateRemote(id: Int, connectionString: String): Unit =
     remotes.put(id, connectionString)
 
   /** delete_remote: false when the id was unknown (NotFound upstream). */

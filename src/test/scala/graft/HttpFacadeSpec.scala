@@ -1074,4 +1074,57 @@ class HttpFacadeSpec extends SparkSpec {
     assert(HttpFacade.dbName("my org", "bucket/1") == "my%20org_bucket%2F1")
     assert(HttpFacade.dbName("org", "bucket") == "org_bucket")
   }
+
+  test("shard routing: a write matching a remote-targeted table lands " +
+      "queryable on the REMOTE; unmatched lines stay local") {
+    // the grpc-router role (server/src/lib.rs:716-773): shard config maps
+    // table regex -> shard id, the remotes registry maps shard id -> a
+    // downstream server, and the facade forwards matching lines there.
+    // Loopback second facade = the remote.
+    def put(port: Int, path: String, body: String): (Int, String) = {
+      val conn = new URI(s"http://127.0.0.1:$port$path").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("PUT")
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(body.getBytes(UTF_8))
+      conn.getOutputStream.close()
+      readResponse(conn)
+    }
+    withFacade { local =>
+      withFacade { remote =>
+        val pl = local.boundPort
+        val pr = remote.boundPort
+        local.updateRemote(7, s"127.0.0.1:$pr")
+        val rules = """{"name":"o_b","shard_config":""" +
+          """{"specific_targets":[{"regex":"^water","shard":7}]}}"""
+        assert(put(pl, "/iox/api/v1/databases/o_b/rules", rules)._1 == 200)
+        val lp = "water,city=SF level=1.5 100\nair,city=SF temp=70.25 100"
+        val (ws, _) = post(pl, "/api/v2/write?org=o&bucket=b", lp.getBytes(UTF_8))
+        assert(ws == 204)
+        // water landed on the remote and is queryable THERE
+        val (qs, body) = get(pr, "/iox/api/v1/databases/o_b/query?q=" +
+          enc("SELECT city, level FROM water") + "&format=csv")
+        assert(qs == 200 && body.contains("SF") && body.contains("1.5"),
+          s"water not queryable on remote: $qs $body")
+        // air stayed local
+        val (qa, bodyA) = get(pl, "/iox/api/v1/databases/o_b/query?q=" +
+          enc("SELECT city, temp FROM air") + "&format=csv")
+        assert(qa == 200 && bodyA.contains("70.25"),
+          s"air not queryable locally: $qa $bodyA")
+        // and the routed table does NOT exist locally
+        val (qw, bodyW) = get(pl, "/iox/api/v1/databases/o_b/query?q=" +
+          enc("SELECT * FROM water") + "&format=csv")
+        assert(qw != 200 || !bodyW.contains("1.5"),
+          s"water leaked into the local store: $bodyW")
+        // a shard id with no configured remote fails loudly (ShardNotFound)
+        val rules2 = """{"name":"o_b","shard_config":""" +
+          """{"specific_targets":[{"regex":"^water","shard":9}]}}"""
+        assert(put(pl, "/iox/api/v1/databases/o_b/rules", rules2)._1 == 200)
+        val (ws2, body2) = post(pl, "/api/v2/write?org=o&bucket=b",
+          "water,city=LA level=9.0 200".getBytes(UTF_8))
+        assert(ws2 == 400 && body2.contains("shard not found: 9"),
+          s"unresolvable shard did not fail loudly: $ws2 $body2")
+      }
+    }
+  }
 }

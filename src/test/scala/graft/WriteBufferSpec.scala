@@ -48,6 +48,39 @@ class WriteBufferSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](WriteBuffer.writing("s3:nope"))
   }
 
+  test("rules-document swap: kafka: arm stays marked; file:/mem: drop in " +
+      "with no code change") {
+    // the write_buffer connection string lives in the database-rules
+    // document (database_rules.rs:62 WriteBufferConnection); a rules doc
+    // carrying a kafka: connection must route to the factory's disclosed
+    // env-blocked error, and the SAME doc with the string swapped to
+    // file:/mem: must come up working — proving a future kafka jar
+    // drop-in is config-only
+    import graft.streaming.DatabaseRules
+    def rulesWith(conn: String) =
+      DatabaseRules.fromJson(
+        s"""{"name":"db1","write_buffer":${graft.core.Json.str(conn)}}""")
+        .fold(e => fail(s"rules parse failed: $e"), identity)
+    val kafkaRules = rulesWith("kafka:broker-1:9092,broker-2:9092")
+    assert(kafkaRules.writeBufferConnection
+      .contains("kafka:broker-1:9092,broker-2:9092"))
+    val e = intercept[UnsupportedOperationException](
+      WriteBuffer.writing(kafkaRules.writeBufferConnection.get))
+    // the exact disclosed wording: what's missing (the connector jar),
+    // why (zero egress), and the working substitutes
+    assert(e.getMessage.contains("no spark-sql-kafka connector"))
+    assert(e.getMessage.contains("zero-egress"))
+    assert(e.getMessage.contains("use file: or mem:"))
+    // same doc, connection swapped: the write path comes up immediately
+    val dir = Files.createTempDirectory("graft-wb-swap").toString
+    val fileRules = rulesWith(s"file:$dir")
+    val w = WriteBuffer.writing(fileRules.writeBufferConnection.get)
+    assert(w.storeEntry("cpu,host=a usage=1.0 100") == WriteBuffer.Sequence(0, 0))
+    val memRules = rulesWith("mem:swap-test")
+    assert(WriteBuffer.writing(memRules.writeBufferConnection.get)
+      .isInstanceOf[WriteBuffer.MemBuffer])
+  }
+
   test("file buffer: sequences are monotone, durable, and resume after reopen") {
     val dir = Files.createTempDirectory("graft-wb-seq").toString
     val w = WriteBuffer.writing(s"file:$dir")
