@@ -181,56 +181,38 @@ object InfluxAggregates {
   def topN(df: DataFrame, keyCols: Seq[String], timeCol: String,
       valueCol: String, n: Int, bottom: Boolean = false): DataFrame = {
     require(n >= 1, "top/bottom needs n >= 1")
-    // Bounded AGGREGATE, not row_number() over a window (r13 scale
-    // measurement: the window path shuffles the FULL table once
-    // partitions hold <n rows per series — 973× shuffle at ×100 series
-    // count — because map-side WindowGroupLimit can only prune within a
-    // partition's run of one series). The TopK aggregate's map-side
-    // partial reduces each task to <=n points per (task, series); the
-    // exchange then carries aggregate-sized state (<= n x series rows)
-    // at ANY row count. Ordering is identical to the windowed
-    // formulation (value extreme first, ties to the earlier time), so
-    // results are row-equal.
+    // Window rank, MEASURED against the bounded-aggregate alternative
+    // (TopK.topPointsD/L) at ×10/×100 series count (r14, local[32],
+    // scale_runs in SCALE_r14.md):
+    //  - tall series (rows/series >> n): Spark's WindowGroupLimit rule
+    //    already prunes map-side to n rows per (partition, series) —
+    //    the shuffle is aggregate-sized WITHOUT the aggregate.
+    //  - wide series (×100 series count, rows/(task×series) ≈ n): NO
+    //    formulation can shuffle less than ~the data (k×series×tasks ≈
+    //    rows); the aggregate shuffled MORE bytes than raw rows
+    //    (188 MB vs 157 MB — serialized Seq buffers cost more per point
+    //    than Tungsten rows) and ran 2.6× slower, because
+    //    ObjectHashAggregate falls back to sort-based aggregation past
+    //    128 distinct keys per task, paying the window's sort PLUS udaf
+    //    serialization.
+    // So the window is Pareto-better here and the r13 hypothesis that
+    // the aggregate would drop the ×100 shuffle is recorded as refuted.
+    // The TopPoints aggregators remain public in TopK for genuinely
+    // tall single-group workloads (e.g. global top-k over a 100 TB
+    // corpus, where a window would sort one giant partition).
     //
-    // Output contract: (keyCols..., timeCol, valueCol) ONLY — unlike a
-    // window, an aggregate cannot carry unrelated columns through. All
-    // in-repo callers project to exactly this set afterwards.
+    // Output contract: (keyCols..., timeCol, valueCol) ONLY — kept
+    // aligned with the aggregate formulation so the implementations
+    // stay swappable.
     val keys = keyCols.map(col)
-    if (n > 256) {
-      // large n: the aggregate's O(n) sorted buffer per group stops
-      // paying for itself; fall back to the window rank (map-side
-      // WindowGroupLimit still prunes when partitions hold >= n rows of
-      // a series, which at large n they usually do)
-      val ord =
-        if (bottom) Seq(col(valueCol).asc, col(timeCol).asc)
-        else Seq(col(valueCol).desc, col(timeCol).asc)
-      val w = Window.partitionBy(keys: _*).orderBy(ord: _*)
-      return df.filter(col(valueCol).isNotNull)
-        .withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") <= n)
-        .select(keys :+ col(timeCol) :+ col(valueCol): _*)
-    }
-    val vType = df.schema(valueCol).dataType
-    val tType = df.schema(timeCol).dataType
-    import org.apache.spark.sql.types._
-    val integral = vType match {
-      case LongType | IntegerType | ShortType | ByteType => true
-      case _ => false
-    }
-    // two typed aggregators so int64 fields never round-trip through a
-    // double (lossy past 2^53); the output casts restore the caller's
-    // original column types exactly
-    val fn =
-      if (integral) graft.functions.TopK.topPointsL(n, bottom)
-      else graft.functions.TopK.topPointsD(n, bottom)
-    val vIn =
-      if (integral) col(valueCol).cast("long") else col(valueCol).cast("double")
+    val ord =
+      if (bottom) Seq(col(valueCol).asc, col(timeCol).asc)
+      else Seq(col(valueCol).desc, col(timeCol).asc)
+    val w = Window.partitionBy(keys: _*).orderBy(ord: _*)
     df.filter(col(valueCol).isNotNull)
-      .groupBy(keys: _*)
-      .agg(fn(vIn, col(timeCol).cast("long")).as("__top"))
-      .select(keys :+ explode(col("__top")).as("__p"): _*)
-      .select(keys :+ col("__p.t").cast(tType).as(timeCol) :+
-        col("__p.v").cast(vType).as(valueCol): _*)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .select(keys :+ col(timeCol) :+ col(valueCol): _*)
   }
 
   /** HDR-histogram-style log-linear sketch over a POSITIVE INTEGER value

@@ -112,34 +112,37 @@ class InfluxAggregatesSpec extends SparkSpec {
     assert(bot == Set(("a", 4L, 7.0), ("b", 1L, 1.0)))
   }
 
-  test("topN plans as a partial aggregate (map-side bounded), not a window") {
-    // the r13 ×100 TSDB measurement: the window formulation shuffles the
-    // FULL table once partitions hold <n rows per series; the aggregate
-    // path must show a partial aggregate BELOW the exchange so the
-    // shuffle carries <= n points per (task, series)
-    val df = Seq(("a", 1L, 9.0), ("a", 2L, 8.0), ("b", 3L, 7.0))
-      .toDF("k", "t", "v")
-    val plan = IA.topN(df, Seq("k"), "t", "v", 3)
+  test("topN plans a window WITH the map-side WindowGroupLimit prune; " +
+      "the bounded TopPoints aggregate matches it row-for-row") {
+    // r14 measurement (SCALE_r14.md): the window + WindowGroupLimit
+    // formulation beat the partial-aggregate alternative in BOTH series
+    // regimes — tall series prune map-side already, wide series cannot
+    // shuffle less than the data under either formulation and the udaf
+    // buffers cost more per point. This pins (a) the WindowGroupLimit
+    // prune is actually present in the plan, (b) the TopPoints
+    // aggregators (kept for single-group global top-k) agree exactly.
+    val df = Seq(("a", 1L, 9.0), ("a", 2L, 9.0), ("a", 3L, 8.0),
+      ("a", 4L, 7.0), ("b", 1L, 1.0)).toDF("k", "t", "v")
+    val plan = IA.topN(df, Seq("k"), "t", "v", 2)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"), s"topN still plans a window:\n$plan")
-    val ex = plan.indexOf("Exchange")
-    val partial = plan.indexOf("partial_")
-    assert(partial >= 0, s"no partial aggregate in topN plan:\n$plan")
-    // physical plans print top-down: final agg, exchange, partial agg —
-    // the partial must sit below the exchange
-    assert(ex >= 0 && ex < partial,
-      s"partial aggregate not below the exchange:\n$plan")
-    // large n falls back to the window rank (O(n) aggregate buffers
-    // stop paying for themselves)
-    val big = IA.topN(df, Seq("k"), "t", "v", 1000)
-      .queryExecution.executedPlan.toString
-    assert(big.contains("Window"), s"large-n fallback missing:\n$big")
-    // int64 values survive without a double round-trip
+    assert(plan.contains("WindowGroupLimit"),
+      s"map-side WindowGroupLimit prune missing from topN plan:\n$plan")
+    // aggregate twin: identical rows (value extreme first, earlier time
+    // on ties), int64 exactness past 2^53
+    val agg = df.filter($"v".isNotNull).groupBy("k")
+      .agg(graft.functions.TopK.topPointsD(2, false)($"v", $"t").as("top"))
+      .select($"k", explode($"top").as("p"))
+      .select($"k", $"p.t".as("t"), $"p.v".as("v"))
+      .as[(String, Long, Double)].collect().toSet
+    val win = IA.topN(df, Seq("k"), "t", "v", 2)
+      .as[(String, Long, Double)].collect().toSet
+    assert(agg == win, s"aggregate/window top-k disagree: $agg vs $win")
     val li = Seq(("a", 1L, (1L << 60) + 1L), ("a", 2L, (1L << 60) + 2L))
       .toDF("k", "t", "v")
-    val got = IA.topN(li, Seq("k"), "t", "v", 1)
-      .select("v").as[Long].collect().toSeq
-    assert(got == Seq((1L << 60) + 2L), s"int64 precision lost: $got")
+    val gotL = li.groupBy("k")
+      .agg(graft.functions.TopK.topPointsL(1, false)($"v", $"t").as("top"))
+      .select(explode($"top.v").as("v")).as[Long].collect().toSeq
+    assert(gotL == Seq((1L << 60) + 2L), s"int64 precision lost: $gotL")
   }
 
   test("hdrSketch: exact integer bucketing, mergeable counts") {
