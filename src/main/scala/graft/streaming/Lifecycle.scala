@@ -59,7 +59,17 @@ object Lifecycle {
         * time range is older than `dataNow - retentionNs` expires and is
         * dropped, any stage. Whole-chunk granularity, like the
         * reference's chunk-level lifecycle ops. */
-      retentionNs: Option[Long] = None)
+      retentionNs: Option[Long] = None,
+      /** Max chunks merged by ONE compact/persist action (r14 chunk-count
+        * measurement: an unbounded 1000-chunk merge ran 20+ minutes —
+        * every member costs a footer read + a relation in the union plan,
+        * so per-action work must be bounded and reduction GEOMETRIC:
+        * 1000 chunks → ⌈1000/64⌉ actions → 16 chunks → 1. Correctness is
+        * unaffected by splitting: cross-group duplicates stay resolved by
+        * the overlap-aware dedup scan and the later-chunk-id-wins rule,
+        * same as any two overlapping chunks that were never compacted
+        * together. */
+      maxCompactFanIn: Int = 64)
 
   sealed trait Stage
   case object Open extends Stage // receiving writes (OpenMutableBuffer)
@@ -124,7 +134,10 @@ object Lifecycle {
       val oldestAgeMs = nowMs - hot.map(_.lastWriteMs).min
       if (persistableRows >= rules.persistRowThreshold ||
           oldestAgeMs >= rules.persistAgeThresholdMs || overSoft)
-        return drops :+ Persist(closed.map(_.id),
+        // fan-in bounded: oldest chunks first, the rest persist on the
+        // following rounds (see Rules.maxCompactFanIn)
+        return drops :+ Persist(
+          closed.sortBy(_.id).take(rules.maxCompactFanIn).map(_.id),
           splitNsOf(nowMs - rules.lateArriveWindowMs))
     }
 
@@ -155,7 +168,10 @@ object Lifecycle {
     })
     val toCompact = (rolledOver ++ smallCompacted).sortBy(_.id)
     if (toCompact.size >= 2 || rolledOver.nonEmpty)
-      drops :+ Compact(toCompact.map(_.id))
+      // one Compact action per <= maxCompactFanIn chunks: bounded merge
+      // width per action, geometric chunk-count reduction across rounds
+      drops ++ toCompact.grouped(rules.maxCompactFanIn.max(2))
+        .map(g => Compact(g.map(_.id))).toSeq
     else drops
   }
 

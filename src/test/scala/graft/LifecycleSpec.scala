@@ -30,6 +30,22 @@ class LifecycleSpec extends SparkSpec {
     assert(actions == Seq(Compact(Seq(0L))))
   }
 
+  test("plan: compaction and persistence fan-in are bounded (r14)") {
+    // an unbounded 1000-chunk merge measured 20+ minutes (every member =
+    // a footer read + a union-plan relation); actions must bound their
+    // width and reduce chunk count geometrically across rounds
+    val many = (0L until 200L).map(i => chunk(i, Open, 10, 80000L))
+    val compacts = plan(many, rules.copy(persist = false, maxCompactFanIn = 64),
+      100000L).collect { case Compact(ids) => ids }
+    assert(compacts.forall(_.size <= 64), s"over-wide: ${compacts.map(_.size)}")
+    assert(compacts.flatten.sorted == (0L until 200L),
+      "bounded groups must cover every chunk exactly once")
+    val persists = plan(many, rules.copy(maxCompactFanIn = 64), 100000L)
+      .collect { case Persist(ids, _) => ids }
+    assert(persists == Seq((0L until 64L)),
+      s"persist must take the oldest <=64 per round: $persists")
+  }
+
   test("plan: two small compacted chunks merge; a huge one is skipped (row budget)") {
     val actions = plan(Seq(
       chunk(0, Compacted, 100, 80000L),
