@@ -180,10 +180,19 @@ object StatsCatalog {
     finally out.close()
   }
 
-  def load(spark: SparkSession, tablePath: String): Option[TableStats] = {
+  def load(spark: SparkSession, tablePath: String): Option[TableStats] =
+    try load(new org.apache.hadoop.fs.Path(tablePath, StatsFile)
+        .getFileSystem(spark.sessionState.newHadoopConf()), tablePath)
+    catch { case _: Exception => None }
+
+  /** FileSystem-supplied variant: `newHadoopConf()` clones the whole
+    * session conf (~1 ms CPU, lock-heavy) — at 10⁴ chunks a per-chunk
+    * conf build dominates the metadata listing, so bulk callers
+    * (ChunkedTable) construct ONE FileSystem and pass it here. */
+  def load(fs: org.apache.hadoop.fs.FileSystem,
+      tablePath: String): Option[TableStats] = {
     val path = new org.apache.hadoop.fs.Path(tablePath, StatsFile)
     try {
-      val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
       if (!fs.exists(path)) None
       else {
         val in = fs.open(path)

@@ -183,7 +183,10 @@ object Lifecycle {
   final class ChunkedTable(spark: SparkSession, tablePath: String,
       pkCols: Seq[String]) {
     private val root = new Path(tablePath)
-    private def fs: FileSystem = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // ONE FileSystem for the table: newHadoopConf() clones the session conf
+    // per call (~1 ms CPU) and every chunk-metadata touch needs the fs —
+    // a per-call def made 10^4-chunk listings conf-construction-bound
+    private lazy val fs: FileSystem = root.getFileSystem(spark.sessionState.newHadoopConf())
 
     /** Append a write batch as a new open chunk stamped at `nowMs`. */
     def writeChunk(df: DataFrame, nowMs: Long): ChunkMeta = {
@@ -195,16 +198,27 @@ object Lifecycle {
     }
 
     def chunks(): Seq[ChunkMeta] = {
-      def ls(sub: String, stage: Stage, prefix: String): Seq[ChunkMeta] = {
+      // per-chunk metadata (sidecar JSON + file status) is fetched
+      // CONCURRENTLY: it is ~1 ms of filesystem latency per chunk, and a
+      // sequential loop made listing 10⁴ chunks an 11 s driver stall
+      // (r14 measurement) — on an object store the per-call latency is
+      // 10-50× that. Order is restored by the final sort.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      def ls(sub: String, stage: Stage, prefix: String): Seq[Future[ChunkMeta]] = {
         val dir = new Path(root, sub)
         if (!fs.exists(dir)) Nil
         else fs.listStatus(dir).toSeq
           .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
-          .map(st => meta(st.getPath, stage,
-            st.getPath.getName.stripPrefix(prefix).toLong))
+          .map(st => Future(meta(st.getPath, stage,
+            st.getPath.getName.stripPrefix(prefix).toLong)))
       }
-      (ls("hot", Open, "open-") ++ ls("hot", Compacted, "compacted-") ++
-        ls("cold", Persisted, "chunk-")).sortBy(_.id)
+      Await.result(
+        Future.sequence(ls("hot", Open, "open-") ++
+          ls("hot", Compacted, "compacted-") ++
+          ls("cold", Persisted, "chunk-")),
+        Duration.Inf).sortBy(_.id)
     }
 
     /** The queryable view: overlap-aware dedup scan over every chunk,
@@ -223,7 +237,7 @@ object Lifecycle {
     def scan(pred: graft.core.RpcPredicate): DataFrame = {
       val cs = chunks()
       require(cs.nonEmpty, s"no chunks under $tablePath")
-      val loaded = cs.map(c => c -> StatsCatalog.load(spark, c.path))
+      val loaded = cs.map(c => c -> StatsCatalog.load(fs, c.path))
       val timeKept = loaded.filter { case (_, st) =>
         st.forall(StatsCatalog.timeMayMatch(_, pred))
       }
@@ -267,13 +281,19 @@ object Lifecycle {
       * columnStats, the reference's TableSummary/ColumnSummary role. */
     def systemChunkColumns(tableName: String): DataFrame = {
       import spark.implicits._
-      chunks().flatMap { c =>
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      // second sidecar read per chunk — concurrent for the same reason
+      // as chunks(): per-call filesystem latency × chunk count
+      val rows = Await.result(Future.sequence(chunks().map(c => Future {
         val storage = Lifecycle.storageOf(c.stage)
-        StatsCatalog.load(spark, c.path).toSeq.flatMap(_.columnStats.toSeq.map {
+        StatsCatalog.load(fs, c.path).toSeq.flatMap(_.columnStats.toSeq.map {
           case (colName, st) => (c.id, "", tableName, colName, storage,
             st.count, st.min.orNull, st.max.orNull)
         })
-      }.toDF("chunk_id", "partition_key", "table_name", "column_name",
+      })), Duration.Inf).flatten
+      rows.toDF("chunk_id", "partition_key", "table_name", "column_name",
           "storage", "row_count", "min_value", "max_value")
         .orderBy("chunk_id", "column_name")
     }
@@ -407,7 +427,7 @@ object Lifecycle {
       fs.setTimes(new Path(path, StatsCatalog.StatsFile), ms, -1)
 
     private def meta(path: Path, stage: Stage, id: Long): ChunkMeta = {
-      val stats = StatsCatalog.load(spark, path.toString)
+      val stats = StatsCatalog.load(fs, path.toString)
       val sidecar = new Path(path, StatsCatalog.StatsFile)
       val mtime = if (fs.exists(sidecar)) fs.getFileStatus(sidecar).getModificationTime
         else fs.getFileStatus(path).getModificationTime
