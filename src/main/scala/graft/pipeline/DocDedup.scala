@@ -638,6 +638,20 @@ object DocDedup {
     // per-member column pruning/codegen fusion into the parquet scan,
     // while the thing it saves — three cheap parallel corpus scans — was
     // never the bottleneck (the pair-bucket shuffles are).
+    //
+    // NOTE (r14, profiled): plan-level sharing of a tokenized/shingled
+    // base across members was the remaining hypothesis for the gap
+    // between this query and its members run standalone (5.5 s vs 2.9 s
+    // summed at sf0.1, same contaminated box, same run). It is refuted
+    // structurally: only the Jaccard member consumes shingles at all
+    // (exact uses md5(normalize(text)), simhash hashes tokens directly),
+    // and the corpus-scan COUNT is identical inside the ensemble and
+    // across the standalone runs — so no shared frame exists whose
+    // recomputation could explain the gap. The difference is the
+    // cross-member vote (union + groupBy over all pairs) plus the AQE
+    // stage-materialization latency of one 11-exchange query vs three
+    // small ones — inherent to voting, not waste. Recorded in
+    // SCALE_r14.md; no change made.
     val hashed = docs.select(md5(normalize(col(textCol))).as("h"),
       col(idCol).as("id"))
     val exBuckets = hashed.groupBy("h")
