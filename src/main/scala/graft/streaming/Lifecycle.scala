@@ -308,27 +308,57 @@ object Lifecycle {
       * Job description strings (data_types/src/job.rs:89-98). */
     def runOnce(rules: Rules, nowMs: Long,
         splitNsOf: Long => Long = _ * 1000000L): Seq[Action] = {
-      val actions = plan(chunks(), rules, nowMs, splitNsOf)
-      actions.foreach { a =>
-        val (descr, ids) = a match {
-          case Compact(ids) => ("Compacting chunks to ReadBuffer", ids)
-          case Persist(ids, _) => ("Persisting chunks to object storage", ids)
-          case Drop(ids) => ("Dropping chunks", ids)
-          case RejectWrites => ("Rejecting writes over hard buffer limit", Nil)
-        }
+      val listed = chunks()
+      val actions = plan(listed, rules, nowMs, splitNsOf)
+      val byId = listed.map(c => c.id -> c).toMap
+      def describe(a: Action): (String, Seq[Long]) = a match {
+        case Compact(ids) => ("Compacting chunks to ReadBuffer", ids)
+        case Persist(ids, _) => ("Persisting chunks to object storage", ids)
+        case Drop(ids) => ("Dropping chunks", ids)
+        case RejectWrites => ("Rejecting writes over hard buffer limit", Nil)
+      }
+      def timedStatus(body: => Unit): (String, Long) = {
         val t0 = System.nanoTime()
-        val status = try {
-          a match {
-            case Compact(ids) => compact(ids, nowMs)
-            case Persist(ids, splitNs) => persistSplit(ids, splitNs, nowMs)
-            case Drop(ids) =>
-              val byId = chunks().map(c => c.id -> c).toMap
-              ids.flatMap(byId.get).foreach(c => fs.delete(new Path(c.path), true))
-            case RejectWrites => ()
-          }
-          "Complete"
-        } catch { case scala.util.control.NonFatal(e) => s"Error: ${e.getMessage}" }
-        jobLog += ((jobLog.size.toLong, status, descr, System.nanoTime() - t0, ids))
+        val status = try { body; "Complete" }
+          catch { case scala.util.control.NonFatal(e) => s"Error: ${e.getMessage}" }
+        (status, System.nanoTime() - t0)
+      }
+      // Compact actions in one round touch DISJOINT chunk sets (the
+      // planner groups one eligible list), so they run CONCURRENTLY —
+      // the fan-in bound makes each action's merge cheap, and a 32-core
+      // local[32] (or any real cluster) would otherwise idle while 16
+      // bounded merges run back to back (r14 ×1000 measurement: 493 s
+      // sequential policy; the Spark scheduler interleaves the jobs
+      // fine). Output ids are pre-assigned from one listing so
+      // concurrent compacts can never collide; everything else
+      // (persist/drop/reject) stays sequential, and the job log appends
+      // in the plan's action order regardless of completion order.
+      val compactActs = actions.collect { case c: Compact => c }
+      val idBase = nextId()
+      val compactOut = compactActs.zipWithIndex.map { case (c, i) =>
+        c -> (idBase + i)
+      }.toMap
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val compactResults: Map[Action, (String, Long)] =
+        if (compactActs.size <= 1)
+          compactActs.map(c => (c: Action) ->
+            timedStatus(compact(c.chunkIds.flatMap(byId.get), compactOut(c), nowMs))).toMap
+        else Await.result(Future.sequence(compactActs.map(c => Future {
+          (c: Action) ->
+            timedStatus(compact(c.chunkIds.flatMap(byId.get), compactOut(c), nowMs))
+        })), Duration.Inf).toMap
+      actions.foreach { a =>
+        val (descr, ids) = describe(a)
+        val (status, wallNs) = a match {
+          case c: Compact => compactResults(c)
+          case Persist(pids, splitNs) => timedStatus(persistSplit(pids, splitNs, nowMs))
+          case Drop(dids) => timedStatus(
+            dids.flatMap(byId.get).foreach(c => fs.delete(new Path(c.path), true)))
+          case RejectWrites => timedStatus(())
+        }
+        jobLog += ((jobLog.size.toLong, status, descr, wallNs, ids))
       }
       actions
     }
@@ -348,12 +378,13 @@ object Lifecycle {
         .orderBy("id")
     }
 
-    private def compact(ids: Seq[Long], nowMs: Long): Unit = {
-      val byId = chunks().map(c => c.id -> c).toMap
-      val members = ids.map(byId)
+    /** Merge `members` into `hot/compacted-$outId`. The output id is
+      * PRE-ASSIGNED by the caller (one listing, ids base+i per action)
+      * so concurrent compact actions of one policy round can never
+      * collide on a directory name. */
+    private def compact(members: Seq[ChunkMeta], outId: Long, nowMs: Long): Unit = {
       val merged = dedupSorted(members)
-      val id = nextId()
-      val out = new Path(root, s"hot/compacted-$id")
+      val out = new Path(root, s"hot/compacted-$outId")
       writeWithStats(merged, out, sorted = true)
       // compaction PRESERVES write recency: the merged chunk is as recent
       // as its newest member, else a just-compacted chunk of fresh data
