@@ -33,6 +33,10 @@ object ChunkScaleBench {
     val counts = opt("--counts", "10,100,1000").split(",").map(_.trim.toInt).toSeq
     val rowsPerChunk = opt("--rows", "2000").toInt
     val fabN = opt("--fab", "10000").toInt
+    // --persist false: compaction-only policy (persist-first rounds are
+    // one bounded Persist each by design; the compaction-only variant is
+    // where concurrent disjoint Compact actions engage)
+    val persist = opt("--persist", "true").toBoolean
     val outPath = opt("--out", "chunk_scale.jsonl")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -71,7 +75,8 @@ object ChunkScaleBench {
         (0 until nChunks).foreach(i => table.writeChunk(chunkDf(i), nowMs = i.toLong))
       }
       val rules = Lifecycle.Rules(lateArriveWindowMs = 1L,
-        persistRowThreshold = Long.MaxValue, persistAgeThresholdMs = 1L)
+        persistRowThreshold = Long.MaxValue, persistAgeThresholdMs = 1L,
+        persist = persist)
       // policy rounds until quiescent (compacts opens, then persists)
       val (rounds, lSec) = timed {
         var i = 0
