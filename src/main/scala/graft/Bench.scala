@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line. Results are fully materialized through a noop
@@ -19,8 +19,8 @@ object Bench {
       // The default codegen cache holds 100 generated classes; the ~75
       // bench queries generate more than that, so with the default size a
       // query's Janino-compiled classes are evicted before its next timed
-      // pass and every pass re-pays compilation. A large cache makes one
-      // untimed warmup pass keep ALL subsequent passes warm.
+      // pass and every pass re-pays compilation. A large cache makes the
+      // cold pass 0 keep ALL subsequent passes warm.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -53,14 +53,6 @@ object Bench {
     // default locale, which under e.g. de_DE would print commas and make
     // the JSON line unparseable.
     def d3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    // Untimed warmup pass at tiny SF: generated code is keyed by plan
-    // source (data-independent), so this compiles every query's codegen
-    // once; the enlarged cache above keeps it resident for all K passes.
-    queries.foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001")
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-    }
     // Elapsed-time budget (r13 lesson: 3 interleaved full passes blew the
     // driver's bench slot — rc 124 with nothing parseable in the tail).
     // Two defenses: (1) stop STARTING work once the budget is spent — the
@@ -70,17 +62,51 @@ object Bench {
     // kill leaves the latest parseable total as the last JSON on stdout.
     val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "600").toDouble
     def elapsedS: Double = (System.nanoTime() - mainStartNs) / 1e9
-    // samples(p) = (Seq[(name, Option[sec])] in suite order, ranToEnd).
+    // Warmup = pass 0, TIMED, at the REAL sfDir (r14 lesson: an untimed
+    // warmup executed every query and threw the samples away — under a
+    // budget that leaves room for only one timed pass, that structurally
+    // disabled the interleaved-min defense exactly when it was needed).
+    // Pass 0 samples are cold (codegen compiles during them) and measure
+    // the right data, so folding them into each query's cross-pass MIN
+    // can only leave the min equal or better; they are EXCLUDED from the
+    // contamination spread below (compile cost would read as a burst).
+    //
+    // Per-pass query-order ROTATION: a co-tenant burst lasts minutes and
+    // is contiguous in time, so with a fixed order it poisons the same
+    // alphabetical block of every pass it touches (r14 driver run: one
+    // corpus->decontaminate stretch at 16-67x in the only timed pass).
+    // Rotating each pass by the golden ratio spreads any given wall-clock
+    // window across different queries per pass, so the cross-pass min
+    // sheds a burst even when only 2 passes fit the budget.
+    def rotatedFor(pass: Int): Seq[(String, (SparkSession, String) => DataFrame)] = {
+      val n = queries.size
+      if (n == 0) queries
+      else {
+        val off = ((pass * 0.6180339887498949 * n).toLong % n).toInt
+        queries.drop(off) ++ queries.take(off)
+      }
+    }
+    // samples(p) = (Seq[(name, Option[sec])] in pass order, ranToEnd).
     // A query that throws records None — NOT its failure latency — so a
     // broken query can never masquerade as a 0.05 s "result" (r6 lesson:
     // 47 plan-time failures benched as plausible speedups). A pass aborted
     // by the budget simply OMITS the unreached queries (missing sample,
     // not a failure) and reports ranToEnd=false.
-    def onePass(abortable: Boolean): (Seq[(String, Option[Double])], Boolean) = {
+    // `emitPartial` receives the in-flight pass's samples-so-far every
+    // ~60 s: a hard kill at ANY point then loses at most a minute of
+    // samples, not the whole pass (r14's driver run had no parseable
+    // line until 1174 s elapsed — one pass boundary). Partial emissions
+    // are identifiable in the artifact: n_sampled < n_queries and the
+    // in-flight pass counts as incomplete.
+    def onePass(pass: Int, abortable: Boolean,
+        emitPartial: Seq[(String, Option[Double])] => Unit):
+        (Seq[(String, Option[Double])], Boolean) = {
+      val order = rotatedFor(pass)
       val out = Seq.newBuilder[(String, Option[Double])]
+      var lastEmitS = elapsedS
       var i = 0
-      while (i < queries.size && !(abortable && elapsedS > budgetS)) {
-        val (name, fn) = queries(i)
+      while (i < order.size && !(abortable && elapsedS > budgetS)) {
+        val (name, fn) = order(i)
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -90,8 +116,11 @@ object Bench {
           }
         out += ((name, if (ok) Some((System.nanoTime() - t0) / 1e9) else None))
         i += 1
+        if (i < order.size && elapsedS - lastEmitS > 60.0) {
+          emitPartial(out.result()); lastEmitS = elapsedS
+        }
       }
-      (out.result(), i == queries.size)
+      (out.result(), i == order.size)
     }
     // A SPARK_GRAFT_ONLY run is a partial suite: mark it in BOTH emitted
     // JSON forms so no stdout-parsing harness can record a filtered
@@ -149,21 +178,30 @@ object Bench {
         .mkString("{", ",", "}")
       val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val passTotals = samples.map(p => d3(p._1.flatMap(_._2).sum)).mkString("[", ",", "]")
-      // Contamination marker: relative spread of the COMPLETE passes'
-      // totals (a budget-truncated pass's total is structurally smaller —
-      // comparing it would always fire). A clean run has passes within a
-      // few percent; a co-tenant burst inflates one, so (max-min)/min >
-      // 0.3 flags the run as burst-poisoned IN THE ARTIFACT ITSELF.
-      val rawTotals = samples.collect { case (p, true) => p.flatMap(_._2).sum }
+      // Contamination marker: relative spread of the COMPLETE WARM passes'
+      // totals (pass 0 is the cold/codegen-compiling pass — its inflation
+      // is compile cost, not a burst; a budget-truncated pass's total is
+      // structurally smaller — comparing either would always fire). A
+      // clean run has warm passes within a few percent; a co-tenant burst
+      // inflates one, so (max-min)/min > 0.3 flags the run as
+      // burst-poisoned IN THE ARTIFACT ITSELF. With fewer than 2 complete
+      // warm passes the question is UNANSWERABLE from this run, and the
+      // artifact says so: spread and contaminated are null, never a
+      // vacuous 0/false (the r14 driver artifact's false was computed
+      // over a single pass).
+      val warmTotals = samples.drop(1).collect { case (p, true) => p.flatMap(_._2).sum }
         .filter(_ > 0)
-      val passSpread =
-        if (rawTotals.size < 2) 0.0
-        else (rawTotals.max - rawTotals.min) / rawTotals.min
-      val contaminated = passSpread > 0.3
+      val passSpread: Option[Double] =
+        if (warmTotals.size < 2) None
+        else Some((warmTotals.max - warmTotals.min) / warmTotals.min)
+      val contaminated = passSpread.map(s => (s > 0.3).toString).getOrElse("null")
       val total = byQuery.flatMap(_._2.map(_._1)).sum
       val passesComplete = samples.count(_._2)
+      // n_sampled < n_queries identifies a PARTIAL emission (mid-pass or
+      // budget-aborted): "value" then sums only the sampled queries' mins
+      val nSampled = byQuery.count(_._2.isDefined)
       val passMark =
-        s""","passes":${samples.size},"passes_complete":$passesComplete,"pass_totals":$passTotals,"pass_spread":${d3(passSpread)},"contaminated":$contaminated,"elapsed_s":${d3(elapsedS)},"budget_s":${d3(budgetS)}"""
+        s""","passes":${samples.size},"passes_complete":$passesComplete,"warm_passes_complete":${warmTotals.size},"n_sampled":$nSampled,"pass_totals":$passTotals,"pass_spread":${passSpread.map(d3).getOrElse("null")},"contaminated":$contaminated,"elapsed_s":${d3(elapsedS)},"budget_s":${d3(budgetS)}"""
       val detail = s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"failed":$failedArr$passMark$filteredMark,"sf":"$sfDir"}"""
       // The driver captures only a bounded 2000-byte TAIL of the run's
       // MERGED stdout+stderr (with the sbt "[success]" line inside it) and
@@ -199,21 +237,29 @@ object Bench {
       System.out.flush()
     }
     var samples = Vector.empty[(Seq[(String, Option[Double])], Boolean)]
-    samples = samples :+ onePass(abortable = false)
+    def emitMid(partial: Seq[(String, Option[Double])]): Unit =
+      if (partial.nonEmpty) emitArtifacts(samples :+ ((partial, false)))
+    // pass 0: the cold pass — non-abortable, so every query gets at least
+    // one sample at the real SF even on a fully contended box
+    samples = samples :+ onePass(0, abortable = false, emitMid)
     emitArtifacts(samples)
+    // warm passes: `passes` of them (env default 3), each rotated, each
+    // abortable between queries once the budget is spent
     var p = 1
-    while (p < passes && elapsedS <= budgetS) {
-      samples = samples :+ onePass(abortable = true)
+    while (p <= passes && elapsedS <= budgetS) {
+      samples = samples :+ onePass(p, abortable = true, emitMid)
       emitArtifacts(samples)
       p += 1
     }
-    // Adaptive top-up (co-tenant contamination guard): when the FIRST
-    // pass's total exceeds the LAST COMPLETE pass's by >30%, something big
-    // was running early in the bench — one extra pass gives every query
-    // another chance at an uncontended sample. Bounded at +2 AND by the
-    // elapsed budget so a permanently loaded box still terminates. Totals
-    // compare over the queries that succeeded in BOTH passes: a query
-    // failing in just one pass would otherwise skew the ratio.
+    // Adaptive top-up (co-tenant contamination guard): when the FIRST WARM
+    // pass's total exceeds the LAST COMPLETE warm pass's by >30%, something
+    // big was running early in the bench — one extra pass gives every query
+    // another chance at an uncontended sample. The cold pass 0 is excluded
+    // (its inflation is compile cost, it would always fire). Bounded at +2
+    // AND by the elapsed budget so a permanently loaded box still
+    // terminates. Totals compare over the queries that succeeded in BOTH
+    // passes: a query failing in just one pass would otherwise skew the
+    // ratio.
     def comparableTotals(a: Seq[(String, Option[Double])],
         b: Seq[(String, Option[Double])]): (Double, Double) = {
       val inB = b.collect { case (n, Some(_)) => n }.toSet
@@ -221,16 +267,16 @@ object Bench {
       (a.collect { case (n, Some(t)) if both(n) => t }.sum,
         b.collect { case (n, Some(t)) if both(n) => t }.sum)
     }
-    def lastComplete = samples.filter(_._2)
+    def warmComplete = samples.drop(1).filter(_._2)
     var extra = 0
-    while (extra < 2 && elapsedS <= budgetS && lastComplete.size >= 2 && {
-      val (h, l) = comparableTotals(lastComplete.head._1, lastComplete.last._1)
+    while (extra < 2 && elapsedS <= budgetS && warmComplete.size >= 2 && {
+      val (h, l) = comparableTotals(warmComplete.head._1, warmComplete.last._1)
       l > 0 && h > 1.3 * l
     }) {
-      val (h, l) = comparableTotals(lastComplete.head._1, lastComplete.last._1)
-      System.err.println(s"[bench] first pass ${d3(h)}s vs last complete ${d3(l)}s " +
+      val (h, l) = comparableTotals(warmComplete.head._1, warmComplete.last._1)
+      System.err.println(s"[bench] first warm pass ${d3(h)}s vs last complete ${d3(l)}s " +
         "(shared-success queries) — adding a top-up pass")
-      samples = samples :+ onePass(abortable = true)
+      samples = samples :+ onePass(p + extra, abortable = true, emitMid)
       emitArtifacts(samples)
       extra += 1
     }

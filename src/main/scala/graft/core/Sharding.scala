@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object Sharding {
 
-  /** Table-name matcher (reference Matcher: regex on the table). */
+  /** Table-name matcher (reference Matcher: regex on the table). The
+    * compiled pattern is cached: shard routing calls this once per LP
+    * line on the write path, and `.r` recompiles per call. */
   final case class Matcher(tableRegex: String) {
-    def matches(table: String): Boolean = tableRegex.r.findFirstIn(table).isDefined
+    private lazy val compiled = tableRegex.r
+    def matches(table: String): Boolean = compiled.findFirstIn(table).isDefined
   }
 
   /** Consistent column-hash ring over `shards` ids. */

@@ -427,7 +427,15 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
     queryParams(ex).get("db") match {
       case None => respondJsonError(ex, 400, "missing db query parameter")
       case Some(db) =>
-        readBody(ex.getRequestBody, gzipped = false) match {
+        // same Content-Encoding contract as the v2 write route: external
+        // clients may gzip this route too (forwarded writes never do)
+        val gzipped = Option(ex.getRequestHeaders.getFirst("Content-Encoding")) match {
+          case None => false
+          case Some("gzip") => true
+          case Some(other) =>
+            respondJsonError(ex, 400, s"invalid content encoding: $other"); return
+        }
+        readBody(ex.getRequestBody, gzipped) match {
           case None => respondJsonError(ex, 413,
             s"request size exceeds $MaxBodySize bytes")
           case Some(bytes) =>

@@ -106,6 +106,31 @@ object StatsCatalog {
     finish(written, df.schema, tags, cap, sortKey, obs.get)
   }
 
+  /** Batched scalar stats: ONE aggregation job computing a TableStats per
+    * distinct value of `keyCol` (no tag distinct sets — the batch path
+    * lands transient open chunks, whose sidecars no metadata fast path
+    * reads). The batch-ingest write lands n chunks in one write job + one
+    * stats job instead of 2n driver-scheduled jobs — at 10³ chunks the
+    * serial per-chunk path is job-launch-bound (r14 measurement,
+    * ~0.5-1.5 s/chunk). Result keys are `keyCol`'s values (chunk ids). */
+  def computeGrouped(df: DataFrame, keyCol: String): Map[Long, TableStats] = {
+    val schema = org.apache.spark.sql.types.StructType(
+      df.schema.fields.filterNot(_.name == keyCol))
+    val aggs = scalarAggs(schema, Nil)
+    val rows = df.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*).collect()
+    rows.map { row =>
+      val m = row.schema.fieldNames.iterator.zip(row.toSeq.iterator).toMap
+      val key = m(keyCol) match {
+        case l: Long => l
+        case i: Int => i.toLong
+        case other => other.toString.toLong
+      }
+      key -> finish(
+        sys.error("computeGrouped never runs a distinct-set pass"),
+        schema, Nil, 10000, None, m - keyCol)
+    }.toMap
+  }
+
   /** Min/max only make sense (and only aggregate) for orderable atomic
     * types; binary renders uselessly and arrays/maps/structs don't
     * order for stats purposes. */

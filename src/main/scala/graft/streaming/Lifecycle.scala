@@ -69,7 +69,12 @@ object Lifecycle {
         * the overlap-aware dedup scan and the later-chunk-id-wins rule,
         * same as any two overlapping chunks that were never compacted
         * together. */
-      maxCompactFanIn: Int = 64)
+      maxCompactFanIn: Int = 64) {
+    // fail loudly, not livelock: a fan-in under 1 would plan empty
+    // Persist/Compact actions forever and the policy would never quiesce
+    require(maxCompactFanIn >= 1,
+      s"maxCompactFanIn must be >= 1 (got $maxCompactFanIn)")
+  }
 
   sealed trait Stage
   case object Open extends Stage // receiving writes (OpenMutableBuffer)
@@ -133,12 +138,20 @@ object Lifecycle {
       val persistableRows = closed.map(_.rows).sum
       val oldestAgeMs = nowMs - hot.map(_.lastWriteMs).min
       if (persistableRows >= rules.persistRowThreshold ||
-          oldestAgeMs >= rules.persistAgeThresholdMs || overSoft)
-        // fan-in bounded: oldest chunks first, the rest persist on the
-        // following rounds (see Rules.maxCompactFanIn)
-        return drops :+ Persist(
-          closed.sortBy(_.id).take(rules.maxCompactFanIn).map(_.id),
-          splitNsOf(nowMs - rules.lateArriveWindowMs))
+          oldestAgeMs >= rules.persistAgeThresholdMs || overSoft) {
+        // fan-in bounded per ACTION, but every closed chunk persists this
+        // round: one Persist per <= maxCompactFanIn chunks, disjoint sets,
+        // executed concurrently by runOnce — the reference's lifecycle
+        // drives independent per-partition persist actions in parallel
+        // (lifecycle/src/policy.rs check_for_work loops all partitions);
+        // a single action per round made the ×1000-chunk persist timeline
+        // 16 sequential rounds (r14 measurement). Groups are id-ordered,
+        // so later input chunks land in later actions (and later output
+        // ids — last-write-wins is preserved across groups).
+        val splitNs = splitNsOf(nowMs - rules.lateArriveWindowMs)
+        return drops ++ closed.sortBy(_.id).grouped(rules.maxCompactFanIn)
+          .map(g => Persist(g.map(_.id), splitNs)).toSeq
+      }
     }
 
     // memory pressure with persistence unavailable: the reference frees
@@ -177,11 +190,37 @@ object Lifecycle {
 
   // ------------------------------------------------------------- executor
 
+  /** Dedicated bounded pool for driver-side blocking lifecycle work:
+    * concurrent sidecar/filesystem metadata reads and the Spark jobs of
+    * concurrent compact/persist actions. NOT ExecutionContext.global —
+    * blocking the CPU-sized global pool on filesystem latency starves
+    * every other user of it on the driver. Daemon threads, so an idle
+    * pool never pins the JVM. */
+  private val ioEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(64,
+        new java.util.concurrent.ThreadFactory {
+          private val i = new java.util.concurrent.atomic.AtomicInteger
+          def newThread(r: Runnable): Thread = {
+            val t = new Thread(r, s"graft-lifecycle-io-${i.getAndIncrement()}")
+            t.setDaemon(true); t
+          }
+        }))
+
   /** A table as a directory of lifecycle-managed chunks. `pkCols` is the
     * dedup/sort key (tags + time). All metadata comes from sidecars +
-    * file status; chunk data is only read by compact/persist jobs. */
+    * file status; chunk data is only read by compact/persist jobs.
+    *
+    * `metaTimeout` / `jobTimeout` bound every internal await (metadata
+    * fan-out / whole compact-persist Spark jobs): one hung object-store
+    * call surfaces as a TimeoutException instead of stalling the driver
+    * forever (`Await.result(..., Inf)` was the r14 shape). */
   final class ChunkedTable(spark: SparkSession, tablePath: String,
-      pkCols: Seq[String]) {
+      pkCols: Seq[String],
+      metaTimeout: scala.concurrent.duration.FiniteDuration =
+        scala.concurrent.duration.FiniteDuration(10, "min"),
+      jobTimeout: scala.concurrent.duration.FiniteDuration =
+        scala.concurrent.duration.FiniteDuration(4, "h")) {
     private val root = new Path(tablePath)
     // ONE FileSystem for the table: newHadoopConf() clones the session conf
     // per call (~1 ms CPU) and every chunk-metadata touch needs the fs —
@@ -197,28 +236,85 @@ object Lifecycle {
       meta(path, Open, id)
     }
 
+    /** Land n write batches as n open chunks in ONE Spark write job plus
+      * ONE stats job: union the batches under a chunk-id partition column,
+      * write `partitionBy` (each chunk becomes a partition directory,
+      * renamed into `hot/open-$id`), and compute every chunk's scalar
+      * sidecar stats with one grouped aggregation. The serial
+      * [[writeChunk]] path schedules 1 job per chunk and is job-LAUNCH
+      * bound at high chunk counts (~0.5-1.5 s/chunk, r14 ChunkScaleBench);
+      * a real ingest batch amortizes the launch across every chunk it
+      * lands, which is exactly what this does. Batches must share a
+      * union-mergeable schema (one table's write batches do). */
+    def writeChunks(dfs: Seq[DataFrame], nowMs: Long): Seq[ChunkMeta] = {
+      if (dfs.isEmpty) return Nil
+      if (dfs.size == 1) return Seq(writeChunk(dfs.head, nowMs))
+      val base = nextId()
+      val ids = dfs.indices.map(i => base + i)
+      val keyCol = "__graft_chunk"
+      val union = graft.core.IoxSchema.mergeUnion(
+        dfs.zip(ids).map { case (df, id) => df.withColumn(keyCol, lit(id)) })
+      val tmp = new Path(root, s".batch-$base")
+      union.write.partitionBy(keyCol).mode("error").parquet(tmp.toString)
+      val statsById = StatsCatalog.computeGrouped(union, keyCol)
+      val hotDir = new Path(root, "hot")
+      if (!fs.exists(hotDir)) fs.mkdirs(hotDir)
+      val out = dfs.zip(ids).map { case (df, id) =>
+        statsById.get(id) match {
+          case None =>
+            // an EMPTY batch leaves no partition directory and no stats
+            // row — land it through the serial path (nextId() is safe:
+            // it re-lists, so already-renamed batch ids are visible)
+            writeChunk(df, nowMs)
+          case Some(stats) =>
+            val path = new Path(root, s"hot/open-$id")
+            require(fs.rename(new Path(tmp, s"$keyCol=$id"), path),
+              s"batch chunk move failed for chunk $id")
+            StatsCatalog.save(spark, path.toString, stats)
+            stamp(path, nowMs)
+            ChunkMeta(id, path.toString, Open, rows = stats.rowCount,
+              bytes = fs.getContentSummary(path).getLength, lastWriteMs = nowMs,
+              timeMaxNs = stats.timeMax)
+        }
+      }
+      fs.delete(tmp, true)
+      out
+    }
+
+    /** Bounded-pool fan-out with a finite deadline: dedicated I/O threads
+      * (never the global pool), `blocking{}`-marked bodies, and a named
+      * TimeoutException when the filesystem hangs past the deadline. */
+    private def awaitAll[A](what: String,
+        timeout: scala.concurrent.duration.FiniteDuration)(
+        bodies: Seq[() => A]): Seq[A] = {
+      import scala.concurrent.{Await, Future, blocking}
+      implicit val ec: scala.concurrent.ExecutionContext = ioEc
+      try Await.result(
+        Future.sequence(bodies.map(b => Future(blocking(b())))), timeout)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          throw new java.util.concurrent.TimeoutException(
+            s"$what on $tablePath did not complete within $timeout")
+      }
+    }
+
     def chunks(): Seq[ChunkMeta] = {
       // per-chunk metadata (sidecar JSON + file status) is fetched
       // CONCURRENTLY: it is ~1 ms of filesystem latency per chunk, and a
       // sequential loop made listing 10⁴ chunks an 11 s driver stall
       // (r14 measurement) — on an object store the per-call latency is
       // 10-50× that. Order is restored by the final sort.
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      def ls(sub: String, stage: Stage, prefix: String): Seq[Future[ChunkMeta]] = {
+      def ls(sub: String, stage: Stage, prefix: String): Seq[() => ChunkMeta] = {
         val dir = new Path(root, sub)
         if (!fs.exists(dir)) Nil
         else fs.listStatus(dir).toSeq
           .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
-          .map(st => Future(meta(st.getPath, stage,
-            st.getPath.getName.stripPrefix(prefix).toLong)))
+          .map(st => () => meta(st.getPath, stage,
+            st.getPath.getName.stripPrefix(prefix).toLong))
       }
-      Await.result(
-        Future.sequence(ls("hot", Open, "open-") ++
-          ls("hot", Compacted, "compacted-") ++
-          ls("cold", Persisted, "chunk-")),
-        Duration.Inf).sortBy(_.id)
+      awaitAll("chunk metadata listing", metaTimeout)(
+        ls("hot", Open, "open-") ++ ls("hot", Compacted, "compacted-") ++
+          ls("cold", Persisted, "chunk-")).sortBy(_.id)
     }
 
     /** The queryable view: overlap-aware dedup scan over every chunk,
@@ -281,18 +377,16 @@ object Lifecycle {
       * columnStats, the reference's TableSummary/ColumnSummary role. */
     def systemChunkColumns(tableName: String): DataFrame = {
       import spark.implicits._
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
       // second sidecar read per chunk — concurrent for the same reason
       // as chunks(): per-call filesystem latency × chunk count
-      val rows = Await.result(Future.sequence(chunks().map(c => Future {
-        val storage = Lifecycle.storageOf(c.stage)
-        StatsCatalog.load(fs, c.path).toSeq.flatMap(_.columnStats.toSeq.map {
-          case (colName, st) => (c.id, "", tableName, colName, storage,
-            st.count, st.min.orNull, st.max.orNull)
-        })
-      })), Duration.Inf).flatten
+      val rows = awaitAll("chunk column stats", metaTimeout)(
+        chunks().map(c => () => {
+          val storage = Lifecycle.storageOf(c.stage)
+          StatsCatalog.load(fs, c.path).toSeq.flatMap(_.columnStats.toSeq.map {
+            case (colName, st) => (c.id, "", tableName, colName, storage,
+              st.count, st.min.orNull, st.max.orNull)
+          })
+        })).flatten
       rows.toDF("chunk_id", "partition_key", "table_name", "column_name",
           "storage", "row_count", "min_value", "max_value")
         .orderBy("chunk_id", "column_name")
@@ -323,37 +417,45 @@ object Lifecycle {
           catch { case scala.util.control.NonFatal(e) => s"Error: ${e.getMessage}" }
         (status, System.nanoTime() - t0)
       }
-      // Compact actions in one round touch DISJOINT chunk sets (the
-      // planner groups one eligible list), so they run CONCURRENTLY —
-      // the fan-in bound makes each action's merge cheap, and a 32-core
-      // local[32] (or any real cluster) would otherwise idle while 16
-      // bounded merges run back to back (r14 ×1000 measurement: 493 s
-      // sequential policy; the Spark scheduler interleaves the jobs
-      // fine). Output ids are pre-assigned from one listing so
-      // concurrent compacts can never collide; everything else
-      // (persist/drop/reject) stays sequential, and the job log appends
-      // in the plan's action order regardless of completion order.
+      // Compact AND Persist actions in one round touch DISJOINT chunk
+      // sets (the planner groups one eligible list), so they run
+      // CONCURRENTLY — the fan-in bound makes each action's merge cheap,
+      // and a 32-core local[32] (or any real cluster) would otherwise
+      // idle while 16 bounded merges run back to back (r14 ×1000
+      // measurement: 493 s sequential persist-first policy; the Spark
+      // scheduler interleaves the jobs fine — this is the reference's
+      // per-partition lifecycle actions running independently,
+      // lifecycle/src/policy.rs check_for_work). Output ids are
+      // pre-assigned from one listing so concurrent actions can never
+      // collide, and LATER input groups get LATER output ids, preserving
+      // last-write-wins across groups; drop/reject stay sequential, and
+      // the job log appends in the plan's action order regardless of
+      // completion order.
       val compactActs = actions.collect { case c: Compact => c }
+      val persistActs = actions.collect { case p: Persist => p }
       val idBase = nextId()
       val compactOut = compactActs.zipWithIndex.map { case (c, i) =>
         c -> (idBase + i)
       }.toMap
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      val compactResults: Map[Action, (String, Long)] =
-        if (compactActs.size <= 1)
-          compactActs.map(c => (c: Action) ->
-            timedStatus(compact(c.chunkIds.flatMap(byId.get), compactOut(c), nowMs))).toMap
-        else Await.result(Future.sequence(compactActs.map(c => Future {
-          (c: Action) ->
-            timedStatus(compact(c.chunkIds.flatMap(byId.get), compactOut(c), nowMs))
-        })), Duration.Inf).toMap
+      // each persist writes TWO chunks (cold output + hot remainder):
+      // two ids per action, allocated after the compact ids
+      val persistOut = persistActs.zipWithIndex.map { case (p, i) =>
+        p -> (idBase + compactActs.size + 2L * i)
+      }.toMap
+      def runAll[A <: Action](acts: Seq[A])(exec: A => Unit): Map[Action, (String, Long)] =
+        if (acts.size <= 1)
+          acts.map(a => (a: Action) -> timedStatus(exec(a))).toMap
+        else awaitAll("lifecycle actions", jobTimeout)(
+          acts.map(a => () => (a: Action) -> timedStatus(exec(a)))).toMap
+      val compactResults = runAll(compactActs)(c =>
+        compact(c.chunkIds.flatMap(byId.get), compactOut(c), nowMs))
+      val persistResults = runAll(persistActs)(p =>
+        persistSplit(p.chunkIds.flatMap(byId.get), p.splitNs, persistOut(p), nowMs))
       actions.foreach { a =>
         val (descr, ids) = describe(a)
         val (status, wallNs) = a match {
           case c: Compact => compactResults(c)
-          case Persist(pids, splitNs) => timedStatus(persistSplit(pids, splitNs, nowMs))
+          case p: Persist => persistResults(p)
           case Drop(dids) => timedStatus(
             dids.flatMap(byId.get).foreach(c => fs.delete(new Path(c.path), true)))
           case RejectWrites => timedStatus(())
@@ -393,13 +495,17 @@ object Lifecycle {
       members.foreach(c => fs.delete(new Path(c.path), true))
     }
 
-    private def persistSplit(ids: Seq[Long], splitNs: Long, nowMs: Long): Unit = {
-      val byId = chunks().map(c => c.id -> c).toMap
-      val members = ids.map(byId)
+    /** Merge `members`, split at `splitNs`: rows at/under it go cold as
+      * `cold/chunk-$outIdBase`, the remainder reopens hot as
+      * `hot/open-${outIdBase+1}`. Ids are PRE-ASSIGNED by runOnce (like
+      * [[compact]]) so the disjoint persist actions of one policy round
+      * can run concurrently without colliding. */
+    private def persistSplit(members: Seq[ChunkMeta], splitNs: Long,
+        outIdBase: Long, nowMs: Long): Unit = {
       val merged = dedupSorted(members)
       val (cold, hotRest) = Ingest.streamSplit(merged,
         col(NsTime.TimeColumn) <= splitNs)
-      val coldId = nextId()
+      val coldId = outIdBase
       val coldPath = new Path(root, s"cold/chunk-$coldId")
       writeWithStats(cold.repartitionByRange(pkCols.map(col): _*)
         .sortWithinPartitions(pkCols.map(col): _*), coldPath, sorted = true)
@@ -408,7 +514,7 @@ object Lifecycle {
       // Write unconditionally — the observed row count replaces the old
       // cache + limit(1).count() emptiness probe (one job instead of two,
       // and no cached copy of the remainder); an empty write is removed.
-      val hotId = nextId()
+      val hotId = outIdBase + 1
       val hotPath = new Path(root, s"hot/open-$hotId")
       val restStats = writeWithStats(hotRest, hotPath, sorted = true,
         durable = false)

@@ -99,6 +99,14 @@ class HttpFacadeSpec extends SparkSpec {
       // >10MiB post-inflate -> 413 (decompression-bomb guard)
       val big = ("m f=1 1\n" * 1500000).getBytes(UTF_8) // ~12MiB
       assert(post(p, "/api/v2/write?org=o&bucket=b", big, gzip = true)._1 == 413)
+
+      // the db-addressed v1 route honors Content-Encoding like v2 (r15):
+      // an external client may gzip it too, and unknown encodings 400
+      assert(post(p, "/iox/api/v1/write?db=o_b",
+        "m,t=z f=7i 9".getBytes(UTF_8), gzip = true)._1 == 204)
+      val (v1s, v1json) = get(p,
+        s"/iox/api/v1/databases/o_b/query?q=${enc("SELECT t, f, time FROM m WHERE t = 'z'")}&format=json")
+      assert(v1s == 200 && v1json == """[{"t":"z","f":7,"time":9}]""")
     }
   }
 

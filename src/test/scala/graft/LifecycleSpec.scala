@@ -42,8 +42,19 @@ class LifecycleSpec extends SparkSpec {
       "bounded groups must cover every chunk exactly once")
     val persists = plan(many, rules.copy(maxCompactFanIn = 64), 100000L)
       .collect { case Persist(ids, _) => ids }
-    assert(persists == Seq((0L until 64L)),
-      s"persist must take the oldest <=64 per round: $persists")
+    // r15: every closed chunk persists THIS round, in disjoint id-ordered
+    // groups of <= fan-in (the reference runs per-partition persist
+    // actions independently; runOnce executes these concurrently)
+    assert(persists.forall(_.size <= 64), s"over-wide: ${persists.map(_.size)}")
+    assert(persists.flatten == (0L until 200L),
+      s"persist groups must cover every closed chunk in id order: $persists")
+    assert(persists.map(_.max) == persists.map(_.max).sorted,
+      "later input chunks must land in later persist actions")
+  }
+
+  test("Rules: a fan-in under 1 fails loudly instead of livelocking") {
+    intercept[IllegalArgumentException] { Rules(maxCompactFanIn = 0) }
+    intercept[IllegalArgumentException] { Rules(maxCompactFanIn = -3) }
   }
 
   test("plan: two small compacted chunks merge; a huge one is skipped (row budget)") {
@@ -225,6 +236,67 @@ class LifecycleSpec extends SparkSpec {
     val scanned = graft.operators.Upsert.scanChunks(
       spark, Seq(s"$mismatchDir/c0"), Seq("host", "time"))
     assert(scanned.count() == 1L) // mismatching SortKey forced the dedup
+  }
+
+  test("concurrent persists: disjoint bounded actions, result-identical scan (r15)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cpersist").toString
+    val table = new ChunkedTable(spark, dir, pkCols = Seq("host", "time"))
+    // 5 chunks; each rewrites PK ("a", 1s) — the LAST chunk must win even
+    // though the chunks persist via 3 concurrent disjoint actions — plus
+    // one distinct row per chunk
+    (0 until 5).foreach { i =>
+      table.writeChunk(Seq(
+        ("a", 1000L * 1000000L, i.toDouble),
+        (s"b$i", (2000L + i) * 1000000L, 100.0 + i)).toDF("host", "time", "v"),
+        nowMs = i * 1000L)
+    }
+    val actions = table.runOnce(rules.copy(maxCompactFanIn = 2), nowMs = 70000L)
+    val persists = actions.collect { case p: Persist => p }
+    assert(persists.size == 3, s"expected 3 bounded persist actions: $actions")
+    assert(persists.flatMap(_.chunkIds).sorted == (0L until 5L),
+      "persist actions must cover every closed chunk exactly once")
+    val after = table.chunks()
+    assert(after.map(_.stage).distinct == Seq(Persisted))
+    assert(after.size == 3, s"3 concurrent persists -> 3 cold chunks: $after")
+    val rows = table.scan().orderBy("host").as[(String, Long, Double)].collect().toSeq
+    assert(rows == Seq(
+      ("a", 1000L * 1000000L, 4.0), // chunk 4 (latest group, latest id) wins
+      ("b0", 2000L * 1000000L, 100.0), ("b1", 2001L * 1000000L, 101.0),
+      ("b2", 2002L * 1000000L, 102.0), ("b3", 2003L * 1000000L, 103.0),
+      ("b4", 2004L * 1000000L, 104.0)))
+    // job log records every action, Complete, in plan order
+    val ops = table.systemOperations("t").collect()
+    assert(ops.length == 3 && ops.forall(_.getString(1) == "Complete"))
+  }
+
+  test("writeChunks: one batched job lands n open chunks identical to the serial path") {
+    import spark.implicits._
+    def mk(i: Int) = Seq(
+      ("a", 1000L * 1000000L, i.toDouble),
+      (s"c$i", (3000L + i) * 1000000L, 50.0 + i)).toDF("host", "time", "v")
+    val serialDir = java.nio.file.Files.createTempDirectory("graft-batch-s").toString
+    val serial = new ChunkedTable(spark, serialDir, pkCols = Seq("host", "time"))
+    (0 until 4).foreach(i => serial.writeChunk(mk(i), nowMs = 500L))
+    val batchDir = java.nio.file.Files.createTempDirectory("graft-batch-b").toString
+    val batch = new ChunkedTable(spark, batchDir, pkCols = Seq("host", "time"))
+    val metas = batch.writeChunks((0 until 4).map(mk), nowMs = 500L)
+    assert(metas.map(_.id) == (0L until 4L) && metas.forall(_.stage == Open))
+    assert(metas.forall(_.rows == 2L), s"per-chunk row counts: $metas")
+    // same chunk inventory (ids, stages, rows) and the same scan result
+    val (sc, bc) = (serial.chunks(), batch.chunks())
+    assert(bc.map(c => (c.id, c.stage, c.rows)) == sc.map(c => (c.id, c.stage, c.rows)))
+    def sorted(t: ChunkedTable) =
+      t.scan().orderBy("host", "time").as[(String, Long, Double)].collect().toSeq
+    assert(sorted(batch) == sorted(serial))
+    // chunk-id ordering preserved: the upserted PK resolves to chunk 3's value
+    assert(sorted(batch).head == ("a", 1000L * 1000000L, 3.0))
+    // sidecars carry per-column stats (system.chunk_columns source)
+    assert(batch.systemChunkColumns("t").count() == 4L * 3L)
+    // and the batch chunks flow through the normal lifecycle
+    batch.runOnce(rules.copy(persist = false), nowMs = 20000L)
+    assert(batch.chunks().map(_.stage) == Seq(Compacted))
+    assert(sorted(batch).head == ("a", 1000L * 1000000L, 3.0))
   }
 
   test("chunked table: upsert across chunks - later write wins on scan") {
