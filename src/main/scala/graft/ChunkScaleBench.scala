@@ -19,9 +19,15 @@ import graft.streaming.Lifecycle
   *     linearity in chunk count (the ChunkMetadataScaleSpec pins the
   *     no-data-reads contract deterministically; this measures the slope).
   *
-  * Output: one JSON line per record to --out (default chunk_scale.jsonl).
+  * Output: one JSON line per record APPENDED to --out (default
+  * chunk_scale.jsonl) — the file is the round-over-round raw-record log,
+  * so every number a scale report quotes has a committed record.
   * Usage: runMain graft.ChunkScaleBench [--out chunk_scale.jsonl]
   *        [--counts 10,100,1000] [--rows 2000] [--fab 10000]
+  *        [--batch true] [--tag r15] [--skip-fab true]
+  * `--batch true` lands each timeline's chunks via the ONE-job
+  * ChunkedTable.writeChunks batch path instead of serial writeChunk
+  * calls — the write_s delta IS the measured batching win.
   */
 object ChunkScaleBench {
   private def d3(v: Double): String =
@@ -37,6 +43,9 @@ object ChunkScaleBench {
     // one bounded Persist each by design; the compaction-only variant is
     // where concurrent disjoint Compact actions engage)
     val persist = opt("--persist", "true").toBoolean
+    val batch = opt("--batch", "false").toBoolean
+    val tag = opt("--tag", "untagged")
+    val skipFab = opt("--skip-fab", "false").toBoolean
     val outPath = opt("--out", "chunk_scale.jsonl")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -51,7 +60,9 @@ object ChunkScaleBench {
 
     val records = Seq.newBuilder[String]
     def rec(kv: (String, String)*): Unit = {
-      val line = kv.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      val line = (kv :+ ("tag" -> s""""$tag"""") :+
+        ("persist" -> persist.toString) :+ ("batch" -> batch.toString))
+        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
       records += line; println(line)
     }
     def timed[A](body: => A): (A, Double) = {
@@ -72,7 +83,13 @@ object ChunkScaleBench {
           (i * rows + r).toDouble)
       }.toDF("tag", "time", "value")
       val (_, wSec) = timed {
-        (0 until nChunks).foreach(i => table.writeChunk(chunkDf(i), nowMs = i.toLong))
+        if (batch)
+          // one write job + one stats job for ALL chunks; per-chunk
+          // lastWriteMs stamps are irrelevant to the policy here (every
+          // chunk is idle past the 1 ms late-arrive window by round time)
+          table.writeChunks((0 until nChunks).map(chunkDf), nowMs = 0L)
+        else
+          (0 until nChunks).foreach(i => table.writeChunk(chunkDf(i), nowMs = i.toLong))
       }
       val rules = Lifecycle.Rules(lateArriveWindowMs = 1L,
         persistRowThreshold = Long.MaxValue, persistAgeThresholdMs = 1L,
@@ -108,32 +125,36 @@ object ChunkScaleBench {
     timeline(counts.min, rowsPerChunk * 10, s"x${counts.min}-rows10x")
 
     // ---- sidecar-only listing at fabN chunks ----
-    val fabDir = java.nio.file.Files
-      .createTempDirectory("graft-chunkscale-fab").toString
-    val (_, fabBuild) = timed {
-      (0 until fabN).foreach { i =>
-        val p = s"$fabDir/cold/chunk-$i"
-        new java.io.File(p).mkdirs()
-        StatsCatalog.save(spark, p, StatsCatalog.TableStats(
-          rowCount = 1000L, timeMin = i * 1000L, timeMax = i * 1000L + 999L,
-          tagValues = Map("tag" -> Seq("a", "b")), cappedTags = Nil,
-          sortKey = Some(Seq("tag", "time")),
-          columnStats = Map("tag" -> StatsCatalog.ColumnStat(1000L, Some("a"), Some("b")),
-            "time" -> StatsCatalog.ColumnStat(1000L,
-              Some((i * 1000L).toString), Some((i * 1000L + 999L).toString)))))
+    if (!skipFab) {
+      val fabDir = java.nio.file.Files
+        .createTempDirectory("graft-chunkscale-fab").toString
+      val (_, fabBuild) = timed {
+        (0 until fabN).foreach { i =>
+          val p = s"$fabDir/cold/chunk-$i"
+          new java.io.File(p).mkdirs()
+          StatsCatalog.save(spark, p, StatsCatalog.TableStats(
+            rowCount = 1000L, timeMin = i * 1000L, timeMax = i * 1000L + 999L,
+            tagValues = Map("tag" -> Seq("a", "b")), cappedTags = Nil,
+            sortKey = Some(Seq("tag", "time")),
+            columnStats = Map("tag" -> StatsCatalog.ColumnStat(1000L, Some("a"), Some("b")),
+              "time" -> StatsCatalog.ColumnStat(1000L,
+                Some((i * 1000L).toString), Some((i * 1000L + 999L).toString)))))
+        }
       }
+      val fabTable = new Lifecycle.ChunkedTable(spark, fabDir,
+        pkCols = Seq("tag", "time"))
+      val (nFab, listSec) = timed(fabTable.chunks().size)
+      val (nCols, colsSec) = timed(fabTable.systemChunkColumns("t").count())
+      rec("metric" -> "\"sidecar_only\"", "chunks" -> nFab.toString,
+        "build_s" -> d3(fabBuild), "list_s" -> d3(listSec),
+        "syscols_rows" -> nCols.toString, "syscols_s" -> d3(colsSec))
     }
-    val fabTable = new Lifecycle.ChunkedTable(spark, fabDir,
-      pkCols = Seq("tag", "time"))
-    val (nFab, listSec) = timed(fabTable.chunks().size)
-    val (nCols, colsSec) = timed(fabTable.systemChunkColumns("t").count())
-    rec("metric" -> "\"sidecar_only\"", "chunks" -> nFab.toString,
-      "build_s" -> d3(fabBuild), "list_s" -> d3(listSec),
-      "syscols_rows" -> nCols.toString, "syscols_s" -> d3(colsSec))
 
     val all = records.result()
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (all.mkString("\n") + "\n").getBytes("UTF-8"))
+      (all.mkString("\n") + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     println(s"""{"metric":"chunk_scale_done","records":${all.size},"out":"$outPath"}""")
     spark.stop()
   }

@@ -504,14 +504,29 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
         if (!databases.contains(db)) {
           respondJsonError(ex, 404, s"database not found: $db"); return
         }
-        // plan under the shared temp-view catalog lock, stream after (same
-        // pattern as do_get): spark.sql analyzes eagerly, so the plan is
-        // bound to this request's views before the lock releases
+        // remote query routing (the read twin of shard-routed writes,
+        // reference grpc-router + server/src/lib.rs remotes): when the
+        // db's shard targets map the query's tables to configured
+        // remotes, the router proxies or scatter-gathers instead of
+        // planning locally. Responds and returns true when routed.
+        if (routeQueryRemote(ex, db, q, format)) return
+        planAndRespond(ex, db, q, format, extraViews = Nil)
+    }
+  }
+
+  /** Plan `q` over the db's measurement views (+ `extraViews`, which win
+    * on name collision — the scatter-gather path injects fetched remote
+    * tables) and stream the response. Planning happens under the shared
+    * temp-view catalog lock, streaming after (same pattern as do_get):
+    * spark.sql analyzes eagerly, so the plan is bound to this request's
+    * views before the lock releases. */
+  private def planAndRespond(ex: HttpExchange, db: String, q: String,
+      format: String, extraViews: Seq[(String, DataFrame)]): Unit = {
         val planned = HttpFacade.synchronized {
           try {
             HttpFacade.registerMeasurementViews(spark,
               measurements(db).flatMap(m =>
-                measurementView(db, m).map(m -> _)))
+                measurementView(db, m).map(m -> _)) ++ extraViews)
             Right(spark.sql(q))
           } catch {
             case NonFatal(e) =>
@@ -552,6 +567,104 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
               } catch { case NonFatal(_) => () }
             } finally os.close()
         }
+  }
+
+  /** Remote QUERY routing — the read twin of [[writeLines]]'s shard
+    * routing (reference: the grpc-router crate's query fan-out role over
+    * `server/src/lib.rs` remotes). When the db's rules carry table-regex
+    * shard targets, the tables a query references resolve exactly like a
+    * write's lines: a matched table's data lives WHOLLY at its shard's
+    * remote (the write router forwarded every matching line there), an
+    * unmatched table is local.
+    *
+    *  - every referenced table on ONE remote → the whole query proxies to
+    *    that remote (full fidelity: its bytes stream back as-is);
+    *  - tables split across remotes/local → scatter-gather: each remote
+    *    table is fetched (`SELECT * FROM t` as json) and registered as a
+    *    view, then the query plans LOCALLY over the union catalog — joins
+    *    across shards compose for free. Fetched types ride json inference
+    *    (ints→long, floats→double, tags→string, time→long), fine for the
+    *    facade role; the single-remote proxy path keeps exact types.
+    *
+    * Returns true when it responded (routed or routing error); false
+    * means all-local — caller plans normally. A matched shard id with no
+    * configured remote is ShardNotFound, like the write side. */
+  private def routeQueryRemote(ex: HttpExchange, db: String, q: String,
+      format: String): Boolean = {
+    val targets = rulesStore.get(db).flatMap(_.shardConfig)
+      .map(_.specificTargets).getOrElse(Nil)
+    if (targets.isEmpty) return false
+    // referenced single-part table names, from Spark's own parser (no
+    // regex over SQL text); parse failures fall through to the local
+    // path, whose error reporting is the canonical one
+    val tables: Seq[String] =
+      try spark.sessionState.sqlParser.parsePlan(q).collect {
+        case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+            if r.multipartIdentifier.size == 1 => r.multipartIdentifier.head
+      }.distinct
+      catch { case NonFatal(_) => Nil }
+    val mapped = tables.flatMap(t =>
+      targets.find(_._1.matches(t)).map(t -> _._2))
+    if (mapped.isEmpty) return false
+    val byAddr = mapped.map { case (t, shard) =>
+      remotes.get(shard) match {
+        case None =>
+          respondJsonError(ex, 400, s"shard not found: $shard") // ShardNotFound
+          return true
+        case Some(addr) => (t, addr)
+      }
+    }
+    if (byAddr.map(_._2).distinct.size == 1 && mapped.size == tables.size) {
+      // whole query lives at one remote: proxy it verbatim
+      forwardQuery(byAddr.head._2, db, q, format) match {
+        case Left(err) => respondJsonError(ex, 502, err)
+        case Right((status, ctype, body)) =>
+          respond(ex, status, ctype, new String(body, UTF_8))
+      }
+      return true
+    }
+    // scatter-gather: fetch each remote table, then plan locally
+    val fetched = byAddr.map { case (t, addr) =>
+      forwardQuery(addr, db, s"SELECT * FROM $t", "json") match {
+        case Left(err) => respondJsonError(ex, 502, err); return true
+        case Right((status, _, body)) if status >= 400 =>
+          respondJsonError(ex, 502,
+            s"remote $addr failed for table $t: ${new String(body, UTF_8).take(200)}")
+          return true
+        case Right((_, _, body)) =>
+          import spark.implicits._
+          t -> spark.read.json(
+            spark.createDataset(Seq(new String(body, UTF_8))))
+      }
+    }
+    planAndRespond(ex, db, q, format, extraViews = fetched)
+    true
+  }
+
+  /** One downstream query to a configured remote; returns (status,
+    * content-type, body) so the proxy path can pass the remote's answer
+    * through unchanged. */
+  private def forwardQuery(addr: String, db: String, q: String,
+      format: String): Either[String, (Int, String, Array[Byte])] = {
+    val base = if (addr.startsWith("http://") || addr.startsWith("https://"))
+      addr.stripSuffix("/") else s"http://${addr.stripSuffix("/")}"
+    try {
+      val conn = new java.net.URI(
+        s"$base/iox/api/v1/databases/${HttpFacade.urlEnc(db)}/query" +
+          s"?q=${HttpFacade.urlEnc(q)}&format=${HttpFacade.urlEnc(format)}")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(5000)
+      conn.setReadTimeout(30000)
+      val status = conn.getResponseCode
+      val is = if (status >= 400) conn.getErrorStream else conn.getInputStream
+      val body = if (is == null) Array.emptyByteArray else is.readAllBytes()
+      val ctype = Option(conn.getHeaderField("Content-Type"))
+        .getOrElse("application/json")
+      conn.disconnect()
+      Right((status, ctype, body))
+    } catch {
+      case e: java.io.IOException =>
+        Left(s"no remote reachable at $addr: ${e.getMessage}") // NoRemoteReachable
     }
   }
 

@@ -234,6 +234,45 @@ class GoldenSqlSpec extends SparkSpec {
     val names = sql("SHOW TABLES").map(_(1).asInstanceOf[String]).toSet
     assert(Set("h2o", "o2", "system_columns").subsetOf(names))
   }
+  test("sql.rs case-count parity: every reference inline case maps to a covering spec") {
+    // The accounting InfluxRpcMatrixSpec does for the influxrpc matrix,
+    // applied to query_tests/src/sql.rs: enumerate the reference's inline
+    // cases FROM THE FILE (so a drifted snapshot fails loudly) and assert
+    // each maps to the spec+test that ports it. `sbt test` runs every
+    // covering spec, so a green suite means every sql.rs case passed.
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/query_tests/src/sql.rs")), "UTF-8")
+    val cases = "async fn (\\w+)".r.findAllMatchIn(src).map(_.group(1)).toSeq
+    val coverage: Map[String, String] = (Seq(
+      "sql_select_from_cpu" -> "GoldenSqlSpec select/projection/pred/group",
+      "sql_select_from_cpu_with_projection" -> "GoldenSqlSpec select/projection/pred/group",
+      "sql_select_from_cpu_pred" -> "GoldenSqlSpec select/projection/pred/group",
+      "sql_select_from_cpu_with_projection_and_pred" -> "GoldenSqlSpec select/projection/pred/group",
+      "sql_select_from_cpu_group" -> "GoldenSqlSpec select/projection/pred/group",
+      "sql_select_from_disk" -> "GoldenSqlSpec select/projection/pred/group",
+      "sql_select_with_schema_merge" -> "GoldenSqlSpec schema merge (full-width select)",
+      "sql_select_with_schema_merge_subset" -> "GoldenSqlSpec schema merge (host/region/system subset)",
+      "sql_select_from_restaurant" -> "GoldenSqlSpec restaurant/school",
+      "sql_select_from_school" -> "GoldenSqlSpec restaurant/school",
+      "sql_select_from_information_schema_tables" -> "GoldenSqlSpec SHOW TABLES analog",
+      "sql_select_from_information_schema_columns" -> "GoldenSqlSpec SHOW COLUMNS + system_columns",
+      "sql_show_columns" -> "GoldenSqlSpec SHOW COLUMNS + system_columns",
+      "sql_select_from_system_chunks" -> "SqlFrontendSpec registerChunked system_chunks",
+      "sql_select_from_system_columns" -> "GoldenSqlSpec system_columns category listing",
+      "sql_select_from_system_chunk_columns" -> "SqlFrontendSpec system_chunk_columns",
+      "sql_select_from_system_operations" -> "SqlFrontendSpec system_operations",
+      "sql_union_all" -> "GoldenSqlSpec UNION ALL name resolution",
+      "sql_deduplicate_1" -> "GoldenDedupSpec golden rows (3 scenarios)",
+      "sql_select_non_keys" -> "GoldenSqlSpec different tag sets (SELECT temp)",
+      "sql_select_all_different_tags_chunks" -> "GoldenSqlSpec different tag sets (full select)") ++
+      (1 to 13).map(i => s"sql_predicate_pushdown_correctness_$i" ->
+        "GoldenSqlSpec pushdown correctness 1-13")).toMap
+    val missing = cases.filterNot(coverage.contains)
+    assert(missing.isEmpty,
+      s"sql.rs cases with no mapped covering spec: $missing")
+    assert(cases.size == 34 && coverage.size == 34,
+      s"case-count drift: file has ${cases.size}, map has ${coverage.size}")
+  }
 }
 
 object GoldenSqlSpec {

@@ -1119,11 +1119,21 @@ class HttpFacadeSpec extends SparkSpec {
           enc("SELECT city, temp FROM air") + "&format=csv")
         assert(qa == 200 && bodyA.contains("70.25"),
           s"air not queryable locally: $qa $bodyA")
-        // and the routed table does NOT exist locally
+
+        // ---- remote QUERY routing (r15, the read twin of the above) ----
+        // a query whose only table is remote-owned PROXIES to the remote:
+        // the ROUTER returns the remote's rows
         val (qw, bodyW) = get(pl, "/iox/api/v1/databases/o_b/query?q=" +
-          enc("SELECT * FROM water") + "&format=csv")
-        assert(qw != 200 || !bodyW.contains("1.5"),
-          s"water leaked into the local store: $bodyW")
+          enc("SELECT city, level FROM water") + "&format=csv")
+        assert(qw == 200 && bodyW.contains("SF") && bodyW.contains("1.5"),
+          s"router did not return the remote's rows: $qw $bodyW")
+        // scatter-gather: a JOIN across the remote table and a local one
+        // plans locally over the fetched remote view
+        val (qj, bodyJ) = get(pl, "/iox/api/v1/databases/o_b/query?q=" +
+          enc("SELECT w.level, a.temp FROM water w JOIN air a ON w.city = a.city") +
+          "&format=csv")
+        assert(qj == 200 && bodyJ.contains("1.5") && bodyJ.contains("70.25"),
+          s"cross-shard join failed: $qj $bodyJ")
         // a shard id with no configured remote fails loudly (ShardNotFound)
         val rules2 = """{"name":"o_b","shard_config":""" +
           """{"specific_targets":[{"regex":"^water","shard":9}]}}"""
@@ -1132,6 +1142,19 @@ class HttpFacadeSpec extends SparkSpec {
           "water,city=LA level=9.0 200".getBytes(UTF_8))
         assert(ws2 == 400 && body2.contains("shard not found: 9"),
           s"unresolvable shard did not fail loudly: $ws2 $body2")
+        // ... on the query side too
+        val (qs2, qbody2) = get(pl, "/iox/api/v1/databases/o_b/query?q=" +
+          enc("SELECT * FROM water") + "&format=csv")
+        assert(qs2 == 400 && qbody2.contains("shard not found: 9"),
+          s"query-side ShardNotFound missing: $qs2 $qbody2")
+        // with the shard config dropped, the local store provably never
+        // held the routed table (the write really did forward)
+        assert(put(pl, "/iox/api/v1/databases/o_b/rules",
+          """{"name":"o_b"}""")._1 == 200)
+        val (qw2, bodyW2) = get(pl, "/iox/api/v1/databases/o_b/query?q=" +
+          enc("SELECT * FROM water") + "&format=csv")
+        assert(qw2 != 200 || !bodyW2.contains("1.5"),
+          s"water leaked into the local store: $bodyW2")
       }
     }
   }
