@@ -522,11 +522,20 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
     * views before the lock releases. */
   private def planAndRespond(ex: HttpExchange, db: String, q: String,
       format: String, extraViews: Seq[(String, DataFrame)]): Unit = {
+        // system tables ride the query path like the reference's
+        // system.chunks/columns/... (query_tests sql.rs:260-361 runs them
+        // through the db's query engine) — registered only when the query
+        // text mentions them, so the data hot path never pays the
+        // metadata collection
+        val sysViews =
+          if (q.toLowerCase(java.util.Locale.ROOT).contains("system_"))
+            systemViews(db)
+          else Nil
         val planned = HttpFacade.synchronized {
           try {
             HttpFacade.registerMeasurementViews(spark,
               measurements(db).flatMap(m =>
-                measurementView(db, m).map(m -> _)) ++ extraViews)
+                measurementView(db, m).map(m -> _)) ++ sysViews ++ extraViews)
             Right(spark.sql(q))
           } catch {
             case NonFatal(e) =>
@@ -567,6 +576,53 @@ class HttpFacade(private[server] val spark: SparkSession, port: Int = 0,
               } catch { case NonFatal(_) => () }
             } finally os.close()
         }
+  }
+
+  /** The db's system tables as queryable views over the facade's write
+    * store — the HTTP twin of the reference serving system.chunks /
+    * system.columns / system.chunk_columns / system.operations through
+    * its query engine (server/src/db/system_tables.rs; queried by
+    * query_tests sql.rs:260-361 and scraped by the CLI REPL's OBSERVER
+    * mode). Chunk granularity here is the facade's write batches (the
+    * management API's chunk ids); the durable ChunkedTable stages serve
+    * theirs through SqlFrontend.registerChunked. The chunk/operation
+    * views are metadata-sized; chunk_columns is LAZY (per-column aggs
+    * run only if the view is actually queried). */
+  private def systemViews(db: String): Seq[(String, DataFrame)] = {
+    import spark.implicits._
+    val mviews = measurements(db).flatMap(m =>
+      measurementView(db, m).map(m -> _)).toMap
+    val sysColumns = graft.sources.SqlFrontend.systemColumns(spark, mviews)
+    val sysChunks = chunkRows(db)
+      .map(c => (c.id.toLong, c.partitionKey, c.table, c.storage, c.rowCount))
+      .toDF("id", "partition_key", "table_name", "storage", "row_count")
+    val frames = databases.getOrElse(db, Vector.empty).zipWithIndex
+    val chunkColFrames = frames.flatMap { case ((m, df), i) =>
+      df.columns.toSeq.map { c =>
+        df.agg(count(col(c)).as("row_count"),
+            min(col(c)).cast("string").as("min_value"),
+            max(col(c)).cast("string").as("max_value"))
+          .select(lit(i.toLong).as("chunk_id"), lit("").as("partition_key"),
+            lit(m).as("table_name"), lit(c).as("column_name"),
+            lit(chunkStage(db, i)).as("storage"), col("row_count"),
+            col("min_value"), col("max_value"))
+      }
+    }
+    val sysChunkColumns =
+      if (chunkColFrames.isEmpty)
+        Seq.empty[(Long, String, String, String, String, Long, String, String)]
+          .toDF("chunk_id", "partition_key", "table_name", "column_name",
+            "storage", "row_count", "min_value", "max_value")
+      else chunkColFrames.reduce(_ unionByName _)
+    val sysOps = operationsList
+      .map(r => (r.id, if (r.cancelled) "Cancelled" else "Complete",
+        r.kind, r.dbName, r.partitionKey, r.tableName,
+        r.chunkId.map(_.toLong).getOrElse(-1L), r.description))
+      .toDF("id", "status", "kind", "db_name", "partition_key",
+        "table_name", "chunk_id", "description")
+    Seq("system_columns" -> sysColumns, "system_chunks" -> sysChunks,
+      "system_chunk_columns" -> sysChunkColumns,
+      "system_operations" -> sysOps)
   }
 
   /** Remote QUERY routing — the read twin of [[writeLines]]'s shard
@@ -2446,7 +2502,7 @@ object HttpFacade {
   private[graft] def jsonStrArrayField(json: String, key: String): Seq[String] =
     graft.core.Json.strArrayField(json, key)
 
-  private def urlEnc(s: String): String =
+  private[server] def urlEnc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
 
   private val QueryPath = "/iox/api/v1/databases/([^/]+)/query".r
