@@ -247,18 +247,23 @@ object Clustering {
     // concurrent Spark jobs so the barriers overlap instead of chaining
     // m·iters round-trips — results are identical (Future.sequence keeps
     // subspace order; each fit is deterministic on its own)
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
+    import scala.concurrent.{Await, ExecutionContext, Future, blocking}
+    import scala.concurrent.duration.DurationInt
     implicit val ec: ExecutionContext = ExecutionContext.global
+    // blocking{} keeps the CPU-sized global pool from starving while m
+    // threads wait on Spark barriers; the deadline is a generous backstop
+    // so a wedged job surfaces as an error instead of a silent hang
     val fits = Await.result(Future.sequence((0 until m).map { j =>
       Future {
-        val (assigned, cents) = kmeansFit(v.select(col(idCol),
-            slice(col("__v"), j * sub + 1, sub).as("__s")),
-          idCol, "__s", k, iters)
-        (assigned.withColumnRenamed("cluster", s"code_$j"),
-          cents.map { case (c, ce) => (j, c, ce) })
+        blocking {
+          val (assigned, cents) = kmeansFit(v.select(col(idCol),
+              slice(col("__v"), j * sub + 1, sub).as("__s")),
+            idCol, "__s", k, iters)
+          (assigned.withColumnRenamed("cluster", s"code_$j"),
+            cents.map { case (c, ce) => (j, c, ce) })
+        }
       }
-    }), Duration.Inf)
+    }), 4.hours)
     (fits.map(_._1).reduce(_.join(_, Seq(idCol))), fits.flatMap(_._2))
   }
 
