@@ -60,17 +60,37 @@ object Bench {
     // later passes abort between queries; (2) the caller below emits the
     // cumulative compact line + sidecar after EVERY pass, so even a hard
     // kill leaves the latest parseable total as the last JSON on stdout.
-    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "600").toDouble
+    // Budget default sized to the driver's ~1200 s slot (r14: sbt total
+    // 1198 s, rc=0): warmup (~2 min concurrent) + pass 1 (~530 s
+    // contended) leaves room to START pass 2 and abort it between queries
+    // by ~950 s, so the final cumulative emission lands well before the
+    // kill and MOST queries still collect a second warm sample.
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "950").toDouble
     def elapsedS: Double = (System.nanoTime() - mainStartNs) / 1e9
-    // Warmup = pass 0, TIMED, at the REAL sfDir (r14 lesson: an untimed
-    // warmup executed every query and threw the samples away — under a
-    // budget that leaves room for only one timed pass, that structurally
-    // disabled the interleaved-min defense exactly when it was needed).
-    // Pass 0 samples are cold (codegen compiles during them) and measure
-    // the right data, so folding them into each query's cross-pass MIN
-    // can only leave the min equal or better; they are EXCLUDED from the
-    // contamination spread below (compile cost would read as a burst).
-    //
+    // Untimed warmup at tiny SF, CONCURRENT (r15): its only job is Janino
+    // compilation of every query's codegen (kept resident by the enlarged
+    // cache above) — compile is CPU-bound and per-query independent, so a
+    // worker pool turns r14's ~640 s sequential warmup into ~1-2 min,
+    // which is what makes a SECOND timed pass fit the driver's slot at
+    // all. Results are discarded; failures are harmless (that query just
+    // compiles during pass 1). sf0.001 timings are never folded into the
+    // sfDir minima — different data size, folding would be dishonest.
+    locally {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val t0 = System.nanoTime()
+      queries.foreach { case (_, fn) =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            try fn(spark, "/root/testdata/sf0.001")
+              .write.format("noop").mode("overwrite").save()
+            catch { case _: Throwable => () }
+        })
+      }
+      pool.shutdown()
+      pool.awaitTermination(20, java.util.concurrent.TimeUnit.MINUTES)
+      System.err.println(
+        s"[bench] concurrent warmup done in ${d3((System.nanoTime() - t0) / 1e9)}s")
+    }
     // Per-pass query-order ROTATION: a co-tenant burst lasts minutes and
     // is contiguous in time, so with a fixed order it poisons the same
     // alphabetical block of every pass it touches (r14 driver run: one
@@ -178,18 +198,16 @@ object Bench {
         .mkString("{", ",", "}")
       val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val passTotals = samples.map(p => d3(p._1.flatMap(_._2).sum)).mkString("[", ",", "]")
-      // Contamination marker: relative spread of the COMPLETE WARM passes'
-      // totals (pass 0 is the cold/codegen-compiling pass — its inflation
-      // is compile cost, not a burst; a budget-truncated pass's total is
-      // structurally smaller — comparing either would always fire). A
-      // clean run has warm passes within a few percent; a co-tenant burst
-      // inflates one, so (max-min)/min > 0.3 flags the run as
-      // burst-poisoned IN THE ARTIFACT ITSELF. With fewer than 2 complete
-      // warm passes the question is UNANSWERABLE from this run, and the
-      // artifact says so: spread and contaminated are null, never a
-      // vacuous 0/false (the r14 driver artifact's false was computed
-      // over a single pass).
-      val warmTotals = samples.drop(1).collect { case (p, true) => p.flatMap(_._2).sum }
+      // Contamination marker: relative spread of the COMPLETE passes'
+      // totals (a budget-truncated pass's total is structurally smaller —
+      // comparing it would always fire). A clean run has passes within a
+      // few percent; a co-tenant burst inflates one, so (max-min)/min >
+      // 0.3 flags the run as burst-poisoned IN THE ARTIFACT ITSELF. With
+      // fewer than 2 complete passes the question is UNANSWERABLE from
+      // this run, and the artifact says so: spread and contaminated are
+      // null, never a vacuous 0/false (the r14 driver artifact's false
+      // was computed over a single pass).
+      val warmTotals = samples.collect { case (p, true) => p.flatMap(_._2).sum }
         .filter(_ > 0)
       val passSpread: Option[Double] =
         if (warmTotals.size < 2) None
@@ -201,7 +219,7 @@ object Bench {
       // budget-aborted): "value" then sums only the sampled queries' mins
       val nSampled = byQuery.count(_._2.isDefined)
       val passMark =
-        s""","passes":${samples.size},"passes_complete":$passesComplete,"warm_passes_complete":${warmTotals.size},"n_sampled":$nSampled,"pass_totals":$passTotals,"pass_spread":${passSpread.map(d3).getOrElse("null")},"contaminated":$contaminated,"elapsed_s":${d3(elapsedS)},"budget_s":${d3(budgetS)}"""
+        s""","passes":${samples.size},"passes_complete":$passesComplete,"n_sampled":$nSampled,"pass_totals":$passTotals,"pass_spread":${passSpread.map(d3).getOrElse("null")},"contaminated":$contaminated,"elapsed_s":${d3(elapsedS)},"budget_s":${d3(budgetS)}"""
       val detail = s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"failed":$failedArr$passMark$filteredMark,"sf":"$sfDir"}"""
       // The driver captures only a bounded 2000-byte TAIL of the run's
       // MERGED stdout+stderr (with the sbt "[success]" line inside it) and
@@ -239,27 +257,24 @@ object Bench {
     var samples = Vector.empty[(Seq[(String, Option[Double])], Boolean)]
     def emitMid(partial: Seq[(String, Option[Double])]): Unit =
       if (partial.nonEmpty) emitArtifacts(samples :+ ((partial, false)))
-    // pass 0: the cold pass — non-abortable, so every query gets at least
-    // one sample at the real SF even on a fully contended box
+    // pass 1 is non-abortable so every query gets at least one timed
+    // sample even on a fully contended box; later passes are rotated and
+    // abort between queries once the budget is spent
     samples = samples :+ onePass(0, abortable = false, emitMid)
     emitArtifacts(samples)
-    // warm passes: `passes` of them (env default 3), each rotated, each
-    // abortable between queries once the budget is spent
     var p = 1
-    while (p <= passes && elapsedS <= budgetS) {
+    while (p < passes && elapsedS <= budgetS) {
       samples = samples :+ onePass(p, abortable = true, emitMid)
       emitArtifacts(samples)
       p += 1
     }
-    // Adaptive top-up (co-tenant contamination guard): when the FIRST WARM
-    // pass's total exceeds the LAST COMPLETE warm pass's by >30%, something
-    // big was running early in the bench — one extra pass gives every query
-    // another chance at an uncontended sample. The cold pass 0 is excluded
-    // (its inflation is compile cost, it would always fire). Bounded at +2
-    // AND by the elapsed budget so a permanently loaded box still
-    // terminates. Totals compare over the queries that succeeded in BOTH
-    // passes: a query failing in just one pass would otherwise skew the
-    // ratio.
+    // Adaptive top-up (co-tenant contamination guard): when the FIRST
+    // pass's total exceeds the LAST COMPLETE pass's by >30%, something
+    // big was running early in the bench — one extra pass gives every
+    // query another chance at an uncontended sample. Bounded at +2 AND by
+    // the elapsed budget so a permanently loaded box still terminates.
+    // Totals compare over the queries that succeeded in BOTH passes: a
+    // query failing in just one pass would otherwise skew the ratio.
     def comparableTotals(a: Seq[(String, Option[Double])],
         b: Seq[(String, Option[Double])]): (Double, Double) = {
       val inB = b.collect { case (n, Some(_)) => n }.toSet
@@ -267,14 +282,14 @@ object Bench {
       (a.collect { case (n, Some(t)) if both(n) => t }.sum,
         b.collect { case (n, Some(t)) if both(n) => t }.sum)
     }
-    def warmComplete = samples.drop(1).filter(_._2)
+    def warmComplete = samples.filter(_._2)
     var extra = 0
     while (extra < 2 && elapsedS <= budgetS && warmComplete.size >= 2 && {
       val (h, l) = comparableTotals(warmComplete.head._1, warmComplete.last._1)
       l > 0 && h > 1.3 * l
     }) {
       val (h, l) = comparableTotals(warmComplete.head._1, warmComplete.last._1)
-      System.err.println(s"[bench] first warm pass ${d3(h)}s vs last complete ${d3(l)}s " +
+      System.err.println(s"[bench] first pass ${d3(h)}s vs last complete ${d3(l)}s " +
         "(shared-success queries) — adding a top-up pass")
       samples = samples :+ onePass(p + extra, abortable = true, emitMid)
       emitArtifacts(samples)
