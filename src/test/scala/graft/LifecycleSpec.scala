@@ -299,6 +299,38 @@ class LifecycleSpec extends SparkSpec {
     assert(sorted(batch).head == ("a", 1000L * 1000000L, 3.0))
   }
 
+  test("writeChunksBy: one distributed frame lands per-key open chunks identical to serial") {
+    import spark.implicits._
+    def mk(i: Int) = Seq(
+      ("a", 1000L * 1000000L, i.toDouble),
+      (s"c$i", (3000L + i) * 1000000L, 50.0 + i)).toDF("host", "time", "v")
+    val serialDir = java.nio.file.Files.createTempDirectory("graft-by-s").toString
+    val serial = new ChunkedTable(spark, serialDir, pkCols = Seq("host", "time"))
+    (0 until 4).foreach(i => serial.writeChunk(mk(i), nowMs = 500L))
+    val byDir = java.nio.file.Files.createTempDirectory("graft-by-b").toString
+    val byTable = new ChunkedTable(spark, byDir, pkCols = Seq("host", "time"))
+    // the same rows as ONE frame keyed by a chunk column — the backfill shape
+    val frame = (0 until 4).flatMap(i => Seq(
+      (i.toLong, "a", 1000L * 1000000L, i.toDouble),
+      (i.toLong, s"c$i", (3000L + i) * 1000000L, 50.0 + i)))
+      .toDF("ck", "host", "time", "v")
+    val metas = byTable.writeChunksBy(frame, "ck", nowMs = 500L)
+    assert(metas.map(_.id) == (0L until 4L) && metas.forall(_.stage == Open))
+    assert(metas.forall(_.rows == 2L), s"per-chunk row counts: $metas")
+    assert(byTable.chunks().map(c => (c.id, c.stage, c.rows)) ==
+      serial.chunks().map(c => (c.id, c.stage, c.rows)))
+    def sorted(t: ChunkedTable) =
+      t.scan().orderBy("host", "time").as[(String, Long, Double)].collect().toSeq
+    assert(sorted(byTable) == sorted(serial))
+    assert(sorted(byTable).head == ("a", 1000L * 1000000L, 3.0)) // key 3 wins
+    // ids continue from the table's current max on a second batch
+    val more = byTable.writeChunksBy(
+      Seq((0L, "z", 9000L * 1000000L, 1.0)).toDF("ck", "host", "time", "v"),
+      "ck", nowMs = 600L)
+    assert(more.map(_.id) == Seq(4L))
+    assert(byTable.scan().count() == sorted(serial).size + 1L)
+  }
+
   test("chunked table: upsert across chunks - later write wins on scan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-lifecycle2").toString
