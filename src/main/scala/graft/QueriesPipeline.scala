@@ -1821,7 +1821,12 @@ object QueriesPipeline {
         val docs = Tables.spread(s, Tables.documents(s, d))
         val sh = docs.select(col("source"),
           explode(TF.shingles(col("text"), 3)).as("sgm"))
+        // register table is sources × 2^p rows — metadata-sized; pin it
+        // once (r15, measured): its two consumers (per-source estimate,
+        // pairwise union) prune differently, so without the checkpoint
+        // the full shingle→hash→register corpus pass ran TWICE
         val regs = DocDedup.hllRegisters(sh, "sgm", Seq("source"), p = 12)
+          .localCheckpoint()
         val perSrc = DocDedup.hllEstimate(regs, Seq("source"), p = 12)
         val srcs = docs.select("source").distinct()
         val pairs = srcs.as("a").crossJoin(srcs.as("b"))
@@ -2347,9 +2352,16 @@ object QueriesPipeline {
     ("dedup_edit_distance",
       (s, d) => {
         val docs = Tables.spread(s, Tables.documents(s, d))
+        // pair-grain frame consumed three times inside editDistanceVerify
+        // (both sides of the needed-ids union + the pair join): one eager
+        // checkpoint runs the LSH pipeline once and keeps the downstream
+        // plan (which AQE re-optimizes per stage) pair-sized — the
+        // blocking_eval / duplicationRank discipline (r15: ~2.5 s of
+        // warm driver-side replanning measured on the tripled tree)
         val pairs = DocDedup.minHashDedupPairs(docs, "doc_id", "text",
           n = 3, threshold = 0.7,
           DocDedup.MinHashParams(numPerms = 32, bands = 16)).select("id1", "id2")
+          .localCheckpoint()
         DocDedup.editDistanceVerify(docs, "doc_id", "text", pairs, cap = 6)
           .orderBy("id1", "id2")
       },

@@ -27,45 +27,26 @@ object TextFunctions {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Word n-gram shingles (distinct), the unit for Jaccard similarity.
-    *
-    * Documents with fewer than n tokens yield an empty array — the guard
-    * matters because sequence(0, negative) in Spark is a DESCENDING array
-    * and slice(toks, 0, n) then throws INVALID_PARAMETER_VALUE.START;
-    * CaseWhen evaluates branches lazily, so the short-doc branch never
-    * builds the sequence.
-    *
-    * The token array is BOUND as a lambda variable (transform over a
-    * 1-element array) rather than referenced from the inner lambda:
-    * higher-order functions are interpreted, and a subexpression inside a
-    * lambda body is re-evaluated on every lambda invocation — an unbound
-    * `slice(tokens(text), i, n)` would re-run the regex tokenization once
-    * PER SHINGLE POSITION (~50x per doc). */
+    * Computed by the native [[ShinglesExpr]] (r15): the prior
+    * higher-order-function form was CodegenFallback and walked an
+    * interpreted expression tree per shingle position; the native kernel
+    * is one codegen'd linear pass per document with identical output
+    * (equivalence pinned by ShinglesExprSpec). Short docs (< n tokens)
+    * and null text yield an empty array. */
   def shingles(text: Column, n: Int): Column =
-    element_at(
-      transform(array(tokens(text)), tk =>
-        when(size(tk) >= n,
-          array_distinct(filter(
-            transform(sequence(lit(0), size(tk) - n),
-              i => array_join(slice(tk, i + 1, lit(n)), " ")),
-            s => length(s) > 0)))
-          .otherwise(lit(Array.empty[String]))),
-      1)
+    org.apache.spark.sql.graft.ColumnBridge.fromExpr(
+      ShinglesExpr(org.apache.spark.sql.graft.ColumnBridge.toExpr(text),
+        n, distinct = true))
 
   /** Word n-grams WITH multiplicity (unlike [[shingles]], which is
     * distinct) — the unit for repetition scoring, where duplicates are
-    * exactly the signal. Same short-doc guard and lambda-binding shape as
-    * [[shingles]] (the token array is bound once; an unbound reference
-    * would re-tokenize per n-gram position). */
+    * exactly the signal. Same native kernel as [[shingles]]
+    * ([[ShinglesExpr]] with distinct = false); short/null docs yield an
+    * empty array. */
   def ngrams(text: Column, n: Int): Column =
-    element_at(
-      transform(array(tokens(text)), tk =>
-        when(size(tk) >= n,
-          filter(
-            transform(sequence(lit(0), size(tk) - n),
-              i => array_join(slice(tk, i + 1, lit(n)), " ")),
-            s => length(s) > 0))
-          .otherwise(lit(Array.empty[String]))),
-      1)
+    org.apache.spark.sql.graft.ColumnBridge.fromExpr(
+      ShinglesExpr(org.apache.spark.sql.graft.ColumnBridge.toExpr(text),
+        n, distinct = false))
 
   /** Fraction of word bigrams that are repeats of an earlier bigram in
     * the same document — the Gopher-style repetition signal for machine-

@@ -14,9 +14,16 @@ object VectorFunctions {
     * deterministic and match any oracle computing in doubles. */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
+  // r15: dot / l2 / quantize run as native codegen kernels (VecKernels) —
+  // the composed aggregate(zip_with(...)) / transform(...) forms are
+  // CodegenFallback and paid an interpreted tree walk per vector element
+  // (per centroid per row on the k-means/ANN paths). Same sequential IEEE
+  // fold, bit-identical results incl. null/length-mismatch/NaN semantics
+  // (pinned by VecKernelsSpec).
+  private def bridge = org.apache.spark.sql.graft.ColumnBridge
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+    bridge.fromExpr(DotExpr(
+      bridge.toExpr(asDouble(a)), bridge.toExpr(asDouble(b))))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -24,8 +31,8 @@ object VectorFunctions {
     dot(a, b) / (norm(a) * norm(b))
 
   def l2Distance(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x))
+    sqrt(bridge.fromExpr(SqDiffSumExpr(
+      bridge.toExpr(asDouble(a)), bridge.toExpr(asDouble(b)))))
 
   /** Quantize every coordinate to integer micro-units —
     * `floor(x·1e6 + 0.5)`, the halfway-mode-safe spelling shared with
@@ -42,5 +49,5 @@ object VectorFunctions {
   def microVec(v: Column): Column =
     // floor() yields bigint; the cast back to double is exact (< 2^53)
     // and keeps every consumer on one array element type
-    transform(asDouble(v), x => floor(x * lit(1e6) + lit(0.5)).cast("double"))
+    bridge.fromExpr(QuantizeExpr(bridge.toExpr(asDouble(v)), asLong = false))
 }

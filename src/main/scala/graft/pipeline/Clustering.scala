@@ -38,18 +38,25 @@ object Clustering {
 
   private val Scale = 1e6
 
-  /** Quantized integer vector: `floor(x·1e6 + 0.5)` per component. */
+  /** Quantized integer vector: `floor(x·1e6 + 0.5)` per component.
+    * Native codegen kernel (r15) — see [[graft.functions.QuantizeExpr]];
+    * identical values to the transform(...) form it replaced. */
   def quantize(vec: Column): Column =
-    transform(vec.cast("array<double>"),
-      x => floor(x * lit(Scale) + lit(0.5)).cast("long"))
+    org.apache.spark.sql.graft.ColumnBridge.fromExpr(
+      graft.functions.QuantizeExpr(
+        org.apache.spark.sql.graft.ColumnBridge.toExpr(
+          vec.cast("array<double>")), asLong = true))
 
   /** (id, __q long vector, __e = __q as exact doubles, __n = micro-norm
     * `sqrt(Σ q²)`). `__e` carries the INTEGER micro values (not /1e6):
     * every downstream dot over it is an exact order-free integer sum, and
     * cosine is scale-invariant so affinities are unchanged. */
   private def prepared(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    df.select(col(idCol), quantize(col(vecCol)).as("__q"))
-      .withColumn("__e", transform(col("__q"), q => q.cast("double")))
+    // __e via the native double-quantize kernel rather than an interpreted
+    // transform over __q — identical values (floor output < 2^53 is exact
+    // in double), one codegen pass each
+    df.select(col(idCol), quantize(col(vecCol)).as("__q"),
+        graft.functions.VectorFunctions.microVec(col(vecCol)).as("__e"))
       .withColumn("__n", sqrt(dot(col("__e"), col("__e"))))
 
   /** Argmax-affinity assignment against driver-held INTEGER-MICRO
@@ -172,14 +179,24 @@ object Clustering {
     val spark = df.sparkSession
     import org.apache.spark.sql.Row
     val x = prepared(df, idCol, vecCol)
-    def vecOf(id: Long): Seq[Long] =
-      x.filter(col(idCol) === id).select(col("__q")).head()
-        .getAs[scala.collection.Seq[Long]](0).toSeq
-    val firstRow = x.agg(min(col(idCol))).head()
+    // the chosen point's VECTOR rides the argmin struct (r15): the struct
+    // min is decided entirely by (mx, id) — ids are unique, so the
+    // trailing __q field never participates in an ordering decision and
+    // the selected row is unchanged — and carrying it out of the same
+    // aggregate removes the separate filter(id)+head() corpus scan each
+    // round previously paid to fetch the winner's vector (2 jobs/round →
+    // 1 job/round, at any scale).
+    def decode(row: Row): (Long, Long, Seq[Long]) =
+      (row.getLong(0), row.getLong(1),
+        row.getAs[scala.collection.Seq[Long]](2).toSeq)
+    val firstRow = x
+      .select(struct(col(idCol).as("id"), col("__q")).as("s"))
+      .agg(min(col("s")).as("m"))
+      .select(col("m.id"), col("m.id"), col("m.__q")).head()
     require(!firstRow.isNullAt(0),
       s"farthestPointSeeds: empty corpus (no non-null '$idCol' rows) — cannot seed k=$k")
-    val firstId = firstRow.getLong(0)
-    var chosen: Seq[(Long, Seq[Long])] = Seq(firstId -> vecOf(firstId))
+    val (firstId, _, firstVec) = decode(firstRow)
+    var chosen: Seq[(Long, Seq[Long])] = Seq(firstId -> firstVec)
     var out: Seq[(Int, Long, Option[Long])] = Seq((1, firstId, None))
     for (r <- 2 to k) {
       val affs = chosen.map { case (_, cq) =>
@@ -189,15 +206,14 @@ object Clustering {
       }
       val maxAff = if (affs.size == 1) affs.head else greatest(affs: _*)
       val pickRow = x.filter(!col(idCol).isin(chosen.map(_._1): _*))
-        .select(struct(maxAff.as("mx"), col(idCol).as("id")).as("s"))
+        .select(struct(maxAff.as("mx"), col(idCol).as("id"), col("__q")).as("s"))
         .agg(min(col("s")).as("m"))
-        .select(col("m.id"), col("m.mx")).head()
+        .select(col("m.id"), col("m.mx"), col("m.__q")).head()
       require(!pickRow.isNullAt(0),
         s"farthestPointSeeds: k=$k exceeds corpus size ${chosen.size} — " +
           "candidate set exhausted at rank " + r)
-      val pick = pickRow
-      val (pid, pmx) = (pick.getLong(0), pick.getLong(1))
-      chosen = chosen :+ (pid -> vecOf(pid))
+      val (pid, pmx, pvec) = decode(pickRow)
+      chosen = chosen :+ (pid -> pvec)
       out = out :+ ((r, pid, Some(pmx)))
     }
     spark.createDataFrame(

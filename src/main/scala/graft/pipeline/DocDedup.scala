@@ -54,13 +54,21 @@ object DocDedup {
     // infers `size(arr) > 0` from a bare generator and pushes it down
     // with the generator-input EXPRESSION inlined into a per-row Filter,
     // re-materializing every pair-struct array a second time (the hot
-    // path of every dedup family member)
+    // path of every dedup family member).
+    // r15: the tail slice is exploded FIRST and `mk` applied per pair ROW
+    // — the previous `transform(slice(...), y => mk(__x, y))` evaluated
+    // mk inside a higher-order-function lambda, i.e. one interpreted
+    // expression-tree walk PER PAIR on the quadratic expansion stage
+    // (guide §4); as a row projection it runs in whole-stage codegen.
+    // Same rows: slice/explode stream identically, and mk is a pure
+    // struct/getField composition in every caller.
     buckets
       .select(col(xs).as("__xs"), posexplode_outer(col(xs)).as(Seq("__i", "__x")))
       .filter(col("__x").isNotNull)
-      .select(explode_outer(transform(
-        slice(col("__xs"), col("__i") + lit(2), size(col("__xs"))),
-        y => mk(col("__x"), y))).as("p"))
+      .select(col("__x"), explode_outer(
+        slice(col("__xs"), col("__i") + lit(2), size(col("__xs")))).as("__y"))
+      .filter(col("__y").isNotNull)
+      .select(mk(col("__x"), col("__y")).as("p"))
       .filter(col("p").isNotNull)
 
   // ------------------------------------------------------------- minhash
@@ -449,9 +457,21 @@ object DocDedup {
     val hot = buckets.filter(size(col("xs")) > maxShingleDf)
       .select(explode(col("xs")).as("x"))
       .select(col("x.id").as("id")).distinct()
+    // materialize the marked pair frame ONCE (r15, measured): the clean
+    // and re-verify branches prune DIFFERENT columns from `counted`
+    // (jaccard needs n1/n2/inter, the re-verify candidates only id1/id2),
+    // so their subtrees canonicalize differently and ReuseExchange cannot
+    // collapse them — the whole quadratic bucket expansion ran TWICE (two
+    // ~20 MB pair exchanges of 12.5 s task time each at sf0.1, one of
+    // them then discarded outright by AQE empty-propagation whenever no
+    // shingle is over-cap). The pair frame is candidate-bounded
+    // (≤ #buckets·cap²/2, orders below corpus size — the cap analysis
+    // above), so one eager materialization strictly dominates recomputing
+    // the expansion per branch at any scale.
     val marked = counted
       .join(hot.select(col("id").as("id1"), lit(true).as("__h1")), Seq("id1"), "left")
       .join(hot.select(col("id").as("id2"), lit(true).as("__h2")), Seq("id2"), "left")
+      .localCheckpoint()
     val clean = marked.filter(col("__h1").isNull || col("__h2").isNull)
       .select(col("id1"), col("id2"),
         (col("inter") / (col("n1") + col("n2") - col("inter"))).as("jaccard"))
@@ -553,9 +573,13 @@ object DocDedup {
     val hot = buckets.filter(size(col("xs")) > maxShingleDf)
       .select(explode(col("xs")).as("x"))
       .select(col("x.id").as("id")).distinct()
+    // single materialization of the pair frame — same two-branch
+    // column-pruning divergence as ngramJaccardPairs above (see the r15
+    // note there): without it the quadratic expansion runs once per branch
     val marked = counted
       .join(hot.select(col("id").as("id1"), lit(true).as("__h1")), Seq("id1"), "left")
       .join(hot.select(col("id").as("id2"), lit(true).as("__h2")), Seq("id2"), "left")
+      .localCheckpoint()
     val clean = marked.filter(col("__h1").isNull || col("__h2").isNull)
       .select(col("id1"), col("id2"),
         (col("inter") / least(col("n1"), col("n2"))).as("containment"))
@@ -574,16 +598,15 @@ object DocDedup {
     * all 60 bit-sums in an array accumulator, so each token is hashed
     * exactly once (a per-bit formulation would re-run the md5 hashing 60
     * times). Pure column arithmetic — no explode, no shuffle. */
-  def simHash(text: Column, bits: Int = 60): Column = {
-    val masks = lit((0 until bits).map(b => 1L << b).toArray)
-    val hs = transform(array_distinct(tokens(text)), t => hash60(t))
-    val bitSums = aggregate(hs, lit(Array.fill(bits)(0L)), (acc, h) =>
-      zip_with(acc, masks, (a, m) =>
-        a + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(-1L)))
-    aggregate(
-      zip_with(bitSums, masks, (s, m) => when(s > 0L, m).otherwise(0L)),
-      lit(0L), (acc, x) => acc + x)
-  }
+  def simHash(text: Column, bits: Int = 60): Column =
+    // r15: native codegen kernel (one pass per document) replacing the
+    // composed form, whose bits-wide interpreted zip_with ran once PER
+    // TOKEN. Identical signatures (integer ±1 sums are order-free and the
+    // token pipeline is the same normalize/split/distinct/hash60 chain) —
+    // pinned by VecKernelsSpec.
+    org.apache.spark.sql.graft.ColumnBridge.fromExpr(
+      graft.functions.SimHashExpr(
+        org.apache.spark.sql.graft.ColumnBridge.toExpr(text), bits))
 
   /** SimHash near-dup pairs: bucket by 4 signature quarters (a pair within
     * hamming distance <= 3 of a 60-bit signature shares at least one exact
@@ -687,32 +710,43 @@ object DocDedup {
     * parallel pointer-doubling step), so chains halve every round and
     * convergence is O(log diameter) instead of O(diameter); a path of
     * 10⁶ docs settles in ~20 rounds, and near-dup quasi-cliques in 2-3.
-    * Per round: two shuffle joins + one partial-agg groupBy — no
-    * driver-side graph state, edges cached once, and `localCheckpoint`
-    * truncates the plan each round so lineage (and Catalyst analysis
-    * time) stays O(1) in the round count. */
+    * Per round: ONE edges⋈labels shuffle join + one partial-agg groupBy
+    * (self-edges make the aggregate deliver both the candidate min and
+    * the previous label, r15) + the pointer-jump join — no driver-side
+    * graph state, edges cached once, and `localCheckpoint` truncates the
+    * plan each round so lineage (and Catalyst analysis time) stays O(1)
+    * in the round count. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
     // pairs is typically the output of an expensive candidate pipeline
     // (minhash/LSH); it feeds BOTH directions of the edge list, so pin it
     // — otherwise the whole upstream pipeline executes once per reference
     // (ReuseExchange only collapses the deepest shared exchange)
     val p = pairs.persist()
+    // self-edges ride the static edge list (r15): with (u,u) present for
+    // every node, one aggregate over the edges⋈labels join yields BOTH the
+    // candidate label min(own, neighbors) — the self-edge delivers the
+    // node's own label — AND the previous label (the self-edge's vlabel,
+    // min'd over the singleton {v = u}), eliminating the per-round
+    // labels-on-id join the old cand step paid. One fewer shuffle join
+    // per round at any scale; labels are identical round-for-round
+    // (min over {own} ∪ neighbors is the same set either way).
     val edges = p.select(col("id1").as("u"), col("id2").as("v"))
       .union(p.select(col("id2").as("u"), col("id1").as("v")))
+      .union(p.select(col("id1").as("u"), col("id1").as("v")))
+      .union(p.select(col("id2").as("u"), col("id2").as("v")))
       .distinct()
       .persist()
-    var labels = edges.select(col("u").as("id")).distinct()
+    var labels = edges.filter(col("u") === col("v")).select(col("u").as("id"))
       .withColumn("label", col("id"))
       .localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val nbrMin = edges
+      val cand = edges
         .join(labels.select(col("id").as("v"), col("label").as("vlabel")), Seq("v"))
-        .groupBy(col("u").as("id")).agg(min(col("vlabel")).as("nbr_min"))
-      val cand = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("label").as("prev"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("cand"))
+        .groupBy(col("u").as("id"))
+        .agg(min(col("vlabel")).as("cand"),
+          min(when(col("v") === col("u"), col("vlabel"))).as("prev"))
       // pointer jump: a label is itself a node id, so follow it one level.
       // The convergence check RIDES the checkpoint's materialization job
       // via `Dataset.observe` (labels only ever decrease, so any strict

@@ -113,9 +113,23 @@ object Tables {
     * only pays for itself when per-row compute dominates, so cheap scans
     * should read the raw splits. At real scale splits >= cores and this is
     * a no-op. */
+  /** Frames spread() has already returned, by object identity (weak —
+    * entries die with their frames). The partition probe below costs a
+    * full physical planning pass (`df.rdd`); ~60 query builders call
+    * spread() on the ALREADY-SPREAD memoized documents/embeddings frames
+    * (r15 measured: ~30-80 ms of pure plan construction per query per
+    * bench pass), so the identity hit makes the redundant outer call
+    * free without touching every call site. */
+  private val spreadDone = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[DataFrame, java.lang.Boolean]))
+
   def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    if (spreadDone.contains(df)) return df
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val out = if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    spreadDone.add(out)
+    out
   }
 
   /** The pipeline corpora load pre-spread: at test SF both arrive as ONE
