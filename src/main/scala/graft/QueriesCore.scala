@@ -1011,10 +1011,17 @@ object QueriesCore {
         table.writeChunk( // re-write every 7th event with doubled value
           ev.filter(pmod(col("user_tag").cast("long") + col("time"), lit(7)) === 0)
             .withColumn("value", col("value") * 2), nowMs = 5000L)
+        // the split-point percentile is independent of the compact round —
+        // overlap the two Spark jobs (guide §2.6), result unchanged
+        import scala.concurrent.{Await, ExecutionContext, Future, blocking}
+        import scala.concurrent.duration.DurationInt
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        val fMid = Future(blocking(
+          ev.agg(percentile_approx(col("time"), lit(0.5), lit(100)))
+            .head().getLong(0)))
         require(table.runOnce(rules, nowMs = 16000L)
           .exists(_.isInstanceOf[graft.streaming.Lifecycle.Compact]), "no compact")
-        val midNs = ev.agg(percentile_approx(col("time"), lit(0.5), lit(100)))
-          .head().getLong(0)
+        val midNs = Await.result(fMid, 1.hour)
         require(table.runOnce(rules, nowMs = 80000L, splitNsOf = _ => midNs)
           .exists(_.isInstanceOf[graft.streaming.Lifecycle.Persist]), "no persist")
         table.scan()
@@ -1059,9 +1066,15 @@ object QueriesCore {
         table.writeChunk(
           ev.filter(pmod(col("user_tag").cast("long") + col("time"), lit(7)) === 0)
             .withColumn("value", col("value") * 2), nowMs = 5000L)
+        // min/max bounds are independent of the compact round — overlap
+        // the two Spark jobs (guide §2.6), result unchanged
+        import scala.concurrent.{Await, ExecutionContext, Future, blocking}
+        import scala.concurrent.duration.DurationInt
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        val fBounds = Future(blocking(ev.agg(min("time"), max("time")).head()))
         require(table.runOnce(rules, nowMs = 16000L)
           .exists(_.isInstanceOf[graft.streaming.Lifecycle.Compact]), "no compact")
-        val bounds = ev.agg(min("time"), max("time")).head()
+        val bounds = Await.result(fBounds, 1.hour)
         val midNs = (bounds.getLong(0) + bounds.getLong(1)) / 2L
         require(table.runOnce(rules, nowMs = 80000L, splitNsOf = _ => midNs)
           .exists(_.isInstanceOf[graft.streaming.Lifecycle.Persist]), "no persist")

@@ -5275,13 +5275,24 @@ object QueriesPipeline {
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
         val truth = Similarity.bruteForceTopK(emb, q, k = 10, microRank = true)
           .select(col("q_id"), col("neighbor_id"))
-        val (cells, coarse) = Clustering.kmeansFit(
-          spread, "vec_id", "embedding", k = 8, iters = 0)
-        val (codes, books) = Clustering.pqFit(
-          spread, "vec_id", "embedding", m = m, k = k, iters = 1)
-        val qmv = emb.filter(col("vec_id") < 5)
+        // the coarse-quantizer fit, the PQ codebook fit and the
+        // query-vector collect are mutually independent driver-barrier
+        // phases (guide §2.6): run them as concurrent Spark jobs so the
+        // barriers overlap instead of chaining; each is deterministic on
+        // its own, so results are unchanged
+        import scala.concurrent.{Await, ExecutionContext, Future, blocking}
+        import scala.concurrent.duration.DurationInt
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        val fCoarse = Future(blocking(Clustering.kmeansFit(
+          spread, "vec_id", "embedding", k = 8, iters = 0)))
+        val fPq = Future(blocking(Clustering.pqFit(
+          spread, "vec_id", "embedding", m = m, k = k, iters = 1)))
+        val fQmv = Future(blocking(emb.filter(col("vec_id") < 5)
           .select(col("vec_id"), col("embedding")).collect()
-          .map(r => (r.getLong(0), r.getSeq[Double](1).map(_.toLong).toArray))
+          .map(r => (r.getLong(0), r.getSeq[Double](1).map(_.toLong).toArray))))
+        val (cells, coarse) = Await.result(fCoarse, 2.hours)
+        val (codes, books) = Await.result(fPq, 2.hours)
+        val qmv = Await.result(fQmv, 2.hours)
         // mirrored integer-micro cosine (the dCosMicroI expression order)
         def cosMicro(a: Array[Long], b: Array[Long]): Long = {
           val dot = a.zip(b).map { case (x, y) => x * y }.sum
@@ -5390,10 +5401,17 @@ object QueriesPipeline {
     ("ann_ivfpq_topk",
       (s, d) => {
         val spread = Tables.spread(s, Tables.embeddings(s, d))
-        val (cells, coarse) = Clustering.kmeansFit(
-          spread, "vec_id", "embedding", k = 8, iters = 0)
-        val (codes, cb) = Clustering.pqFit(
-          spread, "vec_id", "embedding", m = 4, k = 4, iters = 1)
+        // coarse fit and PQ fit are independent driver-barrier phases —
+        // overlap them (guide §2.6), results unchanged
+        import scala.concurrent.{Await, ExecutionContext, Future, blocking}
+        import scala.concurrent.duration.DurationInt
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        val fCoarse = Future(blocking(Clustering.kmeansFit(
+          spread, "vec_id", "embedding", k = 8, iters = 0)))
+        val fPq = Future(blocking(Clustering.pqFit(
+          spread, "vec_id", "embedding", m = 4, k = 4, iters = 1)))
+        val (cells, coarse) = Await.result(fCoarse, 2.hours)
+        val (codes, cb) = Await.result(fPq, 2.hours)
         val q = Tables.embeddings(s, d).filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
         Similarity.ivfPqTopK(codes, cells, coarse, cb, q, k = 10, nprobe = 3)
