@@ -1019,9 +1019,14 @@ object QueriesCore {
         val fMid = Future(blocking(
           ev.agg(percentile_approx(col("time"), lit(0.5), lit(100)))
             .head().getLong(0)))
-        require(table.runOnce(rules, nowMs = 16000L)
+        // join the overlapped job BEFORE the require (r16 advice): a
+        // failed require must not leave an orphaned Spark job running,
+        // and the bounded timeout fails fast instead of masking a hang
+        // far past the bench budget
+        val compactActs = table.runOnce(rules, nowMs = 16000L)
+        val midNs = Await.result(fMid, 5.minutes)
+        require(compactActs
           .exists(_.isInstanceOf[graft.streaming.Lifecycle.Compact]), "no compact")
-        val midNs = Await.result(fMid, 1.hour)
         require(table.runOnce(rules, nowMs = 80000L, splitNsOf = _ => midNs)
           .exists(_.isInstanceOf[graft.streaming.Lifecycle.Persist]), "no persist")
         table.scan()
@@ -1072,9 +1077,11 @@ object QueriesCore {
         import scala.concurrent.duration.DurationInt
         implicit val ec: ExecutionContext = ExecutionContext.global
         val fBounds = Future(blocking(ev.agg(min("time"), max("time")).head()))
-        require(table.runOnce(rules, nowMs = 16000L)
+        // join-before-require + bounded timeout: see lifecycle_scan above
+        val compactActs = table.runOnce(rules, nowMs = 16000L)
+        val bounds = Await.result(fBounds, 5.minutes)
+        require(compactActs
           .exists(_.isInstanceOf[graft.streaming.Lifecycle.Compact]), "no compact")
-        val bounds = Await.result(fBounds, 1.hour)
         val midNs = (bounds.getLong(0) + bounds.getLong(1)) / 2L
         require(table.runOnce(rules, nowMs = 80000L, splitNsOf = _ => midNs)
           .exists(_.isInstanceOf[graft.streaming.Lifecycle.Persist]), "no persist")

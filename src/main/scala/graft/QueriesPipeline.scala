@@ -1824,7 +1824,9 @@ object QueriesPipeline {
         // register table is sources × 2^p rows — metadata-sized; pin it
         // once (r15, measured): its two consumers (per-source estimate,
         // pairwise union) prune differently, so without the checkpoint
-        // the full shingle→hash→register corpus pass ran TWICE
+        // the full shingle→hash→register corpus pass ran TWICE.
+        // localCheckpoint executor-loss trade-off: see the
+        // DocDedup.ngramJaccardPairs note (r16)
         val regs = DocDedup.hllRegisters(sh, "sgm", Seq("source"), p = 12)
           .localCheckpoint()
         val perSrc = DocDedup.hllEstimate(regs, Seq("source"), p = 12)
@@ -2357,7 +2359,9 @@ object QueriesPipeline {
         // checkpoint runs the LSH pipeline once and keeps the downstream
         // plan (which AQE re-optimizes per stage) pair-sized — the
         // blocking_eval / duplicationRank discipline (r15: ~2.5 s of
-        // warm driver-side replanning measured on the tripled tree)
+        // warm driver-side replanning measured on the tripled tree).
+        // localCheckpoint executor-loss trade-off: see the
+        // DocDedup.ngramJaccardPairs note (r16)
         val pairs = DocDedup.minHashDedupPairs(docs, "doc_id", "text",
           n = 3, threshold = 0.7,
           DocDedup.MinHashParams(numPerms = 32, bands = 16)).select("id1", "id2")

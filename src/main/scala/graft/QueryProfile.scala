@@ -24,7 +24,12 @@ object QueryProfile {
     val reps = opt("--reps", "3").toInt
     val planOut = opt("--plan-out", "")
     // --plan-dir d --queries a,b,c: dump each query's formatted plan to
-    // d/<name>_<suffix>.txt (no timing) — the plans/r15 evidence writer
+    // d/<name>_<suffix>.txt (no timing) — the plans/r15 evidence writer.
+    // CAVEAT (r16 advice note): query builders that call
+    // localCheckpoint() EXECUTE their upstream pipeline eagerly at
+    // construction, so "no timing" means no timing printed — dumping
+    // such a query's plan still runs its checkpoint jobs, and the dump
+    // shows the truncated checkpoint scan, not the pipeline behind it.
     val planDir = opt("--plan-dir", "")
     val planSuffix = opt("--plan-suffix", "after")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -59,27 +59,25 @@ object TextFunctions {
   }
 
   /** Most-frequent-token frequency as a fraction of all tokens — the
-    * other Gopher-style repetition signal. Computed per row: sort the
-    * token array, then one linear pass tracks the longest equal-token
-    * run. No explode, no shuffle, no join back — at corpus scale this
-    * beats the explode->groupBy(doc,token)->max->join formulation by two
-    * full shuffles of every token occurrence. Token array bound once
-    * (same re-tokenization guard as [[shingles]]). */
+    * other Gopher-style repetition signal. No explode, no shuffle, no
+    * join back — at corpus scale this beats the
+    * explode->groupBy(doc,token)->max->join formulation by two full
+    * shuffles of every token occurrence. Computed by the native
+    * [[TopTokenRatioExpr]] (r16): the prior sorted-array run fold was a
+    * CodegenFallback higher-order aggregate walking an interpreted tree
+    * per TOKEN; the kernel is one codegen'd counting pass with identical
+    * output (equivalence pinned by TextKernelsSpec). */
   def topTokenRatio(text: Column): Column =
-    element_at(
-      transform(array(tokens(text)), tk => {
-        val best = aggregate(sort_array(tk),
-          struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-          (acc, t) => {
-            val run = when(t === acc.getField("prev"),
-              acc.getField("run") + 1L).otherwise(lit(1L))
-            struct(t.as("prev"), run.as("run"),
-              greatest(acc.getField("best"), run).as("best"))
-          },
-          acc => acc.getField("best"))
-        best.cast("double") / greatest(size(tk), lit(1)).cast("double")
-      }),
-      1)
+    org.apache.spark.sql.graft.ColumnBridge.fromExpr(
+      TopTokenRatioExpr(org.apache.spark.sql.graft.ColumnBridge.toExpr(text)))
+
+  /** Shared builder for the word-list counting kernel (one tokenize pass
+    * for ALL lists — see [[WordListCountsExpr]]). */
+  private def wordListCounts(text: Column, lists: Seq[Seq[String]],
+      withTotal: Boolean): Column =
+    org.apache.spark.sql.graft.ColumnBridge.fromExpr(
+      WordListCountsExpr(org.apache.spark.sql.graft.ColumnBridge.toExpr(text),
+        lists, withTotal))
 
   /** Stable 60-bit token hash shared with the DuckDB oracle: first 15 hex
     * chars of md5, parsed base-16. (Spark's murmur `hash()` has no DuckDB
@@ -120,9 +118,13 @@ object TextFunctions {
     "it", "that", "this", "for", "on", "with", "as", "at", "by", "be")
 
   def stopwordRatio(text: Column): Column = {
-    val toks = tokens(text)
-    size(filter(toks, t => t.isInCollection(enStopwords))).cast("double") /
-      greatest(size(toks), lit(1)).cast("double")
+    // r16: one native counting pass (see WordListCountsExpr) — the
+    // composed size(filter(tokens, isInCollection)) walked an interpreted
+    // predicate per token; the arithmetic below is the identical int-cast
+    // division
+    val c = wordListCounts(text, Seq(enStopwords), withTotal = true)
+    element_at(c, 1).cast("double") /
+      greatest(element_at(c, 2), lit(1)).cast("double")
   }
 
   /** Composite quality score in [0,1]: rewards alpha text, mild length,
@@ -170,11 +172,12 @@ object TextFunctions {
 
   /** Fraction of tokens containing at least one alphabetic character
     * (Gopher requires >= 0.8). */
-  def alphaTokenFraction(text: Column): Column = {
-    val toks = tokens(text)
-    size(filter(toks, t => t.rlike("[a-z]"))).cast("double") /
-      greatest(size(toks), lit(1)).cast("double")
-  }
+  def alphaTokenFraction(text: Column): Column =
+    // r16: native kernel — rlike("[a-z]") on the already-lowercased
+    // tokens reduces to a char-range scan (see AlphaTokenFractionExpr)
+    org.apache.spark.sql.graft.ColumnBridge.fromExpr(
+      AlphaTokenFractionExpr(
+        org.apache.spark.sql.graft.ColumnBridge.toExpr(text)))
 
   /** Gopher's required-stopword rule: the document must contain at least
     * two occurrences from this exact 8-word list (Rae et al. 2021). */
@@ -182,7 +185,8 @@ object TextFunctions {
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
   def gopherStopCount(text: Column): Column =
-    size(filter(tokens(text), t => t.isInCollection(gopherStops)))
+    // r16: native counting pass (see WordListCountsExpr)
+    element_at(wordListCounts(text, Seq(gopherStops), withTotal = false), 1)
 
   /** Shannon entropy (bits) of the document's character distribution — a
     * cheap "is this natural text or noise/padding" quality signal (low
@@ -194,22 +198,19 @@ object TextFunctions {
     * over exploded chars is the oracle twin; the two accumulate in
     * different float orders, so compare rounded.) */
   def charEntropy(text: Column): Column = {
+    // r16: the sorted-run detection (split per char + sort_array + an
+    // interpreted fold per CHARACTER) moves into the native CharRunsExpr
+    // kernel; the float arithmetic below is the SAME Spark expressions in
+    // the SAME accumulation order (runs arrive sorted, each adds its
+    // runTerm once; the old fold's extra leading `0.0 + runTerm(0)` is an
+    // exact `0.0 + 0.0`), so the IEEE result is bit-identical.
     def runTerm(r: Column): Column =
       when(r > 0L, r.cast("double") * log2(r.cast("double"))).otherwise(lit(0.0))
     val h = element_at(
-      transform(array(sort_array(split(text, ""))), cs => {
-        val s = aggregate(cs,
-          struct(lit("").as("prev"), lit(0L).as("run"), lit(0.0).as("acc")),
-          (st, c) => {
-            val same = c === st.getField("prev")
-            struct(c.as("prev"),
-              when(same, st.getField("run") + 1L).otherwise(lit(1L)).as("run"),
-              when(same, st.getField("acc"))
-                .otherwise(st.getField("acc") + runTerm(st.getField("run")))
-                .as("acc"))
-          },
-          st => st.getField("acc") + runTerm(st.getField("run")))
-        log2(size(cs).cast("double")) - s / size(cs).cast("double")
+      transform(array(charRuns(text)), rs => {
+        val s = aggregate(rs, lit(0.0), (acc, r) => acc + runTerm(r))
+        val n = aggregate(rs, lit(0L), (acc, r) => acc + r)
+        log2(n.cast("double")) - s / n.cast("double")
       }),
       1)
     when(length(text) > 0, h).otherwise(lit(0.0))
@@ -225,29 +226,29 @@ object TextFunctions {
     * `round(…, 6)` is not engine-version-proof: the sum order and the
     * libm log2 both differ across engines. */
   def charEntropyMb(text: Column): Column = {
+    // r16: run detection via the native CharRunsExpr kernel (see
+    // charEntropy above); every round/log2/floor stays the same Spark
+    // expression, and the accumulated numerator is an exact integer, so
+    // the value is unchanged by construction.
     def qTerm(r: Column): Column =
       when(r > 0L, r * round(log2(r.cast("double")) * 1e6).cast("long"))
         .otherwise(lit(0L))
     val mb = element_at(
-      transform(array(sort_array(split(text, ""))), cs => {
-        val s = aggregate(cs,
-          struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("acc")),
-          (st, c) => {
-            val same = c === st.getField("prev")
-            struct(c.as("prev"),
-              when(same, st.getField("run") + 1L).otherwise(lit(1L)).as("run"),
-              when(same, st.getField("acc"))
-                .otherwise(st.getField("acc") + qTerm(st.getField("run")))
-                .as("acc"))
-          },
-          st => st.getField("acc") + qTerm(st.getField("run")))
-        val n = size(cs).cast("long")
+      transform(array(charRuns(text)), rs => {
+        val s = aggregate(rs, lit(0L), (acc, r) => acc + qTerm(r))
+        val n = aggregate(rs, lit(0L), (acc, r) => acc + r)
         floor((n * round(log2(n.cast("double")) * 1e6).cast("long") - s)
           .cast("double") / (n.cast("double") * lit(1000.0))).cast("long")
       }),
       1)
     when(length(text) > 0, mb).otherwise(lit(0L))
   }
+
+  /** Run lengths of the sorted character array (ascending codepoint
+    * order) — the shared native front of both entropy variants. */
+  private def charRuns(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.fromExpr(
+      CharRunsExpr(org.apache.spark.sql.graft.ColumnBridge.toExpr(text)))
 
   // ------------------------------------------------- PII detection/redaction
 
@@ -333,26 +334,27 @@ object TextFunctions {
   }
 
   def langScores(text: Column): Seq[(String, Column)] = {
-    val toks = tokens(text)
-    langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
-      lang -> size(filter(toks, t => t.isInCollection(words)))
+    // r16: all four lists counted in ONE native tokenize pass (see
+    // WordListCountsExpr); per-language element_at projections of the
+    // same kernel call are deduplicated by codegen subexpression
+    // elimination
+    val langs = langMarkers.toSeq.sortBy(_._1)
+    val counts = wordListCounts(text, langs.map(_._2), withTotal = false)
+    langs.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> element_at(counts, i + 1)
     }
   }
 
   /** Predicted language code, or "und" when no marker matches.
-    * Single pass over the tokens: one aggregate carries all language
-    * scores in an array accumulator, so the text is tokenized once (a
-    * per-language `filter` would re-run the regex normalization once per
-    * language). Then array_min of (negScore, lang) structs = best score
+    * Single pass over the tokens: the native [[WordListCountsExpr]]
+    * kernel counts all languages' markers at once (r16 — the prior
+    * array-accumulator aggregate walked an interpreted zip_with per
+    * token). Then array_min of (negScore, lang) structs = best score
     * with alphabetical tie-break — all column ops, no UDF. */
   def langId(text: Column): Column = {
     val langs = langMarkers.toSeq.sortBy(_._1)
     val names = lit(langs.map(_._1).toArray)
-    val scores = aggregate(tokens(text), lit(Array.fill(langs.size)(0)),
-      (acc, t) => zip_with(acc,
-        array(langs.map { case (_, ws) =>
-          when(t.isInCollection(ws), 1).otherwise(0) }: _*),
-        (a, d) => a + d))
+    val scores = wordListCounts(text, langs.map(_._2), withTotal = false)
     val best = array_min(zip_with(scores, names,
       (s, l) => struct((-s).as("neg"), l.as("lang"))))
     when(best.getField("neg") < 0, best.getField("lang")).otherwise(lit("und"))

@@ -189,7 +189,13 @@ object Clustering {
     def decode(row: Row): (Long, Long, Seq[Long]) =
       (row.getLong(0), row.getLong(1),
         row.getAs[scala.collection.Seq[Long]](2).toSeq)
+    // isNotNull first (r16 advice): the struct-min sorts null ids FIRST
+    // (unlike the pre-r15 agg(min(idCol)), which ignored nulls), so
+    // without the filter a corpus containing null ids would either pick
+    // a null-id seed or trip the emptiness require below. No-op for the
+    // non-null vec_id corpora this engine ships.
     val firstRow = x
+      .filter(col(idCol).isNotNull)
       .select(struct(col(idCol).as("id"), col("__q")).as("s"))
       .agg(min(col("s")).as("m"))
       .select(col("m.id"), col("m.id"), col("m.__q")).head()

@@ -47,7 +47,14 @@ object DocDedup {
     * in bucket size inside one row value (a 10⁴-member bucket ≈ 5×10⁷
     * structs, gigabytes, in one row) — this shape streams the same pairs
     * through rows the executor can spill. Still one shuffle, no self-join
-    * (the tail slice reuses the collected list). */
+    * (the tail slice reuses the collected list).
+    *
+    * PRECONDITION: array elements must be non-null (r16 advice note —
+    * the per-row `__y.isNotNull` filter below drops null TAIL elements
+    * before `mk`, where the pre-r15 `transform` form would have passed
+    * them through as `mk(x, null)` rows; every caller collects
+    * non-null structs, so the equivalence holds only under this
+    * contract). */
   private def explodePairs(buckets: DataFrame, xs: String)(
       mk: (Column, Column) => Column): DataFrame =
     // *_outer + post-filter, not bare explode/posexplode: the optimizer
@@ -62,6 +69,17 @@ object DocDedup {
     // (guide §4); as a row projection it runs in whole-stage codegen.
     // Same rows: slice/explode stream identically, and mk is a pure
     // struct/getField composition in every caller.
+    // NOT repartitioned (r16, measured): an explicit
+    // repartition(defaultParallelism) here — to undo AQE's byte-based
+    // coalescing of the CPU-dense expansion onto 1-2 tasks — REGRESSED
+    // every explodePairs consumer at sf0.1 by 0.1-0.6 s (filtered bench,
+    // min-of-3: minhash_lsh 1.51→2.17, ngram_jaccard 1.23→1.62,
+    // blocking_eval 2.03→2.46): the extra exchange + its
+    // sort-before-repartition + one more AQE stage cost more than the
+    // 1-2 s of single-core expansion it parallelizes. At real scale the
+    // bucket frame's BYTES grow with the corpus and AQE already assigns
+    // the stage real parallelism, so the repartition would buy nothing
+    // there either.
     buckets
       .select(col(xs).as("__xs"), posexplode_outer(col(xs)).as(Seq("__i", "__x")))
       .filter(col("__x").isNotNull)
@@ -225,18 +243,16 @@ object DocDedup {
   /** (id, __fps array) form of [[winnowedFingerprints]] — lets callers
     * derive the per-document set size without a second corpus pass. */
   private def winnowedFpArray(docs: DataFrame, idCol: String,
-      textCol: String, n: Int, w: Int): DataFrame = {
-    val withHs = docs.select(col(idCol),
-      transform(graft.functions.TextFunctions.ngrams(col(textCol), n),
-        s => graft.functions.TextFunctions.hash60(s)).as("__hs"))
-    val hs = col("__hs")
-    val fps = when(size(hs) >= w,
-        array_distinct(transform(sequence(lit(0), size(hs) - w),
-          i => array_min(slice(hs, i + 1, lit(w))))))
-      .otherwise(when(size(hs) > 0, array(array_min(hs))) // short doc: one fp
-        .otherwise(array().cast("array<bigint>")))
-    withHs.select(col(idCol), fps.as("__fps"))
-  }
+      textCol: String, n: Int, w: Int): DataFrame =
+    // r16: native WinnowFpExpr kernel — one codegen'd O(#ngrams) pass
+    // (monotonic-deque window minima) replacing the composed
+    // ngram-hash transform + O(#ngrams · w) interpreted window walk;
+    // identical fingerprint sets (pinned by TextKernelsSpec)
+    docs.select(col(idCol),
+      org.apache.spark.sql.graft.ColumnBridge.fromExpr(
+        graft.functions.WinnowFpExpr(
+          org.apache.spark.sql.graft.ColumnBridge.toExpr(col(textCol)), n, w))
+        .as("__fps"))
 
   /** Near-dup candidate pairs from winnowed fingerprints: documents
     * sharing >= `minShared` fingerprints, with the shared count and each
@@ -468,6 +484,12 @@ object DocDedup {
     // (≤ #buckets·cap²/2, orders below corpus size — the cap analysis
     // above), so one eager materialization strictly dominates recomputing
     // the expansion per branch at any scale.
+    // localCheckpoint trade-off (r16 note): lineage is dropped and the
+    // blocks live on executors, so on a real cluster an executor loss
+    // mid-query fails the query instead of recomputing — acceptable for
+    // a candidate-bounded intra-query intermediate (the recovery
+    // alternative IS the per-branch quadratic recomputation this
+    // removes); revisit if the engine ever targets preemptible executors.
     val marked = counted
       .join(hot.select(col("id").as("id1"), lit(true).as("__h1")), Seq("id1"), "left")
       .join(hot.select(col("id").as("id2"), lit(true).as("__h2")), Seq("id2"), "left")
@@ -519,6 +541,19 @@ object DocDedup {
       .withColumn("w", floor(
         log((col("__n") + lit(1L)).cast("double") / (col("df") + lit(1L)))
           * lit(1e6) + lit(0.5)).cast("long"))
+      // single materialization of the weighted index (r16): its two
+      // consumers — the per-doc weight totals and the pair counting —
+      // prune DIFFERENT columns, the subtrees canonicalize differently,
+      // ReuseExchange cannot collapse them, and the full shingle→index
+      // corpus pass ran TWICE (the ngramJaccardPairs two-consumer shape,
+      // r15). The frame is the df-capped inverted index the pair stage
+      // must materialize anyway; storing it once beats recomputing the
+      // corpus shuffle per branch at any scale. localCheckpoint trades
+      // lineage for that: on executor loss the query fails instead of
+      // recomputing — acceptable for an intra-query intermediate (the
+      // alternative IS the double corpus pass this removes).
+      .select(col("xs"), col("df"), col("w"))
+      .localCheckpoint()
     val docW = buckets
       .select(explode(col("xs")).as("x"), col("w"))
       .groupBy(col("x.id").as("id"))
@@ -575,7 +610,8 @@ object DocDedup {
       .select(col("x.id").as("id")).distinct()
     // single materialization of the pair frame — same two-branch
     // column-pruning divergence as ngramJaccardPairs above (see the r15
-    // note there): without it the quadratic expansion runs once per branch
+    // note there, incl. the localCheckpoint executor-loss trade-off):
+    // without it the quadratic expansion runs once per branch
     val marked = counted
       .join(hot.select(col("id").as("id1"), lit(true).as("__h1")), Seq("id1"), "left")
       .join(hot.select(col("id").as("id2"), lit(true).as("__h2")), Seq("id2"), "left")

@@ -658,21 +658,16 @@ object Similarity {
     * its missing dims on both engines. */
   def binarySign(df: DataFrame, idCol: String, vecCol: String,
       out: String = "bits"): DataFrame = {
-    val v = asDouble(col(vecCol))
-    val powers = array((0 until 32).map(j => lit(1L << j)): _*)
-    val nWords = floor((size(v) + 31) / lit(32)).cast("int")
-    val packed = transform(sequence(lit(0), nWords - 1), w =>
-      aggregate(
-        // zip_with pads the short final slice with nulls; null >= 0 is
-        // null -> otherwise(0), so missing dims contribute no bits
-        zip_with(slice(v, w * 32 + 1, lit(32)), powers,
-          (x, p) => when(x >= 0, p).otherwise(lit(0L))),
-        lit(0L), (acc, x) => acc.bitwiseOR(x)))
-    // zero-length guard: sequence(0, -1) would STEP DOWN and yield
-    // [0, -1], minting a spurious two-word signature for an empty
-    // vector that hammingTopK would then rank like a real one
-    val words = when(size(v) > 0, packed)
-      .otherwise(array().cast("array<bigint>"))
+    // r16: native SignPackExpr kernel — the composed
+    // transform(sequence)/aggregate(zip_with) form was CodegenFallback
+    // and walked an interpreted tree per vector ELEMENT; the kernel runs
+    // the identical bit math (x >= 0 under Spark's NaN-is-largest
+    // comparison semantics sets the bit, null does not, null/empty
+    // vector → empty array) in one codegen'd loop, pinned by
+    // BitKernelsSpec.
+    val words = org.apache.spark.sql.graft.ColumnBridge.fromExpr(
+      graft.functions.SignPackExpr(
+        org.apache.spark.sql.graft.ColumnBridge.toExpr(asDouble(col(vecCol)))))
     df.select(col(idCol), words.as(out))
   }
 
@@ -686,10 +681,13 @@ object Similarity {
   def hammingTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", bitsCol: String = "bits",
       qIdCol: String = "q_id", qBitsCol: String = "q_bits"): DataFrame = {
-    val dist = aggregate(
-      zip_with(col(bitsCol), col(qBitsCol),
-        (a, b) => bit_count(a.bitwiseXOR(b))),
-      lit(0), (acc, x) => acc + x)
+    // r16: native popcount fold (see HammingDistExpr) — this runs once
+    // per (query, corpus) pair on the broadcast scan, where the composed
+    // aggregate(zip_with(...)) paid an interpreted walk per word per pair
+    val dist = org.apache.spark.sql.graft.ColumnBridge.fromExpr(
+      graft.functions.HammingDistExpr(
+        org.apache.spark.sql.graft.ColumnBridge.toExpr(col(bitsCol)),
+        org.apache.spark.sql.graft.ColumnBridge.toExpr(col(qBitsCol))))
     val scored = corpus.crossJoin(broadcast(queries))
       .filter(col(idCol) =!= col(qIdCol))
       .select(col(qIdCol), col(idCol), (-dist).cast("double").as("score"))

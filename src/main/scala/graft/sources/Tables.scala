@@ -119,7 +119,14 @@ object Tables {
     * spread() on the ALREADY-SPREAD memoized documents/embeddings frames
     * (r15 measured: ~30-80 ms of pure plan construction per query per
     * bench pass), so the identity hit makes the redundant outer call
-    * free without touching every call site. */
+    * free without touching every call site.
+    * Assumptions made explicit (r16 advice): the membership test relies
+    * on Dataset NOT overriding equals/hashCode (true in every Spark
+    * release to date — identity semantics), contains+add is non-atomic
+    * under concurrent warmup threads (a racing duplicate probe is benign:
+    * both sides plan the same frame once), and the cached decision pins
+    * the defaultParallelism observed at first call (constant for a
+    * session's lifetime in this engine's entry points). */
   private val spreadDone = java.util.Collections.synchronizedSet(
     java.util.Collections.newSetFromMap(
       new java.util.WeakHashMap[DataFrame, java.lang.Boolean]))
