@@ -109,24 +109,34 @@ object DocDedup {
   }
 
   /** Per-document MinHash signature as `numPerms` LONG columns `mh_i`.
-    * Shape: explode shingles -> hash each ONCE -> `numPerms` codegen'd
-    * `min` aggregates with map-side partial aggregation. This beats the
-    * no-shuffle `array_min(transform(...))` formulation: higher-order
-    * functions are CodegenFallback (interpreted per element per
-    * permutation), while the exploded form keeps all permutation
-    * arithmetic and the hash aggregate inside whole-stage codegen; the
-    * shuffle is one row of `numPerms` longs per doc after combine.
-    * explode_outer keeps shingle-less (short) docs as all-null
-    * signatures, same as the array formulation. */
+    *
+    * r16: computed by the native [[graft.functions.MinHashSigExpr]]
+    * kernel — one codegen'd pass per document over its distinct shingles,
+    * all permutation minima tracked in registers. The r15 exploded
+    * formulation (explode shingles → hash → groupBy(id).agg(numPerms ×
+    * min)) paid a hash-aggregate probe plus numPerms expression-tree
+    * min-updates per SHINGLE row and then one Exchange of the signature
+    * partials; the kernel removes both the per-row aggregate machinery
+    * AND the shuffle — the signature frame is now a pure projection of
+    * the corpus scan (zero exchanges) in every MinHash/LSH query.
+    * Identical values (integer arithmetic, order-free min — pinned by
+    * MinHashSigSpec) and the same all-null convention for shingle-less
+    * docs. Assumes unique ids per row, which the old groupBy(id) did not
+    * (it merged duplicate ids' shingle sets) — every engine caller feeds
+    * unique-id corpora; see the kernel scaladoc. */
   def signatures(docs: DataFrame, idCol: String, textCol: String, n: Int,
       p: MinHashParams): DataFrame = {
-    val hashed = docs
-      .select(col(idCol), explode_outer(shingles(col(textCol), n)).as("s"))
-      .select(col(idCol), pmod(hash60(col("s")), lit(p.prime)).as("h"))
-    val sigCols = p.abs.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * a + b, lit(p.prime))).as(s"mh_$i")
-    }
-    hashed.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
+    val sig = org.apache.spark.sql.graft.ColumnBridge.fromExpr(
+      graft.functions.MinHashSigExpr(
+        org.apache.spark.sql.graft.ColumnBridge.toExpr(col(textCol)),
+        n, p.abs, p.prime))
+    // __sig is a non-cheap multi-referenced producer: CollapseProject
+    // keeps it in its own projection (the file-header hoisting note), so
+    // the kernel runs once per row and the numPerms element_at reads are
+    // cheap codegen'd array loads
+    docs.select(col(idCol), sig.as("__sig"))
+      .select(col(idCol) +: (0 until p.numPerms).map(i =>
+        element_at(col("__sig"), i + 1).as(s"mh_$i")): _*)
   }
 
   /** (id, bucket) band-bucket rows from a signature frame: one row per
