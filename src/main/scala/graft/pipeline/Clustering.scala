@@ -260,7 +260,17 @@ object Clustering {
   def pqFit(df: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, iters: Int = 1)
       : (DataFrame, Seq[(Int, Int, Seq[Long])]) = {
+    // r16: materialize the vector frame ONCE per fit. The m subspace
+    // fits each run seed-collect + per-iter update-collect + final
+    // assignment actions, and every ACTION re-executed the upstream
+    // scan/spread/cast (profiled at sf0.1: the embeddings exchange ran
+    // 8+ times per pqFit query). One eager checkpoint turns ~3·m scans
+    // into one; the frame is the fit's own input, an intra-query
+    // intermediate recomputed from parquet on every invocation.
+    // localCheckpoint executor-loss trade-off: see
+    // DocDedup.ngramJaccardPairs (r16).
     val v = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .localCheckpoint()
     val dim = v.select(size(col("__v"))).first().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m

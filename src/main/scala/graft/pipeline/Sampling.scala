@@ -492,9 +492,20 @@ object Sampling {
         val gain = top(0).getLong(1)
         cum += gain
         picks += ((r, id, gain, cum))
+        // r16: re-shingle the ONE picked document from the docs frame
+        // (a pushdown-prunable point lookup) instead of filtering the
+        // occurrence-grain checkpoint — the old form re-read the whole
+        // exploded corpus (25.9 MB at sf0.1) once per round just to
+        // extract one doc's shingles. The anti-join keeps the union
+        // DISJOINT by construction, so the per-round distinct (one more
+        // shuffle of the covered set) is gone too. Same covered set:
+        // shingles() is per-doc distinct and the anti-join removes
+        // already-covered entries, which distinct() used to dedup.
+        val pickedSh = docs.filter(col(idCol) === id)
+          .select(explode_outer(TextFunctions.shingles(col(textCol), n)).as("s"))
+          .filter(col("s").isNotNull)
         covered = covered
-          .unionByName(sh.filter(col("id") === id).select("s"))
-          .distinct()
+          .unionByName(pickedSh.join(covered, Seq("s"), "left_anti"))
           .localCheckpoint()
         r += 1
       }
