@@ -143,7 +143,15 @@ object Clustering {
   def kmeansFitSeeded(df: DataFrame, idCol: String, vecCol: String,
       seeds: Seq[(Int, Seq[Long])], iters: Int)
       : (DataFrame, Seq[(Int, Seq[Long])]) = {
-    val x = prepared(df, idCol, vecCol)
+    // r16: with iters >= 1 the prepared frame is read by the per-iter
+    // centroid-update collect AND the final assignment's consumers —
+    // separate actions that each re-executed the scan/spread/quantize
+    // pipeline; checkpoint once (r15 declined this for the solo
+    // one-consumer case; with >= 2 actions it measured a win). iters=0
+    // keeps the plain pipeline: one consumer, the checkpoint job would
+    // cost more than the single re-scan it saves (the r15 measurement).
+    val x0 = prepared(df, idCol, vecCol)
+    val x = if (iters >= 1) x0.localCheckpoint() else x0
     var cents = seeds
     var assigned = assignOnce(x, idCol, cents)
     for (_ <- 0 until iters) {
@@ -178,7 +186,13 @@ object Clustering {
     require(k >= 1, s"need k >= 1, got $k")
     val spark = df.sparkSession
     import org.apache.spark.sql.Row
-    val x = prepared(df, idCol, vecCol)
+    // r16: the Gonzalez traversal runs k driver-barrier rounds, each a
+    // separate ACTION that re-executed the scan/spread/quantize pipeline;
+    // checkpoint the prepared frame once when more than one round will
+    // read it (intra-query intermediate; executor-loss trade-off: see
+    // DocDedup.ngramJaccardPairs)
+    val x0 = prepared(df, idCol, vecCol)
+    val x = if (k > 1) x0.localCheckpoint() else x0
     // the chosen point's VECTOR rides the argmin struct (r15): the struct
     // min is decided entirely by (mx, id) — ids are unique, so the
     // trailing __q field never participates in an ordering decision and
