@@ -528,9 +528,20 @@ object Sampling {
   def madOutliers(df: DataFrame, idCol: String, strataCol: String,
       valueCol: String, cut: Double = 3.0,
       bucketDecimals: Int = 2): DataFrame = {
-    val med = lowerMedian(df, idCol, strataCol, valueCol, "__med",
+    // r16: the input frame is read by THREE separate consumers (the
+    // median histogram, the MAD histogram via withDev, and the final
+    // select), and each re-executed its upstream plan — for the quality
+    // MAD query that meant computing the 4-regexp qualityScore over the
+    // whole corpus three times (profiled: 3 × ~6-8 s of task time at
+    // sf0.1). One eager checkpoint of the narrow (id, stratum, value)
+    // frame computes it once; intra-query intermediate, rebuilt from
+    // parquet per invocation (executor-loss trade-off: see
+    // DocDedup.ngramJaccardPairs). All input columns are kept — callers
+    // rely on the output carrying their extra columns through.
+    val dfPinned = df.localCheckpoint()
+    val med = lowerMedian(dfPinned, idCol, strataCol, valueCol, "__med",
       bucketDecimals)
-    val withDev = df.join(broadcast(med), strataCol)
+    val withDev = dfPinned.join(broadcast(med), strataCol)
       .withColumn("__dev", abs(col(valueCol) - col("__med")))
     val mad = lowerMedian(withDev, idCol, strataCol, "__dev", "__mad",
       bucketDecimals)
